@@ -1,0 +1,304 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational surface of the engine: the query shapes Gazette applications
+  * express over materialized state (SURVEY.md §2.5, §2.7-2.9), declared with
+  * the DataFrame API so Catalyst owns physical strategy (broadcast vs
+  * sort-merge join, partial aggregation, pushdown).
+  *
+  * Determinism notes for the DuckDB oracle:
+  *  - double SUMs are order-dependent; we aggregate in DECIMAL(38,6)
+  *    (exact, order-independent, same result in DuckDB) and cast the final
+  *    value back to double, rounded. `dsum` below encapsulates that.
+  *  - every top-k query carries a unique tiebreak key.
+  */
+object Relational {
+
+  /** Order-independent exact sum of a double column: decimal-accumulate,
+    * then round back to double. Mirrors `round(cast(sum(cast(x as
+    * decimal(38,6))) as double), s)` on the oracle side.
+    */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    round(sum(c.cast("decimal(38,6)")).cast("double"), scale)
+
+  private def davg(c: Column, scale: Int = 4): Column =
+    round(sum(c.cast("decimal(38,6)")).cast("double") / count(lit(1)), scale)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- q01: grouped aggregation with partial/map-side combine (SURVEY
+    // A3/A9: Gazette's in-txn aggregate caches == Spark partial hash-agg).
+    "q01_pricing_summary" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" <= lit("1995-09-01").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          dsum($"l_quantity").as("sum_qty"),
+          dsum($"l_extendedprice").as("sum_base_price"),
+          dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+          davg($"l_quantity").as("avg_qty"),
+          davg($"l_discount").as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // ---- q02: join + agg + top-k with unique tiebreak (ORDER BY/LIMIT,
+    // SURVEY §2.9).
+    "q02_top_revenue_orders" -> { (s, d) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+      val o  = Tables.orders(s, d)
+      li.join(o, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderkey", $"o_orderpriority")
+        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+        .orderBy($"revenue".desc, $"o_orderkey".asc)
+        .limit(10)
+    },
+
+    // ---- q03: mid-size join + group (customer x orders).
+    "q03_segment_order_stats" -> { (s, d) =>
+      import s.implicits._
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      o.join(c, $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          dsum($"o_totalprice").as("total_price"),
+          countDistinct($"o_custkey").as("n_customers"))
+    },
+
+    // ---- q04: star join over small dims — the dims are broadcast
+    // (Gazette's "high-volume x low-volume" shard join pattern,
+    // consumer/protocol/protocol.proto:74-78). Explicit broadcast() hints.
+    "q04_region_revenue" -> { (s, d) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+      val su = Tables.supplier(s, d)
+      val na = Tables.nation(s, d)
+      val re = Tables.region(s, d)
+      li.join(broadcast(su), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(na), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(re), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name")
+        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+             count(lit(1)).as("n_items"))
+    },
+
+    // ---- q05/q06: semi/anti joins (EXISTS / NOT EXISTS surface).
+    "q05_customers_with_orders" -> { (s, d) =>
+      import s.implicits._
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).select($"o_custkey".as("c_custkey"))
+      c.join(o, Seq("c_custkey"), "left_semi")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_active"), round(sum($"c_acctbal".cast("decimal(38,6)")).cast("double"), 2).as("sum_bal"))
+    },
+    "q06_customers_without_orders" -> { (s, d) =>
+      import s.implicits._
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+        .filter($"o_totalprice" > 400000.0)
+        .select($"o_custkey".as("c_custkey"))
+      c.join(o, Seq("c_custkey"), "left_anti")
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+    },
+
+    // ---- q07: bounded per-key retention — bike-share's "last 20 rides"
+    // (SURVEY A6, examples/bike-share/sql_statements.go:54-59) as
+    // ROW_NUMBER() OVER (PARTITION BY key ORDER BY time DESC) <= N.
+    "q07_last_orders_per_customer" -> { (s, d) =>
+      import s.implicits._
+      val o = Tables.orders(s, d)
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+      o.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"o_custkey", $"o_orderkey",
+          date_format($"o_orderdate", "yyyy-MM-dd HH:mm:ss").as("o_orderdate"), $"rn")
+    },
+
+    // ---- q08: per-key running fold — stream-sum's running CRC update
+    // shape (SURVEY A5) as a cumulative window aggregate.
+    "q08_running_supplier_revenue" -> { (s, d) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+      val w = Window.partitionBy($"l_suppkey")
+        .orderBy($"l_shipdate".asc, $"l_orderkey".asc, $"l_linenumber".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      li.filter($"l_suppkey" <= 20)
+        .withColumn("running_qty",
+          round(sum($"l_quantity".cast("decimal(38,6)")).over(w).cast("double"), 2))
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+          date_format($"l_shipdate", "yyyy-MM-dd HH:mm:ss").as("l_shipdate"), $"running_qty")
+    },
+
+    // ---- q09: relational set ops (SURVEY §2.9 union/intersect/except).
+    "q09_part_setops" -> { (s, d) =>
+      import s.implicits._
+      val p = Tables.part(s, d)
+      val brandA = p.filter($"p_brand" === "Brand#1").select($"p_partkey")
+      val large  = p.filter($"p_size" >= 25).select($"p_partkey")
+      val cheap  = p.filter($"p_retailprice" < 950.0).select($"p_partkey")
+      brandA.union(large).distinct()
+        .intersect(p.filter($"p_size" >= 5).select($"p_partkey"))
+        .except(cheap)
+        .select($"p_partkey")
+    },
+
+    // ---- q10: exact dedup via distinct (read-committed dedup analog).
+    "q10_distinct_event_types" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_type", $"user_id" % 100 as "user_bucket")
+        .distinct()
+    },
+
+    // ---- q11: processing-time/tumbling window over the event stream
+    // (SURVEY §2.8): hourly buckets, per-type counts.
+    // `ts` is read as long nanos (see Verify session config); the hourly
+    // bucket is exact integer arithmetic — no timestamp codec ambiguity.
+    "q11_events_hourly" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .withColumn("hour_epoch", expr("(ts DIV 3600000000000) * 3600"))
+        .groupBy($"hour_epoch", $"event_type")
+        .agg(count(lit(1)).as("n"),
+             dsum($"value", 4).as("sum_value"))
+    },
+
+    // ---- q12: rollup (multi-level aggregation).
+    "q12_nation_rollup" -> { (s, d) =>
+      import s.implicits._
+      val c  = Tables.customer(s, d)
+      val na = Tables.nation(s, d)
+      val re = Tables.region(s, d)
+      c.join(broadcast(na), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(re), $"n_regionkey" === $"r_regionkey")
+        .rollup($"r_name", $"n_name")
+        .agg(count(lit(1)).as("n_customers"),
+             round(sum($"c_acctbal".cast("decimal(38,6)")).cast("double"), 2).as("sum_bal"))
+    },
+
+    // ---- q13: correlated-style aggregate filter: orders above their
+    // customer's average order value (join back on grouped subquery).
+    "q13_above_avg_orders" -> { (s, d) =>
+      import s.implicits._
+      val o = Tables.orders(s, d)
+      val avgs = o.groupBy($"o_custkey".as("k"))
+        .agg(avg($"o_totalprice").as("avg_price"))
+      o.join(avgs, $"o_custkey" === $"k")
+        .filter($"o_totalprice" > $"avg_price" * 1.5)
+        .select($"o_orderkey", $"o_custkey", round($"o_totalprice", 2).as("o_totalprice"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_base_price,
+        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_disc_price,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*), 4) AS avg_qty,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / count(*), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1995-09-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_top_revenue_orders" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey ASC
+        |LIMIT 10""".stripMargin,
+
+    "q03_segment_order_stats" ->
+      """SELECT c_mktsegment,
+        |  count(*) AS n_orders,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2) AS total_price,
+        |  count(DISTINCT o_custkey) AS n_customers
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q04_region_revenue" ->
+      """SELECT r_name,
+        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+
+    "q05_customers_with_orders" ->
+      """SELECT c_mktsegment, count(*) AS n_active,
+        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_bal
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q06_customers_without_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)""".stripMargin,
+
+    "q07_last_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3""".stripMargin,
+
+    "q08_running_supplier_revenue" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS l_shipdate,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6)))
+        |    OVER (PARTITION BY l_suppkey
+        |          ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_qty
+        |FROM lineitem
+        |WHERE l_suppkey <= 20""".stripMargin,
+
+    "q09_part_setops" ->
+      """SELECT p_partkey FROM (
+        |  SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'
+        |  UNION
+        |  SELECT p_partkey FROM part WHERE p_size >= 25)
+        |INTERSECT
+        |SELECT p_partkey FROM part WHERE p_size >= 5
+        |EXCEPT
+        |SELECT p_partkey FROM part WHERE p_retailprice < 950.0""".stripMargin,
+
+    "q10_distinct_event_types" ->
+      """SELECT DISTINCT event_type, user_id % 100 AS user_bucket FROM events""".stripMargin,
+
+    "q11_events_hourly" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST("value" AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q12_nation_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+
+    "q13_above_avg_orders" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders o
+        |JOIN (SELECT o_custkey AS k, avg(o_totalprice) AS avg_price
+        |      FROM orders GROUP BY o_custkey) a ON o.o_custkey = a.k
+        |WHERE o_totalprice > avg_price * 1.5""".stripMargin
+  )
+}
