@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the engine's scalar family
+  * (SURVEY.md §2.10). Each generates a call to a static forwarder on
+  * [[GazetteUuid]]/[[Hashes]], so they stay inside whole-stage codegen
+  * rather than falling back to interpreted eval.
+  */
+case class UuidClock(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    GazetteUuid.clockOf(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GazetteUuid.clockOf($c)")
+  override protected def withNewChildInternal(c: Expression): UuidClock = copy(c)
+}
+
+case class UuidFlags(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(v: Any): Any =
+    GazetteUuid.flagsOf(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GazetteUuid.flagsOf($c)")
+  override protected def withNewChildInternal(c: Expression): UuidFlags = copy(c)
+}
+
+case class UuidProducer(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(v: Any): Any =
+    GazetteUuid.producerOf(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GazetteUuid.producerOf($c)")
+  override protected def withNewChildInternal(c: Expression): UuidProducer = copy(c)
+}
+
+case class UuidBuild(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(p: Any, c: Any, f: Any): Any =
+    GazetteUuid.build(p.asInstanceOf[Array[Byte]],
+      c.asInstanceOf[Long], f.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (p, c, f) => s"graft.functions.GazetteUuid.build($p, $c, $f)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): UuidBuild = copy(f, s, t)
+}
+
+case class ClockToMicros(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    GazetteUuid.clockToMicros(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GazetteUuid.clockToMicros($c)")
+  override protected def withNewChildInternal(c: Expression): ClockToMicros = copy(c)
+}
+
+case class MicrosToClock(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    GazetteUuid.microsToClock(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GazetteUuid.microsToClock($c)")
+  override protected def withNewChildInternal(c: Expression): MicrosToClock = copy(c)
+}
+
+case class Fnv1a32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    Hashes.fnv1a32(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashes.fnv1a32($c)")
+  override protected def withNewChildInternal(c: Expression): Fnv1a32 = copy(c)
+}
+
+case class Crc64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    Hashes.crc64(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashes.crc64($c)")
+  override protected def withNewChildInternal(c: Expression): Crc64 = copy(c)
+}
+
+case class Crc64Update(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(prev: Any, data: Any): Any =
+    Hashes.crc64Update(prev.asInstanceOf[Long], data.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (p, d) => s"graft.functions.Hashes.crc64Update($p, $d)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Crc64Update = copy(l, r)
+}
