@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, language-ID heuristics, quality scoring, and document
+  * fingerprinting. All are pure column expressions (whole-stage codegen,
+  * no UDFs) so they scan-parallelize trivially at 100 TB — each is a
+  * narrow map over the text column with no shuffle.
+  *
+  * Every formula is deliberately expressible in ANSI SQL so the DuckDB
+  * oracle can mirror it term-for-term (see queries.PipelineOps).
+  */
+object TextAnalysis {
+
+  /** Whitespace-delimited token count. */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\S+"), lit(0)))
+
+  /** Lowercase letter-run tokens — the reference word-count example's
+    * tokenizer shape (examples/word-count/word_count.go:166-191).
+    */
+  def wordTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
+
+  /** Distinct word n-gram shingles (space-joined). Empty when the
+    * document has fewer than n tokens.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = wordTokens(text)
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** All word n-grams in order (non-distinct) — the word-count example's
+    * n-gram stream (word_count.go:158-217).
+    */
+  def ngramsAll(text: Column, n: Int): Column = {
+    val toks = wordTokens(text)
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Stopword hits: occurrences of any of `words` as standalone tokens. */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(regexp_extract_all(lower(text),
+      lit("\\b(" + words.mkString("|") + ")\\b"), lit(0)))
+
+  /** Heuristic quality score in [0,1]:
+    * 0.5·min(1, tokens/50) + 0.3·(1 − punct/chars) + 0.2·min(1, 5·stopRatio).
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val nChar = length(text).cast("double")
+    val punct = size(regexp_extract_all(text, lit("[.,!?;:]"), lit(0))).cast("double")
+    val stops = stopwordHits(text, Seq("the", "a", "and", "of", "to", "is")).cast("double")
+    val lenScore = least(lit(1.0), nTok / 50.0)
+    val punctScore = lit(1.0) - punct / greatest(nChar, lit(1.0))
+    val stopScore = least(lit(1.0), stops / greatest(nTok, lit(1.0)) * 5.0)
+    round(lenScore * 0.5 + punctScore * 0.3 + stopScore * 0.2, 4)
+  }
+
+  /** Language-ID via per-language stopword-count argmax (ties resolved
+    * in en > de > es > fr > zh priority order). An n-gram heuristic in
+    * the fasttext spirit, trivially distributed.
+    */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "to"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "es" -> Seq("el", "la", "los", "es", "y"),
+    "fr" -> Seq("le", "les", "est", "et", "une"),
+    "zh" -> Seq("de", "shi", "le", "wo", "zai"))
+
+  def langId(text: Column): Column = {
+    val hits = langStopwords.map { case (l, ws) => l -> stopwordHits(text, ws) }
+    // Argmax with fixed priority order on ties, as a nested CASE that the
+    // oracle SQL mirrors term-for-term.
+    val Seq(en, de, es, fr, zh) = hits.map(_._2)
+    when(en >= de && en >= es && en >= fr && en >= zh, "en")
+      .when(de >= es && de >= fr && de >= zh, "de")
+      .when(es >= fr && es >= zh, "es")
+      .when(fr >= zh, "fr")
+      .otherwise("zh")
+  }
+
+  /** Document fingerprint: md5 over whitespace-normalized, lowercased,
+    * trimmed text. Identical content → identical fingerprint regardless
+    * of spacing, which makes it the exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+}

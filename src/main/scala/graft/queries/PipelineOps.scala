@@ -1,0 +1,229 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators over the documents/embeddings/events
+  * tables: text analysis, dedup (exact / exhaustive Jaccard / MinHash-LSH
+  * / SimHash), and similarity search (brute-force + LSH ANN).
+  *
+  * Oracle notes: all text formulas are mirrored term-for-term in DuckDB
+  * SQL; floating point accumulates in identical index order on both
+  * sides. SimHash (q26) and LSH-ANN (q28) rest on Spark's xxhash64 /
+  * literal hyperplanes and carry no SQL oracle (rows-only check).
+  */
+object PipelineOps {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- q18: token counting.
+    "q18_token_stats" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select(
+        $"doc_id",
+        TextAnalysis.tokenCount($"text").as("n_tokens"),
+        size(TextAnalysis.wordTokens($"text")).as("n_words"),
+        length($"text").as("n_chars_actual"))
+    },
+
+    // ---- q19: quality scoring.
+    "q19_quality_score" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select(
+        $"doc_id", TextAnalysis.qualityScore($"text").as("quality"))
+    },
+
+    // ---- q20: language-ID heuristic vs the labeled lang column.
+    "q20_lang_id" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"lang", TextAnalysis.langId($"text").as("pred"))
+        .groupBy($"lang", $"pred").agg(count(lit(1)).as("n"))
+    },
+
+    // ---- q21: document fingerprinting (exact-dedup key).
+    "q21_fingerprint" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select(
+        $"doc_id", TextAnalysis.fingerprint($"text").as("fp"))
+    },
+
+    // ---- q22: exact dedup of the event stream on (user_id, event_type),
+    // keeping the earliest occurrence.
+    "q22_dedup_events" -> { (s, d) =>
+      import s.implicits._
+      Dedup.exactDedup(Tables.events(s, d),
+          Seq($"user_id", $"event_type"), Seq($"ts", $"event_id"))
+        .select($"user_id", $"event_type", $"event_id")
+    },
+
+    // ---- q23: word-count (A3): top-20 bigrams by occurrence.
+    "q23_bigram_counts" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(explode(TextAnalysis.ngramsAll($"text", 2)).as("bigram"))
+        .groupBy($"bigram").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"bigram".asc)
+        .limit(20)
+    },
+
+    // ---- q24: exhaustive n-gram Jaccard near-dup pairs (baseline).
+    "q24_jaccard_pairs" -> { (s, d) =>
+      import s.implicits._
+      val docs = Dedup.docShingles(Tables.documents(s, d), $"doc_id", $"text", 3)
+      Dedup.jaccardPairsExact(docs, 0.85)
+        .select($"da", $"db", round($"jaccard", 4).as("jaccard"))
+    },
+
+    // ---- q25: MinHash+LSH near-dup pairs with exact verification —
+    // the 100 TB-scale dedup path; same oracle as q24.
+    "q25_minhash_lsh_pairs" -> { (s, d) =>
+      import s.implicits._
+      val docs = Dedup.docShingles(Tables.documents(s, d), $"doc_id", $"text", 3)
+      Dedup.minhashLshPairs(docs, 0.85)
+        .select($"da", $"db", round($"jaccard", 4).as("jaccard"))
+    },
+
+    // ---- q26: SimHash near-dup pairs by Hamming distance (rows-only).
+    "q26_simhash_pairs" -> { (s, d) =>
+      import s.implicits._
+      val sh = Tables.documents(s, d).select($"doc_id",
+        Dedup.simhash64(TextAnalysis.wordTokens($"text")).as("sim"))
+      sh.as("a").join(sh.as("b"), $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("da"), $"b.doc_id".as("db"),
+          bit_count($"a.sim".bitwiseXOR($"b.sim")).as("hamming"))
+        .filter($"hamming" <= 6)
+    },
+
+    // ---- q27: brute-force cosine top-k (correctness baseline for ANN).
+    "q27_cosine_topk" -> { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteTopK(emb, emb.filter($"vec_id" < 10), k = 5)
+        .select($"probe_id", $"vec_id", $"sim", $"rank")
+    },
+
+    // ---- q28: LSH-bucketed ANN (scale path; rows-only check).
+    "q28_ann_lsh" -> { (s, d) =>
+      import s.implicits._
+      // 6 planes = 64 buckets: sized for the testdata corpus; at 100 TB
+      // the plane count scales with log2(corpus/bucket-target).
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb, emb.filter($"vec_id" < 10), k = 5, numPlanes = 6)
+        .select($"probe_id", $"vec_id", $"sim", $"rank")
+    },
+
+    // ---- q29: embedding norms aggregated per label.
+    "q29_embedding_norms" -> { (s, d) =>
+      import s.implicits._
+      Tables.embeddings(s, d)
+        .select($"label",
+          round(Similarity.norm($"embedding"), 6).cast("decimal(18,6)").as("nrm"))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"nrm").cast("double"), 4).as("sum_norm"))
+    }
+  )
+
+  private val docShinglesCte =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |  FROM toks WHERE len(w) >= 3),
+      |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+      |cnt AS (SELECT doc_id, len(s) AS c FROM sh),
+      |pairs AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+      |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT da, db,
+      |  round(CAST(shared AS DOUBLE) / (ca.c + cb.c - shared), 4) AS jaccard
+      |FROM pairs
+      |JOIN cnt ca ON da = ca.doc_id
+      |JOIN cnt cb ON db = cb.doc_id
+      |WHERE CAST(shared AS DOUBLE) / (ca.c + cb.c - shared) >= 0.85""".stripMargin
+
+  private val langHits = Seq(
+    "en" -> "(the|and|of|is|to)", "de" -> "(der|die|und|ist|das)",
+    "es" -> "(el|la|los|es|y)", "fr" -> "(le|les|est|et|une)",
+    "zh" -> "(de|shi|le|wo|zai)").map { case (l, re) =>
+    s"len(regexp_extract_all(lower(text), '\\b$re\\b')) AS h_$l"
+  }.mkString(", ")
+
+  def oracleSql: Map[String, String] = Map(
+    "q18_token_stats" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '\S+')) AS n_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
+        |  length(text) AS n_chars_actual
+        |FROM documents""".stripMargin,
+
+    "q19_quality_score" ->
+      """SELECT doc_id, round(
+        |  least(1.0, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 50.0) * 0.5
+        |  + (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+        |      / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.3
+        |  + least(1.0, CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|is)\b')) AS DOUBLE)
+        |      / greatest(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0) * 5.0) * 0.2,
+        |  4) AS quality
+        |FROM documents""".stripMargin,
+
+    "q20_lang_id" ->
+      s"""WITH h AS (SELECT lang, $langHits FROM documents)
+         |SELECT lang,
+         |  CASE
+         |    WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+         |    WHEN h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
+         |    WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
+         |    WHEN h_fr >= h_zh THEN 'fr'
+         |    ELSE 'zh' END AS pred,
+         |  count(*) AS n
+         |FROM h GROUP BY 1, 2""".stripMargin,
+
+    "q21_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+
+    "q22_dedup_events" ->
+      """SELECT user_id, event_type, event_id FROM (
+        |  SELECT user_id, event_type, event_id,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events) t WHERE rn = 1""".stripMargin,
+
+    "q23_bigram_counts" ->
+      """WITH toks AS (
+        |  SELECT regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents),
+        |bi AS (
+        |  SELECT unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS bigram
+        |  FROM toks WHERE len(w) >= 2)
+        |SELECT bigram, count(*) AS n FROM bi
+        |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+
+    "q24_jaccard_pairs" -> docShinglesCte,
+    "q25_minhash_lsh_pairs" -> docShinglesCte,
+
+    "q27_cosine_topk" ->
+      """SELECT probe_id, vec_id, sim, rank FROM (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+        |    round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+        |                                 CAST(c.embedding AS DOUBLE[])), 6) AS sim,
+        |    row_number() OVER (PARTITION BY p.vec_id
+        |      ORDER BY round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+        |                                            CAST(c.embedding AS DOUBLE[])), 6) DESC,
+        |               c.vec_id ASC) AS rank
+        |  FROM embeddings p JOIN embeddings c ON p.vec_id < 10 AND c.vec_id <> p.vec_id) t
+        |WHERE rank <= 5""".stripMargin,
+
+    "q29_embedding_norms" ->
+      """SELECT label, count(*) AS n,
+        |  round(CAST(sum(CAST(round(sqrt(list_aggregate(
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')), 6)
+        |    AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_norm
+        |FROM embeddings GROUP BY label""".stripMargin
+  )
+}

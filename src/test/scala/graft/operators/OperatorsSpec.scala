@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+  import org.apache.spark.sql.DataFrame
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("shingles and ngrams") {
+    import spark.implicits._
+    val d = docs((1L, "The quick brown Fox the quick brown"))
+    val sh = d.select(TextAnalysis.shingles($"text", 3).as("s"))
+      .collect().head.getSeq[String](0)
+    assert(sh.contains("the quick brown"))
+    assert(sh.distinct.length == sh.length)
+    val ng = d.select(TextAnalysis.ngramsAll($"text", 3).as("s"))
+      .collect().head.getSeq[String](0)
+    assert(ng.count(_ == "the quick brown") == 2) // non-distinct
+    // short doc yields empty
+    val empty = docs((2L, "one two")).select(TextAnalysis.shingles($"text", 3).as("s"))
+      .collect().head.getSeq[String](0)
+    assert(empty.isEmpty)
+  }
+
+  test("exactDedup keeps first row per key") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 30L), (1L, "a", 10L), (1L, "a", 20L), (2L, "a", 5L))
+      .toDF("k", "t", "ts")
+    val out = Dedup.exactDedup(df, Seq($"k", $"t"), Seq($"ts"))
+      .orderBy($"k").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(2))).toSeq == Seq((1L, 10L), (2L, 5L)))
+  }
+
+  test("minhash LSH finds planted near-dup and agrees with exact jaccard") {
+    import spark.implicits._
+    // alphabetic tokens ([a-z]+ tokenizer: digits would split tokens)
+    def tok(p: String, i: Int) = s"$p${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+    val base = (1 to 60).map(tok("t", _)).mkString(" ")
+    val nearDup = (1 to 58).map(tok("t", _)).mkString(" ") + " altx alty"
+    val unrelated = (1 to 60).map(tok("u", _)).mkString(" ")
+    val d = Dedup.docShingles(
+      docs((1L, base), (2L, nearDup), (3L, unrelated)), $"doc_id", $"text", 3)
+
+    val exact = Dedup.jaccardPairsExact(d, 0.5)
+      .select($"da", $"db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(d, 0.5)
+      .select($"da", $"db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((1L, 2L)))
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical docs collide, unrelated docs differ") {
+    import spark.implicits._
+    val d = docs((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "zeta eta theta iota kappa"))
+      .select($"doc_id", Dedup.simhash64(TextAnalysis.wordTokens($"text")).as("sim"))
+    val m = d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))
+    assert(java.lang.Long.bitCount(m(1L) ^ m(3L)) > 6)
+  }
+
+  test("bruteTopK ranks by cosine with deterministic tiebreak") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(1.0f, 0.05f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteTopK(vecs, vecs.filter($"vec_id" === 0), 2)
+      .orderBy($"rank").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(3L, 1L)) // closest first
+  }
+
+  test("lang/quality/fingerprint columns are deterministic and bounded") {
+    import spark.implicits._
+    val d = docs((1L, "the cat and the dog of the house is to be seen"))
+      .select(
+        TextAnalysis.langId($"text").as("lang"),
+        TextAnalysis.qualityScore($"text").as("q"),
+        TextAnalysis.fingerprint($"text").as("fp"))
+      .collect().head
+    assert(d.getString(0) == "en")
+    assert(d.getDouble(1) >= 0.0 && d.getDouble(1) <= 1.0)
+    assert(d.getString(2).length == 32)
+    // fingerprint is whitespace/case-insensitive
+    val fp2 = docs((2L, "  THE cat AND the dog OF the house IS to be seen "))
+      .select(TextAnalysis.fingerprint($"text")).collect().head.getString(0)
+    assert(d.getString(2) == fp2)
+  }
+}
