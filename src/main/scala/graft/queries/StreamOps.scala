@@ -1,0 +1,75 @@
+package graft.queries
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.sources.Journal
+import graft.streaming.Sequencer
+
+/** Queries exercising the streaming substrate in batch form: the
+  * read-committed Sequencer (E4) and the journal fragment write/read
+  * path (S1-S7).
+  */
+object StreamOps {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- q30: sequencer dedup over an OUTSIDE_TXN stream. Events become
+    // envelopes: producer = user bucket, clock = event-time at minute
+    // granularity (coarse on purpose — collisions are the duplicates to
+    // dedup), offsets = per-producer arrival order. Committed = clock
+    // strictly advances per producer.
+    "q30_sequencer_dedup" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"producer").orderBy($"ts", $"event_id")
+      val env = Tables.events(s, d)
+        .withColumn("producer", ($"user_id" % 50).cast("string"))
+        .withColumn("begin", row_number().over(w).cast("long"))
+        .select(
+          lit("events").as("journal"), $"begin", ($"begin" + 1).as("end"),
+          $"producer", expr("ts DIV 60000000000").as("clock"),
+          lit(Sequencer.OutsideTxn).as("flags"),
+          $"event_id".cast("string").as("payload"))
+        .as[Sequencer.SeqEnvelope]
+      Sequencer.sequenceBatch(env)
+        .select($"payload".cast("long").as("event_id"))
+    },
+
+    // ---- q31: journal write→read round-trip: events framed as ndjson
+    // fragments (content-addressed, gzip), read back as envelopes with
+    // byte offsets, payloads decoded and re-aggregated.
+    "q31_journal_roundtrip" -> { (s, d) =>
+      import s.implicits._
+      val root = s"/tmp/graft-journals/rt-${d.replace('/', '_')}"
+      deleteRecursively(Paths.get(root))
+      val payloads = Tables.events(s, d)
+        .select(to_json(struct(col("*"))).as("payload"))
+      Journal.append(payloads, root, "events", codec = "gz")
+      Journal.read(s, root, "events").toDF()
+        .select(get_json_object($"payload", "$.event_type").as("event_type"))
+        .groupBy($"event_type").agg(count(lit(1)).as("n"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q30_sequencer_dedup" ->
+      """SELECT event_id FROM (
+        |  SELECT event_id, epoch_ns(ts) // 60000000000 AS clock,
+        |    max(epoch_ns(ts) // 60000000000) OVER (
+        |      PARTITION BY user_id % 50 ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+        |  FROM events) t
+        |WHERE mx IS NULL OR clock > mx""".stripMargin,
+
+    "q31_journal_roundtrip" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+  )
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+    }
+}

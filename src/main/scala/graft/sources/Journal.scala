@@ -1,0 +1,201 @@
+package graft.sources
+
+import java.io.{BufferedOutputStream, ByteArrayOutputStream, FileOutputStream}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.security.MessageDigest
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** Journal = append-only byte log that is simultaneously a stream and a
+  * set of immutable content-addressed files (the reference's core thesis,
+  * docs/brokers-concepts.rst:4-22, 104-160).
+  *
+  * Spark-first re-expression:
+  *  - a fragment is a file `%016x-%016x-%s.codec` (begin/end uncompressed
+  *    byte offsets + SHA1, broker/protocol naming per
+  *    fragment.ContentName, broker/fragment/spool.go:26-50),
+  *  - writes spool per Spark partition (S6), the driver assigns
+  *    contiguous offsets and commits by rename (S5/S7's
+  *    spool→persist); content addressing makes retried writes idempotent,
+  *  - reads list the fragment index, resolve overlaps via the cover set
+  *    (S2-S3, broker/fragment/cover_set.go:36-142), and stream
+  *    envelope rows with exact byte offsets — executors open fragments
+  *    directly (the read-delegation path, S1).
+  *
+  * Framing is newline-delimited (ndjson / CSV lines — §1.2); payloads are
+  * opaque strings here, decoded by `from_json`/`from_csv` downstream.
+  *
+  * Scale note: listing is driver-side (as Spark's FileStreamSource);
+  * reads parallelize per fragment. Fragment target length (spool roll
+  * policy) bounds fragment size so task granularity stays even.
+  */
+object Journal {
+
+  final case class Fragment(
+      journal: String, begin: Long, end: Long, sha1: String, codec: String,
+      path: String) {
+    def name: String = f"$begin%016x-$end%016x-$sha1.$codec"
+  }
+
+  /** One framed record with its byte span. */
+  final case class Envelope(journal: String, begin: Long, end: Long, payload: String)
+
+  // ---- fragment index ------------------------------------------------
+
+  private val FragmentRe = """([0-9a-f]{16})-([0-9a-f]{16})-([0-9a-f]{40})\.(\w+)""".r
+
+  def listFragments(root: String, journal: String): Vector[Fragment] = {
+    val dir = Paths.get(root, journal)
+    if (!Files.isDirectory(dir)) Vector.empty
+    else Files.list(dir).iterator().asScala.flatMap { p =>
+      p.getFileName.toString match {
+        case FragmentRe(b, e, sha, codec) =>
+          Some(Fragment(journal, java.lang.Long.parseUnsignedLong(b, 16),
+            java.lang.Long.parseUnsignedLong(e, 16), sha, codec, p.toString))
+        case _ => None
+      }
+    }.toVector.sortBy(f => (f.begin, -f.end))
+  }
+
+  /** Cover-set resolution (S3): orderly walk selecting, at each offset,
+    * the fragment extending furthest; fully-covered fragments drop out.
+    * Returns fragments with the exact uncompressed byte range to surface
+    * from each ([readFrom, end)).
+    */
+  def coverSet(frags: Vector[Fragment]): Vector[(Fragment, Long)] = {
+    val sorted = frags.sortBy(f => (f.begin, -f.end))
+    var maxEnd = Long.MinValue
+    val out = Vector.newBuilder[(Fragment, Long)]
+    sorted.foreach { f =>
+      if (f.end > maxEnd) {
+        out += ((f, math.max(f.begin, if (maxEnd == Long.MinValue) f.begin else maxEnd)))
+        maxEnd = f.end
+      }
+    }
+    out.result()
+  }
+
+  /** Journal head: next append offset. */
+  def head(root: String, journal: String): Long =
+    listFragments(root, journal).map(_.end).foldLeft(0L)(math.max)
+
+  // ---- write path (S5-S7) --------------------------------------------
+
+  /** Append a DataFrame's `payload` string column as framed fragments.
+    * One spool per Spark partition; offsets assigned contiguously from
+    * the current head; commit = atomic rename into the fragment index.
+    * Returns committed fragments (empty partitions produce none).
+    */
+  def append(df: DataFrame, root: String, journal: String,
+      codec: String = "gz", payloadCol: String = "payload"): Seq[Fragment] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dir = Paths.get(root, journal)
+    Files.createDirectories(dir)
+
+    // Executor side: spool each partition to a temp file; report
+    // (partitionId, uncompressedLength, sha1, tmpName).
+    val spooled = df.select(col(payloadCol)).as[String].rdd
+      .mapPartitionsWithIndex { (idx, it) =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val tmp = Files.createTempFile(Paths.get(root),
+            s".spool-${journal.replace('/', '_')}-$idx-", ".tmp")
+          val digest = MessageDigest.getInstance("SHA-1")
+          var len = 0L
+          val fos = new FileOutputStream(tmp.toFile)
+          val out = new BufferedOutputStream(
+            if (codec == "gz") new GZIPOutputStream(fos) else fos, 1 << 16)
+          it.foreach { line =>
+            val bytes = (line + "\n").getBytes("UTF-8")
+            digest.update(bytes)
+            out.write(bytes)
+            len += bytes.length
+          }
+          out.close()
+          val sha = digest.digest().map("%02x".format(_)).mkString
+          Iterator((idx, len, sha, tmp.toString))
+        }
+      }.collect().sortBy(_._1)
+
+    // Driver side: prefix-sum offsets from the journal head, then commit
+    // via rename (content-addressed names make retries idempotent).
+    var begin = head(root, journal)
+    spooled.map { case (_, len, sha, tmpPath) =>
+      val frag = Fragment(journal, begin, begin + len, sha, codec,
+        dir.resolve(f"$begin%016x-${begin + len}%016x-$sha.$codec").toString)
+      Files.move(Paths.get(tmpPath), Paths.get(frag.path),
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      begin = frag.end
+      frag
+    }.toSeq
+  }
+
+  /** Idempotent micro-batch sink for `writeStream.foreachBatch`: a
+    * batch manifest prevents duplicate appends on retry (the engine's
+    * analog of ACK-intent fencing, SURVEY §1.1 Register row).
+    */
+  def batchSink(root: String, journal: String, codec: String = "gz")(
+      df: DataFrame, batchId: Long): Unit = {
+    val manifest = Paths.get(root, journal, s".batch-$batchId.committed")
+    if (!Files.exists(manifest)) {
+      val frags = append(df, root, journal, codec)
+      Files.createDirectories(manifest.getParent)
+      Files.writeString(manifest, frags.map(_.name).mkString("\n"))
+    }
+  }
+
+  // ---- read path (S1-S4) ---------------------------------------------
+
+  /** Batch read: envelopes with exact uncompressed byte offsets.
+    * Executors open fragment files directly; overlapping fragments are
+    * resolved via the cover set and byte-skipped to the right offset.
+    */
+  def read(spark: SparkSession, root: String, journal: String): Dataset[Envelope] = {
+    import spark.implicits._
+    val plan = coverSet(listFragments(root, journal))
+    spark.createDataset(plan).flatMap { case (frag, readFrom) =>
+      val raw = Files.newInputStream(Paths.get(frag.path))
+      val in = if (frag.codec == "gz") new GZIPInputStream(raw) else raw
+      var skipped = 0L
+      val toSkip = readFrom - frag.begin
+      while (skipped < toSkip) {
+        val n = in.skip(toSkip - skipped)
+        if (n <= 0) throw new java.io.IOException(s"cannot skip to $readFrom in ${frag.path}")
+        skipped += n
+      }
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, "UTF-8"), 1 << 16)
+      var offset = readFrom
+      Iterator.continually(reader.readLine()).takeWhile(_ != null).map { line =>
+        val begin = offset
+        offset += line.getBytes("UTF-8").length + 1
+        Envelope(frag.journal, begin, offset, line)
+      }
+    }
+  }
+
+  /** Read all journals under `root` matching a label-selector-resolved
+    * journal list (P3): union of per-journal reads.
+    */
+  def readAll(spark: SparkSession, root: String, journals: Seq[String]): Dataset[Envelope] =
+    journals.map(read(spark, root, _)).reduce(_.unionAll(_))
+
+  /** Streaming read: Spark's file source over the fragment index — new
+    * fragments are discovered per micro-batch (the blocking-tail read as
+    * repeated polls, S1). Payload-only envelopes (offset -1): exact
+    * offsets in streaming mode arrive with a DSv2 MicroBatchStream in a
+    * later round.
+    */
+  def readStream(spark: SparkSession, root: String, journal: String): DataFrame = {
+    spark.readStream
+      .option("pathGlobFilter", "*-*-*.*")
+      .text(Paths.get(root, journal).toString)
+      .select(
+        lit(journal).as("journal"),
+        lit(-1L).as("begin"), lit(-1L).as("end"),
+        col("value").as("payload"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.F
+
+/** Publisher-side helpers: UUID stamping (E2) and partition mappings
+  * (M1-M3, `/root/reference/message/routines.go:62-154`).
+  *
+  * Mappings return a journal-name column; the physical shuffle happens
+  * when the caller repartitions / writes by that column — Spark's hash
+  * shuffle subsumes the reference's "data shuffles" substrate.
+  */
+object Publisher {
+
+  /** Stamp a v1 UUID column from producer/clock/flags columns (E2's
+    * PublishCommitted stamping; clock monotonicity per producer is the
+    * caller's ordering contract, e.g. an event-time column).
+    */
+  def stampUuids(df: DataFrame, producer: Column, clock: Column, flags: Column,
+      uuidCol: String = "uuid"): DataFrame =
+    df.withColumn(uuidCol, F.build_uuid(producer, clock, flags))
+
+  /** M1 RandomMapping: uniform pseudo-random journal choice (seeded for
+    * reproducibility; the reference uses a true PRNG).
+    */
+  def randomMapping(journals: Seq[String], seed: Long = 42L): Column =
+    element_at(typedlit(journals), (floor(rand(seed) * journals.size) + 1).cast("int"))
+
+  /** M2 ModuloMapping: FNV-1a32(key) mod N — byte-compatible with the
+    * reference's stable assignment.
+    */
+  def moduloMapping(key: Column, journals: Seq[String]): Column =
+    element_at(typedlit(journals), (F.fnv1a32(key) % journals.size + 1).cast("int"))
+
+  /** M3 RendezvousMapping: highest-random-weight choice
+    * w_i = fnv1a32(key) XOR fnv1a32(journal_i); minimal remapping as the
+    * journal set changes.
+    */
+  def rendezvousMapping(key: Column, journals: Seq[String]): Column = {
+    val jHashes = journals.map(j =>
+      graft.functions.Hashes.fnv1a32(j.getBytes("UTF-8")))
+    val keyHash = F.fnv1a32(key)
+    // argmax over XOR weights, in journal order on ties (reference keeps
+    // the first maximum: strict > comparison).
+    val (_, expr0) = journals.zip(jHashes).zipWithIndex.foldLeft(
+      (lit(-1L), lit(""))) { case ((bestW, bestJ), ((j, h), _)) =>
+      val w = keyHash.bitwiseXOR(lit(h))
+      (when(w > bestW, w).otherwise(bestW),
+       when(w > bestW, lit(j)).otherwise(bestJ))
+    }
+    expr0
+  }
+}

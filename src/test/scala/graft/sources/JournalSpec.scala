@@ -1,0 +1,102 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+class JournalSpec extends SparkSpec {
+
+  private def tmpRoot(): String =
+    Files.createTempDirectory("graft-journal").toString
+
+  test("append/read round-trip with contiguous offsets (gz)") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val lines = (1 to 1000).map(i => s"""{"i":$i,"v":"value-$i"}""")
+    val df = lines.toDF("payload").repartition(4)
+
+    val frags = Journal.append(df, root, "topic/a", codec = "gz")
+    assert(frags.nonEmpty)
+    assert(frags.head.begin == 0L)
+    // contiguous fragments
+    frags.sliding(2).foreach {
+      case Seq(x, y) => assert(x.end == y.begin)
+      case _ =>
+    }
+
+    val envs = Journal.read(spark, root, "topic/a").collect().sortBy(_.begin)
+    assert(envs.length == 1000)
+    assert(envs.map(_.payload).sorted.toSeq == lines.sorted)
+    // exact byte spans: each record's span length = payload bytes + newline
+    envs.foreach(e => assert(e.end - e.begin == e.payload.getBytes("UTF-8").length + 1))
+    // spans tile the journal
+    assert(envs.last.end == frags.map(_.end).max)
+
+    // second append continues from the head
+    val frags2 = Journal.append(Seq("""{"i":1001}""").toDF("payload"), root, "topic/a")
+    assert(frags2.head.begin == frags.map(_.end).max)
+    assert(Journal.read(spark, root, "topic/a").count() == 1001)
+  }
+
+  test("uncompressed codec round-trips too") {
+    import spark.implicits._
+    val root = tmpRoot()
+    Journal.append(Seq("a", "b", "c").toDF("payload"), root, "j", codec = "none")
+    assert(Journal.read(spark, root, "j").collect().map(_.payload).sorted.toSeq ==
+      Seq("a", "b", "c"))
+  }
+
+  test("cover set resolves overlapping fragments") {
+    def f(b: Long, e: Long) = Journal.Fragment("j", b, e, "0" * 40, "none", "")
+    // duplicate + contained + partially-overlapping fragments
+    val plan = Journal.coverSet(Vector(f(0, 100), f(0, 100), f(20, 80), f(50, 150), f(150, 200)))
+    assert(plan.map { case (fr, from) => (fr.begin, from, fr.end) } ==
+      Vector((0L, 0L, 100L), (50L, 100L, 150L), (150L, 150L, 200L)))
+  }
+
+  test("read skips to mid-fragment offset for overlaps") {
+    import spark.implicits._
+    val root = tmpRoot()
+    // Write one fragment, then manually craft an overlapping one that
+    // duplicates the tail records plus adds new ones.
+    Journal.append(Seq("aaa", "bbb").toDF("payload"), root, "jv", codec = "none")
+    val head = Journal.head(root, "jv") // 8 bytes: "aaa\nbbb\n"
+    // Overlapping fragment spanning [4, 16): "bbb\nccc\nddd\n"
+    val content = "bbb\nccc\nddd\n".getBytes("UTF-8")
+    val sha = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(content).map("%02x".format(_)).mkString
+    val p = java.nio.file.Paths.get(root, "jv", f"${4L}%016x-${16L}%016x-$sha.none")
+    Files.write(p, content)
+
+    val envs = Journal.read(spark, root, "jv").collect().sortBy(_.begin)
+    assert(envs.map(_.payload).toSeq == Seq("aaa", "bbb", "ccc", "ddd"))
+    assert(envs.map(_.begin).toSeq == Seq(0L, 4L, 8L, 12L))
+  }
+
+  test("batchSink is idempotent per batchId") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val df = Seq("x", "y").toDF("payload")
+    Journal.batchSink(root, "sink/j", "gz")(df, 7L)
+    Journal.batchSink(root, "sink/j", "gz")(df, 7L) // retry of same batch
+    assert(Journal.read(spark, root, "sink/j").count() == 2)
+    Journal.batchSink(root, "sink/j", "gz")(df, 8L) // next batch appends
+    assert(Journal.read(spark, root, "sink/j").count() == 4)
+  }
+
+  test("streaming read discovers fragments as files") {
+    import spark.implicits._
+    val root = tmpRoot()
+    Journal.append((1 to 10).map(i => s"m$i").toDF("payload"), root, "sj", "gz")
+    val q = Journal.readStream(spark, root, "sj")
+      .writeStream.format("memory").queryName("journal_stream")
+      .option("checkpointLocation", tmpRoot()).start()
+    q.processAllAvailable()
+    val n0 = spark.table("journal_stream").count()
+    Journal.append((11 to 15).map(i => s"m$i").toDF("payload"), root, "sj", "gz")
+    q.processAllAvailable()
+    val n1 = spark.table("journal_stream").count()
+    q.stop()
+    assert(n0 == 10 && n1 == 15)
+  }
+}
