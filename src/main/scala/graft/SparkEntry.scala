@@ -23,7 +23,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
     graft.queries.GazetteOps.queries ++
     graft.queries.PipelineOps.queries ++
-    graft.queries.StreamOps.queries
+    graft.queries.StreamOps.queries ++
+    graft.queries.MultimodalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -32,5 +33,6 @@ object SparkEntry {
     graft.queries.Relational.oracleSql ++
     graft.queries.GazetteOps.oracleSql ++
     graft.queries.PipelineOps.oracleSql ++
-    graft.queries.StreamOps.oracleSql
+    graft.queries.StreamOps.oracleSql ++
+    graft.queries.MultimodalOps.oracleSql
 }

@@ -1,0 +1,116 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.labels.{Label, LabelSet, LabelSelector}
+
+/** Control-plane surface (SURVEY §2.12): journal specs with labels,
+  * revisioned upsert/delete (the Apply RPC's check-and-set,
+  * `/root/reference/broker/list_apply_api.go:122-284`), and
+  * selector-filtered listing with `name`/`prefix` meta-labels
+  * (`/root/reference/broker/protocol/protocol.proto:662-701`).
+  *
+  * The Etcd-backed KeySpace of the reference is a driver-side concern
+  * here: catalog state lives in the Spark driver (or an external
+  * catalog in a production deployment); executors only ever see resolved
+  * journal lists.
+  */
+final case class JournalSpec(
+    name: String,
+    labels: LabelSet = LabelSet.empty,
+    replication: Int = 1,
+    fragmentTargetLength: Long = 1L << 29,
+    codec: String = "gz",
+    readOnly: Boolean = false,
+    writeOnly: Boolean = false) {
+
+  /** Token rules from the reference validators
+    * (journal_spec_extensions.go:55-70; label_extensions.go:13-25).
+    */
+  def validate: Either[String, JournalSpec] = {
+    val nameRe = "^[\\p{L}\\p{N}\\-_+/.=%]{4,512}$".r
+    if (nameRe.findFirstIn(name).isEmpty)
+      Left(s"invalid journal name: $name")
+    else if (name.startsWith("/") || name.endsWith("/"))
+      Left(s"journal name may not begin or end with '/': $name")
+    else {
+      val badLabel = labels.labels.find(l =>
+        l.name.length < 2 || l.name.length > 64 || l.value.length > 1024)
+      badLabel.map(l => Left(s"invalid label: ${l.name}")).getOrElse(Right(this))
+    }
+  }
+
+  /** The label set a selector matches against: spec labels + `name`
+    * meta-label + `prefix` meta-labels for each parent directory.
+    */
+  def metaLabels: LabelSet = {
+    val prefixes = name.split('/').toVector.init
+      .scanLeft("")((acc, seg) => acc + seg + "/").drop(1)
+    LabelSet(labels.labels ++
+      Vector(Label("name", name)) ++ prefixes.map(Label("prefix", _)))
+  }
+}
+
+final class JournalCatalog {
+  private var specs: Map[String, (JournalSpec, Long)] = Map.empty
+  private var revision: Long = 0L
+
+  def currentRevision: Long = synchronized(revision)
+
+  /** Upsert with optional expected revision (CAS; -1 = unconditional,
+    * 0 = must-not-exist, >0 = must match current).
+    */
+  def upsert(spec: JournalSpec, expectRevision: Long = -1L): Either[String, Long] =
+    synchronized {
+      spec.validate.flatMap { s =>
+        val cur = specs.get(s.name).map(_._2).getOrElse(0L)
+        if (expectRevision >= 0 && expectRevision != cur)
+          Left(s"revision mismatch for ${s.name}: expected $expectRevision, have $cur")
+        else {
+          revision += 1
+          specs += s.name -> (s, revision)
+          Right(revision)
+        }
+      }
+    }
+
+  def delete(name: String, expectRevision: Long = -1L): Either[String, Unit] =
+    synchronized {
+      specs.get(name) match {
+        case None => Left(s"no such journal: $name")
+        case Some((_, rev)) if expectRevision >= 0 && expectRevision != rev =>
+          Left(s"revision mismatch for $name: expected $expectRevision, have $rev")
+        case _ =>
+          revision += 1
+          specs -= name
+          Right(())
+      }
+    }
+
+  def get(name: String): Option[JournalSpec] = synchronized(specs.get(name).map(_._1))
+
+  /** Selector-filtered listing (P3): selectors may reference spec labels
+    * and the name/prefix meta-labels.
+    */
+  def list(selector: LabelSelector = LabelSelector.empty): Vector[JournalSpec] =
+    synchronized {
+      specs.values.toVector.map(_._1)
+        .filter(s => selector.matches(s.metaLabels))
+        .sortBy(_.name)
+    }
+
+  def list(selector: String): Vector[JournalSpec] =
+    list(LabelSelector.mustParse(selector))
+
+  /** Journals metadata as a DataFrame — the catalog's queryable surface
+    * (each label name becomes a map entry).
+    */
+  def toDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    synchronized {
+      specs.values.toVector.map { case (s, rev) =>
+        (s.name, rev, s.replication, s.codec,
+          s.labels.labels.map(l => l.name -> l.value).toMap)
+      }
+    }.toDF("name", "revision", "replication", "codec", "labels")
+  }
+}

@@ -25,9 +25,14 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** (id, shingles[]) per document. */
+  /** (id, shingles[]) per document. Repartitions to the session's
+    * parallelism first: document corpora often arrive as few large
+    * files, and the tokenize+shingle+hash pipeline is CPU-bound — the
+    * cheap shuffle of raw text buys full-core scaling.
+    */
   def docShingles(df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
-    df.select(id.as("doc_id"), TextAnalysis.shingles(text, n).as("sh"))
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(id.as("doc_id"), TextAnalysis.shingles(text, n).as("sh"))
       .filter(size(col("sh")) > 0)
 
   /** Exhaustive near-duplicate pairs with exact n-gram Jaccard >= threshold.
@@ -64,13 +69,15 @@ object Dedup {
 
   /** MinHash signatures: `numHashes` permutations approximated by
     * xxhash64 with distinct salts; signature_i = min over shingles.
+    * Computed per-row with array transforms — a narrow map with NO
+    * shuffle (the explode/groupBy formulation shuffles |docs|·|shingles|
+    * rows and was ~10× slower at sf0.1).
     */
-  def minhashSignatures(docs: DataFrame, numHashes: Int): DataFrame = {
-    val ex = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val mins = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
-    ex.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-  }
+  def minhashSignatures(docs: DataFrame, numHashes: Int): DataFrame =
+    docs.select(
+      col("doc_id") +:
+      (0 until numHashes).map(i =>
+        array_min(transform(col("sh"), s => xxhash64(lit(i), s))).as(s"h$i")): _*)
 
   /** LSH candidate pairs: band the signature, bucket-join within bands,
     * then verify candidates with exact Jaccard over the shingle arrays.
@@ -82,14 +89,19 @@ object Dedup {
       threshold: Double,
       numHashes: Int = 48,
       bands: Int = 12): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val rows = numHashes / bands
-    val sig = minhashSignatures(docs, numHashes)
-    // (band, bucketHash, doc_id)
-    val buckets = (0 until bands).map { b =>
-      val cols = (b * rows until (b + 1) * rows).map(i => col(s"h$i"))
-      sig.select(lit(b).as("band"),
-        xxhash64(cols: _*).as("bucket"), col("doc_id"))
-    }.reduce(_.unionAll(_))
+    // Cache: shingle arrays are re-read by the verification joins, and
+    // cross-branch plan reuse does NOT exist — without materialization
+    // every reference re-runs the tokenize+shingle pipeline.
+    val d = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    val sig = minhashSignatures(d, numHashes)
+    // One pass per row: band buckets via posexplode (a 12-way union of
+    // selects would recompute the 48-hash signature once per band).
+    val buckets = sig.select(col("doc_id"),
+        posexplode(array((0 until bands).map { b =>
+          xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)
+        }: _*)).as(Seq("band", "bucket")))
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -97,12 +109,43 @@ object Dedup {
       .distinct()
     // Exact verification on candidates only.
     cand
-      .join(docs.select(col("doc_id"), col("sh").as("sha")), col("da") === col("doc_id")).drop("doc_id")
-      .join(docs.select(col("doc_id"), col("sh").as("shb")), col("db") === col("doc_id")).drop("doc_id")
+      .join(d.select(col("doc_id"), col("sh").as("sha")), col("da") === col("doc_id")).drop("doc_id")
+      .join(d.select(col("doc_id"), col("sh").as("shb")), col("db") === col("doc_id")).drop("doc_id")
       .select(col("da"), col("db"),
         (size(array_intersect(col("sha"), col("shb"))).cast("double") /
           size(array_union(col("sha"), col("shb")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance, found via banded
+    * self-join instead of an O(n²) cross join: split the 64-bit hash
+    * into `maxHamming+1` bands — by pigeonhole, any pair within
+    * `maxHamming` differing bits agrees exactly on at least one band —
+    * join on (band, value), then verify with bit_count. Exact (same
+    * result set as the cross join) and scales as a hash join on small
+    * buckets.
+    */
+  def simhashPairs(sims: DataFrame, maxHamming: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val bands = maxHamming + 1
+    val width = 64 / bands
+    // Materialize the (expensive, 64-aggregate) simhash once: it is
+    // referenced by both join sides and every band.
+    val s = sims.persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = s.select(col("doc_id"), col("sim"),
+      posexplode(array((0 until bands).map { b =>
+        val lo = b * width
+        val w = if (b == bands - 1) 64 - lo else width
+        val mask = if (w >= 64) -1L else (1L << w) - 1L
+        shiftrightunsigned(col("sim"), lo).bitwiseAND(mask)
+      }: _*)).as(Seq("band", "bval")))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+        bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** 64-bit SimHash over word tokens: bit b of the hash is the sign of

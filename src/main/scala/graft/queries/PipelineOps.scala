@@ -38,6 +38,7 @@ object PipelineOps {
     "q20_lang_id" -> { (s, d) =>
       import s.implicits._
       Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism) // CPU-bound regex maps
         .select($"lang", TextAnalysis.langId($"text").as("pred"))
         .groupBy($"lang", $"pred").agg(count(lit(1)).as("n"))
     },
@@ -62,16 +63,21 @@ object PipelineOps {
     "q23_bigram_counts" -> { (s, d) =>
       import s.implicits._
       Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism) // CPU-bound tokenize
         .select(explode(TextAnalysis.ngramsAll($"text", 2)).as("bigram"))
         .groupBy($"bigram").agg(count(lit(1)).as("n"))
         .orderBy($"n".desc, $"bigram".asc)
         .limit(20)
     },
 
-    // ---- q24: exhaustive n-gram Jaccard near-dup pairs (baseline).
+    // ---- q24: exhaustive n-gram Jaccard near-dup pairs — the
+    // correctness baseline, capped to a bounded doc subset (the shingle
+    // self-join is quadratic in shared-shingle frequency; the uncapped
+    // scale path is q25's LSH).
     "q24_jaccard_pairs" -> { (s, d) =>
       import s.implicits._
-      val docs = Dedup.docShingles(Tables.documents(s, d), $"doc_id", $"text", 3)
+      val docs = Dedup.docShingles(
+        Tables.documents(s, d).filter($"doc_id" < 2000), $"doc_id", $"text", 3)
       Dedup.jaccardPairsExact(docs, 0.85)
         .select($"da", $"db", round($"jaccard", 4).as("jaccard"))
     },
@@ -85,15 +91,15 @@ object PipelineOps {
         .select($"da", $"db", round($"jaccard", 4).as("jaccard"))
     },
 
-    // ---- q26: SimHash near-dup pairs by Hamming distance (rows-only).
+    // ---- q26: SimHash near-dup pairs by Hamming distance, via banded
+    // self-join (exact; no O(n²) cross join — rows-only check).
     "q26_simhash_pairs" -> { (s, d) =>
       import s.implicits._
-      val sh = Tables.documents(s, d).select($"doc_id",
-        Dedup.simhash64(TextAnalysis.wordTokens($"text")).as("sim"))
-      sh.as("a").join(sh.as("b"), $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("da"), $"b.doc_id".as("db"),
-          bit_count($"a.sim".bitwiseXOR($"b.sim")).as("hamming"))
-        .filter($"hamming" <= 6)
+      val sh = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism) // 64-agg simhash is CPU-bound
+        .select($"doc_id",
+          Dedup.simhash64(TextAnalysis.wordTokens($"text")).as("sim"))
+      Dedup.simhashPairs(sh, maxHamming = 6)
     },
 
     // ---- q27: brute-force cosine top-k (correctness baseline for ANN).
@@ -126,9 +132,9 @@ object PipelineOps {
     }
   )
 
-  private val docShinglesCte =
-    """WITH toks AS (
-      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents),
+  private def docShinglesCte(where: String) =
+    s"""WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents$where),
       |sh AS (
       |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
@@ -204,8 +210,8 @@ object PipelineOps {
         |SELECT bigram, count(*) AS n FROM bi
         |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
 
-    "q24_jaccard_pairs" -> docShinglesCte,
-    "q25_minhash_lsh_pairs" -> docShinglesCte,
+    "q24_jaccard_pairs" -> docShinglesCte(" WHERE doc_id < 2000"),
+    "q25_minhash_lsh_pairs" -> docShinglesCte(""),
 
     "q27_cosine_topk" ->
       """SELECT probe_id, vec_id, sim, rank FROM (

@@ -46,14 +46,18 @@ object Relational {
     },
 
     // ---- q02: join + agg + top-k with unique tiebreak (ORDER BY/LIMIT,
-    // SURVEY §2.9).
+    // SURVEY §2.9). Aggregate lineitem BEFORE the join: revenue is keyed
+    // by l_orderkey alone, so the fact table reduces to |orders| rows
+    // pre-join — at scale this converts a fact-fact sort-merge join into
+    // an agg + broadcast-friendly join.
     "q02_top_revenue_orders" -> { (s, d) =>
       import s.implicits._
       val li = Tables.lineitem(s, d)
       val o  = Tables.orders(s, d)
-      li.join(o, $"l_orderkey" === $"o_orderkey")
-        .groupBy($"o_orderkey", $"o_orderpriority")
+      val rev = li.groupBy($"l_orderkey")
         .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      rev.join(o, $"l_orderkey" === $"o_orderkey")
+        .select($"o_orderkey", $"o_orderpriority", $"revenue")
         .orderBy($"revenue".desc, $"o_orderkey".asc)
         .limit(10)
     },

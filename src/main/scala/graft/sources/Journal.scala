@@ -46,17 +46,33 @@ object Journal {
 
   private val FragmentRe = """([0-9a-f]{16})-([0-9a-f]{16})-([0-9a-f]{40})\.(\w+)""".r
 
-  def listFragments(root: String, journal: String): Vector[Fragment] = {
+  /** Fragment listing; `modifiedAfterMs` is the begin_mod_time read
+    * filter (P5, protocol.proto:438-442): skip fragments persisted
+    * before the bound.
+    */
+  def listFragments(root: String, journal: String,
+      modifiedAfterMs: Long = Long.MinValue): Vector[Fragment] = {
     val dir = Paths.get(root, journal)
     if (!Files.isDirectory(dir)) Vector.empty
     else Files.list(dir).iterator().asScala.flatMap { p =>
       p.getFileName.toString match {
-        case FragmentRe(b, e, sha, codec) =>
+        case FragmentRe(b, e, sha, codec)
+            if Files.getLastModifiedTime(p).toMillis >= modifiedAfterMs =>
           Some(Fragment(journal, java.lang.Long.parseUnsignedLong(b, 16),
             java.lang.Long.parseUnsignedLong(e, 16), sha, codec, p.toString))
         case _ => None
       }
     }.toVector.sortBy(f => (f.begin, -f.end))
+  }
+
+  /** Retention maintenance (journals prune, SURVEY §2.12): delete
+    * fragments whose span ends at or below `keepFromOffset`. Returns
+    * deleted fragments.
+    */
+  def prune(root: String, journal: String, keepFromOffset: Long): Vector[Fragment] = {
+    val (drop, _) = listFragments(root, journal).partition(_.end <= keepFromOffset)
+    drop.foreach(f => Files.deleteIfExists(Paths.get(f.path)))
+    drop
   }
 
   /** Cover-set resolution (S3): orderly walk selecting, at each offset,
@@ -149,6 +165,32 @@ object Journal {
 
   // ---- read path (S1-S4) ---------------------------------------------
 
+  /** Iterate a fragment's records whose spans start in [from, to) —
+    * the executor-side read of one planned slice (decompress, byte-skip
+    * to the slice start, frame lines with exact offsets).
+    */
+  def readFragmentSlice(frag: Fragment, from: Long, to: Long): Iterator[Envelope] = {
+    val raw = Files.newInputStream(Paths.get(frag.path))
+    val in = if (frag.codec == "gz") new GZIPInputStream(raw) else raw
+    var skipped = 0L
+    val toSkip = from - frag.begin
+    while (skipped < toSkip) {
+      val n = in.skip(toSkip - skipped)
+      if (n <= 0) throw new java.io.IOException(s"cannot skip to $from in ${frag.path}")
+      skipped += n
+    }
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(in, "UTF-8"), 1 << 16)
+    var offset = from
+    Iterator.continually(reader.readLine()).takeWhile(_ != null)
+      .map { line =>
+        val begin = offset
+        offset += line.getBytes("UTF-8").length + 1
+        Envelope(frag.journal, begin, offset, line)
+      }
+      .takeWhile(_.begin < to)
+  }
+
   /** Batch read: envelopes with exact uncompressed byte offsets.
     * Executors open fragment files directly; overlapping fragments are
     * resolved via the cover set and byte-skipped to the right offset.
@@ -157,23 +199,7 @@ object Journal {
     import spark.implicits._
     val plan = coverSet(listFragments(root, journal))
     spark.createDataset(plan).flatMap { case (frag, readFrom) =>
-      val raw = Files.newInputStream(Paths.get(frag.path))
-      val in = if (frag.codec == "gz") new GZIPInputStream(raw) else raw
-      var skipped = 0L
-      val toSkip = readFrom - frag.begin
-      while (skipped < toSkip) {
-        val n = in.skip(toSkip - skipped)
-        if (n <= 0) throw new java.io.IOException(s"cannot skip to $readFrom in ${frag.path}")
-        skipped += n
-      }
-      val reader = new java.io.BufferedReader(
-        new java.io.InputStreamReader(in, "UTF-8"), 1 << 16)
-      var offset = readFrom
-      Iterator.continually(reader.readLine()).takeWhile(_ != null).map { line =>
-        val begin = offset
-        offset += line.getBytes("UTF-8").length + 1
-        Envelope(frag.journal, begin, offset, line)
-      }
+      readFragmentSlice(frag, readFrom, frag.end)
     }
   }
 

@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.Journal
+import graft.streaming.WordCountApp
+
+/** End-to-end consumer pipeline: journal fragments on disk → streaming
+  * tail read → framed payloads → stateful aggregation → materialized
+  * queryable counts (the word-count acceptance app over the real
+  * journal substrate, SURVEY §3.2-3.3).
+  */
+class IntegrationSpec extends SparkSpec {
+
+  test("journal → streaming word-count → materialized prefix query") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-e2e").toString
+
+    val batch1 = Seq("the quick fox", "the quick dog")
+    val batch2 = Seq("a quick fox jumps")
+    Journal.append(batch1.toDF("payload"), root, "docs", "gz")
+
+    val counts = WordCountApp.ngramCounts(
+      Journal.readStream(spark, root, "docs").withColumnRenamed("payload", "text"), 2)
+    val q = counts.writeStream
+      .format("memory").queryName("e2e_counts")
+      .option("checkpointLocation", Files.createTempDirectory("graft-e2e-ckpt").toString)
+      .outputMode("complete")
+      .start()
+    q.processAllAvailable()
+    val m1 = spark.table("e2e_counts").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m1("the quick") == 2 && m1("quick fox") == 1)
+
+    // Tail append: new fragment discovered by the running query.
+    Journal.append(batch2.toDF("payload"), root, "docs", "gz")
+    q.processAllAvailable()
+    val m2 = spark.table("e2e_counts").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    q.stop()
+    assert(m2("quick fox") == 2 && m2("fox jumps") == 1)
+
+    // A4 prefix query over the materialized table.
+    val pq = WordCountApp.prefixQuery(spark.table("e2e_counts"), "quick ")
+    assert(pq.count() == 2)
+
+    // Batch/stream parity: same counts from a batch read of the journal.
+    val batchCounts = WordCountApp.ngramCounts(
+      Journal.read(spark, root, "docs").toDF().withColumnRenamed("payload", "text"), 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(batchCounts == m2)
+  }
+}

@@ -84,6 +84,19 @@ class JournalSpec extends SparkSpec {
     assert(Journal.read(spark, root, "sink/j").count() == 4)
   }
 
+  test("prune deletes fragments below the retention offset") {
+    import spark.implicits._
+    val root = tmpRoot()
+    Journal.append(Seq("a", "b").toDF("payload").coalesce(1), root, "pr", "none") // [0,4)
+    Journal.append(Seq("c", "d").toDF("payload").coalesce(1), root, "pr", "none") // [4,8)
+    Journal.append(Seq("e").toDF("payload").coalesce(1), root, "pr", "none")      // [8,10)
+    val dropped = Journal.prune(root, "pr", keepFromOffset = 4L)
+    assert(dropped.map(f => (f.begin, f.end)) == Vector((0L, 4L)))
+    val envs = Journal.read(spark, root, "pr").collect().sortBy(_.begin)
+    assert(envs.map(_.payload).toSeq == Seq("c", "d", "e"))
+    assert(envs.head.begin == 4L)
+  }
+
   test("streaming read discovers fragments as files") {
     import spark.implicits._
     val root = tmpRoot()
