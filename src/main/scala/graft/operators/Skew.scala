@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation helpers for hot keys at 100 TB scale.
+  *
+  * Spark's AQE rebalances skewed *joins* at runtime; skewed
+  * *aggregations* with algebraic functions are handled here by salted
+  * two-phase aggregation: key → (key, salt) partial agg → final agg.
+  * The partial shuffle spreads a hot key over `salts` reducers; the
+  * final shuffle only carries `salts` rows per key.
+  */
+object Skew {
+
+  /** Two-phase salted aggregation for algebraic aggregates expressed as
+    * (partial, merge) pairs over the same column names, e.g.
+    * partial: sum(x) as sx, count(1) as n → merge: sum(sx), sum(n).
+    */
+  def saltedAgg(
+      df: DataFrame,
+      keys: Seq[Column],
+      salts: Int)(
+      partial: Seq[Column], merge: Seq[Column]): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    salted
+      .groupBy(keys :+ col("__salt"): _*)
+      .agg(partial.head, partial.tail: _*)
+      .groupBy(keys: _*)
+      .agg(merge.head, merge.tail: _*)
+  }
+
+  /** Salted distinct-count: exact COUNT(DISTINCT v) per hot key without
+    * a single-reducer hotspot — phase 1 dedups (key, v-hash-salt) pairs,
+    * phase 2 sums partial distinct counts (v is salted by its own hash,
+    * so each distinct value lands in exactly one salt bucket).
+    */
+  def saltedCountDistinct(
+      df: DataFrame, keys: Seq[Column], value: Column, salts: Int): DataFrame =
+    df.withColumn("__salt", pmod(hash(value), lit(salts)))
+      .groupBy(keys :+ col("__salt"): _*)
+      .agg(countDistinct(value).as("__pc"))
+      .groupBy(keys: _*)
+      .agg(sum(col("__pc")).as("n_distinct"))
+}

@@ -120,6 +120,28 @@ object PipelineOps {
         .select($"probe_id", $"vec_id", $"sim", $"rank")
     },
 
+    // ---- q34: salted two-phase aggregation — hot-key mitigation for
+    // skewed groupBys (events has only 5 event_type keys: every key is
+    // "hot"). Same result as a plain groupBy, verified by the oracle.
+    "q34_salted_agg" -> { (s, d) =>
+      import s.implicits._
+      graft.operators.Skew.saltedAgg(
+          Tables.events(s, d), Seq($"event_type"), salts = 16)(
+        partial = Seq(
+          sum($"value".cast("decimal(38,6)")).as("sv"),
+          count(lit(1)).as("n")),
+        merge = Seq(
+          round(sum($"sv").cast("double"), 4).as("sum_value"),
+          sum($"n").as("n")))
+    },
+
+    // ---- q35: salted exact distinct-count per hot key.
+    "q35_salted_distinct" -> { (s, d) =>
+      import s.implicits._
+      graft.operators.Skew.saltedCountDistinct(
+        Tables.events(s, d), Seq($"event_type"), $"user_id", salts = 16)
+    },
+
     // ---- q29: embedding norms aggregated per label.
     "q29_embedding_norms" -> { (s, d) =>
       import s.implicits._
@@ -224,6 +246,16 @@ object PipelineOps {
         |               c.vec_id ASC) AS rank
         |  FROM embeddings p JOIN embeddings c ON p.vec_id < 10 AND c.vec_id <> p.vec_id) t
         |WHERE rank <= 5""".stripMargin,
+
+    "q34_salted_agg" ->
+      """SELECT event_type,
+        |  round(CAST(sum(CAST("value" AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_value,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q35_salted_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_distinct
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q29_embedding_norms" ->
       """SELECT label, count(*) AS n,

@@ -37,6 +37,33 @@ object StreamOps {
         .select($"payload".cast("long").as("event_id"))
     },
 
+    // ---- q36: the full read-committed path (SURVEY §3.2): events are
+    // UUID-stamped (producer = user bucket, clock = event-time minutes —
+    // coarse so collisions produce duplicates), framed as ndjson into a
+    // journal, read back through the DSv2 `journal` format, sequenced,
+    // and decoded to typed records. Committed set = per-producer strictly
+    // advancing clocks, exactly the oracle's window semantics.
+    "q36_read_committed" -> { (s, d) =>
+      import s.implicits._
+      import graft.functions.F
+      val root = s"/tmp/graft-journals/rc-${d.replace('/', '_')}"
+      deleteRecursively(Paths.get(root))
+      val stamped = Tables.events(s, d)
+        .withColumn("producer6", unhex(lpad(hex($"user_id" % 50), 12, "0")))
+        .withColumn("uuid_hex", hex(F.build_uuid($"producer6",
+          expr("ts DIV 60000000000"), lit(0))))
+        .repartition(1).sortWithinPartitions($"ts", $"event_id")
+        .select(to_json(struct($"event_id", $"uuid_hex".as("uuid"))).as("payload"))
+      graft.sources.Journal.append(stamped, root, "events", codec = "gz")
+      val envelopes = s.read.format("journal")
+        .option("root", root).option("journal", "events").load()
+      graft.streaming.ReadCommitted.committedJson(envelopes,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("event_id",
+              org.apache.spark.sql.types.LongType))))
+        .select($"event_id")
+    },
+
     // ---- q31: journal write→read round-trip: events framed as ndjson
     // fragments (content-addressed, gzip), read back as envelopes with
     // byte offsets, payloads decoded and re-aggregated.
@@ -64,7 +91,18 @@ object StreamOps {
         |WHERE mx IS NULL OR clock > mx""".stripMargin,
 
     "q31_journal_roundtrip" ->
-      "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+      "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+
+    // Same committed-set semantics as q30, but exercised through the
+    // journal + DSv2 + UUID + sequencer pipeline.
+    "q36_read_committed" ->
+      """SELECT event_id FROM (
+        |  SELECT event_id, epoch_ns(ts) // 60000000000 AS clock,
+        |    max(epoch_ns(ts) // 60000000000) OVER (
+        |      PARTITION BY user_id % 50 ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+        |  FROM events) t
+        |WHERE mx IS NULL OR clock > mx""".stripMargin
   )
 
   private def deleteRecursively(p: Path): Unit =

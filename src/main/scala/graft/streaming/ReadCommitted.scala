@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.functions.F
+
+/** The read-committed message path end-to-end (SURVEY §3.2):
+  * journal envelopes → framed payload decode → UUID metadata extraction →
+  * Sequencer → committed, typed records.
+  *
+  * Framing follows the reference's content-type conventions (§1.2):
+  *  - ndjson: payload is a JSON object with a `uuid` hex field
+  *  - csv: column 0 is the UUID (message/csv_framing.go:29-81)
+  */
+object ReadCommitted {
+
+  /** Decode envelope rows (journal, begin, end, payload) whose payload is
+    * ndjson carrying a hex `uuid` field, into SeqEnvelopes for the
+    * Sequencer. `unhex` recovers the 16 UUID bytes; producer id is the
+    * hex of bytes [10,16).
+    */
+  def fromJsonFraming(envelopes: DataFrame): Dataset[Sequencer.SeqEnvelope] = {
+    val spark = envelopes.sparkSession
+    import spark.implicits._
+    envelopes
+      .withColumn("u", unhex(get_json_object($"payload", "$.uuid")))
+      .select(
+        $"journal", $"begin", $"end",
+        hex(F.uuid_producer($"u")).as("producer"),
+        F.uuid_clock($"u").as("clock"),
+        F.uuid_flags($"u").as("flags"),
+        $"payload")
+      .as[Sequencer.SeqEnvelope]
+  }
+
+  /** CSV framing: column 0 is the hex UUID, the rest is the record. */
+  def fromCsvFraming(envelopes: DataFrame): Dataset[Sequencer.SeqEnvelope] = {
+    val spark = envelopes.sparkSession
+    import spark.implicits._
+    envelopes
+      .withColumn("u", unhex(split($"payload", ",").getItem(0)))
+      .select(
+        $"journal", $"begin", $"end",
+        hex(F.uuid_producer($"u")).as("producer"),
+        F.uuid_clock($"u").as("clock"),
+        F.uuid_flags($"u").as("flags"),
+        $"payload")
+      .as[Sequencer.SeqEnvelope]
+  }
+
+  /** Committed typed records: sequence, drop ACK carriers, decode the
+    * JSON payload with `schema`. Batch or streaming by the input's mode.
+    */
+  def committedJson(envelopes: DataFrame, schema: StructType): DataFrame = {
+    val seq = fromJsonFraming(envelopes)
+    val committed =
+      if (envelopes.isStreaming) Sequencer.sequenceStream(seq)
+      else Sequencer.sequenceBatch(seq)
+    committed.toDF()
+      .filter(col("flags") =!= Sequencer.AckTxn) // ACKs carry no app data
+      .select(col("journal"), col("begin"), col("end"),
+        from_json(col("payload"), schema).as("record"))
+      .select(col("journal"), col("begin"), col("end"), col("record.*"))
+  }
+}

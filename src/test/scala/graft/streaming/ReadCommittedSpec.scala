@@ -1,0 +1,46 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.functions.GazetteUuid
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+class ReadCommittedSpec extends SparkSpec {
+
+  private def uuidHex(producer: Byte, clock: Long, flags: Int): String = {
+    val p = Array[Byte](1, 2, 3, 4, 5, producer)
+    GazetteUuid.build(p, clock, flags).map("%02X".format(_)).mkString
+  }
+
+  test("csv framing: column 0 carries the UUID (csv_framing.go:29-81)") {
+    import spark.implicits._
+    val rows = Seq(
+      s"${uuidHex(9, 100, 0)},alpha,1",
+      s"${uuidHex(9, 100, 0)},alpha-dup,1", // duplicate clock → dropped
+      s"${uuidHex(9, 200, 0)},beta,2")
+    val env = rows.zipWithIndex.map { case (p, i) =>
+      ("j", i.toLong * 100, i.toLong * 100 + 100, p)
+    }.toDF("journal", "begin", "end", "payload")
+    val seq = ReadCommitted.fromCsvFraming(env)
+    val committed = Sequencer.sequenceBatch(seq).collect().sortBy(_.begin)
+    assert(committed.map(_.clock).toSeq == Seq(100L, 200L))
+    assert(committed.map(_.payload.split(",")(1)).toSeq == Seq("alpha", "beta"))
+  }
+
+  test("committedJson: txn spans commit only on ACK, ACK rows carry no data") {
+    import spark.implicits._
+    val schema = StructType(Seq(StructField("v", LongType)))
+    def pay(producer: Byte, clock: Long, flags: Int, v: Long): String =
+      s"""{"v":$v,"uuid":"${uuidHex(producer, clock, flags)}"}"""
+    val rows = Seq(
+      pay(1, 10, Sequencer.ContinueTxn, 100),
+      pay(1, 11, Sequencer.ContinueTxn, 101),
+      pay(1, 12, Sequencer.AckTxn, -1),       // commits 100, 101
+      pay(1, 13, Sequencer.ContinueTxn, 102)) // uncommitted — dropped in batch
+    val env = rows.zipWithIndex.map { case (p, i) =>
+      ("j", i.toLong * 100, i.toLong * 100 + 100, p)
+    }.toDF("journal", "begin", "end", "payload")
+    val out = ReadCommitted.committedJson(env, schema)
+    assert(out.select($"v").as[Long].collect().sorted.toSeq == Seq(100L, 101L))
+  }
+}
