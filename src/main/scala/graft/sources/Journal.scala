@@ -54,15 +54,21 @@ object Journal {
       modifiedAfterMs: Long = Long.MinValue): Vector[Fragment] = {
     val dir = Paths.get(root, journal)
     if (!Files.isDirectory(dir)) Vector.empty
-    else Files.list(dir).iterator().asScala.flatMap { p =>
-      p.getFileName.toString match {
-        case FragmentRe(b, e, sha, codec)
-            if Files.getLastModifiedTime(p).toMillis >= modifiedAfterMs =>
-          Some(Fragment(journal, java.lang.Long.parseUnsignedLong(b, 16),
-            java.lang.Long.parseUnsignedLong(e, 16), sha, codec, p.toString))
-        case _ => None
-      }
-    }.toVector.sortBy(f => (f.begin, -f.end))
+    else {
+      // Recursive walk: fragments may live under Hive-style path-postfix
+      // subdirectories (date=…/hour=…, protocol.proto:248-262).
+      val stream = Files.walk(dir)
+      try stream.iterator().asScala.flatMap { p =>
+        p.getFileName.toString match {
+          case FragmentRe(b, e, sha, codec)
+              if Files.getLastModifiedTime(p).toMillis >= modifiedAfterMs =>
+            Some(Fragment(journal, java.lang.Long.parseUnsignedLong(b, 16),
+              java.lang.Long.parseUnsignedLong(e, 16), sha, codec, p.toString))
+          case _ => None
+        }
+      }.toVector.sortBy(f => (f.begin, -f.end))
+      finally stream.close()
+    }
   }
 
   /** Retention maintenance (journals prune, SURVEY §2.12): delete
@@ -100,48 +106,60 @@ object Journal {
   // ---- write path (S5-S7) --------------------------------------------
 
   /** Append a DataFrame's `payload` string column as framed fragments.
-    * One spool per Spark partition; offsets assigned contiguously from
-    * the current head; commit = atomic rename into the fragment index.
-    * Returns committed fragments (empty partitions produce none).
+    * One spool per Spark partition (and per path postfix when
+    * `postfixCol` is set — Hive-style `date=…/hour=…` subdirectories,
+    * the reference's path_postfix_template); offsets assigned
+    * contiguously from the current head; commit = atomic rename into the
+    * fragment index. Returns committed fragments.
     */
   def append(df: DataFrame, root: String, journal: String,
-      codec: String = "gz", payloadCol: String = "payload"): Seq[Fragment] = {
+      codec: String = "gz", payloadCol: String = "payload",
+      postfixCol: Option[String] = None): Seq[Fragment] = {
     val spark = df.sparkSession
     import spark.implicits._
     val dir = Paths.get(root, journal)
     Files.createDirectories(dir)
 
-    // Executor side: spool each partition to a temp file; report
-    // (partitionId, uncompressedLength, sha1, tmpName).
-    val spooled = df.select(col(payloadCol)).as[String].rdd
+    // Executor side: spool each (partition, postfix) group to a temp
+    // file; report (partitionId, postfix, uncompressedLength, sha1, tmp).
+    val rows = postfixCol match {
+      case Some(pc) => df.select(col(payloadCol), col(pc).cast("string")).as[(String, String)]
+      case None     => df.select(col(payloadCol)).as[String].map(p => (p, ""))
+    }
+    val spooled = rows.rdd
       .mapPartitionsWithIndex { (idx, it) =>
-        if (!it.hasNext) Iterator.empty
-        else {
-          val tmp = Files.createTempFile(Paths.get(root),
-            s".spool-${journal.replace('/', '_')}-$idx-", ".tmp")
+        final class Spool(val tmp: Path) {
           val digest = MessageDigest.getInstance("SHA-1")
           var len = 0L
-          val fos = new FileOutputStream(tmp.toFile)
+          private val fos = new FileOutputStream(tmp.toFile)
           val out = new BufferedOutputStream(
             if (codec == "gz") new GZIPOutputStream(fos) else fos, 1 << 16)
-          it.foreach { line =>
-            val bytes = (line + "\n").getBytes("UTF-8")
-            digest.update(bytes)
-            out.write(bytes)
-            len += bytes.length
-          }
-          out.close()
-          val sha = digest.digest().map("%02x".format(_)).mkString
-          Iterator((idx, len, sha, tmp.toString))
         }
-      }.collect().sortBy(_._1)
+        val spools = scala.collection.mutable.LinkedHashMap.empty[String, Spool]
+        it.foreach { case (line, postfix) =>
+          val sp = spools.getOrElseUpdate(postfix, new Spool(
+            Files.createTempFile(Paths.get(root),
+              s".spool-${journal.replace('/', '_')}-$idx-", ".tmp")))
+          val bytes = (line + "\n").getBytes("UTF-8")
+          sp.digest.update(bytes)
+          sp.out.write(bytes)
+          sp.len += bytes.length
+        }
+        spools.iterator.map { case (postfix, sp) =>
+          sp.out.close()
+          val sha = sp.digest.digest().map("%02x".format(_)).mkString
+          (idx, postfix, sp.len, sha, sp.tmp.toString)
+        }
+      }.collect().sortBy(s => (s._1, s._2))
 
     // Driver side: prefix-sum offsets from the journal head, then commit
     // via rename (content-addressed names make retries idempotent).
     var begin = head(root, journal)
-    spooled.map { case (_, len, sha, tmpPath) =>
+    spooled.map { case (_, postfix, len, sha, tmpPath) =>
+      val sub = if (postfix.isEmpty) dir else dir.resolve(postfix)
+      Files.createDirectories(sub)
       val frag = Fragment(journal, begin, begin + len, sha, codec,
-        dir.resolve(f"$begin%016x-${begin + len}%016x-$sha.$codec").toString)
+        sub.resolve(f"$begin%016x-${begin + len}%016x-$sha.$codec").toString)
       Files.move(Paths.get(tmpPath), Paths.get(frag.path),
         StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
       begin = frag.end
@@ -160,6 +178,102 @@ object Journal {
       val frags = append(df, root, journal, codec)
       Files.createDirectories(manifest.getParent)
       Files.writeString(manifest, frags.map(_.name).mkString("\n"))
+    }
+  }
+
+  // ---- fixed binary framing (§1.2 application/x-protobuf-fixed) ------
+
+  /** Frame delimiter of the fixed framing: 4-byte magic + 4-byte
+    * little-endian length precede each payload
+    * (message/fixed_framing.go:26-148).
+    */
+  val FixedFramingMagic: Array[Byte] =
+    Array(0x66.toByte, 0x33.toByte, 0x93.toByte, 0x36.toByte)
+
+  final case class BinEnvelope(journal: String, begin: Long, end: Long, payload: Array[Byte])
+
+  /** Append binary payloads with fixed framing. Offsets count
+    * uncompressed bytes including the 8-byte frame headers.
+    */
+  def appendFramed(df: DataFrame, root: String, journal: String,
+      codec: String = "gz", payloadCol: String = "payload"): Seq[Fragment] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dir = Paths.get(root, journal)
+    Files.createDirectories(dir)
+    val spooled = df.select(col(payloadCol)).as[Array[Byte]].rdd
+      .mapPartitionsWithIndex { (idx, it) =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val tmp = Files.createTempFile(Paths.get(root),
+            s".spool-${journal.replace('/', '_')}-$idx-", ".tmp")
+          val digest = MessageDigest.getInstance("SHA-1")
+          var len = 0L
+          val fos = new FileOutputStream(tmp.toFile)
+          val out = new BufferedOutputStream(
+            if (codec == "gz") new GZIPOutputStream(fos) else fos, 1 << 16)
+          val header = new Array[Byte](8)
+          FixedFramingMagic.copyToArray(header)
+          it.foreach { payload =>
+            val n = payload.length
+            header(4) = n.toByte; header(5) = (n >>> 8).toByte
+            header(6) = (n >>> 16).toByte; header(7) = (n >>> 24).toByte
+            digest.update(header); digest.update(payload)
+            out.write(header); out.write(payload)
+            len += 8L + n
+          }
+          out.close()
+          val sha = digest.digest().map("%02x".format(_)).mkString
+          Iterator((idx, len, sha, tmp.toString))
+        }
+      }.collect().sortBy(_._1)
+
+    var begin = head(root, journal)
+    spooled.map { case (_, len, sha, tmpPath) =>
+      val frag = Fragment(journal, begin, begin + len, sha, codec,
+        dir.resolve(f"$begin%016x-${begin + len}%016x-$sha.$codec").toString)
+      Files.move(Paths.get(tmpPath), Paths.get(frag.path),
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      begin = frag.end
+      frag
+    }.toSeq
+  }
+
+  /** Read fixed-framed binary envelopes with exact byte spans. */
+  def readFramed(spark: SparkSession, root: String, journal: String): Dataset[BinEnvelope] = {
+    import spark.implicits._
+    val plan = coverSet(listFragments(root, journal))
+    spark.createDataset(plan).flatMap { case (frag, readFrom) =>
+      val raw = Files.newInputStream(Paths.get(frag.path))
+      val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+        if (frag.codec == "gz") new GZIPInputStream(raw) else raw, 1 << 16))
+      in.skipNBytes(readFrom - frag.begin)
+      var offset = readFrom
+      new Iterator[BinEnvelope] {
+        private var nextEnv: BinEnvelope = advance()
+        private def advance(): BinEnvelope = {
+          val header = new Array[Byte](8)
+          val got = in.readNBytes(header, 0, 8)
+          if (got == 0) null
+          else if (got < 8 || !header.startsWith(FixedFramingMagic))
+            throw new java.io.IOException(
+              s"invalid fixed-framing header at $offset in ${frag.path}")
+          else {
+            val n = (header(4) & 0xff) | ((header(5) & 0xff) << 8) |
+              ((header(6) & 0xff) << 16) | ((header(7) & 0xff) << 24)
+            val payload = new Array[Byte](n)
+            if (in.readNBytes(payload, 0, n) != n)
+              throw new java.io.IOException(s"truncated frame at $offset in ${frag.path}")
+            val begin = offset
+            offset += 8L + n
+            BinEnvelope(frag.journal, begin, offset, payload)
+          }
+        }
+        override def hasNext: Boolean = nextEnv != null
+        override def next(): BinEnvelope = {
+          val e = nextEnv; nextEnv = advance(); e
+        }
+      }
     }
   }
 

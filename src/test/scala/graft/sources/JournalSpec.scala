@@ -84,6 +84,26 @@ class JournalSpec extends SparkSpec {
     assert(Journal.read(spark, root, "sink/j").count() == 4)
   }
 
+  test("fixed binary framing round-trips with exact offsets") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val payloads: Seq[Array[Byte]] = Seq(
+      "proto-ish".getBytes("UTF-8"),
+      Array.empty[Byte],                       // empty frame allowed
+      Array.tabulate(1000)(i => (i % 251).toByte))
+    Journal.appendFramed(payloads.toDF("payload").coalesce(1), root, "fx", "gz")
+    val envs = Journal.readFramed(spark, root, "fx").collect().sortBy(_.begin)
+    assert(envs.length == 3)
+    assert(envs.map(_.payload.toSeq).toSeq == payloads.map(_.toSeq))
+    // span = 8-byte header + payload; spans tile the journal
+    envs.foreach(e => assert(e.end - e.begin == 8L + e.payload.length))
+    assert(envs.head.begin == 0L)
+    assert(envs.sliding(2).forall {
+      case Array(a, b) => a.end == b.begin
+      case _ => true
+    })
+  }
+
   test("prune deletes fragments below the retention offset") {
     import spark.implicits._
     val root = tmpRoot()
