@@ -1,0 +1,114 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{BooleanType, DataType, MapType, StringType}
+import org.apache.spark.sql.graft.ColumnBridge
+import graft.labels.{LabelSet, LabelSelector}
+
+/** Catalyst integration of label selectors (SURVEY §4 item 4):
+  *
+  *  - `MatchesSelector(labels, 'selector')` — a native predicate over a
+  *    `map<string,string>` label column, evaluating the reference
+  *    matcher semantics row-wise.
+  *  - [[RewriteMatchesSelector]] — an optimizer rule that unfolds the
+  *    opaque predicate into plain conjunctions/disjunctions of
+  *    `element_at(map, key)` comparisons, which Catalyst can then
+  *    simplify, null-propagate, and (for flattened label columns)
+  *    push toward the scan.
+  *  - [[SelectorExtension]] — `SparkSessionExtensions` wiring:
+  *    `.withExtensions(new SelectorExtension)` or the
+  *    `spark.sql.extensions` conf.
+  */
+case class MatchesSelector(left: Expression, right: Expression)
+    extends BinaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = left.dataType.isInstanceOf[MapType] && right.dataType == StringType
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"matches_selector expects (map<string,string>, string literal), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  @transient private lazy val selector: LabelSelector =
+    LabelSelector.mustParse(right.eval(null).toString)
+
+  override protected def nullSafeEval(m: Any, _sel: Any): Any = {
+    val map = m.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+    val keys = map.keyArray()
+    val vals = map.valueArray()
+    val labels = Vector.tabulate(map.numElements()) { i =>
+      graft.labels.Label(keys.getUTF8String(i).toString, vals.getUTF8String(i).toString)
+    }
+    selector.matches(LabelSet(labels))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MatchesSelector =
+    copy(l, r)
+}
+
+/** Unfold Filter(matches_selector(m, sel)) into native map predicates. */
+object RewriteMatchesSelector extends Rule[LogicalPlan] {
+
+  private def compile(m: Expression, sel: LabelSelector): Expression = {
+    def valueOf(name: String): Expression =
+      ElementAt(m, Literal(org.apache.spark.unsafe.types.UTF8String.fromString(name)))
+    def one(l: graft.labels.Label, negate: Boolean): Expression = {
+      val v = valueOf(l.name)
+      if (l.value.isEmpty) { // existence test
+        if (negate) IsNull(v) else IsNotNull(v)
+      } else {
+        val cmp: Expression =
+          if (l.prefix) StartsWith(v, Literal(l.value)) else EqualTo(v, Literal(l.value))
+        if (negate) Or(IsNull(v), Not(cmp)) else cmp
+      }
+    }
+    def groups(s: LabelSet) = s.labels.groupBy(x => (x.name, x.prefix)).values
+    val inc = groups(sel.include).map(g =>
+      g.map(one(_, negate = false)).reduceLeft[Expression](Or))
+    val exc = groups(sel.exclude).map { g =>
+      if (g.size == 1 && g.head.value.isEmpty) IsNull(valueOf(g.head.name))
+      else g.map(one(_, negate = true)).reduceLeft[Expression](And)
+    }
+    (inc ++ exc).reduceOption[Expression](And).getOrElse(Literal(true))
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case ms @ MatchesSelector(m, Literal(s, StringType)) =>
+      LabelSelector.parse(s.toString) match {
+        case scala.util.Right(sel) => compile(m, sel)
+        case scala.util.Left(_) => ms
+      }
+  }
+}
+
+class SelectorExtension extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("matches_selector"),
+      new ExpressionInfo("graft", "matches_selector"),
+      (args: Seq[Expression]) => MatchesSelector(args(0), args(1))))
+    ext.injectOptimizerRule(_ => RewriteMatchesSelector)
+  }
+}
+
+object SelectorExtension {
+  /** Column API + per-session registration for sessions built without
+    * the extension conf.
+    */
+  def matches_selector(labels: Column, selector: String): Column =
+    ColumnBridge.column(MatchesSelector(
+      ColumnBridge.expression(labels), Literal(selector)))
+
+  /** Per-session SQL-name registration for sessions built without the
+    * extension (the expression evaluates correctly without the rewrite;
+    * only the optimizer unfolding needs build-time injection).
+    */
+  def register(spark: SparkSession): Unit =
+    ColumnBridge.register(spark, "matches_selector",
+      args => MatchesSelector(args(0), args(1)))
+}

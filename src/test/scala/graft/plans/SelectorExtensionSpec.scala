@@ -1,0 +1,77 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Own session: the extension must be installed at session build time. */
+class SelectorExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-selector-ext")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new SelectorExtension)
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def journals = {
+    import spark.implicits._
+    Seq(
+      ("topic/a", Map("env" -> "prod", "ct" -> "json")),
+      ("topic/b", Map("env" -> "qa", "ct" -> "json")),
+      ("other/c", Map("env" -> "prod")),
+      ("other/d", Map[String, String]()))
+      .toDF("name", "labels")
+  }
+
+  test("matches_selector evaluates reference semantics via SQL") {
+    journals.createOrReplaceTempView("journals_ext")
+    val out = spark.sql(
+      """SELECT name FROM journals_ext
+        |WHERE matches_selector(labels, 'env = prod, ct')""".stripMargin)
+      .collect().map(_.getString(0)).sorted
+    assert(out.toSeq == Seq("topic/a"))
+
+    val excl = spark.sql(
+      "SELECT name FROM journals_ext WHERE matches_selector(labels, '!ct')")
+      .collect().map(_.getString(0)).sorted
+    assert(excl.toSeq == Seq("other/c", "other/d"))
+  }
+
+  test("optimizer rule unfolds the predicate into native map comparisons") {
+    // parquet-backed so the optimized plan retains a scan (a local
+    // relation would be constant-folded through the rewritten filter).
+    val dir = java.nio.file.Files.createTempDirectory("graft-ext").toString
+    journals.write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir).filter(
+      SelectorExtension.matches_selector(col("labels"), "env in (prod, qa), ct=json"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("matchesselector") &&
+           !optimized.contains("MatchesSelector"),
+      s"selector predicate should be rewritten:\n$optimized")
+    assert(optimized.contains("element_at") || optimized.contains("ElementAt"),
+      s"expected native map predicates:\n$optimized")
+    assert(df.collect().map(_.getString(0)).sorted.toSeq == Seq("topic/a", "topic/b"))
+  }
+
+  test("rewritten and direct evaluation agree on all selectors") {
+    val selectors = Seq("env = prod", "env != qa", "ct", "!env",
+      "env in (prod, qa), ct = json", "env notin (qa)")
+    selectors.foreach { s =>
+      val viaRule = journals.filter(
+        SelectorExtension.matches_selector(col("labels"), s))
+        .collect().map(_.getString(0)).toSet
+      // reference matcher, driver-side
+      val expected = journals.collect().filter { r =>
+        val m = r.getMap[String, String](1)
+        graft.labels.LabelSelector.mustParse(s).matches(
+          graft.labels.LabelSet(m.toVector.map { case (k, v) => graft.labels.Label(k, v) }))
+      }.map(_.getString(0)).toSet
+      assert(viaRule == expected, s"selector '$s'")
+    }
+  }
+}

@@ -164,6 +164,35 @@ class SequencerSpec extends SparkSpec {
       s"state must survive restart; got ${out.toVector}")
   }
 
+  test("streaming sequencing on the RocksDB state store provider (ST3)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val conf = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(conf)
+    spark.conf.set(conf,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = Files.createTempDirectory("graft-rocks-ckpt").toString
+      val outDir = Files.createTempDirectory("graft-rocks-out").toString
+      val input = MemoryStream[SeqEnvelope](spark)
+      input.addData(env("R", 1, ContinueTxn), env("R", 2, AckTxn))
+      val q = Sequencer.sequenceStream(input.toDS()).writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000); q.stop()
+      val schema = org.apache.spark.sql.Encoders.product[SeqEnvelope].schema
+      val out = spark.read.schema(schema).parquet(outDir).as[SeqEnvelope].collect()
+      assert(out.map(_.clock).sorted.toVector == Vector(1L, 2L))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(conf, v)
+        case None => spark.conf.unset(conf)
+      }
+    }
+  }
+
   private val Files = new {
     def createTempDirectory(prefix: String): java.nio.file.Path =
       java.nio.file.Files.createTempDirectory(prefix)
