@@ -75,17 +75,44 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** MinHash signatures: `numHashes` permutations approximated by
-    * xxhash64 with distinct salts; signature_i = min over shingles.
-    * Computed per-row with array transforms — a narrow map with NO
-    * shuffle (the explode/groupBy formulation shuffles |docs|·|shingles|
-    * rows and was ~10× slower at sf0.1).
+  /** splitmix64 finalizer — the per-permutation hash family for MinHash
+    * (public-domain mixing constants). Family choice is free: candidate
+    * recall depends only on hash quality, and candidates are verified
+    * with exact Jaccard afterwards.
     */
-  def minhashSignatures(docs: DataFrame, numHashes: Int): DataFrame =
-    docs.select(
-      col("doc_id") +:
-      (0 until numHashes).map(i =>
-        array_min(transform(col("sh"), s => xxhash64(lit(i), s))).as(s"h$i")): _*)
+  private[operators] def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash signatures: `numHashes` permutations, signature_i = min over
+    * shingles of mix64(shingle + gamma·(i+1)). Computed in a single tight
+    * typed-Dataset loop: Spark's higher-order array functions evaluate
+    * interpreted (outside codegen), so 48 `array_min(transform(...))`
+    * columns pay boxed per-element eval — the plain loop is ~free by
+    * comparison and still a narrow, shuffle-less map.
+    */
+  def minhashSignatures(docs: DataFrame, numHashes: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("sh")).as[(Long, Array[Long])]
+      .map { case (id, sh) =>
+        val sig = Array.fill(numHashes)(Long.MaxValue)
+        var i = 0
+        while (i < sh.length) {
+          var h = 0
+          while (h < numHashes) {
+            val v = mix64(sh(i) + 0x9e3779b97f4a7c15L * (h + 1))
+            if (v < sig(h)) sig(h) = v
+            h += 1
+          }
+          i += 1
+        }
+        (id, sig)
+      }.toDF("doc_id", "sig")
+  }
 
   /** LSH candidate pairs: band the signature, bucket-join within bands,
     * then verify candidates with exact Jaccard over the shingle arrays.
@@ -103,13 +130,31 @@ object Dedup {
     // cross-branch plan reuse does NOT exist — without materialization
     // every reference re-runs the tokenize+shingle pipeline.
     val d = docs.persist(StorageLevel.MEMORY_AND_DISK)
-    val sig = minhashSignatures(d, numHashes)
-    // One pass per row: band buckets via posexplode (a 12-way union of
-    // selects would recompute the 48-hash signature once per band).
-    val buckets = sig.select(col("doc_id"),
-        posexplode(array((0 until bands).map { b =>
-          xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)
-        }: _*)).as(Seq("band", "bucket")))
+    // One pass per row: signature + band buckets in the same tight loop
+    // (a per-band union of selects would recompute the signature per
+    // band; interpreted HOF columns would pay boxed eval).
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val buckets = d.select(col("doc_id"), col("sh")).as[(Long, Array[Long])]
+      .flatMap { case (id, sh) =>
+        val sig = Array.fill(numHashes)(Long.MaxValue)
+        var i = 0
+        while (i < sh.length) {
+          var h = 0
+          while (h < numHashes) {
+            val v = mix64(sh(i) + 0x9e3779b97f4a7c15L * (h + 1))
+            if (v < sig(h)) sig(h) = v
+            h += 1
+          }
+          i += 1
+        }
+        (0 until bands).map { b =>
+          var acc = b.toLong
+          var r = b * rows
+          while (r < (b + 1) * rows) { acc = mix64(acc ^ sig(r)); r += 1 }
+          (id, b, acc)
+        }
+      }.toDF("doc_id", "band", "bucket")
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))

@@ -27,11 +27,19 @@ case class MatchesSelector(left: Expression, right: Expression)
   override def dataType: DataType = BooleanType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    val ok = left.dataType.isInstanceOf[MapType] && right.dataType == StringType
-    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"matches_selector expects (map<string,string>, string literal), got " +
-        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (!left.dataType.isInstanceOf[MapType] || right.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"matches_selector expects (map<string,string>, string literal), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    else if (right.foldable) {
+      // Surface selector-grammar errors at analysis time, not first-row eval.
+      LabelSelector.parse(String.valueOf(right.eval(null))) match {
+        case scala.util.Left(err) =>
+          TypeCheckResult.TypeCheckFailure(s"invalid label selector: $err")
+        case scala.util.Right(_) => TypeCheckResult.TypeCheckSuccess
+      }
+    } else TypeCheckResult.TypeCheckSuccess
   }
 
   @transient private lazy val selector: LabelSelector =

@@ -8,15 +8,27 @@ import org.apache.spark.sql.functions._
 /** Own session: the extension must be installed at session build time. */
 class SelectorExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  private lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
-    .appName("graft-selector-ext")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.ui.enabled", "false")
-    .withExtensions(new SelectorExtension)
-    .getOrCreate()
+  // A session with the extension installed. getOrCreate() would silently
+  // reuse the suite-shared session (no extensions applied) — clear the
+  // active/default sessions so the builder constructs a fresh
+  // SparkSession over the shared SparkContext. Never stop() it: the
+  // underlying context is shared with every other suite.
+  private lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-selector-ext")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new SelectorExtension)
+      .getOrCreate()
+  }
 
-  override def afterAll(): Unit = spark.stop()
+  override def afterAll(): Unit = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+  }
 
   private def journals = {
     import spark.implicits._
@@ -56,6 +68,16 @@ class SelectorExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(optimized.contains("element_at") || optimized.contains("ElementAt"),
       s"expected native map predicates:\n$optimized")
     assert(df.collect().map(_.getString(0)).sorted.toSeq == Seq("topic/a", "topic/b"))
+  }
+
+  test("invalid selector fails at analysis, not first-row eval") {
+    journals.createOrReplaceTempView("journals_ext2")
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM journals_ext2 WHERE matches_selector(labels, 'ban=ana in (x)')")
+        .queryExecution.analyzed
+    }
+    assert(e.getMessage.contains("invalid label selector"), e.getMessage)
   }
 
   test("rewritten and direct evaluation agree on all selectors") {
