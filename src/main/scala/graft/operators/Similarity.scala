@@ -55,6 +55,21 @@ object Similarity {
       when(dot(embedding, typedlit(p.toSeq)) > 0, shiftleft(lit(1L), i)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
 
+  /** Embedding-cosine near-duplicate pairs: every (va < vb) pair with
+    * cosine >= threshold. The corpus side is broadcast when it fits
+    * (probes stream past it with zero shuffle); at 100 TB the same
+    * verification runs only on LSH-bucket-equal candidates
+    * ([[lshBucket]] self-join — identical shape to [[Dedup.minhashLshPairs]]'
+    * band join), trading bounded recall for a linear-ish candidate set.
+    */
+  def cosinePairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = corpus.select(col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = corpus.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    a.join(broadcast(b), col("va") < col("vb"))
+      .select(col("va"), col("vb"), round(cosine(col("ea"), col("eb")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** ANN top-k within LSH bucket: corpus and probes are bucketed by the
     * same planes; candidates are bucket-equal pairs. Shuffle is a hash
     * join on the bucket id.

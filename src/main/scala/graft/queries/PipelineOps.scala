@@ -142,6 +142,14 @@ object PipelineOps {
         Tables.events(s, d), Seq($"event_type"), $"user_id", salts = 16)
     },
 
+    // ---- q37: embedding-cosine near-dup pairs (exact; the corpus is
+    // random so the demo threshold is 0.4 — production near-dup uses
+    // ~0.95 and the LSH-candidate path described on cosinePairs).
+    "q37_embedding_neardup" -> { (s, d) =>
+      import s.implicits._
+      Similarity.cosinePairs(Tables.embeddings(s, d), 0.4)
+    },
+
     // ---- q29: embedding norms aggregated per label.
     "q29_embedding_norms" -> { (s, d) =>
       import s.implicits._
@@ -256,6 +264,14 @@ object PipelineOps {
     "q35_salted_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_distinct
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q37_embedding_neardup" ->
+      """SELECT a.vec_id AS va, b.vec_id AS vb,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 6) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.4""".stripMargin,
 
     "q29_embedding_norms" ->
       """SELECT label, count(*) AS n,

@@ -74,6 +74,16 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).toSeq == Seq(3L, 1L)) // closest first
   }
 
+  test("cosinePairs finds exactly the pairs above threshold, ordered va < vb") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.cosinePairs(vecs, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((0L, 1L))) // 0~2 orthogonal, 0~3 opposite
+  }
+
   test("lang/quality/fingerprint columns are deterministic and bounded") {
     import spark.implicits._
     val d = docs((1L, "the cat and the dog of the house is to be seen"))
