@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only micro-profiler for slow bench queries (not part of the
+  * engine surface; invoked manually, see tools/check.py workflow).
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def t(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[profile] $name%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s  rows=$n")
+    }
+
+    // warmup
+    Tables.documents(spark, sfDir).count()
+
+    t("scan documents")(Tables.documents(spark, sfDir).count())
+    t("wordTokens")(Tables.documents(spark, sfDir)
+      .repartition(32)
+      .select(size(graft.operators.TextAnalysis.wordTokens($"text")).as("s")).agg(sum($"s")).count())
+    t("shingles")(Tables.documents(spark, sfDir)
+      .repartition(32)
+      .select(size(graft.operators.TextAnalysis.shingles($"text", 3)).as("s")).agg(sum($"s")).count())
+    t("docShingles full")(graft.operators.Dedup.docShingles(
+      Tables.documents(spark, sfDir), $"doc_id", $"text", 3).agg(sum(size($"sh"))).count())
+    val ds = graft.operators.Dedup.docShingles(
+      Tables.documents(spark, sfDir), $"doc_id", $"text", 3)
+    t("docShingles cached count") { ds.persist(); ds.count() }
+    t("minhash sigs from cached")(graft.operators.Dedup.minhashSignatures(ds, 48).count())
+    t("explode+groupBy pairs from cached") {
+      val ex = ds.select($"doc_id", explode($"sh").as("shingle"))
+      ex.groupBy($"shingle").agg(collect_list($"doc_id").as("ids"))
+        .filter(size($"ids") > 1).count()
+    }
+    t("q24 full")(SparkEntry.queries("q24_jaccard_pairs")(spark, sfDir).count())
+    t("q25 full")(SparkEntry.queries("q25_minhash_lsh_pairs")(spark, sfDir).count())
+    spark.stop()
+  }
+}

@@ -37,11 +37,45 @@ object Dedup {
     * probability at 64 bits is negligible for any real corpus
     * (~1e-13 for 10⁶ distinct shingles).
     */
-  def docShingles(df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(id.as("doc_id"),
-        array_distinct(transform(TextAnalysis.shingles(text, n), s => xxhash64(s))).as("sh"))
-      .filter(size(col("sh")) > 0)
+  def docShingles(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // One fused JIT-compiled map per document: tokenize → shingle →
+    // hash → dedupe. The equivalent column form
+    // (array_distinct(transform(shingles(...), xxhash64))) evaluates
+    // interpreted per element and is ~15× slower at corpus scale.
+    df.select(id.cast("long").as("doc_id"), text.cast("string").as("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+      .flatMap { case (docId, t) =>
+        val m = java.util.regex.Pattern.compile("[a-z]+").matcher(t.toLowerCase)
+        val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (m.find()) toks += m.group()
+        if (toks.length < n) None
+        else {
+          val seen = new java.util.HashSet[java.lang.Long]()
+          val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+          var i = 0
+          while (i + n <= toks.length) {
+            // FNV-1a 64 over the space-joined shingle bytes: any stable
+            // 64-bit hash works (collisions ~1e-13 at 1e6 shingles);
+            // downstream jaccard/minhash/banding all consume the longs.
+            var h = 0xcbf29ce484222325L
+            var j = 0
+            while (j < n) {
+              if (j > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
+              val w = toks(i + j)
+              var k = 0
+              while (k < w.length) { h ^= w.charAt(k).toLong; h *= 0x100000001b3L; k += 1 }
+              j += 1
+            }
+            if (seen.add(h)) out += h
+            i += 1
+          }
+          Some((docId, out.toArray))
+        }
+      }.toDF("doc_id", "sh")
+  }
 
   /** Exhaustive near-duplicate pairs with exact n-gram Jaccard >= threshold.
     * Shuffles: explode→join on shingle, then one aggregation. At scale,
@@ -53,7 +87,12 @@ object Dedup {
       docs: DataFrame, // (doc_id, sh)
       threshold: Double,
       maxShingleFreq: Option[Int] = None): DataFrame = {
-    val ex0 = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    import org.apache.spark.storage.StorageLevel
+    // Materialize once: the shingle pipeline is referenced by the pair
+    // generation AND both count branches, and Spark has no cross-branch
+    // plan reuse.
+    val d = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    val ex0 = d.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val ex = maxShingleFreq match {
       case Some(f) =>
         import org.apache.spark.sql.expressions.Window
@@ -61,11 +100,26 @@ object Dedup {
           Window.partitionBy(col("shingle")))).filter(col("__f") <= f).drop("__f")
       case None => ex0
     }
-    val cnt = docs.select(col("doc_id"), size(col("sh")).as("c"))
-    val shared = ex.as("a").join(ex.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+    // Pair generation via per-shingle doc lists: ONE shuffle of the
+    // exploded rows (vs two + a join probe for a self-join), then a
+    // local k·(k−1)/2 expansion per shingle group.
+    val pairUdf = udf { ids: Seq[Long] =>
+      val s = ids.sorted
+      val out = Seq.newBuilder[(Long, Long)]
+      var i = 0
+      while (i < s.length) {
+        var j = i + 1
+        while (j < s.length) { out += ((s(i), s(j))); j += 1 }
+        i += 1
+      }
+      out.result()
+    }
+    val shared = ex.groupBy(col("shingle")).agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairUdf(col("ids"))).as("p"))
+      .groupBy(col("p._1").as("da"), col("p._2").as("db"))
       .agg(count(lit(1)).as("shared"))
+    val cnt = d.select(col("doc_id"), size(col("sh")).as("c"))
     shared
       .join(cnt.as("ca"), col("da") === col("ca.doc_id"))
       .join(cnt.as("cb"), col("db") === col("cb.doc_id"))
@@ -199,6 +253,42 @@ object Dedup {
         bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** Typed fast path of [[simhash64]]: (doc_id, sim) per document with
+    * one fused JIT loop — tokenize, FNV-1a-64 per token, 64 bit-sums,
+    * sign. The 64-`aggregate` column form evaluates interpreted and
+    * costs ~10× more per document; hash-family choice is free (SimHash
+    * only needs a fixed high-quality per-token hash).
+    */
+  def simhashes(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("doc_id"), text.cast("string").as("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+      .map { case (docId, t) =>
+        val toks = TextAnalysis.tokenize(t)
+        val sums = new Array[Int](64)
+        var i = 0
+        while (i < toks.length) {
+          val w = toks(i)
+          var h = 0xcbf29ce484222325L
+          var k = 0
+          while (k < w.length) { h ^= w.charAt(k).toLong; h *= 0x100000001b3L; k += 1 }
+          h = mix64(h) // FNV output bits are weakly mixed; finalize
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
+            b += 1
+          }
+          i += 1
+        }
+        var sim = 0L
+        var b = 0
+        while (b < 64) { if (sums(b) > 0) sim |= (1L << b); b += 1 }
+        (docId, sim)
+      }.toDF("doc_id", "sim")
   }
 
   /** 64-bit SimHash over word tokens: bit b of the hash is the sign of

@@ -62,11 +62,33 @@ object Similarity {
     * ([[lshBucket]] self-join — identical shape to [[Dedup.minhashLshPairs]]'
     * band join), trading bounded recall for a linear-ish candidate set.
     */
+  /** Fused cosine over float vectors: dot and both norms in one pass,
+    * double accumulation in index order (oracle-identical math). A UDF
+    * beats three interpreted `aggregate(zip_with(...))` columns by ~50×
+    * on pair-join workloads; per-call cost is two array reads + one
+    * fused loop.
+    */
+  private val cosineUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var k = 0
+    val n = a.length
+    while (k < n) {
+      val x = a(k).toDouble; val y = b(k).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      k += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   def cosinePairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    // Repartition the streamed side: a single-file corpus otherwise runs
+    // the whole nested-loop on one core.
     val a = corpus.select(col("vec_id").as("va"), col("embedding").as("ea"))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     val b = corpus.select(col("vec_id").as("vb"), col("embedding").as("eb"))
     a.join(broadcast(b), col("va") < col("vb"))
-      .select(col("va"), col("vb"), round(cosine(col("ea"), col("eb")), 6).as("sim"))
+      .select(col("va"), col("vb"), cosineUdf(col("ea"), col("eb")).as("c"))
+      .filter(col("c") >= threshold - 1e-6) // margin > half-ulp of round(·,6)
+      .select(col("va"), col("vb"), round(col("c"), 6).as("sim"))
       .filter(col("sim") >= threshold)
   }
 

@@ -36,6 +36,32 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** JIT-compiled tokenizer matching [[wordTokens]] ([a-z]+ runs of the
+    * lowercased text) for the typed fast paths.
+    */
+  private val wordPattern = java.util.regex.Pattern.compile("[a-z]+")
+  def tokenize(text: String): Array[String] = {
+    val m = wordPattern.matcher(text.toLowerCase)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) out += m.group()
+    out.toArray
+  }
+
+  /** Space-joined word n-grams of one document, in order — the typed
+    * fast path of [[ngramsAll]] (same strings, JIT loop instead of
+    * interpreted array HOFs).
+    */
+  def ngramIterator(text: String, n: Int): Iterator[String] = {
+    val toks = tokenize(text)
+    if (toks.length < n) Iterator.empty
+    else (0 to toks.length - n).iterator.map { i =>
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      sb.toString
+    }
+  }
+
   /** All word n-grams in order (non-distinct) — the word-count example's
     * n-gram stream (word_count.go:158-217).
     */
@@ -96,4 +122,34 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Single-pass language-ID: same formula as [[langId]] (per-language
+    * stopword-hit argmax, priority-ordered ties) but one combined
+    * `\b(w1|…|wN)\b` matcher pass per document instead of 25 regex
+    * scans — the 25-regex column form also overflows the JIT method
+    * budget and falls out of whole-stage codegen. Semantics identical:
+    * word-boundary alternation matches exactly the per-word counts,
+    * and shared stopwords (fr/zh "le") credit every owning language.
+    */
+  val langIdFast: org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val words: Map[String, Seq[Int]] = {
+      val m = scala.collection.mutable.Map.empty[String, List[Int]]
+      for (((_, ws), li) <- langStopwords.zipWithIndex; w <- ws)
+        m(w) = li :: m.getOrElse(w, Nil)
+      m.toMap.map { case (k, v) => k -> v.toSeq }
+    }
+    val pattern = java.util.regex.Pattern.compile(
+      "\\b(" + words.keys.toSeq.sorted.mkString("|") + ")\\b")
+    udf { t: String =>
+      val counts = new Array[Int](5)
+      val m = pattern.matcher(t.toLowerCase)
+      while (m.find()) words(m.group(1)).foreach(li => counts(li) += 1)
+      val Array(en, de, es, fr, zh) = counts
+      if (en >= de && en >= es && en >= fr && en >= zh) "en"
+      else if (de >= es && de >= fr && de >= zh) "de"
+      else if (es >= fr && es >= zh) "es"
+      else if (fr >= zh) "fr"
+      else "zh"
+    }
+  }
 }

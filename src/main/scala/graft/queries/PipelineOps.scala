@@ -39,7 +39,7 @@ object PipelineOps {
       import s.implicits._
       Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism) // CPU-bound regex maps
-        .select($"lang", TextAnalysis.langId($"text").as("pred"))
+        .select($"lang", TextAnalysis.langIdFast($"text").as("pred"))
         .groupBy($"lang", $"pred").agg(count(lit(1)).as("n"))
     },
 
@@ -64,7 +64,9 @@ object PipelineOps {
       import s.implicits._
       Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism) // CPU-bound tokenize
-        .select(explode(TextAnalysis.ngramsAll($"text", 2)).as("bigram"))
+        .select($"text").as[String]
+        .flatMap(TextAnalysis.ngramIterator(_, 2))
+        .toDF("bigram")
         .groupBy($"bigram").agg(count(lit(1)).as("n"))
         .orderBy($"n".desc, $"bigram".asc)
         .limit(20)
@@ -95,10 +97,7 @@ object PipelineOps {
     // self-join (exact; no O(n²) cross join — rows-only check).
     "q26_simhash_pairs" -> { (s, d) =>
       import s.implicits._
-      val sh = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism) // 64-agg simhash is CPU-bound
-        .select($"doc_id",
-          Dedup.simhash64(TextAnalysis.wordTokens($"text")).as("sim"))
+      val sh = Dedup.simhashes(Tables.documents(s, d), $"doc_id", $"text")
       Dedup.simhashPairs(sh, maxHamming = 6)
     },
 

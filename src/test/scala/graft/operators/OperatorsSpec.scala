@@ -84,6 +84,41 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Set((0L, 1L))) // 0~2 orthogonal, 0~3 opposite
   }
 
+  test("langIdFast agrees with the column-form langId, incl. shared stopwords") {
+    import spark.implicits._
+    val d = docs(
+      (1L, "the cat and the dog of the house is to be seen"),
+      (2L, "der Hund und die Katze ist das Haus"),
+      (3L, "le chat et les chiens est une maison"),   // fr
+      (4L, "wo zai shi de le"),                       // zh (shares 'le','de')
+      (5L, "el perro y la casa es los gatos"),
+      (6L, "the5 and5 of5 nothing matches boundaries"))
+    val both = d.select(
+      TextAnalysis.langId($"text").as("a"),
+      TextAnalysis.langIdFast($"text").as("b")).collect()
+    both.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+
+  test("simhashes fast path: identical docs collide, unrelated differ") {
+    import spark.implicits._
+    val d = Dedup.simhashes(docs(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha  BETA gamma delta epsilon"),
+      (3L, "zeta eta theta iota kappa")), $"doc_id", $"text")
+    val m = d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))
+    assert(java.lang.Long.bitCount(m(1L) ^ m(3L)) > 6)
+  }
+
+  test("ngramIterator matches the ngramsAll column form") {
+    import spark.implicits._
+    val txt = "The cat5 sat, on the MAT the cat"
+    val colForm = docs((1L, txt))
+      .select(TextAnalysis.ngramsAll($"text", 2)).collect().head.getSeq[String](0)
+    assert(TextAnalysis.ngramIterator(txt, 2).toSeq == colForm)
+    assert(TextAnalysis.ngramIterator("one", 2).isEmpty)
+  }
+
   test("lang/quality/fingerprint columns are deterministic and bounded") {
     import spark.implicits._
     val d = docs((1L, "the cat and the dog of the house is to be seen"))
