@@ -1,0 +1,103 @@
+package graft.catalog
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.labels.LabelSet
+
+/** Spec-tree semantics from broker/journalspace/node_test.go and the
+  * journal_spec_extensions algebra (reference scenarios re-expressed).
+  */
+class SpecTreeSpec extends AnyFunSuite {
+
+  private def term(name: String, patch: SpecPatch = SpecPatch()) =
+    SpecNode(name, patch)
+
+  test("patch algebra: union prefers lhs, intersect keeps shared, subtract zeroes matches") {
+    val a = SpecPatch(LabelSet("env", "prod", "team", "a"), replication = 3, codec = "gz")
+    val b = SpecPatch(LabelSet("env", "stage", "zone", "us"), replication = 3, codec = "none")
+
+    val u = a.union(b)
+    assert(u.labels.valueOf("env").contains("prod")) // lhs wins
+    assert(u.labels.valueOf("zone").contains("us"))  // rhs fills gaps
+    assert(u.replication == 3 && u.codec == "gz")
+
+    val i = a.intersect(b)
+    assert(i.labels.labels.isEmpty) // no group with equal values
+    assert(i.replication == 3 && i.codec == "")
+
+    val s = a.subtract(b)
+    assert(s.labels.valueOf("env").contains("prod"))
+    assert(s.replication == 0 && s.codec == "gz")
+  }
+
+  test("extractTree derives directories from shared path components") {
+    val tree = SpecTree.extract(Vector(
+      term("root/foo/bar"), term("root/foo/baz"), term("root/bing")))
+    assert(tree.name == "root/")
+    assert(tree.children.map(_.name) == Vector("root/bing", "root/foo/"))
+    assert(tree.children(1).children.map(_.name) == Vector("root/foo/bar", "root/foo/baz"))
+    assert(tree.validate.isRight)
+  }
+
+  test("hoist lifts common config; pushDown restores fully-specified terminals") {
+    val p1 = SpecPatch(LabelSet("env", "prod", "app", "x"), replication = 3, codec = "gz")
+    val p2 = SpecPatch(LabelSet("env", "prod", "app", "y"), replication = 3, codec = "none")
+    val tree = SpecTree.extract(Vector(term("t/a", p1), term("t/b", p2))).hoist
+
+    assert(tree.patch.replication == 3) // hoisted
+    assert(tree.patch.labels.valueOf("env").contains("prod"))
+    assert(tree.children(0).patch.replication == 0) // zeroed at children
+    assert(tree.children(0).patch.labels.valueOf("env").isEmpty)
+    assert(tree.children(0).patch.codec == "gz") // not common → stays
+
+    val flat = tree.pushDown.terminals
+    assert(flat.map(_.patch.replication) == Vector(3, 3))
+    assert(flat.forall(_.patch.labels.valueOf("env").contains("prod")))
+    assert(flat.map(_.patch.labels.valueOf("app").get) == Vector("x", "y"))
+  }
+
+  test("patchIn updates existing terminals, splices new nodes, re-roots on prefix miss") {
+    val base = SpecTree.extract(Vector(term("j/a"), term("j/b")))
+    val t1 = base.patchIn(SpecNode("j/a", SpecPatch(replication = 5)))
+    assert(t1.terminals.find(_.name == "j/a").get.patch.replication == 5)
+    assert(t1.terminals.find(_.name == "j/a").get.patched)
+
+    val t2 = t1.patchIn(SpecNode("j/c", SpecPatch(codec = "none")))
+    assert(t2.terminals.map(_.name) == Vector("j/a", "j/b", "j/c"))
+
+    val t3 = t2.patchIn(SpecNode("other/x")) // outside root prefix → re-roots
+    assert(t3.terminals.map(_.name).contains("other/x"))
+
+    val marked = t3.markUnpatchedForDeletion
+    assert(marked.terminals.filter(_.delete.contains(true)).map(_.name) == Vector("j/b"))
+  }
+
+  test("round-trip: catalog → tree → edit → applyTo catalog") {
+    val cat = new JournalCatalog
+    cat.upsert(JournalSpec("logs/app/a", LabelSet("env", "prod"), replication = 2))
+    cat.upsert(JournalSpec("logs/app/b", LabelSet("env", "prod"), replication = 2))
+    cat.upsert(JournalSpec("logs/sys/c", LabelSet("env", "dev")))
+
+    val tree = SpecTree.fromCatalog(cat)
+    assert(tree.name == "logs/")
+    // common env=prod hoisted into logs/app/
+    val app = tree.children.find(_.name == "logs/app/").get
+    assert(app.patch.labels.valueOf("env").contains("prod"))
+
+    val edited = tree.patchIn(SpecNode("logs/app/d", SpecPatch(replication = 4)))
+    assert(SpecTree.applyTo(edited, cat) == Right(4))
+    assert(cat.get("logs/app/d").get.replication == 4)
+    // d inherits nothing from the hoisted parent? No: pushDown applies
+    // the logs/app/ patch — env=prod flows to the new terminal.
+    assert(cat.get("logs/app/d").get.labels.valueOf("env").contains("prod"))
+
+    val deleted = edited.patchIn(SpecNode("logs/app/a", delete = Some(true)))
+    assert(SpecTree.applyTo(deleted, cat).isRight)
+    assert(cat.get("logs/app/a").isEmpty)
+  }
+
+  test("sharedPrefix measures at '/' boundaries") {
+    assert(SpecTree.sharedPrefix("root/foo/bar", "root/foo/baz") == "root/foo/".length)
+    assert(SpecTree.sharedPrefix("root/foo", "root/bar") == "root/".length)
+    assert(SpecTree.sharedPrefix("abc", "abd") == 0)
+  }
+}
