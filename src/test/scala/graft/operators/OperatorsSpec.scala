@@ -74,6 +74,19 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).toSeq == Seq(3L, 1L)) // closest first
   }
 
+  test("ivfTopK with nprobe=nlist is exact (matches bruteTopK)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val probes = vecs.filter($"vec_id" < 3)
+    val brute = Similarity.bruteTopK(vecs, probes, 4)
+      .select($"probe_id", $"vec_id", $"rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ivf = Similarity.ivfTopK(vecs, probes, 4, nlist = 8, nprobe = 8)
+      .select($"probe_id", $"vec_id", $"rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ivf == brute) // probing every cell = exhaustive search
+  }
+
   test("cosinePairs finds exactly the pairs above threshold, ordered va < vb") {
     import spark.implicits._
     val vecs = Seq(
