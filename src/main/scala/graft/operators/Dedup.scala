@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines.
@@ -87,12 +87,12 @@ object Dedup {
       docs: DataFrame, // (doc_id, sh)
       threshold: Double,
       maxShingleFreq: Option[Int] = None): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    // Materialize once: the shingle pipeline is referenced by the pair
-    // generation AND both count branches, and Spark has no cross-branch
-    // plan reuse.
-    val d = docs.persist(StorageLevel.MEMORY_AND_DISK)
-    val ex0 = d.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    // Each exploded row carries its doc's shingle count, so the final
+    // jaccard needs no join back to per-doc counts — the pipeline is
+    // exactly two exchanges: by shingle (pair generation), by pair
+    // (shared-count aggregation).
+    val ex0 = docs.select(col("doc_id"), size(col("sh")).as("c"),
+      explode(col("sh")).as("shingle"))
     val ex = maxShingleFreq match {
       case Some(f) =>
         import org.apache.spark.sql.expressions.Window
@@ -100,32 +100,32 @@ object Dedup {
           Window.partitionBy(col("shingle")))).filter(col("__f") <= f).drop("__f")
       case None => ex0
     }
-    // Pair generation via per-shingle doc lists: ONE shuffle of the
-    // exploded rows (vs two + a join probe for a self-join), then a
+    // Pair generation via per-shingle (doc, count) lists: ONE shuffle of
+    // the exploded rows (vs two + a join probe for a self-join), then a
     // local k·(k−1)/2 expansion per shingle group.
-    val pairUdf = udf { ids: Seq[Long] =>
-      val s = ids.sorted
-      val out = Seq.newBuilder[(Long, Long)]
+    val pairUdf = udf { ids: Seq[Row] =>
+      val s = ids.map(r => (r.getLong(0), r.getInt(1))).sorted
+      val out = Seq.newBuilder[(Long, Long, Int, Int)]
       var i = 0
       while (i < s.length) {
         var j = i + 1
-        while (j < s.length) { out += ((s(i), s(j))); j += 1 }
+        while (j < s.length) {
+          out += ((s(i)._1, s(j)._1, s(i)._2, s(j)._2))
+          j += 1
+        }
         i += 1
       }
       out.result()
     }
-    val shared = ex.groupBy(col("shingle")).agg(collect_list(col("doc_id")).as("ids"))
+    ex.groupBy(col("shingle"))
+      .agg(collect_list(struct(col("doc_id"), col("c"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(pairUdf(col("ids"))).as("p"))
       .groupBy(col("p._1").as("da"), col("p._2").as("db"))
-      .agg(count(lit(1)).as("shared"))
-    val cnt = d.select(col("doc_id"), size(col("sh")).as("c"))
-    shared
-      .join(cnt.as("ca"), col("da") === col("ca.doc_id"))
-      .join(cnt.as("cb"), col("db") === col("cb.doc_id"))
+      .agg(count(lit(1)).as("shared"), first(col("p._3")).as("ca"), first(col("p._4")).as("cb"))
       .select(col("da"), col("db"),
         (col("shared").cast("double") /
-          (col("ca.c") + col("cb.c") - col("shared"))).as("jaccard"))
+          (col("ca") + col("cb") - col("shared"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
