@@ -50,6 +50,28 @@ object Profile {
     }
     t("q24 full")(SparkEntry.queries("q24_jaccard_pairs")(spark, sfDir).count())
     t("q25 full")(SparkEntry.queries("q25_minhash_lsh_pairs")(spark, sfDir).count())
+
+    // Sequencer throughput vs the reference's qualitative bar
+    // (>=100K msgs/s/partition, consumer/shard.go:24-34): 2M envelopes,
+    // 8 producers x 4 journals, 5-message txn spans (4 CONTINUE + ACK).
+    {
+      import graft.streaming.Sequencer
+      import graft.streaming.Sequencer.SeqEnvelope
+      val n = 2000000
+      val envs = spark.range(n).as[Long].map { i =>
+        val producer = "p" + (i % 32)
+        val journal = "j" + (i % 4) // 32 distinct (journal, producer) groups
+        val seq = i / 32            // per-group position → monotonic clock
+        val flags = if (seq % 20 == 19) Sequencer.AckTxn else Sequencer.ContinueTxn
+        SeqEnvelope(journal, i * 10, i * 10 + 10, producer, seq + 1, flags, "x")
+      }.persist()
+      envs.count() // materialize input outside the timed region
+      val t0 = System.nanoTime()
+      val out = Sequencer.sequenceBatch(envs).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[profile] sequencer batch throughput: ${n / dt / 1e6}%.2f M msgs/s total " +
+        f"(${n / dt / 32 / 1e3}%.1f K msgs/s/core), $out committed of $n in $dt%.2f s")
+    }
     spark.stop()
   }
 }

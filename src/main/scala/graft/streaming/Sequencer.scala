@@ -49,9 +49,9 @@ object Sequencer {
     * (-1 when no span).
     */
   case class SeqState(
-      minClock: Long, maxClock: Long, begin: Long, buffered: List[Buffered])
+      minClock: Long, maxClock: Long, begin: Long, buffered: Vector[Buffered])
 
-  val initialState: SeqState = SeqState(0L, 0L, -1L, Nil)
+  val initialState: SeqState = SeqState(0L, 0L, -1L, Vector.empty)
 
   private def lte(a: Long, b: Long): Boolean = java.lang.Long.compareUnsigned(a, b) <= 0
   private def lt(a: Long, b: Long): Boolean = java.lang.Long.compareUnsigned(a, b) < 0
@@ -79,7 +79,7 @@ object Sequencer {
           if (lte(env.clock, st.minClock)) {
             // Rollback; clock < minClock additionally signals an upstream
             // checkpoint regression (at-least-once degradation).
-            st = SeqState(env.clock, env.clock, -1L, Nil)
+            st = SeqState(env.clock, env.clock, -1L, Vector.empty)
           } else {
             st.buffered.foreach { b =>
               if (lt(st.minClock, b.clock) && lte(b.clock, env.clock))
@@ -87,14 +87,14 @@ object Sequencer {
                   b.clock, ContinueTxn, b.payload)
             }
             out += env // the ACK itself is part of the committed stream
-            st = SeqState(env.clock, env.clock, -1L, Nil)
+            st = SeqState(env.clock, env.clock, -1L, Vector.empty)
           }
 
         case _ => // OUTSIDE_TXN (and unknown flags handled as such)
           if (lte(env.clock, st.minClock)) () // already acked
           else {
             out += env // any partial span is clobbered (effective rollback)
-            st = SeqState(env.clock, env.clock, -1L, Nil)
+            st = SeqState(env.clock, env.clock, -1L, Vector.empty)
           }
       }
     }

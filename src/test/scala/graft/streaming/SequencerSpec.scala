@@ -26,31 +26,31 @@ class SequencerSpec extends SparkSpec {
     val a2Dup = env("A", 2, ContinueTxn)
     val (out, st) = run(initialState, a1, a2, a1Dup, a2Dup, a3)
     assert(out.map(_.clock) == Vector(1L, 2L, 3L))
-    assert(st == SeqState(3L, 3L, -1L, Nil))
+    assert(st == SeqState(3L, 3L, -1L, Vector.empty))
   }
 
   test("ACK without preceding CONTINUE commits empty sequence") {
     val a4 = env("A", 4, AckTxn)
-    val (out, st) = run(SeqState(3, 3, -1, Nil), a4)
+    val (out, st) = run(SeqState(3, 3, -1, Vector.empty), a4)
     assert(out == Vector(a4))
     assert(st.minClock == 4)
   }
 
   test("partial ACK drops higher-clock messages") {
     val (a5, a7, a6ack) = (env("A", 5, ContinueTxn), env("A", 7, ContinueTxn), env("A", 6, AckTxn))
-    val (out, st) = run(SeqState(4, 4, -1, Nil), a5, a7, a6ack)
+    val (out, st) = run(SeqState(4, 4, -1, Vector.empty), a5, a7, a6ack)
     assert(out.map(_.clock) == Vector(5L, 6L))
     assert(out.last.flags == AckTxn)
-    assert(st == SeqState(6, 6, -1, Nil))
+    assert(st == SeqState(6, 6, -1, Vector.empty))
   }
 
   test("rollback via ACK at current minClock discards the span") {
     val (a7r, a8r, a6abort) =
       (env("A", 7, ContinueTxn), env("A", 8, ContinueTxn), env("A", 6, AckTxn))
     val a7dup = env("A", 7, ContinueTxn)
-    val (out, st) = run(SeqState(6, 6, -1, Nil), a7r, a7dup, a8r, a6abort)
+    val (out, st) = run(SeqState(6, 6, -1, Vector.empty), a7r, a7dup, a8r, a6abort)
     assert(out.isEmpty)
-    assert(st == SeqState(6, 6, -1, Nil))
+    assert(st == SeqState(6, 6, -1, Vector.empty))
   }
 
   test("interleaved producer commits independently") {
@@ -62,7 +62,7 @@ class SequencerSpec extends SparkSpec {
 
   test("duplicates across committed sequences are dropped") {
     // After B commits through 3: b1Dup/b2Dup are AlreadyAcked.
-    val st0 = SeqState(3, 3, -1, Nil)
+    val st0 = SeqState(3, 3, -1, Vector.empty)
     val (b4, b1d, b4d, b5, b6, b2d, b7, b8ack) = (
       env("B", 4, ContinueTxn), env("B", 1, ContinueTxn), env("B", 4, ContinueTxn),
       env("B", 5, ContinueTxn), env("B", 6, ContinueTxn), env("B", 2, ContinueTxn),
@@ -73,7 +73,7 @@ class SequencerSpec extends SparkSpec {
   }
 
   test("partial rollback where every buffered message is skipped") {
-    val st0 = SeqState(8, 8, -1, Nil)
+    val st0 = SeqState(8, 8, -1, Vector.empty)
     val (b9, b11, b12, b13, b10ack) = (
       env("B", 9, ContinueTxn), env("B", 11, ContinueTxn), env("B", 12, ContinueTxn),
       env("B", 13, ContinueTxn), env("B", 10, AckTxn))
@@ -83,7 +83,7 @@ class SequencerSpec extends SparkSpec {
   }
 
   test("reset to earlier ACK (checkpoint regression) allows SeqNo reuse") {
-    val st0 = SeqState(13, 13, -1, Nil)
+    val st0 = SeqState(13, 13, -1, Vector.empty)
     val (b8reset, b9reuse, b10ack) =
       (env("B", 8, AckTxn), env("B", 9, ContinueTxn), env("B", 10, AckTxn))
     val (out, st) = run(st0, b8reset, b9reuse, b10ack)
@@ -93,21 +93,21 @@ class SequencerSpec extends SparkSpec {
 
   test("OUTSIDE_TXN: dedup, span clobbering, zero-clock bypass") {
     // dedup: clock <= minClock dropped
-    val (out1, _) = run(SeqState(5, 5, -1, Nil), env("C", 4, OutsideTxn))
+    val (out1, _) = run(SeqState(5, 5, -1, Vector.empty), env("C", 4, OutsideTxn))
     assert(out1.isEmpty)
     // commit + clobber of a partial span
     val c6 = env("C", 6, ContinueTxn)
     val c7out = env("C", 7, OutsideTxn)
     val c8ack = env("C", 8, AckTxn)
-    val (out2, st2) = run(SeqState(5, 5, -1, Nil), c6, c7out, c8ack)
+    val (out2, st2) = run(SeqState(5, 5, -1, Vector.empty), c6, c7out, c8ack)
     // c7 OUTSIDE clobbers the c6 span; c8 ACK then commits empty.
     assert(out2.map(_.clock) == Vector(7L, 8L))
     assert(st2.minClock == 8)
     // zero-clock bypass: emitted, state untouched
     val z = env("C", 0, ContinueTxn)
-    val (out3, st3) = run(SeqState(5, 5, -1, Nil), z)
+    val (out3, st3) = run(SeqState(5, 5, -1, Vector.empty), z)
     assert(out3 == Vector(z))
-    assert(st3 == SeqState(5, 5, -1, Nil))
+    assert(st3 == SeqState(5, 5, -1, Vector.empty))
   }
 
   test("batch sequencing groups by (journal, producer) and offset-orders") {
