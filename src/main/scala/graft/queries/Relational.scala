@@ -174,6 +174,21 @@ object Relational {
              dsum($"value", 4).as("sum_value"))
     },
 
+    // ---- q39: session windows (§2.8) in batch form: per-user sessions
+    // with a 6h inactivity gap. `session_window` is the same operator
+    // Structured Streaming uses with watermarks (WindowingSpec covers
+    // the streaming form); the oracle is the classic gaps-and-islands
+    // SQL. Session start is emitted as epoch micros (ns truncated
+    // identically on both sides).
+    "q39_session_windows" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+        .groupBy($"user_id", session_window($"ets", "6 hours").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id", unix_micros($"w.start").as("session_start"), $"n_events")
+    },
+
     // ---- q12: rollup (multi-level aggregation).
     "q12_nation_rollup" -> { (s, d) =>
       import s.implicits._
@@ -289,6 +304,22 @@ object Relational {
         |  round(CAST(sum(CAST("value" AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_value
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
+
+    "q39_session_windows" ->
+      """WITH t AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |m AS (
+        |  SELECT user_id, us,
+        |    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+        |           OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 21600000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM t),
+        |i AS (
+        |  SELECT user_id, us, sum(brk) OVER (
+        |    PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM m)
+        |SELECT user_id, min(us) AS session_start, count(*) AS n_events
+        |FROM i GROUP BY user_id, island""".stripMargin,
 
     "q12_nation_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_customers,
