@@ -1,0 +1,126 @@
+package graft.streaming
+
+import java.sql.{Connection, DriverManager}
+
+/** ST1 — exactly-once materialization into a JDBC RDBMS, mirroring the
+  * reference SQLStore's write-fence protocol
+  * (`consumer/store_sql.go:29-145`):
+  *
+  *  - `open` runs RestoreCheckpoint: atomically increments the shard's
+  *    `fence` column and reads back (fence, checkpoint). The checkpoint
+  *    here is Spark's micro-batch id — the engine's analog of the
+  *    reference's marshalled consumer Checkpoint.
+  *  - `commitBatch` wraps application writes and the checkpoint update
+  *    in ONE database transaction; the update is guarded by
+  *    `WHERE fence = <restored fence>`. If a newer writer has re-opened
+  *    the store (zombie fencing), the guard matches zero rows and the
+  *    whole transaction rolls back — the stale writer can never commit.
+  *  - Batch replays (Spark retrying a micro-batch after restart) are
+  *    skipped idempotently when `batchId <=` the stored checkpoint.
+  *
+  * Use from `writeStream.foreachBatch { (df, id) =>
+  * store.commitBatch(id) { conn => ...JDBC upserts... } }` — the
+  * standard Spark exactly-once-to-RDBMS recipe, with the reference's
+  * fence making concurrent zombie writers safe, not just retries.
+  */
+final class SqlStore(url: String, shard: String,
+    table: String = "gazette_checkpoints") extends AutoCloseable {
+
+  private val conn: Connection = DriverManager.getConnection(url)
+  conn.setAutoCommit(false)
+
+  private var fence: Long = 0L
+
+  /** Last committed batch id (-1 when none). */
+  var restoredBatchId: Long = -1L
+  private var lastBatchId: Long = -1L
+
+  /** RestoreCheckpoint: bump the fence, read (fence, batchId). */
+  def open(): this.type = synchronized {
+    ensureTable()
+    val upd = conn.prepareStatement(
+      s"UPDATE $table SET fence = fence + 1 WHERE shard_fqn = ?")
+    upd.setString(1, shard)
+    upd.executeUpdate()
+    val q = conn.prepareStatement(
+      s"SELECT fence, batch_id FROM $table WHERE shard_fqn = ?")
+    q.setString(1, shard)
+    val rs = q.executeQuery()
+    if (rs.next()) { fence = rs.getLong(1); restoredBatchId = rs.getLong(2) }
+    else { fence = 0L; restoredBatchId = -1L }
+    rs.close()
+    lastBatchId = restoredBatchId
+    conn.commit()
+    this
+  }
+
+  /** Commit `writes` and the batchId checkpoint atomically. Returns
+    * Right(true) when committed, Right(false) for an idempotent replay
+    * skip, Left on fence preemption (a newer writer owns the shard).
+    */
+  def commitBatch(batchId: Long)(writes: Connection => Unit): Either[String, Boolean] =
+    synchronized {
+      if (batchId <= lastBatchId) Right(false) // replay of a committed batch
+      else {
+        try {
+          writes(conn)
+          val affected =
+            if (fence == 0L) {
+              val ins = conn.prepareStatement(
+                s"INSERT INTO $table (shard_fqn, batch_id, fence) VALUES (?, ?, 1)")
+              ins.setString(1, shard); ins.setLong(2, batchId)
+              val n = ins.executeUpdate()
+              fence = 1L
+              n
+            } else {
+              val upd = conn.prepareStatement(
+                s"UPDATE $table SET batch_id = ? WHERE shard_fqn = ? AND fence = ?")
+              upd.setLong(1, batchId); upd.setString(2, shard); upd.setLong(3, fence)
+              upd.executeUpdate()
+            }
+          if (affected == 0) {
+            conn.rollback()
+            Left("checkpoint fence was updated (ie, by a new primary)")
+          } else {
+            conn.commit()
+            lastBatchId = batchId
+            Right(true)
+          }
+        } catch {
+          case e: java.sql.SQLException =>
+            conn.rollback()
+            Left(e.getMessage)
+        }
+      }
+    }
+
+  /** Run read-only SQL against the store (the A4/A8 query surface). */
+  def query[A](sql: String)(f: java.sql.ResultSet => A): Vector[A] = synchronized {
+    val st = conn.createStatement()
+    val rs = st.executeQuery(sql)
+    val out = Vector.newBuilder[A]
+    while (rs.next()) out += f(rs)
+    rs.close(); st.close()
+    conn.commit()
+    out.result()
+  }
+
+  private def ensureTable(): Unit = {
+    val st = conn.createStatement()
+    try {
+      st.executeUpdate(
+        s"""CREATE TABLE $table (
+           |  shard_fqn VARCHAR(512) PRIMARY KEY,
+           |  batch_id BIGINT NOT NULL,
+           |  fence BIGINT NOT NULL)""".stripMargin)
+      conn.commit()
+    } catch {
+      case e: java.sql.SQLException if e.getSQLState == "X0Y32" => // exists
+        conn.rollback()
+    } finally st.close()
+  }
+
+  override def close(): Unit = synchronized {
+    try conn.rollback() finally conn.close()
+  }
+}
