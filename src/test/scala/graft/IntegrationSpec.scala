@@ -48,4 +48,59 @@ class IntegrationSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(batchCounts == m2)
   }
+
+  test("streaming word-count materialized exactly-once into SqlStore (ST1)") {
+    import spark.implicits._
+    import graft.streaming.SqlStore
+    val root = Files.createTempDirectory("graft-sql-e2e").toString
+    val dbUrl = s"jdbc:derby:${Files.createTempDirectory("sqlstore-e2e")}/db;create=true"
+
+    { // app table DDL (outside the fenced commit path, as a migration would be)
+      val c = java.sql.DriverManager.getConnection(dbUrl)
+      c.createStatement().executeUpdate(
+        "CREATE TABLE wc (n_gram VARCHAR(256) PRIMARY KEY, cnt BIGINT)")
+      c.close()
+    }
+    val store = new SqlStore(dbUrl, "wc-shard").open()
+
+    Journal.append(Seq("the quick fox", "the quick dog").toDF("payload"), root, "docs", "gz")
+    val counts = WordCountApp.ngramCounts(
+      Journal.readStream(spark, root, "docs").withColumnRenamed("payload", "text"), 2)
+    val q = counts.writeStream
+      .outputMode("update") // changed (n_gram, cnt) rows per micro-batch
+      .option("checkpointLocation", Files.createTempDirectory("graft-sql-ckpt").toString)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val rows = df.collect() // counts table: small by construction
+        store.commitBatch(id) { conn =>
+          val upd = conn.prepareStatement("UPDATE wc SET cnt = ? WHERE n_gram = ?")
+          val ins = conn.prepareStatement("INSERT INTO wc VALUES (?, ?)")
+          rows.foreach { r =>
+            upd.setLong(1, r.getLong(1)); upd.setString(2, r.getString(0))
+            if (upd.executeUpdate() == 0) {
+              ins.setString(1, r.getString(0)); ins.setLong(2, r.getLong(1))
+              ins.executeUpdate()
+            }
+          }
+        } match {
+          case Left(err) => throw new RuntimeException(err)
+          case Right(_) => ()
+        }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    Journal.append(Seq("a quick fox jumps").toDF("payload"), root, "docs", "gz")
+    q.processAllAvailable()
+    q.stop()
+
+    // The materialized RDBMS state equals a batch recount of the journal.
+    val fromDb = store.query("SELECT n_gram, cnt FROM wc")(r =>
+      r.getString(1) -> r.getLong(2)).toMap
+    val batchCounts = WordCountApp.ngramCounts(
+      Journal.read(spark, root, "docs").toDF().withColumnRenamed("payload", "text"), 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fromDb == batchCounts)
+    assert(store.restoredBatchId >= 0L || fromDb.nonEmpty)
+    store.close()
+  }
 }
