@@ -53,6 +53,31 @@ class WindowingSpec extends SparkSpec {
     assert(m("10:40") == 8L, s"got $m")
   }
 
+  test("dropDuplicatesWithinWatermark dedups by uuid — the simple-case " +
+      "alternative to the Sequencer (SURVEY §2.8)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    val input = MemoryStream[(String, Long)](spark)
+    val deduped = input.toDF().toDF("uuid", "v")
+      .withColumn("event_time",
+        timestamp_micros(lit(1700000000000000L) + $"v" * 60000000L))
+      .withWatermark("event_time", "10 minutes")
+      .dropDuplicatesWithinWatermark("uuid")
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dd").toString
+    val q = deduped.writeStream.format("memory").queryName("dd_out")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    input.addData("a" -> 0L, "b" -> 1L, "a" -> 2L) // in-batch duplicate a
+    q.processAllAvailable()
+    input.addData("a" -> 3L, "c" -> 4L)            // cross-batch duplicate a
+    q.processAllAvailable()
+    val vs = spark.table("dd_out").collect().map(_.getString(0)).toSeq
+    q.stop()
+    assert(vs.sorted == Seq("a", "b", "c"), s"got $vs")
+  }
+
   test("session windows group bursts separated by gaps (batch)") {
     import spark.implicits._
     val events = Seq(
