@@ -87,8 +87,12 @@ final case class LabelSelector(include: LabelSet, exclude: LabelSet) {
       if (l.value.isEmpty) s"$c IS ${if (negate) "" else "NOT "}NULL"
       else if (l.prefix) {
         val p = s"$c LIKE ${lit(l.value + "%")}"
-        if (negate) s"NOT ($p)" else p
-      } else if (negate) s"$c <> ${lit(l.value)}" else s"$c = ${lit(l.value)}"
+        // Negated terms must keep NULL rows: an absent label is
+        // not-excluded (matcher + RewriteMatchesSelector semantics),
+        // but bare NOT(...)/<> evaluates to NULL and drops the row.
+        if (negate) s"($c IS NULL OR NOT ($p))" else p
+      } else if (negate) s"($c IS NULL OR $c <> ${lit(l.value)})"
+      else s"$c = ${lit(l.value)}"
     }
     def group(g: Vector[Label], negate: Boolean): String =
       g.map(one(_, negate)).mkString("(", if (negate) " AND " else " OR ", ")")

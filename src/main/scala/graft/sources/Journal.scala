@@ -114,7 +114,21 @@ object Journal {
     */
   def append(df: DataFrame, root: String, journal: String,
       codec: String = "gz", payloadCol: String = "payload",
-      postfixCol: Option[String] = None): Seq[Fragment] = {
+      postfixCol: Option[String] = None): Seq[Fragment] =
+    stage(df, root, journal, codec, payloadCol, postfixCol).map {
+      case (frag, tmp) => commitFragment(frag, tmp)
+    }
+
+  /** Spool-and-plan half of `append`: spools each (partition, postfix)
+    * group executor-side, assigns contiguous offsets from the journal
+    * head, and returns the planned fragments paired with their spool tmp
+    * files — WITHOUT renaming anything into the fragment index. Callers
+    * commit each fragment with `commitFragment`; `batchSink` writes its
+    * manifest between the two so the whole batch is crash-atomic.
+    */
+  private[graft] def stage(df: DataFrame, root: String, journal: String,
+      codec: String = "gz", payloadCol: String = "payload",
+      postfixCol: Option[String] = None): Seq[(Fragment, String)] = {
     val spark = df.sparkSession
     import spark.implicits._
     val dir = Paths.get(root, journal)
@@ -152,33 +166,83 @@ object Journal {
         }
       }.collect().sortBy(s => (s._1, s._2))
 
-    // Driver side: prefix-sum offsets from the journal head, then commit
-    // via rename (content-addressed names make retries idempotent).
+    // Driver side: prefix-sum offsets from the journal head; the
+    // caller commits via rename (content-addressed names make
+    // retries idempotent).
     var begin = head(root, journal)
     spooled.map { case (_, postfix, len, sha, tmpPath) =>
       val sub = if (postfix.isEmpty) dir else dir.resolve(postfix)
       Files.createDirectories(sub)
       val frag = Fragment(journal, begin, begin + len, sha, codec,
         sub.resolve(f"$begin%016x-${begin + len}%016x-$sha.$codec").toString)
-      Files.move(Paths.get(tmpPath), Paths.get(frag.path),
-        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
       begin = frag.end
-      frag
+      (frag, tmpPath)
     }.toSeq
+  }
+
+  /** Commit one staged fragment: atomic rename of its spool into the
+    * fragment index (the spool→persist step, S7).
+    */
+  private[graft] def commitFragment(frag: Fragment, tmpPath: String): Fragment = {
+    Files.move(Paths.get(tmpPath), Paths.get(frag.path),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    frag
   }
 
   /** Idempotent micro-batch sink for `writeStream.foreachBatch`: a
     * batch manifest prevents duplicate appends on retry (the engine's
     * analog of ACK-intent fencing, SURVEY §1.1 Register row).
+    *
+    * Crash-atomic two-phase commit: stage spools first, then write a
+    * `.pending` manifest naming every planned fragment AND its spool
+    * file, then rename fragments into the index, then finalize by
+    * atomically renaming `.pending` → `.committed`. A retry after a
+    * crash in ANY window reconciles from the pending manifest — it
+    * completes outstanding renames when the spools survive, or rolls
+    * back the batch's partial fragments and re-appends — so the batch's
+    * records land exactly once. (Assumes the foreachBatch contract:
+    * one writer per (journal, query), serial batch retries.)
     */
   def batchSink(root: String, journal: String, codec: String = "gz")(
       df: DataFrame, batchId: Long): Unit = {
-    val manifest = Paths.get(root, journal, s".batch-$batchId.committed")
-    if (!Files.exists(manifest)) {
-      val frags = append(df, root, journal, codec)
-      Files.createDirectories(manifest.getParent)
-      Files.writeString(manifest, frags.map(_.name).mkString("\n"))
+    val dir = Paths.get(root, journal)
+    val committed = dir.resolve(s".batch-$batchId.committed")
+    if (Files.exists(committed)) return
+    Files.createDirectories(dir)
+
+    val pending = dir.resolve(s".batch-$batchId.pending")
+    if (Files.exists(pending)) {
+      // A prior attempt crashed mid-commit. Each manifest line is
+      // "fragPath\tspoolPath": finish renames where the spool survived;
+      // if any fragment can't be completed, roll the partial batch back
+      // and fall through to a fresh append (offsets re-derive from the
+      // head, which rollback restored).
+      val entries = Files.readAllLines(pending).asScala
+        .filter(_.nonEmpty).map(_.split('\t')).toVector
+      entries.foreach { case Array(fragPath, tmpPath) =>
+        if (!Files.exists(Paths.get(fragPath)) && Files.exists(Paths.get(tmpPath)))
+          Files.move(Paths.get(tmpPath), Paths.get(fragPath),
+            StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      }
+      if (entries.forall(e => Files.exists(Paths.get(e(0))))) {
+        Files.move(pending, committed, StandardCopyOption.ATOMIC_MOVE)
+        return
+      }
+      entries.foreach(e => Files.deleteIfExists(Paths.get(e(0))))
+      Files.delete(pending)
     }
+
+    val staged = stage(df, root, journal, codec)
+    // Write the pending manifest atomically (tmp + rename) BEFORE any
+    // fragment rename — the manifest must never name fragments it
+    // doesn't fully describe.
+    val pendingTmp = Files.createTempFile(dir, s".batch-$batchId-", ".tmp")
+    Files.writeString(pendingTmp,
+      staged.map { case (f, tmp) => s"${f.path}\t$tmp" }.mkString("\n"))
+    Files.move(pendingTmp, pending, StandardCopyOption.ATOMIC_MOVE)
+
+    staged.foreach { case (frag, tmp) => commitFragment(frag, tmp) }
+    Files.move(pending, committed, StandardCopyOption.ATOMIC_MOVE)
   }
 
   // ---- fixed binary framing (§1.2 application/x-protobuf-fixed) ------

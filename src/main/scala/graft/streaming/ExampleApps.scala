@@ -56,8 +56,13 @@ object StreamSumApp {
       var s = if (st.id == null) st.copy(id = id) else st
       val out = Vector.newBuilder[Sum]
       batch.sortBy(_.seqNo).foreach { c =>
-        if (c.data.isEmpty) out += s.copy(seqNo = c.seqNo)
-        else s = update(s, c)
+        // EVERY chunk routes through update — the reference's Update
+        // validates SeqNo continuity on the finalizing empty chunk too
+        // (stream_sum.go), so a chunk lost right before the terminator
+        // errors instead of emitting a silently wrong Sum. CRC64 over
+        // empty data leaves the value unchanged.
+        s = update(s, c)
+        if (c.data.isEmpty) out += s
       }
       (s, out.result())
     }

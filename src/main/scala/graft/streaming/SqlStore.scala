@@ -63,6 +63,7 @@ final class SqlStore(url: String, shard: String,
       if (batchId <= lastBatchId) Right(false) // replay of a committed batch
       else {
         try {
+          inCommit = true
           writes(conn)
           val affected =
             if (fence == 0L) {
@@ -90,9 +91,17 @@ final class SqlStore(url: String, shard: String,
           case e: java.sql.SQLException =>
             conn.rollback()
             Left(e.getMessage)
-        }
+        } finally inCommit = false
       }
     }
+
+  // True while commitBatch runs its writes-closure: `query` must not
+  // commit the shared connection then, or it would flush half-done
+  // application writes without the checkpoint row (breaking the atomic
+  // write+checkpoint guarantee). `synchronized` is reentrant on the
+  // same thread, so the closure CAN call query — it just reads inside
+  // the open transaction and leaves the commit to commitBatch.
+  private var inCommit = false
 
   /** Run read-only SQL against the store (the A4/A8 query surface). */
   def query[A](sql: String)(f: java.sql.ResultSet => A): Vector[A] = synchronized {
@@ -101,11 +110,25 @@ final class SqlStore(url: String, shard: String,
     val out = Vector.newBuilder[A]
     while (rs.next()) out += f(rs)
     rs.close(); st.close()
-    conn.commit()
+    if (!inCommit) conn.commit()
     out.result()
   }
 
+  /** Portable existence probe: DatabaseMetaData.getTables rather than a
+    * vendor-specific "already exists" SQLState (the class is a generic
+    * JDBC sink — Derby in tests, anything in production).
+    */
+  private def tableExists(): Boolean = {
+    val md = conn.getMetaData
+    // Unquoted identifiers fold per-vendor: probe as-is, upper, lower.
+    Seq(table, table.toUpperCase, table.toLowerCase).distinct.exists { t =>
+      val rs = md.getTables(null, null, t, Array("TABLE"))
+      try rs.next() finally rs.close()
+    }
+  }
+
   private def ensureTable(): Unit = {
+    if (tableExists()) return
     val st = conn.createStatement()
     try {
       st.executeUpdate(
@@ -115,8 +138,10 @@ final class SqlStore(url: String, shard: String,
            |  fence BIGINT NOT NULL)""".stripMargin)
       conn.commit()
     } catch {
-      case e: java.sql.SQLException if e.getSQLState == "X0Y32" => // exists
+      // Lost a concurrent-create race: fine as long as it now exists.
+      case e: java.sql.SQLException =>
         conn.rollback()
+        if (!tableExists()) throw e
     } finally st.close()
   }
 

@@ -86,4 +86,18 @@ class LabelsSpec extends AnyFunSuite {
     assert(p.contains("source LIKE 'src1%'"))
     assert(p.contains("missing IS NULL"))
   }
+
+  test("toSqlPredicate exclusions keep NULL (absent-label) rows") {
+    // Matcher semantics: an absent label is not-excluded. The SQL
+    // compilation must not let `col <> 'v'` (NULL when col is NULL)
+    // silently drop those rows.
+    val ne = LabelSelector.mustParse("env != qa").toSqlPredicate(identity)
+    assert(ne.contains("env IS NULL OR env <> 'qa'"), ne)
+    val notin = LabelSelector.mustParse("env notin (qa, dev)").toSqlPredicate(identity)
+    assert(notin.contains("env IS NULL OR env <> 'qa'") &&
+      notin.contains("env IS NULL OR env <> 'dev'"), notin)
+    val pfx = LabelSelector(LabelSet.empty, LabelSet("src:prefix", "s3/"))
+      .toSqlPredicate(identity)
+    assert(pfx.contains("src IS NULL OR NOT (src LIKE 's3/%')"), pfx)
+  }
 }

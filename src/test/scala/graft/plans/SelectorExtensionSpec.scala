@@ -80,6 +80,28 @@ class SelectorExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("invalid label selector"), e.getMessage)
   }
 
+  test("toSqlPredicate agrees with the matcher when label columns are NULL") {
+    import spark.implicits._
+    // Column-per-label shape: NULL column = absent label.
+    val rows = Seq(
+      ("r1", "prod", "json"), ("r2", "qa", "json"),
+      ("r3", "prod", null), ("r4", null, "json"), ("r5", null, null))
+    val df = rows.toDF("name", "env", "ct")
+    val selectors = Seq("env != qa", "env notin (qa, dev)", "ct, env != qa",
+      "env = prod", "!ct", "env")
+    selectors.foreach { s =>
+      val sel = graft.labels.LabelSelector.mustParse(s)
+      val viaSql = df.filter(expr(sel.toSqlPredicate(identity)))
+        .collect().map(_.getString(0)).toSet
+      val expected = rows.filter { case (_, env, ct) =>
+        val labels = Seq("env" -> env, "ct" -> ct).collect {
+          case (k, v) if v != null => graft.labels.Label(k, v) }
+        sel.matches(graft.labels.LabelSet(labels.toVector))
+      }.map(_._1).toSet
+      assert(viaSql == expected, s"selector '$s'")
+    }
+  }
+
   test("rewritten and direct evaluation agree on all selectors") {
     val selectors = Seq("env = prod", "env != qa", "ct", "!env",
       "env in (prod, qa), ct = json", "env notin (qa)")

@@ -84,6 +84,61 @@ class JournalSpec extends SparkSpec {
     assert(Journal.read(spark, root, "sink/j").count() == 4)
   }
 
+  test("batchSink recovers from a crash between fragment renames and manifest finalize") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val df = (1 to 100).map(i => s"rec-$i").toDF("payload").repartition(3)
+    // Simulate the crash window: stage + pending manifest + ALL fragment
+    // renames done, but the process dies before .pending → .committed.
+    val staged = Journal.stage(df, root, "cw/j", "gz")
+    val dir = java.nio.file.Paths.get(root, "cw/j")
+    java.nio.file.Files.writeString(dir.resolve(".batch-3.pending"),
+      staged.map { case (f, t) => s"${f.path}\t$t" }.mkString("\n"))
+    staged.foreach { case (f, t) => Journal.commitFragment(f, t) }
+
+    Journal.batchSink(root, "cw/j", "gz")(df, 3L) // Spark's retry of batch 3
+    assert(Journal.read(spark, root, "cw/j").count() == 100) // no duplicates
+    assert(java.nio.file.Files.exists(dir.resolve(".batch-3.committed")))
+    assert(!java.nio.file.Files.exists(dir.resolve(".batch-3.pending")))
+  }
+
+  test("batchSink completes a partially-renamed batch from surviving spools") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val df = (1 to 90).map(i => s"p-$i").toDF("payload").repartition(3)
+    val staged = Journal.stage(df, root, "cw/p", "gz")
+    assert(staged.size == 3)
+    val dir = java.nio.file.Paths.get(root, "cw/p")
+    java.nio.file.Files.writeString(dir.resolve(".batch-0.pending"),
+      staged.map { case (f, t) => s"${f.path}\t$t" }.mkString("\n"))
+    // Crash mid-commit: only the first fragment was renamed.
+    Journal.commitFragment(staged.head._1, staged.head._2)
+
+    Journal.batchSink(root, "cw/p", "gz")(df, 0L)
+    assert(Journal.read(spark, root, "cw/p").count() == 90)
+    assert(java.nio.file.Files.exists(dir.resolve(".batch-0.committed")))
+  }
+
+  test("batchSink rolls back and re-appends when spools are lost") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val df = (1 to 60).map(i => s"l-$i").toDF("payload").repartition(3)
+    val staged = Journal.stage(df, root, "cw/l", "gz")
+    val dir = java.nio.file.Paths.get(root, "cw/l")
+    java.nio.file.Files.writeString(dir.resolve(".batch-5.pending"),
+      staged.map { case (f, t) => s"${f.path}\t$t" }.mkString("\n"))
+    // Crash mid-commit AND the un-renamed spools were swept away.
+    Journal.commitFragment(staged.head._1, staged.head._2)
+    staged.tail.foreach { case (_, t) =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(t)) }
+
+    Journal.batchSink(root, "cw/l", "gz")(df, 5L)
+    val envs = Journal.read(spark, root, "cw/l").collect()
+    assert(envs.length == 60) // partial fragment rolled back, batch exactly once
+    assert(envs.map(_.payload).sorted.toSeq == (1 to 60).map(i => s"l-$i").sorted)
+    assert(java.nio.file.Files.exists(dir.resolve(".batch-5.committed")))
+  }
+
   test("fixed binary framing round-trips with exact offsets") {
     import spark.implicits._
     val root = tmpRoot()

@@ -37,6 +37,23 @@ class ExampleAppsSpec extends SparkSpec {
     }
   }
 
+  test("stream-sum: a chunk lost before the terminator errors, not a wrong sum") {
+    import spark.implicits._
+    import StreamSumApp._
+    // Chunk 2 of stream "s" was lost; the terminator arrives as seqNo 3.
+    // stream_sum.go's Update validates continuity on EVERY chunk — the
+    // finalizing empty chunk included — so this must raise, not emit the
+    // CRC of the partial data.
+    val chunks = Seq(
+      Chunk("s", 1, "battery".getBytes), Chunk("s", 3, Array.empty))
+    val e = intercept[org.apache.spark.SparkException] {
+      sums(spark.createDataset(chunks)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("invalid SeqNo")), msgs(e).mkString("; "))
+  }
+
   test("bike-share: bounded retention + cycle detection") {
     import spark.implicits._
     import BikeShareApp._

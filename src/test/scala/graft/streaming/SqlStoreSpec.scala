@@ -74,6 +74,44 @@ class SqlStoreSpec extends AnyFunSuite {
     b.close()
   }
 
+  test("query inside a commitBatch closure must not commit half-done writes") {
+    val url = freshUrl()
+    val a = new SqlStore(url, "s-q").open()
+    assert(a.commitBatch(0) { c =>
+      val st = c.createStatement()
+      st.executeUpdate("CREATE TABLE t (k VARCHAR(8) PRIMARY KEY, v BIGINT)")
+      st.executeUpdate("INSERT INTO t VALUES ('x', 1)")
+      st.close()
+    } == Right(true))
+
+    // The writes closure reads its own uncommitted writes via query(),
+    // then fails: the rollback must undo the write — query() must not
+    // have committed the transaction mid-flight.
+    a.commitBatch(1) { c =>
+      val st = c.createStatement()
+      st.executeUpdate("UPDATE t SET v = 99 WHERE k = 'x'")
+      assert(a.query("SELECT v FROM t WHERE k = 'x'")(_.getLong(1)) == Vector(99L))
+      try st.execute("boom -- not sql") // force SQLException → rollback
+      finally st.close()
+    } match {
+      case Left(_) =>
+      case x => fail(s"expected failed batch, got $x")
+    }
+    assert(a.query("SELECT v FROM t WHERE k = 'x'")(_.getLong(1)) == Vector(1L))
+    a.close()
+  }
+
+  test("open() resumes against an existing checkpoint table (portable probe)") {
+    val url = freshUrl()
+    new SqlStore(url, "s1").open().close()
+    // Second open in the same database: CREATE TABLE must not be
+    // attempted again / must not throw on any RDBMS (metadata probe,
+    // not a Derby-specific SQLState match).
+    val b = new SqlStore(url, "s1").open()
+    assert(b.restoredBatchId == -1L)
+    b.close()
+  }
+
   test("restart restores the committed checkpoint") {
     val url = freshUrl()
     val a = new SqlStore(url, "s").open()
