@@ -130,9 +130,12 @@ object Similarity {
     // Coarse quantizer: sample nlist corpus vectors as centroids
     // (k-means init without iterations — deterministic, and refinement
     // only sharpens cell balance, not correctness). TakeOrdered pulls
-    // only nlist rows to the driver.
+    // only nlist rows to the driver. The sampling order is
+    // md5('ivf<seed>' || vec_id) — a seeded uniform order that an ANSI
+    // SQL oracle reproduces verbatim (unlike xxhash64).
     val sampled = corpus.select(col("vec_id"), col("embedding"))
-      .orderBy(xxhash64(col("vec_id"), lit(seed)).asc, col("vec_id").asc)
+      .orderBy(md5(concat(lit(s"ivf$seed"), col("vec_id").cast("string"))).asc,
+        col("vec_id").asc)
       .limit(nlist).as[(Long, Array[Float])].collect()
     val cents: Array[Array[Double]] = sampled.map { case (_, e) =>
       val n = math.sqrt(e.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))

@@ -11,8 +11,10 @@ import graft.operators.{Dedup, Similarity, TextAnalysis}
   *
   * Oracle notes: all text formulas are mirrored term-for-term in DuckDB
   * SQL; floating point accumulates in identical index order on both
-  * sides. SimHash (q26) and LSH-ANN (q28) rest on Spark's xxhash64 /
-  * literal hyperplanes and carry no SQL oracle (rows-only check).
+  * sides. Every query here carries a full SQL oracle — q26 uses an MD5
+  * token-hash family and q38 an md5-ordered centroid sample precisely
+  * so the signature/quantizer math is ANSI-SQL-reproducible; q28's
+  * hyperplanes are emitted as SQL double literals.
   */
 object PipelineOps {
 
@@ -94,10 +96,11 @@ object PipelineOps {
     },
 
     // ---- q26: SimHash near-dup pairs by Hamming distance, via banded
-    // self-join (exact; no O(n²) cross join — rows-only check).
+    // self-join (exact; no O(n²) cross join). MD5 token-hash family so
+    // the DuckDB oracle reproduces the signature bit-for-bit.
     "q26_simhash_pairs" -> { (s, d) =>
       import s.implicits._
-      val sh = Dedup.simhashes(Tables.documents(s, d), $"doc_id", $"text")
+      val sh = Dedup.simhashesMd5(Tables.documents(s, d), $"doc_id", $"text")
       Dedup.simhashPairs(sh, maxHamming = 6)
     },
 
@@ -191,6 +194,81 @@ object PipelineOps {
       |JOIN cnt cb ON db = cb.doc_id
       |WHERE CAST(shared AS DOUBLE) / (ca.c + cb.c - shared) >= 0.85""".stripMargin
 
+  /** q26 oracle: the full MD5-SimHash pipeline in DuckDB SQL. The
+    * signature is assembled as a signed BIGINT (bit 63 = Long.MinValue
+    * addend) so xor/bit_count work; Spark's long has identical bits.
+    */
+  private def simhashOracle: String = {
+    val bitSums = (0 until 64).map(b =>
+      s"sum(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(", ")
+    val simExpr = (0 until 64).map { b =>
+      if (b == 63) "(CASE WHEN s63 > 0 THEN -9223372036854775807 - 1 ELSE 0 END)"
+      else s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |  FROM documents),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS hv FROM toks),
+       |bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+       |sim AS (SELECT doc_id, $simExpr AS sm FROM bits)
+       |SELECT a.doc_id AS da, b.doc_id AS db,
+       |  bit_count(xor(a.sm, b.sm)) AS hamming
+       |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sm, b.sm)) <= 6""".stripMargin
+  }
+
+  /** q28 oracle: sign-LSH bucketing with the SAME seeded hyperplanes as
+    * [[Similarity.lshTopK]], emitted as SQL double literals (shortest
+    * repr round-trips exactly), then exact within-bucket cosine top-k.
+    */
+  private def lshAnnOracle: String = {
+    val planes = Similarity.hyperplanes(numPlanes = 6, dim = 64)
+    def arr(p: Array[Double]) = p.mkString("[", ", ", "]")
+    val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_inner_product(v, ${arr(p)}) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+       |p AS (SELECT vec_id AS probe_id, v AS pv, bucket FROM b WHERE vec_id < 10)
+       |SELECT probe_id, vec_id, sim, rank FROM (
+       |  SELECT p.probe_id, c.vec_id,
+       |    round(list_cosine_similarity(p.pv, c.v), 6) AS sim,
+       |    row_number() OVER (PARTITION BY p.probe_id
+       |      ORDER BY round(list_cosine_similarity(p.pv, c.v), 6) DESC,
+       |               c.vec_id ASC) AS rank
+       |  FROM p JOIN b c ON p.bucket = c.bucket AND c.vec_id <> p.probe_id) t
+       |WHERE rank <= 5""".stripMargin
+  }
+
+  /** q38 oracle: the IVF pipeline in SQL — md5-ordered centroid sample,
+    * unit-normalized centroids, argmax-dot cell assignment, nprobe=4
+    * probe fan-out, exact cosine top-k within probed cells.
+    */
+  private def ivfAnnOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |samp AS (SELECT vec_id, v,
+      |    row_number() OVER (ORDER BY md5('ivf42' || vec_id::VARCHAR), vec_id) AS rn
+      |  FROM e),
+      |cents AS (SELECT rn - 1 AS ci,
+      |    list_transform(v, x -> x / (CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END)) AS c
+      |  FROM (SELECT rn, v, sqrt(list_inner_product(v, v)) AS nrm
+      |        FROM samp WHERE rn <= 16)),
+      |cellrank AS (SELECT e.vec_id, e.v, c.ci,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_inner_product(e.v, c.c) DESC, c.ci ASC) AS r
+      |  FROM e CROSS JOIN cents c),
+      |corpus AS (SELECT vec_id, v, ci AS cell FROM cellrank WHERE r = 1),
+      |probes AS (SELECT vec_id AS probe_id, v AS pv, ci AS cell
+      |  FROM cellrank WHERE vec_id < 10 AND r <= 4)
+      |SELECT probe_id, vec_id, sim, rank FROM (
+      |  SELECT p.probe_id, c.vec_id,
+      |    round(list_cosine_similarity(p.pv, c.v), 6) AS sim,
+      |    row_number() OVER (PARTITION BY p.probe_id
+      |      ORDER BY round(list_cosine_similarity(p.pv, c.v), 6) DESC,
+      |               c.vec_id ASC) AS rank
+      |  FROM probes p JOIN corpus c ON p.cell = c.cell AND c.vec_id <> p.probe_id) t
+      |WHERE rank <= 5""".stripMargin
+
   private val langHits = Seq(
     "en" -> "(the|and|of|is|to)", "de" -> "(der|die|und|ist|das)",
     "es" -> "(el|la|los|es|y)", "fr" -> "(le|les|est|et|une)",
@@ -251,6 +329,9 @@ object PipelineOps {
 
     "q24_jaccard_pairs" -> docShinglesCte(" WHERE doc_id < 2000"),
     "q25_minhash_lsh_pairs" -> docShinglesCte(""),
+    "q26_simhash_pairs" -> simhashOracle,
+    "q28_ann_lsh" -> lshAnnOracle,
+    "q38_ann_ivf" -> ivfAnnOracle,
 
     "q27_cosine_topk" ->
       """SELECT probe_id, vec_id, sim, rank FROM (

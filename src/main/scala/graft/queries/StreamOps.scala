@@ -48,11 +48,19 @@ object StreamOps {
       import graft.functions.F
       val root = s"/tmp/graft-journals/rc-${d.replace('/', '_')}"
       deleteRecursively(Paths.get(root))
+      // Parallel ordered spool: range partitions are index-ordered and
+      // Journal.stage assigns offsets by partition index, so N sorted
+      // range partitions produce N fragments whose concatenated byte
+      // order IS the global (ts, event_id) order — same journal order
+      // as a single sorted spool, at N× the compression throughput,
+      // and the read back parallelizes per fragment.
+      val par = s.sparkContext.defaultParallelism
       val stamped = Tables.events(s, d)
         .withColumn("producer6", unhex(lpad(hex($"user_id" % 50), 12, "0")))
         .withColumn("uuid_hex", hex(F.build_uuid($"producer6",
           expr("ts DIV 60000000000"), lit(0))))
-        .repartition(1).sortWithinPartitions($"ts", $"event_id")
+        .repartitionByRange(par, $"ts", $"event_id")
+        .sortWithinPartitions($"ts", $"event_id")
         .select(to_json(struct($"event_id", $"uuid_hex".as("uuid"))).as("payload"))
       graft.sources.Journal.append(stamped, root, "events", codec = "gz")
       val envelopes = s.read.format("journal")
@@ -71,7 +79,11 @@ object StreamOps {
       import s.implicits._
       val root = s"/tmp/graft-journals/rt-${d.replace('/', '_')}"
       deleteRecursively(Paths.get(root))
+      // Single-file parquet scans arrive as ONE partition: repartition
+      // so the to_json + gzip spool runs on every core and the read
+      // back gets one task per fragment.
       val payloads = Tables.events(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(to_json(struct(col("*"))).as("payload"))
       Journal.append(payloads, root, "events", codec = "gz")
       Journal.read(s, root, "events").toDF()
