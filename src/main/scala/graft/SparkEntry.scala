@@ -24,7 +24,8 @@ object SparkEntry {
     graft.queries.GazetteOps.queries ++
     graft.queries.PipelineOps.queries ++
     graft.queries.StreamOps.queries ++
-    graft.queries.MultimodalOps.queries
+    graft.queries.MultimodalOps.queries ++
+    graft.queries.AnalyticOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -34,5 +35,6 @@ object SparkEntry {
     graft.queries.GazetteOps.oracleSql ++
     graft.queries.PipelineOps.oracleSql ++
     graft.queries.StreamOps.oracleSql ++
-    graft.queries.MultimodalOps.oracleSql
+    graft.queries.MultimodalOps.oracleSql ++
+    graft.queries.AnalyticOps.oracleSql
 }

@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.TemporalJoins
+
+/** Temporal-join and approximate-aggregate operators (SURVEY §2.7/§2.9
+  * extensions): as-of join, interval (range) join, exact percentiles,
+  * and HLL distinct-count with an in-query accuracy bound.
+  */
+object AnalyticOps {
+
+  private val HourNs = 3600L * 1000000000L
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- q40: as-of join (attribution): every non-purchase event is
+    // attributed to the same user's latest purchase at-or-before its
+    // time. One shuffle (union + keyed running last) — no range
+    // self-join; see TemporalJoins.asOf for the scale argument.
+    "q40_asof_attribution" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val left = ev.filter($"event_type" =!= "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val purchases = ev.filter($"event_type" === "purchase")
+      TemporalJoins.asOf(left, col("user_id"), col("ts"),
+          purchases, col("user_id"), col("ts"), col("event_id"), "purchase_id")
+        .select($"event_id", $"purchase_id")
+    },
+
+    // ---- q41: interval join: the 20 earliest purchases each open a
+    // 1-hour window; count/sum ALL events landing in each window (no
+    // equi-key — a genuine range join against a broadcast band table).
+    "q41_range_join_windows" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val bands = ev.filter($"event_type" === "purchase")
+        .orderBy($"ts".asc, $"event_id".asc).limit(20)
+        .select($"event_id".as("band_id"), $"ts".as("t0"),
+          ($"ts" + HourNs).as("t1"))
+      TemporalJoins.rangeJoinBroadcast(
+          ev.select($"ts", $"value"), col("ts"), bands, col("t0"), col("t1"))
+        .groupBy($"band_id")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum($"value".cast("decimal(38,6)")).cast("double"), 4).as("sum_value"))
+    },
+
+    // ---- q42: exact percentiles (linear interpolation) per group —
+    // Spark's `percentile` is an exact sort-based aggregate; DuckDB's
+    // quantile_cont uses the same (n-1)·p definition.
+    "q42_percentiles" -> { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d).groupBy($"o_orderpriority")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+    },
+
+    // ---- q43: HLL++ distinct count, self-checked: the query emits the
+    // exact count only when the sketch lands within 5% of it (else a
+    // sentinel that fails the oracle compare). Proves the mergeable
+    // sketch path — the 100 TB distinct-count operator — against truth
+    // without requiring the oracle to replicate HLL internals.
+    "q43_hll_distinct_bound" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d).groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("exact"),
+          approx_count_distinct($"user_id", 0.02).as("approx"))
+        .select($"event_type",
+          when(abs($"approx" - $"exact") <= $"exact" * 0.05, $"exact")
+            .otherwise(-$"approx").as("n_distinct"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q40_asof_attribution" ->
+      """WITH u AS (
+        |  SELECT user_id AS k, epoch_ns(ts) AS t, 0 AS typ, event_id AS v,
+        |         NULL::BIGINT AS event_id
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, epoch_ns(ts), 1, NULL, event_id
+        |  FROM events WHERE event_type <> 'purchase')
+        |SELECT event_id, purchase_id FROM (
+        |  SELECT event_id, typ, last_value(v IGNORE NULLS) OVER (
+        |    PARTITION BY k ORDER BY t, typ, v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchase_id
+        |  FROM u) x
+        |WHERE typ = 1""".stripMargin,
+
+    "q41_range_join_windows" ->
+      s"""WITH bands AS (
+         |  SELECT event_id AS band_id, epoch_ns(ts) AS t0,
+         |         epoch_ns(ts) + $HourNs AS t1
+         |  FROM events WHERE event_type = 'purchase'
+         |  ORDER BY ts, event_id LIMIT 20)
+         |SELECT band_id, count(*) AS n_events,
+         |  round(CAST(sum(CAST("value" AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_value
+         |FROM events e JOIN bands b
+         |  ON epoch_ns(e.ts) >= b.t0 AND epoch_ns(e.ts) < b.t1
+         |GROUP BY band_id""".stripMargin,
+
+    "q42_percentiles" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |  round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q43_hll_distinct_bound" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_distinct
+        |FROM events GROUP BY event_type""".stripMargin
+  )
+}
