@@ -4,7 +4,7 @@ import java.util
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -37,7 +37,10 @@ class JournalDataSource extends TableProvider with DataSourceRegister {
     JournalDataSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new JournalTable(properties.get("root"), properties.get("journal"))
+    new JournalTable(properties.get("root"), properties.get("journal"),
+      // getTable properties preserve the caller's option-key case
+      Option(properties.get("maxBytesPerTrigger"))
+        .orElse(Option(properties.get("maxbytespertrigger"))).map(_.toLong))
 }
 
 object JournalDataSource {
@@ -48,17 +51,19 @@ object JournalDataSource {
     StructField("payload", StringType, nullable = false)))
 }
 
-class JournalTable(root: String, journal: String) extends Table with SupportsRead {
+class JournalTable(root: String, journal: String,
+    maxBytesPerTrigger: Option[Long] = None) extends Table with SupportsRead {
   require(root != null && journal != null, "options root and journal are required")
   override def name(): String = s"journal:$journal"
   override def schema(): StructType = JournalDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new JournalScan(root, journal)
+    () => new JournalScan(root, journal, maxBytesPerTrigger)
 }
 
-class JournalScan(root: String, journal: String) extends Scan {
+class JournalScan(root: String, journal: String,
+    maxBytesPerTrigger: Option[Long] = None) extends Scan {
   override def readSchema(): StructType = JournalDataSource.schema
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
@@ -68,7 +73,7 @@ class JournalScan(root: String, journal: String) extends Scan {
     override def createReaderFactory(): PartitionReaderFactory = new FragmentReaderFactory
   }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new JournalMicroBatchStream(root, journal)
+    new JournalMicroBatchStream(root, journal, maxBytesPerTrigger)
 }
 
 /** A fragment slice [from, to) to surface as rows. */
@@ -94,9 +99,50 @@ case class JournalOffset(head: Long) extends Offset {
   override def json(): String = s"""{"head":$head}"""
 }
 
-class JournalMicroBatchStream(root: String, journal: String) extends MicroBatchStream {
+/** Admission-controlled byte read limit (the engine's
+  * `maxOffsetsPerTrigger` analog — offsets ARE bytes here). Round-trips
+  * through Spark's SupportsAdmissionControl contract untouched.
+  */
+case class ReadMaxJournalBytes(bytes: Long) extends ReadLimit
+
+class JournalMicroBatchStream(root: String, journal: String,
+    maxBytesPerTrigger: Option[Long] = None)
+  extends MicroBatchStream with SupportsAdmissionControl
+  with SupportsTriggerAvailableNow {
+
+  // Trigger.AvailableNow contract: pin the drain target at query start
+  // so the paced (admission-controlled) batches stop at a fixed head
+  // even while writers keep appending.
+  @volatile private var availableNowEnd: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(Journal.head(root, journal))
+
+  private def currentHead(): Long =
+    availableNowEnd.getOrElse(Journal.head(root, journal))
+
   override def initialOffset(): Offset = JournalOffset(0L)
-  override def latestOffset(): Offset = JournalOffset(Journal.head(root, journal))
+  override def latestOffset(): Offset = JournalOffset(currentHead())
+
+  /** Flow control (the reference's append/read flow-control knobs,
+    * SURVEY §2.12): cap each micro-batch at `maxBytesPerTrigger`
+    * journal bytes, so a backfill over a deep journal proceeds in
+    * bounded, checkpointable steps instead of one giant batch.
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    maxBytesPerTrigger.map(ReadMaxJournalBytes(_): ReadLimit)
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val head = currentHead()
+    val s = start.asInstanceOf[JournalOffset].head
+    limit match {
+      case ReadMaxJournalBytes(b) => JournalOffset(math.min(head, s + b))
+      case _ => JournalOffset(head)
+    }
+  }
+
+  override def reportLatestOffset(): Offset =
+    JournalOffset(Journal.head(root, journal))
   override def deserializeOffset(json: String): Offset = {
     val m = """\{"head":(\d+)\}""".r
     json.trim match {

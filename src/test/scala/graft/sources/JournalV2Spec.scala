@@ -58,4 +58,31 @@ class JournalV2Spec extends SparkSpec {
     assert(r2.select("payload").as[String].collect().toSeq ==
       Seq("a1", "a2", "b1", "b2", "b3"))
   }
+
+  test("maxBytesPerTrigger bounds each micro-batch (admission control)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-v2ac").toString
+    val ckpt = Files.createTempDirectory("graft-v2ac-ckpt").toString
+    // 100 records x 4 bytes ("r00\n") = 400 journal bytes.
+    Journal.append((0 until 100).map(i => f"r$i%02d").toDF("payload"),
+      root, "ac", "none")
+
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("journal")
+      .option("root", root).option("journal", "ac")
+      .option("maxBytesPerTrigger", "64") // 16 records per batch
+      .load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes += df.count(); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000); q.stop()
+
+    assert(batchSizes.sum == 100, s"batches: $batchSizes")
+    // the byte cap holds per batch: 64 bytes / 4 bytes-per-record = 16
+    assert(batchSizes.forall(_ <= 16), s"batches: $batchSizes")
+    assert(batchSizes.count(_ > 0) >= 6, s"expected a paced backfill, got $batchSizes")
+  }
 }
