@@ -173,23 +173,16 @@ object Dedup {
     * With bands·rows = numHashes, P[candidate] = 1-(1-j^rows)^bands —
     * 12 bands × 4 rows gives >0.999996 recall at j=0.9.
     */
-  def minhashLshPairs(
-      docs: DataFrame, // (doc_id, sh)
-      threshold: Double,
-      numHashes: Int = 48,
-      bands: Int = 12): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
+  /** Per-document LSH band buckets: signature + banding in ONE tight
+    * loop per doc (a per-band union of selects would recompute the
+    * signature per band; interpreted HOF columns would pay boxed eval).
+    * Output (doc_id, band, bucket) — the joinable near-dup index rows.
+    */
+  def bandBuckets(docs: DataFrame, numHashes: Int = 48, bands: Int = 12): DataFrame = {
     val rows = numHashes / bands
-    // Cache: shingle arrays are re-read by the verification joins, and
-    // cross-branch plan reuse does NOT exist — without materialization
-    // every reference re-runs the tokenize+shingle pipeline.
-    val d = docs.persist(StorageLevel.MEMORY_AND_DISK)
-    // One pass per row: signature + band buckets in the same tight loop
-    // (a per-band union of selects would recompute the signature per
-    // band; interpreted HOF columns would pay boxed eval).
     val spark = docs.sparkSession
     import spark.implicits._
-    val buckets = d.select(col("doc_id"), col("sh")).as[(Long, Array[Long])]
+    docs.select(col("doc_id"), col("sh")).as[(Long, Array[Long])]
       .flatMap { case (id, sh) =>
         val sig = Array.fill(numHashes)(Long.MaxValue)
         var i = 0
@@ -209,6 +202,19 @@ object Dedup {
           (id, b, acc)
         }
       }.toDF("doc_id", "band", "bucket")
+  }
+
+  def minhashLshPairs(
+      docs: DataFrame, // (doc_id, sh)
+      threshold: Double,
+      numHashes: Int = 48,
+      bands: Int = 12): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // Cache: shingle arrays are re-read by the verification joins, and
+    // cross-branch plan reuse does NOT exist — without materialization
+    // every reference re-runs the tokenize+shingle pipeline.
+    val d = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    val buckets = bandBuckets(d, numHashes, bands)
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.Dedup
+
+/** Incremental near-duplicate filtering over a document STREAM — the
+  * online form of the MinHash-LSH dedup (q25), and the shape a 100 TB
+  * training-data pipeline actually runs: documents arrive continuously,
+  * and each micro-batch must be deduplicated against everything
+  * accepted so far WITHOUT rescanning the corpus.
+  *
+  * Design:
+  *  - The accepted corpus is represented by a persistent LSH index —
+  *    two parquet tables under `indexDir`: `buckets` (doc_id, band,
+  *    bucket) and `shingles` (doc_id, sh). Per batch, only
+  *    bucket-equal candidates are read for verification: the join
+  *    exchanges |batch·bands| rows against an index partitioned the
+  *    same way, never the corpus.
+  *  - Within-batch dups resolve first (keep the smallest doc_id of a
+  *    near-dup pair), then survivors are checked against the index.
+  *  - Exactly-once: every write lands under `batch=<id>` directories
+  *    with overwrite semantics, so a retried micro-batch replaces its
+  *    own partial output instead of duplicating it (same manifest idea
+  *    as Journal.batchSink).
+  *
+  * Use via `docs.writeStream.foreachBatch(StreamingDedup.sink(...))`;
+  * surviving (doc_id, text) rows accumulate under `outDir`.
+  */
+object StreamingDedup {
+
+  val bucketsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("band", IntegerType),
+    StructField("bucket", LongType)))
+  val shinglesSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("sh", ArrayType(LongType, containsNull = false))))
+
+  /** foreachBatch body. `docs` must carry (doc_id, text). */
+  def sink(indexDir: String, outDir: String, threshold: Double = 0.85,
+      shingleN: Int = 3, numHashes: Int = 48, bands: Int = 12)(
+      docs: DataFrame, batchId: Long): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+
+    val d = Dedup.docShingles(docs, col("doc_id"), col("text"), shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // 1. Within-batch near-dups: keep the smaller doc_id of each pair.
+      val batchDups = Dedup.minhashLshPairs(d, threshold, numHashes, bands)
+        .select($"db".as("doc_id")).distinct()
+      val dIntra = d.join(batchDups, Seq("doc_id"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+      // 2. Against the accepted index: bucket-equal candidates only.
+      val idxBuckets = readOrEmpty(spark, s"$indexDir/buckets", bucketsSchema)
+      val newBuckets = Dedup.bandBuckets(dIntra, numHashes, bands)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // doc_id inequality: on a retried batch the index already holds
+      // this batch's survivors — self-matches must not count as dups.
+      val cand = newBuckets.as("n")
+        .join(idxBuckets.as("o"),
+          col("n.band") === col("o.band") && col("n.bucket") === col("o.bucket") &&
+            col("n.doc_id") =!= col("o.doc_id"))
+        .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
+        .distinct()
+      val idxShingles = readOrEmpty(spark, s"$indexDir/shingles", shinglesSchema)
+      val histDups = cand
+        .join(dIntra.select($"doc_id".as("new_id"), $"sh".as("sha")), "new_id")
+        .join(idxShingles.select($"doc_id".as("old_id"), $"sh".as("shb")), "old_id")
+        .filter(size(array_intersect($"sha", $"shb")).cast("double") /
+          size(array_union($"sha", $"shb")) >= threshold)
+        .select($"new_id".as("doc_id")).distinct()
+
+      val surviving = dIntra.join(histDups, Seq("doc_id"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+      // 3. Idempotent writes: batch-scoped directories, overwritten on
+      // retry. Index writes precede the output write; a crash between
+      // them re-runs the whole batch against an index that already
+      // contains this batch's survivors — they'd self-match with
+      // jaccard 1.0, so the index join excludes same-doc matches.
+      surviving.select($"doc_id", $"sh")
+        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/shingles/batch=$batchId")
+      Dedup.bandBuckets(surviving, numHashes, bands)
+        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/buckets/batch=$batchId")
+      docs.join(surviving.select($"doc_id"), Seq("doc_id"), "left_semi")
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$batchId")
+
+      newBuckets.unpersist(); dIntra.unpersist(); surviving.unpersist()
+    } finally d.unpersist()
+  }
+
+  private def readOrEmpty(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    if (Files.exists(Paths.get(dir)))
+      spark.read.schema(schema).parquet(dir)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+}
