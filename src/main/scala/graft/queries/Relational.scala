@@ -54,16 +54,12 @@ object Relational {
       import s.implicits._
       val li = Tables.lineitem(s, d)
       val o  = Tables.orders(s, d)
-      // The testdata scan is single-task (one row group): the partial
-      // decimal agg then runs on one core and dominates. Repartition
-      // ONLY when the scan is under-parallel — on a real multi-file
-      // table this is a no-op and the plan keeps scan → partial agg →
-      // one key exchange (never a second fact-table shuffle).
-      val fact = li.select($"l_orderkey", $"l_extendedprice", $"l_discount")
-      val par = s.sparkContext.defaultParallelism
-      val rev = (if (fact.rdd.getNumPartitions * 2 < par) fact.repartition(par)
-                 else fact)
-        .groupBy($"l_orderkey")
+      // Scan → partial agg → ONE key exchange: on a multi-file table
+      // the partial decimal agg parallelizes at the scan; injecting a
+      // pre-agg repartition for the single-row-group local files was
+      // tried and rejected — the extra stage costs more (codegen + AQE)
+      // than the serial partial agg it relieves.
+      val rev = li.groupBy($"l_orderkey")
         .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
       rev.join(o, $"l_orderkey" === $"o_orderkey")
         .select($"o_orderkey", $"o_orderpriority", $"revenue")
