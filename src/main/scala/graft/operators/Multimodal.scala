@@ -52,6 +52,22 @@ object Multimodal {
     (media.length.toLong, sum, if (media.isEmpty) 0L else (media(0) & 0xff).toLong)
   }
 
+  /** Size-aware repartitioning for blob columns: choose the partition
+    * COUNT from the data (ceil(total blob bytes / targetBytes)) so each
+    * task's expected payload is ~targetBytes regardless of corpus
+    * growth — a fixed partition count silently fattens tasks at 100 TB
+    * until executors OOM. One cheap agg (sum of lengths, pruned to the
+    * blob column) + one round-robin exchange; indivisible oversized
+    * blobs still travel whole, everything else balances.
+    */
+  def repartitionBySize(media: DataFrame, targetBytes: Long,
+      blobCol: String = "media"): DataFrame = {
+    val total = media.select(sum(length(col(blobCol)).cast("long")))
+      .head().getLong(0)
+    val parts = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    media.repartition(parts)
+  }
+
   /** Batched feature extraction over the media column. Rows are buffered
     * into `batchSize` groups per partition — the seam where a real
     * implementation hands a whole batch to a codec/model runtime — then

@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  private def media(n: Int) = {
+    import spark.implicits._
+    Multimodal.synthesize(
+      (1 to n).map(i => (i.toLong, "x" * (i * 10))).toDF("doc_id", "text"))
+  }
+
+  test("extractFeatures: deterministic byte stats and frame counts") {
+    import spark.implicits._
+    val out = Multimodal.extractFeatures(media(10), frameBytes = 64, batchSize = 3)
+      .orderBy($"doc_id").collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == id * 10)                 // n_bytes = text length
+      assert(r.getLong(2) == id * 10 * 'x'.toLong)    // byte_sum
+      assert(r.getLong(3) == 'x'.toLong)              // first_byte
+      assert(r.getLong(4) == (id * 10 + 63) / 64)     // ceil frames
+    }
+  }
+
+  test("sampleFrames: stride-sampled fixed-size slices tile the blob") {
+    import spark.implicits._
+    // one 1000-byte blob, 256-byte frames → frames 0..3, stride 2 → 0, 2
+    val m = Multimodal.synthesize(Seq((1L, "y" * 1000)).toDF("doc_id", "text"))
+    val frames = Multimodal.sampleFrames(m, frameBytes = 256, stride = 2)
+      .orderBy($"frame_no").collect()
+    assert(frames.map(_.getInt(1)).toSeq == Seq(0, 2))
+    assert(frames.head.getAs[Array[Byte]](2).length == 256)
+    // the last sampled frame is full here (frame 2 covers [512, 768))
+    assert(frames(1).getAs[Array[Byte]](2).length == 256)
+  }
+
+  test("repartitionBySize derives the partition count from total blob bytes") {
+    // ~10 blobs of 1000 bytes; target 2500 → ceil(10000/2500) = 4 parts
+    import spark.implicits._
+    val m = Multimodal.synthesize(
+      (1 to 10).map(i => (i.toLong, "z" * 1000)).toDF("doc_id", "text"))
+    val parts = Multimodal.repartitionBySize(m, targetBytes = 2500L)
+      .rdd.getNumPartitions
+    assert(parts == 4)
+    // and a corpus 10x larger gets 10x the partitions — count scales
+    // with data, not with a config constant
+    val m10 = Multimodal.synthesize(
+      (1 to 100).map(i => (i.toLong, "z" * 1000)).toDF("doc_id", "text"))
+    assert(Multimodal.repartitionBySize(m10, 2500L).rdd.getNumPartitions == 40)
+  }
+}
