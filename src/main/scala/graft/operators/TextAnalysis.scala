@@ -74,6 +74,21 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** GPT-2-style BPE pre-tokenizer regex, restricted to constructs with
+    * identical semantics in Java regex (Spark) and RE2 (DuckDB): no
+    * lookahead, leftmost-first alternation. Splits contractions,
+    * letter runs, digit runs, punctuation runs, and whitespace — the
+    * pre-tokenization whose piece count upper-bounds (and tightly
+    * tracks) real BPE token counts, which is what a training-data
+    * pipeline budgets by.
+    */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Pre-token count under [[BpePattern]] (codegen'd column form). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
   /** Stopword hits: occurrences of any of `words` as standalone tokens. */
   def stopwordHits(text: Column, words: Seq[String]): Column =
     size(regexp_extract_all(lower(text),

@@ -29,6 +29,15 @@ object PipelineOps {
         length($"text").as("n_chars_actual"))
     },
 
+    // ---- q44: BPE-style pre-token counting (token budgeting).
+    "q44_bpe_token_stats" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select(
+        $"doc_id",
+        TextAnalysis.bpeTokenCount($"text").as("n_bpe"),
+        TextAnalysis.tokenCount($"text").as("n_ws"))
+    },
+
     // ---- q19: quality scoring.
     "q19_quality_score" -> { (s, d) =>
       import s.implicits._
@@ -282,6 +291,13 @@ object PipelineOps {
         |  len(regexp_extract_all(text, '\S+')) AS n_tokens,
         |  len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
         |  length(text) AS n_chars_actual
+        |FROM documents""".stripMargin,
+
+    "q44_bpe_token_stats" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text,
+        |    '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS n_bpe,
+        |  len(regexp_extract_all(text, '\S+')) AS n_ws
         |FROM documents""".stripMargin,
 
     "q19_quality_score" ->

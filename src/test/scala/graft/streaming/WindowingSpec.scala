@@ -78,6 +78,44 @@ class WindowingSpec extends SparkSpec {
     assert(vs.sorted == Seq("a", "b", "c"), s"got $vs")
   }
 
+  test("stream-stream interval join with watermarks bounds both states") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // Impressions joined to clicks within [imp, imp+10min] — the
+    // M5/§2.7 streaming-join shape. Watermarks on BOTH sides plus the
+    // interval condition let Spark evict state instead of buffering
+    // streams forever (the unbounded-state trap at scale).
+    val imps = MemoryStream[(Long, String)](spark)
+    val clicks = MemoryStream[(Long, String)](spark)
+    val impDf = imps.toDF().toDF("ad", "t")
+      .withColumn("imp_time", to_timestamp($"t")).drop("t")
+      .withWatermark("imp_time", "5 minutes")
+    val clkDf = clicks.toDF().toDF("ad2", "t")
+      .withColumn("clk_time", to_timestamp($"t")).drop("t")
+      .withWatermark("clk_time", "5 minutes")
+    val joined = impDf.join(clkDf,
+      $"ad" === $"ad2" &&
+        $"clk_time" >= $"imp_time" &&
+        $"clk_time" <= $"imp_time" + expr("INTERVAL 10 MINUTES"))
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ssj").toString
+    val q = joined.select($"ad", date_format($"clk_time", "HH:mm").as("ct"))
+      .writeStream.format("memory").queryName("ssj_out")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    imps.addData(1L -> "2024-01-01 10:00:00", 2L -> "2024-01-01 10:01:00")
+    clicks.addData(1L -> "2024-01-01 10:05:00") // within window → joins
+    q.processAllAvailable()
+    clicks.addData(2L -> "2024-01-01 10:30:00") // 29min later → outside window
+    clicks.addData(1L -> "2024-01-01 10:08:00") // second click, still inside
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("ssj_out").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "10:05"), (1L, "10:08")))
+  }
+
   test("session windows group bursts separated by gaps (batch)") {
     import spark.implicits._
     val events = Seq(
