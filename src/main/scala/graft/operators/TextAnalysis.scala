@@ -138,6 +138,46 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** Winnowing fingerprints (the MOSS local document fingerprinting
+    * algorithm, Schleimer/Wilkerson/Aiken SIGMOD'03): hash every char
+    * k-gram, slide a window of `w` consecutive hashes, keep each
+    * window's minimum — guaranteeing any shared substring of length
+    * >= k+w-1 yields a shared fingerprint. Hashes are the first 8 md5
+    * bytes shifted right by one (63-bit), so signed (Spark) and
+    * unsigned (SQL) minima agree. Returns the distinct fingerprint set;
+    * empty when the doc has fewer than k+w-1 chars.
+    */
+  def winnowFingerprints(md: java.security.MessageDigest, text: String,
+      k: Int, w: Int): Array[Long] = {
+    val n = text.length - k + 1
+    if (n < w) return Array.empty
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(text.substring(i, i + k).getBytes("UTF-8"))
+      var h = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      hs(i) = h >>> 1
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var j = 0
+    while (j + w <= n) {
+      var min = hs(j)
+      var x = j + 1
+      while (x < j + w) { if (hs(x) < min) min = hs(x); x += 1 }
+      seen.add(min)
+      j += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    out
+  }
+
   /** Single-pass language-ID: same formula as [[langId]] (per-language
     * stopword-hit argmax, priority-ordered ties) but one combined
     * `\b(w1|…|wN)\b` matcher pass per document instead of 25 regex

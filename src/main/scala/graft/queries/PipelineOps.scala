@@ -38,6 +38,23 @@ object PipelineOps {
         TextAnalysis.tokenCount($"text").as("n_ws"))
     },
 
+    // ---- q45: winnowing (rolling-hash) fingerprints — MOSS-style
+    // local fingerprinting: shared substrings of length >= k+w-1
+    // guarantee shared fingerprints. Narrow map, no shuffle.
+    "q45_winnow_fingerprints" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.flatMap { case (id, t) =>
+            val fps = TextAnalysis.winnowFingerprints(md, t, k = 5, w = 4)
+            if (fps.isEmpty) None else Some((id, fps.length.toLong, fps.min))
+          }
+        }.toDF("doc_id", "n_fp", "min_fp")
+    },
+
     // ---- q19: quality scoring.
     "q19_quality_score" -> { (s, d) =>
       import s.implicits._
@@ -292,6 +309,18 @@ object PipelineOps {
         |  len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
         |  length(text) AS n_chars_actual
         |FROM documents""".stripMargin,
+
+    "q45_winnow_fingerprints" ->
+      """WITH h AS (SELECT doc_id,
+        |    list_transform(range(1, length(text) - 5 + 2),
+        |      i -> (('0x' || substr(md5(substr(text, i::INT, 5)), 1, 16))::UBIGINT >> 1)::BIGINT) AS hs
+        |  FROM documents WHERE length(text) >= 5),
+        |w AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(hs) - 4 + 2),
+        |      j -> list_aggregate(hs[j:j+3], 'min'))) AS fps
+        |  FROM h WHERE len(hs) >= 4)
+        |SELECT doc_id, len(fps) AS n_fp, list_aggregate(fps, 'min') AS min_fp
+        |FROM w""".stripMargin,
 
     "q44_bpe_token_stats" ->
       """SELECT doc_id,

@@ -132,6 +132,24 @@ class OperatorsSpec extends SparkSpec {
     assert(TextAnalysis.ngramIterator("one", 2).isEmpty)
   }
 
+  test("winnowing: shared substrings of length >= k+w-1 share a fingerprint") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val k = 5; val w = 4
+    def fps(t: String) = TextAnalysis.winnowFingerprints(md, t, k, w).toSet
+    val core = "zqxjvkwpfy" // length 10 >= k+w-1 = 8: must yield a shared print
+    val a = fps("aaaa bbbb " + core + " cccc dddd")
+    val b = fps("eeee ffff " + core + " gggg hhhh")
+    assert((a & b).nonEmpty, "winnowing guarantee violated")
+    // unrelated docs share nothing
+    val c = fps("mmmm nnnn oooo pppp qqqq rrrr")
+    assert((a & c).isEmpty)
+    // too-short docs produce no fingerprints
+    assert(fps("abcdefg").isEmpty) // 7 chars < k+w-1
+    assert(fps("abcdefgh").size == 1)
+    // fingerprints are 63-bit (signed/unsigned min parity with SQL)
+    assert(a.forall(_ >= 0L))
+  }
+
   test("lang/quality/fingerprint columns are deterministic and bounded") {
     import spark.implicits._
     val d = docs((1L, "the cat and the dog of the house is to be seen"))
