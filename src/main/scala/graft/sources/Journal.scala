@@ -343,23 +343,47 @@ object Journal {
 
   // ---- read path (S1-S4) ---------------------------------------------
 
-  /** Iterate a fragment's records whose spans start in [from, to) —
-    * the executor-side read of one planned slice (decompress, byte-skip
-    * to the slice start, frame lines with exact offsets).
+  /** Iterate a fragment's records whose spans START in [from, to) — the
+    * executor-side read of one planned slice (decompress, byte-skip to
+    * the slice start, frame lines with exact offsets).
+    *
+    * Slice bounds need NOT be record-aligned: ownership is by first
+    * byte. A reader landing mid-record discards the partial first line
+    * (that record belongs to the slice holding its first byte), and a
+    * record beginning before `to` is read to completion even when its
+    * bytes extend past `to`. This is what makes byte-capped admission
+    * control (maxBytesPerTrigger) safe — adjacent slices tile the
+    * journal with no torn or duplicated records, the same
+    * scan-to-next-delimiter rule the reference's framing readers apply
+    * to arbitrary-offset reads.
     */
   def readFragmentSlice(frag: Fragment, from: Long, to: Long): Iterator[Envelope] = {
     val raw = Files.newInputStream(Paths.get(frag.path))
-    val in = if (frag.codec == "gz") new GZIPInputStream(raw) else raw
+    val in = new java.io.BufferedInputStream(
+      if (frag.codec == "gz") new GZIPInputStream(raw) else raw, 1 << 16)
+    // Skip to from-1 first: the byte BEFORE the slice tells whether
+    // `from` starts a record (previous byte is the '\n' terminator).
+    val preTarget = (if (from > frag.begin) from - 1 else from) - frag.begin
     var skipped = 0L
-    val toSkip = from - frag.begin
-    while (skipped < toSkip) {
-      val n = in.skip(toSkip - skipped)
+    while (skipped < preTarget) {
+      val n = in.skip(preTarget - skipped)
       if (n <= 0) throw new java.io.IOException(s"cannot skip to $from in ${frag.path}")
       skipped += n
     }
+    var offset = from
+    if (from > frag.begin) {
+      val prev = in.read()
+      if (prev == -1) return Iterator.empty
+      if (prev != '\n') {
+        // Mid-record: discard through the partial record's terminator.
+        var b = in.read()
+        while (b != -1 && b != '\n') { offset += 1; b = in.read() }
+        if (b == -1) return Iterator.empty
+        offset += 1 // count the discarded record's '\n'
+      }
+    }
     val reader = new java.io.BufferedReader(
       new java.io.InputStreamReader(in, "UTF-8"), 1 << 16)
-    var offset = from
     Iterator.continually(reader.readLine()).takeWhile(_ != null)
       .map { line =>
         val begin = offset

@@ -103,4 +103,44 @@ class IntegrationSpec extends SparkSpec {
     assert(store.restoredBatchId >= 0L || fromDb.nonEmpty)
     store.close()
   }
+
+  test("journal-to-journal pipeline survives a crashed micro-batch exactly once") {
+    import spark.implicits._
+    // The chaos-suite shape (reference crash_test.go): a consumer dies
+    // mid-batch AFTER its sink committed; the restarted query re-runs
+    // the batch and the idempotent sink must not duplicate the records.
+    val root = Files.createTempDirectory("graft-crash").toString
+    val ckpt = Files.createTempDirectory("graft-crash-ckpt").toString
+    Journal.append((1 to 40).map(i => s"in-$i").toDF("payload"), root, "in", "none")
+
+    @volatile var injected = false
+    def run(): Unit = {
+      val q = spark.readStream.format("journal")
+        .option("root", root).option("journal", "in")
+        .option("maxBytesPerTrigger", "100") // several batches
+        .load()
+        .select(concat(lit("out-"), col("payload")).as("payload"))
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          Journal.batchSink(root, "out", "none")(df, id)
+          if (id == 1 && !injected) {
+            injected = true
+            throw new RuntimeException("injected crash after sink commit")
+          }
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.awaitTermination(120000)
+      catch { case _: Exception => () } // the injected failure surfaces here
+      q.stop()
+    }
+
+    run()           // dies on batch 1, after batch 1's records landed
+    assert(injected)
+    run()           // restart: batch 1 replays against the committed manifest
+
+    val out = Journal.read(spark, root, "out").collect().map(_.payload).sorted
+    assert(out.length == 40, s"expected exactly-once, got ${out.length} records")
+    assert(out.toSeq == (1 to 40).map(i => s"out-in-$i").sorted)
+  }
 }

@@ -73,6 +73,30 @@ class JournalSpec extends SparkSpec {
     assert(envs.map(_.begin).toSeq == Seq(0L, 4L, 8L, 12L))
   }
 
+  test("unaligned byte slices tile the journal without torn or duplicate records") {
+    import spark.implicits._
+    val root = tmpRoot()
+    // records of varying length: "a\n" [0,2) "bbbb\n" [2,7) "cc\n" [7,10)
+    // "ddddddd\n" [10,18) "e\n" [18,20)
+    Journal.append(Seq("a", "bbbb", "cc", "ddddddd", "e").toDF("payload").coalesce(1),
+      root, "sl", "none")
+    val frag = Journal.listFragments(root, "sl").head
+    // slice at arbitrary (mid-record) offsets: ownership is by first byte
+    val cuts = Seq((0L, 4L), (4L, 9L), (9L, 16L), (16L, frag.end))
+    val sliced = cuts.flatMap { case (lo, hi) =>
+      Journal.readFragmentSlice(frag, lo, hi).toSeq
+    }
+    assert(sliced.map(_.payload) == Seq("a", "bbbb", "cc", "ddddddd", "e"))
+    // spans still tile exactly
+    assert(sliced.head.begin == 0L && sliced.last.end == frag.end)
+    sliced.sliding(2).foreach {
+      case Seq(x, y) => assert(x.end == y.begin)
+      case _ =>
+    }
+    // a slice entirely inside one record yields nothing (owned elsewhere)
+    assert(Journal.readFragmentSlice(frag, 11L, 14L).isEmpty)
+  }
+
   test("batchSink is idempotent per batchId") {
     import spark.implicits._
     val root = tmpRoot()
