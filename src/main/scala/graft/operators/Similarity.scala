@@ -112,6 +112,81 @@ object Similarity {
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Product-quantization ANN (PQ, Jégou et al. TPAMI'11 shape):
+    * split each vector into `m` subvectors, quantize each against a
+    * per-subvector codebook of `k` centroids, and answer queries with
+    * asymmetric distance computation (ADC) — the probe's exact
+    * subvectors against the corpus's quantized codes.
+    *
+    * Scale shape (100 TB): the corpus compresses from 64 floats to `m`
+    * byte codes per vector (64× smaller scan), codebooks are tiny and
+    * broadcast, and ADC is a table lookup per subvector. Codebooks here
+    * are md5-ordered corpus samples (deterministic, SQL-replayable —
+    * k-means iterations would only tighten cells). Per-(probe, corpus,
+    * subvector) partial distances accumulate in decimal so the total is
+    * float-order-independent, matching the oracle bit-for-bit.
+    *
+    * Returns (probe_id, vec_id, adc, rank): top-k smallest ADC per
+    * probe, ties to the lower vec_id.
+    */
+  def pqTopK(corpus: DataFrame, probes: DataFrame, kTop: Int,
+      m: Int = 4, k: Int = 16, dim: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val subDim = dim / m
+    val sampled = corpus.select(col("vec_id"), col("embedding"))
+      .orderBy(md5(concat(lit("pq"), col("vec_id").cast("string"))).asc,
+        col("vec_id").asc)
+      .limit(k).as[(Long, Array[Float])].collect()
+    val cents: Array[Array[Double]] = sampled.map(_._2.map(_.toDouble))
+    val bc = spark.sparkContext.broadcast(cents)
+
+    def sqDist(a: Seq[Float], c: Array[Double], lo: Int, n: Int): Double = {
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        val x = a(lo + i).toDouble - c(lo + i)
+        d += x * x
+        i += 1
+      }
+      d
+    }
+    val codesUdf = udf { v: Seq[Float] =>
+      val cs = bc.value
+      (0 until m).map { mi =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var ci = 0
+        while (ci < cs.length) {
+          val d = sqDist(v, cs(ci), mi * subDim, subDim)
+          if (d < bestD) { bestD = d; best = ci }
+          ci += 1
+        }
+        best
+      }
+    }
+    // ADC partials: one row per (probe, corpus, subvector); the decimal
+    // sum makes the 4-way float addition order-independent.
+    val dmUdf = udf { (p: Seq[Float], codes: Seq[Int]) =>
+      val cs = bc.value
+      codes.zipWithIndex.map { case (ci, mi) =>
+        sqDist(p, cs(ci), mi * subDim, subDim)
+      }
+    }
+    val coded = corpus
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), codesUdf(col("embedding")).as("codes"))
+    val pb = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val joined = coded.join(broadcast(pb), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        explode(dmUdf(col("pe"), col("codes"))).as("dm"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(round(sum(col("dm").cast("decimal(38,18)")).cast("double"), 6).as("adc"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= kTop)
+  }
+
   /** IVF (inverted-file) ANN: a coarse quantizer of `nlist` centroids
     * (deterministically sampled corpus vectors, normalized) partitions
     * the corpus into cells; probes search their `nprobe` nearest cells.

@@ -180,6 +180,16 @@ object PipelineOps {
         .select($"probe_id", $"vec_id", $"sim", $"rank")
     },
 
+    // ---- q46: product-quantization ANN (ADC over md5-sampled
+    // codebooks): the compressed-corpus search path — 64 floats → 4
+    // byte codes per vector.
+    "q46_pq_ann" -> { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqTopK(emb, emb.filter($"vec_id" < 10), kTop = 5)
+        .select($"probe_id", $"vec_id", $"adc", $"rank")
+    },
+
     // ---- q37: embedding-cosine near-dup pairs (exact; the corpus is
     // random so the demo threshold is 0.4 — production near-dup uses
     // ~0.95 and the LSH-candidate path described on cosinePairs).
@@ -295,6 +305,45 @@ object PipelineOps {
       |  FROM probes p JOIN corpus c ON p.cell = c.cell AND c.vec_id <> p.probe_id) t
       |WHERE rank <= 5""".stripMargin
 
+  /** q46 oracle: the PQ pipeline in SQL — md5-ordered codebook sample,
+    * per-subvector argmin code assignment, ADC with decimal-summed
+    * partials (order-independent, as the Spark side).
+    */
+  private def pqAnnOracle: String = {
+    val subDim = 16
+    def sq(av: String, cv: String) =
+      s"""list_aggregate(list_transform(range(1, ${subDim + 1}),
+         |      i -> ($av[m.m * $subDim + i] - $cv[m.m * $subDim + i])
+         |         * ($av[m.m * $subDim + i] - $cv[m.m * $subDim + i])), 'sum')""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |samp AS (SELECT vec_id, v,
+       |    row_number() OVER (ORDER BY md5('pq' || vec_id::VARCHAR), vec_id) AS rn
+       |  FROM e),
+       |cents AS (SELECT rn - 1 AS ci, v AS cv FROM samp WHERE rn <= 16),
+       |ms AS (SELECT unnest(range(0, 4)) AS m),
+       |assign AS (SELECT e.vec_id, c.ci, m.m,
+       |    row_number() OVER (PARTITION BY e.vec_id, m.m
+       |      ORDER BY ${sq("e.v", "c.cv")} ASC, c.ci ASC) AS r
+       |  FROM e CROSS JOIN cents c CROSS JOIN ms m),
+       |codes AS (SELECT vec_id, m, ci FROM assign WHERE r = 1),
+       |probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
+       |parts AS (SELECT p.probe_id, k.vec_id, m.m, ${sq("p.pv", "c.cv")} AS dm
+       |  FROM probes p
+       |  CROSS JOIN codes k
+       |  JOIN ms m ON m.m = k.m
+       |  JOIN cents c ON c.ci = k.ci
+       |  WHERE k.vec_id <> p.probe_id),
+       |adc AS (SELECT probe_id, vec_id,
+       |    round(CAST(sum(CAST(dm AS DECIMAL(38,18))) AS DOUBLE), 6) AS adc
+       |  FROM parts GROUP BY probe_id, vec_id)
+       |SELECT probe_id, vec_id, adc, rank FROM (
+       |  SELECT probe_id, vec_id, adc,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY adc ASC, vec_id ASC) AS rank
+       |  FROM adc) t
+       |WHERE rank <= 5""".stripMargin
+  }
+
   private val langHits = Seq(
     "en" -> "(the|and|of|is|to)", "de" -> "(der|die|und|ist|das)",
     "es" -> "(el|la|los|es|y)", "fr" -> "(le|les|est|et|une)",
@@ -377,6 +426,7 @@ object PipelineOps {
     "q26_simhash_pairs" -> simhashOracle,
     "q28_ann_lsh" -> lshAnnOracle,
     "q38_ann_ivf" -> ivfAnnOracle,
+    "q46_pq_ann" -> pqAnnOracle,
 
     "q27_cosine_topk" ->
       """SELECT probe_id, vec_id, sim, rank FROM (
