@@ -42,6 +42,29 @@ object Journal {
   /** One framed record with its byte span. */
   final case class Envelope(journal: String, begin: Long, end: Long, payload: String)
 
+  // ---- compression codecs (S9) ---------------------------------------
+  // The reference's fragment codecs (protocol CompressionCodec:
+  // NONE/GZIP/ZSTANDARD/SNAPPY) with its file extensions; zstd + snappy
+  // ride the libraries Spark already ships (zstd-jni, snappy-java).
+
+  private[graft] def wrapOutput(codec: String, os: java.io.OutputStream): java.io.OutputStream =
+    codec match {
+      case "gz"   => new GZIPOutputStream(os)
+      case "zst"  => new com.github.luben.zstd.ZstdOutputStream(os)
+      case "sz"   => new org.xerial.snappy.SnappyFramedOutputStream(os)
+      case "none" | "raw" => os
+      case other  => throw new IllegalArgumentException(s"unknown codec: $other")
+    }
+
+  private[graft] def wrapInput(codec: String, is: java.io.InputStream): java.io.InputStream =
+    codec match {
+      case "gz"   => new GZIPInputStream(is)
+      case "zst"  => new com.github.luben.zstd.ZstdInputStream(is)
+      case "sz"   => new org.xerial.snappy.SnappyFramedInputStream(is)
+      case "none" | "raw" => is
+      case other  => throw new IllegalArgumentException(s"unknown codec: $other")
+    }
+
   // ---- fragment index ------------------------------------------------
 
   private val FragmentRe = """([0-9a-f]{16})-([0-9a-f]{16})-([0-9a-f]{40})\.(\w+)""".r
@@ -146,8 +169,7 @@ object Journal {
           val digest = MessageDigest.getInstance("SHA-1")
           var len = 0L
           private val fos = new FileOutputStream(tmp.toFile)
-          val out = new BufferedOutputStream(
-            if (codec == "gz") new GZIPOutputStream(fos) else fos, 1 << 16)
+          val out = new BufferedOutputStream(wrapOutput(codec, fos), 1 << 16)
         }
         val spools = scala.collection.mutable.LinkedHashMap.empty[String, Spool]
         it.foreach { case (line, postfix) =>
@@ -274,8 +296,7 @@ object Journal {
           val digest = MessageDigest.getInstance("SHA-1")
           var len = 0L
           val fos = new FileOutputStream(tmp.toFile)
-          val out = new BufferedOutputStream(
-            if (codec == "gz") new GZIPOutputStream(fos) else fos, 1 << 16)
+          val out = new BufferedOutputStream(wrapOutput(codec, fos), 1 << 16)
           val header = new Array[Byte](8)
           FixedFramingMagic.copyToArray(header)
           it.foreach { payload =>
@@ -310,7 +331,7 @@ object Journal {
     spark.createDataset(plan).flatMap { case (frag, readFrom) =>
       val raw = Files.newInputStream(Paths.get(frag.path))
       val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
-        if (frag.codec == "gz") new GZIPInputStream(raw) else raw, 1 << 16))
+        wrapInput(frag.codec, raw), 1 << 16))
       in.skipNBytes(readFrom - frag.begin)
       var offset = readFrom
       new Iterator[BinEnvelope] {
@@ -359,8 +380,7 @@ object Journal {
     */
   def readFragmentSlice(frag: Fragment, from: Long, to: Long): Iterator[Envelope] = {
     val raw = Files.newInputStream(Paths.get(frag.path))
-    val in = new java.io.BufferedInputStream(
-      if (frag.codec == "gz") new GZIPInputStream(raw) else raw, 1 << 16)
+    val in = new java.io.BufferedInputStream(wrapInput(frag.codec, raw), 1 << 16)
     // Skip to from-1 first: the byte BEFORE the slice tells whether
     // `from` starts a record (previous byte is the '\n' terminator).
     val preTarget = (if (from > frag.begin) from - 1 else from) - frag.begin

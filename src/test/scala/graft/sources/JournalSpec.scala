@@ -38,12 +38,17 @@ class JournalSpec extends SparkSpec {
     assert(Journal.read(spark, root, "topic/a").count() == 1001)
   }
 
-  test("uncompressed codec round-trips too") {
+  test("every codec round-trips: none, gz, zst, sz") {
     import spark.implicits._
-    val root = tmpRoot()
-    Journal.append(Seq("a", "b", "c").toDF("payload"), root, "j", codec = "none")
-    assert(Journal.read(spark, root, "j").collect().map(_.payload).sorted.toSeq ==
-      Seq("a", "b", "c"))
+    Seq("none", "gz", "zst", "sz").foreach { codec =>
+      val root = tmpRoot()
+      val lines = (1 to 200).map(i => s"payload-$codec-$i")
+      Journal.append(lines.toDF("payload"), root, s"j-$codec", codec = codec)
+      val frags = Journal.listFragments(root, s"j-$codec")
+      assert(frags.nonEmpty && frags.forall(_.codec == codec))
+      assert(Journal.read(spark, root, s"j-$codec").collect()
+        .map(_.payload).sorted.toSeq == lines.sorted, s"codec $codec")
+    }
   }
 
   test("cover set resolves overlapping fragments") {
