@@ -267,33 +267,51 @@ object Dedup {
     * costs ~10× more per document; hash-family choice is free (SimHash
     * only needs a fixed high-quality per-token hash).
     */
-  def simhashes(df: DataFrame, id: Column, text: Column): DataFrame = {
+  def simhashes(df: DataFrame, id: Column, text: Column): DataFrame =
+    simhashWith(df, id, text) { () => (w: String) =>
+      var h = 0xcbf29ce484222325L
+      var k = 0
+      while (k < w.length) { h ^= w.charAt(k).toLong; h *= 0x100000001b3L; k += 1 }
+      mix64(h) // FNV output bits are weakly mixed; finalize
+    }
+
+  /** Shared simhash body over a pluggable per-token hash family
+    * (instantiated once per partition — MD5 needs a MessageDigest).
+    * Documents with ZERO tokens yield NO row: a signature over nothing
+    * is meaningless, and emitting sim=0 would near-dup-match every
+    * token-less doc against every other (and diverge from the SQL
+    * oracle, whose unnest produces no rows for them).
+    */
+  private def simhashWith(df: DataFrame, id: Column, text: Column)(
+      mkHash: () => String => Long): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(id.cast("long").as("doc_id"), text.cast("string").as("text"))
       .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, String)]
-      .map { case (docId, t) =>
-        val toks = TextAnalysis.tokenize(t)
-        val sums = new Array[Int](64)
-        var i = 0
-        while (i < toks.length) {
-          val w = toks(i)
-          var h = 0xcbf29ce484222325L
-          var k = 0
-          while (k < w.length) { h ^= w.charAt(k).toLong; h *= 0x100000001b3L; k += 1 }
-          h = mix64(h) // FNV output bits are weakly mixed; finalize
-          var b = 0
-          while (b < 64) {
-            if (((h >>> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
-            b += 1
+      .mapPartitions { it =>
+        val hash = mkHash()
+        it.flatMap { case (docId, t) =>
+          val toks = TextAnalysis.tokenize(t)
+          if (toks.isEmpty) None
+          else {
+            val sums = new Array[Int](64)
+            var i = 0
+            while (i < toks.length) {
+              val h = hash(toks(i))
+              var b = 0
+              while (b < 64) {
+                if (((h >>> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
+                b += 1
+              }
+              i += 1
+            }
+            var sim = 0L
+            var b = 0
+            while (b < 64) { if (sums(b) > 0) sim |= (1L << b); b += 1 }
+            Some((docId, sim))
           }
-          i += 1
         }
-        var sim = 0L
-        var b = 0
-        while (b < 64) { if (sums(b) > 0) sim |= (1L << b); b += 1 }
-        (docId, sim)
       }.toDF("doc_id", "sim")
   }
 
@@ -304,38 +322,18 @@ object Dedup {
     * choice is free for SimHash (any fixed well-mixed hash); MD5 costs
     * ~2× FNV per token, still one fused narrow map.
     */
-  def simhashesMd5(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(id.cast("long").as("doc_id"), text.cast("string").as("text"))
-      .repartition(spark.sparkContext.defaultParallelism)
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (docId, t) =>
-          val toks = TextAnalysis.tokenize(t)
-          val sums = new Array[Int](64)
-          var i = 0
-          while (i < toks.length) {
-            md.reset()
-            val d = md.digest(toks(i).getBytes("UTF-8"))
-            var h = 0L
-            var k = 0
-            while (k < 8) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
-            var b = 0
-            while (b < 64) {
-              if (((h >>> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
-              b += 1
-            }
-            i += 1
-          }
-          var sim = 0L
-          var b = 0
-          while (b < 64) { if (sums(b) > 0) sim |= (1L << b); b += 1 }
-          (docId, sim)
-        }
-      }.toDF("doc_id", "sim")
-  }
+  def simhashesMd5(df: DataFrame, id: Column, text: Column): DataFrame =
+    simhashWith(df, id, text) { () =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (w: String) => {
+        md.reset()
+        val d = md.digest(w.getBytes("UTF-8"))
+        var h = 0L
+        var k = 0
+        while (k < 8) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+        h
+      }
+    }
 
   /** 64-bit SimHash over word tokens: bit b of the hash is the sign of
     * Σ_tokens (±1 per token's xxhash64 bit b). Near-dups have small

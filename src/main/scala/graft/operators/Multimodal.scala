@@ -62,8 +62,9 @@ object Multimodal {
     */
   def repartitionBySize(media: DataFrame, targetBytes: Long,
       blobCol: String = "media"): DataFrame = {
-    val total = media.select(sum(length(col(blobCol)).cast("long")))
-      .head().getLong(0)
+    // sum() over zero rows (or an all-NULL blob column) is NULL.
+    val row = media.select(sum(length(col(blobCol)).cast("long"))).head()
+    val total = if (row.isNullAt(0)) 0L else row.getLong(0)
     val parts = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
     media.repartition(parts)
   }

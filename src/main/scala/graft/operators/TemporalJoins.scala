@@ -31,6 +31,22 @@ object TemporalJoins {
   def asOf(left: DataFrame, leftKey: Column, leftTime: Column,
       right: DataFrame, rightKey: Column, rightTime: Column,
       rightVal: Column, outCol: String): DataFrame = {
+    // Fail fast on non-integral inputs: a silent cast("long") would
+    // NULL string keys (collapsing every key into one window
+    // partition) and truncate timestamps to SECONDS — both produce
+    // quietly wrong attributions. Pre-convert timestamps to epoch
+    // micros/nanos and hash string keys before calling.
+    def requireIntegral(df: DataFrame, c: Column, role: String): Unit = {
+      import org.apache.spark.sql.types._
+      val dt = df.select(c).schema.head.dataType
+      val ok = dt == LongType || dt == IntegerType || dt == ShortType || dt == ByteType
+      require(ok,
+        s"asOf $role must be an integral column, got $dt — " +
+          "convert timestamps to epoch micros/nanos and hash non-numeric keys first")
+    }
+    requireIntegral(left, leftKey, "leftKey"); requireIntegral(left, leftTime, "leftTime")
+    requireIntegral(right, rightKey, "rightKey"); requireIntegral(right, rightTime, "rightTime")
+    requireIntegral(right, rightVal, "rightVal")
     val l = left.select(struct(col("*")).as("__row"),
       leftKey.cast("long").as("__k"), leftTime.cast("long").as("__t"),
       lit(1).as("__typ"), lit(null).cast("long").as("__v"))

@@ -76,14 +76,18 @@ object TextAnalysis {
 
   /** GPT-2-style BPE pre-tokenizer regex, restricted to constructs with
     * identical semantics in Java regex (Spark) and RE2 (DuckDB): no
-    * lookahead, leftmost-first alternation. Splits contractions,
-    * letter runs, digit runs, punctuation runs, and whitespace — the
+    * lookahead, leftmost-first alternation, and whitespace spelled as
+    * an explicit class — Java's `\s` includes U+000B but RE2's does
+    * not, so `\s` itself is NOT portable. Splits contractions, letter
+    * runs, digit runs, punctuation runs, and whitespace — the
     * pre-tokenization whose piece count upper-bounds (and tightly
     * tracks) real BPE token counts, which is what a training-data
     * pipeline budgets by.
     */
-  val BpePattern: String =
-    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+  val BpePattern: String = {
+    val ws = " \\t\\n\\x0B\\f\\r" // Java \s, spelled portably
+    s"'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^$ws\\p{L}\\p{N}]+|[$ws]+"
+  }
 
   /** Pre-token count under [[BpePattern]] (codegen'd column form). */
   def bpeTokenCount(text: Column): Column =

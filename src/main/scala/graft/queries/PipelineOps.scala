@@ -374,7 +374,7 @@ object PipelineOps {
     "q44_bpe_token_stats" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text,
-        |    '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS n_bpe,
+        |    '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\x0B\f\r\p{L}\p{N}]+|[ \t\n\x0B\f\r]+')) AS n_bpe,
         |  len(regexp_extract_all(text, '\S+')) AS n_ws
         |FROM documents""".stripMargin,
 

@@ -438,6 +438,16 @@ object Journal {
     * later round.
     */
   def readStream(spark: SparkSession, root: String, journal: String): DataFrame = {
+    // This legacy path decodes via Hadoop's extension-registered codecs:
+    // ".gz" is registered, plain text is fine, but ".zst"/".sz" are NOT
+    // (snappy-framed has no Hadoop codec at all) — the text source would
+    // stream compressed bytes as garbage lines with no error. The DSv2
+    // `journal` format decodes every codec; use it for those journals.
+    val codecs = listFragments(root, journal).map(_.codec).toSet
+    val unsupported = codecs -- Set("gz", "none", "raw")
+    require(unsupported.isEmpty,
+      s"Journal.readStream cannot decode codec(s) $unsupported — read with " +
+        """spark.readStream.format("journal") instead""")
     spark.readStream
       .option("pathGlobFilter", "*-*-*.*")
       .text(Paths.get(root, journal).toString)

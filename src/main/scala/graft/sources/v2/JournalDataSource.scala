@@ -103,7 +103,11 @@ case class JournalOffset(head: Long) extends Offset {
   * `maxOffsetsPerTrigger` analog — offsets ARE bytes here). Round-trips
   * through Spark's SupportsAdmissionControl contract untouched.
   */
-case class ReadMaxJournalBytes(bytes: Long) extends ReadLimit
+case class ReadMaxJournalBytes(bytes: Long) extends ReadLimit {
+  // 0 would make every micro-batch [s, s) — AvailableNow then never
+  // reaches its drain target; negative would move offsets backward.
+  require(bytes > 0, s"maxBytesPerTrigger must be positive, got $bytes")
+}
 
 class JournalMicroBatchStream(root: String, journal: String,
     maxBytesPerTrigger: Option[Long] = None)

@@ -120,9 +120,18 @@ final class SqlStore(url: String, shard: String,
     */
   private def tableExists(): Boolean = {
     val md = conn.getMetaData
+    // getTables takes LIKE patterns: escape '_'/'%' so
+    // "gazette_checkpoints" doesn't match "gazetteXcheckpoints", and
+    // scope to the connection's schema so a same-named table owned by
+    // another schema (invisible to unqualified SQL) can't fake a hit.
+    val esc = Option(md.getSearchStringEscape).getOrElse("\\")
+    def pat(s: String) = s.replace(esc, esc + esc)
+      .replace("_", esc + "_").replace("%", esc + "%")
+    val schema = try Option(conn.getSchema).map(pat).orNull
+      catch { case _: Throwable => null } // drivers may not support getSchema
     // Unquoted identifiers fold per-vendor: probe as-is, upper, lower.
     Seq(table, table.toUpperCase, table.toLowerCase).distinct.exists { t =>
-      val rs = md.getTables(null, null, t, Array("TABLE"))
+      val rs = md.getTables(null, schema, pat(t), Array("TABLE"))
       try rs.next() finally rs.close()
     }
   }

@@ -48,17 +48,23 @@ object StreamingDedup {
 
     val d = Dedup.docShingles(docs, col("doc_id"), col("text"), shingleN)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Track every cached frame so a throwing write can't leak caches
+    // into Spark's retry of the batch (storage memory would grow
+    // monotonically over a long stream with intermittent sink errors).
+    val cached = scala.collection.mutable.ArrayBuffer[DataFrame](d)
     try {
       // 1. Within-batch near-dups: keep the smaller doc_id of each pair.
       val batchDups = Dedup.minhashLshPairs(d, threshold, numHashes, bands)
         .select($"db".as("doc_id")).distinct()
       val dIntra = d.join(batchDups, Seq("doc_id"), "left_anti")
         .persist(StorageLevel.MEMORY_AND_DISK)
+      cached += dIntra
 
       // 2. Against the accepted index: bucket-equal candidates only.
       val idxBuckets = readOrEmpty(spark, s"$indexDir/buckets", bucketsSchema)
       val newBuckets = Dedup.bandBuckets(dIntra, numHashes, bands)
         .persist(StorageLevel.MEMORY_AND_DISK)
+      cached += newBuckets
       // doc_id inequality: on a retried batch the index already holds
       // this batch's survivors — self-matches must not count as dups.
       val cand = newBuckets.as("n")
@@ -77,6 +83,7 @@ object StreamingDedup {
 
       val surviving = dIntra.join(histDups, Seq("doc_id"), "left_anti")
         .persist(StorageLevel.MEMORY_AND_DISK)
+      cached += surviving
 
       // 3. Idempotent writes: batch-scoped directories, overwritten on
       // retry. Index writes precede the output write; a crash between
@@ -89,9 +96,7 @@ object StreamingDedup {
         .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/buckets/batch=$batchId")
       docs.join(surviving.select($"doc_id"), Seq("doc_id"), "left_semi")
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$batchId")
-
-      newBuckets.unpersist(); dIntra.unpersist(); surviving.unpersist()
-    } finally d.unpersist()
+    } finally cached.foreach(_.unpersist())
   }
 
   private def readOrEmpty(spark: SparkSession, dir: String, schema: StructType): DataFrame =
