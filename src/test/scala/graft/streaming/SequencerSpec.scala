@@ -136,28 +136,27 @@ class SequencerSpec extends SparkSpec {
     // AvailableNow: drain what's queued, then stop — gives clean
     // stop/restart boundaries. Parquet sink (unlike memory) supports
     // checkpoint recovery.
-    def runQuery(in: MemoryStream[SeqEnvelope]): Unit = {
+    def runQuery(in: MemoryStream[SeqEnvelope], expectRows: Long): Unit = {
       val q = Sequencer.sequenceStream(in.toDS()).writeStream
         .format("parquet").option("path", outDir)
         .option("checkpointLocation", ckpt)
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination(120000)
-      q.stop()
+      drainAndStop(q, expectRows)
     }
 
     val schema = org.apache.spark.sql.Encoders.product[SeqEnvelope].schema
 
     // Batch 1: an uncommitted span only — nothing emits.
     input1.addData(env("P", 1, ContinueTxn), env("P", 2, ContinueTxn))
-    runQuery(input1)
+    runQuery(input1, expectRows = 2)
     assert(spark.read.schema(schema).parquet(outDir).count() == 0)
 
     // Restart from the checkpoint (same source instance retains its
     // batches); the ACK commits the span recovered from the state store.
     input1.addData(env("P", 3, AckTxn))
-    runQuery(input1)
+    runQuery(input1, expectRows = 1)
     val out = spark.read.schema(schema).parquet(outDir)
       .as[SeqEnvelope].collect().sortBy(_.clock)
     assert(out.map(_.clock).toVector == Vector(1L, 2L, 3L),
@@ -181,7 +180,7 @@ class SequencerSpec extends SparkSpec {
         .format("parquet").option("path", outDir)
         .option("checkpointLocation", ckpt)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(120000); q.stop()
+      drainAndStop(q, expectRows = 2)
       val schema = org.apache.spark.sql.Encoders.product[SeqEnvelope].schema
       val out = spark.read.schema(schema).parquet(outDir).as[SeqEnvelope].collect()
       assert(out.map(_.clock).sorted.toVector == Vector(1L, 2L))
@@ -205,23 +204,23 @@ class SequencerSpec extends SparkSpec {
       val ckpt = Files.createTempDirectory("graft-tws-ckpt").toString
       val outDir = Files.createTempDirectory("graft-tws-out").toString
       val input = MemoryStream[SeqEnvelope](spark)
-      def drain(): Unit = {
+      def drain(expectRows: Long): Unit = {
         val q = Sequencer.sequenceStreamTws(input.toDS()).writeStream
           .format("parquet").option("path", outDir)
           .option("checkpointLocation", ckpt)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination(120000); q.stop()
+        drainAndStop(q, expectRows)
       }
       // batch 1: open span (nothing commits), plus an OUTSIDE_TXN row
       input.addData(env("T", 1, ContinueTxn), env("T", 2, ContinueTxn),
         env("U", 7, OutsideTxn))
-      drain()
+      drain(expectRows = 3)
       val schema = org.apache.spark.sql.Encoders.product[SeqEnvelope].schema
       assert(spark.read.schema(schema).parquet(outDir)
         .as[SeqEnvelope].collect().map(_.producer).toSeq == Seq("U"))
       // restart: the ACK commits the span carried in TWS state
       input.addData(env("T", 3, AckTxn), env("T", 2, ContinueTxn)) // dup dropped
-      drain()
+      drain(expectRows = 2)
       val out = spark.read.schema(schema).parquet(outDir).as[SeqEnvelope]
         .collect().sortBy(e => (e.producer, e.clock))
       assert(out.map(e => (e.producer, e.clock)).toVector ==
@@ -233,6 +232,26 @@ class SequencerSpec extends SparkSpec {
         case None => spark.conf.unset(conf)
       }
     }
+  }
+
+  /** Drain an AvailableNow sequencer query, then stop. Neither
+    * awaitTermination nor processAllAvailable works here: pending
+    * processing-time state timers keep the query alive (and
+    * "available"), so the former burns its whole timeout and the
+    * latter never returns. Instead poll this run's progress reports
+    * until `expectRows` input rows have been processed (recovery/timer
+    * batches report zero rows and don't count), with a 90s deadline as
+    * the flakiness backstop.
+    */
+  private def drainAndStop(q: org.apache.spark.sql.streaming.StreamingQuery,
+      expectRows: Long): Unit = {
+    val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+    def processed = q.recentProgress.map(_.numInputRows).sum
+    while (q.isActive && processed < expectRows && System.nanoTime() < deadline)
+      Thread.sleep(200)
+    // one more beat so the sink's commit of the last batch lands
+    Thread.sleep(300)
+    q.stop()
   }
 
   private val Files = new {
