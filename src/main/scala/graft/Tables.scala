@@ -1,8 +1,6 @@
 package graft
 
-import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import scala.jdk.CollectionConverters._
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md).
   *
@@ -14,21 +12,6 @@ import scala.jdk.CollectionConverters._
 object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
-
-  /** Number of data files backing a table — a cheap proxy for scan
-    * parallelism (single-file local testdata scans are one task; real
-    * tables have many part files). Filesystem-only: no plan compile.
-    */
-  def fileCount(dir: String, name: String): Int = {
-    val p = Paths.get(s"$dir/$name.parquet")
-    if (Files.isDirectory(p)) {
-      val s = Files.list(p)
-      try s.iterator().asScala.count(f =>
-        f.getFileName.toString.endsWith(".parquet"))
-      finally s.close()
-    } else if (Files.exists(p)) 1
-    else 0
-  }
 
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")

@@ -62,6 +62,7 @@ object Multimodal {
     */
   def repartitionBySize(media: DataFrame, targetBytes: Long,
       blobCol: String = "media"): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     // sum() over zero rows (or an all-NULL blob column) is NULL.
     val row = media.select(sum(length(col(blobCol)).cast("long"))).head()
     val total = if (row.isNullAt(0)) 0L else row.getLong(0)

@@ -91,7 +91,12 @@ object TemporalJoins {
     def bucketOf(c: Column) =
       floor(c.cast("long").cast("decimal(38,0)") / bucketNs).cast("long")
     val pb = points.withColumn("__bucket", bucketOf(t))
-    val ib = intervals.withColumn("__bucket",
+    // Empty intervals (t1 <= t0) match nothing under `t0 <= t < t1`, but
+    // sequence(start, stop) with start > stop generates a DESCENDING
+    // sequence — a badly inverted interval (e.g. swapped columns) would
+    // silently explode to millions of spurious bucket rows that the
+    // exact filter then discards. Drop them before exploding.
+    val ib = intervals.filter(t1 > t0).withColumn("__bucket",
       // end is exclusive: t1-1 is the last covered instant
       explode(sequence(bucketOf(t0), bucketOf(t1 - 1))))
     pb.join(ib, "__bucket").filter(t >= t0 && t < t1).drop("__bucket")

@@ -150,16 +150,23 @@ object TextAnalysis {
     * bytes shifted right by one (63-bit), so signed (Spark) and
     * unsigned (SQL) minima agree. Returns the distinct fingerprint set;
     * empty when the doc has fewer than k+w-1 chars.
+    *
+    * K-grams are sliced by CODEPOINT, not UTF-16 code unit: DuckDB's
+    * substr() (the q45 oracle) counts codepoints, and a code-unit slice
+    * would split surrogate pairs (md5 of a replacement char) — the
+    * shared-substring guarantee and oracle parity must hold beyond the
+    * BMP.
     */
   def winnowFingerprints(md: java.security.MessageDigest, text: String,
       k: Int, w: Int): Array[Long] = {
-    val n = text.length - k + 1
+    val cps = text.codePoints().toArray
+    val n = cps.length - k + 1
     if (n < w) return Array.empty
     val hs = new Array[Long](n)
     var i = 0
     while (i < n) {
       md.reset()
-      val d = md.digest(text.substring(i, i + k).getBytes("UTF-8"))
+      val d = md.digest(new String(cps, i, k).getBytes("UTF-8"))
       var h = 0L
       var b = 0
       while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }

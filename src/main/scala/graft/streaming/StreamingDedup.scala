@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -61,7 +60,12 @@ object StreamingDedup {
       cached += dIntra
 
       // 2. Against the accepted index: bucket-equal candidates only.
-      val idxBuckets = readOrEmpty(spark, s"$indexDir/buckets", bucketsSchema)
+      // The current batch's own `batch=<id>` partition is EXCLUDED from
+      // the read: on a retry it is also this job's overwrite target, and
+      // reading a path the same job deletes mid-plan is fragile under
+      // cached/eager file listing (the doc_id != exclusion below still
+      // guards rows that arrive via other batches' partitions).
+      val idxBuckets = readIndex(spark, s"$indexDir/buckets", bucketsSchema, batchId)
       val newBuckets = Dedup.bandBuckets(dIntra, numHashes, bands)
         .persist(StorageLevel.MEMORY_AND_DISK)
       cached += newBuckets
@@ -73,7 +77,7 @@ object StreamingDedup {
             col("n.doc_id") =!= col("o.doc_id"))
         .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
         .distinct()
-      val idxShingles = readOrEmpty(spark, s"$indexDir/shingles", shinglesSchema)
+      val idxShingles = readIndex(spark, s"$indexDir/shingles", shinglesSchema, batchId)
       val histDups = cand
         .join(dIntra.select($"doc_id".as("new_id"), $"sh".as("sha")), "new_id")
         .join(idxShingles.select($"doc_id".as("old_id"), $"sh".as("shb")), "old_id")
@@ -99,9 +103,23 @@ object StreamingDedup {
     } finally cached.foreach(_.unpersist())
   }
 
-  private def readOrEmpty(spark: SparkSession, dir: String, schema: StructType): DataFrame =
-    if (Files.exists(Paths.get(dir)))
-      spark.read.schema(schema).parquet(dir)
-    else
+  /** Read every `batch=K` partition of an index table EXCEPT K=batchId,
+    * so the current batch's overwrite target is never also an input
+    * path of the same job (read-while-overwrite breaks under cached or
+    * eager file indexes when the batch retries).
+    */
+  private def readIndex(spark: SparkSession, dir: String, schema: StructType,
+      batchId: Long): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts =
+      if (fs.exists(root))
+        fs.listStatus(root).toSeq.map(_.getPath)
+          .filter(p => p.getName.startsWith("batch=") && p.getName != s"batch=$batchId")
+      else Seq.empty
+    if (parts.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.schema(schema).parquet(parts.map(_.toString): _*)
+  }
 }

@@ -50,5 +50,8 @@ class MultimodalSpec extends SparkSpec {
     val m10 = Multimodal.synthesize(
       (1 to 100).map(i => (i.toLong, "z" * 1000)).toDF("doc_id", "text"))
     assert(Multimodal.repartitionBySize(m10, 2500L).rdd.getNumPartitions == 40)
+    // non-positive targets are a contract error, not a silent div-by-zero
+    intercept[IllegalArgumentException](Multimodal.repartitionBySize(m, 0L))
+    intercept[IllegalArgumentException](Multimodal.repartitionBySize(m, -5L))
   }
 }

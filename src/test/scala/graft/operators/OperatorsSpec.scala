@@ -150,6 +150,22 @@ class OperatorsSpec extends SparkSpec {
     assert(a.forall(_ >= 0L))
   }
 
+  test("winnowing slices k-grams by codepoint: guarantee holds beyond the BMP") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val k = 5; val w = 4
+    def fps(t: String) = TextAnalysis.winnowFingerprints(md, t, k, w).toSet
+    // 10 CODEPOINTS of non-BMP emoji (20 UTF-16 code units): a code-unit
+    // slicer would split surrogate pairs and hash replacement chars.
+    val core = "😀😁😂🤣😃😄😅😆😇😈"
+    assert(core.codePointCount(0, core.length) == 10)
+    val a = fps("aaaa bbbb " + core + " cccc dddd")
+    val b = fps("eeee ffff " + core + " gggg hhhh")
+    assert((a & b).nonEmpty, "codepoint winnowing guarantee violated")
+    // length gate counts codepoints, not code units: 7 codepoints < k+w-1
+    assert(fps("😀😁😂🤣😃😄😅").isEmpty)
+    assert(fps("😀😁😂🤣😃😄😅😆").size == 1)
+  }
+
   test("lang/quality/fingerprint columns are deterministic and bounded") {
     import spark.implicits._
     val d = docs((1L, "the cat and the dog of the house is to be seen"))

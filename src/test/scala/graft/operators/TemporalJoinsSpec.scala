@@ -73,6 +73,18 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out == Seq(1L))
   }
 
+  test("bucketed range join drops inverted intervals instead of exploding them") {
+    import spark.implicits._
+    val points = Seq((1L, 50L), (2L, 150L)).toDF("pid", "t")
+    // iid=10 is valid; iid=20 is badly inverted (t1 << t0): a naive
+    // sequence(bucketOf(t0), bucketOf(t1-1)) would generate a huge
+    // DESCENDING bucket range for it.
+    val intervals = Seq((10L, 0L, 100L), (20L, 100000000L, 0L)).toDF("iid", "t0", "t1")
+    val out = TemporalJoins.rangeJoinBucketed(
+      points, col("t"), intervals, col("t0"), col("t1"), bucketNs = 10L)
+    assert(out.select($"pid", $"iid").as[(Long, Long)].collect().toSet == Set((1L, 10L)))
+  }
+
   test("HLL sketch path: per-partition sketches union to the global estimate") {
     import spark.implicits._
     // The 100 TB distinct-count shape: sketch per partition slice,
