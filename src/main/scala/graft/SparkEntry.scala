@@ -25,7 +25,9 @@ object SparkEntry {
     graft.queries.PipelineOps.queries ++
     graft.queries.StreamOps.queries ++
     graft.queries.MultimodalOps.queries ++
-    graft.queries.AnalyticOps.queries
+    graft.queries.AnalyticOps.queries ++
+    graft.queries.CurationOps.queries ++
+    graft.queries.CorpusOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -36,5 +38,7 @@ object SparkEntry {
     graft.queries.PipelineOps.oracleSql ++
     graft.queries.StreamOps.oracleSql ++
     graft.queries.MultimodalOps.oracleSql ++
-    graft.queries.AnalyticOps.oracleSql
+    graft.queries.AnalyticOps.oracleSql ++
+    graft.queries.CurationOps.oracleSql ++
+    graft.queries.CorpusOps.oracleSql
 }

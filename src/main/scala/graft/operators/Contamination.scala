@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination for training corpora: find training
+  * documents sharing word n-grams with a held-out evaluation set — the
+  * standard n-gram-overlap contamination check (GPT-3 appendix C /
+  * PaLM-style 8-gram scans, here parameterized).
+  *
+  * Scale design (100 TB): the eval set is tiny relative to the corpus,
+  * so its exploded (shingle → eval_doc) table broadcast-joins against
+  * the training side's exploded shingles — the training corpus is
+  * scanned once, never shuffled on shingle. Shingles are 64-bit hashes
+  * (Dedup.docShingles), so the broadcast table is fixed-width longs.
+  */
+object Contamination {
+
+  /** Per-training-doc contamination report against `evalPred`-selected
+    * docs: (doc_id, n_shared_shingles, n_eval_docs) for every training
+    * doc sharing at least one n-gram with any eval doc.
+    *
+    * `docs` must be (doc_id, sh) from [[Dedup.docShingles]]; rows where
+    * `evalPred(doc_id)` holds form the eval set and are excluded from
+    * the report.
+    */
+  def ngramOverlap(docs: DataFrame, evalPred: Column => Column): DataFrame = {
+    val evalSh = docs.filter(evalPred(col("doc_id")))
+      .select(col("doc_id").as("eval_doc"), explode(col("sh")).as("h"))
+      .distinct()
+    val trainSh = docs.filter(!evalPred(col("doc_id")))
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+    trainSh.join(broadcast(evalSh), "h")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("n_shared_shingles"),
+        countDistinct(col("eval_doc")).as("n_eval_docs"))
+  }
+}

@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus-curation operators for training-data pipelines: near-dup
+  * cluster resolution (connected components), deterministic dataset
+  * splits and stratified sampling, TF-IDF keyword extraction, rare-token
+  * scoring, and text cleaning.
+  *
+  * Scale design (100 TB):
+  *  - connected components is the iterative min-label propagation over
+  *    the near-dup PAIR table (tiny relative to the corpus — pairs only
+  *    exist for near-dups), each iteration two hash shuffles; converges
+  *    in O(cluster diameter) rounds, and near-dup clusters are shallow.
+  *  - splits/sampling hash doc ids — narrow maps, no shuffle (sampling
+  *    adds one window shuffle per stratum key, proportional to strata
+  *    cardinality, not corpus size).
+  *  - every formula is ANSI-SQL-mirrorable for the DuckDB oracle:
+  *    rational arithmetic instead of ln() (whose last-ulp behavior
+  *    differs across libm implementations), md5 instead of seeded RNG.
+  */
+object Curation {
+
+  /** Connected components by iterative min-label propagation: every
+    * vertex's label converges to the smallest vertex id reachable from
+    * it. `edges` must carry long columns (`a`, `b`) (undirected, any
+    * orientation); returns (id, comp).
+    *
+    * Each round: every vertex adopts min(own label, neighbors' labels).
+    * Rounds needed = graph diameter; near-dup clusters are near-cliques
+    * (diameter ~1-3). The per-round convergence check is one count on
+    * the changed-set — driver-side loop, executor-side data, nothing
+    * collected.
+    *
+    * Lineage is TRUNCATED every round (the label table is rebuilt as a
+    * fresh leaf over the materialized rows, then cached): persist alone
+    * keeps the logical plan compounding round over round, and Catalyst
+    * re-analysis of a plan that doubles per iteration goes super-linear
+    * after ~10 rounds — the classic iterative-DataFrame trap. Carrying
+    * the previous label in the materialized row makes the convergence
+    * check a filter-count on the cache, not a self-join.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = edges.sparkSession
+    def truncate(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .unionAll(edges.select(col("b").cast("long").as("a"), col("a").cast("long").as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var cached = truncate(sym.groupBy(col("a"))
+      .agg(least(min(col("b")), col("a")).as("comp")) // round 1 fused into init
+      .withColumnRenamed("a", "id"))
+    var labels = cached
+    var iter = 1
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym.join(labels, sym("b") === labels("id"))
+        .groupBy(sym("a").as("id")).agg(min(col("comp")).as("cand"))
+      val next = truncate(labels.as("l")
+        .join(nbrMin.as("n"), col("l.id") === col("n.id"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.comp"), coalesce(col("n.cand"), col("l.comp"))).as("comp"),
+          col("l.comp").as("prev")))
+      val changed = next.filter(col("comp") < col("prev")).count()
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("id"), col("comp"))
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    require(converged, s"connectedComponents did not converge in $maxIter rounds — " +
+      "component diameter exceeds the bound; raise maxIter")
+    labels
+  }
+
+  /** Near-dup cluster resolution: MinHash-LSH pairs → connected
+    * components → (doc_id, canonical_id) for every clustered doc, where
+    * canonical = smallest doc_id in the cluster (the survivor a dedup
+    * keeps). Docs in no cluster are absent (they survive trivially).
+    */
+  def dedupClusters(docs: DataFrame, threshold: Double = 0.85): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(docs, threshold)
+    connectedComponents(pairs.select(col("da").as("a"), col("db").as("b")))
+      .select(col("id").as("doc_id"), col("comp").as("canonical_id"))
+  }
+
+  /** Deterministic hash split: md5(salt || id) mod 100 → named split by
+    * percentile bands (train < trainPct <= val < trainPct+valPct <= test).
+    * Stable under corpus growth and reshuffling — membership depends
+    * only on the id. Narrow map, no shuffle, no RNG state.
+    */
+  def hashSplit(id: Column, salt: String, trainPct: Int, valPct: Int): Column = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
+    val h = conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 100
+    when(h < trainPct, "train").when(h < trainPct + valPct, "val").otherwise("test")
+  }
+
+  /** Deterministic weighted keep for domain mixing: keep a row iff
+    * md5(salt || id) mod 100 < weightPct, where weightPct is a per-row
+    * column (e.g. joined from a per-source/per-language mixture table).
+    * The standard "sample source s at rate w_s" corpus-mixing step, with
+    * RNG replaced by the id hash: membership is reproducible, stable
+    * under corpus growth, and consistent across pipeline stages that
+    * re-derive it. Narrow map, no shuffle, no RNG state.
+    */
+  def weightedKeep(id: Column, weightPct: Column, salt: String): Column = {
+    val h = conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 100
+    h < weightPct
+  }
+
+  /** Deterministic stratified sample: within each stratum, rank rows by
+    * md5(salt || id) and keep the first ceil(count·pct/100). Exact
+    * per-stratum proportions (unlike Bernoulli sampleBy) and fully
+    * reproducible. One window shuffle on the stratum key.
+    */
+  def stratifiedSample(df: DataFrame, stratum: Column, id: Column,
+      salt: String, pct: Int): DataFrame = {
+    require(pct > 0 && pct <= 100, s"pct must be in (0,100], got $pct")
+    val w = Window.partitionBy(stratum)
+    val ord = w.orderBy(md5(concat(lit(salt), id.cast("string"))).asc, id.asc)
+    df.withColumn("__rn", row_number().over(ord))
+      .withColumn("__n", count(lit(1)).over(w))
+      // ceil(n·pct/100) via (n·pct + 99) div 100: both engines floor the
+      // same exact double (n·pct+99 < 2^53; /100 lands ≥0.01 from the
+      // next integer except when exact) — float ceil(n·0.01·pct) would
+      // instead hinge on 0.01's representation error at boundaries.
+      .filter(col("__rn") <= floor((col("__n") * pct + lit(99)) / 100).cast("long"))
+      .drop("__rn", "__n")
+  }
+
+  /** Top-k keywords per document by TF-IDF (log-free rational variant):
+    * score(t, d) = tf(t,d) · N/df(t) = (cnt_td · N) / (len_d · df_t).
+    * All-integer numerator/denominator with ONE double division, so the
+    * score is bit-identical in any IEEE-754 engine — ln()-based idf
+    * differs in the last ulp across libm implementations and would
+    * flip rank ties. Monotone in tf and 1/df like the classic formula.
+    *
+    * Shuffles: token explode → (doc, token) count agg; df agg over
+    * tokens; one join token→df (the df table is |vocab|, broadcastable
+    * in practice); final per-doc window top-k.
+    */
+  def tfidfKeywords(docs: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val base = docs.select(id.cast("long").as("doc_id"),
+      TextAnalysis.wordTokens(text).as("toks"))
+    val n = base.count()
+    val tokens = base.select(col("doc_id"), size(col("toks")).as("len"),
+      explode(col("toks")).as("token"))
+    val tf = tokens.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("cnt"), max(col("len")).as("len")) // len constant per doc
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "token")
+      .select(col("doc_id"), col("token"),
+        round((col("cnt") * lit(n)).cast("double") / (col("len") * col("df")), 6)
+          .as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Rare-token ratio: fraction of a document's word tokens whose GLOBAL
+    * occurrence count is <= maxCount. High ratio = likely noise/garbage
+    * (OCR junk, random ids); a standard curation signal. Integer counts
+    * + one double division — oracle-exact.
+    */
+  def rareTokenRatio(docs: DataFrame, id: Column, text: Column,
+      maxCount: Long): DataFrame = {
+    val tokens = docs.select(id.cast("long").as("doc_id"),
+        explode(TextAnalysis.wordTokens(text)).as("token"))
+    val global = tokens.groupBy(col("token")).agg(count(lit(1)).as("g"))
+    tokens.join(global, "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("g") <= maxCount, 1L).otherwise(0L)).as("n_rare"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("n_rare").cast("double") / col("n_tokens"), 6).as("rare_ratio"))
+  }
+
+  private val Ws = " \\t\\n\\x0B\\f\\r" // Java \s spelled portably (RE2 \s lacks \x0B)
+
+  /** Text cleaning for web-scraped corpora: strip HTML tags, redact
+    * URLs and e-mail addresses, collapse whitespace, trim. Pure column
+    * expressions (whole-stage codegen, narrow map). Regexes avoid
+    * Java-only constructs so the oracle runs them verbatim in RE2.
+    */
+  def cleanText(text: Column): Column = {
+    val noTags = regexp_replace(text, "<[^>]*>", " ")
+    val noUrls = regexp_replace(noTags, s"https?://[^$Ws]+", "<URL>")
+    val noMail = regexp_replace(noUrls,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    trim(regexp_replace(noMail, s"[$Ws]+", " "))
+  }
+}

@@ -335,6 +335,42 @@ object Dedup {
       }
     }
 
+  /** Passage-level exact dedup stats (C4-style): chop each document's
+    * token stream into non-overlapping `window`-token passages, dedup
+    * passages globally by content hash with the smallest doc_id as
+    * survivor, and report per-document keep counts. A document whose
+    * passages all first occur elsewhere is a pure copy; partial overlap
+    * flags boilerplate spans near-dup methods miss (they score whole
+    * documents).
+    *
+    * Shuffles: one hash-shuffle on the passage md5 (fixed-width keys,
+    * never the passage text) for the first-occurrence agg, one join back,
+    * one per-doc agg. Passage tables are |tokens|/window rows — at 100 TB
+    * the md5 group-by is the same shape as exact doc dedup, just with a
+    * ~window× larger key count; partial aggregation absorbs within-doc
+    * repeats before the exchange.
+    */
+  def passageDedupStats(df: DataFrame, id: Column, text: Column,
+      window: Int): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    val toks = TextAnalysis.wordTokens(text)
+    val base = df.select(id.cast("long").as("doc_id"), toks.as("w"))
+      .filter(size(col("w")) > 0)
+      .withColumn("nc", ceil(size(col("w")).cast("double") / window).cast("int"))
+    val chunks = base.select(col("doc_id"),
+        explode(transform(sequence(lit(0), col("nc") - 1),
+          c => md5(array_join(slice(col("w"), c * window + 1, lit(window)), " "))))
+          .as("h"))
+      .distinct() // within-doc repeats count once
+    val first = chunks.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    chunks.join(first, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("doc_id"), col("n_passages"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_passages"), 6).as("keep_ratio"))
+  }
+
   /** 64-bit SimHash over word tokens: bit b of the hash is the sign of
     * Σ_tokens (±1 per token's xxhash64 bit b). Near-dups have small
     * Hamming distance. One narrow map + no shuffle per document.

@@ -189,6 +189,58 @@ object TextAnalysis {
     out
   }
 
+  /** Within-document repetition metrics (the Gopher/MassiveText
+    * repetition filters, Rae et al. 2021 §A1.1): per document,
+    *  - dup3_ratio: fraction of word 3-grams that are repeats of an
+    *    earlier 3-gram in the same document (1 − distinct/total);
+    *  - top2_frac: fraction of all word 2-grams taken by the single most
+    *    frequent 2-gram.
+    * High values flag boilerplate loops and degenerate generations.
+    * Integer counts + one double division each — oracle-exact.
+    *
+    * The 3-gram ratio is a narrow map (array_distinct inside the row);
+    * only the top-2-gram mode needs a (doc, gram) aggregation, and its
+    * partial agg collapses within-doc repeats before the exchange.
+    */
+  def repetitionStats(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val base = docs.select(id.cast("long").as("doc_id"),
+      wordTokens(text).as("w"), ngramsAll(text, 2).as("g2"), ngramsAll(text, 3).as("g3"))
+    val perDoc = base.select(col("doc_id"),
+      size(col("w")).cast("long").as("n_tokens"),
+      size(col("g3")).cast("long").as("t3"),
+      size(array_distinct(col("g3"))).cast("long").as("d3"),
+      col("g2"))
+    val top2 = perDoc.select(col("doc_id"), explode(col("g2")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("maxc"), sum(col("c")).as("t2"))
+    perDoc.drop("g2").join(top2, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("t3") > 0,
+          round(lit(1.0) - col("d3").cast("double") / col("t3"), 6))
+          .otherwise(0.0).as("dup3_ratio"),
+        when(coalesce(col("t2"), lit(0L)) > 0,
+          round(col("maxc").cast("double") / col("t2"), 6))
+          .otherwise(0.0).as("top2_frac"))
+  }
+
+  /** PII pattern scan: per-document counts of e-mail addresses,
+    * NANP-style phone numbers (ddd-ddd-dddd), and IPv4 dotted quads.
+    * Pure regexp_extract_all counts — narrow map, codegen'd, and the
+    * regexes avoid Java-only constructs so the oracle runs them verbatim
+    * in RE2. The detection counts feed redaction (Curation.cleanText) and
+    * filter thresholds; they deliberately over-match (e.g. 999.999.999.999
+    * counts as an IP) — PII scans tune for recall.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  def piiCounts(text: Column): (Column, Column, Column) = (
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0))),
+    size(regexp_extract_all(text, lit(PhonePattern), lit(0))),
+    size(regexp_extract_all(text, lit(Ipv4Pattern), lit(0))))
+
   /** Single-pass language-ID: same formula as [[langId]] (per-language
     * stopword-hit argmax, priority-ordered ties) but one combined
     * `\b(w1|…|wN)\b` matcher pass per document instead of 25 regex

@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Contamination, Curation, Dedup, Packing, Prefilter, TextAnalysis}
+
+/** Round-3 corpus-pipeline surface: sequence packing, passage-level
+  * exact dedup, within-doc repetition filters, benchmark decontamination,
+  * PII scanning, Bloom-prefiltered semi-joins, and domain mixing.
+  *
+  * Oracle notes: same determinism discipline as CurationOps — integer
+  * arithmetic with one final double division, md5 in place of RNG,
+  * decimal accumulation for double sums, RE2-portable regexes.
+  */
+object CorpusOps {
+
+  /** Order-independent exact sum of a double column (Relational.dsum). */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    round(sum(c.cast("decimal(38,6)")).cast("double"), scale)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- q54: sequence packing (concat-and-chunk, 512-token budget,
+    // 8 shards): each doc's span in its shard's packed token stream.
+    // The window partitions by shard — no global sort at any scale.
+    "q54_seq_packing" -> { (s, d) =>
+      import s.implicits._
+      Packing.packSequences(Tables.documents(s, d), $"doc_id", $"text",
+        budget = 512, shards = 8)
+    },
+
+    // ---- q55: passage-level exact dedup (10-token windows, C4-style):
+    // per-doc keep ratio under global first-occurrence dedup by md5.
+    "q55_passage_dedup" -> { (s, d) =>
+      import s.implicits._
+      Dedup.passageDedupStats(Tables.documents(s, d), $"doc_id", $"text",
+        window = 10)
+    },
+
+    // ---- q56: within-doc repetition metrics (Gopher filters):
+    // duplicate-3-gram ratio + most-frequent-2-gram share.
+    "q56_repetition" -> { (s, d) =>
+      import s.implicits._
+      TextAnalysis.repetitionStats(Tables.documents(s, d), $"doc_id", $"text")
+    },
+
+    // ---- q57: benchmark decontamination — training docs sharing word
+    // 5-grams with the eval slice (doc_id % 17 == 0), via the hashed
+    // shingle broadcast join.
+    "q57_contamination" -> { (s, d) =>
+      import s.implicits._
+      val sh = Dedup.docShingles(Tables.documents(s, d), $"doc_id", $"text", 5)
+      Contamination.ngramOverlap(sh, id => id % 17 === 0)
+    },
+
+    // ---- q58: PII scan over deterministically-dirtied text (e-mail /
+    // phone / IPv4 injected per doc_id residue so every branch of the
+    // detector fires). Counts per doc.
+    "q58_pii_scan" -> { (s, d) =>
+      import s.implicits._
+      val dirty = concat($"text",
+        when($"doc_id" % 2 === 0,
+          concat(lit(" Contact user"), $"doc_id", lit("@mail.example.com")))
+          .otherwise(lit("")),
+        when($"doc_id" % 3 === 0,
+          concat(lit(" call 415-555-"),
+            lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when($"doc_id" % 5 === 0,
+          concat(lit(" from 10."), ($"doc_id" % 256).cast("string"),
+            lit(".0."), ($"doc_id" % 100).cast("string")))
+          .otherwise(lit("")))
+      val (em, ph, ip) = TextAnalysis.piiCounts(dirty)
+      Tables.documents(s, d).select($"doc_id",
+        em.cast("long").as("n_email"), ph.cast("long").as("n_phone"),
+        ip.cast("long").as("n_ip"))
+    },
+
+    // ---- q59: Bloom-prefiltered semi-join — lineitems of high-value
+    // orders. The Bloom broadcast (~1.2B/key) discards non-matching fact
+    // rows pre-shuffle; the exact semi-join removes false positives, so
+    // the result is exactly the IN-subquery oracle.
+    "q59_bloom_semijoin" -> { (s, d) =>
+      import s.implicits._
+      val dim = Tables.orders(s, d).filter($"o_totalprice" > 400000.0)
+      Prefilter.bloomSemiJoin(Tables.lineitem(s, d), $"l_orderkey",
+          dim, $"o_orderkey")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+    },
+
+    // ---- q60: domain mixing — per-language keep rates (en 90 / fr 60 /
+    // de 40 / rest 20 pct) applied as a deterministic hash threshold;
+    // per-language kept counts and volume.
+    "q60_domain_mix" -> { (s, d) =>
+      import s.implicits._
+      val w = when($"lang" === "en", 90).when($"lang" === "fr", 60)
+        .when($"lang" === "de", 40).otherwise(20)
+      Tables.documents(s, d)
+        .filter(Curation.weightedKeep($"doc_id", w, "mix42"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_kept"), sum($"n_chars").as("sum_chars"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q54_seq_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS end_tok
+        |  FROM t)
+        |SELECT doc_id, shard, n_tokens,
+        |  CAST(end_tok - n_tokens AS BIGINT) AS start_tok,
+        |  CAST((end_tok - n_tokens) // 512 AS BIGINT) AS seq_first,
+        |  CAST(CASE WHEN n_tokens = 0 THEN (end_tok - n_tokens) // 512
+        |       ELSE (end_tok - 1) // 512 END AS BIGINT) AS seq_last
+        |FROM c""".stripMargin,
+
+    "q55_passage_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+        |  FROM documents),
+        |nz AS (
+        |  SELECT doc_id, w, CAST(ceil(len(w) / 10.0) AS BIGINT) AS nc
+        |  FROM base WHERE len(w) > 0),
+        |chunks AS (
+        |  SELECT DISTINCT doc_id, h FROM (
+        |    SELECT doc_id, unnest(list_transform(range(0, nc),
+        |      c -> md5(array_to_string(w[c*10+1 : c*10+10], ' ')))) AS h
+        |    FROM nz) x),
+        |fst AS (SELECT h, min(doc_id) AS first_doc FROM chunks GROUP BY 1)
+        |SELECT c.doc_id, count(*) AS n_passages,
+        |  CAST(sum(CASE WHEN f.first_doc = c.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  round(CAST(sum(CASE WHEN f.first_doc = c.doc_id THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS keep_ratio
+        |FROM chunks c JOIN fst f USING (h)
+        |GROUP BY c.doc_id""".stripMargin,
+
+    "q56_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+        |  FROM documents),
+        |pd AS (
+        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |    CASE WHEN len(w) >= 3 THEN len(w) - 2 ELSE 0 END AS t3,
+        |    CASE WHEN len(w) >= 3 THEN len(list_distinct(list_transform(
+        |      range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) ELSE 0 END AS d3,
+        |    CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)),
+        |      i -> w[i] || ' ' || w[i+1]) ELSE []::VARCHAR[] END AS g2
+        |  FROM base),
+        |t2t AS (
+        |  SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(g2) AS g FROM pd) x GROUP BY 1, 2),
+        |top2 AS (SELECT doc_id, max(c) AS maxc, sum(c) AS t2 FROM t2t GROUP BY 1)
+        |SELECT pd.doc_id, pd.n_tokens,
+        |  CASE WHEN pd.t3 > 0
+        |    THEN round(1.0 - CAST(pd.d3 AS DOUBLE) / pd.t3, 6)
+        |    ELSE 0.0 END AS dup3_ratio,
+        |  CASE WHEN coalesce(top2.t2, 0) > 0
+        |    THEN round(CAST(top2.maxc AS DOUBLE) / top2.t2, 6)
+        |    ELSE 0.0 END AS top2_frac
+        |FROM pd LEFT JOIN top2 USING (doc_id)""".stripMargin,
+
+    "q57_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 3),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |         || ' ' || w[i+4])) AS s
+        |  FROM toks WHERE len(w) >= 5),
+        |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |ev AS (SELECT doc_id AS eval_doc, shingle FROM ex WHERE doc_id % 17 = 0),
+        |tr AS (SELECT doc_id, shingle FROM ex WHERE doc_id % 17 <> 0)
+        |SELECT tr.doc_id,
+        |  CAST(count(DISTINCT tr.shingle) AS BIGINT) AS n_shared_shingles,
+        |  CAST(count(DISTINCT ev.eval_doc) AS BIGINT) AS n_eval_docs
+        |FROM tr JOIN ev USING (shingle)
+        |GROUP BY tr.doc_id""".stripMargin,
+
+    "q58_pii_scan" ->
+      """WITH dirty AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 2 = 0
+        |         THEN ' Contact user' || doc_id::VARCHAR || '@mail.example.com'
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 3 = 0
+        |         THEN ' call 415-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0
+        |         THEN ' from 10.' || (doc_id % 256)::VARCHAR || '.0.'
+        |              || (doc_id % 100)::VARCHAR
+        |         ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_email,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT)
+        |    AS n_ip
+        |FROM dirty""".stripMargin,
+
+    "q59_bloom_semijoin" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(38,6))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "q60_domain_mix" ->
+      """SELECT lang, count(*) AS n_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE ('0x' || substr(md5('mix42' || doc_id::VARCHAR), 1, 8))::UBIGINT
+        |    % 100
+        |  < CASE lang WHEN 'en' THEN 90 WHEN 'fr' THEN 60 WHEN 'de' THEN 40
+        |    ELSE 20 END
+        |GROUP BY lang""".stripMargin
+  )
+}

@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Curation, Dedup}
+import graft.functions.TopKAgg
+
+/** Corpus-curation surface (round-3 north-star widening): near-dup
+  * cluster resolution, deterministic splits/sampling, TF-IDF keywords,
+  * rare-token scoring, text cleaning, and the bounded top-k aggregate.
+  *
+  * Oracle notes: every formula avoids trans-engine float hazards —
+  * rational arithmetic instead of ln(), md5 instead of RNG, integer
+  * ceil via (n·p+99) div 100 — so DuckDB reproduces each result
+  * bit-for-bit (see Curation scaladoc).
+  */
+object CurationOps {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- q47: near-dup CLUSTERS: MinHash-LSH pairs (q25) closed into
+    // connected components by iterative min-label propagation; each
+    // clustered doc maps to its cluster's smallest doc_id (the survivor
+    // a dedup keeps). The pair table is tiny relative to the corpus, so
+    // the per-round shuffles are off the critical path at 100 TB.
+    "q47_dedup_clusters" -> { (s, d) =>
+      import s.implicits._
+      val docs = Dedup.docShingles(Tables.documents(s, d), $"doc_id", $"text", 3)
+      Curation.dedupClusters(docs, 0.85)
+    },
+
+    // ---- q48: top-3 TF-IDF keywords per document (log-free rational
+    // idf — bit-identical across IEEE engines; see Curation scaladoc).
+    "q48_tfidf_keywords" -> { (s, d) =>
+      import s.implicits._
+      Curation.tfidfKeywords(Tables.documents(s, d), $"doc_id", $"text", k = 3)
+    },
+
+    // ---- q49: deterministic hash split (80/10/10 by md5 of doc_id):
+    // membership is a pure function of the id — stable under corpus
+    // growth, reshuffling, and re-runs. Per-split corpus stats.
+    "q49_hash_split" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .withColumn("split", Curation.hashSplit($"doc_id", "split42", 80, 10))
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length($"text")).as("sum_chars"))
+    },
+
+    // ---- q50: deterministic stratified sample — exactly ceil(10%) of
+    // each language stratum, chosen by md5 rank (reproducible, exact
+    // proportions; Bernoulli sampleBy gives neither).
+    "q50_stratified_sample" -> { (s, d) =>
+      import s.implicits._
+      Curation.stratifiedSample(Tables.documents(s, d),
+          $"lang", $"doc_id", "samp42", pct = 10)
+        .select($"doc_id", $"lang")
+    },
+
+    // ---- q51: top-3 events by value per event_type through the
+    // bounded top-k AGGREGATE (k-entry buffer, map-side partial agg)
+    // instead of a window sort — see TopKAgg scaladoc for the scale
+    // argument. Oracle = the window-rank formulation (same result).
+    "q51_topk_per_group" -> { (s, d) =>
+      import s.implicits._
+      val tk = TopKAgg.topK(3)
+      Tables.events(s, d)
+        .groupBy($"event_type")
+        .agg(tk($"value", $"event_id").as("top"))
+        .select($"event_type", posexplode($"top"))
+        .select($"event_type", (col("pos") + 1).cast("long").as("rank"),
+          col("col.id").as("event_id"), round(col("col.v"), 4).as("value"))
+    },
+
+    // ---- q52: text cleaning (HTML strip, URL/e-mail redaction,
+    // whitespace collapse) — the dirty suffix is constructed from the
+    // row so the cleaning path is actually exercised on every doc.
+    "q52_text_clean" -> { (s, d) =>
+      import s.implicits._
+      val dirty = concat($"text",
+        lit(" <p>See https://example.com/d?id="), $"doc_id",
+        lit(" or mail user"), $"doc_id", lit("@example.com today</p>"))
+      Tables.documents(s, d)
+        .select($"doc_id", Curation.cleanText(dirty).as("clean"))
+        .select($"doc_id", length($"clean").as("n_chars"), $"clean")
+    },
+
+    // ---- q53: rare-token ratio — fraction of a doc's tokens whose
+    // global count <= 2 (high = OCR junk / random ids; a standard
+    // curation signal).
+    "q53_rare_token_ratio" -> { (s, d) =>
+      import s.implicits._
+      Curation.rareTokenRatio(Tables.documents(s, d), $"doc_id", $"text",
+        maxCount = 2)
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // Recursive closure over the shared near-dup pair CTEs: reach(a,b)
+    // = transitive neighbors; canonical = least(self, min reachable).
+    "q47_dedup_clusters" ->
+      s"""WITH RECURSIVE ${PipelineOps.nearDupCtes("")},
+         |edges AS (SELECT da AS a, db AS b FROM neardup
+         |          UNION SELECT db, da FROM neardup),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         |    WHERE e.b <> r.a)
+         |SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+         |FROM reach GROUP BY a""".stripMargin,
+
+    "q48_tfidf_keywords" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |tokens AS (
+        |  SELECT doc_id, len(toks) AS len, unnest(toks) AS token FROM base),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS cnt, max(len) AS len
+        |  FROM tokens GROUP BY 1, 2),
+        |dft AS (SELECT token, count(*) AS dfc FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token,
+        |    round(CAST(tf.cnt * n.n AS DOUBLE) / (tf.len * dft.dfc), 6) AS score
+        |  FROM tf CROSS JOIN n JOIN dft ON tf.token = dft.token)
+        |SELECT doc_id, token, score, rank FROM (
+        |  SELECT doc_id, token, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, token ASC) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 3""".stripMargin,
+
+    "q49_hash_split" ->
+      """SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
+        |FROM (SELECT ('0x' || substr(md5('split42' || doc_id::VARCHAR), 1, 8))::UBIGINT
+        |        % 100 AS h, text
+        |      FROM documents) t
+        |GROUP BY 1""".stripMargin,
+
+    "q50_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('samp42' || doc_id::VARCHAR) ASC, doc_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents) t
+        |WHERE rn <= (n * 10 + 99) // 100""".stripMargin,
+
+    "q51_topk_per_group" ->
+      """SELECT event_type, rank, event_id, round("value", 4) AS value FROM (
+        |  SELECT event_type, event_id, "value",
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY "value" DESC, event_id ASC) AS rank
+        |  FROM events) t
+        |WHERE rank <= 3""".stripMargin,
+
+    "q52_text_clean" ->
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |    text || ' <p>See https://example.com/d?id=' || doc_id::VARCHAR
+        |         || ' or mail user' || doc_id::VARCHAR || '@example.com today</p>'
+        |      AS t
+        |  FROM documents),
+        |clean AS (
+        |  SELECT doc_id, trim(regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(t, '<[^>]*>', ' ', 'g'),
+        |        'https?://[^ \t\n\x0B\f\r]+', '<URL>', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[ \t\n\x0B\f\r]+', ' ', 'g')) AS clean
+        |  FROM dirty)
+        |SELECT doc_id, length(clean) AS n_chars, clean FROM clean""".stripMargin,
+
+    "q53_rare_token_ratio" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+        |  FROM documents),
+        |g AS (SELECT token, count(*) AS gc FROM tokens GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(CAST(sum(CASE WHEN g.gc <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS rare_ratio
+        |FROM tokens JOIN g USING (token)
+        |GROUP BY doc_id""".stripMargin
+  )
+}

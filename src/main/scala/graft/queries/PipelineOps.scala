@@ -210,8 +210,13 @@ object PipelineOps {
     }
   )
 
-  private def docShinglesCte(where: String) =
-    s"""WITH toks AS (
+  /** CTE chain ending in `neardup(da, db, jaccard)` — the exact-Jaccard
+    * near-dup pairs (da < db, jaccard >= 0.85) over `documents`. Shared
+    * by the q24/q25 oracles and CurationOps' q47 cluster oracle (which
+    * extends it with a recursive closure).
+    */
+  private[queries] def nearDupCtes(where: String) =
+    s"""toks AS (
       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents$where),
       |sh AS (
       |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
@@ -222,13 +227,17 @@ object PipelineOps {
       |pairs AS (
       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
       |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT da, db,
-      |  round(CAST(shared AS DOUBLE) / (ca.c + cb.c - shared), 4) AS jaccard
-      |FROM pairs
-      |JOIN cnt ca ON da = ca.doc_id
-      |JOIN cnt cb ON db = cb.doc_id
-      |WHERE CAST(shared AS DOUBLE) / (ca.c + cb.c - shared) >= 0.85""".stripMargin
+      |  GROUP BY 1, 2),
+      |neardup AS (
+      |  SELECT da, db,
+      |    round(CAST(shared AS DOUBLE) / (ca.c + cb.c - shared), 4) AS jaccard
+      |  FROM pairs
+      |  JOIN cnt ca ON da = ca.doc_id
+      |  JOIN cnt cb ON db = cb.doc_id
+      |  WHERE CAST(shared AS DOUBLE) / (ca.c + cb.c - shared) >= 0.85)""".stripMargin
+
+  private def docShinglesCte(where: String) =
+    s"WITH ${nearDupCtes(where)}\nSELECT da, db, jaccard FROM neardup"
 
   /** q26 oracle: the full MD5-SimHash pipeline in DuckDB SQL. The
     * signature is assembled as a signed BIGINT (bit 63 = Long.MinValue

@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.TopKAgg
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+
+  private def edges(rows: (Long, Long)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("a", "b")
+  }
+
+  test("connectedComponents labels every vertex with its component min") {
+    // Components: {1,2,3,4} (chain), {10,11}, {20,21,22} (triangle).
+    val cc = Curation.connectedComponents(edges(
+        (2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+        (20L, 21L), (21L, 22L), (22L, 20L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connectedComponents handles a long chain (diameter > 2 rounds)") {
+    // Path 0-1-2-...-12: min label must travel the full diameter.
+    val chain = (0L until 12L).map(i => (i, i + 1))
+    val cc = Curation.connectedComponents(edges(chain: _*))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 13 && cc.values.forall(_ == 0L))
+  }
+
+  test("connectedComponents of empty edge set is empty") {
+    assert(Curation.connectedComponents(edges()).count() == 0)
+  }
+
+  test("dedupClusters groups planted near-dups under the smallest id") {
+    import spark.implicits._
+    def tok(p: String, i: Int) = s"$p${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+    val base = (1 to 60).map(tok("t", _)).mkString(" ")
+    val nd1 = (1 to 59).map(tok("t", _)).mkString(" ") + " altx"
+    val nd2 = (2 to 60).map(tok("t", _)).mkString(" ") + " alty"
+    val other = (1 to 60).map(tok("u", _)).mkString(" ")
+    val docs = Seq((7L, base), (3L, nd1), (9L, nd2), (5L, other))
+      .toDF("doc_id", "text")
+    val d = Dedup.docShingles(docs, $"doc_id", $"text", 3)
+    val out = Curation.dedupClusters(d, 0.85)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 3, 7, 9 form one cluster (canonical 3); 5 is unclustered (absent).
+    assert(out == Map(3L -> 3L, 7L -> 3L, 9L -> 3L))
+  }
+
+  test("hashSplit is deterministic, exhaustive, and roughly proportioned") {
+    import spark.implicits._
+    val ids = (1L to 1000L).toDF("id")
+    val split = ids.select(Curation.hashSplit(col("id"), "s", 80, 10).as("sp"))
+      .groupBy("sp").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(split.values.sum == 1000L)
+    assert(split("train") > 700 && split("train") < 900)
+    assert(split("val") > 50 && split("val") < 150)
+    assert(split("test") > 50 && split("test") < 150)
+    // Same salt → same assignment; different salt → different.
+    val a = ids.select(Curation.hashSplit(col("id"), "s", 80, 10).as("sp")).collect()
+    val b = ids.select(Curation.hashSplit(col("id"), "s", 80, 10).as("sp")).collect()
+    assert(a.map(_.getString(0)).toSeq == b.map(_.getString(0)).toSeq)
+  }
+
+  test("stratifiedSample takes exactly ceil(pct%) per stratum, deterministically") {
+    import spark.implicits._
+    val df = ((1 to 95).map(i => (i.toLong, "x")) ++ (1 to 7).map(i => (100L + i, "y")))
+      .toDF("id", "s")
+    val out = Curation.stratifiedSample(df, col("s"), col("id"), "salt", 10)
+    val bySt = out.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySt == Map("x" -> 10L, "y" -> 1L)) // ceil(9.5)=10, ceil(0.7)=1
+    val again = Curation.stratifiedSample(df, col("s"), col("id"), "salt", 10)
+    assert(out.collect().map(_.getLong(0)).sorted.toSeq ==
+      again.collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("tfidfKeywords ranks distinguishing tokens above ubiquitous ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana common common common"),
+      (2L, "cherry cherry banana common common common"),
+      (3L, "durian durian banana common common common"))
+      .toDF("doc_id", "text")
+    val out = Curation.tfidfKeywords(docs, $"doc_id", $"text", 2)
+      .filter($"rank" === 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // The doc-unique token (df=1) outranks banana (df=3) and common (df=3).
+    assert(out == Map(1L -> "apple", 2L -> "cherry", 3L -> "durian"))
+  }
+
+  test("rareTokenRatio flags the doc full of singleton tokens") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "zqx wvu tsr qpo nml"),       // all tokens global-count 1
+      (2L, "the the the the the"))       // 'the' global-count 5
+      .toDF("doc_id", "text")
+    val out = Curation.rareTokenRatio(docs, $"doc_id", $"text", 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L) == 1.0 && out(2L) == 0.0)
+  }
+
+  test("cleanText strips tags, redacts URLs and e-mails, collapses whitespace") {
+    import spark.implicits._
+    val df = Seq(
+      "Hello <b>world</b>!  Visit https://x.org/a?b=1 or write bob.smith+x@ex-a.co.uk \t now")
+      .toDF("t")
+    val out = df.select(Curation.cleanText(col("t"))).collect().head.getString(0)
+    assert(out == "Hello world ! Visit <URL> or write <EMAIL> now")
+  }
+
+  test("TopKAgg matches the window-rank formulation incl. ties") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 5.0, 1L), ("a", 5.0, 2L), ("a", 7.0, 3L), ("a", 1.0, 4L), ("a", 6.0, 5L),
+      ("b", 2.0, 6L)).toDF("g", "v", "id")
+    val tk = TopKAgg.topK(3)
+    val got = df.groupBy($"g").agg(tk($"v", $"id").as("top"))
+      .select($"g", posexplode($"top"))
+      .select($"g", $"pos", $"col.v", $"col.id")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == Seq(
+      ("a", 0, 7.0, 3L), ("a", 1, 6.0, 5L), ("a", 2, 5.0, 1L),
+      ("b", 0, 2.0, 6L)))
+  }
+
+  test("TopKAgg merge path: partial buffers combine correctly") {
+    val agg = new TopKAgg.TopK(2)
+    import TopKAgg.Entry
+    val x = Seq(Entry(9.0, 1), Entry(3.0, 2)).foldLeft(agg.zero)(agg.reduce)
+    val y = Seq(Entry(8.0, 3), Entry(10.0, 4)).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(agg.merge(x, y)) == Seq(Entry(10.0, 4), Entry(9.0, 1)))
+  }
+}
