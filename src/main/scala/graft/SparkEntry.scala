@@ -27,7 +27,8 @@ object SparkEntry {
     graft.queries.MultimodalOps.queries ++
     graft.queries.AnalyticOps.queries ++
     graft.queries.CurationOps.queries ++
-    graft.queries.CorpusOps.queries
+    graft.queries.CorpusOps.queries ++
+    graft.queries.ClusterOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -40,5 +41,6 @@ object SparkEntry {
     graft.queries.MultimodalOps.oracleSql ++
     graft.queries.AnalyticOps.oracleSql ++
     graft.queries.CurationOps.oracleSql ++
-    graft.queries.CorpusOps.oracleSql
+    graft.queries.CorpusOps.oracleSql ++
+    graft.queries.ClusterOps.oracleSql
 }

@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Encoder, Encoders}
+
+/** Embedding clustering + cluster-scoped semantic dedup.
+  *
+  * `kmeansAssign` is deterministic Lloyd's k-means: centroids start as an
+  * md5-ordered corpus sample (the IVF/PQ seeding trick — replayable in
+  * ANSI SQL), then `updates` rounds of (element-wise mean → re-assign).
+  * `semanticDupPairs` is the SemDeDup shape (Abbas et al., 2023): compare
+  * embeddings only WITHIN a cluster, so near-dup search costs
+  * Σ|cell|²/2 instead of n²/2.
+  *
+  * Scale design (100 TB):
+  *  - each iteration is one broadcast of k·dim doubles + one map-side
+  *    combined aggregation (k·dim longs per partition cross the wire —
+  *    not rows); the corpus is scanned once per round from cache.
+  *  - assignment is a narrow map; the only shuffle is the k-row mean agg.
+  *  - within-cell pair generation shuffles on `cell`, and cells are
+  *    ~n/k rows: quadratic work is paid per-cell, in parallel.
+  *
+  * Determinism contract (what makes the DuckDB oracle hash-match):
+  *  - distances accumulate in double in index order on both sides;
+  *  - centroid means sum pre-rounded micro-units exactly (order-free),
+  *    divide once in double (see [[VecMean]]);
+  *  - argmin ties break to the lower cell id.
+  */
+object Clustering {
+
+  object VecMean {
+    case class Buf(sums: Seq[Long], n: Long)
+  }
+
+  /** Element-wise mean with order-independent accumulation. Inputs MUST
+    * be pre-rounded to 6 decimals (use Spark's `round` so the rounding
+    * mode is the engine's own); each element is scaled to an exact
+    * micro-unit long, summed exactly (no float-order sensitivity across
+    * partitions/merge order), and divided once at finish — bit-identical
+    * to `CAST(sum(CAST(round(x,6) AS DECIMAL(18,6))) AS DOUBLE)/count(*)`
+    * in SQL. Long sums overflow at ~9e12 micro-units per element, i.e.
+    * ~9e6 rows of unit-scale values per cell — cells bigger than that
+    * need a DECIMAL(38) buffer, not doubles.
+    */
+  class VecMean extends Aggregator[Seq[Double], VecMean.Buf, Seq[Double]] {
+    def zero: VecMean.Buf = VecMean.Buf(Nil, 0L)
+
+    private def toMicros(v: Seq[Double]): Seq[Long] =
+      v.map(x => math.round(x * 1e6))
+
+    def reduce(b: VecMean.Buf, v: Seq[Double]): VecMean.Buf =
+      if (b.n == 0) VecMean.Buf(toMicros(v), 1L)
+      else {
+        val m = toMicros(v)
+        require(m.length == b.sums.length,
+          s"vector length mismatch: ${m.length} vs ${b.sums.length}")
+        VecMean.Buf(b.sums.zip(m).map { case (a, x) => a + x }, b.n + 1)
+      }
+
+    def merge(x: VecMean.Buf, y: VecMean.Buf): VecMean.Buf =
+      if (x.n == 0) y
+      else if (y.n == 0) x
+      else VecMean.Buf(x.sums.zip(y.sums).map { case (a, b) => a + b }, x.n + y.n)
+
+    def finish(b: VecMean.Buf): Seq[Double] =
+      b.sums.map(s => (s.toDouble / 1e6) / b.n)
+
+    def bufferEncoder: Encoder[VecMean.Buf] = Encoders.product[VecMean.Buf]
+    def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
+  }
+
+  /** Squared euclidean distance, double accumulation in index order. */
+  private def sqDist(v: Seq[Float], c: Array[Double]): Double = {
+    var d = 0.0
+    var i = 0
+    while (i < c.length) {
+      val x = v(i).toDouble - c(i)
+      d += x * x
+      i += 1
+    }
+    d
+  }
+
+  /** (vec_id, embedding, rv, cell) after `updates` Lloyd's rounds from an
+    * md5-ordered k-sample init. `updates = 0` is plain coarse
+    * quantization (IVF assignment).
+    */
+  def kmeansAssign(emb: DataFrame, k: Int, updates: Int,
+      seed: String = "km42"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(updates >= 0, s"updates must be >= 0, got $updates")
+    val spark = emb.sparkSession
+    import spark.implicits._
+
+    val init: Array[(Int, Array[Double])] = emb
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(md5(concat(lit(seed), col("vec_id").cast("string"))).asc,
+        col("vec_id").asc)
+      .limit(k).as[(Long, Array[Float])].collect()
+      .zipWithIndex.map { case ((_, v), i) => (i, v.map(_.toDouble)) }
+
+    // rv: the engine's own round(x, 6) — the mean aggregation consumes
+    // pre-rounded values so its fixed-point sums are exact (VecMean doc).
+    val base = emb.select(col("vec_id"), col("embedding"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("rv", transform(col("embedding"), x => round(x.cast("double"), 6)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    def assign(cents: Array[(Int, Array[Double])]): Column = {
+      val bc = spark.sparkContext.broadcast(cents)
+      val f = udf { v: Seq[Float] =>
+        val cs = bc.value
+        var best = -1
+        var bestD = Double.MaxValue
+        var i = 0
+        while (i < cs.length) { // ci-ascending: strict < ties to lower id
+          val d = sqDist(v, cs(i)._2)
+          if (d < bestD) { bestD = d; best = cs(i)._1 }
+          i += 1
+        }
+        best
+      }
+      f(col("embedding"))
+    }
+
+    val meanAgg = udaf(new VecMean, ExpressionEncoder[Seq[Double]]())
+    var cents = init
+    var out = base.withColumn("cell", assign(cents))
+    var r = 0
+    while (r < updates) {
+      // k rows of k·dim doubles to the driver: the per-round sync point.
+      // Empty cells drop out (no members ⇒ no row), as in the SQL form.
+      cents = out.groupBy(col("cell")).agg(meanAgg(col("rv")).as("c"))
+        .as[(Int, Seq[Double])].collect()
+        .sortBy(_._1).map { case (ci, c) => (ci, c.toArray) }
+      out = base.withColumn("cell", assign(cents))
+      r += 1
+    }
+    out
+  }
+
+  /** Within-cluster near-duplicate pairs: (va < vb, cell, sim) with
+    * cosine >= threshold, compared only inside each cell of `assigned`
+    * (the output of [[kmeansAssign]]). Misses only cross-cell dups —
+    * the SemDeDup trade: k controls the recall/cost balance.
+    */
+  def semanticDupPairs(assigned: DataFrame, threshold: Double): DataFrame = {
+    val a = assigned.select(col("cell"), col("vec_id").as("va"),
+      col("embedding").as("ea"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vb"),
+      col("embedding").as("eb"))
+    a.join(b, Seq("cell")).filter(col("va") < col("vb"))
+      .select(col("cell"), col("va"), col("vb"),
+        Similarity.cosineFused(col("ea"), col("eb")).as("c"))
+      .filter(col("c") >= threshold - 1e-6) // margin > half-ulp of round(·,6)
+      .select(col("cell"), col("va"), col("vb"), round(col("c"), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

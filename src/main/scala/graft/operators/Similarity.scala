@@ -68,7 +68,7 @@ object Similarity {
     * on pair-join workloads; per-call cost is two array reads + one
     * fused loop.
     */
-  private val cosineUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+  private[operators] val cosineUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
     var dot = 0.0; var na = 0.0; var nb = 0.0; var k = 0
     val n = a.length
     while (k < n) {
@@ -78,6 +78,9 @@ object Similarity {
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /** Column form of the fused cosine (see [[cosineUdf]]). */
+  def cosineFused(a: Column, b: Column): Column = cosineUdf(a, b)
 
   def cosinePairs(corpus: DataFrame, threshold: Double): DataFrame = {
     // Repartition the streamed side: a single-file corpus otherwise runs

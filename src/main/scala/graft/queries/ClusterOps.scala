@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Clustering, FuzzyJoin}
+
+/** Clustering, semantic dedup, sketching, record linkage, and
+  * multi-dimensional analytics (q61-q66).
+  *
+  * Oracle notes: k-means determinism rests on three contracts shared
+  * with the SQL side — md5-ordered centroid seeding, index-order double
+  * accumulation for distances, and exact fixed-point centroid means
+  * (see [[Clustering.VecMean]]). The KMV sketch and fuzzy join are
+  * plain deterministic pipelines.
+  */
+object ClusterOps {
+
+  private val Dim = 64
+  private val KmvK = 32
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- q61: deterministic Lloyd's k-means (k=8, one update round)
+    // over the embedding corpus; output is the final cell assignment.
+    // The per-round cost at scale: one broadcast (k·dim doubles), one
+    // narrow assignment map, one map-side-combined k-row mean agg.
+    "q61_kmeans" -> { (s, d) =>
+      import s.implicits._
+      Clustering.kmeansAssign(Tables.embeddings(s, d), k = 8, updates = 1)
+        .select($"vec_id", $"cell")
+    },
+
+    // ---- q62: SemDeDup-shaped semantic dedup: cosine near-dup pairs
+    // compared only WITHIN a k-means cell — Σ|cell|²/2 comparisons
+    // instead of n²/2 (the cross-cell pairs are the sacrificed recall).
+    "q62_semantic_dedup" -> { (s, d) =>
+      import s.implicits._
+      val assigned = Clustering.kmeansAssign(
+        Tables.embeddings(s, d), k = 8, updates = 1)
+      Clustering.semanticDupPairs(assigned, threshold = 0.4)
+        .select($"cell", $"va", $"vb", $"sim")
+    },
+
+    // ---- q63: KMV (bottom-k) distinct sketch per language: the k
+    // minimum normalized hashes of each group; est = (k-1)/u_k. A
+    // mergeable sketch (union = merge-and-truncate) — the companion to
+    // q43's HLL, with exact per-group error visible to the oracle. The
+    // bounded TopK aggregator keeps k entries per partition pre-shuffle.
+    "q63_kmv_sketch" -> { (s, d) =>
+      import s.implicits._
+      val topk = graft.functions.TopKAgg.topK(KmvK)
+      Tables.documents(s, d)
+        .select($"lang", $"doc_id",
+          (conv(substring(md5($"text"), 1, 8), 16, 10).cast("long")
+            / lit(4294967296.0)).as("u"))
+        .groupBy($"lang")
+        .agg(topk(-$"u", $"doc_id").as("sk"))
+        .select($"lang",
+          size($"sk").as("k"),
+          round(-element_at($"sk", size($"sk")).getField("v"), 12).as("kth"),
+          round((size($"sk") - 1).cast("double")
+            / -element_at($"sk", size($"sk")).getField("v"), 4).as("est"))
+    },
+
+    // ---- q64: fuzzy self-join (record linkage) over distinct part
+    // names: all pairs within levenshtein distance 2, found via lossless
+    // length blocking — no O(n²) cross join (FuzzyJoin doc).
+    "q64_fuzzy_join" -> { (s, d) =>
+      import s.implicits._
+      FuzzyJoin.selfJoin(Tables.part(s, d), $"p_name", maxDist = 2)
+    },
+
+    // ---- q65: per-user event-gap sequence features via lag(): count,
+    // exact total and max inter-event gap. Gaps are µs-truncated per
+    // timestamp (DuckDB timestamps are µs; truncating BEFORE the diff
+    // makes tie order among equal-µs rows irrelevant — a sorted
+    // sequence's consecutive diffs depend only on the value multiset).
+    // One shuffle on user_id serves both the window and the agg.
+    "q65_event_gaps" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"tsu".asc, $"event_id".asc)
+      Tables.events(s, d)
+        .select($"user_id", expr("ts DIV 1000").as("tsu"), $"event_id")
+        .select($"user_id", ($"tsu" - lag($"tsu", 1).over(w)).as("gap"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum($"gap").as("sum_gap_us"),
+          max($"gap").as("max_gap_us"))
+    },
+
+    // ---- q66: CUBE over (returnflag, linestatus): all 2^2 grouping
+    // sets in one pass (Spark expands to a single shuffle with a
+    // grouping-id column — not 4 scans).
+    "q66_cube_qty" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(round(sum($"l_quantity".cast("decimal(38,6)")).cast("double"), 4)
+            .as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(coalesce($"l_returnflag", lit("ALL")).as("rf"),
+          coalesce($"l_linestatus", lit("ALL")).as("ls"),
+          $"sum_qty", $"n")
+    }
+  )
+
+  /** Shared k-means CTE chain ending in a2(vec_id, v, cell) — mirrors
+    * [[Clustering.kmeansAssign]] with k=8, updates=1, seed "km42".
+    */
+  private def kmeansCte: String = {
+    def assignFrom(src: String) =
+      s"""SELECT vec_id, v, ci AS cell FROM (
+         |  SELECT e.vec_id, e.v, s.ci,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      list_aggregate(list_transform(range(1, ${Dim + 1}),
+         |        k -> (e.v[k]-s.c[k])*(e.v[k]-s.c[k])), 'sum') ASC, s.ci ASC) AS r
+         |  FROM e CROSS JOIN $src s) t WHERE r = 1""".stripMargin
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |samp AS (SELECT vec_id, v,
+       |    row_number() OVER (ORDER BY md5('km42' || vec_id::VARCHAR), vec_id) AS rn
+       |  FROM e),
+       |init AS (SELECT rn - 1 AS ci, v AS c FROM samp WHERE rn <= 8),
+       |a1 AS (${assignFrom("init")}),
+       |upd AS (SELECT cell AS ci, list(m ORDER BY i) AS c FROM (
+       |    SELECT cell, i,
+       |      CAST(sum(CAST(round(v[i], 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m
+       |    FROM a1 CROSS JOIN range(1, ${Dim + 1}) AS t(i) GROUP BY cell, i) u
+       |  GROUP BY cell),
+       |a2 AS (${assignFrom("upd")})""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q61_kmeans" ->
+      s"WITH $kmeansCte\nSELECT vec_id, cell FROM a2",
+
+    "q62_semantic_dedup" ->
+      s"""WITH $kmeansCte
+         |SELECT a.cell, a.vec_id AS va, b.vec_id AS vb,
+         |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
+         |FROM a2 a JOIN a2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4""".stripMargin,
+
+    "q63_kmv_sketch" ->
+      s"""WITH u AS (SELECT lang, doc_id,
+         |    ('0x' || substr(md5(text), 1, 8))::UBIGINT / 4294967296.0 AS u
+         |  FROM documents),
+         |r AS (SELECT lang, u,
+         |    row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rn
+         |  FROM u)
+         |SELECT lang, count(*) AS k, round(max(u), 12) AS kth,
+         |  round((count(*) - 1) / max(u), 4) AS est
+         |FROM r WHERE rn <= $KmvK GROUP BY lang""".stripMargin,
+
+    "q64_fuzzy_join" ->
+      """WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+        |SELECT a.name AS na, b.name AS nb,
+        |  levenshtein(a.name, b.name) AS dist
+        |FROM n a JOIN n b
+        |  ON a.name < b.name AND abs(length(a.name) - length(b.name)) <= 2
+        |WHERE levenshtein(a.name, b.name) <= 2""".stripMargin,
+
+    "q65_event_gaps" ->
+      """WITH g AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events, sum(gap) AS sum_gap_us,
+        |  max(gap) AS max_gap_us
+        |FROM g GROUP BY user_id""".stripMargin,
+
+    "q66_cube_qty" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin
+  )
+}
