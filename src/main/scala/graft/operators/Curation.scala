@@ -149,13 +149,19 @@ object Curation {
     */
   def tfidfKeywords(docs: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
     val spark = docs.sparkSession
+    // Corpus size from the raw id column only — a metadata-cheap count
+    // that does NOT tokenize (select(text) would).
+    val n = docs.select(id).count()
     val base = docs.select(id.cast("long").as("doc_id"),
       TextAnalysis.wordTokens(text).as("toks"))
-    val n = base.count()
     val tokens = base.select(col("doc_id"), size(col("toks")).as("len"),
       explode(col("toks")).as("token"))
+    // tf feeds BOTH the df aggregation and the scoring join; without
+    // materialization the tokenize+explode+agg pipeline runs twice
+    // (Spark has no cross-branch plan reuse).
     val tf = tokens.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("cnt"), max(col("len")).as("len")) // len constant per doc
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val scored = tf.join(df, "token")
       .select(col("doc_id"), col("token"),

