@@ -31,13 +31,18 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Exact top-k cosine neighbors of each probe (probes broadcast). */
+  /** Exact top-k cosine neighbors of each probe (probes broadcast).
+    * The pair cosine runs as the fused primitive-loop UDF — the
+    * `aggregate(zip_with(...))` column form evaluates interpreted per
+    * element (outside codegen) and costs ~10× more per pair; the math
+    * (index-order double accumulation) is identical.
+    */
   def bruteTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val joined = corpus.as("c").join(
         broadcast(probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"))),
         col("c.vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("c.vec_id").as("vec_id"),
-        round(cosine(col("pe"), col("c.embedding")), 6).as("sim"))
+        round(cosineUdf(col("pe"), col("c.embedding")), 6).as("sim"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -140,7 +145,7 @@ object Similarity {
     val joined = cb.join(broadcast(pb),
         cb("bucket") === pb("bucket") && col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
-        round(cosine(col("pe"), col("embedding")), 6).as("sim"))
+        round(cosineUdf(col("pe"), col("embedding")), 6).as("sim"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -199,13 +204,25 @@ object Similarity {
         best
       }
     }
-    // ADC partials: one row per (probe, corpus, subvector); the decimal
-    // sum makes the 4-way float addition order-independent.
-    val dmUdf = udf { (p: Seq[Float], codes: Seq[Int]) =>
+    // ADC: the m partial distances sum in DECIMAL so the total is
+    // float-order-independent. Fused into one UDF — the explode +
+    // decimal groupBy form shuffles m rows per (probe, corpus) pair
+    // (m·n·|probes| rows through an exchange) to add FOUR numbers.
+    // Each partial converts exactly as Spark's double→decimal(38,18)
+    // cast does (shortest-repr string → BigDecimal, HALF_UP scale);
+    // decimal addition is exact, so fusing preserves bit-equality with
+    // the previous aggregate and the SQL oracle.
+    val adcUdf = udf { (p: Seq[Float], codes: Seq[Int]) =>
       val cs = bc.value
-      codes.zipWithIndex.map { case (ci, mi) =>
-        sqDist(p, cs(ci), mi * subDim, subDim)
+      var acc = java.math.BigDecimal.ZERO
+      var mi = 0
+      while (mi < codes.length) {
+        val d = sqDist(p, cs(codes(mi)), mi * subDim, subDim)
+        acc = acc.add(new java.math.BigDecimal(java.lang.Double.toString(d))
+          .setScale(18, java.math.RoundingMode.HALF_UP))
+        mi += 1
       }
+      acc.doubleValue
     }
     val coded = corpus
       .repartition(spark.sparkContext.defaultParallelism)
@@ -213,9 +230,7 @@ object Similarity {
     val pb = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
     val joined = coded.join(broadcast(pb), col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
-        explode(dmUdf(col("pe"), col("codes"))).as("dm"))
-      .groupBy(col("probe_id"), col("vec_id"))
-      .agg(round(sum(col("dm").cast("decimal(38,18)")).cast("double"), 6).as("adc"))
+        round(adcUdf(col("pe"), col("codes")), 6).as("adc"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("adc").asc, col("vec_id").asc)
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= kTop)
