@@ -28,7 +28,8 @@ object SparkEntry {
     graft.queries.AnalyticOps.queries ++
     graft.queries.CurationOps.queries ++
     graft.queries.CorpusOps.queries ++
-    graft.queries.ClusterOps.queries
+    graft.queries.ClusterOps.queries ++
+    graft.queries.ScaleOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -42,5 +43,6 @@ object SparkEntry {
     graft.queries.AnalyticOps.oracleSql ++
     graft.queries.CurationOps.oracleSql ++
     graft.queries.CorpusOps.oracleSql ++
-    graft.queries.ClusterOps.oracleSql
+    graft.queries.ClusterOps.oracleSql ++
+    graft.queries.ScaleOps.oracleSql
 }

@@ -211,11 +211,12 @@ object PipelineOps {
   )
 
   /** CTE chain ending in `neardup(da, db, jaccard)` — the exact-Jaccard
-    * near-dup pairs (da < db, jaccard >= 0.85) over `documents`. Shared
-    * by the q24/q25 oracles and CurationOps' q47 cluster oracle (which
-    * extends it with a recursive closure).
+    * near-dup pairs (da < db, jaccard >= `threshold`) over `documents`.
+    * Shared by the q24/q25 oracles, CurationOps' q47 cluster oracle
+    * (which extends it with a recursive closure), and ScaleOps' q67
+    * prefix-filter oracle (different threshold).
     */
-  private[queries] def nearDupCtes(where: String) =
+  private[queries] def nearDupCtes(where: String, threshold: Double = 0.85) =
     s"""toks AS (
       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents$where),
       |sh AS (
@@ -234,7 +235,7 @@ object PipelineOps {
       |  FROM pairs
       |  JOIN cnt ca ON da = ca.doc_id
       |  JOIN cnt cb ON db = cb.doc_id
-      |  WHERE CAST(shared AS DOUBLE) / (ca.c + cb.c - shared) >= 0.85)""".stripMargin
+      |  WHERE CAST(shared AS DOUBLE) / (ca.c + cb.c - shared) >= $threshold)""".stripMargin
 
   private def docShinglesCte(where: String) =
     s"WITH ${nearDupCtes(where)}\nSELECT da, db, jaccard FROM neardup"
