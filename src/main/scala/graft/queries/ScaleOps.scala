@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, SetSimilarity}
+import graft.operators.{Dedup, HeavyHitters, SetSimilarity}
 
 /** Round-3 scale surface (q67+): operators whose point is the 100 TB
   * execution shape — exact-but-sub-quadratic similarity join, two-pass
@@ -26,11 +26,28 @@ object ScaleOps {
       val docs = Dedup.docShingles(Tables.documents(s, d), $"doc_id", $"text", 3)
       SetSimilarity.prefixJaccardSelfJoin(docs, 0.80)
         .select($"da", $"db", round($"jaccard", 4).as("jaccard"))
+    },
+
+    // ---- q68: two-pass exact heavy hitters (Misra-Gries candidates →
+    // exact recount of candidates only). Same answer as a full
+    // vocabulary groupBy + HAVING, but with O(k·partitions) state —
+    // the shape that still works when the vocabulary doesn't fit.
+    "q68_heavy_hitters" -> { (s, d) =>
+      import s.implicits._
+      HeavyHitters.frequentTokens(Tables.documents(s, d), $"text", k = 500)
     }
   )
 
   def oracleSql: Map[String, String] = Map(
     "q67_prefix_simjoin" ->
-      s"WITH ${PipelineOps.nearDupCtes("", 0.80)}\nSELECT da, db, jaccard FROM neardup"
+      s"WITH ${PipelineOps.nearDupCtes("", 0.80)}\nSELECT da, db, jaccard FROM neardup",
+
+    "q68_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+        |  FROM documents)
+        |SELECT token, count(*) AS cnt FROM tok
+        |GROUP BY token
+        |HAVING count(*) * 500 > (SELECT count(*) FROM tok)""".stripMargin
   )
 }
