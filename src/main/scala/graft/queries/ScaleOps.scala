@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, HeavyHitters, SetSimilarity}
+import graft.operators.{Dedup, HeavyHitters, SetSimilarity, SnapshotDiff, ZOrder}
 
 /** Round-3 scale surface (q67+): operators whose point is the 100 TB
   * execution shape — exact-but-sub-quadratic similarity join, two-pass
@@ -35,6 +35,43 @@ object ScaleOps {
     "q68_heavy_hitters" -> { (s, d) =>
       import s.implicits._
       HeavyHitters.frequentTokens(Tables.documents(s, d), $"text", k = 500)
+    },
+
+    // ---- q69: snapshot diff between two corpus versions (simulated
+    // deterministically from `documents`: version A drops doc_id%10=0,
+    // version B drops doc_id%7=0 and edits doc_id%5=0), keyed by
+    // doc_id with an md5 content fingerprint. The incremental-refresh
+    // front door: downstream reprocessing reads added ∪ changed only.
+    "q69_snapshot_diff" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val a = docs.filter($"doc_id" % 10 =!= 0).select($"doc_id", $"text")
+      val b = docs.filter($"doc_id" % 7 =!= 0).select($"doc_id",
+        when($"doc_id" % 5 === 0, concat($"text", lit(" v2")))
+          .otherwise($"text").as("text"))
+      SnapshotDiff.diff(a, b, "doc_id", md5($"text"))
+        .filter($"status" =!= "unchanged")
+    },
+
+    // ---- q70: z-order (Morton) clustering key over orders
+    // (customer × order day): the multi-dimensional file-layout op.
+    // Spark computes min/max stats once (constant-folded literals);
+    // the oracle recomputes them in a CTE — identical integer math
+    // either way. The layout exchange itself (repartitionByRange on
+    // zv) is exercised in the spec; the gate checks the key values.
+    "q70_zorder_key" -> { (s, d) =>
+      import s.implicits._
+      val orders = Tables.orders(s, d)
+      val stats = orders.agg(
+        min($"o_custkey"), max($"o_custkey"),
+        min(expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")),
+        max(expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000"))).head()
+      val dims = Seq(
+        ("o_custkey", stats.getLong(0).toString, stats.getLong(1).toString),
+        ("unix_millis(cast(o_orderdate as timestamp)) div 86400000",
+          stats.getLong(2).toString, stats.getLong(3).toString))
+      orders.select($"o_orderkey",
+        expr(ZOrder.zSql(dims, bits = 16, duck = false)).as("zv"))
     }
   )
 
@@ -48,6 +85,34 @@ object ScaleOps {
         |  FROM documents)
         |SELECT token, count(*) AS cnt FROM tok
         |GROUP BY token
-        |HAVING count(*) * 500 > (SELECT count(*) FROM tok)""".stripMargin
+        |HAVING count(*) * 500 > (SELECT count(*) FROM tok)""".stripMargin,
+
+    "q69_snapshot_diff" ->
+      """WITH a AS (
+        |  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 10 <> 0),
+        |b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN md5(text || ' v2') ELSE md5(text) END AS fp
+        |  FROM documents WHERE doc_id % 7 <> 0)
+        |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN a.doc_id IS NULL THEN 'added'
+        |       WHEN b.doc_id IS NULL THEN 'removed'
+        |       WHEN a.fp <> b.fp THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        |WHERE (a.doc_id IS NULL OR b.doc_id IS NULL OR a.fp <> b.fp)""".stripMargin,
+
+    "q70_zorder_key" -> {
+      val z = graft.operators.ZOrder.zSql(Seq(
+        ("o_custkey", "mn0", "mx0"),
+        ("(epoch_ms(o_orderdate) // 86400000)", "mn1", "mx1")),
+        bits = 16, duck = true)
+      s"""WITH stats AS (
+        |  SELECT min(o_custkey) AS mn0, max(o_custkey) AS mx0,
+        |    min(epoch_ms(o_orderdate) // 86400000) AS mn1,
+        |    max(epoch_ms(o_orderdate) // 86400000) AS mx1
+        |  FROM orders)
+        |SELECT o_orderkey, $z AS zv FROM orders, stats""".stripMargin
+    }
   )
 }
