@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Synchronous PageRank in fixed-point (long) arithmetic.
+  *
+  * Floating-point PageRank is NOT reproducible on a cluster: the
+  * per-vertex Σ of double contributions depends on partition visit
+  * order. Scaling ranks to integer "nano-ranks" (×1e9) makes every
+  * step — integer division by degree, long summation, the damping
+  * blend — exact and order-independent, so the same graph gives the
+  * same bits on 1 core or 1000 executors, and an external SQL engine
+  * can replay the iterations verbatim:
+  *
+  *   R0(v)  = S div N
+  *   out(u) = R(u) div outdeg(u)
+  *   R'(v)  = (15·(S div N)) div 100 + (85·Σ_{u→v} out(u)) div 100
+  *
+  * (damping 0.85 as the published constant; truncation loses ≤1 nano
+  * per division, deterministically.)
+  *
+  * Scale shape per iteration: one shuffle join of edges⋈ranks on src
+  * (the degree factor is pre-joined once and cached) + one groupBy dst
+  * — both hash exchanges on vertex ids. Lineage grows linearly with
+  * iterations; for deep runs persist every few rounds to truncate it.
+  */
+object PageRank {
+
+  val Scale = 1000000000L
+
+  /** Ranks after `iters` iterations. `edges` = (src, dst), distinct;
+    * every vertex must appear as a src (no dangling sinks) — true for
+    * any bidirectionalized graph.
+    */
+  def ranksFixedPoint(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.selectExpr("cast(src as long) as src", "cast(dst as long) as dst")
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // (src, dst, deg) cached: re-read once per iteration.
+    val ed = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    val n = ed.select(col("src")).distinct().count()
+    require(n > 0, "empty graph")
+    val r0 = Scale / n
+    val base = 15 * r0 / 100
+
+    var ranks = deg.select(col("src").as("node"), lit(r0).as("r"))
+    for (_ <- 1 to iters) {
+      ranks = ed.join(ranks, ed("src") === ranks("node"))
+        .selectExpr("dst", "r div deg as c")
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("s"))
+        .selectExpr("dst as node", s"$base + (85 * s) div 100 as r")
+    }
+    ranks
+  }
+}

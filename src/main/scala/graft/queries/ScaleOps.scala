@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, HeavyHitters, SetSimilarity, SnapshotDiff, ZOrder}
+import graft.operators.{Dedup, HeavyHitters, PageRank, SetSimilarity, SnapshotDiff, ZOrder}
 
 /** Round-3 scale surface (q67+): operators whose point is the 100 TB
   * execution shape — exact-but-sub-quadratic similarity join, two-pass
@@ -72,6 +72,22 @@ object ScaleOps {
           stats.getLong(2).toString, stats.getLong(3).toString))
       orders.select($"o_orderkey",
         expr(ZOrder.zSql(dims, bits = 16, duck = false)).as("zv"))
+    },
+
+    // ---- q71: fixed-point PageRank (3 iterations) over the
+    // bidirectional customer↔supplier trade graph (distinct pairs from
+    // lineitem⋈orders; vertex id = 2·custkey / 2·suppkey+1). Integer
+    // nano-rank arithmetic makes the iterative computation bit-exact
+    // and partition-order-independent — reproducible distributed graph
+    // compute, replayable by the SQL oracle.
+    "q71_pagerank" -> { (s, d) =>
+      import s.implicits._
+      val pairs = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+        .distinct()
+      val edges = pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
+      PageRank.ranksFixedPoint(edges, iters = 3)
     }
   )
 
@@ -113,6 +129,31 @@ object ScaleOps {
         |    max(epoch_ms(o_orderdate) // 86400000) AS mx1
         |  FROM orders)
         |SELECT o_orderkey, $z AS zv FROM orders, stats""".stripMargin
+    },
+
+    "q71_pagerank" -> {
+      val S = 1000000000L
+      def iter(i: Int) =
+        s"""s$i AS (
+           |  SELECT e.dst AS node, sum(r.r // d.deg) AS s
+           |  FROM edges e JOIN r${i - 1} r ON e.src = r.node
+           |  JOIN deg d ON e.src = d.src
+           |  GROUP BY e.dst),
+           |r$i AS (
+           |  SELECT node, (15 * ($S // n.n)) // 100 + (85 * s) // 100 AS r
+           |  FROM s$i, n)""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |edges AS (SELECT src, dst FROM pairs
+         |          UNION ALL SELECT dst, src FROM pairs),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |n AS (SELECT count(*) AS n FROM deg),
+         |r0 AS (SELECT src AS node, ($S // n.n) AS r FROM deg, n),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT node, r FROM r3""".stripMargin
     }
   )
 }
