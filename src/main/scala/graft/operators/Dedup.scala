@@ -230,6 +230,38 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Cross-corpus MinHash-LSH near-dup join: which documents of `a`
+    * near-duplicate something in `b` (e.g. a fresh crawl against the
+    * already-curated corpus — dedup against 100 TB of history without
+    * self-joining the history). Band buckets are computed per side with
+    * the SAME hash family, candidates are bucket-equal (a, b) pairs,
+    * and every candidate is verified with exact Jaccard. Unlike the
+    * self-join there is no ordering constraint — output keys are
+    * (da from `a`, db from `b`).
+    */
+  def minhashLshJoin(
+      a: DataFrame, // (doc_id, sh)
+      b: DataFrame, // (doc_id, sh)
+      threshold: Double,
+      numHashes: Int = 48,
+      bands: Int = 12): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val da = a.persist(StorageLevel.MEMORY_AND_DISK)
+    val db = b.persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = bandBuckets(da, numHashes, bands).as("x")
+      .join(bandBuckets(db, numHashes, bands).as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+    cand
+      .join(da.select(col("doc_id"), col("sh").as("sha")), col("da") === col("doc_id")).drop("doc_id")
+      .join(db.select(col("doc_id"), col("sh").as("shb")), col("db") === col("doc_id")).drop("doc_id")
+      .select(col("da"), col("db"),
+        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Near-dup pairs by SimHash Hamming distance, found via banded
     * self-join instead of an O(n²) cross join: split the 64-bit hash
     * into `maxHamming+1` bands — by pigeonhole, any pair within

@@ -101,28 +101,38 @@ object Similarity {
     // candidates instead (lshBucket self-join, see scaladoc above).
     val spark = corpus.sparkSession
     import spark.implicits._
+    // Pre-normalize once per vector (O(n·dim)) so the O(n²·dim) inner
+    // loop is a pure dot product — 3 mul-adds per element become 1.
+    // cos = Σ(x/|a|)(y/|b|) differs from Σxy/(|a||b|) only in final
+    // rounding (~1 ulp); round(·,6) absorbs it.
+    def normalize(e: Array[Float]): Array[Double] = {
+      var na = 0.0; var k = 0
+      while (k < e.length) { val x = e(k).toDouble; na += x * x; k += 1 }
+      val inv = 1.0 / math.sqrt(na)
+      val out = new Array[Double](e.length)
+      k = 0
+      while (k < e.length) { out(k) = e(k).toDouble * inv; k += 1 }
+      out
+    }
     val side = corpus.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
+      .map { case (id, e) => (id, normalize(e)) }
     val bc = spark.sparkContext.broadcast(side)
     val thr = threshold - 1e-6 // margin > half-ulp of round(·,6)
     corpus.select(col("vec_id"), col("embedding"))
       .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Array[Float])]
-      .flatMap { case (va, ea) =>
+      .flatMap { case (va, eaF) =>
+        val ea = normalize(eaF)
         val others = bc.value
         val out = Seq.newBuilder[(Long, Long, Double)]
         var j = others.length - 1
         while (j >= 0 && others(j)._1 > va) {
           val eb = others(j)._2
-          var dot = 0.0; var na = 0.0; var nb = 0.0; var k = 0
+          var dot = 0.0; var k = 0
           val n = ea.length
-          while (k < n) {
-            val x = ea(k).toDouble; val y = eb(k).toDouble
-            dot += x * y; na += x * x; nb += y * y
-            k += 1
-          }
-          val c = dot / (math.sqrt(na) * math.sqrt(nb))
-          if (c >= thr) out += ((va, others(j)._1, c))
+          while (k < n) { dot += ea(k) * eb(k); k += 1 }
+          if (dot >= thr) out += ((va, others(j)._1, dot))
           j -= 1
         }
         out.result()

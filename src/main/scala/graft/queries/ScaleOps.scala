@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, HeavyHitters, PageRank, SetSimilarity, SnapshotDiff, ZOrder}
+import graft.operators.{Dedup, HeavyHitters, IncrementalAgg, PageRank, SetSimilarity, SnapshotDiff, ZOrder}
 
 /** Round-3 scale surface (q67+): operators whose point is the 100 TB
   * execution shape — exact-but-sub-quadratic similarity join, two-pass
@@ -88,6 +88,38 @@ object ScaleOps {
         .distinct()
       val edges = pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
       PageRank.ranksFixedPoint(edges, iters = 3)
+    },
+
+    // ---- q72: cross-corpus near-dup join — dedup a fresh slice
+    // (doc_id%3=0) against the curated rest without self-joining the
+    // history. LSH bands per side, bucket-equal candidates, exact
+    // Jaccard verification; no ordering constraint between sides.
+    "q72_crosscorpus_dedup" -> { (s, d) =>
+      import s.implicits._
+      val sh = Dedup.docShingles(Tables.documents(s, d), $"doc_id", $"text", 3)
+      Dedup.minhashLshJoin(
+        sh.filter($"doc_id" % 3 === 0), sh.filter($"doc_id" % 3 =!= 0), 0.85)
+        .select($"da", $"db", round($"jaccard", 4).as("jaccard"))
+    },
+
+    // ---- q73: incremental view maintenance of a per-language
+    // (doc count, char sum) materialization across the q69 snapshot
+    // transition: maintenance work scales with |changes|, not |B|.
+    // The result must equal (and is oracle-checked against) a fresh
+    // aggregation of snapshot B.
+    "q73_incremental_agg" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val a = docs.filter($"doc_id" % 10 =!= 0).select($"doc_id", $"lang", $"text")
+      val b = docs.filter($"doc_id" % 7 =!= 0).select($"doc_id", $"lang",
+        when($"doc_id" % 5 === 0, concat($"text", lit(" v2")))
+          .otherwise($"text").as("text"))
+      val aggA = a.groupBy($"lang".as("g"))
+        .agg(count(lit(1)).as("n"), sum(length($"text")).as("s"))
+      val delta = IncrementalAgg.countSumDelta(
+        a, b, key = "doc_id", grp = "lang", length($"text"), md5($"text"))
+      IncrementalAgg.maintainCountSum(aggA, delta)
+        .select($"g".as("lang"), $"n".as("n_docs"), $"s".as("sum_chars"))
     }
   )
 
@@ -154,6 +186,38 @@ object ScaleOps {
          |${iter(2)},
          |${iter(3)}
          |SELECT node, r FROM r3""".stripMargin
-    }
+    },
+
+    "q72_crosscorpus_dedup" -> {
+      // Brute-force cross-side Jaccard: same shingle CTEs as the
+      // self-join oracles, pairs restricted to (new, rest) sides.
+      s"""WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM toks WHERE len(w) >= 3),
+        |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |cnt AS (SELECT doc_id, len(s) AS c FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle
+        |  WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0
+        |  GROUP BY 1, 2)
+        |SELECT da, db,
+        |  round(CAST(shared AS DOUBLE) / (ca.c + cb.c - shared), 4) AS jaccard
+        |FROM pairs
+        |JOIN cnt ca ON da = ca.doc_id
+        |JOIN cnt cb ON db = cb.doc_id
+        |WHERE CAST(shared AS DOUBLE) / (ca.c + cb.c - shared) >= 0.85""".stripMargin
+    },
+
+    "q73_incremental_agg" ->
+      """SELECT lang, count(*) AS n_docs, sum(length(text)) AS sum_chars
+        |FROM (
+        |  SELECT lang,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0)
+        |GROUP BY lang""".stripMargin
   )
 }

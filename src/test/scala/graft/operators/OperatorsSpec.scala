@@ -54,6 +54,26 @@ class OperatorsSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("minhashLshJoin: cross-corpus near-dups, no self-pairs, both directions keyed") {
+    import spark.implicits._
+    def tok(p: String, i: Int) = s"$p${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+    val base = (1 to 60).map(tok("t", _)).mkString(" ")
+    val nearDup = (1 to 58).map(tok("t", _)).mkString(" ") + " altx alty"
+    val unrelated = (1 to 60).map(tok("u", _)).mkString(" ")
+    // Side A: the near-dup + an unrelated doc; side B: the base + a
+    // second identical copy of base.
+    val sh = Dedup.docShingles(
+      docs((10L, nearDup), (11L, unrelated), (20L, base), (21L, base)),
+      $"doc_id", $"text", 3)
+    val a = sh.filter($"doc_id" < 20)
+    val b = sh.filter($"doc_id" >= 20)
+    val got = Dedup.minhashLshJoin(a, b, 0.5)
+      .select($"da", $"db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 10 matches BOTH copies in b; 11 matches nothing; b-internal
+    // duplicate pair (20,21) is not this join's business.
+    assert(got == Set((10L, 20L), (10L, 21L)))
+  }
+
   test("simhash: identical docs collide, unrelated docs differ") {
     import spark.implicits._
     val d = docs((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
