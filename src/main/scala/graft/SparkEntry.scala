@@ -29,7 +29,8 @@ object SparkEntry {
     graft.queries.CurationOps.queries ++
     graft.queries.CorpusOps.queries ++
     graft.queries.ClusterOps.queries ++
-    graft.queries.ScaleOps.queries
+    graft.queries.ScaleOps.queries ++
+    graft.queries.BehaviorOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -44,5 +45,6 @@ object SparkEntry {
     graft.queries.CurationOps.oracleSql ++
     graft.queries.CorpusOps.oracleSql ++
     graft.queries.ClusterOps.oracleSql ++
-    graft.queries.ScaleOps.oracleSql
+    graft.queries.ScaleOps.oracleSql ++
+    graft.queries.BehaviorOps.oracleSql
 }

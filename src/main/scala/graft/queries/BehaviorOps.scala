@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.TextAnalysis
+
+/** Behavioral / corpus-statistics surface (q74-q76): n-gram language
+  * model tables, ordered funnels, retention cohorts — the classic
+  * product-analytics and LM-data workloads, each shaped for scale
+  * (mergeable aggregates instead of window sorts where possible).
+  */
+object BehaviorOps {
+
+  private val NsPerDay = 86400000000000L
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- q74: trigram next-token table (the n-gram LM building
+    // block): for every word-bigram prefix seen >= 5 times, the
+    // most frequent next token. The argmax is max(struct(n, next)) —
+    // a MERGEABLE aggregate with map-side partial (ties break to the
+    // lexicographically larger token, deterministically), where the
+    // window row_number() form would sort every group.
+    "q74_ngram_lm" -> { (s, d) =>
+      import s.implicits._
+      val tri = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism) // CPU-bound tokenize
+        .select($"text").as[String]
+        .flatMap(TextAnalysis.ngramIterator(_, 3))
+        .toDF("tg")
+        .groupBy($"tg").agg(count(lit(1)).as("n"))
+      tri.select(
+          regexp_extract($"tg", "^(.*) ([a-z]+)$", 1).as("prefix"),
+          regexp_extract($"tg", "^(.*) ([a-z]+)$", 2).as("nxt"),
+          $"n")
+        .groupBy($"prefix")
+        .agg(max(struct($"n", $"nxt")).as("m"), sum($"n").as("total"))
+        .filter($"total" >= 5)
+        .select($"prefix", $"m.nxt".as("nxt"), $"m.n".as("cnt"), $"total")
+    },
+
+    // ---- q75: ordered funnel view→click→purchase per user: each
+    // stage's timestamp must strictly follow the previous stage's.
+    // ONE shuffle (groupByKey on user) with the per-user dependent-min
+    // chain computed in a tight loop over the user's events — the SQL
+    // equivalent is three correlated aggregation-join rounds.
+    // Timestamps are µs-truncated BEFORE comparison (DuckDB timestamps
+    // are µs — see q65), so the strict-> stage ordering agrees.
+    "q75_funnel" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"user_id", expr("ts div 1000").as("ts"), $"event_type")
+        .as[(Long, Long, String)]
+        .groupByKey(_._1)
+        .mapGroups { (uid, it) =>
+          val evs = it.toArray
+          def minAfter(tpe: String, after: Long): Long = {
+            var m = Long.MaxValue
+            var i = 0
+            while (i < evs.length) {
+              val (_, t, ty) = evs(i)
+              if (ty == tpe && t > after && t < m) m = t
+              i += 1
+            }
+            m
+          }
+          val t1 = minAfter("view", Long.MinValue)
+          val t2 = if (t1 == Long.MaxValue) Long.MaxValue else minAfter("click", t1)
+          val t3 = if (t2 == Long.MaxValue) Long.MaxValue else minAfter("purchase", t2)
+          val stage = if (t3 != Long.MaxValue) 3 else if (t2 != Long.MaxValue) 2
+            else if (t1 != Long.MaxValue) 1 else 0
+          def orNeg(t: Long) = if (t == Long.MaxValue) -1L else t
+          (uid, stage, orNeg(t1), orNeg(t2), orNeg(t3))
+        }
+        .toDF("user_id", "stage", "t_view", "t_click", "t_purchase")
+    },
+
+    // ---- q76: retention cohorts — users bucketed by first-seen day,
+    // counted by activity-day offset. Two aggregations + one key join;
+    // the (cohort, offset) matrix is the at-scale retention report.
+    "q76_retention_cohorts" -> { (s, d) =>
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .select($"user_id", expr(s"ts div $NsPerDay").as("day"))
+      val first = e.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+      e.join(first, "user_id")
+        .select($"cohort_day", ($"day" - $"cohort_day").as("day_offset"), $"user_id")
+        .distinct()
+        .groupBy($"cohort_day", $"day_offset")
+        .agg(count(lit(1)).as("n_users"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q74_ngram_lm" ->
+      """WITH toks AS (
+        |  SELECT regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents),
+        |tri AS (
+        |  SELECT unnest(list_transform(range(1, len(w)-1),
+        |    i -> w[i] || ' ' || w[i+1])) AS prefix,
+        |         unnest(list_transform(range(1, len(w)-1), i -> w[i+2])) AS nxt
+        |  FROM toks WHERE len(w) >= 3),
+        |cnt AS (SELECT prefix, nxt, count(*) AS n FROM tri GROUP BY 1, 2),
+        |sel AS (
+        |  SELECT prefix, nxt, n,
+        |    sum(n) OVER (PARTITION BY prefix) AS total,
+        |    row_number() OVER (PARTITION BY prefix ORDER BY n DESC, nxt DESC) AS rn
+        |  FROM cnt)
+        |SELECT prefix, nxt, n AS cnt, total FROM sel
+        |WHERE rn = 1 AND total >= 5""".stripMargin,
+
+    "q75_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+        |s1 AS (SELECT user_id, min(t) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(t) AS t2 FROM e
+        |       JOIN s1 ON e.user_id = s1.user_id AND e.t > s1.t1
+        |       WHERE event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(t) AS t3 FROM e
+        |       JOIN s2 ON e.user_id = s2.user_id AND e.t > s2.t2
+        |       WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT u.user_id,
+        |  CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |       WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stage,
+        |  coalesce(t1, -1) AS t_view, coalesce(t2, -1) AS t_click,
+        |  coalesce(t3, -1) AS t_purchase
+        |FROM (SELECT DISTINCT user_id FROM e) u
+        |LEFT JOIN s1 ON u.user_id = s1.user_id
+        |LEFT JOIN s2 ON u.user_id = s2.user_id
+        |LEFT JOIN s3 ON u.user_id = s3.user_id""".stripMargin,
+
+    "q76_retention_cohorts" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |first AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1)
+        |SELECT cohort_day, day - cohort_day AS day_offset,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN first ON e.user_id = first.user_id
+        |GROUP BY 1, 2""".stripMargin
+  )
+}
