@@ -57,6 +57,11 @@ object Bench {
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
       .map { case (name, fn) =>
       val timed = (1 to reps).map { _ =>
+        // Operators persist() intermediates internally; without this,
+        // cached blocks pile up ACROSS queries, squeezing execution
+        // memory for whichever query runs late in the suite. Each rep
+        // starts cold-cache: a query's own persists are its own cost.
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case _: Throwable => false }
