@@ -49,6 +49,9 @@ object HeavyHitters {
         while (i < toks.length) {
           val w = toks(i)
           np += 1
+          // get on a missing key returns null, which unboxes to 0L
+          // (BoxesRunTime.unboxToLong) — counters never store 0, so
+          // 0 reliably means "absent".
           val c = counters.get(w)
           if (c != 0L) counters.put(w, c + 1)
           else if (counters.size < k - 1) counters.put(w, 1L)

@@ -48,9 +48,11 @@ object IncrementalAgg {
     * never have produced them).
     */
   def maintainCountSum(agg: DataFrame, delta: DataFrame): DataFrame =
-    agg.join(delta, Seq("g"), "full_outer")
-      .select(col("g"),
-        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
-        (coalesce(col("s"), lit(0L)) + coalesce(col("ds"), lit(0L))).as("s"))
+    // Null-safe group join: a NULL group is a legal aggregation key and
+    // must merge with its delta rather than split into two rows.
+    agg.as("a").join(delta.as("d"), col("a.g") <=> col("d.g"), "full_outer")
+      .select(coalesce(col("a.g"), col("d.g")).as("g"),
+        (coalesce(col("a.n"), lit(0L)) + coalesce(col("d.dn"), lit(0L))).as("n"),
+        (coalesce(col("a.s"), lit(0L)) + coalesce(col("d.ds"), lit(0L))).as("s"))
       .filter(col("n") > 0)
 }

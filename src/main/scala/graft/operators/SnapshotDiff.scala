@@ -18,13 +18,17 @@ object SnapshotDiff {
     * each snapshot's own columns.
     */
   def diff(a: DataFrame, b: DataFrame, key: String, fp: Column): DataFrame = {
-    val fa = a.select(col(key).as("k"), fp.as("fpa"))
-    val fb = b.select(col(key).as("k"), fp.as("fpb"))
+    // Side presence is tracked by explicit markers, NOT by fingerprint
+    // nullity — a row whose fingerprint expression evaluates to NULL
+    // (e.g. md5 of a NULL payload) is still present, and two NULL
+    // fingerprints compare as unchanged (null-safe equality).
+    val fa = a.select(col(key).as("k"), fp.as("fpa"), lit(true).as("ina"))
+    val fb = b.select(col(key).as("k"), fp.as("fpb"), lit(true).as("inb"))
     fa.join(fb, Seq("k"), "full_outer")
       .select(col("k").as(key),
-        when(col("fpa").isNull, "added")
-          .when(col("fpb").isNull, "removed")
-          .when(col("fpa") =!= col("fpb"), "changed")
+        when(col("ina").isNull, "added")
+          .when(col("inb").isNull, "removed")
+          .when(!(col("fpa") <=> col("fpb")), "changed")
           .otherwise("unchanged").as("status"))
   }
 }

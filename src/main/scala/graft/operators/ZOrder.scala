@@ -42,7 +42,10 @@ object ZOrder {
   }
 
   /** DataFrame with a `zv` column appended, dimensions scaled by
-    * literal [min,max] bounds (Spark dialect; constant-folded).
+    * literal [min,max] bounds (Spark dialect; constant-folded). The
+    * bounds must cover the data: values outside [min,max] produce
+    * out-of-range ranks and a meaningless key (compute bounds from the
+    * data, as q70 does, or clamp upstream).
     */
   def withZValue(df: DataFrame, dims: Seq[(String, Long, Long)], bits: Int): DataFrame = {
     dims.foreach { case (x, mn, mx) =>

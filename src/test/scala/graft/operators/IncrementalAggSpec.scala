@@ -42,6 +42,17 @@ class IncrementalAggSpec extends SparkSpec {
     assert(!maintained(a, b).exists(_._1 == "fr"))
   }
 
+  test("NULL group keys merge with their delta instead of splitting") {
+    import spark.implicits._
+    val a = Seq((1L, null: String, "aa"), (2L, null: String, "bb"),
+      (3L, "en", "cc")).toDF("id", "lang", "text")
+    val b = Seq((1L, null: String, "aa"), (2L, null: String, "bbbb"),
+      (3L, "en", "cc")).toDF("id", "lang", "text")
+    val got = maintained(a, b)
+    assert(got == fresh(b), s"got $got")
+    assert(got.count(_._1 == null) == 1, "null group split into multiple rows")
+  }
+
   test("identical snapshots produce the original aggregate unchanged") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -16,6 +16,17 @@ class SnapshotDiffSpec extends SparkSpec {
       3L -> "changed", 4L -> "added"))
   }
 
+  test("NULL payloads: presence is not confused with fingerprint nullity") {
+    import spark.implicits._
+    val a = Seq((1L, null: String), (2L, "x"), (3L, null: String))
+      .toDF("id", "text")
+    val b = Seq((1L, null: String), (2L, null: String)).toDF("id", "text")
+    val got = SnapshotDiff.diff(a, b, "id", md5($"text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 1: null→null is unchanged; 2: value→null is changed; 3: removed.
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed"))
+  }
+
   test("diff of a snapshot with itself is all-unchanged") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
