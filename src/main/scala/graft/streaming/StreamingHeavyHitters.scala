@@ -25,7 +25,7 @@ object StreamingHeavyHitters {
   case class Candidate(slot: Int, token: String, est: Long, slot_total: Long)
 
   /** Apply MG(k) increments of `toks` to `st`. */
-  private[streaming] def advance(st: SlotState, toks: Iterator[String], k: Int): SlotState = {
+  private[graft] def advance(st: SlotState, toks: Iterator[String], k: Int): SlotState = {
     val m = scala.collection.mutable.HashMap.empty[String, Long]
     m ++= st.counts
     var total = st.total
