@@ -30,6 +30,28 @@ object Skew {
       .agg(merge.head, merge.tail: _*)
   }
 
+  /** Salted equi-join for hot keys: replicate the SMALL side across
+    * `salts` copies and scatter the big side's rows uniformly over
+    * those copies, joining on (key, salt). A hot key's rows then land
+    * on `salts` reducers instead of one, at the cost of a small-side
+    * blow-up of `salts`× — the manual form of AQE's skew-join split,
+    * usable when AQE can't see the skew (e.g. non-shuffle inputs) or
+    * as an explicit plan contract. Result set is identical to
+    * `big.join(small, keys)`.
+    *
+    * The big side's salt only needs to be uniform — it is derived by
+    * hashing the whole row (via all columns), so the operator needs no
+    * unique-id column and stays deterministic per row content.
+    */
+  def saltedJoin(
+      big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(salts)))
+    val saltedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Salted distinct-count: exact COUNT(DISTINCT v) per hot key without
     * a single-reducer hotspot — phase 1 dedups (key, v-hash-salt) pairs,
     * phase 2 sums partial distinct counts (v is salted by its own hash,

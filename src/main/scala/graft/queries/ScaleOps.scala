@@ -120,6 +120,24 @@ object ScaleOps {
         a, b, key = "doc_id", grp = "lang", length($"text"), md5($"text"))
       IncrementalAgg.maintainCountSum(aggA, delta)
         .select($"g".as("lang"), $"n".as("n_docs"), $"s".as("sum_chars"))
+    },
+
+    // ---- q77: salted equi-join — the manual skew-join split (events
+    // has 5 event types: EVERY key is hot). The small dimension is
+    // replicated `salts`×, the fact side scatters uniformly by row
+    // hash, the join runs on (key, salt); result equals the plain
+    // join, checked through a post-join aggregate.
+    "q77_salted_join" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val dim = ev.select($"event_type").distinct()
+        .select($"event_type", upper($"event_type").as("label"),
+          length($"event_type").as("wt"))
+      graft.operators.Skew.saltedJoin(ev, dim, "event_type", salts = 16)
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"value".cast("decimal(38,6)")).cast("double") * first($"wt"), 2)
+            .as("weighted"))
     }
   )
 
@@ -218,6 +236,17 @@ object ScaleOps {
         |  SELECT lang,
         |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
         |  FROM documents WHERE doc_id % 7 <> 0)
-        |GROUP BY lang""".stripMargin
+        |GROUP BY lang""".stripMargin,
+
+    "q77_salted_join" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT event_type, upper(event_type) AS label,
+        |    length(event_type) AS wt
+        |  FROM events)
+        |SELECT label, count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) * any_value(wt), 2)
+        |    AS weighted
+        |FROM events JOIN dim USING (event_type)
+        |GROUP BY label""".stripMargin
   )
 }
