@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{BufferedOutputStream, ByteArrayOutputStream, FileOutputStream}
+import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayOutputStream, FileInputStream, FileOutputStream}
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.security.MessageDigest
 import java.util.zip.{GZIPInputStream, GZIPOutputStream}
@@ -102,6 +102,85 @@ object Journal {
     val (drop, _) = listFragments(root, journal).partition(_.end <= keepFromOffset)
     drop.foreach(f => Files.deleteIfExists(Paths.get(f.path)))
     drop
+  }
+
+  /** Compaction maintenance: coalesce runs of contiguous small
+    * fragments into content-addressed fragments of up to `targetBytes`
+    * uncompressed — the long-tail-of-tiny-files antidote (short spool
+    * roll intervals at low write rates leave fragments far below the
+    * target length; at 100 TB an uncompacted index costs listing time
+    * and per-task scheduling overhead).
+    *
+    * Crash-safe ordering: the merged fragment is committed BEFORE its
+    * sources are deleted. In the interim the index holds overlapping
+    * fragments — exactly the state [[coverSet]] exists to resolve (the
+    * merged fragment extends furthest and wins), so a crash at ANY
+    * point leaves a correct, readable index; re-running compaction is
+    * idempotent (content-addressed name, REPLACE_EXISTING rename).
+    *
+    * Only fragments directly in the journal root are compacted:
+    * Hive-postfix subdirectories partition by path, and merging across
+    * them would undo that layout.
+    */
+  def compact(root: String, journal: String, targetBytes: Long,
+      codec: String = "gz"): Vector[Fragment] = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val dir = Paths.get(root, journal)
+    val rootFrags = listFragments(root, journal)
+      .filter(f => Paths.get(f.path).getParent == dir)
+    val cover = coverSet(rootFrags)
+
+    // Pack consecutive CONTIGUOUS cover entries while the merged span
+    // stays within targetBytes; only runs of >= 2 fragments compact.
+    val runs = Vector.newBuilder[Vector[(Fragment, Long)]]
+    var cur = Vector.empty[(Fragment, Long)]
+    def flush(): Unit = { if (cur.length >= 2) runs += cur; cur = Vector.empty }
+    cover.foreach { case e @ (f, readFrom) =>
+      val runBegin = cur.headOption.map(_._2).getOrElse(readFrom)
+      val contiguous = cur.lastOption.forall(_._1.end == readFrom)
+      if (cur.nonEmpty && (!contiguous || f.end - runBegin > targetBytes)) flush()
+      cur = cur :+ e
+    }
+    flush()
+
+    runs.result().map { run =>
+      val begin = run.head._2
+      val end = run.last._1.end
+      val tmp = Files.createTempFile(Paths.get(root), ".compact-", ".tmp")
+      val digest = MessageDigest.getInstance("SHA-1")
+      val out = new BufferedOutputStream(
+        wrapOutput(codec, new FileOutputStream(tmp.toFile)), 1 << 16)
+      run.foreach { case (f, readFrom) =>
+        val in = new BufferedInputStream(
+          wrapInput(f.codec, new FileInputStream(f.path)), 1 << 16)
+        try {
+          var skip = readFrom - f.begin
+          while (skip > 0) {
+            val s = in.skip(skip)
+            require(s > 0, s"cannot seek to $readFrom in ${f.name}")
+            skip -= s
+          }
+          var remaining = f.end - readFrom
+          val buf = new Array[Byte](1 << 16)
+          while (remaining > 0) {
+            val n = in.read(buf, 0, math.min(buf.length, remaining).toInt)
+            require(n > 0, s"truncated fragment ${f.name}")
+            digest.update(buf, 0, n)
+            out.write(buf, 0, n)
+            remaining -= n
+          }
+        } finally in.close()
+      }
+      out.close()
+      val sha = digest.digest().map("%02x".format(_)).mkString
+      val frag = Fragment(journal, begin, end, sha, codec,
+        dir.resolve(f"$begin%016x-$end%016x-$sha.$codec").toString)
+      commitFragment(frag, tmp.toString)
+      run.foreach { case (f, _) =>
+        if (f.path != frag.path) Files.deleteIfExists(Paths.get(f.path))
+      }
+      frag
+    }
   }
 
   /** Cover-set resolution (S3): orderly walk selecting, at each offset,

@@ -168,6 +168,76 @@ class JournalSpec extends SparkSpec {
     assert(java.nio.file.Files.exists(dir.resolve(".batch-5.committed")))
   }
 
+  test("compact coalesces mixed-codec fragments; content and offsets survive") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val b1 = (1 to 300).map(i => s"""{"i":$i}""")
+    val b2 = (301 to 600).map(i => s"""{"i":$i}""")
+    val b3 = (601 to 900).map(i => s"""{"i":$i}""")
+    Journal.append(b1.toDF("payload").coalesce(1), root, "t/c", codec = "gz")
+    Journal.append(b2.toDF("payload").coalesce(1), root, "t/c", codec = "zst")
+    Journal.append(b3.toDF("payload").coalesce(1), root, "t/c", codec = "none")
+    val before = Journal.read(spark, root, "t/c").collect().sortBy(_.begin)
+    assert(Journal.listFragments(root, "t/c").length == 3)
+
+    val merged = Journal.compact(root, "t/c", targetBytes = Long.MaxValue / 2)
+    assert(merged.length == 1)
+    val frags = Journal.listFragments(root, "t/c")
+    assert(frags.length == 1 && frags.head.begin == 0L
+      && frags.head.end == before.last.end)
+
+    val after = Journal.read(spark, root, "t/c").collect().sortBy(_.begin)
+    assert(after.map(e => (e.begin, e.end, e.payload)).toSeq
+      == before.map(e => (e.begin, e.end, e.payload)).toSeq)
+    // Appends continue from the same head.
+    Journal.append(Seq("""{"i":901}""").toDF("payload"), root, "t/c")
+    assert(Journal.head(root, "t/c") > frags.head.end)
+  }
+
+  test("compact respects targetBytes and re-running is a no-op") {
+    import spark.implicits._
+    val root = tmpRoot()
+    for (k <- 0 until 4)
+      Journal.append(Seq.fill(50)(s"""{"k":$k}""").toDF("payload").coalesce(1),
+        root, "t/d", codec = "none")
+    val total = Journal.head(root, "t/d")
+    // Target sized for two source fragments per merged fragment.
+    val merged = Journal.compact(root, "t/d", targetBytes = total / 2)
+    assert(merged.length == 2, s"got $merged")
+    assert(Journal.listFragments(root, "t/d").length == 2)
+    val again = Journal.compact(root, "t/d", targetBytes = total / 2)
+    assert(again.isEmpty)
+    assert(Journal.read(spark, root, "t/d").count() == 200)
+  }
+
+  test("compact crash window: merged + stale sources still read correctly") {
+    import spark.implicits._
+    val root = tmpRoot()
+    Journal.append(Seq("""{"a":1}""").toDF("payload"), root, "t/e", codec = "none")
+    Journal.append(Seq("""{"a":2}""").toDF("payload"), root, "t/e", codec = "none")
+    val before = Journal.read(spark, root, "t/e").collect().sortBy(_.begin)
+    val olds = Journal.listFragments(root, "t/e")
+    val backup = olds.map { f =>
+      val b = Files.createTempFile("frag-bak", ".bin")
+      Files.copy(java.nio.file.Paths.get(f.path), b,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      (f, b)
+    }
+    Journal.compact(root, "t/e", targetBytes = Long.MaxValue / 2)
+    // Re-create the crash state: sources restored alongside the merged
+    // fragment (commit happened, deletes did not).
+    backup.foreach { case (f, b) =>
+      Files.copy(b, java.nio.file.Paths.get(f.path))
+    }
+    assert(Journal.listFragments(root, "t/e").length == 3)
+    val overlapped = Journal.read(spark, root, "t/e").collect().sortBy(_.begin)
+    assert(overlapped.map(e => (e.begin, e.end, e.payload)).toSeq
+      == before.map(e => (e.begin, e.end, e.payload)).toSeq)
+    // Re-running compaction over the overlap is a no-op (the merged
+    // fragment already covers everything).
+    assert(Journal.compact(root, "t/e", targetBytes = Long.MaxValue / 2).isEmpty)
+  }
+
   test("fixed binary framing round-trips with exact offsets") {
     import spark.implicits._
     val root = tmpRoot()
