@@ -88,6 +88,51 @@ object BehaviorOps {
         .distinct()
         .groupBy($"cohort_day", $"day_offset")
         .agg(count(lit(1)).as("n_users"))
+    },
+
+    // ---- q78: group-wise closed-form OLS (value regressed on day,
+    // per event type) from mergeable sufficient statistics — ONE
+    // map-side-combined aggregation carries (n, Σx, Σx², Σy, Σxy);
+    // slope/intercept are a constant-time epilogue. Determinism: the
+    // integer sums are exact, the double sums accumulate in
+    // decimal(38,6) (order-independent), and the epilogue is a fixed
+    // chain of double ops reproduced verbatim by the oracle.
+    "q78_groupwise_ols" -> { (s, d) =>
+      import s.implicits._
+      val e = Tables.events(s, d).select($"event_type",
+        expr(s"ts div $NsPerDay").as("x"), $"value".as("y"))
+      e.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"x").as("sx"),
+          sum($"x" * $"x").as("sxx"),
+          sum(($"y").cast("decimal(38,6)")).cast("double").as("sy"),
+          sum(($"x" * $"y").cast("decimal(38,6)")).cast("double").as("sxy"))
+        .withColumn("slope",
+          ($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx"))
+        .select($"event_type", $"n", round($"slope", 6).as("slope"),
+          round(($"sy" - $"slope" * $"sx") / $"n", 6).as("intercept"))
+    },
+
+    // ---- q79: first-order Markov transition matrix over per-user
+    // event sequences (deterministic total order: µs time, event_id
+    // tiebreak). One user-keyed shuffle feeds the lag window; the
+    // (prev → next) counts aggregate map-side; probabilities divide
+    // exact counts.
+    "q79_markov_transitions" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+      val pairs = Tables.events(s, d)
+        .select($"user_id", $"event_id", expr("ts div 1000").as("t"),
+          $"event_type".as("nxt"))
+        .withColumn("prev", lag($"nxt", 1).over(w))
+        .filter($"prev".isNotNull)
+        .groupBy($"prev", $"nxt").agg(count(lit(1)).as("cnt"))
+      val wp = Window.partitionBy($"prev")
+      pairs
+        .withColumn("prob",
+          round($"cnt" / sum($"cnt").over(wp), 6))
+        .select($"prev", $"nxt", $"cnt", $"prob")
     }
   )
 
@@ -137,6 +182,38 @@ object BehaviorOps {
         |SELECT cohort_day, day - cohort_day AS day_offset,
         |  count(DISTINCT e.user_id) AS n_users
         |FROM e JOIN first ON e.user_id = first.user_id
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q78_groupwise_ols" ->
+      """WITH stats AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(x) AS sx, sum(x * x) AS sxx,
+        |    CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+        |  FROM (SELECT event_type,
+        |          epoch_ns(ts) // 86400000000000 AS x, value AS y
+        |        FROM events)
+        |  GROUP BY event_type),
+        |sl AS (
+        |  SELECT event_type, n, sy, sx,
+        |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+        |  FROM stats)
+        |SELECT event_type, n, round(slope, 6) AS slope,
+        |  round((sy - slope * sx) / n, 6) AS intercept
+        |FROM sl""".stripMargin,
+
+    "q79_markov_transitions" ->
+      """WITH seq AS (
+        |  SELECT lag(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev,
+        |    event_type AS nxt
+        |  FROM events),
+        |cnt AS (
+        |  SELECT prev, nxt, count(*) AS cnt FROM seq
+        |  WHERE prev IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev, nxt, cnt,
+        |  round(CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY prev), 6)
+        |    AS prob
+        |FROM cnt""".stripMargin
   )
 }
