@@ -133,6 +133,29 @@ object BehaviorOps {
         .withColumn("prob",
           round($"cnt" / sum($"cnt").over(wp), 6))
         .select($"prev", $"nxt", $"cnt", $"prob")
+    },
+
+    // ---- q80: time-series resampling — daily totals per event type
+    // on a gap-free day grid with last-observation-carried-forward
+    // fill. The grid is types × sequence(min_day, max_day) (one
+    // single-row bounds agg cross-joined, never a driver loop); LOCF
+    // is a running last(ignoreNulls) over the day order — one window
+    // pass per series, no self-join per gap.
+    "q80_resample_locf" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, d)
+        .select($"event_type", expr(s"ts div $NsPerDay").as("day"), $"value")
+      val daily = e.groupBy($"event_type", $"day")
+        .agg(round(sum($"value".cast("decimal(38,6)")).cast("double"), 6).as("v"))
+      val bounds = e.agg(min($"day").as("mn"), max($"day").as("mx"))
+      val grid = e.select($"event_type").distinct()
+        .crossJoin(bounds.select(explode(sequence($"mn", $"mx")).as("day")))
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("event_type", "day"), "left")
+        .select($"event_type", $"day",
+          coalesce(last($"v", ignoreNulls = true).over(w), lit(0.0)).as("v"))
     }
   )
 
@@ -214,6 +237,26 @@ object BehaviorOps {
         |SELECT prev, nxt, cnt,
         |  round(CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY prev), 6)
         |    AS prob
-        |FROM cnt""".stripMargin
+        |FROM cnt""".stripMargin,
+
+    "q80_resample_locf" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, value
+        |  FROM events),
+        |daily AS (
+        |  SELECT event_type, day,
+        |    round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS v
+        |  FROM e GROUP BY 1, 2),
+        |bounds AS (SELECT min(day) AS mn, max(day) AS mx FROM e),
+        |grid AS (
+        |  SELECT t.event_type, g.day
+        |  FROM (SELECT DISTINCT event_type FROM e) t,
+        |    (SELECT unnest(generate_series(mn, mx)) AS day FROM bounds) g)
+        |SELECT grid.event_type, grid.day,
+        |  coalesce(last_value(daily.v IGNORE NULLS) OVER (
+        |    PARTITION BY grid.event_type ORDER BY grid.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS v
+        |FROM grid LEFT JOIN daily
+        |  ON grid.event_type = daily.event_type AND grid.day = daily.day""".stripMargin
   )
 }

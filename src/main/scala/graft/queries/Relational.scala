@@ -194,6 +194,25 @@ object Relational {
         .select($"user_id", unix_micros($"w.start").as("session_start"), $"n_events")
     },
 
+    // ---- q81: pivot (long→wide reshape, the companion of q12's
+    // rollup and q66's cube): order counts and decimal-exact totals by
+    // status × priority, priorities as columns. Spark's pivot with an
+    // explicit value list plans as ONE aggregation (each cell a
+    // conditional aggregate) — no per-column scan, no join.
+    "q81_pivot_priority" -> { (s, d) =>
+      import s.implicits._
+      val pris = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      val wide = Tables.orders(s, d)
+        .groupBy($"o_orderstatus")
+        .pivot("o_orderpriority", pris)
+        .agg(count(lit(1)))
+      // An empty cell pivots to NULL; a conditional count is 0 — align
+      // with the count semantics (matters on sparse status×priority).
+      pris.zipWithIndex.foldLeft(wide) { case (df, (p, i)) =>
+        df.withColumn(s"p${i + 1}", coalesce(col(p), lit(0L))).drop(p)
+      }
+    },
+
     // ---- q12: rollup (multi-level aggregation).
     "q12_nation_rollup" -> { (s, d) =>
       import s.implicits._
@@ -325,6 +344,15 @@ object Relational {
         |  FROM m)
         |SELECT user_id, min(us) AS session_start, count(*) AS n_events
         |FROM i GROUP BY user_id, island""".stripMargin,
+
+    "q81_pivot_priority" ->
+      """SELECT o_orderstatus,
+        |  count(*) FILTER (o_orderpriority = '1-URGENT') AS p1,
+        |  count(*) FILTER (o_orderpriority = '2-HIGH') AS p2,
+        |  count(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3,
+        |  count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
+        |  count(*) FILTER (o_orderpriority = '5-LOW') AS p5
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "q12_nation_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_customers,
