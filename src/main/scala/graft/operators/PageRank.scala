@@ -35,19 +35,26 @@ object PageRank {
     * any bidirectionalized graph.
     */
   def ranksFixedPoint(edges: DataFrame, iters: Int): DataFrame = {
+    // Cache the edge list and the (small) degree table once: the whole
+    // computation then makes exactly ONE pass over the base data, and
+    // each iteration touches only |V|-sized rank/degree tables plus the
+    // cached edges. Computing per-vertex outflow BEFORE joining edges
+    // keeps the big join's probe side |V|-sized (broadcastable under
+    // AQE) instead of carrying degree alongside every edge row.
     val e = edges.selectExpr("cast(src as long) as src", "cast(dst as long) as dst")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // (src, dst, deg) cached: re-read once per iteration.
-    val ed = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
-    val n = ed.select(col("src")).distinct().count()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = deg.count() // materializes e (the one base pass) and deg
     require(n > 0, "empty graph")
     val r0 = Scale / n
     val base = 15 * r0 / 100
 
     var ranks = deg.select(col("src").as("node"), lit(r0).as("r"))
     for (_ <- 1 to iters) {
-      ranks = ed.join(ranks, ed("src") === ranks("node"))
-        .selectExpr("dst", "r div deg as c")
+      val outflow = deg.join(ranks, deg("src") === ranks("node"))
+        .selectExpr("src", "r div deg as c")
+      ranks = e.join(outflow, "src")
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("s"))
         .selectExpr("dst as node", s"$base + (85 * s) div 100 as r")
