@@ -156,6 +156,36 @@ object BehaviorOps {
       grid.join(daily, Seq("event_type", "day"), "left")
         .select($"event_type", $"day",
           coalesce(last($"v", ignoreNulls = true).over(w), lit(0.0)).as("v"))
+    },
+
+    // ---- q82: JSON payload extraction — the dynamic-schema path every
+    // journal consumer runs (events.props is a JSON string): from_json
+    // with an explicit schema, then aggregate the extracted field.
+    // Stays in whole-stage codegen (Jackson-backed expression), no UDF.
+    "q82_json_extract" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_type",
+          from_json($"props", lit("k INT")).getField("k").as("k"))
+        .groupBy($"event_type")
+        .agg(count($"k").as("n"), sum($"k").as("sum_k"),
+          min($"k").as("min_k"), max($"k").as("max_k"))
+    },
+
+    // ---- q83: rolling 7-day mean per series over the q80 gap-free
+    // grid — a RANGE window frame (value-based, not row-based): on a
+    // dense grid rows==range, but the operator under test is the
+    // range-frame path. Decimal accumulation keeps the windowed sum
+    // order-independent.
+    "q83_moving_avg" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val locf = queries("q80_resample_locf")(s, d)
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+        .rangeBetween(-6, 0)
+      locf.select($"event_type", $"day",
+        round((sum($"v".cast("decimal(38,6)")).over(w) /
+          count(lit(1)).over(w)).cast("double"), 6).as("ma7"))
     }
   )
 
@@ -257,6 +287,46 @@ object BehaviorOps {
         |    PARTITION BY grid.event_type ORDER BY grid.day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS v
         |FROM grid LEFT JOIN daily
-        |  ON grid.event_type = daily.event_type AND grid.day = daily.day""".stripMargin
+        |  ON grid.event_type = daily.event_type AND grid.day = daily.day""".stripMargin,
+
+    "q82_json_extract" ->
+      """SELECT event_type,
+        |  count(k) AS n, sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract(props, '$.k') AS INT) AS k FROM events)
+        |GROUP BY event_type""".stripMargin,
+
+    "q83_moving_avg" -> {
+      val locf =
+        """WITH e AS (
+          |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, value
+          |  FROM events),
+          |daily AS (
+          |  SELECT event_type, day,
+          |    round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS v
+          |  FROM e GROUP BY 1, 2),
+          |bounds AS (SELECT min(day) AS mn, max(day) AS mx FROM e),
+          |grid AS (
+          |  SELECT t.event_type, g.day
+          |  FROM (SELECT DISTINCT event_type FROM e) t,
+          |    (SELECT unnest(generate_series(mn, mx)) AS day FROM bounds) g),
+          |locf AS (
+          |  SELECT grid.event_type, grid.day,
+          |    coalesce(last_value(daily.v IGNORE NULLS) OVER (
+          |      PARTITION BY grid.event_type ORDER BY grid.day
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS v
+          |  FROM grid LEFT JOIN daily
+          |    ON grid.event_type = daily.event_type AND grid.day = daily.day)""".stripMargin
+      locf +
+        """
+          |SELECT event_type, day,
+          |  round(CAST(sum(CAST(v AS DECIMAL(38,6))) OVER (
+          |      PARTITION BY event_type ORDER BY day
+          |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+          |    / count(*) OVER (
+          |      PARTITION BY event_type ORDER BY day
+          |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
+          |FROM locf""".stripMargin
+    }
   )
 }
