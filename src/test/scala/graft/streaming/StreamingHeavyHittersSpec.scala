@@ -56,4 +56,47 @@ class StreamingHeavyHittersSpec extends SparkSpec {
     // Bounded state: every slot holds < k tokens.
     assert(bySlot.values.forall(_ <= k - 1), s"slot overflow: $bySlot")
   }
+
+  test("slot state survives a checkpoint restart") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-shh-restart").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-shh-out").toString
+    val input = MemoryStream[String](spark)
+
+    def runQuery(expectRows: Long): Unit = {
+      // Update-mode stateful stream: parquet needs Append, so persist
+      // batch emissions through foreachBatch instead.
+      val q = StreamingHeavyHitters.candidates(input.toDS(), k = 4, slots = 2)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingHeavyHitters.Candidate], _: Long) =>
+          df.write.mode("append").parquet(outDir); ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+      def processed = q.recentProgress.map(_.numInputRows).sum
+      while (q.isActive && processed < expectRows && System.nanoTime() < deadline)
+        Thread.sleep(200)
+      Thread.sleep(300)
+      q.stop()
+    }
+
+    input.addData(Seq.fill(60)("hot") ++ (1 to 40).map(i => s"n${('a' + i % 26).toChar}$i"))
+    runQuery(expectRows = 100)
+    // Restart from the checkpoint: the second batch's emission must
+    // count ON TOP of the recovered slot state, not from zero.
+    input.addData(Seq.fill(50)("hot"))
+    runQuery(expectRows = 50)
+    val schema = org.apache.spark.sql.Encoders
+      .product[StreamingHeavyHitters.Candidate].schema
+    val rows = spark.read.schema(schema).parquet(outDir)
+      .as[StreamingHeavyHitters.Candidate].collect()
+    val hotEsts = rows.filter(_.token == "hot").map(_.est).sorted
+    assert(hotEsts.nonEmpty && hotEsts.last > 60,
+      s"recovered state should push hot past batch-1 count; got ${hotEsts.toList}")
+  }
 }
