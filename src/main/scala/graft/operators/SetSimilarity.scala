@@ -38,6 +38,13 @@ object SetSimilarity {
   /** All pairs (da < db) with exact Jaccard(sh_a, sh_b) >= threshold.
     * Input: (doc_id, sh: array<long>) with distinct elements per row
     * (as produced by [[Dedup.docShingles]]). Output: (da, db, jaccard).
+    *
+    * Worst case: a boilerplate-heavy corpus (many near-identical docs)
+    * puts the SAME rare-ish tokens in every prefix, so one posting
+    * group carries all of them and its k·(k-1)/2 expansion is the true
+    * near-dup pair count — unavoidable for an exact join whose OUTPUT
+    * is that large. Run exact dedup (q22) first to collapse identical
+    * documents before near-dup joining a 100 TB corpus.
     */
   def prefixJaccardSelfJoin(docs: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
