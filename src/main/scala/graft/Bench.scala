@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+
 
 /** Benchmark main: runs every registered query against
   * SPARK_GRAFT_SF_DIR, printing one JSON line of per-query wall times.
@@ -12,15 +12,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // The engine's own front door (Engine.local): AQE + conventions +
+    // extension, shuffle parallelism pinned to the core count.
+    val spark = Engine.local(cpus.toInt)
 
     // Warmup: exercise scan+shuffle+codegen paths once. Per-query times
     // should reflect steady-state plan cost, not whichever query happens

@@ -42,8 +42,10 @@ object Engine {
     val s = builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toString)
+      // Single-node: let AQE coalesce from the core count itself — a
+      // high initialPartitionNum only adds per-shuffle overhead here.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (cores * 2).toString)
+        cores.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
