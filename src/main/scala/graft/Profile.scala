@@ -72,6 +72,32 @@ object Profile {
       println(f"[profile] sequencer batch throughput: ${n / dt / 1e6}%.2f M msgs/s total " +
         f"(${n / dt / 32 / 1e3}%.1f K msgs/s/core), $out committed of $n in $dt%.2f s")
     }
+    // Journal append/read throughput. The reference names spool
+    // compression as THE append bottleneck (docs/brokers-concepts.rst:
+    // 54-58) — measure none vs gz to see the same effect, and the
+    // fragment read path for the other direction.
+    {
+      import graft.sources.Journal
+      val root = java.nio.file.Files.createTempDirectory("graft-prof-journal").toString
+      val lines = spark.range(2000000)
+        .select(concat(lit("payload-"), col("id"),
+          lit(" abcdefghijklmnopqrstuvwxyz abcdefghijklmnopqrstuvwxyz" * 2)).as("payload"))
+        .repartition(32).persist()
+      val nBytes = lines.select(sum(length($"payload") + 1)).head().getLong(0)
+      lines.count()
+      // Warm the spool path (JIT, fs metadata) so codec numbers compare.
+      Journal.append(lines.limit(10000).toDF(), root, "prof/warm", codec = "gz")
+      for (codec <- Seq("none", "gz", "zst")) {
+        val t0 = System.nanoTime()
+        Journal.append(lines.toDF(), root, s"prof/$codec", codec = codec)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[profile] journal append ($codec): ${nBytes / dt / 1e6}%.0f MB/s in $dt%.2f s")
+      }
+      val t0 = System.nanoTime()
+      val rows = Journal.read(spark, root, "prof/gz").count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[profile] journal read (gz): ${nBytes / dt / 1e6}%.0f MB/s, $rows rows in $dt%.2f s")
+    }
     spark.stop()
   }
 }
