@@ -42,4 +42,42 @@ object ConsumerApp {
       }
     }
   }
+
+  /** Read-your-writes barrier — the engine's analog of the consumer
+    * `Stat` RPC with `read_through` offsets (consumer/shard_api.go:24-51,
+    * consumer/protocol/protocol.proto:383-427): block until `query` has
+    * COMMITTED a micro-batch whose journal-source offset reaches
+    * `throughOffset` (default: the journal's current head, i.e. "my
+    * writes so far"). Unlike `processAllAvailable()` (drain everything,
+    * forever-growing under live writers), this releases as soon as the
+    * target offset is read — the `publish_at`/`read_through` composition
+    * pattern across chained pipelines. Returns false on timeout.
+    *
+    * Reads the committed offset from query progress — works with the
+    * DSv2 `journal` source (offset shape `{"head":N}`); the legacy
+    * file-based `Journal.readStream` path reports file-log offsets the
+    * barrier can't interpret.
+    */
+  def readThrough(query: org.apache.spark.sql.streaming.StreamingQuery,
+      root: String, journal: String,
+      throughOffset: Long = -1L, timeoutMs: Long = 60000L): Boolean = {
+    val target =
+      if (throughOffset >= 0) throughOffset
+      else graft.sources.Journal.head(root, journal)
+    val headRe = """\{"head":(\d+)\}""".r
+    def committedHead: Long = {
+      val p = query.lastProgress
+      if (p == null) -1L
+      else p.sources.iterator.flatMap { s =>
+        Option(s.endOffset).collect { case headRe(h) => h.toLong }
+      }.foldLeft(-1L)(math.max)
+    }
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var reached = committedHead >= target
+    while (!reached && query.isActive && System.nanoTime() < deadline) {
+      Thread.sleep(50)
+      reached = committedHead >= target
+    }
+    reached
+  }
 }
