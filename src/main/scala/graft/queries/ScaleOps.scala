@@ -138,6 +138,30 @@ object ScaleOps {
         .agg(count(lit(1)).as("n"),
           round(sum($"value".cast("decimal(38,6)")).cast("double") * first($"wt"), 2)
             .as("weighted"))
+    },
+
+    // ---- q84: ANALYZE-style column statistics — the control-plane op
+    // that feeds CBO/pruning at 100 TB (row counts, null counts, NDVs,
+    // min/max per column). ONE scan computes every column's stats as a
+    // single wide aggregate row; the long-format reshape is a stack()
+    // projection, not per-column scans.
+    "q84_table_stats" -> { (s, d) =>
+      import s.implicits._
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_returnflag", "l_linestatus")
+      val li = Tables.lineitem(s, d)
+      val aggs = cols.flatMap { c =>
+        Seq(count(col(c)).as(s"cnt_$c"),
+          countDistinct(col(c)).as(s"ndv_$c"),
+          min(col(c)).cast("string").as(s"mn_$c"),
+          max(col(c)).cast("string").as(s"mx_$c"))
+      }
+      val wide = li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      val stackExpr = cols.map(c =>
+        s"'$c', cnt_$c, ndv_$c, mn_$c, mx_$c").mkString(", ")
+      wide.selectExpr("n_rows",
+        s"stack(${cols.length}, $stackExpr) as (col_name, n_notnull, ndv, min_s, max_s)")
+        .select($"col_name", $"n_rows", $"n_notnull", $"ndv", $"min_s", $"max_s")
     }
   )
 
@@ -247,6 +271,17 @@ object ScaleOps {
         |  round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) * any_value(wt), 2)
         |    AS weighted
         |FROM events JOIN dim USING (event_type)
-        |GROUP BY label""".stripMargin
+        |GROUP BY label""".stripMargin,
+
+    "q84_table_stats" -> {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_returnflag", "l_linestatus")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, (SELECT count(*) FROM lineitem) AS n_rows,
+           |  count($c) AS n_notnull, count(DISTINCT $c) AS ndv,
+           |  CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    }
   )
 }
