@@ -142,26 +142,26 @@ object ScaleOps {
 
     // ---- q84: ANALYZE-style column statistics — the control-plane op
     // that feeds CBO/pruning at 100 TB (row counts, null counts, NDVs,
-    // min/max per column). ONE scan computes every column's stats as a
-    // single wide aggregate row; the long-format reshape is a stack()
-    // projection, not per-column scans.
+    // min/max per column). One pruned columnar scan + single-distinct
+    // aggregate PER COLUMN, unioned: N exact countDistinct in one
+    // aggregate would plan as an N-way row expand over the fact table
+    // (measured 7s vs ~2s at sf0.1); per-column jobs keep each
+    // distinct on the no-expand path and each scan reads one column.
     "q84_table_stats" -> { (s, d) =>
       import s.implicits._
       val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
         "l_returnflag", "l_linestatus")
       val li = Tables.lineitem(s, d)
-      val aggs = cols.flatMap { c =>
-        Seq(count(col(c)).as(s"cnt_$c"),
-          countDistinct(col(c)).as(s"ndv_$c"),
-          min(col(c)).cast("string").as(s"mn_$c"),
-          max(col(c)).cast("string").as(s"mx_$c"))
-      }
-      val wide = li.agg(count(lit(1)).as("n_rows"), aggs: _*)
-      val stackExpr = cols.map(c =>
-        s"'$c', cnt_$c, ndv_$c, mn_$c, mx_$c").mkString(", ")
-      wide.selectExpr("n_rows",
-        s"stack(${cols.length}, $stackExpr) as (col_name, n_notnull, ndv, min_s, max_s)")
-        .select($"col_name", $"n_rows", $"n_notnull", $"ndv", $"min_s", $"max_s")
+      val nRows = li.count()
+      cols.map { c =>
+        li.select(col(c))
+          .agg(count(col(c)).as("n_notnull"),
+            countDistinct(col(c)).as("ndv"),
+            min(col(c)).cast("string").as("min_s"),
+            max(col(c)).cast("string").as("max_s"))
+          .select(lit(c).as("col_name"), lit(nRows).as("n_rows"),
+            $"n_notnull", $"ndv", $"min_s", $"max_s")
+      }.reduce(_ unionAll _)
     }
   )
 
