@@ -48,9 +48,7 @@ object Dedup {
       .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .flatMap { case (docId, t) =>
-        val m = java.util.regex.Pattern.compile("[a-z]+").matcher(t.toLowerCase)
-        val toks = scala.collection.mutable.ArrayBuffer.empty[String]
-        while (m.find()) toks += m.group()
+        val toks = TextAnalysis.tokenize(t)
         if (toks.length < n) None
         else {
           val seen = new java.util.HashSet[java.lang.Long]()
