@@ -124,6 +124,10 @@ class JournalMicroBatchStream(root: String, journal: String,
   private def currentHead(): Long =
     availableNowEnd.getOrElse(Journal.head(root, journal))
 
+  // Progress events carry this as the source description — lets
+  // ConsumerApp.readThrough target ONE journal in a multi-source query.
+  override def toString: String = s"journal:$journal"
+
   override def initialOffset(): Offset = JournalOffset(0L)
   override def latestOffset(): Offset = JournalOffset(currentHead())
 

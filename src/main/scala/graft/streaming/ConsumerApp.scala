@@ -56,7 +56,10 @@ object ConsumerApp {
     * Reads the committed offset from query progress — works with the
     * DSv2 `journal` source (offset shape `{"head":N}`); the legacy
     * file-based `Journal.readStream` path reports file-log offsets the
-    * barrier can't interpret.
+    * barrier can't interpret. In a multi-source query, only sources
+    * whose progress description names this journal (`journal:<name>`)
+    * are consulted — another journal's larger head can't release the
+    * barrier early.
     */
   def readThrough(query: org.apache.spark.sql.streaming.StreamingQuery,
       root: String, journal: String,
@@ -68,9 +71,20 @@ object ConsumerApp {
     def committedHead: Long = {
       val p = query.lastProgress
       if (p == null) -1L
-      else p.sources.iterator.flatMap { s =>
-        Option(s.endOffset).collect { case headRe(h) => h.toLong }
-      }.foldLeft(-1L)(math.max)
+      else {
+        val named = p.sources.filter(s =>
+          Option(s.description).exists(_.contains(s"journal:$journal")))
+        // Single-source queries may predate the description tag; fall
+        // back to shape-matching every source only when nothing names
+        // this journal and there is exactly one source.
+        val pool =
+          if (named.nonEmpty) named
+          else if (p.sources.length == 1) p.sources
+          else Array.empty[org.apache.spark.sql.streaming.SourceProgress]
+        pool.iterator.flatMap { s =>
+          Option(s.endOffset).collect { case headRe(h) => h.toLong }
+        }.foldLeft(-1L)(math.max)
+      }
     }
     val deadline = System.nanoTime() + timeoutMs * 1000000L
     var reached = committedHead >= target

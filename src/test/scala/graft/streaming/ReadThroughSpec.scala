@@ -39,4 +39,30 @@ class ReadThroughSpec extends SparkSpec {
       assert((System.nanoTime() - t0) / 1e6 < 5000)
     } finally q.stop()
   }
+
+  test("multi-source query: another journal's head cannot release the barrier") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-rt2").toString
+    val ckpt = Files.createTempDirectory("graft-rt2-ckpt").toString
+    // 'big' is far ahead of 'small' in byte offsets.
+    Journal.append((1 to 200).map(i => s"big-$i").toDF("payload"), root, "t/big")
+    Journal.append(Seq("s1").toDF("payload"), root, "t/small")
+    def src(j: String) = spark.readStream.format("journal")
+      .option("root", root).option("journal", j).load()
+    val q = src(Journal.listFragments(root, "t/big").head.journal)
+      .union(src("t/small"))
+      .writeStream.format("memory").queryName("rt2_rows")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      // Barrier on 'small' at an offset BEYOND its head must time out
+      // even though 'big''s committed head exceeds it numerically.
+      val smallHead = Journal.head(root, "t/small")
+      assert(ConsumerApp.readThrough(q, root, "t/small", timeoutMs = 60000),
+        "barrier at small's own head should pass")
+      assert(!ConsumerApp.readThrough(q, root, "t/small",
+        throughOffset = smallHead + 1000, timeoutMs = 3000),
+        "unreached offset must not be released by the other journal's head")
+    } finally q.stop()
+  }
 }
