@@ -66,8 +66,14 @@ object SetSimilarity {
         transform(col("ts"), t => t.getField("tok")).as("ot"))
 
     // Prefix = first n - ceil(tau*n) + 1 tokens of the canonical order.
+    // ceil is epsilon-guarded: the double product tau*n can land a hair
+    // ABOVE an exact integer (0.85*20 = 17.000000000000004), and a
+    // naive ceil would then shorten the prefix by one token, silently
+    // dropping pairs whose Jaccard equals the threshold exactly —
+    // false negatives in an operator documented as exact. Mirrors the
+    // thr-1e-6 guard in Similarity.
     val n = size(col("ot"))
-    val plen = (n - ceil(lit(threshold) * n) + 1).cast("int")
+    val plen = (n - ceil(lit(threshold) * n - lit(1e-9)) + 1).cast("int")
     val pre = ordered.select(col("doc_id"), n.as("n"),
       explode(slice(col("ot"), lit(1), plen)).as("tok"))
 
@@ -84,7 +90,7 @@ object SetSimilarity {
         var j = i + 1
         while (j < s.length) {
           val (na, nb) = (s(i)._2, s(j)._2)
-          if (tau * math.max(na, nb) <= math.min(na, nb))
+          if (tau * math.max(na, nb) - 1e-9 <= math.min(na, nb))
             out += ((s(i)._1, s(j)._1))
           j += 1
         }

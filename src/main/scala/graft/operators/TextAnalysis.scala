@@ -41,10 +41,13 @@ object TextAnalysis {
     * regex machinery, no toLowerCase copy of the document (regex +
     * copy measured ~2× slower; tokenization feeds every shingle/hash
     * kernel). ASCII uppercase folds inline; non-ASCII goes through
-    * Character.toLowerCase — String.toLowerCase's locale-free
-    * multi-char expansions (e.g. İ → i + combining dot) yield the same
-    * [a-z]+ runs, since the expansion's extra mark is a separator
-    * either way.
+    * Character.toLowerCase, except U+0130 (İ), the one code point whose
+    * full lowercase mapping is multi-char ("i" + combining U+0307):
+    * Character.toLowerCase would emit a bare 'i' and wrongly merge the
+    * adjacent letter runs, so it is handled explicitly — the 'i'
+    * extends the current run, the implied combining mark then ends it,
+    * matching String.toLowerCase + [a-z]+ and the DuckDB lower()
+    * oracle.
     */
   def tokenize(text: String): Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -53,12 +56,17 @@ object TextAnalysis {
     val n = text.length
     while (i < n) {
       val c0 = text.charAt(i)
-      val c =
-        if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar
-        else if (c0 < 128) c0
-        else Character.toLowerCase(c0)
-      if (c >= 'a' && c <= 'z') sb.append(c)
-      else if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
+      if (c0 == 'İ') {
+        sb.append('i')
+        out += sb.toString; sb.setLength(0)
+      } else {
+        val c =
+          if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar
+          else if (c0 < 128) c0
+          else Character.toLowerCase(c0)
+        if (c >= 'a' && c <= 'z') sb.append(c)
+        else if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
+      }
       i += 1
     }
     if (sb.length > 0) out += sb.toString

@@ -107,8 +107,14 @@ object BehaviorOps {
           sum($"x" * $"x").as("sxx"),
           sum(($"y").cast("decimal(38,6)")).cast("double").as("sy"),
           sum(($"x" * $"y").cast("decimal(38,6)")).cast("double").as("sxy"))
+        // Denominator in double: with day-scale x and ~1e7 events per
+        // group the Long products n*sxx / sx*sx can exceed 2^63 and
+        // wrap silently; double is overflow-safe and the oracle casts
+        // identically so both sides run the same IEEE chain.
         .withColumn("slope",
-          ($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx"))
+          ($"n" * $"sxy" - $"sx" * $"sy") /
+            ($"n".cast("double") * $"sxx".cast("double") -
+              $"sx".cast("double") * $"sx".cast("double")))
         .select($"event_type", $"n", round($"slope", 6).as("slope"),
           round(($"sy" - $"slope" * $"sx") / $"n", 6).as("intercept"))
     },
@@ -201,7 +207,7 @@ object BehaviorOps {
         |cnt AS (SELECT prefix, nxt, count(*) AS n FROM tri GROUP BY 1, 2),
         |sel AS (
         |  SELECT prefix, nxt, n,
-        |    sum(n) OVER (PARTITION BY prefix) AS total,
+        |    CAST(sum(n) OVER (PARTITION BY prefix) AS BIGINT) AS total,
         |    row_number() OVER (PARTITION BY prefix ORDER BY n DESC, nxt DESC) AS rn
         |  FROM cnt)
         |SELECT prefix, nxt, n AS cnt, total FROM sel
@@ -249,7 +255,9 @@ object BehaviorOps {
         |  GROUP BY event_type),
         |sl AS (
         |  SELECT event_type, n, sy, sx,
-        |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+        |    (n * sxy - sx * sy) /
+        |      (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
         |  FROM stats)
         |SELECT event_type, n, round(slope, 6) AS slope,
         |  round((sy - slope * sx) / n, 6) AS intercept
@@ -291,7 +299,8 @@ object BehaviorOps {
 
     "q82_json_extract" ->
       """SELECT event_type,
-        |  count(k) AS n, sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k
+        |  count(k) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k
         |FROM (SELECT event_type,
         |        CAST(json_extract(props, '$.k') AS INT) AS k FROM events)
         |GROUP BY event_type""".stripMargin,

@@ -165,7 +165,8 @@ object ClusterOps {
         |    epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
         |      PARTITION BY user_id ORDER BY ts, event_id) AS gap
         |  FROM events)
-        |SELECT user_id, count(*) AS n_events, sum(gap) AS sum_gap_us,
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(gap) AS BIGINT) AS sum_gap_us,
         |  max(gap) AS max_gap_us
         |FROM g GROUP BY user_id""".stripMargin,
 

@@ -227,7 +227,8 @@ object ScaleOps {
          |${iter(1)},
          |${iter(2)},
          |${iter(3)}
-         |SELECT node, r FROM r3""".stripMargin
+         |SELECT CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS r
+         |FROM r3""".stripMargin
     },
 
     "q72_crosscorpus_dedup" -> {
@@ -255,7 +256,8 @@ object ScaleOps {
     },
 
     "q73_incremental_agg" ->
-      """SELECT lang, count(*) AS n_docs, sum(length(text)) AS sum_chars
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
         |FROM (
         |  SELECT lang,
         |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text

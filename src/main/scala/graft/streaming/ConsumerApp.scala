@@ -72,8 +72,10 @@ object ConsumerApp {
       val p = query.lastProgress
       if (p == null) -1L
       else {
+        // Exact match: a substring test would let journal 't/a' match
+        // a 't/ab' source's description and release the barrier early.
         val named = p.sources.filter(s =>
-          Option(s.description).exists(_.contains(s"journal:$journal")))
+          Option(s.description).contains(s"journal:$journal"))
         // Single-source queries may predate the description tag; fall
         // back to shape-matching every source only when nothing names
         // this journal and there is exactly one source.

@@ -152,6 +152,17 @@ class OperatorsSpec extends SparkSpec {
     assert(TextAnalysis.ngramIterator("one", 2).isEmpty)
   }
 
+  test("tokenize matches the [a-z]+-over-lowercase reference, incl. U+0130") {
+    // U+0130 (İ) fully lowercases to "i" + combining U+0307, so the
+    // regex reference splits 'xİa' into ("xi", "a"); a bare
+    // Character.toLowerCase would merge them into "xia".
+    def ref(t: String) =
+      "[a-z]+".r.findAllIn(t.toLowerCase(java.util.Locale.ROOT)).toSeq
+    for (t <- Seq("xİa", "İİ", "The cat5 sat on the MAT", "Straße über",
+        "déjà vu", "", "7", "İ"))
+      assert(TextAnalysis.tokenize(t).toSeq == ref(t), s"input: $t")
+  }
+
   test("winnowing: shared substrings of length >= k+w-1 share a fingerprint") {
     val md = java.security.MessageDigest.getInstance("MD5")
     val k = 5; val w = 4

@@ -44,6 +44,23 @@ class SetSimilaritySpec extends SparkSpec {
     assert(tight == Set((1L, 3L, 1.0), (4L, 5L, 1.0)))
   }
 
+  test("ceil rounding hazard: threshold-exact pair survives (tau=0.56, n=25)") {
+    import spark.implicits._
+    // 0.56*25 = 14.000000000000002 in double: a naive ceil gives 15,
+    // shortening a's prefix to 11 tokens — exactly its 11 unique
+    // (rarest) tokens — so the shared token never posts and the pair
+    // with Jaccard == tau exactly (14/25) is silently dropped. The
+    // same product breaks the length filter (14.0000…2 > 14). The
+    // epsilon-guarded ceil/filter must keep it.
+    val shared = (1L to 14L).toArray
+    val docs = Seq(
+      (1L, shared ++ (101L to 111L)),    // n=25
+      (2L, shared)                       // n=14, J(1,2) = 14/25 = 0.56
+    ).toDF("doc_id", "sh")
+    val got = pairs(SetSimilarity.prefixJaccardSelfJoin(docs, 0.56))
+    assert(got == Set((1L, 2L, 0.56)))
+  }
+
   test("prefix index is smaller than the full inverted index") {
     import spark.implicits._
     val docs = Dedup.docShingles(

@@ -81,6 +81,17 @@ def compare(a, b):
         return False, f"columns differ: spark={list(a.columns)} oracle={list(b.columns)}"
     if len(a) != len(b):
         return False, f"row count differs: spark={len(a)} oracle={len(b)}"
+    # Dtype pre-flight: the driver hashes raw values, so int64 123 vs
+    # float64 123.0 is a hash mismatch even though float(x)==float(y)
+    # below would pass. DuckDB leaks HUGEINT (e.g. un-cast integer
+    # sum()) which pandas renders as float64 — fail loudly here so the
+    # oracle gets its CAST(... AS BIGINT) before the driver ever sees it.
+    for c in a.columns:
+        ka, kb = a[c].dtype.kind, b[c].dtype.kind
+        if {ka, kb} in ({"i", "f"}, {"u", "f"}) and not (
+                a[c].isna().all() or b[c].isna().all()):
+            return False, (f"col {c} dtype mismatch: spark={a[c].dtype} "
+                           f"oracle={b[c].dtype} (HUGEINT leak? add CAST)")
     for c in a.columns:
         av, bv = a[c].tolist(), b[c].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
