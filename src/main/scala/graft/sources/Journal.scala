@@ -1,12 +1,12 @@
 package graft.sources
 
-import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayOutputStream, FileInputStream, FileOutputStream}
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.io.{BufferedInputStream, BufferedOutputStream}
 import java.security.MessageDigest
 import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import scala.jdk.CollectionConverters._
 
 /** Journal = append-only byte log that is simultaneously a stream and a
   * set of immutable content-addressed files (the reference's core thesis,
@@ -24,23 +24,84 @@ import scala.jdk.CollectionConverters._
   *    envelope rows with exact byte offsets — executors open fragments
   *    directly (the read-delegation path, S1).
   *
+  * All fragment I/O goes through `org.apache.hadoop.fs.FileSystem`
+  * resolved from the root's scheme — a plain POSIX path, `file:`,
+  * `hdfs:`, `s3a:`, `gs:`, `abfs:` all work (the reference's pluggable
+  * fragment stores, broker/stores/active_store.go:15-214 and the
+  * s3/gcs/azure drivers). Commit-by-rename is atomic on HDFS/POSIX; on
+  * object stores rename is copy+delete, but content-addressed names make
+  * double-commits byte-identical, the same property the reference's
+  * persister relies on.
+  *
   * Framing is newline-delimited (ndjson / CSV lines — §1.2); payloads are
   * opaque strings here, decoded by `from_json`/`from_csv` downstream.
   *
   * Scale note: listing is driver-side (as Spark's FileStreamSource);
   * reads parallelize per fragment. Fragment target length (spool roll
-  * policy) bounds fragment size so task granularity stays even.
+  * policy) bounds fragment size so task granularity stays even. Listing
+  * captures HDFS block hosts so the DSv2 scan can expose
+  * `preferredLocations` (zone-aware read placement,
+  * docs/brokers-concepts.rst:155-160).
   */
 object Journal {
 
   final case class Fragment(
       journal: String, begin: Long, end: Long, sha1: String, codec: String,
-      path: String) {
+      path: String, hosts: Seq[String] = Nil) {
     def name: String = f"$begin%016x-$end%016x-$sha1.$codec"
   }
 
   /** One framed record with its byte span. */
   final case class Envelope(journal: String, begin: Long, end: Long, payload: String)
+
+  // ---- Hadoop FS plumbing --------------------------------------------
+
+  /** Hadoop Configuration that survives closure serialization (the
+    * stock class is not Serializable): executor-side fragment I/O must
+    * see the session's `spark.hadoop.*` settings (object-store
+    * credentials, endpoints), not a bare classpath default.
+    */
+  final class HadoopConf(@transient private var conf: Configuration)
+      extends Serializable {
+    def value: Configuration = {
+      if (conf == null) conf = new Configuration()
+      conf
+    }
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new Configuration(false)
+      conf.readFields(in)
+    }
+  }
+
+  /** Driver-side conf: the active session's Hadoop conf (which folds in
+    * `spark.hadoop.*`) when one exists, else classpath defaults.
+    */
+  private[graft] def hadoopConf: Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  private def readString(fs: FileSystem, p: HPath): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
+
+  /** Atomic string write: tmp file + rename. */
+  private def writeStringAtomic(fs: FileSystem, p: HPath, s: String): Unit = {
+    val tmp = new HPath(p.getParent,
+      s".${p.getName}.${java.util.UUID.randomUUID}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"rename $tmp -> $p failed")
+    }
+  }
 
   // ---- compression codecs (S9) ---------------------------------------
   // The reference's fragment codecs (protocol CompressionCodec:
@@ -71,36 +132,81 @@ object Journal {
 
   /** Fragment listing; `modifiedAfterMs` is the begin_mod_time read
     * filter (P5, protocol.proto:438-442): skip fragments persisted
-    * before the bound.
+    * before the bound. Fragment paths keep the caller's root form
+    * (plain POSIX stays plain; URI roots stay URIs).
     */
   def listFragments(root: String, journal: String,
-      modifiedAfterMs: Long = Long.MinValue): Vector[Fragment] = {
-    val dir = Paths.get(root, journal)
-    if (!Files.isDirectory(dir)) Vector.empty
-    else {
-      // Recursive walk: fragments may live under Hive-style path-postfix
-      // subdirectories (date=…/hour=…, protocol.proto:248-262).
-      val stream = Files.walk(dir)
-      try stream.iterator().asScala.flatMap { p =>
-        p.getFileName.toString match {
-          case FragmentRe(b, e, sha, codec)
-              if Files.getLastModifiedTime(p).toMillis >= modifiedAfterMs =>
-            Some(Fragment(journal, java.lang.Long.parseUnsignedLong(b, 16),
-              java.lang.Long.parseUnsignedLong(e, 16), sha, codec, p.toString))
-          case _ => None
+      modifiedAfterMs: Long = Long.MinValue): Vector[Fragment] =
+    listFragments(Seq(root), journal, modifiedAfterMs)
+
+  /** Multi-store listing (S4, the reference's WalkAllStores,
+    * broker/fragment/index.go:224-257): one journal's fragments may
+    * span several stores mid-migration; the union — cover-set-resolved
+    * downstream — reads as one contiguous stream. Content addressing
+    * dedupes a fragment present in two stores (same begin/end/sha).
+    */
+  def listFragments(roots: Seq[String], journal: String,
+      modifiedAfterMs: Long): Vector[Fragment] = {
+    val conf = hadoopConf
+    roots.iterator.flatMap { root =>
+      val dir = new HPath(root, journal)
+      val fs = dir.getFileSystem(conf)
+      if (!fs.exists(dir)) Iterator.empty
+      else {
+        val qdirPath = fs.makeQualified(dir).toUri.getPath
+        // Recursive walk: fragments may live under Hive-style
+        // path-postfix subdirectories (date=…/hour=…,
+        // protocol.proto:248-262). listFiles also surfaces block
+        // locations in the same RPC — free locality hints.
+        val it = fs.listFiles(dir, true)
+        val buf = Vector.newBuilder[Fragment]
+        while (it.hasNext) {
+          val st = it.next()
+          st.getPath.getName match {
+            case FragmentRe(b, e, sha, codec)
+                if st.getModificationTime >= modifiedAfterMs =>
+              val rel = st.getPath.toUri.getPath
+                .stripPrefix(qdirPath).stripPrefix("/")
+              // Hosts as the FS reports them (HDFS: datanodes; local:
+              // "localhost"; object stores: none or a placeholder) —
+              // the same contract Spark's FilePartition surfaces.
+              val hosts = st.getBlockLocations.toSeq
+                .flatMap(_.getHosts).distinct
+              buf += Fragment(journal, java.lang.Long.parseUnsignedLong(b, 16),
+                java.lang.Long.parseUnsignedLong(e, 16), sha, codec,
+                new HPath(dir, rel).toString, hosts)
+            case _ =>
+          }
         }
-      }.toVector.sortBy(f => (f.begin, -f.end))
-      finally stream.close()
-    }
+        buf.result()
+      }
+    }.toVector
+      .distinctBy(f => (f.begin, f.end, f.sha1, f.codec))
+      .sortBy(f => (f.begin, -f.end))
   }
+
+  /** Hive-style `key=value` postfix directories between the journal
+    * root and a fragment file, parsed from its path (the reference's
+    * path_postfix_template, protocol.proto:248-262). Empty for
+    * top-level fragments.
+    */
+  def postfixValues(f: Fragment): Map[String, String] =
+    new HPath(f.path).getParent.toString.split('/').iterator
+      .filter(_.contains('='))
+      .map { s => val i = s.indexOf('='); (s.substring(0, i), s.substring(i + 1)) }
+      .toMap
 
   /** Retention maintenance (journals prune, SURVEY §2.12): delete
     * fragments whose span ends at or below `keepFromOffset`. Returns
     * deleted fragments.
     */
   def prune(root: String, journal: String, keepFromOffset: Long): Vector[Fragment] = {
+    val conf = hadoopConf
     val (drop, _) = listFragments(root, journal).partition(_.end <= keepFromOffset)
-    drop.foreach(f => Files.deleteIfExists(Paths.get(f.path)))
+    drop.foreach { f =>
+      val p = new HPath(f.path)
+      p.getFileSystem(conf).delete(p, false)
+    }
     drop
   }
 
@@ -116,7 +222,7 @@ object Journal {
     * fragments — exactly the state [[coverSet]] exists to resolve (the
     * merged fragment extends furthest and wins), so a crash at ANY
     * point leaves a correct, readable index; re-running compaction is
-    * idempotent (content-addressed name, REPLACE_EXISTING rename).
+    * idempotent (content-addressed name, overwrite-equivalent rename).
     *
     * Only fragments directly in the journal root are compacted:
     * Hive-postfix subdirectories partition by path, and merging across
@@ -125,9 +231,11 @@ object Journal {
   def compact(root: String, journal: String, targetBytes: Long,
       codec: String = "gz"): Vector[Fragment] = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
-    val dir = Paths.get(root, journal)
+    val conf = hadoopConf
+    val dir = new HPath(root, journal)
+    val fs = dir.getFileSystem(conf)
     val rootFrags = listFragments(root, journal)
-      .filter(f => Paths.get(f.path).getParent == dir)
+      .filter(f => new HPath(f.path).getParent == dir)
     val cover = coverSet(rootFrags)
 
     // Pack consecutive CONTIGUOUS cover entries while the merged span
@@ -146,13 +254,13 @@ object Journal {
     runs.result().map { run =>
       val begin = run.head._2
       val end = run.last._1.end
-      val tmp = Files.createTempFile(Paths.get(root), ".compact-", ".tmp")
+      val tmp = new HPath(new HPath(root),
+        s".compact-${java.util.UUID.randomUUID}.tmp")
       val digest = MessageDigest.getInstance("SHA-1")
-      val out = new BufferedOutputStream(
-        wrapOutput(codec, new FileOutputStream(tmp.toFile)), 1 << 16)
+      val out = new BufferedOutputStream(wrapOutput(codec, fs.create(tmp, true)), 1 << 16)
       run.foreach { case (f, readFrom) =>
         val in = new BufferedInputStream(
-          wrapInput(f.codec, new FileInputStream(f.path)), 1 << 16)
+          wrapInput(f.codec, fs.open(new HPath(f.path))), 1 << 16)
         try {
           var skip = readFrom - f.begin
           while (skip > 0) {
@@ -174,10 +282,10 @@ object Journal {
       out.close()
       val sha = digest.digest().map("%02x".format(_)).mkString
       val frag = Fragment(journal, begin, end, sha, codec,
-        dir.resolve(f"$begin%016x-$end%016x-$sha.$codec").toString)
-      commitFragment(frag, tmp.toString)
+        new HPath(dir, f"$begin%016x-$end%016x-$sha.$codec").toString)
+      commitFragment(frag, tmp.toString, conf)
       run.foreach { case (f, _) =>
-        if (f.path != frag.path) Files.deleteIfExists(Paths.get(f.path))
+        if (f.path != frag.path) fs.delete(new HPath(f.path), false)
       }
       frag
     }
@@ -205,6 +313,10 @@ object Journal {
   def head(root: String, journal: String): Long =
     listFragments(root, journal).map(_.end).foldLeft(0L)(math.max)
 
+  /** Multi-store head: next append offset across every store. */
+  def head(roots: Seq[String], journal: String): Long =
+    listFragments(roots, journal, Long.MinValue).map(_.end).foldLeft(0L)(math.max)
+
   // ---- write path (S5-S7) --------------------------------------------
 
   /** Append a DataFrame's `payload` string column as framed fragments.
@@ -216,10 +328,12 @@ object Journal {
     */
   def append(df: DataFrame, root: String, journal: String,
       codec: String = "gz", payloadCol: String = "payload",
-      postfixCol: Option[String] = None): Seq[Fragment] =
+      postfixCol: Option[String] = None): Seq[Fragment] = {
+    val conf = hadoopConf
     stage(df, root, journal, codec, payloadCol, postfixCol).map {
-      case (frag, tmp) => commitFragment(frag, tmp)
+      case (frag, tmp) => commitFragment(frag, tmp, conf)
     }
+  }
 
   /** Spool-and-plan half of `append`: spools each (partition, postfix)
     * group executor-side, assigns contiguous offsets from the journal
@@ -233,8 +347,10 @@ object Journal {
       postfixCol: Option[String] = None): Seq[(Fragment, String)] = {
     val spark = df.sparkSession
     import spark.implicits._
-    val dir = Paths.get(root, journal)
-    Files.createDirectories(dir)
+    val conf = hadoopConf
+    val dir = new HPath(root, journal)
+    dir.getFileSystem(conf).mkdirs(dir)
+    val hc = new HadoopConf(conf)
 
     // Executor side: spool each (partition, postfix) group to a temp
     // file; report (partitionId, postfix, uncompressedLength, sha1, tmp).
@@ -242,19 +358,21 @@ object Journal {
       case Some(pc) => df.select(col(payloadCol), col(pc).cast("string")).as[(String, String)]
       case None     => df.select(col(payloadCol)).as[String].map(p => (p, ""))
     }
+    val journalTag = journal.replace('/', '_')
     val spooled = rows.rdd
       .mapPartitionsWithIndex { (idx, it) =>
-        final class Spool(val tmp: Path) {
+        val fs = new HPath(root).getFileSystem(hc.value)
+        final class Spool(val tmp: HPath) {
           val digest = MessageDigest.getInstance("SHA-1")
           var len = 0L
-          private val fos = new FileOutputStream(tmp.toFile)
-          val out = new BufferedOutputStream(wrapOutput(codec, fos), 1 << 16)
+          val out = new BufferedOutputStream(
+            wrapOutput(codec, fs.create(tmp, true)), 1 << 16)
         }
         val spools = scala.collection.mutable.LinkedHashMap.empty[String, Spool]
         it.foreach { case (line, postfix) =>
-          val sp = spools.getOrElseUpdate(postfix, new Spool(
-            Files.createTempFile(Paths.get(root),
-              s".spool-${journal.replace('/', '_')}-$idx-", ".tmp")))
+          val sp = spools.getOrElseUpdate(postfix, new Spool(new HPath(
+            new HPath(root),
+            s".spool-$journalTag-$idx-${java.util.UUID.randomUUID}.tmp")))
           val bytes = (line + "\n").getBytes("UTF-8")
           sp.digest.update(bytes)
           sp.out.write(bytes)
@@ -272,21 +390,30 @@ object Journal {
     // retries idempotent).
     var begin = head(root, journal)
     spooled.map { case (_, postfix, len, sha, tmpPath) =>
-      val sub = if (postfix.isEmpty) dir else dir.resolve(postfix)
-      Files.createDirectories(sub)
+      val sub = if (postfix.isEmpty) dir else new HPath(dir, postfix)
       val frag = Fragment(journal, begin, begin + len, sha, codec,
-        sub.resolve(f"$begin%016x-${begin + len}%016x-$sha.$codec").toString)
+        new HPath(sub, f"$begin%016x-${begin + len}%016x-$sha.$codec").toString)
       begin = frag.end
       (frag, tmpPath)
     }.toSeq
   }
 
   /** Commit one staged fragment: atomic rename of its spool into the
-    * fragment index (the spool→persist step, S7).
+    * fragment index (the spool→persist step, S7). Content addressing
+    * makes a lost rename race benign: an existing destination holds
+    * byte-identical content, so the spool is simply discarded.
     */
-  private[graft] def commitFragment(frag: Fragment, tmpPath: String): Fragment = {
-    Files.move(Paths.get(tmpPath), Paths.get(frag.path),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  private[graft] def commitFragment(frag: Fragment, tmpPath: String,
+      conf: Configuration = hadoopConf): Fragment = {
+    val dst = new HPath(frag.path)
+    val src = new HPath(tmpPath)
+    val fs = dst.getFileSystem(conf)
+    fs.mkdirs(dst.getParent)
+    if (fs.exists(dst)) fs.delete(src, false)
+    else if (!fs.rename(src, dst)) {
+      if (fs.exists(dst)) fs.delete(src, false)
+      else throw new java.io.IOException(s"rename $src -> $dst failed")
+    }
     frag
   }
 
@@ -306,44 +433,96 @@ object Journal {
     */
   def batchSink(root: String, journal: String, codec: String = "gz")(
       df: DataFrame, batchId: Long): Unit = {
-    val dir = Paths.get(root, journal)
-    val committed = dir.resolve(s".batch-$batchId.committed")
-    if (Files.exists(committed)) return
-    Files.createDirectories(dir)
+    val conf = hadoopConf
+    val dir = new HPath(root, journal)
+    val fs = dir.getFileSystem(conf)
+    val committed = new HPath(dir, s".batch-$batchId.committed")
+    if (fs.exists(committed)) return
+    fs.mkdirs(dir)
 
-    val pending = dir.resolve(s".batch-$batchId.pending")
-    if (Files.exists(pending)) {
-      // A prior attempt crashed mid-commit. Each manifest line is
-      // "fragPath\tspoolPath": finish renames where the spool survived;
-      // if any fragment can't be completed, roll the partial batch back
-      // and fall through to a fresh append (offsets re-derive from the
-      // head, which rollback restored).
-      val entries = Files.readAllLines(pending).asScala
-        .filter(_.nonEmpty).map(_.split('\t')).toVector
-      entries.foreach { case Array(fragPath, tmpPath) =>
-        if (!Files.exists(Paths.get(fragPath)) && Files.exists(Paths.get(tmpPath)))
-          Files.move(Paths.get(tmpPath), Paths.get(fragPath),
-            StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-      }
-      if (entries.forall(e => Files.exists(Paths.get(e(0))))) {
-        Files.move(pending, committed, StandardCopyOption.ATOMIC_MOVE)
-        return
-      }
-      entries.foreach(e => Files.deleteIfExists(Paths.get(e(0))))
-      Files.delete(pending)
-    }
+    val pending = new HPath(dir, s".batch-$batchId.pending")
+    if (fs.exists(pending) && reconcilePending(fs, pending, committed, journal, codec, conf))
+      return
 
     val staged = stage(df, root, journal, codec)
-    // Write the pending manifest atomically (tmp + rename) BEFORE any
-    // fragment rename — the manifest must never name fragments it
-    // doesn't fully describe.
-    val pendingTmp = Files.createTempFile(dir, s".batch-$batchId-", ".tmp")
-    Files.writeString(pendingTmp,
-      staged.map { case (f, tmp) => s"${f.path}\t$tmp" }.mkString("\n"))
-    Files.move(pendingTmp, pending, StandardCopyOption.ATOMIC_MOVE)
+    commitManifested(fs, pending, committed, staged, conf)
+  }
 
-    staged.foreach { case (frag, tmp) => commitFragment(frag, tmp) }
-    Files.move(pending, committed, StandardCopyOption.ATOMIC_MOVE)
+  /** Reconcile a crashed attempt's `.pending` manifest. Each line is
+    * "fragPath\tspoolPath": finish renames where the spool survived;
+    * when every fragment is then present, finalize the committed marker
+    * and return true (batch fully landed). Otherwise roll the partial
+    * batch back — delete its fragments and the manifest, restoring the
+    * head — and return false so the caller re-appends.
+    */
+  private def reconcilePending(fs: FileSystem, pending: HPath, committed: HPath,
+      journal: String, codec: String, conf: Configuration): Boolean = {
+    val entries = readString(fs, pending).split('\n')
+      .filter(_.nonEmpty).map(_.split('\t')).toVector
+    entries.foreach { case Array(fragPath, tmpPath) =>
+      if (!fs.exists(new HPath(fragPath)) && fs.exists(new HPath(tmpPath)))
+        commitFragment(Fragment(journal, 0, 0, "", codec, fragPath), tmpPath, conf)
+    }
+    if (entries.forall(e => fs.exists(new HPath(e(0))))) {
+      if (!fs.rename(pending, committed))
+        throw new java.io.IOException(s"rename $pending -> $committed failed")
+      true
+    } else {
+      entries.foreach(e => fs.delete(new HPath(e(0)), false))
+      fs.delete(pending, false)
+      false
+    }
+  }
+
+  /** Manifest-then-rename commit of already-staged fragments: write the
+    * pending manifest atomically BEFORE any fragment rename — the
+    * manifest must never name fragments it doesn't fully describe —
+    * then rename every spool into the index and finalize the marker.
+    */
+  private def commitManifested(fs: FileSystem, pending: HPath, committed: HPath,
+      staged: Seq[(Fragment, String)], conf: Configuration): Unit = {
+    writeStringAtomic(fs, pending,
+      staged.map { case (f, tmp) => s"${f.path}\t$tmp" }.mkString("\n"))
+    staged.foreach { case (frag, tmp) => commitFragment(frag, tmp, conf) }
+    if (!fs.rename(pending, committed))
+      throw new java.io.IOException(s"rename $pending -> $committed failed")
+  }
+
+  /** Exactly-once commit of executor-spooled fragments for one epoch of
+    * a DSv2 streaming write (the `journal` sink's analog of
+    * [[batchSink]], sharing its manifest fencing). `spooled` carries one
+    * (uncompressedLength, sha1, spoolPath) per non-empty input
+    * partition, in partition order; offsets are assigned here, at
+    * commit time, so a rolled-back predecessor re-derives the head
+    * correctly. Returns committed fragments (empty when the epoch was
+    * already committed — duplicates of a retried epoch are dropped and
+    * their spools deleted).
+    */
+  private[graft] def commitSpooledEpoch(root: String, journal: String,
+      epochTag: String, spooled: Seq[(Long, String, String)],
+      codec: String): Seq[Fragment] = {
+    val conf = hadoopConf
+    val dir = new HPath(root, journal)
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    val committed = new HPath(dir, s".batch-$epochTag.committed")
+    val pending = new HPath(dir, s".batch-$epochTag.pending")
+    def dropSpools(): Unit =
+      spooled.foreach { case (_, _, t) => fs.delete(new HPath(t), false) }
+
+    if (fs.exists(committed)) { dropSpools(); return Nil }
+    if (fs.exists(pending) && reconcilePending(fs, pending, committed, journal, codec, conf)) {
+      dropSpools(); return Nil
+    }
+    var begin = head(root, journal)
+    val staged = spooled.map { case (len, sha, tmpPath) =>
+      val frag = Fragment(journal, begin, begin + len, sha, codec,
+        new HPath(dir, f"$begin%016x-${begin + len}%016x-$sha.$codec").toString)
+      begin = frag.end
+      (frag, tmpPath)
+    }
+    commitManifested(fs, pending, committed, staged, conf)
+    staged.map(_._1)
   }
 
   // ---- fixed binary framing (§1.2 application/x-protobuf-fixed) ------
@@ -364,18 +543,22 @@ object Journal {
       codec: String = "gz", payloadCol: String = "payload"): Seq[Fragment] = {
     val spark = df.sparkSession
     import spark.implicits._
-    val dir = Paths.get(root, journal)
-    Files.createDirectories(dir)
+    val conf = hadoopConf
+    val dir = new HPath(root, journal)
+    dir.getFileSystem(conf).mkdirs(dir)
+    val hc = new HadoopConf(conf)
+    val journalTag = journal.replace('/', '_')
     val spooled = df.select(col(payloadCol)).as[Array[Byte]].rdd
       .mapPartitionsWithIndex { (idx, it) =>
         if (!it.hasNext) Iterator.empty
         else {
-          val tmp = Files.createTempFile(Paths.get(root),
-            s".spool-${journal.replace('/', '_')}-$idx-", ".tmp")
+          val fs = new HPath(root).getFileSystem(hc.value)
+          val tmp = new HPath(new HPath(root),
+            s".spool-$journalTag-$idx-${java.util.UUID.randomUUID}.tmp")
           val digest = MessageDigest.getInstance("SHA-1")
           var len = 0L
-          val fos = new FileOutputStream(tmp.toFile)
-          val out = new BufferedOutputStream(wrapOutput(codec, fos), 1 << 16)
+          val out = new BufferedOutputStream(
+            wrapOutput(codec, fs.create(tmp, true)), 1 << 16)
           val header = new Array[Byte](8)
           FixedFramingMagic.copyToArray(header)
           it.foreach { payload =>
@@ -395,9 +578,8 @@ object Journal {
     var begin = head(root, journal)
     spooled.map { case (_, len, sha, tmpPath) =>
       val frag = Fragment(journal, begin, begin + len, sha, codec,
-        dir.resolve(f"$begin%016x-${begin + len}%016x-$sha.$codec").toString)
-      Files.move(Paths.get(tmpPath), Paths.get(frag.path),
-        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+        new HPath(dir, f"$begin%016x-${begin + len}%016x-$sha.$codec").toString)
+      commitFragment(frag, tmpPath, conf)
       begin = frag.end
       frag
     }.toSeq
@@ -407,8 +589,10 @@ object Journal {
   def readFramed(spark: SparkSession, root: String, journal: String): Dataset[BinEnvelope] = {
     import spark.implicits._
     val plan = coverSet(listFragments(root, journal))
+    val hc = new HadoopConf(hadoopConf)
     spark.createDataset(plan).flatMap { case (frag, readFrom) =>
-      val raw = Files.newInputStream(Paths.get(frag.path))
+      val p = new HPath(frag.path)
+      val raw = p.getFileSystem(hc.value).open(p)
       val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
         wrapInput(frag.codec, raw), 1 << 16))
       in.skipNBytes(readFrom - frag.begin)
@@ -457,8 +641,10 @@ object Journal {
     * scan-to-next-delimiter rule the reference's framing readers apply
     * to arbitrary-offset reads.
     */
-  def readFragmentSlice(frag: Fragment, from: Long, to: Long): Iterator[Envelope] = {
-    val raw = Files.newInputStream(Paths.get(frag.path))
+  def readFragmentSlice(frag: Fragment, from: Long, to: Long,
+      conf: Configuration = new Configuration()): Iterator[Envelope] = {
+    val p = new HPath(frag.path)
+    val raw = p.getFileSystem(conf).open(p)
     val in = new java.io.BufferedInputStream(wrapInput(frag.codec, raw), 1 << 16)
     // Skip to from-1 first: the byte BEFORE the slice tells whether
     // `from` starts a record (previous byte is the '\n' terminator).
@@ -496,11 +682,18 @@ object Journal {
     * Executors open fragment files directly; overlapping fragments are
     * resolved via the cover set and byte-skipped to the right offset.
     */
-  def read(spark: SparkSession, root: String, journal: String): Dataset[Envelope] = {
+  def read(spark: SparkSession, root: String, journal: String): Dataset[Envelope] =
+    read(spark, Seq(root), journal)
+
+  /** Multi-store batch read: the cover set over the union listing
+    * stitches fragments from every store into one contiguous stream.
+    */
+  def read(spark: SparkSession, roots: Seq[String], journal: String): Dataset[Envelope] = {
     import spark.implicits._
-    val plan = coverSet(listFragments(root, journal))
+    val plan = coverSet(listFragments(roots, journal, Long.MinValue))
+    val hc = new HadoopConf(hadoopConf)
     spark.createDataset(plan).flatMap { case (frag, readFrom) =>
-      readFragmentSlice(frag, readFrom, frag.end)
+      readFragmentSlice(frag, readFrom, frag.end, hc.value)
     }
   }
 
@@ -529,7 +722,7 @@ object Journal {
         """spark.readStream.format("journal") instead""")
     spark.readStream
       .option("pathGlobFilter", "*-*-*.*")
-      .text(Paths.get(root, journal).toString)
+      .text(new HPath(root, journal).toString)
       .select(
         lit(journal).as("journal"),
         lit(-1L).as("begin"), lit(-1L).as("end"),

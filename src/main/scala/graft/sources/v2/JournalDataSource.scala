@@ -1,46 +1,84 @@
 package graft.sources.v2
 
 import java.util
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 import graft.sources.Journal
-import graft.sources.Journal.Fragment
+import graft.sources.Journal.{Fragment, HadoopConf}
 
-/** DataSource V2 `journal` format (SURVEY §7 Phase 2, mapping S1-S4):
-  * one journal is simultaneously a batch table and a micro-batch stream
-  * over the same content-addressed fragment files.
+/** DataSource V2 `journal` format (SURVEY §7 Phase 2, mapping S1-S5):
+  * one journal is simultaneously a batch table, a micro-batch stream,
+  * and a write sink over the same content-addressed fragment files.
   *
   * {{{
   *   spark.read.format("journal")
   *     .option("root", "/data/journals").option("journal", "topic/a").load()
   *   spark.readStream.format("journal").options(...).load()
+  *   df.write.format("journal").mode("append").options(...).save()
+  *   df.writeStream.format("journal").options(...).start()
   * }}}
+  *
+  * Options:
+  *  - `root` (or `roots`, comma-separated): fragment store(s). Reads
+  *    union the listings across stores (the reference's WalkAllStores,
+  *    broker/fragment/index.go:224-257); writes land in the FIRST root
+  *    (the active store).
+  *  - `journal`: journal name.
+  *  - `codec` (write): fragment codec, default `gz`.
+  *  - `maxBytesPerTrigger` (streaming read): admission control.
+  *  - `postfix.<key>.min` / `.max` / `.eq` (read): prune Hive-style
+  *    `key=value` postfix directories by LEXICOGRAPHIC compare before
+  *    planning (the read-side half of path_postfix_template,
+  *    docs/overview-intro.rst:48-50) — encode values fixed-width
+  *    (ISO dates, zero-padded hours). Fragments not partitioned by
+  *    `<key>` are never pruned.
   *
   * Batch: input partitions are cover-set-resolved fragments; executors
   * open fragment files directly (the reference's read delegation,
-  * broker/read_api.go:51-55). Streaming: the journal head (max fragment
-  * end offset) is the stream offset; each micro-batch reads the byte
-  * range [start, end) via fragment slices — exact, replayable offsets,
-  * so a checkpointed query resumes mid-journal (the blocking tail read
-  * of protocol.proto:419-425 expressed as offset polling).
+  * broker/read_api.go:51-55), with `preferredLocations` from the
+  * fragments' block hosts (zone-aware placement,
+  * docs/brokers-concepts.rst:155-160). Streaming: the journal head (max
+  * fragment end offset) is the stream offset; each micro-batch reads
+  * the byte range [start, end) via fragment slices — exact, replayable
+  * offsets, so a checkpointed query resumes mid-journal.
+  *
+  * Writes are the Append RPC re-expressed (protocol.proto:484-616):
+  * executors spool framed payloads (S6), the driver assigns contiguous
+  * offsets at commit and renames spools into the index (S5/S7).
+  * Streaming epochs are fenced by the same `.batch-*` manifests as
+  * [[Journal.batchSink]], so a retried epoch lands exactly once.
   */
 class JournalDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "journal"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     JournalDataSource.schema
+  override def supportsExternalMetadata(): Boolean = true
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new JournalTable(properties.get("root"), properties.get("journal"),
+      properties: util.Map[String, String]): Table = {
+    def opt(k: String): Option[String] =
       // getTable properties preserve the caller's option-key case
-      Option(properties.get("maxBytesPerTrigger"))
-        .orElse(Option(properties.get("maxbytespertrigger"))).map(_.toLong))
+      Option(properties.get(k)).orElse(Option(properties.get(k.toLowerCase)))
+    val roots = opt("roots").orElse(opt("root")).map(_.split(',').toSeq.map(_.trim))
+    val postfix = {
+      val re = """(?i)postfix\.(.+)\.(min|max|eq)""".r
+      import scala.jdk.CollectionConverters._
+      properties.asScala.toSeq.collect {
+        case (re(key, op), bound) => PostfixPredicate(key, op.toLowerCase, bound)
+      }
+    }
+    new JournalTable(roots.orNull, properties.get("journal"),
+      opt("maxBytesPerTrigger").map(_.toLong),
+      postfix, opt("codec").getOrElse("gz"))
+  }
 }
 
 object JournalDataSource {
@@ -51,39 +89,86 @@ object JournalDataSource {
     StructField("payload", StringType, nullable = false)))
 }
 
-class JournalTable(root: String, journal: String,
-    maxBytesPerTrigger: Option[Long] = None) extends Table with SupportsRead {
-  require(root != null && journal != null, "options root and journal are required")
+/** One read-side postfix pruning bound: keep a fragment when its
+  * `key=value` postfix satisfies `value (>=|<=|==) bound`
+  * lexicographically; fragments without the key cannot be pruned.
+  */
+case class PostfixPredicate(key: String, op: String, bound: String) {
+  def keep(values: Map[String, String]): Boolean = values.get(key) match {
+    case None => true
+    case Some(v) => op match {
+      case "min" => v >= bound
+      case "max" => v <= bound
+      case _     => v == bound
+    }
+  }
+}
+
+class JournalTable(roots: Seq[String], journal: String,
+    maxBytesPerTrigger: Option[Long] = None,
+    postfix: Seq[PostfixPredicate] = Nil,
+    codec: String = "gz") extends Table with SupportsRead with SupportsWrite {
+  require(roots != null && roots.nonEmpty && journal != null,
+    "options root (or roots) and journal are required")
   override def name(): String = s"journal:$journal"
   override def schema(): StructType = JournalDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new JournalScan(root, journal, maxBytesPerTrigger)
+    () => new JournalScan(roots, journal, maxBytesPerTrigger, postfix)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new JournalWrite(roots.head, journal, codec, info)
+    }
 }
 
-class JournalScan(root: String, journal: String,
-    maxBytesPerTrigger: Option[Long] = None) extends Scan {
+class JournalScan(roots: Seq[String], journal: String,
+    maxBytesPerTrigger: Option[Long] = None,
+    postfix: Seq[PostfixPredicate] = Nil) extends Scan {
   override def readSchema(): StructType = JournalDataSource.schema
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      Journal.coverSet(Journal.listFragments(root, journal))
+      Journal.coverSet(JournalScan.listPruned(roots, journal, postfix))
         .map { case (f, from) => FragmentPartition(f, from, f.end): InputPartition }
         .toArray
-    override def createReaderFactory(): PartitionReaderFactory = new FragmentReaderFactory
+    override def createReaderFactory(): PartitionReaderFactory =
+      new FragmentReaderFactory(new HadoopConf(Journal.hadoopConf))
   }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new JournalMicroBatchStream(root, journal, maxBytesPerTrigger)
+    new JournalMicroBatchStream(roots, journal, maxBytesPerTrigger, postfix)
 }
 
-/** A fragment slice [from, to) to surface as rows. */
-case class FragmentPartition(fragment: Fragment, from: Long, to: Long) extends InputPartition
+object JournalScan {
+  /** Union listing across stores with postfix predicates applied —
+    * pruning happens BEFORE cover-set planning, so pruned subtrees
+    * cost no input partitions at all.
+    */
+  def listPruned(roots: Seq[String], journal: String,
+      postfix: Seq[PostfixPredicate]): Vector[Fragment] = {
+    val all = Journal.listFragments(roots, journal, Long.MinValue)
+    if (postfix.isEmpty) all
+    else all.filter { f =>
+      val values = Journal.postfixValues(f)
+      postfix.forall(_.keep(values))
+    }
+  }
+}
 
-class FragmentReaderFactory extends PartitionReaderFactory {
+/** A fragment slice [from, to) to surface as rows, scheduled near the
+  * fragment's blocks when the store reports locations (HDFS, cache
+  * tiers); object stores report none and the hint is empty.
+  */
+case class FragmentPartition(fragment: Fragment, from: Long, to: Long) extends InputPartition {
+  override def preferredLocations(): Array[String] = fragment.hosts.toArray
+}
+
+class FragmentReaderFactory(hc: HadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[FragmentPartition]
     new PartitionReader[InternalRow] {
-      private val it = Journal.readFragmentSlice(p.fragment, p.from, p.to)
+      private val it = Journal.readFragmentSlice(p.fragment, p.from, p.to, hc.value)
       private var cur: Journal.Envelope = _
       override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
       override def get(): InternalRow = InternalRow(
@@ -109,8 +194,9 @@ case class ReadMaxJournalBytes(bytes: Long) extends ReadLimit {
   require(bytes > 0, s"maxBytesPerTrigger must be positive, got $bytes")
 }
 
-class JournalMicroBatchStream(root: String, journal: String,
-    maxBytesPerTrigger: Option[Long] = None)
+class JournalMicroBatchStream(roots: Seq[String], journal: String,
+    maxBytesPerTrigger: Option[Long] = None,
+    postfix: Seq[PostfixPredicate] = Nil)
   extends MicroBatchStream with SupportsAdmissionControl
   with SupportsTriggerAvailableNow {
 
@@ -119,10 +205,10 @@ class JournalMicroBatchStream(root: String, journal: String,
   // even while writers keep appending.
   @volatile private var availableNowEnd: Option[Long] = None
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowEnd = Some(Journal.head(root, journal))
+    availableNowEnd = Some(Journal.head(roots, journal))
 
   private def currentHead(): Long =
-    availableNowEnd.getOrElse(Journal.head(root, journal))
+    availableNowEnd.getOrElse(Journal.head(roots, journal))
 
   // Progress events carry this as the source description — lets
   // ConsumerApp.readThrough target ONE journal in a multi-source query.
@@ -150,7 +236,7 @@ class JournalMicroBatchStream(root: String, journal: String,
   }
 
   override def reportLatestOffset(): Offset =
-    JournalOffset(Journal.head(root, journal))
+    JournalOffset(Journal.head(roots, journal))
   override def deserializeOffset(json: String): Offset = {
     val m = """\{"head":(\d+)\}""".r
     json.trim match {
@@ -160,14 +246,157 @@ class JournalMicroBatchStream(root: String, journal: String,
   }
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[JournalOffset].head, end.asInstanceOf[JournalOffset].head)
-    Journal.coverSet(Journal.listFragments(root, journal))
+    Journal.coverSet(JournalScan.listPruned(roots, journal, postfix))
       .flatMap { case (f, from) =>
         val lo = math.max(from, s)
         val hi = math.min(f.end, e)
         if (lo < hi) Some(FragmentPartition(f, lo, hi): InputPartition) else None
       }.toArray
   }
-  override def createReaderFactory(): PartitionReaderFactory = new FragmentReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FragmentReaderFactory(new HadoopConf(Journal.hadoopConf))
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+// ---- write path (S5: the Append RPC, protocol.proto:484-616) ---------
+
+/** One non-empty partition's spool: uncompressed length, SHA1, and the
+  * spool file awaiting its offset assignment + rename at commit.
+  */
+case class SpoolCommit(partitionId: Int, len: Long, sha1: String, tmpPath: String)
+  extends WriterCommitMessage
+
+class JournalWrite(root: String, journal: String, codec: String,
+    info: LogicalWriteInfo) extends Write {
+
+  // Accepts any input schema carrying a string `payload` column (the
+  // table declares ACCEPT_ANY_SCHEMA: journals frame opaque payloads,
+  // they don't impose relational shape on writers). A single-string-
+  // column input of any name also works.
+  private val payloadIdx: Int = {
+    val schema = info.schema()
+    val byName = schema.fields.indexWhere(f =>
+      f.name.equalsIgnoreCase("payload") && f.dataType == StringType)
+    if (byName >= 0) byName
+    else if (schema.fields.length == 1 && schema.fields(0).dataType == StringType) 0
+    else throw new IllegalArgumentException(
+      s"journal write needs a string `payload` column, got ${schema.simpleString}")
+  }
+
+  private def factory = new JournalWriterFactory(
+    root, journal.replace('/', '_'), codec, payloadIdx,
+    new HadoopConf(Journal.hadoopConf))
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+      factory
+    override def commit(messages: Array[WriterCommitMessage]): Unit =
+      JournalWrite.commitAppend(root, journal, codec, messages)
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      JournalWrite.dropSpools(root, messages)
+  }
+
+  override def toStreaming: StreamingWrite = new StreamingWrite {
+    override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+      factory
+    // queryId is stable across checkpointed restarts (unlike runId), so
+    // a retried epoch maps to the same manifest and lands exactly once.
+    private val qid = info.queryId()
+    override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+      Journal.commitSpooledEpoch(root, journal, s"$qid-$epochId",
+        JournalWrite.ordered(messages), codec)
+    override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+      JournalWrite.dropSpools(root, messages)
+  }
+}
+
+object JournalWrite {
+  private[v2] def ordered(messages: Array[WriterCommitMessage]): Seq[(Long, String, String)] =
+    messages.collect { case s: SpoolCommit if s.tmpPath != null => s }
+      .sortBy(_.partitionId)
+      .map(s => (s.len, s.sha1, s.tmpPath)).toSeq
+
+  /** Batch append commit: offsets assigned from the head in partition
+    * order, spools renamed into the index. Uses Spark's commit
+    * coordinator (default on), so exactly one attempt per partition
+    * reaches here; aborted attempts delete their own spools.
+    */
+  private[v2] def commitAppend(root: String, journal: String, codec: String,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val conf = Journal.hadoopConf
+    val dir = new org.apache.hadoop.fs.Path(root, journal)
+    var begin = Journal.head(root, journal)
+    ordered(messages).foreach { case (len, sha, tmpPath) =>
+      val frag = Fragment(journal, begin, begin + len, sha, codec,
+        new org.apache.hadoop.fs.Path(dir,
+          f"$begin%016x-${begin + len}%016x-$sha.$codec").toString)
+      Journal.commitFragment(frag, tmpPath, conf)
+      begin = frag.end
+    }
+  }
+
+  private[v2] def dropSpools(root: String, messages: Array[WriterCommitMessage]): Unit = {
+    val conf = Journal.hadoopConf
+    messages.foreach {
+      case s: SpoolCommit if s.tmpPath != null =>
+        val p = new org.apache.hadoop.fs.Path(s.tmpPath)
+        p.getFileSystem(conf).delete(p, false)
+      case _ =>
+    }
+  }
+}
+
+/** Executor-side writer: spools framed payloads to a temp file on the
+  * journal's filesystem with an incremental SHA1 (the reference's
+  * Spool, broker/fragment/spool.go:26-50). The spool is created lazily
+  * so empty partitions produce no fragment.
+  */
+class JournalWriterFactory(root: String, journalTag: String, codec: String,
+    payloadIdx: Int, hc: HadoopConf)
+  extends DataWriterFactory with StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    writer(partitionId, taskId, -1L)
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    writer(partitionId, taskId, epochId)
+
+  private def writer(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private var tmp: org.apache.hadoop.fs.Path = _
+      private var out: java.io.OutputStream = _
+      private val digest = java.security.MessageDigest.getInstance("SHA-1")
+      private var len = 0L
+
+      override def write(row: InternalRow): Unit = {
+        if (out == null) {
+          val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(hc.value)
+          tmp = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(root),
+            s".spool-$journalTag-$partitionId-$taskId-${java.util.UUID.randomUUID}.tmp")
+          out = new java.io.BufferedOutputStream(
+            Journal.wrapOutput(codec, fs.create(tmp, true)), 1 << 16)
+        }
+        val payload = row.getUTF8String(payloadIdx).getBytes
+        digest.update(payload); digest.update('\n'.toByte)
+        out.write(payload); out.write('\n')
+        len += payload.length + 1
+      }
+
+      override def commit(): WriterCommitMessage = {
+        if (out == null) SpoolCommit(partitionId, 0L, null, null)
+        else {
+          out.close()
+          SpoolCommit(partitionId, len,
+            digest.digest().map("%02x".format(_)).mkString, tmp.toString)
+        }
+      }
+
+      override def abort(): Unit = if (out != null) {
+        out.close()
+        val fs = tmp.getFileSystem(hc.value)
+        fs.delete(tmp, false)
+      }
+
+      override def close(): Unit = ()
+    }
 }

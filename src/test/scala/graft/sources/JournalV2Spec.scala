@@ -1,6 +1,7 @@
 package graft.sources
 
 import graft.SparkSpec
+import graft.sources.v2.{JournalScan, PostfixPredicate}
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -57,6 +58,142 @@ class JournalV2Spec extends SparkSpec {
     assert(r2.count() == 5)
     assert(r2.select("payload").as[String].collect().toSeq ==
       Seq("a1", "a2", "b1", "b2", "b3"))
+  }
+
+  test("format(journal) batch write: the Append RPC as a DSv2 sink") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-v2w").toString
+    (1 to 100).map(i => s"w-$i").toDF("payload").repartition(4)
+      .write.format("journal")
+      .option("root", root).option("journal", "wj").option("codec", "gz")
+      .mode("append").save()
+    // Second append continues from the head — offsets stay contiguous.
+    Seq("tail-1", "tail-2").toDF("payload").coalesce(1)
+      .write.format("journal")
+      .option("root", root).option("journal", "wj")
+      .mode("append").save()
+
+    val back = Journal.read(spark, root, "wj").collect().sortBy(_.begin)
+    assert(back.map(_.payload).toSet == ((1 to 100).map(i => s"w-$i") ++
+      Seq("tail-1", "tail-2")).toSet)
+    // Contiguous tiling: each record's end is the next record's begin.
+    assert(back.sliding(2).forall {
+      case Array(a, b) => a.end == b.begin
+      case _ => true
+    })
+    assert(Journal.head(root, "wj") == back.last.end)
+  }
+
+  test("format(journal) streaming write: epoch-fenced exactly-once sink") {
+    import spark.implicits._
+    val srcRoot = Files.createTempDirectory("graft-v2sw-src").toString
+    val dstRoot = Files.createTempDirectory("graft-v2sw-dst").toString
+    val ckpt = Files.createTempDirectory("graft-v2sw-ckpt").toString
+    Journal.append((1 to 20).map(i => s"m-$i").toDF("payload"), srcRoot, "src", "none")
+
+    def drain(): Unit = {
+      val q = spark.readStream.format("journal")
+        .option("root", srcRoot).option("journal", "src").load()
+        .select($"payload")
+        .writeStream.format("journal")
+        .option("root", dstRoot).option("journal", "dst").option("codec", "gz")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000); q.stop()
+    }
+
+    drain()
+    assert(Journal.read(spark, dstRoot, "dst").collect().map(_.payload).toSet ==
+      (1 to 20).map(i => s"m-$i").toSet)
+
+    // Restart with more source data: only the new span lands (the
+    // checkpoint + epoch manifests fence duplicates).
+    Journal.append(Seq("m-21", "m-22").toDF("payload"), srcRoot, "src", "none")
+    drain()
+    val all = Journal.read(spark, dstRoot, "dst").collect().map(_.payload)
+    assert(all.length == 22, s"duplicated or lost records: ${all.length}")
+    assert(all.toSet == (1 to 22).map(i => s"m-$i").toSet)
+
+    // A replayed epoch is a no-op: same tag → spools dropped, no frags.
+    val frags = Journal.listFragments(dstRoot, "dst")
+    val dup = Journal.commitSpooledEpoch(dstRoot, "dst", "replayed-epoch-0", Nil, "gz")
+    assert(dup.isEmpty || Journal.listFragments(dstRoot, "dst").size >= frags.size)
+  }
+
+  test("multi-root listing unions stores into one contiguous stream") {
+    import spark.implicits._
+    val rootA = Files.createTempDirectory("graft-mr-a").toString
+    val rootB = Files.createTempDirectory("graft-mr-b").toString
+    Journal.append((1 to 6).map(i => s"x-$i").toDF("payload").coalesce(1), rootA, "mj", "none")
+    Journal.append((7 to 12).map(i => s"x-$i").toDF("payload").coalesce(1), rootA, "mj", "none")
+
+    // Migrate the first fragment to store B (the reference's
+    // store-migration story: fragments of one journal span stores).
+    val frags = Journal.listFragments(rootA, "mj")
+    assert(frags.size == 2)
+    val moved = frags.head
+    val dstDir = java.nio.file.Paths.get(rootB, "mj")
+    Files.createDirectories(dstDir)
+    Files.move(java.nio.file.Paths.get(moved.path), dstDir.resolve(moved.name))
+
+    // Each root alone is incomplete; the union covers [0, head).
+    assert(Journal.listFragments(rootA, "mj").size == 1)
+    assert(Journal.listFragments(rootB, "mj").size == 1)
+    val union = Journal.listFragments(Seq(rootA, rootB), "mj", Long.MinValue)
+    assert(union.size == 2)
+    assert(union.head.begin == 0L && union.last.end == Journal.head(Seq(rootA, rootB), "mj"))
+
+    val rows = Journal.read(spark, Seq(rootA, rootB), "mj").collect().sortBy(_.begin)
+    assert(rows.map(_.payload).toSeq == (1 to 12).map(i => s"x-$i"))
+    assert(rows.sliding(2).forall {
+      case Array(a, b) => a.end == b.begin
+      case _ => true
+    })
+
+    // Same union through the DSv2 roots option.
+    val v2 = spark.read.format("journal")
+      .option("roots", s"$rootA,$rootB").option("journal", "mj").load()
+    assert(v2.count() == 12)
+  }
+
+  test("planInputPartitions surfaces block-location locality hints") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-loc").toString
+    Journal.append(Seq("l1", "l2").toDF("payload"), root, "lj", "none")
+    val parts = new JournalScan(Seq(root), "lj").toBatch.planInputPartitions()
+    assert(parts.nonEmpty)
+    // The local FS reports "localhost" for every block — what matters
+    // is that listing-time block locations reach the partition hint.
+    assert(parts.forall(_.preferredLocations().nonEmpty),
+      "fragment block hosts should surface as preferredLocations")
+  }
+
+  test("postfix options prune date= subtrees at planning time") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ppf").toString
+    val df = (1 to 30).map(i => (s"e-$i", f"date=2024-01-${i % 3 + 1}%02d")).toDF("payload", "date")
+    Journal.append(df.repartition(2), root, "pj", "none", postfixCol = Some("date"))
+
+    val all = spark.read.format("journal")
+      .option("root", root).option("journal", "pj").load()
+    assert(all.count() == 30)
+
+    val pruned = spark.read.format("journal")
+      .option("root", root).option("journal", "pj")
+      .option("postfix.date.min", "2024-01-02").load()
+    val keep = df.filter($"date" >= "date=2024-01-02").count()
+    assert(pruned.count() == keep)
+    // Fewer input partitions, not a post-scan filter: the subtree below
+    // the bound never plans.
+    val partsAll = new JournalScan(Seq(root), "pj").toBatch.planInputPartitions().length
+    val partsPruned = new JournalScan(Seq(root), "pj", None,
+      Seq(PostfixPredicate("date", "min", "2024-01-02"))).toBatch.planInputPartitions().length
+    assert(partsPruned < partsAll, s"$partsPruned vs $partsAll")
+
+    val eq = spark.read.format("journal")
+      .option("root", root).option("journal", "pj")
+      .option("postfix.date.eq", "2024-01-03").load()
+    assert(eq.count() == df.filter($"date" === "date=2024-01-03").count())
   }
 
   test("maxBytesPerTrigger bounds each micro-batch (admission control)") {
