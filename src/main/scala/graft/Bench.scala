@@ -61,15 +61,27 @@ object Bench {
           catch { case _: Throwable => false }
         (ok, (System.nanoTime() - t0) / 1e9)
       }
+      // Broadcast variables created inside operators (centroid tables,
+      // probe sides) are unreferenced once the rep's DataFrame dies;
+      // nudge the ContextCleaner so their blocks don't accumulate into
+      // later queries' memory (a contended recording session otherwise
+      // shows phantom regressions in the broadcast-heavy block).
+      System.gc()
       // A failed rep finishes fast; its elapsed must not masquerade as
       // the query's steady-state min. All-failed keeps the worst time.
       val good = timed.filter(_._1).map(_._2)
-      name -> (if (good.nonEmpty) good.min else timed.map(_._2).max)
+      val best = if (good.nonEmpty) good.min else timed.map(_._2).max
+      (name, best, timed.map(_._2))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    // Per-rep times make recorder contention visible: a healthy run has
+    // rep2 <= rep1 per query; a noisy host shows erratic spreads.
+    val rs = results.map { case (k, _, ts) =>
+      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

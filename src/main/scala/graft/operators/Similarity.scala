@@ -141,6 +141,43 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** Embedding near-duplicate pairs at corpus scale: banded sign-LSH
+    * candidate generation + exact cosine verification — the structure
+    * of [[Dedup.minhashLshPairs]] with hyperplane buckets instead of
+    * minhash bands.
+    *
+    * Each band hashes every vector with its own `planesPerBand` seeded
+    * hyperplanes; candidates are pairs sharing a (band, bucket) slot in
+    * ANY band (recall for pairs at cosine c: 1-(1-p^planes)^bands with
+    * p = 1-acos(c)/π). Shape at 100 TB: one narrow (band, bucket,
+    * vec_id) shuffle for the self-join — embeddings do NOT ride through
+    * the candidate exchange — then two id-keyed joins fetch vectors for
+    * verification of the (deduplicated) candidate set only. No
+    * driver-side collect, no all-pairs scan; [[cosinePairs]] remains
+    * the broadcast-scale exactness baseline.
+    */
+  def lshNearDupPairs(corpus: DataFrame, threshold: Double,
+      bands: Int = 8, planesPerBand: Int = 4, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val bb = array((0 until bands).map { bi =>
+      val planes = hyperplanes(planesPerBand, dim, seed + bi)
+      struct(lit(bi).as("band"), lshBucket(col("embedding"), planes).as("bucket"))
+    }: _*)
+    val bucketed = corpus.select(col("vec_id"), explode(bb).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"), col("vec_id"))
+    val cand = bucketed.as("l").join(bucketed.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("va"), col("r.vec_id").as("vb"))
+      .distinct()
+    val e = corpus.select(col("vec_id"), col("embedding"))
+    cand
+      .join(e.select(col("vec_id").as("va"), col("embedding").as("ea")), "va")
+      .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb")), "vb")
+      .select(col("va"), col("vb"), round(cosineUdf(col("ea"), col("eb")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** ANN top-k within LSH bucket: corpus and probes are bucketed by the
     * same planes; candidates are bucket-equal pairs. Shuffle is a hash
     * join on the bucket id.

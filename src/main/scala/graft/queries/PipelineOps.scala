@@ -190,12 +190,15 @@ object PipelineOps {
         .select($"probe_id", $"vec_id", $"adc", $"rank")
     },
 
-    // ---- q37: embedding-cosine near-dup pairs (exact; the corpus is
-    // random so the demo threshold is 0.4 — production near-dup uses
-    // ~0.95 and the LSH-candidate path described on cosinePairs).
+    // ---- q37: embedding-cosine near-dup pairs, in the shape that
+    // survives 100 TB: banded sign-LSH candidates + exact cosine
+    // verification — no driver collect, no all-pairs scan. The corpus
+    // is random so the demo threshold is 0.4 (8 bands × 4 planes ⇒
+    // ~75% recall there; production near-dup at ~0.95 recalls >0.999).
+    // cosinePairs stays as the spec-level exactness baseline.
     "q37_embedding_neardup" -> { (s, d) =>
       import s.implicits._
-      Similarity.cosinePairs(Tables.embeddings(s, d), 0.4)
+      Similarity.lshNearDupPairs(Tables.embeddings(s, d), 0.4)
     },
 
     // ---- q29: embedding norms aggregated per label.
@@ -284,6 +287,33 @@ object PipelineOps {
        |               c.vec_id ASC) AS rank
        |  FROM p JOIN b c ON p.bucket = c.bucket AND c.vec_id <> p.probe_id) t
        |WHERE rank <= 5""".stripMargin
+  }
+
+  /** q37 oracle: the banded sign-LSH near-dup pipeline in SQL — per-band
+    * bucket ids from the SAME seeded hyperplanes as
+    * [[Similarity.lshNearDupPairs]] (double literals round-trip
+    * exactly), distinct bucket-equal candidates, exact cosine verify.
+    */
+  private def lshNearDupOracle: String = {
+    val bands = 8
+    val planesPerBand = 4
+    def arr(p: Array[Double]) = p.mkString("[", ", ", "]")
+    val bandSelects = (0 until bands).map { bi =>
+      val planes = Similarity.hyperplanes(planesPerBand, 64, 42L + bi)
+      val bucket = planes.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN list_inner_product(v, ${arr(p)}) > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $bi AS band, $bucket AS bucket FROM e"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS ($bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT l.vec_id AS va, r.vec_id AS vb
+       |  FROM b l JOIN b r ON l.band = r.band AND l.bucket = r.bucket
+       |    AND l.vec_id < r.vec_id)
+       |SELECT va, vb, round(list_cosine_similarity(a.v, c.v), 6) AS sim
+       |FROM cand JOIN e a ON va = a.vec_id JOIN e c ON vb = c.vec_id
+       |WHERE round(list_cosine_similarity(a.v, c.v), 6) >= 0.4""".stripMargin
   }
 
   /** q38 oracle: the IVF pipeline in SQL — md5-ordered centroid sample,
@@ -460,13 +490,7 @@ object PipelineOps {
       """SELECT event_type, count(DISTINCT user_id) AS n_distinct
         |FROM events GROUP BY event_type""".stripMargin,
 
-    "q37_embedding_neardup" ->
-      """SELECT a.vec_id AS va, b.vec_id AS vb,
-        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                               CAST(b.embedding AS DOUBLE[])), 6) AS sim
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.4""".stripMargin,
+    "q37_embedding_neardup" -> lshNearDupOracle,
 
     "q29_embedding_norms" ->
       """SELECT label, count(*) AS n,

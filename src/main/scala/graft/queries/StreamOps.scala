@@ -62,7 +62,12 @@ object StreamOps {
         .repartitionByRange(par, $"ts", $"event_id")
         .sortWithinPartitions($"ts", $"event_id")
         .select(to_json(struct($"event_id", $"uuid_hex".as("uuid"))).as("payload"))
-      graft.sources.Journal.append(stamped, root, "events", codec = "gz")
+      // Native DSv2 write path (the Append RPC as a sink): executors
+      // spool, the commit assigns offsets in partition-index order —
+      // the same ordered-spool contract as Journal.append.
+      stamped.write.format("journal")
+        .option("root", root).option("journal", "events").option("codec", "gz")
+        .mode("append").save()
       val envelopes = s.read.format("journal")
         .option("root", root).option("journal", "events").load()
       graft.streaming.ReadCommitted.committedJson(envelopes,
@@ -85,7 +90,9 @@ object StreamOps {
       val payloads = Tables.events(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .select(to_json(struct(col("*"))).as("payload"))
-      Journal.append(payloads, root, "events", codec = "gz")
+      payloads.write.format("journal")
+        .option("root", root).option("journal", "events").option("codec", "gz")
+        .mode("append").save()
       Journal.read(s, root, "events").toDF()
         .select(get_json_object($"payload", "$.event_type").as("event_type"))
         .groupBy($"event_type").agg(count(lit(1)).as("n"))

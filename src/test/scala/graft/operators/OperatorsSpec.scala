@@ -117,6 +117,25 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Set((0L, 1L))) // 0~2 orthogonal, 0~3 opposite
   }
 
+  test("lshNearDupPairs: subset of exact pairs, identical sims, near-full recall up high") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = pairs(Similarity.cosinePairs(emb, 0.4))
+    val lsh = pairs(Similarity.lshNearDupPairs(emb, 0.4))
+    // Candidates are verified exactly: every LSH pair is an exact pair
+    // with the SAME similarity; banding can only lose recall.
+    assert(lsh.keySet.subsetOf(exact.keySet))
+    lsh.foreach { case (k, sim) => assert(sim == exact(k), s"pair $k") }
+    assert(lsh.nonEmpty, "vacuous: no candidate survived banding")
+    // High-similarity pairs (where near-dup matters) are recalled.
+    val hi = exact.filter(_._2 >= 0.6).keySet
+    val hiLsh = lsh.filter(_._2 >= 0.6).keySet
+    assert(hi.isEmpty || hiLsh.size * 10 >= hi.size * 9,
+      s"recall at >=0.6: ${hiLsh.size}/${hi.size}")
+  }
+
   test("langIdFast agrees with the column-form langId, incl. shared stopwords") {
     import spark.implicits._
     val d = docs(
