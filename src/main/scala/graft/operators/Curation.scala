@@ -41,6 +41,16 @@ object Curation {
     * after ~10 rounds — the classic iterative-DataFrame trap. Carrying
     * the previous label in the materialized row makes the convergence
     * check a filter-count on the cache, not a self-join.
+    *
+    * Why not Spark 4's `WITH RECURSIVE` (the DuckDB oracle's form):
+    * Spark supports only UNION ALL in the recursive member
+    * (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE, verified on 4.1.2), and
+    * without row dedup a transitive closure over a cyclic graph never
+    * terminates — avoiding revisits requires carrying the visited-path
+    * array, which enumerates simple paths and goes exponential exactly
+    * where near-dup graphs are dense (near-cliques). The driver-looped
+    * min-label propagation converges in diameter rounds regardless of
+    * density, so it stays the scale shape.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel
