@@ -159,12 +159,35 @@ object Similarity {
   def lshNearDupPairs(corpus: DataFrame, threshold: Double,
       bands: Int = 8, planesPerBand: Int = 4, dim: Int = 64,
       seed: Long = 42L): DataFrame = {
-    val bb = array((0 until bands).map { bi =>
-      val planes = hyperplanes(planesPerBand, dim, seed + bi)
-      struct(lit(bi).as("band"), lshBucket(col("embedding"), planes).as("bucket"))
-    }: _*)
-    val bucketed = corpus.select(col("vec_id"), explode(bb).as("bb"))
-      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"), col("vec_id"))
+    // All band buckets in ONE fused primitive loop per row: the column
+    // form ([[lshBucket]] per band) evaluates bands×planes interpreted
+    // aggregate(zip_with) dots per row — measured ~10× slower on this
+    // exact query. Math is identical: each dot accumulates in double in
+    // index order, as the column form's foldLeft does.
+    val planes: Array[Array[Array[Double]]] =
+      (0 until bands).map(bi => hyperplanes(planesPerBand, dim, seed + bi)).toArray
+    val bandBuckets = udf { e: Seq[Float] =>
+      val n = e.length
+      val prim = new Array[Double](n)
+      var i = 0
+      while (i < n) { prim(i) = e(i).toDouble; i += 1 }
+      planes.map { band =>
+        var bucket = 0L
+        var p = 0
+        while (p < band.length) {
+          val pl = band(p)
+          var dot = 0.0
+          var k = 0
+          while (k < n) { dot += prim(k) * pl(k); k += 1 }
+          if (dot > 0) bucket |= 1L << p
+          p += 1
+        }
+        bucket
+      }
+    }
+    val bucketed = corpus
+      .select(col("vec_id"), posexplode(bandBuckets(col("embedding"))))
+      .select(col("pos").as("band"), col("col").as("bucket"), col("vec_id"))
     val cand = bucketed.as("l").join(bucketed.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("l.vec_id") < col("r.vec_id"))

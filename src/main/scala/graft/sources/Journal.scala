@@ -491,15 +491,15 @@ object Journal {
   /** Exactly-once commit of executor-spooled fragments for one epoch of
     * a DSv2 streaming write (the `journal` sink's analog of
     * [[batchSink]], sharing its manifest fencing). `spooled` carries one
-    * (uncompressedLength, sha1, spoolPath) per non-empty input
-    * partition, in partition order; offsets are assigned here, at
-    * commit time, so a rolled-back predecessor re-derives the head
-    * correctly. Returns committed fragments (empty when the epoch was
-    * already committed — duplicates of a retried epoch are dropped and
-    * their spools deleted).
+    * (pathPostfix, uncompressedLength, sha1, spoolPath) per non-empty
+    * (partition, postfix) group, in (partition, postfix) order; offsets
+    * are assigned here, at commit time, so a rolled-back predecessor
+    * re-derives the head correctly. Returns committed fragments (empty
+    * when the epoch was already committed — duplicates of a retried
+    * epoch are dropped and their spools deleted).
     */
   private[graft] def commitSpooledEpoch(root: String, journal: String,
-      epochTag: String, spooled: Seq[(Long, String, String)],
+      epochTag: String, spooled: Seq[(String, Long, String, String)],
       codec: String): Seq[Fragment] = {
     val conf = hadoopConf
     val dir = new HPath(root, journal)
@@ -508,16 +508,17 @@ object Journal {
     val committed = new HPath(dir, s".batch-$epochTag.committed")
     val pending = new HPath(dir, s".batch-$epochTag.pending")
     def dropSpools(): Unit =
-      spooled.foreach { case (_, _, t) => fs.delete(new HPath(t), false) }
+      spooled.foreach { case (_, _, _, t) => fs.delete(new HPath(t), false) }
 
     if (fs.exists(committed)) { dropSpools(); return Nil }
     if (fs.exists(pending) && reconcilePending(fs, pending, committed, journal, codec, conf)) {
       dropSpools(); return Nil
     }
     var begin = head(root, journal)
-    val staged = spooled.map { case (len, sha, tmpPath) =>
+    val staged = spooled.map { case (postfix, len, sha, tmpPath) =>
+      val sub = if (postfix.isEmpty) dir else new HPath(dir, postfix)
       val frag = Fragment(journal, begin, begin + len, sha, codec,
-        new HPath(dir, f"$begin%016x-${begin + len}%016x-$sha.$codec").toString)
+        new HPath(sub, f"$begin%016x-${begin + len}%016x-$sha.$codec").toString)
       begin = frag.end
       (frag, tmpPath)
     }

@@ -5,8 +5,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, Write, WriteBuilder}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -259,144 +258,5 @@ class JournalMicroBatchStream(roots: Seq[String], journal: String,
   override def stop(): Unit = ()
 }
 
-// ---- write path (S5: the Append RPC, protocol.proto:484-616) ---------
-
-/** One non-empty partition's spool: uncompressed length, SHA1, and the
-  * spool file awaiting its offset assignment + rename at commit.
-  */
-case class SpoolCommit(partitionId: Int, len: Long, sha1: String, tmpPath: String)
-  extends WriterCommitMessage
-
-class JournalWrite(root: String, journal: String, codec: String,
-    info: LogicalWriteInfo) extends Write {
-
-  // Accepts any input schema carrying a string `payload` column (the
-  // table declares ACCEPT_ANY_SCHEMA: journals frame opaque payloads,
-  // they don't impose relational shape on writers). A single-string-
-  // column input of any name also works.
-  private val payloadIdx: Int = {
-    val schema = info.schema()
-    val byName = schema.fields.indexWhere(f =>
-      f.name.equalsIgnoreCase("payload") && f.dataType == StringType)
-    if (byName >= 0) byName
-    else if (schema.fields.length == 1 && schema.fields(0).dataType == StringType) 0
-    else throw new IllegalArgumentException(
-      s"journal write needs a string `payload` column, got ${schema.simpleString}")
-  }
-
-  private def factory = new JournalWriterFactory(
-    root, journal.replace('/', '_'), codec, payloadIdx,
-    new HadoopConf(Journal.hadoopConf))
-
-  override def toBatch: BatchWrite = new BatchWrite {
-    override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-      factory
-    override def commit(messages: Array[WriterCommitMessage]): Unit =
-      JournalWrite.commitAppend(root, journal, codec, messages)
-    override def abort(messages: Array[WriterCommitMessage]): Unit =
-      JournalWrite.dropSpools(root, messages)
-  }
-
-  override def toStreaming: StreamingWrite = new StreamingWrite {
-    override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-      factory
-    // queryId is stable across checkpointed restarts (unlike runId), so
-    // a retried epoch maps to the same manifest and lands exactly once.
-    private val qid = info.queryId()
-    override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-      Journal.commitSpooledEpoch(root, journal, s"$qid-$epochId",
-        JournalWrite.ordered(messages), codec)
-    override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-      JournalWrite.dropSpools(root, messages)
-  }
-}
-
-object JournalWrite {
-  private[v2] def ordered(messages: Array[WriterCommitMessage]): Seq[(Long, String, String)] =
-    messages.collect { case s: SpoolCommit if s.tmpPath != null => s }
-      .sortBy(_.partitionId)
-      .map(s => (s.len, s.sha1, s.tmpPath)).toSeq
-
-  /** Batch append commit: offsets assigned from the head in partition
-    * order, spools renamed into the index. Uses Spark's commit
-    * coordinator (default on), so exactly one attempt per partition
-    * reaches here; aborted attempts delete their own spools.
-    */
-  private[v2] def commitAppend(root: String, journal: String, codec: String,
-      messages: Array[WriterCommitMessage]): Unit = {
-    val conf = Journal.hadoopConf
-    val dir = new org.apache.hadoop.fs.Path(root, journal)
-    var begin = Journal.head(root, journal)
-    ordered(messages).foreach { case (len, sha, tmpPath) =>
-      val frag = Fragment(journal, begin, begin + len, sha, codec,
-        new org.apache.hadoop.fs.Path(dir,
-          f"$begin%016x-${begin + len}%016x-$sha.$codec").toString)
-      Journal.commitFragment(frag, tmpPath, conf)
-      begin = frag.end
-    }
-  }
-
-  private[v2] def dropSpools(root: String, messages: Array[WriterCommitMessage]): Unit = {
-    val conf = Journal.hadoopConf
-    messages.foreach {
-      case s: SpoolCommit if s.tmpPath != null =>
-        val p = new org.apache.hadoop.fs.Path(s.tmpPath)
-        p.getFileSystem(conf).delete(p, false)
-      case _ =>
-    }
-  }
-}
-
-/** Executor-side writer: spools framed payloads to a temp file on the
-  * journal's filesystem with an incremental SHA1 (the reference's
-  * Spool, broker/fragment/spool.go:26-50). The spool is created lazily
-  * so empty partitions produce no fragment.
-  */
-class JournalWriterFactory(root: String, journalTag: String, codec: String,
-    payloadIdx: Int, hc: HadoopConf)
-  extends DataWriterFactory with StreamingDataWriterFactory {
-
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    writer(partitionId, taskId, -1L)
-  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    writer(partitionId, taskId, epochId)
-
-  private def writer(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new DataWriter[InternalRow] {
-      private var tmp: org.apache.hadoop.fs.Path = _
-      private var out: java.io.OutputStream = _
-      private val digest = java.security.MessageDigest.getInstance("SHA-1")
-      private var len = 0L
-
-      override def write(row: InternalRow): Unit = {
-        if (out == null) {
-          val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(hc.value)
-          tmp = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(root),
-            s".spool-$journalTag-$partitionId-$taskId-${java.util.UUID.randomUUID}.tmp")
-          out = new java.io.BufferedOutputStream(
-            Journal.wrapOutput(codec, fs.create(tmp, true)), 1 << 16)
-        }
-        val payload = row.getUTF8String(payloadIdx).getBytes
-        digest.update(payload); digest.update('\n'.toByte)
-        out.write(payload); out.write('\n')
-        len += payload.length + 1
-      }
-
-      override def commit(): WriterCommitMessage = {
-        if (out == null) SpoolCommit(partitionId, 0L, null, null)
-        else {
-          out.close()
-          SpoolCommit(partitionId, len,
-            digest.digest().map("%02x".format(_)).mkString, tmp.toString)
-        }
-      }
-
-      override def abort(): Unit = if (out != null) {
-        out.close()
-        val fs = tmp.getFileSystem(hc.value)
-        fs.delete(tmp, false)
-      }
-
-      override def close(): Unit = ()
-    }
-}
+// The write path (S5: the Append RPC as a DSv2 sink) lives in
+// JournalWritePath.scala.

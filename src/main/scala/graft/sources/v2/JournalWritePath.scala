@@ -1,0 +1,188 @@
+package graft.sources.v2
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types._
+import graft.sources.Journal
+import graft.sources.Journal.{Fragment, HadoopConf}
+
+/** DSv2 write path for the `journal` format (S5: the Append RPC,
+  * protocol.proto:484-616, re-expressed in Spark's commit protocol).
+  *
+  * Executors spool framed payloads per (partition, postfix) with an
+  * incremental SHA1 (the reference's Spool, broker/fragment/spool.go:
+  * 26-50); the driver assigns contiguous offsets at commit time in
+  * (partition, postfix) order and renames spools into the fragment
+  * index. Spark's commit coordinator (on by default) ensures exactly
+  * one task attempt per partition commits; aborted attempts delete
+  * their own spools. Streaming epochs share [[Journal.batchSink]]'s
+  * `.batch-*` manifest fencing keyed by (queryId, epochId), so a
+  * retried epoch lands exactly once.
+  *
+  * Write options: `codec` (fragment codec, default table codec);
+  * `postfixCol` (string column routed to Hive-style `key=value` path
+  * postfix subdirectories, the reference's path_postfix_template —
+  * the column is consumed as routing metadata, not framed).
+  */
+class JournalWrite(root: String, journal: String, tableCodec: String,
+    info: LogicalWriteInfo) extends Write {
+
+  private val codec: String =
+    Option(info.options.get("codec")).getOrElse(tableCodec)
+
+  // Accepts any input schema carrying a string `payload` column (the
+  // table declares ACCEPT_ANY_SCHEMA: journals frame opaque payloads,
+  // they don't impose relational shape on writers). A single-string-
+  // column input of any name also works.
+  private val payloadIdx: Int = {
+    val schema = info.schema()
+    val byName = schema.fields.indexWhere(f =>
+      f.name.equalsIgnoreCase("payload") && f.dataType == StringType)
+    if (byName >= 0) byName
+    else if (schema.fields.length == 1 && schema.fields(0).dataType == StringType) 0
+    else throw new IllegalArgumentException(
+      s"journal write needs a string `payload` column, got ${schema.simpleString}")
+  }
+
+  private val postfixIdx: Int =
+    Option(info.options.get("postfixCol")).map { pc =>
+      val i = info.schema().fields.indexWhere(_.name.equalsIgnoreCase(pc))
+      require(i >= 0, s"postfixCol `$pc` not in ${info.schema().simpleString}")
+      require(info.schema().fields(i).dataType == StringType,
+        s"postfixCol `$pc` must be a string column")
+      i
+    }.getOrElse(-1)
+
+  private def factory = new JournalWriterFactory(
+    root, journal.replace('/', '_'), codec, payloadIdx, postfixIdx,
+    new HadoopConf(Journal.hadoopConf))
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+      factory
+    override def commit(messages: Array[WriterCommitMessage]): Unit =
+      JournalWrite.commitAppend(root, journal, codec, messages)
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      JournalWrite.dropSpools(root, messages)
+  }
+
+  override def toStreaming: StreamingWrite = new StreamingWrite {
+    override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+      factory
+    // queryId is stable across checkpointed restarts (unlike runId), so
+    // a retried epoch maps to the same manifest and lands exactly once.
+    private val qid = info.queryId()
+    override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+      Journal.commitSpooledEpoch(root, journal, s"$qid-$epochId",
+        JournalWrite.ordered(messages), codec)
+    override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+      JournalWrite.dropSpools(root, messages)
+  }
+}
+
+/** One spooled (postfix) group of a partition. */
+case class Spooled(postfix: String, len: Long, sha1: String, tmpPath: String)
+
+/** One partition's spool set, awaiting offset assignment + rename. */
+case class SpoolCommit(partitionId: Int, spools: Seq[Spooled])
+  extends WriterCommitMessage
+
+object JournalWrite {
+  /** Flatten commit messages into (postfix, len, sha, tmp) in
+    * (partition, postfix) order — the order offsets are assigned in,
+    * mirroring `Journal.stage`'s ordered-spool contract.
+    */
+  private[v2] def ordered(messages: Array[WriterCommitMessage]): Seq[(String, Long, String, String)] =
+    messages.collect { case s: SpoolCommit => s }
+      .flatMap(s => s.spools.map(sp => (s.partitionId, sp)))
+      .sortBy { case (pid, sp) => (pid, sp.postfix) }
+      .map { case (_, sp) => (sp.postfix, sp.len, sp.sha1, sp.tmpPath) }.toSeq
+
+  /** Batch append commit: offsets assigned from the head in
+    * (partition, postfix) order, spools renamed into the index.
+    */
+  private[v2] def commitAppend(root: String, journal: String, codec: String,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val conf = Journal.hadoopConf
+    val dir = new HPath(root, journal)
+    var begin = Journal.head(root, journal)
+    ordered(messages).foreach { case (postfix, len, sha, tmpPath) =>
+      val sub = if (postfix.isEmpty) dir else new HPath(dir, postfix)
+      val frag = Fragment(journal, begin, begin + len, sha, codec,
+        new HPath(sub, f"$begin%016x-${begin + len}%016x-$sha.$codec").toString)
+      Journal.commitFragment(frag, tmpPath, conf)
+      begin = frag.end
+    }
+  }
+
+  private[v2] def dropSpools(root: String, messages: Array[WriterCommitMessage]): Unit = {
+    val conf = Journal.hadoopConf
+    messages.foreach {
+      case s: SpoolCommit => s.spools.foreach { sp =>
+        val p = new HPath(sp.tmpPath)
+        p.getFileSystem(conf).delete(p, false)
+      }
+      case _ =>
+    }
+  }
+}
+
+/** Executor-side writer: one spool per (partition, postfix) group,
+  * created lazily so empty partitions produce no fragment.
+  */
+class JournalWriterFactory(root: String, journalTag: String, codec: String,
+    payloadIdx: Int, postfixIdx: Int, hc: HadoopConf)
+  extends DataWriterFactory with StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    writer(partitionId, taskId)
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    writer(partitionId, taskId)
+
+  private def writer(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private final class Spool {
+        val tmp = new HPath(new HPath(root),
+          s".spool-$journalTag-$partitionId-$taskId-${java.util.UUID.randomUUID}.tmp")
+        val digest = java.security.MessageDigest.getInstance("SHA-1")
+        var len = 0L
+        val out: java.io.OutputStream = new java.io.BufferedOutputStream(
+          Journal.wrapOutput(codec, fs.create(tmp, true)), 1 << 16)
+      }
+      private lazy val fs = new HPath(root).getFileSystem(hc.value)
+      private val spools = scala.collection.mutable.LinkedHashMap.empty[String, Spool]
+
+      override def write(row: InternalRow): Unit = {
+        val u = row.getUTF8String(payloadIdx)
+        require(u != null, "journal write: null payload")
+        val postfix =
+          if (postfixIdx < 0) ""
+          else {
+            val p = row.getUTF8String(postfixIdx)
+            require(p != null, "journal write: null postfix value")
+            p.toString
+          }
+        val sp = spools.getOrElseUpdate(postfix, new Spool)
+        val payload = u.getBytes
+        sp.digest.update(payload); sp.digest.update('\n'.toByte)
+        sp.out.write(payload); sp.out.write('\n')
+        sp.len += payload.length + 1
+      }
+
+      override def commit(): WriterCommitMessage =
+        SpoolCommit(partitionId, spools.iterator.map { case (postfix, sp) =>
+          sp.out.close()
+          Spooled(postfix, sp.len,
+            sp.digest.digest().map("%02x".format(_)).mkString, sp.tmp.toString)
+        }.toSeq)
+
+      override def abort(): Unit = spools.values.foreach { sp =>
+        sp.out.close()
+        fs.delete(sp.tmp, false)
+      }
+
+      override def close(): Unit = ()
+    }
+}

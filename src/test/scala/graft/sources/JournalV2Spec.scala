@@ -196,6 +196,32 @@ class JournalV2Spec extends SparkSpec {
     assert(eq.count() == df.filter($"date" === "date=2024-01-03").count())
   }
 
+  test("DSv2 write with postfixCol lays Hive subdirs; postfix pruning sees them") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-wpf").toString
+    (1 to 20).map(i => (s"p-$i", s"date=2024-02-${"%02d".format(i % 2 + 1)}"))
+      .toDF("payload", "pf").repartition(2)
+      .write.format("journal")
+      .option("root", root).option("journal", "wp")
+      .option("codec", "none").option("postfixCol", "pf")
+      .mode("append").save()
+
+    val frags = Journal.listFragments(root, "wp")
+    assert(frags.nonEmpty)
+    assert(frags.forall(f => Journal.postfixValues(f).contains("date")))
+    // The postfix column routes, it is not framed into the payload.
+    val back = Journal.read(spark, root, "wp").collect()
+    assert(back.map(_.payload).toSet == (1 to 20).map(i => s"p-$i").toSet)
+    assert(back.sortBy(_.begin).sliding(2).forall {
+      case Array(a, b) => a.end == b.begin
+      case _ => true
+    })
+    val pruned = spark.read.format("journal")
+      .option("root", root).option("journal", "wp")
+      .option("postfix.date.eq", "2024-02-02").load()
+    assert(pruned.count() == (1 to 20).count(_ % 2 == 1))
+  }
+
   test("maxBytesPerTrigger bounds each micro-batch (admission control)") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-v2ac").toString
