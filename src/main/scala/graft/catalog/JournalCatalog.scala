@@ -21,7 +21,11 @@ final case class JournalSpec(
     fragmentTargetLength: Long = 1L << 29,
     codec: String = "gz",
     readOnly: Boolean = false,
-    writeOnly: Boolean = false) {
+    writeOnly: Boolean = false,
+    // Fragment stores (protocol.proto:201-211): reads union-list ALL of
+    // them (mid-migration fragments may span stores); new fragments
+    // persist to the FIRST (the active store). Any Hadoop FS root.
+    stores: Vector[String] = Vector.empty) {
 
   /** Token rules from the reference validators
     * (journal_spec_extensions.go:55-70; label_extensions.go:13-25).
@@ -87,6 +91,38 @@ final class JournalCatalog {
     }
 
   def get(name: String): Option[JournalSpec] = synchronized(specs.get(name).map(_._1))
+
+  private def require(name: String): JournalSpec =
+    get(name).getOrElse(throw new NoSuchElementException(s"no such journal: $name"))
+
+  /** Catalog-routed batch read: union listing across the spec's stores
+    * (the broker resolves stores from the spec the same way,
+    * protocol.proto:201-211). Enforces the WR (write-only) flag.
+    */
+  def read(spark: SparkSession, name: String): org.apache.spark.sql.Dataset[graft.sources.Journal.Envelope] = {
+    val spec = require(name)
+    if (spec.writeOnly)
+      throw new IllegalStateException(s"journal $name is write-only (WR flag)")
+    if (spec.stores.isEmpty)
+      throw new IllegalStateException(s"journal $name has no fragment stores")
+    graft.sources.Journal.read(spark, spec.stores, name)
+  }
+
+  /** Catalog-routed append: fragments persist to the FIRST store (the
+    * active store) with the spec's codec, rolling spools at the spec's
+    * fragment target length. Enforces the RD (read-only) flag.
+    */
+  def append(df: DataFrame, name: String,
+      postfixCol: Option[String] = None): Seq[graft.sources.Journal.Fragment] = {
+    val spec = require(name)
+    if (spec.readOnly)
+      throw new IllegalStateException(s"journal $name is read-only (RD flag)")
+    if (spec.stores.isEmpty)
+      throw new IllegalStateException(s"journal $name has no fragment stores")
+    graft.sources.Journal.append(df, spec.stores.head, name,
+      codec = spec.codec, postfixCol = postfixCol,
+      maxFragmentBytes = spec.fragmentTargetLength)
+  }
 
   /** Selector-filtered listing (P3): selectors may reference spec labels
     * and the name/prefix meta-labels.

@@ -325,12 +325,20 @@ object Journal {
     * the reference's path_postfix_template); offsets assigned
     * contiguously from the current head; commit = atomic rename into the
     * fragment index. Returns committed fragments.
+    *
+    * `maxFragmentBytes` is the spool roll policy (the reference's
+    * fragment `length` target, protocol.proto:214-218): a spool that
+    * reaches the bound closes and a fresh one continues the partition,
+    * so fragment size — and with it read-task granularity and
+    * object-store PUT size — stays bounded no matter how large a write
+    * partition is.
     */
   def append(df: DataFrame, root: String, journal: String,
       codec: String = "gz", payloadCol: String = "payload",
-      postfixCol: Option[String] = None): Seq[Fragment] = {
+      postfixCol: Option[String] = None,
+      maxFragmentBytes: Long = Long.MaxValue): Seq[Fragment] = {
     val conf = hadoopConf
-    stage(df, root, journal, codec, payloadCol, postfixCol).map {
+    stage(df, root, journal, codec, payloadCol, postfixCol, maxFragmentBytes).map {
       case (frag, tmp) => commitFragment(frag, tmp, conf)
     }
   }
@@ -344,7 +352,9 @@ object Journal {
     */
   private[graft] def stage(df: DataFrame, root: String, journal: String,
       codec: String = "gz", payloadCol: String = "payload",
-      postfixCol: Option[String] = None): Seq[(Fragment, String)] = {
+      postfixCol: Option[String] = None,
+      maxFragmentBytes: Long = Long.MaxValue): Seq[(Fragment, String)] = {
+    require(maxFragmentBytes > 0, s"maxFragmentBytes must be positive")
     val spark = df.sparkSession
     import spark.implicits._
     val conf = hadoopConf
@@ -352,8 +362,9 @@ object Journal {
     dir.getFileSystem(conf).mkdirs(dir)
     val hc = new HadoopConf(conf)
 
-    // Executor side: spool each (partition, postfix) group to a temp
-    // file; report (partitionId, postfix, uncompressedLength, sha1, tmp).
+    // Executor side: spool each (partition, postfix) group to temp
+    // files, rolling at maxFragmentBytes; report
+    // (partitionId, postfix, rollSeq, uncompressedLength, sha1, tmp).
     val rows = postfixCol match {
       case Some(pc) => df.select(col(payloadCol), col(pc).cast("string")).as[(String, String)]
       case None     => df.select(col(payloadCol)).as[String].map(p => (p, ""))
@@ -362,34 +373,42 @@ object Journal {
     val spooled = rows.rdd
       .mapPartitionsWithIndex { (idx, it) =>
         val fs = new HPath(root).getFileSystem(hc.value)
-        final class Spool(val tmp: HPath) {
+        final class Spool(val seq: Int) {
+          val tmp = new HPath(new HPath(root),
+            s".spool-$journalTag-$idx-${java.util.UUID.randomUUID}.tmp")
           val digest = MessageDigest.getInstance("SHA-1")
           var len = 0L
           val out = new BufferedOutputStream(
             wrapOutput(codec, fs.create(tmp, true)), 1 << 16)
+          def finish(postfix: String): (Int, String, Int, Long, String, String) = {
+            out.close()
+            (idx, postfix, seq, len,
+              digest.digest().map("%02x".format(_)).mkString, tmp.toString)
+          }
         }
         val spools = scala.collection.mutable.LinkedHashMap.empty[String, Spool]
+        val done = Vector.newBuilder[(Int, String, Int, Long, String, String)]
         it.foreach { case (line, postfix) =>
-          val sp = spools.getOrElseUpdate(postfix, new Spool(new HPath(
-            new HPath(root),
-            s".spool-$journalTag-$idx-${java.util.UUID.randomUUID}.tmp")))
+          var sp = spools.getOrElseUpdate(postfix, new Spool(0))
+          if (sp.len >= maxFragmentBytes) {
+            done += sp.finish(postfix)
+            sp = new Spool(sp.seq + 1)
+            spools(postfix) = sp
+          }
           val bytes = (line + "\n").getBytes("UTF-8")
           sp.digest.update(bytes)
           sp.out.write(bytes)
           sp.len += bytes.length
         }
-        spools.iterator.map { case (postfix, sp) =>
-          sp.out.close()
-          val sha = sp.digest.digest().map("%02x".format(_)).mkString
-          (idx, postfix, sp.len, sha, sp.tmp.toString)
-        }
-      }.collect().sortBy(s => (s._1, s._2))
+        spools.iterator.foreach { case (postfix, sp) => done += sp.finish(postfix) }
+        done.result().iterator
+      }.collect().sortBy(s => (s._1, s._2, s._3))
 
-    // Driver side: prefix-sum offsets from the journal head; the
-    // caller commits via rename (content-addressed names make
-    // retries idempotent).
+    // Driver side: prefix-sum offsets from the journal head in
+    // (partition, postfix, rollSeq) order; the caller commits via
+    // rename (content-addressed names make retries idempotent).
     var begin = head(root, journal)
-    spooled.map { case (_, postfix, len, sha, tmpPath) =>
+    spooled.map { case (_, postfix, _, len, sha, tmpPath) =>
       val sub = if (postfix.isEmpty) dir else new HPath(dir, postfix)
       val frag = Fragment(journal, begin, begin + len, sha, codec,
         new HPath(sub, f"$begin%016x-${begin + len}%016x-$sha.$codec").toString)

@@ -24,13 +24,20 @@ import graft.sources.Journal.{Fragment, HadoopConf}
   * Write options: `codec` (fragment codec, default table codec);
   * `postfixCol` (string column routed to Hive-style `key=value` path
   * postfix subdirectories, the reference's path_postfix_template —
-  * the column is consumed as routing metadata, not framed).
+  * the column is consumed as routing metadata, not framed);
+  * `maxFragmentBytes` (spool roll bound — the reference's fragment
+  * `length` target, protocol.proto:214-218 — so fragment size and
+  * read-task granularity stay bounded for any write-partition size).
   */
 class JournalWrite(root: String, journal: String, tableCodec: String,
     info: LogicalWriteInfo) extends Write {
 
   private val codec: String =
     Option(info.options.get("codec")).getOrElse(tableCodec)
+
+  private val maxFragmentBytes: Long =
+    Option(info.options.get("maxFragmentBytes")).map(_.toLong)
+      .getOrElse(Long.MaxValue)
 
   // Accepts any input schema carrying a string `payload` column (the
   // table declares ACCEPT_ANY_SCHEMA: journals frame opaque payloads,
@@ -57,7 +64,7 @@ class JournalWrite(root: String, journal: String, tableCodec: String,
 
   private def factory = new JournalWriterFactory(
     root, journal.replace('/', '_'), codec, payloadIdx, postfixIdx,
-    new HadoopConf(Journal.hadoopConf))
+    maxFragmentBytes, new HadoopConf(Journal.hadoopConf))
 
   override def toBatch: BatchWrite = new BatchWrite {
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -82,8 +89,8 @@ class JournalWrite(root: String, journal: String, tableCodec: String,
   }
 }
 
-/** One spooled (postfix) group of a partition. */
-case class Spooled(postfix: String, len: Long, sha1: String, tmpPath: String)
+/** One spooled (postfix, rollSeq) group of a partition. */
+case class Spooled(postfix: String, seq: Int, len: Long, sha1: String, tmpPath: String)
 
 /** One partition's spool set, awaiting offset assignment + rename. */
 case class SpoolCommit(partitionId: Int, spools: Seq[Spooled])
@@ -91,13 +98,13 @@ case class SpoolCommit(partitionId: Int, spools: Seq[Spooled])
 
 object JournalWrite {
   /** Flatten commit messages into (postfix, len, sha, tmp) in
-    * (partition, postfix) order — the order offsets are assigned in,
-    * mirroring `Journal.stage`'s ordered-spool contract.
+    * (partition, postfix, rollSeq) order — the order offsets are
+    * assigned in, mirroring `Journal.stage`'s ordered-spool contract.
     */
   private[v2] def ordered(messages: Array[WriterCommitMessage]): Seq[(String, Long, String, String)] =
     messages.collect { case s: SpoolCommit => s }
       .flatMap(s => s.spools.map(sp => (s.partitionId, sp)))
-      .sortBy { case (pid, sp) => (pid, sp.postfix) }
+      .sortBy { case (pid, sp) => (pid, sp.postfix, sp.seq) }
       .map { case (_, sp) => (sp.postfix, sp.len, sp.sha1, sp.tmpPath) }.toSeq
 
   /** Batch append commit: offsets assigned from the head in
@@ -133,7 +140,7 @@ object JournalWrite {
   * created lazily so empty partitions produce no fragment.
   */
 class JournalWriterFactory(root: String, journalTag: String, codec: String,
-    payloadIdx: Int, postfixIdx: Int, hc: HadoopConf)
+    payloadIdx: Int, postfixIdx: Int, maxFragmentBytes: Long, hc: HadoopConf)
   extends DataWriterFactory with StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
@@ -143,16 +150,22 @@ class JournalWriterFactory(root: String, journalTag: String, codec: String,
 
   private def writer(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      private final class Spool {
+      private final class Spool(val seq: Int) {
         val tmp = new HPath(new HPath(root),
           s".spool-$journalTag-$partitionId-$taskId-${java.util.UUID.randomUUID}.tmp")
         val digest = java.security.MessageDigest.getInstance("SHA-1")
         var len = 0L
         val out: java.io.OutputStream = new java.io.BufferedOutputStream(
           Journal.wrapOutput(codec, fs.create(tmp, true)), 1 << 16)
+        def finish(postfix: String): Spooled = {
+          out.close()
+          Spooled(postfix, seq, len,
+            digest.digest().map("%02x".format(_)).mkString, tmp.toString)
+        }
       }
       private lazy val fs = new HPath(root).getFileSystem(hc.value)
       private val spools = scala.collection.mutable.LinkedHashMap.empty[String, Spool]
+      private val rolled = Seq.newBuilder[Spooled]
 
       override def write(row: InternalRow): Unit = {
         val u = row.getUTF8String(payloadIdx)
@@ -164,23 +177,28 @@ class JournalWriterFactory(root: String, journalTag: String, codec: String,
             require(p != null, "journal write: null postfix value")
             p.toString
           }
-        val sp = spools.getOrElseUpdate(postfix, new Spool)
+        var sp = spools.getOrElseUpdate(postfix, new Spool(0))
+        if (sp.len >= maxFragmentBytes) {
+          rolled += sp.finish(postfix)
+          sp = new Spool(sp.seq + 1)
+          spools(postfix) = sp
+        }
         val payload = u.getBytes
         sp.digest.update(payload); sp.digest.update('\n'.toByte)
         sp.out.write(payload); sp.out.write('\n')
         sp.len += payload.length + 1
       }
 
-      override def commit(): WriterCommitMessage =
-        SpoolCommit(partitionId, spools.iterator.map { case (postfix, sp) =>
-          sp.out.close()
-          Spooled(postfix, sp.len,
-            sp.digest.digest().map("%02x".format(_)).mkString, sp.tmp.toString)
-        }.toSeq)
+      override def commit(): WriterCommitMessage = {
+        spools.iterator.foreach { case (postfix, sp) => rolled += sp.finish(postfix) }
+        spools.clear()
+        SpoolCommit(partitionId, rolled.result())
+      }
 
-      override def abort(): Unit = spools.values.foreach { sp =>
-        sp.out.close()
-        fs.delete(sp.tmp, false)
+      override def abort(): Unit = {
+        spools.values.foreach(_.out.close())
+        (rolled.result().map(sp => new HPath(sp.tmpPath)) ++ spools.values.map(_.tmp))
+          .foreach(fs.delete(_, false))
       }
 
       override def close(): Unit = ()

@@ -222,6 +222,70 @@ class JournalV2Spec extends SparkSpec {
     assert(pruned.count() == (1 to 20).count(_ % 2 == 1))
   }
 
+  test("maxFragmentBytes rolls spools into bounded, contiguous fragments") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-roll").toString
+    val recs = (1 to 100).map(i => f"r$i%04d") // 6 bytes framed
+    Journal.append(recs.toDF("payload").coalesce(1), root, "roll", "none",
+      maxFragmentBytes = 64)
+    val frags = Journal.listFragments(root, "roll")
+    assert(frags.size >= 8, s"expected rolled fragments, got ${frags.size}")
+    // Roll closes the spool when the bound is reached; one in-flight
+    // record may overshoot it.
+    assert(frags.forall(f => f.end - f.begin <= 64 + 6))
+    val back = Journal.read(spark, root, "roll").collect().sortBy(_.begin)
+    assert(back.map(_.payload).toSeq == recs) // order preserved across rolls
+    assert(back.sliding(2).forall {
+      case Array(a, b) => a.end == b.begin
+      case _ => true
+    })
+
+    // Same policy through the DSv2 sink option.
+    recs.toDF("payload").coalesce(1)
+      .write.format("journal")
+      .option("root", root).option("journal", "roll2")
+      .option("codec", "none").option("maxFragmentBytes", "64")
+      .mode("append").save()
+    val frags2 = Journal.listFragments(root, "roll2")
+    assert(frags2.size >= 8)
+    assert(Journal.read(spark, root, "roll2").collect().sortBy(_.begin)
+      .map(_.payload).toSeq == recs)
+  }
+
+  test("catalog-routed I/O: stores, codec, roll length, RD/WR flags") {
+    import spark.implicits._
+    import graft.catalog.{JournalCatalog, JournalSpec}
+    val storeA = Files.createTempDirectory("graft-cat-a").toString
+    val storeB = Files.createTempDirectory("graft-cat-b").toString
+    val c = new JournalCatalog
+    assert(c.upsert(JournalSpec("cat/j", codec = "none",
+      fragmentTargetLength = 64, stores = Vector(storeA, storeB))).isRight)
+
+    val recs = (1 to 50).map(i => f"c$i%04d")
+    val frags = c.append(recs.toDF("payload").coalesce(1), "cat/j")
+    // Active store + spec codec + spec roll length all honored.
+    assert(frags.forall(f => f.path.startsWith(storeA) && f.codec == "none"))
+    assert(frags.size > 1 && frags.forall(f => f.end - f.begin <= 64 + 6))
+
+    // Migrate one fragment to store B: the catalog read unions stores.
+    val moved = frags.head
+    val dst = java.nio.file.Paths.get(storeB, "cat/j")
+    Files.createDirectories(dst)
+    Files.move(java.nio.file.Paths.get(moved.path), dst.resolve(moved.name))
+    assert(c.read(spark, "cat/j").collect().sortBy(_.begin)
+      .map(_.payload).toSeq == recs)
+
+    // Flag enforcement.
+    assert(c.upsert(JournalSpec("cat/ro", readOnly = true,
+      stores = Vector(storeA))).isRight)
+    intercept[IllegalStateException] {
+      c.append(Seq("x").toDF("payload"), "cat/ro")
+    }
+    assert(c.upsert(JournalSpec("cat/wo", writeOnly = true,
+      stores = Vector(storeA))).isRight)
+    intercept[IllegalStateException] { c.read(spark, "cat/wo") }
+  }
+
   test("maxBytesPerTrigger bounds each micro-batch (admission control)") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-v2ac").toString
