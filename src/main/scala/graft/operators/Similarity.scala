@@ -11,11 +11,10 @@ import org.apache.spark.sql.expressions.Window
   *  - `bruteTopK` broadcast-joins the (small) probe set against the full
   *    corpus — one scan, no corpus shuffle, per-partition top-k via
   *    window rank. Correctness baseline.
-  *  - `lshTopK` is the scale path: 16 deterministic random hyperplanes
+  *  - `lshTopK` is the scale path: deterministic random hyperplanes
   *    hash each vector to a bucket; probes only compare within their
-  *    bucket (expected corpus/2^16 of the data). Recall tunable via
-  *    multi-probe (hamming-adjacent buckets) — v1 probes the exact
-  *    bucket only.
+  *    bucket (expected corpus/2^planes of the data). Recall tunable
+  *    via multi-probe (hamming-distance-1 buckets, `multiProbe`).
   *
   * All dot products accumulate in double in index order, matching the
   * DuckDB oracle bit-for-bit.
@@ -204,14 +203,27 @@ object Similarity {
   /** ANN top-k within LSH bucket: corpus and probes are bucketed by the
     * same planes; candidates are bucket-equal pairs. Shuffle is a hash
     * join on the bucket id.
+    *
+    * `multiProbe = true` additionally probes every hamming-distance-1
+    * bucket (each single plane-bit flipped): near-misses where one
+    * marginal hyperplane put a true neighbor on the other side come
+    * back into the candidate set, raising recall ~(numPlanes+1)× the
+    * probe fan-out while the corpus side — the big side — is untouched.
+    * A corpus row holds ONE bucket and the probe's bucket list is
+    * distinct, so no candidate pair duplicates.
     */
   def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int,
-      numPlanes: Int = 12, dim: Int = 64): DataFrame = {
+      numPlanes: Int = 12, dim: Int = 64, multiProbe: Boolean = false): DataFrame = {
     val planes = hyperplanes(numPlanes, dim)
     val cb = corpus.withColumn("bucket", lshBucket(col("embedding"), planes))
+    val pbucket = lshBucket(col("embedding"), planes)
+    val pbuckets =
+      if (!multiProbe) array(pbucket)
+      else array(pbucket +:
+        (0 until numPlanes).map(i => pbucket.bitwiseXOR(lit(1L << i))): _*)
     val pb = probes.select(col("vec_id").as("probe_id"),
       col("embedding").as("pe"),
-      lshBucket(col("embedding"), planes).as("bucket"))
+      explode(pbuckets).as("bucket"))
     val joined = cb.join(broadcast(pb),
         cb("bucket") === pb("bucket") && col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),

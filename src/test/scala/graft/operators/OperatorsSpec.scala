@@ -117,6 +117,23 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Set((0L, 1L))) // 0~2 orthogonal, 0~3 opposite
   }
 
+  test("lshTopK multi-probe: recall vs brute force never drops, usually rises") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = emb.filter($"vec_id" < 10)
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select($"probe_id", $"vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = hits(Similarity.bruteTopK(emb, probes, 5))
+    val single = hits(Similarity.lshTopK(emb, probes, 5, numPlanes = 8))
+    val multi = hits(Similarity.lshTopK(emb, probes, 5, numPlanes = 8, multiProbe = true))
+    // Multi-probe candidates are a superset of single-probe candidates,
+    // so true-neighbor recall cannot drop.
+    assert((single intersect brute).size <= (multi intersect brute).size)
+    assert((multi intersect brute).size > (single intersect brute).size ||
+      single == multi, "multi-probe changed nothing at 8 planes — suspicious")
+  }
+
   test("lshNearDupPairs: subset of exact pairs, identical sims, near-full recall up high") {
     import spark.implicits._
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
