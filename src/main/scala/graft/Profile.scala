@@ -97,6 +97,13 @@ object Profile {
       val rows = Journal.read(spark, root, "prof/gz").count()
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[profile] journal read (gz): ${nBytes / dt / 1e6}%.0f MB/s, $rows rows in $dt%.2f s")
+      // The native DSv2 sink (spool + commit-coordinated rename).
+      val t1 = System.nanoTime()
+      lines.write.format("journal")
+        .option("root", root).option("journal", "prof/dsv2")
+        .option("codec", "gz").mode("append").save()
+      val dt1 = (System.nanoTime() - t1) / 1e9
+      println(f"[profile] journal DSv2 write (gz): ${nBytes / dt1 / 1e6}%.0f MB/s in $dt1%.2f s")
     }
     spark.stop()
   }

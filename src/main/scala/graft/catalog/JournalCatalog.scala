@@ -108,6 +108,36 @@ final class JournalCatalog {
     graft.sources.Journal.read(spark, spec.stores, name)
   }
 
+  /** Selector-resolved batch read (M5 + P3 composed): union of every
+    * matching journal's multi-store read. The reference's consumers
+    * bind shards to selector-resolved journal sets the same way.
+    */
+  def readSelected(spark: SparkSession, selector: String): org.apache.spark.sql.Dataset[graft.sources.Journal.Envelope] = {
+    val matched = list(selector).filterNot(_.writeOnly)
+    if (matched.isEmpty)
+      throw new NoSuchElementException(s"no readable journals match: $selector")
+    matched.map(s => read(spark, s.name)).reduce(_.unionAll(_))
+  }
+
+  /** Selector-resolved STREAMING union: one DSv2 `journal` stream per
+    * matching journal, unioned — a consumer tailing a topic's whole
+    * partition set as one streaming DataFrame. Journal membership is
+    * resolved at call time (the reference re-resolves on shard
+    * rebalance; here a restart picks up new members).
+    */
+  def readStreamSelected(spark: SparkSession, selector: String): DataFrame = {
+    val matched = list(selector).filterNot(_.writeOnly)
+    if (matched.isEmpty)
+      throw new NoSuchElementException(s"no readable journals match: $selector")
+    matched.map { s =>
+      if (s.stores.isEmpty)
+        throw new IllegalStateException(s"journal ${s.name} has no fragment stores")
+      spark.readStream.format("journal")
+        .option("roots", s.stores.mkString(","))
+        .option("journal", s.name).load()
+    }.reduce(_.unionAll(_))
+  }
+
   /** Catalog-routed append: fragments persist to the FIRST store (the
     * active store) with the spec's codec, rolling spools at the spec's
     * fragment target length. Enforces the RD (read-only) flag.

@@ -286,6 +286,33 @@ class JournalV2Spec extends SparkSpec {
     intercept[IllegalStateException] { c.read(spark, "cat/wo") }
   }
 
+  test("selector-resolved reads: batch and streaming union over matching journals") {
+    import spark.implicits._
+    import graft.catalog.{JournalCatalog, JournalSpec}
+    import graft.labels.LabelSet
+    val store = Files.createTempDirectory("graft-sel").toString
+    val c = new JournalCatalog
+    for (p <- 0 to 2)
+      assert(c.upsert(JournalSpec(s"topic/sel/part-$p",
+        LabelSet("env", if (p < 2) "prod" else "qa"),
+        codec = "none", stores = Vector(store))).isRight)
+    for (p <- 0 to 2)
+      c.append(Seq(s"m-$p-1", s"m-$p-2").toDF("payload"), s"topic/sel/part-$p")
+
+    val batch = c.readSelected(spark, "env = prod").collect().map(_.payload).toSet
+    assert(batch == Set("m-0-1", "m-0-2", "m-1-1", "m-1-2"))
+
+    val outDir = Files.createTempDirectory("graft-sel-out").toString
+    val ckpt = Files.createTempDirectory("graft-sel-ckpt").toString
+    val q = c.readStreamSelected(spark, "prefix = topic/sel/")
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000); q.stop()
+    val streamed = spark.read.parquet(outDir).select($"payload").as[String].collect().toSet
+    assert(streamed == (0 to 2).flatMap(p => Seq(s"m-$p-1", s"m-$p-2")).toSet)
+  }
+
   test("maxBytesPerTrigger bounds each micro-batch (admission control)") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-v2ac").toString
