@@ -34,6 +34,12 @@ import graft.sources.Journal.{Fragment, HadoopConf}
   *  - `journal`: journal name.
   *  - `codec` (write): fragment codec, default `gz`.
   *  - `maxBytesPerTrigger` (streaming read): admission control.
+  *  - `listRefresh` (streaming read): `full` (default — re-list every
+  *    trigger, zero staleness) or `incremental` — keep the fragment
+  *    index across triggers and list only fragments modified since the
+  *    last walk, with a periodic full walk to converge after
+  *    prune/compact; one bounded LIST per trigger instead of a full
+  *    O(fragments) walk on deep journals.
   *  - `postfix.<key>.min` / `.max` / `.eq` (read): prune Hive-style
   *    `key=value` postfix directories by LEXICOGRAPHIC compare before
   *    planning (the read-side half of path_postfix_template,
@@ -76,7 +82,8 @@ class JournalDataSource extends TableProvider with DataSourceRegister {
     }
     new JournalTable(roots.orNull, properties.get("journal"),
       opt("maxBytesPerTrigger").map(_.toLong),
-      postfix, opt("codec").getOrElse("gz"))
+      postfix, opt("codec").getOrElse("gz"),
+      opt("listRefresh").exists(_.equalsIgnoreCase("incremental")))
   }
 }
 
@@ -106,7 +113,8 @@ case class PostfixPredicate(key: String, op: String, bound: String) {
 class JournalTable(roots: Seq[String], journal: String,
     maxBytesPerTrigger: Option[Long] = None,
     postfix: Seq[PostfixPredicate] = Nil,
-    codec: String = "gz") extends Table with SupportsRead with SupportsWrite {
+    codec: String = "gz",
+    incrementalListing: Boolean = false) extends Table with SupportsRead with SupportsWrite {
   require(roots != null && roots.nonEmpty && journal != null,
     "options root (or roots) and journal are required")
   override def name(): String = s"journal:$journal"
@@ -116,7 +124,7 @@ class JournalTable(roots: Seq[String], journal: String,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new JournalScan(roots, journal, maxBytesPerTrigger, postfix)
+    () => new JournalScan(roots, journal, maxBytesPerTrigger, postfix, incrementalListing)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new JournalWrite(roots.head, journal, codec, info)
@@ -125,7 +133,8 @@ class JournalTable(roots: Seq[String], journal: String,
 
 class JournalScan(roots: Seq[String], journal: String,
     maxBytesPerTrigger: Option[Long] = None,
-    postfix: Seq[PostfixPredicate] = Nil) extends Scan {
+    postfix: Seq[PostfixPredicate] = Nil,
+    incrementalListing: Boolean = false) extends Scan {
   override def readSchema(): StructType = JournalDataSource.schema
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
@@ -136,7 +145,8 @@ class JournalScan(roots: Seq[String], journal: String,
       new FragmentReaderFactory(new HadoopConf(Journal.hadoopConf))
   }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new JournalMicroBatchStream(roots, journal, maxBytesPerTrigger, postfix)
+    new JournalMicroBatchStream(roots, journal, maxBytesPerTrigger, postfix,
+      incrementalListing)
 }
 
 object JournalScan {
@@ -195,19 +205,65 @@ case class ReadMaxJournalBytes(bytes: Long) extends ReadLimit {
 
 class JournalMicroBatchStream(roots: Seq[String], journal: String,
     maxBytesPerTrigger: Option[Long] = None,
-    postfix: Seq[PostfixPredicate] = Nil)
+    postfix: Seq[PostfixPredicate] = Nil,
+    incrementalListing: Boolean = false)
   extends MicroBatchStream with SupportsAdmissionControl
   with SupportsTriggerAvailableNow {
+
+  // ---- fragment index cache -----------------------------------------
+  // With listRefresh=incremental, the driver keeps the fragment index
+  // across triggers and only lists fragments modified since the last
+  // walk (minus a 60 s mtime slack), doing a FULL walk every 8th
+  // refresh to converge after prune/compact. A deep journal on an
+  // object store then costs one bounded LIST per trigger instead of a
+  // full O(fragments) walk (the reference's live index maintained by
+  // WalkAllStores, broker/fragment/index.go:224-257). The default
+  // re-lists fully per trigger — zero staleness, right for journals
+  // compacted while streamed.
+  private val FullWalkEvery = 8
+  private val MtimeSlackMs = 60000L
+  private var index: Vector[Fragment] = Vector.empty
+  private var walked = false
+  private var refreshesSinceFullWalk = 0
+  private var lastWalkMs = Long.MinValue
+
+  private def refreshIndex(): Unit = synchronized {
+    val nowMs = System.currentTimeMillis()
+    if (!incrementalListing || !walked ||
+        refreshesSinceFullWalk >= FullWalkEvery) {
+      index = Journal.listFragments(roots, journal, Long.MinValue)
+      walked = true
+      refreshesSinceFullWalk = 0
+    } else {
+      val fresh = Journal.listFragments(roots, journal,
+        lastWalkMs - MtimeSlackMs)
+      index = (index ++ fresh)
+        .distinctBy(f => (f.begin, f.end, f.sha1, f.codec))
+        .sortBy(f => (f.begin, -f.end))
+      refreshesSinceFullWalk += 1
+    }
+    lastWalkMs = nowMs
+  }
+
+  private def cachedIndex(): Vector[Fragment] = synchronized {
+    if (!walked) refreshIndex()
+    index
+  }
+
+  private def indexHead(): Long =
+    cachedIndex().map(_.end).foldLeft(0L)(math.max)
 
   // Trigger.AvailableNow contract: pin the drain target at query start
   // so the paced (admission-controlled) batches stop at a fixed head
   // even while writers keep appending.
   @volatile private var availableNowEnd: Option[Long] = None
-  override def prepareForTriggerAvailableNow(): Unit =
-    availableNowEnd = Some(Journal.head(roots, journal))
+  override def prepareForTriggerAvailableNow(): Unit = {
+    refreshIndex()
+    availableNowEnd = Some(indexHead())
+  }
 
   private def currentHead(): Long =
-    availableNowEnd.getOrElse(Journal.head(roots, journal))
+    availableNowEnd.getOrElse { refreshIndex(); indexHead() }
 
   // Progress events carry this as the source description — lets
   // ConsumerApp.readThrough target ONE journal in a multi-source query.
@@ -234,8 +290,7 @@ class JournalMicroBatchStream(roots: Seq[String], journal: String,
     }
   }
 
-  override def reportLatestOffset(): Offset =
-    JournalOffset(Journal.head(roots, journal))
+  override def reportLatestOffset(): Offset = JournalOffset(indexHead())
   override def deserializeOffset(json: String): Offset = {
     val m = """\{"head":(\d+)\}""".r
     json.trim match {
@@ -245,7 +300,20 @@ class JournalMicroBatchStream(roots: Seq[String], journal: String,
   }
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[JournalOffset].head, end.asInstanceOf[JournalOffset].head)
-    Journal.coverSet(JournalScan.listPruned(roots, journal, postfix))
+    // A recovered batch replans before any poll of this instance; force
+    // a walk when the cached index doesn't cover the batch's range.
+    var frags = cachedIndex()
+    if (frags.map(_.end).foldLeft(0L)(math.max) < e) {
+      synchronized { walked = false }
+      frags = cachedIndex()
+    }
+    val kept =
+      if (postfix.isEmpty) frags
+      else frags.filter { f =>
+        val values = Journal.postfixValues(f)
+        postfix.forall(_.keep(values))
+      }
+    Journal.coverSet(kept)
       .flatMap { case (f, from) =>
         val lo = math.max(from, s)
         val hi = math.min(f.end, e)

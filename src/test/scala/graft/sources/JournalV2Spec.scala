@@ -313,6 +313,36 @@ class JournalV2Spec extends SparkSpec {
     assert(streamed == (0 to 2).flatMap(p => Seq(s"m-$p-1", s"m-$p-2")).toSet)
   }
 
+  test("incremental listing: cached index tracks appends, converges after prune") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-inc").toString
+    Journal.append(Seq("i1", "i2").toDF("payload"), root, "inc", "none")
+    val stream = new graft.sources.v2.JournalMicroBatchStream(
+      Seq(root), "inc", incrementalListing = true)
+
+    val h1 = stream.latestOffset().asInstanceOf[graft.sources.v2.JournalOffset].head
+    assert(h1 == 6L) // "i1\n" + "i2\n"
+
+    // New fragments between triggers surface through the INCREMENTAL
+    // path (the full walk already happened at first poll).
+    Journal.append(Seq("i3").toDF("payload"), root, "inc", "none")
+    val h2 = stream.latestOffset().asInstanceOf[graft.sources.v2.JournalOffset].head
+    assert(h2 == 9L, s"incremental refresh missed the new fragment: head=$h2")
+    val parts = stream.planInputPartitions(
+      graft.sources.v2.JournalOffset(0L), graft.sources.v2.JournalOffset(h2))
+    assert(parts.length == Journal.listFragments(root, "inc").size)
+
+    // Prune below offset 6: the cache converges via the periodic full
+    // walk (every 8th refresh).
+    Journal.prune(root, "inc", 6L)
+    (1 to 9).foreach(_ => stream.latestOffset())
+    val tail = stream.planInputPartitions(
+      graft.sources.v2.JournalOffset(6L), graft.sources.v2.JournalOffset(9L))
+    assert(tail.length == 1)
+    assert(tail.forall(p =>
+      p.asInstanceOf[graft.sources.v2.FragmentPartition].fragment.begin == 6L))
+  }
+
   test("maxBytesPerTrigger bounds each micro-batch (admission control)") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-v2ac").toString
