@@ -329,24 +329,32 @@ object Similarity {
     * hash-join lookup, not a corpus scan. Recall rises with nprobe
     * (nprobe = nlist ⇒ exact brute force).
     */
-  def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+  /** Coarse quantizer for IVF: sample `nlist` corpus vectors as
+    * centroids (k-means init without iterations — deterministic, and
+    * refinement only sharpens cell balance, not correctness).
+    * TakeOrdered pulls only nlist rows to the driver. The sampling
+    * order is md5('ivf<seed>' || vec_id) — a seeded uniform order that
+    * an ANSI SQL oracle reproduces verbatim (unlike xxhash64).
+    * Centroids are L2-normalized so a dot product ranks as cosine.
+    */
+  def ivfCentroids(corpus: DataFrame, nlist: Int,
+      seed: Long = 42L): Array[Array[Double]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    // Coarse quantizer: sample nlist corpus vectors as centroids
-    // (k-means init without iterations — deterministic, and refinement
-    // only sharpens cell balance, not correctness). TakeOrdered pulls
-    // only nlist rows to the driver. The sampling order is
-    // md5('ivf<seed>' || vec_id) — a seeded uniform order that an ANSI
-    // SQL oracle reproduces verbatim (unlike xxhash64).
     val sampled = corpus.select(col("vec_id"), col("embedding"))
       .orderBy(md5(concat(lit(s"ivf$seed"), col("vec_id").cast("string"))).asc,
         col("vec_id").asc)
       .limit(nlist).as[(Long, Array[Float])].collect()
-    val cents: Array[Array[Double]] = sampled.map { case (_, e) =>
+    sampled.map { case (_, e) =>
       val n = math.sqrt(e.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
       e.map(_.toDouble / (if (n == 0) 1.0 else n))
     }
+  }
+
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = ivfCentroids(corpus, nlist, seed)
     val bc = spark.sparkContext.broadcast(cents)
     val nearestCells = udf { (e: Seq[Float], n: Int) =>
       val cs = bc.value
@@ -364,6 +372,95 @@ object Similarity {
       .withColumn("cell", element_at(nearestCells(col("embedding"), lit(1)), 1))
     val pb = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
       explode(nearestCells(col("embedding"), lit(nprobe))).as("cell"))
+    val joined = cb.join(broadcast(pb),
+        cb("cell") === pb("cell") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(cosineUdf(col("pe"), col("embedding")), 6).as("sim"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  // ---- IVF index at rest ---------------------------------------------
+
+  /** Materialize an IVF index: the corpus written as parquet
+    * PARTITIONED BY the coarse cell (`cell=N/` Hive dirs) plus a tiny
+    * `centroids/` table. This is the bucketed-at-rest layout the
+    * inline [[ivfTopK]] notes assume: index once, then every probe
+    * batch reads only its probed cells.
+    *
+    * Scale shape (100 TB): one corpus-wide shuffle-free pass assigns
+    * cells (centroids broadcast) and the parquet writer splits by
+    * partition column — work O(corpus), done once. At real scale
+    * `nlist` grows with corpus size (cells of ~256 MB), so a probe
+    * batch with nprobe=8 touches nprobe/nlist of the bytes at rest.
+    */
+  def ivfBuildIndex(corpus: DataFrame, path: String,
+      nlist: Int = 16, seed: Long = 42L): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = ivfCentroids(corpus, nlist, seed)
+    val bc = spark.sparkContext.broadcast(cents)
+    val nearestCell = udf { e: Seq[Float] =>
+      val cs = bc.value
+      var best = 0; var bestD = Double.MinValue
+      var ci = 0
+      while (ci < cs.length) {
+        val c = cs(ci)
+        var dotv = 0.0; var i = 0
+        while (i < c.length) { dotv += e(i).toDouble * c(i); i += 1 }
+        if (dotv > bestD) { bestD = dotv; best = ci }
+        ci += 1
+      }
+      best
+    }
+    corpus
+      .withColumn("cell", nearestCell(col("embedding")))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/cells")
+    cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    bc.destroy()
+  }
+
+  /** Probe a materialized IVF index: assign each probe its `nprobe`
+    * nearest cells, then scan ONLY those `cell=` partitions — the
+    * probed-cell filter is a partition filter, so unprobed cells are
+    * pruned at planning time and never read from storage. Exact cosine
+    * + window top-k over the candidates; same math as [[ivfTopK]], so
+    * with equal (nlist, nprobe, seed) the results are identical.
+    *
+    * The distinct probed-cell set is collected to the driver — bounded
+    * by nlist (the centroid table already lives there), never by the
+    * corpus.
+    */
+  def ivfProbeIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      probes: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val cents: Array[Array[Double]] = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cell").asc)
+      .select(col("centroid")).as[Seq[Double]].collect()
+      .map(_.toArray)
+    val bc = spark.sparkContext.broadcast(cents)
+    val nearestCells = udf { (e: Seq[Float], n: Int) =>
+      val cs = bc.value
+      cs.indices.map { ci =>
+        val c = cs(ci)
+        var dotv = 0.0; var i = 0
+        while (i < c.length) { dotv += e(i).toDouble * c(i); i += 1 }
+        (ci, dotv)
+      }.sortBy { case (ci, d) => (-d, ci) }.take(n).map(_._1)
+    }
+    val pb = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+      explode(nearestCells(col("embedding"), lit(nprobe))).as("cell"))
+    // Bounded collect: ≤ nlist distinct cell ids, for the partition
+    // filter. IN over partition values prunes the unprobed dirs.
+    val probedCells = pb.select(col("cell")).distinct().as[Int].collect().toSeq
+    val cb = spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(probedCells: _*))
     val joined = cb.join(broadcast(pb),
         cb("cell") === pb("cell") && col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),

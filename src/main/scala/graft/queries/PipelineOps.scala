@@ -180,6 +180,22 @@ object PipelineOps {
         .select($"probe_id", $"vec_id", $"sim", $"rank")
     },
 
+    // ---- q85: the SAME IVF search against an index MATERIALIZED AT
+    // REST — corpus parquet partitioned by coarse cell + a centroids
+    // table, probes scan only their nprobe cells (partition pruning;
+    // the `cell IN (...)` filter is a partition filter, unprobed cells
+    // are never read). Identical (nlist, nprobe, seed) ⇒ identical
+    // result to q38, gated by the same oracle.
+    "q85_ann_ivf_at_rest" -> { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val idx = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+      Similarity.ivfBuildIndex(emb, idx, nlist = 16)
+      Similarity.ivfProbeIndex(s, idx, emb.filter($"vec_id" < 10),
+          k = 5, nprobe = 4)
+        .select($"probe_id", $"vec_id", $"sim", $"rank")
+    },
+
     // ---- q46: product-quantization ANN (ADC over md5-sampled
     // codebooks): the compressed-corpus search path — 64 floats → 4
     // byte codes per vector.
@@ -466,6 +482,9 @@ object PipelineOps {
     "q26_simhash_pairs" -> simhashOracle,
     "q28_ann_lsh" -> lshAnnOracle,
     "q38_ann_ivf" -> ivfAnnOracle,
+    // Same math, same params — the at-rest layout must not change one
+    // bit of the result.
+    "q85_ann_ivf_at_rest" -> ivfAnnOracle,
     "q46_pq_ann" -> pqAnnOracle,
 
     "q27_cosine_topk" ->

@@ -107,6 +107,46 @@ class OperatorsSpec extends SparkSpec {
     assert(ivf == brute) // probing every cell = exhaustive search
   }
 
+  test("IVF index at rest: probe equals inline ivfTopK and prunes unprobed cells") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 60L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val probes = vecs.filter($"vec_id" < 2)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString
+    Similarity.ivfBuildIndex(vecs, idx, nlist = 8)
+    val atRest = Similarity.ivfProbeIndex(spark, idx, probes, k = 3, nprobe = 2)
+    val inline = Similarity.ivfTopK(vecs, probes, k = 3, nlist = 8, nprobe = 2)
+      .select($"probe_id", $"vec_id", $"sim", $"rank")
+      .collect().map(_.toSeq).toSet
+    assert(atRest.select($"probe_id", $"vec_id", $"sim", $"rank")
+      .collect().map(_.toSeq).toSet == inline)
+
+    // The probed-cell filter must reach the scan as a PARTITION filter:
+    // the scan's selected partitions are the probed cells only (≤
+    // nprobe × |probes| < the 8 cells on disk).
+    // AQE hides scans behind AdaptiveSparkPlanExec / QueryStageExec
+    // wrappers; descend through them.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case q: QueryStageExec => fileScans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other =>
+        other.children.flatMap(fileScans) ++
+          other.subqueries.flatMap(fileScans)
+    }
+    val scans = fileScans(atRest.queryExecution.executedPlan)
+    assert(scans.nonEmpty)
+    val selected = scans.map(_.selectedPartitions.partitionCount).max
+    val onDisk = new java.io.File(s"$idx/cells").listFiles()
+      .count(_.getName.startsWith("cell="))
+    assert(selected <= 4 && selected < onDisk,
+      s"expected pruned scan, read $selected of $onDisk cell partitions")
+  }
+
   test("cosinePairs finds exactly the pairs above threshold, ordered va < vb") {
     import spark.implicits._
     val vecs = Seq(
