@@ -395,13 +395,11 @@ object Similarity {
     * `nlist` grows with corpus size (cells of ~256 MB), so a probe
     * batch with nprobe=8 touches nprobe/nlist of the bytes at rest.
     */
-  def ivfBuildIndex(corpus: DataFrame, path: String,
-      nlist: Int = 16, seed: Long = 42L): Unit = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val cents = ivfCentroids(corpus, nlist, seed)
-    val bc = spark.sparkContext.broadcast(cents)
-    val nearestCell = udf { e: Seq[Float] =>
+  /** argmax-1 cell assignment against broadcast centroids; ties to the
+    * lower cell id (matches [[ivfTopK]]'s `nearestCells(…, 1)`). */
+  private def nearestCellUdf(
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]) =
+    udf { e: Seq[Float] =>
       val cs = bc.value
       var best = 0; var bestD = Double.MinValue
       var ci = 0
@@ -414,8 +412,25 @@ object Similarity {
       }
       best
     }
+
+  /** The index's fixed centroid table, cell-ordered. nlist rows. */
+  def readCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Double]] = {
+    import spark.implicits._
+    spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cell").asc)
+      .select(col("centroid")).as[Seq[Double]].collect()
+      .map(_.toArray)
+  }
+
+  def ivfBuildIndex(corpus: DataFrame, path: String,
+      nlist: Int = 16, seed: Long = 42L): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = ivfCentroids(corpus, nlist, seed)
+    val bc = spark.sparkContext.broadcast(cents)
     corpus
-      .withColumn("cell", nearestCell(col("embedding")))
+      .withColumn("cell", nearestCellUdf(bc)(col("embedding")))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/cells")
     cents.zipWithIndex
@@ -424,6 +439,57 @@ object Similarity {
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
     bc.destroy()
+  }
+
+  /** Continuously ingest a vector stream into a materialized index:
+    * each micro-batch assigns cells against the index's FIXED centroids
+    * and appends to a cell-partitioned `delta/` tier through Spark's
+    * exactly-once parquet file sink (its `_spark_metadata` commit log
+    * makes replayed batches idempotent — the streaming analog of the
+    * journal's spool→persist commit). [[ivfProbeIndex]] reads base ∪
+    * delta, both partition-pruned; [[ivfCompactIndex]] folds the delta
+    * back into the base offline.
+    *
+    * The delta is a SEPARATE directory because a file-sink commit log
+    * in `cells/` would hide the batch-written base files from readers.
+    * Centroids stay fixed — at 100 TB you re-train and rebuild when
+    * cell balance drifts, you don't mutate a live quantizer.
+    */
+  def ivfStreamingIngest(stream: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = stream.sparkSession
+    val bc = spark.sparkContext.broadcast(readCentroids(spark, path))
+    stream
+      .withColumn("cell", nearestCellUdf(bc)(col("embedding")))
+      .writeStream
+      .format("parquet")
+      .option("path", s"$path/delta")
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("cell")
+      .start()
+  }
+
+  /** Fold the streaming `delta/` tier into the base `cells/` tier:
+    * one partitioned rewrite of base ∪ delta, committed by Hadoop FS
+    * rename (the journal persister's pattern), then the delta and its
+    * commit log are dropped. Run offline — stop the ingest query
+    * first; on restart its checkpoint skips the already-folded batches.
+    */
+  def ivfCompactIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val delta = new Path(s"$path/delta")
+    val fs = delta.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(delta)) return
+    val merged = spark.read.parquet(s"$path/cells")
+      .unionByName(spark.read.parquet(s"$path/delta"))
+    merged.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/cells_compacting")
+    val cells = new Path(s"$path/cells")
+    fs.delete(cells, true)
+    require(fs.rename(new Path(s"$path/cells_compacting"), cells),
+      s"rename of compacted index failed under $path")
+    fs.delete(delta, true)
   }
 
   /** Probe a materialized IVF index: assign each probe its `nprobe`
@@ -440,11 +506,7 @@ object Similarity {
   def ivfProbeIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       probes: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
     import spark.implicits._
-    val cents: Array[Array[Double]] = spark.read.parquet(s"$path/centroids")
-      .orderBy(col("cell").asc)
-      .select(col("centroid")).as[Seq[Double]].collect()
-      .map(_.toArray)
-    val bc = spark.sparkContext.broadcast(cents)
+    val bc = spark.sparkContext.broadcast(readCentroids(spark, path))
     val nearestCells = udf { (e: Seq[Float], n: Int) =>
       val cs = bc.value
       cs.indices.map { ci =>
@@ -459,8 +521,19 @@ object Similarity {
     // Bounded collect: ≤ nlist distinct cell ids, for the partition
     // filter. IN over partition values prunes the unprobed dirs.
     val probedCells = pb.select(col("cell")).distinct().as[Int].collect().toSeq
-    val cb = spark.read.parquet(s"$path/cells")
-      .filter(col("cell").isin(probedCells: _*))
+    // Base tier ∪ streaming delta tier (if an ingest has run), both
+    // scans partition-pruned to the probed cells. The delta read goes
+    // through the file sink's commit log, so only committed batches
+    // are visible.
+    val base = spark.read.parquet(s"$path/cells")
+    val deltaPath = new org.apache.hadoop.fs.Path(s"$path/delta")
+    val fs = deltaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val tiers =
+      if (fs.exists(deltaPath))
+        base.unionByName(
+          spark.read.parquet(s"$path/delta").select(base.columns.map(col): _*))
+      else base
+    val cb = tiers.filter(col("cell").isin(probedCells: _*))
     val joined = cb.join(broadcast(pb),
         cb("cell") === pb("cell") && col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),

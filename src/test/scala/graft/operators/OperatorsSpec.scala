@@ -147,6 +147,38 @@ class OperatorsSpec extends SparkSpec {
       s"expected pruned scan, read $selected of $onDisk cell partitions")
   }
 
+  test("IVF streaming ingest: delta tier is probed, compact folds it into base") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rnd = new scala.util.Random(13)
+    val base = (0L until 40L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfstream").toString
+    Similarity.ivfBuildIndex(base, idx, nlist = 4)
+
+    // Stream in a vector IDENTICAL to probe 0's direction (2× scale ⇒
+    // cosine 1.0): it must land in probe 0's own cell and take rank 1.
+    val probeVec = base.filter($"vec_id" === 0L)
+      .select($"embedding").as[Seq[Float]].head()
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    input.addData((1000L, probeVec.map(_ * 2.0f)))
+    val q = Similarity.ivfStreamingIngest(
+      input.toDF.toDF("vec_id", "embedding"), idx,
+      java.nio.file.Files.createTempDirectory("graft-ivfstream-ck").toString)
+    q.processAllAvailable()
+    q.stop()
+
+    def top1 = Similarity.ivfProbeIndex(spark, idx,
+        base.filter($"vec_id" === 0L), k = 1, nprobe = 1)
+      .select($"vec_id", $"sim").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top1.toSeq == Seq((1000L, 1.0)), s"delta vector not probed: ${top1.toSeq}")
+
+    // Compact: delta folds into base, results unchanged, delta gone.
+    Similarity.ivfCompactIndex(spark, idx)
+    assert(!new java.io.File(s"$idx/delta").exists())
+    assert(top1.toSeq == Seq((1000L, 1.0)), "compacted index lost the delta rows")
+  }
+
   test("cosinePairs finds exactly the pairs above threshold, ordered va < vb") {
     import spark.implicits._
     val vecs = Seq(
