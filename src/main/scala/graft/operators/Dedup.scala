@@ -202,17 +202,42 @@ object Dedup {
       }.toDF("doc_id", "band", "bucket")
   }
 
+  /** Skew guard for LSH candidate generation: drop bucket groups with
+    * more than `max` members BEFORE the pair join. A single hot bucket
+    * (duplicate-heavy corpora produce exactly this) fans out |B|²/2
+    * candidate pairs — at 100 TB one million-row bucket is 5·10¹¹
+    * pairs through the exchange, a job-killer no partitioning fixes
+    * because the blow-up is in the OUTPUT. A bucket that hot at
+    * near-dup thresholds means mass exact duplication: run exact dedup
+    * first (its groups collapse map-side), then the capped buckets are
+    * small again. Opt-in (`maxBucket=None` keeps every pair) so
+    * oracle-gated results are unchanged unless asked for; the window
+    * count rides the same (keys) hash partitioning the pair join
+    * shuffles on anyway.
+    */
+  private[operators] def capBuckets(buckets: DataFrame, max: Option[Int],
+      keys: String*): DataFrame = max match {
+    case None => buckets
+    case Some(m) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*)
+      buckets.withColumn("__bsz", count(lit(1)).over(w))
+        .filter(col("__bsz") <= m).drop("__bsz")
+  }
+
   def minhashLshPairs(
       docs: DataFrame, // (doc_id, sh)
       threshold: Double,
       numHashes: Int = 48,
-      bands: Int = 12): DataFrame = {
+      bands: Int = 12,
+      maxBucket: Option[Int] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // Cache: shingle arrays are re-read by the verification joins, and
     // cross-branch plan reuse does NOT exist — without materialization
     // every reference re-runs the tokenize+shingle pipeline.
     val d = docs.persist(StorageLevel.MEMORY_AND_DISK)
-    val buckets = bandBuckets(d, numHashes, bands)
+    val buckets = capBuckets(bandBuckets(d, numHashes, bands), maxBucket,
+      "band", "bucket")
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -242,12 +267,16 @@ object Dedup {
       b: DataFrame, // (doc_id, sh)
       threshold: Double,
       numHashes: Int = 48,
-      bands: Int = 12): DataFrame = {
+      bands: Int = 12,
+      maxBucket: Option[Int] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val da = a.persist(StorageLevel.MEMORY_AND_DISK)
     val db = b.persist(StorageLevel.MEMORY_AND_DISK)
+    // The cap applies to the HISTORY side (`b`) — the side whose hot
+    // buckets dominate the fan-out; the fresh side is usually small.
     val cand = bandBuckets(da, numHashes, bands).as("x")
-      .join(bandBuckets(db, numHashes, bands).as("y"),
+      .join(capBuckets(bandBuckets(db, numHashes, bands), maxBucket,
+          "band", "bucket").as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()

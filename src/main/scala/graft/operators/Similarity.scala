@@ -157,7 +157,7 @@ object Similarity {
     */
   def lshNearDupPairs(corpus: DataFrame, threshold: Double,
       bands: Int = 8, planesPerBand: Int = 4, dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, maxBucket: Option[Int] = None): DataFrame = {
     // All band buckets in ONE fused primitive loop per row: the column
     // form ([[lshBucket]] per band) evaluates bands×planes interpreted
     // aggregate(zip_with) dots per row — measured ~10× slower on this
@@ -184,9 +184,11 @@ object Similarity {
         bucket
       }
     }
-    val bucketed = corpus
-      .select(col("vec_id"), posexplode(bandBuckets(col("embedding"))))
-      .select(col("pos").as("band"), col("col").as("bucket"), col("vec_id"))
+    val bucketed = Dedup.capBuckets(
+      corpus
+        .select(col("vec_id"), posexplode(bandBuckets(col("embedding"))))
+        .select(col("pos").as("band"), col("col").as("bucket"), col("vec_id")),
+      maxBucket, "band", "bucket") // skew guard — see Dedup.capBuckets
     val cand = bucketed.as("l").join(bucketed.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("l.vec_id") < col("r.vec_id"))

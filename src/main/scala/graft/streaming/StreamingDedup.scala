@@ -39,7 +39,8 @@ object StreamingDedup {
 
   /** foreachBatch body. `docs` must carry (doc_id, text). */
   def sink(indexDir: String, outDir: String, threshold: Double = 0.85,
-      shingleN: Int = 3, numHashes: Int = 48, bands: Int = 12)(
+      shingleN: Int = 3, numHashes: Int = 48, bands: Int = 12,
+      maxBucket: Option[Int] = None)(
       docs: DataFrame, batchId: Long): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -53,7 +54,13 @@ object StreamingDedup {
     val cached = scala.collection.mutable.ArrayBuffer[DataFrame](d)
     try {
       // 1. Within-batch near-dups: keep the smaller doc_id of each pair.
-      val batchDups = Dedup.minhashLshPairs(d, threshold, numHashes, bands)
+      // maxBucket: the within-batch skew guard (Dedup.capBuckets) — a
+      // burst of mass-duplicated docs in one micro-batch otherwise fans
+      // out |B|² candidate pairs. The accepted index can't grow hot
+      // buckets (duplicates never enter it), so the guard only needs to
+      // cover the batch side.
+      val batchDups = Dedup.minhashLshPairs(d, threshold, numHashes, bands,
+        maxBucket)
         .select($"db".as("doc_id")).distinct()
       val dIntra = d.join(batchDups, Seq("doc_id"), "left_anti")
         .persist(StorageLevel.MEMORY_AND_DISK)

@@ -54,6 +54,38 @@ class OperatorsSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("maxBucket skew guard drops hot-bucket pairs, keeps cold-bucket pairs") {
+    import spark.implicits._
+    def tok(p: String, i: Int) = s"$p${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+    // 20 identical docs (one hot bucket per band) + one cold near-dup
+    // pair with distinct text.
+    val hotText = (1 to 60).map(tok("h", _)).mkString(" ")
+    val coldA = (1 to 60).map(tok("c", _)).mkString(" ")
+    val coldB = (1 to 58).map(tok("c", _)).mkString(" ") + " altx alty"
+    val rows = (1L to 20L).map(i => (i, hotText)) ++ Seq((98L, coldA), (99L, coldB))
+    val d = Dedup.docShingles(docs(rows: _*), $"doc_id", $"text", 3)
+
+    val uncapped = Dedup.minhashLshPairs(d, 0.5)
+      .select($"da", $"db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((1L, 2L)) && uncapped.contains((98L, 99L)))
+
+    val capped = Dedup.minhashLshPairs(d, 0.5, maxBucket = Some(10))
+      .select($"da", $"db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((98L, 99L)),
+      s"cap should drop the 20-doc hot bucket, keep the cold pair: $capped")
+
+    // Embedding-side guard: 20 identical vectors (hot cell) + a cold
+    // near-identical pair elsewhere.
+    val hotVec = Seq.fill(8)(1.0f)
+    val coldV = Seq(1f, -1f, 1f, -1f, 1f, -1f, 1f, -1f)
+    val vecs = ((1L to 20L).map(i => (i, hotVec)) ++
+      Seq((98L, coldV), (99L, coldV.map(_ * 2f)))).toDF("vec_id", "embedding")
+    val vCapped = Similarity.lshNearDupPairs(vecs, 0.9, dim = 8,
+        maxBucket = Some(10))
+      .select($"va", $"vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(vCapped == Set((98L, 99L)), s"embedding cap: $vCapped")
+  }
+
   test("minhashLshJoin: cross-corpus near-dups, no self-pairs, both directions keyed") {
     import spark.implicits._
     def tok(p: String, i: Int) = s"$p${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
