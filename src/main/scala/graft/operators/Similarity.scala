@@ -86,6 +86,26 @@ object Similarity {
   /** Column form of the fused cosine (see [[cosineUdf]]). */
   def cosineFused(a: Column, b: Column): Column = cosineUdf(a, b)
 
+  /** Fused dot product alone — for callers that already hold the two
+    * norms (e.g. the at-rest index, which stores `nrm` per vector):
+    * dot/(nrmA*nrmB) is bit-identical to [[cosineUdf]] because the
+    * norm accumulations there run in the same index order, but the
+    * inner loop shrinks from 3 multiply-adds per element to 1. */
+  private[operators] val dotUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+    var d = 0.0; var k = 0
+    val n = a.length
+    while (k < n) { d += a(k).toDouble * b(k).toDouble; k += 1 }
+    d
+  }
+
+  /** Fused L2 norm (same accumulation order as [[cosineUdf]]'s). */
+  private[operators] val normUdf = udf { a: Seq[Float] =>
+    var s = 0.0; var k = 0
+    val n = a.length
+    while (k < n) { val x = a(k).toDouble; s += x * x; k += 1 }
+    math.sqrt(s)
+  }
+
   def cosinePairs(corpus: DataFrame, threshold: Double): DataFrame = {
     // Explicit broadcast-nested-loop: one corpus copy rides to every
     // task as primitive float arrays, and the streamed side flatMaps
@@ -431,8 +451,12 @@ object Similarity {
     import spark.implicits._
     val cents = ivfCentroids(corpus, nlist, seed)
     val bc = spark.sparkContext.broadcast(cents)
+    // `nrm` stored at rest: probes then verify candidates with ONE
+    // fused dot per pair instead of the 3-accumulator cosine loop —
+    // same bits (see dotUdf), a third of the verification FLOPs.
     corpus
       .withColumn("cell", nearestCellUdf(bc)(col("embedding")))
+      .withColumn("nrm", normUdf(col("embedding")))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/cells")
     cents.zipWithIndex
@@ -463,6 +487,7 @@ object Similarity {
     val bc = spark.sparkContext.broadcast(readCentroids(spark, path))
     stream
       .withColumn("cell", nearestCellUdf(bc)(col("embedding")))
+      .withColumn("nrm", normUdf(col("embedding")))
       .writeStream
       .format("parquet")
       .option("path", s"$path/delta")
@@ -519,6 +544,7 @@ object Similarity {
       }.sortBy { case (ci, d) => (-d, ci) }.take(n).map(_._1)
     }
     val pb = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+      normUdf(col("embedding")).as("pnrm"),
       explode(nearestCells(col("embedding"), lit(nprobe))).as("cell"))
     // Bounded collect: ≤ nlist distinct cell ids, for the partition
     // filter. IN over partition values prunes the unprobed dirs.
@@ -539,7 +565,8 @@ object Similarity {
     val joined = cb.join(broadcast(pb),
         cb("cell") === pb("cell") && col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
-        round(cosineUdf(col("pe"), col("embedding")), 6).as("sim"))
+        round(dotUdf(col("pe"), col("embedding")) / (col("pnrm") * col("nrm")),
+          6).as("sim"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

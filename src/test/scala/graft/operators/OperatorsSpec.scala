@@ -86,6 +86,24 @@ class OperatorsSpec extends SparkSpec {
     assert(vCapped == Set((98L, 99L)), s"embedding cap: $vCapped")
   }
 
+  test("maxBucket invariants: capped pairs ⊆ uncapped; cap ≥ corpus is identity") {
+    import spark.implicits._
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val words = Array("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+      val rows = (1L to 25L).map { i =>
+        (i, Seq.fill(30)(words(rnd.nextInt(words.length))).mkString(" "))
+      }
+      val d = Dedup.docShingles(docs(rows: _*), $"doc_id", $"text", 3)
+      def pairs(cap: Option[Int]) =
+        Dedup.minhashLshPairs(d, 0.3, maxBucket = cap)
+          .select($"da", $"db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val uncapped = pairs(None)
+      assert(pairs(Some(5)).subsetOf(uncapped), s"seed $seed: cap added pairs")
+      assert(pairs(Some(1000)) == uncapped, s"seed $seed: no-op cap changed pairs")
+    }
+  }
+
   test("minhashLshJoin: cross-corpus near-dups, no self-pairs, both directions keyed") {
     import spark.implicits._
     def tok(p: String, i: Int) = s"$p${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
