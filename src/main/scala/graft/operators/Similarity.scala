@@ -272,69 +272,133 @@ object Similarity {
     * Returns (probe_id, vec_id, adc, rank): top-k smallest ADC per
     * probe, ties to the lower vec_id.
     */
-  def pqTopK(corpus: DataFrame, probes: DataFrame, kTop: Int,
-      m: Int = 4, k: Int = 16, dim: Int = 64): DataFrame = {
+  /** Deterministic PQ codebooks: md5-ordered corpus samples (k-means
+    * iterations would only tighten cells). k full-dim rows — each
+    * subvector mi uses its [mi·subDim, (mi+1)·subDim) slice. */
+  def pqCodebooks(corpus: DataFrame, k: Int): Array[Array[Double]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val subDim = dim / m
-    val sampled = corpus.select(col("vec_id"), col("embedding"))
+    corpus.select(col("vec_id"), col("embedding"))
       .orderBy(md5(concat(lit("pq"), col("vec_id").cast("string"))).asc,
         col("vec_id").asc)
       .limit(k).as[(Long, Array[Float])].collect()
-    val cents: Array[Array[Double]] = sampled.map(_._2.map(_.toDouble))
-    val bc = spark.sparkContext.broadcast(cents)
+      .map(_._2.map(_.toDouble))
+  }
 
-    def sqDist(a: Seq[Float], c: Array[Double], lo: Int, n: Int): Double = {
-      var d = 0.0
-      var i = 0
-      while (i < n) {
-        val x = a(lo + i).toDouble - c(lo + i)
-        d += x * x
-        i += 1
-      }
-      d
+  private def pqSqDist(a: Seq[Float], c: Array[Double], lo: Int, n: Int): Double = {
+    var d = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(lo + i).toDouble - c(lo + i)
+      d += x * x
+      i += 1
     }
-    val codesUdf = udf { v: Seq[Float] =>
+    d
+  }
+
+  private def pqCodesUdf(
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]], m: Int) =
+    udf { v: Seq[Float] =>
       val cs = bc.value
+      val subDim = v.length / m
       (0 until m).map { mi =>
         var best = 0
         var bestD = Double.MaxValue
         var ci = 0
         while (ci < cs.length) {
-          val d = sqDist(v, cs(ci), mi * subDim, subDim)
+          val d = pqSqDist(v, cs(ci), mi * subDim, subDim)
           if (d < bestD) { bestD = d; best = ci }
           ci += 1
         }
         best
       }
     }
-    // ADC: the m partial distances sum in DECIMAL so the total is
-    // float-order-independent. Fused into one UDF — the explode +
-    // decimal groupBy form shuffles m rows per (probe, corpus) pair
-    // (m·n·|probes| rows through an exchange) to add FOUR numbers.
-    // Each partial converts exactly as Spark's double→decimal(38,18)
-    // cast does (shortest-repr string → BigDecimal, HALF_UP scale);
-    // decimal addition is exact, so fusing preserves bit-equality with
-    // the previous aggregate and the SQL oracle.
-    val adcUdf = udf { (p: Seq[Float], codes: Seq[Int]) =>
+
+  // ADC: the m partial distances sum in DECIMAL so the total is
+  // float-order-independent. Fused into one UDF — the explode +
+  // decimal groupBy form shuffles m rows per (probe, corpus) pair
+  // (m·n·|probes| rows through an exchange) to add FOUR numbers.
+  // Each partial converts exactly as Spark's double→decimal(38,18)
+  // cast does (shortest-repr string → BigDecimal, HALF_UP scale);
+  // decimal addition is exact, so fusing preserves bit-equality with
+  // the previous aggregate and the SQL oracle.
+  private def pqAdcUdf(
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]) =
+    udf { (p: Seq[Float], codes: Seq[Int]) =>
       val cs = bc.value
+      val subDim = p.length / codes.length
       var acc = java.math.BigDecimal.ZERO
       var mi = 0
       while (mi < codes.length) {
-        val d = sqDist(p, cs(codes(mi)), mi * subDim, subDim)
+        val d = pqSqDist(p, cs(codes(mi)), mi * subDim, subDim)
         acc = acc.add(new java.math.BigDecimal(java.lang.Double.toString(d))
           .setScale(18, java.math.RoundingMode.HALF_UP))
         mi += 1
       }
       acc.doubleValue
     }
+
+  def pqTopK(corpus: DataFrame, probes: DataFrame, kTop: Int,
+      m: Int = 4, k: Int = 16, dim: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
+    val bc = spark.sparkContext.broadcast(pqCodebooks(corpus, k))
     val coded = corpus
       .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("vec_id"), codesUdf(col("embedding")).as("codes"))
+      .select(col("vec_id"), pqCodesUdf(bc, m)(col("embedding")).as("codes"))
     val pb = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
     val joined = coded.join(broadcast(pb), col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
-        round(adcUdf(col("pe"), col("codes")), 6).as("adc"))
+        round(pqAdcUdf(bc)(col("pe"), col("codes")), 6).as("adc"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= kTop)
+  }
+
+  /** Materialize the PQ index: the corpus reduced to its code table
+    * (vec_id, m byte-ish codes) plus the tiny codebooks. THIS is the
+    * point of PQ at 100 TB — the search scan reads the codes parquet
+    * only: 64 floats (256 B) become m=4 small ints (≈4 B compressed),
+    * so a full-corpus ADC pass touches ~64× fewer bytes at rest than
+    * the embedding table, and the embeddings themselves are never read
+    * at query time.
+    */
+  def pqBuildIndex(corpus: DataFrame, path: String,
+      m: Int = 4, k: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = pqCodebooks(corpus, k)
+    val bc = spark.sparkContext.broadcast(cents)
+    corpus
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), pqCodesUdf(bc, m)(col("embedding")).as("codes"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+    cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("code", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    bc.destroy()
+  }
+
+  /** ADC search against a materialized PQ index: probes (exact
+    * vectors, broadcast) scan the stored code table — no embedding
+    * read, no shuffle of the corpus. Same quantizer and decimal ADC
+    * accumulation as [[pqTopK]], so with equal (m, k) the results are
+    * identical.
+    */
+  def pqProbeIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      probes: DataFrame, kTop: Int): DataFrame = {
+    import spark.implicits._
+    val cents: Array[Array[Double]] = spark.read.parquet(s"$path/codebooks")
+      .orderBy(col("code").asc)
+      .select(col("centroid")).as[Seq[Double]].collect()
+      .map(_.toArray)
+    val bc = spark.sparkContext.broadcast(cents)
+    val coded = spark.read.parquet(s"$path/codes")
+    val pb = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val joined = coded.join(broadcast(pb), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(pqAdcUdf(bc)(col("pe"), col("codes")), 6).as("adc"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("adc").asc, col("vec_id").asc)
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= kTop)

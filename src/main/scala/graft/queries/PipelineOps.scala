@@ -206,6 +206,19 @@ object PipelineOps {
         .select($"probe_id", $"vec_id", $"adc", $"rank")
     },
 
+    // ---- q86: ADC search against a PQ index MATERIALIZED AT REST —
+    // the scan reads the (vec_id, codes) table only (~64× fewer bytes
+    // than the embedding table; embeddings never read at query time).
+    // Same quantizer and params as q46 ⇒ same oracle.
+    "q86_pq_at_rest" -> { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val idx = java.nio.file.Files.createTempDirectory("graft-pq").toString
+      Similarity.pqBuildIndex(emb, idx)
+      Similarity.pqProbeIndex(s, idx, emb.filter($"vec_id" < 10), kTop = 5)
+        .select($"probe_id", $"vec_id", $"adc", $"rank")
+    },
+
     // ---- q37: embedding-cosine near-dup pairs, in the shape that
     // survives 100 TB: banded sign-LSH candidates + exact cosine
     // verification — no driver collect, no all-pairs scan. The corpus
@@ -486,6 +499,9 @@ object PipelineOps {
     // bit of the result.
     "q85_ann_ivf_at_rest" -> ivfAnnOracle,
     "q46_pq_ann" -> pqAnnOracle,
+    // Same quantizer, same decimal ADC — the at-rest code table must
+    // not change one bit of the result.
+    "q86_pq_at_rest" -> pqAnnOracle,
 
     "q27_cosine_topk" ->
       """SELECT probe_id, vec_id, sim, rank FROM (

@@ -197,6 +197,26 @@ class OperatorsSpec extends SparkSpec {
       s"expected pruned scan, read $selected of $onDisk cell partitions")
   }
 
+  test("PQ index at rest: probe equals inline pqTopK; scan reads codes only") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val vecs = (0L until 50L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val probes = vecs.filter($"vec_id" < 2)
+    val idx = java.nio.file.Files.createTempDirectory("graft-pqidx").toString
+    Similarity.pqBuildIndex(vecs, idx, m = 4, k = 8)
+    val atRest = Similarity.pqProbeIndex(spark, idx, probes, kTop = 3)
+    val inline = Similarity.pqTopK(vecs, probes, kTop = 3, m = 4, k = 8)
+      .select($"probe_id", $"vec_id", $"adc", $"rank")
+      .collect().map(_.toSeq).toSet
+    assert(atRest.select($"probe_id", $"vec_id", $"adc", $"rank")
+      .collect().map(_.toSeq).toSet == inline)
+    // The code table holds ONLY (vec_id, codes) — embeddings are not
+    // at rest in the index, so the ADC scan cannot read them.
+    assert(spark.read.parquet(s"$idx/codes").columns.toSet ==
+      Set("vec_id", "codes"))
+  }
+
   test("IVF streaming ingest: delta tier is probed, compact folds it into base") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
