@@ -404,6 +404,77 @@ object Similarity {
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= kTop)
   }
 
+  /** Materialize an IVF+PQ index (the canonical large-scale ANN layout,
+    * FAISS's IVFPQ shape): the code table is PARTITIONED by coarse IVF
+    * cell AND holds PQ codes instead of embeddings. A probe batch then
+    * combines both savings — it reads only its nprobe cell partitions
+    * (partition pruning) and what it reads is the ~64×-compressed code
+    * table, never the embeddings. Coarse centroids and PQ codebooks are
+    * both deterministic md5-ordered samples (SQL-replayable).
+    */
+  def ivfPqBuildIndex(corpus: DataFrame, path: String,
+      nlist: Int = 16, m: Int = 4, k: Int = 16, seed: Long = 42L): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = ivfCentroids(corpus, nlist, seed)
+    val books = pqCodebooks(corpus, k)
+    val bcC = spark.sparkContext.broadcast(cents)
+    val bcB = spark.sparkContext.broadcast(books)
+    corpus
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"),
+        pqCodesUdf(bcB, m)(col("embedding")).as("codes"),
+        nearestCellUdf(bcC)(col("embedding")).as("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/codes")
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    books.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("code", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    bcC.destroy(); bcB.destroy()
+  }
+
+  /** ADC search against an IVF+PQ index: probes route to their nprobe
+    * cells, the scan reads ONLY those `cell=` partitions of the code
+    * table, and distances are asymmetric (exact probe vs stored codes)
+    * with the same decimal accumulation as [[pqTopK]] — with
+    * nprobe = nlist the candidate set is the whole corpus and results
+    * equal [[pqTopK]] exactly.
+    */
+  def ivfPqProbeIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      probes: DataFrame, kTop: Int, nprobe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val bcC = spark.sparkContext.broadcast(readCentroids(spark, path))
+    val books: Array[Array[Double]] = spark.read.parquet(s"$path/codebooks")
+      .orderBy(col("code").asc)
+      .select(col("centroid")).as[Seq[Double]].collect()
+      .map(_.toArray)
+    val bcB = spark.sparkContext.broadcast(books)
+    val nearestCells = udf { (e: Seq[Float], n: Int) =>
+      val cs = bcC.value
+      cs.indices.map { ci =>
+        val c = cs(ci)
+        var dotv = 0.0; var i = 0
+        while (i < c.length) { dotv += e(i).toDouble * c(i); i += 1 }
+        (ci, dotv)
+      }.sortBy { case (ci, d) => (-d, ci) }.take(n).map(_._1)
+    }
+    val pb = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+      explode(nearestCells(col("embedding"), lit(nprobe))).as("cell"))
+    val probedCells = pb.select(col("cell")).distinct().as[Int].collect().toSeq
+    val coded = spark.read.parquet(s"$path/codes")
+      .filter(col("cell").isin(probedCells: _*))
+    val joined = coded.join(broadcast(pb),
+        coded("cell") === pb("cell") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(pqAdcUdf(bcB)(col("pe"), col("codes")), 6).as("adc"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= kTop)
+  }
+
   /** IVF (inverted-file) ANN: a coarse quantizer of `nlist` centroids
     * (deterministically sampled corpus vectors, normalized) partitions
     * the corpus into cells; probes search their `nprobe` nearest cells.

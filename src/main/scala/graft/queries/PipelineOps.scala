@@ -219,6 +219,20 @@ object PipelineOps {
         .select($"probe_id", $"vec_id", $"adc", $"rank")
     },
 
+    // ---- q87: IVF+PQ at rest (the FAISS IVFPQ layout) — the code
+    // table is partitioned by coarse cell AND compressed to PQ codes:
+    // a probe batch reads only its nprobe cell partitions, and what it
+    // reads is ~64× smaller than the embeddings it never touches.
+    "q87_ivfpq_at_rest" -> { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+      Similarity.ivfPqBuildIndex(emb, idx)
+      Similarity.ivfPqProbeIndex(s, idx, emb.filter($"vec_id" < 10),
+          kTop = 5, nprobe = 4)
+        .select($"probe_id", $"vec_id", $"adc", $"rank")
+    },
+
     // ---- q37: embedding-cosine near-dup pairs, in the shape that
     // survives 100 TB: banded sign-LSH candidates + exact cosine
     // verification — no driver collect, no all-pairs scan. The corpus
@@ -413,6 +427,63 @@ object PipelineOps {
        |WHERE rank <= 5""".stripMargin
   }
 
+  /** q87 oracle: IVF cell routing (the q38 CTEs, `i`-prefixed) composed
+    * with the PQ code/ADC pipeline (the q46 CTEs) — candidates are the
+    * corpus rows whose coarse cell is among the probe's nprobe cells,
+    * ranked by decimal-summed ADC.
+    */
+  private def ivfPqOracle: String = {
+    val subDim = 16
+    def sq(av: String, cv: String) =
+      s"""list_aggregate(list_transform(range(1, ${subDim + 1}),
+         |      i -> ($av[m.m * $subDim + i] - $cv[m.m * $subDim + i])
+         |         * ($av[m.m * $subDim + i] - $cv[m.m * $subDim + i])), 'sum')""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |isamp AS (SELECT vec_id, v,
+       |    row_number() OVER (ORDER BY md5('ivf42' || vec_id::VARCHAR), vec_id) AS rn
+       |  FROM e),
+       |icents AS (SELECT rn - 1 AS ci,
+       |    list_transform(v, x -> x / (CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END)) AS c
+       |  FROM (SELECT rn, v, sqrt(list_inner_product(v, v)) AS nrm
+       |        FROM isamp WHERE rn <= 16)),
+       |cellrank AS (SELECT e.vec_id, e.v, c.ci,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_inner_product(e.v, c.c) DESC, c.ci ASC) AS r
+       |  FROM e CROSS JOIN icents c),
+       |cells AS (SELECT vec_id, ci AS cell FROM cellrank WHERE r = 1),
+       |pcells AS (SELECT vec_id AS probe_id, ci AS cell
+       |  FROM cellrank WHERE vec_id < 10 AND r <= 4),
+       |samp AS (SELECT vec_id, v,
+       |    row_number() OVER (ORDER BY md5('pq' || vec_id::VARCHAR), vec_id) AS rn
+       |  FROM e),
+       |cents AS (SELECT rn - 1 AS ci, v AS cv FROM samp WHERE rn <= 16),
+       |ms AS (SELECT unnest(range(0, 4)) AS m),
+       |assign AS (SELECT e.vec_id, c.ci, m.m,
+       |    row_number() OVER (PARTITION BY e.vec_id, m.m
+       |      ORDER BY ${sq("e.v", "c.cv")} ASC, c.ci ASC) AS r
+       |  FROM e CROSS JOIN cents c CROSS JOIN ms m),
+       |codes AS (SELECT vec_id, m, ci FROM assign WHERE r = 1),
+       |probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
+       |cand AS (SELECT DISTINCT p.probe_id, c.vec_id
+       |  FROM pcells p JOIN cells c ON p.cell = c.cell
+       |  WHERE c.vec_id <> p.probe_id),
+       |parts AS (SELECT p.probe_id, k.vec_id, m.m, ${sq("p.pv", "c.cv")} AS dm
+       |  FROM probes p
+       |  JOIN cand ON cand.probe_id = p.probe_id
+       |  JOIN codes k ON k.vec_id = cand.vec_id
+       |  JOIN ms m ON m.m = k.m
+       |  JOIN cents c ON c.ci = k.ci),
+       |adc AS (SELECT probe_id, vec_id,
+       |    round(CAST(sum(CAST(dm AS DECIMAL(38,18))) AS DOUBLE), 6) AS adc
+       |  FROM parts GROUP BY probe_id, vec_id)
+       |SELECT probe_id, vec_id, adc, rank FROM (
+       |  SELECT probe_id, vec_id, adc,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY adc ASC, vec_id ASC) AS rank
+       |  FROM adc) t
+       |WHERE rank <= 5""".stripMargin
+  }
+
   private val langHits = Seq(
     "en" -> "(the|and|of|is|to)", "de" -> "(der|die|und|ist|das)",
     "es" -> "(el|la|los|es|y)", "fr" -> "(le|les|est|et|une)",
@@ -502,6 +573,7 @@ object PipelineOps {
     // Same quantizer, same decimal ADC — the at-rest code table must
     // not change one bit of the result.
     "q86_pq_at_rest" -> pqAnnOracle,
+    "q87_ivfpq_at_rest" -> ivfPqOracle,
 
     "q27_cosine_topk" ->
       """SELECT probe_id, vec_id, sim, rank FROM (

@@ -217,6 +217,45 @@ class OperatorsSpec extends SparkSpec {
       Set("vec_id", "codes"))
   }
 
+  test("IVFPQ at rest: nprobe=nlist equals pqTopK exactly; small nprobe prunes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val vecs = (0L until 50L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val probes = vecs.filter($"vec_id" < 2)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    Similarity.ivfPqBuildIndex(vecs, idx, nlist = 8, m = 4, k = 8)
+
+    // Probing every cell = the candidate set is the whole corpus, so
+    // the ADC ranking must match the plain PQ search bit-for-bit.
+    val exhaustive = Similarity.ivfPqProbeIndex(spark, idx, probes,
+        kTop = 3, nprobe = 8)
+      .select($"probe_id", $"vec_id", $"adc", $"rank")
+      .collect().map(_.toSeq).toSet
+    val pq = Similarity.pqTopK(vecs, probes, kTop = 3, m = 4, k = 8)
+      .select($"probe_id", $"vec_id", $"adc", $"rank")
+      .collect().map(_.toSeq).toSet
+    assert(exhaustive == pq)
+
+    // nprobe=2: at most 2 cells per probe reach the scan.
+    val pruned = Similarity.ivfPqProbeIndex(spark, idx, probes,
+      kTop = 3, nprobe = 2)
+    pruned.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case q: QueryStageExec => fileScans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other =>
+        other.children.flatMap(fileScans) ++ other.subqueries.flatMap(fileScans)
+    }
+    val selected = fileScans(pruned.queryExecution.executedPlan)
+      .map(_.selectedPartitions.partitionCount).max
+    assert(selected <= 4, s"expected ≤4 probed cell partitions, read $selected")
+  }
+
   test("IVF streaming ingest: delta tier is probed, compact folds it into base") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
