@@ -436,12 +436,61 @@ object Similarity {
     bcC.destroy(); bcB.destroy()
   }
 
+  /** Continuously ingest vectors into an IVF+PQ index: micro-batches
+    * are assigned a coarse cell and PQ codes against the index's FIXED
+    * quantizers, then appended to a cell-partitioned `delta/` tier via
+    * the exactly-once parquet file sink (same tiering as
+    * [[ivfStreamingIngest]]); [[ivfPqProbeIndex]] reads base ∪ delta
+    * and [[ivfPqCompactIndex]] folds the delta back.
+    */
+  def ivfPqStreamingIngest(stream: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val bcC = spark.sparkContext.broadcast(readCentroids(spark, path))
+    val books: Array[Array[Double]] = spark.read.parquet(s"$path/codebooks")
+      .orderBy(col("code").asc)
+      .select(col("centroid")).as[Seq[Double]].collect().map(_.toArray)
+    val m = spark.read.parquet(s"$path/codes")
+      .select(size(col("codes"))).as[Int].head()
+    val bcB = spark.sparkContext.broadcast(books)
+    stream
+      .select(col("vec_id"),
+        pqCodesUdf(bcB, m)(col("embedding")).as("codes"),
+        nearestCellUdf(bcC)(col("embedding")).as("cell"))
+      .writeStream
+      .format("parquet")
+      .option("path", s"$path/delta")
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("cell")
+      .start()
+  }
+
+  /** Fold the IVF+PQ streaming delta into the base code table (see
+    * [[ivfCompactIndex]] — same offline rewrite-and-rename). */
+  def ivfPqCompactIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val delta = new Path(s"$path/delta")
+    val fs = delta.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(delta)) return
+    val merged = spark.read.parquet(s"$path/codes")
+      .unionByName(spark.read.parquet(s"$path/delta"))
+    merged.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/codes_compacting")
+    val codes = new Path(s"$path/codes")
+    fs.delete(codes, true)
+    require(fs.rename(new Path(s"$path/codes_compacting"), codes),
+      s"rename of compacted IVFPQ index failed under $path")
+    fs.delete(delta, true)
+  }
+
   /** ADC search against an IVF+PQ index: probes route to their nprobe
     * cells, the scan reads ONLY those `cell=` partitions of the code
-    * table, and distances are asymmetric (exact probe vs stored codes)
-    * with the same decimal accumulation as [[pqTopK]] — with
-    * nprobe = nlist the candidate set is the whole corpus and results
-    * equal [[pqTopK]] exactly.
+    * table (base ∪ any streaming delta), and distances are asymmetric
+    * (exact probe vs stored codes) with the same decimal accumulation
+    * as [[pqTopK]] — with nprobe = nlist the candidate set is the
+    * whole corpus and results equal [[pqTopK]] exactly.
     */
   def ivfPqProbeIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       probes: DataFrame, kTop: Int, nprobe: Int = 4): DataFrame = {
@@ -464,8 +513,15 @@ object Similarity {
     val pb = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
       explode(nearestCells(col("embedding"), lit(nprobe))).as("cell"))
     val probedCells = pb.select(col("cell")).distinct().as[Int].collect().toSeq
-    val coded = spark.read.parquet(s"$path/codes")
-      .filter(col("cell").isin(probedCells: _*))
+    val codesBase = spark.read.parquet(s"$path/codes")
+    val deltaPath = new org.apache.hadoop.fs.Path(s"$path/delta")
+    val fs = deltaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val codesAll =
+      if (fs.exists(deltaPath))
+        codesBase.unionByName(spark.read.parquet(s"$path/delta")
+          .select(codesBase.columns.map(col): _*))
+      else codesBase
+    val coded = codesAll.filter(col("cell").isin(probedCells: _*))
     val joined = coded.join(broadcast(pb),
         coded("cell") === pb("cell") && col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),

@@ -256,6 +256,37 @@ class OperatorsSpec extends SparkSpec {
     assert(selected <= 4, s"expected ≤4 probed cell partitions, read $selected")
   }
 
+  test("IVFPQ streaming ingest: delta codes are probed, compact folds them") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rnd = new scala.util.Random(23)
+    val vecs = (0L until 30L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpqstream").toString
+    Similarity.ivfPqBuildIndex(vecs, idx, nlist = 4, m = 4, k = 8)
+
+    val probeVec = vecs.filter($"vec_id" === 0L)
+      .select($"embedding").as[Seq[Float]].head()
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    input.addData((1000L, probeVec.map(_ * 2.0f)))
+    val q = Similarity.ivfPqStreamingIngest(
+      input.toDF.toDF("vec_id", "embedding"), idx,
+      java.nio.file.Files.createTempDirectory("graft-ivfpqstream-ck").toString)
+    q.processAllAvailable()
+    q.stop()
+
+    // Probing every cell with kTop = full corpus: the streamed row is
+    // visible through the delta tier.
+    def ids = Similarity.ivfPqProbeIndex(spark, idx,
+        vecs.filter($"vec_id" === 0L), kTop = 30, nprobe = 4)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(ids.contains(1000L), s"delta codes not probed: $ids")
+
+    Similarity.ivfPqCompactIndex(spark, idx)
+    assert(!new java.io.File(s"$idx/delta").exists())
+    assert(ids.contains(1000L), "compacted IVFPQ index lost the delta rows")
+  }
+
   test("IVF streaming ingest: delta tier is probed, compact folds it into base") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
