@@ -255,6 +255,33 @@ object Similarity {
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Index-quality evaluation: recall@k of an approximate ranked result
+    * against the exact one. Both inputs are ranked neighbor tables in
+    * the family's common shape `(probe_id, vec_id, …, rank)` (what
+    * [[bruteTopK]], [[lshTopK]], [[ivfTopK]], [[pqTopK]] and the
+    * at-rest probes all return), so any index variant can be scored
+    * against any ground truth without re-running either search.
+    *
+    * Scale shape: both sides are top-k tables — k rows per probe, never
+    * corpus-sized — so the overlap join is a probe-keyed hash join over
+    * O(|probes|·k) rows regardless of corpus size; the expensive part
+    * is producing the inputs, which each have their own scale story.
+    *
+    * Returns one row per probe: `(probe_id, n_hits, recall)` where
+    * n_hits = |exact top-k ∩ approx top-k| and recall = n_hits / k.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val e = exact.filter(col("rank") <= k)
+      .select(col("probe_id"), col("vec_id"))
+    val a = approx.filter(col("rank") <= k)
+      .select(col("probe_id").as("a_probe"), col("vec_id").as("a_vec"))
+    e.join(a, e("probe_id") === col("a_probe") && e("vec_id") === col("a_vec"),
+        "left")
+      .groupBy(col("probe_id"))
+      .agg(count(col("a_vec")).as("n_hits"),
+        round(count(col("a_vec")) / lit(k).cast("double"), 4).as("recall"))
+  }
+
   /** Product-quantization ANN (PQ, Jégou et al. TPAMI'11 shape):
     * split each vector into `m` subvectors, quantize each against a
     * per-subvector codebook of `k` centroids, and answer queries with

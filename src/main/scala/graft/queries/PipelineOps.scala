@@ -233,6 +233,20 @@ object PipelineOps {
         .select($"probe_id", $"vec_id", $"adc", $"rank")
     },
 
+    // ---- q88: index-quality evaluation — recall@5 of the sign-LSH
+    // index (q28's exact configuration) scored against the brute-force
+    // ground truth (q27's). The overlap join touches only the two
+    // top-k tables (k rows per probe), never the corpus; at 100 TB the
+    // recall report costs what one probe batch costs.
+    "q88_ann_recall" -> { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.filter($"vec_id" < 10)
+      Similarity.recallAtK(
+        Similarity.bruteTopK(emb, probes, k = 5),
+        Similarity.lshTopK(emb, probes, k = 5, numPlanes = 6), k = 5)
+    },
+
     // ---- q37: embedding-cosine near-dup pairs, in the shape that
     // survives 100 TB: banded sign-LSH candidates + exact cosine
     // verification — no driver collect, no all-pairs scan. The corpus
@@ -313,7 +327,12 @@ object PipelineOps {
     * [[Similarity.lshTopK]], emitted as SQL double literals (shortest
     * repr round-trips exactly), then exact within-bucket cosine top-k.
     */
-  private def lshAnnOracle: String = {
+  /** Shared CTE prefix for the sign-LSH oracles: `e(vec_id, v)` the
+    * cast corpus, `b` with the 6-plane bucket id, `p` the probe set —
+    * the same seeded hyperplanes as [[Similarity.lshTopK]] (double
+    * literals round-trip exactly).
+    */
+  private def lshCtePrefix: String = {
     val planes = Similarity.hyperplanes(numPlanes = 6, dim = 64)
     def arr(p: Array[Double]) = p.mkString("[", ", ", "]")
     val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
@@ -321,7 +340,11 @@ object PipelineOps {
     }.mkString(" + ")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
-       |p AS (SELECT vec_id AS probe_id, v AS pv, bucket FROM b WHERE vec_id < 10)
+       |p AS (SELECT vec_id AS probe_id, v AS pv, bucket FROM b WHERE vec_id < 10)""".stripMargin
+  }
+
+  private def lshAnnOracle: String =
+    s"""$lshCtePrefix
        |SELECT probe_id, vec_id, sim, rank FROM (
        |  SELECT p.probe_id, c.vec_id,
        |    round(list_cosine_similarity(p.pv, c.v), 6) AS sim,
@@ -330,7 +353,34 @@ object PipelineOps {
        |               c.vec_id ASC) AS rank
        |  FROM p JOIN b c ON p.bucket = c.bucket AND c.vec_id <> p.probe_id) t
        |WHERE rank <= 5""".stripMargin
-  }
+
+  /** q88 oracle: exact top-5 (q27's ranking) LEFT JOIN the LSH top-5
+    * (q28's), counted per probe — recall@5 of the index against ground
+    * truth, replayed entirely in SQL.
+    */
+  private def annRecallOracle: String =
+    s"""$lshCtePrefix,
+       |ann AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT p.probe_id, c.vec_id,
+       |      row_number() OVER (PARTITION BY p.probe_id
+       |        ORDER BY round(list_cosine_similarity(p.pv, c.v), 6) DESC,
+       |                 c.vec_id ASC) AS rank
+       |    FROM p JOIN b c ON p.bucket = c.bucket AND c.vec_id <> p.probe_id) t
+       |  WHERE rank <= 5),
+       |exact AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT p.probe_id, c.vec_id,
+       |      row_number() OVER (PARTITION BY p.probe_id
+       |        ORDER BY round(list_cosine_similarity(p.pv, c.v), 6) DESC,
+       |                 c.vec_id ASC) AS rank
+       |    FROM p JOIN e c ON c.vec_id <> p.probe_id) t
+       |  WHERE rank <= 5)
+       |SELECT x.probe_id, count(a.vec_id) AS n_hits,
+       |  round(CAST(count(a.vec_id) AS DOUBLE) / 5.0, 4) AS recall
+       |FROM exact x LEFT JOIN ann a
+       |  ON x.probe_id = a.probe_id AND x.vec_id = a.vec_id
+       |GROUP BY x.probe_id""".stripMargin
 
   /** q37 oracle: the banded sign-LSH near-dup pipeline in SQL — per-band
     * bucket ids from the SAME seeded hyperplanes as
@@ -565,6 +615,7 @@ object PipelineOps {
     "q25_minhash_lsh_pairs" -> docShinglesCte(""),
     "q26_simhash_pairs" -> simhashOracle,
     "q28_ann_lsh" -> lshAnnOracle,
+    "q88_ann_recall" -> annRecallOracle,
     "q38_ann_ivf" -> ivfAnnOracle,
     // Same math, same params — the at-rest layout must not change one
     // bit of the result.

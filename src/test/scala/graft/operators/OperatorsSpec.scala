@@ -256,6 +256,35 @@ class OperatorsSpec extends SparkSpec {
     assert(selected <= 4, s"expected ≤4 probed cell partitions, read $selected")
   }
 
+  test("recallAtK: identical inputs score 1.0; a dropped neighbor scores k-1/k") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val probes = vecs.filter($"vec_id" < 3L)
+    val exact = Similarity.bruteTopK(vecs, probes, k = 4)
+
+    val perfect = Similarity.recallAtK(exact, exact, k = 4)
+      .select($"probe_id", $"n_hits", $"recall").collect()
+    assert(perfect.length == 3)
+    assert(perfect.forall(r => r.getLong(1) == 4L && r.getDouble(2) == 1.0))
+
+    // Drop probe 0's rank-1 neighbor from the "approx" side.
+    val top1 = exact.filter($"probe_id" === 0L && $"rank" === 1L)
+      .select($"vec_id").as[Long].head()
+    val approx = exact.filter(!($"probe_id" === 0L && $"vec_id" === top1))
+    val scored = Similarity.recallAtK(exact, approx, k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scored(0L) == 3L)
+    assert(scored(1L) == 4L && scored(2L) == 4L)
+
+    // Rows beyond rank k on either side are ignored: a k=10 approx
+    // table scored at k=4 matches the k=4 ground truth exactly.
+    val padded = Similarity.recallAtK(exact,
+      Similarity.bruteTopK(vecs, probes, k = 10), k = 4)
+    assert(padded.agg(min($"recall")).head().getDouble(0) == 1.0)
+  }
+
   test("IVFPQ streaming ingest: delta codes are probed, compact folds them") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
