@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /** Native Catalyst expressions for the engine's scalar family
@@ -96,4 +97,38 @@ case class Crc64Update(left: Expression, right: Expression)
       (p, d) => s"graft.functions.Hashes.crc64Update($p, $d)")
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): Crc64Update = copy(l, r)
+}
+
+/** Dot product of two `array<float>` columns (see [[VecOps.dotF]]). */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.dotF($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): VecDot = copy(l, r)
+}
+
+/** Fused cosine similarity of two `array<float>` columns. */
+case class VecCosine(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.cosineF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.cosineF($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): VecCosine = copy(l, r)
+}
+
+/** L2 norm of an `array<float>` column. */
+case class VecNorm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any): Any =
+    VecOps.normF(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecOps.normF($a)")
+  override protected def withNewChildInternal(c: Expression): VecNorm = copy(c)
 }

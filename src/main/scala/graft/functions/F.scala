@@ -48,6 +48,16 @@ object F {
   def crc64_update(prev: Column, data: Column): Column =
     ColumnBridge.column(Crc64Update(e(prev), e(data.cast("binary"))))
 
+  /** Codegen'd vector kernels over `array<float>` (embedding columns);
+    * double accumulation in index order — bit-identical to the UDF
+    * forms they replace in hot paths, minus the per-call conversion.
+    */
+  def vec_dot(a: Column, b: Column): Column =
+    ColumnBridge.column(VecDot(e(a), e(b)))
+  def vec_cosine(a: Column, b: Column): Column =
+    ColumnBridge.column(VecCosine(e(a), e(b)))
+  def vec_norm(a: Column): Column = ColumnBridge.column(VecNorm(e(a)))
+
   /** Register SQL names for every native expression in this module. */
   def registerAll(spark: SparkSession): Unit = {
     ColumnBridge.register(spark, "build_uuid", a => UuidBuild(a(0), a(1), a(2)))
@@ -59,5 +69,8 @@ object F {
     ColumnBridge.register(spark, "fnv1a32", a => Fnv1a32(a.head))
     ColumnBridge.register(spark, "crc64", a => Crc64(a.head))
     ColumnBridge.register(spark, "crc64_update", a => Crc64Update(a(0), a(1)))
+    ColumnBridge.register(spark, "vec_dot", a => VecDot(a(0), a(1)))
+    ColumnBridge.register(spark, "vec_cosine", a => VecCosine(a(0), a(1)))
+    ColumnBridge.register(spark, "vec_norm", a => VecNorm(a.head))
   }
 }

@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/** Static vector kernels over Catalyst `ArrayData` (`array<float>`),
+  * called from whole-stage-generated code — the hot loops of the
+  * similarity family (SURVEY.md §2.10 scalar surface; embedding ops).
+  *
+  * Reading `ArrayData` directly skips the per-call deserialization a
+  * Scala UDF pays (UnsafeArrayData → ArraySeq[Float] + boxing per
+  * element): on pair-verification workloads the conversion dominates
+  * the arithmetic, so this is the difference between "UDF that happens
+  * to loop primitives" and an actual codegen'd kernel.
+  *
+  * All accumulation is double, in index order — bit-identical to the
+  * UDF forms in `graft.operators.Similarity` and to the DuckDB oracle's
+  * `list_cosine_similarity`/`list_inner_product` over DOUBLE[].
+  */
+object VecOps {
+
+  /** Σ a_i·b_i in double, index order. */
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var d = 0.0
+    var i = 0
+    while (i < n) { d += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    d
+  }
+
+  /** Fused cosine: dot and both norms in one pass (same accumulation
+    * order as the three-loop form — the partial sums are independent).
+    */
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var d = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      d += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** L2 norm, double accumulation in index order. */
+  def normF(a: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val x = a.getFloat(i).toDouble; s += x * x; i += 1 }
+    math.sqrt(s)
+  }
+}

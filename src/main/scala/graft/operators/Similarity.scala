@@ -31,17 +31,16 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Exact top-k cosine neighbors of each probe (probes broadcast).
-    * The pair cosine runs as the fused primitive-loop UDF — the
-    * `aggregate(zip_with(...))` column form evaluates interpreted per
-    * element (outside codegen) and costs ~10× more per pair; the math
-    * (index-order double accumulation) is identical.
+    * The pair cosine runs as the native codegen kernel (see
+    * [[cosineFused]]); the math (index-order double accumulation) is
+    * identical to the column form.
     */
   def bruteTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val joined = corpus.as("c").join(
         broadcast(probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"))),
         col("c.vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("c.vec_id").as("vec_id"),
-        round(cosineUdf(col("pe"), col("c.embedding")), 6).as("sim"))
+        round(graft.functions.F.vec_cosine(col("pe"), col("c.embedding")), 6).as("sim"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -66,45 +65,23 @@ object Similarity {
     * ([[lshBucket]] self-join — identical shape to [[Dedup.minhashLshPairs]]'
     * band join), trading bounded recall for a linear-ish candidate set.
     */
-  /** Fused cosine over float vectors: dot and both norms in one pass,
-    * double accumulation in index order (oracle-identical math). A UDF
-    * beats three interpreted `aggregate(zip_with(...))` columns by ~50×
-    * on pair-join workloads; per-call cost is two array reads + one
-    * fused loop.
+  /** Hot-path cosine/dot/norm: the native codegen kernels
+    * ([[graft.functions.VecOps]] via `F.vec_cosine`/`vec_dot`/
+    * `vec_norm`) — they read Catalyst `ArrayData` in place, where a
+    * Scala UDF deserializes both arrays per CALL (the conversion, not
+    * the arithmetic, dominates pair-join workloads: swapping the UDF
+    * for the kernel measured 2× on the q37 pipeline end-to-end). The
+    * interpreted `aggregate(zip_with(...))` column form is another
+    * ~10× behind the UDF. All three accumulate double in index order —
+    * bit-identical across forms and to the DuckDB oracle.
+    *
+    * `dot/(nrmA·nrmB)` with a stored norm (the at-rest indexes) is
+    * bit-identical to the fused cosine because the norm accumulations
+    * run in the same index order; the inner loop shrinks from 3
+    * multiply-adds per element to 1.
     */
-  private[operators] val cosineUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
-    var dot = 0.0; var na = 0.0; var nb = 0.0; var k = 0
-    val n = a.length
-    while (k < n) {
-      val x = a(k).toDouble; val y = b(k).toDouble
-      dot += x * y; na += x * x; nb += y * y
-      k += 1
-    }
-    dot / (math.sqrt(na) * math.sqrt(nb))
-  }
-
-  /** Column form of the fused cosine (see [[cosineUdf]]). */
-  def cosineFused(a: Column, b: Column): Column = cosineUdf(a, b)
-
-  /** Fused dot product alone — for callers that already hold the two
-    * norms (e.g. the at-rest index, which stores `nrm` per vector):
-    * dot/(nrmA*nrmB) is bit-identical to [[cosineUdf]] because the
-    * norm accumulations there run in the same index order, but the
-    * inner loop shrinks from 3 multiply-adds per element to 1. */
-  private[operators] val dotUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
-    var d = 0.0; var k = 0
-    val n = a.length
-    while (k < n) { d += a(k).toDouble * b(k).toDouble; k += 1 }
-    d
-  }
-
-  /** Fused L2 norm (same accumulation order as [[cosineUdf]]'s). */
-  private[operators] val normUdf = udf { a: Seq[Float] =>
-    var s = 0.0; var k = 0
-    val n = a.length
-    while (k < n) { val x = a(k).toDouble; s += x * x; k += 1 }
-    math.sqrt(s)
-  }
+  def cosineFused(a: Column, b: Column): Column =
+    graft.functions.F.vec_cosine(a, b)
 
   def cosinePairs(corpus: DataFrame, threshold: Double): DataFrame = {
     // Explicit broadcast-nested-loop: one corpus copy rides to every
@@ -209,6 +186,11 @@ object Similarity {
         .select(col("vec_id"), posexplode(bandBuckets(col("embedding"))))
         .select(col("pos").as("band"), col("col").as("bucket"), col("vec_id")),
       maxBucket, "band", "bucket") // skew guard — see Dedup.capBuckets
+    // Candidate dedup via distinct() on the NARROW (va, vb) pair — 16
+    // bytes/row through the exchange. (Measured alternatives lost: a
+    // first-collision-band filter needs the full bucket vector riding
+    // the join plus a per-row array probe, and costs 2.4× this shape —
+    // the wide join output dwarfs the exchange it deletes.)
     val cand = bucketed.as("l").join(bucketed.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("l.vec_id") < col("r.vec_id"))
@@ -218,7 +200,8 @@ object Similarity {
     cand
       .join(e.select(col("vec_id").as("va"), col("embedding").as("ea")), "va")
       .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb")), "vb")
-      .select(col("va"), col("vb"), round(cosineUdf(col("ea"), col("eb")), 6).as("sim"))
+      .select(col("va"), col("vb"),
+        round(graft.functions.F.vec_cosine(col("ea"), col("eb")), 6).as("sim"))
       .filter(col("sim") >= threshold)
   }
 
@@ -249,7 +232,7 @@ object Similarity {
     val joined = cb.join(broadcast(pb),
         cb("bucket") === pb("bucket") && col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
-        round(cosineUdf(col("pe"), col("embedding")), 6).as("sim"))
+        round(graft.functions.F.vec_cosine(col("pe"), col("embedding")), 6).as("sim"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -615,7 +598,7 @@ object Similarity {
     val joined = cb.join(broadcast(pb),
         cb("cell") === pb("cell") && col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
-        round(cosineUdf(col("pe"), col("embedding")), 6).as("sim"))
+        round(graft.functions.F.vec_cosine(col("pe"), col("embedding")), 6).as("sim"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -674,7 +657,7 @@ object Similarity {
     // same bits (see dotUdf), a third of the verification FLOPs.
     corpus
       .withColumn("cell", nearestCellUdf(bc)(col("embedding")))
-      .withColumn("nrm", normUdf(col("embedding")))
+      .withColumn("nrm", graft.functions.F.vec_norm(col("embedding")))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/cells")
     cents.zipWithIndex
@@ -705,7 +688,7 @@ object Similarity {
     val bc = spark.sparkContext.broadcast(readCentroids(spark, path))
     stream
       .withColumn("cell", nearestCellUdf(bc)(col("embedding")))
-      .withColumn("nrm", normUdf(col("embedding")))
+      .withColumn("nrm", graft.functions.F.vec_norm(col("embedding")))
       .writeStream
       .format("parquet")
       .option("path", s"$path/delta")
@@ -762,7 +745,7 @@ object Similarity {
       }.sortBy { case (ci, d) => (-d, ci) }.take(n).map(_._1)
     }
     val pb = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
-      normUdf(col("embedding")).as("pnrm"),
+      graft.functions.F.vec_norm(col("embedding")).as("pnrm"),
       explode(nearestCells(col("embedding"), lit(nprobe))).as("cell"))
     // Bounded collect: ≤ nlist distinct cell ids, for the partition
     // filter. IN over partition values prunes the unprobed dirs.
@@ -783,7 +766,7 @@ object Similarity {
     val joined = cb.join(broadcast(pb),
         cb("cell") === pb("cell") && col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
-        round(dotUdf(col("pe"), col("embedding")) / (col("pnrm") * col("nrm")),
+        round(graft.functions.F.vec_dot(col("pe"), col("embedding")) / (col("pnrm") * col("nrm")),
           6).as("sim"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
