@@ -99,36 +99,68 @@ case class Crc64Update(left: Expression, right: Expression)
       l: Expression, r: Expression): Crc64Update = copy(l, r)
 }
 
-/** Dot product of two `array<float>` columns (see [[VecOps.dotF]]). */
+/** Element-type suffix for the [[VecOps]] kernel family: the kernels
+  * read `ArrayData` with typed getters, so each child's array element
+  * type picks the kernel at PLAN time (a wrong getter would corrupt
+  * silently, never error).
+  */
+private[functions] object VecKernels {
+  def suffix(e: Expression): String = e.dataType match {
+    case ArrayType(FloatType, _) => "F"
+    case ArrayType(DoubleType, _) => "D"
+    case other => throw new IllegalArgumentException(
+      s"vector kernel needs array<float> or array<double>, got $other")
+  }
+  def eval2(name: String): (ArrayData, ArrayData) => Double = name match {
+    case "dotFF" => VecOps.dotFF
+    case "dotFD" => VecOps.dotFD
+    case "dotDF" => VecOps.dotDF
+    case "dotDD" => VecOps.dotDD
+    case "cosineFF" => VecOps.cosineFF
+    case "cosineFD" => VecOps.cosineFD
+    case "cosineDF" => VecOps.cosineDF
+    case "cosineDD" => VecOps.cosineDD
+  }
+}
+
+/** Dot product of two vector columns (see [[VecOps]]). */
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  private lazy val kernel =
+    "dot" + VecKernels.suffix(left) + VecKernels.suffix(right)
+  private lazy val evalFn = VecKernels.eval2(kernel)
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    VecOps.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    evalFn(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.dotF($a, $b)")
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.$kernel($a, $b)")
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): VecDot = copy(l, r)
 }
 
-/** Fused cosine similarity of two `array<float>` columns. */
+/** Fused cosine similarity of two vector columns. */
 case class VecCosine(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  private lazy val kernel =
+    "cosine" + VecKernels.suffix(left) + VecKernels.suffix(right)
+  private lazy val evalFn = VecKernels.eval2(kernel)
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    VecOps.cosineF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    evalFn(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.cosineF($a, $b)")
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.$kernel($a, $b)")
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): VecCosine = copy(l, r)
 }
 
-/** L2 norm of an `array<float>` column. */
+/** L2 norm of a vector column. */
 case class VecNorm(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
+  private lazy val kernel = "norm" + VecKernels.suffix(child)
   override protected def nullSafeEval(a: Any): Any =
-    VecOps.normF(a.asInstanceOf[ArrayData])
+    if (kernel == "normF") VecOps.normF(a.asInstanceOf[ArrayData])
+    else VecOps.normD(a.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a => s"graft.functions.VecOps.normF($a)")
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecOps.$kernel($a)")
   override protected def withNewChildInternal(c: Expression): VecNorm = copy(c)
 }

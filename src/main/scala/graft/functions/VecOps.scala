@@ -18,8 +18,13 @@ import org.apache.spark.sql.catalyst.util.ArrayData
   */
 object VecOps {
 
+  // Element access is typed per kernel (getFloat reads 4 bytes of an
+  // 8-byte slot on a double array — silently wrong, never an error),
+  // so the expressions dispatch on each child's array element type:
+  // suffix F = array<float>, D = array<double>, in argument order.
+
   /** Σ a_i·b_i in double, index order. */
-  def dotF(a: ArrayData, b: ArrayData): Double = {
+  def dotFF(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
     var d = 0.0
     var i = 0
@@ -27,10 +32,32 @@ object VecOps {
     d
   }
 
+  /** Float-vector · double-vector (embedding against a literal
+    * hyperplane/centroid): each float widens to double before the
+    * multiply — the bits DuckDB gets from `list_inner_product(
+    * CAST(emb AS DOUBLE[]), plane)`. */
+  def dotFD(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var d = 0.0
+    var i = 0
+    while (i < n) { d += a.getFloat(i).toDouble * b.getDouble(i); i += 1 }
+    d
+  }
+
+  def dotDF(a: ArrayData, b: ArrayData): Double = dotFD(b, a)
+
+  def dotDD(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var d = 0.0
+    var i = 0
+    while (i < n) { d += a.getDouble(i) * b.getDouble(i); i += 1 }
+    d
+  }
+
   /** Fused cosine: dot and both norms in one pass (same accumulation
     * order as the three-loop form — the partial sums are independent).
     */
-  def cosineF(a: ArrayData, b: ArrayData): Double = {
+  def cosineFF(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
     var d = 0.0
     var na = 0.0
@@ -45,12 +72,52 @@ object VecOps {
     d / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  def cosineDD(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var d = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      d += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def cosineFD(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var d = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getDouble(i)
+      d += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def cosineDF(a: ArrayData, b: ArrayData): Double = cosineFD(b, a)
+
   /** L2 norm, double accumulation in index order. */
   def normF(a: ArrayData): Double = {
     val n = a.numElements()
     var s = 0.0
     var i = 0
     while (i < n) { val x = a.getFloat(i).toDouble; s += x * x; i += 1 }
+    math.sqrt(s)
+  }
+
+  def normD(a: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val x = a.getDouble(i); s += x * x; i += 1 }
     math.sqrt(s)
   }
 }

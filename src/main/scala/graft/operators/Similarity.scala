@@ -52,10 +52,17 @@ object Similarity {
     Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-LSH bucket id from `numPlanes` hyperplanes. */
+  /** Sign-LSH bucket id from `numPlanes` hyperplanes. Each plane dot
+    * is the codegen'd float×double kernel (`vec_dot`) against the
+    * plane literal — same widen-then-accumulate math as the column
+    * form, so bucket ids are unchanged; the interpreted
+    * `aggregate(zip_with(...))` per plane per row it replaces was the
+    * corpus-side cost of [[lshTopK]].
+    */
   def lshBucket(embedding: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      when(dot(embedding, typedlit(p.toSeq)) > 0, shiftleft(lit(1L), i)).otherwise(0L)
+      when(graft.functions.F.vec_dot(embedding, typedlit(p.toSeq)) > 0,
+        shiftleft(lit(1L), i)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
 
   /** Embedding-cosine near-duplicate pairs: every (va < vb) pair with

@@ -263,7 +263,7 @@ object PipelineOps {
       import s.implicits._
       Tables.embeddings(s, d)
         .select($"label",
-          round(Similarity.norm($"embedding"), 6).cast("decimal(18,6)").as("nrm"))
+          round(graft.functions.F.vec_norm($"embedding"), 6).cast("decimal(18,6)").as("nrm"))
         .groupBy($"label")
         .agg(count(lit(1)).as("n"),
           round(sum($"nrm").cast("double"), 4).as("sum_norm"))

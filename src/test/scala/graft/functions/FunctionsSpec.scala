@@ -110,4 +110,50 @@ class FunctionsSpec extends SparkSpec {
       .select(uuid_time($"uuid").cast("string").as("t"))
     assert(df.collect().head.getString(0) == "2019-09-01 02:23:41.981275")
   }
+
+  test("vec kernels: bit-identical to the interpreted column forms, all type mixes") {
+    import spark.implicits._
+    import F._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 50).map { i =>
+      val a = Seq.fill(64)(rnd.nextGaussian().toFloat)
+      val b = Seq.fill(64)(rnd.nextGaussian().toFloat)
+      (i.toLong, a, b, a.map(_.toDouble), b.map(_.toDouble))
+    }.toDF("id", "fa", "fb", "da", "db")
+
+    // Interpreted reference: cast-to-double, index-order accumulation.
+    def refDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+
+    val out = rows.select(
+      vec_dot($"fa", $"fb").as("dff"), refDot($"fa", $"fb").as("rff"),
+      vec_dot($"fa", $"db").as("dfd"), refDot($"fa", $"db").as("rfd"),
+      vec_dot($"da", $"fb").as("ddf"), refDot($"da", $"fb").as("rdf"),
+      vec_dot($"da", $"db").as("ddd"), refDot($"da", $"db").as("rdd"),
+      vec_cosine($"fa", $"fb").as("cff"),
+      (refDot($"fa", $"fb") / (sqrt(refDot($"fa", $"fa")) * sqrt(refDot($"fb", $"fb")))).as("cref"),
+      vec_cosine($"da", $"fb").as("cdf"),
+      vec_norm($"fa").as("nf"), sqrt(refDot($"fa", $"fa")).as("nref"),
+      vec_norm($"da").as("nd")).collect()
+
+    out.foreach { r =>
+      for ((k, ref) <- Seq("dff" -> "rff", "dfd" -> "rfd", "ddf" -> "rdf",
+          "ddd" -> "rdd", "cff" -> "cref", "cdf" -> "cref", "nf" -> "nref",
+          "nd" -> "nref"))
+        assert(r.getDouble(r.fieldIndex(k)) == r.getDouble(r.fieldIndex(ref)),
+          s"$k != $ref")
+    }
+
+    F.registerAll(spark)
+    rows.createOrReplaceTempView("veckernel_rows")
+    val viaSql = spark.sql(
+      "SELECT vec_cosine(fa, fb) AS c, vec_dot(fa, db) AS d, vec_norm(da) AS n FROM veckernel_rows LIMIT 1")
+    assert(viaSql.collect().head.getDouble(0) ==
+      rows.select(vec_cosine($"fa", $"fb")).collect().head.getDouble(0))
+
+    // Unsupported element types fail at plan time, not silently.
+    val ints = Seq((Seq(1, 2), Seq(3, 4))).toDF("x", "y")
+    intercept[Exception] { ints.select(vec_dot($"x", $"y")).collect() }
+  }
 }
