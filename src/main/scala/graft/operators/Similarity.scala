@@ -779,4 +779,32 @@ object Similarity {
       .orderBy(col("sim").desc, col("vec_id").asc)
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Serve a PROBE stream against the at-rest IVF index: each
+    * micro-batch of `(vec_id, embedding)` probes routes through
+    * [[ivfProbeIndex]] — the per-batch probed-cell set is
+    * data-dependent, so partition pruning can only be planned batch by
+    * batch, which is exactly what `foreachBatch` is for — and appends
+    * its top-k result rows to `outPath`. With [[ivfStreamingIngest]]
+    * and [[ivfCompactIndex]] this completes the index lifecycle:
+    * build at rest, ingest continuously, serve continuously, compact
+    * offline.
+    *
+    * Delivery is at-least-once per batch (a crash between the parquet
+    * append and the checkpoint commit replays the batch — unlike the
+    * ingest tier's file sink there is no `_spark_metadata` log here);
+    * replayed batches rewrite identical rows, so downstream readers
+    * dedup on (probe_id, vec_id) or read the latest run.
+    */
+  def ivfStreamingServe(probeStream: DataFrame, path: String,
+      outPath: String, checkpoint: String, k: Int,
+      nprobe: Int = 4): org.apache.spark.sql.streaming.StreamingQuery =
+    probeStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          ivfProbeIndex(batch.sparkSession, path, batch, k, nprobe)
+            .write.mode("append").parquet(outPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
 }

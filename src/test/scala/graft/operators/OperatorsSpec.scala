@@ -285,6 +285,36 @@ class OperatorsSpec extends SparkSpec {
     assert(padded.agg(min($"recall")).head().getDouble(0) == 1.0)
   }
 
+  test("IVF streaming serve: probe stream answers match the batch probe") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rnd = new scala.util.Random(31)
+    val vecs = (0L until 40L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfserve").toString
+    Similarity.ivfBuildIndex(vecs, idx, nlist = 4)
+
+    val probes = vecs.filter($"vec_id" < 3L)
+    val expected = Similarity.ivfProbeIndex(spark, idx, probes, k = 5, nprobe = 2)
+      .select($"probe_id", $"vec_id", $"sim", $"rank")
+      .collect().map(_.toSeq).toSet
+
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    input.addData(probes.as[(Long, Seq[Float])].collect().toSeq: _*)
+    val out = java.nio.file.Files.createTempDirectory("graft-ivfserve-out").toString
+    val q = Similarity.ivfStreamingServe(
+      input.toDF.toDF("vec_id", "embedding"), idx, out,
+      java.nio.file.Files.createTempDirectory("graft-ivfserve-ck").toString,
+      k = 5, nprobe = 2)
+    q.processAllAvailable()
+    q.stop()
+
+    val served = spark.read.parquet(out)
+      .select($"probe_id", $"vec_id", $"sim", $"rank")
+      .collect().map(_.toSeq).toSet
+    assert(served == expected)
+  }
+
   test("IVFPQ streaming ingest: delta codes are probed, compact folds them") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
