@@ -780,6 +780,33 @@ object Similarity {
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Cell-occupancy audit of the IVF coarse quantizer: rows and
+    * normalized load (n·nlist/total; 1.0 = perfectly even) per cell.
+    * The operational skew check for the at-rest layout — a cell with
+    * load ≫ 1 makes every probe of it scan-heavy and the partitioned
+    * write skewed; the remedy is re-training with more lists (see
+    * [[ivfBuildIndex]]'s scaladoc on quantizer lifecycle).
+    *
+    * One shuffle-free assignment pass (broadcast centroids) + one
+    * nlist-row aggregation; the load epilogue is a window over the
+    * nlist aggregated rows, not the corpus. For an index already at
+    * rest the same report is `spark.read.parquet(s"$$path/cells")
+    * .groupBy("cell")` — this form audits a PROSPECTIVE quantizer
+    * before paying the index write.
+    */
+  def ivfCellStats(corpus: DataFrame, nlist: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    val bc = spark.sparkContext.broadcast(ivfCentroids(corpus, nlist, seed))
+    val counts = corpus
+      .withColumn("cell", nearestCellUdf(bc)(col("embedding")))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy()
+    counts.select(col("cell"), col("n"),
+      round(col("n") * lit(nlist.toDouble) / sum(col("n")).over(w).cast("double"),
+        4).as("load"))
+  }
+
   /** Serve a PROBE stream against the at-rest IVF index: each
     * micro-batch of `(vec_id, embedding)` probes routes through
     * [[ivfProbeIndex]] — the per-batch probed-cell set is

@@ -267,6 +267,64 @@ object TextAnalysis {
     size(regexp_extract_all(text, lit(PhonePattern), lit(0))),
     size(regexp_extract_all(text, lit(Ipv4Pattern), lit(0))))
 
+  /** Per-document mean in-corpus bigram likelihood — the scoring side
+    * of the n-gram LM whose table q74 builds (CCNet-style fluency /
+    * quality signal: boilerplate and fluent text score high, shuffled
+    * or rare-word noise scores low):
+    *
+    *   score(d) = avg over d's bigrams (p, c) of
+    *              (count(p, c) + 1) / (count(p, ·) + V)
+    *
+    * add-one–smoothed conditional bigram probability, with V = corpus
+    * vocabulary size. The mean is arithmetic, not geometric — log-free
+    * on purpose: every term is one IEEE division of exact integer
+    * counts (bit-reproducible by any SQL engine), where a log-domain
+    * perplexity would inherit libm differences.
+    *
+    * Scale shape (100 TB): the count tables are map-side-combined
+    * aggregations over the bigram stream (vocabulary-sized, not
+    * corpus-sized); scoring joins hash on (p, c) and (p); V is a
+    * 1-row broadcast. Per-term rounding to 8 dp + decimal accumulation
+    * makes the per-doc sum order-independent.
+    *
+    * Output: (doc_id, n_bi, score), docs with ≥ 2 tokens.
+    */
+  def bigramLikelihood(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    // One tokenize pass, persisted: the token arrays feed the bigram
+    // stream, the vocabulary count, AND the per-doc scoring join.
+    val toks = docs.select(id.cast("long").as("doc_id"), text.as("text"))
+      .repartition(spark.sparkContext.defaultParallelism) // CPU-bound tokenize
+      .as[(Long, String)]
+      .map { case (i, t) => (i, tokenize(t).toSeq) }
+      .toDF("doc_id", "w")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bi = toks.as[(Long, Seq[String])].flatMap { case (i, w) =>
+      val out = Seq.newBuilder[(Long, String, String)]
+      var j = 0
+      while (j + 1 < w.length) { out += ((i, w(j), w(j + 1))); j += 1 }
+      out.result()
+    }.toDF("doc_id", "p", "c")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cb = bi.groupBy(col("p"), col("c")).agg(count(lit(1)).as("cb"))
+    val cp = bi.groupBy(col("p")).agg(count(lit(1)).as("cp"))
+    val vocab = toks.select(explode(col("w")).as("t"))
+      .agg(count_distinct(col("t")).as("v"))
+    val out = bi
+      .join(cb, Seq("p", "c"))
+      .join(cp, Seq("p"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        round((col("cb") + lit(1.0)) / (col("cp") + col("v")), 8)
+          .cast("decimal(28,8)").as("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bi"),
+        round((sum(col("term")).cast("double") / count(lit(1))), 6).as("score"))
+    out
+  }
+
   /** Single-pass language-ID: same formula as [[langId]] (per-language
     * stopword-hit argmax, priority-ordered ties) but one combined
     * `\b(w1|…|wN)\b` matcher pass per document instead of 25 regex

@@ -101,10 +101,44 @@ object CorpusOps {
         .filter(Curation.weightedKeep($"doc_id", w, "mix42"))
         .groupBy($"lang")
         .agg(count(lit(1)).as("n_kept"), sum($"n_chars").as("sum_chars"))
+    },
+
+    // ---- q89: per-document mean in-corpus bigram likelihood — the
+    // scoring side of the n-gram LM (q74 builds the table); a
+    // CCNet-style fluency/quality filter. Log-free on purpose: each
+    // term is one IEEE division of exact counts, so the score is
+    // bit-reproducible by the oracle (a log-domain perplexity would
+    // inherit libm differences).
+    "q89_bigram_likelihood" -> { (s, d) =>
+      import s.implicits._
+      TextAnalysis.bigramLikelihood(Tables.documents(s, d), $"doc_id", $"text")
     }
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q89_bigram_likelihood" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w)), i -> w[i])) AS p,
+        |    unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS c
+        |  FROM toks WHERE len(w) >= 2),
+        |cb AS (SELECT p, c, count(*) AS cb FROM bi GROUP BY 1, 2),
+        |cp AS (SELECT p, count(*) AS cp FROM bi GROUP BY 1),
+        |v AS (SELECT count(DISTINCT t) AS v
+        |      FROM (SELECT unnest(w) AS t FROM toks)),
+        |terms AS (
+        |  SELECT b.doc_id,
+        |    CAST(round((cb.cb + 1.0) / (cp.cp + v.v), 8) AS DECIMAL(28,8)) AS term
+        |  FROM bi b JOIN cb ON b.p = cb.p AND b.c = cb.c
+        |            JOIN cp ON b.p = cp.p
+        |            CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bi,
+        |  round(CAST(sum(term) AS DOUBLE) / count(*), 6) AS score
+        |FROM terms GROUP BY doc_id""".stripMargin,
+
     "q54_seq_packing" ->
       """WITH t AS (
         |  SELECT doc_id, doc_id % 8 AS shard,

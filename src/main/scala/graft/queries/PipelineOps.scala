@@ -247,6 +247,15 @@ object PipelineOps {
         Similarity.lshTopK(emb, probes, k = 5, numPlanes = 6), k = 5)
     },
 
+    // ---- q90: IVF cell-occupancy audit (q38/q85's quantizer) — the
+    // operational skew check run BEFORE paying an index build/write:
+    // per-cell count and normalized load. Broadcast assignment, one
+    // nlist-row aggregation.
+    "q90_ivf_cell_stats" -> { (s, d) =>
+      import s.implicits._
+      Similarity.ivfCellStats(Tables.embeddings(s, d), nlist = 16)
+    },
+
     // ---- q37: embedding-cosine near-dup pairs, in the shape that
     // survives 100 TB: banded sign-LSH candidates + exact cosine
     // verification — no driver collect, no all-pairs scan. The corpus
@@ -413,7 +422,12 @@ object PipelineOps {
     * unit-normalized centroids, argmax-dot cell assignment, nprobe=4
     * probe fan-out, exact cosine top-k within probed cells.
     */
-  private def ivfAnnOracle: String =
+  /** Shared CTE prefix for the IVF oracles: md5-sampled centroids,
+    * per-vector cell ranking, and `corpus(vec_id, v, cell)` — the
+    * argmax-1 assignment [[Similarity.ivfCentroids]]/`nearestCellUdf`
+    * replay in SQL.
+    */
+  private def ivfCtePrefix: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |samp AS (SELECT vec_id, v,
       |    row_number() OVER (ORDER BY md5('ivf42' || vec_id::VARCHAR), vec_id) AS rn
@@ -426,7 +440,10 @@ object PipelineOps {
       |    row_number() OVER (PARTITION BY e.vec_id
       |      ORDER BY list_inner_product(e.v, c.c) DESC, c.ci ASC) AS r
       |  FROM e CROSS JOIN cents c),
-      |corpus AS (SELECT vec_id, v, ci AS cell FROM cellrank WHERE r = 1),
+      |corpus AS (SELECT vec_id, v, ci AS cell FROM cellrank WHERE r = 1)""".stripMargin
+
+  private def ivfAnnOracle: String =
+    s"""$ivfCtePrefix,
       |probes AS (SELECT vec_id AS probe_id, v AS pv, ci AS cell
       |  FROM cellrank WHERE vec_id < 10 AND r <= 4)
       |SELECT probe_id, vec_id, sim, rank FROM (
@@ -437,6 +454,15 @@ object PipelineOps {
       |               c.vec_id ASC) AS rank
       |  FROM probes p JOIN corpus c ON p.cell = c.cell AND c.vec_id <> p.probe_id) t
       |WHERE rank <= 5""".stripMargin
+
+  /** q90 oracle: cell occupancy of the same IVF assignment — count and
+    * normalized load (n·nlist/total) per cell.
+    */
+  private def ivfCellStatsOracle: String =
+    s"""$ivfCtePrefix
+      |SELECT cell, count(*) AS n,
+      |  round(count(*) * 16.0 / CAST(sum(count(*)) OVER () AS DOUBLE), 4) AS load
+      |FROM corpus GROUP BY cell""".stripMargin
 
   /** q46 oracle: the PQ pipeline in SQL — md5-ordered codebook sample,
     * per-subvector argmin code assignment, ADC with decimal-summed
@@ -620,6 +646,7 @@ object PipelineOps {
     // Same math, same params — the at-rest layout must not change one
     // bit of the result.
     "q85_ann_ivf_at_rest" -> ivfAnnOracle,
+    "q90_ivf_cell_stats" -> ivfCellStatsOracle,
     "q46_pq_ann" -> pqAnnOracle,
     // Same quantizer, same decimal ADC — the at-rest code table must
     // not change one bit of the result.

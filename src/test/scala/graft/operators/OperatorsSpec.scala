@@ -256,6 +256,36 @@ class OperatorsSpec extends SparkSpec {
     assert(selected <= 4, s"expected ≤4 probed cell partitions, read $selected")
   }
 
+  test("bigramLikelihood: add-one smoothed terms match hand computation") {
+    import spark.implicits._
+    // doc 1: a b a b -> bigrams (a,b) (b,a) (a,b); doc 2: c c -> (c,c)
+    // V = 3; cb: (a,b)=2 (b,a)=1 (c,c)=1; cp: a=2 b=1 c=1
+    // doc 1 terms: (2+1)/(2+3)=0.6, (1+1)/(1+3)=0.5, 0.6 -> 1.7/3
+    // doc 2 terms: (1+1)/(1+3)=0.5
+    val out = TextAnalysis.bigramLikelihood(
+        docs((1L, "a b a b"), (2L, "c c")), $"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) == ((3L, 0.566667)))
+    assert(out(2L) == ((1L, 0.5)))
+    // one-token docs have no bigrams and are absent
+    val single = TextAnalysis.bigramLikelihood(
+      docs((1L, "hello"), (2L, "a b")), $"doc_id", $"text")
+    assert(single.select($"doc_id").as[Long].collect().toSet == Set(2L))
+  }
+
+  test("ivfCellStats: counts cover the corpus, loads sum to nlist") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 200L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val st = Similarity.ivfCellStats(vecs, nlist = 8)
+    val rows = st.collect()
+    assert(rows.map(_.getLong(1)).sum == 200L)
+    assert(rows.forall(_.getLong(1) >= 1L))
+    val loadSum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(loadSum - 8.0) < 1e-2, s"loads sum $loadSum != nlist")
+  }
+
   test("recallAtK: identical inputs score 1.0; a dropped neighbor scores k-1/k") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
