@@ -144,6 +144,62 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** A chosen banded-LSH configuration: `recall` is the collision
+    * probability 1-(1-p^rows)^bands for a pair AT the threshold;
+    * `bgCandidateRate` the same for an unrelated pair (the candidate
+    * volume a random corpus pays per pair).
+    */
+  final case class LshPlan(bands: Int, rowsPerBand: Int,
+    recall: Double, bgCandidateRate: Double)
+
+  /** Parameter planner for banded LSH: the cheapest (bands, rows per
+    * band) whose recall at the threshold meets `targetRecall`, where
+    * cost is the background candidate rate (what the pair join pays on
+    * unrelated pairs), tie-broken by total hash count bands·rows.
+    *
+    * `pAt` maps a similarity to its per-hash collision probability —
+    * sign-LSH: 1 - acos(c)/π; MinHash: the Jaccard value itself. The
+    * search space is tiny (maxBands·maxRows grid), run it at plan
+    * time, not per row. This is how q37's (8, 4) at τ=0.4 and the
+    * production note (~0.95 ⇒ recall>0.999) in its comment were
+    * derived.
+    */
+  def lshPlan(pAtThreshold: Double, pBackground: Double,
+      targetRecall: Double, maxBands: Int = 64,
+      maxRows: Int = 16): LshPlan = {
+    require(pAtThreshold > 0 && pAtThreshold < 1,
+      s"collision probability in (0,1), got $pAtThreshold")
+    def hit(p: Double, b: Int, r: Int) =
+      1.0 - math.pow(1.0 - math.pow(p, r), b)
+    val ok = for {
+      r <- 1 to maxRows
+      b <- 1 to maxBands
+      if hit(pAtThreshold, b, r) >= targetRecall
+    } yield LshPlan(b, r, hit(pAtThreshold, b, r), hit(pBackground, b, r))
+    require(ok.nonEmpty,
+      s"no (bands<=$maxBands, rows<=$maxRows) reaches recall $targetRecall")
+    ok.minBy(c => (c.bgCandidateRate, c.bands * c.rowsPerBand))
+  }
+
+  /** [[lshPlan]] for sign-LSH over cosine similarity: per-hyperplane
+    * collision probability 1 - acos(c)/π; background pairs in a
+    * random (zero-mean) corpus sit at cos≈0 ⇒ p=1/2.
+    */
+  def lshPlanCosine(threshold: Double, targetRecall: Double,
+      maxBands: Int = 64, maxRows: Int = 16): LshPlan =
+    lshPlan(1.0 - math.acos(threshold) / math.Pi, 0.5,
+      targetRecall, maxBands, maxRows)
+
+  /** [[lshPlan]] for MinHash over Jaccard: per-hash collision
+    * probability IS the Jaccard value; `bgJaccard` is the typical
+    * unrelated-pair similarity of the corpus (shingle overlap of
+    * random documents — near 0 for long shingles).
+    */
+  def lshPlanJaccard(threshold: Double, targetRecall: Double,
+      bgJaccard: Double = 0.05, maxBands: Int = 64,
+      maxRows: Int = 16): LshPlan =
+    lshPlan(threshold, bgJaccard, targetRecall, maxBands, maxRows)
+
   /** Embedding near-duplicate pairs at corpus scale: banded sign-LSH
     * candidate generation + exact cosine verification — the structure
     * of [[Dedup.minhashLshPairs]] with hyperplane buckets instead of
