@@ -539,6 +539,21 @@ object Similarity {
       .start()
   }
 
+  /** Serve a probe stream against the at-rest IVF+PQ index — the ADC
+    * analog of [[ivfStreamingServe]] (same per-batch partition
+    * pruning, same at-least-once append contract). */
+  def ivfPqStreamingServe(probeStream: DataFrame, path: String,
+      outPath: String, checkpoint: String, kTop: Int,
+      nprobe: Int = 4): org.apache.spark.sql.streaming.StreamingQuery =
+    probeStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          ivfPqProbeIndex(batch.sparkSession, path, batch, kTop, nprobe)
+            .write.mode("append").parquet(outPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Fold the IVF+PQ streaming delta into the base code table (see
     * [[ivfCompactIndex]] — same offline rewrite-and-rename). */
   def ivfPqCompactIndex(spark: org.apache.spark.sql.SparkSession,

@@ -344,6 +344,36 @@ class OperatorsSpec extends SparkSpec {
     assert(padded.agg(min($"recall")).head().getDouble(0) == 1.0)
   }
 
+  test("IVFPQ streaming serve: probe stream ADC answers match the batch probe") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rnd = new scala.util.Random(37)
+    val vecs = (0L until 40L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpqserve").toString
+    Similarity.ivfPqBuildIndex(vecs, idx, nlist = 4, m = 4, k = 8)
+
+    val probes = vecs.filter($"vec_id" < 2L)
+    val expected = Similarity.ivfPqProbeIndex(spark, idx, probes, kTop = 5, nprobe = 2)
+      .select($"probe_id", $"vec_id", $"adc", $"rank")
+      .collect().map(_.toSeq).toSet
+
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    input.addData(probes.as[(Long, Seq[Float])].collect().toSeq: _*)
+    val out = java.nio.file.Files.createTempDirectory("graft-ivfpqserve-out").toString
+    val q = Similarity.ivfPqStreamingServe(
+      input.toDF.toDF("vec_id", "embedding"), idx, out,
+      java.nio.file.Files.createTempDirectory("graft-ivfpqserve-ck").toString,
+      kTop = 5, nprobe = 2)
+    q.processAllAvailable()
+    q.stop()
+
+    val served = spark.read.parquet(out)
+      .select($"probe_id", $"vec_id", $"adc", $"rank")
+      .collect().map(_.toSeq).toSet
+    assert(served == expected)
+  }
+
   test("IVF streaming serve: probe stream answers match the batch probe") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
