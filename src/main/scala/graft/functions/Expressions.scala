@@ -153,6 +153,21 @@ case class VecCosine(left: Expression, right: Expression)
       l: Expression, r: Expression): VecCosine = copy(l, r)
 }
 
+/** 2-D Hilbert curve index of two long rank columns (see
+  * [[Curves.hilbert2]]); `bits` is the per-dimension grid depth.
+  */
+case class Hilbert2(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Curves.hilbert2(a.asInstanceOf[Long], b.asInstanceOf[Long], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.Curves.hilbert2($a, $b, $bits)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Hilbert2 = copy(left = l, right = r)
+}
+
 /** L2 norm of a vector column. */
 case class VecNorm(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType

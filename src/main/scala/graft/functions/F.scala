@@ -58,6 +58,10 @@ object F {
     ColumnBridge.column(VecCosine(e(a), e(b)))
   def vec_norm(a: Column): Column = ColumnBridge.column(VecNorm(e(a)))
 
+  /** 2-D Hilbert index of two rank columns in [0, 2^bits). */
+  def hilbert2(x: Column, y: Column, bits: Int): Column =
+    ColumnBridge.column(Hilbert2(e(x.cast("long")), e(y.cast("long")), bits))
+
   /** Register SQL names for every native expression in this module. */
   def registerAll(spark: SparkSession): Unit = {
     ColumnBridge.register(spark, "build_uuid", a => UuidBuild(a(0), a(1), a(2)))

@@ -74,6 +74,31 @@ object ScaleOps {
         expr(ZOrder.zSql(dims, bits = 16, duck = false)).as("zv"))
     },
 
+    // ---- q91: Hilbert clustering key over the SAME dimensions as
+    // q70 — the better-locality curve (consecutive keys are always
+    // grid neighbors, so range-partitioned files cover tighter
+    // hyper-boxes than Morton's bit-boundary jumps). Native codegen
+    // walk on the Spark side; the oracle unrolls the same reflect/
+    // rotate levels as a CTE chain — integer-exact in both dialects.
+    "q91_hilbert_key" -> { (s, d) =>
+      import s.implicits._
+      val orders = Tables.orders(s, d)
+      val stats = orders.agg(
+        min($"o_custkey"), max($"o_custkey"),
+        min(expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")),
+        max(expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000"))).head()
+      orders.select($"o_orderkey",
+        graft.functions.F.hilbert2(
+          expr(ZOrder.rankSql("o_custkey",
+            stats.getLong(0).toString, stats.getLong(1).toString,
+            bits = 16, duck = false)),
+          expr(ZOrder.rankSql(
+            "unix_millis(cast(o_orderdate as timestamp)) div 86400000",
+            stats.getLong(2).toString, stats.getLong(3).toString,
+            bits = 16, duck = false)),
+          bits = 16).as("hv"))
+    },
+
     // ---- q71: fixed-point PageRank (3 iterations) over the
     // bidirectional customer↔supplier trade graph (distinct pairs from
     // lineitem⋈orders; vertex id = 2·custkey / 2·suppkey+1). Integer
@@ -203,6 +228,22 @@ object ScaleOps {
         |    max(epoch_ms(o_orderdate) // 86400000) AS mx1
         |  FROM orders)
         |SELECT o_orderkey, $z AS zv FROM orders, stats""".stripMargin
+    },
+
+    "q91_hilbert_key" -> {
+      val bits = 16
+      val xr = graft.operators.ZOrder.rankSql(
+        "o_custkey", "mn0", "mx0", bits, duck = true)
+      val yr = graft.operators.ZOrder.rankSql(
+        "(epoch_ms(o_orderdate) // 86400000)", "mn1", "mx1", bits, duck = true)
+      s"""WITH stats AS (
+        |  SELECT min(o_custkey) AS mn0, max(o_custkey) AS mx0,
+        |    min(epoch_ms(o_orderdate) // 86400000) AS mn1,
+        |    max(epoch_ms(o_orderdate) // 86400000) AS mx1
+        |  FROM orders),
+        |${graft.operators.ZOrder.hilbertSqlDuck(Seq("o_orderkey"), xr, yr,
+             bits, "orders, stats")}
+        |SELECT o_orderkey, CAST(d$bits AS BIGINT) AS hv FROM h$bits""".stripMargin
     },
 
     "q71_pagerank" -> {

@@ -62,5 +62,66 @@ class ZOrderSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       ZOrder.withZValue(df, Seq(("x", 5L, 5L), ("y", 0L, 1L)), 4)
     }
+    intercept[IllegalArgumentException] {
+      ZOrder.withHilbertValue(df, Seq(("x", 0L, 1L)), 4)
+    }
+  }
+
+  test("hilbert index is a bijection whose consecutive cells are grid neighbors") {
+    import spark.implicits._
+    // First-order curve: (0,0) (0,1) (1,1) (1,0).
+    assert(graft.functions.Curves.hilbert2(0, 0, 1) == 0L)
+    assert(graft.functions.Curves.hilbert2(0, 1, 1) == 1L)
+    assert(graft.functions.Curves.hilbert2(1, 1, 1) == 2L)
+    assert(graft.functions.Curves.hilbert2(1, 0, 1) == 3L)
+
+    val bits = 3
+    val n = 1 << bits
+    val grid = (for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val d = ZOrder
+      .withHilbertValue(grid, Seq(("x", 0L, n - 1L), ("y", 0L, n - 1L)), bits)
+      .collect().map(r => r.getLong(2) -> (r.getLong(0), r.getLong(1))).toMap
+    // Bijection onto [0, 4^bits) ...
+    assert(d.keySet == (0L until (n.toLong * n)).toSet)
+    // ... and THE Hilbert property Morton lacks: every step of the
+    // walk moves to a Manhattan-distance-1 neighbor (no jumps).
+    for (i <- 0L until (n.toLong * n - 1)) {
+      val (x0, y0) = d(i); val (x1, y1) = d(i + 1)
+      assert(math.abs(x1 - x0) + math.abs(y1 - y0) == 1,
+        s"jump at d=$i: ($x0,$y0) -> ($x1,$y1)")
+    }
+    // The codegen expression agrees with the kernel on random ranks.
+    val rnd = new scala.util.Random(5)
+    val pts = Seq.fill(200)((rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong))
+      .toDF("x", "y")
+    val viaExpr = pts.select($"x", $"y",
+        graft.functions.F.hilbert2($"x", $"y", 16).as("h"))
+      .collect()
+    viaExpr.foreach { r =>
+      assert(r.getLong(2) ==
+        graft.functions.Curves.hilbert2(r.getLong(0), r.getLong(1), 16))
+    }
+  }
+
+  test("hilbert layout beats morton on average partition extent") {
+    import spark.implicits._
+    val n = 64
+    val grid = (for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val dims = Seq(("x", 0L, n - 1L), ("y", 0L, n - 1L))
+    val parts = 16
+    def avgMaxExtent(df: org.apache.spark.sql.DataFrame): Double = {
+      val boxes = df.withColumn("pid", spark_partition_id())
+        .groupBy($"pid")
+        .agg((max($"x") - min($"x") + 1).as("w"), (max($"y") - min($"y") + 1).as("h"))
+        .select(greatest($"w", $"h").cast("double").as("e")).collect().map(_.getDouble(0))
+      boxes.sum / boxes.length
+    }
+    val h = avgMaxExtent(ZOrder.layoutByHilbert(grid, dims, 6, parts))
+    val z = avgMaxExtent(ZOrder.layoutByZ(grid, dims, 6, parts))
+    // Both cluster well; Hilbert's continuity can only tighten boxes.
+    assert(h <= z + 1e-9, s"hilbert extent $h worse than morton $z")
+    assert(h <= 32, s"hilbert boxes too loose: $h")
   }
 }
