@@ -1,0 +1,67 @@
+package graft.plans
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Plan-SHAPE regression suite: the scale properties PLANS.md audits by
+  * hand, locked in as assertions so a refactor can't silently
+  * reintroduce a driver-side collect shape, a cartesian product, or a
+  * shuffle where a broadcast was the design.
+  *
+  * Planned (not executed) at sf0.001 — `executedPlan` gives the
+  * pre-AQE physical plan; queries whose CONSTRUCTION runs driver
+  * actions (stats heads, index builds, k-means rounds) run those at
+  * the smallest scale.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("no gate query plans a CartesianProduct") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
+      val p = try plan(n) catch { case e: Throwable => s"ERROR ${e.getMessage}" }
+      if (p.contains("CartesianProduct")) Some(n) else None
+    }
+    assert(offenders.isEmpty,
+      s"cartesian products in: ${offenders.mkString(", ")}")
+  }
+
+  test("star join q04 broadcasts every dimension") {
+    val p = plan("q04_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), "dimensions must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "the fact table must not sort-merge against a dimension")
+  }
+
+  test("q37 candidates flow through equi-joins only") {
+    val p = plan("q37_embedding_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "near-dup candidates must come from the banded equi-join, not a loop join")
+    assert(!p.contains("CollectLimit"), "no driver-side corpus collect")
+  }
+
+  test("layout keys (q70/q91) derive with zero exchanges") {
+    for (q <- Seq("q70_zorder_key", "q91_hilbert_key")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"),
+        s"$q: key derivation is a narrow map over the scan, got:\n$p")
+    }
+  }
+
+  test("q59 bloom prefilter keeps the fact side scan-shaped") {
+    val p = plan("q59_bloom_semijoin")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "bloom semi-join must stay broadcast-shaped at this scale")
+  }
+
+  test("q88 recall overlap joins two top-k tables, never the corpus") {
+    // Window rank caps both inputs at k rows per probe BEFORE the
+    // overlap join: the join inputs must sit above a rank filter.
+    val p = plan("q88_ann_recall")
+    assert(p.contains("row_number"), "ranked inputs expected")
+    assert(!p.contains("CartesianProduct"))
+  }
+}
