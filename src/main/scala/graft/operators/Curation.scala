@@ -32,7 +32,8 @@ object Curation {
     * Rounds needed = graph diameter; near-dup clusters are near-cliques
     * (diameter ~1-3). The per-round convergence check is one count on
     * the changed-set — driver-side loop, executor-side data, nothing
-    * collected.
+    * collected. For HIGH-diameter graphs (chains, lattices) use
+    * [[connectedComponentsStars]] — O(log n) rounds, same result.
     *
     * Lineage is TRUNCATED every round (the label table is rebuilt as a
     * fresh leaf over the materialized rows, then cached): persist alone
@@ -86,6 +87,73 @@ object Curation {
     require(converged, s"connectedComponents did not converge in $maxIter rounds — " +
       "component diameter exceeds the bound; raise maxIter")
     labels
+  }
+
+  /** Connected components by alternating large-star/small-star
+    * rounds (the published MapReduce-scale algorithm — Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14):
+    * converges in O(log n) rounds regardless of diameter, where
+    * [[connectedComponents]]' min-label propagation needs
+    * O(diameter) rounds — chains and lattices (passage-overlap
+    * graphs, citation paths) defeat the diameter bound, near-clique
+    * dedup graphs don't. Same contract and same result: (id, comp)
+    * with comp = the component's smallest vertex id; singletons
+    * absent.
+    *
+    * Shape per round: large-star = one groupBy-min over the symmetric
+    * orientation + a per-edge join (no collect_list — the star
+    * center's neighbor set is never materialized in one task);
+    * small-star = the same over the to-larger-endpoint orientation;
+    * then canonicalize + distinct. Fixed point is an exact anti-join
+    * emptiness test, and lineage is truncated per round like
+    * [[connectedComponents]].
+    */
+  def connectedComponentsStars(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = edges.sparkSession
+    def truncate(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    def canon(df: DataFrame): DataFrame =
+      df.filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+        .distinct()
+    var cur = truncate(canon(edges.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b"))))
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // Large-star: every node u links its LARGER neighbors to
+      // m = min(Γ(u) ∪ {u}).
+      val sym = cur.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(cur.select(col("b").as("u"), col("a").as("v")))
+      val minsL = sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val large = sym.filter(col("v") > col("u"))
+        .join(minsL, "u").select(col("v").as("a"), col("m").as("b"))
+      // Small-star: orient each edge to its larger endpoint u; u and
+      // all its smaller neighbors link to m = min(Γ≤(u)).
+      val e2 = canon(large)
+        .select(col("b").as("u"), col("a").as("v")) // u > v by canon
+      val minsS = e2.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = e2.join(minsS, "u").select(col("v").as("a"), col("m").as("b"))
+        .unionAll(minsS.select(col("u").as("a"), col("m").as("b")))
+      val next = truncate(canon(small))
+      converged =
+        next.join(cur, Seq("a", "b"), "left_anti").isEmpty &&
+        cur.join(next, Seq("a", "b"), "left_anti").isEmpty
+      cur.unpersist()
+      cur = next
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponentsStars did not converge in $maxIter rounds")
+    // Fixed point is a star per component; canon puts the center
+    // (= component min) in `a`.
+    cur.select(col("b").as("id"), col("a").as("comp"))
+      .unionAll(cur.select(col("a").as("id"), col("a").as("comp")))
+      .distinct()
   }
 
   /** Near-dup cluster resolution: MinHash-LSH pairs → connected

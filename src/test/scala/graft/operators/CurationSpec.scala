@@ -34,6 +34,31 @@ class CurationSpec extends SparkSpec {
     assert(Curation.connectedComponents(edges()).count() == 0)
   }
 
+  test("connectedComponentsStars: O(log n) rounds beat the diameter bound") {
+    // A 100-node chain has diameter 99 — min-label propagation's
+    // default 25-round bound fails it; the alternating algorithm
+    // converges in a handful of rounds.
+    val chain = (0L until 99L).map(i => (i, i + 1))
+    intercept[IllegalArgumentException] {
+      Curation.connectedComponents(edges(chain: _*))
+    }
+    val cc = Curation.connectedComponentsStars(edges(chain: _*))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 100 && cc.values.forall(_ == 0L))
+  }
+
+  test("connectedComponentsStars agrees with min-label propagation") {
+    // Mixed components incl. a cycle and reversed orientations.
+    val es = edges((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 20L), (31L, 30L), (31L, 32L))
+    val a = Curation.connectedComponents(es)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Curation.connectedComponentsStars(es)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    assert(Curation.connectedComponentsStars(edges()).count() == 0)
+  }
+
   test("dedupClusters groups planted near-dups under the smallest id") {
     import spark.implicits._
     def tok(p: String, i: Int) = s"$p${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
