@@ -71,6 +71,29 @@ object ClusterOps {
       FuzzyJoin.selfJoin(Tables.part(s, d), $"p_name", maxDist = 2)
     },
 
+    // ---- q92: entity-resolution clusters — q64's fuzzy-linkage pairs
+    // closed into components by the large-star/small-star alternation
+    // (the O(log n)-round CC; linkage graphs CHAIN — a≈b≈c with
+    // dist(a,c)>2 — so the diameter bound min-label relies on is
+    // exactly what this composition cannot assume). Stable long ids =
+    // min partkey per name; canonical entity = name of the component's
+    // min id.
+    "q92_entity_clusters" -> { (s, d) =>
+      import s.implicits._
+      val part = Tables.part(s, d)
+      val ids = part.groupBy($"p_name".as("name"))
+        .agg(min($"p_partkey").as("id"))
+      val pairs = FuzzyJoin.selfJoin(part, $"p_name", maxDist = 2)
+      val e = pairs
+        .join(ids.select($"name".as("na"), $"id".as("ia")), "na")
+        .join(ids.select($"name".as("nb"), $"id".as("ib")), "nb")
+      val cc = graft.operators.Curation.connectedComponentsStars(
+        e.select($"ia".as("a"), $"ib".as("b")))
+      cc.join(ids.select($"id", $"name"), "id")
+        .join(ids.select($"id".as("comp"), $"name".as("canonical")), "comp")
+        .select($"name", $"canonical")
+    },
+
     // ---- q65: per-user event-gap sequence features via lag(): count,
     // exact total and max inter-event gap. Gaps are µs-truncated per
     // timestamp (DuckDB timestamps are µs; truncating BEFORE the diff
@@ -159,6 +182,29 @@ object ClusterOps {
         |FROM n a JOIN n b
         |  ON a.name < b.name AND abs(length(a.name) - length(b.name)) <= 2
         |WHERE levenshtein(a.name, b.name) <= 2""".stripMargin,
+
+    // Recursive closure over the q64 linkage pairs (the q47 oracle's
+    // reach pattern) — canonical = name of least reachable id.
+    "q92_entity_clusters" ->
+      """WITH RECURSIVE n AS (
+        |  SELECT p_name AS name, min(p_partkey) AS id FROM part GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.id AS ia, b.id AS ib
+        |  FROM n a JOIN n b
+        |    ON a.name < b.name AND abs(length(a.name) - length(b.name)) <= 2
+        |  WHERE levenshtein(a.name, b.name) <= 2),
+        |edges AS (SELECT ia AS a, ib AS b FROM pairs
+        |          UNION SELECT ib, ia FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |    WHERE e.b <> r.a),
+        |comp AS (SELECT a AS id, least(a, min(b)) AS comp
+        |         FROM reach GROUP BY a)
+        |SELECT na.name AS name, nc.name AS canonical
+        |FROM comp JOIN n na ON comp.id = na.id
+        |          JOIN n nc ON comp.comp = nc.id""".stripMargin,
 
     "q65_event_gaps" ->
       """WITH g AS (SELECT user_id,
