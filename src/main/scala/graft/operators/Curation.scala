@@ -194,6 +194,52 @@ object Curation {
     h < weightPct
   }
 
+  /** Temperature-scaled domain mixing at T = 2 (the standard LLM
+    * data-recipe reweighting, domain weight ∝ n^(1/T)): big domains
+    * are down-sampled toward the target budget while small domains
+    * keep (up to) everything — the flattening Gopher/Llama-style
+    * recipes apply before training. T is fixed at 2 because sqrt is
+    * the one fractional power IEEE-754 computes correctly rounded on
+    * every platform — `pow(x, 1/T)` for other T differs in the last
+    * ulp across libms and would break oracle bit-identity.
+    *
+    * Per domain d: w_d = round(sqrt(n_d), 6); rate_d =
+    * min(1, B·w_d / (Σw·n_d)) with B = total·budgetPct div 100;
+    * membership = md5(salt‖id) mod 10⁶ < floor(rate_d·10⁶) — the
+    * [[weightedKeep]] hash at ppm resolution (rates from sqrt need
+    * finer steps than percent). Σw accumulates in decimal so the sum
+    * is domain-order-independent. Deterministic end to end: stable
+    * under corpus growth within a domain's rate, reproducible across
+    * stages, no RNG.
+    *
+    * Scale shape: one map-side-combined count per domain (domain-
+    * cardinality rows), a 1-row totals broadcast, and a narrow hash
+    * filter over the corpus — no corpus shuffle.
+    *
+    * Returns the kept rows with `__ppm` attached (callers drop it or
+    * report it; the gate query aggregates per domain).
+    */
+  def temperatureMix(df: DataFrame, domain: Column, id: Column,
+      budgetPct: Int, salt: String): DataFrame = {
+    require(budgetPct > 0 && budgetPct <= 100, s"budgetPct in (0,100], got $budgetPct")
+    val n = df.groupBy(domain.as("__dom")).agg(count(lit(1)).as("__nd"))
+    val w = n.withColumn("__wd", round(sqrt(col("__nd")), 6))
+    val t = w.agg(
+      sum(col("__wd").cast("decimal(38,6)")).cast("double").as("__sw"),
+      sum(col("__nd")).as("__total"))
+    val r = w.crossJoin(broadcast(t))
+      .withColumn("__ppm",
+        floor(least(lit(1.0),
+          (expr(s"(__total * $budgetPct) div 100") * col("__wd")) /
+            (col("__sw") * col("__nd"))) * 1000000).cast("long"))
+      .select(col("__dom"), col("__ppm"))
+    val h = conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 1000000
+    df.join(broadcast(r), domain === col("__dom"))
+      .filter(h < col("__ppm"))
+      .drop("__dom")
+  }
+
   /** Deterministic stratified sample: within each stratum, rank rows by
     * md5(salt || id) and keep the first ceil(count·pct/100). Exact
     * per-stratum proportions (unlike Bernoulli sampleBy) and fully

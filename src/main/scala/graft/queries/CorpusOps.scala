@@ -103,6 +103,18 @@ object CorpusOps {
         .agg(count(lit(1)).as("n_kept"), sum($"n_chars").as("sum_chars"))
     },
 
+    // ---- q93: temperature-scaled domain mixing (T=2, 50% budget):
+    // w_d ∝ sqrt(n_d) flattens the domain distribution — big domains
+    // down-sample toward budget, small ones keep everything. Kept
+    // counts + the per-domain ppm rate, all integer/sqrt-exact.
+    "q93_temperature_mix" -> { (s, d) =>
+      import s.implicits._
+      Curation.temperatureMix(Tables.documents(s, d), $"lang", $"doc_id",
+          budgetPct = 50, salt = "tmix42")
+        .groupBy($"lang", $"__ppm".as("ppm"))
+        .agg(count(lit(1)).as("n_kept"))
+    },
+
     // ---- q89: per-document mean in-corpus bigram likelihood — the
     // scoring side of the n-gram LM (q74 builds the table); a
     // CCNet-style fluency/quality filter. Log-free on purpose: each
@@ -116,6 +128,21 @@ object CorpusOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q93_temperature_mix" ->
+      """WITH n AS (SELECT lang, count(*) AS nd FROM documents GROUP BY 1),
+        |w AS (SELECT lang, nd, round(sqrt(nd), 6) AS wd FROM n),
+        |t AS (SELECT CAST(sum(CAST(wd AS DECIMAL(38,6))) AS DOUBLE) AS sw,
+        |             CAST(sum(nd) AS BIGINT) AS total FROM w),
+        |r AS (SELECT lang,
+        |  CAST(floor(least(1.0, ((total * 50) // 100) * wd / (sw * nd))
+        |       * 1000000) AS BIGINT) AS ppm
+        |  FROM w, t)
+        |SELECT d.lang, r.ppm, count(*) AS n_kept
+        |FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE ('0x' || substr(md5('tmix42' || d.doc_id::VARCHAR), 1, 8))::UBIGINT
+        |    % 1000000 < r.ppm
+        |GROUP BY 1, 2""".stripMargin,
+
     "q89_bigram_likelihood" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w

@@ -59,6 +59,29 @@ class CurationSpec extends SparkSpec {
     assert(Curation.connectedComponentsStars(edges()).count() == 0)
   }
 
+  test("temperatureMix flattens a skewed corpus toward the budget") {
+    import spark.implicits._
+    // 9000 'en' docs vs 100 'yo': at T=2 and 50% budget the big
+    // domain down-samples hard while the small one keeps everything.
+    val docs = ((0 until 9000).map(i => (i.toLong, "en")) ++
+      (9000 until 9100).map(i => (i.toLong, "yo"))).toDF("doc_id", "lang")
+    val kept = Curation.temperatureMix(docs, $"lang", $"doc_id", 50, "t")
+    val byLang = kept.groupBy($"lang")
+      .agg(count(lit(1)).as("n"), first($"__ppm").as("ppm"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byLang("yo")._2 == 1000000L, "small domain must keep everything")
+    assert(byLang("yo")._1 == 100L)
+    // en rate = B·w_en/(Σw·n_en); hash keep is Bernoulli-ish around it.
+    val enPpm = byLang("en")._2
+    assert(enPpm < 600000L && enPpm > 300000L, s"en ppm $enPpm")
+    val enKept = byLang("en")._1.toDouble
+    assert(math.abs(enKept / 9000.0 - enPpm / 1e6) < 0.02)
+    // Deterministic: same salt, same membership.
+    val again = Curation.temperatureMix(docs, $"lang", $"doc_id", 50, "t")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again == kept.select($"doc_id").as[Long].collect().toSet)
+  }
+
   test("dedupClusters groups planted near-dups under the smallest id") {
     import spark.implicits._
     def tok(p: String, i: Int) = s"$p${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
