@@ -43,6 +43,85 @@ object Packing {
           .otherwise(floor((col("end_tok") - 1) / budget)).as("seq_last"))
   }
 
+  /** Best-fit-decreasing bin packing within hash shards — the packing
+    * SFT/instruction-tuning pipelines use when documents must NOT
+    * straddle sequence boundaries (no cross-document attention
+    * contamination): whole docs only, each sequence padded from
+    * `budget` down to its content. BFD is the classic 11/9·OPT+1
+    * approximation, deterministic here: docs sort by (len desc,
+    * doc_id) within their shard, and each takes the bin with the
+    * LEAST remaining room that still fits (room ties break toward the
+    * lowest bin index), else opens a new bin. The tie-break is chosen
+    * to be order-free so the DuckDB oracle (q94) can replay the fold
+    * exactly with list primitives.
+    *
+    * Scale shape: the greedy loop is inherently sequential PER SHARD,
+    * so shards are the parallelism unit (exactly how parallel shard
+    * writers run it); a shard materializes only (doc_id, len) pairs —
+    * metadata, not text — so a 100 TB corpus at 10⁴ shards holds ~10⁶
+    * doc entries per shard task. One hash shuffle on the shard key.
+    *
+    * Docs longer than `budget` get a singleton over-budget bin
+    * (flagged by `oversize`) — the caller truncates or re-chunks them
+    * upstream (e.g. [[packSequences]] for concat-style splitting).
+    *
+    * Returns (doc_id, shard, n_tokens, bin, bin_fill, oversize) where
+    * `bin` is the per-shard bin index in creation order and
+    * `bin_fill` the bin's final token count.
+    */
+  def packBestFit(docs: DataFrame, id: Column, text: Column,
+      budget: Int, shards: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(shards > 0, s"shards must be positive, got $shards")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(id.cast("long").as("doc_id"),
+      TextAnalysis.tokenCount(text).cast("long").as("n_tokens"))
+      .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
+      .as[(Long, Long, Long)]
+    base.groupByKey(_._3).flatMapGroups { (shard, rows) =>
+      val sorted = rows.map { case (d, n, _) => (d, n) }.toArray
+        .sortBy { case (d, n) => (-n, d) }
+      // remaining-room index: TreeMap(remaining -> ordered bin ids).
+      // Key type is boxed java.lang.Long on purpose: ceilingKey returns
+      // null when nothing fits, and a scala.Long-typed key would silently
+      // unbox that null to 0L and defeat the new-bin branch.
+      val byRoom = new java.util.TreeMap[java.lang.Long, java.util.TreeSet[Integer]]
+      val fill = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val out = Array.newBuilder[(Long, Long, Long, Int, Long, Boolean)]
+      def take(room: Long): Int = {
+        val s = byRoom.get(room)
+        val b = s.pollFirst()
+        if (s.isEmpty) byRoom.remove(room)
+        b.intValue
+      }
+      def offer(bin: Int): Unit = {
+        val room = budget - fill(bin)
+        if (room > 0)
+          byRoom.computeIfAbsent(room,
+            _ => new java.util.TreeSet[Integer]).add(bin)
+      }
+      for ((d, n) <- sorted) {
+        if (n > budget) { // singleton over-budget bin
+          fill += n
+          out += ((d, shard, n, fill.length - 1, n, true))
+        } else {
+          val entry: java.lang.Long = byRoom.ceilingKey(n)
+          val bin =
+            if (entry == null) { fill += 0L; fill.length - 1 }
+            else take(entry.longValue)
+          fill(bin) += n
+          out += ((d, shard, n, bin, 0L, false))
+          offer(bin)
+        }
+      }
+      val fills = fill.toArray
+      out.result().map { case (d, sh, n, b, f, ov) =>
+        (d, sh, n, b, if (ov) f else fills(b), ov)
+      }.iterator
+    }.toDF("doc_id", "shard", "n_tokens", "bin", "bin_fill", "oversize")
+  }
+
   /** Per-sequence occupancy of a packed shard stream: how many documents
     * contribute to each training sequence and how many tokens of it are
     * real (the final sequence of a shard may be short). Derived from

@@ -30,6 +30,49 @@ class CorpusSpec extends SparkSpec {
     assert(a.filter(col("shard") =!= col("doc_id") % 4).count() == 0)
   }
 
+  test("packBestFit: bins respect the budget, near the lower bound, deterministic") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val docs = (1L to 400L).map(i => (i, ("w " * (1 + rnd.nextInt(120))).trim))
+      .toDF("doc_id", "text")
+    val budget = 128
+    val out = Packing.packBestFit(docs, $"doc_id", $"text", budget, shards = 4)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getInt(3), r.getLong(4), r.getBoolean(5)))
+
+    // Every doc present exactly once, in its hash shard.
+    assert(rows.map(_._1).sorted.toSeq == (1L to 400L))
+    assert(rows.forall { case (d, sh, _, _, _, _) => sh == d % 4 })
+    // Bin fills: consistent with the members, never over budget (no
+    // oversize docs at these lengths).
+    val byBin = rows.groupBy(r => (r._2, r._4))
+    byBin.foreach { case ((_, _), m) =>
+      val fill = m.head._5
+      assert(m.map(_._3).sum == fill)
+      assert(fill <= budget)
+      assert(!m.exists(_._6))
+    }
+    // Bin count per shard is within 25% of the fractional lower bound.
+    for (sh <- 0 until 4) {
+      val shardRows = rows.filter(_._2 == sh)
+      val lower = math.ceil(shardRows.map(_._3).sum.toDouble / budget)
+      val bins = shardRows.map(_._4).distinct.length
+      assert(bins <= lower * 1.25 + 1, s"shard $sh: $bins bins vs lower $lower")
+    }
+    // Deterministic under repartitioning.
+    val again = Packing.packBestFit(docs.repartition(7), $"doc_id", $"text",
+      budget, shards = 4)
+    assert(again.collect().map(_.toSeq).toSet == out.collect().map(_.toSeq).toSet)
+
+    // Over-budget docs get flagged singleton bins.
+    val big = Packing.packBestFit(
+      Seq((1L, ("w " * 300).trim), (2L, "a b")).toDF("doc_id", "text"),
+      $"doc_id", $"text", budget, shards = 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(4), r.getBoolean(5))).toMap
+    assert(big(1L) == ((300L, true)))
+    assert(big(2L) == ((2L, false)))
+  }
+
   test("sequenceOccupancy token counts sum to the shard stream and cap at budget") {
     import spark.implicits._
     val docs = (1L to 30L).map(i => (i, ("w " * (i % 7).toInt).trim))
