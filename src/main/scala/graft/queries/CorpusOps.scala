@@ -115,6 +115,21 @@ object CorpusOps {
         .agg(count(lit(1)).as("n_kept"))
     },
 
+    // ---- q94: best-fit-decreasing whole-document bin packing
+    // (512-token budget, 32 shards): per-doc bin assignment, final bin
+    // fill, and the oversize flag. The oracle replays the exact greedy
+    // (sorted by (-tokens, doc_id); best fit = fullest bin that still
+    // fits, tie → lowest bin id) as a DuckDB recursive CTE carrying the
+    // per-shard fill list — sequential per shard by construction, but
+    // shards advance in lockstep so recursion depth is docs/shards
+    // (which is also why 32 shards: oracle depth, and one packing task
+    // per core — at 100 TB, shards = cluster parallelism).
+    "q94_bin_packing" -> { (s, d) =>
+      import s.implicits._
+      Packing.packBestFit(Tables.documents(s, d), $"doc_id", $"text",
+        budget = 512, shards = 32)
+    },
+
     // ---- q89: per-document mean in-corpus bigram likelihood — the
     // scoring side of the n-gram LM (q74 builds the table); a
     // CCNet-style fluency/quality filter. Log-free on purpose: each
@@ -128,6 +143,42 @@ object CorpusOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // Replays packBestFit's greedy exactly: same processing order, same
+    // best-fit choice (max fill f with f + n <= budget and f < budget —
+    // i.e. least remaining room that fits, never a full or over-budget
+    // bin), tie broken to the lowest bin id (list_position returns the
+    // first occurrence). Over-budget docs open singleton bins.
+    "q94_bin_packing" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, doc_id % 32 AS shard,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, shard, n,
+        |    row_number() OVER (PARTITION BY shard ORDER BY n DESC, doc_id) AS rk
+        |  FROM t),
+        |steps(shard, rk, doc_id, n, bin, fills) AS (
+        |  SELECT shard, rk, doc_id, n, 0 AS bin, [n] AS fills FROM r WHERE rk = 1
+        |  UNION ALL
+        |  SELECT shard, rk, doc_id, n,
+        |    CASE WHEN newbin THEN len(fills) ELSE pos END AS bin,
+        |    CASE WHEN newbin THEN list_append(fills, n)
+        |         ELSE list_transform(range(1, len(fills) + 1),
+        |           j -> CASE WHEN j - 1 = pos THEN fills[j] + n ELSE fills[j] END)
+        |    END AS fills
+        |  FROM (
+        |    SELECT r.shard, r.rk, r.doc_id, r.n, s.fills,
+        |      (r.n > 512 OR len(c.cand) = 0) AS newbin,
+        |      list_position(s.fills, list_max(c.cand)) - 1 AS pos
+        |    FROM steps s
+        |    JOIN r ON r.shard = s.shard AND r.rk = s.rk + 1
+        |    CROSS JOIN LATERAL (SELECT list_filter(s.fills,
+        |      f -> f + r.n <= 512 AND f < 512) AS cand) c))
+        |SELECT doc_id, shard, n AS n_tokens, CAST(bin AS INT) AS bin,
+        |  CAST(sum(n) OVER (PARTITION BY shard, bin) AS BIGINT) AS bin_fill,
+        |  n > 512 AS oversize
+        |FROM steps""".stripMargin,
+
     "q93_temperature_mix" ->
       """WITH n AS (SELECT lang, count(*) AS nd FROM documents GROUP BY 1),
         |w AS (SELECT lang, nd, round(sqrt(nd), 6) AS wd FROM n),
