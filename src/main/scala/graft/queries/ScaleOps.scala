@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, HeavyHitters, IncrementalAgg, PageRank, SetSimilarity, SnapshotDiff, ZOrder}
+import graft.operators.{Dedup, HeavyHitters, IncrementalAgg, PageRank, SetSimilarity, SnapshotDiff, Triangles, ZOrder}
 
 /** Round-3 scale surface (q67+): operators whose point is the 100 TB
   * execution shape — exact-but-sub-quadratic similarity join, two-pass
@@ -113,6 +113,22 @@ object ScaleOps {
         .distinct()
       val edges = pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
       PageRank.ranksFixedPoint(edges, iters = 3)
+    },
+
+    // ---- q95: per-part triangle counts over the co-purchase graph
+    // (parts sharing an order, quantity ≥ 25 to keep the graph at
+    // analysis density). Degree-ordered orientation finds each
+    // triangle once with O(m^1.5) wedge work regardless of skew — the
+    // only triangle-counting shape that survives a celebrity vertex
+    // at 100 TB (see Triangles scaladoc).
+    "q95_triangle_counts" -> { (s, d) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, d).filter($"l_quantity" >= 25)
+        .select($"l_orderkey", $"l_partkey")
+      val e = li.as("a").join(li.as("b"), Seq("l_orderkey"))
+        .filter($"a.l_partkey" < $"b.l_partkey")
+        .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+      Triangles.perNodeCounts(e)
     },
 
     // ---- q72: cross-corpus near-dup join — dedup a fresh slice
@@ -271,6 +287,32 @@ object ScaleOps {
          |SELECT CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS r
          |FROM r3""".stripMargin
     },
+
+    // Identical degree-ordered orientation: okey packs (degree, id)
+    // into one BIGINT; each triangle closes once at its okey-least
+    // vertex, then credits all three corners.
+    "q95_triangle_counts" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 25),
+        |e AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT n, count(*) AS d FROM (
+        |  SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+        |k AS (SELECT n, d * 1000000000 + n AS okey FROM deg),
+        |o AS (SELECT
+        |    CASE WHEN ku.okey < kv.okey THEN e.u ELSE e.v END AS src,
+        |    CASE WHEN ku.okey < kv.okey THEN e.v ELSE e.u END AS dst,
+        |    greatest(ku.okey, kv.okey) AS dkey
+        |  FROM e JOIN k ku ON e.u = ku.n JOIN k kv ON e.v = kv.n),
+        |tri AS (
+        |  SELECT a.src AS x, a.dst AS y, b.dst AS z
+        |  FROM o a JOIN o b ON a.src = b.src AND a.dkey < b.dkey
+        |  JOIN o c ON c.src = a.dst AND c.dst = b.dst)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        |  SELECT unnest([x, y, z]) AS node FROM tri)
+        |GROUP BY node""".stripMargin,
 
     "q72_crosscorpus_dedup" -> {
       // Brute-force cross-side Jaccard: same shingle CTEs as the
