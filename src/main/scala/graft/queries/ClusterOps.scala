@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Clustering, FuzzyJoin}
+import graft.operators.{Clustering, CountMin, FuzzyJoin}
+import graft.operators.TextAnalysis
 
 /** Clustering, semantic dedup, sketching, record linkage, and
   * multi-dimensional analytics (q61-q66).
@@ -61,6 +62,30 @@ object ClusterOps {
           round(-element_at($"sk", size($"sk")).getField("v"), 12).as("kth"),
           round((size($"sk") - 1).cast("double")
             / -element_at($"sk", size($"sk")).getField("v"), 4).as("est"))
+    },
+
+    // ---- q96: count-min sketch accuracy audit — token frequencies
+    // estimated from a 4×1024 counter table vs exact counts for every
+    // token appearing ≥ 50 times. Completes the mergeable-sketch
+    // family (HLL q43 distincts, KMV q63 per-group distincts,
+    // Misra-Gries q68 heavy hitters; CMS = point frequencies): the
+    // sketch is d·w rows whatever the vocabulary, built map-side
+    // combined, merged by addition. Estimates are md5-deterministic so
+    // the oracle replays them bit-for-bit; est ≥ true always (min of
+    // overcounting rows), and the overshoot the gate records IS the
+    // sketch's documented ε·N error at this width.
+    "q96_count_min" -> { (s, d) =>
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(explode(TextAnalysis.wordTokens($"text")).as("tok"))
+        .persist()
+      val sk = CountMin.sketch(toks, $"tok", d = 4, w = 1024)
+      val truth = toks.groupBy($"tok").agg(count(lit(1)).as("n_true"))
+        .filter($"n_true" >= 50)
+      CountMin.estimate(sk, truth.select($"tok"), $"tok", d = 4, w = 1024)
+        .join(truth, $"item" === $"tok")
+        .select($"tok", $"n_true", $"est".as("n_est"))
     },
 
     // ---- q64: fuzzy self-join (record linkage) over distinct part
@@ -174,6 +199,33 @@ object ClusterOps {
          |SELECT lang, count(*) AS k, round(max(u), 12) AS kth,
          |  round((count(*) - 1) / max(u), 4) AS est
          |FROM r WHERE rn <= $KmvK GROUP BY lang""".stripMargin,
+
+    // Same 4 row-salted md5 hashes ('cms<j>:' prefix), same 1024-wide
+    // counters, same min-of-rows estimate.
+    "q96_count_min" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        |  FROM documents),
+        |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+        |sk AS (
+        |  SELECT j,
+        |    ('0x' || substr(md5('cms' || j || ':' || tok), 1, 8))::UBIGINT
+        |      % 1024 AS bucket,
+        |    count(*) AS c
+        |  FROM toks CROSS JOIN js GROUP BY 1, 2),
+        |truth AS (
+        |  SELECT tok, count(*) AS n_true FROM toks GROUP BY tok
+        |  HAVING count(*) >= 50),
+        |probe AS (
+        |  SELECT t.tok, js.j,
+        |    ('0x' || substr(md5('cms' || js.j || ':' || t.tok), 1, 8))::UBIGINT
+        |      % 1024 AS bucket
+        |  FROM truth t CROSS JOIN js)
+        |SELECT t.tok, CAST(t.n_true AS BIGINT) AS n_true,
+        |  CAST(min(coalesce(sk.c, 0)) AS BIGINT) AS n_est
+        |FROM truth t JOIN probe p ON t.tok = p.tok
+        |LEFT JOIN sk ON p.j = sk.j AND p.bucket = sk.bucket
+        |GROUP BY t.tok, t.n_true""".stripMargin,
 
     "q64_fuzzy_join" ->
       """WITH n AS (SELECT DISTINCT p_name AS name FROM part)
