@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Contamination, Curation, Dedup, Packing, Prefilter, TextAnalysis}
+import graft.operators.{Contamination, Curation, Dedup, InvertedIndex, Packing, Prefilter, TextAnalysis}
 
 /** Round-3 corpus-pipeline surface: sequence packing, passage-level
   * exact dedup, within-doc repetition filters, benchmark decontamination,
@@ -130,6 +130,19 @@ object CorpusOps {
         budget = 512, shards = 32)
     },
 
+    // ---- q97: exact phrase search over the positional inverted
+    // index: docs containing consecutive tokens "value table" with the
+    // match count. Work is the phrase terms' posting lists only (the
+    // per-term filters reach the scan); the oracle checks the adjacency
+    // arithmetic against a direct token-array walk.
+    "q97_phrase_search" -> { (s, d) =>
+      import s.implicits._
+      val post = InvertedIndex.postings(
+        Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism),
+        $"doc_id", $"text")
+      InvertedIndex.phraseSearch(post, Seq("value", "table"))
+    },
+
     // ---- q89: per-document mean in-corpus bigram likelihood — the
     // scoring side of the n-gram LM (q74 builds the table); a
     // CCNet-style fluency/quality filter. Log-free on purpose: each
@@ -143,6 +156,17 @@ object CorpusOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // Direct token-array adjacency walk — equivalent to the positional
+    // postings join by construction.
+    "q97_phrase_search" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+        |  FROM documents),
+        |p AS (SELECT doc_id, unnest(range(1, len(w))) AS i, w FROM t)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM p WHERE w[i] = 'value' AND w[i+1] = 'table'
+        |GROUP BY doc_id""".stripMargin,
+
     // Replays packBestFit's greedy exactly: same processing order, same
     // best-fit choice (max fill f with f + n <= budget and f < budget —
     // i.e. least remaining room that fits, never a full or over-budget
