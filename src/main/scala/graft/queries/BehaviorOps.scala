@@ -178,6 +178,37 @@ object BehaviorOps {
           min($"k").as("min_k"), max($"k").as("max_k"))
     },
 
+    // ---- q98: CUSUM change-point detection per user — the offline
+    // analog of drift monitoring over a metric stream. The usual form
+    // (cumsum of x_i − μ) needs the per-user MEAN inside the running
+    // sum, and decimal division rounds differently across engines; the
+    // n-scaled identity n·CUSUM_i = n·S_i − i·S_n uses only exact
+    // decimal sums and integer products, so the argmax is bit-exact and
+    // tie-broken deterministically (earliest index). One shuffle on
+    // user_id serves both windows and the ranking.
+    "q98_cusum_changepoint" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val wo = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val wa = Window.partitionBy($"user_id")
+      val rows = Tables.events(s, d)
+        .select($"user_id", $"ts", $"event_id", $"value")
+        .select($"user_id",
+          row_number().over(wo).as("i"),
+          sum($"value".cast("decimal(38,6)")).over(wo).as("si"),
+          count(lit(1)).over(wa).as("n"),
+          sum($"value".cast("decimal(38,6)")).over(wa).as("sn"))
+        .select($"user_id", $"i", $"n",
+          abs($"n" * $"si" - $"i" * $"sn").as("dev"))
+      val rk = Window.partitionBy($"user_id")
+        .orderBy($"dev".desc, $"i".asc)
+      rows.select($"user_id", $"n".as("n_events"), $"i", $"dev",
+          row_number().over(rk).as("rn"))
+        .filter($"rn" === 1 && $"n_events" >= 20)
+        .select($"user_id", $"n_events", $"i".as("cp_idx"),
+          round(($"dev".cast("double") / $"n_events"), 6).as("cusum_abs"))
+    },
+
     // ---- q83: rolling 7-day mean per series over the q80 gap-free
     // grid — a RANGE window frame (value-based, not row-based): on a
     // dense grid rows==range, but the operator under test is the
@@ -196,6 +227,29 @@ object BehaviorOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // Same n-scaled deviation; ts ordering matches the nanos-as-long
+    // Spark sort because DuckDB orders the raw TIMESTAMP.
+    "q98_cusum_changepoint" ->
+      """WITH rows_ AS (
+        |  SELECT user_id,
+        |    row_number() OVER w AS i,
+        |    sum(CAST(value AS DECIMAL(38,6))) OVER w AS si,
+        |    count(*) OVER (PARTITION BY user_id) AS n,
+        |    sum(CAST(value AS DECIMAL(38,6)))
+        |      OVER (PARTITION BY user_id) AS sn
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS UNBOUNDED PRECEDING)),
+        |dev AS (
+        |  SELECT user_id, n, i, abs(n * si - i * sn) AS dev,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY abs(n * si - i * sn) DESC, i ASC) AS rn
+        |  FROM rows_)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_events,
+        |  CAST(i AS BIGINT) AS cp_idx,
+        |  round(CAST(dev AS DOUBLE) / n, 6) AS cusum_abs
+        |FROM dev WHERE rn = 1 AND n >= 20""".stripMargin,
+
     "q74_ngram_lm" ->
       """WITH toks AS (
         |  SELECT regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents),
