@@ -58,6 +58,27 @@ object AnalyticOps {
           round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
     },
 
+    // ---- q100: equi-depth histograms — 8 equal-population buckets of
+    // event value per event type (the optimizer-statistics shape, and
+    // the binning step of quantile-based feature engineering). ntile
+    // over a total order (value, event_id — the id breaks duplicate
+    // values deterministically) makes bucket membership exact and
+    // partition-independent; one shuffle on event_type serves the
+    // window, then a map-side-combined 8-row-per-type aggregate.
+    "q100_equidepth_hist" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"event_type")
+        .orderBy($"value".asc, $"event_id".asc)
+      Tables.events(s, d)
+        .select($"event_type", $"value", $"event_id")
+        .select($"event_type", $"value", ntile(8).over(w).as("bucket"))
+        .groupBy($"event_type", $"bucket")
+        .agg(count(lit(1)).as("n"),
+          round(min($"value"), 6).as("lo"),
+          round(max($"value"), 6).as("hi"))
+    },
+
     // ---- q43: HLL++ distinct count, self-checked: the query emits the
     // exact count only when the sketch lands within 5% of it (else a
     // sentinel that fails the oracle compare). Proves the mergeable
@@ -75,6 +96,18 @@ object AnalyticOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // Same (value, event_id) total order; DuckDB's ntile splits the
+    // remainder across the leading buckets exactly like Spark's.
+    "q100_equidepth_hist" ->
+      """SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n,
+        |  round(min(value), 6) AS lo, round(max(value), 6) AS hi
+        |FROM (
+        |  SELECT event_type, value,
+        |    ntile(8) OVER (PARTITION BY event_type
+        |      ORDER BY value ASC, event_id ASC) AS bucket
+        |  FROM events)
+        |GROUP BY event_type, bucket""".stripMargin,
+
     "q40_asof_attribution" ->
       """WITH u AS (
         |  SELECT user_id AS k, epoch_ns(ts) AS t, 0 AS typ, event_id AS v,

@@ -131,6 +131,40 @@ object ScaleOps {
       Triangles.perNodeCounts(e)
     },
 
+    // ---- q99: synchronous label propagation (2 rounds) over the q95
+    // co-purchase graph — community detection where connected
+    // components are too coarse (the graph is one giant component;
+    // LPA's majority vote splits it along dense regions). Each round
+    // is one vertex-keyed join + one (dst, label) count + one per-dst
+    // rank: all hash shuffles on vertex ids, state is |V| labels —
+    // round-synchronous and deterministic because ties go to
+    // (count DESC, label ASC), so the result is independent of
+    // partitioning and replayable as unrolled SQL rounds.
+    "q99_label_propagation" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, d).filter($"l_quantity" >= 25)
+        .select($"l_orderkey", $"l_partkey")
+      val pairs = li.as("a").join(li.as("b"), Seq("l_orderkey"))
+        .filter($"a.l_partkey" < $"b.l_partkey")
+        .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+        .distinct()
+      val edges = pairs.unionAll(pairs.select($"v".as("u"), $"u".as("v")))
+        .persist()
+      var labels = edges.select($"u".as("node")).distinct()
+        .select($"node", $"node".as("label"))
+      val rk = Window.partitionBy($"dst")
+        .orderBy($"cnt".desc, $"label".asc)
+      for (_ <- 1 to 2)
+        labels = edges.join(labels, $"u" === $"node")
+          .groupBy($"v".as("dst"), $"label")
+          .agg(count(lit(1)).as("cnt"))
+          .select($"dst", $"label", row_number().over(rk).as("rn"))
+          .filter($"rn" === 1)
+          .select($"dst".as("node"), $"label")
+      labels
+    },
+
     // ---- q72: cross-corpus near-dup join — dedup a fresh slice
     // (doc_id%3=0) against the curated rest without self-joining the
     // history. LSH bands per side, bucket-equal candidates, exact
@@ -313,6 +347,30 @@ object ScaleOps {
         |SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
         |  SELECT unnest([x, y, z]) AS node FROM tri)
         |GROUP BY node""".stripMargin,
+
+    // Two unrolled LPA rounds, same (count DESC, label ASC) vote.
+    "q99_label_propagation" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 25),
+        |pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |e AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+        |l0 AS (SELECT DISTINCT u AS node, u AS label FROM e),
+        |v1 AS (
+        |  SELECT e.v AS dst, l.label, count(*) AS cnt
+        |  FROM e JOIN l0 l ON e.u = l.node GROUP BY 1, 2),
+        |l1 AS (
+        |  SELECT dst AS node, label FROM (
+        |    SELECT dst, label, row_number() OVER (PARTITION BY dst
+        |      ORDER BY cnt DESC, label ASC) AS rn FROM v1) x WHERE rn = 1),
+        |v2 AS (
+        |  SELECT e.v AS dst, l.label, count(*) AS cnt
+        |  FROM e JOIN l1 l ON e.u = l.node GROUP BY 1, 2)
+        |SELECT dst AS node, label FROM (
+        |  SELECT dst, label, row_number() OVER (PARTITION BY dst
+        |    ORDER BY cnt DESC, label ASC) AS rn FROM v2) x WHERE rn = 1""".stripMargin,
 
     "q72_crosscorpus_dedup" -> {
       // Brute-force cross-side Jaccard: same shingle CTEs as the
