@@ -38,11 +38,16 @@ object Triangles {
     * two-column struct compare.
     */
   def perNodeCounts(edges: DataFrame): DataFrame = {
+    // Persisted: the degree union reads it twice and the orientation
+    // join once more — without the cache the whole upstream edge
+    // derivation (often a join itself, e.g. q95's co-purchase pairs)
+    // would run three times.
     val e = edges.selectExpr("cast(u as long) as u", "cast(v as long) as v")
       .filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     val key = deg.select(col("n"),
