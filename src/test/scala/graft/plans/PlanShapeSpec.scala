@@ -57,6 +57,33 @@ class PlanShapeSpec extends SparkSpec {
       "bloom semi-join must stay broadcast-shaped at this scale")
   }
 
+  test("q98/q100 window analytics reuse ONE hash exchange") {
+    for (q <- Seq("q98_cusum_changepoint", "q100_equidepth_hist")) {
+      val p = plan(q)
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(shuffles == 1,
+        s"$q: all windows and aggregates must share one partitioning, got $shuffles:\n$p")
+    }
+  }
+
+  test("q95/q99 graph plans cache their edge sets and stay equi-join-shaped") {
+    for (q <- Seq("q95_triangle_counts", "q99_label_propagation")) {
+      val p = plan(q)
+      assert(p.contains("InMemoryTableScan"),
+        s"$q: the edge set must be persisted, not recomputed per arm")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q: vertex joins must be equi-joins")
+    }
+  }
+
+  test("q96/q97 probe a persisted token/posting cache, one corpus scan") {
+    for (q <- Seq("q96_count_min", "q97_phrase_search")) {
+      val p = plan(q)
+      assert(p.contains("InMemoryTableScan"),
+        s"$q: the exploded token stream must be cached once")
+    }
+  }
+
   test("q88 recall overlap joins two top-k tables, never the corpus") {
     // Window rank caps both inputs at k rows per probe BEFORE the
     // overlap join: the join inputs must sit above a rank filter.
