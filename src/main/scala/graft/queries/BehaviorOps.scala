@@ -209,6 +209,35 @@ object BehaviorOps {
           round(($"dev".cast("double") / $"n_events"), 6).as("cusum_abs"))
     },
 
+    // ---- q101: batch sessionization — the gaps-and-islands idiom
+    // (lag + conditional cumulative sum) that assigns explicit session
+    // ids, where q39's session_window only aggregates per window.
+    // Explicit ids are what downstream joins need (funnel-per-session,
+    // session replay). Timestamps are µs-truncated BEFORE the lag (the
+    // q65 discipline: equal-µs tie order can't change any gap), the
+    // 24h break threshold is integer µs, and the one user_id shuffle
+    // serves both windows and the per-session aggregate.
+    "q101_sessionize" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val GapUs = 86400000000L // 24 h
+      val wo = Window.partitionBy($"user_id").orderBy($"tsu".asc, $"event_id".asc)
+      Tables.events(s, d)
+        .select($"user_id", expr("ts DIV 1000").as("tsu"), $"event_id", $"value")
+        .select($"user_id", $"tsu", $"value",
+          when(lag($"tsu", 1).over(wo).isNull
+            || $"tsu" - lag($"tsu", 1).over(wo) > GapUs, 1L)
+            .otherwise(0L).as("brk"),
+          $"event_id")
+        .select($"user_id", $"tsu", $"value",
+          sum($"brk").over(wo).as("sess"))
+        .groupBy($"user_id", $"sess")
+        .agg(count(lit(1)).as("n_events"),
+          (max($"tsu") - min($"tsu")).as("dur_us"),
+          round(sum($"value".cast("decimal(38,6)")).cast("double"), 6)
+            .as("sum_value"))
+    },
+
     // ---- q83: rolling 7-day mean per series over the q80 gap-free
     // grid — a RANGE window frame (value-based, not row-based): on a
     // dense grid rows==range, but the operator under test is the
@@ -227,6 +256,31 @@ object BehaviorOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // Same µs truncation, same 24h break, same (tsu, event_id) order.
+    "q101_sessionize" ->
+      """WITH t AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
+        |    event_id, value
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, tsu, event_id, value,
+        |    CASE WHEN lag(tsu) OVER w IS NULL
+        |           OR tsu - lag(tsu) OVER w > 86400000000 THEN 1
+        |         ELSE 0 END AS brk
+        |  FROM t
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+        |s AS (
+        |  SELECT user_id, tsu, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM b)
+        |SELECT user_id, CAST(sess AS BIGINT) AS sess,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(max(tsu) - min(tsu) AS BIGINT) AS dur_us,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6)
+        |    AS sum_value
+        |FROM s GROUP BY user_id, sess""".stripMargin,
+
     // Same n-scaled deviation; ts ordering matches the nanos-as-long
     // Spark sort because DuckDB orders the raw TIMESTAMP.
     "q98_cusum_changepoint" ->
