@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Contamination, Curation, Dedup, InvertedIndex, Packing, Prefilter, TextAnalysis}
+import graft.operators.{Contamination, Curation, Dedup, InvertedIndex, Packing, Prefilter, Retrieval, Similarity, TextAnalysis}
 
 /** Round-3 corpus-pipeline surface: sequence packing, passage-level
   * exact dedup, within-doc repetition filters, benchmark decontamination,
@@ -152,10 +152,111 @@ object CorpusOps {
     "q89_bigram_likelihood" -> { (s, d) =>
       import s.implicits._
       TextAnalysis.bigramLikelihood(Tables.documents(s, d), $"doc_id", $"text")
+    },
+
+    // ---- q102: BM25 ranking over the inverted index — the scoring
+    // layer above q97's postings. Work ∝ the query terms' posting
+    // lists (term filter before any shuffle; 1-row corpus stats +
+    // ≤|query|-row df both broadcast). Log-free odds idf for oracle
+    // bit-reproducibility (see Retrieval scaladoc).
+    "q102_bm25" -> { (s, d) =>
+      import s.implicits._
+      Retrieval.bm25TopK(Tables.documents(s, d), $"doc_id", $"text",
+        Seq("stream", "window", "merge"), k = 10)
+    },
+
+    // ---- q103: hybrid retrieval — reciprocal-rank fusion of the BM25
+    // list (q102's shape) and the exact cosine list for probe vec 0
+    // (q27's shape), 1/(60+rank) each side. Both inputs are
+    // top-50-bounded, so the fuse join is broadcast-scale no matter
+    // the corpus size.
+    "q103_rrf_fusion" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val lex = Retrieval.bm25TopK(docs, $"doc_id", $"text",
+        Seq("stream", "window", "merge"), k = 50)
+      val vec = Similarity.bruteTopK(emb, emb.filter($"vec_id" === 0), k = 50)
+        .select($"vec_id".as("doc_id"), $"rank")
+      Retrieval.rrfFuse(lex, vec, "doc_id", k = 10)
     }
   )
 
+  /** BM25 CTE chain shared by q102/q103. Every non-integer constant is
+    * CAST to DOUBLE: DuckDB parses `2.2` as DECIMAL(2,1), and
+    * BIGINT·DECIMAL arithmetic is exact where Spark's double
+    * arithmetic is not — the cast forces the identical IEEE operation
+    * sequence (COVERAGE.md rulebook).
+    */
+  private val bm25Cte =
+    """toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+      |  FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM toks),
+      |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+      |       FROM dl),
+      |tf AS (
+      |  SELECT doc_id, t AS term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(w) AS t FROM toks)
+      |  WHERE t IN ('stream', 'window', 'merge') GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
+      |contribs AS (
+      |  SELECT tf.doc_id,
+      |    round(((st.n_docs - df.dfc + CAST(0.5 AS DOUBLE))
+      |           / (df.dfc + CAST(0.5 AS DOUBLE)))
+      |      * ((tf.tf * CAST(2.2 AS DOUBLE))
+      |         / (tf.tf + CAST(1.2 AS DOUBLE)
+      |            * (CAST(0.25 AS DOUBLE)
+      |               + CAST(0.75 AS DOUBLE) * dl.dl
+      |                 / (CAST(st.sum_dl AS DOUBLE) / st.n_docs)))), 6)
+      |      AS contrib
+      |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+      |scored AS (
+      |  SELECT doc_id, count(*) AS n_terms_hit,
+      |    CAST(sum(CAST(contrib AS DECIMAL(28,6))) AS DOUBLE) AS score
+      |  FROM contribs GROUP BY 1),
+      |lex AS (
+      |  SELECT doc_id, n_terms_hit, score,
+      |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+      |  FROM scored)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q102_bm25" ->
+      s"""WITH $bm25Cte
+         |SELECT doc_id, n_terms_hit, score, rank FROM lex
+         |WHERE rank <= 10""".stripMargin,
+
+    // Replays bruteTopK for probe 0 (q27's oracle form) and the BM25
+    // list above, then fuses: 1/(60+rank) per side, absent rank → 0,
+    // both divisions on exact integer operands.
+    "q103_rrf_fusion" ->
+      s"""WITH $bm25Cte,
+         |vec AS (
+         |  SELECT vec_id AS doc_id, rank FROM (
+         |    SELECT c.vec_id,
+         |      row_number() OVER (
+         |        ORDER BY round(list_cosine_similarity(
+         |            CAST(p.embedding AS DOUBLE[]),
+         |            CAST(c.embedding AS DOUBLE[])), 6) DESC,
+         |          c.vec_id ASC) AS rank
+         |    FROM embeddings p JOIN embeddings c
+         |      ON p.vec_id = 0 AND c.vec_id <> 0) t
+         |  WHERE rank <= 50),
+         |lex50 AS (SELECT doc_id, rank FROM lex WHERE rank <= 50),
+         |fused AS (
+         |  SELECT coalesce(a.doc_id, b.doc_id) AS id,
+         |    a.rank AS rank_a, b.rank AS rank_b,
+         |    round(coalesce(CAST(1.0 AS DOUBLE) / (60 + a.rank),
+         |                   CAST(0.0 AS DOUBLE))
+         |        + coalesce(CAST(1.0 AS DOUBLE) / (60 + b.rank),
+         |                   CAST(0.0 AS DOUBLE)), 6) AS rrf
+         |  FROM lex50 a FULL OUTER JOIN vec b ON a.doc_id = b.doc_id)
+         |SELECT id, rank_a, rank_b, rrf, rank FROM (
+         |  SELECT id, rank_a, rank_b, rrf,
+         |    row_number() OVER (ORDER BY rrf DESC, id ASC) AS rank
+         |  FROM fused) g
+         |WHERE rank <= 10""".stripMargin,
+
     // Direct token-array adjacency walk — equivalent to the positional
     // postings join by construction.
     "q97_phrase_search" ->
