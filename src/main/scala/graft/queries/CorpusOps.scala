@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Contamination, Curation, Dedup, InvertedIndex, Packing, Prefilter, Retrieval, Similarity, TextAnalysis}
+import graft.operators.{Chunking, Contamination, Curation, Dedup, InvertedIndex, Packing, Prefilter, Retrieval, Similarity, TextAnalysis}
 
 /** Round-3 corpus-pipeline surface: sequence packing, passage-level
   * exact dedup, within-doc repetition filters, benchmark decontamination,
@@ -179,6 +179,18 @@ object CorpusOps {
       val vec = Similarity.bruteTopK(emb, emb.filter($"vec_id" === 0), k = 50)
         .select($"vec_id".as("doc_id"), $"rank")
       Retrieval.rrfFuse(lex, vec, "doc_id", k = 10)
+    },
+
+    // ---- q104: sliding-window chunking (32-token chunks, stride 24 →
+    // 25% overlap) with provenance and a content hash per chunk — the
+    // RAG / context-window preprocessing map. One narrow projection,
+    // no shuffle at any scale; repartitioned first because the corpus
+    // arrives as one parquet file (see Chunking scaladoc).
+    "q104_chunking" -> { (s, d) =>
+      import s.implicits._
+      Chunking.chunkTokens(
+        Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism),
+        $"doc_id", $"text", width = 32, stride = 24)
     }
   )
 
@@ -256,6 +268,24 @@ object CorpusOps {
          |    row_number() OVER (ORDER BY rrf DESC, id ASC) AS rank
          |  FROM fused) g
          |WHERE rank <= 10""".stripMargin,
+
+    // Same integer chunk arithmetic (// is floor division on BIGINT),
+    // same md5 of the space-joined token slice; list_slice's end is
+    // inclusive.
+    "q104_chunking" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+        |  FROM documents),
+        |base AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n
+        |         FROM toks WHERE len(w) > 0),
+        |c AS (SELECT doc_id, w, n,
+        |        unnest(range(0, (greatest(n - 32, 0) + 23) // 24 + 1)) AS cid
+        |      FROM base)
+        |SELECT doc_id, CAST(cid AS INT) AS chunk_id, cid * 24 AS start_tok,
+        |  least(32, n - cid * 24) AS n_toks,
+        |  md5(array_to_string(list_slice(w, cid * 24 + 1,
+        |    least(cid * 24 + 32, n)), ' ')) AS chunk_hash
+        |FROM c""".stripMargin,
 
     // Direct token-array adjacency walk — equivalent to the positional
     // postings join by construction.

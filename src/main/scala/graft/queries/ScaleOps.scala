@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, HeavyHitters, IncrementalAgg, PageRank, SetSimilarity, SnapshotDiff, Triangles, ZOrder}
+import graft.operators.{Bfs, Dedup, HeavyHitters, IncrementalAgg, PageRank, SetSimilarity, SnapshotDiff, Triangles, ZOrder}
 
 /** Round-3 scale surface (q67+): operators whose point is the 100 TB
   * execution shape — exact-but-sub-quadratic similarity join, two-pass
@@ -163,6 +163,27 @@ object ScaleOps {
           .filter($"rn" === 1)
           .select($"dst".as("node"), $"label")
       labels
+    },
+
+    // ---- q105: multi-source BFS (3 hops) over the q95 co-purchase
+    // graph from its 3 smallest vertices — k-hop neighborhood /
+    // reachability features. Frontier expansion: each round joins only
+    // the newly-found vertices against the cached edges and anti-joins
+    // the visited set, so per-round work is Σ outdeg(frontier) — the
+    // textbook Pregel shape, replayed by a recursive-CTE oracle.
+    "q105_bfs_khop" -> { (s, d) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, d).filter($"l_quantity" >= 25)
+        .select($"l_orderkey", $"l_partkey")
+      val pairs = li.as("a").join(li.as("b"), Seq("l_orderkey"))
+        .filter($"a.l_partkey" < $"b.l_partkey")
+        .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+        .distinct()
+      val edges = pairs.unionAll(pairs.select($"v".as("u"), $"u".as("v")))
+        .select($"u".as("src"), $"v".as("dst"))
+      val seeds = edges.select($"src".as("node")).distinct()
+        .orderBy($"node".asc).limit(3)
+      Bfs.distances(edges, seeds, maxHops = 3)
     },
 
     // ---- q72: cross-corpus near-dup join — dedup a fresh slice
@@ -371,6 +392,27 @@ object ScaleOps {
         |SELECT dst AS node, label FROM (
         |  SELECT dst, label, row_number() OVER (PARTITION BY dst
         |    ORDER BY cnt DESC, label ASC) AS rn FROM v2) x WHERE rn = 1""".stripMargin,
+
+    // The recursive walk generates every (node, dist<=3) discovery;
+    // UNION dedup bounds it by 4|V|, min(dist) recovers BFS layers.
+    "q105_bfs_khop" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 25),
+        |pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |e AS (SELECT u AS src, v AS dst FROM pairs
+        |      UNION ALL SELECT v, u FROM pairs),
+        |seeds AS (SELECT src AS node FROM e GROUP BY src
+        |          ORDER BY src LIMIT 3),
+        |walk(node, dist) AS (
+        |  SELECT node, 0 FROM seeds
+        |  UNION
+        |  SELECT e.dst, w.dist + 1 FROM walk w JOIN e ON e.src = w.node
+        |  WHERE w.dist < 3)
+        |SELECT CAST(node AS BIGINT) AS node, CAST(min(dist) AS INT) AS dist
+        |FROM walk GROUP BY node""".stripMargin,
 
     "q72_crosscorpus_dedup" -> {
       // Brute-force cross-side Jaccard: same shingle CTEs as the
