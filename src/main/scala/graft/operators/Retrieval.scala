@@ -88,6 +88,92 @@ object Retrieval {
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Materialize the BM25 index at rest, term-bucketed: postings with
+    * pre-aggregated term frequencies partitioned by `tb = crc32(term)
+    * mod buckets` (so a query's term filter prunes to its terms'
+    * partitions), per-term document frequencies (same bucketing), the
+    * per-doc length table, and the 1-row corpus stats. Same layout
+    * story as the at-rest ANN family (q85-q87): index once, then every
+    * probe reads only the partitions its terms hash to.
+    */
+  def indexAtRest(docs: DataFrame, id: Column, text: Column, path: String,
+                  buckets: Int = 64): Unit = {
+    val toks = docs.select(id.cast("long").as("doc_id"),
+      TextAnalysis.wordTokens(text).as("w"))
+    val doclen = toks.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
+    doclen.write.mode("overwrite").parquet(s"$path/doclen")
+    doclen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+    val tf = toks.select(col("doc_id"), explode(col("w")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .withColumn("tb", pmod(crc32(col("term")), lit(buckets)))
+    tf.write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
+    tf.groupBy(col("term")).agg(count(lit(1)).as("dfc"))
+      .withColumn("tb", pmod(crc32(col("term")), lit(buckets)))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/df")
+  }
+
+  /** BM25 top-k per query against the at-rest index. `queries` carries
+    * (query_id, terms array<string>); the batch's distinct terms are a
+    * bounded driver-side pull (exactly the IVF probed-cell pattern) so
+    * the postings read plans `tb IN (...)` partition pruning plus the
+    * term row filter — work per batch is Σ|posting list| of the
+    * batch's terms, independent of corpus size.
+    */
+  def bm25ProbeIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, k: Int, buckets: Int = 64,
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val q = queries.select(col("query_id"), explode(col("terms")).as("term"))
+    val terms = q.select(col("term")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (terms.isEmpty) return spark.emptyDataFrame
+    val crc = new java.util.zip.CRC32
+    val tbs = terms.map { t =>
+      crc.reset(); crc.update(t.getBytes("UTF-8"))
+      (crc.getValue % buckets).toInt
+    }.distinct
+    val prune = (df: DataFrame) =>
+      df.filter(col("tb").isin(tbs: _*) && col("term").isin(terms: _*))
+    val tf = prune(spark.read.parquet(s"$path/postings"))
+    val dfc = prune(spark.read.parquet(s"$path/df")).drop("tb")
+    val doclen = spark.read.parquet(s"$path/doclen")
+    val stats = spark.read.parquet(s"$path/stats")
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = (col("n_docs") - col("dfc") + lit(0.5)) / (col("dfc") + lit(0.5))
+    val tfn = (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    tf.join(broadcast(dfc), "term")
+      .join(doclen, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), round(idf * tfn, 6).as("contrib"))
+      .join(q, "term") // restrict each query to ITS terms
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum(col("contrib").cast("decimal(28,6)")).cast("double").as("score"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Serve a QUERY stream against the at-rest BM25 index: each
+    * micro-batch of (query_id, terms) probes [[bm25ProbeIndex]] — the
+    * probed term-bucket set is data-dependent, so partition pruning is
+    * planned batch by batch via foreachBatch — and appends per-query
+    * top-k rows to `outPath`. At-least-once per batch, identical rows
+    * on replay (same caveat and remedy as the IVF serving tier).
+    */
+  def bm25StreamingServe(queryStream: DataFrame, path: String,
+      outPath: String, checkpoint: String, k: Int,
+      buckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          bm25ProbeIndex(batch.sparkSession, path, batch, k, buckets)
+            .write.mode("append").parquet(outPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Reciprocal-rank fusion of two ranked lists. Inputs carry
     * (id, rank); output is (id, rank_a, rank_b, rrf, rank) for the
     * fused top-k, rrf = 1/(K+rank_a) + 1/(K+rank_b) with absent ranks

@@ -236,6 +236,30 @@ object Relational {
       o.join(avgs, $"o_custkey" === $"k")
         .filter($"o_totalprice" > $"avg_price" * 1.5)
         .select($"o_orderkey", $"o_custkey", round($"o_totalprice", 2).as("o_totalprice"))
+    },
+
+    // ---- q106: small-quantity-order revenue (TPC-H Q17's shape) —
+    // the scalar correlated subquery (per-part average quantity in the
+    // WHERE clause) decorrelated into a pre-aggregated self-join:
+    // lineitem aggregates once per partkey, joins back on the same
+    // key (one co-partitioned shuffle pair), and the part dimension
+    // broadcasts. A per-row subquery plan would rescan lineitem per
+    // part; this shape scans it exactly twice at any scale. The
+    // per-part average divides a decimal-exact sum by the count, so
+    // the threshold comparison is bit-identical on both engines.
+    "q106_small_qty_revenue" -> { (s, d) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+      val avgs = li.groupBy($"l_partkey".as("k"))
+        .agg((sum($"l_quantity".cast("decimal(38,6)")).cast("double")
+          / count(lit(1))).as("avgq"))
+      li.join(avgs, $"l_partkey" === $"k")
+        .filter($"l_quantity" < $"avgq" * lit(0.2))
+        .join(Tables.part(s, d), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("n_li"),
+          round(sum($"l_extendedprice".cast("decimal(38,6)")).cast("double")
+            / lit(7.0), 2).as("avg_yearly"))
     }
   )
 
@@ -367,6 +391,25 @@ object Relational {
         |FROM orders o
         |JOIN (SELECT o_custkey AS k, avg(o_totalprice) AS avg_price
         |      FROM orders GROUP BY o_custkey) a ON o.o_custkey = a.k
-        |WHERE o_totalprice > avg_price * 1.5""".stripMargin
+        |WHERE o_totalprice > avg_price * 1.5""".stripMargin,
+
+    // Written in the decorrelated form the engine plans; DuckDB would
+    // decorrelate the textbook correlated subquery into this same
+    // shape. Decimal-exact per-part average, double constants CAST so
+    // the threshold arithmetic matches Spark bit-for-bit.
+    "q106_small_qty_revenue" ->
+      """WITH a AS (
+        |  SELECT l_partkey AS k,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+        |      / count(*) AS avgq
+        |  FROM lineitem GROUP BY 1)
+        |SELECT p_brand, count(*) AS n_li,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+        |    / CAST(7.0 AS DOUBLE), 2) AS avg_yearly
+        |FROM lineitem l
+        |JOIN a ON l.l_partkey = a.k
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_quantity < avgq * CAST(0.2 AS DOUBLE)
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -89,6 +89,55 @@ class RetrievalSpec extends SparkSpec {
     assert(out(2).getInt(4) == 3 && out(3).getInt(4) == 4)
   }
 
+  test("at-rest index probe matches the batch bm25 on the same corpus") {
+    import spark.implicits._
+    val docs = corpus.toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft-bm25idx").toString
+    Retrieval.indexAtRest(docs, $"doc_id", $"text", idx, buckets = 8)
+
+    val queries = Seq((100L, Seq("quick", "lazy", "fox")),
+      (101L, Seq("jumps"))).toDF("query_id", "terms")
+    val out = Retrieval.bm25ProbeIndex(spark, idx, queries, k = 3, buckets = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getInt(4)))
+      .toSet
+    val expect = (Retrieval
+        .bm25TopK(docs, $"doc_id", $"text", Seq("quick", "lazy", "fox"), k = 3)
+        .collect().map(r => (100L, r.getLong(0), r.getDouble(2), r.getInt(3)))
+      ++ Retrieval.bm25TopK(docs, $"doc_id", $"text", Seq("jumps"), k = 3)
+        .collect().map(r => (101L, r.getLong(0), r.getDouble(2), r.getInt(3)))
+      ).toSet
+    assert(out == expect)
+  }
+
+  test("streaming serve: query stream answers match the batch probe") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = corpus.toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft-bm25serve").toString
+    Retrieval.indexAtRest(docs, $"doc_id", $"text", idx, buckets = 8)
+
+    val queries = Seq((1L, Seq("lazy", "dog")), (2L, Seq("quick")))
+    val expected = Retrieval.bm25ProbeIndex(spark, idx,
+        queries.toDF("query_id", "terms"), k = 2, buckets = 8)
+      .collect().map(_.toSeq).toSet
+
+    val input = MemoryStream[(Long, Seq[String])](spark)
+    input.addData(queries: _*)
+    val out = java.nio.file.Files.createTempDirectory("graft-bm25serve-out").toString
+    val q = Retrieval.bm25StreamingServe(
+      input.toDF.toDF("query_id", "terms"), idx, out,
+      java.nio.file.Files.createTempDirectory("graft-bm25serve-ck").toString,
+      k = 2, buckets = 8)
+    q.processAllAvailable()
+    q.stop()
+
+    val served = spark.read.parquet(out)
+      .select($"query_id", $"doc_id", $"n_terms_hit", $"score", $"rank")
+      .collect().map(_.toSeq).toSet
+    assert(served == expected)
+  }
+
   test("fused score equals the sum of reciprocal ranks") {
     import spark.implicits._
     val a = Seq((1L, 1)).toDF("doc_id", "rank")
