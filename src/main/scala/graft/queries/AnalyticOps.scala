@@ -79,6 +79,30 @@ object AnalyticOps {
           round(max($"value"), 6).as("hi"))
     },
 
+    // ---- q107: robust outlier detection per group — median/MAD
+    // z-score (insensitive to the outliers it hunts, unlike mean/σ).
+    // Two exact sort-based percentile passes (the q42 machinery), the
+    // deviation join keyed on the 5-row group table (broadcast), then
+    // one counting aggregate; threshold 3σ via the 1.4826 MAD
+    // consistency constant (3·1.4826 = 4.4478), a single double
+    // multiply on both engines.
+    "q107_mad_outliers" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d).select($"event_type", $"value")
+      val med = ev.groupBy($"event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .select($"event_type", $"med", abs($"value" - $"med").as("adev"))
+      val mad = dev.groupBy($"event_type")
+        .agg(expr("percentile(adev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy($"event_type")
+        .agg(round(max($"med"), 6).as("med"),
+          round(max($"mad"), 6).as("mad"),
+          sum(when($"adev" > lit(4.4478) * $"mad", 1L).otherwise(0L))
+            .as("n_outliers"))
+    },
+
     // ---- q43: HLL++ distinct count, self-checked: the query emits the
     // exact count only when the sketch lands within 5% of it (else a
     // sentinel that fails the oracle compare). Proves the mergeable
@@ -144,6 +168,26 @@ object AnalyticOps {
 
     "q43_hll_distinct_bound" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_distinct
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // quantile_cont shares Spark percentile's (n-1)·p interpolation
+    // (q42 precedent); the threshold constant is CAST so both engines
+    // multiply the same double.
+    "q107_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |dev AS (
+        |  SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
+        |  FROM events e JOIN med m USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT d.event_type, round(max(d.med), 6) AS med,
+        |  round(max(m.mad), 6) AS mad,
+        |  CAST(sum(CASE WHEN d.adev > CAST(4.4478 AS DOUBLE) * m.mad
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY 1""".stripMargin
   )
 }

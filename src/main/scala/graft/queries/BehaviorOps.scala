@@ -238,6 +238,51 @@ object BehaviorOps {
             .as("sum_value"))
     },
 
+    // ---- q108: association rules over session baskets — which event
+    // types co-occur in the same session (q101's 24h-gap sessions),
+    // with support and lift. Pair generation self-joins the DISTINCT
+    // (basket, item) relation on the basket key with item < item, so
+    // per-basket work is |types|² ≤ 25 — bounded fan-out at any scale;
+    // the global counts are map-side-combined aggregates. Support in
+    // exact integer ppm; lift is one division of exact integer
+    // products (n_ab·N / (n_a·n_b)).
+    "q108_session_assoc" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val GapUs = 86400000000L
+      val wo = Window.partitionBy($"user_id").orderBy($"tsu".asc, $"event_id".asc)
+      val items = Tables.events(s, d)
+        .select($"user_id", expr("ts DIV 1000").as("tsu"), $"event_id",
+          $"event_type")
+        .select($"user_id", $"event_type",
+          when(lag($"tsu", 1).over(wo).isNull
+            || $"tsu" - lag($"tsu", 1).over(wo) > GapUs, 1L)
+            .otherwise(0L).as("brk"),
+          $"tsu", $"event_id")
+        .select($"user_id", $"event_type", sum($"brk").over(wo).as("sess"))
+        .distinct()
+        .persist()
+      val baskets = items.select($"user_id", $"sess").distinct().count()
+      val na = items.groupBy($"event_type".as("t")).agg(count(lit(1)).as("na"))
+      val pairs = items.as("a").join(items.as("b"),
+          $"a.user_id" === $"b.user_id" && $"a.sess" === $"b.sess"
+            && $"a.event_type" < $"b.event_type")
+        .groupBy($"a.event_type".as("ta"), $"b.event_type".as("tb"))
+        .agg(count(lit(1)).as("nab"))
+      val out = pairs
+        .join(broadcast(na.select($"t".as("ta_k"), $"na".as("na_a"))),
+          $"ta" === $"ta_k")
+        .join(broadcast(na.select($"t".as("tb_k"), $"na".as("na_b"))),
+          $"tb" === $"tb_k")
+        .select($"ta", $"tb", $"nab",
+          expr(s"nab * 1000000 DIV $baskets").as("support_ppm"),
+          round(($"nab" * lit(baskets)).cast("double")
+            / ($"na_a" * $"na_b"), 6).as("lift"))
+      // items stays persisted until the caller's terminal action; the
+      // bench clears cache per rep, Verify per query.
+      out
+    },
+
     // ---- q83: rolling 7-day mean per series over the q80 gap-free
     // grid — a RANGE window frame (value-based, not row-based): on a
     // dense grid rows==range, but the operator under test is the
@@ -280,6 +325,44 @@ object BehaviorOps {
         |  round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6)
         |    AS sum_value
         |FROM s GROUP BY user_id, sess""".stripMargin,
+
+    // Same session assignment as q101; items are DISTINCT per basket,
+    // support is integer ppm (// floor division), lift one double
+    // division of exact integer products.
+    "q108_session_assoc" ->
+      """WITH t AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
+        |    event_id, event_type
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, event_type, tsu, event_id,
+        |    CASE WHEN lag(tsu) OVER w IS NULL
+        |           OR tsu - lag(tsu) OVER w > 86400000000 THEN 1
+        |         ELSE 0 END AS brk
+        |  FROM t
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+        |items AS (
+        |  SELECT DISTINCT user_id, event_type,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM b),
+        |nb AS (SELECT count(*) AS n FROM
+        |       (SELECT DISTINCT user_id, sess FROM items)),
+        |na AS (SELECT event_type, count(*) AS na FROM items GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb,
+        |    CAST(count(*) AS BIGINT) AS nab
+        |  FROM items a JOIN items b
+        |    ON a.user_id = b.user_id AND a.sess = b.sess
+        |   AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT ta, tb, nab,
+        |  CAST(nab * 1000000 // nb.n AS BIGINT) AS support_ppm,
+        |  round(CAST(nab * nb.n AS DOUBLE) / (x.na * y.na), 6) AS lift
+        |FROM pairs
+        |JOIN na x ON pairs.ta = x.event_type
+        |JOIN na y ON pairs.tb = y.event_type
+        |CROSS JOIN nb""".stripMargin,
 
     // Same n-scaled deviation; ts ordering matches the nanos-as-long
     // Spark sort because DuckDB orders the raw TIMESTAMP.
