@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Bfs, Dedup, HeavyHitters, IncrementalAgg, PageRank, SetSimilarity, SnapshotDiff, Triangles, ZOrder}
+import graft.operators.{Bfs, Dedup, HeavyHitters, IncrementalAgg, KCore, PageRank, SetSimilarity, SnapshotDiff, Triangles, ZOrder}
 
 /** Round-3 scale surface (q67+): operators whose point is the 100 TB
   * execution shape — exact-but-sub-quadratic similarity join, two-pass
@@ -184,6 +184,26 @@ object ScaleOps {
       val seeds = edges.select($"src".as("node")).distinct()
         .orderBy($"node".asc).limit(3)
       Bfs.distances(edges, seeds, maxHops = 3)
+    },
+
+    // ---- q110: k-core decomposition (k=4) of the q95 co-purchase
+    // graph — iterative degree peeling to the dense core, the standard
+    // pre-filter before community detection / graph ML and the
+    // spam-subgraph miner. Each round is one degree aggregation plus
+    // two semi-joins against the cached edge list (work ∝ |E|, no
+    // quadratic step); the unique fixpoint makes the unrolled-SQL
+    // oracle replay exact.
+    "q110_kcore" -> { (s, d) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, d).filter($"l_quantity" >= 25)
+        .select($"l_orderkey", $"l_partkey")
+      val pairs = li.as("a").join(li.as("b"), Seq("l_orderkey"))
+        .filter($"a.l_partkey" < $"b.l_partkey")
+        .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+        .distinct()
+      val edges = pairs.unionAll(pairs.select($"v".as("u"), $"u".as("v")))
+        .select($"u".as("src"), $"v".as("dst"))
+      KCore.core(edges, k = 4, maxRounds = 6)
     },
 
     // ---- q72: cross-corpus near-dup join — dedup a fresh slice
@@ -413,6 +433,30 @@ object ScaleOps {
         |  WHERE w.dist < 3)
         |SELECT CAST(node AS BIGINT) AS node, CAST(min(dist) AS INT) AS dist
         |FROM walk GROUP BY node""".stripMargin,
+
+    // Six unrolled peel rounds (the operator's maxRounds) then the
+    // same final deg >= k select — a converged early stop on the Spark
+    // side returns identical rows because later rounds are no-ops.
+    "q110_kcore" -> {
+      val k = 4
+      def round(i: Int) =
+        s"""k$i AS (SELECT src AS node FROM e${i - 1} GROUP BY src
+           |        HAVING count(*) >= $k),
+           |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+           |        JOIN k$i a ON e.src = a.node
+           |        JOIN k$i b ON e.dst = b.node)""".stripMargin
+      s"""WITH li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 25),
+        |pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |e0 AS (SELECT u AS src, v AS dst FROM pairs
+        |       UNION ALL SELECT v, u FROM pairs),
+        |${(1 to 6).map(round).mkString(",\n")}
+        |SELECT CAST(src AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS deg
+        |FROM e6 GROUP BY src HAVING count(*) >= $k""".stripMargin
+    },
 
     "q72_crosscorpus_dedup" -> {
       // Brute-force cross-side Jaccard: same shingle CTEs as the
