@@ -238,6 +238,25 @@ object BehaviorOps {
             .as("sum_value"))
     },
 
+    // ---- q109: SCD Type-2 dimension build — collapse each user's
+    // event_type stream into validity intervals [valid_from, valid_to)
+    // with a current-run flag (gaps-and-islands over the event log,
+    // the warehouse-standard versioned-dimension operator). One
+    // shuffle: lag + running sum + interval lead all share the
+    // user_id window partitioning, and the run collapse reuses it.
+    // Open intervals carry Long.MaxValue, not NULL, so the column
+    // stays int64 in the differential compare.
+    "q109_scd2" -> { (s, d) =>
+      import s.implicits._
+      graft.operators.Scd.type2(
+          Tables.events(s, d).select($"user_id", $"event_type",
+            expr("ts DIV 1000").as("tsu"), $"event_id"),
+          key = $"user_id", attr = $"event_type", ts = $"tsu",
+          tie = $"event_id")
+        .select($"key".as("user_id"), $"attr".as("event_type"),
+          $"valid_from", $"valid_to", $"n_obs", $"is_current")
+    },
+
     // ---- q108: association rules over session baskets — which event
     // types co-occur in the same session (q101's 24h-gap sessions),
     // with support and lift. Pair generation self-joins the DISTINCT
@@ -325,6 +344,40 @@ object BehaviorOps {
         |  round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6)
         |    AS sum_value
         |FROM s GROUP BY user_id, sess""".stripMargin,
+
+    // Same µs truncation and (tsu, event_id) order as q101; the open
+    // interval uses the Long.MaxValue sentinel so valid_to stays
+    // int64 (NULL would drift the pandas dtype to float64).
+    "q109_scd2" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, event_id
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, event_type, tsu, event_id,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type THEN 1
+        |         ELSE 0 END AS chg
+        |  FROM t
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+        |r AS (
+        |  SELECT user_id, event_type, tsu,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM b),
+        |g AS (
+        |  SELECT user_id, run, min(event_type) AS event_type,
+        |    min(tsu) AS valid_from, count(*) AS n_obs
+        |  FROM r GROUP BY user_id, run)
+        |SELECT user_id, event_type,
+        |  CAST(valid_from AS BIGINT) AS valid_from,
+        |  CAST(coalesce(lead(valid_from) OVER wr, 9223372036854775807)
+        |    AS BIGINT) AS valid_to,
+        |  CAST(n_obs AS BIGINT) AS n_obs,
+        |  CAST(CASE WHEN lead(valid_from) OVER wr IS NULL
+        |       THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM g
+        |WINDOW wr AS (PARTITION BY user_id ORDER BY run)""".stripMargin,
 
     // Same session assignment as q101; items are DISTINCT per basket,
     // support is integer ppm (// floor division), lift one double
