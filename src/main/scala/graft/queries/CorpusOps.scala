@@ -115,6 +115,22 @@ object CorpusOps {
         .agg(count(lit(1)).as("n_kept"))
     },
 
+    // ---- q111: DSIR-style importance reweighting — score every doc
+    // by the log-likelihood ratio of a hashed-unigram LM fit on the
+    // target slice (lang='en') vs the full corpus (Xie et al. 2023).
+    // The ONLY gate query using ln(): safe here because just 256
+    // distinct bucket LLR values are ever evaluated, each formed in a
+    // fixed double-op order and rounded to 1e-6 before the exact
+    // decimal per-doc sum — a trans-engine ulp difference would have
+    // to land within 5e-7 of a rounding boundary on one of 256 values
+    // to diverge. md5-prefix bucketing keeps the feature hash
+    // replayable in DuckDB.
+    "q111_dsir_weights" -> { (s, d) =>
+      import s.implicits._
+      graft.operators.Dsir.weights(Tables.documents(s, d), $"doc_id",
+        $"text", isTarget = $"lang" === "en", buckets = 256)
+    },
+
     // ---- q94: best-fit-decreasing whole-document bin packing
     // (512-token budget, 32 shards): per-doc bin assignment, final bin
     // fill, and the oversize flag. The oracle replays the exact greedy
@@ -348,6 +364,34 @@ object CorpusOps {
         |WHERE ('0x' || substr(md5('tmix42' || d.doc_id::VARCHAR), 1, 8))::UBIGINT
         |    % 1000000 < r.ppm
         |GROUP BY 1, 2""".stripMargin,
+
+    // Same md5-prefix bucketing, same smoothing-op order, per-term
+    // round(…,6) then exact decimal sum (see the query comment for
+    // the ln() hazard analysis).
+    "q111_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |  FROM documents),
+        |tb AS (
+        |  SELECT ('0x' || substr(md5(w), 1, 8))::BIGINT % 256 AS b,
+        |    count(*) AS r_b,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_b
+        |  FROM toks GROUP BY 1),
+        |tot AS (SELECT sum(r_b) AS r_tot, sum(t_b) AS t_tot FROM tb),
+        |llr AS (
+        |  SELECT b, round(ln(
+        |      ((CAST(t_b AS DOUBLE) + 1) * (CAST(r_tot AS DOUBLE) + 256)) /
+        |      ((CAST(t_tot AS DOUBLE) + 256) * (CAST(r_b AS DOUBLE) + 1))),
+        |    6) AS v
+        |  FROM tb, tot),
+        |d AS (
+        |  SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT % 256 AS b
+        |  FROM toks)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |  round(CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE), 6) AS dsir_llr
+        |FROM d JOIN llr USING (b)
+        |GROUP BY doc_id""".stripMargin,
 
     "q89_bigram_likelihood" ->
       """WITH toks AS (
