@@ -194,6 +194,42 @@ object Curation {
     h < weightPct
   }
 
+  /** Weighted sampling WITHOUT replacement, k per group, inclusion
+    * probability ∝ `weight` (Efraimidis & Spirakis 2006): each row
+    * draws a deterministic uniform u from its id hash and competes
+    * with key u^(1/w) — equivalently ln(u)/w, the exponential-race
+    * form used here — and the k largest keys per group win. The
+    * standard quality-weighted data-mixing sampler (pick k docs per
+    * domain, longer/higher-quality docs proportionally more likely),
+    * reproducible across pipeline stages because the "randomness" is
+    * the md5 of the id.
+    *
+    * Scale shape: a narrow map derives the key, then ONE map-side-
+    * combined [[graft.functions.TopKAgg]] per group — k-bounded
+    * buffers, no per-group sort, only k rows per (partition, group)
+    * cross the shuffle. The window row_number form would sort every
+    * group in full.
+    *
+    * Determinism: u ∈ (0, 1] from the first 8 md5 hex chars (never 0,
+    * so ln is finite); ties in the race key break to the smaller id
+    * inside TopKAgg. The ln/division ulp hazard only matters when two
+    * race keys collide to ~1e-16 relative — negligible, and the
+    * DuckDB oracle replays the identical formula.
+    */
+  def weightedSample(df: DataFrame, group: Column, id: Column,
+                     weight: Column, k: Int, salt: String): DataFrame = {
+    val u = (conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 8),
+      16, 10).cast("double") + lit(1.0)) / lit(4294967296.0)
+    val key = log(u) / weight.cast("double")
+    val tk = graft.functions.TopKAgg.topK(k)
+    df.select(group.as("g"), id.cast("long").as("id"), key.as("key"))
+      .groupBy(col("g"))
+      .agg(tk(col("key"), col("id")).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("id"))
+  }
+
   /** Temperature-scaled domain mixing at T = 2 (the standard LLM
     * data-recipe reweighting, domain weight ∝ n^(1/T)): big domains
     * are down-sampled toward the target budget while small domains

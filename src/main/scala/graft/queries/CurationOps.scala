@@ -73,6 +73,19 @@ object CurationOps {
           col("col.id").as("event_id"), round(col("col.v"), 4).as("value"))
     },
 
+    // ---- q112: weighted sampling without replacement — 5 docs per
+    // language with inclusion probability ∝ n_chars (Efraimidis-
+    // Spirakis exponential race on md5-derived uniforms; see
+    // Curation.weightedSample). One map-side-combined TopKAgg per
+    // group, no per-group sort; the oracle replays the identical race
+    // formula with a window rank.
+    "q112_weighted_sample" -> { (s, d) =>
+      import s.implicits._
+      Curation.weightedSample(Tables.documents(s, d), $"lang", $"doc_id",
+          $"n_chars", k = 5, salt = "ws42")
+        .select($"g".as("lang"), $"rank", $"id".as("doc_id"))
+    },
+
     // ---- q52: text cleaning (HTML strip, URL/e-mail redaction,
     // whitespace collapse) — the dirty suffix is constructed from the
     // row so the cleaning path is actually exercised on every doc.
@@ -159,6 +172,20 @@ object CurationOps {
         |      ORDER BY "value" DESC, event_id ASC) AS rank
         |  FROM events) t
         |WHERE rank <= 3""".stripMargin,
+
+    // Identical race formula: u from the same salted md5 prefix,
+    // key = ln(u)/w, rank DESC with doc_id tiebreak.
+    "q112_weighted_sample" ->
+      """SELECT lang, rank, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY ln(u) / w DESC, doc_id ASC) AS rank
+        |  FROM (
+        |    SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS w,
+        |      (('0x' || substr(md5('ws42' || doc_id::VARCHAR), 1, 8))::UBIGINT
+        |        + 1) / 4294967296.0 AS u
+        |    FROM documents) t) r
+        |WHERE rank <= 5""".stripMargin,
 
     "q52_text_clean" ->
       """WITH dirty AS (
