@@ -58,6 +58,37 @@ object AnalyticOps {
           round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
     },
 
+    // ---- q113: DDSketch mergeable quantiles — p50/p90/p99 of event
+    // value per type read from the log-γ bucketed sketch (α = 1%
+    // relative error; Masson et al., VLDB 2019). The sketch is a
+    // custom Aggregator whose ~1k-bucket map merges map-side, so the
+    // shuffle carries buckets·partitions rows however large the input
+    // — the mergeable replacement for q42's exact sort-based
+    // percentile. Extraction (cumulative walk to rank ceil(q·n), then
+    // the bucket midpoint 2γ^b/(γ+1)) stays in the plan: explode the
+    // sketch, one window cumsum, conditional-min the crossing bucket.
+    "q113_ddsketch_quantiles" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val g = 1.01 / 0.99
+      val dd = graft.functions.DDSketchAgg.ddsketch(g)
+      val buckets = Tables.events(s, d)
+        .groupBy($"event_type").agg(dd($"value").as("sk"))
+        .select($"event_type", explode($"sk.pos").as(Seq("bkt", "cnt")))
+      val w = Window.partitionBy($"event_type")
+      val wc = w.orderBy($"bkt".asc).rowsBetween(Window.unboundedPreceding, 0)
+      def est(b: org.apache.spark.sql.Column) =
+        round(lit(2.0) * pow(lit(g), b) / lit(g + 1.0), 6)
+      buckets
+        .select($"event_type", $"bkt", $"cnt",
+          sum($"cnt").over(wc).as("cum"), sum($"cnt").over(w).as("n"))
+        .groupBy($"event_type")
+        .agg(max($"n").as("n"),
+          est(min(when($"cum" >= ceil(lit(0.50) * $"n"), $"bkt"))).as("p50"),
+          est(min(when($"cum" >= ceil(lit(0.90) * $"n"), $"bkt"))).as("p90"),
+          est(min(when($"cum" >= ceil(lit(0.99) * $"n"), $"bkt"))).as("p99"))
+    },
+
     // ---- q100: equi-depth histograms — 8 equal-population buckets of
     // event value per event type (the optimizer-statistics shape, and
     // the binning step of quantile-based feature engineering). ntile
@@ -165,6 +196,31 @@ object AnalyticOps {
         |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
         |  round(quantile_cont(o_totalprice, 0.99), 4) AS p99
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    // Replays the sketch pipeline end-to-end: same ln-ratio
+    // bucketing (γ written as the literal division 1.01/0.99 on both
+    // engines), same cumulative walk to rank ceil(q·n) (q·n is one
+    // IEEE multiply of identical doubles), same midpoint formula.
+    "q113_ddsketch_quantiles" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CAST(ceil(ln(value) / ln(1.01/0.99)) AS BIGINT) AS bkt
+        |  FROM events),
+        |c AS (SELECT event_type, bkt, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, bkt, cnt,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bkt
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM c)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |  round(2 * pow(1.01/0.99, min(CASE WHEN cum >= ceil(0.50 * n)
+        |    THEN bkt END)) / (1.01/0.99 + 1), 6) AS p50,
+        |  round(2 * pow(1.01/0.99, min(CASE WHEN cum >= ceil(0.90 * n)
+        |    THEN bkt END)) / (1.01/0.99 + 1), 6) AS p90,
+        |  round(2 * pow(1.01/0.99, min(CASE WHEN cum >= ceil(0.99 * n)
+        |    THEN bkt END)) / (1.01/0.99 + 1), 6) AS p99
+        |FROM t GROUP BY event_type""".stripMargin,
 
     "q43_hll_distinct_bound" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_distinct
