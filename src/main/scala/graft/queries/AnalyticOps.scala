@@ -89,6 +89,43 @@ object AnalyticOps {
           est(min(when($"cum" >= ceil(lit(0.99) * $"n"), $"bkt"))).as("p99"))
     },
 
+    // ---- q115: distribution drift audit — the data-quality monitor
+    // a training pipeline runs between ingestion snapshots: per event
+    // type, a chi-square-style drift statistic between the value
+    // histograms of the reference window (first half of the month)
+    // and the current window (second half). Fixed-width bins
+    // (floor(value/50), clamped to 10) keep binning rational — no
+    // quantile pass, no ln; each bin's term is one fixed IEEE
+    // expression rounded to 1e-9 before an exact decimal sum, so the
+    // statistic is order-independent and oracle-replayable. Shape:
+    // both windows histogram in ONE pass over events (conditional
+    // counts per (type, bin)), per-type totals come from a window
+    // over the ~50-row bin table.
+    "q115_drift_audit" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val Boundary = lit("2024-01-16 00:00:00")
+      val binned = Tables.events(s, d)
+        .select($"event_type",
+          least(floor($"value" / lit(50.0)), lit(9.0)).cast("long").as("bin"),
+          ($"ts" < unix_timestamp(Boundary) * lit(1000000000L)).as("is_ref"))
+        .groupBy($"event_type", $"bin")
+        .agg(sum(when($"is_ref", 1L).otherwise(0L)).as("rc"),
+          sum(when($"is_ref", 0L).otherwise(1L)).as("cc"))
+      val w = Window.partitionBy($"event_type")
+      val pr = $"rc".cast("double") / $"n_ref".cast("double")
+      val pc = $"cc".cast("double") / $"n_cur".cast("double")
+      binned
+        .select($"event_type", $"rc", $"cc",
+          sum($"rc").over(w).as("n_ref"), sum($"cc").over(w).as("n_cur"))
+        .select($"event_type", $"n_ref", $"n_cur",
+          round((pc - pr) * (pc - pr) / (pr + lit(1e-6)), 9).as("term"))
+        .groupBy($"event_type")
+        .agg(max($"n_ref").as("n_ref"), max($"n_cur").as("n_cur"),
+          round(sum($"term".cast("decimal(38,9)")).cast("double"), 6)
+            .as("chi2"))
+    },
+
     // ---- q100: equi-depth histograms — 8 equal-population buckets of
     // event value per event type (the optimizer-statistics shape, and
     // the binning step of quantile-based feature engineering). ntile
@@ -196,6 +233,40 @@ object AnalyticOps {
         |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
         |  round(quantile_cont(o_totalprice, 0.99), 4) AS p99
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    // Same fixed-width binning and boundary, identical per-bin IEEE
+    // term rounded to 1e-9 before the exact decimal sum; windowed
+    // integer sums pass through CAST (HUGEINT rule).
+    "q115_drift_audit" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CAST(least(floor(value / 50.0), 9.0) AS BIGINT) AS bin,
+        |    (CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00')
+        |      AS is_ref
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, bin,
+        |    sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS rc,
+        |    sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS cc
+        |  FROM b GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, rc, cc,
+        |    sum(rc) OVER (PARTITION BY event_type) AS n_ref,
+        |    sum(cc) OVER (PARTITION BY event_type) AS n_cur
+        |  FROM c),
+        |x AS (
+        |  SELECT event_type, n_ref, n_cur,
+        |    round((CAST(cc AS DOUBLE) / CAST(n_cur AS DOUBLE)
+        |         - CAST(rc AS DOUBLE) / CAST(n_ref AS DOUBLE))
+        |        * (CAST(cc AS DOUBLE) / CAST(n_cur AS DOUBLE)
+        |         - CAST(rc AS DOUBLE) / CAST(n_ref AS DOUBLE))
+        |        / (CAST(rc AS DOUBLE) / CAST(n_ref AS DOUBLE) + 1e-6), 9)
+        |      AS term
+        |  FROM t)
+        |SELECT event_type, CAST(max(n_ref) AS BIGINT) AS n_ref,
+        |  CAST(max(n_cur) AS BIGINT) AS n_cur,
+        |  round(CAST(sum(CAST(term AS DECIMAL(38,9))) AS DOUBLE), 6) AS chi2
+        |FROM x GROUP BY event_type""".stripMargin,
 
     // Replays the sketch pipeline end-to-end: same ln-ratio
     // bucketing (γ written as the literal division 1.01/0.99 on both

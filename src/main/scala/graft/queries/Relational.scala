@@ -260,6 +260,39 @@ object Relational {
         .agg(count(lit(1)).as("n_li"),
           round(sum($"l_extendedprice".cast("decimal(38,6)")).cast("double")
             / lit(7.0), 2).as("avg_yearly"))
+    },
+
+    // ---- q114: waiting suppliers (TPC-H Q21's shape) — suppliers
+    // whose delayed line was the ONLY delay in a multi-supplier
+    // finished order. The textbook form is a doubly-correlated
+    // EXISTS / NOT EXISTS; here both decorrelate into an
+    // orderkey-clustered semi-join (another supplier exists) and
+    // anti-join (no OTHER delayed supplier) over the same delayed-line
+    // relation — every join keys on l_orderkey, so the plan is one
+    // co-partitioned join cascade with no per-row subquery rescans.
+    // "Delayed" = shipped > 90 days after the order date (this
+    // schema's commit/receipt-date proxy). The tiny supplier dim
+    // broadcasts; ties in the top-10 break on the unique s_name.
+    "q114_waiting_suppliers" -> { (s, d) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+      val delayed = li
+        .join(Tables.orders(s, d).filter($"o_orderstatus" === "F")
+          .select($"o_orderkey", $"o_orderdate"),
+          $"l_orderkey" === $"o_orderkey")
+        .filter(datediff($"l_shipdate", $"o_orderdate") > 90)
+        .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk"))
+      delayed
+        .join(li.select($"l_orderkey".as("ok2"), $"l_suppkey".as("sk2")),
+          $"ok" === $"ok2" && $"sk" =!= $"sk2", "left_semi")
+        .join(delayed.select($"ok".as("ok3"), $"sk".as("sk3")),
+          $"ok" === $"ok3" && $"sk" =!= $"sk3", "left_anti")
+        .join(broadcast(Tables.supplier(s, d)), $"sk" === $"s_suppkey")
+        .groupBy($"s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy($"numwait".desc, $"s_name".asc)
+        .limit(10)
     }
   )
 
@@ -410,6 +443,27 @@ object Relational {
         |JOIN a ON l.l_partkey = a.k
         |JOIN part p ON l.l_partkey = p.p_partkey
         |WHERE l.l_quantity < avgq * CAST(0.2 AS DOUBLE)
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    // The correlated EXISTS/NOT EXISTS form — DuckDB decorrelates it
+    // into the same semi/anti cascade the engine plans explicitly.
+    "q114_waiting_suppliers" ->
+      """WITH del AS (
+        |  SELECT l.l_orderkey AS ok, l.l_suppkey AS sk
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F'
+        |    AND date_diff('day', CAST(o.o_orderdate AS DATE),
+        |                  CAST(l.l_shipdate AS DATE)) > 90)
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM del l1 JOIN supplier ON l1.sk = s_suppkey
+        |WHERE EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.ok AND l2.l_suppkey <> l1.sk)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM del l3
+        |    WHERE l3.ok = l1.ok AND l3.sk <> l1.sk)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name ASC
+        |LIMIT 10""".stripMargin
   )
 }
