@@ -437,22 +437,29 @@ object ScaleOps {
     // Six unrolled peel rounds (the operator's maxRounds) then the
     // same final deg >= k select — a converged early stop on the Spark
     // side returns identical rows because later rounds are no-ops.
+    // Every CTE is MATERIALIZED: each round references its predecessor
+    // three times (degree agg + two joins), so inlining would blow the
+    // expression tree up ~3^rounds — the SQL mirror of why the Spark
+    // operator persists each round's edge list.
     "q110_kcore" -> {
       val k = 4
       def round(i: Int) =
-        s"""k$i AS (SELECT src AS node FROM e${i - 1} GROUP BY src
-           |        HAVING count(*) >= $k),
-           |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
-           |        JOIN k$i a ON e.src = a.node
-           |        JOIN k$i b ON e.dst = b.node)""".stripMargin
-      s"""WITH li AS (
+        s"""k$i AS MATERIALIZED (
+           |  SELECT src AS node FROM e${i - 1} GROUP BY src
+           |  HAVING count(*) >= $k),
+           |e$i AS MATERIALIZED (
+           |  SELECT e.src, e.dst FROM e${i - 1} e
+           |  JOIN k$i a ON e.src = a.node
+           |  JOIN k$i b ON e.dst = b.node)""".stripMargin
+      s"""WITH li AS MATERIALIZED (
         |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 25),
-        |pairs AS (
+        |pairs AS MATERIALIZED (
         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         |  FROM li a JOIN li b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-        |e0 AS (SELECT u AS src, v AS dst FROM pairs
-        |       UNION ALL SELECT v, u FROM pairs),
+        |e0 AS MATERIALIZED (
+        |  SELECT u AS src, v AS dst FROM pairs
+        |  UNION ALL SELECT v, u FROM pairs),
         |${(1 to 6).map(round).mkString(",\n")}
         |SELECT CAST(src AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS deg
         |FROM e6 GROUP BY src HAVING count(*) >= $k""".stripMargin
