@@ -72,16 +72,25 @@ object AnalyticOps {
       import org.apache.spark.sql.expressions.Window
       val g = 1.01 / 0.99
       val dd = graft.functions.DDSketchAgg.ddsketch(g)
+      // The walk counts the sketch's zero store ahead of every
+      // positive bucket (zeros sort below all positives). A quantile
+      // landing INSIDE the zero mass would still report the first
+      // positive bucket in this SQL-shaped extraction — fine for
+      // value-metric data where zeros are a trace fraction; use
+      // DDSketchAgg.quantile for zero-heavy/negative data (exact
+      // three-store walk, spec-covered).
       val buckets = Tables.events(s, d)
         .groupBy($"event_type").agg(dd($"value").as("sk"))
-        .select($"event_type", explode($"sk.pos").as(Seq("bkt", "cnt")))
+        .select($"event_type", $"sk.zero".as("zc"),
+          explode($"sk.pos").as(Seq("bkt", "cnt")))
       val w = Window.partitionBy($"event_type")
       val wc = w.orderBy($"bkt".asc).rowsBetween(Window.unboundedPreceding, 0)
       def est(b: org.apache.spark.sql.Column) =
         round(lit(2.0) * pow(lit(g), b) / lit(g + 1.0), 6)
       buckets
         .select($"event_type", $"bkt", $"cnt",
-          sum($"cnt").over(wc).as("cum"), sum($"cnt").over(w).as("n"))
+          ($"zc" + sum($"cnt").over(wc)).as("cum"),
+          ($"zc" + sum($"cnt").over(w)).as("n"))
         .groupBy($"event_type")
         .agg(max($"n").as("n"),
           est(min(when($"cum" >= ceil(lit(0.50) * $"n"), $"bkt"))).as("p50"),
@@ -273,17 +282,21 @@ object AnalyticOps {
     // engines), same cumulative walk to rank ceil(q·n) (q·n is one
     // IEEE multiply of identical doubles), same midpoint formula.
     "q113_ddsketch_quantiles" ->
-      """WITH b AS (
+      """WITH p AS (
         |  SELECT event_type,
         |    CAST(ceil(ln(value) / ln(1.01/0.99)) AS BIGINT) AS bkt
-        |  FROM events),
-        |c AS (SELECT event_type, bkt, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |  FROM events WHERE value > 0),
+        |z AS (
+        |  SELECT event_type,
+        |    sum(CASE WHEN value = 0 THEN 1 ELSE 0 END) AS zc
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT event_type, bkt, count(*) AS cnt FROM p GROUP BY 1, 2),
         |t AS (
-        |  SELECT event_type, bkt, cnt,
-        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bkt
+        |  SELECT c.event_type, bkt, cnt,
+        |    z.zc + sum(cnt) OVER (PARTITION BY c.event_type ORDER BY bkt
         |      ROWS UNBOUNDED PRECEDING) AS cum,
-        |    sum(cnt) OVER (PARTITION BY event_type) AS n
-        |  FROM c)
+        |    z.zc + sum(cnt) OVER (PARTITION BY c.event_type) AS n
+        |  FROM c JOIN z ON c.event_type = z.event_type)
         |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
         |  round(2 * pow(1.01/0.99, min(CASE WHEN cum >= ceil(0.50 * n)
         |    THEN bkt END)) / (1.01/0.99 + 1), 6) AS p50,
