@@ -98,6 +98,23 @@ object AnalyticOps {
           est(min(when($"cum" >= ceil(lit(0.99) * $"n"), $"bkt"))).as("p99"))
     },
 
+    // ---- q116: 2-D Pareto frontier — users not dominated on
+    // (activity, spend): the curation trade-off explorer generalized
+    // (quality-vs-length doc selection has the same shape). No O(n²)
+    // dominance join: one aggregate to per-x maxima, a prefix-max
+    // sweep over the |distinct x| table, and a broadcast semi-join
+    // back (see operators.Skyline). Decimal-exact y so frontier
+    // equality matches bit-for-bit across engines.
+    "q116_pareto_frontier" -> { (s, d) =>
+      import s.implicits._
+      val users = Tables.events(s, d).groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum($"value".cast("decimal(38,6)")).cast("double"), 4)
+            .as("sum_value"))
+      graft.operators.Skyline.frontier2d(users, $"n_events", $"sum_value")
+        .select($"user_id", $"n_events", $"sum_value")
+    },
+
     // ---- q115: distribution drift audit — the data-quality monitor
     // a training pipeline runs between ingestion snapshots: per event
     // type, a chi-square-style drift statistic between the value
@@ -242,6 +259,24 @@ object AnalyticOps {
         |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
         |  round(quantile_cont(o_totalprice, 0.99), 4) AS p99
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    // Same decomposition: per-x maxima, strictly-greater-x prefix
+    // max, join back on the frontier coordinate.
+    "q116_pareto_frontier" ->
+      """WITH u AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4)
+        |      AS sum_value
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT n_events, max(sum_value) AS ymax
+        |      FROM u GROUP BY 1),
+        |f AS (SELECT n_events, ymax,
+        |        max(ymax) OVER (ORDER BY n_events DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |      FROM g)
+        |SELECT u.user_id, u.n_events, u.sum_value
+        |FROM u JOIN f ON u.n_events = f.n_events AND u.sum_value = f.ymax
+        |WHERE f.pm IS NULL OR f.ymax > f.pm""".stripMargin,
 
     // Same fixed-width binning and boundary, identical per-bin IEEE
     // term rounded to 1e-9 before the exact decimal sum; windowed
