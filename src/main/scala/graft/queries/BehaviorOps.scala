@@ -257,6 +257,65 @@ object BehaviorOps {
           $"valid_from", $"valid_to", $"n_obs", $"is_current")
     },
 
+    // ---- q117: time-decayed multi-touch attribution — every
+    // purchase distributes one unit of credit over the user's
+    // view/click touches of the prior 7 days, weighted by half-life
+    // decay 0.5^days_ago. Decay weights come from a bit shift
+    // (1 / (1 << days)), so every weight is an exact 1/64-multiple
+    // and the per-purchase normalizer sums exactly in double —
+    // order-independent with no pow() cross-engine hazard. Shape: one
+    // user-keyed join with a bounded time predicate (fan-out = touches
+    // per user-week), a purchase-keyed window for the normalizer, one
+    // final tiny aggregate.
+    "q117_decay_attribution" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val DayUs = 86400000000L
+      val ev = Tables.events(s, d).select($"user_id", $"event_id",
+        $"event_type", expr("ts DIV 1000").as("tsu"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("pid"), $"tsu".as("pt"))
+      val touches = ev.filter($"event_type".isin("view", "click"))
+        .select($"user_id", $"event_type".as("ttype"), $"tsu".as("tt"))
+      val pairs = purchases.join(touches, Seq("user_id"))
+        .filter($"tt" <= $"pt" && $"pt" - $"tt" < lit(7 * DayUs))
+        .select($"pid", $"ttype",
+          expr(s"(pt - tt) DIV $DayUs").as("days_ago"))
+        .select($"pid", $"ttype", $"days_ago",
+          expr("1.0 / cast(shiftleft(1, cast(days_ago as int)) as double)")
+            .as("w"))
+      val wp = Window.partitionBy($"pid")
+      pairs
+        .select($"ttype", $"days_ago",
+          round($"w" / sum($"w").over(wp), 9).as("term"))
+        .groupBy($"ttype", $"days_ago")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum($"term".cast("decimal(38,9)")).cast("double"), 6)
+            .as("credit"))
+    },
+
+    // ---- q118: per-user behavioral feature vector — the feature-
+    // engineering table a churn/quality model trains on: event count,
+    // distinct types, Gini diversity of the type mix, and top-type
+    // share. Gini avoids entropy's ln(): 1 - Σp² = (n² - Σc²)/n²
+    // with exact integer numerators, so every feature is one IEEE
+    // division of exact integers. Two-level aggregate: (user, type)
+    // counts, then a user rollup that reuses the first shuffle's
+    // partitioning (user ⊆ grouping keys).
+    "q118_user_features" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("c"))
+        .groupBy($"user_id")
+        .agg(sum($"c").as("n_events"), count(lit(1)).as("n_types"),
+          sum($"c" * $"c").as("ssq"), max($"c").as("maxc"))
+        .select($"user_id", $"n_events", $"n_types",
+          round(($"n_events" * $"n_events" - $"ssq").cast("double")
+            / ($"n_events" * $"n_events").cast("double"), 6).as("gini"),
+          round($"maxc".cast("double") / $"n_events".cast("double"), 6)
+            .as("top_share"))
+    },
+
     // ---- q108: association rules over session baskets — which event
     // types co-occur in the same session (q101's 24h-gap sessions),
     // with support and lift. Pair generation self-joins the DISTINCT
@@ -378,6 +437,50 @@ object BehaviorOps {
         |       THEN 1 ELSE 0 END AS BIGINT) AS is_current
         |FROM g
         |WINDOW wr AS (PARTITION BY user_id ORDER BY run)""".stripMargin,
+
+    // Same shift-derived decay weights (exact double sums), same
+    // per-pair rounded normalization term before the decimal sum.
+    "q117_decay_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tsu
+        |  FROM events),
+        |p AS (SELECT user_id, event_id AS pid, tsu AS pt
+        |      FROM ev WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_type AS ttype, tsu AS tt
+        |      FROM ev WHERE event_type IN ('view', 'click')),
+        |pairs AS (
+        |  SELECT pid, ttype, (pt - tt) // 86400000000 AS days_ago,
+        |    1.0 / (1 << ((pt - tt) // 86400000000)) AS w
+        |  FROM p JOIN t USING (user_id)
+        |  WHERE tt <= pt AND pt - tt < 7 * 86400000000),
+        |x AS (
+        |  SELECT ttype, days_ago,
+        |    round(w / sum(w) OVER (PARTITION BY pid), 9) AS term
+        |  FROM pairs)
+        |SELECT ttype, CAST(days_ago AS BIGINT) AS days_ago,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(CAST(sum(CAST(term AS DECIMAL(38,9))) AS DOUBLE), 6)
+        |    AS credit
+        |FROM x GROUP BY 1, 2""".stripMargin,
+
+    // Gini from exact integer sums of squares — no ln(), one IEEE
+    // division per feature.
+    "q118_user_features" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |u AS (
+        |  SELECT user_id, sum(c) AS n_events, count(*) AS n_types,
+        |    sum(c * c) AS ssq, max(c) AS maxc
+        |  FROM c GROUP BY 1)
+        |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(n_types AS BIGINT) AS n_types,
+        |  round(CAST(n_events * n_events - ssq AS DOUBLE)
+        |    / CAST(n_events * n_events AS DOUBLE), 6) AS gini,
+        |  round(CAST(maxc AS DOUBLE) / CAST(n_events AS DOUBLE), 6)
+        |    AS top_share
+        |FROM u""".stripMargin,
 
     // Same session assignment as q101; items are DISTINCT per basket,
     // support is integer ppm (// floor division), lift one double
