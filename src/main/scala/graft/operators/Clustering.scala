@@ -142,6 +142,74 @@ object Clustering {
     out
   }
 
+  /** Gonzalez (1985) greedy k-center selection — the coreset /
+    * diverse-subset primitive of embedding-based data curation (e.g.
+    * facility-location pruning): seed with the lowest vec_id, then
+    * repeatedly add the point FARTHEST (cosine distance) from every
+    * center chosen so far. The selection distances are a non-increasing
+    * sequence that doubles as a diversity profile of the corpus, and the
+    * chosen set 2-approximates the optimal k-center cover.
+    *
+    * Scale design (100 TB): per round, ONE narrow `least(md, dist-to-
+    * newest-center)` map over the cached corpus (the center is a plan
+    * literal — codegen'd fused cosine, no UDF, no shuffle) and ONE
+    * 1-row argmax pull to the driver (`orderBy.limit(1)` = per-partition
+    * top-1 then a k-way merge — never a sort of the corpus). State on
+    * the driver is k rows total. The md column is re-persisted each
+    * round so round r does not replay rounds 1..r-1.
+    *
+    * Determinism: dist = round(1 − round(cos, 6), 6); argmax ties break
+    * to the lowest vec_id; already-chosen ids are excluded by id (not
+    * by md = 0, which an exact-duplicate embedding could also hit). The
+    * seed row reports sel_dist = 2.0, the cosine-distance diameter
+    * bound ("infinitely far"), keeping the column non-null.
+    *
+    * @return (r 1..k, vec_id, sel_dist) — the selection round, chosen
+    *         point, and its min distance to prior centers at selection.
+    */
+  def kcenterGreedy(emb: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = emb.sparkSession
+    import spark.implicits._
+
+    def distTo(center: Array[Float]): Column = {
+      val c = array(center.map(x => lit(x)): _*)
+      round(lit(1.0) - round(Similarity.cosineFused(col("embedding"), c), 6), 6)
+    }
+
+    val base = emb.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seed = base.orderBy(col("vec_id").asc).limit(1)
+      .as[(Long, Array[Float])].collect()
+    require(seed.nonEmpty, "kcenterGreedy: empty input")
+    val chosen = scala.collection.mutable.ArrayBuffer(
+      (1, seed(0)._1, 2.0))
+    var cur = base.withColumn("md", distTo(seed(0)._2))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var r = 2
+    while (r <= k) {
+      val next = cur.filter(!col("vec_id").isin(chosen.map(_._2).toSeq: _*))
+        .orderBy(col("md").desc, col("vec_id").asc).limit(1)
+        .as[(Long, Array[Float], Double)].collect()
+      if (next.isEmpty) { r = k + 1 } // fewer than k points
+      else {
+        val (id, v, d) = next(0)
+        chosen += ((r, id, d))
+        val upd = cur.withColumn("md", least(col("md"), distTo(v)))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        upd.count() // materialize before dropping the parent cache
+        cur.unpersist()
+        cur = upd
+        r += 1
+      }
+    }
+    cur.unpersist()
+    base.unpersist()
+    spark.createDataFrame(chosen.toSeq).toDF("r", "vec_id", "sel_dist")
+      .select(col("r").cast("int").as("r"), col("vec_id"), col("sel_dist"))
+  }
+
   /** Within-cluster near-duplicate pairs: (va < vb, cell, sim) with
     * cosine >= threshold, compared only inside each cell of `assigned`
     * (the output of [[kmeansAssign]]). Misses only cross-cell dups —

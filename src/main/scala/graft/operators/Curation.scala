@@ -230,6 +230,54 @@ object Curation {
         col("col.id").as("id"))
   }
 
+  /** Linear text-classifier INFERENCE over hashed bigram features —
+    * the fasttext-style quality-filter scoring step of CCNet/RedPajama
+    * pipelines, with the model reduced to its serving form: a
+    * `buckets`-wide weight vector indexed by feature hash. Weights here
+    * are the deterministic placeholder w_b = (2b − (buckets−1)) /
+    * (2·buckets) ∈ (−0.5, 0.5) — a real model would broadcast-join its
+    * trained vector; every other part (tokenize → bigram → hash →
+    * gather → mean → threshold) is the production shape.
+    *
+    * Scale design (100 TB): tokenize+hash is a narrow fused map (the
+    * bigram text never leaves the projection — only its bucket id);
+    * the per-doc score is ONE map-side-combined aggregation keyed by
+    * doc_id; docs with < 2 tokens are restored by a doc_id-keyed left
+    * join. No UDF, no driver state.
+    *
+    * Determinism: integer weight numerators sum exactly in Long (max
+    * |per-feature| < buckets, so overflow needs > 2^52 features/doc);
+    * ONE double division at the end, rounded to 1e-6; `positive` is
+    * sum > 0 — all replayable in ANSI SQL via the md5-prefix hash.
+    *
+    * @return (doc_id, n_feats, score, positive)
+    */
+  def classifierScore(docs: DataFrame, id: Column, text: Column,
+      buckets: Int = 1024, salt: String = "qc42"): DataFrame = {
+    require(buckets > 1, s"buckets must be > 1, got $buckets")
+    val w = TextAnalysis.wordTokens(text)
+    val base = docs.select(id.cast("long").as("doc_id"), w.as("w"))
+    val feats = base.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("w")) - 1),
+        i => concat(element_at(col("w"), i), lit(" "),
+          element_at(col("w"), i + 1)))).as("g"))
+      .select(col("doc_id"),
+        (conv(substring(md5(concat(lit(salt), col("g")).cast("binary")), 1, 8),
+          16, 10).cast("long") % buckets).as("b"))
+    val scored = feats.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(col("b") * 2L - (buckets - 1).toLong).as("sw"))
+    base.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        when(col("sw").isNull, lit(0.0))
+          .otherwise(round(col("sw").cast("double")
+            / (lit(2.0 * buckets) * col("n_feats")), 6)).as("score"),
+        coalesce(col("sw") > 0, lit(false)).as("positive"))
+  }
+
   /** Temperature-scaled domain mixing at T = 2 (the standard LLM
     * data-recipe reweighting, domain weight ∝ n^(1/T)): big domains
     * are down-sampled toward the target budget while small domains

@@ -43,6 +43,29 @@ object ClusterOps {
         .select($"cell", $"va", $"vb", $"sim")
     },
 
+    // ---- q120: Gonzalez greedy k-center selection (k=8, cosine
+    // distance) — the coreset / diversity-pruning primitive: each round
+    // adds the point farthest from every chosen center. Per round at
+    // scale: one narrow least()-update map over the cached corpus and
+    // a 1-row argmax pull; the oracle replays the same 8 rounds as a
+    // chained CTE (seed → incremental min-dist update → argmax).
+    "q120_kcenter_coreset" -> { (s, d) =>
+      import s.implicits._
+      Clustering.kcenterGreedy(Tables.embeddings(s, d), k = 8)
+    },
+
+    // ---- q125: sorted-neighborhood record linkage (window 3, edit
+    // distance <= 2) over customer names — the complementary blocking
+    // strategy to q64's length bands. Global rank is the scale-safe
+    // two-phase form (range exchange + per-partition index + P-row
+    // offset broadcast); candidates come from an integer rank
+    // equi-join, never a cross join.
+    "q125_sorted_neighborhood" -> { (s, d) =>
+      import s.implicits._
+      graft.operators.SortedNeighborhood.pairs(
+        Tables.customer(s, d), $"c_name", window = 3, maxDist = 2)
+    },
+
     // ---- q63: KMV (bottom-k) distinct sketch per language: the k
     // minimum normalized hashes of each group; est = (k-1)/u_k. A
     // mergeable sketch (union = merge-and-truncate) — the companion to
@@ -178,7 +201,63 @@ object ClusterOps {
        |a2 AS (${assignFrom("upd")})""".stripMargin
   }
 
+  /** q120 oracle: the 8 greedy rounds unrolled as chained CTEs. Round r:
+    * p_r = argmax of the running min-dist (excluding chosen ids — by id,
+    * never by md = 0, matching the engine), c_r = its vector, d_r =
+    * incremental `least` update — the same op order as
+    * [[Clustering.kcenterGreedy]], so every double is bit-identical.
+    */
+  private val kcenterOracle: String = {
+    val k = 8
+    val sb = new StringBuilder
+    sb.append(
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+        |d1 AS (SELECT e.vec_id, e.v,
+        |    round(1 - round(list_cosine_similarity(e.v, c1.v), 6), 6) AS md
+        |  FROM e CROSS JOIN c1),
+        |""".stripMargin)
+    for (r <- 2 to k) {
+      val prevD = s"d${r - 1}"
+      val excl = (1 until r).map(j => s"SELECT vec_id FROM c$j")
+        .mkString(" UNION ALL ")
+      sb.append(
+        s"""p$r AS (SELECT vec_id, md FROM $prevD
+           |  WHERE vec_id NOT IN ($excl)
+           |  ORDER BY md DESC, vec_id ASC LIMIT 1),
+           |c$r AS (SELECT e.vec_id, e.v FROM e JOIN p$r USING (vec_id)),
+           |""".stripMargin)
+      if (r < k) sb.append(
+        s"""d$r AS (SELECT d.vec_id, d.v, least(d.md,
+           |    round(1 - round(list_cosine_similarity(d.v, c$r.v), 6), 6)) AS md
+           |  FROM $prevD d CROSS JOIN c$r),
+           |""".stripMargin)
+    }
+    val rows = (2 to k)
+      .map(r => s"UNION ALL SELECT $r AS r, vec_id, md AS sel_dist FROM p$r")
+      .mkString("\n")
+    sb.append(
+      s"""sel AS (
+         |SELECT 1 AS r, vec_id, CAST(2.0 AS DOUBLE) AS sel_dist FROM c1
+         |$rows)
+         |SELECT CAST(r AS INT) AS r, vec_id, sel_dist FROM sel""".stripMargin)
+    sb.toString
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q120_kcenter_coreset" -> kcenterOracle,
+
+    // Window of 3 in rank order = each key against its 1st and 2nd
+    // successors; the rank join replays as b.rk in (a.rk+1, a.rk+2).
+    "q125_sorted_neighborhood" ->
+      """WITH k AS (SELECT DISTINCT c_name AS k FROM customer),
+        |r AS (SELECT k, row_number() OVER (ORDER BY k) AS rk FROM k),
+        |p AS (SELECT a.k AS a, b.k AS b FROM r a JOIN r b
+        |      ON b.rk > a.rk AND b.rk <= a.rk + 2)
+        |SELECT a, b, CAST(levenshtein(a, b) AS BIGINT) AS dist
+        |FROM p WHERE levenshtein(a, b) <= 2""".stripMargin,
+
     "q61_kmeans" ->
       s"WITH $kmeansCte\nSELECT vec_id, cell FROM a2",
 

@@ -197,6 +197,64 @@ object CorpusOps {
       Retrieval.rrfFuse(lex, vec, "doc_id", k = 10)
     },
 
+    // ---- q119: exact duplicated-span detection (8-token windows,
+    // stride 1, corpus-wide): per-doc maximal duplicated spans — the
+    // exact-substring dedup report (Lee et al. 2022) that catches the
+    // boundary-straddling duplicates q55's fixed passages miss.
+    "q119_dup_spans" -> { (s, d) =>
+      import s.implicits._
+      graft.operators.SpanDedup.spanStats(
+        Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism),
+        $"doc_id", $"text", width = 8)
+    },
+
+    // ---- q121: hashed-bigram linear classifier inference — the
+    // fasttext-style quality-filter scoring pass (CCNet/RedPajama),
+    // deterministic placeholder weights, production plumbing.
+    "q121_quality_classifier" -> { (s, d) =>
+      import s.implicits._
+      Curation.classifierScore(
+        Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism),
+        $"doc_id", $"text", buckets = 1024, salt = "qc42")
+    },
+
+    // ---- q122: distributed BPE vocabulary training (10 merges): per
+    // round one map-side-combined pair count, a 1-row argmax pull, and
+    // a narrow greedy rewrite fold over the cached corpus. The oracle
+    // unrolls the identical 10 rounds as chained CTEs (list_reduce
+    // replays the left-to-right merge fold).
+    "q122_bpe_train" -> { (s, d) =>
+      import s.implicits._
+      graft.operators.Bpe.trainMerges(
+        Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism),
+        $"doc_id", $"text", rounds = 10)
+    },
+
+    // ---- q123: BPE encoding (train once, apply everywhere): the 10
+    // learned merges compose into ONE narrow projection — per-doc
+    // compression report. Shares the training chain with q122.
+    "q123_bpe_encode" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+      val merges = graft.operators.Bpe
+        .trainMerges(docs, $"doc_id", $"text", rounds = 10)
+        .orderBy($"r").collect()
+        .map(row => (row.getString(1), row.getString(2))).toSeq
+      graft.operators.Bpe.encodeStats(docs, $"doc_id", $"text", merges)
+    },
+
+    // ---- q124: content-defined chunking (rolling-hash cut points,
+    // expected 16-token chunks): boundaries follow content, so an
+    // edit changes only its own chunk's hash — the dedup-store /
+    // incremental-sync chunker. One narrow projection, no shuffle.
+    "q124_cdc_chunking" -> { (s, d) =>
+      import s.implicits._
+      graft.operators.CdcChunking.chunk(
+        Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism),
+        $"doc_id", $"text", divisor = 16)
+    },
+
     // ---- q104: sliding-window chunking (32-token chunks, stride 24 →
     // 25% overlap) with provenance and a content hash per chunk — the
     // RAG / context-window preprocessing map. One narrow projection,
@@ -248,7 +306,148 @@ object CorpusOps {
       |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
       |  FROM scored)""".stripMargin
 
+  /** q122/q123 oracle: the BPE rounds unrolled as chained CTEs. Round
+    * r: p_r = corpus-wide adjacent-pair counts (>= 2 — a singleton
+    * pair is not a vocab merge), b_r = lexicographically tie-broken
+    * argmax, t_r = the greedy left-to-right rewrite via list_reduce
+    * over singleton lists (the first symbol seeds the accumulator, so
+    * the fold equals the engine's empty-seeded one).
+    */
+  private def bpeCte(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """c0 AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS syms
+        |  FROM documents),
+        |t0 AS (SELECT doc_id, syms FROM c0 WHERE len(syms) >= 2),
+        |""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(
+        s"""p$r AS (
+           |  SELECT u.p[1] AS lhs, u.p[2] AS rhs, count(*) AS cnt FROM (
+           |    SELECT unnest(list_transform(range(1, len(syms)),
+           |      i -> [syms[i], syms[i+1]])) AS p
+           |    FROM t${r - 1}) u
+           |  GROUP BY 1, 2 HAVING count(*) >= 2),
+           |b$r AS (SELECT lhs, rhs, cnt FROM p$r
+           |  ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1),
+           |t$r AS (
+           |  SELECT t.doc_id,
+           |    list_reduce(list_transform(t.syms, s -> [s]),
+           |      (acc, x) -> CASE WHEN acc[-1] = b.lhs AND x[1] = b.rhs
+           |        THEN list_append(acc[1:len(acc)-1], b.lhs || ' ' || b.rhs)
+           |        ELSE list_append(acc, x[1]) END) AS syms
+           |  FROM t${r - 1} t CROSS JOIN b$r b)""".stripMargin)
+      sb.append(if (r < rounds) ",\n" else "")
+    }
+    sb.toString
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q122_bpe_train" -> {
+      val rows = (1 to 10)
+        .map(r => s"SELECT $r AS r, lhs, rhs, cnt FROM b$r")
+        .mkString("\nUNION ALL ")
+      s"""WITH ${bpeCte(10)},
+         |m AS (
+         |$rows)
+         |SELECT CAST(r AS INT) AS r, lhs, rhs, CAST(cnt AS BIGINT) AS freq
+         |FROM m""".stripMargin
+    },
+
+    "q123_bpe_encode" ->
+      s"""WITH ${bpeCte(10)}
+         |SELECT c.doc_id, CAST(len(c.syms) AS BIGINT) AS n_base,
+         |  CAST(coalesce(len(t.syms), len(c.syms)) AS BIGINT) AS n_bpe,
+         |  CASE WHEN len(c.syms) > 0
+         |    THEN round(coalesce(len(t.syms), len(c.syms))
+         |      / CAST(len(c.syms) AS DOUBLE), 6)
+         |    ELSE 1.0 END AS ratio
+         |FROM c0 c LEFT JOIN t10 t USING (doc_id)""".stripMargin,
+    // Same window hashing (md5 of the space-joined 8-token slice; list
+    // slicing is inclusive on both ends), same corpus-wide occurrence
+    // count, same strictly-after island split (i > prev + 8).
+    "q119_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+        |  FROM documents),
+        |base AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM toks),
+        |wins AS (SELECT doc_id, unnest(range(0, n - 8 + 1)) AS i, w
+        |         FROM base WHERE n >= 8),
+        |h AS (SELECT doc_id, i, md5(array_to_string(w[i+1:i+8], ' ')) AS h
+        |      FROM wins),
+        |marked AS (SELECT doc_id, i, count(*) OVER (PARTITION BY h) AS cnt
+        |           FROM h),
+        |d AS (SELECT doc_id, i FROM marked WHERE cnt > 1),
+        |brk AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN lag(i) OVER win IS NULL
+        |           OR i > lag(i) OVER win + 8 THEN 1 ELSE 0 END AS b
+        |  FROM d WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+        |isl AS (SELECT doc_id, i,
+        |          sum(b) OVER (PARTITION BY doc_id ORDER BY i) AS g
+        |        FROM brk),
+        |sp AS (SELECT doc_id, g, max(i) + 8 - min(i) AS len
+        |       FROM isl GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |          CAST(sum(len) AS BIGINT) AS dup_tokens
+        |        FROM sp GROUP BY 1)
+        |SELECT b.doc_id, b.n AS n_tokens,
+        |  coalesce(a.n_spans, 0) AS n_spans,
+        |  coalesce(a.dup_tokens, 0) AS dup_tokens,
+        |  CASE WHEN b.n > 0
+        |    THEN round(coalesce(a.dup_tokens, 0) / CAST(b.n AS DOUBLE), 6)
+        |    ELSE 0.0 END AS dup_ratio
+        |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // Same salt-prefixed md5 feature hash, same integer weight
+    // numerators (2b - 1023) summed exactly, one double division.
+    "q121_quality_classifier" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS g
+        |  FROM toks WHERE len(w) >= 2),
+        |f AS (SELECT doc_id,
+        |        ('0x' || substr(md5('qc42' || g), 1, 8))::BIGINT % 1024 AS b
+        |      FROM bg),
+        |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+        |        CAST(sum(2 * b - 1023) AS BIGINT) AS sw
+        |      FROM f GROUP BY 1)
+        |SELECT d.doc_id, coalesce(s.n_feats, 0) AS n_feats,
+        |  CASE WHEN s.sw IS NULL THEN 0.0
+        |    ELSE round(CAST(s.sw AS DOUBLE) / (2048.0 * s.n_feats), 6)
+        |  END AS score,
+        |  coalesce(s.sw > 0, false) AS positive
+        |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
+
+    // Same residue-class cut rule, same inclusive list slicing; ends =
+    // cut positions (excluding the last token) + the document end.
+    "q124_cdc_chunking" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+        |  FROM documents),
+        |base AS (SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) > 0),
+        |e AS (
+        |  SELECT doc_id, w, list_append(list_filter(range(1, n + 1),
+        |    i -> ('0x' || substr(md5(w[i]), 1, 8))::BIGINT % 16 = 0
+        |         AND i < n), n) AS ends
+        |  FROM base),
+        |c AS (SELECT doc_id, w, ends,
+        |        unnest(range(1, len(ends) + 1)) AS j
+        |      FROM e)
+        |SELECT doc_id, CAST(j - 1 AS INT) AS chunk_id,
+        |  CAST(CASE WHEN j = 1 THEN 0 ELSE ends[j-1] END AS BIGINT)
+        |    AS start_tok,
+        |  CAST(ends[j] - (CASE WHEN j = 1 THEN 0 ELSE ends[j-1] END)
+        |    AS BIGINT) AS n_toks,
+        |  md5(array_to_string(
+        |    w[(CASE WHEN j = 1 THEN 1 ELSE ends[j-1] + 1 END):ends[j]], ' '))
+        |    AS chunk_hash
+        |FROM c""".stripMargin,
+
     "q102_bm25" ->
       s"""WITH $bm25Cte
          |SELECT doc_id, n_terms_hit, score, rank FROM lex

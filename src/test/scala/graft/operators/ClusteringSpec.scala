@@ -97,4 +97,30 @@ class ClusteringSpec extends SparkSpec {
     val names = Seq("aa", "aa", "bb").toDF("name")
     assert(FuzzyJoin.selfJoin(names, col("name"), maxDist = 0).count() == 0)
   }
+
+  test("kcenterGreedy seeds at the lowest id and jumps to the far blob") {
+    val rows = Clustering.kcenterGreedy(blobs(), k = 4)
+      .orderBy(col("r")).collect()
+    assert(rows.length == 4)
+    assert(rows(0).getLong(1) == 0L && rows(0).getDouble(2) == 2.0)
+    // round 2: the farthest point from blob A is in blob B (cosine
+    // distance ~2); ties below round(·,6) break to the lowest vec_id
+    assert(rows(1).getLong(1) >= 100L && rows(1).getLong(1) < 120L)
+    assert(rows(1).getDouble(2) > 1.9)
+    // selection distances are non-increasing from round 2 on, ids unique
+    val ds = rows.drop(1).map(_.getDouble(2))
+    assert(ds.zip(ds.tail).forall { case (a, b) => a >= b })
+    assert(rows.map(_.getLong(1)).distinct.length == 4)
+  }
+
+  test("kcenterGreedy with k exceeding corpus size stops early") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val rows = Clustering.kcenterGreedy(tiny, k = 10).collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getLong(1)).toSet == Set(1L, 2L, 3L))
+  }
 }

@@ -183,4 +183,48 @@ class CurationSpec extends SparkSpec {
     val y = Seq(Entry(8.0, 3), Entry(10.0, 4)).foldLeft(agg.zero)(agg.reduce)
     assert(agg.finish(agg.merge(x, y)) == Seq(Entry(10.0, 4), Entry(9.0, 1)))
   }
+
+  test("classifierScore matches a hand-computed md5-bucket score") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Alpha beta gamma"), // bigrams: "alpha beta", "beta gamma"
+      (2L, "solo"),             // < 2 tokens -> zero features
+      (3L, "")).toDF("doc_id", "text")
+    val out = Curation.classifierScore(docs, $"doc_id", $"text",
+      buckets = 1024, salt = "qc42")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    def bucket(g: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(("qc42" + g).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 1024
+    }
+    val sw = Seq("alpha beta", "beta gamma").map(g => 2 * bucket(g) - 1023).sum
+    // Spark's round() is HALF_UP, not rint's half-even
+    val want = BigDecimal(sw.toDouble / (2048.0 * 2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r1 = out(1L)
+    assert(r1.getLong(1) == 2L)
+    assert(r1.getDouble(2) == want, s"got ${r1.getDouble(2)}, want $want")
+    assert(r1.getBoolean(3) == (sw > 0))
+    for (id <- Seq(2L, 3L)) {
+      val r = out(id)
+      assert(r.getLong(1) == 0L && r.getDouble(2) == 0.0 && !r.getBoolean(3),
+        s"doc $id: $r")
+    }
+  }
+
+  test("classifierScore bounds: |score| < 0.5 and sign agrees with positive") {
+    import spark.implicits._
+    val docs = Seq.tabulate(30)(i =>
+      (i.toLong, s"word${('a' + i % 5).toChar} common text span number item"))
+      .toDF("doc_id", "text")
+    val rows = Curation.classifierScore(docs, $"doc_id", $"text").collect()
+    rows.foreach { r =>
+      val (score, pos) = (r.getDouble(2), r.getBoolean(3))
+      assert(score > -0.5 && score < 0.5)
+      assert(pos == (score > 0) || score == 0.0)
+    }
+  }
 }
