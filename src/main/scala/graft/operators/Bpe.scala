@@ -27,12 +27,12 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  /** Greedy left-to-right single-pair merge as a codegen'd fold:
-    * append each symbol unless the accumulator ends with `l` and the
-    * symbol is `r` — then replace the tail with the merged symbol.
-    * After a merge the new tail is "l r", which only re-merges if the
-    * NEXT round adopts a pair starting there (standard BPE greedy
-    * non-overlap within a round).
+  /** Greedy left-to-right single-pair merge as a fold: append each
+    * symbol unless the accumulator ends with `l` and the symbol is `r`
+    * — then replace the tail with the merged symbol. O(len²) per doc
+    * (each append copies the accumulator), so it is used ONLY for the
+    * `l == r` pairs whose overlapping matches need the sequential
+    * greedy decision; [[mergeVectorized]] covers the common case.
     */
   private def mergeFold(syms: Column, l: String, r: String): Column =
     aggregate(syms,
@@ -41,6 +41,29 @@ object Bpe {
         size(acc) > 0 && element_at(acc, -1) === l && x === r,
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(s"$l $r"))))
         .otherwise(concat(acc, array(x))))
+
+  /** O(len) merge for `l != r`: matches cannot overlap (overlapping
+    * matches at i and i+1 would force syms(i+1) = r = l), so greedy
+    * left-to-right keeps EVERY match — position i survives unless it
+    * was consumed as the second half of a match at i-1, and every
+    * surviving match start rewrites to the merged symbol. Pure
+    * position arithmetic over the array, no accumulator copies.
+    */
+  private def mergeVectorized(syms: Column, l: String, r: String): Column = {
+    val n = size(syms)
+    def m(i: Column): Column =
+      (i < n) && (element_at(syms, i) === l) && (element_at(syms, i + 1) === r)
+    // n = 0 guard: Spark's sequence(1, 0) counts DOWN to [1, 0].
+    when(n >= 1,
+      transform(
+        filter(sequence(lit(1), n), i => !((i > 1) && m(i - 1))),
+        i => when(m(i), lit(s"$l $r")).otherwise(element_at(syms, i))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Greedy single-pair merge, cheapest correct form for the pair. */
+  private def applyMerge(syms: Column, l: String, r: String): Column =
+    if (l == r) mergeFold(syms, l, r) else mergeVectorized(syms, l, r)
 
   /** Adjacent symbol pairs of one document, as (l, r) structs. */
   private def pairsOf(syms: Column): Column =
@@ -65,6 +88,10 @@ object Bpe {
         TextAnalysis.wordTokens(text).as("syms"))
       .filter(size(col("syms")) >= 2)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The parent round's cache is dropped only AFTER the child's first
+    // action (the argmax below) has materialized the child — so each
+    // round costs exactly ONE corpus pass, with no extra count() pass.
+    var parent: DataFrame = null
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var r = 1
     var done = false
@@ -76,18 +103,18 @@ object Bpe {
         .filter(col("cnt") >= 2) // a singleton pair is not a vocab merge
         .orderBy(col("cnt").desc, col("l").asc, col("r").asc).limit(1)
         .as[(String, String, Long)].collect()
+      if (parent != null) { parent.unpersist(); parent = null }
       if (best.isEmpty) done = true
       else {
         val (l, rr, cnt) = best(0)
         merges += ((r, l, rr, cnt))
-        val upd = corpus.withColumn("syms", mergeFold(col("syms"), l, rr))
+        parent = corpus
+        corpus = corpus.withColumn("syms", applyMerge(col("syms"), l, rr))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        upd.count() // materialize before dropping the parent cache
-        corpus.unpersist()
-        corpus = upd
         r += 1
       }
     }
+    if (parent != null) parent.unpersist()
     corpus.unpersist()
     spark.createDataFrame(merges.toSeq).toDF("r", "lhs", "rhs", "freq")
       .select(col("r").cast("int").as("r"), col("lhs"), col("rhs"),
@@ -97,17 +124,24 @@ object Bpe {
   /** Apply an ordered merge list to the corpus (the serving pass:
     * train once, encode everywhere); per-doc compression report
     * (doc_id, n_base, n_bpe, ratio). The merges compose as `rounds`
-    * narrow folds in ONE projection — no shuffle at any scale.
+    * narrow Projects — no shuffle at any scale. One Project PER merge
+    * layer on purpose: each applyMerge references the previous layer
+    * as an ATTRIBUTE. Folding all layers into a single nested Column
+    * would copy each layer's whole expression at every one of its ~7
+    * references — an exponentially-sized tree before the first row is
+    * read. (CollapseProject keeps the layers separate: it refuses to
+    * inline non-cheap, multiply-referenced expressions.)
     */
   def encodeStats(docs: DataFrame, id: Column, text: Column,
       merges: Seq[(String, String)]): DataFrame = {
     val base = docs.select(id.cast("long").as("doc_id"),
-      TextAnalysis.wordTokens(text).as("syms"))
-    val encoded = merges.foldLeft(col("syms")) { case (c, (l, r)) =>
-      mergeFold(c, l, r)
+        TextAnalysis.wordTokens(text).as("syms"))
+      .withColumn("enc", col("syms"))
+    val enc = merges.foldLeft(base) { case (df, (l, r)) =>
+      df.withColumn("enc", applyMerge(col("enc"), l, r))
     }
-    base.select(col("doc_id"), size(col("syms")).cast("long").as("n_base"),
-        size(encoded).cast("long").as("n_bpe"))
+    enc.select(col("doc_id"), size(col("syms")).cast("long").as("n_base"),
+        size(col("enc")).cast("long").as("n_bpe"))
       .withColumn("ratio",
         when(col("n_base") > 0,
           round(col("n_bpe").cast("double") / col("n_base"), 6))

@@ -187,23 +187,26 @@ object Clustering {
       (1, seed(0)._1, 2.0))
     var cur = base.withColumn("md", distTo(seed(0)._2))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Parent caches drop only after the child's argmax action has
+    // materialized the child — one corpus pass per round, no count().
+    var parent: DataFrame = null
     var r = 2
     while (r <= k) {
       val next = cur.filter(!col("vec_id").isin(chosen.map(_._2).toSeq: _*))
         .orderBy(col("md").desc, col("vec_id").asc).limit(1)
         .as[(Long, Array[Float], Double)].collect()
+      if (parent != null) { parent.unpersist(); parent = null }
       if (next.isEmpty) { r = k + 1 } // fewer than k points
       else {
         val (id, v, d) = next(0)
         chosen += ((r, id, d))
-        val upd = cur.withColumn("md", least(col("md"), distTo(v)))
+        parent = cur
+        cur = cur.withColumn("md", least(col("md"), distTo(v)))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        upd.count() // materialize before dropping the parent cache
-        cur.unpersist()
-        cur = upd
         r += 1
       }
     }
+    if (parent != null) parent.unpersist()
     cur.unpersist()
     base.unpersist()
     spark.createDataFrame(chosen.toSeq).toDF("r", "vec_id", "sel_dist")

@@ -91,4 +91,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("row_number"), "ranked inputs expected")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q124 CDC chunking plans with zero exchanges") {
+    val p = plan("q124_cdc_chunking")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    // the single repartition after the one-file scan is the only one;
+    // boundaries, spans, and hashes all derive in narrow projections
+    assert(exchanges <= 1,
+      s"q124: chunking must be shuffle-free past the scan, got:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "q124 must not join at all")
+  }
+
+  test("q119 dup spans marks duplicates with window counts, no self-join") {
+    // occurrence counting is count() OVER (PARTITION BY hash) — one
+    // hash exchange — not a groupBy + join-back (two exchanges + join)
+    val p = plan("q119_dup_spans")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q123 BPE encode layers stay separate Projects (no expression blowup)") {
+    // Folding the 10 merge layers into one nested Column would copy
+    // each layer ~7x per reference — the plan string itself would be
+    // megabytes. Keeping layers as attribute-referencing Projects
+    // bounds the plan size.
+    val p = plan("q123_bpe_encode")
+    assert(p.length < 2000000, s"plan string blew up: ${p.length} chars")
+  }
 }
