@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Clustering, CountMin, FuzzyJoin}
+import graft.operators.{Clustering, CountMin, Decomposition, FuzzyJoin}
 import graft.operators.TextAnalysis
 
 /** Clustering, semantic dedup, sketching, record linkage, and
@@ -173,6 +173,28 @@ object ClusterOps {
         .select(coalesce($"l_returnflag", lit("ALL")).as("rf"),
           coalesce($"l_linestatus", lit("ALL")).as("ls"),
           $"sum_qty", $"n")
+    },
+
+    // ---- q126: covariance matrix of the embedding corpus — the PCA /
+    // whitening statistics pass. ONE typed aggregation with a d(d+1)/2
+    // scaled-long buffer (map-side combine → P buffers cross the wire,
+    // corpus-size-independent); the d² cell fan-out happens after the
+    // aggregate. Power iteration over the result is driver-side
+    // metadata work (DecompositionSpec).
+    "q126_embedding_covariance" -> { (s, d) =>
+      import s.implicits._
+      Decomposition.covariance(Tables.embeddings(s, d), $"embedding", Dim)
+        .select($"i", $"j", round($"cov", 6).as("cov"))
+    },
+
+    // ---- q127: Johnson-Lindenstrauss sign projection (64 → 16 dims)
+    // of every embedding — the shrink-before-LSH step. The ±1 matrix
+    // derives from md5 on both engines; terms accumulate as scaled
+    // longs so the (id, k) aggregate is order-exact.
+    "q127_jl_projection" -> { (s, d) =>
+      import s.implicits._
+      Decomposition.signProject(
+        Tables.embeddings(s, d), $"vec_id", $"embedding", outDim = 16)
     }
   )
 
@@ -352,6 +374,48 @@ object ClusterOps {
         |  coalesce(l_linestatus, 'ALL') AS ls,
         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_qty,
         |  count(*) AS n
-        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    // Scaled-long replay of the covariance sufficient statistics: the
+    // floor(x*1e9 + 0.5) longs sum exactly, so the double epilogue is
+    // bit-identical to the Spark aggregator's fixed op order.
+    "q126_embedding_covariance" ->
+      """WITH x AS (
+        |  SELECT vec_id, unnest(embedding) AS v,
+        |         unnest(range(1, len(embedding) + 1)) AS i
+        |  FROM embeddings),
+        |n AS (SELECT count(*) AS n FROM embeddings),
+        |s1 AS (
+        |  SELECT i, sum(CAST(floor(CAST(v AS DOUBLE) * 1e9 + 0.5) AS BIGINT)) AS s
+        |  FROM x GROUP BY i),
+        |p AS (
+        |  SELECT a.i AS i, b.i AS j,
+        |    sum(CAST(floor(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE) * 1e9 + 0.5)
+        |        AS BIGINT)) AS p
+        |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  GROUP BY 1, 2)
+        |SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j,
+        |  round(p.p / 1e9 / n.n - (si.s / 1e9 / n.n) * (sj.s / 1e9 / n.n), 6) AS cov
+        |FROM p, n
+        |JOIN s1 si ON si.i = p.i
+        |JOIN s1 sj ON sj.i = p.j""".stripMargin,
+
+    "q127_jl_projection" ->
+      """WITH m AS (
+        |  SELECT j0, k,
+        |    CASE WHEN ('0x' || substr(md5('jl42:' || (j0 + 1)::VARCHAR
+        |        || ':' || k::VARCHAR), 1, 8))::BIGINT % 2 = 0
+        |      THEN 1.0 ELSE -1.0 END AS sign
+        |  FROM (SELECT unnest(range(0, 64)) AS j0) js,
+        |       (SELECT unnest(range(1, 17)) AS k) ks),
+        |x AS (
+        |  SELECT vec_id, unnest(embedding) AS v,
+        |         unnest(range(0, len(embedding))) AS j0
+        |  FROM embeddings)
+        |SELECT x.vec_id AS id, CAST(m.k AS INT) AS k,
+        |  round(sum(CAST(floor(CAST(x.v AS DOUBLE) * m.sign * 1e9 + 0.5)
+        |      AS BIGINT)) / 1e9 / sqrt(16.0), 6) AS proj
+        |FROM x JOIN m ON x.j0 = m.j0
+        |GROUP BY 1, 2""".stripMargin
   )
 }
