@@ -167,6 +167,31 @@ object Curation {
       .select(col("id").as("doc_id"), col("comp").as("canonical_id"))
   }
 
+  /** Keep-best survivor selection per near-dup cluster — the epilogue a
+    * real dedup pipeline runs after [[dedupClusters]]: instead of
+    * "keep the smallest id", keep the member with the highest
+    * [[TextAnalysis.qualityScore]] (ties to the smaller doc_id). Output
+    * is one row per cluster: (cluster, survivor, n_members,
+    * best_quality).
+    *
+    * Scale shape: clusters come from the LSH + connected-components
+    * path (no n² stage); the survivor argmax is max(struct(quality,
+    * -doc_id)) — a MERGEABLE aggregate with map-side partial combine,
+    * not a per-cluster sort. The quality join is doc-keyed.
+    */
+  def canonicalDocs(docs: DataFrame, id: Column, text: Column,
+                    threshold: Double = 0.85): DataFrame = {
+    val clusters = dedupClusters(Dedup.docShingles(docs, id, text, 3), threshold)
+    val quality = docs.select(id.cast("long").as("doc_id"),
+      TextAnalysis.qualityScore(text).as("quality"))
+    clusters.join(quality, "doc_id")
+      .groupBy(col("canonical_id").as("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("m"))
+      .select(col("cluster"), (-col("m.nid")).as("survivor"),
+        col("n_members"), col("m.quality").as("best_quality"))
+  }
+
   /** Deterministic hash split: md5(salt || id) mod 100 → named split by
     * percentile bands (train < trainPct <= val < trainPct+valPct <= test).
     * Stable under corpus growth and reshuffling — membership depends

@@ -46,6 +46,36 @@ object Similarity {
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for embedding-model training: for each probe,
+    * the k most cosine-similar vectors whose LABEL DIFFERS from the
+    * probe's — near-misses across the class boundary, the contrastive
+    * negatives a retrieval/embedding trainer pairs with each anchor.
+    *
+    * Scale shape: probes broadcast against one corpus scan (like
+    * [[bruteTopK]]) but the per-probe top-k is the MERGEABLE
+    * [[graft.functions.TopKAgg]] — a k-bounded heap with map-side
+    * partial combine, so only k rows per (partition, probe) reach the
+    * exchange and no per-probe sort ever materializes. Ordering
+    * (sim desc, vec_id asc) matches the window-rank baseline exactly.
+    */
+  def hardNegatives(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val joined = corpus.as("c").join(
+        broadcast(probes.select(col("vec_id").as("probe_id"),
+          col("label").as("probe_label"), col("embedding").as("pe"))),
+        col("c.vec_id") =!= col("probe_id") &&
+          col("c.label") =!= col("probe_label"))
+      .select(col("probe_id"), col("c.vec_id").as("vid"),
+        round(graft.functions.F.vec_cosine(col("pe"), col("c.embedding")), 6)
+          .as("sim"))
+    val tk = graft.functions.TopKAgg.topK(k)
+    joined.groupBy(col("probe_id"))
+      .agg(tk(col("sim"), col("vid")).as("top"))
+      .select(col("probe_id"), posexplode(col("top")))
+      .select(col("probe_id"), col("col.id").as("vec_id"),
+        round(col("col.v"), 6).as("sim"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** Deterministic random hyperplanes (seeded), as literal arrays. */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

@@ -29,6 +29,15 @@ object CurationOps {
       Curation.dedupClusters(docs, 0.85)
     },
 
+    // ---- q128: keep-best survivor per near-dup cluster — the dedup
+    // epilogue that keeps the highest-quality member instead of the
+    // smallest id. The argmax is max(struct(quality, -doc_id)) — a
+    // mergeable aggregate, not a per-cluster sort.
+    "q128_canonical_docs" -> { (s, d) =>
+      import s.implicits._
+      Curation.canonicalDocs(Tables.documents(s, d), $"doc_id", $"text", 0.85)
+    },
+
     // ---- q48: top-3 TF-IDF keywords per document (log-free rational
     // idf — bit-identical across IEEE engines; see Curation scaladoc).
     "q48_tfidf_keywords" -> { (s, d) =>
@@ -123,6 +132,32 @@ object CurationOps {
          |    WHERE e.b <> r.a)
          |SELECT a AS doc_id, least(a, min(b)) AS canonical_id
          |FROM reach GROUP BY a""".stripMargin,
+
+    // Same recursive closure, then the keep-best epilogue: per cluster,
+    // the member with max quality (ties to the smaller doc_id).
+    "q128_canonical_docs" ->
+      s"""WITH RECURSIVE ${PipelineOps.nearDupCtes("")},
+         |edges AS (SELECT da AS a, db AS b FROM neardup
+         |          UNION SELECT db, da FROM neardup),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         |    WHERE e.b <> r.a)
+         |, cl AS (
+         |  SELECT a AS doc_id, least(a, min(b)) AS cluster
+         |  FROM reach GROUP BY a),
+         |q AS (SELECT doc_id, ${PipelineOps.qualitySqlExpr} AS quality
+         |      FROM documents),
+         |r AS (
+         |  SELECT cl.cluster, cl.doc_id, q.quality,
+         |    row_number() OVER (PARTITION BY cl.cluster
+         |      ORDER BY q.quality DESC, cl.doc_id ASC) AS rn,
+         |    count(*) OVER (PARTITION BY cl.cluster) AS n_members
+         |  FROM cl JOIN q USING (doc_id))
+         |SELECT cluster, doc_id AS survivor, n_members,
+         |  quality AS best_quality
+         |FROM r WHERE rn = 1""".stripMargin,
 
     "q48_tfidf_keywords" ->
       """WITH base AS (

@@ -148,6 +148,17 @@ object PipelineOps {
         .select($"probe_id", $"vec_id", $"sim", $"rank")
     },
 
+    // ---- q129: hard-negative mining — per probe, the top-5 most
+    // similar vectors of a DIFFERENT label (contrastive negatives for
+    // embedding-model training). Same broadcast-probe scan as q27 but
+    // the per-probe top-k is the mergeable TopKAgg heap: k rows per
+    // (partition, probe) cross the exchange, no per-probe sort.
+    "q129_hard_negatives" -> { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      Similarity.hardNegatives(emb, emb.filter($"vec_id" < 10), k = 5)
+    },
+
     // ---- q34: salted two-phase aggregation — hot-key mitigation for
     // skewed groupBys (events has only 5 event_type keys: every key is
     // "hot"). Same result as a plain groupBy, verified by the oracle.
@@ -285,6 +296,17 @@ object PipelineOps {
     * (which extends it with a recursive closure), and ScaleOps' q67
     * prefix-filter oracle (different threshold).
     */
+  /** DuckDB replay of [[graft.operators.TextAnalysis.qualityScore]]
+    * (shared by q19 and q128's keep-best epilogue). */
+  private[queries] val qualitySqlExpr: String =
+    """round(
+      |  least(1.0, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 50.0) * 0.5
+      |  + (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+      |      / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.3
+      |  + least(1.0, CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|is)\b')) AS DOUBLE)
+      |      / greatest(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0) * 5.0) * 0.2,
+      |  4)""".stripMargin
+
   private[queries] def nearDupCtes(where: String, threshold: Double = 0.85) =
     s"""toks AS (
       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents$where),
@@ -595,14 +617,7 @@ object PipelineOps {
         |FROM documents""".stripMargin,
 
     "q19_quality_score" ->
-      """SELECT doc_id, round(
-        |  least(1.0, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 50.0) * 0.5
-        |  + (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
-        |      / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.3
-        |  + least(1.0, CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|is)\b')) AS DOUBLE)
-        |      / greatest(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0) * 5.0) * 0.2,
-        |  4) AS quality
-        |FROM documents""".stripMargin,
+      s"SELECT doc_id, $qualitySqlExpr AS quality\nFROM documents",
 
     "q20_lang_id" ->
       s"""WITH h AS (SELECT lang, $langHits FROM documents)
@@ -663,6 +678,19 @@ object PipelineOps {
         |                                            CAST(c.embedding AS DOUBLE[])), 6) DESC,
         |               c.vec_id ASC) AS rank
         |  FROM embeddings p JOIN embeddings c ON p.vec_id < 10 AND c.vec_id <> p.vec_id) t
+        |WHERE rank <= 5""".stripMargin,
+
+    "q129_hard_negatives" ->
+      """SELECT probe_id, vec_id, sim, rank FROM (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+        |    round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+        |                                 CAST(c.embedding AS DOUBLE[])), 6) AS sim,
+        |    row_number() OVER (PARTITION BY p.vec_id
+        |      ORDER BY round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+        |                                            CAST(c.embedding AS DOUBLE[])), 6) DESC,
+        |               c.vec_id ASC) AS rank
+        |  FROM embeddings p JOIN embeddings c
+        |    ON p.vec_id < 10 AND c.vec_id <> p.vec_id AND c.label <> p.label) t
         |WHERE rank <= 5""".stripMargin,
 
     "q34_salted_agg" ->
