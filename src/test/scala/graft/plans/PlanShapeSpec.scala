@@ -119,4 +119,31 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q123_bpe_encode")
     assert(p.length < 2000000, s"plan string blew up: ${p.length} chars")
   }
+
+  test("q126 covariance is one partial->final aggregation, one exchange") {
+    // The d(d+1)/2 buffer must combine map-side: exactly one
+    // SinglePartition exchange carrying per-partition buffers, and the
+    // d^2 cell Generate sits ABOVE the final aggregate.
+    val p = plan("q126_embedding_covariance")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"q126: expected exactly 1 exchange, got:\n$p")
+    assert(p.contains("ObjectHashAggregate"), "typed CovAgg must drive the plan")
+    assert(!p.contains("SortAggregate"), "buffer combine must not sort")
+  }
+
+  test("q127 JL projection broadcasts the sign matrix") {
+    val p = plan("q127_jl_projection")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 64x16 sign matrix must broadcast against the exploded vectors")
+    assert(!p.contains("SortMergeJoin"), "no vector-sized shuffle for the matrix join")
+  }
+
+  test("q129 hard negatives broadcast probes and heap-aggregate the top-k") {
+    val p = plan("q129_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "probes must broadcast against the corpus scan")
+    assert(p.contains("ObjectHashAggregate"),
+      "per-probe top-k must be the mergeable TopKAgg, not a window sort")
+    assert(!p.contains("Window"), "no per-probe window rank in the scale path")
+  }
 }
