@@ -75,17 +75,27 @@ object Retrieval {
         sum(col("contrib").cast("decimal(28,6)")).cast("double").as("score"))
   }
 
-  /** Top-k BM25 with a dense rank column (score DESC, doc_id ASC —
-    * deterministic under rounded-score ties). Single partition window
-    * is fine: the input is already per-doc aggregated and the output
-    * is k rows; at scale one would pre-prune with a per-partition
-    * top-k (TopKAgg) before the global window, as q51 demonstrates.
+  /** Top-k BM25 with a rank column (score DESC, doc_id ASC —
+    * deterministic under rounded-score ties). The global top-k is the
+    * mergeable [[graft.functions.TopKAgg]] heap (k rows per partition
+    * reach the final combine — no global sort, no single-partition
+    * window over the scored table, which at 100 TB holds every doc
+    * hitting any query term); the k winners then broadcast-join back
+    * to recover the per-doc columns.
     */
   def bm25TopK(docs: DataFrame, id: Column, text: Column,
                terms: Seq[String], k: Int): DataFrame = {
-    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
-    bm25(docs, id, text, terms)
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    import org.apache.spark.storage.StorageLevel
+    // Consumed twice (heap + join-back) and Spark has no cross-branch
+    // plan reuse: persist the posting-list-bounded scored table.
+    val scored = bm25(docs, id, text, terms)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tk = graft.functions.TopKAgg.topK(k)
+    val top = scored.agg(tk(col("score"), col("doc_id")).as("top"))
+      .select(posexplode(col("top")))
+      .select(col("col.id").as("doc_id"), (col("pos") + 1).cast("int").as("rank"))
+    scored.join(broadcast(top), "doc_id")
+      .select(col("doc_id"), col("n_terms_hit"), col("score"), col("rank"))
   }
 
   /** Materialize the BM25 index at rest, term-bucketed: postings with

@@ -70,7 +70,7 @@ class RetrievalSpec extends SparkSpec {
     val docs = Seq(1L -> "same text", 2L -> "same text", 3L -> "same text")
       .toDF("doc_id", "text")
     val out = Retrieval.bm25TopK(docs, $"doc_id", $"text", Seq("same"), k = 2)
-      .select("doc_id", "rank").as[(Long, Int)].collect().toSeq
+      .orderBy("rank").select("doc_id", "rank").as[(Long, Int)].collect().toSeq
     assert(out == Seq((1L, 1), (2L, 2)))
   }
 
