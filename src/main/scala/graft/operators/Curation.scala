@@ -437,4 +437,72 @@ object Curation {
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
     trim(regexp_replace(noMail, s"[$Ws]+", " "))
   }
+
+  /** Cross-source duplication matrix: how many near-dup pairs exist
+    * between each pair of sources (src_a <= src_b lexicographically) —
+    * the audit that tells a corpus curator which feeds plagiarize or
+    * mirror each other before mixing weights are chosen.
+    *
+    * Scale shape: pairs come from the banded MinHash-LSH path (no n²
+    * stage, pair table ∝ actual near-dups); the source lookup is two
+    * doc-keyed joins against the (id, source) projection; the matrix
+    * aggregate is map-side combined over ≤ |sources|² keys.
+    */
+  def crossSourceDupMatrix(docs: DataFrame, id: Column, text: Column,
+                           source: Column, threshold: Double = 0.85): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(
+      Dedup.docShingles(docs, id, text, 3), threshold)
+    val src = docs.select(id.cast("long").as("doc_id"),
+      source.cast("string").as("src"))
+    pairs
+      .join(src.select(col("doc_id").as("da"), col("src").as("sa")), "da")
+      .join(src.select(col("doc_id").as("db"), col("src").as("sb")), "db")
+      .groupBy(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Per-source token-distribution drift vs the whole corpus, as the
+    * squared Hellinger distance H²(P_s, Q) = ½·Σ_t (√p_t − √q_t)² —
+    * the mixture-audit statistic ("which feed's language looks least
+    * like the blend?") a domain-mixing step consults next to the
+    * temperature weights (q93).
+    *
+    * Hellinger, not KL/JS, on purpose: √ is correctly-rounded IEEE so
+    * both engines produce bit-identical terms from the same counts,
+    * where ln()'s last-ulp behavior differs across libm
+    * implementations (same rationale as the rational idf). Each term
+    * is rounded to 1e-9 and summed in decimal — order-independent.
+    *
+    * Shape: one tokenize pass → (source, token) counts (map-side
+    * combined); source totals and the corpus total derive from that
+    * table (≤ |sources| and 1 row, broadcast); the token-level grid is
+    * |vocab|·|sources| rows — vocabulary-bounded, never corpus-sized.
+    */
+  def hellingerBySource(docs: DataFrame, source: Column, text: Column): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs
+      .select(source.cast("string").as("src"), text.cast("string").as("text"))
+      .repartition(spark.sparkContext.defaultParallelism) // CPU-bound tokenize
+      .as[(String, String)]
+      .flatMap { case (s, t) => TextAnalysis.tokenize(t).map(w => (s, w)) }
+      .toDF("src", "w")
+    val cst = toks.groupBy($"src", $"w").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ct = cst.groupBy($"w").agg(sum($"c").as("ctot"))
+    val ts = cst.groupBy($"src").agg(sum($"c").as("stot"))
+    val tt = cst.agg(sum($"c").as("ttot"))
+    val grid = ct.crossJoin(broadcast(ts))
+      .join(cst, Seq("src", "w"), "left")
+      .crossJoin(broadcast(tt))
+    val term = grid.select($"src", {
+      val p = coalesce($"c", lit(0L)).cast("double") / $"stot".cast("double")
+      val q = $"ctot".cast("double") / $"ttot".cast("double")
+      val dlt = sqrt(p) - sqrt(q)
+      round(dlt * dlt * 0.5, 9).as("t")
+    })
+    term.groupBy($"src")
+      .agg(round(sum($"t".cast("decimal(38,9)")).cast("double"), 6).as("hellinger2"))
+  }
 }

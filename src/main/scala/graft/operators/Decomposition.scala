@@ -176,6 +176,39 @@ object Decomposition {
     embs.select(embs.columns.map(col).toSeq ++ cols: _*)
   }
 
+  /** Per-vector outlier score: the diagonal-Mahalanobis distance
+    * Σ_j ((x_j − μ_j)/σ_j)² — the cheap embedding-anomaly screen a
+    * pipeline runs before ANN indexing (degenerate/corrupt vectors
+    * score far from every axis). Full Mahalanobis needs Σ⁻¹; the
+    * diagonal form needs only the d-row per-dimension moment table,
+    * which is one map-side-combined aggregate + a broadcast join.
+    *
+    * Determinism: moments accumulate as scaled longs (exact); each
+    * per-dimension term is formed in a fixed double-op order and
+    * rounded to 1e-6, and the per-vector sum runs in decimal — order-
+    * independent on both engines. Zero-variance dimensions contribute
+    * 0 (constant dimensions carry no outlier signal).
+    */
+  def diagMahalanobis(embs: DataFrame, id: Column, vec: Column): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val x = embs.select(id.as("id"), posexplode(vec.cast("array<float>")).as(Seq("j0", "x")))
+      .select($"id", $"j0", $"x".cast("double").as("x"))
+    val stats = x.groupBy($"j0").agg(
+      sum(floor($"x" * 1e9 + 0.5).cast("long")).as("s"),
+      sum(floor($"x" * $"x" * 1e9 + 0.5).cast("long")).as("p"),
+      count(lit(1)).as("n"))
+    val term = x.join(broadcast(stats), Seq("j0"))
+      .select($"id", {
+        val mu = $"s" / 1e9 / $"n"
+        val variance = $"p" / 1e9 / $"n" - mu * mu
+        val z = ($"x" - mu) / sqrt(variance)
+        round(when(variance <= 0, 0.0).otherwise(z * z), 6).as("t")
+      })
+    term.groupBy($"id")
+      .agg(round(sum($"t".cast("decimal(38,6)")).cast("double"), 6).as("maha2"))
+  }
+
   /** The d×outDim JL sign matrix as a DataFrame (j0 0-based element
     * index, k 1-based component, sign ±1) — d·outDim rows derived from
     * md5, computed once and broadcast.

@@ -195,6 +195,16 @@ object ClusterOps {
       import s.implicits._
       Decomposition.signProject(
         Tables.embeddings(s, d), $"vec_id", $"embedding", outDim = 16)
+    },
+
+    // ---- q130: diagonal-Mahalanobis embedding outlier scores — the
+    // corrupt-vector screen before ANN indexing. One d-row moment
+    // aggregate (map-side combined, broadcast back); the per-vector
+    // sum is the only data-sized exchange.
+    "q130_embedding_outliers" -> { (s, d) =>
+      import s.implicits._
+      Decomposition.diagMahalanobis(
+        Tables.embeddings(s, d), $"vec_id", $"embedding")
     }
   )
 
@@ -416,6 +426,32 @@ object ClusterOps {
         |  round(sum(CAST(floor(CAST(x.v AS DOUBLE) * m.sign * 1e9 + 0.5)
         |      AS BIGINT)) / 1e9 / sqrt(16.0), 6) AS proj
         |FROM x JOIN m ON x.j0 = m.j0
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    // Scaled-long moment replay; mu/var form in the same double-op
+    // order as the Spark side, sqrt is correctly-rounded IEEE on both.
+    "q130_embedding_outliers" ->
+      """WITH x AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |         unnest(range(0, len(embedding))) AS j0
+        |  FROM embeddings),
+        |st AS (
+        |  SELECT j0,
+        |    sum(CAST(floor(x * 1e9 + 0.5) AS BIGINT)) AS s,
+        |    sum(CAST(floor(x * x * 1e9 + 0.5) AS BIGINT)) AS p,
+        |    count(*) AS n
+        |  FROM x GROUP BY j0),
+        |st2 AS (
+        |  SELECT j0, s / 1e9 / n AS mu,
+        |         p / 1e9 / n - (s / 1e9 / n) * (s / 1e9 / n) AS v
+        |  FROM st),
+        |term AS (
+        |  SELECT x.vec_id,
+        |    round(CASE WHEN v <= 0 THEN 0.0
+        |      ELSE ((x.x - mu) / sqrt(v)) * ((x.x - mu) / sqrt(v)) END, 6) AS t
+        |  FROM x JOIN st2 USING (j0))
+        |SELECT vec_id AS id,
+        |  round(CAST(sum(CAST(t AS DECIMAL(38,6))) AS DOUBLE), 6) AS maha2
+        |FROM term GROUP BY vec_id""".stripMargin
   )
 }

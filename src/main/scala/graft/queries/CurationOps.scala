@@ -38,6 +38,23 @@ object CurationOps {
       Curation.canonicalDocs(Tables.documents(s, d), $"doc_id", $"text", 0.85)
     },
 
+    // ---- q131: cross-source duplication matrix — near-dup pair counts
+    // per (source, source), the feed-overlap audit run before mixing
+    // weights are chosen. LSH pair table + two doc-keyed source joins.
+    "q131_cross_source_dups" -> { (s, d) =>
+      import s.implicits._
+      Curation.crossSourceDupMatrix(
+        Tables.documents(s, d), $"doc_id", $"text", $"source", 0.85)
+    },
+
+    // ---- q132: per-source token-distribution drift vs the corpus
+    // blend (squared Hellinger — log-free, so bit-reproducible by the
+    // oracle). Vocabulary-bounded grid, never corpus-sized.
+    "q132_source_drift" -> { (s, d) =>
+      import s.implicits._
+      Curation.hellingerBySource(Tables.documents(s, d), $"source", $"text")
+    },
+
     // ---- q48: top-3 TF-IDF keywords per document (log-free rational
     // idf — bit-identical across IEEE engines; see Curation scaladoc).
     "q48_tfidf_keywords" -> { (s, d) =>
@@ -158,6 +175,42 @@ object CurationOps {
          |SELECT cluster, doc_id AS survivor, n_members,
          |  quality AS best_quality
          |FROM r WHERE rn = 1""".stripMargin,
+
+    "q131_cross_source_dups" ->
+      s"""WITH ${PipelineOps.nearDupCtes("")},
+         |m AS (
+         |  SELECT least(a.source, b.source) AS src_a,
+         |         greatest(a.source, b.source) AS src_b
+         |  FROM neardup n
+         |  JOIN documents a ON n.da = a.doc_id
+         |  JOIN documents b ON n.db = b.doc_id)
+         |SELECT src_a, src_b, count(*) AS n_pairs
+         |FROM m GROUP BY 1, 2""".stripMargin,
+
+    "q132_source_drift" ->
+      """WITH toks AS (
+        |  SELECT source AS src,
+        |         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |  FROM documents),
+        |cst AS (SELECT src, w, count(*) AS c FROM toks GROUP BY 1, 2),
+        |ct AS (SELECT w, sum(c) AS ctot FROM cst GROUP BY 1),
+        |ts AS (SELECT src, sum(c) AS stot FROM cst GROUP BY 1),
+        |tt AS (SELECT sum(c) AS ttot FROM cst),
+        |grid AS (
+        |  SELECT ts.src, ct.w, ct.ctot, ts.stot, coalesce(cst.c, 0) AS c
+        |  FROM ct CROSS JOIN ts
+        |  LEFT JOIN cst ON cst.src = ts.src AND cst.w = ct.w),
+        |term AS (
+        |  SELECT src,
+        |    round((sqrt(CAST(c AS DOUBLE) / CAST(stot AS DOUBLE))
+        |         - sqrt(CAST(ctot AS DOUBLE) / CAST(ttot AS DOUBLE)))
+        |        * (sqrt(CAST(c AS DOUBLE) / CAST(stot AS DOUBLE))
+        |         - sqrt(CAST(ctot AS DOUBLE) / CAST(ttot AS DOUBLE)))
+        |        * 0.5, 9) AS t
+        |  FROM grid, tt)
+        |SELECT src, round(CAST(sum(CAST(t AS DECIMAL(38,9))) AS DOUBLE), 6)
+        |  AS hellinger2
+        |FROM term GROUP BY src""".stripMargin,
 
     "q48_tfidf_keywords" ->
       """WITH base AS (
