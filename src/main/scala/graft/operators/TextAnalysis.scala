@@ -354,4 +354,64 @@ object TextAnalysis {
       else "zh"
     }
   }
+
+  /** Windowed co-occurrence lift: the top-k unordered token pairs by
+    * PMI-style lift p(a,b)/(p(a)·p(b)) within a `window`-token
+    * neighborhood — the association-mining pass that feeds phrase
+    * detection and embedding pre-training (word2vec-era skip-gram
+    * statistics). LOG-FREE on purpose: PMI = ln(lift) is monotone in
+    * lift, so ranking by the rational lift gives the identical top-k
+    * while staying bit-reproducible across engines (no libm).
+    *
+    * Scale shape: pair generation is a NARROW flat map (each position
+    * pairs with the next `window-1` positions — no self-join, no
+    * shuffle before counting); pair and unigram counts are map-side-
+    * combined aggregates over the pair/token vocabulary; the final
+    * top-k is `orderBy().limit()` = TakeOrderedAndProject (per-
+    * partition heap + driver k-row merge, never a global sort).
+    *
+    * Determinism: counts are exact longs; lift forms in a fixed
+    * double-op order and is rounded to 1e-6 BEFORE ranking, with
+    * (a, b) lexicographic tie-break, so the cutoff is stable.
+    */
+  def cooccurrenceLift(docs: DataFrame, text: Column, window: Int = 5,
+                       minPairCount: Long = 5L, k: Int = 50): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(text.cast("string").as("text"))
+      .repartition(spark.sparkContext.defaultParallelism) // CPU-bound tokenize
+      .as[String]
+      .map(tokenize(_).toSeq)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = toks.flatMap { ws =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var i = 0
+      while (i < ws.length) {
+        var o = 1
+        while (o < window && i + o < ws.length) {
+          val x = ws(i); val y = ws(i + o)
+          out += (if (x <= y) (x, y) else (y, x))
+          o += 1
+        }
+        i += 1
+      }
+      out
+    }.toDF("a", "b")
+    val uni = toks.flatMap(identity).toDF("w")
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+    val totTok = uni.agg(sum($"c").as("tt"))
+    val pc = pairs.groupBy($"a", $"b").agg(count(lit(1)).as("c_ab"))
+      .filter($"c_ab" >= minPairCount)
+    val totPair = pairs.groupBy().agg(count(lit(1)).as("tp"))
+    pc
+      .join(uni.select($"w".as("a"), $"c".as("c_a")), "a")
+      .join(uni.select($"w".as("b"), $"c".as("c_b")), "b")
+      .crossJoin(broadcast(totPair)).crossJoin(broadcast(totTok))
+      .select($"a", $"b", $"c_ab",
+        round(($"c_ab".cast("double") / $"tp".cast("double")) /
+          (($"c_a".cast("double") / $"tt".cast("double")) *
+           ($"c_b".cast("double") / $"tt".cast("double"))), 6).as("lift"))
+      .orderBy($"lift".desc, $"a".asc, $"b".asc)
+      .limit(k)
+  }
 }

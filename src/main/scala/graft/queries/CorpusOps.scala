@@ -29,6 +29,17 @@ object CorpusOps {
         budget = 512, shards = 8)
     },
 
+    // ---- q133: windowed co-occurrence lift — top-50 token pairs by
+    // PMI-style lift within a 5-token window (skip-gram association
+    // statistics). Pair generation is a narrow flat map (no self-join);
+    // the global top-k plans as TakeOrderedAndProject. Log-free: lift
+    // ranks identically to PMI and stays bit-reproducible.
+    "q133_cooccurrence_lift" -> { (s, d) =>
+      import s.implicits._
+      TextAnalysis.cooccurrenceLift(Tables.documents(s, d), $"text",
+        window = 5, minPairCount = 5L, k = 50)
+    },
+
     // ---- q55: passage-level exact dedup (10-token windows, C4-style):
     // per-doc keep ratio under global first-occurrence dedup by md5.
     "q55_passage_dedup" -> { (s, d) =>
@@ -344,6 +355,31 @@ object CorpusOps {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q133_cooccurrence_lift" ->
+      """WITH toks AS (
+        |  SELECT regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents),
+        |os AS (SELECT unnest([1, 2, 3, 4]) AS o),
+        |pr AS (
+        |  SELECT unnest(list_transform(range(1, len(w) - o + 1),
+        |           i -> least(w[i], w[i+o]))) AS a,
+        |         unnest(list_transform(range(1, len(w) - o + 1),
+        |           i -> greatest(w[i], w[i+o]))) AS b
+        |  FROM toks, os WHERE len(w) > o),
+        |uni AS (SELECT unnest(w) AS tok FROM toks),
+        |uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY 1),
+        |tt AS (SELECT count(*) AS tt FROM uni),
+        |pc AS (SELECT a, b, count(*) AS c_ab FROM pr GROUP BY 1, 2
+        |       HAVING count(*) >= 5),
+        |tp AS (SELECT count(*) AS tp FROM pr)
+        |SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab,
+        |  round((CAST(c_ab AS DOUBLE) / CAST(tp.tp AS DOUBLE)) /
+        |        ((CAST(ua.c AS DOUBLE) / CAST(tt.tt AS DOUBLE)) *
+        |         (CAST(ub.c AS DOUBLE) / CAST(tt.tt AS DOUBLE))), 6) AS lift
+        |FROM pc JOIN uc ua ON pc.a = ua.tok
+        |        JOIN uc ub ON pc.b = ub.tok, tp, tt
+        |ORDER BY lift DESC, a ASC, b ASC
+        |LIMIT 50""".stripMargin,
+
     "q122_bpe_train" -> {
       val rows = (1 to 10)
         .map(r => s"SELECT $r AS r, lhs, rhs, cnt FROM b$r")
