@@ -87,6 +87,7 @@ object Decomposition {
       * the same cell bit-for-bit (callers round for display).
       */
     def finish(b: CovBuf): Seq[CovCell] = {
+      if (b.n == 0) return Vector.empty // empty input: no cells, not NaNs
       val n = b.n.toDouble
       val out = Vector.newBuilder[CovCell]
       var i = 0
@@ -244,7 +245,12 @@ object Decomposition {
                   outDim: Int, seed: Int = 42): DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
-    val dim = embs.select(size(vec)).head().getInt(0)
+    val dim = embs.select(size(vec)).head(1) match {
+      case Array(r) => r.getInt(0)
+      case _ => return embs.sparkSession.emptyDataFrame
+        .select(lit(0L).as("id"), lit(0).as("k"), lit(0.0).as("proj"))
+        .limit(0)
+    }
     val m = signMatrix(spark, dim, outDim, seed)
     embs.select(id.as("id"), posexplode(vec.cast("array<float>")).as(Seq("j0", "x")))
       .join(broadcast(m), Seq("j0"))

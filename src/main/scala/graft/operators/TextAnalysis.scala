@@ -50,6 +50,7 @@ object TextAnalysis {
     * oracle.
     */
   def tokenize(text: String): Array[String] = {
+    if (text == null) return Array.empty
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new java.lang.StringBuilder(16)
     var i = 0

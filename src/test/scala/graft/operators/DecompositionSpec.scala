@@ -71,6 +71,13 @@ class DecompositionSpec extends SparkSpec {
     assert(projSq > 0.2 * origSq && projSq < 5.0 * origSq)
   }
 
+  test("empty input yields empty output, not NaNs or crashes") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Decomposition.covariance(empty, $"embedding", 4).count() == 0)
+    assert(Decomposition.signProject(empty, $"vec_id", $"embedding", 4).count() == 0)
+    assert(Decomposition.diagMahalanobis(empty, $"vec_id", $"embedding").count() == 0)
+  }
+
   test("signProject is invariant to input partitioning") {
     val vs = (0 until 16).map(i => Array.tabulate(6)(d => (i * d % 7 - 3).toFloat))
     val a = Decomposition.signProject(toDF(vs).coalesce(1), $"vec_id", $"embedding", 3)
