@@ -192,6 +192,31 @@ object Curation {
         col("n_members"), col("m.quality").as("best_quality"))
   }
 
+  /** Dedup survivor filter: drop every clustered near-dup EXCEPT each
+    * cluster's best-quality member (ties to the smaller id); docs in no
+    * cluster pass through. Returns `docs` filtered, all columns kept —
+    * the "apply the dedup decision" step between [[canonicalDocs]]'
+    * audit view and the rest of the pipeline.
+    *
+    * One LSH + connected-components pass; the winner argmax is the
+    * same mergeable max(struct) as [[canonicalDocs]]; losers anti-join
+    * out by doc id.
+    */
+  def dedupSurvivors(docs: DataFrame, id: Column, text: Column,
+                     threshold: Double = 0.85): DataFrame = {
+    val clusters = dedupClusters(Dedup.docShingles(docs, id, text, 3), threshold)
+    val quality = docs.select(id.cast("long").as("doc_id"),
+      TextAnalysis.qualityScore(text).as("quality"))
+    val winners = clusters.join(quality, "doc_id")
+      .groupBy(col("canonical_id"))
+      .agg(max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("m"))
+      .select((-col("m.nid")).as("doc_id"))
+    val losers = clusters.select(col("doc_id"))
+      .join(winners, Seq("doc_id"), "left_anti")
+    docs.join(losers.withColumnRenamed("doc_id", "__loser_id"),
+      id.cast("long") === col("__loser_id"), "left_anti")
+  }
+
   /** Deterministic hash split: md5(salt || id) mod 100 → named split by
     * percentile bands (train < trainPct <= val < trainPct+valPct <= test).
     * Stable under corpus growth and reshuffling — membership depends

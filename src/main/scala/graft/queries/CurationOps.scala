@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Curation, Dedup}
+import graft.operators.{Curation, Dedup, TextAnalysis}
 import graft.functions.TopKAgg
 
 /** Corpus-curation surface (round-3 north-star widening): near-dup
@@ -53,6 +53,26 @@ object CurationOps {
     "q132_source_drift" -> { (s, d) =>
       import s.implicits._
       Curation.hellingerBySource(Tables.documents(s, d), $"source", $"text")
+    },
+
+    // ---- q134: the end-to-end curation pipeline as ONE plan — dedup
+    // survivors (keep-best per near-dup cluster) → quality floor →
+    // deterministic hash split → per-(split, source) corpus stats.
+    // The integration gate: every stage is an already-verified
+    // operator, composed the way a user would compose them.
+    "q134_curation_pipeline" -> { (s, d) =>
+      import s.implicits._
+      val kept = Curation.dedupSurvivors(
+          Tables.documents(s, d), $"doc_id", $"text", 0.85)
+        .withColumn("quality", TextAnalysis.qualityScore($"text"))
+        .filter($"quality" >= 0.5)
+      kept
+        .withColumn("split", Curation.hashSplit($"doc_id", "split42", 80, 10))
+        .groupBy($"split", $"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length($"text")).as("sum_chars"),
+          round(sum($"quality".cast("decimal(38,6)")).cast("double"), 4)
+            .as("sum_quality"))
     },
 
     // ---- q48: top-3 TF-IDF keywords per document (log-free rational
@@ -186,6 +206,46 @@ object CurationOps {
          |  JOIN documents b ON n.db = b.doc_id)
          |SELECT src_a, src_b, count(*) AS n_pairs
          |FROM m GROUP BY 1, 2""".stripMargin,
+
+    // Full pipeline replay: the q128 cluster/winner CTEs, a quality
+    // floor on the rounded score, the q49 split hash, and BIGINT-cast
+    // integer sums (oracle rulebook #1).
+    "q134_curation_pipeline" ->
+      s"""WITH RECURSIVE ${PipelineOps.nearDupCtes("")},
+         |edges AS (SELECT da AS a, db AS b FROM neardup
+         |          UNION SELECT db, da FROM neardup),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         |    WHERE e.b <> r.a)
+         |, cl AS (
+         |  SELECT a AS doc_id, least(a, min(b)) AS cluster
+         |  FROM reach GROUP BY a),
+         |q AS (SELECT doc_id, ${PipelineOps.qualitySqlExpr} AS quality
+         |      FROM documents),
+         |r AS (
+         |  SELECT cl.doc_id,
+         |    row_number() OVER (PARTITION BY cl.cluster
+         |      ORDER BY q.quality DESC, cl.doc_id ASC) AS rn
+         |  FROM cl JOIN q USING (doc_id)),
+         |losers AS (SELECT doc_id FROM r WHERE rn > 1),
+         |kept AS (
+         |  SELECT d.doc_id, d.source, d.text, q.quality
+         |  FROM documents d JOIN q USING (doc_id)
+         |  WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+         |    AND q.quality >= 0.5)
+         |SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |  source, count(*) AS n_docs,
+         |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+         |  round(CAST(sum(CAST(quality AS DECIMAL(38,6))) AS DOUBLE), 4)
+         |    AS sum_quality
+         |FROM (SELECT *,
+         |        ('0x' || substr(md5('split42' || doc_id::VARCHAR), 1, 8))::UBIGINT
+         |          % 100 AS h
+         |      FROM kept) t
+         |GROUP BY 1, 2""".stripMargin,
 
     "q132_source_drift" ->
       """WITH toks AS (

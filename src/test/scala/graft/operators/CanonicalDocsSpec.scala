@@ -37,4 +37,23 @@ class CanonicalDocsSpec extends SparkSpec {
     val out = Curation.canonicalDocs(docs, $"doc_id", $"text", 0.85).collect()
     assert(out.length == 1 && out.head.getAs[Long]("survivor") == 3L)
   }
+
+  test("dedupSurvivors keeps unclustered docs and each cluster's winner only") {
+    def w(prefix: String, i: Int) =
+      s"$prefix${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+    val base = (0 until 40).map(w("word", _)).mkString(" ")
+    val docs = Seq(
+      (10L, base),
+      (11L, base + " the"), // cluster with 10; higher quality (stopword)
+      (20L, (0 until 35).map(w("solo", _)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val kept = Curation.dedupSurvivors(docs, $"doc_id", $"text", 0.85)
+      .select("doc_id").as[Long].collect().toSet
+    val winner = Curation.canonicalDocs(docs, $"doc_id", $"text", 0.85)
+      .head().getAs[Long]("survivor")
+    assert(kept == Set(winner, 20L))
+    // all original columns survive the filter
+    assert(Curation.dedupSurvivors(docs, $"doc_id", $"text", 0.85)
+      .columns.toSeq == Seq("doc_id", "text"))
+  }
 }
