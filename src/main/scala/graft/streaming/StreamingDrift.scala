@@ -49,8 +49,8 @@ object StreamingDrift {
   }
 
   /** H²(p, q) = ½·Σ (√p − √q)² over bucket distributions. */
-  private[streaming] def hellinger2(counts: Array[Long], total: Long,
-                                    ref: Array[Double]): Double = {
+  private[graft] def hellinger2(counts: Array[Long], total: Long,
+                                ref: Array[Double]): Double = {
     if (total == 0) 0.0
     else {
       var acc = 0.0

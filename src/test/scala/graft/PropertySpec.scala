@@ -108,4 +108,40 @@ class PropertySpec extends AnyFunSuite {
         }
     }, n = 500)
   }
+
+  test("drift state: hellinger2 is bounded in [0,1], 0 on self, merge-order-free") {
+    import graft.streaming.StreamingDrift
+    val buckets = 32
+    val tokGen = Gen.listOf(Gen.oneOf(
+      "alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"))
+    check(Prop.forAll(tokGen, tokGen) { (a, b) =>
+      val ref = StreamingDrift.bucketDistribution(b.iterator, buckets)
+      val c = new Array[Long](buckets)
+      a.foreach(t => c(StreamingDrift.bucket(t, buckets)) += 1)
+      val h = graft.streaming.StreamingDrift.hellinger2(c, a.size.toLong, ref)
+      val self = StreamingDrift.bucketDistribution(a.iterator, buckets)
+      val cSelf = new Array[Long](buckets)
+      a.foreach(t => cSelf(StreamingDrift.bucket(t, buckets)) += 1)
+      val hSelf = graft.streaming.StreamingDrift.hellinger2(cSelf, a.size.toLong, self)
+      h >= 0.0 && h <= 1.0 + 1e-12 && math.abs(hSelf) < 1e-12
+    })
+  }
+
+  test("scaled-long covariance accumulation is associative and commutative") {
+    import graft.operators.Decomposition
+    val vGen = Gen.listOfN(3, Gen.chooseNum(-4.0f, 4.0f))
+      .map(_.toArray)
+    val corpus = Gen.nonEmptyListOf(vGen)
+    check(Prop.forAll(corpus, Gen.chooseNum(1, 5)) { (vs, splitAt) =>
+      val agg = new Decomposition.CovAgg(3)
+      def reduceAll(xs: Seq[Array[Float]]) =
+        xs.foldLeft(agg.zero)(agg.reduce)
+      val whole = reduceAll(vs)
+      val k = math.min(splitAt, vs.size)
+      val (l, r) = vs.splitAt(k)
+      val merged = agg.merge(reduceAll(l), reduceAll(r))
+      whole.n == merged.n &&
+        whole.s.sameElements(merged.s) && whole.p.sameElements(merged.p)
+    })
+  }
 }
