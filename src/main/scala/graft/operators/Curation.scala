@@ -272,7 +272,11 @@ object Curation {
       16, 10).cast("double") + lit(1.0)) / lit(4294967296.0)
     val key = log(u) / weight.cast("double")
     val tk = graft.functions.TopKAgg.topK(k)
-    df.select(group.as("g"), id.cast("long").as("id"), key.as("key"))
+    // Efraimidis-Spirakis requires w > 0: log(u) <= 0, so a negative
+    // weight would FLIP its key positive and beat every valid row.
+    // Zero/negative/null weights mean "never sample" — drop them.
+    df.filter(weight.cast("double") > 0)
+      .select(group.as("g"), id.cast("long").as("id"), key.as("key"))
       .groupBy(col("g"))
       .agg(tk(col("key"), col("id")).as("top"))
       .select(col("g"), posexplode(col("top")))

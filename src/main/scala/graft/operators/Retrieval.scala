@@ -114,13 +114,19 @@ object Retrieval {
     doclen.write.mode("overwrite").parquet(s"$path/doclen")
     doclen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .write.mode("overwrite").parquet(s"$path/stats")
+    // tf is consumed twice (postings write + df derivation) and the
+    // tokenize->explode->groupBy pipeline is the dominant index-build
+    // cost — persist so it runs once (no cross-action plan reuse).
     val tf = toks.select(col("doc_id"), explode(col("w")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       .withColumn("tb", pmod(crc32(col("term")), lit(buckets)))
-    tf.write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
-    tf.groupBy(col("term")).agg(count(lit(1)).as("dfc"))
-      .withColumn("tb", pmod(crc32(col("term")), lit(buckets)))
-      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/df")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      tf.write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
+      tf.groupBy(col("term")).agg(count(lit(1)).as("dfc"))
+        .withColumn("tb", pmod(crc32(col("term")), lit(buckets)))
+        .write.mode("overwrite").partitionBy("tb").parquet(s"$path/df")
+    } finally tf.unpersist()
   }
 
   /** BM25 top-k per query against the at-rest index. `queries` carries
@@ -133,10 +139,17 @@ object Retrieval {
   def bm25ProbeIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                      queries: DataFrame, k: Int, buckets: Int = 64,
                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // Dedup per-query terms: batch bm25 applies terms.distinct, and a
+    // duplicated term must not double its contribution rows here.
     val q = queries.select(col("query_id"), explode(col("terms")).as("term"))
+      .distinct()
     val terms = q.select(col("term")).distinct()
       .collect().map(_.getString(0)).toSeq
-    if (terms.isEmpty) return spark.emptyDataFrame
+    if (terms.isEmpty)
+      // typed empty frame: callers select/write these columns
+      return spark.range(0).select(
+        col("id").as("query_id"), lit(0L).as("doc_id"),
+        lit(0L).as("n_terms_hit"), lit(0.0).as("score"), lit(0).as("rank"))
     val crc = new java.util.zip.CRC32
     val tbs = terms.map { t =>
       crc.reset(); crc.update(t.getBytes("UTF-8"))

@@ -257,6 +257,8 @@ object Similarity {
       (0 until bands).map(bi => hyperplanes(planesPerBand, dim, seed + bi)).toArray
     val bandBuckets = udf { e: Seq[Float] =>
       val n = e.length
+      require(n == dim,
+        s"lshNearDupPairs: embedding length $n != dim parameter $dim")
       val prim = new Array[Double](n)
       var i = 0
       while (i < n) { prim(i) = e(i).toDouble; i += 1 }
@@ -442,7 +444,7 @@ object Similarity {
     }
 
   def pqTopK(corpus: DataFrame, probes: DataFrame, kTop: Int,
-      m: Int = 4, k: Int = 16, dim: Int = 64): DataFrame = {
+      m: Int = 4, k: Int = 16): DataFrame = {
     val spark = corpus.sparkSession
     val bc = spark.sparkContext.broadcast(pqCodebooks(corpus, k))
     val coded = corpus
@@ -596,10 +598,15 @@ object Similarity {
       .unionByName(spark.read.parquet(s"$path/delta"))
     merged.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/codes_compacting")
+    // Same crash-safe aside-swap as ivfCompactIndex: the live code
+    // table is never absent, only superseded.
     val codes = new Path(s"$path/codes")
-    fs.delete(codes, true)
+    val old = new Path(s"$path/codes_old")
+    fs.delete(old, true)
+    require(fs.rename(codes, old), s"aside-rename of live code table failed under $path")
     require(fs.rename(new Path(s"$path/codes_compacting"), codes),
       s"rename of compacted IVFPQ index failed under $path")
+    fs.delete(old, true)
     fs.delete(delta, true)
   }
 
@@ -619,15 +626,7 @@ object Similarity {
       .select(col("centroid")).as[Seq[Double]].collect()
       .map(_.toArray)
     val bcB = spark.sparkContext.broadcast(books)
-    val nearestCells = udf { (e: Seq[Float], n: Int) =>
-      val cs = bcC.value
-      cs.indices.map { ci =>
-        val c = cs(ci)
-        var dotv = 0.0; var i = 0
-        while (i < c.length) { dotv += e(i).toDouble * c(i); i += 1 }
-        (ci, dotv)
-      }.sortBy { case (ci, d) => (-d, ci) }.take(n).map(_._1)
-    }
+    val nearestCells = nearestCellsUdf(bcC)
     val pb = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
       explode(nearestCells(col("embedding"), lit(nprobe))).as("cell"))
     val probedCells = pb.select(col("cell")).distinct().as[Int].collect().toSeq
@@ -687,17 +686,7 @@ object Similarity {
     val spark = corpus.sparkSession
     val cents = ivfCentroids(corpus, nlist, seed)
     val bc = spark.sparkContext.broadcast(cents)
-    val nearestCells = udf { (e: Seq[Float], n: Int) =>
-      val cs = bc.value
-      // argmax-n of cosine(e, centroid): centroids are unit vectors so
-      // the dot product ranks identically to cosine.
-      cs.indices.map { ci =>
-        val c = cs(ci)
-        var dot = 0.0; var i = 0
-        while (i < c.length) { dot += e(i).toDouble * c(i); i += 1 }
-        (ci, dot)
-      }.sortBy { case (ci, d) => (-d, ci) }.take(n).map(_._1)
-    }
+    val nearestCells = nearestCellsUdf(bc)
     val cb = corpus
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("cell", element_at(nearestCells(col("embedding"), lit(1)), 1))
@@ -726,6 +715,24 @@ object Similarity {
     * `nlist` grows with corpus size (cells of ~256 MB), so a probe
     * batch with nprobe=8 touches nprobe/nlist of the bytes at rest.
     */
+  /** argmax-n cell routing against broadcast centroids: the n cells
+    * with the highest dot product (centroids are unit vectors, so dot
+    * ranks identically to cosine), ties to the lower cell id. ONE
+    * shared implementation — the "results equal [[ivfTopK]] exactly"
+    * contracts of the at-rest probes depend on every call site routing
+    * identically. */
+  private def nearestCellsUdf(
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]) =
+    udf { (e: Seq[Float], n: Int) =>
+      val cs = bc.value
+      cs.indices.map { ci =>
+        val c = cs(ci)
+        var dotv = 0.0; var i = 0
+        while (i < c.length) { dotv += e(i).toDouble * c(i); i += 1 }
+        (ci, dotv)
+      }.sortBy { case (ci, d) => (-d, ci) }.take(n).map(_._1)
+    }
+
   /** argmax-1 cell assignment against broadcast centroids; ties to the
     * lower cell id (matches [[ivfTopK]]'s `nearestCells(…, 1)`). */
   private def nearestCellUdf(
@@ -821,10 +828,17 @@ object Similarity {
       .unionByName(spark.read.parquet(s"$path/delta"))
     merged.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/cells_compacting")
+    // Crash-safe swap: move the live dir ASIDE (not delete) before the
+    // new one renames in, so no window exists where cells/ is gone and
+    // unrecoverable — a crash leaves either the old index live or the
+    // old index in _old with the compacted one live.
     val cells = new Path(s"$path/cells")
-    fs.delete(cells, true)
+    val old = new Path(s"$path/cells_old")
+    fs.delete(old, true)
+    require(fs.rename(cells, old), s"aside-rename of live index failed under $path")
     require(fs.rename(new Path(s"$path/cells_compacting"), cells),
       s"rename of compacted index failed under $path")
+    fs.delete(old, true)
     fs.delete(delta, true)
   }
 
@@ -843,15 +857,7 @@ object Similarity {
       probes: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(readCentroids(spark, path))
-    val nearestCells = udf { (e: Seq[Float], n: Int) =>
-      val cs = bc.value
-      cs.indices.map { ci =>
-        val c = cs(ci)
-        var dotv = 0.0; var i = 0
-        while (i < c.length) { dotv += e(i).toDouble * c(i); i += 1 }
-        (ci, dotv)
-      }.sortBy { case (ci, d) => (-d, ci) }.take(n).map(_._1)
-    }
+    val nearestCells = nearestCellsUdf(bc)
     val pb = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
       graft.functions.F.vec_norm(col("embedding")).as("pnrm"),
       explode(nearestCells(col("embedding"), lit(nprobe))).as("cell"))

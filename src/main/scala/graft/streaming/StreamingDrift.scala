@@ -74,8 +74,20 @@ object StreamingDrift {
     require(ref.length == buckets, s"ref length ${ref.length} != $buckets")
     import docs.sparkSession.implicits._
     docs
-      .flatMap { case (src, text) =>
-        graft.operators.TextAnalysis.tokenize(text).map(w => (src, bucket(w, buckets)))
+      // Partition-local combine BEFORE the keyed shuffle: the exchange
+      // carries at most sources×buckets×partitions (src, bucket, n)
+      // rows instead of one row per token occurrence — a dominant
+      // source cannot funnel its whole batch through one state task's
+      // input stream.
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[(String, Int), Long]
+        it.foreach { case (src, text) =>
+          graft.operators.TextAnalysis.tokenize(text).foreach { w =>
+            val k = (src, bucket(w, buckets))
+            m(k) = m.getOrElse(k, 0L) + 1L
+          }
+        }
+        m.iterator.map { case ((src, b), n) => (src, b, n) }
       }
       .groupByKey(_._1)
       .flatMapGroupsWithState[SourceState, Drift](
@@ -85,7 +97,7 @@ object StreamingDrift {
             .getOrElse(SourceState(new Array[Long](buckets), 0L))
           val counts = st0.counts.clone()
           var total = st0.total
-          rows.foreach { case (_, b) => counts(b) += 1; total += 1 }
+          rows.foreach { case (_, b, n) => counts(b) += n; total += n }
           state.update(SourceState(counts, total))
           Iterator.single(Drift(src, total, hellinger2(counts, total, ref)))
       }
