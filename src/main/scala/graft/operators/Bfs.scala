@@ -51,9 +51,15 @@ object Bfs {
         .withColumn("dist", lit(hop))
         .persist(StorageLevel.MEMORY_AND_DISK)
       drained = next.count() == 0
+      val prevVisited = visited
+      val prevFrontier = frontier
       visited = visited.union(next).persist(StorageLevel.MEMORY_AND_DISK)
+      visited.count() // materialize before the superseded caches drop
+      prevVisited.unpersist()
+      if (prevFrontier ne prevVisited) prevFrontier.unpersist()
       frontier = next
     }
+    e.unpersist()
     visited
   }
 }

@@ -31,6 +31,7 @@ object CountMin {
     * union-groupBy-sum.
     */
   def sketch(items: DataFrame, item: Column, d: Int, w: Int): DataFrame = {
+    require(d >= 1 && w >= 1, s"need d >= 1 rows and w >= 1 buckets, got d=$d w=$w")
     val rows = (0 until d).map(j =>
       struct(lit(j).as("j"), bucket(item, j, w).as("bucket")))
     items.select(explode(array(rows: _*)).as("jb"))

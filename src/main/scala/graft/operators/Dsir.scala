@@ -43,6 +43,7 @@ object Dsir {
     */
   def weights(docs: DataFrame, id: Column, text: Column, isTarget: Column,
               buckets: Int = 256): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
     val spark = docs.sparkSession
     import spark.implicits._
     // Narrow CPU-bound tokenize: same fused tokenizer as the dedup

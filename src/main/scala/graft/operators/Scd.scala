@@ -47,10 +47,14 @@ object Scd {
             tie: Column): DataFrame = {
     val base = df.select(key.as("k"), attr.as("a"), ts.as("t"), tie.as("o"))
     val wo2 = Window.partitionBy(col("k")).orderBy(col("t").asc, col("o").asc)
+    // Null-SAFE change detection (<=>): with =!= a NULL attr following
+    // a value would fold into the previous run (NULL condition = no
+    // change) and consecutive NULLs would each open a new run. The
+    // first row of a partition still starts a run: NULL <=> value is
+    // false, so the negation fires.
     val runs = base
       .withColumn("chg",
-        when(lag(col("a"), 1).over(wo2).isNull
-          || lag(col("a"), 1).over(wo2) =!= col("a"), 1L).otherwise(0L))
+        when(!(lag(col("a"), 1).over(wo2) <=> col("a")), 1L).otherwise(0L))
       .withColumn("run", sum(col("chg")).over(wo2))
       .groupBy(col("k"), col("run"))
       .agg(min(col("a")).as("attr"), // constant within a run

@@ -43,8 +43,12 @@ object SpanDedup {
       width: Int): DataFrame = {
     require(width > 0, s"width must be positive, got $width")
     val toks = TextAnalysis.wordTokens(text)
+    // Consumed by two branches (window stream + the restore join) and
+    // Spark has no cross-branch plan reuse: persist so the CPU-bound
+    // regex tokenize runs once per document, not twice.
     val base = df.select(id.cast("long").as("doc_id"), toks.as("w"))
       .withColumn("n", size(col("w")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // (doc_id, i, h) for every stride-1 window; fused into the scan
     // projection — the token array never shuffles.
     val wins = base.filter(col("n") >= width)

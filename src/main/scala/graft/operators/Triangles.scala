@@ -50,8 +50,16 @@ object Triangles {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // Loud guard on the packing precondition: one codegen'd check per
+    // NODE (not per edge). An id >= 1e9 would silently corrupt the
+    // (degree, id) total order and with it the triangle counts.
     val key = deg.select(col("n"),
-      (col("d") * lit(1000000000L) + col("n")).as("okey"))
+      when(col("n") >= 0 && col("n") < 1000000000L,
+        col("d") * lit(1000000000L) + col("n"))
+        .otherwise(raise_error(concat(
+          lit("Triangles.perNodeCounts: vertex id out of packable range [0, 1e9): "),
+          col("n").cast("string"))))
+        .as("okey"))
     // Orient each edge toward the (degree, id)-larger endpoint; keep the
     // destination's okey for the wedge ordering below. Persisted because
     // the triangle plan reads it three times and Spark has no

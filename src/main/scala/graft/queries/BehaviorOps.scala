@@ -414,9 +414,8 @@ object BehaviorOps {
         |  FROM events),
         |b AS (
         |  SELECT user_id, event_type, tsu, event_id,
-        |    CASE WHEN lag(event_type) OVER w IS NULL
-        |           OR lag(event_type) OVER w <> event_type THEN 1
-        |         ELSE 0 END AS chg
+        |    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+        |         THEN 1 ELSE 0 END AS chg
         |  FROM t
         |  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
         |r AS (

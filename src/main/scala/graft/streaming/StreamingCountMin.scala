@@ -108,8 +108,12 @@ object StreamingCountMin {
     CountMin.estimate(counters(spark, path), probes, item, d, w)
 
   /** Fold unfolded delta batches into a new committed base version,
-    * then clean up superseded versions and folded delta directories
-    * (cleanup only — correctness never depends on any deletion).
+    * then clean up superseded versions and folded delta directories.
+    * Deletion is one generation DEFERRED: the immediately previous
+    * base (and its delta tail) survive this compact so a reader that
+    * planned against them mid-compact can still execute; a version
+    * dies only once superseded twice. Orphan bases from a compact
+    * that crashed pre-marker are swept here too.
     */
   def compact(spark: SparkSession, path: String): Unit = {
     import org.apache.hadoop.fs.Path
@@ -139,11 +143,28 @@ object StreamingCountMin {
     val f = hfs(spark, path)
     // Commit point: the marker's existence publishes the new version.
     f.create(new Path(s"$path/base_v$newUpto/_upto"), true).close()
-    for (v <- before) f.delete(new Path(s"$path/base_v$v"), true)
+    // Retention: keep the PREVIOUS committed version (and its folded
+    // delta dirs) one generation — a reader that planned `base_v<upto>
+    // ∪ delta > upto` before this commit can still run its action;
+    // only versions superseded twice are deleted. Also sweep orphan
+    // base_v* dirs (no _upto marker) left by a compact that crashed
+    // between the parquet write and the marker — they are invisible to
+    // readers but would otherwise accumulate forever.
+    for (v <- before.dropRight(1)) f.delete(new Path(s"$path/base_v$v"), true)
+    f.globStatus(new Path(s"$path/base_v*")) match {
+      case null =>
+      case sts => sts.toSeq.map(_.getPath)
+        .filter { p =>
+          val v = p.getName.stripPrefix("base_v").toLong
+          v < newUpto && !f.exists(new Path(p, "_upto"))
+        }
+        .foreach(f.delete(_, true))
+    }
+    val prevUpto = before.lastOption.getOrElse(-1L)
     f.globStatus(new Path(s"$path/delta/batch=*")) match {
       case null =>
       case sts => sts.toSeq.map(_.getPath)
-        .filter(_.getName.stripPrefix("batch=").toLong <= newUpto)
+        .filter(_.getName.stripPrefix("batch=").toLong <= prevUpto)
         .foreach(f.delete(_, true))
     }
   }

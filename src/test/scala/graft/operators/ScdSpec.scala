@@ -39,6 +39,25 @@ class ScdSpec extends SparkSpec {
       (1L, "B", 10L, Scd.OpenEnd, 1L, 1L)))
   }
 
+  test("NULL attr values form their own runs (null-safe change detection)") {
+    import spark.implicits._
+    // A -> NULL -> A must be THREE runs, not one folded 'A' interval;
+    // consecutive NULLs collapse into one run.
+    val df = Seq(
+      (1L, Some("A"), 10L, 1L), (1L, None, 20L, 2L),
+      (1L, None, 25L, 3L), (1L, Some("A"), 30L, 4L))
+      .toDF("k", "a", "t", "o")
+    val out = Scd.type2(df, col("k"), col("a"), col("t"), col("o"))
+      .orderBy("valid_from")
+      .select("attr", "valid_from", "valid_to", "n_obs")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(out == Seq(
+      (Some("A"), 10L, 20L, 1L),
+      (None, 20L, 30L, 2L),
+      (Some("A"), 30L, Scd.OpenEnd, 1L)))
+  }
+
   test("asOf returns the interval in force at the instant") {
     import spark.implicits._
     val dim = Scd.type2(
