@@ -151,7 +151,8 @@ final class JournalCatalog {
       throw new IllegalStateException(s"journal $name has no fragment stores")
     graft.sources.Journal.append(df, spec.stores.head, name,
       codec = spec.codec, postfixCol = postfixCol,
-      maxFragmentBytes = spec.fragmentTargetLength)
+      maxFragmentBytes = spec.fragmentTargetLength,
+      offsetRoots = spec.stores) // head spans ALL stores (migration-safe)
   }
 
   /** Selector-filtered listing (P3): selectors may reference spec labels

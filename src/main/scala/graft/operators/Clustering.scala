@@ -201,7 +201,13 @@ object Clustering {
         val (id, v, d) = next(0)
         chosen += ((r, id, d))
         parent = cur
-        cur = cur.withColumn("md", least(col("md"), distTo(v)))
+        // Rebase on the updated frame's RDD: persist caches DATA but
+        // leaves the logical plan growing one Project per round, so
+        // analysis cost would be O(k²) and k in the thousands would
+        // overflow the analyzer stack. A LogicalRDD leaf keeps the
+        // plan depth constant at coreset-scale k.
+        val updated = cur.withColumn("md", least(col("md"), distTo(v)))
+        cur = spark.createDataFrame(updated.rdd, updated.schema)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         r += 1
       }

@@ -12,6 +12,30 @@ import graft.operators.{Bfs, Dedup, HeavyHitters, IncrementalAgg, KCore, PageRan
   */
 object ScaleOps {
 
+  /** The co-purchase pair graph shared by q95/q99/q105/q110: parts
+    * co-occurring in an order (quantity >= 25 keeps analysis density),
+    * as CANONICAL undirected pairs (u < v), deduplicated. ONE
+    * definition so the four graph queries (and their oracle CTEs)
+    * cannot drift apart.
+    */
+  private def coPurchasePairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d).filter($"l_quantity" >= 25)
+      .select($"l_orderkey", $"l_partkey")
+    li.as("a").join(li.as("b"), Seq("l_orderkey"))
+      .filter($"a.l_partkey" < $"b.l_partkey")
+      .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+      .distinct()
+  }
+
+  /** [[coPurchasePairs]] symmetrized to a directed (src, dst) list. */
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = coPurchasePairs(s, d)
+    pairs.unionAll(pairs.select($"v".as("u"), $"u".as("v")))
+      .select($"u".as("src"), $"v".as("dst"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- q67: prefix-filtered exact set-similarity self-join
     // (AllPairs/PPJoin family): same result set as the exhaustive q24
@@ -122,13 +146,7 @@ object ScaleOps {
     // only triangle-counting shape that survives a celebrity vertex
     // at 100 TB (see Triangles scaladoc).
     "q95_triangle_counts" -> { (s, d) =>
-      import s.implicits._
-      val li = Tables.lineitem(s, d).filter($"l_quantity" >= 25)
-        .select($"l_orderkey", $"l_partkey")
-      val e = li.as("a").join(li.as("b"), Seq("l_orderkey"))
-        .filter($"a.l_partkey" < $"b.l_partkey")
-        .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
-      Triangles.perNodeCounts(e)
+      Triangles.perNodeCounts(coPurchasePairs(s, d))
     },
 
     // ---- q99: synchronous label propagation (2 rounds) over the q95
@@ -143,13 +161,8 @@ object ScaleOps {
     "q99_label_propagation" -> { (s, d) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val li = Tables.lineitem(s, d).filter($"l_quantity" >= 25)
-        .select($"l_orderkey", $"l_partkey")
-      val pairs = li.as("a").join(li.as("b"), Seq("l_orderkey"))
-        .filter($"a.l_partkey" < $"b.l_partkey")
-        .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
-        .distinct()
-      val edges = pairs.unionAll(pairs.select($"v".as("u"), $"u".as("v")))
+      val edges = coPurchaseEdges(s, d)
+        .select($"src".as("u"), $"dst".as("v"))
         .persist()
       var labels = edges.select($"u".as("node")).distinct()
         .select($"node", $"node".as("label"))
@@ -173,14 +186,7 @@ object ScaleOps {
     // textbook Pregel shape, replayed by a recursive-CTE oracle.
     "q105_bfs_khop" -> { (s, d) =>
       import s.implicits._
-      val li = Tables.lineitem(s, d).filter($"l_quantity" >= 25)
-        .select($"l_orderkey", $"l_partkey")
-      val pairs = li.as("a").join(li.as("b"), Seq("l_orderkey"))
-        .filter($"a.l_partkey" < $"b.l_partkey")
-        .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
-        .distinct()
-      val edges = pairs.unionAll(pairs.select($"v".as("u"), $"u".as("v")))
-        .select($"u".as("src"), $"v".as("dst"))
+      val edges = coPurchaseEdges(s, d)
       val seeds = edges.select($"src".as("node")).distinct()
         .orderBy($"node".asc).limit(3)
       Bfs.distances(edges, seeds, maxHops = 3)
@@ -194,16 +200,7 @@ object ScaleOps {
     // quadratic step); the unique fixpoint makes the unrolled-SQL
     // oracle replay exact.
     "q110_kcore" -> { (s, d) =>
-      import s.implicits._
-      val li = Tables.lineitem(s, d).filter($"l_quantity" >= 25)
-        .select($"l_orderkey", $"l_partkey")
-      val pairs = li.as("a").join(li.as("b"), Seq("l_orderkey"))
-        .filter($"a.l_partkey" < $"b.l_partkey")
-        .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
-        .distinct()
-      val edges = pairs.unionAll(pairs.select($"v".as("u"), $"u".as("v")))
-        .select($"u".as("src"), $"v".as("dst"))
-      KCore.core(edges, k = 4, maxRounds = 6)
+      KCore.core(coPurchaseEdges(s, d), k = 4, maxRounds = 6)
     },
 
     // ---- q72: cross-corpus near-dup join — dedup a fresh slice

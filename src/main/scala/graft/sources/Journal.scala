@@ -186,15 +186,25 @@ object Journal {
   }
 
   /** Hive-style `key=value` postfix directories between the journal
-    * root and a fragment file, parsed from its path (the reference's
-    * path_postfix_template, protocol.proto:248-262). Empty for
-    * top-level fragments.
+    * directory and a fragment file, parsed from its path (the
+    * reference's path_postfix_template, protocol.proto:248-262). Empty
+    * for top-level fragments.
+    *
+    * Parsing is SCOPED to the segments after the journal's own
+    * directory: journal names and store roots may legally contain '='
+    * (e.g. journal "events/region=us"), and treating those segments as
+    * postfix values would mis-prune every fragment of the journal.
     */
-  def postfixValues(f: Fragment): Map[String, String] =
-    new HPath(f.path).getParent.toString.split('/').iterator
+  def postfixValues(f: Fragment): Map[String, String] = {
+    val segs = new HPath(f.path).getParent.toString.split('/').toSeq
+    val jSegs = f.journal.split('/').toSeq
+    val at = segs.lastIndexOfSlice(jSegs)
+    val tail = if (at >= 0) segs.drop(at + jSegs.length) else Seq.empty
+    tail.iterator
       .filter(_.contains('='))
       .map { s => val i = s.indexOf('='); (s.substring(0, i), s.substring(i + 1)) }
       .toMap
+  }
 
   /** Retention maintenance (journals prune, SURVEY §2.12): delete
     * fragments whose span ends at or below `keepFromOffset`. Returns
@@ -336,9 +346,11 @@ object Journal {
   def append(df: DataFrame, root: String, journal: String,
       codec: String = "gz", payloadCol: String = "payload",
       postfixCol: Option[String] = None,
-      maxFragmentBytes: Long = Long.MaxValue): Seq[Fragment] = {
+      maxFragmentBytes: Long = Long.MaxValue,
+      offsetRoots: Seq[String] = Nil): Seq[Fragment] = {
     val conf = hadoopConf
-    stage(df, root, journal, codec, payloadCol, postfixCol, maxFragmentBytes).map {
+    stage(df, root, journal, codec, payloadCol, postfixCol, maxFragmentBytes,
+        offsetRoots).map {
       case (frag, tmp) => commitFragment(frag, tmp, conf)
     }
   }
@@ -353,7 +365,8 @@ object Journal {
   private[graft] def stage(df: DataFrame, root: String, journal: String,
       codec: String = "gz", payloadCol: String = "payload",
       postfixCol: Option[String] = None,
-      maxFragmentBytes: Long = Long.MaxValue): Seq[(Fragment, String)] = {
+      maxFragmentBytes: Long = Long.MaxValue,
+      offsetRoots: Seq[String] = Nil): Seq[(Fragment, String)] = {
     require(maxFragmentBytes > 0, s"maxFragmentBytes must be positive")
     val spark = df.sparkSession
     import spark.implicits._
@@ -407,7 +420,11 @@ object Journal {
     // Driver side: prefix-sum offsets from the journal head in
     // (partition, postfix, rollSeq) order; the caller commits via
     // rename (content-addressed names make retries idempotent).
-    var begin = head(root, journal)
+    // The head spans offsetRoots too: a multi-store journal (spec with
+    // several stores, mid-migration) must not restart offsets at the
+    // active store's local head — spans held in sibling stores would
+    // collide and the cover set would silently drop one of them.
+    var begin = head((offsetRoots :+ root).distinct, journal)
     spooled.map { case (_, postfix, _, len, sha, tmpPath) =>
       val sub = if (postfix.isEmpty) dir else new HPath(dir, postfix)
       val frag = Fragment(journal, begin, begin + len, sha, codec,
@@ -519,7 +536,7 @@ object Journal {
     */
   private[graft] def commitSpooledEpoch(root: String, journal: String,
       epochTag: String, spooled: Seq[(String, Long, String, String)],
-      codec: String): Seq[Fragment] = {
+      codec: String, offsetRoots: Seq[String] = Nil): Seq[Fragment] = {
     val conf = hadoopConf
     val dir = new HPath(root, journal)
     val fs = dir.getFileSystem(conf)
@@ -533,7 +550,7 @@ object Journal {
     if (fs.exists(pending) && reconcilePending(fs, pending, committed, journal, codec, conf)) {
       dropSpools(); return Nil
     }
-    var begin = head(root, journal)
+    var begin = head((offsetRoots :+ root).distinct, journal)
     val staged = spooled.map { case (postfix, len, sha, tmpPath) =>
       val sub = if (postfix.isEmpty) dir else new HPath(dir, postfix)
       val frag = Fragment(journal, begin, begin + len, sha, codec,
@@ -662,7 +679,7 @@ object Journal {
     * to arbitrary-offset reads.
     */
   def readFragmentSlice(frag: Fragment, from: Long, to: Long,
-      conf: Configuration = new Configuration()): Iterator[Envelope] = {
+      conf: Configuration = hadoopConf): Iterator[Envelope] = {
     val p = new HPath(frag.path)
     val raw = p.getFileSystem(conf).open(p)
     val in = new java.io.BufferedInputStream(wrapInput(frag.codec, raw), 1 << 16)

@@ -127,7 +127,7 @@ class JournalTable(roots: Seq[String], journal: String,
     () => new JournalScan(roots, journal, maxBytesPerTrigger, postfix, incrementalListing)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
-      override def build(): Write = new JournalWrite(roots.head, journal, codec, info)
+      override def build(): Write = new JournalWrite(roots, journal, codec, info)
     }
 }
 
@@ -155,14 +155,18 @@ object JournalScan {
     * cost no input partitions at all.
     */
   def listPruned(roots: Seq[String], journal: String,
-      postfix: Seq[PostfixPredicate]): Vector[Fragment] = {
-    val all = Journal.listFragments(roots, journal, Long.MinValue)
-    if (postfix.isEmpty) all
-    else all.filter { f =>
+      postfix: Seq[PostfixPredicate]): Vector[Fragment] =
+    prune(Journal.listFragments(roots, journal, Long.MinValue), postfix)
+
+  /** The ONE postfix filter, shared by batch and streaming planning so
+    * the two paths can never prune differently. */
+  def prune(frags: Vector[Fragment],
+      postfix: Seq[PostfixPredicate]): Vector[Fragment] =
+    if (postfix.isEmpty) frags
+    else frags.filter { f =>
       val values = Journal.postfixValues(f)
       postfix.forall(_.keep(values))
     }
-  }
 }
 
 /** A fragment slice [from, to) to surface as rows, scheduled near the
@@ -241,8 +245,32 @@ class JournalMicroBatchStream(roots: Seq[String], journal: String,
         .distinctBy(f => (f.begin, f.end, f.sha1, f.codec))
         .sortBy(f => (f.begin, -f.end))
       refreshesSinceFullWalk += 1
+      // Skew guard: if the merged index has an offset HOLE (a fragment
+      // whose mtime lagged the walk window more than the slack — store
+      // clock behind the driver's, or a laggy rename — while a LATER
+      // fragment did list), advancing the head would permanently skip
+      // the missing span. A hole is exactly that signature, so fall
+      // back to a full walk before offsets move.
+      if (hasHole(index)) {
+        index = Journal.listFragments(roots, journal, Long.MinValue)
+        refreshesSinceFullWalk = 0
+      }
     }
     lastWalkMs = nowMs
+  }
+
+  /** True when sorted fragments leave an uncovered gap strictly inside
+    * [min begin, max end) — impossible for a healthy journal (prune
+    * truncates only the front; compaction replaces spans with covering
+    * ones), so a hole means the incremental listing missed something.
+    */
+  private def hasHole(sorted: Vector[Fragment]): Boolean = {
+    var maxEnd = Long.MinValue
+    sorted.foreach { f =>
+      if (maxEnd != Long.MinValue && f.begin > maxEnd) return true
+      maxEnd = math.max(maxEnd, f.end)
+    }
+    false
   }
 
   private def cachedIndex(): Vector[Fragment] = synchronized {
@@ -307,12 +335,7 @@ class JournalMicroBatchStream(roots: Seq[String], journal: String,
       synchronized { walked = false }
       frags = cachedIndex()
     }
-    val kept =
-      if (postfix.isEmpty) frags
-      else frags.filter { f =>
-        val values = Journal.postfixValues(f)
-        postfix.forall(_.keep(values))
-      }
+    val kept = JournalScan.prune(frags, postfix)
     Journal.coverSet(kept)
       .flatMap { case (f, from) =>
         val lo = math.max(from, s)

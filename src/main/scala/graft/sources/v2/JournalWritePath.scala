@@ -29,8 +29,12 @@ import graft.sources.Journal.{Fragment, HadoopConf}
   * `length` target, protocol.proto:214-218 — so fragment size and
   * read-task granularity stay bounded for any write-partition size).
   */
-class JournalWrite(root: String, journal: String, tableCodec: String,
+class JournalWrite(roots: Seq[String], journal: String, tableCodec: String,
     info: LogicalWriteInfo) extends Write {
+
+  // New fragments persist to the FIRST store (the active store); the
+  // other stores still participate in offset derivation below.
+  private val root: String = roots.head
 
   private val codec: String =
     Option(info.options.get("codec")).getOrElse(tableCodec)
@@ -70,7 +74,7 @@ class JournalWrite(root: String, journal: String, tableCodec: String,
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
       factory
     override def commit(messages: Array[WriterCommitMessage]): Unit =
-      JournalWrite.commitAppend(root, journal, codec, messages)
+      JournalWrite.commitAppend(roots, journal, codec, messages)
     override def abort(messages: Array[WriterCommitMessage]): Unit =
       JournalWrite.dropSpools(root, messages)
   }
@@ -83,7 +87,7 @@ class JournalWrite(root: String, journal: String, tableCodec: String,
     private val qid = info.queryId()
     override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
       Journal.commitSpooledEpoch(root, journal, s"$qid-$epochId",
-        JournalWrite.ordered(messages), codec)
+        JournalWrite.ordered(messages), codec, offsetRoots = roots)
     override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
       JournalWrite.dropSpools(root, messages)
   }
@@ -107,14 +111,17 @@ object JournalWrite {
       .sortBy { case (pid, sp) => (pid, sp.postfix, sp.seq) }
       .map { case (_, sp) => (sp.postfix, sp.len, sp.sha1, sp.tmpPath) }.toSeq
 
-  /** Batch append commit: offsets assigned from the head in
-    * (partition, postfix) order, spools renamed into the index.
+  /** Batch append commit: offsets assigned from the MULTI-STORE head in
+    * (partition, postfix) order, spools renamed into the index at the
+    * first (active) store. Deriving the head across every store keeps
+    * mid-migration journals collision-free (see Journal.stage).
     */
-  private[v2] def commitAppend(root: String, journal: String, codec: String,
+  private[v2] def commitAppend(roots: Seq[String], journal: String, codec: String,
       messages: Array[WriterCommitMessage]): Unit = {
+    val root = roots.head
     val conf = Journal.hadoopConf
     val dir = new HPath(root, journal)
-    var begin = Journal.head(root, journal)
+    var begin = Journal.head(roots, journal)
     ordered(messages).foreach { case (postfix, len, sha, tmpPath) =>
       val sub = if (postfix.isEmpty) dir else new HPath(dir, postfix)
       val frag = Fragment(journal, begin, begin + len, sha, codec,

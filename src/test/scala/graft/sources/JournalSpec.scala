@@ -286,4 +286,38 @@ class JournalSpec extends SparkSpec {
     q.stop()
     assert(n0 == 10 && n1 == 15)
   }
+
+  test("multi-store append derives offsets from ALL stores (migration-safe)") {
+    import spark.implicits._
+    val oldStore = tmpRoot(); val newStore = tmpRoot()
+    // History lives in the old store...
+    val f1 = Journal.append((1 to 10).map(i => s"old-$i").toDF("payload")
+      .coalesce(1), oldStore, "topic/m")
+    val oldHead = f1.map(_.end).max
+    // ...new writes go to the new (active) store but must continue the
+    // offset sequence across BOTH stores, not restart at 0.
+    val f2 = Journal.append((1 to 5).map(i => s"new-$i").toDF("payload")
+      .coalesce(1), newStore, "topic/m",
+      offsetRoots = Seq(newStore, oldStore))
+    assert(f2.head.begin == oldHead,
+      s"new store append must start at the cross-store head $oldHead, got ${f2.head.begin}")
+    // The union read sees one contiguous stream of all 15 records.
+    val envs = Journal.read(spark, Seq(newStore, oldStore), "topic/m")
+    assert(envs.count() == 15)
+  }
+
+  test("postfixValues ignores '=' in the journal name and store root") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-tier=hot").toString
+    val df = Seq(("a", "date=2024-01-01"), ("b", "date=2024-01-02"))
+      .toDF("payload", "pf")
+    val frags = Journal.append(df.coalesce(1), root, "events/region=us",
+      postfixCol = Some("pf"))
+    val values = frags.map(Journal.postfixValues)
+    // only the true postfix dir parses; the journal's region=us and the
+    // root's tier=hot segment must NOT leak into the map
+    assert(values.forall(v => v.keySet == Set("date")))
+    assert(values.flatMap(_.get("date")).toSet ==
+      Set("2024-01-01", "2024-01-02"))
+  }
 }
