@@ -33,9 +33,16 @@ object Bfs {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val e = edges.selectExpr("cast(src as long) as src", "cast(dst as long) as dst")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var visited = seeds.selectExpr("cast(node as long) as node").distinct()
+    // The visited set is the LAZY union of the per-hop frontiers, each
+    // of which is cached exactly once (materialized by its drain-check
+    // count). Total cache = Σ|frontier| = |reached| rows — no redundant
+    // per-round copy of the whole visited set, no extra materializing
+    // action per hop.
+    val frontier0 = seeds.selectExpr("cast(node as long) as node").distinct()
       .withColumn("dist", lit(0)).persist(StorageLevel.MEMORY_AND_DISK)
-    var frontier = visited
+    val frontiers = scala.collection.mutable.ArrayBuffer(frontier0)
+    def visited = frontiers.reduce(_ union _)
+    var frontier = frontier0
     var hop = 0
     var drained = false
     while (hop < maxHops && !drained) {
@@ -51,12 +58,7 @@ object Bfs {
         .withColumn("dist", lit(hop))
         .persist(StorageLevel.MEMORY_AND_DISK)
       drained = next.count() == 0
-      val prevVisited = visited
-      val prevFrontier = frontier
-      visited = visited.union(next).persist(StorageLevel.MEMORY_AND_DISK)
-      visited.count() // materialize before the superseded caches drop
-      prevVisited.unpersist()
-      if (prevFrontier ne prevVisited) prevFrontier.unpersist()
+      frontiers += next
       frontier = next
     }
     e.unpersist()
