@@ -444,4 +444,39 @@ object Dedup {
       when(s > 0, shiftleft(lit(1L), b)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
   }
+
+  /** Per-document n-gram novelty: the fraction of a document's distinct
+    * word n-grams whose FIRST corpus occurrence (smallest doc_id) is
+    * this document. The contribution-aware cousin of passage dedup:
+    * passage dedup asks "how much of this doc survives global
+    * first-occurrence dedup at passage granularity", novelty asks "how
+    * much genuinely new n-gram content does this doc add" — the signal
+    * curation uses to rank near-identical boilerplate (novelty → 0)
+    * below original text (novelty → 1) without deleting either.
+    *
+    * Scale shape: [[docShingles]]'s fused tokenize→shingle→hash map
+    * (narrow), ONE shingle-keyed aggregate for the first-occurrence
+    * table, ONE shingle-keyed join back, ONE doc-keyed aggregate — the
+    * same two-shuffle budget as passage dedup, no self-join. Documents
+    * with fewer than n tokens have no n-grams and are excluded by
+    * contract (they carry no evidence either way).
+    *
+    * Determinism: counts are exact; the only double is the final
+    * rounded ratio. The oracle replays shingles as strings where this
+    * side hashes them — identical results absent FNV-64 collisions
+    * (~1e-13 at 1e6 shingles; the q24/q25 oracles already rely on this).
+    */
+  def ngramNovelty(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+    val sh = docShingles(df, id, text, n) // (doc_id, sh: array<long>), distinct per doc
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+    val first = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_shingles"), 6)
+          .as("novelty"))
+  }
 }

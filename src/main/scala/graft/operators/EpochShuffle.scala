@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic training-order materialization: assign every document
+  * a (shard, position) for one training epoch, where both the shard
+  * assignment and the within-shard order are pure functions of
+  * (seed, doc_id). The data-loader contract behind large-scale LM
+  * training: N reader workers each stream one shard in a fixed
+  * pseudo-random order, any worker can be restarted mid-epoch and
+  * resume at its position, and re-running the job (or re-growing the
+  * corpus and re-running) never reorders rows it doesn't have to.
+  * Changing the seed re-deals the whole epoch — the per-epoch shuffle.
+  *
+  * RNG-free by design (house rule): shard = md5("s:" seed ":" id)
+  * mod shards, order key = md5("o:" seed ":" id) — independent salts so
+  * the within-shard order shares no bits with the shard choice. Both
+  * replay exactly in the DuckDB oracle.
+  *
+  * Scale design (100 TB): positions are a per-shard dense rank, and
+  * the classic row_number() OVER (PARTITION BY shard ORDER BY key)
+  * sorts each shard under ONE window task — with realistic shard
+  * counts (tens to hundreds) that is a corpus-sized sort on a handful
+  * of reducers. This uses the two-phase global-rank form instead
+  * (same machinery as [[SortedNeighborhood]]): range-repartition by
+  * (shard, key) + in-partition sort, per-partition local index, a
+  * P-row count collect whose cumulative offsets broadcast back, then
+  * per-shard bases (an S-row aggregate) subtract away to yield dense
+  * per-shard positions. The range partitioner's sampled boundaries
+  * only move partition EDGES; the (shard, key) total order — and so
+  * every rank — is unaffected.
+  */
+object EpochShuffle {
+
+  /** One epoch's (shard, pos, doc_id) order table. `id` values must be
+    * unique (they are the identity of a document); the md5 order key
+    * then has no ties and the order is total.
+    */
+  def order(df: DataFrame, id: Column, seed: String, shards: Int): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val parts = math.max(1, spark.sparkContext.defaultParallelism)
+    val keyed = df.select(id.cast("long").as("doc_id"))
+      .withColumn("shard",
+        (conv(substring(md5(concat(lit("s:" + seed + ":"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+          % shards).cast("int"))
+      .withColumn("okey",
+        md5(concat(lit("o:" + seed + ":"), col("doc_id").cast("string"))))
+    val local = keyed
+      .repartitionByRange(parts, col("shard"), col("okey"))
+      .sortWithinPartitions(col("shard"), col("okey"))
+      .select(col("shard"), col("okey"), col("doc_id"))
+      .as[(Int, String, Long)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var i = 0L
+        it.map { case (sh, k, d) => val r = (pid, i, sh, k, d); i += 1; r }
+      }.toDF("pid", "li", "shard", "okey", "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // P rows to the driver; cumulative counts become global rank offsets.
+    val counts = local.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+      .as[(Int, Long)].collect().sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _))
+    val offDf = spark.createDataFrame(offsets.toSeq).toDF("pid", "off")
+    val ranked = local.join(broadcast(offDf), "pid")
+      .select(col("shard"), col("doc_id"), (col("off") + col("li")).as("rk"))
+    // Dense per-shard positions: subtract each shard's first global rank.
+    val bases = ranked.groupBy(col("shard")).agg(min(col("rk")).as("base"))
+    // `local` stays persisted: the collected offsets are only valid for
+    // the materialization they were counted from — a recompute could
+    // re-sample range boundaries and shift every (pid, li).
+    ranked.join(broadcast(bases), "shard")
+      .select(col("shard"), (col("rk") - col("base")).as("pos"), col("doc_id"))
+  }
+}

@@ -415,4 +415,78 @@ object TextAnalysis {
       .orderBy($"lift".desc, $"a".asc, $"b".asc)
       .limit(k)
   }
+
+  /** CCNet-style LM-score corpus partition: score every document by its
+    * mean per-token surprisal under the corpus unigram model, then cut
+    * each source's score distribution into head / middle / tail thirds
+    * (Wenzek et al. 2019's perplexity buckets — the filter that keeps
+    * "head" for LM pretraining). Documents with zero word tokens carry
+    * no LM evidence and are excluded by contract.
+    *
+    * LIBM-FREE SURPRISAL on purpose: true surprisal -log2(c/total) is
+    * quantized to floor(log2(total div c)) = length(bin(total div c))-1
+    * — pure integer arithmetic that Spark and DuckDB both evaluate
+    * bit-identically (`bin` has the same semantics in both engines),
+    * where a double log2 could straddle an ulp at exact powers of two.
+    * The quantization preserves the ranking granularity that matters
+    * for third-cuts: scores still spread over the full [0, log2 total]
+    * range at 0.25-bit-ish doc-mean resolution.
+    *
+    * SCALE-SAFE BUCKETING on purpose: ntile(3) OVER (PARTITION BY
+    * source ORDER BY score) sorts every source's full corpus slice
+    * under one window — single-reducer-per-source at 100 TB. Instead
+    * the cutoffs come from the per-source SCORE HISTOGRAM (distinct
+    * rounded scores × sources — bounded by score resolution, not
+    * corpus size): cumulative counts over that small table yield the
+    * 1/3 and 2/3 threshold scores, which broadcast-join back onto the
+    * docs. CCNet itself buckets by threshold, not by exact ntile, so
+    * ties land in the lower bucket on both engines by construction.
+    *
+    * Plan shape at 100 TB: tokenize+explode (narrow) → vocab-sized
+    * unigram count (partial→final) → token-keyed join for per-doc sums
+    * (the one data-sized shuffle) → doc-keyed aggregate → histogram
+    * aggregate (tiny) → windows + cuts over the histogram → broadcast
+    * cut join. Returns (doc_id, source, n_tok, sum_bits, mean_bits,
+    * bucket).
+    */
+  def surprisalBuckets(docs: DataFrame, id: Column, text: Column,
+      source: Column): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(id.cast("long").as("doc_id"), source.cast("string").as("source"),
+        explode(wordTokens(text)).as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cnt = toks.groupBy($"t").agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum($"c").as("total"))
+    // floor(log2(total/c)) via binary-string length: integer-exact.
+    val bits = cnt.crossJoin(broadcast(tot))
+      .select($"t", (length(bin(expr("total div c"))) - 1)
+        .cast("long").as("b"))
+    val scored = toks
+      .join(bits, "t")
+      .groupBy($"doc_id", $"source")
+      .agg(count(lit(1)).as("n_tok"), sum($"b").as("sum_bits"))
+      .withColumn("mean_bits",
+        round($"sum_bits".cast("double") / $"n_tok", 4))
+    toks.unpersist()
+    // Histogram of rounded scores per source — small, windows are safe.
+    val hist = scored.groupBy($"source", $"mean_bits")
+      .agg(count(lit(1)).as("k"))
+    val wCum = Window.partitionBy($"source").orderBy($"mean_bits")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"source")
+    val cum = hist
+      .withColumn("cum", sum($"k").over(wCum))
+      .withColumn("n", sum($"k").over(wAll))
+    val cuts = cum.groupBy($"source").agg(
+      min(when($"cum" * 3 >= $"n", $"mean_bits")).as("c1"),
+      min(when($"cum" * 3 >= $"n" * 2, $"mean_bits")).as("c2"))
+    scored.join(broadcast(cuts), "source")
+      .select($"doc_id", $"source", $"n_tok", $"sum_bits", $"mean_bits",
+        when($"mean_bits" <= $"c1", "head")
+          .when($"mean_bits" <= $"c2", "middle")
+          .otherwise("tail").as("bucket"))
+  }
 }

@@ -276,6 +276,26 @@ object CorpusOps {
       Chunking.chunkTokens(
         Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism),
         $"doc_id", $"text", width = 32, stride = 24)
+    },
+
+    // ---- q135: CCNet-style LM head/middle/tail buckets — mean
+    // quantized unigram surprisal per doc, per-source third-cuts from
+    // the SCORE HISTOGRAM (never an ntile window over the corpus).
+    // Integer log2 via binary-string length keeps both engines
+    // bit-identical (see TextAnalysis.surprisalBuckets scaladoc).
+    "q135_surprisal_buckets" -> { (s, d) =>
+      import s.implicits._
+      TextAnalysis.surprisalBuckets(Tables.documents(s, d),
+        $"doc_id", $"text", $"source")
+    },
+
+    // ---- q137: n-gram novelty — fraction of each doc's distinct
+    // trigrams first seen (by smallest doc_id) in that doc. The
+    // "how much new content does this doc add" curation signal;
+    // two shingle-keyed shuffles, no self-join.
+    "q137_ngram_novelty" -> { (s, d) =>
+      import s.implicits._
+      Dedup.ngramNovelty(Tables.documents(s, d), $"doc_id", $"text", n = 3)
     }
   )
 
@@ -775,6 +795,65 @@ object CorpusOps {
         |    % 100
         |  < CASE lang WHEN 'en' THEN 90 WHEN 'fr' THEN 60 WHEN 'de' THEN 40
         |    ELSE 20 END
-        |GROUP BY lang""".stripMargin
+        |GROUP BY lang""".stripMargin,
+
+    // Quantized surprisal = length(bin(total // c)) - 1 — integer
+    // floor(log2), identical in both engines (no libm). Threshold
+    // cuts come from the per-source score histogram; ties land in the
+    // lower bucket on both sides by the `<=` comparisons.
+    "q135_surprisal_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+        |  FROM documents),
+        |cnt AS (SELECT t, count(*) AS c FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM cnt),
+        |bits AS (
+        |  SELECT t, CAST(length(bin(CAST(total // c AS BIGINT))) - 1 AS BIGINT)
+        |    AS b
+        |  FROM cnt CROSS JOIN tot),
+        |scored AS (
+        |  SELECT doc_id, source, count(*) AS n_tok,
+        |    CAST(sum(b) AS BIGINT) AS sum_bits,
+        |    round(CAST(sum(b) AS DOUBLE) / count(*), 4) AS mean_bits
+        |  FROM toks JOIN bits USING (t) GROUP BY doc_id, source),
+        |hist AS (
+        |  SELECT source, mean_bits, count(*) AS k FROM scored GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT source, mean_bits,
+        |    sum(k) OVER (PARTITION BY source ORDER BY mean_bits
+        |                 ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(k) OVER (PARTITION BY source) AS n
+        |  FROM hist),
+        |cuts AS (
+        |  SELECT source,
+        |    min(CASE WHEN 3 * cum >= n THEN mean_bits END) AS c1,
+        |    min(CASE WHEN 3 * cum >= 2 * n THEN mean_bits END) AS c2
+        |  FROM cum GROUP BY 1)
+        |SELECT s.doc_id, s.source, s.n_tok, s.sum_bits, s.mean_bits,
+        |  CASE WHEN s.mean_bits <= c.c1 THEN 'head'
+        |       WHEN s.mean_bits <= c.c2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM scored s JOIN cuts c USING (source)""".stripMargin,
+
+    // Shingles replayed as space-joined strings where the engine
+    // hashes them (FNV-64) — identical absent collisions, the q24/q25
+    // oracle convention.
+    "q137_ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM toks WHERE len(w) >= 3),
+        |first AS (SELECT s, min(doc_id) AS fd FROM sh GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_shingles,
+        |  CAST(sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  round(CAST(sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS novelty
+        |FROM sh JOIN first USING (s) GROUP BY doc_id""".stripMargin
   )
 }

@@ -152,6 +152,18 @@ object CurationOps {
       import s.implicits._
       Curation.rareTokenRatio(Tables.documents(s, d), $"doc_id", $"text",
         maxCount = 2)
+    },
+
+    // ---- q136: deterministic epoch shuffle — (shard, pos, doc_id)
+    // training order as a pure function of (seed, doc_id); per-shard
+    // positions via the two-phase global rank, never a
+    // one-reducer-per-shard row_number window (see EpochShuffle
+    // scaladoc). The oracle IS that window — same result, the scale
+    // difference is the plan.
+    "q136_epoch_shuffle" -> { (s, d) =>
+      import s.implicits._
+      graft.operators.EpochShuffle.order(Tables.documents(s, d),
+        $"doc_id", seed = "ep7", shards = 8)
     }
   )
 
@@ -362,6 +374,18 @@ object CurationOps {
         |  round(CAST(sum(CASE WHEN g.gc <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / count(*), 6) AS rare_ratio
         |FROM tokens JOIN g USING (token)
-        |GROUP BY doc_id""".stripMargin
+        |GROUP BY doc_id""".stripMargin,
+
+    "q136_epoch_shuffle" ->
+      """WITH keyed AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5('s:ep7:' || doc_id::VARCHAR), 1, 8))
+        |      ::UBIGINT % 8 AS INT) AS shard,
+        |    md5('o:ep7:' || doc_id::VARCHAR) AS okey
+        |  FROM documents)
+        |SELECT shard,
+        |  row_number() OVER (PARTITION BY shard ORDER BY okey) - 1 AS pos,
+        |  doc_id
+        |FROM keyed""".stripMargin
   )
 }

@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EpochShuffleSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private def docs(n: Int) = {
+    import spark.implicits._
+    (0L until n.toLong).toDF("doc_id")
+  }
+
+  test("positions are a dense 0..n_i-1 sequence per shard") {
+    val out = EpochShuffle.order(docs(200), col("doc_id"), "ep7", 8)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 200)
+    assert(out.map(_._3).toSet == (0L until 200L).toSet) // a permutation
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val pos = rows.map(_._2).sorted
+      assert(pos.toSeq == (0L until rows.length.toLong).toSeq)
+    }
+  }
+
+  test("order matches the window-rank oracle and is deterministic") {
+    import spark.implicits._
+    val d = docs(300)
+    val out = EpochShuffle.order(d, col("doc_id"), "ep7", 4)
+    // Reference: the one-window form (fine at test scale).
+    val keyed = d.select(col("doc_id"),
+      (conv(substring(md5(concat(lit("s:ep7:"), col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long") % 4).cast("int").as("shard"),
+      md5(concat(lit("o:ep7:"), col("doc_id").cast("string"))).as("okey"))
+    val ref = keyed.select(col("shard"),
+      (row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("okey"))) - 1)
+        .cast("long").as("pos"),
+      col("doc_id"))
+    assert(out.except(ref).isEmpty && ref.except(out).isEmpty)
+    // Re-running yields the identical assignment (no RNG anywhere).
+    val again = EpochShuffle.order(d, col("doc_id"), "ep7", 4)
+    assert(out.except(again).isEmpty && again.except(out).isEmpty)
+  }
+
+  test("changing the seed re-deals the order") {
+    val a = EpochShuffle.order(docs(300), col("doc_id"), "ep7", 4)
+      .collect().map(r => (r.getLong(2), (r.getInt(0), r.getLong(1)))).toMap
+    val b = EpochShuffle.order(docs(300), col("doc_id"), "ep8", 4)
+      .collect().map(r => (r.getLong(2), (r.getInt(0), r.getLong(1)))).toMap
+    assert(a.keySet == b.keySet)
+    // Some documents must move (an identical deal would mean the seed
+    // is ignored); with 300 docs the chance of a coincidental full
+    // match is ~0.
+    assert(a.exists { case (k, v) => b(k) != v })
+  }
+}

@@ -146,4 +146,26 @@ class PlanShapeSpec extends SparkSpec {
       "per-probe top-k must be the mergeable TopKAgg, not a window sort")
     assert(!p.contains("Window"), "no per-probe window rank in the scale path")
   }
+
+  test("q135 surprisal buckets broadcast the per-source cuts") {
+    val p = plan("q135_surprisal_buckets")
+    // The threshold table (per-source cuts off the score histogram)
+    // must come back as a broadcast, never a corpus-keyed shuffle join.
+    assert(p.contains("BroadcastHashJoin"), "cut join must broadcast")
+    assert(!p.contains("CollectLimit"), "no driver-side corpus collect")
+  }
+
+  test("q136 epoch shuffle has no corpus-wide rank window") {
+    val p = plan("q136_epoch_shuffle")
+    assert(!p.contains("Window"),
+      "per-shard positions must use the two-phase rank, not " +
+        "row_number over a per-shard window")
+  }
+
+  test("q137 novelty attributes first occurrences via equi-joins only") {
+    val p = plan("q137_ngram_novelty")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "the first-occurrence join must key on the shingle hash")
+  }
 }
