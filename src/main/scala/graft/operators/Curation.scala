@@ -217,6 +217,31 @@ object Curation {
       id.cast("long") === col("__loser_id"), "left_anti")
   }
 
+  /** Leakage-safe train/val/test split: near-duplicate documents must
+    * land in the SAME split, or evaluation leaks training content (the
+    * classic dedup-across-splits failure: a test doc whose near-dup
+    * sits in train scores as memorization, not generalization). Each
+    * doc is keyed by its near-dup cluster's canonical id (its own id
+    * when unclustered) and the [[hashSplit]] band is computed from
+    * THAT key — whole clusters move atomically, and the split remains
+    * a pure function of content ids (stable under corpus growth,
+    * reshuffling, and re-runs).
+    *
+    * Scale shape: one LSH + connected-components pass (the q47/q128
+    * machinery — pair table is tiny relative to the corpus), one
+    * doc-keyed left join to attach cluster keys, then the narrow
+    * md5-band map. Returns (doc_id, split_key, split).
+    */
+  def leakSafeSplit(docs: DataFrame, id: Column, text: Column, salt: String,
+      trainPct: Int, valPct: Int, threshold: Double = 0.85): DataFrame = {
+    val clusters = dedupClusters(Dedup.docShingles(docs, id, text, 3), threshold)
+    docs.select(id.cast("long").as("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical_id"), col("doc_id")).as("split_key"))
+      .withColumn("split", hashSplit(col("split_key"), salt, trainPct, valPct))
+  }
+
   /** Deterministic hash split: md5(salt || id) mod 100 → named split by
     * percentile bands (train < trainPct <= val < trainPct+valPct <= test).
     * Stable under corpus growth and reshuffling — membership depends

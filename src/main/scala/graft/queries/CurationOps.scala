@@ -164,6 +164,17 @@ object CurationOps {
       import s.implicits._
       graft.operators.EpochShuffle.order(Tables.documents(s, d),
         $"doc_id", seed = "ep7", shards = 8)
+    },
+
+    // ---- q138: leakage-safe split — near-dup clusters assigned to
+    // train/val/test ATOMICALLY (split key = cluster canonical id, own
+    // id when unclustered), so no test doc has a near-dup in train.
+    // The q47 cluster machinery + one doc-keyed join + the narrow
+    // md5-band map.
+    "q138_leak_safe_split" -> { (s, d) =>
+      import s.implicits._
+      Curation.leakSafeSplit(Tables.documents(s, d), $"doc_id", $"text",
+        salt = "split42", trainPct = 80, valPct = 10)
     }
   )
 
@@ -386,6 +397,31 @@ object CurationOps {
         |SELECT shard,
         |  row_number() OVER (PARTITION BY shard ORDER BY okey) - 1 AS pos,
         |  doc_id
-        |FROM keyed""".stripMargin
+        |FROM keyed""".stripMargin,
+
+    // q47's recursive closure supplies cluster canonicals; the split
+    // band replays q49's md5 formula over the CLUSTER key.
+    "q138_leak_safe_split" ->
+      s"""WITH RECURSIVE ${PipelineOps.nearDupCtes("")},
+         |edges AS (SELECT da AS a, db AS b FROM neardup
+         |          UNION SELECT db, da FROM neardup),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         |    WHERE e.b <> r.a),
+         |cl AS (
+         |  SELECT a AS doc_id, least(a, min(b)) AS cluster
+         |  FROM reach GROUP BY a),
+         |keyed AS (
+         |  SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS split_key
+         |  FROM documents d LEFT JOIN cl USING (doc_id))
+         |SELECT doc_id, split_key,
+         |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, split_key,
+         |        ('0x' || substr(md5('split42' || split_key::VARCHAR), 1, 8))
+         |          ::UBIGINT % 100 AS h
+         |      FROM keyed) t""".stripMargin
   )
 }

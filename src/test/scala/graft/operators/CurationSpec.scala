@@ -98,6 +98,30 @@ class CurationSpec extends SparkSpec {
     assert(out == Map(3L -> 3L, 7L -> 3L, 9L -> 3L))
   }
 
+  test("leakSafeSplit keeps near-dup clusters in one split") {
+    import spark.implicits._
+    def tok(p: String, i: Int) = s"$p${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+    val base = (1 to 60).map(tok("t", _)).mkString(" ")
+    val nd1 = (1 to 59).map(tok("t", _)).mkString(" ") + " altx"
+    val nd2 = (2 to 60).map(tok("t", _)).mkString(" ") + " alty"
+    val docs = Seq((7L, base), (3L, nd1), (9L, nd2),
+      (5L, (1 to 60).map(tok("u", _)).mkString(" ")),
+      (11L, (1 to 60).map(tok("v", _)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Curation.leakSafeSplit(docs, $"doc_id", $"text",
+        "split42", 80, 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    // The 3/7/9 cluster shares one key (3) and so one split.
+    assert(Seq(3L, 7L, 9L).map(out(_)._1).toSet == Set(3L))
+    assert(Seq(3L, 7L, 9L).map(out(_)._2).toSet.size == 1)
+    // Unclustered docs key on their own id and match plain hashSplit.
+    val plain = docs.select($"doc_id",
+        Curation.hashSplit($"doc_id", "split42", 80, 10).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (id <- Seq(5L, 11L)) assert(out(id) == ((id, plain(id))))
+  }
+
   test("hashSplit is deterministic, exhaustive, and roughly proportioned") {
     import spark.implicits._
     val ids = (1L to 1000L).toDF("id")
