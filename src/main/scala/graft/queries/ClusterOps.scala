@@ -205,6 +205,18 @@ object ClusterOps {
       import s.implicits._
       Decomposition.diagMahalanobis(
         Tables.embeddings(s, d), $"vec_id", $"embedding")
+    },
+
+    // ---- q139: KMV-sketch cross-source n-gram overlap — union /
+    // intersection estimates from per-source k-min hash sketches
+    // (mergeable; the continuous feed-overlap audit), hash-checked
+    // against the exact intersection in the same result. Completes
+    // the sketch family: HLL q43 distincts, KMV q63 per-group counts,
+    // CMS q96 frequencies, MG q68 heavy hitters — q139 = set ALGEBRA.
+    "q139_kmv_overlap" -> { (s, d) =>
+      import s.implicits._
+      graft.operators.KmvOverlap.sourceOverlap(
+        Tables.documents(s, d), $"source", $"text", n = 3, k = 128)
     }
   )
 
@@ -452,6 +464,63 @@ object ClusterOps {
         |  FROM x JOIN st2 USING (j0))
         |SELECT vec_id AS id,
         |  round(CAST(sum(CAST(t AS DECIMAL(38,6))) AS DOUBLE), 6) AS maha2
-        |FROM term GROUP BY vec_id""".stripMargin
+        |FROM term GROUP BY vec_id""".stripMargin,
+
+    // Sketch ranks dedupe (src, u) before the k-min cut (collisions
+    // can't double-count); the union estimate is Beyer et al.'s
+    // (k-1)/u_k once saturated, the exact merged-set size below that.
+    "q139_kmv_overlap" ->
+      """WITH toks AS (
+        |  SELECT source, regexp_extract_all(lower(text), '[a-z]+') AS w
+        |  FROM documents),
+        |shd AS (
+        |  SELECT DISTINCT source AS src,
+        |    unnest(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM toks WHERE len(w) >= 3),
+        |h AS (
+        |  SELECT src, u, min(h2) AS h2 FROM (
+        |    SELECT src,
+        |      ('0x' || substr(md5(s), 1, 8))::UBIGINT / 4294967296.0 AS u,
+        |      ('0x' || substr(md5(s), 9, 8))::UBIGINT AS h2
+        |    FROM shd) t
+        |  GROUP BY src, u),
+        |r AS (SELECT src, u,
+        |        row_number() OVER (PARTITION BY src ORDER BY u, h2) AS rn
+        |      FROM h),
+        |sk AS (SELECT src, u FROM r WHERE rn <= 128),
+        |srcs AS (SELECT DISTINCT src FROM shd),
+        |pairs AS (SELECT a.src AS src_a, b.src AS src_b
+        |          FROM srcs a JOIN srcs b ON a.src < b.src),
+        |merged AS (
+        |  SELECT p.src_a, p.src_b, s.u FROM pairs p
+        |  JOIN sk s ON s.src IN (p.src_a, p.src_b)
+        |  GROUP BY 1, 2, 3),
+        |mr AS (SELECT src_a, src_b, u,
+        |         row_number() OVER (PARTITION BY src_a, src_b ORDER BY u) AS rn
+        |       FROM merged),
+        |uk AS (SELECT src_a, src_b, u FROM mr WHERE rn <= 128),
+        |agg AS (SELECT src_a, src_b, count(*) AS ku, max(u) AS ukmax
+        |        FROM uk GROUP BY 1, 2),
+        |mm AS (SELECT uk.src_a, uk.src_b, count(*) AS m
+        |       FROM uk
+        |       JOIN sk sa ON sa.src = uk.src_a AND sa.u = uk.u
+        |       JOIN sk sb ON sb.src = uk.src_b AND sb.u = uk.u
+        |       GROUP BY 1, 2),
+        |ex AS (SELECT x.src AS src_a, y.src AS src_b, count(*) AS exact_inter
+        |       FROM shd x JOIN shd y ON x.s = y.s AND x.src < y.src
+        |       GROUP BY 1, 2)
+        |SELECT a.src_a, a.src_b,
+        |  CAST(coalesce(mm.m, 0) AS BIGINT) AS m,
+        |  CAST(a.ku AS BIGINT) AS ku,
+        |  CASE WHEN a.ku >= 128 THEN round(127.0 / a.ukmax, 2)
+        |       ELSE CAST(a.ku AS DOUBLE) END AS union_est,
+        |  round(coalesce(mm.m, 0) / a.ku *
+        |    (CASE WHEN a.ku >= 128 THEN round(127.0 / a.ukmax, 2)
+        |          ELSE CAST(a.ku AS DOUBLE) END), 2) AS inter_est,
+        |  CAST(coalesce(ex.exact_inter, 0) AS BIGINT) AS exact_inter
+        |FROM agg a
+        |LEFT JOIN mm USING (src_a, src_b)
+        |LEFT JOIN ex USING (src_a, src_b)""".stripMargin
   )
 }
