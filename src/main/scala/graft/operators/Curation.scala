@@ -357,6 +357,39 @@ object Curation {
         coalesce(col("sw") > 0, lit(false)).as("positive"))
   }
 
+  /** Classifier calibration audit (reliability-diagram table): bucket
+    * [[classifierScore]]'s bounded score (−0.5, 0.5) into `bins` equal
+    * intervals and report, per bin, the doc count, mean score, and the
+    * observed positive rate against a reference label — here the
+    * heuristic [[TextAnalysis.qualityScore]] ≥ 0.5, standing in for
+    * human labels the way CCNet validates its fasttext filter against
+    * Wikipedia. The eval step a quality-filter pipeline runs before
+    * trusting a threshold: a well-calibrated filter's pos_rate climbs
+    * monotonically with the bin's mean score.
+    *
+    * Scale shape: two narrow scoring maps (classifier features, quality
+    * heuristic) joined doc-keyed, then ONE bins-row aggregate —
+    * map-side combined, bins rows total. Decimal accumulation keeps
+    * the mean order-independent.
+    */
+  def calibrationBins(docs: DataFrame, id: Column, text: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val sc = classifierScore(docs, id, text)
+    val lbl = docs.select(id.cast("long").as("doc_id"),
+      (TextAnalysis.qualityScore(text) >= 0.5).as("label"))
+    sc.join(lbl, "doc_id")
+      .withColumn("bin",
+        least(floor((col("score") + 0.5) * bins), lit((bins - 1).toLong))
+          .cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("score").cast("decimal(38,6)")).cast("double")
+          / count(lit(1)), 6).as("mean_score"),
+        round(sum(when(col("label"), 1L).otherwise(0L)).cast("double")
+          / count(lit(1)), 6).as("pos_rate"))
+  }
+
   /** Temperature-scaled domain mixing at T = 2 (the standard LLM
     * data-recipe reweighting, domain weight ∝ n^(1/T)): big domains
     * are down-sampled toward the target budget while small domains

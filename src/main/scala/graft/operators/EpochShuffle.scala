@@ -37,13 +37,25 @@ object EpochShuffle {
     * unique (they are the identity of a document); the md5 order key
     * then has no ties and the order is total.
     */
-  def order(df: DataFrame, id: Column, seed: String, shards: Int): DataFrame = {
+  def order(df: DataFrame, id: Column, seed: String, shards: Int): DataFrame =
+    orderWithPriority(df, id, lit(0), seed, shards).drop("priority")
+
+  /** Curriculum variant: order each shard by (`priority` ASC, md5 key)
+    * — lower priority values stream first (e.g. CCNet bucket rank:
+    * head = 0 before middle = 1 before tail = 2), with the seeded
+    * pseudo-random order breaking ties WITHIN a priority class. The
+    * data-loader contract is unchanged; the epoch simply walks the
+    * curriculum. Returns (shard, pos, doc_id, priority).
+    */
+  def orderWithPriority(df: DataFrame, id: Column, priority: Column,
+      seed: String, shards: Int): DataFrame = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
     val spark = df.sparkSession
     import spark.implicits._
 
     val parts = math.max(1, spark.sparkContext.defaultParallelism)
-    val keyed = df.select(id.cast("long").as("doc_id"))
+    val keyed = df.select(id.cast("long").as("doc_id"),
+        priority.cast("int").as("priority"))
       .withColumn("shard",
         (conv(substring(md5(concat(lit("s:" + seed + ":"),
           col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
@@ -51,15 +63,15 @@ object EpochShuffle {
       .withColumn("okey",
         md5(concat(lit("o:" + seed + ":"), col("doc_id").cast("string"))))
     val local = keyed
-      .repartitionByRange(parts, col("shard"), col("okey"))
-      .sortWithinPartitions(col("shard"), col("okey"))
-      .select(col("shard"), col("okey"), col("doc_id"))
-      .as[(Int, String, Long)]
+      .repartitionByRange(parts, col("shard"), col("priority"), col("okey"))
+      .sortWithinPartitions(col("shard"), col("priority"), col("okey"))
+      .select(col("shard"), col("priority"), col("okey"), col("doc_id"))
+      .as[(Int, Int, String, Long)]
       .mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         var i = 0L
-        it.map { case (sh, k, d) => val r = (pid, i, sh, k, d); i += 1; r }
-      }.toDF("pid", "li", "shard", "okey", "doc_id")
+        it.map { case (sh, pr, k, d) => val r = (pid, i, sh, pr, k, d); i += 1; r }
+      }.toDF("pid", "li", "shard", "priority", "okey", "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // P rows to the driver; cumulative counts become global rank offsets.
     val counts = local.groupBy(col("pid")).agg(count(lit(1)).as("c"))
@@ -68,13 +80,15 @@ object EpochShuffle {
       .zip(counts.map(_._2).scanLeft(0L)(_ + _))
     val offDf = spark.createDataFrame(offsets.toSeq).toDF("pid", "off")
     val ranked = local.join(broadcast(offDf), "pid")
-      .select(col("shard"), col("doc_id"), (col("off") + col("li")).as("rk"))
+      .select(col("shard"), col("priority"), col("doc_id"),
+        (col("off") + col("li")).as("rk"))
     // Dense per-shard positions: subtract each shard's first global rank.
     val bases = ranked.groupBy(col("shard")).agg(min(col("rk")).as("base"))
     // `local` stays persisted: the collected offsets are only valid for
     // the materialization they were counted from — a recompute could
     // re-sample range boundaries and shift every (pid, li).
     ranked.join(broadcast(bases), "shard")
-      .select(col("shard"), (col("rk") - col("base")).as("pos"), col("doc_id"))
+      .select(col("shard"), (col("rk") - col("base")).as("pos"), col("doc_id"),
+        col("priority"))
   }
 }

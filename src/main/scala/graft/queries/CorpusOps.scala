@@ -296,8 +296,60 @@ object CorpusOps {
     "q137_ngram_novelty" -> { (s, d) =>
       import s.implicits._
       Dedup.ngramNovelty(Tables.documents(s, d), $"doc_id", $"text", n = 3)
+    },
+
+    // ---- q141: classifier calibration audit — q121's scores bucketed
+    // into deciles vs the quality-heuristic pseudo-label: the
+    // reliability-diagram table a pipeline checks before trusting a
+    // filter threshold. Two narrow scoring maps, one bins-row agg.
+    "q141_calibration_bins" -> { (s, d) =>
+      import s.implicits._
+      Curation.calibrationBins(
+        Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism),
+        $"doc_id", $"text", bins = 10)
     }
   )
+
+  /** Shared q135 CTE chain ending in bucketed(doc_id, source, n_tok,
+    * sum_bits, mean_bits, bucket) — mirrors
+    * [[graft.operators.TextAnalysis.surprisalBuckets]]; reused by the
+    * q140 curriculum oracle.
+    */
+  private[queries] val surprisalCtes =
+    """toks AS (
+      |  SELECT doc_id, source,
+      |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+      |  FROM documents),
+      |cnt AS (SELECT t, count(*) AS c FROM toks GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM cnt),
+      |bits AS (
+      |  SELECT t, CAST(length(bin(CAST(total // c AS BIGINT))) - 1 AS BIGINT)
+      |    AS b
+      |  FROM cnt CROSS JOIN tot),
+      |scored AS (
+      |  SELECT doc_id, source, count(*) AS n_tok,
+      |    CAST(sum(b) AS BIGINT) AS sum_bits,
+      |    round(CAST(sum(b) AS DOUBLE) / count(*), 4) AS mean_bits
+      |  FROM toks JOIN bits USING (t) GROUP BY doc_id, source),
+      |hist AS (
+      |  SELECT source, mean_bits, count(*) AS k FROM scored GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT source, mean_bits,
+      |    sum(k) OVER (PARTITION BY source ORDER BY mean_bits
+      |                 ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(k) OVER (PARTITION BY source) AS n
+      |  FROM hist),
+      |cuts AS (
+      |  SELECT source,
+      |    min(CASE WHEN 3 * cum >= n THEN mean_bits END) AS c1,
+      |    min(CASE WHEN 3 * cum >= 2 * n THEN mean_bits END) AS c2
+      |  FROM cum GROUP BY 1),
+      |bucketed AS (
+      |  SELECT s.doc_id, s.source, s.n_tok, s.sum_bits, s.mean_bits,
+      |    CASE WHEN s.mean_bits <= c.c1 THEN 'head'
+      |         WHEN s.mean_bits <= c.c2 THEN 'middle'
+      |         ELSE 'tail' END AS bucket
+      |  FROM scored s JOIN cuts c USING (source))""".stripMargin
 
   /** BM25 CTE chain shared by q102/q103. Every non-integer constant is
     * CAST to DOUBLE: DuckDB parses `2.2` as DECIMAL(2,1), and
@@ -802,39 +854,9 @@ object CorpusOps {
     // cuts come from the per-source score histogram; ties land in the
     // lower bucket on both sides by the `<=` comparisons.
     "q135_surprisal_buckets" ->
-      """WITH toks AS (
-        |  SELECT doc_id, source,
-        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
-        |  FROM documents),
-        |cnt AS (SELECT t, count(*) AS c FROM toks GROUP BY 1),
-        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM cnt),
-        |bits AS (
-        |  SELECT t, CAST(length(bin(CAST(total // c AS BIGINT))) - 1 AS BIGINT)
-        |    AS b
-        |  FROM cnt CROSS JOIN tot),
-        |scored AS (
-        |  SELECT doc_id, source, count(*) AS n_tok,
-        |    CAST(sum(b) AS BIGINT) AS sum_bits,
-        |    round(CAST(sum(b) AS DOUBLE) / count(*), 4) AS mean_bits
-        |  FROM toks JOIN bits USING (t) GROUP BY doc_id, source),
-        |hist AS (
-        |  SELECT source, mean_bits, count(*) AS k FROM scored GROUP BY 1, 2),
-        |cum AS (
-        |  SELECT source, mean_bits,
-        |    sum(k) OVER (PARTITION BY source ORDER BY mean_bits
-        |                 ROWS UNBOUNDED PRECEDING) AS cum,
-        |    sum(k) OVER (PARTITION BY source) AS n
-        |  FROM hist),
-        |cuts AS (
-        |  SELECT source,
-        |    min(CASE WHEN 3 * cum >= n THEN mean_bits END) AS c1,
-        |    min(CASE WHEN 3 * cum >= 2 * n THEN mean_bits END) AS c2
-        |  FROM cum GROUP BY 1)
-        |SELECT s.doc_id, s.source, s.n_tok, s.sum_bits, s.mean_bits,
-        |  CASE WHEN s.mean_bits <= c.c1 THEN 'head'
-        |       WHEN s.mean_bits <= c.c2 THEN 'middle'
-        |       ELSE 'tail' END AS bucket
-        |FROM scored s JOIN cuts c USING (source)""".stripMargin,
+      s"""WITH $surprisalCtes
+         |SELECT doc_id, source, n_tok, sum_bits, mean_bits, bucket
+         |FROM bucketed""".stripMargin,
 
     // Shingles replayed as space-joined strings where the engine
     // hashes them (FNV-64) — identical absent collisions, the q24/q25
@@ -854,6 +876,40 @@ object CorpusOps {
         |    AS n_novel,
         |  round(CAST(sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
         |    / count(*), 6) AS novelty
-        |FROM sh JOIN first USING (s) GROUP BY doc_id""".stripMargin
+        |FROM sh JOIN first USING (s) GROUP BY doc_id""".stripMargin,
+
+    // q121's classifier CTEs + the quality pseudo-label, bucketed into
+    // score deciles; the bin index forms from the rounded score so the
+    // floor is identical on both engines.
+    "q141_calibration_bins" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+         |    i -> w[i] || ' ' || w[i+1])) AS g
+         |  FROM toks WHERE len(w) >= 2),
+         |f AS (SELECT doc_id,
+         |        ('0x' || substr(md5('qc42' || g), 1, 8))::BIGINT % 1024 AS b
+         |      FROM bg),
+         |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         |        CAST(sum(2 * b - 1023) AS BIGINT) AS sw
+         |      FROM f GROUP BY 1),
+         |sc AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN s.sw IS NULL THEN 0.0
+         |      ELSE round(CAST(s.sw AS DOUBLE) / (2048.0 * s.n_feats), 6)
+         |    END AS score
+         |  FROM documents d LEFT JOIN s USING (doc_id)),
+         |lbl AS (SELECT doc_id, ${PipelineOps.qualitySqlExpr} >= 0.5 AS label
+         |        FROM documents)
+         |SELECT CAST(least(floor((sc.score + 0.5) * 10), 9) AS INT) AS bin,
+         |  count(*) AS n,
+         |  round(CAST(sum(CAST(sc.score AS DECIMAL(38,6))) AS DOUBLE)
+         |    / count(*), 6) AS mean_score,
+         |  round(CAST(sum(CASE WHEN lbl.label THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS pos_rate
+         |FROM sc JOIN lbl USING (doc_id)
+         |GROUP BY 1""".stripMargin
   )
 }

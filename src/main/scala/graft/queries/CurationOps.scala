@@ -166,6 +166,26 @@ object CurationOps {
         $"doc_id", seed = "ep7", shards = 8)
     },
 
+    // ---- q140: curriculum order — the q135 surprisal buckets drive
+    // the q136 epoch shuffle: each shard streams head (0) before
+    // middle (1) before tail (2), seeded-pseudo-random within a
+    // class. The composition gate for the training-order surface.
+    "q140_curriculum_order" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val brank = TextAnalysis
+        .surprisalBuckets(docs, $"doc_id", $"text", $"source")
+        .select($"doc_id",
+          when($"bucket" === "head", 0).when($"bucket" === "middle", 1)
+            .otherwise(2).as("brank"))
+      val keyed = docs.select($"doc_id")
+        .join(brank, Seq("doc_id"), "left")
+        // Token-less docs carry no LM evidence: lowest priority.
+        .select($"doc_id", coalesce($"brank", lit(2)).as("brank"))
+      graft.operators.EpochShuffle.orderWithPriority(keyed,
+        $"doc_id", $"brank", seed = "cur42", shards = 8)
+    },
+
     // ---- q138: leakage-safe split — near-dup clusters assigned to
     // train/val/test ATOMICALLY (split key = cluster canonical id, own
     // id when unclustered), so no test doc has a near-dup in train.
@@ -398,6 +418,24 @@ object CurationOps {
         |  row_number() OVER (PARTITION BY shard ORDER BY okey) - 1 AS pos,
         |  doc_id
         |FROM keyed""".stripMargin,
+
+    // The q135 bucket CTEs feed a priority column; the rank replays
+    // q136's window form ordered by (priority, okey).
+    "q140_curriculum_order" ->
+      s"""WITH ${CorpusOps.surprisalCtes},
+         |keyed AS (
+         |  SELECT d.doc_id,
+         |    CASE b.bucket WHEN 'head' THEN 0 WHEN 'middle' THEN 1
+         |      ELSE 2 END AS priority,
+         |    CAST(('0x' || substr(md5('s:cur42:' || d.doc_id::VARCHAR), 1, 8))
+         |      ::UBIGINT % 8 AS INT) AS shard,
+         |    md5('o:cur42:' || d.doc_id::VARCHAR) AS okey
+         |  FROM documents d LEFT JOIN bucketed b USING (doc_id))
+         |SELECT shard,
+         |  row_number() OVER (PARTITION BY shard ORDER BY priority, okey) - 1
+         |    AS pos,
+         |  doc_id, priority
+         |FROM keyed""".stripMargin,
 
     // q47's recursive closure supplies cluster canonicals; the split
     // band replays q49's md5 formula over the CLUSTER key.

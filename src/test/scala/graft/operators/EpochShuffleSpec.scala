@@ -42,6 +42,22 @@ class EpochShuffleSpec extends SparkSpec {
     assert(out.except(again).isEmpty && again.except(out).isEmpty)
   }
 
+  test("orderWithPriority streams priority classes in order within shards") {
+    import spark.implicits._
+    val d = docs(200).withColumn("p", (col("doc_id") % 3).cast("int"))
+    val out = EpochShuffle.orderWithPriority(d, col("doc_id"), col("p"),
+        "cur1", 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(out.length == 200)
+    // Walking each shard by position, priority never decreases.
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val pr = rows.sortBy(_._2).map(_._4)
+      assert(pr.zip(pr.tail).forall { case (x, y) => x <= y })
+    }
+    // Priority equals the input column per doc.
+    out.foreach { case (_, _, id, p) => assert(p == (id % 3).toInt) }
+  }
+
   test("changing the seed re-deals the order") {
     val a = EpochShuffle.order(docs(300), col("doc_id"), "ep7", 4)
       .collect().map(r => (r.getLong(2), (r.getInt(0), r.getLong(1)))).toMap
