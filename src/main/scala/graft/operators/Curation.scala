@@ -357,6 +357,47 @@ object Curation {
         coalesce(col("sw") > 0, lit(false)).as("positive"))
   }
 
+  /** Per-source curation funnel audit: how many of each source's
+    * documents survive each pipeline stage — dedup (keep-best per
+    * near-dup cluster), the quality floor, the length floor — as ONE
+    * cumulative-stage count table. The ops dashboard behind every
+    * corpus release note ("source X lost 40% at dedup, source Y at
+    * quality"): it localizes WHERE a feed's yield collapses before
+    * anyone re-tunes thresholds.
+    *
+    * Scale shape: one LSH + connected-components pass for the loser
+    * set (the q47/q128 machinery), one doc-keyed left join to flag
+    * losers, then ONE source-keyed aggregate of conditional counts —
+    * stages are flags in a single pass, never a job per stage.
+    */
+  def funnelAudit(docs: DataFrame, id: Column, text: Column, source: Column,
+      threshold: Double = 0.85, minQuality: Double = 0.5,
+      minTokens: Int = 40): DataFrame = {
+    val clusters = dedupClusters(Dedup.docShingles(docs, id, text, 3), threshold)
+    val quality = docs.select(id.cast("long").as("doc_id"),
+      TextAnalysis.qualityScore(text).as("quality"))
+    val winners = clusters.join(quality, "doc_id")
+      .groupBy(col("canonical_id"))
+      .agg(max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("m"))
+      .select((-col("m.nid")).as("doc_id"))
+    val losers = clusters.select(col("doc_id"))
+      .join(winners, Seq("doc_id"), "left_anti")
+      .withColumn("is_loser", lit(true))
+    docs.select(id.cast("long").as("doc_id"),
+        source.cast("string").as("source"),
+        TextAnalysis.qualityScore(text).as("quality"),
+        size(TextAnalysis.wordTokens(text)).as("n_tok"))
+      .join(losers, Seq("doc_id"), "left")
+      .withColumn("kept", col("is_loser").isNull)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_dedup"),
+        sum(when(col("kept") && col("quality") >= minQuality, 1L)
+          .otherwise(0L)).as("n_quality"),
+        sum(when(col("kept") && col("quality") >= minQuality
+            && col("n_tok") >= minTokens, 1L).otherwise(0L)).as("n_final"))
+  }
+
   /** Classifier calibration audit (reliability-diagram table): bucket
     * [[classifierScore]]'s bounded score (−0.5, 0.5) into `bins` equal
     * intervals and report, per bin, the doc count, mean score, and the

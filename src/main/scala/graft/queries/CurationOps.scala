@@ -186,6 +186,16 @@ object CurationOps {
         $"doc_id", $"brank", seed = "cur42", shards = 8)
     },
 
+    // ---- q142: per-source curation funnel — survival counts through
+    // dedup → quality floor → length floor, stages as flags in ONE
+    // source-keyed aggregate (never a job per stage). The yield
+    // dashboard behind corpus release notes.
+    "q142_funnel_audit" -> { (s, d) =>
+      import s.implicits._
+      Curation.funnelAudit(Tables.documents(s, d), $"doc_id", $"text",
+        $"source", threshold = 0.85, minQuality = 0.5, minTokens = 40)
+    },
+
     // ---- q138: leakage-safe split — near-dup clusters assigned to
     // train/val/test ATOMICALLY (split key = cluster canonical id, own
     // id when unclustered), so no test doc has a near-dup in train.
@@ -436,6 +446,41 @@ object CurationOps {
          |    AS pos,
          |  doc_id, priority
          |FROM keyed""".stripMargin,
+
+    // q134's loser CTEs (recursive closure + keep-best rank) feed the
+    // cumulative-stage conditional counts.
+    "q142_funnel_audit" ->
+      s"""WITH RECURSIVE ${PipelineOps.nearDupCtes("")},
+         |edges AS (SELECT da AS a, db AS b FROM neardup
+         |          UNION SELECT db, da FROM neardup),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         |    WHERE e.b <> r.a)
+         |, cl AS (
+         |  SELECT a AS doc_id, least(a, min(b)) AS cluster
+         |  FROM reach GROUP BY a),
+         |q AS (SELECT doc_id, ${PipelineOps.qualitySqlExpr} AS quality
+         |      FROM documents),
+         |r AS (
+         |  SELECT cl.doc_id,
+         |    row_number() OVER (PARTITION BY cl.cluster
+         |      ORDER BY q.quality DESC, cl.doc_id ASC) AS rn
+         |  FROM cl JOIN q USING (doc_id)),
+         |losers AS (SELECT doc_id FROM r WHERE rn > 1),
+         |base AS (
+         |  SELECT d.source, q.quality,
+         |    len(regexp_extract_all(lower(d.text), '[a-z]+')) AS n_tok,
+         |    d.doc_id NOT IN (SELECT doc_id FROM losers) AS kept
+         |  FROM documents d JOIN q USING (doc_id))
+         |SELECT source, count(*) AS n_total,
+         |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+         |  CAST(sum(CASE WHEN kept AND quality >= 0.5 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_quality,
+         |  CAST(sum(CASE WHEN kept AND quality >= 0.5 AND n_tok >= 40
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+         |FROM base GROUP BY source""".stripMargin,
 
     // q47's recursive closure supplies cluster canonicals; the split
     // band replays q49's md5 formula over the CLUSTER key.

@@ -122,6 +122,34 @@ class CurationSpec extends SparkSpec {
     for (id <- Seq(5L, 11L)) assert(out(id) == ((id, plain(id))))
   }
 
+  test("funnelAudit counts are cumulative-monotone and dedup-aware") {
+    import spark.implicits._
+    def tok(p: String, i: Int) = s"$p${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+    // Source s1: a 3-doc near-dup cluster (2 losers) + one long unique
+    // doc; source s2: one short doc (fails the length floor).
+    val base = (1 to 60).map(tok("t", _)).mkString(" ")
+    val docs = Seq(
+      (7L, base, "s1"),
+      (3L, (1 to 59).map(tok("t", _)).mkString(" ") + " altx", "s1"),
+      (9L, (2 to 60).map(tok("t", _)).mkString(" ") + " alty", "s1"),
+      (5L, (1 to 60).map(tok("u", _)).mkString(" "), "s1"),
+      (11L, (1 to 10).map(tok("v", _)).mkString(" "), "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.funnelAudit(docs, $"doc_id", $"text", $"source",
+        minQuality = 0.0, minTokens = 40)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (t1, d1, q1, f1) = out("s1")
+    assert(t1 == 4L && d1 == 2L, "cluster keeps exactly one of three")
+    assert(q1 == 2L && f1 == 2L, "60-token survivors clear both floors")
+    val (t2, d2, q2, f2) = out("s2")
+    assert(t2 == 1L && d2 == 1L && q2 == 1L && f2 == 0L,
+      "10-token doc fails only the length floor")
+    out.values.foreach { case (t, d, q, f) =>
+      assert(t >= d && d >= q && q >= f, "stages must be cumulative")
+    }
+  }
+
   test("hashSplit is deterministic, exhaustive, and roughly proportioned") {
     import spark.implicits._
     val ids = (1L to 1000L).toDF("id")
