@@ -287,6 +287,30 @@ object PipelineOps {
         .groupBy($"label")
         .agg(count(lit(1)).as("n"),
           round(sum($"nrm").cast("double"), 4).as("sum_norm"))
+    },
+
+    // ---- q143: dedup-signal fusion — the q25 text near-dup pairs and
+    // the q37 embedding near-dup pairs full-outer joined with
+    // provenance flags (vec_id aligns with doc_id in the fixtures):
+    // the audit showing what SEMANTIC dedup catches that lexical dedup
+    // misses, and vice versa, before a pipeline picks its blend. Both
+    // generators are their verified scale shapes; the fusion adds one
+    // pair-keyed join over two tiny pair tables.
+    "q143_dedup_fusion" -> { (s, d) =>
+      import s.implicits._
+      val text = Dedup.minhashLshPairs(
+          Dedup.docShingles(Tables.documents(s, d), $"doc_id", $"text", 3),
+          0.85)
+        .select($"da".as("a"), $"db".as("b"),
+          round($"jaccard", 4).as("jaccard"))
+      val emb = Similarity.lshNearDupPairs(Tables.embeddings(s, d), 0.4)
+        .select($"va".as("a"), $"vb".as("b"), $"sim".as("cosine"))
+      text.join(emb, Seq("a", "b"), "full_outer")
+        .select($"a", $"b",
+          $"jaccard".isNotNull.as("text_dup"),
+          $"cosine".isNotNull.as("emb_dup"),
+          coalesce($"jaccard", lit(-1.0)).as("jaccard"),
+          coalesce($"cosine", lit(-1.0)).as("cosine"))
     }
   )
 
@@ -418,7 +442,7 @@ object PipelineOps {
     * [[Similarity.lshNearDupPairs]] (double literals round-trip
     * exactly), distinct bucket-equal candidates, exact cosine verify.
     */
-  private def lshNearDupOracle: String = {
+  private[queries] def lshNearDupCtes: String = {
     val bands = 8
     val planesPerBand = 4
     def arr(p: Array[Double]) = p.mkString("[", ", ", "]")
@@ -429,16 +453,20 @@ object PipelineOps {
       }.mkString(" + ")
       s"SELECT vec_id, $bi AS band, $bucket AS bucket FROM e"
     }.mkString("\nUNION ALL\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |b AS ($bandSelects),
        |cand AS (
        |  SELECT DISTINCT l.vec_id AS va, r.vec_id AS vb
        |  FROM b l JOIN b r ON l.band = r.band AND l.bucket = r.bucket
-       |    AND l.vec_id < r.vec_id)
-       |SELECT va, vb, round(list_cosine_similarity(a.v, c.v), 6) AS sim
-       |FROM cand JOIN e a ON va = a.vec_id JOIN e c ON vb = c.vec_id
-       |WHERE round(list_cosine_similarity(a.v, c.v), 6) >= 0.4""".stripMargin
+       |    AND l.vec_id < r.vec_id),
+       |embdup AS (
+       |  SELECT va, vb, round(list_cosine_similarity(a.v, c.v), 6) AS sim
+       |  FROM cand JOIN e a ON va = a.vec_id JOIN e c ON vb = c.vec_id
+       |  WHERE round(list_cosine_similarity(a.v, c.v), 6) >= 0.4)""".stripMargin
   }
+
+  private def lshNearDupOracle: String =
+    s"WITH $lshNearDupCtes\nSELECT va, vb, sim FROM embdup"
 
   /** q38 oracle: the IVF pipeline in SQL — md5-ordered centroid sample,
     * unit-normalized centroids, argmax-dot cell assignment, nprobe=4
@@ -704,6 +732,18 @@ object PipelineOps {
         |FROM events GROUP BY event_type""".stripMargin,
 
     "q37_embedding_neardup" -> lshNearDupOracle,
+
+    // Both generators' CTE chains, pair-keyed FULL OUTER JOIN.
+    "q143_dedup_fusion" ->
+      s"""WITH ${nearDupCtes("")},
+         |$lshNearDupCtes
+         |SELECT coalesce(n.da, ed.va) AS a, coalesce(n.db, ed.vb) AS b,
+         |  n.jaccard IS NOT NULL AS text_dup,
+         |  ed.sim IS NOT NULL AS emb_dup,
+         |  coalesce(n.jaccard, -1.0) AS jaccard,
+         |  coalesce(ed.sim, -1.0) AS cosine
+         |FROM neardup n
+         |FULL OUTER JOIN embdup ed ON n.da = ed.va AND n.db = ed.vb""".stripMargin,
 
     "q29_embedding_norms" ->
       """SELECT label, count(*) AS n,
