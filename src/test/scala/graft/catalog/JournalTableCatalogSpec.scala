@@ -1,0 +1,70 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** DSv2 catalog plugin: journals as named SQL tables, spec-resolved
+  * stores/codec, RD/WR flags enforced via capability stripping.
+  */
+class JournalTableCatalogSpec extends SparkSpec {
+
+  private lazy val root = Files.createTempDirectory("jcat").toString
+
+  private def ensureCatalog(): JournalCatalog = {
+    val backing = JournalTableCatalog.backingFor("jcat")
+    spark.conf.set("spark.sql.catalog.jcat",
+      classOf[JournalTableCatalog].getName)
+    backing
+  }
+
+  test("create, write, read, list, drop through SQL identifiers") {
+    import spark.implicits._
+    ensureCatalog()
+    spark.sql(
+      s"CREATE TABLE jcat.topic.events TBLPROPERTIES(" +
+        s"'stores'='$root', 'codec'='gz', 'label.app'='web')")
+    // The spec landed in the backing control plane with meta-labels.
+    val spec = JournalTableCatalog.backingFor("jcat").get("topic/events").get
+    assert(spec.stores == Vector(root) && spec.codec == "gz")
+    assert(spec.labels.labels.exists(l => l.name == "app" && l.value == "web"))
+
+    Seq("a", "b", "c").toDF("payload")
+      .writeTo("jcat.topic.events").append()
+    val back = spark.read.table("jcat.topic.events")
+    assert(back.count() == 3)
+    assert(back.select("payload").as[String].collect().sorted.toSeq ==
+      Seq("a", "b", "c"))
+
+    val listed = spark.sql("SHOW TABLES IN jcat.topic").collect()
+    assert(listed.exists(_.getString(1) == "events"))
+
+    spark.sql("DROP TABLE jcat.topic.events")
+    assert(JournalTableCatalog.backingFor("jcat").get("topic/events").isEmpty)
+  }
+
+  test("read-only flag strips write capabilities") {
+    import spark.implicits._
+    ensureCatalog()
+    spark.sql(s"CREATE TABLE jcat.topic.frozen " +
+      s"TBLPROPERTIES('stores'='$root', 'readOnly'='true')")
+    val e = intercept[Exception] {
+      Seq("x").toDF("payload").writeTo("jcat.topic.frozen").append()
+    }
+    assert(e.getMessage.toLowerCase.contains("does not support append") ||
+      e.getMessage.toLowerCase.contains("table does not support"),
+      s"unexpected: ${e.getMessage}")
+    spark.sql("DROP TABLE jcat.topic.frozen")
+  }
+
+  test("registered control plane is shared with programmatic API") {
+    ensureCatalog()
+    val backing = JournalTableCatalog.backingFor("jcat")
+    backing.upsert(JournalSpec(name = "prog/made",
+      stores = Vector(root))).toOption.get
+    // Visible to SQL without any CREATE TABLE.
+    assert(spark.read.table("jcat.prog.made").count() == 0)
+    assert(backing.delete("prog/made").isRight)
+  }
+}
