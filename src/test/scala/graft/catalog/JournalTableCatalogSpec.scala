@@ -58,6 +58,20 @@ class JournalTableCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE jcat.topic.frozen")
   }
 
+  test("streaming read resolves through the catalog identifier") {
+    import spark.implicits._
+    ensureCatalog()
+    spark.sql(s"CREATE TABLE jcat.topic.live TBLPROPERTIES('stores'='$root')")
+    Seq("s1", "s2").toDF("payload").writeTo("jcat.topic.live").append()
+    val q = spark.readStream.table("jcat.topic.live")
+      .writeStream.format("memory").queryName("jcat_live")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(30000)
+    assert(spark.table("jcat_live").count() == 2)
+    spark.sql("DROP TABLE jcat.topic.live")
+  }
+
   test("registered control plane is shared with programmatic API") {
     ensureCatalog()
     val backing = JournalTableCatalog.backingFor("jcat")
