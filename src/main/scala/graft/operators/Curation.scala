@@ -398,6 +398,48 @@ object Curation {
             && col("n_tok") >= minTokens, 1L).otherwise(0L)).as("n_final"))
   }
 
+  /** Per-source quality threshold for a target retention rate — the
+    * knob-setting pass of a CCNet-style filter: instead of one global
+    * cutoff (which over-prunes weak sources and under-prunes strong
+    * ones), each source keeps its own top `targetPct`% by quality, and
+    * this computes the per-source score cutoff that achieves it. The
+    * threshold is the LARGEST observed quality value whose
+    * keep-from-top count reaches the target (ties keep slightly more,
+    * never less).
+    *
+    * Scale-safe quantile: quality scores are rounded (1e-4), so the
+    * per-source SCORE HISTOGRAM is bounded by score resolution, not
+    * corpus size — the q135 trick. Cumulative counts over that small
+    * table (window over the histogram) yield the cutoff; no per-source
+    * corpus sort anywhere. Returns (source, threshold, n_total,
+    * n_kept, keep_ratio).
+    */
+  def retentionThreshold(docs: DataFrame, id: Column, text: Column,
+      source: Column, targetPct: Int): DataFrame = {
+    require(targetPct >= 1 && targetPct <= 100,
+      s"targetPct must be in [1, 100], got $targetPct")
+    import org.apache.spark.sql.expressions.Window
+    val q = docs.select(source.cast("string").as("source"),
+      TextAnalysis.qualityScore(text).as("quality"))
+    val hist = q.groupBy(col("source"), col("quality"))
+      .agg(count(lit(1)).as("k"))
+    val wTop = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("k")).over(wTop))
+      .withColumn("n", sum(col("k")).over(Window.partitionBy(col("source"))))
+    cum.filter(col("cum") * 100 >= col("n") * targetPct)
+      // The qualifying row with the highest quality IS the cutoff; its
+      // cum is the kept count. struct max keys on quality (distinct
+      // per source by construction of the histogram groupBy).
+      .groupBy(col("source"))
+      .agg(max(struct(col("quality").as("q"), col("cum"), col("n"))).as("m"))
+      .select(col("source"), col("m.q").as("threshold"),
+        col("m.n").as("n_total"), col("m.cum").as("n_kept"),
+        round(col("m.cum").cast("double") / col("m.n"), 4).as("keep_ratio"))
+  }
+
   /** Classifier calibration audit (reliability-diagram table): bucket
     * [[classifierScore]]'s bounded score (−0.5, 0.5) into `bins` equal
     * intervals and report, per bin, the doc count, mean score, and the

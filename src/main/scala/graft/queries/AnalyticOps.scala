@@ -197,6 +197,29 @@ object AnalyticOps {
             .as("n_outliers"))
     },
 
+    // ---- q145: winsorized robust mean per group — values clamped to
+    // [p05, p95] before averaging, the heavy-tail-resistant mean that
+    // complements q107's median/MAD outlier COUNTS with a usable
+    // center estimate. Exact sort-based percentiles (the q42/q107
+    // convention — DDSketch q113 is the mergeable scale path), 5-row
+    // cut broadcast, decimal-accumulated mean.
+    "q145_winsorized_stats" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d).select($"event_type", $"value")
+      val cuts = ev.groupBy($"event_type").agg(
+        expr("percentile(value, 0.05)").as("lo"),
+        expr("percentile(value, 0.95)").as("hi"))
+      ev.join(broadcast(cuts), "event_type")
+        .select($"event_type", $"lo", $"hi",
+          least(greatest($"value", $"lo"), $"hi").as("w"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          round(max($"lo"), 6).as("lo"),
+          round(max($"hi"), 6).as("hi"),
+          round(sum($"w".cast("decimal(38,6)")).cast("double")
+            / count(lit(1)), 6).as("wmean"))
+    },
+
     // ---- q43: HLL++ distinct count, self-checked: the query emits the
     // exact count only when the sketch lands within 5% of it (else a
     // sentinel that fails the oracle compare). Proves the mergeable
@@ -363,6 +386,23 @@ object AnalyticOps {
         |  CAST(sum(CASE WHEN d.adev > CAST(4.4478 AS DOUBLE) * m.mad
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM dev d JOIN mad m USING (event_type)
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    // quantile_cont ≡ percentile interpolation (q42/q107 precedent);
+    // the clamp and the decimal accumulation mirror the Spark side.
+    "q145_winsorized_stats" ->
+      """WITH cuts AS (
+        |  SELECT event_type, quantile_cont(value, 0.05) AS lo,
+        |         quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT e.event_type, c.lo, c.hi,
+        |    least(greatest(e.value, c.lo), c.hi) AS w
+        |  FROM events e JOIN cuts c USING (event_type))
+        |SELECT event_type, count(*) AS n,
+        |  round(max(lo), 6) AS lo, round(max(hi), 6) AS hi,
+        |  round(CAST(sum(CAST(w AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6)
+        |    AS wmean
+        |FROM w GROUP BY event_type""".stripMargin
   )
 }

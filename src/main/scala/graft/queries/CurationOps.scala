@@ -186,6 +186,16 @@ object CurationOps {
         $"doc_id", $"brank", seed = "cur42", shards = 8)
     },
 
+    // ---- q144: per-source quality threshold for 80% retention — the
+    // CCNet-style per-source knob: each source keeps its own top 80%
+    // by quality; the cutoff comes from the per-source score HISTOGRAM
+    // (q135's scale trick — no corpus sort per source).
+    "q144_retention_threshold" -> { (s, d) =>
+      import s.implicits._
+      Curation.retentionThreshold(Tables.documents(s, d), $"doc_id",
+        $"text", $"source", targetPct = 80)
+    },
+
     // ---- q142: per-source curation funnel — survival counts through
     // dedup → quality floor → length floor, stages as flags in ONE
     // source-keyed aggregate (never a job per stage). The yield
@@ -446,6 +456,30 @@ object CurationOps {
          |    AS pos,
          |  doc_id, priority
          |FROM keyed""".stripMargin,
+
+    // DESC-cumulative histogram walk; the qualifying row with max
+    // quality is the cutoff (row_number replays the struct argmax).
+    "q144_retention_threshold" ->
+      s"""WITH q AS (
+         |  SELECT source, ${PipelineOps.qualitySqlExpr} AS quality
+         |  FROM documents),
+         |hist AS (
+         |  SELECT source, quality, count(*) AS k FROM q GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT source, quality,
+         |    sum(k) OVER (PARTITION BY source ORDER BY quality DESC
+         |                 ROWS UNBOUNDED PRECEDING) AS cum,
+         |    sum(k) OVER (PARTITION BY source) AS n
+         |  FROM hist),
+         |sel AS (SELECT * FROM cum WHERE cum * 100 >= n * 80),
+         |r AS (SELECT source, quality, cum, n,
+         |        row_number() OVER (PARTITION BY source
+         |          ORDER BY quality DESC) AS rn
+         |      FROM sel)
+         |SELECT source, quality AS threshold, CAST(n AS BIGINT) AS n_total,
+         |  CAST(cum AS BIGINT) AS n_kept,
+         |  round(CAST(cum AS DOUBLE) / n, 4) AS keep_ratio
+         |FROM r WHERE rn = 1""".stripMargin,
 
     // q134's loser CTEs (recursive closure + keep-best rank) feed the
     // cumulative-stage conditional counts.

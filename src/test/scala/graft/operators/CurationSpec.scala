@@ -122,6 +122,33 @@ class CurationSpec extends SparkSpec {
     for (id <- Seq(5L, 11L)) assert(out(id) == ((id, plain(id))))
   }
 
+  test("retentionThreshold keeps at least the target, never more than needed") {
+    import spark.implicits._
+    // Quality is driven by token count (length score dominates when
+    // there is no punctuation and few stopwords): 10 docs per source
+    // with strictly increasing lengths give 10 distinct scores.
+    val docs = (for (src <- Seq("s1", "s2"); i <- 1 to 10) yield
+      (src.hashCode.toLong * 100 + i,
+        (1 to (i * 4)).map(j => s"tok$j").mkString(" "), src))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.retentionThreshold(docs, $"doc_id", $"text",
+        $"source", targetPct = 70)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    for (src <- Seq("s1", "s2")) {
+      val (thr, n, kept, ratio) = out(src)
+      assert(n == 10L)
+      assert(kept == 7L, s"$src: 10 distinct scores -> exactly ceil(70%)")
+      assert(ratio == 0.7)
+      // The threshold is an observed score: some doc scores exactly thr.
+      val scores = docs.filter($"source" === src)
+        .select(graft.operators.TextAnalysis.qualityScore($"text"))
+        .as[Double].collect()
+      assert(scores.contains(thr))
+      assert(scores.count(_ >= thr) == 7)
+    }
+  }
+
   test("funnelAudit counts are cumulative-monotone and dedup-aware") {
     import spark.implicits._
     def tok(p: String, i: Int) = s"$p${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
