@@ -19,4 +19,11 @@ class GateSmokeSpec extends SparkSpec {
     assert(failures.isEmpty, s"queries failed at sf0.001:\n${failures.mkString("\n")}")
     assert(SparkEntry.entry(spark).count() > 0, "entry() must return rows")
   }
+
+  test("every gate query has an oracle, and no oracle is orphaned") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without oracle: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"oracles without query: ${(o -- q).toSeq.sorted}")
+  }
 }
