@@ -298,6 +298,17 @@ object CorpusOps {
       Dedup.ngramNovelty(Tables.documents(s, d), $"doc_id", $"text", n = 3)
     },
 
+    // ---- q146: T5-style span corruption — masked-span (input, target)
+    // pairs with <X_k> sentinels, every masking decision a pure
+    // function of (doc_id, position) (md5 residues: ~5% span starts ×
+    // mean length 3 ≈ 15% masked). ONE fused narrow map, no shuffle;
+    // the oracle replays it with range joins + gaps-and-islands.
+    "q146_span_corruption" -> { (s, d) =>
+      import s.implicits._
+      graft.operators.SpanCorruption.corrupt(
+        Tables.documents(s, d), $"doc_id", $"text")
+    },
+
     // ---- q141: classifier calibration audit — q121's scores bucketed
     // into deciles vs the quality-heuristic pseudo-label: the
     // reliability-diagram table a pipeline checks before trusting a
@@ -877,6 +888,68 @@ object CorpusOps {
         |  round(CAST(sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
         |    / count(*), 6) AS novelty
         |FROM sh JOIN first USING (s) GROUP BY doc_id""".stripMargin,
+
+    // Masking replay: md5-residue span starts, BETWEEN-range union,
+    // gaps-and-islands for maximal masked runs, ORDER BY string_agg
+    // rebuilds (NULL CASE arms drop swallowed positions).
+    "q146_span_corruption" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+        |  FROM documents),
+        |base AS (SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) >= 1),
+        |pos AS (SELECT doc_id, unnest(range(1, n + 1)) AS i FROM base),
+        |h AS (SELECT doc_id, i,
+        |        ('0x' || substr(md5(doc_id::VARCHAR || ':' || i::VARCHAR),
+        |          1, 8))::UBIGINT AS r
+        |      FROM pos),
+        |starts AS (
+        |  SELECT doc_id, i AS s,
+        |    i + CAST(2 + (r // 20) % 3 AS BIGINT) - 1 AS e
+        |  FROM h WHERE r % 20 = 0),
+        |masked AS (
+        |  SELECT DISTINCT p.doc_id, p.i
+        |  FROM pos p JOIN starts st ON p.doc_id = st.doc_id
+        |    AND p.i BETWEEN st.s AND st.e),
+        |isl AS (
+        |  SELECT doc_id, i,
+        |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g
+        |  FROM masked),
+        |islands AS (
+        |  SELECT doc_id, g, min(i) AS si,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY min(i)) AS k
+        |  FROM isl GROUP BY doc_id, g),
+        |mi AS (
+        |  SELECT isl.doc_id, isl.i, islands.k, isl.i = islands.si AS is_start
+        |  FROM isl JOIN islands ON isl.doc_id = islands.doc_id
+        |    AND isl.g = islands.g),
+        |inp AS (
+        |  SELECT p.doc_id,
+        |    string_agg(
+        |      CASE WHEN mi.i IS NULL THEN b.w[p.i]
+        |           WHEN mi.is_start THEN '<X_' || mi.k || '>'
+        |           ELSE NULL END, ' ' ORDER BY p.i) AS input
+        |  FROM pos p
+        |  JOIN base b ON b.doc_id = p.doc_id
+        |  LEFT JOIN mi ON mi.doc_id = p.doc_id AND mi.i = p.i
+        |  GROUP BY p.doc_id),
+        |tgt AS (
+        |  SELECT mi.doc_id,
+        |    string_agg(
+        |      CASE WHEN mi.is_start THEN '<X_' || mi.k || '> ' || b.w[mi.i]
+        |           ELSE b.w[mi.i] END, ' ' ORDER BY mi.i) AS target
+        |  FROM mi JOIN base b ON b.doc_id = mi.doc_id
+        |  GROUP BY mi.doc_id),
+        |spanc AS (SELECT doc_id, count(*) AS n_spans FROM islands GROUP BY 1),
+        |maskc AS (SELECT doc_id, count(*) AS n_masked FROM masked GROUP BY 1)
+        |SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tok,
+        |  CAST(coalesce(spanc.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(maskc.n_masked, 0) AS BIGINT) AS n_masked,
+        |  inp.input, coalesce(tgt.target, '') AS target
+        |FROM base b
+        |LEFT JOIN spanc USING (doc_id)
+        |LEFT JOIN maskc USING (doc_id)
+        |LEFT JOIN inp USING (doc_id)
+        |LEFT JOIN tgt USING (doc_id)""".stripMargin,
 
     // q121's classifier CTEs + the quality pseudo-label, bucketed into
     // score deciles; the bin index forms from the rounded score so the
