@@ -37,6 +37,55 @@ object SpanCorruption {
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022): for a
+    * deterministic half of the corpus, split the token stream at two
+    * md5-derived cut points and emit the PSM reordering
+    * `<PRE> prefix <SUF> suffix <MID> middle` — training on which
+    * gives a left-to-right model infilling ability "for free". The
+    * other half passes through untransformed (the paper's 50% FIM
+    * rate), flagged `fim = false` with sentinel cuts (-1, -1).
+    *
+    * Unlike [[corrupt]]'s fused map, this stays in PURE COLUMN FORM —
+    * array slices + concat_ws inside whole-stage codegen, no UDF, no
+    * shuffle: the cut arithmetic is cheap enough that the interpreted-
+    * vs-fused tradeoff flips. Cuts are uniform over [0, n] via md5
+    * residues; lo = min, hi = max, so empty prefix/middle/suffix
+    * sections are legal and collapse cleanly (concat of empty array).
+    * Documents with zero word tokens are excluded by contract.
+    *
+    * @return (doc_id, n_tok, fim, cut_lo, cut_hi, psm)
+    */
+  def fim(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def h(salt: String, docId: Column): Column =
+      conv(substring(md5(concat(docId.cast("string"), lit(":" + salt))), 1, 8),
+        16, 10).cast("long")
+    val base = docs.select(id.cast("long").as("doc_id"),
+        TextAnalysis.wordTokens(text).as("w"))
+      .filter(size(col("w")) >= 1)
+      .withColumn("n", size(col("w")).cast("long"))
+    val keyed = base
+      .withColumn("use_fim", h("fim0", col("doc_id")) % 2 === 0)
+      .withColumn("a", h("fim1", col("doc_id")) % (col("n") + 1))
+      .withColumn("b", h("fim2", col("doc_id")) % (col("n") + 1))
+      .withColumn("lo", least(col("a"), col("b")))
+      .withColumn("hi", greatest(col("a"), col("b")))
+    keyed.select(col("doc_id"), col("n").as("n_tok"),
+      col("use_fim").as("fim"),
+      when(col("use_fim"), col("lo")).otherwise(lit(-1L)).as("cut_lo"),
+      when(col("use_fim"), col("hi")).otherwise(lit(-1L)).as("cut_hi"),
+      when(col("use_fim"),
+        concat_ws(" ", concat(
+          array(lit("<PRE>")), slice(col("w"), lit(1), col("lo").cast("int")),
+          array(lit("<SUF>")),
+          slice(col("w"), col("hi").cast("int") + 1,
+            (col("n") - col("hi")).cast("int")),
+          array(lit("<MID>")),
+          slice(col("w"), col("lo").cast("int") + 1,
+            (col("hi") - col("lo")).cast("int")))))
+        .otherwise(concat_ws(" ", col("w"))).as("psm"))
+  }
+
   def corrupt(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -309,6 +309,17 @@ object CorpusOps {
         Tables.documents(s, d), $"doc_id", $"text")
     },
 
+    // ---- q147: fill-in-the-middle (PSM) transformation — half the
+    // corpus (md5-deterministic) reordered to <PRE> p <SUF> s <MID> m
+    // at md5-derived cuts, half passed through: the FIM preprocessing
+    // that buys infilling ability. Pure column form — array slices in
+    // whole-stage codegen, no UDF, no shuffle.
+    "q147_fim_transform" -> { (s, d) =>
+      import s.implicits._
+      graft.operators.SpanCorruption.fim(
+        Tables.documents(s, d), $"doc_id", $"text")
+    },
+
     // ---- q141: classifier calibration audit — q121's scores bucketed
     // into deciles vs the quality-heuristic pseudo-label: the
     // reliability-diagram table a pipeline checks before trusting a
@@ -950,6 +961,35 @@ object CorpusOps {
         |LEFT JOIN maskc USING (doc_id)
         |LEFT JOIN inp USING (doc_id)
         |LEFT JOIN tgt USING (doc_id)""".stripMargin,
+
+    // Inclusive list slices replay Spark's (start, length) slices;
+    // out-of-range slices collapse to empty lists on both engines.
+    "q147_fim_transform" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+        |  FROM documents),
+        |base AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n
+        |         FROM toks WHERE len(w) >= 1),
+        |keyed AS (
+        |  SELECT doc_id, w, n,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || ':fim0'), 1, 8))::UBIGINT
+        |      % 2 = 0 AS use_fim,
+        |    CAST(('0x' || substr(md5(doc_id::VARCHAR || ':fim1'), 1, 8))
+        |      ::UBIGINT % (n + 1) AS BIGINT) AS a,
+        |    CAST(('0x' || substr(md5(doc_id::VARCHAR || ':fim2'), 1, 8))
+        |      ::UBIGINT % (n + 1) AS BIGINT) AS b
+        |  FROM base),
+        |cut AS (SELECT doc_id, w, n, use_fim,
+        |          least(a, b) AS lo, greatest(a, b) AS hi
+        |        FROM keyed)
+        |SELECT doc_id, n AS n_tok, use_fim AS fim,
+        |  CASE WHEN use_fim THEN lo ELSE -1 END AS cut_lo,
+        |  CASE WHEN use_fim THEN hi ELSE -1 END AS cut_hi,
+        |  CASE WHEN use_fim THEN array_to_string(
+        |    ['<PRE>'] || w[1:lo] || ['<SUF>'] || w[hi+1:n] || ['<MID>']
+        |      || w[lo+1:hi], ' ')
+        |  ELSE array_to_string(w, ' ') END AS psm
+        |FROM cut""".stripMargin,
 
     // q121's classifier CTEs + the quality pseudo-label, bucketed into
     // score deciles; the bin index forms from the rounded score so the

@@ -52,6 +52,40 @@ class SpanCorruptionSpec extends SparkSpec {
       s"masked ratio ${totMasked / totTok} out of range")
   }
 
+  test("fim: PSM sections reorder back to the original; half pass through") {
+    import spark.implicits._
+    val docs = (1L to 60L).map(i =>
+      (i, (1 to 40).map(j => s"t${i}v$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = SpanCorruption.fim(docs, $"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getLong(3), r.getLong(4), r.getString(5)))
+    assert(out.length == 60)
+    val (fimmed, plain) = out.partition(_._3)
+    // md5 parity splits roughly in half.
+    assert(fimmed.length > 15 && plain.length > 15)
+    plain.foreach { case (id, n, _, lo, hi, psm) =>
+      assert(lo == -1L && hi == -1L)
+      assert(psm.split(' ').length == n)
+    }
+    fimmed.foreach { case (id, n, _, lo, hi, psm) =>
+      assert(0 <= lo && lo <= hi && hi <= n)
+      // Same tokenizer as the operator ([a-z]+ splits the digits out).
+      val original = TextAnalysis.tokenize(
+        (1 to 40).map(j => s"t${id}v$j").mkString(" ")).toSeq
+      // Parse <PRE> p <SUF> s <MID> m and reorder to p ++ m ++ s.
+      val pre = psm.indexOf("<PRE>"); val suf = psm.indexOf("<SUF>")
+      val mid = psm.indexOf("<MID>")
+      assert(pre == 0 && suf > pre && mid > suf)
+      def toks(s: String) = s.trim.split(' ').toSeq.filter(_.nonEmpty)
+      val p = toks(psm.substring(5, suf))
+      val sfx = toks(psm.substring(suf + 5, mid))
+      val m = toks(psm.substring(mid + 5))
+      assert(p.size == lo && m.size == hi - lo && sfx.size == n - hi)
+      assert(p ++ m ++ sfx == original, s"doc $id does not reorder back")
+    }
+  }
+
   test("token-less docs are excluded; masking is deterministic") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta gamma delta"), (2L, "123 456 !!"))
