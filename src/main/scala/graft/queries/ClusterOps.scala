@@ -207,6 +207,20 @@ object ClusterOps {
         Tables.embeddings(s, d), $"vec_id", $"embedding")
     },
 
+    // ---- q148: in-context (semantic) pack order — docs ordered so
+    // semantically-related documents are ADJACENT within training
+    // shards (Shi et al. 2024, "In-Context Pretraining"): priority =
+    // k-means cell, seeded-pseudo-random within a cell, positions via
+    // the two-phase rank. The context-window locality knob.
+    "q148_semantic_pack_order" -> { (s, d) =>
+      import s.implicits._
+      val cells = Clustering.kmeansAssign(Tables.embeddings(s, d),
+          k = 8, updates = 1)
+        .select($"vec_id".as("doc_id"), $"cell")
+      graft.operators.EpochShuffle.orderWithPriority(cells,
+        $"doc_id", $"cell", seed = "icp42", shards = 4)
+    },
+
     // ---- q139: KMV-sketch cross-source n-gram overlap — union /
     // intersection estimates from per-source k-min hash sketches
     // (mergeable; the continuous feed-overlap audit), hash-checked
@@ -465,6 +479,22 @@ object ClusterOps {
         |SELECT vec_id AS id,
         |  round(CAST(sum(CAST(t AS DECIMAL(38,6))) AS DOUBLE), 6) AS maha2
         |FROM term GROUP BY vec_id""".stripMargin,
+
+    // The shared k-means CTEs supply cells; the rank replays q136's
+    // window form ordered by (cell, okey).
+    "q148_semantic_pack_order" ->
+      s"""WITH $kmeansCte,
+         |keyed AS (
+         |  SELECT vec_id AS doc_id, cell,
+         |    CAST(('0x' || substr(md5('s:icp42:' || vec_id::VARCHAR), 1, 8))
+         |      ::UBIGINT % 4 AS INT) AS shard,
+         |    md5('o:icp42:' || vec_id::VARCHAR) AS okey
+         |  FROM a2)
+         |SELECT shard,
+         |  row_number() OVER (PARTITION BY shard ORDER BY cell, okey) - 1
+         |    AS pos,
+         |  doc_id, CAST(cell AS INT) AS priority
+         |FROM keyed""".stripMargin,
 
     // Sketch ranks dedupe (src, u) before the k-min cut (collisions
     // can't double-count); the union estimate is Beyer et al.'s
