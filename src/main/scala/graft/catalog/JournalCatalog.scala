@@ -92,6 +92,14 @@ final class JournalCatalog {
 
   def get(name: String): Option[JournalSpec] = synchronized(specs.get(name).map(_._1))
 
+  /** Spec together with its revision — the read half of a CAS cycle
+    * (pass the revision back to [[upsert]]/[[delete]] as
+    * `expectRevision` so a concurrent writer fails the swap instead of
+    * being silently overwritten).
+    */
+  def getWithRevision(name: String): Option[(JournalSpec, Long)] =
+    synchronized(specs.get(name))
+
   private def require(name: String): JournalSpec =
     get(name).getOrElse(throw new NoSuchElementException(s"no such journal: $name"))
 

@@ -95,6 +95,11 @@ class JournalTableCatalog extends TableCatalog {
       writeOnly = opt("writeOnly").exists(_.toBoolean),
       stores = opt("stores").orElse(opt("root"))
         .map(_.split(',').toVector.map(_.trim)).getOrElse(Vector.empty))
+    // Validate the loadTable invariant BEFORE registering: a failed
+    // CREATE must not leave a phantom spec behind.
+    if (spec.stores.isEmpty)
+      throw new IllegalArgumentException(
+        s"journal table $jname needs a 'stores' (or 'root') property")
     backing.upsert(spec, expectRevision = 0L) match {
       case Left(err) => throw new IllegalArgumentException(err)
       case Right(_)  => new JournalTableCatalog.FlaggedTable(spec)
@@ -103,7 +108,10 @@ class JournalTableCatalog extends TableCatalog {
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val jname = journalName(ident)
-    val spec0 = backing.get(jname)
+    // Read-modify-write under CAS: carry the read revision into the
+    // upsert so a concurrent programmatic update fails the swap
+    // loudly instead of being silently overwritten.
+    val (spec0, rev) = backing.getWithRevision(jname)
       .getOrElse(throw new NoSuchTableException(ident))
     val spec = changes.foldLeft(spec0) {
       case (s, set: TableChange.SetProperty) => set.property match {
@@ -123,7 +131,7 @@ class JournalTableCatalog extends TableCatalog {
       case (_, other) =>
         throw new UnsupportedOperationException(s"table change: $other")
     }
-    backing.upsert(spec) match {
+    backing.upsert(spec, expectRevision = rev) match {
       case Left(err) => throw new IllegalArgumentException(err)
       case Right(_)  => new JournalTableCatalog.FlaggedTable(spec)
     }
@@ -133,13 +141,26 @@ class JournalTableCatalog extends TableCatalog {
     backing.delete(journalName(ident)).isRight
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
-    val spec = backing.get(journalName(oldIdent))
+    // Same CAS discipline as alterTable; the source is deleted with
+    // its read revision so a concurrent update of the old name fails
+    // the rename instead of vanishing. (The upsert-then-delete pair is
+    // not atomic — during the window both names resolve, which is the
+    // benign direction: readers never see NEITHER name.)
+    val (spec, rev) = backing.getWithRevision(journalName(oldIdent))
       .getOrElse(throw new NoSuchTableException(oldIdent))
     if (backing.get(journalName(newIdent)).isDefined)
       throw new TableAlreadyExistsException(newIdent)
-    backing.upsert(spec.copy(name = journalName(newIdent))) match {
+    backing.upsert(spec.copy(name = journalName(newIdent)),
+        expectRevision = 0L) match {
       case Left(err) => throw new IllegalArgumentException(err)
-      case Right(_)  => backing.delete(journalName(oldIdent)); ()
+      case Right(_) =>
+        backing.delete(journalName(oldIdent), expectRevision = rev) match {
+          case Left(err) =>
+            // Roll the copy back so a failed CAS leaves one name.
+            backing.delete(journalName(newIdent))
+            throw new IllegalStateException(err)
+          case Right(_) => ()
+        }
     }
   }
 }

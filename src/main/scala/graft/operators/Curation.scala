@@ -374,19 +374,23 @@ object Curation {
       threshold: Double = 0.85, minQuality: Double = 0.5,
       minTokens: Int = 40): DataFrame = {
     val clusters = dedupClusters(Dedup.docShingles(docs, id, text, 3), threshold)
-    val quality = docs.select(id.cast("long").as("doc_id"),
-      TextAnalysis.qualityScore(text).as("quality"))
-    val winners = clusters.join(quality, "doc_id")
+    // ONE scored projection feeds both the winners argmax and the
+    // funnel aggregate — persisted because Spark has no cross-branch
+    // plan reuse, and the 4-regex quality score dominates the cost.
+    val scored = docs.select(id.cast("long").as("doc_id"),
+        source.cast("string").as("source"),
+        TextAnalysis.qualityScore(text).as("quality"),
+        size(TextAnalysis.wordTokens(text)).as("n_tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val winners = clusters
+      .join(scored.select(col("doc_id"), col("quality")), "doc_id")
       .groupBy(col("canonical_id"))
       .agg(max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("m"))
       .select((-col("m.nid")).as("doc_id"))
     val losers = clusters.select(col("doc_id"))
       .join(winners, Seq("doc_id"), "left_anti")
       .withColumn("is_loser", lit(true))
-    docs.select(id.cast("long").as("doc_id"),
-        source.cast("string").as("source"),
-        TextAnalysis.qualityScore(text).as("quality"),
-        size(TextAnalysis.wordTokens(text)).as("n_tok"))
+    val out = scored
       .join(losers, Seq("doc_id"), "left")
       .withColumn("kept", col("is_loser").isNull)
       .groupBy(col("source"))
@@ -396,6 +400,10 @@ object Curation {
           .otherwise(0L)).as("n_quality"),
         sum(when(col("kept") && col("quality") >= minQuality
             && col("n_tok") >= minTokens, 1L).otherwise(0L)).as("n_final"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // sources-row result; forcing it releases the projection
+    scored.unpersist()
+    out
   }
 
   /** Per-source quality threshold for a target retention rate — the

@@ -84,11 +84,18 @@ object EpochShuffle {
         (col("off") + col("li")).as("rk"))
     // Dense per-shard positions: subtract each shard's first global rank.
     val bases = ranked.groupBy(col("shard")).agg(min(col("rk")).as("base"))
-    // `local` stays persisted: the collected offsets are only valid for
-    // the materialization they were counted from — a recompute could
-    // re-sample range boundaries and shift every (pid, li).
-    ranked.join(broadcast(bases), "shard")
+    // The collected offsets are only valid for the materialization they
+    // were counted from (a recompute could re-sample range boundaries
+    // and shift every (pid, li)), so `local` must stay persisted until
+    // the RESULT is materialized — persist the result, force it, then
+    // release the wider intermediate. The returned frame is cached;
+    // callers done with the epoch may unpersist() it.
+    val out = ranked.join(broadcast(bases), "shard")
       .select(col("shard"), (col("rk") - col("base")).as("pos"), col("doc_id"),
         col("priority"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    local.unpersist()
+    out
   }
 }

@@ -49,23 +49,13 @@ object KmvOverlap {
       .repartition(spark.sparkContext.defaultParallelism)
       .as[(String, String)]
       .flatMap { case (src, t) =>
-        val toks = TextAnalysis.tokenize(t)
-        if (toks.length < n) Iterator.empty
-        else {
-          val seen = new java.util.LinkedHashSet[String]()
-          var i = 0
-          while (i + n <= toks.length) {
-            val sb = new java.lang.StringBuilder()
-            var j = 0
-            while (j < n) {
-              if (j > 0) sb.append(' ')
-              sb.append(toks(i + j)); j += 1
-            }
-            seen.add(sb.toString); i += 1
-          }
-          import scala.jdk.CollectionConverters._
-          seen.asScala.iterator.map(s => (src, s))
-        }
+        // The shared shingle machinery (TextAnalysis.ngramIterator over
+        // the house tokenizer); per-doc dedupe before the global
+        // distinct keeps the flatMap output bounded by content.
+        val seen = new java.util.LinkedHashSet[String]()
+        TextAnalysis.ngramIterator(t, n).foreach(seen.add)
+        import scala.jdk.CollectionConverters._
+        seen.asScala.iterator.map(s => (src, s))
       }.toDF("src", "s")
       .distinct() // corpus-wide (source, shingle) set — the one big shuffle
     val hashed = shd.select($"src",

@@ -490,10 +490,17 @@ object TextAnalysis {
     val cuts = cum.groupBy($"source").agg(
       min(when($"cum" * 3 >= $"n", $"mean_bits")).as("c1"),
       min(when($"cum" * 3 >= $"n" * 2, $"mean_bits")).as("c2"))
-    scored.join(broadcast(cuts), "source")
+    // Persist + force the result so `scored` can release (same
+    // lifecycle as the token table above). The returned frame is
+    // cached; callers done with the buckets may unpersist() it.
+    val out = scored.join(broadcast(cuts), "source")
       .select($"doc_id", $"source", $"n_tok", $"sum_bits", $"mean_bits",
         when($"mean_bits" <= $"c1", "head")
           .when($"mean_bits" <= $"c2", "middle")
           .otherwise("tail").as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    scored.unpersist()
+    out
   }
 }
