@@ -30,6 +30,14 @@ import org.apache.spark.sql.functions._
   * per-shard positions. The range partitioner's sampled boundaries
   * only move partition EDGES; the (shard, key) total order — and so
   * every rank — is unaffected.
+  *
+  * Fault-tolerance note for cluster deployments: the collected offsets
+  * are only valid for the materialization they were counted from. On
+  * local/disk-backed caching that is guaranteed; on a cluster where
+  * executor loss can evict cached partitions, lineage replay would
+  * re-sample range boundaries and shift (pid, li) — checkpoint the
+  * result (reliable storage) instead of relying on the cache before
+  * releasing it.
   */
 object EpochShuffle {
 
