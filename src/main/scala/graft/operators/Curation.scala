@@ -527,6 +527,66 @@ object Curation {
       .drop("__dom")
   }
 
+  /** Capped proportional token-budget allocation (waterfilling): give
+    * each source `min(cap_s, λ·w_s)` tokens where λ is the largest rate
+    * for which the total stays within `budgetPct` of the corpus —
+    * the planning step that turns target mixture WEIGHTS into an
+    * achievable per-source token plan when small sources can't fill
+    * their share (they saturate at cap; the surplus flows to the rest).
+    * Complements [[temperatureMix]]: that down-samples by a smoothed
+    * count heuristic, this solves the constrained allocation exactly.
+    *
+    * All arithmetic is integer so the oracle replays bit-for-bit:
+    * sources are scanned in ascending `(cap·1000) div w` (the scaled
+    * water-level ratio — the scan-order SPEC; 1000 keeps cap·1000
+    * within Long past 10^15 tokens), a source saturates iff filling
+    * the remaining budget at proportional rate would overflow its cap
+    * (`cap·W_from ≤ R_before·w`, exact cross-products), and the
+    * unsaturated remainder splits by integer proportion. Saturation is
+    * prefix-monotone in this order, so per-row flags compose into the
+    * global split without iteration.
+    *
+    * Scale shape: ONE map-side-combined per-source aggregate over the
+    * corpus; everything after runs on |sources| rows in a single
+    * window partition. No corpus shuffle, no driver loop.
+    *
+    * @param weight integer target weight as a function of the source
+    *               column (applied post-aggregate, |sources| rows)
+    */
+  def waterfillBudget(df: DataFrame, source: Column, tokens: Column,
+      weight: Column => Column, budgetPct: Int): DataFrame = {
+    require(budgetPct > 0 && budgetPct <= 100, s"budgetPct in (0,100], got $budgetPct")
+    val caps = df.groupBy(source.as("source"))
+      .agg(sum(tokens).cast("long").as("cap"))
+      .withColumn("w", weight(col("source")).cast("long"))
+      .withColumn("__r", expr("(cap * 1000) div w"))
+    val ord = Window.orderBy(col("__r"), col("source"))
+    val whole = Window.partitionBy()
+    val budgetSql = s"((__total * $budgetPct) div 100)"
+    val staged = caps
+      .withColumn("__cumBefore", coalesce(sum(col("cap"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__wFrom", sum(col("w"))
+        .over(ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("__total", sum(col("cap")).over(whole))
+      .withColumn("__sat",
+        col("cap") * col("__wFrom") <= (expr(budgetSql) - col("__cumBefore")) * col("w"))
+    // Global split of the flagged set: saturated tokens come off the
+    // budget, the rest shares by weight. least() guards the one-off
+    // boundary where the scaled scan order ties across the water line.
+    staged
+      .withColumn("__satCap",
+        coalesce(sum(when(col("__sat"), col("cap"))).over(whole), lit(0L)))
+      .withColumn("__unsatW",
+        coalesce(sum(when(!col("__sat"), col("w"))).over(whole), lit(0L)))
+      .select(col("source"), col("cap"), col("w"),
+        col("__sat").cast("int").as("saturated"),
+        when(col("__sat") || col("__unsatW") === 0L, col("cap"))
+          .otherwise(least(col("cap"),
+            expr(s"((((__total * $budgetPct) div 100) - __satCap) * w) div __unsatW")))
+          .cast("long").as("alloc"))
+  }
+
   /** Deterministic stratified sample: within each stratum, rank rows by
     * md5(salt || id) and keep the first ceil(count·pct/100). Exact
     * per-stratum proportions (unlike Bernoulli sampleBy) and fully

@@ -329,6 +329,20 @@ object CorpusOps {
       Curation.calibrationBins(
         Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism),
         $"doc_id", $"text", bins = 10)
+    },
+
+    // ---- q149: capped proportional token-budget allocation
+    // (waterfilling) — target mixture weights w = 1 + srcnum % 5, 60%
+    // corpus budget: high-weight sources hit their caps (saturate) and
+    // the surplus splits by weight among the rest, all in exact
+    // integer arithmetic. One corpus aggregate, then |sources|-row
+    // window math.
+    "q149_token_waterfill" -> { (s, d) =>
+      import s.implicits._
+      Curation.waterfillBudget(Tables.documents(s, d), $"source",
+        TextAnalysis.tokenCount($"text"),
+        src => lit(1) + substring(src, 4, 10).cast("int") % 5,
+        budgetPct = 60)
     }
   )
 
@@ -1023,6 +1037,43 @@ object CorpusOps {
          |  round(CAST(sum(CASE WHEN lbl.label THEN 1 ELSE 0 END) AS DOUBLE)
          |    / count(*), 6) AS pos_rate
          |FROM sc JOIN lbl USING (doc_id)
-         |GROUP BY 1""".stripMargin
+         |GROUP BY 1""".stripMargin,
+
+    // Waterfilling replayed with the same integer spec: scaled-ratio
+    // scan order (cap*1000)//w, exact cross-product saturation test,
+    // integer proportional split of the post-saturation remainder.
+    "q149_token_waterfill" ->
+      """WITH caps AS (
+        |  SELECT source,
+        |    CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS cap,
+        |    CAST(1 + CAST(substr(source, 4) AS INT) % 5 AS BIGINT) AS w
+        |  FROM documents GROUP BY source),
+        |staged AS (
+        |  SELECT source, cap, w,
+        |    CAST(coalesce(sum(cap) OVER (ORDER BY (cap * 1000) // w, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum_before,
+        |    CAST(sum(w) OVER (ORDER BY (cap * 1000) // w, source
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+        |      AS w_from,
+        |    CAST(sum(cap) OVER () AS BIGINT) AS total
+        |  FROM caps),
+        |flagged AS (
+        |  SELECT *, (total * 60) // 100 AS budget,
+        |    cap * w_from <= ((total * 60) // 100 - cum_before) * w AS sat
+        |  FROM staged),
+        |fin AS (
+        |  SELECT *,
+        |    CAST(coalesce(sum(CASE WHEN sat THEN cap END) OVER (), 0)
+        |      AS BIGINT) AS sat_cap,
+        |    CAST(coalesce(sum(CASE WHEN NOT sat THEN w END) OVER (), 0)
+        |      AS BIGINT) AS unsat_w
+        |  FROM flagged)
+        |SELECT source, cap, CAST(w AS BIGINT) AS w,
+        |  CAST(CASE WHEN sat THEN 1 ELSE 0 END AS INT) AS saturated,
+        |  CAST(CASE WHEN sat OR unsat_w = 0 THEN cap
+        |    ELSE least(cap, ((budget - sat_cap) * w) // unsat_w)
+        |    END AS BIGINT) AS alloc
+        |FROM fin""".stripMargin
   )
 }

@@ -306,4 +306,45 @@ class CurationSpec extends SparkSpec {
       assert(pos == (score > 0) || score == 0.0)
     }
   }
+
+  test("waterfillBudget: allocation invariants and exact saturation split") {
+    import spark.implicits._
+    import graft.operators.Curation
+    // Three sources, strongly uneven caps and weights:
+    //   a: cap 100, w 10 (wants far more than cap -> saturates)
+    //   b: cap 1000, w 1
+    //   c: cap 1000, w 2
+    val docs = (Seq.fill(10)("a") ++ Seq.fill(100)("b") ++ Seq.fill(100)("c"))
+      .zipWithIndex
+      .map { case (src, i) => (i.toLong, src, "tok " * 9 + "tok") } // 10 tokens
+      .toDF("doc_id", "source", "text")
+    val w = (src: org.apache.spark.sql.Column) =>
+      when(src === "a", 10).when(src === "b", 1).otherwise(2)
+    val out = Curation.waterfillBudget(docs, $"source",
+        graft.operators.TextAnalysis.tokenCount($"text"), w, budgetPct = 50)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4))).toMap
+
+    // budget = 2100 * 50 / 100 = 1050. a saturates at 100; the
+    // remaining 950 splits 1:2 over b and c: b 316, c 633.
+    assert(out("a") == ((100L, 10L, 1, 100L)))
+    assert(out("b") == ((1000L, 1L, 0, 316L)))
+    assert(out("c") == ((1000L, 2L, 0, 633L)))
+
+    // Generic invariants on the gate-query shape (sf0.001 corpus).
+    val gate = graft.SparkEntry.queries("q149_token_waterfill")(
+      spark, "/root/testdata/sf0.001").collect()
+    val budget = gate.map(_.getLong(1)).sum * 60 / 100
+    assert(gate.map(_.getLong(4)).sum <= budget, "allocation exceeds budget")
+    gate.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(1), s"alloc > cap: $r")
+      if (r.getInt(3) == 1)
+        assert(r.getLong(4) == r.getLong(1), s"saturated but alloc != cap: $r")
+    }
+    // Utilization slack is bounded by one integer-division floor per
+    // unsaturated source.
+    val unsat = gate.count(_.getInt(3) == 0)
+    assert(budget - gate.map(_.getLong(4)).sum <= unsat,
+      "waterfill left more slack than floor rounding can explain")
+  }
 }
