@@ -168,4 +168,16 @@ class PlanShapeSpec extends SparkSpec {
       !p.contains("CartesianProduct"),
       "the first-occurrence join must key on the shingle hash")
   }
+
+  test("q149 waterfill shuffles the corpus exactly once (per-source agg)") {
+    // Everything after the source-keyed aggregate runs on |sources|
+    // rows: the windows sit over a SinglePartition exchange, never a
+    // corpus-sized one.
+    val p = plan("q149_token_waterfill")
+    val corpusShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(corpusShuffles == 1,
+      s"q149: expected one corpus-sized exchange, got $corpusShuffles:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "q149 must not join at all")
+  }
 }
