@@ -569,8 +569,13 @@ object Curation {
       .withColumn("__wFrom", sum(col("w"))
         .over(ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
       .withColumn("__total", sum(col("cap")).over(whole))
+      // decimal(38,0) cross-products: cap·W_from can pass 2^63 when
+      // source count (hence ΣW) is large — DuckDB computes the same
+      // products in HUGEINT, so Long wraparound here would silently
+      // flip flags at extreme scale (q78's overflow discipline).
       .withColumn("__sat",
-        col("cap") * col("__wFrom") <= (expr(budgetSql) - col("__cumBefore")) * col("w"))
+        col("cap").cast("decimal(38,0)") * col("__wFrom") <=
+          (expr(budgetSql) - col("__cumBefore")).cast("decimal(38,0)") * col("w"))
     // Global split of the flagged set: saturated tokens come off the
     // budget, the rest shares by weight. least() guards the one-off
     // boundary where the scaled scan order ties across the water line.
