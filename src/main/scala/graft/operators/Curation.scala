@@ -84,8 +84,14 @@ object Curation {
       iter += 1
     }
     sym.unpersist()
+    if (!converged) cached.unpersist() // don't leak the cache on the failure path
     require(converged, s"connectedComponents did not converge in $maxIter rounds — " +
       "component diameter exceeds the bound; raise maxIter")
+    // The returned frame reads the final round's MEMORY_AND_DISK cache
+    // (the truncated-lineage contract: dropping it would recompute the
+    // whole loop). Long-lived sessions should consume the labels
+    // (write/aggregate) and then clearCache(), as the bench harness
+    // does per rep; gate queries run once so the cost is bounded.
     labels
   }
 
@@ -509,7 +515,12 @@ object Curation {
   def temperatureMix(df: DataFrame, domain: Column, id: Column,
       budgetPct: Int, salt: String): DataFrame = {
     require(budgetPct > 0 && budgetPct <= 100, s"budgetPct in (0,100], got $budgetPct")
-    val n = df.groupBy(domain.as("__dom")).agg(count(lit(1)).as("__nd"))
+    // Null-domain rows are excluded up front: the final equi-join can
+    // never match them (null === null is null), so counting them into
+    // __total would inflate the budget base while silently dropping
+    // the rows — the realized sample could then never reach budgetPct.
+    val in = df.filter(domain.isNotNull)
+    val n = in.groupBy(domain.as("__dom")).agg(count(lit(1)).as("__nd"))
     val w = n.withColumn("__wd", round(sqrt(col("__nd")), 6))
     val t = w.agg(
       sum(col("__wd").cast("decimal(38,6)")).cast("double").as("__sw"),
@@ -522,7 +533,7 @@ object Curation {
       .select(col("__dom"), col("__ppm"))
     val h = conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 8), 16, 10)
       .cast("long") % 1000000
-    df.join(broadcast(r), domain === col("__dom"))
+    in.join(broadcast(r), domain === col("__dom"))
       .filter(h < col("__ppm"))
       .drop("__dom")
   }
@@ -559,10 +570,18 @@ object Curation {
     val caps = df.groupBy(source.as("source"))
       .agg(sum(tokens).cast("long").as("cap"))
       .withColumn("w", weight(col("source")).cast("long"))
+      // Non-positive/null weight = "this source is not in the plan":
+      // excluded from the allocation AND from the budget base (its cap
+      // would otherwise inflate __total). Mirrors weightedSample's
+      // w > 0 contract; a zero weight would also divide-by-zero the
+      // scan-order ratio under ANSI.
+      .filter(col("w") > 0)
       .withColumn("__r", expr("(cap * 1000) div w"))
     val ord = Window.orderBy(col("__r"), col("source"))
     val whole = Window.partitionBy()
-    val budgetSql = s"((__total * $budgetPct) div 100)"
+    // decimal(38,0) before the budget product: total·budgetPct wraps
+    // Long past ~9e16 tokens. `div` on decimals yields BIGINT again.
+    val budgetSql = s"((cast(__total as decimal(38,0)) * $budgetPct) div 100)"
     val staged = caps
       .withColumn("__cumBefore", coalesce(sum(col("cap"))
         .over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -587,8 +606,10 @@ object Curation {
       .select(col("source"), col("cap"), col("w"),
         col("__sat").cast("int").as("saturated"),
         when(col("__sat") || col("__unsatW") === 0L, col("cap"))
+          // same decimal(38,0) discipline as the saturation test: the
+          // remainder·w product can pass 2^63 when weights are large.
           .otherwise(least(col("cap"),
-            expr(s"((((__total * $budgetPct) div 100) - __satCap) * w) div __unsatW")))
+            expr(s"(cast($budgetSql - __satCap as decimal(38,0)) * w) div __unsatW")))
           .cast("long").as("alloc"))
   }
 
@@ -634,7 +655,10 @@ object Curation {
       explode(col("toks")).as("token"))
     // tf feeds BOTH the df aggregation and the scoring join; without
     // materialization the tokenize+explode+agg pipeline runs twice
-    // (Spark has no cross-branch plan reuse).
+    // (Spark has no cross-branch plan reuse). The returned frame reads
+    // this cache lazily, so release is the caller's (or the harness
+    // cache clear's) job — eager force-and-release here would pay a
+    // full extra pass for a corpus-sized result.
     val tf = tokens.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("cnt"), max(col("len")).as("len")) // len constant per doc
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -731,6 +755,10 @@ object Curation {
       .as[(String, String)]
       .flatMap { case (s, t) => TextAnalysis.tokenize(t).map(w => (s, w)) }
       .toDF("src", "w")
+    // (src, token) counts feed the corpus totals, the source totals,
+    // and the grid join — three consumers, no cross-branch plan reuse.
+    // Vocab-sized (not corpus-sized); released by the harness cache
+    // clear, same contract as tfidfKeywords' tf.
     val cst = toks.groupBy($"src", $"w").agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ct = cst.groupBy($"w").agg(sum($"c").as("ctot"))

@@ -32,6 +32,18 @@ import org.apache.spark.sql.{Encoder, Encoders}
   */
 object Decomposition {
 
+  /** Fixed-point term: floor(c·1e9 + 0.5) clamped into Long range
+    * BEFORE the cast — under Spark 4's default ANSI mode an unclamped
+    * double→long cast THROWS for |c| ≳ 9.2e9 (e.g. one corrupt
+    * embedding element from a bad ingest), killing the very anomaly
+    * screen meant to flag that vector. Clamped terms keep the row and
+    * score it at the scale ceiling instead; values this large never
+    * occur in sane embeddings, so oracle parity is unaffected.
+    */
+  private def scaledLong(c: Column): Column =
+    least(greatest(floor(c * 1e9 + 0.5), lit(-9.0e18)), lit(9.0e18))
+      .cast("long")
+
   /** Scaled-long sufficient statistics for a d-dim covariance matrix:
     * n rows, per-dim sums, and the upper-triangle pair-product sums.
     * Longs make merge order irrelevant (exact integer addition); at
@@ -196,8 +208,8 @@ object Decomposition {
     val x = embs.select(id.as("id"), posexplode(vec.cast("array<float>")).as(Seq("j0", "x")))
       .select($"id", $"j0", $"x".cast("double").as("x"))
     val stats = x.groupBy($"j0").agg(
-      sum(floor($"x" * 1e9 + 0.5).cast("long")).as("s"),
-      sum(floor($"x" * $"x" * 1e9 + 0.5).cast("long")).as("p"),
+      sum(scaledLong($"x")).as("s"),
+      sum(scaledLong($"x" * $"x")).as("p"),
       count(lit(1)).as("n"))
     val term = x.join(broadcast(stats), Seq("j0"))
       .select($"id", {
@@ -245,7 +257,13 @@ object Decomposition {
                   outDim: Int, seed: Int = 42): DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
-    val dim = embs.select(size(vec)).head(1) match {
+    // Vector dimension from the first non-null row — the embedding
+    // ops' homogeneous-dim corpus contract (CovAgg enforces it with an
+    // explicit error; here rows of a DIFFERENT dim would silently
+    // project only their first `dim` components, so hold the contract
+    // upstream). The null filter keeps a null-first corpus from
+    // throwing on size(null) under ANSI.
+    val dim = embs.where(vec.isNotNull).select(size(vec)).head(1) match {
       case Array(r) => r.getInt(0)
       case _ => return embs.sparkSession.emptyDataFrame
         .select(lit(0L).as("id"), lit(0).as("k"), lit(0.0).as("proj"))
@@ -255,7 +273,7 @@ object Decomposition {
     embs.select(id.as("id"), posexplode(vec.cast("array<float>")).as(Seq("j0", "x")))
       .join(broadcast(m), Seq("j0"))
       .select($"id", $"k",
-        floor($"x".cast("double") * $"sign" * 1e9 + 0.5).cast("long").as("t"))
+        scaledLong($"x".cast("double") * $"sign").as("t"))
       .groupBy($"id", $"k")
       .agg(round(sum($"t") / 1e9 / math.sqrt(outDim.toDouble), 6).as("proj"))
   }

@@ -58,6 +58,12 @@ object KmvOverlap {
         seen.asScala.iterator.map(s => (src, s))
       }.toDF("src", "s")
       .distinct() // corpus-wide (source, shingle) set — the one big shuffle
+      // Persisted: consumed by the sketch branch AND both sides of the
+      // exact-intersection self-join, and cross-branch plan reuse does
+      // NOT exist in Spark — without this the tokenize+shingle+distinct
+      // pipeline (the expensive stage) runs three times. Same doctrine
+      // as Dedup.minhashLshPairs; released by the harness cache clear.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hashed = shd.select($"src",
         (conv(substring(md5($"s"), 1, 8), 16, 10).cast("long")
           / lit(4294967296.0)).as("u"),
