@@ -75,8 +75,13 @@ object Packing {
     require(shards > 0, s"shards must be positive, got $shards")
     val spark = docs.sparkSession
     import spark.implicits._
+    // Null text packs as a zero-token doc and null ids are dropped:
+    // both would otherwise crash the primitive-tuple encoder ("null
+    // value in non-nullable field") and kill the whole job, where the
+    // rest of the text surface degrades gracefully on nulls.
     val base = docs.select(id.cast("long").as("doc_id"),
-      TextAnalysis.tokenCount(text).cast("long").as("n_tokens"))
+      coalesce(TextAnalysis.tokenCount(text), lit(0)).cast("long").as("n_tokens"))
+      .filter(col("doc_id").isNotNull)
       .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
       .as[(Long, Long, Long)]
     base.groupByKey(_._3).flatMapGroups { (shard, rows) =>

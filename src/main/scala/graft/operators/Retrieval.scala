@@ -38,38 +38,54 @@ import org.apache.spark.sql.expressions.Window
   */
 object Retrieval {
 
+  /** The per-(doc, term) BM25 contribution, shared VERBATIM by the
+    * batch path and the at-rest probe path — the IEEE operation order
+    * is load-bearing (oracle bit-parity AND probe-matches-batch), so
+    * there must be exactly one copy of it. Expects columns
+    * `tf, dfc, dl, n_docs, sum_dl` in scope.
+    */
+  private def bm25Contrib(k1: Double, b: Double): Column = {
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    // Same operation order as the oracle SQL — see object scaladoc.
+    val idf = (col("n_docs") - col("dfc") + lit(0.5)) / (col("dfc") + lit(0.5))
+    val tfn = (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl))
+    round(idf * tfn, 6)
+  }
+
   /** BM25 scores for every document matching at least one query term:
     * (doc_id, n_terms_hit, score). `score` is the decimal-summed,
     * 6-decimal-rounded per-term contribution sum (see scaladoc above);
     * `n_terms_hit` the number of distinct query terms present.
     *
-    * Plan shape: postings filter (term IN query) → per-(doc,term)
-    * count [one exchange on doc_id,term] → df broadcast join (≤|query|
-    * rows) → doc-length join on doc_id → 1-row stats broadcast →
-    * per-doc sum [one exchange on doc_id].
+    * Plan shape: TWO tokenize passes over the corpus — the 1-row
+    * (N, Σdl) statistic and the postings pass (doc length rides the
+    * explode as max(dl), tfidfKeywords' trick, so there is NO separate
+    * doc-length join pass) — then df broadcast join (≤|query| rows)
+    * and the per-doc sum. The postings-bounded tf table is persisted:
+    * it feeds both the df aggregate and the scoring join, and without
+    * it each consumer would re-run the tokenize.
     */
   def bm25(docs: DataFrame, id: Column, text: Column, terms: Seq[String],
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "empty query")
     val toks = docs.select(id.cast("long").as("doc_id"),
       TextAnalysis.wordTokens(text).as("w"))
-    // Narrow per-doc length scan; (N, Σdl) reduces to one broadcast row.
-    val doclen = toks.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
-    val stats = doclen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    // Term frequencies: only the query terms' postings ever shuffle.
-    val tf = toks.select(col("doc_id"), explode(col("w")).as("term"))
+    // Narrow pass: (N, Σdl) reduces to one broadcast row.
+    val stats = toks.select(size(col("w")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // Term frequencies: only the query terms' postings ever shuffle;
+    // dl is constant per doc so max() recovers it without a join.
+    val tf = toks.select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+        explode(col("w")).as("term"))
       .filter(col("term").isin(terms.distinct: _*))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("dfc"))
-    val avgdl = col("sum_dl").cast("double") / col("n_docs")
-    // Same operation order as the oracle SQL — see object scaladoc.
-    val idf = (col("n_docs") - col("dfc") + lit(0.5)) / (col("dfc") + lit(0.5))
-    val tfn = (col("tf") * lit(k1 + 1)) /
-      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl))
     tf.join(broadcast(df), "term")
-      .join(doclen, "doc_id")
       .crossJoin(broadcast(stats))
-      .select(col("doc_id"), round(idf * tfn, 6).as("contrib"))
+      .select(col("doc_id"), bm25Contrib(k1, b).as("contrib"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms_hit"),
         sum(col("contrib").cast("decimal(28,6)")).cast("double").as("score"))
@@ -87,7 +103,10 @@ object Retrieval {
                terms: Seq[String], k: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // Consumed twice (heap + join-back) and Spark has no cross-branch
-    // plan reuse: persist the posting-list-bounded scored table.
+    // plan reuse: persist the posting-list-bounded scored table. The
+    // returned frame reads this cache lazily, so release is the
+    // caller's (or the harness cache clear's) job — eager
+    // force-and-release would pay an extra pass.
     val scored = bm25(docs, id, text, terms)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val tk = graft.functions.TopKAgg.topK(k)
@@ -112,7 +131,10 @@ object Retrieval {
       TextAnalysis.wordTokens(text).as("w"))
     val doclen = toks.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
     doclen.write.mode("overwrite").parquet(s"$path/doclen")
-    doclen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // Stats from the parquet just written — a narrow re-read instead
+    // of a second tokenize pass over the corpus.
+    docs.sparkSession.read.parquet(s"$path/doclen")
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .write.mode("overwrite").parquet(s"$path/stats")
     // tf is consumed twice (postings write + df derivation) and the
     // tokenize->explode->groupBy pipeline is the dominant index-build
@@ -146,10 +168,13 @@ object Retrieval {
     val terms = q.select(col("term")).distinct()
       .collect().map(_.getString(0)).toSeq
     if (terms.isEmpty)
-      // typed empty frame: callers select/write these columns
-      return spark.range(0).select(
-        col("id").as("query_id"), lit(0L).as("doc_id"),
+      // Typed empty frame DERIVED FROM the caller's schema: query_id
+      // keeps its incoming type in both paths, so a no-terms batch in
+      // the streaming serve tier cannot append a parquet file whose
+      // query_id type conflicts with normal batches'.
+      return queries.select(col("query_id"), lit(0L).as("doc_id"),
         lit(0L).as("n_terms_hit"), lit(0.0).as("score"), lit(0).as("rank"))
+        .limit(0)
     val crc = new java.util.zip.CRC32
     val tbs = terms.map { t =>
       crc.reset(); crc.update(t.getBytes("UTF-8"))
@@ -161,21 +186,30 @@ object Retrieval {
     val dfc = prune(spark.read.parquet(s"$path/df")).drop("tb")
     val doclen = spark.read.parquet(s"$path/doclen")
     val stats = spark.read.parquet(s"$path/stats")
-    val avgdl = col("sum_dl").cast("double") / col("n_docs")
-    val idf = (col("n_docs") - col("dfc") + lit(0.5)) / (col("dfc") + lit(0.5))
-    val tfn = (col("tf") * lit(k1 + 1)) /
-      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("doc_id").asc)
-    tf.join(broadcast(dfc), "term")
+    val scored = tf.join(broadcast(dfc), "term")
       .join(doclen, "doc_id")
       .crossJoin(broadcast(stats))
-      .select(col("doc_id"), col("term"), round(idf * tfn, 6).as("contrib"))
+      .select(col("doc_id"), col("term"), bm25Contrib(k1, b).as("contrib"))
       .join(q, "term") // restrict each query to ITS terms
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_terms_hit"),
         sum(col("contrib").cast("decimal(28,6)")).cast("double").as("score"))
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      // Consumed by the heap AND the join-back (no cross-branch reuse).
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Per-query top-k as the mergeable heap, same as bm25TopK: a
+    // common term makes one query's candidate set posting-list-sized,
+    // and row_number over partitionBy(query_id) would sort it in ONE
+    // task. TopKAgg's (score DESC, id ASC) ordering matches the rank
+    // contract exactly.
+    val tk = graft.functions.TopKAgg.topK(k)
+    val top = scored.groupBy(col("query_id"))
+      .agg(tk(col("score"), col("doc_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("doc_id"),
+        (col("pos") + 1).cast("int").as("rank"))
+    scored.join(top, Seq("query_id", "doc_id"))
+      .select(col("query_id"), col("doc_id"), col("n_terms_hit"),
+        col("score"), col("rank"))
   }
 
   /** Serve a QUERY stream against the at-rest BM25 index: each

@@ -71,6 +71,17 @@ class CorpusSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getLong(4), r.getBoolean(5))).toMap
     assert(big(1L) == ((300L, true)))
     assert(big(2L) == ((2L, false)))
+
+    // Null text packs as a zero-token doc; null ids are dropped — not
+    // an encoder crash (primitive-tuple deserialization throws on
+    // nulls otherwise).
+    val withNulls = Packing.packBestFit(
+      Seq((java.lang.Long.valueOf(1L), "a b"),
+        (java.lang.Long.valueOf(2L), null: String),
+        (null: java.lang.Long, "c d")).toDF("doc_id", "text"),
+      $"doc_id", $"text", budget, shards = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(withNulls == Map(1L -> 2L, 2L -> 0L))
   }
 
   test("sequenceOccupancy token counts sum to the shard stream and cap at budget") {
