@@ -63,7 +63,15 @@ object Clustering {
     def merge(x: VecMean.Buf, y: VecMean.Buf): VecMean.Buf =
       if (x.n == 0) y
       else if (y.n == 0) x
-      else VecMean.Buf(x.sums.zip(y.sums).map { case (a, b) => a + b }, x.n + y.n)
+      else {
+        // Same guard as reduce: zip would silently TRUNCATE to the
+        // shorter buffer on a cross-partition dim mismatch (e.g. a
+        // ragged corpus whose partitions are internally consistent),
+        // yielding a wrong-length centroid instead of a loud failure.
+        require(x.sums.length == y.sums.length,
+          s"vector length mismatch across partitions: ${x.sums.length} vs ${y.sums.length}")
+        VecMean.Buf(x.sums.zip(y.sums).map { case (a, b) => a + b }, x.n + y.n)
+      }
 
     def finish(b: VecMean.Buf): Seq[Double] =
       b.sums.map(s => (s.toDouble / 1e6) / b.n)

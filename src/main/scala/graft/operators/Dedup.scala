@@ -77,9 +77,13 @@ object Dedup {
 
   /** Exhaustive near-duplicate pairs with exact n-gram Jaccard >= threshold.
     * Shuffles: explode→join on shingle, then one aggregation. At scale,
-    * set `maxShingleFreq` to drop ubiquitous shingles from candidate
-    * generation (note: affects recall only for pairs whose every shared
-    * shingle is ubiquitous).
+    * set `maxShingleFreq` to drop ubiquitous shingles BEFORE pair
+    * generation; the Jaccard is then computed over the FILTERED shingle
+    * universe on both sides of the fraction (per-doc sizes are
+    * recounted post-filter) — a well-defined restricted-universe
+    * Jaccard, not the full-universe score with a skewed denominator.
+    * Recall loss is limited to pairs whose similarity lives in the
+    * dropped ubiquitous shingles.
     */
   def jaccardPairsExact(
       docs: DataFrame, // (doc_id, sh)
@@ -88,7 +92,9 @@ object Dedup {
     // Each exploded row carries its doc's shingle count, so the final
     // jaccard needs no join back to per-doc counts — the pipeline is
     // exactly two exchanges: by shingle (pair generation), by pair
-    // (shared-count aggregation).
+    // (shared-count aggregation). The opt-in frequency filter adds two
+    // window exchanges (shingle freq, then per-doc recount so c matches
+    // the universe the shared count is computed in).
     val ex0 = docs.select(col("doc_id"), size(col("sh")).as("c"),
       explode(col("sh")).as("shingle"))
     val ex = maxShingleFreq match {
@@ -96,6 +102,8 @@ object Dedup {
         import org.apache.spark.sql.expressions.Window
         ex0.withColumn("__f", count(lit(1)).over(
           Window.partitionBy(col("shingle")))).filter(col("__f") <= f).drop("__f")
+          .withColumn("c", count(lit(1)).over(
+            Window.partitionBy(col("doc_id"))).cast("int"))
       case None => ex0
     }
     // Pair generation via per-shingle (doc, count) lists: ONE shuffle of
@@ -139,8 +147,28 @@ object Dedup {
     z ^ (z >>> 31)
   }
 
-  /** MinHash signatures: `numHashes` permutations, signature_i = min over
-    * shingles of mix64(shingle + gamma·(i+1)). Computed in a single tight
+  /** The MinHash signature of one shingle set: `numHashes` permutations,
+    * signature_i = min over shingles of mix64(shingle + gamma·(i+1)).
+    * ONE copy of the permutation family, shared by [[minhashSignatures]]
+    * and [[bandBuckets]] — buckets and signatures MUST come from the
+    * same family or the banding recall formula silently breaks.
+    */
+  private[operators] def minhashSig(sh: Array[Long], numHashes: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      var h = 0
+      while (h < numHashes) {
+        val v = mix64(sh(i) + 0x9e3779b97f4a7c15L * (h + 1))
+        if (v < sig(h)) sig(h) = v
+        h += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** MinHash signatures as a DataFrame. Computed in a single tight
     * typed-Dataset loop: Spark's higher-order array functions evaluate
     * interpreted (outside codegen), so 48 `array_min(transform(...))`
     * columns pay boxed per-element eval — the plain loop is ~free by
@@ -150,20 +178,8 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("sh")).as[(Long, Array[Long])]
-      .map { case (id, sh) =>
-        val sig = Array.fill(numHashes)(Long.MaxValue)
-        var i = 0
-        while (i < sh.length) {
-          var h = 0
-          while (h < numHashes) {
-            val v = mix64(sh(i) + 0x9e3779b97f4a7c15L * (h + 1))
-            if (v < sig(h)) sig(h) = v
-            h += 1
-          }
-          i += 1
-        }
-        (id, sig)
-      }.toDF("doc_id", "sig")
+      .map { case (id, sh) => (id, minhashSig(sh, numHashes)) }
+      .toDF("doc_id", "sig")
   }
 
   /** LSH candidate pairs: band the signature, bucket-join within bands,
@@ -177,22 +193,18 @@ object Dedup {
     * Output (doc_id, band, bucket) — the joinable near-dup index rows.
     */
   def bandBuckets(docs: DataFrame, numHashes: Int = 48, bands: Int = 12): DataFrame = {
+    // rows = 0 would make every bucket equal its band index — the LSH
+    // join degenerates to all-pairs with no error; a non-divisible
+    // numHashes would silently ignore trailing hashes, quietly lowering
+    // the 1-(1-j^rows)^bands recall the scaladoc promises.
+    require(bands >= 1 && numHashes >= bands && numHashes % bands == 0,
+      s"numHashes must be a positive multiple of bands; got numHashes=$numHashes bands=$bands")
     val rows = numHashes / bands
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("sh")).as[(Long, Array[Long])]
       .flatMap { case (id, sh) =>
-        val sig = Array.fill(numHashes)(Long.MaxValue)
-        var i = 0
-        while (i < sh.length) {
-          var h = 0
-          while (h < numHashes) {
-            val v = mix64(sh(i) + 0x9e3779b97f4a7c15L * (h + 1))
-            if (v < sig(h)) sig(h) = v
-            h += 1
-          }
-          i += 1
-        }
+        val sig = minhashSig(sh, numHashes)
         (0 until bands).map { b =>
           var acc = b.toLong
           var r = b * rows
@@ -236,8 +248,12 @@ object Dedup {
     // cross-branch plan reuse does NOT exist — without materialization
     // every reference re-runs the tokenize+shingle pipeline.
     val d = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    // The bucket frame is persisted too: the self-join consumes it on
+    // BOTH sides, and without this the signature loop — the dominant
+    // O(docs·shingles·numHashes) CPU cost — runs twice over the cached
+    // shingles (same reasoning as simhashPairs' hash-frame persist).
     val buckets = capBuckets(bandBuckets(d, numHashes, bands), maxBucket,
-      "band", "bucket")
+      "band", "bucket").persist(StorageLevel.MEMORY_AND_DISK)
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))

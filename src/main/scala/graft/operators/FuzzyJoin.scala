@@ -35,8 +35,11 @@ object FuzzyJoin {
     val right = n.select(col("name").as("nb"), length(col("name")).as("lb"))
     left.join(right, Seq("lb"))
       .filter(col("na") < col("nb"))
-      .filter(levenshtein(col("na"), col("nb")) <= maxDist)
-      .select(col("na"), col("nb"),
-        levenshtein(col("na"), col("nb")).as("dist"))
+      // Materialize the O(|na|·|nb|) edit-distance DP as a column FIRST:
+      // a filter-then-reselect would evaluate levenshtein twice per
+      // surviving pair (no cross-operator subexpression elimination).
+      .withColumn("dist", levenshtein(col("na"), col("nb")))
+      .filter(col("dist") <= maxDist)
+      .select(col("na"), col("nb"), col("dist"))
   }
 }

@@ -89,11 +89,22 @@ object Similarity {
     * `aggregate(zip_with(...))` per plane per row it replaces was the
     * corpus-side cost of [[lshTopK]].
     */
-  def lshBucket(embedding: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
+  def lshBucket(embedding: Column, planes: Array[Array[Double]]): Column = {
+    // Dim guard: vec_dot iterates to the EMBEDDING's length and indexes
+    // the plane literal unchecked, so a longer embedding would read out
+    // of bounds (or a shorter one silently use a plane prefix) and
+    // produce garbage buckets with near-zero recall and no diagnostic.
+    // lshNearDupPairs guards the same contract inside its fused UDF.
+    val dim = planes.head.length
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
       when(graft.functions.F.vec_dot(embedding, typedlit(p.toSeq)) > 0,
         shiftleft(lit(1L), i)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
+    when(size(embedding) === dim, bucket)
+      .otherwise(raise_error(concat(
+        lit("lshBucket: embedding length "), size(embedding).cast("string"),
+        lit(s" != plane dim $dim"))))
+  }
 
   /** Embedding-cosine near-duplicate pairs: every (va < vb) pair with
     * cosine >= threshold. The corpus side is broadcast when it fits
@@ -556,8 +567,16 @@ object Similarity {
     val books: Array[Array[Double]] = spark.read.parquet(s"$path/codebooks")
       .orderBy(col("code").asc)
       .select(col("centroid")).as[Seq[Double]].collect().map(_.toArray)
+    // headOption-style guard: an index built from an empty corpus has a
+    // codes table with zero rows, and a bare head() would fail stream
+    // setup with an opaque NoSuchElementException.
     val m = spark.read.parquet(s"$path/codes")
-      .select(size(col("codes"))).as[Int].head()
+      .select(size(col("codes"))).as[Int].head(1) match {
+        case Array(v) => v
+        case _ => throw new IllegalStateException(
+          s"ivfPqStreamingIngest: $path/codes is empty — cannot infer the " +
+            "PQ segment count; build the index over a non-empty corpus first")
+      }
     val bcB = spark.sparkContext.broadcast(books)
     stream
       .select(col("vec_id"),
