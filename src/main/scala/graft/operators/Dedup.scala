@@ -227,7 +227,7 @@ object Dedup {
     * count rides the same (keys) hash partitioning the pair join
     * shuffles on anyway.
     */
-  private[operators] def capBuckets(buckets: DataFrame, max: Option[Int],
+  private[graft] def capBuckets(buckets: DataFrame, max: Option[Int],
       keys: String*): DataFrame = max match {
     case None => buckets
     case Some(m) =>

@@ -46,7 +46,11 @@ object Sequencer {
 
   /** Producer state: `minClock` is the exclusive floor (last ACK),
     * `maxClock` the span's running max, `begin` the span's first offset
-    * (-1 when no span).
+    * (-1 when no span). `begin` is not read by the commit path — each
+    * Buffered entry carries its own offsets — but is kept as span
+    * diagnostic state (mirroring the reference's sequencer model,
+    * message/sequencer.go): a state-store dump shows where each open
+    * span starts, at 8 bytes per producer.
     */
   case class SeqState(
       minClock: Long, maxClock: Long, begin: Long, buffered: Vector[Buffered])

@@ -120,12 +120,25 @@ object StreamingCountMin {
     val dd = deltaDf(spark, path).getOrElse(return)
     val before = committedVersions(spark, path)
     val upto = before.lastOption.getOrElse(-1L)
-    // `batch` is a discovered partition column: Spark infers Int for
-    // small ids, so normalize to long before the max.
-    val maxPending = dd.filter(col("batch") > upto)
-      .select(max(col("batch").cast("long"))).head()
-    if (maxPending.isNullAt(0)) return
-    val newUpto = maxPending.getLong(0)
+    // The fold NEVER includes the newest present delta batch: ingest is
+    // a single sequential query, so the only directory that can be
+    // mid-write when this compact lists the tier is the
+    // highest-numbered one (a fresh batch, or a checkpoint replay
+    // overwriting the last batch). Folding a partially-visible batch
+    // and watermarking past it would exclude its remaining files from
+    // every future read — silent undercount. Excluding the max id
+    // keeps it in the delta tier (still counted by readers) until a
+    // later batch proves it complete.
+    val pendingIds = {
+      val f = hfs(spark, path)
+      f.globStatus(new Path(s"$path/delta/batch=*")) match {
+        case null => Seq.empty[Long]
+        case sts => sts.toSeq.map(_.getPath.getName.stripPrefix("batch=").toLong)
+          .filter(_ > upto).sorted
+      }
+    }
+    if (pendingIds.size < 2) return // nothing PROVABLY complete to fold
+    val newUpto = pendingIds(pendingIds.size - 2)
     // Fold EXACTLY (upto, newUpto]: a batch the ingest query lands
     // while this compact runs stays in the delta tier (it is above the
     // new watermark), so concurrent ingest never double-counts.

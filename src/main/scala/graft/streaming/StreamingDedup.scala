@@ -51,16 +51,34 @@ object StreamingDedup {
     // Track every cached frame so a throwing write can't leak caches
     // into Spark's retry of the batch (storage memory would grow
     // monotonically over a long stream with intermittent sink errors).
+    // The LSH machinery is composed INLINE from bandBuckets/capBuckets
+    // — not via minhashLshPairs, whose internal persist this tracking
+    // could not see (and whose signature pass would re-run for the
+    // index write; here ONE persisted bucket frame serves pair
+    // generation, the index join, and the index write).
     val cached = scala.collection.mutable.ArrayBuffer[DataFrame](d)
     try {
+      val allBuckets = Dedup.bandBuckets(d, numHashes, bands)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      cached += allBuckets
+
       // 1. Within-batch near-dups: keep the smaller doc_id of each pair.
-      // maxBucket: the within-batch skew guard (Dedup.capBuckets) — a
-      // burst of mass-duplicated docs in one micro-batch otherwise fans
-      // out |B|² candidate pairs. The accepted index can't grow hot
-      // buckets (duplicates never enter it), so the guard only needs to
-      // cover the batch side.
-      val batchDups = Dedup.minhashLshPairs(d, threshold, numHashes, bands,
-        maxBucket)
+      // maxBucket: the skew guard (Dedup.capBuckets) — a burst of
+      // mass-duplicated docs in one micro-batch otherwise fans out |B|²
+      // candidate pairs. Applied to pair GENERATION only: capped-out
+      // rows still reach the index so future batches dedup against
+      // them.
+      val capped = Dedup.capBuckets(allBuckets, maxBucket, "band", "bucket")
+      val candIntra = capped.as("x").join(capped.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+        .distinct()
+      val batchDups = candIntra
+        .join(d.select($"doc_id".as("da"), $"sh".as("sha")), "da")
+        .join(d.select($"doc_id".as("db"), $"sh".as("shb")), "db")
+        .filter(size(array_intersect($"sha", $"shb")).cast("double") /
+          size(array_union($"sha", $"shb")) >= threshold)
         .select($"db".as("doc_id")).distinct()
       val dIntra = d.join(batchDups, Seq("doc_id"), "left_anti")
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -72,8 +90,17 @@ object StreamingDedup {
       // reading a path the same job deletes mid-plan is fragile under
       // cached/eager file listing (the doc_id != exclusion below still
       // guards rows that arrive via other batches' partitions).
-      val idxBuckets = readIndex(spark, s"$indexDir/buckets", bucketsSchema, batchId)
-      val newBuckets = Dedup.bandBuckets(dIntra, numHashes, bands)
+      // The index side gets the SAME opt-in cap: sub-threshold-similar
+      // accepted docs (template pages at j below the threshold) land in
+      // shared buckets batch after batch, so index buckets — unlike
+      // true-duplicate buckets — can grow with stream age, and the
+      // candidate fan-out with them (minhashLshJoin's history-side cap,
+      // same reasoning).
+      val idxBuckets = Dedup.capBuckets(
+        readIndex(spark, s"$indexDir/buckets", bucketsSchema, batchId),
+        maxBucket, "band", "bucket")
+      val newBuckets = allBuckets
+        .join(dIntra.select($"doc_id"), Seq("doc_id"), "left_semi")
         .persist(StorageLevel.MEMORY_AND_DISK)
       cached += newBuckets
       // doc_id inequality: on a retried batch the index already holds
@@ -103,9 +130,15 @@ object StreamingDedup {
       // jaccard 1.0, so the index join excludes same-doc matches.
       surviving.select($"doc_id", $"sh")
         .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/shingles/batch=$batchId")
-      Dedup.bandBuckets(surviving, numHashes, bands)
+      newBuckets.join(surviving.select($"doc_id"), Seq("doc_id"), "left_semi")
         .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/buckets/batch=$batchId")
-      docs.join(surviving.select($"doc_id"), Seq("doc_id"), "left_semi")
+      // The OUTPUT keeps every non-duplicate document — including docs
+      // too short to shingle (absent from `d`, hence from `surviving`):
+      // they duplicate nothing and must not be silently lost, so the
+      // write anti-joins the DROPPED set instead of semi-joining the
+      // shingled survivors.
+      docs.join(batchDups.unionByName(histDups).distinct(),
+          Seq("doc_id"), "left_anti")
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$batchId")
     } finally cached.foreach(_.unpersist())
   }

@@ -28,22 +28,32 @@ object StreamingDrift {
   case class SourceState(counts: Array[Long], total: Long)
   case class Drift(src: String, n_tokens: Long, hellinger2: Double)
 
-  /** Stable token→bucket hash (md5 low bits, as in operators.Dsir). */
-  def bucket(token: String, buckets: Int): Int = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(token.getBytes("UTF-8"))
-    val v = ((md(0) & 0xffL) << 24) | ((md(1) & 0xffL) << 16) |
-      ((md(2) & 0xffL) << 8) | (md(3) & 0xffL)
+  /** Stable token→bucket hash (md5 low bits, as in operators.Dsir).
+    * The digest instance is caller-supplied so the hot per-token loops
+    * reuse ONE instance per partition (Dedup.simhashesMd5's pattern) —
+    * a fresh getInstance per token would pay a JCA provider lookup and
+    * two allocations per occurrence in the only CPU-heavy stage.
+    */
+  def bucket(md: java.security.MessageDigest, token: String, buckets: Int): Int = {
+    md.reset()
+    val d = md.digest(token.getBytes("UTF-8"))
+    val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
     (v % buckets).toInt
   }
+
+  /** One-shot form for tests/small inputs. */
+  def bucket(token: String, buckets: Int): Int =
+    bucket(java.security.MessageDigest.getInstance("MD5"), token, buckets)
 
   /** Bucketed distribution of a batch token iterator — the reference
     * snapshot `drift` compares against (probabilities, not counts).
     */
   def bucketDistribution(tokens: Iterator[String], buckets: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
     val c = new Array[Long](buckets)
     var n = 0L
-    tokens.foreach { t => c(bucket(t, buckets)) += 1; n += 1 }
+    tokens.foreach { t => c(bucket(md, t, buckets)) += 1; n += 1 }
     if (n == 0) new Array[Double](buckets)
     else c.map(_.toDouble / n)
   }
@@ -80,10 +90,11 @@ object StreamingDrift {
       // source cannot funnel its whole batch through one state task's
       // input stream.
       .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
         val m = scala.collection.mutable.HashMap.empty[(String, Int), Long]
         it.foreach { case (src, text) =>
           graft.operators.TextAnalysis.tokenize(text).foreach { w =>
-            val k = (src, bucket(w, buckets))
+            val k = (src, bucket(md, w, buckets))
             m(k) = m.getOrElse(k, 0L) + 1L
           }
         }

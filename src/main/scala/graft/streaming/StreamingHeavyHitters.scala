@@ -48,6 +48,11 @@ object StreamingHeavyHitters {
     * changes).
     */
   def candidates(tokens: Dataset[String], k: Int, slots: Int): Dataset[Candidate] = {
+    // Validate at the driver: slots <= 0 would throw ArithmeticException
+    // per record inside executor tasks, and k <= 1 makes the MG summary
+    // track nothing and silently emit zero candidates forever.
+    require(slots >= 1, s"slots must be >= 1, got $slots")
+    require(k >= 2, s"k must be >= 2 (a k-1 entry summary), got $k")
     import tokens.sparkSession.implicits._
     tokens
       .groupByKey(t => math.floorMod(t.hashCode, slots))

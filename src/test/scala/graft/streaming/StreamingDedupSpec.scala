@@ -67,6 +67,19 @@ class StreamingDedupSpec extends SparkSpec {
     assert(accepted(outDir) == Set(1L, 2L, 4L))
   }
 
+  test("documents too short to shingle survive to the output") {
+    val indexDir = Files.createTempDirectory("sd-idx4").toString
+    val outDir = Files.createTempDirectory("sd-out4").toString
+    // doc 2 has two tokens (< shingleN=3): it can duplicate nothing and
+    // must reach the output, not silently vanish with its shingle row.
+    runBatch(indexDir, outDir, 0L,
+      Seq(1L -> doc(401), 2L -> "hello world", 3L -> nearDup(401)))
+    assert(accepted(outDir) == Set(1L, 2L))
+    // ...and again when it arrives in a later batch.
+    runBatch(indexDir, outDir, 1L, Seq(4L -> "tiny", 5L -> nearDup(401)))
+    assert(accepted(outDir) == Set(1L, 2L, 4L))
+  }
+
   test("end-to-end over a streaming source") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
