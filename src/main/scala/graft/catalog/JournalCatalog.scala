@@ -36,6 +36,11 @@ final case class JournalSpec(
       Left(s"invalid journal name: $name")
     else if (name.startsWith("/") || name.endsWith("/"))
       Left(s"journal name may not begin or end with '/': $name")
+    else if (name.split('/').exists(s => s.isEmpty || s == "." || s == ".."))
+      // A '..' segment would resolve OUTSIDE the store root when the
+      // name joins the fragment path — append would write (and prune
+      // would delete) beyond the configured store.
+      Left(s"journal name may not contain empty, '.' or '..' path segments: $name")
     else {
       val badLabel = labels.labels.find(l =>
         l.name.length < 2 || l.name.length > 64 || l.value.length > 1024)
@@ -175,6 +180,14 @@ final class JournalCatalog {
 
   def list(selector: String): Vector[JournalSpec] =
     list(LabelSelector.mustParse(selector))
+
+  /** Full listing with revisions — the read half of a tree-level CAS
+    * cycle (SpecTree.fromCatalog threads these into terminal nodes so
+    * applyTo's upserts fail on concurrent edits instead of silently
+    * overwriting them).
+    */
+  def listWithRevisions(): Vector[(JournalSpec, Long)] =
+    synchronized(specs.values.toVector.sortBy(_._1.name))
 
   /** Journals metadata as a DataFrame — the catalog's queryable surface
     * (each label name becomes a map entry).

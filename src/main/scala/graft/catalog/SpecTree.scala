@@ -56,7 +56,11 @@ final case class SpecPatch(
     replication: Int = 0,
     fragmentTargetLength: Long = 0L,
     codec: String = "",
-    flags: Int = 0) {
+    flags: Int = 0,
+    // Empty = unspecified/inherit. Without this field a fromCatalog →
+    // applyTo round trip would wipe every journal's fragment stores
+    // (toSpec used to emit Vector.empty unconditionally).
+    stores: Vector[String] = Vector.empty) {
 
   /** Fields of `this`, falling back to `b` where unspecified (UnionJournalSpecs). */
   def union(b: SpecPatch): SpecPatch = SpecPatch(
@@ -65,7 +69,8 @@ final case class SpecPatch(
     fragmentTargetLength =
       if (fragmentTargetLength == 0L) b.fragmentTargetLength else fragmentTargetLength,
     codec = if (codec.isEmpty) b.codec else codec,
-    flags = if (flags == 0) b.flags else flags)
+    flags = if (flags == 0) b.flags else flags,
+    stores = if (stores.isEmpty) b.stores else stores)
 
   /** Fields shared by both patches; others zeroed (IntersectJournalSpecs). */
   def intersect(b: SpecPatch): SpecPatch = SpecPatch(
@@ -74,7 +79,8 @@ final case class SpecPatch(
     fragmentTargetLength =
       if (fragmentTargetLength == b.fragmentTargetLength) fragmentTargetLength else 0L,
     codec = if (codec == b.codec) codec else "",
-    flags = if (flags == b.flags) flags else 0)
+    flags = if (flags == b.flags) flags else 0,
+    stores = if (stores == b.stores) stores else Vector.empty)
 
   /** Fields of `this` not matched by `b`; matches zeroed (SubtractJournalSpecs). */
   def subtract(b: SpecPatch): SpecPatch = SpecPatch(
@@ -83,7 +89,8 @@ final case class SpecPatch(
     fragmentTargetLength =
       if (fragmentTargetLength == b.fragmentTargetLength) 0L else fragmentTargetLength,
     codec = if (codec == b.codec) "" else codec,
-    flags = if (flags == b.flags) 0 else flags)
+    flags = if (flags == b.flags) 0 else flags,
+    stores = if (stores == b.stores) Vector.empty else stores)
 
   /** Complete (all-fields-specified) view, for flattening to a JournalSpec. */
   def toSpec(name: String): JournalSpec = JournalSpec(
@@ -93,7 +100,8 @@ final case class SpecPatch(
     fragmentTargetLength = if (fragmentTargetLength == 0L) 1L << 29 else fragmentTargetLength,
     codec = if (codec.isEmpty) "gz" else codec,
     readOnly = flags == SpecPatch.RdOnly,
-    writeOnly = flags == SpecPatch.WrOnly)
+    writeOnly = flags == SpecPatch.WrOnly,
+    stores = stores)
 }
 
 object SpecPatch {
@@ -104,7 +112,8 @@ object SpecPatch {
     replication = s.replication,
     fragmentTargetLength = s.fragmentTargetLength,
     codec = s.codec,
-    flags = if (s.readOnly) RdOnly else if (s.writeOnly) WrOnly else RdWr)
+    flags = if (s.readOnly) RdOnly else if (s.writeOnly) WrOnly else RdWr,
+    stores = s.stores)
 }
 
 /** One node of the hierarchy: a "directory" if the name is empty or ends
@@ -144,7 +153,7 @@ final case class SpecNode(
     * them at the children (node.go:101-132). Bottom-up.
     */
   def hoist: SpecNode =
-    if (!isDir) this
+    if (!isDir || children.isEmpty) this // empty tree: nothing to hoist
     else {
       val hs = children.map(_.hoist)
       val commonDelete = hs.map(_.delete).distinct match {
@@ -192,12 +201,27 @@ final case class SpecNode(
         delete = p.delete.orElse(delete),
         revision = if (p.revision != 0) p.revision else revision,
         patched = true)
+    } else if (name == p.name) {
+      // Dir-onto-dir: union the config here — pushDown propagates it to
+      // every descendant. Also the terminating case for a spliced
+      // directory patch (the splice below would otherwise re-enter
+      // itself forever on a childless copy of the same name).
+      copy(patch = p.patch.union(patch), delete = p.delete.orElse(delete))
     } else {
       val ind = children.indexWhere(_.name > p.name) match {
         case -1 => children.length
         case i => i
       }
-      if (ind != 0 && p.name.startsWith(children(ind - 1).name))
+      // Descend only across a '/' BOUNDARY: into the dir whose name
+      // (ending '/') prefixes p, or onto the terminal with the SAME
+      // name. A raw startsWith would walk into terminal "a/b" for
+      // patch "a/bc" and fail the terminal's name require, instead of
+      // splicing "a/bc" in as an ordered sibling.
+      val descend = ind != 0 && {
+        val prev = children(ind - 1)
+        p.name == prev.name || (prev.isDir && p.name.startsWith(prev.name))
+      }
+      if (descend)
         copy(children = children.updated(ind - 1, children(ind - 1).patchIn(p)))
       else {
         val inserted = (children.take(ind) :+ p.copy(children = Vector.empty)) ++
@@ -257,26 +281,40 @@ object SpecTree {
     ns.head
   }
 
-  /** Catalog listing → hoisted tree (FromListResponse, node.go:43-60). */
+  /** Catalog listing → hoisted tree (FromListResponse, node.go:43-60).
+    * Terminal nodes carry their catalog REVISIONS, so an applyTo of the
+    * edited tree runs as a CAS cycle: a spec another writer changed
+    * since this read fails with a revision mismatch instead of being
+    * silently overwritten.
+    */
   def fromCatalog(cat: JournalCatalog): SpecNode = {
-    val terms = cat.list().map { s =>
-      SpecNode(s.name, SpecPatch.of(s), revision = 0L)
+    val terms = cat.listWithRevisions().map { case (s, rev) =>
+      SpecNode(s.name, SpecPatch.of(s), revision = rev)
     }
     extract(terms).hoist
   }
 
   /** Flatten an edited tree back to catalog Apply operations: terminals
     * marked delete are removed, the rest upserted fully-specified.
+    * Terminals with a known revision (a [[fromCatalog]] round trip)
+    * apply as CAS; revision-0 terminals (hand-authored trees) apply
+    * unconditionally, preserving the last-writer-wins behavior for
+    * trees built outside a read-modify-write cycle.
     */
   def applyTo(tree: SpecNode, cat: JournalCatalog): Either[String, Int] = {
     val flat = tree.pushDown.terminals
     flat.foldLeft[Either[String, Int]](Right(0)) {
       case (acc @ Left(_), _) => acc
       case (Right(n), t) =>
+        val expect = if (t.revision > 0L) t.revision else -1L
         val r =
           if (t.delete.contains(true))
-            cat.delete(t.name).left.flatMap(_ => Right(())) // idempotent delete
-          else cat.upsert(t.patch.toSpec(t.name)).map(_ => ())
+            cat.delete(t.name, expect) match {
+              case Left(m) if m.startsWith("revision mismatch") => Left(m)
+              case Left(_) => Right(()) // idempotent delete of an absent spec
+              case Right(_) => Right(())
+            }
+          else cat.upsert(t.patch.toSpec(t.name), expect).map(_ => ())
         r.map(_ => n + 1)
     }
   }

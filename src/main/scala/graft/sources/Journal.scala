@@ -167,14 +167,23 @@ object Journal {
                 if st.getModificationTime >= modifiedAfterMs =>
               val rel = st.getPath.toUri.getPath
                 .stripPrefix(qdirPath).stripPrefix("/")
-              // Hosts as the FS reports them (HDFS: datanodes; local:
-              // "localhost"; object stores: none or a placeholder) —
-              // the same contract Spark's FilePartition surfaces.
-              val hosts = st.getBlockLocations.toSeq
-                .flatMap(_.getHosts).distinct
-              buf += Fragment(journal, java.lang.Long.parseUnsignedLong(b, 16),
-                java.lang.Long.parseUnsignedLong(e, 16), sha, codec,
-                new HPath(dir, rel).toString, hosts)
+              // Only Hive-style `key=value` postfix directories may sit
+              // between the journal dir and its fragments: a NESTED
+              // journal ("a/b/c" under "a/b") also lives inside this
+              // subtree, and attributing its files to the parent would
+              // interleave two journals' offset spaces in one index
+              // (coverSet would then silently drop or mix bytes).
+              val interior = rel.split('/').dropRight(1)
+              if (interior.forall(_.contains('='))) {
+                // Hosts as the FS reports them (HDFS: datanodes; local:
+                // "localhost"; object stores: none or a placeholder) —
+                // the same contract Spark's FilePartition surfaces.
+                val hosts = st.getBlockLocations.toSeq
+                  .flatMap(_.getHosts).distinct
+                buf += Fragment(journal, java.lang.Long.parseUnsignedLong(b, 16),
+                  java.lang.Long.parseUnsignedLong(e, 16), sha, codec,
+                  new HPath(dir, rel).toString, hosts)
+              }
             case _ =>
           }
         }
@@ -639,16 +648,19 @@ object Journal {
         private def advance(): BinEnvelope = {
           val header = new Array[Byte](8)
           val got = in.readNBytes(header, 0, 8)
-          if (got == 0) null
-          else if (got < 8 || !header.startsWith(FixedFramingMagic))
+          if (got == 0) { in.close(); null } // EOF: release the FS stream
+          else if (got < 8 || !header.startsWith(FixedFramingMagic)) {
+            in.close()
             throw new java.io.IOException(
               s"invalid fixed-framing header at $offset in ${frag.path}")
-          else {
+          } else {
             val n = (header(4) & 0xff) | ((header(5) & 0xff) << 8) |
               ((header(6) & 0xff) << 16) | ((header(7) & 0xff) << 24)
             val payload = new Array[Byte](n)
-            if (in.readNBytes(payload, 0, n) != n)
+            if (in.readNBytes(payload, 0, n) != n) {
+              in.close()
               throw new java.io.IOException(s"truncated frame at $offset in ${frag.path}")
+            }
             val begin = offset
             offset += 8L + n
             BinEnvelope(frag.journal, begin, offset, payload)
@@ -688,31 +700,66 @@ object Journal {
     val preTarget = (if (from > frag.begin) from - 1 else from) - frag.begin
     var skipped = 0L
     while (skipped < preTarget) {
-      val n = in.skip(preTarget - skipped)
-      if (n <= 0) throw new java.io.IOException(s"cannot skip to $from in ${frag.path}")
+      val n = try in.skip(preTarget - skipped) catch {
+        case e: Throwable => in.close(); throw e
+      }
+      if (n <= 0) {
+        in.close()
+        throw new java.io.IOException(s"cannot skip to $from in ${frag.path}")
+      }
       skipped += n
     }
     var offset = from
     if (from > frag.begin) {
       val prev = in.read()
-      if (prev == -1) return Iterator.empty
+      if (prev == -1) { in.close(); return Iterator.empty }
       if (prev != '\n') {
         // Mid-record: discard through the partial record's terminator.
         var b = in.read()
         while (b != -1 && b != '\n') { offset += 1; b = in.read() }
-        if (b == -1) return Iterator.empty
+        if (b == -1) { in.close(); return Iterator.empty }
         offset += 1 // count the discarded record's '\n'
       }
     }
-    val reader = new java.io.BufferedReader(
-      new java.io.InputStreamReader(in, "UTF-8"), 1 << 16)
-    Iterator.continually(reader.readLine()).takeWhile(_ != null)
-      .map { line =>
+    // Strict '\n'-only framing with direct byte accounting — NOT
+    // BufferedReader.readLine, which also treats '\r'/'\r\n' as
+    // terminators: a payload ending in '\r' would then consume two
+    // terminator bytes while the offset advanced one, silently
+    // shifting every later begin/end in the fragment (offsets are the
+    // streaming checkpoint currency). Counting the raw bytes also
+    // avoids re-encoding each line to measure it. The iterator closes
+    // the stream itself on EVERY exit — end-of-fragment, the `to`
+    // bound (admission-controlled slices stop mid-file), or a torn
+    // unterminated tail (never committed, so never emitted).
+    val buf = new java.io.ByteArrayOutputStream(256)
+    val bound = to // inside Iterator, bare `to` resolves to IterableOnceOps.to
+    new Iterator[Envelope] with java.io.Closeable {
+      private var nextEnv: Envelope = _
+      private var done = false
+      private var fetched = false
+      override def close(): Unit = if (!done) { done = true; in.close() }
+      private def fetch(): Unit = {
+        if (done || fetched) return
+        if (offset >= bound) { close(); return }
+        buf.reset()
+        var b = in.read()
+        if (b == -1) { close(); return }
+        while (b != -1 && b != '\n') { buf.write(b); b = in.read() }
+        if (b == -1) { close(); return } // torn tail: never committed
         val begin = offset
-        offset += line.getBytes("UTF-8").length + 1
-        Envelope(frag.journal, begin, offset, line)
+        offset += buf.size() + 1
+        nextEnv = Envelope(frag.journal, begin, offset,
+          new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+        fetched = true
       }
-      .takeWhile(_.begin < to)
+      override def hasNext: Boolean = { fetch(); fetched }
+      override def next(): Envelope = {
+        fetch()
+        if (!fetched) throw new NoSuchElementException
+        fetched = false
+        nextEnv
+      }
+    }
   }
 
   /** Batch read: envelopes with exact uncompressed byte offsets.

@@ -69,18 +69,23 @@ class JournalDataSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    def opt(k: String): Option[String] =
-      // getTable properties preserve the caller's option-key case
-      Option(properties.get(k)).orElse(Option(properties.get(k.toLowerCase)))
+    // getTable properties preserve the caller's option-key case, but
+    // Spark options are conventionally case-insensitive — fold the map
+    // to lowercase keys once so .option("MaxBytesPerTrigger", …) is not
+    // silently ignored (admission control degrading with no error).
+    import scala.jdk.CollectionConverters._
+    val props = properties.asScala.map { case (k, v) => k.toLowerCase -> v }.toMap
+    def opt(k: String): Option[String] = props.get(k.toLowerCase)
     val roots = opt("roots").orElse(opt("root")).map(_.split(',').toSeq.map(_.trim))
     val postfix = {
       val re = """(?i)postfix\.(.+)\.(min|max|eq)""".r
-      import scala.jdk.CollectionConverters._
+      // From the ORIGINAL map: the embedded <key> names a directory
+      // segment, whose case is significant on the filesystem.
       properties.asScala.toSeq.collect {
         case (re(key, op), bound) => PostfixPredicate(key, op.toLowerCase, bound)
       }
     }
-    new JournalTable(roots.orNull, properties.get("journal"),
+    new JournalTable(roots.orNull, props.get("journal").orNull,
       opt("maxBytesPerTrigger").map(_.toLong),
       postfix, opt("codec").getOrElse("gz"),
       opt("listRefresh").exists(_.equalsIgnoreCase("incremental")))
@@ -187,7 +192,12 @@ class FragmentReaderFactory(hc: HadoopConf) extends PartitionReaderFactory {
       override def get(): InternalRow = InternalRow(
         UTF8String.fromString(cur.journal), cur.begin, cur.end,
         UTF8String.fromString(cur.payload))
-      override def close(): Unit = ()
+      // The slice iterator self-closes at its bound/EOF; this covers a
+      // task killed or limit-stopped before exhaustion.
+      override def close(): Unit = it match {
+        case c: java.io.Closeable => c.close()
+        case _ => ()
+      }
     }
   }
 }

@@ -90,9 +90,45 @@ class SpecTreeSpec extends AnyFunSuite {
     // the logs/app/ patch — env=prod flows to the new terminal.
     assert(cat.get("logs/app/d").get.labels.valueOf("env").contains("prod"))
 
-    val deleted = edited.patchIn(SpecNode("logs/app/a", delete = Some(true)))
-    assert(SpecTree.applyTo(deleted, cat).isRight)
+    // The first applyTo advanced every spec's revision, so re-applying
+    // the STALE tree is a genuine conflict — the CAS cycle must refuse
+    // it rather than silently overwrite.
+    val stale = edited.patchIn(SpecNode("logs/app/a", delete = Some(true)))
+    assert(SpecTree.applyTo(stale, cat).left.exists(_.contains("revision mismatch")))
+
+    // Proper read-modify-write: re-read, then edit, then apply.
+    val fresh = SpecTree.fromCatalog(cat)
+      .patchIn(SpecNode("logs/app/a", delete = Some(true)))
+    assert(SpecTree.applyTo(fresh, cat).isRight)
     assert(cat.get("logs/app/a").isEmpty)
+  }
+
+  test("fromCatalog on an empty catalog yields an empty tree; stores survive the round trip") {
+    val cat = new JournalCatalog
+    assert(SpecTree.fromCatalog(cat).terminals.isEmpty) // hoist must not reduce empty children
+    cat.upsert(JournalSpec("topic/a", stores = Vector("file:///tmp/s1", "file:///tmp/s2")))
+    val rt = SpecTree.fromCatalog(cat)
+    assert(SpecTree.applyTo(rt, cat).isRight)
+    assert(cat.get("topic/a").get.stores ==
+      Vector("file:///tmp/s1", "file:///tmp/s2"),
+      "fromCatalog -> applyTo must not wipe fragment stores")
+  }
+
+  test("patchIn: prefix-sharing sibling splices; dir patch unions without recursion") {
+    // "a/b" terminal + patch "a/bc": raw startsWith would descend into
+    // the terminal and fail its name require; must splice a sibling.
+    val t = SpecNode("a/", children = Vector(SpecNode("a/b")))
+    val t1 = t.patchIn(SpecNode("a/bc", SpecPatch(replication = 3)))
+    assert(t1.terminals.map(_.name) == Vector("a/b", "a/bc"))
+
+    // Directory-named patch: config unions onto the dir (and flows to
+    // descendants via pushDown) instead of recursing forever.
+    val t2 = t.patchIn(SpecNode("a/", SpecPatch(codec = "none")))
+    assert(t2.pushDown.terminals.find(_.name == "a/b").get.patch.codec == "none")
+    // ...and splicing a NEW directory patch terminates too.
+    val t3 = SpecNode("z/", children = Vector(SpecNode("z/x")))
+      .patchIn(SpecNode("a/", SpecPatch(codec = "snappy")))
+    assert(t3.children.map(_.name).contains("a/"))
   }
 
   test("sharedPrefix measures at '/' boundaries") {

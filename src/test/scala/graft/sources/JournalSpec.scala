@@ -38,6 +38,40 @@ class JournalSpec extends SparkSpec {
     assert(Journal.read(spark, root, "topic/a").count() == 1001)
   }
 
+  test("payloads ending in \\r keep exact offsets (strict \\n framing)") {
+    import spark.implicits._
+    val root = tmpRoot()
+    // BufferedReader.readLine would swallow '\r\n' as ONE terminator
+    // and drift every later offset; the strict framer must not.
+    val lines = Seq("plain", "trailing\r", "next", "inner\rkept", "last")
+    Journal.append(lines.toDF("payload").coalesce(1), root, "topic/cr",
+      codec = "none")
+    val envs = Journal.read(spark, root, "topic/cr").collect().sortBy(_.begin)
+    assert(envs.map(_.payload).toSeq == lines)
+    envs.foreach(e =>
+      assert(e.end - e.begin == e.payload.getBytes("UTF-8").length + 1))
+    // spans tile: begin of each record = end of the previous
+    envs.sliding(2).foreach {
+      case Array(x, y) => assert(x.end == y.begin)
+      case _ =>
+    }
+  }
+
+  test("listFragments does not attribute a nested journal's fragments to the parent") {
+    import spark.implicits._
+    val root = tmpRoot()
+    Journal.append((1 to 10).map(i => s"parent-$i").toDF("payload"), root, "a/b")
+    Journal.append((1 to 10).map(i => s"nested-$i").toDF("payload"), root, "a/b/c")
+    // Both journals read their own bytes only.
+    val parent = Journal.read(spark, root, "a/b").collect().map(_.payload)
+    val nested = Journal.read(spark, root, "a/b/c").collect().map(_.payload)
+    assert(parent.sorted.toSeq == (1 to 10).map(i => s"parent-$i").sorted)
+    assert(nested.sorted.toSeq == (1 to 10).map(i => s"nested-$i").sorted)
+    // ...and the parent's head is not inflated by the nested journal.
+    assert(Journal.head(Seq(root), "a/b") ==
+      parent.map(_.getBytes("UTF-8").length + 1).sum)
+  }
+
   test("every codec round-trips: none, gz, zst, sz") {
     import spark.implicits._
     Seq("none", "gz", "zst", "sz").foreach { codec =>
