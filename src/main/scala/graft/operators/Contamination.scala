@@ -25,10 +25,15 @@ object Contamination {
     * the report.
     */
   def ngramOverlap(docs: DataFrame, evalPred: Column => Column): DataFrame = {
-    val evalSh = docs.filter(evalPred(col("doc_id")))
+    // NULL-proof split: a predicate evaluating NULL would fail BOTH
+    // filters, silently excluding the doc from the eval set AND the
+    // training report — a decontamination gap. NULL counts as "not
+    // eval", keeping every doc on exactly one side.
+    val isEval = coalesce(evalPred(col("doc_id")), lit(false))
+    val evalSh = docs.filter(isEval)
       .select(col("doc_id").as("eval_doc"), explode(col("sh")).as("h"))
       .distinct()
-    val trainSh = docs.filter(!evalPred(col("doc_id")))
+    val trainSh = docs.filter(!isEval)
       .select(col("doc_id"), explode(col("sh")).as("h"))
     trainSh.join(broadcast(evalSh), "h")
       .groupBy(col("doc_id"))

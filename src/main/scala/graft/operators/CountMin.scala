@@ -34,7 +34,11 @@ object CountMin {
     require(d >= 1 && w >= 1, s"need d >= 1 rows and w >= 1 buckets, got d=$d w=$w")
     val rows = (0 until d).map(j =>
       struct(lit(j).as("j"), bucket(item, j, w).as("bucket")))
-    items.select(explode(array(rows: _*)).as("jb"))
+    // NULL items are excluded by contract: md5(NULL) is NULL, so their
+    // counts would land in NULL-bucket rows that estimate's equi-join
+    // could never re-find — an item with a huge true count estimating 0
+    // would break the CMS >= guarantee.
+    items.filter(item.isNotNull).select(explode(array(rows: _*)).as("jb"))
       .groupBy(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
       .agg(count(lit(1)).as("c"))
   }

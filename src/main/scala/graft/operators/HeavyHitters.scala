@@ -75,7 +75,10 @@ object HeavyHitters {
     val totRow = summary.filter($"token".isNull).agg(sum($"np")).head()
     val total = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
     // Materialize the (tiny) candidate set before dropping the pass-1
-    // cache, so pass 2's broadcast doesn't silently re-run pass 1.
+    // cache, so pass 2's broadcast doesn't silently re-run pass 1. The
+    // returned frame reads `cands` lazily, so its release belongs to
+    // the caller / harness cache clear — same contract as bm25TopK's
+    // scored table (≤ (k-1)·partitions rows held, not corpus-sized).
     val cands = summary.filter($"token".isNotNull).select($"token").distinct().persist()
     cands.count()
     summary.unpersist()

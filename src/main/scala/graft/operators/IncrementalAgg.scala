@@ -29,8 +29,13 @@ object IncrementalAgg {
     val fb = side(b, +1)
     // Full-outer on key; a row survives the filter iff it is added,
     // removed, or changed — each surviving side contributes its sign.
+    // Null-SAFE fingerprint compare: md5 of a NULL payload is NULL, and
+    // a plain =!= would evaluate NULL on a one-sided-null pair — the
+    // filter would drop it and the delta would miss the change
+    // (SnapshotDiff uses <=> for exactly this case).
     val j = fa.as("a").join(fb.as("b"), col("a.k") === col("b.k"), "full_outer")
-      .filter(col("a.k").isNull || col("b.k").isNull || col("a.fp") =!= col("b.fp"))
+      .filter(col("a.k").isNull || col("b.k").isNull ||
+        !(col("a.fp") <=> col("b.fp")))
     // Both sides' contributions in ONE pass over the join (a unionAll
     // of two filtered branches would re-run the join per branch —
     // Spark has no cross-branch plan reuse).

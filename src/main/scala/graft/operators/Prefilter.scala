@@ -26,7 +26,24 @@ object Prefilter {
   def bloomSemiJoin(fact: DataFrame, factKey: Column,
       dim: DataFrame, dimKey: Column, fpp: Double = 0.01): DataFrame = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    // Fail fast on non-integral keys: a string key would cast to NULL
+    // row by row, the bloom filter would be built over nothing, and
+    // the join would silently return empty (the trap TemporalJoins.asOf
+    // guards with the same check).
+    locally {
+      import org.apache.spark.sql.types._
+      for ((df, k, role) <- Seq((dim, dimKey, "dimKey"), (fact, factKey, "factKey"))) {
+        val dt = df.select(k).schema.head.dataType
+        require(dt == LongType || dt == IntegerType || dt == ShortType || dt == ByteType,
+          s"bloomSemiJoin $role must be integral, got $dt — hash non-numeric keys first")
+      }
+    }
+    // Persisted: the dim pipeline — "the output of an arbitrary
+    // computation", the operator's stated motivation — is consumed by
+    // THREE actions/plans (count, bloomFilter aggregate, semi-join);
+    // unpersisted it would run three times.
     val keys = dim.select(dimKey.cast("long").as("__key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // One pass over the dim side builds the filter; expectedNumItems
     // from a cheap count keeps the sizing honest as the dim side grows.
     val n = math.max(1L, keys.count())
@@ -34,6 +51,7 @@ object Prefilter {
     val bloomB = fact.sparkSession.sparkContext.broadcast(bloom)
     val might = udf((k: Long) => bloomB.value.mightContainLong(k))
     fact.filter(might(factKey.cast("long")))
-      .join(keys.distinct(), factKey.cast("long") === col("__key"), "leftsemi")
+      // leftsemi dedups the probe side itself — no distinct() needed.
+      .join(keys, factKey.cast("long") === col("__key"), "leftsemi")
   }
 }

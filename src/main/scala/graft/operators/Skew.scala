@@ -22,7 +22,15 @@ object Skew {
       keys: Seq[Column],
       salts: Int)(
       partial: Seq[Column], merge: Seq[Column]): DataFrame = {
-    val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    // The salt MUST be deterministic per row content: partition-id +
+    // monotonic-id change when a lost task recomputes with a different
+    // upstream row order, so rows would re-shuffle to DIFFERENT
+    // (key, salt) reduce partitions mid-stage and be double-counted or
+    // lost (the SPARK-23207 failure class). Content hashing is stable
+    // under recompute; identical duplicate rows sharing a salt only
+    // skews the PARTIAL aggregation, which merge repairs.
+    val salted = df.withColumn("__salt",
+      pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(salts)))
     salted
       .groupBy(keys :+ col("__salt"): _*)
       .agg(partial.head, partial.tail: _*)
@@ -42,6 +50,12 @@ object Skew {
     * The big side's salt only needs to be uniform — it is derived by
     * hashing the whole row (via all columns), so the operator needs no
     * unique-id column and stays deterministic per row content.
+    *
+    * Known limitation: EXACT duplicate rows share one salt, so a hot
+    * key made of repeated identical rows still lands on one reducer.
+    * A nondeterministic per-row salt is NOT a safe fix (recompute
+    * would re-salt rows mid-stage — see saltedAgg); dedupe or add a
+    * distinguishing column upstream instead.
     */
   def saltedJoin(
       big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {

@@ -85,6 +85,10 @@ object TemporalJoins {
   def rangeJoinBucketed(points: DataFrame, t: Column,
       intervals: DataFrame, t0: Column, t1: Column,
       bucketNs: Long): DataFrame = {
+    // bucketNs = 0 would NULL every bucket (non-ANSI div-by-zero) and
+    // the join would silently return empty; negative inverts sequence
+    // bounds and drops coverage.
+    require(bucketNs > 0, s"bucketNs must be positive, got $bucketNs")
     // Integer floor-div via decimal: `/` on long Columns is DOUBLE
     // division, and ns-scale epochs (~1.7e18) exceed a double's 2^53
     // exact-integer range — floor(double) would misbucket.

@@ -30,6 +30,16 @@ object ZOrder {
     val d = dims.length
     val maxRank = (1L << bits) - 1
     require(bits * d <= 62, s"$d dims at $bits bits overflow a long")
+    // (x - mn) * maxRank must stay in Long for the integer-exact claim:
+    // a wrapped product would bleed garbage bits into every dim's
+    // interleave slots (and diverge from DuckDB's exact //). Literal
+    // bounds are checked here; data-derived bounds at withZValue.
+    for ((name, mn, mx) <- dims) {
+      val (mnL, mxL) = (mn.toLongOption, mx.toLongOption)
+      if (mnL.isDefined && mxL.isDefined)
+        require(mxL.get - mnL.get <= Long.MaxValue / math.max(1L, maxRank),
+          s"dim $name range ${mxL.get - mnL.get} overflows rank scaling at $bits bits")
+    }
     def idiv(a: String, b: String) = if (duck) s"(($a) // ($b))" else s"(($a) div ($b))"
     def shr(a: String, n: Int) = if (duck) s"(($a) >> $n)" else s"shiftright($a, $n)"
     def shl(a: String, n: Int) = if (duck) s"(($a) << $n)" else s"shiftleft($a, $n)"
@@ -94,6 +104,8 @@ object ZOrder {
     require(dims.length == 2, s"hilbert2 is 2-D, got ${dims.length} dims")
     dims.foreach { case (x, mn, mx) =>
       require(mx > mn, s"degenerate dimension range [$mn,$mx] for $x")
+      require(mx - mn <= Long.MaxValue / math.max(1L, (1L << bits) - 1),
+        s"dim $x range ${mx - mn} overflows rank scaling at $bits bits")
     }
     val ranks = dims.map { case (x, mn, mx) =>
       expr(rankSql(x, mn.toString, mx.toString, bits, duck = false))
