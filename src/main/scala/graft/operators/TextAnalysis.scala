@@ -345,7 +345,12 @@ object TextAnalysis {
       "\\b(" + words.keys.toSeq.sorted.mkString("|") + ")\\b")
     udf { t: String =>
       val counts = new Array[Int](5)
-      val m = pattern.matcher(t.toLowerCase)
+      // Locale.ROOT: a Turkish-locale executor JVM would dot-fold "is"
+      // -> "ıs" and lose stopword hits, diverging from the oracle's
+      // locale-independent lower(). Null text classifies as "en" (all
+      // counts zero) instead of NPEing the task.
+      val low = if (t == null) "" else t.toLowerCase(java.util.Locale.ROOT)
+      val m = pattern.matcher(low)
       while (m.find()) words(m.group(1)).foreach(li => counts(li) += 1)
       val Array(en, de, es, fr, zh) = counts
       if (en >= de && en >= es && en >= fr && en >= zh) "en"

@@ -67,6 +67,13 @@ object AnalyticOps {
     // percentile. Extraction (cumulative walk to rank ceil(q·n), then
     // the bucket midpoint 2γ^b/(γ+1)) stays in the plan: explode the
     // sketch, one window cumsum, conditional-min the crossing bucket.
+    // KNOWN cross-engine limit (exception to the libm-free rule): the
+    // bucket index is ceil(ln v / ln γ), so a value whose log ratio
+    // straddles an ulp boundary can land in adjacent buckets on JVM
+    // vs DuckDB libm, shifting a quantile by one bucket (≈2α). That
+    // sits inside DDSketch's own ±α accuracy contract — an
+    // integer-exact replay would need correctly-rounded logs on both
+    // engines, which neither guarantees.
     "q113_ddsketch_quantiles" -> { (s, d) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window

@@ -665,7 +665,7 @@ object CorpusOps {
     "q94_bin_packing" ->
       """WITH RECURSIVE t AS (
         |  SELECT doc_id, doc_id % 32 AS shard,
-        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n
+        |    CAST(len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS BIGINT) AS n
         |  FROM documents),
         |r AS (
         |  SELECT doc_id, shard, n,
@@ -762,7 +762,7 @@ object CorpusOps {
     "q54_seq_packing" ->
       """WITH t AS (
         |  SELECT doc_id, doc_id % 8 AS shard,
-        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |    CAST(len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, shard, n_tokens,
@@ -1045,7 +1045,7 @@ object CorpusOps {
     "q149_token_waterfill" ->
       """WITH caps AS (
         |  SELECT source,
-        |    CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS cap,
+        |    CAST(sum(len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+'))) AS BIGINT) AS cap,
         |    CAST(1 + CAST(substr(source, 4) AS INT) % 5 AS BIGINT) AS w
         |  FROM documents GROUP BY source),
         |staged AS (

@@ -18,6 +18,25 @@ import graft.operators.{Dedup, Similarity, TextAnalysis}
   */
 object PipelineOps {
 
+  /** Deterministic per-dataset index root, recreated per invocation —
+    * Files.createTempDirectory leaked a full index copy (for IVF, the
+    * whole corpus) into /tmp on every run; one stable path per
+    * (dataset, kind) is rewritten in place instead (StreamOps' journal
+    * root pattern).
+    */
+  private def indexDir(sfDir: String, kind: String): String = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft-$kind-${sfDir.replaceAll("[^A-Za-z0-9]", "_")}")
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+      finally s.close()
+    }
+    p.toString
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- q18: token counting.
     "q18_token_stats" -> { (s, d) =>
@@ -200,7 +219,7 @@ object PipelineOps {
     "q85_ann_ivf_at_rest" -> { (s, d) =>
       import s.implicits._
       val emb = Tables.embeddings(s, d)
-      val idx = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+      val idx = indexDir(d, "ivf")
       Similarity.ivfBuildIndex(emb, idx, nlist = 16)
       Similarity.ivfProbeIndex(s, idx, emb.filter($"vec_id" < 10),
           k = 5, nprobe = 4)
@@ -224,7 +243,7 @@ object PipelineOps {
     "q86_pq_at_rest" -> { (s, d) =>
       import s.implicits._
       val emb = Tables.embeddings(s, d)
-      val idx = java.nio.file.Files.createTempDirectory("graft-pq").toString
+      val idx = indexDir(d, "pq")
       Similarity.pqBuildIndex(emb, idx)
       Similarity.pqProbeIndex(s, idx, emb.filter($"vec_id" < 10), kTop = 5)
         .select($"probe_id", $"vec_id", $"adc", $"rank")
@@ -237,7 +256,7 @@ object PipelineOps {
     "q87_ivfpq_at_rest" -> { (s, d) =>
       import s.implicits._
       val emb = Tables.embeddings(s, d)
-      val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+      val idx = indexDir(d, "ivfpq")
       Similarity.ivfPqBuildIndex(emb, idx)
       Similarity.ivfPqProbeIndex(s, idx, emb.filter($"vec_id" < 10),
           kTop = 5, nprobe = 4)
@@ -314,21 +333,15 @@ object PipelineOps {
     }
   )
 
-  /** CTE chain ending in `neardup(da, db, jaccard)` — the exact-Jaccard
-    * near-dup pairs (da < db, jaccard >= `threshold`) over `documents`.
-    * Shared by the q24/q25 oracles, CurationOps' q47 cluster oracle
-    * (which extends it with a recursive closure), and ScaleOps' q67
-    * prefix-filter oracle (different threshold).
-    */
   /** DuckDB replay of [[graft.operators.TextAnalysis.qualityScore]]
     * (shared by q19 and q128's keep-best epilogue). */
   private[queries] val qualitySqlExpr: String =
     """round(
-      |  least(1.0, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 50.0) * 0.5
+      |  least(1.0, CAST(len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS DOUBLE) / 50.0) * 0.5
       |  + (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
       |      / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.3
       |  + least(1.0, CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|is)\b')) AS DOUBLE)
-      |      / greatest(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0) * 5.0) * 0.2,
+      |      / greatest(CAST(len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS DOUBLE), 1.0) * 5.0) * 0.2,
       |  4)""".stripMargin
 
   private[queries] def nearDupCtes(where: String, threshold: Double = 0.85) =
@@ -378,10 +391,6 @@ object PipelineOps {
        |WHERE bit_count(xor(a.sm, b.sm)) <= 6""".stripMargin
   }
 
-  /** q28 oracle: sign-LSH bucketing with the SAME seeded hyperplanes as
-    * [[Similarity.lshTopK]], emitted as SQL double literals (shortest
-    * repr round-trips exactly), then exact within-bucket cosine top-k.
-    */
   /** Shared CTE prefix for the sign-LSH oracles: `e(vec_id, v)` the
     * cast corpus, `b` with the 6-plane bucket id, `p` the probe set —
     * the same seeded hyperplanes as [[Similarity.lshTopK]] (double
@@ -468,10 +477,6 @@ object PipelineOps {
   private def lshNearDupOracle: String =
     s"WITH $lshNearDupCtes\nSELECT va, vb, sim FROM embdup"
 
-  /** q38 oracle: the IVF pipeline in SQL — md5-ordered centroid sample,
-    * unit-normalized centroids, argmax-dot cell assignment, nprobe=4
-    * probe fan-out, exact cosine top-k within probed cells.
-    */
   /** Shared CTE prefix for the IVF oracles: md5-sampled centroids,
     * per-vector cell ranking, and `corpus(vec_id, v, cell)` — the
     * argmax-1 assignment [[Similarity.ivfCentroids]]/`nearestCellUdf`
@@ -620,7 +625,7 @@ object PipelineOps {
   def oracleSql: Map[String, String] = Map(
     "q18_token_stats" ->
       """SELECT doc_id,
-        |  len(regexp_extract_all(text, '\S+')) AS n_tokens,
+        |  len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS n_tokens,
         |  len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
         |  length(text) AS n_chars_actual
         |FROM documents""".stripMargin,
@@ -641,7 +646,7 @@ object PipelineOps {
       """SELECT doc_id,
         |  len(regexp_extract_all(text,
         |    '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\x0B\f\r\p{L}\p{N}]+|[ \t\n\x0B\f\r]+')) AS n_bpe,
-        |  len(regexp_extract_all(text, '\S+')) AS n_ws
+        |  len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS n_ws
         |FROM documents""".stripMargin,
 
     "q19_quality_score" ->
@@ -660,7 +665,7 @@ object PipelineOps {
          |FROM h GROUP BY 1, 2""".stripMargin,
 
     "q21_fingerprint" ->
-      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
 
     "q22_dedup_events" ->

@@ -104,7 +104,7 @@ object Relational {
       val o = Tables.orders(s, d).select($"o_custkey".as("c_custkey"))
       c.join(o, Seq("c_custkey"), "left_semi")
         .groupBy($"c_mktsegment")
-        .agg(count(lit(1)).as("n_active"), round(sum($"c_acctbal".cast("decimal(38,6)")).cast("double"), 2).as("sum_bal"))
+        .agg(count(lit(1)).as("n_active"), dsum($"c_acctbal").as("sum_bal"))
     },
     "q06_customers_without_orders" -> { (s, d) =>
       import s.implicits._
@@ -222,8 +222,7 @@ object Relational {
       c.join(broadcast(na), $"c_nationkey" === $"n_nationkey")
         .join(broadcast(re), $"n_regionkey" === $"r_regionkey")
         .rollup($"r_name", $"n_name")
-        .agg(count(lit(1)).as("n_customers"),
-             round(sum($"c_acctbal".cast("decimal(38,6)")).cast("double"), 2).as("sum_bal"))
+        .agg(count(lit(1)).as("n_customers"), dsum($"c_acctbal").as("sum_bal"))
     },
 
     // ---- q13: correlated-style aggregate filter: orders above their
@@ -231,8 +230,12 @@ object Relational {
     "q13_above_avg_orders" -> { (s, d) =>
       import s.implicits._
       val o = Tables.orders(s, d)
+      // Decimal-exact average (q106's discipline): a plain double avg
+      // merges partial sums in partition order, and a row within an
+      // ulp of avg*1.5 could flip between engines.
       val avgs = o.groupBy($"o_custkey".as("k"))
-        .agg(avg($"o_totalprice").as("avg_price"))
+        .agg((sum($"o_totalprice".cast("decimal(38,6)")).cast("double")
+          / count(lit(1))).as("avg_price"))
       o.join(avgs, $"o_custkey" === $"k")
         .filter($"o_totalprice" > $"avg_price" * 1.5)
         .select($"o_orderkey", $"o_custkey", round($"o_totalprice", 2).as("o_totalprice"))
@@ -422,7 +425,9 @@ object Relational {
     "q13_above_avg_orders" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
         |FROM orders o
-        |JOIN (SELECT o_custkey AS k, avg(o_totalprice) AS avg_price
+        |JOIN (SELECT o_custkey AS k,
+        |        CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+        |          / count(*) AS avg_price
         |      FROM orders GROUP BY o_custkey) a ON o.o_custkey = a.k
         |WHERE o_totalprice > avg_price * 1.5""".stripMargin,
 

@@ -126,7 +126,10 @@ object StreamOps {
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
+      // Files.walk holds open DirectoryStreams until close() — without
+      // it each invocation leaks directory FDs until finalization.
+      val s = Files.walk(p)
+      try s.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      finally s.close()
     }
 }
