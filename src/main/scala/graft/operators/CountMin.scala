@@ -43,6 +43,22 @@ object CountMin {
       .agg(count(lit(1)).as("c"))
   }
 
+  /** Sketch from a PRE-AGGREGATED (item, n) count table — identical
+    * counters to [[sketch]] over the expanded occurrence rows, at
+    * vocab-sized input (callers that already hold counts shouldn't
+    * materialize the per-occurrence explode just to re-count it).
+    */
+  def sketchCounts(counts: DataFrame, item: Column, n: Column,
+      d: Int, w: Int): DataFrame = {
+    require(d >= 1 && w >= 1, s"need d >= 1 rows and w >= 1 buckets, got d=$d w=$w")
+    val rows = (0 until d).map(j =>
+      struct(lit(j).as("j"), bucket(item, j, w).as("bucket"),
+        n.cast("long").as("c")))
+    counts.filter(item.isNotNull).select(explode(array(rows: _*)).as("jb"))
+      .groupBy(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+      .agg(sum(col("jb.c")).as("c"))
+  }
+
   /** Point estimates for `probes` (any DataFrame with distinct `item`
     * values): (item, est) with est = min over rows of the probed
     * counter, 0 when a row's bucket is empty. The probe is a hash join

@@ -78,6 +78,11 @@ object ClusterOps {
         .select($"lang", $"doc_id",
           (conv(substring(md5($"text"), 1, 8), 16, 10).cast("long")
             / lit(4294967296.0)).as("u"))
+        // KMV sketches DISTINCT hash values: duplicate texts share a u,
+        // and letting both occupy sketch slots pulls u_k below the true
+        // k-th distinct hash — overestimating est = (k-1)/u_k and
+        // double-counting on merge (KmvOverlap's groupBy(src, u) rule).
+        .groupBy($"lang", $"u").agg(min($"doc_id").as("doc_id"))
         .groupBy($"lang")
         .agg(topk(-$"u", $"doc_id").as("sk"))
         .select($"lang",
@@ -99,13 +104,17 @@ object ClusterOps {
     // sketch's documented ε·N error at this width.
     "q96_count_min" -> { (s, d) =>
       import s.implicits._
-      val toks = Tables.documents(s, d)
+      // Persist the VOCAB-sized count table, not the per-occurrence
+      // explode (hellingerBySource's cache-sizing doctrine): both
+      // consumers — the sketch and the exact truth — only need counts,
+      // and sketchCounts folds them in by weight.
+      val counts = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .select(explode(TextAnalysis.wordTokens($"text")).as("tok"))
+        .groupBy($"tok").agg(count(lit(1)).as("n_true"))
         .persist()
-      val sk = CountMin.sketch(toks, $"tok", d = 4, w = 1024)
-      val truth = toks.groupBy($"tok").agg(count(lit(1)).as("n_true"))
-        .filter($"n_true" >= 50)
+      val sk = CountMin.sketchCounts(counts, $"tok", $"n_true", d = 4, w = 1024)
+      val truth = counts.filter($"n_true" >= 50)
       CountMin.estimate(sk, truth.select($"tok"), $"tok", d = 4, w = 1024)
         .join(truth, $"item" === $"tok")
         .select($"tok", $"n_true", $"est".as("n_est"))
@@ -327,9 +336,11 @@ object ClusterOps {
          |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4""".stripMargin,
 
     "q63_kmv_sketch" ->
-      s"""WITH u AS (SELECT lang, doc_id,
+      s"""WITH u0 AS (SELECT lang, doc_id,
          |    ('0x' || substr(md5(text), 1, 8))::UBIGINT / 4294967296.0 AS u
          |  FROM documents),
+         |u AS (SELECT lang, u, min(doc_id) AS doc_id
+         |  FROM u0 GROUP BY lang, u),
          |r AS (SELECT lang, u,
          |    row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rn
          |  FROM u)

@@ -218,18 +218,27 @@ object CurationOps {
     }
   )
 
+  /** Shared recursive-closure CTEs over `neardup(da, db, ...)`:
+    * `edges` (symmetric) and `reach(a, b)` (transitive neighbors,
+    * self-loop-pruned). ONE definition — q47/q128/q134/q138/q142 all
+    * assume the SAME cluster semantics, so the closure must not drift
+    * between their oracles (nearDupCtes' rationale, extended).
+    */
+  private val closureCtes: String =
+    """edges AS (SELECT da AS a, db AS b FROM neardup
+      |          UNION SELECT db, da FROM neardup),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+      |    WHERE e.b <> r.a)""".stripMargin.replace("\n", "\n         |")
+
   def oracleSql: Map[String, String] = Map(
     // Recursive closure over the shared near-dup pair CTEs: reach(a,b)
     // = transitive neighbors; canonical = least(self, min reachable).
     "q47_dedup_clusters" ->
       s"""WITH RECURSIVE ${PipelineOps.nearDupCtes("")},
-         |edges AS (SELECT da AS a, db AS b FROM neardup
-         |          UNION SELECT db, da FROM neardup),
-         |reach(a, b) AS (
-         |  SELECT a, b FROM edges
-         |  UNION
-         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-         |    WHERE e.b <> r.a)
+         |${closureCtes}
          |SELECT a AS doc_id, least(a, min(b)) AS canonical_id
          |FROM reach GROUP BY a""".stripMargin,
 
@@ -237,13 +246,7 @@ object CurationOps {
     // the member with max quality (ties to the smaller doc_id).
     "q128_canonical_docs" ->
       s"""WITH RECURSIVE ${PipelineOps.nearDupCtes("")},
-         |edges AS (SELECT da AS a, db AS b FROM neardup
-         |          UNION SELECT db, da FROM neardup),
-         |reach(a, b) AS (
-         |  SELECT a, b FROM edges
-         |  UNION
-         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-         |    WHERE e.b <> r.a)
+         |${closureCtes}
          |, cl AS (
          |  SELECT a AS doc_id, least(a, min(b)) AS cluster
          |  FROM reach GROUP BY a),
@@ -275,13 +278,7 @@ object CurationOps {
     // integer sums (oracle rulebook #1).
     "q134_curation_pipeline" ->
       s"""WITH RECURSIVE ${PipelineOps.nearDupCtes("")},
-         |edges AS (SELECT da AS a, db AS b FROM neardup
-         |          UNION SELECT db, da FROM neardup),
-         |reach(a, b) AS (
-         |  SELECT a, b FROM edges
-         |  UNION
-         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-         |    WHERE e.b <> r.a)
+         |${closureCtes}
          |, cl AS (
          |  SELECT a AS doc_id, least(a, min(b)) AS cluster
          |  FROM reach GROUP BY a),
@@ -395,7 +392,10 @@ object CurationOps {
         |    SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS w,
         |      (('0x' || substr(md5('ws42' || doc_id::VARCHAR), 1, 8))::UBIGINT
         |        + 1) / 4294967296.0 AS u
-        |    FROM documents) t) r
+        |    -- weightedSample's w > 0 contract: a zero/NULL weight must
+        |    -- not enter the race (ln(u)/0 is NULL here, which sorts
+        |    -- LAST and could pad short groups with rows Spark drops)
+        |    FROM documents WHERE n_chars > 0) t) r
         |WHERE rank <= 5""".stripMargin,
 
     "q52_text_clean" ->
@@ -485,13 +485,7 @@ object CurationOps {
     // cumulative-stage conditional counts.
     "q142_funnel_audit" ->
       s"""WITH RECURSIVE ${PipelineOps.nearDupCtes("")},
-         |edges AS (SELECT da AS a, db AS b FROM neardup
-         |          UNION SELECT db, da FROM neardup),
-         |reach(a, b) AS (
-         |  SELECT a, b FROM edges
-         |  UNION
-         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-         |    WHERE e.b <> r.a)
+         |${closureCtes}
          |, cl AS (
          |  SELECT a AS doc_id, least(a, min(b)) AS cluster
          |  FROM reach GROUP BY a),
@@ -520,13 +514,7 @@ object CurationOps {
     // band replays q49's md5 formula over the CLUSTER key.
     "q138_leak_safe_split" ->
       s"""WITH RECURSIVE ${PipelineOps.nearDupCtes("")},
-         |edges AS (SELECT da AS a, db AS b FROM neardup
-         |          UNION SELECT db, da FROM neardup),
-         |reach(a, b) AS (
-         |  SELECT a, b FROM edges
-         |  UNION
-         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-         |    WHERE e.b <> r.a),
+         |${closureCtes},
          |cl AS (
          |  SELECT a AS doc_id, least(a, min(b)) AS cluster
          |  FROM reach GROUP BY a),

@@ -18,6 +18,39 @@ object ScaleOps {
     * definition so the four graph queries (and their oracle CTEs)
     * cannot drift apart.
     */
+  /** Shared oracle CTEs for the co-purchase pair graph — `li` and the
+    * canonical `pairs(u, v)` — mirroring [[coPurchasePairs]] so the
+    * Scala helper and the four graph oracles (q95/q99/q105/q110)
+    * cannot drift apart. `mat` marks them MATERIALIZED for oracles
+    * whose unrolled chains re-read `pairs` many times.
+    */
+  /** The epoch-day expression both curve keys (q70/q91) quantize —
+    * one definition so the two layouts stay on the same grid.
+    */
+  private val OrderDayExpr =
+    "unix_millis(cast(o_orderdate as timestamp)) div 86400000"
+
+  /** (custkey min, custkey max, day min, day max) — the shared bounds
+    * pull for the curve keys (one 1-row driver action).
+    */
+  private def orderCurveBounds(orders: DataFrame): IndexedSeq[Long] = {
+    import org.apache.spark.sql.functions.{expr, max, min}
+    val r = orders.agg(
+      min(expr("o_custkey")), max(expr("o_custkey")),
+      min(expr(OrderDayExpr)), max(expr(OrderDayExpr))).head()
+    (0 to 3).map(r.getLong)
+  }
+
+  private def coPurchaseCtes(mat: Boolean = false): String = {
+    val m = if (mat) " MATERIALIZED" else ""
+    s"""li AS$m (
+       |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 25),
+       |pairs AS$m (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)""".stripMargin
+  }
+
   private def coPurchasePairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, d).filter($"l_quantity" >= 25)
@@ -86,14 +119,10 @@ object ScaleOps {
     "q70_zorder_key" -> { (s, d) =>
       import s.implicits._
       val orders = Tables.orders(s, d)
-      val stats = orders.agg(
-        min($"o_custkey"), max($"o_custkey"),
-        min(expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")),
-        max(expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000"))).head()
+      val b = orderCurveBounds(orders)
       val dims = Seq(
-        ("o_custkey", stats.getLong(0).toString, stats.getLong(1).toString),
-        ("unix_millis(cast(o_orderdate as timestamp)) div 86400000",
-          stats.getLong(2).toString, stats.getLong(3).toString))
+        ("o_custkey", b(0).toString, b(1).toString),
+        (OrderDayExpr, b(2).toString, b(3).toString))
       orders.select($"o_orderkey",
         expr(ZOrder.zSql(dims, bits = 16, duck = false)).as("zv"))
     },
@@ -107,19 +136,13 @@ object ScaleOps {
     "q91_hilbert_key" -> { (s, d) =>
       import s.implicits._
       val orders = Tables.orders(s, d)
-      val stats = orders.agg(
-        min($"o_custkey"), max($"o_custkey"),
-        min(expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")),
-        max(expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000"))).head()
+      val b = orderCurveBounds(orders)
       orders.select($"o_orderkey",
         graft.functions.F.hilbert2(
           expr(ZOrder.rankSql("o_custkey",
-            stats.getLong(0).toString, stats.getLong(1).toString,
-            bits = 16, duck = false)),
-          expr(ZOrder.rankSql(
-            "unix_millis(cast(o_orderdate as timestamp)) div 86400000",
-            stats.getLong(2).toString, stats.getLong(3).toString,
-            bits = 16, duck = false)),
+            b(0).toString, b(1).toString, bits = 16, duck = false)),
+          expr(ZOrder.rankSql(OrderDayExpr,
+            b(2).toString, b(3).toString, bits = 16, duck = false)),
           bits = 16).as("hv"))
     },
 
@@ -186,7 +209,12 @@ object ScaleOps {
     // textbook Pregel shape, replayed by a recursive-CTE oracle.
     "q105_bfs_khop" -> { (s, d) =>
       import s.implicits._
+      // Persisted (q99's discipline): seeds derive from the same frame
+      // Bfs caches internally — unpersisted, the lineitem self-join +
+      // distinct (the dominant cost) would run once for the seed pull
+      // and again to fill the BFS edge cache.
       val edges = coPurchaseEdges(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val seeds = edges.select($"src".as("node")).distinct()
         .orderBy($"node".asc).limit(3)
       Bfs.distances(edges, seeds, maxHops = 3)
@@ -364,12 +392,8 @@ object ScaleOps {
     // into one BIGINT; each triangle closes once at its okey-least
     // vertex, then credits all three corners.
     "q95_triangle_counts" ->
-      """WITH li AS (
-        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 25),
-        |e AS (
-        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-        |  FROM li a JOIN li b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      s"""WITH ${coPurchaseCtes()},
+        |e AS (SELECT u, v FROM pairs),
         |deg AS (SELECT n, count(*) AS d FROM (
         |  SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
         |k AS (SELECT n, d * 1000000000 + n AS okey FROM deg),
@@ -388,12 +412,7 @@ object ScaleOps {
 
     // Two unrolled LPA rounds, same (count DESC, label ASC) vote.
     "q99_label_propagation" ->
-      """WITH li AS (
-        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 25),
-        |pairs AS (
-        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-        |  FROM li a JOIN li b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      s"""WITH ${coPurchaseCtes()},
         |e AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
         |l0 AS (SELECT DISTINCT u AS node, u AS label FROM e),
         |v1 AS (
@@ -413,12 +432,7 @@ object ScaleOps {
     // The recursive walk generates every (node, dist<=3) discovery;
     // UNION dedup bounds it by 4|V|, min(dist) recovers BFS layers.
     "q105_bfs_khop" ->
-      """WITH RECURSIVE li AS (
-        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 25),
-        |pairs AS (
-        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-        |  FROM li a JOIN li b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      s"""WITH RECURSIVE ${coPurchaseCtes()},
         |e AS (SELECT u AS src, v AS dst FROM pairs
         |      UNION ALL SELECT v, u FROM pairs),
         |seeds AS (SELECT src AS node FROM e GROUP BY src
@@ -448,12 +462,7 @@ object ScaleOps {
            |  SELECT e.src, e.dst FROM e${i - 1} e
            |  JOIN k$i a ON e.src = a.node
            |  JOIN k$i b ON e.dst = b.node)""".stripMargin
-      s"""WITH li AS MATERIALIZED (
-        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 25),
-        |pairs AS MATERIALIZED (
-        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-        |  FROM li a JOIN li b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      s"""WITH ${coPurchaseCtes(mat = true)},
         |e0 AS MATERIALIZED (
         |  SELECT u AS src, v AS dst FROM pairs
         |  UNION ALL SELECT v, u FROM pairs),
