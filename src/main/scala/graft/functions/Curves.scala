@@ -12,6 +12,13 @@ object Curves {
 
   /** Hilbert index of grid cell (x, y), each in [0, 2^bits). */
   def hilbert2(xIn: Long, yIn: Long, bits: Int): Long = {
+    // bits > 31 overflows the s·s·3 accumulator term (3·2^62 wraps
+    // negative) — a curve key that silently DESTROYS clustering
+    // instead of failing; out-of-range coordinates corrupt the walk
+    // the same way. Callers quantize into [0, 2^bits) via rankSql.
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    require(xIn >= 0 && xIn < (1L << bits) && yIn >= 0 && yIn < (1L << bits),
+      s"coordinates ($xIn, $yIn) outside [0, 2^$bits)")
     val n1 = (1L << bits) - 1L
     var x = xIn
     var y = yIn

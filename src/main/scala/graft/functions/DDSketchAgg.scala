@@ -48,7 +48,12 @@ object DDSketchAgg {
     def zero: Sketch = Sketch(Map.empty, 0L, Map.empty)
 
     def reduce(b: Sketch, x: Double): Sketch =
-      if (x > 0.0) {
+      // Non-finite inputs are excluded: NaN fails both sign tests and
+      // would silently count into the ZERO store (biasing every
+      // quantile toward 0), and ±Infinity would bucket at Int.MaxValue.
+      // Standard DDSketch implementations likewise reject non-finite.
+      if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) b
+      else if (x > 0.0) {
         val i = index(x)
         b.copy(pos = b.pos.updated(i, b.pos.getOrElse(i, 0L) + 1L))
       } else if (x < 0.0) {
@@ -78,6 +83,7 @@ object DDSketchAgg {
     * rank = ceil(q·n) over the neg-desc → zero → pos-asc walk.
     */
   def quantile(gamma: Double, s: Sketch, q: Double): Double = {
+    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1], got $q")
     val n = s.total
     require(n > 0, "empty sketch")
     val rank = math.max(1L, math.ceil(q * n).toLong)

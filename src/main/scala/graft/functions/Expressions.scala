@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -105,6 +106,22 @@ case class Crc64Update(left: Expression, right: Expression)
   * silently, never error).
   */
 private[functions] object VecKernels {
+  /** Analysis-time input check shared by the vec_* expressions: a bad
+    * argument type should fail BEFORE the job launches, not as a
+    * per-task exception from `suffix` on first evaluation.
+    */
+  def checkVecInputs(name: String, es: Expression*): TypeCheckResult = {
+    val bad = es.find(e => e.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => false
+      case _ => true
+    })
+    bad match {
+      case Some(e) => TypeCheckResult.TypeCheckFailure(
+        s"$name requires array<float> or array<double> arguments, got ${e.dataType}")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  }
+
   def suffix(e: Expression): String = e.dataType match {
     case ArrayType(FloatType, _) => "F"
     case ArrayType(DoubleType, _) => "D"
@@ -127,6 +144,8 @@ private[functions] object VecKernels {
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecKernels.checkVecInputs("vec_dot", left, right)
   private lazy val kernel =
     "dot" + VecKernels.suffix(left) + VecKernels.suffix(right)
   private lazy val evalFn = VecKernels.eval2(kernel)
@@ -142,6 +161,8 @@ case class VecDot(left: Expression, right: Expression)
 case class VecCosine(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecKernels.checkVecInputs("vec_cosine", left, right)
   private lazy val kernel =
     "cosine" + VecKernels.suffix(left) + VecKernels.suffix(right)
   private lazy val evalFn = VecKernels.eval2(kernel)
@@ -170,6 +191,8 @@ case class Hilbert2(left: Expression, right: Expression, bits: Int)
 
 /** L2 norm of a vector column. */
 case class VecNorm(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecKernels.checkVecInputs("vec_norm", child)
   override def dataType: DataType = DoubleType
   private lazy val kernel = "norm" + VecKernels.suffix(child)
   override protected def nullSafeEval(a: Any): Any =

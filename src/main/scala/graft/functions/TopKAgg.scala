@@ -31,7 +31,14 @@ object TopKAgg {
 
     def zero: Buf = Buf(Vector.empty)
 
-    def reduce(b: Buf, a: Entry): Buf = insert(b, a)
+    // NaN values are excluded by contract: ahead() is false in BOTH
+    // directions for NaN, so one NaN entry would occupy a slot it can
+    // never lose and, once the buffer fills, reject every later value
+    // (items.last = NaN beats nothing). A NaN score carries no rank
+    // information — skip it (callers feeding vec_cosine hit this via
+    // zero-norm embeddings: 0/0).
+    def reduce(b: Buf, a: Entry): Buf =
+      if (java.lang.Double.isNaN(a.v)) b else insert(b, a)
 
     def merge(x: Buf, y: Buf): Buf = y.items.foldLeft(x)(insert)
 

@@ -18,6 +18,20 @@ import org.apache.spark.sql.catalyst.util.ArrayData
   */
 object VecOps {
 
+  /** Mismatched lengths would read past the shorter buffer's
+    * UnsafeArrayData region — silent garbage, never an exception —
+    * so every two-vector kernel checks up front (two int loads; noise
+    * next to the multiply loop). DuckDB's list_inner_product errors on
+    * the same condition.
+    */
+  @inline private def checkLen(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"vector length mismatch: $n vs ${b.numElements()}")
+    n
+  }
+
   // Element access is typed per kernel (getFloat reads 4 bytes of an
   // 8-byte slot on a double array — silently wrong, never an error),
   // so the expressions dispatch on each child's array element type:
@@ -25,7 +39,7 @@ object VecOps {
 
   /** Σ a_i·b_i in double, index order. */
   def dotFF(a: ArrayData, b: ArrayData): Double = {
-    val n = a.numElements()
+    val n = checkLen(a, b)
     var d = 0.0
     var i = 0
     while (i < n) { d += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
@@ -37,7 +51,7 @@ object VecOps {
     * multiply — the bits DuckDB gets from `list_inner_product(
     * CAST(emb AS DOUBLE[]), plane)`. */
   def dotFD(a: ArrayData, b: ArrayData): Double = {
-    val n = a.numElements()
+    val n = checkLen(a, b)
     var d = 0.0
     var i = 0
     while (i < n) { d += a.getFloat(i).toDouble * b.getDouble(i); i += 1 }
@@ -47,7 +61,7 @@ object VecOps {
   def dotDF(a: ArrayData, b: ArrayData): Double = dotFD(b, a)
 
   def dotDD(a: ArrayData, b: ArrayData): Double = {
-    val n = a.numElements()
+    val n = checkLen(a, b)
     var d = 0.0
     var i = 0
     while (i < n) { d += a.getDouble(i) * b.getDouble(i); i += 1 }
@@ -58,7 +72,7 @@ object VecOps {
     * order as the three-loop form — the partial sums are independent).
     */
   def cosineFF(a: ArrayData, b: ArrayData): Double = {
-    val n = a.numElements()
+    val n = checkLen(a, b)
     var d = 0.0
     var na = 0.0
     var nb = 0.0
@@ -73,7 +87,7 @@ object VecOps {
   }
 
   def cosineDD(a: ArrayData, b: ArrayData): Double = {
-    val n = a.numElements()
+    val n = checkLen(a, b)
     var d = 0.0
     var na = 0.0
     var nb = 0.0
@@ -88,7 +102,7 @@ object VecOps {
   }
 
   def cosineFD(a: ArrayData, b: ArrayData): Double = {
-    val n = a.numElements()
+    val n = checkLen(a, b)
     var d = 0.0
     var na = 0.0
     var nb = 0.0

@@ -340,7 +340,12 @@ object BehaviorOps {
         .select($"user_id", $"event_type", sum($"brk").over(wo).as("sess"))
         .distinct()
         .persist()
-      val baskets = items.select($"user_id", $"sess").distinct().count()
+      // Basket count as a LAZY 1-row cross join (the oracle's own
+      // CROSS JOIN nb shape): a driver-side count() here would run the
+      // whole sessionization job at plan-CONSTRUCTION time and bake a
+      // stale literal into the plan.
+      val nb = items.select($"user_id", $"sess").distinct()
+        .agg(count(lit(1)).as("baskets"))
       val na = items.groupBy($"event_type".as("t")).agg(count(lit(1)).as("na"))
       val pairs = items.as("a").join(items.as("b"),
           $"a.user_id" === $"b.user_id" && $"a.sess" === $"b.sess"
@@ -352,9 +357,10 @@ object BehaviorOps {
           $"ta" === $"ta_k")
         .join(broadcast(na.select($"t".as("tb_k"), $"na".as("na_b"))),
           $"tb" === $"tb_k")
+        .crossJoin(broadcast(nb))
         .select($"ta", $"tb", $"nab",
-          expr(s"nab * 1000000 DIV $baskets").as("support_ppm"),
-          round(($"nab" * lit(baskets)).cast("double")
+          expr("nab * 1000000 DIV baskets").as("support_ppm"),
+          round(($"nab" * $"baskets").cast("double")
             / ($"na_a" * $"na_b"), 6).as("lift"))
       // items stays persisted until the caller's terminal action; the
       // bench clears cache per rep, Verify per query.
@@ -372,9 +378,13 @@ object BehaviorOps {
       val locf = queries("q80_resample_locf")(s, d)
       val w = Window.partitionBy($"event_type").orderBy($"day")
         .rangeBetween(-6, 0)
+      // Cast the decimal-exact sum to DOUBLE before dividing (q78's
+      // discipline, and what the oracle does): a decimal/decimal
+      // quotient rounds rationally where the oracle's IEEE divide
+      // rounds binary — near-tie quotients would differ at 1e-6.
       locf.select($"event_type", $"day",
-        round((sum($"v".cast("decimal(38,6)")).over(w) /
-          count(lit(1)).over(w)).cast("double"), 6).as("ma7"))
+        round(sum($"v".cast("decimal(38,6)")).over(w).cast("double") /
+          count(lit(1)).over(w), 6).as("ma7"))
     }
   )
 
