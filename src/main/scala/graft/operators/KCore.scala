@@ -40,6 +40,11 @@ object KCore {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     var e = edges
       .selectExpr("cast(src as long) as src", "cast(dst as long) as dst")
+      // Self-loops and duplicate edge rows inflate degrees (a vertex
+      // could sit in the reported core on loop-degree alone) — drop
+      // and dedupe up front, as Triangles does.
+      .filter(col("src") =!= col("dst"))
+      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     var n = e.count()
     var round = 0

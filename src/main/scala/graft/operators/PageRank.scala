@@ -54,10 +54,17 @@ object PageRank {
     for (_ <- 1 to iters) {
       val outflow = deg.join(ranks, deg("src") === ranks("node"))
         .selectExpr("src", "r div deg as c")
+      // Right-join back to the FULL vertex set: groupBy(dst) alone
+      // would silently drop a vertex with out-edges but no in-edges
+      // (legal under the stated precondition) — it would vanish from
+      // the output AND its outflow from every later round. Such a
+      // vertex receives no inflow: rank = base. On a bidirectionalized
+      // graph every vertex is also a dst, so the join is a no-op.
       ranks = e.join(outflow, "src")
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("s"))
-        .selectExpr("dst as node", s"$base + (85 * s) div 100 as r")
+        .join(deg.select(col("src").as("dst")), Seq("dst"), "right_outer")
+        .selectExpr("dst as node", s"$base + (85 * coalesce(s, 0)) div 100 as r")
     }
     ranks
   }

@@ -39,7 +39,12 @@ case class MatchesSelector(left: Expression, right: Expression)
           TypeCheckResult.TypeCheckFailure(s"invalid label selector: $err")
         case scala.util.Right(_) => TypeCheckResult.TypeCheckSuccess
       }
-    } else TypeCheckResult.TypeCheckSuccess
+    } else
+      // A per-row selector would be evaluated once via right.eval(null)
+      // and either throw on an unbound reference mid-job or silently
+      // bind one arbitrary selector — reject at analysis.
+      TypeCheckResult.TypeCheckFailure(
+        "matches_selector requires a literal selector string")
   }
 
   @transient private lazy val selector: LabelSelector =
@@ -49,9 +54,13 @@ case class MatchesSelector(left: Expression, right: Expression)
     val map = m.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
     val keys = map.keyArray()
     val vals = map.valueArray()
-    val labels = Vector.tabulate(map.numElements()) { i =>
-      graft.labels.Label(keys.getUTF8String(i).toString, vals.getUTF8String(i).toString)
-    }
+    // NULL-valued map entries count as ABSENT labels (and must not
+    // NPE); the compiled rewrite's IsNotNull conjunct agrees.
+    val labels = (0 until map.numElements()).iterator.flatMap { i =>
+      if (vals.isNullAt(i)) None
+      else Some(graft.labels.Label(
+        keys.getUTF8String(i).toString, vals.getUTF8String(i).toString))
+    }.toVector
     selector.matches(LabelSet(labels))
   }
 
@@ -72,7 +81,11 @@ object RewriteMatchesSelector extends Rule[LogicalPlan] {
       } else {
         val cmp: Expression =
           if (l.prefix) StartsWith(v, Literal(l.value)) else EqualTo(v, Literal(l.value))
-        if (negate) Or(IsNull(v), Not(cmp)) else cmp
+        // Positive matches conjoin IsNotNull so a missing/null-valued
+        // key yields FALSE (not NULL) — the expression's semantics in
+        // every context, not just under a null-dropping Filter — while
+        // both conjuncts stay source-pushable.
+        if (negate) Or(IsNull(v), Not(cmp)) else And(IsNotNull(v), cmp)
       }
     }
     def groups(s: LabelSet) = s.labels.groupBy(x => (x.name, x.prefix)).values
@@ -88,7 +101,14 @@ object RewriteMatchesSelector extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case ms @ MatchesSelector(m, Literal(s, StringType)) =>
       LabelSelector.parse(s.toString) match {
-        case scala.util.Right(sel) => compile(m, sel)
+        case scala.util.Right(sel) =>
+          val compiled = compile(m, sel)
+          // A NULL map evaluates to NULL in the original expression;
+          // the compiled predicates would give false. Non-nullable
+          // maps (the common case) keep the bare pushable form.
+          if (m.nullable)
+            If(IsNull(m), Literal(null, BooleanType), compiled)
+          else compiled
         case scala.util.Left(_) => ms
       }
   }

@@ -23,18 +23,32 @@ object ConsumerApp {
     * SURVEY §2.6 ST5).
     */
   def keyedStateful[M, K: Encoder, S: Encoder, O: Encoder](
-      msgs: Dataset[M], key: M => K, init: S)(
+      msgs: Dataset[M], key: M => K, init: S,
+      idleTtl: Option[java.time.Duration] = None)(
       consume: (K, Seq[M], S) => (S, Seq[O])): Dataset[O] = {
 
     val grouped = msgs.groupByKey(key)(implicitly[Encoder[K]])
     if (msgs.isStreaming) {
+      // idleTtl bounds state for keys that stop arriving (finalized
+      // stream ids, retired bikes): without it every key ever seen
+      // holds its state forever — Sequencer.sequenceStream wires the
+      // same TTL for the same reason. None keeps the legacy unbounded
+      // behavior for apps whose key space is genuinely small.
+      val timeout = if (idleTtl.isDefined)
+        GroupStateTimeout.ProcessingTimeTimeout() else GroupStateTimeout.NoTimeout()
       grouped.flatMapGroupsWithState[S, O](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeout) {
         (k: K, it: Iterator[M], state: GroupState[S]) =>
-          val s0 = state.getOption.getOrElse(init)
-          val (s1, out) = consume(k, it.toSeq, s0)
-          state.update(s1)
-          out.iterator
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val s0 = state.getOption.getOrElse(init)
+            val (s1, out) = consume(k, it.toSeq, s0)
+            state.update(s1)
+            idleTtl.foreach(t => state.setTimeoutDuration(t.toMillis))
+            out.iterator
+          }
       }
     } else {
       grouped.flatMapGroups { (k: K, it: Iterator[M]) =>
@@ -67,6 +81,10 @@ object ConsumerApp {
     val target =
       if (throughOffset >= 0) throughOffset
       else graft.sources.Journal.head(root, journal)
+    // Nothing to read through (empty journal / zero offset): trivially
+    // satisfied — waiting on the first progress event here would burn
+    // the whole timeout and return false.
+    if (target <= 0L) return true
     val headRe = """\{"head":(\d+)\}""".r
     def committedHead: Long = {
       val p = query.lastProgress

@@ -41,14 +41,18 @@ object Publisher {
     val jHashes = journals.map(j =>
       graft.functions.Hashes.fnv1a32(j.getBytes("UTF-8")))
     val keyHash = F.fnv1a32(key)
-    // argmax over XOR weights, in journal order on ties (reference keeps
-    // the first maximum: strict > comparison).
-    val (_, expr0) = journals.zip(jHashes).zipWithIndex.foldLeft(
-      (lit(-1L), lit(""))) { case ((bestW, bestJ), ((j, h), _)) =>
-      val w = keyHash.bitwiseXOR(lit(h))
-      (when(w > bestW, w).otherwise(bestW),
-       when(w > bestW, lit(j)).otherwise(bestJ))
-    }
-    expr0
+    // Argmax as array_max over (weight, -index) structs — O(N) tree.
+    // (A when-chain fold that threads the running best as a Column
+    // embeds it TWICE per step: O(2^N) expression nodes, driver hang
+    // at ~30 journals.) The negated index breaks weight ties toward
+    // the FIRST journal in list order, the reference's strict->
+    // comparison semantics.
+    val entries = array(journals.zip(jHashes).zipWithIndex.map {
+      case ((_, h), i) =>
+        struct(keyHash.bitwiseXOR(lit(h)).as("w"), lit(-i).as("ni"))
+    }: _*)
+    val best = array_max(entries)
+    element_at(array(journals.map(lit): _*),
+      (-best.getField("ni")).cast("int") + 1)
   }
 }

@@ -20,26 +20,22 @@ object ReadCommitted {
     * Sequencer. `unhex` recovers the 16 UUID bytes; producer id is the
     * hex of bytes [10,16).
     */
-  def fromJsonFraming(envelopes: DataFrame): Dataset[Sequencer.SeqEnvelope] = {
-    val spark = envelopes.sparkSession
-    import spark.implicits._
-    envelopes
-      .withColumn("u", unhex(get_json_object($"payload", "$.uuid")))
-      .select(
-        $"journal", $"begin", $"end",
-        hex(F.uuid_producer($"u")).as("producer"),
-        F.uuid_clock($"u").as("clock"),
-        F.uuid_flags($"u").as("flags"),
-        $"payload")
-      .as[Sequencer.SeqEnvelope]
-  }
+  def fromJsonFraming(envelopes: DataFrame): Dataset[Sequencer.SeqEnvelope] =
+    toSeqEnvelopes(envelopes, get_json_object(col("payload"), "$.uuid"))
 
   /** CSV framing: column 0 is the hex UUID, the rest is the record. */
-  def fromCsvFraming(envelopes: DataFrame): Dataset[Sequencer.SeqEnvelope] = {
+  def fromCsvFraming(envelopes: DataFrame): Dataset[Sequencer.SeqEnvelope] =
+    toSeqEnvelopes(envelopes, split(col("payload"), ",").getItem(0))
+
+  /** ONE copy of the envelope → SeqEnvelope metadata projection; the
+    * framings differ only in how the UUID hex is extracted.
+    */
+  private def toSeqEnvelopes(envelopes: DataFrame,
+      uuidHex: org.apache.spark.sql.Column): Dataset[Sequencer.SeqEnvelope] = {
     val spark = envelopes.sparkSession
     import spark.implicits._
     envelopes
-      .withColumn("u", unhex(split($"payload", ",").getItem(0)))
+      .withColumn("u", unhex(uuidHex))
       .select(
         $"journal", $"begin", $"end",
         hex(F.uuid_producer($"u")).as("producer"),

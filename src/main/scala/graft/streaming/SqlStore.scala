@@ -91,6 +91,14 @@ final class SqlStore(url: String, shard: String,
           case e: java.sql.SQLException =>
             conn.rollback()
             Left(e.getMessage)
+          case e: Throwable =>
+            // A non-SQL failure in the writes closure must ALSO roll
+            // back: partial application writes left pending in the
+            // shared connection would be committed together with a
+            // later retry's writes — duplicate side effects under the
+            // exactly-once fence. Rethrow so the caller sees the bug.
+            conn.rollback()
+            throw e
         } finally inCommit = false
       }
     }
