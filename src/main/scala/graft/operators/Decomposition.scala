@@ -275,6 +275,9 @@ object Decomposition {
       .select($"id", $"k",
         scaledLong($"x".cast("double") * $"sign").as("t"))
       .groupBy($"id", $"k")
-      .agg(round(sum($"t") / 1e9 / math.sqrt(outDim.toDouble), 6).as("proj"))
+      // + 0.0 canonicalizes IEEE -0.0 (a tiny-negative signed sum
+      // rounds to -0.0 in engines that keep the sign through round).
+      .agg((round(sum($"t") / 1e9 / math.sqrt(outDim.toDouble), 6) + lit(0.0))
+        .as("proj"))
   }
 }

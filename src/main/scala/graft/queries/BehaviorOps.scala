@@ -115,8 +115,12 @@ object BehaviorOps {
           ($"n" * $"sxy" - $"sx" * $"sy") /
             ($"n".cast("double") * $"sxx".cast("double") -
               $"sx".cast("double") * $"sx".cast("double")))
-        .select($"event_type", $"n", round($"slope", 6).as("slope"),
-          round(($"sy" - $"slope" * $"sx") / $"n", 6).as("intercept"))
+        // + 0.0 canonicalizes IEEE -0.0: a near-flat negative slope
+        // rounds to -0.0 in engines that keep the sign through round.
+        .select($"event_type", $"n",
+          (round($"slope", 6) + lit(0.0)).as("slope"),
+          (round(($"sy" - $"slope" * $"sx") / $"n", 6) + lit(0.0))
+            .as("intercept"))
     },
 
     // ---- q79: first-order Markov transition matrix over per-user
@@ -615,8 +619,8 @@ object BehaviorOps {
         |      (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
         |  FROM stats)
-        |SELECT event_type, n, round(slope, 6) AS slope,
-        |  round((sy - slope * sx) / n, 6) AS intercept
+        |SELECT event_type, n, round(slope, 6) + 0.0 AS slope,
+        |  round((sy - slope * sx) / n, 6) + 0.0 AS intercept
         |FROM sl""".stripMargin,
 
     "q79_markov_transitions" ->

@@ -193,7 +193,9 @@ object ClusterOps {
     "q126_embedding_covariance" -> { (s, d) =>
       import s.implicits._
       Decomposition.covariance(Tables.embeddings(s, d), $"embedding", Dim)
-        .select($"i", $"j", round($"cov", 6).as("cov"))
+        // + 0.0 canonicalizes IEEE -0.0 to +0.0 (oracle-dialect rule 8):
+        // DuckDB's round() emits -0.0 for tiny negative covariances.
+        .select($"i", $"j", (round($"cov", 6) + lit(0.0)).as("cov"))
     },
 
     // ---- q127: Johnson-Lindenstrauss sign projection (64 → 16 dims)
@@ -442,7 +444,8 @@ object ClusterOps {
         |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
         |  GROUP BY 1, 2)
         |SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j,
-        |  round(p.p / 1e9 / n.n - (si.s / 1e9 / n.n) * (sj.s / 1e9 / n.n), 6) AS cov
+        |  round(p.p / 1e9 / n.n - (si.s / 1e9 / n.n) * (sj.s / 1e9 / n.n), 6)
+        |    + 0.0 AS cov
         |FROM p, n
         |JOIN s1 si ON si.i = p.i
         |JOIN s1 sj ON sj.i = p.j""".stripMargin,
@@ -461,7 +464,7 @@ object ClusterOps {
         |  FROM embeddings)
         |SELECT x.vec_id AS id, CAST(m.k AS INT) AS k,
         |  round(sum(CAST(floor(CAST(x.v AS DOUBLE) * m.sign * 1e9 + 0.5)
-        |      AS BIGINT)) / 1e9 / sqrt(16.0), 6) AS proj
+        |      AS BIGINT)) / 1e9 / sqrt(16.0), 6) + 0.0 AS proj
         |FROM x JOIN m ON x.j0 = m.j0
         |GROUP BY 1, 2""".stripMargin,
 

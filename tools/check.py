@@ -10,7 +10,7 @@ sort columns by name, sort rows, and compare cell-by-cell.
 
 This file is a development tool only — the engine itself is pure Scala.
 """
-import json, math, subprocess, sys
+import json, math, struct, subprocess, sys
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -100,8 +100,12 @@ def compare(a, b):
             if isinstance(x, float) and isinstance(y, float):
                 if math.isnan(x) and math.isnan(y):
                     continue
-                if x != y:
-                    return False, f"col {c} row {i}: spark={x!r} oracle={y!r}"
+                # Hash-faithful: the driver hashes raw bytes, so -0.0
+                # vs 0.0 (equal under ==) is a driver red. Compare the
+                # IEEE-754 bit patterns, exactly like the driver does.
+                if struct.pack("<d", x) != struct.pack("<d", y):
+                    return False, (f"col {c} row {i}: spark={x!r} "
+                                   f"oracle={y!r} (bitwise)")
             elif (x is None) != (y is None) or str(x) != str(y):
                 try:
                     if float(x) == float(y):
