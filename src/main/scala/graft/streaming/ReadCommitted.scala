@@ -45,6 +45,44 @@ object ReadCommitted {
       .as[Sequencer.SeqEnvelope]
   }
 
+  /** Fixed binary framing (`application/x-protobuf-fixed`,
+    * message/fixed_framing.go:26-148): the payload's first 16 bytes are
+    * the message UUID — the binary analog of the reference's
+    * `Message.GetUUID()` contract that lets `ReadCommittedIter` work
+    * for any registered framing (message/reader.go:126-162) — and the
+    * remainder is the opaque body. The body rides through the
+    * String-typed sequencer state as base64 (lossless for arbitrary
+    * bytes); `committedFramed` decodes it back.
+    */
+  def fromFixedFraming(envelopes: DataFrame): Dataset[Sequencer.SeqEnvelope] = {
+    val spark = envelopes.sparkSession
+    import spark.implicits._
+    envelopes
+      .withColumn("u", substring(col("payload"), 1, 16))
+      .select(
+        col("journal"), col("begin"), col("end"),
+        hex(F.uuid_producer(col("u"))).as("producer"),
+        F.uuid_clock(col("u")).as("clock"),
+        F.uuid_flags(col("u")).as("flags"),
+        base64(expr("substring(payload, 17, 2147483647)")).as("payload"))
+      .as[Sequencer.SeqEnvelope]
+  }
+
+  /** Committed binary records over fixed-framed envelopes (the
+    * protobuf-client path): sequence, drop ACK carriers, return
+    * (journal, begin, end, body) with the body restored to binary.
+    */
+  def committedFramed(envelopes: DataFrame): DataFrame = {
+    val seq = fromFixedFraming(envelopes)
+    val committed =
+      if (envelopes.isStreaming) Sequencer.sequenceStream(seq)
+      else Sequencer.sequenceBatch(seq)
+    committed.toDF()
+      .filter(col("flags") =!= Sequencer.AckTxn) // ACKs carry no app data
+      .select(col("journal"), col("begin"), col("end"),
+        unbase64(col("payload")).as("body"))
+  }
+
   /** Committed typed records: sequence, drop ACK carriers, decode the
     * JSON payload with `schema`. Batch or streaming by the input's mode.
     */

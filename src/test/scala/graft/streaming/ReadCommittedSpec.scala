@@ -27,6 +27,36 @@ class ReadCommittedSpec extends SparkSpec {
     assert(committed.map(_.payload.split(",")(1)).toSeq == Seq("alpha", "beta"))
   }
 
+  test("fixed framing: committed bodies round-trip a binary journal") {
+    import spark.implicits._
+    import graft.sources.Journal
+    val root = java.nio.file.Files.createTempDirectory("rc-fixed").toString
+    def frame(producer: Byte, clock: Long, flags: Int, body: Array[Byte]): Array[Byte] = {
+      val p = Array[Byte](1, 2, 3, 4, 5, producer)
+      GazetteUuid.build(p, clock, flags) ++ body
+    }
+    // A txn span (CONTINUE, CONTINUE, ACK) then an uncommitted CONTINUE
+    // and an OUTSIDE message from another producer — the reference's
+    // ReadCommittedIter scenario (message/reader.go:126-162) over the
+    // binary framing. Body bytes are non-UTF8 on purpose: the committed
+    // path must be byte-lossless.
+    val binBody = Array[Byte](0, -1, -128, 127, 0, 13, 10)
+    val payloads: Seq[Array[Byte]] = Seq(
+      frame(7, 10, Sequencer.ContinueTxn, "alpha".getBytes("UTF-8")),
+      frame(7, 11, Sequencer.ContinueTxn, binBody),
+      frame(7, 12, Sequencer.AckTxn, Array.empty[Byte]), // commits 10, 11
+      frame(7, 13, Sequencer.ContinueTxn, "orphan".getBytes("UTF-8")),
+      frame(9, 20, Sequencer.OutsideTxn, "solo".getBytes("UTF-8")))
+    Journal.appendFramed(payloads.toDF("payload").coalesce(1), root, "rc/fx", "gz")
+    val out = ReadCommitted.committedFramed(
+        Journal.readFramed(spark, root, "rc/fx").toDF())
+      .select($"begin", $"body").as[(Long, Array[Byte])]
+      .collect().sortBy(_._1)
+    assert(out.map(_._2.toSeq).toSeq ==
+      Seq("alpha".getBytes("UTF-8").toSeq, binBody.toSeq,
+        "solo".getBytes("UTF-8").toSeq))
+  }
+
   test("committedJson: txn spans commit only on ACK, ACK rows carry no data") {
     import spark.implicits._
     val schema = StructType(Seq(StructField("v", LongType)))
