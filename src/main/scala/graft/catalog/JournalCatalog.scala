@@ -25,7 +25,13 @@ final case class JournalSpec(
     // Fragment stores (protocol.proto:201-211): reads union-list ALL of
     // them (mid-migration fragments may span stores); new fragments
     // persist to the FIRST (the active store). Any Hadoop FS root.
-    stores: Vector[String] = Vector.empty) {
+    stores: Vector[String] = Vector.empty,
+    // fragment.retention (protocol.proto:229-246): fragments persisted
+    // longer than this are prune-eligible; 0 = retain forever.
+    retentionMs: Long = 0L,
+    // max_append_rate (protocol.proto:293-298): per-JVM bytes/sec write
+    // throttle; 0 = unlimited. See sources.v2.AppendFlowControl.
+    maxAppendRate: Long = 0L) {
 
   /** Token rules from the reference validators
     * (journal_spec_extensions.go:55-70; label_extensions.go:13-25).
@@ -41,6 +47,10 @@ final case class JournalSpec(
       // name joins the fragment path — append would write (and prune
       // would delete) beyond the configured store.
       Left(s"journal name may not contain empty, '.' or '..' path segments: $name")
+    else if (retentionMs < 0L)
+      Left(s"fragment retention may not be negative: $retentionMs")
+    else if (maxAppendRate < 0L)
+      Left(s"max append rate may not be negative: $maxAppendRate")
     else {
       val badLabel = labels.labels.find(l =>
         l.name.length < 2 || l.name.length > 64 || l.value.length > 1024)
@@ -165,7 +175,23 @@ final class JournalCatalog {
     graft.sources.Journal.append(df, spec.stores.head, name,
       codec = spec.codec, postfixCol = postfixCol,
       maxFragmentBytes = spec.fragmentTargetLength,
-      offsetRoots = spec.stores) // head spans ALL stores (migration-safe)
+      offsetRoots = spec.stores, // head spans ALL stores (migration-safe)
+      maxAppendRate = spec.maxAppendRate)
+  }
+
+  /** Spec-driven time retention: prune fragments of `name` persisted
+    * before `nowMs - retentionMs` across all of its stores. No-op for
+    * specs with retention 0 (retain forever). The periodic maintenance
+    * loop the reference's brokers run per journal
+    * (`fragment.retention`, protocol.proto:229-246) — here invoked by
+    * the operator or a scheduled driver job.
+    */
+  def pruneExpired(name: String,
+      nowMs: Long = System.currentTimeMillis()): Vector[graft.sources.Journal.Fragment] = {
+    val spec = require(name)
+    if (spec.retentionMs <= 0L) Vector.empty
+    else graft.sources.Journal.pruneOlderThan(
+      spec.stores, name, nowMs - spec.retentionMs)
   }
 
   /** Selector-filtered listing (P3): selectors may reference spec labels

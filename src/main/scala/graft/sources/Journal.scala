@@ -219,15 +219,55 @@ object Journal {
     * fragments whose span ends at or below `keepFromOffset`. Returns
     * deleted fragments.
     */
-  def prune(root: String, journal: String, keepFromOffset: Long): Vector[Fragment] = {
+  def prune(root: String, journal: String, keepFromOffset: Long): Vector[Fragment] =
+    prune(Seq(root), journal, keepFromOffset)
+
+  /** Multi-store prune: drop fragments wholly below `keepFromOffset`
+    * across every store (mid-migration copies of one fragment delete
+    * from each root that holds them).
+    */
+  def prune(roots: Seq[String], journal: String,
+      keepFromOffset: Long): Vector[Fragment] = {
     val conf = hadoopConf
-    val (drop, _) = listFragments(root, journal).partition(_.end <= keepFromOffset)
+    val drop = roots.iterator.flatMap(r => listFragments(r, journal))
+      .filter(_.end <= keepFromOffset).toVector
     drop.foreach { f =>
       val p = new HPath(f.path)
       p.getFileSystem(conf).delete(p, false)
     }
     drop
   }
+
+  /** Time-based retention (`fragment.retention`,
+    * protocol.proto:229-246): delete fragments persisted before
+    * `horizonMs`. The cut is resolved to an OFFSET first — the longest
+    * cover-set prefix whose fragments all have mod-time < horizonMs —
+    * then delegated to offset [[prune]]. Cutting strictly by mod-time
+    * would punch holes behind a compacted (newer) fragment that covers
+    * older offsets; the prefix rule keeps the surviving cover a
+    * contiguous suffix, so reads simply begin at the first retained
+    * offset, exactly as after an offset prune.
+    */
+  def pruneOlderThan(roots: Seq[String], journal: String,
+      horizonMs: Long): Vector[Fragment] = {
+    val conf = hadoopConf
+    val cover = coverSet(listFragments(roots, journal, Long.MinValue))
+    var keepFrom = 0L
+    val it = cover.iterator
+    var cut = false
+    while (it.hasNext && !cut) {
+      val (f, _) = it.next()
+      val p = new HPath(f.path)
+      val mt = p.getFileSystem(conf).getFileStatus(p).getModificationTime
+      if (mt < horizonMs) keepFrom = f.end else cut = true
+    }
+    if (keepFrom == 0L) Vector.empty
+    else prune(roots, journal, keepFrom)
+  }
+
+  def pruneOlderThan(root: String, journal: String,
+      horizonMs: Long): Vector[Fragment] =
+    pruneOlderThan(Seq(root), journal, horizonMs)
 
   /** Compaction maintenance: coalesce runs of contiguous small
     * fragments into content-addressed fragments of up to `targetBytes`
@@ -356,10 +396,11 @@ object Journal {
       codec: String = "gz", payloadCol: String = "payload",
       postfixCol: Option[String] = None,
       maxFragmentBytes: Long = Long.MaxValue,
-      offsetRoots: Seq[String] = Nil): Seq[Fragment] = {
+      offsetRoots: Seq[String] = Nil,
+      maxAppendRate: Long = 0L): Seq[Fragment] = {
     val conf = hadoopConf
     stage(df, root, journal, codec, payloadCol, postfixCol, maxFragmentBytes,
-        offsetRoots).map {
+        offsetRoots, maxAppendRate).map {
       case (frag, tmp) => commitFragment(frag, tmp, conf)
     }
   }
@@ -375,7 +416,8 @@ object Journal {
       codec: String = "gz", payloadCol: String = "payload",
       postfixCol: Option[String] = None,
       maxFragmentBytes: Long = Long.MaxValue,
-      offsetRoots: Seq[String] = Nil): Seq[(Fragment, String)] = {
+      offsetRoots: Seq[String] = Nil,
+      maxAppendRate: Long = 0L): Seq[(Fragment, String)] = {
     require(maxFragmentBytes > 0, s"maxFragmentBytes must be positive")
     val spark = df.sparkSession
     import spark.implicits._
@@ -410,6 +452,12 @@ object Journal {
         }
         val spools = scala.collection.mutable.LinkedHashMap.empty[String, Spool]
         val done = Vector.newBuilder[(Int, String, Int, Long, String, String)]
+        // Per-journal JVM token bucket (max_append_rate,
+        // protocol.proto:293-298); see AppendFlowControl for the
+        // cluster-aggregate semantics.
+        val flow = if (maxAppendRate > 0)
+          graft.sources.v2.AppendFlowControl.bucket(journal, maxAppendRate)
+        else null
         it.foreach { case (line, postfix) =>
           var sp = spools.getOrElseUpdate(postfix, new Spool(0))
           if (sp.len >= maxFragmentBytes) {
@@ -418,6 +466,7 @@ object Journal {
             spools(postfix) = sp
           }
           val bytes = (line + "\n").getBytes("UTF-8")
+          if (flow != null) flow.acquire(bytes.length.toLong)
           sp.digest.update(bytes)
           sp.out.write(bytes)
           sp.len += bytes.length

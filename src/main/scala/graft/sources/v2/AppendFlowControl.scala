@@ -1,0 +1,69 @@
+package graft.sources.v2
+
+import scala.collection.concurrent.TrieMap
+
+/** Write-side append rate limiting (the reference's per-journal
+  * `max_append_rate`, protocol.proto:293-298, enforced by
+  * broker/append_flow_control.go:59-220): a token bucket over appended
+  * bytes, shared by every writer of a journal within this JVM.
+  *
+  * Placement note for cluster scale: the reference throttles at the
+  * journal's PRIMARY BROKER — one process per journal. Spark has no
+  * such single chokepoint on the write path (tasks spool in parallel),
+  * so the bucket is per-executor-JVM: each executor paces its own
+  * writers and the journal's aggregate ceiling is
+  * `maxAppendRate × executors`. Callers that need a global ceiling
+  * divide the rate by the write parallelism (`df.coalesce(n)` makes
+  * `n` explicit). In `local[*]` the JVM bucket IS the global bucket.
+  *
+  * The bucket holds up to one second of burst; it starts FULL so a
+  * short append proceeds unthrottled (the reference likewise delays
+  * only once the running rate exceeds the spec ceiling).
+  */
+object AppendFlowControl {
+
+  final class TokenBucket(val bytesPerSec: Long) {
+    require(bytesPerSec > 0, s"maxAppendRate must be positive, got $bytesPerSec")
+    private val capacity: Double = bytesPerSec.toDouble
+    private var tokens: Double = capacity
+    private var lastNanos: Long = System.nanoTime()
+
+    /** Block until `n` bytes of budget are available, then consume
+      * them. Oversized single payloads (n > capacity) are admitted one
+      * bucket-drain at a time rather than deadlocking.
+      */
+    def acquire(n: Long): Unit = synchronized {
+      var need = n.toDouble
+      while (need > 0) {
+        val now = System.nanoTime()
+        tokens = math.min(capacity,
+          tokens + (now - lastNanos) * 1e-9 * bytesPerSec)
+        lastNanos = now
+        if (tokens >= need || tokens >= capacity) {
+          val take = math.min(need, tokens)
+          tokens -= take
+          // A payload larger than the whole bucket "owes" the rest:
+          // carry the remainder negative so the NEXT refill pays it.
+          if (take < need) { tokens -= (need - take); need = 0 }
+          else need = 0
+        } else {
+          val deficit = need - tokens
+          val waitNanos = (deficit / bytesPerSec * 1e9).toLong.max(1000000L)
+          Thread.sleep(waitNanos / 1000000L, (waitNanos % 1000000L).toInt)
+        }
+      }
+    }
+  }
+
+  private val buckets = TrieMap.empty[(String, Long), TokenBucket]
+
+  /** The JVM-wide bucket for (journal, rate). Keyed by rate too, so a
+    * spec change to `maxAppendRate` takes effect on the next write
+    * rather than silently keeping the old ceiling.
+    */
+  def bucket(journal: String, bytesPerSec: Long): TokenBucket =
+    buckets.getOrElseUpdate((journal, bytesPerSec), new TokenBucket(bytesPerSec))
+
+  /** Test hook: forget all buckets (fresh burst budget). */
+  private[graft] def reset(): Unit = buckets.clear()
+}

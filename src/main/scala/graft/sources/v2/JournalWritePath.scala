@@ -27,7 +27,11 @@ import graft.sources.Journal.{Fragment, HadoopConf}
   * the column is consumed as routing metadata, not framed);
   * `maxFragmentBytes` (spool roll bound — the reference's fragment
   * `length` target, protocol.proto:214-218 — so fragment size and
-  * read-task granularity stay bounded for any write-partition size).
+  * read-task granularity stay bounded for any write-partition size);
+  * `maxAppendRate` (bytes/sec write throttle — the reference's
+  * per-journal `max_append_rate`, protocol.proto:293-298 — enforced by
+  * a per-JVM token bucket, see [[AppendFlowControl]] for the
+  * cluster-aggregate semantics).
   */
 class JournalWrite(roots: Seq[String], journal: String, tableCodec: String,
     info: LogicalWriteInfo) extends Write {
@@ -42,6 +46,9 @@ class JournalWrite(roots: Seq[String], journal: String, tableCodec: String,
   private val maxFragmentBytes: Long =
     Option(info.options.get("maxFragmentBytes")).map(_.toLong)
       .getOrElse(Long.MaxValue)
+
+  private val maxAppendRate: Long =
+    Option(info.options.get("maxAppendRate")).map(_.toLong).getOrElse(0L)
 
   // Accepts any input schema carrying a string `payload` column (the
   // table declares ACCEPT_ANY_SCHEMA: journals frame opaque payloads,
@@ -68,7 +75,8 @@ class JournalWrite(roots: Seq[String], journal: String, tableCodec: String,
 
   private def factory = new JournalWriterFactory(
     root, journal.replace('/', '_'), codec, payloadIdx, postfixIdx,
-    maxFragmentBytes, new HadoopConf(Journal.hadoopConf))
+    maxFragmentBytes, new HadoopConf(Journal.hadoopConf),
+    journal, maxAppendRate)
 
   override def toBatch: BatchWrite = new BatchWrite {
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -147,7 +155,8 @@ object JournalWrite {
   * created lazily so empty partitions produce no fragment.
   */
 class JournalWriterFactory(root: String, journalTag: String, codec: String,
-    payloadIdx: Int, postfixIdx: Int, maxFragmentBytes: Long, hc: HadoopConf)
+    payloadIdx: Int, postfixIdx: Int, maxFragmentBytes: Long, hc: HadoopConf,
+    journal: String = "", maxAppendRate: Long = 0L)
   extends DataWriterFactory with StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
@@ -174,6 +183,12 @@ class JournalWriterFactory(root: String, journalTag: String, codec: String,
       private val spools = scala.collection.mutable.LinkedHashMap.empty[String, Spool]
       private val rolled = Seq.newBuilder[Spooled]
 
+      // Resolved executor-side: the bucket is shared by every writer of
+      // this journal in the JVM, so parallel tasks jointly honor the cap.
+      private lazy val flow: AppendFlowControl.TokenBucket =
+        if (maxAppendRate > 0) AppendFlowControl.bucket(journal, maxAppendRate)
+        else null
+
       override def write(row: InternalRow): Unit = {
         val u = row.getUTF8String(payloadIdx)
         require(u != null, "journal write: null payload")
@@ -191,6 +206,7 @@ class JournalWriterFactory(root: String, journalTag: String, codec: String,
           spools(postfix) = sp
         }
         val payload = u.getBytes
+        if (flow != null) flow.acquire(payload.length + 1L)
         sp.digest.update(payload); sp.digest.update('\n'.toByte)
         sp.out.write(payload); sp.out.write('\n')
         sp.len += payload.length + 1

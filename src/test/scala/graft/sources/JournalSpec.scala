@@ -305,6 +305,50 @@ class JournalSpec extends SparkSpec {
     assert(envs.head.begin == 4L)
   }
 
+  test("pruneOlderThan deletes the aged cover prefix; reads unaffected") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val root = tmpRoot()
+    val f1 = Journal.append(Seq("a", "b").toDF("payload").coalesce(1), root, "tr", "none") // [0,4)
+    val f2 = Journal.append(Seq("c", "d").toDF("payload").coalesce(1), root, "tr", "none") // [4,8)
+    val f3 = Journal.append(Seq("e").toDF("payload").coalesce(1), root, "tr", "none")      // [8,10)
+    val fs = new Path(root).getFileSystem(Journal.hadoopConf)
+    // Age the first two fragments past a day-scale horizon.
+    val old = System.currentTimeMillis() - 86400000L
+    (f1 ++ f2).foreach(f => fs.setTimes(new Path(f.path), old, -1))
+    val horizon = System.currentTimeMillis() - 3600000L
+
+    val dropped = Journal.pruneOlderThan(root, "tr", horizon)
+    assert(dropped.map(f => (f.begin, f.end)).sorted == Vector((0L, 4L), (4L, 8L)))
+    // The surviving cover is a contiguous suffix and reads still work.
+    val cover = Journal.coverSet(Journal.listFragments(root, "tr"))
+    assert(cover.map { case (f, from) => (from, f.end) } == Vector((8L, 10L)))
+    val envs = Journal.read(spark, root, "tr").collect().sortBy(_.begin)
+    assert(envs.map(_.payload).toSeq == Seq("e"))
+    // Re-running is a no-op; a fresh fragment is never horizon-eligible.
+    assert(Journal.pruneOlderThan(root, "tr", horizon).isEmpty)
+    assert(f3.nonEmpty)
+  }
+
+  test("pruneOlderThan never cuts past a young fragment (contiguity)") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val root = tmpRoot()
+    val f1 = Journal.append(Seq("a").toDF("payload").coalesce(1), root, "tc", "none") // [0,2)
+    Journal.append(Seq("b").toDF("payload").coalesce(1), root, "tc", "none")          // [2,4) young
+    val f3 = Journal.append(Seq("c").toDF("payload").coalesce(1), root, "tc", "none") // [4,6)
+    val fs = new Path(root).getFileSystem(Journal.hadoopConf)
+    val old = System.currentTimeMillis() - 86400000L
+    // Age fragments 1 and 3 but NOT 2: the cut must stop at fragment 2,
+    // leaving aged-but-covering fragment 3 in place (no hole).
+    (f1 ++ f3).foreach(f => fs.setTimes(new Path(f.path), old, -1))
+    val dropped = Journal.pruneOlderThan(root, "tc",
+      System.currentTimeMillis() - 3600000L)
+    assert(dropped.map(f => (f.begin, f.end)) == Vector((0L, 2L)))
+    val envs = Journal.read(spark, root, "tc").collect().sortBy(_.begin)
+    assert(envs.map(_.payload).toSeq == Seq("b", "c"))
+  }
+
   test("streaming read discovers fragments as files") {
     import spark.implicits._
     val root = tmpRoot()
