@@ -69,11 +69,33 @@ final case class JournalSpec(
   }
 }
 
+/** One watch-log entry (`op`: "upsert" | "delete"); `spec` is the new
+  * spec for upserts and the last-known spec for deletes.
+  */
+final case class WatchEvent(revision: Long, op: String, spec: JournalSpec)
+
 final class JournalCatalog {
   private var specs: Map[String, (JournalSpec, Long)] = Map.empty
   private var revision: Long = 0L
+  // Watch log (the List RPC's watch mode, protocol.proto:662-701):
+  // every applied mutation, in revision order. Replaying from 0 yields
+  // snapshot-then-deltas, exactly the reference's watch contract.
+  // Control-plane sized (specs, not data); not truncated.
+  private var changelog: Vector[WatchEvent] = Vector.empty
+
+  /** Stable handle for watch streams (resolved driver-side through
+    * [[JournalCatalog.lookup]] — catalog state never ships to
+    * executors).
+    */
+  val id: String = java.util.UUID.randomUUID().toString
+  JournalCatalog.register(this)
 
   def currentRevision: Long = synchronized(revision)
+
+  /** Watch-log slice with revisions in (afterRev, throughRev]. */
+  def changesBetween(afterRev: Long, throughRev: Long): Vector[WatchEvent] =
+    synchronized(
+      changelog.filter(e => e.revision > afterRev && e.revision <= throughRev))
 
   /** Upsert with optional expected revision (CAS; -1 = unconditional,
     * 0 = must-not-exist, >0 = must match current).
@@ -87,6 +109,7 @@ final class JournalCatalog {
         else {
           revision += 1
           specs += s.name -> (s, revision)
+          changelog :+= WatchEvent(revision, "upsert", s)
           Right(revision)
         }
       }
@@ -98,9 +121,10 @@ final class JournalCatalog {
         case None => Left(s"no such journal: $name")
         case Some((_, rev)) if expectRevision >= 0 && expectRevision != rev =>
           Left(s"revision mismatch for $name: expected $expectRevision, have $rev")
-        case _ =>
+        case Some((old, _)) =>
           revision += 1
           specs -= name
+          changelog :+= WatchEvent(revision, "delete", old)
           Right(())
       }
     }
@@ -227,4 +251,23 @@ final class JournalCatalog {
       }
     }.toDF("name", "revision", "replication", "codec", "labels")
   }
+
+  /** Watch-mode listing (the List RPC's watch flag,
+    * protocol.proto:662-701): a streaming DataFrame of this catalog's
+    * spec mutations — initial snapshot as replayed upserts, then one
+    * row per upsert/delete as it lands. Offsets are catalog revisions,
+    * so a restarted query resumes exactly where its checkpoint left
+    * off (same-JVM catalog; see [[CatalogWatchSource]]).
+    */
+  def watchStream(spark: SparkSession): DataFrame =
+    spark.readStream.format("journal-catalog-watch")
+      .option("catalog", id).load()
+}
+
+object JournalCatalog {
+  private val registry =
+    scala.collection.concurrent.TrieMap.empty[String, JournalCatalog]
+  private[catalog] def register(c: JournalCatalog): Unit =
+    registry.put(c.id, c)
+  def lookup(id: String): Option[JournalCatalog] = registry.get(id)
 }
