@@ -30,7 +30,8 @@ object SparkEntry {
     graft.queries.CorpusOps.queries ++
     graft.queries.ClusterOps.queries ++
     graft.queries.ScaleOps.queries ++
-    graft.queries.BehaviorOps.queries
+    graft.queries.BehaviorOps.queries ++
+    graft.queries.ServeOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -46,5 +47,6 @@ object SparkEntry {
     graft.queries.CorpusOps.oracleSql ++
     graft.queries.ClusterOps.oracleSql ++
     graft.queries.ScaleOps.oracleSql ++
-    graft.queries.BehaviorOps.oracleSql
+    graft.queries.BehaviorOps.oracleSql ++
+    graft.queries.ServeOps.oracleSql
 }

@@ -99,6 +99,69 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Aspect-ratio bucketed batching (the image-model training-loader
+    * trick: batch media of similar shape so per-batch padding to the
+    * batch max is cheap). Media rows quantize to an aspect bucket
+    * (`floor(w·4/h)` capped at 8), take a dense deterministic position
+    * within their bucket (ordered by doc_id), and group into batches of
+    * `batchSize`; the result is per-batch shape stats with the padding
+    * efficiency `sum(w·h) / (n · max_w · max_h)`.
+    *
+    * Scale shape: a per-bucket `row_number` window would sort the whole
+    * corpus under ≤ 9 reducer tasks, so positions use the two-phase
+    * global-rank form (range exchange + per-partition index + P-row
+    * offset broadcast + per-bucket base subtract — [[EpochShuffle]]'s
+    * machinery). Rows with degenerate dimensions (w or h ≤ 0, e.g.
+    * undecodable media) are excluded rather than poisoning a bucket.
+    */
+  def aspectBuckets(media: DataFrame, batchSize: Int = 16): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val parts = math.max(1, spark.sparkContext.defaultParallelism)
+    val keyed = media
+      .filter(col("width") > 0 && col("height") > 0)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("width").cast("long").as("w"),
+        col("height").cast("long").as("h"))
+      .withColumn("ar_q",
+        least(floor(col("w") * 4.0 / col("h")), lit(8L)).cast("int"))
+    val local = keyed
+      .repartitionByRange(parts, col("ar_q"), col("doc_id"))
+      .sortWithinPartitions(col("ar_q"), col("doc_id"))
+      .select(col("ar_q"), col("doc_id"), col("w"), col("h"))
+      .as[(Int, Long, Long, Long)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var i = 0L
+        it.map { case (q, d, w, h) => val r = (pid, i, q, d, w, h); i += 1; r }
+      }.toDF("pid", "li", "ar_q", "doc_id", "w", "h")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = local.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+      .as[(Int, Long)].collect().sortBy(_._1)
+    val offsets = counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _))
+    val offDf = spark.createDataFrame(offsets.toSeq).toDF("pid", "off")
+    val ranked = local.join(broadcast(offDf), "pid")
+      .select(col("ar_q"), col("doc_id"), col("w"), col("h"),
+        (col("off") + col("li")).as("rk"))
+    val bases = ranked.groupBy(col("ar_q")).agg(min(col("rk")).as("base"))
+    // Offsets are only valid for the materialization they were counted
+    // from (EpochShuffle's replay-hazard note): force the result while
+    // `local` is still pinned, then release it.
+    val out = ranked.join(broadcast(bases), "ar_q")
+      .withColumn("batch_id", ((col("rk") - col("base")) / batchSize)
+        .cast("long"))
+      .groupBy(col("ar_q"), col("batch_id"))
+      .agg(count(lit(1)).as("n"), max(col("w")).as("max_w"),
+        max(col("h")).as("max_h"),
+        round(sum(col("w") * col("h")).cast("double") /
+          (count(lit(1)) * max(col("w")) * max(col("h"))), 6).as("pad_eff"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    local.unpersist()
+    out
+  }
+
   /** Frame sampling: slice the blob into fixed-size frames and keep every
     * `stride`-th one — the video-keyframe-sampling layout, as a generator
     * (one output row per sampled frame).

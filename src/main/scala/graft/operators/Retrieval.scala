@@ -249,4 +249,32 @@ object Retrieval {
         round(contrib(col("rank_a")) + contrib(col("rank_b")), 6).as("rrf"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** RAG context assembly under a token budget: per probe, walk its
+    * candidates in (relevance desc, id asc) order and keep the prefix
+    * whose cumulative cost still fits `budget` — the packing step
+    * between retrieval and prompt construction (what a serving stack
+    * does with the reranked hit list).
+    *
+    * Scale shape: candidates arrive top-k-bounded per probe from the
+    * retrieval tier, so every window partition is k-sized — the rank +
+    * running-sum window never sees a corpus-sized partition.
+    */
+  def contextAssembly(cands: DataFrame, probe: Column, id: Column,
+      rel: Column, cost: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    cands
+      .select(probe.as("probe_id"), id.cast("long").as("id"),
+        rel.as("rel"), cost.cast("long").as("cost"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("rel").desc, col("id").asc)).cast("long"))
+      .withColumn("cum_cost", sum(col("cost")).over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("rel").desc, col("id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_cost") <= budget)
+      .select(col("probe_id"), col("id"), col("pos"), col("cost"),
+        col("cum_cost"))
+  }
 }

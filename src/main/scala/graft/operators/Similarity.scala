@@ -960,4 +960,81 @@ object Similarity {
       }
       .option("checkpointLocation", checkpoint)
       .start()
+
+  /** Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998):
+    * from each probe's top-`poolSize` cosine candidates, greedily pick
+    * `k` maximizing `λ·rel − (1−λ)·max-sim-to-selected` — the
+    * diversification pass a retrieval stack runs AFTER ANN candidate
+    * generation, so near-duplicate hits don't crowd the context.
+    *
+    * Scale shape: candidate generation is whatever top-k source feeds
+    * it (here [[bruteTopK]] for the labeled-exact gate; [[ivfProbeIndex]]
+    * at corpus scale); the greedy step is poolSize²-bounded LOCAL work
+    * per probe inside flatMapGroups — no shuffle beyond the candidate
+    * top-k's own, state bounded by the pool.
+    *
+    * Determinism (oracle parity): rel sims arrive pre-rounded (6) from
+    * bruteTopK; candidate-candidate sims and the emitted score use the
+    * divergence-free floor-scaled form `floor(x·1e6 + 0.5) / 1e6` —
+    * Spark's `round` (shortest-decimal BigDecimal) and DuckDB's
+    * (exact-binary) disagree on x.xxxxx5-boundary doubles, while the
+    * floor chain is the identical IEEE op sequence on both engines.
+    * Ties break by vec_id.
+    */
+  def mmrRerank(corpus: DataFrame, probes: DataFrame, k: Int,
+      poolSize: Int, lambda: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val pool = bruteTopK(corpus, probes, poolSize)
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("probe_id"), col("vec_id"), col("sim"),
+        col("embedding").cast("array<float>"))
+      .as[(Long, Long, Double, Array[Float])]
+    pool.groupByKey(_._1)
+      .flatMapGroups { (probeId, it) =>
+        val cands = it.toArray.sortBy(c => (-c._3, c._2))
+        // Same fused widen-then-accumulate chain as the vec_cosine
+        // kernel (VecOps.cosineFF) so local sims match the column form.
+        def cos(a: Array[Float], b: Array[Float]): Double = {
+          var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          val n = math.min(a.length, b.length)
+          while (i < n) {
+            val x = a(i).toDouble; val y = b(i).toDouble
+            d += x * y; na += x * x; nb += y * y; i += 1
+          }
+          d / (math.sqrt(na) * math.sqrt(nb))
+        }
+        def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val out = Vector.newBuilder[(Long, Long, Long, Double)]
+        var step = 1
+        while (step <= k && selected.length < cands.length) {
+          var bestIdx = -1
+          var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < cands.length) {
+            if (!selected.contains(i)) {
+              // True max over selected (cosines may be negative); the
+              // empty-set penalty is 0 by the MMR convention.
+              val pen =
+                if (selected.isEmpty) 0.0
+                else selected.iterator
+                  .map(s => r6(cos(cands(i)._4, cands(s)._4))).max
+              val score = lambda * cands(i)._3 - (1.0 - lambda) * pen
+              // Ties resolve to the lower vec_id — the array is already
+              // (rel desc, vec_id asc) sorted, so strict > suffices.
+              if (score > bestScore) { bestScore = score; bestIdx = i }
+            }
+            i += 1
+          }
+          selected += bestIdx
+          // floor-scaled emit; the -0.5 + 0.5 = +0.0 identity means the
+          // chain never produces -0.0 (rule 8 satisfied by shape).
+          out += ((probeId, cands(bestIdx)._2, step.toLong, r6(bestScore)))
+          step += 1
+        }
+        out.result().iterator
+      }
+      .toDF("probe_id", "vec_id", "mmr_rank", "score")
+  }
 }
