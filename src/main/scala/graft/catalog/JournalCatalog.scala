@@ -85,17 +85,33 @@ final class JournalCatalog {
 
   /** Stable handle for watch streams (resolved driver-side through
     * [[JournalCatalog.lookup]] — catalog state never ships to
-    * executors).
+    * executors). Registration happens lazily in [[watchStream]], so a
+    * catalog that is never watched never pins itself in the JVM-wide
+    * registry; watched catalogs release with [[close]].
     */
   val id: String = java.util.UUID.randomUUID().toString
-  JournalCatalog.register(this)
 
   def currentRevision: Long = synchronized(revision)
 
-  /** Watch-log slice with revisions in (afterRev, throughRev]. */
+  /** Watch-log slice with revisions in (afterRev, throughRev]. O(result
+    * size): revisions are dense by construction (`revision += 1` exactly
+    * once per appended event, so `changelog(i).revision == i + 1`), and
+    * a filter over the full history would make every watch trigger on a
+    * long-lived catalog O(total mutations) under the catalog lock.
+    */
   def changesBetween(afterRev: Long, throughRev: Long): Vector[WatchEvent] =
-    synchronized(
-      changelog.filter(e => e.revision > afterRev && e.revision <= throughRev))
+    synchronized {
+      val from = math.max(0L, afterRev)
+      val until = math.min(throughRev, changelog.length.toLong)
+      if (until <= from) Vector.empty
+      else changelog.slice(from.toInt, until.toInt)
+    }
+
+  /** Unregister from the watch registry so this instance (and its
+    * append-only watch log) can be collected; running watch streams
+    * fail their next trigger with the lookup error. Idempotent.
+    */
+  def close(): Unit = JournalCatalog.unregister(id)
 
   /** Upsert with optional expected revision (CAS; -1 = unconditional,
     * 0 = must-not-exist, >0 = must match current).
@@ -259,9 +275,11 @@ final class JournalCatalog {
     * so a restarted query resumes exactly where its checkpoint left
     * off (same-JVM catalog; see [[CatalogWatchSource]]).
     */
-  def watchStream(spark: SparkSession): DataFrame =
+  def watchStream(spark: SparkSession): DataFrame = {
+    JournalCatalog.register(this)
     spark.readStream.format("journal-catalog-watch")
       .option("catalog", id).load()
+  }
 }
 
 object JournalCatalog {
@@ -269,5 +287,6 @@ object JournalCatalog {
     scala.collection.concurrent.TrieMap.empty[String, JournalCatalog]
   private[catalog] def register(c: JournalCatalog): Unit =
     registry.put(c.id, c)
+  private[catalog] def unregister(id: String): Unit = registry.remove(id)
   def lookup(id: String): Option[JournalCatalog] = registry.get(id)
 }

@@ -94,7 +94,9 @@ class JournalTableCatalog extends TableCatalog {
       readOnly = opt("readOnly").exists(_.toBoolean),
       writeOnly = opt("writeOnly").exists(_.toBoolean),
       stores = opt("stores").orElse(opt("root"))
-        .map(_.split(',').toVector.map(_.trim)).getOrElse(Vector.empty))
+        .map(_.split(',').toVector.map(_.trim)).getOrElse(Vector.empty),
+      retentionMs = opt("retentionMs").map(_.toLong).getOrElse(0L),
+      maxAppendRate = opt("maxAppendRate").map(_.toLong).getOrElse(0L))
     // Validate the loadTable invariant BEFORE registering: a failed
     // CREATE must not leave a phantom spec behind.
     if (spec.stores.isEmpty)
@@ -118,6 +120,8 @@ class JournalTableCatalog extends TableCatalog {
         case "codec"     => s.copy(codec = set.value)
         case "readOnly"  => s.copy(readOnly = set.value.toBoolean)
         case "writeOnly" => s.copy(writeOnly = set.value.toBoolean)
+        case "retentionMs"   => s.copy(retentionMs = set.value.toLong)
+        case "maxAppendRate" => s.copy(maxAppendRate = set.value.toLong)
         case p if p.startsWith("label.") =>
           val l = Label(p.stripPrefix("label."), set.value)
           s.copy(labels = LabelSet(

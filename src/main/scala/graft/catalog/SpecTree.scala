@@ -60,7 +60,12 @@ final case class SpecPatch(
     // Empty = unspecified/inherit. Without this field a fromCatalog →
     // applyTo round trip would wipe every journal's fragment stores
     // (toSpec used to emit Vector.empty unconditionally).
-    stores: Vector[String] = Vector.empty) {
+    stores: Vector[String] = Vector.empty,
+    // -1 = unspecified/inherit (0 is a MEANINGFUL value for both:
+    // retain-forever / unlimited), so the stores wipe hazard above
+    // applies to these too.
+    retentionMs: Long = -1L,
+    maxAppendRate: Long = -1L) {
 
   /** Fields of `this`, falling back to `b` where unspecified (UnionJournalSpecs). */
   def union(b: SpecPatch): SpecPatch = SpecPatch(
@@ -70,7 +75,9 @@ final case class SpecPatch(
       if (fragmentTargetLength == 0L) b.fragmentTargetLength else fragmentTargetLength,
     codec = if (codec.isEmpty) b.codec else codec,
     flags = if (flags == 0) b.flags else flags,
-    stores = if (stores.isEmpty) b.stores else stores)
+    stores = if (stores.isEmpty) b.stores else stores,
+    retentionMs = if (retentionMs < 0L) b.retentionMs else retentionMs,
+    maxAppendRate = if (maxAppendRate < 0L) b.maxAppendRate else maxAppendRate)
 
   /** Fields shared by both patches; others zeroed (IntersectJournalSpecs). */
   def intersect(b: SpecPatch): SpecPatch = SpecPatch(
@@ -80,7 +87,9 @@ final case class SpecPatch(
       if (fragmentTargetLength == b.fragmentTargetLength) fragmentTargetLength else 0L,
     codec = if (codec == b.codec) codec else "",
     flags = if (flags == b.flags) flags else 0,
-    stores = if (stores == b.stores) stores else Vector.empty)
+    stores = if (stores == b.stores) stores else Vector.empty,
+    retentionMs = if (retentionMs == b.retentionMs) retentionMs else -1L,
+    maxAppendRate = if (maxAppendRate == b.maxAppendRate) maxAppendRate else -1L)
 
   /** Fields of `this` not matched by `b`; matches zeroed (SubtractJournalSpecs). */
   def subtract(b: SpecPatch): SpecPatch = SpecPatch(
@@ -90,7 +99,9 @@ final case class SpecPatch(
       if (fragmentTargetLength == b.fragmentTargetLength) 0L else fragmentTargetLength,
     codec = if (codec == b.codec) "" else codec,
     flags = if (flags == b.flags) 0 else flags,
-    stores = if (stores == b.stores) Vector.empty else stores)
+    stores = if (stores == b.stores) Vector.empty else stores,
+    retentionMs = if (retentionMs == b.retentionMs) -1L else retentionMs,
+    maxAppendRate = if (maxAppendRate == b.maxAppendRate) -1L else maxAppendRate)
 
   /** Complete (all-fields-specified) view, for flattening to a JournalSpec. */
   def toSpec(name: String): JournalSpec = JournalSpec(
@@ -101,7 +112,9 @@ final case class SpecPatch(
     codec = if (codec.isEmpty) "gz" else codec,
     readOnly = flags == SpecPatch.RdOnly,
     writeOnly = flags == SpecPatch.WrOnly,
-    stores = stores)
+    stores = stores,
+    retentionMs = if (retentionMs < 0L) 0L else retentionMs,
+    maxAppendRate = if (maxAppendRate < 0L) 0L else maxAppendRate)
 }
 
 object SpecPatch {
@@ -113,7 +126,9 @@ object SpecPatch {
     fragmentTargetLength = s.fragmentTargetLength,
     codec = s.codec,
     flags = if (s.readOnly) RdOnly else if (s.writeOnly) WrOnly else RdWr,
-    stores = s.stores)
+    stores = s.stores,
+    retentionMs = s.retentionMs,
+    maxAppendRate = s.maxAppendRate)
 }
 
 /** One node of the hierarchy: a "directory" if the name is empty or ends

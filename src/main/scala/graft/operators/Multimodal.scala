@@ -113,6 +113,11 @@ object Multimodal {
     * offset broadcast + per-bucket base subtract — [[EpochShuffle]]'s
     * machinery). Rows with degenerate dimensions (w or h ≤ 0, e.g.
     * undecodable media) are excluded rather than poisoning a bucket.
+    *
+    * The returned frame is cached (the collected offsets are only valid
+    * for the materialization they were counted from — EpochShuffle's
+    * replay-hazard contract); callers done with the batch table should
+    * `unpersist()` it.
     */
   def aspectBuckets(media: DataFrame, batchSize: Int = 16): DataFrame = {
     require(batchSize > 0, s"batchSize must be positive, got $batchSize")

@@ -47,7 +47,12 @@ object Journal {
 
   final case class Fragment(
       journal: String, begin: Long, end: Long, sha1: String, codec: String,
-      path: String, hosts: Seq[String] = Nil) {
+      path: String, hosts: Seq[String] = Nil,
+      // Store mod-time captured at listing time (0 for write-path
+      // fragments that never round-tripped through a listing) — lets
+      // time-based retention run off ONE listing instead of a
+      // per-fragment getFileStatus RPC storm.
+      modTimeMs: Long = 0L) {
     def name: String = f"$begin%016x-$end%016x-$sha1.$codec"
   }
 
@@ -182,7 +187,8 @@ object Journal {
                   .flatMap(_.getHosts).distinct
                 buf += Fragment(journal, java.lang.Long.parseUnsignedLong(b, 16),
                   java.lang.Long.parseUnsignedLong(e, 16), sha, codec,
-                  new HPath(dir, rel).toString, hosts)
+                  new HPath(dir, rel).toString, hosts,
+                  st.getModificationTime)
               }
             case _ =>
           }
@@ -251,18 +257,27 @@ object Journal {
   def pruneOlderThan(roots: Seq[String], journal: String,
       horizonMs: Long): Vector[Fragment] = {
     val conf = hadoopConf
-    val cover = coverSet(listFragments(roots, journal, Long.MinValue))
+    // ONE listing serves both the horizon walk (mod-times ride the
+    // Fragment rows) and the deletion pass — no second LIST, no
+    // per-fragment getFileStatus.
+    val frags = listFragments(roots, journal, Long.MinValue)
+    val cover = coverSet(frags)
     var keepFrom = 0L
     val it = cover.iterator
     var cut = false
     while (it.hasNext && !cut) {
       val (f, _) = it.next()
-      val p = new HPath(f.path)
-      val mt = p.getFileSystem(conf).getFileStatus(p).getModificationTime
-      if (mt < horizonMs) keepFrom = f.end else cut = true
+      if (f.modTimeMs < horizonMs) keepFrom = f.end else cut = true
     }
     if (keepFrom == 0L) Vector.empty
-    else prune(roots, journal, keepFrom)
+    else {
+      val drop = frags.filter(_.end <= keepFrom)
+      drop.foreach { f =>
+        val p = new HPath(f.path)
+        p.getFileSystem(conf).delete(p, false)
+      }
+      drop
+    }
   }
 
   def pruneOlderThan(root: String, journal: String,

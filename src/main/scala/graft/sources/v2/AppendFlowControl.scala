@@ -29,26 +29,28 @@ object AppendFlowControl {
     private var lastNanos: Long = System.nanoTime()
 
     /** Block until `n` bytes of budget are available, then consume
-      * them. Oversized single payloads (n > capacity) are admitted one
-      * bucket-drain at a time rather than deadlocking.
+      * them. Admission waits for `min(n, capacity)` tokens — a payload
+      * larger than the whole bucket is admitted once the bucket is
+      * FULL and carries the excess as negative balance (debt) the next
+      * refill pays. Waiting for the full deficit AND booking the debt
+      * would charge the excess twice, halving effective throughput for
+      * oversized records.
       */
     def acquire(n: Long): Unit = synchronized {
-      var need = n.toDouble
-      while (need > 0) {
+      val need = n.toDouble
+      val target = math.min(need, capacity)
+      var admitted = false
+      while (!admitted) {
         val now = System.nanoTime()
         tokens = math.min(capacity,
           tokens + (now - lastNanos) * 1e-9 * bytesPerSec)
         lastNanos = now
-        if (tokens >= need || tokens >= capacity) {
-          val take = math.min(need, tokens)
-          tokens -= take
-          // A payload larger than the whole bucket "owes" the rest:
-          // carry the remainder negative so the NEXT refill pays it.
-          if (take < need) { tokens -= (need - take); need = 0 }
-          else need = 0
+        if (tokens >= target) {
+          tokens -= need
+          admitted = true
         } else {
-          val deficit = need - tokens
-          val waitNanos = (deficit / bytesPerSec * 1e9).toLong.max(1000000L)
+          val waitNanos =
+            ((target - tokens) / bytesPerSec * 1e9).toLong.max(1000000L)
           Thread.sleep(waitNanos / 1000000L, (waitNanos % 1000000L).toInt)
         }
       }

@@ -50,10 +50,10 @@ object ScaleUp {
     // 9 exact copies of every document, which blows up any exact
     // near-dup join with a 45×-pairs data artifact the real generator
     // would never produce.
-    def salt(c: String, i: Int) =
-      (if (i == 0) col(c)
-       else regexp_replace(col(c), "(\\S+)",
-         s"z${('a' + i - 1).toChar}$$1")).as(c)
+    def saltedExpr(c: String, i: Int) =
+      if (i == 0) col(c)
+      else regexp_replace(col(c), "(\\S+)", s"z${('a' + i - 1).toChar}$$1")
+    def salt(c: String, i: Int) = saltedExpr(c, i).as(c)
 
     replicas("region")((df, i) => if (i == 0) df else df.limit(0))
     replicas("nation")((df, i) => if (i == 0) df else df.limit(0))
@@ -77,9 +77,13 @@ object ScaleUp {
     replicas("events")((df, i) => df.select(
       off("event_id", i), col("ts"), off("user_id", i),
       col("event_type"), col("value"), col("props")))
+    // n_chars re-derives from the SALTED text (replica 0 keeps the
+    // original column): carrying replica-0 lengths alongside longer
+    // salted text would leave the two columns mutually inconsistent.
     replicas("documents")((df, i) => df.select(
       off("doc_id", i), salt("text", i), col("lang"), col("source"),
-      col("n_chars")))
+      (if (i == 0) col("n_chars")
+       else length(saltedExpr("text", i)).cast("long")).as("n_chars")))
     // Rotation preserves each vector's norm and the corpus's moment
     // structure while decorrelating replicas (no cross-replica
     // near-dup pairs a real generator would not produce).

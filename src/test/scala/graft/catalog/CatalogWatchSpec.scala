@@ -46,7 +46,7 @@ class CatalogWatchSpec extends SparkSpec {
         ("upsert", "watch/live"),
         ("delete", "watch/pre")))
       assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
-    } finally q.stop()
+    } finally { q.stop(); c.close() }
   }
 
   test("watch stream resumes from its checkpoint (no replayed rows)") {
@@ -69,5 +69,18 @@ class CatalogWatchSpec extends SparkSpec {
     drain()
     val names = spark.read.parquet(out).select($"name").as[String].collect()
     assert(names.sorted.toSeq == Seq("wres/aaa1", "wres/bbb2"))
+    c.close()
+  }
+
+  test("close() unregisters; unwatched catalogs never register") {
+    val fresh = new JournalCatalog
+    assert(JournalCatalog.lookup(fresh.id).isEmpty,
+      "a catalog that is never watched must not pin itself in the registry")
+    val watched = new JournalCatalog
+    watched.watchStream(spark) // registration is lazy, on first watch
+    assert(JournalCatalog.lookup(watched.id).contains(watched))
+    watched.close()
+    assert(JournalCatalog.lookup(watched.id).isEmpty)
+    watched.close() // idempotent
   }
 }

@@ -44,6 +44,21 @@ class JournalTableCatalogSpec extends SparkSpec {
     assert(JournalTableCatalog.backingFor("jcat").get("topic/events").isEmpty)
   }
 
+  test("retention and append-rate set via CREATE and ALTER TABLE properties") {
+    ensureCatalog()
+    spark.sql(s"CREATE TABLE jcat.topic.gov TBLPROPERTIES(" +
+      s"'stores'='$root', 'retentionMs'='3600000', 'maxAppendRate'='4096')")
+    val backing = JournalTableCatalog.backingFor("jcat")
+    val spec = backing.get("topic/gov").get
+    assert(spec.retentionMs == 3600000L && spec.maxAppendRate == 4096L,
+      "CREATE TABLE must not silently drop governance properties")
+    spark.sql("ALTER TABLE jcat.topic.gov SET TBLPROPERTIES(" +
+      "'retentionMs'='7200000', 'maxAppendRate'='0')")
+    val altered = backing.get("topic/gov").get
+    assert(altered.retentionMs == 7200000L && altered.maxAppendRate == 0L)
+    spark.sql("DROP TABLE jcat.topic.gov")
+  }
+
   test("read-only flag strips write capabilities") {
     import spark.implicits._
     ensureCatalog()

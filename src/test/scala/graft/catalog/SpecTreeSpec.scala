@@ -114,6 +114,23 @@ class SpecTreeSpec extends AnyFunSuite {
       "fromCatalog -> applyTo must not wipe fragment stores")
   }
 
+  test("retention and append-rate survive the fromCatalog -> applyTo round trip") {
+    val cat = new JournalCatalog
+    cat.upsert(JournalSpec("topic/r", stores = Vector("file:///tmp/s"),
+      retentionMs = 3600000L, maxAppendRate = 4096L))
+    // 0 is MEANINGFUL for both fields (retain forever / unlimited), so
+    // the patch encodes unspecified as -1 — a 0-valued spec must also
+    // round-trip unchanged.
+    cat.upsert(JournalSpec("topic/z", stores = Vector("file:///tmp/s")))
+    val rt = SpecTree.fromCatalog(cat)
+    assert(SpecTree.applyTo(rt, cat).isRight)
+    val r = cat.get("topic/r").get
+    assert(r.retentionMs == 3600000L && r.maxAppendRate == 4096L,
+      "fromCatalog -> applyTo must not wipe retention/append-rate")
+    val z = cat.get("topic/z").get
+    assert(z.retentionMs == 0L && z.maxAppendRate == 0L)
+  }
+
   test("patchIn: prefix-sharing sibling splices; dir patch unions without recursion") {
     // "a/b" terminal + patch "a/bc": raw startsWith would descend into
     // the terminal and fail its name require; must splice a sibling.
