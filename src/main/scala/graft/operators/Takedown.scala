@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deletion-impact audit — the planning step of a takedown /
+  * right-to-be-forgotten request against a training-data pipeline:
+  * given a deletion set of document ids, report how much of each
+  * DERIVED artifact must be rebuilt before any bytes are touched.
+  *
+  * Three artifact families (the ones a real corpus materializes):
+  *  - `pack_seq`: fixed-budget token sequences ([[Packing.packSequences]])
+  *    — a deleted doc invalidates every sequence its span overlaps;
+  *  - `epoch_suffix`: the deterministic epoch order
+  *    ([[EpochShuffle.order]]) — positions are dense per shard, so a
+  *    deletion shifts every LATER position in its shard; the rebuild is
+  *    each touched shard's suffix from its first deleted position;
+  *  - `ivf_cell`: ANN index cells ([[Clustering.kmeansAssign]]) — a
+  *    deleted vector invalidates its cell's posting list.
+  *
+  * Scale shape: three joins against the (small) deletion set plus
+  * count aggregates; the only driver-side values are the dozen scalar
+  * counts that form the 3-row report. Nothing corpus-sized leaves the
+  * executors.
+  *
+  * Output: (artifact, units_touched, units_total, rows_deleted,
+  * rebuild_frac) — rebuild_frac is the fraction of the artifact's BASE
+  * rows/units invalidated, in the divergence-free floor-scaled form
+  * (oracle-dialect rule 9).
+  */
+object Takedown {
+
+  def impactAudit(docs: DataFrame, embeddings: DataFrame,
+      deletions: DataFrame, seed: String = "ep7", shards: Int = 8,
+      budget: Int = 512, kCells: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val del = deletions.select(col("doc_id").cast("long").as("doc_id"))
+      .persist()
+
+    // pack_seq: sequences overlapped by deleted docs.
+    val packs = Packing.packSequences(docs, col("doc_id"), col("text"),
+        budget, shards)
+      .select(col("doc_id"), col("shard"), col("seq_first"), col("seq_last"))
+      .persist()
+    val seqAll = packs
+      .select(col("shard"),
+        explode(sequence(col("seq_first"), col("seq_last"))).as("seq"))
+      .distinct().count()
+    val delPacks = packs.join(del, "doc_id").persist()
+    val seqTouched = delPacks
+      .select(col("shard"),
+        explode(sequence(col("seq_first"), col("seq_last"))).as("seq"))
+      .distinct().count()
+    val docsDeleted = delPacks.count()
+    delPacks.unpersist(); packs.unpersist()
+
+    // epoch_suffix: per touched shard, every position at/after the
+    // first deleted one re-derives.
+    val ord = EpochShuffle.order(docs, col("doc_id"), seed, shards)
+    val mins = ord.join(del, "doc_id").groupBy(col("shard"))
+      .agg(min(col("pos")).as("mp")).persist()
+    val suffixRows = ord.join(mins, "shard")
+      .filter(col("pos") >= col("mp")).count()
+    val ordTotal = ord.count()
+    val shardsTotal = ord.select(col("shard")).distinct().count()
+    val shardsTouched = mins.count()
+    val epochDeleted = ord.join(del, "doc_id").count()
+    mins.unpersist(); ord.unpersist()
+
+    // ivf_cell: posting lists containing deleted vectors.
+    val cells = Clustering.kmeansAssign(embeddings, k = kCells, updates = 1)
+      .select(col("vec_id"), col("cell")).persist()
+    val cellsTotal = cells.select(col("cell")).distinct().count()
+    val delCells = cells
+      .join(del, cells("vec_id") === del("doc_id")).persist()
+    val cellsTouched = delCells.select(col("cell")).distinct().count()
+    val vecsDeleted = delCells.count()
+    delCells.unpersist(); cells.unpersist(); del.unpersist()
+
+    def f6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    Seq(
+      ("pack_seq", seqTouched, seqAll, docsDeleted,
+        f6(seqTouched.toDouble / seqAll)),
+      ("epoch_suffix", shardsTouched, shardsTotal, epochDeleted,
+        f6(suffixRows.toDouble / ordTotal)),
+      ("ivf_cell", cellsTouched, cellsTotal, vecsDeleted,
+        f6(cellsTouched.toDouble / cellsTotal)))
+      .toDF("artifact", "units_touched", "units_total", "rows_deleted",
+        "rebuild_frac")
+  }
+}

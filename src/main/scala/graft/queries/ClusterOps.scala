@@ -248,7 +248,7 @@ object ClusterOps {
   /** Shared k-means CTE chain ending in a2(vec_id, v, cell) — mirrors
     * [[Clustering.kmeansAssign]] with k=8, updates=1, seed "km42".
     */
-  private def kmeansCte: String = {
+  private[queries] def kmeansCte: String = {
     def assignFrom(src: String) =
       s"""SELECT vec_id, v, ci AS cell FROM (
          |  SELECT e.vec_id, e.v, s.ci,

@@ -42,6 +42,20 @@ object ServeOps {
         .withColumnRenamed("id", "vec_id")
     },
 
+    // ---- q153: deletion-impact audit — takedown / right-to-be-
+    // forgotten planning: for a deletion set (doc_id % 53 = 0), the
+    // fraction of each derived training artifact (pack sequences,
+    // epoch-order suffixes, IVF cells) that must rebuild. Joins against
+    // the small deletion set + count aggregates; only the dozen scalar
+    // counts reach the driver.
+    "q153_deletion_impact" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      graft.operators.Takedown.impactAudit(
+        docs, Tables.embeddings(s, d),
+        docs.filter($"doc_id" % 53 === 0).select($"doc_id"))
+    },
+
     // ---- q152: aspect-ratio bucketed batching for multimodal training
     // loaders — media quantize to an aspect bucket, take a dense
     // two-phase rank within it (a per-bucket row_number window would
@@ -114,6 +128,76 @@ object ServeOps {
          |  UNION ALL SELECT probe_id, vec_id, score, step FROM p3
          |  UNION ALL SELECT probe_id, vec_id, score, step FROM p4) u""".stripMargin
     },
+
+    // Replays the three artifact derivations with their own gate
+    // queries' CTEs (q54 packing, q136 epoch keys, the shared k-means
+    // cells) against the same deletion set; rebuild fractions use the
+    // floor-scaled form (rule 9).
+    "q153_deletion_impact" ->
+      s"""WITH ${ClusterOps.kmeansCte},
+        |del AS (SELECT doc_id FROM documents WHERE doc_id % 53 = 0),
+        |t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+'))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS end_tok
+        |  FROM t),
+        |packs AS (
+        |  SELECT doc_id, shard,
+        |    CAST((end_tok - n_tokens) // 512 AS BIGINT) AS seq_first,
+        |    CAST(CASE WHEN n_tokens = 0 THEN (end_tok - n_tokens) // 512
+        |         ELSE (end_tok - 1) // 512 END AS BIGINT) AS seq_last
+        |  FROM c),
+        |pseq AS (SELECT DISTINCT shard, seq FROM (
+        |  SELECT shard, unnest(range(seq_first, seq_last + 1)) AS seq
+        |  FROM packs) z),
+        |pdel AS (SELECT DISTINCT shard, seq FROM (
+        |  SELECT p.shard, unnest(range(p.seq_first, p.seq_last + 1)) AS seq
+        |  FROM packs p JOIN del USING (doc_id)) z),
+        |keyed AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5('s:ep7:' || doc_id::VARCHAR), 1, 8))
+        |      ::UBIGINT % 8 AS INT) AS shard,
+        |    md5('o:ep7:' || doc_id::VARCHAR) AS okey
+        |  FROM documents),
+        |ord AS (
+        |  SELECT shard,
+        |    row_number() OVER (PARTITION BY shard ORDER BY okey) - 1 AS pos,
+        |    doc_id
+        |  FROM keyed),
+        |mins AS (SELECT shard, min(pos) AS mp FROM ord JOIN del
+        |  USING (doc_id) GROUP BY shard),
+        |cells AS (SELECT vec_id, cell FROM a2),
+        |cdel AS (SELECT cells.cell, cells.vec_id FROM cells
+        |  JOIN del ON cells.vec_id = del.doc_id)
+        |SELECT * FROM (
+        |SELECT 'pack_seq' AS artifact,
+        |  CAST((SELECT count(*) FROM pdel) AS BIGINT) AS units_touched,
+        |  CAST((SELECT count(*) FROM pseq) AS BIGINT) AS units_total,
+        |  CAST((SELECT count(*) FROM packs JOIN del USING (doc_id))
+        |    AS BIGINT) AS rows_deleted,
+        |  floor(CAST((SELECT count(*) FROM pdel) AS DOUBLE)
+        |    / (SELECT count(*) FROM pseq) * 1e6 + 0.5) / 1e6 AS rebuild_frac
+        |UNION ALL
+        |SELECT 'epoch_suffix',
+        |  CAST((SELECT count(*) FROM mins) AS BIGINT),
+        |  CAST((SELECT count(DISTINCT shard) FROM ord) AS BIGINT),
+        |  CAST((SELECT count(*) FROM ord JOIN del USING (doc_id)) AS BIGINT),
+        |  floor(CAST((SELECT count(*) FROM ord o JOIN mins m
+        |        ON o.shard = m.shard AND o.pos >= m.mp) AS DOUBLE)
+        |    / (SELECT count(*) FROM ord) * 1e6 + 0.5) / 1e6
+        |UNION ALL
+        |SELECT 'ivf_cell',
+        |  CAST((SELECT count(DISTINCT cell) FROM cdel) AS BIGINT),
+        |  CAST((SELECT count(DISTINCT cell) FROM cells) AS BIGINT),
+        |  CAST((SELECT count(*) FROM cdel) AS BIGINT),
+        |  floor(CAST((SELECT count(DISTINCT cell) FROM cdel) AS DOUBLE)
+        |    / (SELECT count(DISTINCT cell) FROM cells) * 1e6 + 0.5) / 1e6
+        |) u""".stripMargin,
 
     "q151_context_assembly" ->
       """WITH e AS (

@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TakedownSpec extends SparkSpec {
+
+  private def corpus = {
+    import spark.implicits._
+    (0L until 40L).map(i => (i, s"word$i " * (i % 7 + 1).toInt)).toDF("doc_id", "text")
+  }
+
+  private def embs = {
+    import spark.implicits._
+    (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(j => ((i * 31 + j * 7) % 13).toFloat / 13f), 0))
+      .toDF("vec_id", "embedding", "label")
+  }
+
+  test("empty deletion set touches nothing; full set rebuilds everything") {
+    import spark.implicits._
+    val none = Takedown.impactAudit(corpus, embs,
+        spark.range(0).select($"id".as("doc_id")),
+        shards = 4, budget = 16, kCells = 4)
+      .select($"artifact", $"units_touched", $"rows_deleted", $"rebuild_frac")
+      .as[(String, Long, Long, Double)].collect()
+    assert(none.forall(r => r._2 == 0L && r._3 == 0L && r._4 == 0.0))
+
+    val all = Takedown.impactAudit(corpus, embs,
+        corpus.select($"doc_id"), shards = 4, budget = 16, kCells = 4)
+      .select($"artifact", $"units_touched", $"units_total", $"rebuild_frac")
+      .as[(String, Long, Long, Double)].collect()
+    assert(all.forall(r => r._2 == r._3), s"full deletion must touch every unit: ${all.toSeq}")
+    assert(all.forall(_._4 == 1.0))
+  }
+
+  test("single deletion: suffix semantics for the epoch artifact") {
+    import spark.implicits._
+    val one = corpus.filter($"doc_id" === 7L).select($"doc_id")
+    val out = Takedown.impactAudit(corpus, embs, one,
+        shards = 4, budget = 16, kCells = 4)
+      .select($"artifact", $"units_touched", $"units_total",
+        $"rows_deleted", $"rebuild_frac")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // Exactly one shard, one cell, >=1 pack sequence touched.
+    assert(out("epoch_suffix")._2 == 1L && out("epoch_suffix")._4 == 1L)
+    assert(out("ivf_cell")._2 == 1L && out("ivf_cell")._4 == 1L)
+    assert(out("pack_seq")._2 >= 1L && out("pack_seq")._4 == 1L)
+    // The epoch rebuild is a SUFFIX: strictly less than the corpus
+    // unless doc 7 happens to be its shard's first position, and at
+    // most the whole corpus either way.
+    val frac = out("epoch_suffix")._5
+    assert(frac > 0.0 && frac <= 1.0)
+  }
+}
