@@ -992,49 +992,61 @@ object Similarity {
       .as[(Long, Long, Double, Array[Float])]
     pool.groupByKey(_._1)
       .flatMapGroups { (probeId, it) =>
-        val cands = it.toArray.sortBy(c => (-c._3, c._2))
-        // Same fused widen-then-accumulate chain as the vec_cosine
-        // kernel (VecOps.cosineFF) so local sims match the column form.
-        def cos(a: Array[Float], b: Array[Float]): Double = {
-          var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-          val n = math.min(a.length, b.length)
-          while (i < n) {
-            val x = a(i).toDouble; val y = b(i).toDouble
-            d += x * y; na += x * x; nb += y * y; i += 1
-          }
-          d / (math.sqrt(na) * math.sqrt(nb))
-        }
-        def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
-        val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
-        val out = Vector.newBuilder[(Long, Long, Long, Double)]
-        var step = 1
-        while (step <= k && selected.length < cands.length) {
-          var bestIdx = -1
-          var bestScore = Double.NegativeInfinity
-          var i = 0
-          while (i < cands.length) {
-            if (!selected.contains(i)) {
-              // True max over selected (cosines may be negative); the
-              // empty-set penalty is 0 by the MMR convention.
-              val pen =
-                if (selected.isEmpty) 0.0
-                else selected.iterator
-                  .map(s => r6(cos(cands(i)._4, cands(s)._4))).max
-              val score = lambda * cands(i)._3 - (1.0 - lambda) * pen
-              // Ties resolve to the lower vec_id — the array is already
-              // (rel desc, vec_id asc) sorted, so strict > suffices.
-              if (score > bestScore) { bestScore = score; bestIdx = i }
-            }
-            i += 1
-          }
-          selected += bestIdx
-          // floor-scaled emit; the -0.5 + 0.5 = +0.0 identity means the
-          // chain never produces -0.0 (rule 8 satisfied by shape).
-          out += ((probeId, cands(bestIdx)._2, step.toLong, r6(bestScore)))
-          step += 1
-        }
-        out.result().iterator
+        mmrGreedy(it.map(c => (c._2, c._3, c._4)).toArray, k, lambda)
+          .map { case (id, step, score) => (probeId, id, step, score) }
+          .iterator
       }
       .toDF("probe_id", "vec_id", "mmr_rank", "score")
+  }
+
+  /** The pure MMR greedy kernel over one probe's candidate pool
+    * (id, rel, vector): returns (id, step, score) picks. Extracted so
+    * properties (distinct picks, size = min(k, n), step-1 = argmax rel,
+    * input-order invariance) test without a SparkSession.
+    */
+  private[graft] def mmrGreedy(pool: Array[(Long, Double, Array[Float])],
+      k: Int, lambda: Double): Vector[(Long, Long, Double)] = {
+    val cands = pool.sortBy(c => (-c._2, c._1))
+    // Same fused widen-then-accumulate chain as the vec_cosine
+    // kernel (VecOps.cosineFF) so local sims match the column form.
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        d += x * y; na += x * x; nb += y * y; i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val out = Vector.newBuilder[(Long, Long, Double)]
+    var step = 1
+    while (step <= k && selected.length < cands.length) {
+      var bestIdx = -1
+      var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < cands.length) {
+        if (!selected.contains(i)) {
+          // True max over selected (cosines may be negative); the
+          // empty-set penalty is 0 by the MMR convention.
+          val pen =
+            if (selected.isEmpty) 0.0
+            else selected.iterator
+              .map(s => r6(cos(cands(i)._3, cands(s)._3))).max
+          val score = lambda * cands(i)._2 - (1.0 - lambda) * pen
+          // Ties resolve to the lower vec_id — the array is already
+          // (rel desc, vec_id asc) sorted, so strict > suffices.
+          if (score > bestScore) { bestScore = score; bestIdx = i }
+        }
+        i += 1
+      }
+      selected += bestIdx
+      // floor-scaled emit; the -0.5 + 0.5 = +0.0 identity means the
+      // chain never produces -0.0 (rule 8 satisfied by shape).
+      out += ((cands(bestIdx)._1, step.toLong, r6(bestScore)))
+      step += 1
+    }
+    out.result()
   }
 }

@@ -144,4 +144,28 @@ class PropertySpec extends AnyFunSuite {
         whole.s.sameElements(merged.s) && whole.p.sameElements(merged.p)
     })
   }
+
+  test("mmr greedy: distinct picks, min(k,n) size, argmax-rel first, order-free") {
+    import graft.operators.Similarity
+    val cand = for {
+      id <- Gen.choose(0L, 30L)
+      rel <- Gen.chooseNum(-1.0, 1.0).map(x => math.floor(x * 1e6) / 1e6)
+      v <- Gen.listOfN(4, Gen.chooseNum(-2.0f, 2.0f).suchThat(_ != 0f))
+    } yield (id, rel, v.toArray)
+    val poolGen = Gen.nonEmptyListOf(cand)
+      .map(_.distinctBy(_._1).toArray) // ids are identities
+    check(Prop.forAll(poolGen, Gen.choose(1, 6),
+        Gen.chooseNum(0.1, 0.9)) { (pool, k, lambda) =>
+      val out = Similarity.mmrGreedy(pool, k, lambda)
+      val ids = out.map(_._1)
+      val maxRel = pool.map(c => (-c._2, c._1)).min
+      ids.distinct.size == ids.size &&
+        out.size == math.min(k, pool.length) &&
+        out.map(_._2) == (1 to out.size).map(_.toLong).toVector &&
+        // step 1 is the pure-relevance argmax (ties to lower id)
+        out.head._1 == maxRel._2 &&
+        // input order is irrelevant: the kernel canonicalizes
+        Similarity.mmrGreedy(pool.reverse, k, lambda) == out
+    })
+  }
 }
