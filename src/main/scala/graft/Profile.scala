@@ -51,6 +51,36 @@ object Profile {
     t("q24 full")(SparkEntry.queries("q24_jaccard_pairs")(spark, sfDir).count())
     t("q25 full")(SparkEntry.queries("q25_minhash_lsh_pairs")(spark, sfDir).count())
 
+    // Fixed vs corpus-sized LSH parameterization (the q37 scale knob),
+    // at the gate's low threshold and at a realistic near-dup one.
+    for (thr <- Seq(0.4, 0.85)) {
+      t(s"lshNearDup fixed planes=4 thr=$thr")(graft.operators.Similarity
+        .lshNearDupPairs(Tables.embeddings(spark, sfDir), thr).count())
+      t(s"lshNearDup auto planes thr=$thr")(graft.operators.Similarity
+        .lshNearDupPairsAuto(Tables.embeddings(spark, sfDir), thr).count())
+    }
+    // Exact-verified recall of both configs (exact all-pairs is
+    // broadcast-scale: run at small SF only).
+    if (sys.env.get("SPARK_GRAFT_LSH_RECALL").exists(_ == "1")) {
+      val emb = Tables.embeddings(spark, sfDir)
+      for (thr <- Seq(0.4, 0.85)) {
+        val exact = graft.operators.Similarity.cosinePairs(emb, thr)
+          .select($"va", $"vb").distinct().persist()
+        val nExact = exact.count()
+        def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+          val hit = df.select($"va", $"vb").distinct()
+            .join(exact, Seq("va", "vb"), "inner").count()
+          if (nExact == 0) 1.0 else hit.toDouble / nExact
+        }
+        val rFixed = recallOf(graft.operators.Similarity
+          .lshNearDupPairs(emb, thr))
+        val rAuto = recallOf(graft.operators.Similarity
+          .lshNearDupPairsAuto(emb, thr))
+        println(f"[profile] lsh recall thr=$thr exact=$nExact fixed=$rFixed%.3f auto=$rAuto%.3f")
+        exact.unpersist()
+      }
+    }
+
     // Sequencer throughput vs the reference's qualitative bar
     // (>=100K msgs/s/partition, consumer/shard.go:24-34): 2M envelopes,
     // 8 producers x 4 journals, 5-message txn spans (4 CONTINUE + ACK).

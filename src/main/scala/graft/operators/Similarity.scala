@@ -256,6 +256,59 @@ object Similarity {
     * driver-side collect, no all-pairs scan; [[cosinePairs]] remains
     * the broadcast-scale exactness baseline.
     */
+  /** Corpus-size-aware wrapper solving the two-knob LSH tuning problem
+    * the fixed-parameter gate entry (q37: bands=8, planes=4, sized for
+    * the tiny gate corpus) cannot:
+    *
+    *  - planes per band grow with `log2(n / targetBucket)` so expected
+    *    band-bucket occupancy stays ~targetBucket — a FIXED plane count
+    *    makes bucket density grow linearly with n and candidate
+    *    verification QUADRATICALLY (measured 25× on a 10× corpus,
+    *    PERF.md round-5 probe);
+    *  - bands then grow to hold `recall` at the threshold — more
+    *    planes alone collapse per-band match probability p^planes
+    *    (p = 1 − acos(t)/π), silently dropping true pairs (measured
+    *    73k → 8.4k pairs on the same corpus).
+    *
+    * Cost stays linear: bands × n bucket rows shuffle; low thresholds
+    * are intrinsically band-hungry (p small ⇒ bands ~ ln(1/(1−R))/pᵏ —
+    * LSH theory, not an implementation artifact); realistic near-dup
+    * thresholds (≥0.8) keep bands modest at any n. One `count()` buys
+    * the parameterization; pass `n` when the caller knows it.
+    */
+  def lshNearDupPairsAuto(corpus: DataFrame, threshold: Double,
+      targetBucket: Int = 32, recall: Double = 0.9, dim: Int = 64,
+      seed: Long = 42L, maxBucket: Option[Int] = None,
+      n: Long = -1L): DataFrame = {
+    val rows = if (n >= 0L) n else corpus.count()
+    val planes = planesForCount(rows, targetBucket)
+    lshNearDupPairs(corpus, threshold,
+      bandsForRecall(threshold, planes, recall), planes, dim, seed, maxBucket)
+  }
+
+  /** ceil(log2(n / targetBucket)), floored at 4 planes and capped at 62
+    * (bucket ids pack into a Long).
+    */
+  def planesForCount(n: Long, targetBucket: Int): Int = {
+    require(targetBucket > 0, s"targetBucket must be positive, got $targetBucket")
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt
+    math.min(62, math.max(4, needed))
+  }
+
+  /** Bands needed for `1-(1-p^planes)^bands >= recall` at cosine
+    * `threshold` (p = 1 − acos(t)/π), capped at `maxBands`.
+    */
+  def bandsForRecall(threshold: Double, planesPerBand: Int,
+      recall: Double = 0.9, maxBands: Int = 128): Int = {
+    require(recall > 0 && recall < 1, s"recall in (0,1), got $recall")
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+    val pb = math.pow(p, planesPerBand.toDouble)
+    if (pb <= 1e-12) maxBands
+    else math.min(maxBands,
+      math.max(1, math.ceil(math.log1p(-recall) / math.log1p(-pb)).toInt))
+  }
+
   def lshNearDupPairs(corpus: DataFrame, threshold: Double,
       bands: Int = 8, planesPerBand: Int = 4, dim: Int = 64,
       seed: Long = 42L, maxBucket: Option[Int] = None): DataFrame = {

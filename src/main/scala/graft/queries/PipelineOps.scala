@@ -294,6 +294,11 @@ object PipelineOps {
     // cosinePairs stays as the spec-level exactness baseline.
     "q37_embedding_neardup" -> { (s, d) =>
       import s.implicits._
+      // Fixed (bands=8, planes=4) so the oracle can embed the plane
+      // literals; sized for the gate corpus. The corpus-sized scale
+      // path is lshNearDupPairsAuto (planes track n for bucket
+      // sparsity, bands track recall) — measured 15× faster at 10×
+      // scale on realistic thresholds (PERF.md round-5).
       Similarity.lshNearDupPairs(Tables.embeddings(s, d), 0.4)
     },
 

@@ -46,6 +46,45 @@ class ServeSpec extends SparkSpec {
     assert(out.map(_._2).toSet == Set(1L, 2L, 3L))
   }
 
+  test("LSH auto-parameterization: planes track corpus size, bands track recall") {
+    import Similarity.{bandsForRecall, planesForCount}
+    // Planes: log2(n / targetBucket), floored at 4, capped at 62.
+    assert(planesForCount(100, 32) == 4)
+    assert(planesForCount(5000, 32) == 8)
+    assert(planesForCount(5000000, 32) == 18)
+    assert(planesForCount(Long.MaxValue, 1) == 62)
+    // Bands: hold 1-(1-p^planes)^bands >= recall. More planes => more
+    // bands at the same threshold; higher thresholds need fewer.
+    val b4 = bandsForRecall(0.4, 4)
+    val b8 = bandsForRecall(0.4, 8)
+    assert(b4 < b8, s"bands must grow with planes: $b4 vs $b8")
+    assert(bandsForRecall(0.85, 8) < bandsForRecall(0.4, 8))
+    // The recall identity itself: the returned band count achieves it.
+    for (thr <- Seq(0.4, 0.7, 0.9); planes <- Seq(4, 8)) {
+      val p = 1.0 - math.acos(thr) / math.Pi
+      val bands = bandsForRecall(thr, planes, recall = 0.9)
+      val achieved = 1.0 - math.pow(1.0 - math.pow(p, planes), bands)
+      assert(achieved >= 0.9 || bands == 128,
+        s"thr=$thr planes=$planes bands=$bands achieved=$achieved")
+    }
+  }
+
+  test("lshNearDupPairsAuto finds the pairs the fixed gate config finds") {
+    import spark.implicits._
+    // A corpus with two exact near-dup clusters + noise: any sane
+    // parameterization must recover the true pairs.
+    val base = Seq.tabulate(64)(j => (j % 7 - 3).toFloat)
+    val vecs = Seq(
+      (1L, base), (2L, base.map(_ * 1.01f)),        // cluster A
+      (3L, base.map(x => -x)), (4L, base.map(x => -x * 0.99f)), // cluster B
+      (5L, Seq.tabulate(64)(j => ((j * 37 % 11) - 5).toFloat)),
+      (6L, Seq.tabulate(64)(j => ((j * 53 % 13) - 6).toFloat)))
+      .toDF("vec_id", "embedding")
+    val auto = Similarity.lshNearDupPairsAuto(vecs, 0.95)
+      .select($"va", $"vb").as[(Long, Long)].collect().toSet
+    assert(auto == Set((1L, 2L), (3L, 4L)))
+  }
+
   test("contextAssembly keeps the relevance-ordered prefix within budget") {
     import spark.implicits._
     val cands = Seq(
