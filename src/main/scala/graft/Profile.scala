@@ -59,6 +59,36 @@ object Profile {
       t(s"lshNearDup auto planes thr=$thr")(graft.operators.Similarity
         .lshNearDupPairsAuto(Tables.embeddings(spark, sfDir), thr).count())
     }
+    // Fixed vs corpus-sized k / nlist (semantic dedup + IVF knobs).
+    t("semanticDup fixed k=8")(graft.operators.Clustering.semanticDupPairs(
+      graft.operators.Clustering.kmeansAssign(
+        Tables.embeddings(spark, sfDir), k = 8, updates = 1), 0.4).count())
+    t("semanticDup auto k")(graft.operators.Clustering
+      .semanticDupPairsAuto(Tables.embeddings(spark, sfDir), 0.4).count())
+    locally {
+      val emb = Tables.embeddings(spark, sfDir)
+      // Few probes = build-dominated; many probes = the serving regime
+      // nlistForCount sizes for (per-probe cell scans dominate).
+      for (p <- Seq(10L, 5000L)) {
+        val probes = emb.filter($"vec_id" % (50021L / p + 1) === 0)
+        t(s"ivfTopK fixed nlist=16 probes~$p")(graft.operators.Similarity
+          .ivfTopK(emb, probes, k = 5).count())
+        t(s"ivfTopK auto nlist probes~$p")(graft.operators.Similarity
+          .ivfTopKAuto(emb, probes, k = 5).count())
+      }
+      // The at-rest regime the nlist law targets: build once, serve
+      // many. Compare pure SERVE cost on two materialized indexes.
+      val n = emb.count()
+      val nlAuto = graft.operators.Similarity.nlistForCount(n)
+      graft.operators.Similarity.ivfBuildIndex(emb, "/tmp/ivf_fixed", 16)
+      graft.operators.Similarity.ivfBuildIndex(emb, "/tmp/ivf_auto", nlAuto)
+      val probes = emb.filter($"vec_id" % 11 === 0)
+      t("ivfProbeIndex fixed nlist=16 probes~5k")(graft.operators.Similarity
+        .ivfProbeIndex(spark, "/tmp/ivf_fixed", probes, k = 5).count())
+      t(s"ivfProbeIndex auto nlist=$nlAuto probes~5k")(graft.operators.Similarity
+        .ivfProbeIndex(spark, "/tmp/ivf_auto", probes, k = 5).count())
+    }
+
     // Exact-verified recall of both configs (exact all-pairs is
     // broadcast-scale: run at small SF only).
     if (sys.env.get("SPARK_GRAFT_LSH_RECALL").exists(_ == "1")) {

@@ -232,6 +232,32 @@ object Clustering {
     * (the output of [[kmeansAssign]]). Misses only cross-cell dups —
     * the SemDeDup trade: k controls the recall/cost balance.
     */
+  /** Corpus-sized k for the SemDeDup trade: per-cell verification does
+    * Σ|cell|² ≈ n²/k pair work while assignment does n·k distance
+    * evals; k = √n balances them at ~n^1.5 total — a FIXED k (the gate
+    * hardcodes 8 for the tiny corpus) leaves verification quadratic.
+    */
+  def kForCount(n: Long): Int =
+    math.max(8, math.ceil(math.sqrt(math.max(0L, n).toDouble)).toInt)
+
+  /** [[kmeansAssign]] + [[semanticDupPairs]] with the corpus-sized k.
+    * One `count()` buys the parameterization; pass `n` when known.
+    *
+    * RECALL trade (measured, PERF.md round-5): more cells mean more
+    * cross-cell misses — on weakly-clustered data the pair count drops
+    * with k (27,983 → 7,730 at 10× gate scale going k=8 → k=√n). That
+    * is SemDeDup's documented bargain, acceptable when near-dups
+    * co-locate in embedding space (real corpora) — when they may not,
+    * use [[Similarity.lshNearDupPairsAuto]], whose recall is a tunable
+    * guarantee rather than a clustering accident.
+    */
+  def semanticDupPairsAuto(emb: DataFrame, threshold: Double,
+      updates: Int = 1, seed: String = "km42", n: Long = -1L): DataFrame = {
+    val rows = if (n >= 0L) n else emb.count()
+    semanticDupPairs(
+      kmeansAssign(emb, kForCount(rows), updates, seed), threshold)
+  }
+
   def semanticDupPairs(assigned: DataFrame, threshold: Double): DataFrame = {
     val a = assigned.select(col("cell"), col("vec_id").as("va"),
       col("embedding").as("ea"))
