@@ -67,25 +67,27 @@ object Profile {
       .semanticDupPairsAuto(Tables.embeddings(spark, sfDir), 0.4).count())
     locally {
       val emb = Tables.embeddings(spark, sfDir)
+      val n = emb.count() // probe counts derive from the ACTUAL corpus
       // Few probes = build-dominated; many probes = the serving regime
       // nlistForCount sizes for (per-probe cell scans dominate).
-      for (p <- Seq(10L, 5000L)) {
-        val probes = emb.filter($"vec_id" % (50021L / p + 1) === 0)
-        t(s"ivfTopK fixed nlist=16 probes~$p")(graft.operators.Similarity
+      for (p <- Seq(10L, n / 4)) {
+        val probes = emb.filter($"vec_id" % math.max(1L, n / p) === 0)
+        val np = probes.count()
+        t(s"ivfTopK fixed nlist=16 probes=$np")(graft.operators.Similarity
           .ivfTopK(emb, probes, k = 5).count())
-        t(s"ivfTopK auto nlist probes~$p")(graft.operators.Similarity
-          .ivfTopKAuto(emb, probes, k = 5).count())
+        t(s"ivfTopK auto nlist probes=$np")(graft.operators.Similarity
+          .ivfTopKAuto(emb, probes, k = 5, n = n).count())
       }
       // The at-rest regime the nlist law targets: build once, serve
       // many. Compare pure SERVE cost on two materialized indexes.
-      val n = emb.count()
       val nlAuto = graft.operators.Similarity.nlistForCount(n)
       graft.operators.Similarity.ivfBuildIndex(emb, "/tmp/ivf_fixed", 16)
       graft.operators.Similarity.ivfBuildIndex(emb, "/tmp/ivf_auto", nlAuto)
-      val probes = emb.filter($"vec_id" % 11 === 0)
-      t("ivfProbeIndex fixed nlist=16 probes~5k")(graft.operators.Similarity
+      val probes = emb.filter($"vec_id" % 4 === 0)
+      val np = probes.count()
+      t(s"ivfProbeIndex fixed nlist=16 probes=$np")(graft.operators.Similarity
         .ivfProbeIndex(spark, "/tmp/ivf_fixed", probes, k = 5).count())
-      t(s"ivfProbeIndex auto nlist=$nlAuto probes~5k")(graft.operators.Similarity
+      t(s"ivfProbeIndex auto nlist=$nlAuto probes=$np")(graft.operators.Similarity
         .ivfProbeIndex(spark, "/tmp/ivf_auto", probes, k = 5).count())
     }
 

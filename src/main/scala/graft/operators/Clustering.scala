@@ -232,6 +232,19 @@ object Clustering {
     * (the output of [[kmeansAssign]]). Misses only cross-cell dups —
     * the SemDeDup trade: k controls the recall/cost balance.
     */
+  def semanticDupPairs(assigned: DataFrame, threshold: Double): DataFrame = {
+    val a = assigned.select(col("cell"), col("vec_id").as("va"),
+      col("embedding").as("ea"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vb"),
+      col("embedding").as("eb"))
+    a.join(b, Seq("cell")).filter(col("va") < col("vb"))
+      .select(col("cell"), col("va"), col("vb"),
+        Similarity.cosineFused(col("ea"), col("eb")).as("c"))
+      .filter(col("c") >= threshold - 1e-6) // margin > half-ulp of round(·,6)
+      .select(col("cell"), col("va"), col("vb"), round(col("c"), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Corpus-sized k for the SemDeDup trade: per-cell verification does
     * Σ|cell|² ≈ n²/k pair work while assignment does n·k distance
     * evals; k = √n balances them at ~n^1.5 total — a FIXED k (the gate
@@ -256,18 +269,5 @@ object Clustering {
     val rows = if (n >= 0L) n else emb.count()
     semanticDupPairs(
       kmeansAssign(emb, kForCount(rows), updates, seed), threshold)
-  }
-
-  def semanticDupPairs(assigned: DataFrame, threshold: Double): DataFrame = {
-    val a = assigned.select(col("cell"), col("vec_id").as("va"),
-      col("embedding").as("ea"))
-    val b = assigned.select(col("cell"), col("vec_id").as("vb"),
-      col("embedding").as("eb"))
-    a.join(b, Seq("cell")).filter(col("va") < col("vb"))
-      .select(col("cell"), col("va"), col("vb"),
-        Similarity.cosineFused(col("ea"), col("eb")).as("c"))
-      .filter(col("c") >= threshold - 1e-6) // margin > half-ulp of round(·,6)
-      .select(col("cell"), col("va"), col("vb"), round(col("c"), 6).as("sim"))
-      .filter(col("sim") >= threshold)
   }
 }

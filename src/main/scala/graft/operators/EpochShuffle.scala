@@ -45,8 +45,19 @@ object EpochShuffle {
     * unique (they are the identity of a document); the md5 order key
     * then has no ties and the order is total.
     */
-  def order(df: DataFrame, id: Column, seed: String, shards: Int): DataFrame =
-    orderWithPriority(df, id, lit(0), seed, shards).drop("priority")
+  def order(df: DataFrame, id: Column, seed: String, shards: Int): DataFrame = {
+    // Re-cache the projection and release the wider frame: unpersist on
+    // a Project OVER the cached plan is a silent no-op (Dataset
+    // .unpersist only drops plans sameResult with its own), so
+    // returning `wp.drop(...)` would leave callers unable to ever free
+    // the corpus-sized epoch cache.
+    val wp = orderWithPriority(df, id, lit(0), seed, shards)
+    val out = wp.drop("priority")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    wp.unpersist()
+    out
+  }
 
   /** Curriculum variant: order each shard by (`priority` ASC, md5 key)
     * — lower priority values stream first (e.g. CCNet bucket rank:

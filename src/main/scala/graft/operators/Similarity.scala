@@ -297,16 +297,28 @@ object Similarity {
   }
 
   /** Bands needed for `1-(1-p^planes)^bands >= recall` at cosine
-    * `threshold` (p = 1 − acos(t)/π), capped at `maxBands`.
+    * `threshold` (p = 1 − acos(t)/π). THROWS when the target needs more
+    * than `maxBands` — silently clamping would hand back a fraction of
+    * the requested recall with no signal (at n=5M/thr=0.4 a clamp to
+    * 128 bands delivers ~3% of the true pairs), the same refusal
+    * contract as [[lshPlan]]. Low thresholds are intrinsically
+    * band-hungry (bands ~ ln(1/(1−R))/p^planes): raise the threshold,
+    * lower the recall target, or raise maxBands consciously (band cost
+    * is linear, bands × n bucket rows).
     */
   def bandsForRecall(threshold: Double, planesPerBand: Int,
-      recall: Double = 0.9, maxBands: Int = 128): Int = {
+      recall: Double = 0.9, maxBands: Int = 512): Int = {
     require(recall > 0 && recall < 1, s"recall in (0,1), got $recall")
     val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
     val pb = math.pow(p, planesPerBand.toDouble)
-    if (pb <= 1e-12) maxBands
-    else math.min(maxBands,
-      math.max(1, math.ceil(math.log1p(-recall) / math.log1p(-pb)).toInt))
+    val needed =
+      if (pb <= 1e-12) Int.MaxValue
+      else math.max(1, math.ceil(math.log1p(-recall) / math.log1p(-pb)).toInt)
+    require(needed <= maxBands,
+      s"recall $recall at threshold $threshold needs $needed bands with " +
+        s"$planesPerBand planes/band (> maxBands=$maxBands): raise the " +
+        "threshold, lower the recall target, or raise maxBands")
+    needed
   }
 
   def lshNearDupPairs(corpus: DataFrame, threshold: Double,

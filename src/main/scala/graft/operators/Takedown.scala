@@ -35,8 +35,12 @@ object Takedown {
       budget: Int = 512, kCells: Int = 8): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // distinct: overlapping takedown requests may repeat an id, and a
+    // duplicate would inflate rows_deleted via join multiplication
+    // while the distinct-based units stay put — an internally
+    // inconsistent report.
     val del = deletions.select(col("doc_id").cast("long").as("doc_id"))
-      .persist()
+      .distinct().persist()
 
     // pack_seq: sequences overlapped by deleted docs.
     val packs = Packing.packSequences(docs, col("doc_id"), col("text"),

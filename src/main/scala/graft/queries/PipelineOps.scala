@@ -297,7 +297,7 @@ object PipelineOps {
       // Fixed (bands=8, planes=4) so the oracle can embed the plane
       // literals; sized for the gate corpus. The corpus-sized scale
       // path is lshNearDupPairsAuto (planes track n for bucket
-      // sparsity, bands track recall) — measured 15× faster at 10×
+      // sparsity, bands track recall) — measured 14× faster at 10×
       // scale on realistic thresholds (PERF.md round-5).
       Similarity.lshNearDupPairs(Tables.embeddings(s, d), 0.4)
     },
