@@ -613,6 +613,72 @@ object Curation {
           .cast("long").as("alloc"))
   }
 
+  /** Execute a [[waterfillBudget]] plan: per source, walk documents in
+    * the seeded pseudo-random order (md5("o:" seed ":" id) — the same
+    * RNG-free convention as [[EpochShuffle]]) and keep the prefix whose
+    * cumulative token count stays within that source's allocation. The
+    * step that turns the mixture PLAN into an actual document manifest;
+    * re-running with the same seed over the same corpus reproduces it
+    * exactly. (Corpus growth re-deals: a new document's order key
+    * interleaves anywhere, shifting the prefix — pin a manifest by
+    * materializing it, not by replaying the selection.)
+    *
+    * Scale shape: the per-source running sum is the two-phase prefix
+    * form (range exchange on (source, okey) + partition-local sums +
+    * a (partition × source)-row offset collect/broadcast) — a
+    * window `PARTITION BY source` would put each source's whole corpus
+    * under one reducer task. The allocation table is |sources| rows and
+    * broadcasts. Same replay hazard as the two-phase ranks: offsets are
+    * valid for the materialization they were counted from; the result
+    * is returned cached (callers unpersist when done).
+    */
+  def executeMixturePlan(docs: DataFrame, id: Column, source: Column,
+      tokens: Column, alloc: DataFrame, seed: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val parts = math.max(1, spark.sparkContext.defaultParallelism)
+    val keyed = docs.select(source.cast("string").as("source"),
+        id.cast("long").as("doc_id"), tokens.cast("long").as("n_tokens"))
+      .withColumn("okey",
+        md5(concat(lit("o:" + seed + ":"), col("doc_id").cast("string"))))
+    val local = keyed
+      .repartitionByRange(parts, col("source"), col("okey"), col("doc_id"))
+      .sortWithinPartitions(col("source"), col("okey"), col("doc_id"))
+      .select(col("source"), col("doc_id"), col("n_tokens"))
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var cur: String = null
+        var cum = 0L
+        it.map { case (src, d, n) =>
+          if (src != cur) { cur = src; cum = 0L }
+          cum += n
+          (pid, src, d, n, cum) // inclusive partition-local prefix
+        }
+      }.toDF("pid", "source", "doc_id", "n_tokens", "lcum")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (partition × source) totals to the driver; running offsets per
+    // source across ascending pids broadcast back.
+    val totals = local.groupBy(col("pid"), col("source"))
+      .agg(max(col("lcum")).as("t"))
+      .as[(Int, String, Long)].collect()
+    val offsets = totals.groupBy(_._2).iterator.flatMap { case (src, rows) =>
+      val sorted = rows.sortBy(_._1)
+      sorted.map(_._1).zip(sorted.map(_._3).scanLeft(0L)(_ + _))
+        .map { case (pid, off) => (pid, src, off) }
+    }.toSeq
+    val offDf = spark.createDataFrame(offsets).toDF("pid", "source", "off")
+    val out = local.join(broadcast(offDf), Seq("pid", "source"))
+      .withColumn("cum_tokens", col("off") + col("lcum"))
+      .join(broadcast(alloc.select(col("source"), col("alloc"))), "source")
+      .filter(col("cum_tokens") <= col("alloc"))
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    local.unpersist()
+    out
+  }
+
   /** Deterministic stratified sample: within each stratum, rank rows by
     * md5(salt || id) and keep the first ceil(count·pct/100). Exact
     * per-stratum proportions (unlike Bernoulli sampleBy) and fully

@@ -343,6 +343,22 @@ object CorpusOps {
         TextAnalysis.tokenCount($"text"),
         src => lit(1) + substring(src, 4, 10).cast("int") % 5,
         budgetPct = 60)
+    },
+
+    // ---- q154: the q149 plan EXECUTED — per source, documents in the
+    // seeded pseudo-random order until the waterfilled token budget is
+    // reached: the manifest a training run actually reads. The running
+    // sum is the two-phase prefix form (a PARTITION BY source window
+    // would put each source's corpus under one reducer).
+    "q154_mixture_execute" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val plan = Curation.waterfillBudget(docs, $"source",
+        TextAnalysis.tokenCount($"text"),
+        src => lit(1) + substring(src, 4, 10).cast("int") % 5,
+        budgetPct = 60)
+      Curation.executeMixturePlan(docs, $"doc_id", $"source",
+        TextAnalysis.tokenCount($"text"), plan, seed = "mix42")
     }
   )
 
@@ -1043,37 +1059,70 @@ object CorpusOps {
     // scan order (cap*1000)//w, exact cross-product saturation test,
     // integer proportional split of the post-saturation remainder.
     "q149_token_waterfill" ->
-      """WITH caps AS (
-        |  SELECT source,
-        |    CAST(sum(len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+'))) AS BIGINT) AS cap,
-        |    CAST(1 + CAST(substr(source, 4) AS INT) % 5 AS BIGINT) AS w
-        |  FROM documents GROUP BY source),
-        |staged AS (
-        |  SELECT source, cap, w,
-        |    CAST(coalesce(sum(cap) OVER (ORDER BY (cap * 1000) // w, source
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-        |      AS cum_before,
-        |    CAST(sum(w) OVER (ORDER BY (cap * 1000) // w, source
-        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
-        |      AS w_from,
-        |    CAST(sum(cap) OVER () AS BIGINT) AS total
-        |  FROM caps),
-        |flagged AS (
-        |  SELECT *, (total * 60) // 100 AS budget,
-        |    cap * w_from <= ((total * 60) // 100 - cum_before) * w AS sat
-        |  FROM staged),
-        |fin AS (
-        |  SELECT *,
-        |    CAST(coalesce(sum(CASE WHEN sat THEN cap END) OVER (), 0)
-        |      AS BIGINT) AS sat_cap,
-        |    CAST(coalesce(sum(CASE WHEN NOT sat THEN w END) OVER (), 0)
-        |      AS BIGINT) AS unsat_w
-        |  FROM flagged)
+      s"""WITH $waterfillCtes
         |SELECT source, cap, CAST(w AS BIGINT) AS w,
         |  CAST(CASE WHEN sat THEN 1 ELSE 0 END AS INT) AS saturated,
-        |  CAST(CASE WHEN sat OR unsat_w = 0 THEN cap
-        |    ELSE least(cap, ((budget - sat_cap) * w) // unsat_w)
-        |    END AS BIGINT) AS alloc
-        |FROM fin""".stripMargin
+        |  alloc
+        |FROM walloc""".stripMargin,
+
+    // The q149 plan executed: per source, the seeded-order document
+    // prefix whose cumulative tokens fit the waterfilled allocation.
+    "q154_mixture_execute" ->
+      s"""WITH $waterfillCtes,
+        |toks AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+'))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |sel AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY md5('o:mix42:' || doc_id::VARCHAR), doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM toks)
+        |SELECT s.source, s.doc_id, s.n_tokens,
+        |  CAST(s.cum AS BIGINT) AS cum_tokens
+        |FROM sel s JOIN walloc a USING (source)
+        |WHERE s.cum <= a.alloc""".stripMargin
   )
+
+  /** Shared q149 waterfill CTE chain ending in
+    * `walloc(source, cap, w, sat, alloc)` — mirrors
+    * [[graft.operators.Curation.waterfillBudget]]; reused by the q154
+    * executor oracle.
+    */
+  private[queries] val waterfillCtes: String =
+    """caps AS (
+      |  SELECT source,
+      |    CAST(sum(len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+'))) AS BIGINT) AS cap,
+      |    CAST(1 + CAST(substr(source, 4) AS INT) % 5 AS BIGINT) AS w
+      |  FROM documents GROUP BY source),
+      |staged AS (
+      |  SELECT source, cap, w,
+      |    CAST(coalesce(sum(cap) OVER (ORDER BY (cap * 1000) // w, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS cum_before,
+      |    CAST(sum(w) OVER (ORDER BY (cap * 1000) // w, source
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+      |      AS w_from,
+      |    CAST(sum(cap) OVER () AS BIGINT) AS total
+      |  FROM caps),
+      |flagged AS (
+      |  SELECT *, (total * 60) // 100 AS budget,
+      |    cap * w_from <= ((total * 60) // 100 - cum_before) * w AS sat
+      |  FROM staged),
+      |fin AS (
+      |  SELECT *,
+      |    CAST(coalesce(sum(CASE WHEN sat THEN cap END) OVER (), 0)
+      |      AS BIGINT) AS sat_cap,
+      |    CAST(coalesce(sum(CASE WHEN NOT sat THEN w END) OVER (), 0)
+      |      AS BIGINT) AS unsat_w
+      |  FROM flagged),
+      |walloc AS (
+      |  SELECT source, cap, w, sat,
+      |    CAST(CASE WHEN sat OR unsat_w = 0 THEN cap
+      |      ELSE least(cap, ((budget - sat_cap) * w) // unsat_w)
+      |      END AS BIGINT) AS alloc
+      |  FROM fin)"""
+    .stripMargin
 }

@@ -347,4 +347,47 @@ class CurationSpec extends SparkSpec {
     assert(budget - gate.map(_.getLong(4)).sum <= unsat,
       "waterfill left more slack than floor rounding can explain")
   }
+
+  test("executeMixturePlan: budget-exact per-source prefixes, reproducible") {
+    import spark.implicits._
+    import graft.operators.{Curation, TextAnalysis}
+    val docs = (Seq.fill(10)("a") ++ Seq.fill(100)("b") ++ Seq.fill(100)("c"))
+      .zipWithIndex
+      .map { case (src, i) => (i.toLong, src, "tok " * 9 + "tok") } // 10 tokens
+      .toDF("doc_id", "source", "text")
+    val w = (src: org.apache.spark.sql.Column) =>
+      when(src === "a", 10).when(src === "b", 1).otherwise(2)
+    val plan = Curation.waterfillBudget(docs, $"source",
+      TextAnalysis.tokenCount($"text"), w, budgetPct = 50)
+    val alloc = plan.collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+
+    val out = Curation.executeMixturePlan(docs, $"doc_id", $"source",
+      TextAnalysis.tokenCount($"text"), plan, seed = "mix42")
+    val bySrc = out.groupBy($"source")
+      .agg(sum($"n_tokens").as("sel"), count(lit(1)).as("n"),
+        max($"cum_tokens").as("maxcum"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // Per source: selected tokens = the largest 10-token prefix that
+    // fits the allocation (alloc div 10 docs); cum matches the sum.
+    for (s <- Seq("a", "b", "c")) {
+      val (sel, n, maxcum) = bySrc(s)
+      assert(n == alloc(s) / 10, s"$s: picked $n docs for alloc ${alloc(s)}")
+      assert(sel == n * 10 && maxcum == sel)
+      assert(sel <= alloc(s))
+    }
+    // Saturated source a keeps EVERYTHING (alloc == cap).
+    assert(bySrc("a")._2 == 10L)
+    // Same seed, same corpus => identical manifest.
+    val again = Curation.executeMixturePlan(docs, $"doc_id", $"source",
+      TextAnalysis.tokenCount($"text"), plan, seed = "mix42")
+    assert(out.collect().map(_.toSeq).toSet ==
+      again.collect().map(_.toSeq).toSet)
+    // A different seed re-deals which docs fill the b/c prefixes.
+    val reseed = Curation.executeMixturePlan(docs, $"doc_id", $"source",
+      TextAnalysis.tokenCount($"text"), plan, seed = "other7")
+    assert(reseed.select($"doc_id").as[Long].collect().toSet !=
+      out.select($"doc_id").as[Long].collect().toSet)
+    out.unpersist(); again.unpersist(); reseed.unpersist()
+  }
 }
