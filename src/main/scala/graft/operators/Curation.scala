@@ -565,8 +565,26 @@ object Curation {
     *               column (applied post-aggregate, |sources| rows)
     */
   def waterfillBudget(df: DataFrame, source: Column, tokens: Column,
-      weight: Column => Column, budgetPct: Int): DataFrame = {
+      weight: Column => Column, budgetPct: Int): DataFrame =
+    waterfillImpl(df, source, tokens, weight, budgetPct, maxEpochs = 1)
+
+  /** [[waterfillBudget]] with upsampling: each source's ceiling is
+    * `cap·maxEpochs` instead of `cap` — a small high-weight source may
+    * be allocated MORE tokens than it physically has, to be satisfied
+    * by repeating it for up to `maxEpochs` passes (the standard
+    * low-resource-corpus move in LLM data recipes). The budget base is
+    * still the PHYSICAL corpus (`budgetPct` of Σcap); only the
+    * per-source saturation ceiling scales. `maxEpochs = 1` is exactly
+    * [[waterfillBudget]]. Execute with [[executeEpochPlan]].
+    */
+  def waterfillBudgetEpochs(df: DataFrame, source: Column, tokens: Column,
+      weight: Column => Column, budgetPct: Int, maxEpochs: Int): DataFrame =
+    waterfillImpl(df, source, tokens, weight, budgetPct, maxEpochs)
+
+  private def waterfillImpl(df: DataFrame, source: Column, tokens: Column,
+      weight: Column => Column, budgetPct: Int, maxEpochs: Int): DataFrame = {
     require(budgetPct > 0 && budgetPct <= 100, s"budgetPct in (0,100], got $budgetPct")
+    require(maxEpochs >= 1, s"maxEpochs >= 1, got $maxEpochs")
     val caps = df.groupBy(source.as("source"))
       .agg(sum(tokens).cast("long").as("cap"))
       .withColumn("w", weight(col("source")).cast("long"))
@@ -576,14 +594,18 @@ object Curation {
       // w > 0 contract; a zero weight would also divide-by-zero the
       // scan-order ratio under ANSI.
       .filter(col("w") > 0)
-      .withColumn("__r", expr("(cap * 1000) div w"))
+      // The fill ceiling: physical cap × allowed epochs. Everything in
+      // the scan (order ratio, saturation test, satCap, final least)
+      // uses the ceiling; only the budget BASE (__total) stays physical.
+      .withColumn("__ecap", col("cap") * lit(maxEpochs.toLong))
+      .withColumn("__r", expr("(__ecap * 1000) div w"))
     val ord = Window.orderBy(col("__r"), col("source"))
     val whole = Window.partitionBy()
     // decimal(38,0) before the budget product: total·budgetPct wraps
     // Long past ~9e16 tokens. `div` on decimals yields BIGINT again.
     val budgetSql = s"((cast(__total as decimal(38,0)) * $budgetPct) div 100)"
     val staged = caps
-      .withColumn("__cumBefore", coalesce(sum(col("cap"))
+      .withColumn("__cumBefore", coalesce(sum(col("__ecap"))
         .over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("__wFrom", sum(col("w"))
         .over(ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
@@ -593,22 +615,22 @@ object Curation {
       // products in HUGEINT, so Long wraparound here would silently
       // flip flags at extreme scale (q78's overflow discipline).
       .withColumn("__sat",
-        col("cap").cast("decimal(38,0)") * col("__wFrom") <=
+        col("__ecap").cast("decimal(38,0)") * col("__wFrom") <=
           (expr(budgetSql) - col("__cumBefore")).cast("decimal(38,0)") * col("w"))
     // Global split of the flagged set: saturated tokens come off the
     // budget, the rest shares by weight. least() guards the one-off
     // boundary where the scaled scan order ties across the water line.
     staged
       .withColumn("__satCap",
-        coalesce(sum(when(col("__sat"), col("cap"))).over(whole), lit(0L)))
+        coalesce(sum(when(col("__sat"), col("__ecap"))).over(whole), lit(0L)))
       .withColumn("__unsatW",
         coalesce(sum(when(!col("__sat"), col("w"))).over(whole), lit(0L)))
       .select(col("source"), col("cap"), col("w"),
         col("__sat").cast("int").as("saturated"),
-        when(col("__sat") || col("__unsatW") === 0L, col("cap"))
+        when(col("__sat") || col("__unsatW") === 0L, col("__ecap"))
           // same decimal(38,0) discipline as the saturation test: the
           // remainder·w product can pass 2^63 when weights are large.
-          .otherwise(least(col("cap"),
+          .otherwise(least(col("__ecap"),
             expr(s"(cast($budgetSql - __satCap as decimal(38,0)) * w) div __unsatW")))
           .cast("long").as("alloc"))
   }
@@ -634,13 +656,75 @@ object Curation {
     */
   def executeMixturePlan(docs: DataFrame, id: Column, source: Column,
       tokens: Column, alloc: DataFrame, seed: String): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val parts = math.max(1, spark.sparkContext.defaultParallelism)
     val keyed = docs.select(source.cast("string").as("source"),
         id.cast("long").as("doc_id"), tokens.cast("long").as("n_tokens"))
       .withColumn("okey",
         md5(concat(lit("o:" + seed + ":"), col("doc_id").cast("string"))))
+    seededPrefix(keyed, alloc.select(col("source"), col("alloc").as("__budget")))
+  }
+
+  /** Execute a [[waterfillBudgetEpochs]] plan as a repeat-aware
+    * manifest `(source, doc_id, n_tokens, epoch)`: a source allocated
+    * `alloc` tokens contributes `alloc div cap` FULL passes (epochs
+    * 0..k−1, every document) plus, for epoch k, the seeded-order
+    * prefix fitting the `alloc mod cap` remainder — the per-epoch
+    * order key is md5("o:" seed ":" epoch ":" id) so the partial pass
+    * re-deals rather than replaying epoch 0's prefix. Selection only;
+    * intra-epoch training ORDER is [[EpochShuffle]]'s job downstream.
+    *
+    * Scale shape: full epochs never touch the prefix machinery — they
+    * are a broadcast join against the |sources|-row plan plus an
+    * `explode(sequence(...))` (row amplification ≤ maxEpochs, no
+    * shuffle); only ONE corpus pass (sources with a nonzero remainder)
+    * flows through [[seededPrefix]]'s range exchange. The result is
+    * returned cached (callers unpersist when done).
+    */
+  def executeEpochPlan(docs: DataFrame, id: Column, source: Column,
+      tokens: Column, plan: DataFrame, seed: String): DataFrame = {
+    // cap = 0 sources (allocated nothing, and `div` would trap under
+    // ANSI) drop out of the manifest entirely.
+    val k = plan.filter(col("cap") > 0)
+      .select(col("source"), expr("alloc div cap").as("k_full"),
+        expr("alloc % cap").as("rem"))
+    val keyed = docs.select(source.cast("string").as("source"),
+      id.cast("long").as("doc_id"), tokens.cast("long").as("n_tokens"))
+    val fullLeg = keyed
+      .join(broadcast(k.filter(col("k_full") > 0).select("source", "k_full")),
+        "source")
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        explode(expr("sequence(0L, k_full - 1L)")).as("epoch"))
+    val partKeyed = keyed
+      .join(broadcast(k.filter(col("rem") > 0).select("source", "k_full")),
+        "source")
+      .withColumn("okey", md5(concat(lit("o:" + seed + ":"),
+        col("k_full").cast("string"), lit(":"), col("doc_id").cast("string"))))
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("okey"))
+    val pref = seededPrefix(partKeyed,
+      k.filter(col("rem") > 0).select(col("source"), col("rem").as("__budget")))
+    val partLeg = pref
+      .join(broadcast(k.select("source", "k_full")), "source")
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        col("k_full").as("epoch"))
+    val out = fullLeg.unionByName(partLeg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    pref.unpersist() // seededPrefix's cache, folded into `out` now
+    out
+  }
+
+  /** Two-phase per-source seeded-prefix selection: range-exchange
+    * `keyed` on (source, okey, doc_id), running-sum n_tokens within
+    * partitions, collect the (partition × source) totals (P·|sources|
+    * rows — the only driver traffic), broadcast the per-source running
+    * offsets back, and keep rows whose global cumulative stays within
+    * the source's broadcast `__budget`. Returns
+    * (source, doc_id, n_tokens, cum_tokens), persisted — the offsets
+    * are only valid for the materialization they were counted from.
+    */
+  private def seededPrefix(keyed: DataFrame, budget: DataFrame): DataFrame = {
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    val parts = math.max(1, spark.sparkContext.defaultParallelism)
     val local = keyed
       .repartitionByRange(parts, col("source"), col("okey"), col("doc_id"))
       .sortWithinPartitions(col("source"), col("okey"), col("doc_id"))
@@ -670,8 +754,8 @@ object Curation {
     val offDf = spark.createDataFrame(offsets).toDF("pid", "source", "off")
     val out = local.join(broadcast(offDf), Seq("pid", "source"))
       .withColumn("cum_tokens", col("off") + col("lcum"))
-      .join(broadcast(alloc.select(col("source"), col("alloc"))), "source")
-      .filter(col("cum_tokens") <= col("alloc"))
+      .join(broadcast(budget), "source")
+      .filter(col("cum_tokens") <= col("__budget"))
       .select(col("source"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()

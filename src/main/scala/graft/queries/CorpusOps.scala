@@ -359,6 +359,21 @@ object CorpusOps {
         budgetPct = 60)
       Curation.executeMixturePlan(docs, $"doc_id", $"source",
         TextAnalysis.tokenCount($"text"), plan, seed = "mix42")
+    },
+
+    // ---- q155: upsampling mixture — the waterfill ceiling is
+    // cap × 3 epochs, so small high-weight sources REPEAT (full passes
+    // + a seeded partial pass) to reach their share. Steeper weights
+    // (1..41) than q149/q154 so several sources actually cross 1×cap.
+    "q155_epoch_upsample" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val plan = Curation.waterfillBudgetEpochs(docs, $"source",
+        TextAnalysis.tokenCount($"text"),
+        src => lit(1) + (substring(src, 4, 10).cast("int") % 5) * lit(10),
+        budgetPct = 80, maxEpochs = 3)
+      Curation.executeEpochPlan(docs, $"doc_id", $"source",
+        TextAnalysis.tokenCount($"text"), plan, seed = "ep42")
     }
   )
 
@@ -1083,8 +1098,85 @@ object CorpusOps {
         |SELECT s.source, s.doc_id, s.n_tokens,
         |  CAST(s.cum AS BIGINT) AS cum_tokens
         |FROM sel s JOIN walloc a USING (source)
-        |WHERE s.cum <= a.alloc""".stripMargin
+        |WHERE s.cum <= a.alloc""".stripMargin,
+
+    // Upsampling mixture: waterfill against a cap×3 ceiling, then per
+    // source k_full = alloc // cap FULL epochs plus a seeded-prefix
+    // partial epoch fitting the remainder.
+    "q155_epoch_upsample" ->
+      s"""WITH ${epochWaterfillCtes(budgetPct = 80, maxEpochs = 3,
+             wSql = "1 + (CAST(substr(source, 4) AS INT) % 5) * 10")},
+        |k AS (
+        |  SELECT source, cap, alloc,
+        |    alloc // cap AS k_full, alloc % cap AS rem
+        |  FROM ewalloc WHERE cap > 0),
+        |toks AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+'))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |epochs AS (
+        |  SELECT source, unnest(range(k_full)) AS epoch
+        |  FROM k WHERE k_full > 0),
+        |fullp AS (
+        |  SELECT t.source, t.doc_id, t.n_tokens, e.epoch
+        |  FROM toks t JOIN epochs e USING (source)),
+        |psel AS (
+        |  SELECT t.source, t.doc_id, t.n_tokens, k.k_full, k.rem,
+        |    sum(t.n_tokens) OVER (PARTITION BY t.source
+        |      ORDER BY md5('o:ep42:' || k.k_full::VARCHAR || ':'
+        |          || t.doc_id::VARCHAR), t.doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM toks t JOIN k USING (source) WHERE k.rem > 0)
+        |SELECT source, doc_id, n_tokens, CAST(epoch AS BIGINT) AS epoch
+        |FROM fullp
+        |UNION ALL
+        |SELECT source, doc_id, n_tokens, CAST(k_full AS BIGINT) AS epoch
+        |FROM psel WHERE cum <= rem""".stripMargin
   )
+
+  /** Epoch-ceiling variant of [[waterfillCtes]]: ceilings are
+    * `cap·maxEpochs`, the budget base stays physical Σcap, and the
+    * weight SQL is a parameter. Ends in
+    * `ewalloc(source, cap, w, sat, alloc)` — mirrors
+    * [[graft.operators.Curation.waterfillBudgetEpochs]].
+    */
+  private[queries] def epochWaterfillCtes(budgetPct: Int, maxEpochs: Int,
+      wSql: String): String =
+    s"""caps AS (
+      |  SELECT source,
+      |    CAST(sum(len(regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+'))) AS BIGINT) AS cap,
+      |    CAST($wSql AS BIGINT) AS w
+      |  FROM documents GROUP BY source),
+      |ecaps AS (SELECT source, cap, w, cap * $maxEpochs AS ecap FROM caps),
+      |staged AS (
+      |  SELECT source, cap, w, ecap,
+      |    CAST(coalesce(sum(ecap) OVER (ORDER BY (ecap * 1000) // w, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS cum_before,
+      |    CAST(sum(w) OVER (ORDER BY (ecap * 1000) // w, source
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+      |      AS w_from,
+      |    CAST(sum(cap) OVER () AS BIGINT) AS total
+      |  FROM ecaps),
+      |flagged AS (
+      |  SELECT *, (total * $budgetPct) // 100 AS budget,
+      |    ecap * w_from <= ((total * $budgetPct) // 100 - cum_before) * w AS sat
+      |  FROM staged),
+      |fin AS (
+      |  SELECT *,
+      |    CAST(coalesce(sum(CASE WHEN sat THEN ecap END) OVER (), 0)
+      |      AS BIGINT) AS sat_cap,
+      |    CAST(coalesce(sum(CASE WHEN NOT sat THEN w END) OVER (), 0)
+      |      AS BIGINT) AS unsat_w
+      |  FROM flagged),
+      |ewalloc AS (
+      |  SELECT source, cap, w, sat,
+      |    CAST(CASE WHEN sat OR unsat_w = 0 THEN ecap
+      |      ELSE least(ecap, ((budget - sat_cap) * w) // unsat_w)
+      |      END AS BIGINT) AS alloc
+      |  FROM fin)"""
+      .stripMargin
 
   /** Shared q149 waterfill CTE chain ending in
     * `walloc(source, cap, w, sat, alloc)` — mirrors

@@ -390,4 +390,56 @@ class CurationSpec extends SparkSpec {
       out.select($"doc_id").as[Long].collect().toSet)
     out.unpersist(); again.unpersist(); reseed.unpersist()
   }
+
+  test("epoch upsampling: full passes + seeded partial, degenerates at E=1") {
+    import spark.implicits._
+    import graft.operators.{Curation, TextAnalysis}
+    val docs = (Seq.fill(10)("a") ++ Seq.fill(100)("b"))
+      .zipWithIndex
+      .map { case (src, i) => (i.toLong, src, "tok " * 9 + "tok") } // 10 tokens
+      .toDF("doc_id", "source", "text")
+    val w = (src: org.apache.spark.sql.Column) =>
+      when(src === "a", 50).otherwise(1)
+
+    // E=1 must be bit-identical to the plain waterfill.
+    val e1 = Curation.waterfillBudgetEpochs(docs, $"source",
+      TextAnalysis.tokenCount($"text"), w, budgetPct = 60, maxEpochs = 1)
+    val plain = Curation.waterfillBudget(docs, $"source",
+      TextAnalysis.tokenCount($"text"), w, budgetPct = 60)
+    assert(e1.collect().map(_.toSeq).toSet == plain.collect().map(_.toSeq).toSet)
+
+    // E=3, budget 60% of 1100 = 660: source a (cap 100, w 50) saturates
+    // at its 3-epoch ceiling 300; b (cap 1000, w 1) gets the 360
+    // remainder as a 36-doc epoch-0 prefix.
+    val plan = Curation.waterfillBudgetEpochs(docs, $"source",
+      TextAnalysis.tokenCount($"text"), w, budgetPct = 60, maxEpochs = 3)
+    val byName = plan.collect()
+      .map(r => r.getString(0) -> (r.getInt(3), r.getLong(4))).toMap
+    assert(byName("a") == ((1, 300L)), s"a: ${byName("a")}")
+    assert(byName("b") == ((0, 360L)), s"b: ${byName("b")}")
+
+    val out = Curation.executeEpochPlan(docs, $"doc_id", $"source",
+      TextAnalysis.tokenCount($"text"), plan, seed = "ep1")
+    val a = out.filter($"source" === "a").collect()
+    // a: every doc in every one of the 3 full epochs, no partial row.
+    assert(a.length == 30 &&
+      a.map(_.getLong(3)).toSet == Set(0L, 1L, 2L) &&
+      a.groupBy(_.getLong(3)).forall(_._2.map(_.getLong(1)).toSet ==
+        (0L until 10L).toSet))
+    val b = out.filter($"source" === "b").collect()
+    assert(b.length == 36 && b.forall(_.getLong(3) == 0L))
+    // Token totals hit the allocations exactly (10-token quantization).
+    assert(out.groupBy($"source").agg(sum($"n_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("a" -> 300L, "b" -> 360L))
+    // Reproducible; a different seed re-deals b's partial prefix.
+    val again = Curation.executeEpochPlan(docs, $"doc_id", $"source",
+      TextAnalysis.tokenCount($"text"), plan, seed = "ep1")
+    assert(out.collect().map(_.toSeq).toSet == again.collect().map(_.toSeq).toSet)
+    val reseed = Curation.executeEpochPlan(docs, $"doc_id", $"source",
+      TextAnalysis.tokenCount($"text"), plan, seed = "ep2")
+    assert(reseed.filter($"source" === "b").select($"doc_id").as[Long]
+      .collect().toSet != b.map(_.getLong(1)).toSet)
+    out.unpersist(); again.unpersist(); reseed.unpersist()
+  }
 }
