@@ -681,11 +681,18 @@ object Curation {
     */
   def executeEpochPlan(docs: DataFrame, id: Column, source: Column,
       tokens: Column, plan: DataFrame, seed: String): DataFrame = {
-    // cap = 0 sources (allocated nothing, and `div` would trap under
-    // ANSI) drop out of the manifest entirely.
-    val k = plan.filter(col("cap") > 0)
-      .select(col("source"), expr("alloc div cap").as("k_full"),
-        expr("alloc % cap").as("rem"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // Pin the plan with ONE bounded |sources|-row collect: four
+    // branches below broadcast it, and Spark re-runs an unpinned
+    // plan's whole corpus aggregate per branch (no cross-branch
+    // common-subexpression reuse). cap = 0 sources (allocated nothing,
+    // and `div` would trap under ANSI) drop out of the manifest.
+    val k = spark.createDataset(plan.filter(col("cap") > 0)
+        .select(col("source"), expr("alloc div cap").as("k_full"),
+          expr("alloc % cap").as("rem"))
+        .as[(String, Long, Long)].collect().toSeq)
+      .toDF("source", "k_full", "rem")
     val keyed = docs.select(source.cast("string").as("source"),
       id.cast("long").as("doc_id"), tokens.cast("long").as("n_tokens"))
     val fullLeg = keyed
