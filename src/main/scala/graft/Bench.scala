@@ -87,11 +87,13 @@ object Bench {
     // The driver's artifact capture truncates long stdout tails; also
     // persist the full per-query map so every query stays diffable
     // across rounds (judges read bench_times.json when BENCH_r{N}'s
-    // tail cuts off).
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_times.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case _: java.io.IOException => () } // read-only CWD: stdout stands
+    // tail cuts off). ONLY on full runs: a SPARK_GRAFT_ONLY dev subset
+    // must not clobber the complete artifact.
+    if (only.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_times.json"),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case _: java.io.IOException => () } // read-only CWD: stdout stands
     spark.stop()
   }
 }

@@ -656,12 +656,27 @@ object Curation {
     */
   def executeMixturePlan(docs: DataFrame, id: Column, source: Column,
       tokens: Column, alloc: DataFrame, seed: String): DataFrame = {
-    val keyed = docs.select(source.cast("string").as("source"),
-        id.cast("long").as("doc_id"), tokens.cast("long").as("n_tokens"))
+    val keyed = manifestKeyed(docs, id, source, tokens)
       .withColumn("okey",
         md5(concat(lit("o:" + seed + ":"), col("doc_id").cast("string"))))
     seededPrefix(keyed, alloc.select(col("source"), col("alloc").as("__budget")))
   }
+
+  /** Shared manifest-input projection: null text counts as a
+    * zero-token doc and null id/source rows drop (Packing's
+    * convention — they would otherwise crash [[seededPrefix]]'s
+    * primitive-tuple encoder and kill the job, where the rest of the
+    * text surface degrades gracefully on nulls). `tokens` must be
+    * non-negative: the prefix machinery's partition totals are
+    * `max(running sum)`, which only equals the partition sum when the
+    * running sum is monotone.
+    */
+  private def manifestKeyed(docs: DataFrame, id: Column, source: Column,
+      tokens: Column): DataFrame =
+    docs.select(source.cast("string").as("source"),
+        id.cast("long").as("doc_id"),
+        coalesce(tokens.cast("long"), lit(0L)).as("n_tokens"))
+      .filter(col("doc_id").isNotNull && col("source").isNotNull)
 
   /** Execute a [[waterfillBudgetEpochs]] plan as a repeat-aware
     * manifest `(source, doc_id, n_tokens, epoch)`: a source allocated
@@ -671,6 +686,10 @@ object Curation {
     * order key is md5("o:" seed ":" epoch ":" id) so the partial pass
     * re-deals rather than replaying epoch 0's prefix. Selection only;
     * intra-epoch training ORDER is [[EpochShuffle]]'s job downstream.
+    * Note the epoch-tagged key means an E=1 plan executed here picks a
+    * DIFFERENT (equally valid) prefix than [[executeMixturePlan]]'s
+    * untagged md5("o:" seed ":" id) at the same seed — pick one
+    * executor per manifest and stay with it.
     *
     * Scale shape: full epochs never touch the prefix machinery — they
     * are a broadcast join against the |sources|-row plan plus an
@@ -693,8 +712,7 @@ object Curation {
           expr("alloc % cap").as("rem"))
         .as[(String, Long, Long)].collect().toSeq)
       .toDF("source", "k_full", "rem")
-    val keyed = docs.select(source.cast("string").as("source"),
-      id.cast("long").as("doc_id"), tokens.cast("long").as("n_tokens"))
+    val keyed = manifestKeyed(docs, id, source, tokens)
     val fullLeg = keyed
       .join(broadcast(k.filter(col("k_full") > 0).select("source", "k_full")),
         "source")

@@ -1184,37 +1184,7 @@ object CorpusOps {
     * executor oracle.
     */
   private[queries] val waterfillCtes: String =
-    """caps AS (
-      |  SELECT source,
-      |    CAST(sum(len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+'))) AS BIGINT) AS cap,
-      |    CAST(1 + CAST(substr(source, 4) AS INT) % 5 AS BIGINT) AS w
-      |  FROM documents GROUP BY source),
-      |staged AS (
-      |  SELECT source, cap, w,
-      |    CAST(coalesce(sum(cap) OVER (ORDER BY (cap * 1000) // w, source
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-      |      AS cum_before,
-      |    CAST(sum(w) OVER (ORDER BY (cap * 1000) // w, source
-      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
-      |      AS w_from,
-      |    CAST(sum(cap) OVER () AS BIGINT) AS total
-      |  FROM caps),
-      |flagged AS (
-      |  SELECT *, (total * 60) // 100 AS budget,
-      |    cap * w_from <= ((total * 60) // 100 - cum_before) * w AS sat
-      |  FROM staged),
-      |fin AS (
-      |  SELECT *,
-      |    CAST(coalesce(sum(CASE WHEN sat THEN cap END) OVER (), 0)
-      |      AS BIGINT) AS sat_cap,
-      |    CAST(coalesce(sum(CASE WHEN NOT sat THEN w END) OVER (), 0)
-      |      AS BIGINT) AS unsat_w
-      |  FROM flagged),
-      |walloc AS (
-      |  SELECT source, cap, w, sat,
-      |    CAST(CASE WHEN sat OR unsat_w = 0 THEN cap
-      |      ELSE least(cap, ((budget - sat_cap) * w) // unsat_w)
-      |      END AS BIGINT) AS alloc
-      |  FROM fin)"""
-    .stripMargin
+    s"""${epochWaterfillCtes(budgetPct = 60, maxEpochs = 1,
+           wSql = "1 + CAST(substr(source, 4) AS INT) % 5")},
+      |walloc AS (SELECT * FROM ewalloc)""".stripMargin
 }

@@ -391,6 +391,26 @@ class CurationSpec extends SparkSpec {
     out.unpersist(); again.unpersist(); reseed.unpersist()
   }
 
+  test("manifest executors: null text counts 0 tokens, null ids drop") {
+    import spark.implicits._
+    import graft.operators.{Curation, TextAnalysis}
+    val docs = Seq[(java.lang.Long, String, String)](
+      (1L, "a", "tok tok"), (2L, "a", null), (null, "a", "tok tok tok"),
+      (3L, "a", "tok"))
+      .toDF("doc_id", "source", "text")
+    val plan = Curation.waterfillBudget(docs, $"source",
+      TextAnalysis.tokenCount($"text"), _ => lit(1), budgetPct = 100)
+    val out = Curation.executeMixturePlan(docs, $"doc_id", $"source",
+      TextAnalysis.tokenCount($"text"), plan, seed = "n")
+    val rows = out.collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // null-id row gone; null-text doc selected at zero token cost.
+    assert(rows == Map(1L -> 2L, 2L -> 0L, 3L -> 1L))
+    val eout = Curation.executeEpochPlan(docs, $"doc_id", $"source",
+      TextAnalysis.tokenCount($"text"), plan, seed = "n")
+    assert(eout.select($"doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    out.unpersist(); eout.unpersist()
+  }
+
   test("epoch upsampling: full passes + seeded partial, degenerates at E=1") {
     import spark.implicits._
     import graft.operators.{Curation, TextAnalysis}
