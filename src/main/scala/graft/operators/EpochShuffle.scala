@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic training-order materialization: assign every document
@@ -116,5 +117,55 @@ object EpochShuffle {
     out.count()
     local.unpersist()
     out
+  }
+
+  /** Audit whether each global batch actually mixes sources the way
+    * the corpus does: for every consecutive `batchSize` window of an
+    * [[order]] (batch b = positions [b·B, (b+1)·B) within a shard —
+    * what one data-parallel worker reads per step), report the total
+    * variation distance between the batch's source histogram and the
+    * corpus-wide one, as the INTEGER numerator
+    * `tvd_num = Σ_s |N·c_{b,s} − n_b·C_s|` (the TVD is
+    * tvd_num / (2·N·n_b); keeping the integer form makes the audit
+    * replayable bit-for-bit with no float rounding). Also reports the
+    * most over-represented present source per batch. A healthy seeded
+    * shuffle keeps tvd_num near the multinomial-sampling floor; a
+    * spike flags order bugs (e.g. a sort that grouped a source).
+    *
+    * Scale shape: one doc_id equi-join of the order against the
+    * source map, one (shard, batch, source) hash aggregate, per-batch
+    * windows bounded by |sources| rows, and the |sources|-row corpus
+    * histogram broadcast. Nothing corpus-sized reaches the driver.
+    */
+  def batchMixAudit(order: DataFrame, docs: DataFrame, id: Column,
+      source: Column, batchSize: Int): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val src = docs.select(id.cast("long").as("doc_id"),
+      source.cast("string").as("source"))
+    val corpus = src.groupBy(col("source")).agg(count(lit(1)).as("c_s"))
+    val n = corpus.agg(sum(col("c_s")).as("n_total"))
+    val cbs = order.join(src, "doc_id")
+      .withColumn("batch", expr(s"pos div $batchSize"))
+      .groupBy(col("shard"), col("batch"), col("source"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(corpus), "source")
+      .crossJoin(broadcast(n))
+    val wBatch = Window.partitionBy(col("shard"), col("batch"))
+    val wDev = Window.partitionBy(col("shard"), col("batch"))
+      .orderBy(col("__dev").desc, col("source"))
+    cbs
+      .withColumn("n_b", sum(col("c")).over(wBatch))
+      .withColumn("__dev", col("n_total") * col("c") - col("n_b") * col("c_s"))
+      .withColumn("__present_cs", sum(col("c_s")).over(wBatch))
+      // Σ over PRESENT sources of |N·c − n_b·C_s|, plus the absent
+      // sources' contribution n_b·(N − Σ_present C_s) — every absent
+      // source is purely under-represented.
+      .withColumn("__tvd", sum(abs(col("__dev"))).over(wBatch) +
+        col("n_b") * (col("n_total") - col("__present_cs")))
+      .withColumn("__rn", row_number().over(wDev))
+      .filter(col("__rn") === 1)
+      .select(col("shard"), col("batch"), col("n_b").cast("long").as("n_docs"),
+        col("__tvd").cast("long").as("tvd_num"),
+        col("source").as("worst_source"), col("__dev").cast("long").as("worst_dev"))
   }
 }

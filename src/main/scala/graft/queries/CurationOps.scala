@@ -186,6 +186,25 @@ object CurationOps {
         $"doc_id", $"brank", seed = "cur42", shards = 8)
     },
 
+    // ---- q156: batch-mix audit — for each consecutive 32-doc batch
+    // of the q136-style epoch order (per shard: what one data-parallel
+    // worker reads per step), the integer-form total variation
+    // distance between the batch's source histogram and the corpus
+    // one, plus the most over-represented source. The "did my shuffle
+    // actually mix" check behind loss-spike forensics.
+    "q156_batch_mix_audit" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val ord = graft.operators.EpochShuffle.order(docs, $"doc_id",
+        seed = "ba7", shards = 4)
+      val out = graft.operators.EpochShuffle.batchMixAudit(ord, docs,
+          $"doc_id", $"source", batchSize = 32)
+        .persist()
+      out.count() // pin the audit before releasing the epoch cache
+      ord.unpersist()
+      out
+    },
+
     // ---- q144: per-source quality threshold for 80% retention — the
     // CCNet-style per-source knob: each source keeps its own top 80%
     // by quality; the cutoff comes from the per-source score HISTOGRAM
@@ -426,6 +445,46 @@ object CurationOps {
         |    / count(*), 6) AS rare_ratio
         |FROM tokens JOIN g USING (token)
         |GROUP BY doc_id""".stripMargin,
+
+    // Replays the q136 rank window, then all-integer mix math: the
+    // TVD numerator sums |N·c − n_b·C_s| over present sources plus
+    // n_b·(N − Σ_present C_s) for the absent ones.
+    "q156_batch_mix_audit" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5('s:ba7:' || doc_id::VARCHAR), 1, 8))
+        |      ::UBIGINT % 4 AS INT) AS shard,
+        |    md5('o:ba7:' || doc_id::VARCHAR) AS okey
+        |  FROM documents),
+        |pos AS (
+        |  SELECT shard, source,
+        |    (row_number() OVER (PARTITION BY shard ORDER BY okey) - 1) // 32
+        |      AS batch
+        |  FROM keyed),
+        |corpus AS (SELECT source, count(*) AS c_s FROM documents GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_total FROM documents),
+        |cbs AS (
+        |  SELECT shard, batch, source, count(*) AS c FROM pos GROUP BY 1, 2, 3),
+        |enr AS (
+        |  SELECT cbs.shard, cbs.batch, cbs.source, cbs.c, corpus.c_s,
+        |    tot.n_total,
+        |    sum(cbs.c) OVER (PARTITION BY cbs.shard, cbs.batch) AS n_b,
+        |    sum(corpus.c_s) OVER (PARTITION BY cbs.shard, cbs.batch)
+        |      AS present_cs
+        |  FROM cbs JOIN corpus USING (source) CROSS JOIN tot),
+        |agg AS (
+        |  SELECT shard, batch, n_b, source,
+        |    n_total * c - n_b * c_s AS d,
+        |    sum(abs(n_total * c - n_b * c_s))
+        |      OVER (PARTITION BY shard, batch)
+        |      + n_b * (n_total - present_cs) AS tvd,
+        |    row_number() OVER (PARTITION BY shard, batch
+        |      ORDER BY n_total * c - n_b * c_s DESC, source) AS rn
+        |  FROM enr)
+        |SELECT shard, batch, CAST(n_b AS BIGINT) AS n_docs,
+        |  CAST(tvd AS BIGINT) AS tvd_num, source AS worst_source,
+        |  CAST(d AS BIGINT) AS worst_dev
+        |FROM agg WHERE rn = 1""".stripMargin,
 
     "q136_epoch_shuffle" ->
       """WITH keyed AS (

@@ -391,6 +391,64 @@ class CurationSpec extends SparkSpec {
     out.unpersist(); again.unpersist(); reseed.unpersist()
   }
 
+  test("waterfill law: DF allocation equals the pure integer mirror") {
+    import spark.implicits._
+    import graft.operators.Curation
+    // Pure mirror of waterfillImpl's integer arithmetic (scan order,
+    // prefix-monotone saturation, proportional remainder split).
+    def ref(caps: Seq[(String, Long, Long)], pct: Int, e: Int)
+        : Map[String, (Boolean, Long)] = {
+      val in = caps.filter(_._3 > 0)
+      val total = in.map(_._2).sum
+      val budget = BigInt(total) * pct / 100
+      val ord = in.map { case (s, c, w) => (s, c, w, c * e) }
+        .sortBy { case (s, _, w, ec) => ((ec * 1000) / w, s) }
+      var cumBefore = BigInt(0)
+      var wFrom = ord.map(_._3).sum
+      val flags = ord.map { case (s, _, w, ec) =>
+        val sat = BigInt(ec) * wFrom <= (budget - cumBefore) * w
+        cumBefore += ec; wFrom -= w
+        (s, w, ec, sat)
+      }
+      val satCap = flags.collect { case (_, _, ec, true) => BigInt(ec) }.sum
+      val unsatW = flags.collect { case (_, w, _, false) => w }.sum
+      flags.map { case (s, w, ec, sat) =>
+        val alloc = if (sat || unsatW == 0) BigInt(ec)
+          else BigInt(ec).min((budget - satCap) * w / unsatW)
+        s -> (sat, alloc.toLong)
+      }.toMap
+    }
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 25) {
+      val n = 1 + rnd.nextInt(8)
+      val caps = (0 until n).map(i =>
+        (f"s$i%02d", rnd.nextInt(1000).toLong, rnd.nextInt(6).toLong))
+      val pct = 1 + rnd.nextInt(100)
+      val e = 1 + rnd.nextInt(4)
+      val wmap = caps.map(c => (c._1, c._3)).toMap
+      val wcol = (src: org.apache.spark.sql.Column) =>
+        wmap.foldLeft(lit(0L)) { case (acc, (s, w)) =>
+          when(src === s, w).otherwise(acc) }
+      val got = Curation.waterfillBudgetEpochs(
+          caps.map(c => (c._1, c._2)).toDF("source", "n"),
+          $"source", $"n", wcol, pct, e)
+        .collect().map(r => r.getString(0) ->
+          (r.getInt(3) == 1, r.getLong(4))).toMap
+      val want = ref(caps, pct, e)
+      assert(got == want, s"caps=$caps pct=$pct E=$e")
+      // Global invariants: 0 <= alloc <= ecap; total within budget
+      // unless everything saturated (then it is exactly sum ecap).
+      val budget = caps.filter(_._3 > 0).map(_._2).sum * pct / 100
+      got.foreach { case (s, (_, a)) =>
+        val ecap = caps.find(_._1 == s).get._2 * e
+        assert(a >= 0L && a <= ecap, s"$s alloc=$a ecap=$ecap")
+      }
+      if (got.exists(!_._2._1))
+        assert(got.values.map(_._2).sum <= budget,
+          s"unsaturated overspend: $got budget=$budget")
+    }
+  }
+
   test("manifest executors: null text counts 0 tokens, null ids drop") {
     import spark.implicits._
     import graft.operators.{Curation, TextAnalysis}

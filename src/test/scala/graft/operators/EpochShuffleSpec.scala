@@ -69,4 +69,28 @@ class EpochShuffleSpec extends SparkSpec {
     // match is ~0.
     assert(a.exists { case (k, v) => b(k) != v })
   }
+
+  test("batchMixAudit: zero TVD on a perfect mix, max on a segregated order") {
+    import spark.implicits._
+    import graft.operators.EpochShuffle
+    // 4 a-docs (ids 0-3), 4 b-docs (ids 4-7); batch = 4 docs, 1 shard.
+    val docs = (0L to 7L).map(i => (i, if (i < 4) "a" else "b"))
+      .toDF("doc_id", "source")
+    def audit(order: Seq[Long]): Map[Long, (Long, Long, String, Long)] =
+      EpochShuffle.batchMixAudit(
+          order.zipWithIndex.map { case (d, p) => (0, p.toLong, d) }
+            .toDF("shard", "pos", "doc_id"),
+          docs, $"doc_id", $"source", batchSize = 4)
+        .collect().map(r => r.getLong(1) ->
+          (r.getLong(2), r.getLong(3), r.getString(4), r.getLong(5))).toMap
+    // Alternating: every batch matches the corpus histogram exactly.
+    val mixed = audit(Seq(0L, 4L, 1L, 5L, 2L, 6L, 3L, 7L))
+    assert(mixed == Map(
+      0L -> ((4L, 0L, "a", 0L)), 1L -> ((4L, 0L, "a", 0L))))
+    // Segregated: batch 0 is all-a. tvd_num = |8·4 − 4·4| + 4·(8−4)
+    // = 32 → TVD 32/(2·8·4) = 0.5, the distance from (1,0) to (½,½).
+    val seg = audit(Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    assert(seg == Map(
+      0L -> ((4L, 32L, "a", 16L)), 1L -> ((4L, 32L, "b", 16L))))
+  }
 }
