@@ -737,6 +737,38 @@ object Curation {
     out
   }
 
+  /** Per-source delta between two mixture manifests keyed on
+    * (source, doc_id) — the recipe-iteration report: what a reweight /
+    * budget change actually did to the corpus, source by source.
+    * Inputs are [[executeMixturePlan]]-shaped
+    * (source, doc_id, n_tokens, …); reduce an [[executeEpochPlan]]
+    * manifest to distinct (source, doc_id, n_tokens) first (or diff
+    * one epoch at a time). `a` is the old manifest, `b` the new:
+    * "removed" = in a only, "added" = in b only.
+    *
+    * Scale shape: one full-outer equi-join on (source, doc_id) + one
+    * map-side-combined per-source aggregate; output is |sources| rows.
+    */
+  def manifestDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    val aa = a.select(col("source"), col("doc_id"), col("n_tokens").as("__na"))
+    val bb = b.select(col("source"), col("doc_id"), col("n_tokens").as("__nb"))
+    aa.join(bb, Seq("source", "doc_id"), "full_outer")
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("__na").isNotNull && col("__nb").isNull, 1L)
+          .otherwise(0L)).as("docs_removed"),
+        sum(when(col("__nb").isNotNull && col("__na").isNull, 1L)
+          .otherwise(0L)).as("docs_added"),
+        sum(when(col("__na").isNotNull && col("__nb").isNotNull, 1L)
+          .otherwise(0L)).as("docs_kept"),
+        coalesce(sum(when(col("__nb").isNull, col("__na"))), lit(0L))
+          .as("tokens_removed"),
+        coalesce(sum(when(col("__na").isNull, col("__nb"))), lit(0L))
+          .as("tokens_added"),
+        coalesce(sum(when(col("__na").isNotNull && col("__nb").isNotNull,
+          col("__nb"))), lit(0L)).as("tokens_kept"))
+  }
+
   /** Two-phase per-source seeded-prefix selection: range-exchange
     * `keyed` on (source, okey, doc_id), running-sum n_tokens within
     * partitions, collect the (partition × source) totals (P·|sources|

@@ -374,6 +374,31 @@ object CorpusOps {
         budgetPct = 80, maxEpochs = 3)
       Curation.executeEpochPlan(docs, $"doc_id", $"source",
         TextAnalysis.tokenCount($"text"), plan, seed = "ep42")
+    },
+
+    // ---- q157: manifest diff — the recipe-iteration report. Same
+    // budget and seed, weights steepened 1..5 → 1..9: per source, how
+    // many documents/tokens the reweight added, removed, and kept.
+    // Same seed ⇒ each source's selection is a prefix cut at a new
+    // point, so the per-source delta is one-sided; across sources the
+    // report shows the actual reallocation.
+    "q157_manifest_diff" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val tok = TextAnalysis.tokenCount($"text")
+      val p1 = Curation.waterfillBudget(docs, $"source", tok,
+        src => lit(1) + substring(src, 4, 10).cast("int") % 5, budgetPct = 60)
+      val p2 = Curation.waterfillBudget(docs, $"source", tok,
+        src => lit(1) + (substring(src, 4, 10).cast("int") % 5) * lit(2),
+        budgetPct = 60)
+      val m1 = Curation.executeMixturePlan(docs, $"doc_id", $"source", tok,
+        p1, seed = "mix42")
+      val m2 = Curation.executeMixturePlan(docs, $"doc_id", $"source", tok,
+        p2, seed = "mix42")
+      val out = Curation.manifestDiff(m1, m2).persist()
+      out.count() // pin the |sources|-row report, release the manifests
+      m1.unpersist(); m2.unpersist()
+      out
     }
   )
 
@@ -1132,7 +1157,49 @@ object CorpusOps {
         |FROM fullp
         |UNION ALL
         |SELECT source, doc_id, n_tokens, CAST(k_full AS BIGINT) AS epoch
-        |FROM psel WHERE cum <= rem""".stripMargin
+        |FROM psel WHERE cum <= rem""".stripMargin,
+
+    // Two prefixed waterfill chains (old weights x_, steepened y_),
+    // one shared seeded order, full-outer diff keyed (source, doc_id).
+    "q157_manifest_diff" ->
+      s"""WITH ${epochWaterfillCtes(budgetPct = 60, maxEpochs = 1,
+             wSql = "1 + CAST(substr(source, 4) AS INT) % 5", p = "x_")},
+        |${epochWaterfillCtes(budgetPct = 60, maxEpochs = 1,
+             wSql = "1 + (CAST(substr(source, 4) AS INT) % 5) * 2", p = "y_")},
+        |toks AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+'))
+        |      AS BIGINT) AS n_tokens,
+        |    sum(CAST(len(regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+'))
+        |      AS BIGINT)) OVER (PARTITION BY source
+        |      ORDER BY md5('o:mix42:' || doc_id::VARCHAR), doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents),
+        |sela AS (
+        |  SELECT t.source, t.doc_id, t.n_tokens
+        |  FROM toks t JOIN x_ewalloc a USING (source) WHERE t.cum <= a.alloc),
+        |selb AS (
+        |  SELECT t.source, t.doc_id, t.n_tokens
+        |  FROM toks t JOIN y_ewalloc a USING (source) WHERE t.cum <= a.alloc),
+        |j AS (
+        |  SELECT coalesce(a.source, b.source) AS source,
+        |    a.n_tokens AS na, b.n_tokens AS nb
+        |  FROM sela a FULL JOIN selb b
+        |    ON a.source = b.source AND a.doc_id = b.doc_id)
+        |SELECT source,
+        |  CAST(sum(CASE WHEN na IS NOT NULL AND nb IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS docs_removed,
+        |  CAST(sum(CASE WHEN nb IS NOT NULL AND na IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS docs_added,
+        |  CAST(sum(CASE WHEN na IS NOT NULL AND nb IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+        |  CAST(coalesce(sum(CASE WHEN nb IS NULL THEN na END), 0)
+        |    AS BIGINT) AS tokens_removed,
+        |  CAST(coalesce(sum(CASE WHEN na IS NULL THEN nb END), 0)
+        |    AS BIGINT) AS tokens_added,
+        |  CAST(coalesce(sum(CASE WHEN na IS NOT NULL AND nb IS NOT NULL
+        |    THEN nb END), 0) AS BIGINT) AS tokens_kept
+        |FROM j GROUP BY source""".stripMargin
   )
 
   /** Epoch-ceiling variant of [[waterfillCtes]]: ceilings are
@@ -1142,14 +1209,14 @@ object CorpusOps {
     * [[graft.operators.Curation.waterfillBudgetEpochs]].
     */
   private[queries] def epochWaterfillCtes(budgetPct: Int, maxEpochs: Int,
-      wSql: String): String =
-    s"""caps AS (
+      wSql: String, p: String = ""): String =
+    s"""${p}caps AS (
       |  SELECT source,
       |    CAST(sum(len(regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+'))) AS BIGINT) AS cap,
       |    CAST($wSql AS BIGINT) AS w
       |  FROM documents GROUP BY source),
-      |ecaps AS (SELECT source, cap, w, cap * $maxEpochs AS ecap FROM caps),
-      |staged AS (
+      |${p}ecaps AS (SELECT source, cap, w, cap * $maxEpochs AS ecap FROM ${p}caps),
+      |${p}staged AS (
       |  SELECT source, cap, w, ecap,
       |    CAST(coalesce(sum(ecap) OVER (ORDER BY (ecap * 1000) // w, source
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
@@ -1158,24 +1225,24 @@ object CorpusOps {
       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
       |      AS w_from,
       |    CAST(sum(cap) OVER () AS BIGINT) AS total
-      |  FROM ecaps),
-      |flagged AS (
+      |  FROM ${p}ecaps),
+      |${p}flagged AS (
       |  SELECT *, (total * $budgetPct) // 100 AS budget,
       |    ecap * w_from <= ((total * $budgetPct) // 100 - cum_before) * w AS sat
-      |  FROM staged),
-      |fin AS (
+      |  FROM ${p}staged),
+      |${p}fin AS (
       |  SELECT *,
       |    CAST(coalesce(sum(CASE WHEN sat THEN ecap END) OVER (), 0)
       |      AS BIGINT) AS sat_cap,
       |    CAST(coalesce(sum(CASE WHEN NOT sat THEN w END) OVER (), 0)
       |      AS BIGINT) AS unsat_w
-      |  FROM flagged),
-      |ewalloc AS (
+      |  FROM ${p}flagged),
+      |${p}ewalloc AS (
       |  SELECT source, cap, w, sat,
       |    CAST(CASE WHEN sat OR unsat_w = 0 THEN ecap
       |      ELSE least(ecap, ((budget - sat_cap) * w) // unsat_w)
       |      END AS BIGINT) AS alloc
-      |  FROM fin)"""
+      |  FROM ${p}fin)"""
       .stripMargin
 
   /** Shared q149 waterfill CTE chain ending in

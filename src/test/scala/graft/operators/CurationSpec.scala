@@ -449,6 +449,22 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("manifestDiff: per-source add/remove/keep doc and token deltas") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val a = Seq(("s1", 1L, 10L), ("s1", 2L, 20L), ("s2", 3L, 5L))
+      .toDF("source", "doc_id", "n_tokens")
+    val b = Seq(("s1", 2L, 20L), ("s1", 4L, 7L), ("s3", 9L, 3L))
+      .toDF("source", "doc_id", "n_tokens")
+    val got = Curation.manifestDiff(a, b).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got == Map(
+      "s1" -> ((1L, 1L, 1L, 10L, 7L, 20L)), // removed 1, added 4, kept 2
+      "s2" -> ((1L, 0L, 0L, 5L, 0L, 0L)),   // vanished entirely
+      "s3" -> ((0L, 1L, 0L, 0L, 3L, 0L))))  // brand new
+  }
+
   test("manifest executors: null text counts 0 tokens, null ids drop") {
     import spark.implicits._
     import graft.operators.{Curation, TextAnalysis}
