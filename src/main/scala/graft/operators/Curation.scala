@@ -737,6 +737,54 @@ object Curation {
     out
   }
 
+  /** Incrementally extend a frozen mixture manifest when the corpus
+    * grows: NEW documents (only) are selected, per source, in the
+    * seeded pseudo-random order into the headroom `alloc − used` that
+    * a RE-PLANNED allocation leaves above the manifest's spent tokens.
+    * Existing manifest rows are returned untouched (append-only — the
+    * trainer already consumed them); if the new plan shrank a source
+    * below its spend, the headroom clamps to 0 and nothing is removed.
+    * Use a fresh `seed` per extension generation so the new docs deal
+    * independently of the base deal.
+    *
+    * Scale shape: one per-source aggregate over the manifest (spent
+    * tokens), the |sources|-row headroom table pinned with one bounded
+    * collect (two branches broadcast it), and ONE [[seededPrefix]]
+    * pass over the new docs only — the base corpus is never rescanned.
+    */
+  def extendManifest(manifest: DataFrame, newDocs: DataFrame, id: Column,
+      source: Column, tokens: Column, plan: DataFrame,
+      seed: String): DataFrame = {
+    val spark = manifest.sparkSession
+    import spark.implicits._
+    val used = manifest.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("__used"))
+    val rem = spark.createDataset(
+        plan.select(col("source"), col("alloc"))
+          .join(used, Seq("source"), "left")
+          .select(col("source"),
+            greatest(col("alloc") - coalesce(col("__used"), lit(0L)),
+              lit(0L)).as("__budget"),
+            coalesce(col("__used"), lit(0L)).as("__off"))
+          .as[(String, Long, Long)].collect().toSeq)
+      .toDF("source", "__budget", "__off")
+    val keyed = manifestKeyed(newDocs, id, source, tokens)
+      .withColumn("okey",
+        md5(concat(lit("o:" + seed + ":"), col("doc_id").cast("string"))))
+    val pref = seededPrefix(keyed, rem.select(col("source"), col("__budget")))
+    val added = pref
+      .join(broadcast(rem.select(col("source"), col("__off"))), "source")
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        (col("cum_tokens") + col("__off")).as("cum_tokens"))
+    val out = manifest
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
+      .unionByName(added)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    pref.unpersist() // seededPrefix's cache, folded into `out` now
+    out
+  }
+
   /** Per-source delta between two mixture manifests keyed on
     * (source, doc_id) — the recipe-iteration report: what a reweight /
     * budget change actually did to the corpus, source by source.

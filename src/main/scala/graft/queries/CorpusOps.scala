@@ -399,6 +399,27 @@ object CorpusOps {
       out.count() // pin the |sources|-row report, release the manifests
       m1.unpersist(); m2.unpersist()
       out
+    },
+
+    // ---- q158: incremental manifest extension — the corpus grows
+    // (the doc_id%5==0 fifth "arrives"), the plan is re-solved on the
+    // full corpus, and ONLY the new docs fill each source's headroom
+    // above the frozen base manifest. Nothing from the base deal moves.
+    "q158_manifest_extend" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val tok = TextAnalysis.tokenCount($"text")
+      val w = (src: org.apache.spark.sql.Column) =>
+        lit(1) + substring(src, 4, 10).cast("int") % 5
+      val base = docs.filter($"doc_id" % 5 =!= 0)
+      val p1 = Curation.waterfillBudget(base, $"source", tok, w, budgetPct = 60)
+      val m1 = Curation.executeMixturePlan(base, $"doc_id", $"source", tok,
+        p1, seed = "mix42")
+      val p2 = Curation.waterfillBudget(docs, $"source", tok, w, budgetPct = 60)
+      val out = Curation.extendManifest(m1, docs.filter($"doc_id" % 5 === 0),
+        $"doc_id", $"source", tok, p2, seed = "ext1")
+      m1.unpersist() // folded into the materialized extension
+      out
     }
   )
 
@@ -1199,7 +1220,53 @@ object CorpusOps {
         |    AS BIGINT) AS tokens_added,
         |  CAST(coalesce(sum(CASE WHEN na IS NOT NULL AND nb IS NOT NULL
         |    THEN nb END), 0) AS BIGINT) AS tokens_kept
-        |FROM j GROUP BY source""".stripMargin
+        |FROM j GROUP BY source""".stripMargin,
+
+    // Base plan over the 4/5 corpus (x_), re-plan over the full
+    // corpus (y_); the base deal (seed mix42) freezes, new docs fill
+    // each source's clamped headroom in the ext1 deal.
+    "q158_manifest_extend" ->
+      s"""WITH ${epochWaterfillCtes(budgetPct = 60, maxEpochs = 1,
+             wSql = "1 + CAST(substr(source, 4) AS INT) % 5", p = "x_",
+             docsWhere = "doc_id % 5 <> 0")},
+        |${epochWaterfillCtes(budgetPct = 60, maxEpochs = 1,
+             wSql = "1 + CAST(substr(source, 4) AS INT) % 5", p = "y_")},
+        |toks AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+'))
+        |      AS BIGINT) AS n_tokens,
+        |    doc_id % 5 = 0 AS isnew
+        |  FROM documents),
+        |btoks AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY md5('o:mix42:' || doc_id::VARCHAR), doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM toks WHERE NOT isnew),
+        |selb AS (
+        |  SELECT t.source, t.doc_id, t.n_tokens, t.cum
+        |  FROM btoks t JOIN x_ewalloc a USING (source)
+        |  WHERE t.cum <= a.alloc),
+        |used AS (
+        |  SELECT source, sum(n_tokens) AS u FROM selb GROUP BY source),
+        |rem AS (
+        |  SELECT a.source,
+        |    greatest(a.alloc - coalesce(u.u, 0), 0) AS headroom,
+        |    coalesce(u.u, 0) AS off
+        |  FROM y_ewalloc a LEFT JOIN used u USING (source)),
+        |ntoks AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY md5('o:ext1:' || doc_id::VARCHAR), doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM toks WHERE isnew)
+        |SELECT source, doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+        |FROM selb
+        |UNION ALL
+        |SELECT n.source, n.doc_id, n.n_tokens,
+        |  CAST(n.cum + r.off AS BIGINT) AS cum_tokens
+        |FROM ntoks n JOIN rem r USING (source)
+        |WHERE n.cum <= r.headroom""".stripMargin
   )
 
   /** Epoch-ceiling variant of [[waterfillCtes]]: ceilings are
@@ -1209,12 +1276,12 @@ object CorpusOps {
     * [[graft.operators.Curation.waterfillBudgetEpochs]].
     */
   private[queries] def epochWaterfillCtes(budgetPct: Int, maxEpochs: Int,
-      wSql: String, p: String = ""): String =
+      wSql: String, p: String = "", docsWhere: String = "TRUE"): String =
     s"""${p}caps AS (
       |  SELECT source,
       |    CAST(sum(len(regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+'))) AS BIGINT) AS cap,
       |    CAST($wSql AS BIGINT) AS w
-      |  FROM documents GROUP BY source),
+      |  FROM documents WHERE $docsWhere GROUP BY source),
       |${p}ecaps AS (SELECT source, cap, w, cap * $maxEpochs AS ecap FROM ${p}caps),
       |${p}staged AS (
       |  SELECT source, cap, w, ecap,

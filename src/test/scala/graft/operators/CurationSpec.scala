@@ -449,6 +449,53 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("extendManifest: append-only headroom fill, clamp on shrinkage") {
+    import spark.implicits._
+    import graft.operators.{Curation, TextAnalysis}
+    def corpus(rows: (Long, String)*) = rows
+      .map { case (i, s) => (i, s, "tok " * 9 + "tok") } // 10 tokens each
+      .toDF("doc_id", "source", "text")
+    val tok = TextAnalysis.tokenCount($"text")
+    val base = corpus((0L to 4L).map(_ -> "a") ++ (5L to 9L).map(_ -> "b"): _*)
+    val grown = corpus((10L to 14L).map(_ -> "a") ++ (15L to 19L).map(_ -> "c"): _*)
+    val p1 = Curation.waterfillBudget(base, $"source", tok, _ => lit(1), 100)
+    val m1 = Curation.executeMixturePlan(base, $"doc_id", $"source", tok,
+      p1, seed = "b1")
+    // Re-plan at 100% over the grown corpus: every source saturates, so
+    // headroom = the new docs' full caps (a: 50, c: 50, b: 0).
+    val p2 = Curation.waterfillBudget(base.unionByName(grown), $"source",
+      tok, _ => lit(1), 100)
+    val out = Curation.extendManifest(m1, grown, $"doc_id", $"source", tok,
+      p2, seed = "e1")
+    val rows = out.collect().map(r =>
+      r.getLong(1) -> (r.getString(0), r.getLong(3))).toMap
+    assert(rows.size == 20)
+    // Base rows byte-identical (append-only).
+    val baseRows = m1.collect().map(r =>
+      r.getLong(1) -> (r.getString(0), r.getLong(3))).toMap
+    baseRows.foreach { case (d, v) => assert(rows(d) == v, s"doc $d moved") }
+    // New a-docs continue a's cum from 50; c starts fresh.
+    val aNew = rows.filter { case (d, (s, _)) => s == "a" && d >= 10 }
+    assert(aNew.values.map(_._2).toSet == Set(60L, 70L, 80L, 90L, 100L))
+    assert(rows.filter(_._2._1 == "c").values.map(_._2).toSet ==
+      Set(10L, 20L, 30L, 40L, 50L))
+
+    // Shrunken re-plan (40%): a/b headroom clamps to 0 — the base deal
+    // survives untouched; only c (unspent) receives docs.
+    val p3 = Curation.waterfillBudget(base.unionByName(grown), $"source",
+      tok, _ => lit(1), 40)
+    val out2 = Curation.extendManifest(m1, grown, $"doc_id", $"source", tok,
+      p3, seed = "e1")
+    val r2 = out2.collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(r2.count(_._1 == "a") == 5 && r2.count(_._1 == "b") == 5,
+      "shrinkage must not evict base rows")
+    val cAlloc = p3.filter($"source" === "c").collect()(0).getLong(4)
+    val cTok = out2.filter($"source" === "c")
+      .agg(sum($"n_tokens")).collect()(0).getLong(0)
+    assert(cTok == (cAlloc / 10) * 10, s"c filled $cTok of alloc $cAlloc")
+    m1.unpersist(); out.unpersist(); out2.unpersist()
+  }
+
   test("manifestDiff: per-source add/remove/keep doc and token deltas") {
     import spark.implicits._
     import graft.operators.Curation
