@@ -657,8 +657,7 @@ object Curation {
   def executeMixturePlan(docs: DataFrame, id: Column, source: Column,
       tokens: Column, alloc: DataFrame, seed: String): DataFrame = {
     val keyed = manifestKeyed(docs, id, source, tokens)
-      .withColumn("okey",
-        md5(concat(lit("o:" + seed + ":"), col("doc_id").cast("string"))))
+      .withColumn("okey", EpochShuffle.orderKeyOf(col("doc_id"), seed))
     seededPrefix(keyed, alloc.select(col("source"), col("alloc").as("__budget")))
   }
 
@@ -743,9 +742,11 @@ object Curation {
     * a RE-PLANNED allocation leaves above the manifest's spent tokens.
     * Existing manifest rows are returned untouched (append-only — the
     * trainer already consumed them); if the new plan shrank a source
-    * below its spend, the headroom clamps to 0 and nothing is removed.
-    * Use a fresh `seed` per extension generation so the new docs deal
-    * independently of the base deal.
+    * below its spend, the headroom clamps to 0 and that source
+    * receives NOTHING (zero-headroom sources are excluded before the
+    * prefix pass, so even zero-token docs — whose cum would satisfy
+    * `<= 0` — cannot slip in). Use a fresh `seed` per extension
+    * generation so the new docs deal independently of the base deal.
     *
     * Scale shape: one per-source aggregate over the manifest (spent
     * tokens), the |sources|-row headroom table pinned with one bounded
@@ -768,10 +769,12 @@ object Curation {
             coalesce(col("__used"), lit(0L)).as("__off"))
           .as[(String, Long, Long)].collect().toSeq)
       .toDF("source", "__budget", "__off")
-    val keyed = manifestKeyed(newDocs, id, source, tokens)
-      .withColumn("okey",
-        md5(concat(lit("o:" + seed + ":"), col("doc_id").cast("string"))))
-    val pref = seededPrefix(keyed, rem.select(col("source"), col("__budget")))
+    // Delegate the selection to executeMixturePlan: the headroom table
+    // IS a mixture plan for the new docs (same seed convention, same
+    // prefix machinery — one definition of the deal, not two).
+    val pref = executeMixturePlan(newDocs, id, source, tokens,
+      rem.filter(col("__budget") > 0)
+        .select(col("source"), col("__budget").as("alloc")), seed)
     val added = pref
       .join(broadcast(rem.select(col("source"), col("__off"))), "source")
       .select(col("source"), col("doc_id"), col("n_tokens"),
@@ -792,7 +795,12 @@ object Curation {
     * (source, doc_id, n_tokens, …); reduce an [[executeEpochPlan]]
     * manifest to distinct (source, doc_id, n_tokens) first (or diff
     * one epoch at a time). `a` is the old manifest, `b` the new:
-    * "removed" = in a only, "added" = in b only.
+    * "removed" = in a only, "added" = in b only. Shared docs are
+    * assumed to agree on `n_tokens` (manifests cut from the same
+    * token counter); a doc present in BOTH with a CHANGED count
+    * reports the new count under tokens_kept and no add/remove delta
+    * — diff re-tokenized corpora on (source, doc_id, n_tokens) as the
+    * key upstream if that distinction matters.
     *
     * Scale shape: one full-outer equi-join on (source, doc_id) + one
     * map-side-combined per-source aggregate; output is |sources| rows.

@@ -42,6 +42,27 @@ import org.apache.spark.sql.functions._
   */
 object EpochShuffle {
 
+  /** The engine's seeded shard assignment: first 8 md5 hex digits of
+    * "s:seed:id" mod `shards`. THE single definition — batch epochs,
+    * [[graft.streaming.StreamingOrder]], and every DuckDB oracle
+    * replaying `('0x' || substr(md5(...), 1, 8))::UBIGINT % n` must
+    * agree bit-for-bit.
+    */
+  def shardOf(id: Column, seed: String, shards: Int): Column =
+    (conv(substring(md5(concat(lit("s:" + seed + ":"),
+      id.cast("string"))), 1, 8), 16, 10).cast("long")
+      % shards).cast("int")
+
+  /** The engine's seeded order key md5("o:seed:id") — the RNG-free
+    * total order shared by epoch shuffles, mixture-manifest prefixes
+    * ([[Curation.executeMixturePlan]]), and the streaming order.
+    * (The epoch-tagged variant md5("o:seed:epoch:id") in
+    * [[Curation.executeEpochPlan]] extends the same convention with a
+    * per-pass tag.)
+    */
+  def orderKeyOf(id: Column, seed: String): Column =
+    md5(concat(lit("o:" + seed + ":"), id.cast("string")))
+
   /** One epoch's (shard, pos, doc_id) order table. `id` values must be
     * unique (they are the identity of a document); the md5 order key
     * then has no ties and the order is total.
@@ -76,12 +97,8 @@ object EpochShuffle {
     val parts = math.max(1, spark.sparkContext.defaultParallelism)
     val keyed = df.select(id.cast("long").as("doc_id"),
         priority.cast("int").as("priority"))
-      .withColumn("shard",
-        (conv(substring(md5(concat(lit("s:" + seed + ":"),
-          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
-          % shards).cast("int"))
-      .withColumn("okey",
-        md5(concat(lit("o:" + seed + ":"), col("doc_id").cast("string"))))
+      .withColumn("shard", shardOf(col("doc_id"), seed, shards))
+      .withColumn("okey", orderKeyOf(col("doc_id"), seed))
     val local = keyed
       .repartitionByRange(parts, col("shard"), col("priority"), col("okey"))
       .sortWithinPartitions(col("shard"), col("priority"), col("okey"))

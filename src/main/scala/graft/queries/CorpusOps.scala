@@ -1266,7 +1266,7 @@ object CorpusOps {
         |SELECT n.source, n.doc_id, n.n_tokens,
         |  CAST(n.cum + r.off AS BIGINT) AS cum_tokens
         |FROM ntoks n JOIN rem r USING (source)
-        |WHERE n.cum <= r.headroom""".stripMargin
+        |WHERE r.headroom > 0 AND n.cum <= r.headroom""".stripMargin
   )
 
   /** Epoch-ceiling variant of [[waterfillCtes]]: ceilings are

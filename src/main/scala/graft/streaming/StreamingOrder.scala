@@ -27,20 +27,21 @@ object StreamingOrder {
   /** (shard, pos, doc_id) stream; `id` values must be unique across
     * the stream's lifetime (they are the document identity — a re-sent
     * id would receive a second position, it is not deduplicated here;
-    * chain [[StreamingDedup]] upstream for that).
+    * chain [[StreamingDedup]] upstream for that). Null ids drop: a
+    * null would NPE the primitive-tuple encoder and poison-pill the
+    * query (every checkpoint-recovery replay of the batch fails the
+    * same way), where a skipped row is just a skipped row.
     */
   def assign(docs: DataFrame, id: Column, seed: String,
       shards: Int): DataFrame = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
     val spark = docs.sparkSession
     import spark.implicits._
+    import graft.operators.EpochShuffle
     docs.select(id.cast("long").as("doc_id"))
-      .withColumn("shard",
-        (conv(substring(md5(concat(lit("s:" + seed + ":"),
-          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
-          % shards).cast("int"))
-      .withColumn("okey",
-        md5(concat(lit("o:" + seed + ":"), col("doc_id").cast("string"))))
+      .filter(col("doc_id").isNotNull)
+      .withColumn("shard", EpochShuffle.shardOf(col("doc_id"), seed, shards))
+      .withColumn("okey", EpochShuffle.orderKeyOf(col("doc_id"), seed))
       .as[(Long, Int, String)]
       .groupByKey(_._2)
       .flatMapGroupsWithState[Long, (Int, Long, Long)](

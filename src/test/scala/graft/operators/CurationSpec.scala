@@ -481,14 +481,19 @@ class CurationSpec extends SparkSpec {
       Set(10L, 20L, 30L, 40L, 50L))
 
     // Shrunken re-plan (40%): a/b headroom clamps to 0 — the base deal
-    // survives untouched; only c (unspent) receives docs.
+    // survives untouched; only c (unspent) receives docs. The clamped
+    // source must receive NOTHING, not even a zero-token doc (whose
+    // cum would satisfy <= 0 if the source reached the prefix pass).
+    val grownZ = grown.unionByName(
+      Seq((99L, "a", null.asInstanceOf[String])).toDF("doc_id", "source", "text"))
     val p3 = Curation.waterfillBudget(base.unionByName(grown), $"source",
       tok, _ => lit(1), 40)
-    val out2 = Curation.extendManifest(m1, grown, $"doc_id", $"source", tok,
+    val out2 = Curation.extendManifest(m1, grownZ, $"doc_id", $"source", tok,
       p3, seed = "e1")
     val r2 = out2.collect().map(r => (r.getString(0), r.getLong(1))).toList
     assert(r2.count(_._1 == "a") == 5 && r2.count(_._1 == "b") == 5,
       "shrinkage must not evict base rows")
+    assert(!r2.exists(_._2 == 99L), "zero-token doc slipped past the clamp")
     val cAlloc = p3.filter($"source" === "c").collect()(0).getLong(4)
     val cTok = out2.filter($"source" === "c")
       .agg(sum($"n_tokens")).collect()(0).getLong(0)
