@@ -120,6 +120,13 @@ class SelectorExtension extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.FunctionIdentifier("matches_selector"),
       new ExpressionInfo("graft", "matches_selector"),
       (args: Seq[Expression]) => MatchesSelector(args(0), args(1))))
+    // The native scalar family (UUID/FNV/CRC64/vector/curve) under its
+    // SQL names — one list shared with SqlFunctions.registerAll.
+    graft.functions.SqlFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction((
+        new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
+    }
     ext.injectOptimizerRule(_ => RewriteMatchesSelector)
   }
 }

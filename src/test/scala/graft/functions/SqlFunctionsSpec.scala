@@ -1,0 +1,55 @@
+package graft.functions
+
+import graft.SparkSpec
+
+/** The native expression family under its SQL names: values must match
+  * the Scala kernels bit-for-bit, and misuse must fail at analysis
+  * time, not first-row eval.
+  */
+class SqlFunctionsSpec extends SparkSpec {
+
+  test("SQL names evaluate the same kernels as the Scala API") {
+    SqlFunctions.registerAll(spark)
+    val row = spark.sql(
+      """SELECT
+        |  graft_fnv1a32(CAST('hello' AS BINARY)) AS fnv,
+        |  graft_crc64(CAST('hello' AS BINARY)) AS crc,
+        |  graft_crc64_update(graft_crc64(CAST('he' AS BINARY)),
+        |    CAST('llo' AS BINARY)) AS crc2,
+        |  graft_uuid_clock(graft_uuid_build(X'001122334455', 12345L, 2)) AS ck,
+        |  graft_uuid_flags(graft_uuid_build(X'001122334455', 12345L, 2)) AS fl,
+        |  graft_uuid_producer(graft_uuid_build(X'001122334455', 12345L, 2)) AS pr,
+        |  graft_clock_micros(graft_micros_clock(123456789L)) AS mc,
+        |  graft_vec_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS vd,
+        |  graft_vec_norm(array(3.0D, 4.0D)) AS vn,
+        |  graft_hilbert2(3L, 5L, 4) AS h2
+        |""".stripMargin).collect()(0)
+    assert(row.getLong(0) == Hashes.fnv1a32("hello".getBytes("UTF-8")))
+    assert(row.getLong(1) == Hashes.crc64("hello".getBytes("UTF-8")))
+    // CRC64 streams: update(crc("he"), "llo") == crc("hello").
+    assert(row.getLong(2) == row.getLong(1))
+    assert(row.getLong(3) == 12345L && row.getInt(4) == 2)
+    assert(row.getAs[Array[Byte]](5).toSeq ==
+      Array[Byte](0x00, 0x11, 0x22, 0x33, 0x44, 0x55).toSeq)
+    // micros→clock→micros round-trips exactly (the clock side
+    // quantizes, so only this direction is stable).
+    assert(row.getLong(6) == 123456789L)
+    assert(row.getDouble(7) == 32.0 && row.getDouble(8) == 5.0)
+    assert(row.getLong(9) == Curves.hilbert2(3L, 5L, 4))
+  }
+
+  test("misuse fails at analysis time") {
+    SqlFunctions.registerAll(spark)
+    // Non-literal bits for the curve index.
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT graft_hilbert2(id, id, CAST(id AS INT)) FROM range(3)")
+        .collect()
+    }
+    assert(e1.getMessage.contains("INT literal"), e1.getMessage)
+    // Wrong arity.
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_crc64(X'00', X'01')").collect()
+    }
+    assert(e2.getMessage.contains("expects 1 argument"), e2.getMessage)
+  }
+}
