@@ -788,6 +788,54 @@ object Curation {
     out
   }
 
+  /** Deterministic weighted-stride interleave of sources — the
+    * data-loader ORDER that makes every prefix match the target mix
+    * exactly (up to ±1 doc per source), unlike the seeded uniform
+    * shuffle whose batches carry multinomial sampling noise (measure
+    * both with [[EpochShuffle.batchMixAudit]]). Classic stride
+    * scheduling: the k-th document of source s (k = its dense index in
+    * the seeded per-source order) runs at virtual time
+    * `vt = ((2k+1)·2^20) div w_s` — sources emit at rates proportional
+    * to their weights, interleaved fairly from the first row.
+    *
+    * Returns (source, doc_id, k, vt): `vt` (ties → source, doc_id) IS
+    * the total order — range-partition on it to consume in order, or
+    * rank it densely with [[EpochShuffle]]'s machinery if positions
+    * are needed. Integer-exact and replayable; headroom: vt stays in
+    * Long past 10^12 docs per source. The result is returned cached
+    * (callers unpersist when done).
+    *
+    * Scale shape: ONE [[seededPrefix]] pass (range exchange +
+    * partition-local indexes + bounded offset collect) — no per-source
+    * global window, no second rank pass.
+    */
+  def interleaveByWeight(docs: DataFrame, id: Column, source: Column,
+      weight: Column => Column, seed: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = manifestKeyed(docs, id, source, lit(1L))
+      .withColumn("okey", EpochShuffle.orderKeyOf(col("doc_id"), seed))
+    // Unbounded budgets: seededPrefix's cum over n_tokens = 1 is the
+    // dense 1-based per-source index.
+    val budg = spark.createDataset(
+        keyed.select(col("source")).distinct().as[String].collect().toSeq
+          .map(s => (s, Long.MaxValue)))
+      .toDF("source", "__budget")
+    val pref = seededPrefix(keyed, budg)
+    val out = pref
+      .withColumn("w", weight(col("source")).cast("long"))
+      .filter(col("w") > 0)
+      .select(col("source"), col("doc_id"),
+        (col("cum_tokens") - 1).as("k"),
+        expr("((2 * cum_tokens - 1) * 1048576) div w").as("vt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    pref.unpersist() // re-cached as the projection above (a bare
+    // Project over the cache would make the corpus-sized entry
+    // unreleasable — the EpochShuffle.order lesson)
+    out
+  }
+
   /** Per-source delta between two mixture manifests keyed on
     * (source, doc_id) — the recipe-iteration report: what a reweight /
     * budget change actually did to the corpus, source by source.

@@ -420,6 +420,18 @@ object CorpusOps {
         $"doc_id", $"source", tok, p2, seed = "ext1")
       m1.unpersist() // folded into the materialized extension
       out
+    },
+
+    // ---- q159: weighted stride interleave — the deterministic
+    // data-loader order whose every prefix matches the target mix
+    // (vs the seeded shuffle's multinomial batch noise; compare with
+    // q156). vt is the integer virtual-time sort key.
+    "q159_stride_interleave" -> { (s, d) =>
+      import s.implicits._
+      Curation.interleaveByWeight(Tables.documents(s, d), $"doc_id",
+        $"source",
+        src => lit(1) + substring(src, 4, 10).cast("int") % 5,
+        seed = "il7")
     }
   )
 
@@ -1266,7 +1278,20 @@ object CorpusOps {
         |SELECT n.source, n.doc_id, n.n_tokens,
         |  CAST(n.cum + r.off AS BIGINT) AS cum_tokens
         |FROM ntoks n JOIN rem r USING (source)
-        |WHERE r.headroom > 0 AND n.cum <= r.headroom""".stripMargin
+        |WHERE r.headroom > 0 AND n.cum <= r.headroom""".stripMargin,
+
+    // Stride scheduling: the k-th doc of source s (seeded per-source
+    // order) at integer virtual time ((2k+1)·2^20) // w_s.
+    "q159_stride_interleave" ->
+      """WITH idx AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('o:il7:' || doc_id::VARCHAR), doc_id) AS k1,
+        |    CAST(1 + CAST(substr(source, 4) AS INT) % 5 AS BIGINT) AS w
+        |  FROM documents)
+        |SELECT source, doc_id, CAST(k1 - 1 AS BIGINT) AS k,
+        |  CAST(((2 * k1 - 1) * 1048576) // w AS BIGINT) AS vt
+        |FROM idx""".stripMargin
   )
 
   /** Epoch-ceiling variant of [[waterfillCtes]]: ceilings are

@@ -501,6 +501,40 @@ class CurationSpec extends SparkSpec {
     m1.unpersist(); out.unpersist(); out2.unpersist()
   }
 
+  test("stride interleave: every prefix matches the mix within one doc") {
+    import spark.implicits._
+    import graft.operators.Curation
+    // Counts proportional to weights (30:10 at w 3:1) so no source
+    // exhausts early — the discrepancy bound holds over the whole run.
+    val docs = ((0L until 30L).map(i => (i, "a")) ++
+        (30L until 40L).map(i => (i, "b")))
+      .toDF("doc_id", "source").withColumn("text", lit("t"))
+    val w = (src: org.apache.spark.sql.Column) =>
+      when(src === "a", 3L).otherwise(1L)
+    val out = Curation.interleaveByWeight(docs, $"doc_id", $"source", w, "s1")
+    val seq = out.collect()
+      .map(r => (r.getLong(3), r.getString(0), r.getLong(1)))
+      .sortBy { case (vt, s, d) => (vt, s, d) }
+    assert(seq.length == 40)
+    // Stride scheduling's defining property: every prefix of length n
+    // holds n·w_s/W of each source to within one document.
+    var na = 0
+    seq.zipWithIndex.foreach { case ((_, s, _), i) =>
+      if (s == "a") na += 1
+      val n = i + 1
+      assert(math.abs(na - n * 3.0 / 4.0) <= 1.0,
+        s"prefix $n: $na a-docs, expected ~${n * 3.0 / 4.0}")
+    }
+    assert(na == 30)
+    // k is the dense per-source seeded index.
+    val ks = out.filter($"source" === "a").select($"k").as[Long].collect()
+    assert(ks.sorted.toSeq == (0L until 30L))
+    // Deterministic replay.
+    val again = Curation.interleaveByWeight(docs, $"doc_id", $"source", w, "s1")
+    assert(again.collect().map(_.toSeq).toSet == out.collect().map(_.toSeq).toSet)
+    out.unpersist(); again.unpersist()
+  }
+
   test("manifestDiff: per-source add/remove/keep doc and token deltas") {
     import spark.implicits._
     import graft.operators.Curation
