@@ -12,7 +12,27 @@ import org.apache.spark.sql.types._
   * [[GazetteUuid]]/[[Hashes]], so they stay inside whole-stage codegen
   * rather than falling back to interpreted eval.
   */
+/** Analysis-time type gate for the scalar family: a wrong argument
+  * type (e.g. a STRING where BINARY is required) must fail when the
+  * query is analyzed, not as a per-row ClassCastException or a Janino
+  * compile error mid-job — the SQL registration (SqlFunctions) makes
+  * these reachable without the Column API's Scala types.
+  * (ImplicitCastInputTypes would also coerce, but its inputTypes
+  * signature uses the private[sql] AbstractDataType — cast explicitly.)
+  */
+private[functions] object ScalarChecks {
+  def expect(name: String, children: Seq[Expression],
+      types: Seq[DataType]): TypeCheckResult =
+    children.zip(types).zipWithIndex.collectFirst {
+      case ((c, t), i) if c.dataType != t =>
+        TypeCheckResult.TypeCheckFailure(s"$name argument ${i + 1} expects " +
+          s"${t.simpleString}, got ${c.dataType.simpleString}")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+}
+
 case class UuidClock(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    ScalarChecks.expect("UuidClock", Seq(child), Seq(BinaryType))
   override def dataType: DataType = LongType
   override protected def nullSafeEval(v: Any): Any =
     GazetteUuid.clockOf(v.asInstanceOf[Array[Byte]])
@@ -22,6 +42,8 @@ case class UuidClock(child: Expression) extends UnaryExpression {
 }
 
 case class UuidFlags(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    ScalarChecks.expect("UuidFlags", Seq(child), Seq(BinaryType))
   override def dataType: DataType = IntegerType
   override protected def nullSafeEval(v: Any): Any =
     GazetteUuid.flagsOf(v.asInstanceOf[Array[Byte]])
@@ -31,6 +53,8 @@ case class UuidFlags(child: Expression) extends UnaryExpression {
 }
 
 case class UuidProducer(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    ScalarChecks.expect("UuidProducer", Seq(child), Seq(BinaryType))
   override def dataType: DataType = BinaryType
   override protected def nullSafeEval(v: Any): Any =
     GazetteUuid.producerOf(v.asInstanceOf[Array[Byte]])
@@ -41,6 +65,9 @@ case class UuidProducer(child: Expression) extends UnaryExpression {
 
 case class UuidBuild(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    ScalarChecks.expect("UuidBuild", Seq(first, second, third),
+      Seq(BinaryType, LongType, IntegerType))
   override def dataType: DataType = BinaryType
   override protected def nullSafeEval(p: Any, c: Any, f: Any): Any =
     GazetteUuid.build(p.asInstanceOf[Array[Byte]],
@@ -53,6 +80,8 @@ case class UuidBuild(first: Expression, second: Expression, third: Expression)
 }
 
 case class ClockToMicros(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    ScalarChecks.expect("ClockToMicros", Seq(child), Seq(LongType))
   override def dataType: DataType = LongType
   override protected def nullSafeEval(v: Any): Any =
     GazetteUuid.clockToMicros(v.asInstanceOf[Long])
@@ -62,6 +91,8 @@ case class ClockToMicros(child: Expression) extends UnaryExpression {
 }
 
 case class MicrosToClock(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    ScalarChecks.expect("MicrosToClock", Seq(child), Seq(LongType))
   override def dataType: DataType = LongType
   override protected def nullSafeEval(v: Any): Any =
     GazetteUuid.microsToClock(v.asInstanceOf[Long])
@@ -71,6 +102,8 @@ case class MicrosToClock(child: Expression) extends UnaryExpression {
 }
 
 case class Fnv1a32(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    ScalarChecks.expect("Fnv1a32", Seq(child), Seq(BinaryType))
   override def dataType: DataType = LongType
   override protected def nullSafeEval(v: Any): Any =
     Hashes.fnv1a32(v.asInstanceOf[Array[Byte]])
@@ -80,6 +113,8 @@ case class Fnv1a32(child: Expression) extends UnaryExpression {
 }
 
 case class Crc64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    ScalarChecks.expect("Crc64", Seq(child), Seq(BinaryType))
   override def dataType: DataType = LongType
   override protected def nullSafeEval(v: Any): Any =
     Hashes.crc64(v.asInstanceOf[Array[Byte]])
@@ -90,6 +125,9 @@ case class Crc64(child: Expression) extends UnaryExpression {
 
 case class Crc64Update(left: Expression, right: Expression)
     extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    ScalarChecks.expect("Crc64Update", Seq(left, right),
+      Seq(LongType, BinaryType))
   override def dataType: DataType = LongType
   override protected def nullSafeEval(prev: Any, data: Any): Any =
     Hashes.crc64Update(prev.asInstanceOf[Long], data.asInstanceOf[Array[Byte]])

@@ -19,12 +19,15 @@ object SqlFunctions {
     if (got.length != want) throw new IllegalArgumentException(
       s"$n expects $want argument(s), got ${got.length}")
 
-  private def litInt(n: String, e: Expression): Int =
-    if (e.foldable && e.dataType ==
-        org.apache.spark.sql.types.IntegerType)
-      e.eval(null).asInstanceOf[Int]
-    else throw new IllegalArgumentException(
-      s"$n: last argument must be an INT literal")
+  private def litInt(n: String, e: Expression): Int = {
+    val v = if (e.foldable && e.dataType ==
+        org.apache.spark.sql.types.IntegerType) e.eval(null) else null
+    // The null check matters: CAST(NULL AS INT) is a foldable INT whose
+    // eval is null, and null.asInstanceOf[Int] would silently unbox to 0.
+    if (v == null) throw new IllegalArgumentException(
+      s"$n: last argument must be a non-null INT literal")
+    v.asInstanceOf[Int]
+  }
 
   /** name → expression builder, the single list both wiring paths use. */
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(

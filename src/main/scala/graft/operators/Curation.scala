@@ -658,7 +658,8 @@ object Curation {
       tokens: Column, alloc: DataFrame, seed: String): DataFrame = {
     val keyed = manifestKeyed(docs, id, source, tokens)
       .withColumn("okey", EpochShuffle.orderKeyOf(col("doc_id"), seed))
-    seededPrefix(keyed, alloc.select(col("source"), col("alloc").as("__budget")))
+    seededPrefix(keyed,
+      Some(alloc.select(col("source"), col("alloc").as("__budget"))))
   }
 
   /** Shared manifest-input projection: null text counts as a
@@ -724,7 +725,7 @@ object Curation {
         col("k_full").cast("string"), lit(":"), col("doc_id").cast("string"))))
       .select(col("source"), col("doc_id"), col("n_tokens"), col("okey"))
     val pref = seededPrefix(partKeyed,
-      k.filter(col("rem") > 0).select(col("source"), col("rem").as("__budget")))
+      Some(k.filter(col("rem") > 0).select(col("source"), col("rem").as("__budget"))))
     val partLeg = pref
       .join(broadcast(k.select("source", "k_full")), "source")
       .select(col("source"), col("doc_id"), col("n_tokens"),
@@ -811,17 +812,11 @@ object Curation {
     */
   def interleaveByWeight(docs: DataFrame, id: Column, source: Column,
       weight: Column => Column, seed: String): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val keyed = manifestKeyed(docs, id, source, lit(1L))
       .withColumn("okey", EpochShuffle.orderKeyOf(col("doc_id"), seed))
-    // Unbounded budgets: seededPrefix's cum over n_tokens = 1 is the
-    // dense 1-based per-source index.
-    val budg = spark.createDataset(
-        keyed.select(col("source")).distinct().as[String].collect().toSeq
-          .map(s => (s, Long.MaxValue)))
-      .toDF("source", "__budget")
-    val pref = seededPrefix(keyed, budg)
+    // Unbounded prefix: the cum over n_tokens = 1 is the dense 1-based
+    // per-source index — no budget table, no extra corpus pass.
+    val pref = seededPrefix(keyed, None)
     val out = pref
       .withColumn("w", weight(col("source")).cast("long"))
       .filter(col("w") > 0)
@@ -878,11 +873,13 @@ object Curation {
     * partitions, collect the (partition × source) totals (P·|sources|
     * rows — the only driver traffic), broadcast the per-source running
     * offsets back, and keep rows whose global cumulative stays within
-    * the source's broadcast `__budget`. Returns
+    * the source's broadcast `__budget` (None = unbounded: emit every
+    * row's cumulative with no budget join at all). Returns
     * (source, doc_id, n_tokens, cum_tokens), persisted — the offsets
     * are only valid for the materialization they were counted from.
     */
-  private def seededPrefix(keyed: DataFrame, budget: DataFrame): DataFrame = {
+  private[operators] def seededPrefix(keyed: DataFrame,
+      budget: Option[DataFrame]): DataFrame = {
     val spark = keyed.sparkSession
     import spark.implicits._
     val parts = math.max(1, spark.sparkContext.defaultParallelism)
@@ -913,10 +910,14 @@ object Curation {
         .map { case (pid, off) => (pid, src, off) }
     }.toSeq
     val offDf = spark.createDataFrame(offsets).toDF("pid", "source", "off")
-    val out = local.join(broadcast(offDf), Seq("pid", "source"))
+    val withCum = local.join(broadcast(offDf), Seq("pid", "source"))
       .withColumn("cum_tokens", col("off") + col("lcum"))
-      .join(broadcast(budget), "source")
-      .filter(col("cum_tokens") <= col("__budget"))
+    val limited = budget match {
+      case Some(b) => withCum.join(broadcast(b), "source")
+        .filter(col("cum_tokens") <= col("__budget"))
+      case None => withCum
+    }
+    val out = limited
       .select(col("source"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()

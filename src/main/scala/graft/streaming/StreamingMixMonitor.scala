@@ -35,26 +35,43 @@ object StreamingMixMonitor {
 
   def sink(ref: Map[String, Long], outDir: String)(
       docs: DataFrame, batchId: Long): Unit = {
-    require(ref.nonEmpty && ref.values.forall(_ >= 0), "ref: non-negative weights")
+    require(ref.nonEmpty && ref.values.forall(_ >= 0) && ref.values.sum > 0,
+      "ref: non-negative weights with a positive sum — an all-zero " +
+        "reference would silently emit no rows forever")
     val spark = docs.sparkSession
     import spark.implicits._
+    // Reduce the reference by its gcd (corpus-count references can be
+    // token-scale huge; only ratios matter) and compute devs in BigInt
+    // — r·c products overflow Long silently otherwise, and a wrapped
+    // negative TVD is worse than no monitor.
+    val g = ref.values.filter(_ > 0)
+      .reduce((a, b) => BigInt(a).gcd(BigInt(b)).toLong)
+    val refR = ref.map { case (s, w) => s -> w / g }
     val counts = docs
       .select(col("source").cast("string").as("source"))
       .filter(col("source").isNotNull)
       .groupBy(col("source")).agg(count(lit(1)).as("c"))
       .as[(String, Long)].collect().toMap
     val nB = counts.values.sum
-    val r = ref.values.sum
-    if (nB > 0 && r > 0) {
-      val all = (counts.keySet ++ ref.keySet).toSeq.sorted
+    val r = refR.values.sum
+    if (nB > 0) {
+      val all = (counts.keySet ++ refR.keySet).toSeq.sorted
       val devs = all.map { s =>
-        s -> (r * counts.getOrElse(s, 0L) - nB * ref.getOrElse(s, 0L))
+        s -> (BigInt(r) * BigInt(counts.getOrElse(s, 0L)) -
+          BigInt(nB) * BigInt(refR.getOrElse(s, 0L)))
       }
-      val tvd = devs.map { case (_, d) => math.abs(d) }.sum
-      // max dev, ties to the SMALLEST source name — the same
-      // (dev DESC, source ASC) rule as batchMixAudit's row_number.
-      val (worstSrc, worstDev) = devs.minBy { case (s, d) => (-d, s) }
-      Seq((batchId, nB, tvd, worstSrc, worstDev))
+      val tvd = devs.map { case (_, d) => d.abs }.sum
+      // Worst over-represented source among sources PRESENT in the
+      // batch — the same population and (dev DESC, source ASC) tie
+      // rule as batchMixAudit's row_number (an absent source is only
+      // ever under-represented; ranking it would let a weight-0 ghost
+      // win ties and diverge the two audits).
+      val (worstSrc, worstDev) = devs.filter(d => counts.contains(d._1))
+        .minBy { case (s, d) => (-d, s) }
+      require(tvd.isValidLong && worstDev.isValidLong,
+        s"mix-monitor TVD exceeds Long range (ref sum $r, batch $nB) — " +
+          "scale the reference weights down")
+      Seq((batchId, nB, tvd.toLong, worstSrc, worstDev.toLong))
         .toDF("batch_id", "n_docs", "tvd_num", "worst_source", "worst_dev")
         .write.mode("overwrite")
         .parquet(s"$outDir/batch=$batchId")

@@ -51,5 +51,16 @@ class SqlFunctionsSpec extends SparkSpec {
       spark.sql("SELECT graft_crc64(X'00', X'01')").collect()
     }
     assert(e2.getMessage.contains("expects 1 argument"), e2.getMessage)
+    // Wrong argument type: STRING where BINARY is required must fail
+    // when analyzed, not as a per-row CCE / Janino error mid-job.
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT graft_fnv1a32('hello')").collect()
+    }
+    assert(e3.getMessage.contains("binary"), e3.getMessage)
+    // NULL literal curve depth must refuse, not unbox to bits = 0.
+    val e4 = intercept[Exception] {
+      spark.sql("SELECT graft_hilbert2(1L, 2L, CAST(NULL AS INT))").collect()
+    }
+    assert(e4.getMessage.contains("non-null INT literal"), e4.getMessage)
   }
 }
