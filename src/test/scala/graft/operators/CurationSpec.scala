@@ -551,6 +551,62 @@ class CurationSpec extends SparkSpec {
       "s3" -> ((0L, 1L, 0L, 0L, 3L, 0L))))  // brand new
   }
 
+  test("epoch executor law: DF manifest equals the pure md5 mirror") {
+    import spark.implicits._
+    import graft.operators.Curation
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 8) {
+      val nSrc = 1 + rnd.nextInt(4)
+      // (source, docs with 1..30 tokens each), weights 0..4
+      val corpus = (0 until nSrc).flatMap { si =>
+        val s = f"s$si%02d"
+        (0 until 1 + rnd.nextInt(12)).map(j =>
+          (si * 100L + j, s, 1 + rnd.nextInt(30)))
+      }
+      val wmap = (0 until nSrc).map(si => f"s$si%02d" -> rnd.nextInt(5).toLong).toMap
+      val pct = 1 + rnd.nextInt(100)
+      val e = 1 + rnd.nextInt(3)
+      val seed = s"law$trial"
+      val docs = corpus.map { case (d, s, t) => (d, s, "x " * (t - 1) + "x") }
+        .toDF("doc_id", "source", "text")
+      val wcol = (src: org.apache.spark.sql.Column) =>
+        wmap.foldLeft(lit(0L)) { case (acc, (s, w)) =>
+          when(src === s, w).otherwise(acc) }
+      val plan = Curation.waterfillBudgetEpochs(docs, $"source",
+        graft.operators.TextAnalysis.tokenCount($"text"), wcol, pct, e)
+      val allocs = plan.collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+      val out = Curation.executeEpochPlan(docs, $"doc_id", $"source",
+        graft.operators.TextAnalysis.tokenCount($"text"), plan, seed)
+      val got = out.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+      // Pure mirror: per source, k_full full passes + the seeded prefix
+      // of epoch k_full within the remainder.
+      val want = allocs.flatMap { case (s, alloc) =>
+        val srcDocs = corpus.filter(_._2 == s)
+        val cap = srcDocs.map(_._3.toLong).sum
+        if (cap == 0) Nil else {
+          val kFull = alloc / cap
+          val rem = alloc % cap
+          val full = for (ep <- 0L until kFull; d <- srcDocs)
+            yield (s, d._1, ep)
+          val partial = if (rem <= 0) Nil else {
+            val ordered = srcDocs.sortBy(d =>
+              (md5hex(s"o:$seed:$kFull:${d._1}"), d._1))
+            var cum = 0L
+            ordered.takeWhile { d => cum += d._3; cum <= rem }
+              .map(d => (s, d._1, kFull))
+          }
+          full ++ partial
+        }
+      }.toSet
+      assert(got == want, s"trial $trial (pct=$pct E=$e w=$wmap)")
+      out.unpersist()
+    }
+  }
+
   test("manifest executors: null text counts 0 tokens, null ids drop") {
     import spark.implicits._
     import graft.operators.{Curation, TextAnalysis}
