@@ -55,4 +55,46 @@ object StreamingOrder {
       }
       .toDF("shard", "pos", "doc_id")
   }
+
+  /** [[assign]] on Spark 4's `transformWithState` API (the
+    * flatMapGroupsWithState successor — typed per-key state handles;
+    * the same counter semantics, shared keying). NO state TTL on
+    * purpose: an expired counter would restart a shard at position 0
+    * and violate the never-reuse contract. Requires the RocksDB state
+    * store provider.
+    */
+  def assignTws(docs: DataFrame, id: Column, seed: String,
+      shards: Int): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+    import graft.operators.EpochShuffle
+    docs.select(id.cast("long").as("doc_id"))
+      .filter(col("doc_id").isNotNull)
+      .withColumn("shard", EpochShuffle.shardOf(col("doc_id"), seed, shards))
+      .withColumn("okey", EpochShuffle.orderKeyOf(col("doc_id"), seed))
+      .as[(Long, Int, String)]
+      .groupByKey(_._2)
+      .transformWithState(
+        new StatefulProcessor[Int, (Long, Int, String), (Int, Long, Long)] {
+          @transient private var next:
+            org.apache.spark.sql.streaming.ValueState[Long] = _
+          override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+            next = getHandle.getValueState[Long]("next",
+              org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+          override def handleInputRows(shard: Int,
+              rows: Iterator[(Long, Int, String)],
+              timerValues: TimerValues): Iterator[(Int, Long, Long)] = {
+            var n = if (next.exists()) next.get() else 0L
+            val out = rows.toVector.sortBy(r => (r._3, r._1))
+              .map { case (d, _, _) => val r = (shard, n, d); n += 1; r }
+            next.update(n)
+            out.iterator
+          }
+        },
+        TimeMode.ProcessingTime(),
+        OutputMode.Append())
+      .toDF("shard", "pos", "doc_id")
+  }
 }

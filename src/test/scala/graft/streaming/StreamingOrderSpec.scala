@@ -86,4 +86,59 @@ class StreamingOrderSpec extends SparkSpec {
       .as[(Int, Long, Long)].collect().toVector
     assert(rep.sorted == r1.sorted, "same batch + seed must reproduce")
   }
+
+  test("transformWithState variant matches flatMapGroupsWithState across restart") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val conf = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(conf)
+    spark.conf.set(conf, // transformWithState requires RocksDB
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-sot-ckpt").toString
+      val outDir = java.nio.file.Files.createTempDirectory("graft-sot-out").toString
+      val input = MemoryStream[Long](spark)
+      def drain(expectRows: Long): Unit = {
+        val q = StreamingOrder.assignTws(input.toDF(), $"value",
+            seed = "so1", shards = 2)
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+        def processed = q.recentProgress.map(_.numInputRows).sum
+        while (q.isActive && processed < expectRows &&
+          System.nanoTime() < deadline) Thread.sleep(200)
+        Thread.sleep(300); q.stop()
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("shard",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("pos",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType)))
+      input.addData(0L until 20L: _*)
+      drain(expectRows = 20)
+      input.addData(20L until 30L: _*)
+      drain(expectRows = 10)
+      val rows = spark.read.schema(schema).parquet(outDir)
+        .as[(Int, Long, Long)].collect().toVector
+      assert(rows.length == 30)
+      rows.groupBy(_._1).foreach { case (sh, rs) =>
+        assert(rs.map(_._2).sorted == (0L until rs.length.toLong).toVector,
+          s"shard $sh not dense across TWS restart")
+      }
+      // Batch-1 docs keep their assignments under the extension (the
+      // append-only contract, on the TWS state path).
+      val b1 = rows.filter(_._3 < 20).map(r => r._3 -> (r._1, r._2)).toMap
+      assert(b1.size == 20 && rows.map(r => r._3 -> (r._1, r._2)).toMap
+        .filter(_._1 < 20) == b1)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(conf, v)
+        case None => spark.conf.unset(conf)
+      }
+    }
+  }
 }
