@@ -167,6 +167,28 @@ object Multimodal {
     out
   }
 
+  /** Resize planning for image columns: integer target geometry that
+    * scales the SHORTER side to `shorter` px preserving aspect (the
+    * standard vision-preprocess step). The geometry/byte math is real
+    * and oracle-mirrored; the pixel resample itself sits at the
+    * decode-stub boundary (no codec libs in this environment) —
+    * `out_bytes` is the exact RGB buffer a real resampler allocates,
+    * which is what the size-aware repartitioning and loader batching
+    * actually need. Degenerate dims (w or h ≤ 0, e.g. undecodable
+    * media) are excluded — [[aspectBuckets]]' rule. Pure projection:
+    * zero shuffle at any scale.
+    */
+  def resizePlan(media: DataFrame, shorter: Int): DataFrame = {
+    require(shorter > 0, s"shorter side must be positive, got $shorter")
+    media.filter(col("width") > 0 && col("height") > 0)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("width").cast("long").as("w"),
+        col("height").cast("long").as("h"))
+      .withColumn("target_w", expr(s"(w * $shorter) div least(w, h)"))
+      .withColumn("target_h", expr(s"(h * $shorter) div least(w, h)"))
+      .withColumn("out_bytes", col("target_w") * col("target_h") * 3)
+  }
+
   /** Frame sampling: slice the blob into fixed-size frames and keep every
     * `stride`-th one — the video-keyframe-sampling layout, as a generator
     * (one output row per sampled frame).

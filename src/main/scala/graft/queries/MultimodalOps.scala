@@ -27,6 +27,15 @@ object MultimodalOps {
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_sampled"),
           sum(octet_length($"frame")).as("bytes_sampled"))
+    },
+
+    // ---- q160: resize planning — shorter side to 224 px preserving
+    // aspect, integer geometry + exact RGB buffer bytes (the pixel
+    // resample is the decode-stub boundary; the plan is what batching
+    // and size-aware repartitioning consume).
+    "q160_resize_plan" -> { (s, d) =>
+      Multimodal.resizePlan(
+        Multimodal.synthesize(Tables.documents(s, d)), shorter = 224)
     }
   )
 
@@ -46,6 +55,19 @@ object MultimodalOps {
         |  CAST(len(range(0, (length(text) + 255) // 256, 4)) AS BIGINT) AS n_sampled,
         |  CAST(list_aggregate(list_transform(range(0, (length(text) + 255) // 256, 4),
         |    f -> least(256, length(text) - f * 256)), 'sum') AS BIGINT) AS bytes_sampled
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q160_resize_plan" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) % 640 AS BIGINT) AS w,
+        |    CAST(length(text) % 480 AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id, w, h,
+        |  CAST((w * 224) // least(w, h) AS BIGINT) AS target_w,
+        |  CAST((h * 224) // least(w, h) AS BIGINT) AS target_h,
+        |  CAST(((w * 224) // least(w, h)) * ((h * 224) // least(w, h)) * 3
+        |    AS BIGINT) AS out_bytes
+        |FROM dims WHERE w > 0 AND h > 0""".stripMargin
   )
 }

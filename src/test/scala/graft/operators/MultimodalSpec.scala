@@ -54,4 +54,26 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.repartitionBySize(m, 0L))
     intercept[IllegalArgumentException](Multimodal.repartitionBySize(m, -5L))
   }
+
+  test("resizePlan: shorter side hits the target exactly, aspect within 1 px") {
+    import spark.implicits._
+    val media = Seq((1L, 640, 480), (2L, 480, 640), (3L, 224, 224),
+        (4L, 1000, 50), (5L, 0, 300), (6L, 300, -1)) // 5/6 degenerate
+      .toDF("doc_id", "width", "height")
+      .withColumn("media", lit(Array.emptyByteArray))
+      .withColumn("format", lit("fake/raw"))
+    val out = Multimodal.resizePlan(media, shorter = 224).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L), "degenerate dims must drop")
+    out.foreach { case (d, (w, h, tw, th, bytes)) =>
+      assert(math.min(tw, th) == 224L, s"doc $d shorter side $tw x $th")
+      // floor-scaled aspect: |tw·h − th·w| <= max(w, h)
+      assert(math.abs(tw * h - th * w) <= math.max(w, h), s"doc $d aspect")
+      assert(bytes == tw * th * 3)
+    }
+    assert(out(1L) == ((640L, 480L, 298L, 224L, 298L * 224 * 3)))
+    assert(out(3L) == ((224L, 224L, 224L, 224L, 224L * 224 * 3)))
+  }
 }
