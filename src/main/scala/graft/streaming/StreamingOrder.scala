@@ -32,8 +32,11 @@ object StreamingOrder {
     * query (every checkpoint-recovery replay of the batch fails the
     * same way), where a skipped row is just a skipped row.
     */
-  def assign(docs: DataFrame, id: Column, seed: String,
-      shards: Int): DataFrame = {
+  /** Shared keying preamble: null-drop + the EpochShuffle s:/o: key
+    * family — ONE definition so the two state-API variants cannot
+    * drift. */
+  private def keyedByShard(docs: DataFrame, id: Column, seed: String,
+      shards: Int): Dataset[(Long, Int, String)] = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -43,13 +46,30 @@ object StreamingOrder {
       .withColumn("shard", EpochShuffle.shardOf(col("doc_id"), seed, shards))
       .withColumn("okey", EpochShuffle.orderKeyOf(col("doc_id"), seed))
       .as[(Long, Int, String)]
+  }
+
+  /** Shared per-group kernel: sort the micro-batch slice by the seeded
+    * key and assign positions from the counter; returns the rows and
+    * the advanced counter. */
+  private def assignSlice(shard: Int, rows: Iterator[(Long, Int, String)],
+      next0: Long): (Vector[(Int, Long, Long)], Long) = {
+    var next = next0
+    val out = rows.toVector.sortBy(r => (r._3, r._1))
+      .map { case (d, _, _) => val r = (shard, next, d); next += 1; r }
+    (out, next)
+  }
+
+  def assign(docs: DataFrame, id: Column, seed: String,
+      shards: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    keyedByShard(docs, id, seed, shards)
       .groupByKey(_._2)
       .flatMapGroupsWithState[Long, (Int, Long, Long)](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (shard, rows, state: GroupState[Long]) =>
-          var next = state.getOption.getOrElse(0L)
-          val out = rows.toVector.sortBy(r => (r._3, r._1))
-            .map { case (d, _, _) => val r = (shard, next, d); next += 1; r }
+          val (out, next) = assignSlice(shard, rows,
+            state.getOption.getOrElse(0L))
           state.update(next)
           out.iterator
       }
@@ -65,16 +85,10 @@ object StreamingOrder {
     */
   def assignTws(docs: DataFrame, id: Column, seed: String,
       shards: Int): DataFrame = {
-    require(shards >= 1, s"shards must be >= 1, got $shards")
     val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig}
-    import graft.operators.EpochShuffle
-    docs.select(id.cast("long").as("doc_id"))
-      .filter(col("doc_id").isNotNull)
-      .withColumn("shard", EpochShuffle.shardOf(col("doc_id"), seed, shards))
-      .withColumn("okey", EpochShuffle.orderKeyOf(col("doc_id"), seed))
-      .as[(Long, Int, String)]
+    keyedByShard(docs, id, seed, shards)
       .groupByKey(_._2)
       .transformWithState(
         new StatefulProcessor[Int, (Long, Int, String), (Int, Long, Long)] {
@@ -86,14 +100,15 @@ object StreamingOrder {
           override def handleInputRows(shard: Int,
               rows: Iterator[(Long, Int, String)],
               timerValues: TimerValues): Iterator[(Int, Long, Long)] = {
-            var n = if (next.exists()) next.get() else 0L
-            val out = rows.toVector.sortBy(r => (r._3, r._1))
-              .map { case (d, _, _) => val r = (shard, n, d); n += 1; r }
+            val (out, n) = assignSlice(shard, rows,
+              if (next.exists()) next.get() else 0L)
             next.update(n)
             out.iterator
           }
         },
-        TimeMode.ProcessingTime(),
+        // No timers, no TTL: TimeMode.None skips the timer machinery
+        // and makes the never-expire counter contract structural.
+        TimeMode.None(),
         OutputMode.Append())
       .toDF("shard", "pos", "doc_id")
   }
