@@ -607,6 +607,65 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("extension law: DF extend equals the pure headroom mirror") {
+    import spark.implicits._
+    import graft.operators.{Curation, TextAnalysis}
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // Pure seeded-prefix mirror (untagged o: key — executeMixturePlan's).
+    def prefix(rows: Seq[(Long, String, Int)], seed: String,
+        budget: Map[String, Long]): Seq[(String, Long, Long, Long)] =
+      rows.groupBy(_._2).toSeq.flatMap { case (s, ds) =>
+        budget.get(s).toSeq.flatMap { b =>
+          val ordered = ds.sortBy(d => (md5hex(s"o:$seed:${d._1}"), d._1))
+          var cum = 0L
+          ordered.map { d => cum += d._3; (s, d._1, d._3.toLong, cum) }
+            .filter(_._4 <= b)
+        }
+      }
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 6) {
+      val nSrc = 1 + rnd.nextInt(3)
+      val mk = (tag: Int) => (0 until nSrc).flatMap { si =>
+        val s = f"s$si%02d"
+        (0 until 1 + rnd.nextInt(8)).map(j =>
+          (tag * 1000L + si * 100L + j, s, 1 + rnd.nextInt(20)))
+      }
+      val baseRows = mk(0)
+      val newRows = mk(1)
+      val pct1 = 1 + rnd.nextInt(100)
+      val pct2 = 1 + rnd.nextInt(100) // may shrink: exercises the clamp
+      def toDf(rs: Seq[(Long, String, Int)]) = rs
+        .map { case (d, s, t) => (d, s, "x " * (t - 1) + "x") }
+        .toDF("doc_id", "source", "text")
+      val tok = TextAnalysis.tokenCount($"text")
+      val p1 = Curation.waterfillBudget(toDf(baseRows), $"source", tok,
+        _ => lit(1), pct1)
+      val m1 = Curation.executeMixturePlan(toDf(baseRows), $"doc_id",
+        $"source", tok, p1, seed = s"b$trial")
+      val p2 = Curation.waterfillBudget(toDf(baseRows ++ newRows), $"source",
+        tok, _ => lit(1), pct2)
+      val ext = Curation.extendManifest(m1, toDf(newRows), $"doc_id",
+        $"source", tok, p2, seed = s"e$trial")
+      val got = ext.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // Mirror: base selection + headroom-clamped new-doc prefixes.
+      val alloc1 = p1.collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+      val alloc2 = p2.collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+      val baseSel = prefix(baseRows, s"b$trial", alloc1)
+      val used = baseSel.groupBy(_._1).map { case (s, rs) => s -> rs.map(_._3).sum }
+      val head = alloc2.map { case (s, a) =>
+        s -> math.max(0L, a - used.getOrElse(s, 0L)) }
+      val added = prefix(newRows, s"e$trial", head.filter(_._2 > 0))
+        .map { case (s, d, t, c) => (s, d, t, c + used.getOrElse(s, 0L)) }
+      val want = (baseSel ++ added).toSet
+      assert(got == want, s"trial $trial (pct1=$pct1 pct2=$pct2)")
+      m1.unpersist(); ext.unpersist()
+    }
+  }
+
   test("manifest executors: null text counts 0 tokens, null ids drop") {
     import spark.implicits._
     import graft.operators.{Curation, TextAnalysis}
