@@ -33,7 +33,31 @@ object Takedown {
   def impactAudit(docs: DataFrame, embeddings: DataFrame,
       deletions: DataFrame, seed: String = "ep7", shards: Int = 8,
       budget: Int = 512, kCells: Int = 8): DataFrame = {
-    val spark = docs.sparkSession
+    val packs = Packing.packSequences(docs, col("doc_id"), col("text"),
+        budget, shards)
+      .select(col("doc_id"), col("shard"), col("seq_first"), col("seq_last"))
+    val ord = EpochShuffle.order(docs, col("doc_id"), seed, shards)
+    val cells = Clustering.kmeansAssign(embeddings, k = kCells, updates = 1)
+      .select(col("vec_id"), col("cell"))
+    try impactAuditPrebuilt(packs, ord, cells, deletions)
+    finally ord.unpersist()
+  }
+
+  /** The deployment form of [[impactAudit]]: audit the artifacts a
+    * corpus has ALREADY materialized (pack table, epoch-order table,
+    * ANN cell assignment) instead of rebuilding them — at 100 TB the
+    * artifacts exist on disk and the audit is three joins against the
+    * broadcast-scale deletion set, not three corpus pipelines. The
+    * gate query keeps the rebuild form so the oracle can replay the
+    * artifact construction; real callers read parquet and come here.
+    *
+    * @param packs (doc_id, shard, seq_first, seq_last) — [[Packing.packSequences]] shape
+    * @param ord   (shard, pos, doc_id[, …]) — [[EpochShuffle.order]] shape
+    * @param cells (vec_id, cell) — [[Clustering.kmeansAssign]] shape
+    */
+  def impactAuditPrebuilt(packsIn: DataFrame, ord: DataFrame,
+      cellsIn: DataFrame, deletions: DataFrame): DataFrame = {
+    val spark = packsIn.sparkSession
     import spark.implicits._
     // distinct: overlapping takedown requests may repeat an id, and a
     // duplicate would inflate rows_deleted via join multiplication
@@ -43,8 +67,7 @@ object Takedown {
       .distinct().persist()
 
     // pack_seq: sequences overlapped by deleted docs.
-    val packs = Packing.packSequences(docs, col("doc_id"), col("text"),
-        budget, shards)
+    val packs = packsIn
       .select(col("doc_id"), col("shard"), col("seq_first"), col("seq_last"))
       .persist()
     val seqAll = packs
@@ -61,7 +84,6 @@ object Takedown {
 
     // epoch_suffix: per touched shard, every position at/after the
     // first deleted one re-derives.
-    val ord = EpochShuffle.order(docs, col("doc_id"), seed, shards)
     val mins = ord.join(del, "doc_id").groupBy(col("shard"))
       .agg(min(col("pos")).as("mp")).persist()
     val suffixRows = ord.join(mins, "shard")
@@ -70,10 +92,10 @@ object Takedown {
     val shardsTotal = ord.select(col("shard")).distinct().count()
     val shardsTouched = mins.count()
     val epochDeleted = ord.join(del, "doc_id").count()
-    mins.unpersist(); ord.unpersist()
+    mins.unpersist() // ord is caller-owned (the rebuild wrapper frees it)
 
     // ivf_cell: posting lists containing deleted vectors.
-    val cells = Clustering.kmeansAssign(embeddings, k = kCells, updates = 1)
+    val cells = cellsIn
       .select(col("vec_id"), col("cell")).persist()
     val cellsTotal = cells.select(col("cell")).distinct().count()
     val delCells = cells

@@ -53,4 +53,20 @@ class TakedownSpec extends SparkSpec {
     val frac = out("epoch_suffix")._5
     assert(frac > 0.0 && frac <= 1.0)
   }
+
+  test("prebuilt-artifact audit equals the rebuild form on the same inputs") {
+    import spark.implicits._
+    val del = corpus.filter($"doc_id" % 9 === 0).select($"doc_id")
+    val rebuilt = Takedown.impactAudit(corpus, embs, del,
+      shards = 4, budget = 16, kCells = 4).collect().map(_.toSeq).toSet
+    // Materialize the same artifacts a deployment would read from disk.
+    val packs = Packing.packSequences(corpus, $"doc_id", $"text", 16, 4)
+    val ord = EpochShuffle.order(corpus, $"doc_id", seed = "ep7", shards = 4)
+    val cells = Clustering.kmeansAssign(embs, k = 4, updates = 1)
+      .select($"vec_id", $"cell")
+    val pre = Takedown.impactAuditPrebuilt(packs, ord, cells, del)
+      .collect().map(_.toSeq).toSet
+    assert(pre == rebuilt, "prebuilt audit diverged from the rebuild form")
+    ord.unpersist()
+  }
 }
