@@ -94,7 +94,12 @@ object Clustering {
 
   /** (vec_id, embedding, rv, cell) after `updates` Lloyd's rounds from an
     * md5-ordered k-sample init. `updates = 0` is plain coarse
-    * quantization (IVF assignment).
+    * quantization (IVF assignment). The returned frame is CACHED and
+    * the internal base cache released — callers done with the
+    * assignment `unpersist()` the result (returning a bare Project
+    * over the internal cache would leave it unreleasable: Dataset
+    * .unpersist only drops plans sameResult with its own, the
+    * EpochShuffle.order lesson).
     */
   def kmeansAssign(emb: DataFrame, k: Int, updates: Int,
       seed: String = "km42"): DataFrame = {
@@ -147,7 +152,10 @@ object Clustering {
       out = base.withColumn("cell", assign(cents))
       r += 1
     }
-    out
+    val res = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    res.count()
+    base.unpersist()
+    res
   }
 
   /** Gonzalez (1985) greedy k-center selection — the coreset /

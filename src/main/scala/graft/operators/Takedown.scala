@@ -36,11 +36,16 @@ object Takedown {
     val packs = Packing.packSequences(docs, col("doc_id"), col("text"),
         budget, shards)
       .select(col("doc_id"), col("shard"), col("seq_first"), col("seq_last"))
+    // Nested try/finally: order() and kmeansAssign() both return
+    // CACHED frames, and an exception between building and auditing
+    // must not strand a corpus-sized cache (the aa87feb leak class).
     val ord = EpochShuffle.order(docs, col("doc_id"), seed, shards)
-    val cells = Clustering.kmeansAssign(embeddings, k = kCells, updates = 1)
-      .select(col("vec_id"), col("cell"))
-    try impactAuditPrebuilt(packs, ord, cells, deletions)
-    finally ord.unpersist()
+    try {
+      val asg = Clustering.kmeansAssign(embeddings, k = kCells, updates = 1)
+      try impactAuditPrebuilt(packs, ord,
+        asg.select(col("vec_id"), col("cell")), deletions)
+      finally asg.unpersist()
+    } finally ord.unpersist()
   }
 
   /** The deployment form of [[impactAudit]]: audit the artifacts a
@@ -83,16 +88,20 @@ object Takedown {
     delPacks.unpersist(); packs.unpersist()
 
     // epoch_suffix: per touched shard, every position at/after the
-    // first deleted one re-derives.
-    val mins = ord.join(del, "doc_id").groupBy(col("shard"))
+    // first deleted one re-derives. Pin a narrow projection first: the
+    // caller's order table may be a raw (unpersisted) parquet read, and
+    // the five actions below would otherwise rescan it five times.
+    val o = ord.select(col("shard"), col("pos"), col("doc_id")).persist()
+    val delOrd = o.join(del, "doc_id").persist()
+    val mins = delOrd.groupBy(col("shard"))
       .agg(min(col("pos")).as("mp")).persist()
-    val suffixRows = ord.join(mins, "shard")
+    val suffixRows = o.join(mins, "shard")
       .filter(col("pos") >= col("mp")).count()
-    val ordTotal = ord.count()
-    val shardsTotal = ord.select(col("shard")).distinct().count()
+    val ordTotal = o.count()
+    val shardsTotal = o.select(col("shard")).distinct().count()
     val shardsTouched = mins.count()
-    val epochDeleted = ord.join(del, "doc_id").count()
-    mins.unpersist() // ord is caller-owned (the rebuild wrapper frees it)
+    val epochDeleted = delOrd.count()
+    mins.unpersist(); delOrd.unpersist(); o.unpersist()
 
     // ivf_cell: posting lists containing deleted vectors.
     val cells = cellsIn

@@ -25,7 +25,9 @@ class StreamingMixPlannerSpec extends SparkSpec {
         .foreachBatch(StreamingMixPlanner.sink(statsDir, planDir, w, 60) _)
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(90000)
+      assert(q.awaitTermination(90000), "drain timed out")
+      assert(q.recentProgress.map(_.numInputRows).sum == expect,
+        s"expected $expect rows this drain")
     }
     def planOf(b: Long): Map[String, Long] =
       spark.read.parquet(s"$planDir/batch=$b").collect()
