@@ -70,6 +70,47 @@ class EpochShuffleSpec extends SparkSpec {
     assert(a.exists { case (k, v) => b(k) != v })
   }
 
+  test("batchMixAudit law: DF audit equals the pure mirror on random orders") {
+    import spark.implicits._
+    import graft.operators.EpochShuffle
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 6) {
+      val nDocs = 5 + rnd.nextInt(60)
+      val nSrc = 1 + rnd.nextInt(4)
+      val b = 1 + rnd.nextInt(9)
+      val docs = (0 until nDocs)
+        .map(i => (i.toLong, f"s${rnd.nextInt(nSrc)}%02d"))
+      val perm = rnd.shuffle(docs.map(_._1))
+      val shards = 1 + rnd.nextInt(3)
+      val order = perm.zipWithIndex
+        .map { case (d, i) => ((d % shards).toInt, (i / shards).toLong, d) }
+      val got = EpochShuffle.batchMixAudit(
+          order.toDF("shard", "pos", "doc_id"),
+          docs.toDF("doc_id", "source"), $"doc_id", $"source", b)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getString(4), r.getLong(5))).toMap
+      // Pure mirror of the integer TVD over the union of sources.
+      val srcOf = docs.toMap
+      val corpus = docs.groupBy(_._2).map { case (s, xs) => s -> xs.size.toLong }
+      val n = nDocs.toLong
+      val want = order.groupBy { case (sh, p, _) => (sh, p / b) }
+        .map { case (key, rows) =>
+          val cs = rows.groupBy(r => srcOf(r._3))
+            .map { case (s, xs) => s -> xs.size.toLong }
+          val nb = rows.size.toLong
+          val devs = (cs.keySet ++ corpus.keySet).toSeq.sorted
+            .map(s => s -> (n * cs.getOrElse(s, 0L) -
+              nb * corpus.getOrElse(s, 0L)))
+          val tvd = devs.map { case (_, d) => math.abs(d) }.sum
+          // present sources only, (dev DESC, source ASC)
+          val (ws, wd) = devs.filter(d => cs.contains(d._1))
+            .minBy { case (s, d) => (-d, s) }
+          key -> (nb, tvd, ws, wd)
+        }
+      assert(got == want, s"trial $trial (b=$b shards=$shards): $got vs $want")
+    }
+  }
+
   test("batchMixAudit: zero TVD on a perfect mix, max on a segregated order") {
     import spark.implicits._
     import graft.operators.EpochShuffle
