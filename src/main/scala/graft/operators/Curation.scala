@@ -358,8 +358,12 @@ object Curation {
       .select(col("doc_id"),
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),
         when(col("sw").isNull, lit(0.0))
-          .otherwise(round(col("sw").cast("double")
-            / (lit(2.0 * buckets) * col("n_feats")), 6)).as("score"),
+          // floor-scaled round (oracle-dialect rule 9): the plain
+          // round() splits Spark/DuckDB on shortest-repr half-ulp
+          // boundaries — observed live at sf1 on this very epilogue.
+          .otherwise(floor(col("sw").cast("double")
+            / (lit(2.0 * buckets) * col("n_feats")) * lit(1e6) + lit(0.5))
+            .cast("double") / lit(1e6)).as("score"),
         coalesce(col("sw") > 0, lit(false)).as("positive"))
   }
 

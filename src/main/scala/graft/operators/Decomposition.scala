@@ -275,9 +275,12 @@ object Decomposition {
       .select($"id", $"k",
         scaledLong($"x".cast("double") * $"sign").as("t"))
       .groupBy($"id", $"k")
-      // + 0.0 canonicalizes IEEE -0.0 (a tiny-negative signed sum
-      // rounds to -0.0 in engines that keep the sign through round).
-      .agg((round(sum($"t") / 1e9 / math.sqrt(outDim.toDouble), 6) + lit(0.0))
+      // floor-scaled round (oracle-dialect rule 9): plain round()
+      // splits Spark/DuckDB on shortest-repr half-ulp boundaries —
+      // observed live at sf1 on this epilogue. + 0.0 still
+      // canonicalizes IEEE -0.0 for tiny-negative sums.
+      .agg((floor(sum($"t") / 1e9 / math.sqrt(outDim.toDouble)
+          * lit(1e6) + lit(0.5)).cast("double") / lit(1e6) + lit(0.0))
         .as("proj"))
   }
 }

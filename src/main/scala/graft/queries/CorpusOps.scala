@@ -651,7 +651,8 @@ object CorpusOps {
         |      FROM f GROUP BY 1)
         |SELECT d.doc_id, coalesce(s.n_feats, 0) AS n_feats,
         |  CASE WHEN s.sw IS NULL THEN 0.0
-        |    ELSE round(CAST(s.sw AS DOUBLE) / (2048.0 * s.n_feats), 6)
+        |    ELSE floor(CAST(s.sw AS DOUBLE) / (2048.0 * s.n_feats)
+        |      * 1000000.0 + 0.5) / 1000000.0
         |  END AS score,
         |  coalesce(s.sw > 0, false) AS positive
         |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
@@ -1114,7 +1115,8 @@ object CorpusOps {
          |sc AS (
          |  SELECT d.doc_id,
          |    CASE WHEN s.sw IS NULL THEN 0.0
-         |      ELSE round(CAST(s.sw AS DOUBLE) / (2048.0 * s.n_feats), 6)
+         |      ELSE floor(CAST(s.sw AS DOUBLE) / (2048.0 * s.n_feats)
+         |        * 1000000.0 + 0.5) / 1000000.0
          |    END AS score
          |  FROM documents d LEFT JOIN s USING (doc_id)),
          |lbl AS (SELECT doc_id, ${PipelineOps.qualitySqlExpr} >= 0.5 AS label

@@ -32,8 +32,13 @@ def main():
 
     con = duckdb.connect()
     for t in TABLES:
+        # Driver testdata ships single files; Spark-derived sets (e.g.
+        # the sf1 ScaleUp output) are part-file DIRECTORIES — glob them.
+        import os
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
