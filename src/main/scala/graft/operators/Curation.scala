@@ -484,11 +484,15 @@ object Curation {
         least(floor((col("score") + 0.5) * bins), lit((bins - 1).toLong))
           .cast("int"))
       .groupBy(col("bin"))
+      // floor-scaled rounds (rule 9): both are DERIVED ratios, the
+      // class the sf1 sweep caught on q121/q127.
       .agg(count(lit(1)).as("n"),
-        round(sum(col("score").cast("decimal(38,6)")).cast("double")
-          / count(lit(1)), 6).as("mean_score"),
-        round(sum(when(col("label"), 1L).otherwise(0L)).cast("double")
-          / count(lit(1)), 6).as("pos_rate"))
+        (floor(sum(col("score").cast("decimal(38,6)")).cast("double")
+          / count(lit(1)) * lit(1e6) + lit(0.5)).cast("double") / lit(1e6))
+          .as("mean_score"),
+        (floor(sum(when(col("label"), 1L).otherwise(0L)).cast("double")
+          / count(lit(1)) * lit(1e6) + lit(0.5)).cast("double") / lit(1e6))
+          .as("pos_rate"))
   }
 
   /** Temperature-scaled domain mixing at T = 2 (the standard LLM

@@ -1123,10 +1123,10 @@ object CorpusOps {
          |        FROM documents)
          |SELECT CAST(least(floor((sc.score + 0.5) * 10), 9) AS INT) AS bin,
          |  count(*) AS n,
-         |  round(CAST(sum(CAST(sc.score AS DECIMAL(38,6))) AS DOUBLE)
-         |    / count(*), 6) AS mean_score,
-         |  round(CAST(sum(CASE WHEN lbl.label THEN 1 ELSE 0 END) AS DOUBLE)
-         |    / count(*), 6) AS pos_rate
+         |  floor(CAST(sum(CAST(sc.score AS DECIMAL(38,6))) AS DOUBLE)
+         |    / count(*) * 1000000.0 + 0.5) / 1000000.0 AS mean_score,
+         |  floor(CAST(sum(CASE WHEN lbl.label THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) * 1000000.0 + 0.5) / 1000000.0 AS pos_rate
          |FROM sc JOIN lbl USING (doc_id)
          |GROUP BY 1""".stripMargin,
 
