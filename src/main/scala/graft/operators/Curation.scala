@@ -23,6 +23,17 @@ import org.apache.spark.sql.expressions.Window
   */
 object Curation {
 
+  /** THE divergence-free 6-decimal round for derived doubles
+    * (oracle-dialect rule 9): `floor(x·1e6 + 0.5) / 1e6`, mirrored in
+    * DuckDB as `floor(x * 1000000.0 + 0.5) / 1000000.0` — the
+    * bit-identical IEEE chain both engines compute, where plain
+    * `round(x, 6)` splits them on shortest-repr half-ulp boundaries
+    * (caught live at sf1 on q121/q127). One definition so conversions
+    * cannot transpose the chain; driver-side twin: `Takedown.f6`.
+    */
+  private[operators] def floorRound6(c: Column): Column =
+    floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+
   /** Connected components by iterative min-label propagation: every
     * vertex's label converges to the smallest vertex id reachable from
     * it. `edges` must carry long columns (`a`, `b`) (undirected, any
@@ -358,12 +369,10 @@ object Curation {
       .select(col("doc_id"),
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),
         when(col("sw").isNull, lit(0.0))
-          // floor-scaled round (oracle-dialect rule 9): the plain
-          // round() splits Spark/DuckDB on shortest-repr half-ulp
-          // boundaries — observed live at sf1 on this very epilogue.
-          .otherwise(floor(col("sw").cast("double")
-            / (lit(2.0 * buckets) * col("n_feats")) * lit(1e6) + lit(0.5))
-            .cast("double") / lit(1e6)).as("score"),
+          // floorRound6: plain round() split Spark/DuckDB on a
+          // half-ulp boundary — observed live at sf1 on this epilogue.
+          .otherwise(floorRound6(col("sw").cast("double")
+            / (lit(2.0 * buckets) * col("n_feats")))).as("score"),
         coalesce(col("sw") > 0, lit(false)).as("positive"))
   }
 
@@ -484,15 +493,13 @@ object Curation {
         least(floor((col("score") + 0.5) * bins), lit((bins - 1).toLong))
           .cast("int"))
       .groupBy(col("bin"))
-      // floor-scaled rounds (rule 9): both are DERIVED ratios, the
-      // class the sf1 sweep caught on q121/q127.
+      // floorRound6 (rule 9): both are DERIVED ratios, the class the
+      // sf1 sweep caught on q121/q127.
       .agg(count(lit(1)).as("n"),
-        (floor(sum(col("score").cast("decimal(38,6)")).cast("double")
-          / count(lit(1)) * lit(1e6) + lit(0.5)).cast("double") / lit(1e6))
-          .as("mean_score"),
-        (floor(sum(when(col("label"), 1L).otherwise(0L)).cast("double")
-          / count(lit(1)) * lit(1e6) + lit(0.5)).cast("double") / lit(1e6))
-          .as("pos_rate"))
+        floorRound6(sum(col("score").cast("decimal(38,6)")).cast("double")
+          / count(lit(1))).as("mean_score"),
+        floorRound6(sum(when(col("label"), 1L).otherwise(0L)).cast("double")
+          / count(lit(1))).as("pos_rate"))
   }
 
   /** Temperature-scaled domain mixing at T = 2 (the standard LLM

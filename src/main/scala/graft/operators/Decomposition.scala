@@ -275,12 +275,10 @@ object Decomposition {
       .select($"id", $"k",
         scaledLong($"x".cast("double") * $"sign").as("t"))
       .groupBy($"id", $"k")
-      // floor-scaled round (oracle-dialect rule 9): plain round()
-      // splits Spark/DuckDB on shortest-repr half-ulp boundaries —
-      // observed live at sf1 on this epilogue. + 0.0 still
-      // canonicalizes IEEE -0.0 for tiny-negative sums.
-      .agg((floor(sum($"t") / 1e9 / math.sqrt(outDim.toDouble)
-          * lit(1e6) + lit(0.5)).cast("double") / lit(1e6) + lit(0.0))
+      // floorRound6 (rule 9): plain round() split Spark/DuckDB on a
+      // half-ulp boundary — observed live at sf1 on this epilogue.
+      // (No -0.0 guard needed: floor's long result casts to +0.0.)
+      .agg(Curation.floorRound6(sum($"t") / 1e9 / math.sqrt(outDim.toDouble))
         .as("proj"))
   }
 }

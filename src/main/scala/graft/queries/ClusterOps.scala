@@ -465,7 +465,7 @@ object ClusterOps {
         |SELECT x.vec_id AS id, CAST(m.k AS INT) AS k,
         |  floor(sum(CAST(floor(CAST(x.v AS DOUBLE) * m.sign * 1e9 + 0.5)
         |      AS BIGINT)) / 1e9 / sqrt(16.0) * 1000000.0 + 0.5)
-        |    / 1000000.0 + 0.0 AS proj
+        |    / 1000000.0 AS proj
         |FROM x JOIN m ON x.j0 = m.j0
         |GROUP BY 1, 2""".stripMargin,
 

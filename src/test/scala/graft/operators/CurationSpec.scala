@@ -280,9 +280,10 @@ class CurationSpec extends SparkSpec {
       java.lang.Long.parseLong(hex, 16) % 1024
     }
     val sw = Seq("alpha beta", "beta gamma").map(g => 2 * bucket(g) - 1023).sum
-    // Spark's round() is HALF_UP, not rint's half-even
-    val want = BigDecimal(sw.toDouble / (2048.0 * 2))
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // The floor-scaled form (Curation.floorRound6 / Takedown.f6) — NOT
+    // BigDecimal HALF_UP, which diverges from it on negative half-ulp
+    // boundaries (sw ≡ 32 mod 64 here).
+    val want = math.floor(sw.toDouble / (2048.0 * 2) * 1e6 + 0.5) / 1e6
     val r1 = out(1L)
     assert(r1.getLong(1) == 2L)
     assert(r1.getDouble(2) == want, s"got ${r1.getDouble(2)}, want $want")

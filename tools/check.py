@@ -10,7 +10,7 @@ sort columns by name, sort rows, and compare cell-by-cell.
 
 This file is a development tool only — the engine itself is pure Scala.
 """
-import json, math, struct, subprocess, sys
+import json, math, os, struct, subprocess, sys
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -34,7 +34,6 @@ def main():
     for t in TABLES:
         # Driver testdata ships single files; Spark-derived sets (e.g.
         # the sf1 ScaleUp output) are part-file DIRECTORIES — glob them.
-        import os
         path = f"{sf_dir}/{t}.parquet"
         src = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
