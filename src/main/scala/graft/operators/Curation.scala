@@ -992,8 +992,9 @@ object Curation {
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val scored = tf.join(df, "token")
       .select(col("doc_id"), col("token"),
-        round((col("cnt") * lit(n)).cast("double") / (col("len") * col("df")), 6)
-          .as("score"))
+        // floorRound6 (rule 9): a derived ratio of integer products.
+        floorRound6((col("cnt") * lit(n)).cast("double")
+          / (col("len") * col("df"))).as("score"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("token").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -1014,7 +1015,9 @@ object Curation {
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("g") <= maxCount, 1L).otherwise(0L)).as("n_rare"))
       .select(col("doc_id"), col("n_tokens"),
-        round(col("n_rare").cast("double") / col("n_tokens"), 6).as("rare_ratio"))
+        // floorRound6 (rule 9): a derived count ratio.
+        floorRound6(col("n_rare").cast("double") / col("n_tokens"))
+          .as("rare_ratio"))
   }
 
   private val Ws = " \\t\\n\\x0B\\f\\r" // Java \s spelled portably (RE2 \s lacks \x0B)

@@ -159,8 +159,9 @@ object Multimodal {
       .groupBy(col("ar_q"), col("batch_id"))
       .agg(count(lit(1)).as("n"), max(col("w")).as("max_w"),
         max(col("h")).as("max_h"),
-        round(sum(col("w") * col("h")).cast("double") /
-          (count(lit(1)) * max(col("w")) * max(col("h"))), 6).as("pad_eff"))
+        // floorRound6 (rule 9): a derived ratio of products.
+        Curation.floorRound6(sum(col("w") * col("h")).cast("double") /
+          (count(lit(1)) * max(col("w")) * max(col("h")))).as("pad_eff"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     local.unpersist()

@@ -364,7 +364,8 @@ object CurationOps {
         |dft AS (SELECT token, count(*) AS dfc FROM tf GROUP BY 1),
         |scored AS (
         |  SELECT tf.doc_id, tf.token,
-        |    round(CAST(tf.cnt * n.n AS DOUBLE) / (tf.len * dft.dfc), 6) AS score
+        |    floor(CAST(tf.cnt * n.n AS DOUBLE) / (tf.len * dft.dfc)
+        |      * 1000000.0 + 0.5) / 1000000.0 AS score
         |  FROM tf CROSS JOIN n JOIN dft ON tf.token = dft.token)
         |SELECT doc_id, token, score, rank FROM (
         |  SELECT doc_id, token, score,
@@ -441,8 +442,8 @@ object CurationOps {
         |  FROM documents),
         |g AS (SELECT token, count(*) AS gc FROM tokens GROUP BY 1)
         |SELECT doc_id, count(*) AS n_tokens,
-        |  round(CAST(sum(CASE WHEN g.gc <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / count(*), 6) AS rare_ratio
+        |  floor(CAST(sum(CASE WHEN g.gc <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) * 1000000.0 + 0.5) / 1000000.0 AS rare_ratio
         |FROM tokens JOIN g USING (token)
         |GROUP BY doc_id""".stripMargin,
 

@@ -235,8 +235,9 @@ object ServeOps {
         |SELECT ar_q, CAST(pos // 16 AS BIGINT) AS batch_id,
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(max(w) AS BIGINT) AS max_w, CAST(max(h) AS BIGINT) AS max_h,
-        |  round(CAST(sum(w * h) AS DOUBLE)
-        |    / (count(*) * max(w) * max(h)), 6) AS pad_eff
+        |  floor(CAST(sum(w * h) AS DOUBLE)
+        |    / (count(*) * max(w) * max(h)) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS pad_eff
         |FROM r GROUP BY 1, 2""".stripMargin
   )
 }
