@@ -31,7 +31,7 @@ object Curation {
     * (caught live at sf1 on q121/q127). One definition so conversions
     * cannot transpose the chain; driver-side twin: `Takedown.f6`.
     */
-  private[operators] def floorRound6(c: Column): Column =
+  private[graft] def floorRound6(c: Column): Column =
     floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
 
   /** Connected components by iterative min-label propagation: every

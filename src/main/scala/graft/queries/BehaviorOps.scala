@@ -210,7 +210,8 @@ object BehaviorOps {
           row_number().over(rk).as("rn"))
         .filter($"rn" === 1 && $"n_events" >= 20)
         .select($"user_id", $"n_events", $"i".as("cp_idx"),
-          round(($"dev".cast("double") / $"n_events"), 6).as("cusum_abs"))
+          graft.operators.Curation.floorRound6(
+            $"dev".cast("double") / $"n_events").as("cusum_abs"))
     },
 
     // ---- q101: batch sessionization — the gaps-and-islands idiom
@@ -314,9 +315,11 @@ object BehaviorOps {
         .agg(sum($"c").as("n_events"), count(lit(1)).as("n_types"),
           sum($"c" * $"c").as("ssq"), max($"c").as("maxc"))
         .select($"user_id", $"n_events", $"n_types",
-          round(($"n_events" * $"n_events" - $"ssq").cast("double")
-            / ($"n_events" * $"n_events").cast("double"), 6).as("gini"),
-          round($"maxc".cast("double") / $"n_events".cast("double"), 6)
+          graft.operators.Curation.floorRound6(
+            ($"n_events" * $"n_events" - $"ssq").cast("double")
+            / ($"n_events" * $"n_events").cast("double")).as("gini"),
+          graft.operators.Curation.floorRound6(
+            $"maxc".cast("double") / $"n_events".cast("double"))
             .as("top_share"))
     },
 
@@ -364,8 +367,9 @@ object BehaviorOps {
         .crossJoin(broadcast(nb))
         .select($"ta", $"tb", $"nab",
           expr("nab * 1000000 DIV baskets").as("support_ppm"),
-          round(($"nab" * $"baskets").cast("double")
-            / ($"na_a" * $"na_b"), 6).as("lift"))
+          graft.operators.Curation.floorRound6(
+            ($"nab" * $"baskets").cast("double")
+              / ($"na_a" * $"na_b")).as("lift"))
       // items stays persisted until the caller's terminal action; the
       // bench clears cache per rep, Verify per query.
       out
@@ -489,10 +493,11 @@ object BehaviorOps {
         |  FROM c GROUP BY 1)
         |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
         |  CAST(n_types AS BIGINT) AS n_types,
-        |  round(CAST(n_events * n_events - ssq AS DOUBLE)
-        |    / CAST(n_events * n_events AS DOUBLE), 6) AS gini,
-        |  round(CAST(maxc AS DOUBLE) / CAST(n_events AS DOUBLE), 6)
-        |    AS top_share
+        |  floor(CAST(n_events * n_events - ssq AS DOUBLE)
+        |    / CAST(n_events * n_events AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS gini,
+        |  floor(CAST(maxc AS DOUBLE) / CAST(n_events AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS top_share
         |FROM u""".stripMargin,
 
     // Same session assignment as q101; items are DISTINCT per basket,
@@ -527,7 +532,8 @@ object BehaviorOps {
         |  GROUP BY 1, 2)
         |SELECT ta, tb, nab,
         |  CAST(nab * 1000000 // nb.n AS BIGINT) AS support_ppm,
-        |  round(CAST(nab * nb.n AS DOUBLE) / (x.na * y.na), 6) AS lift
+        |  floor(CAST(nab * nb.n AS DOUBLE) / (x.na * y.na)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS lift
         |FROM pairs
         |JOIN na x ON pairs.ta = x.event_type
         |JOIN na y ON pairs.tb = y.event_type
@@ -553,7 +559,8 @@ object BehaviorOps {
         |  FROM rows_)
         |SELECT user_id, CAST(n AS BIGINT) AS n_events,
         |  CAST(i AS BIGINT) AS cp_idx,
-        |  round(CAST(dev AS DOUBLE) / n, 6) AS cusum_abs
+        |  floor(CAST(dev AS DOUBLE) / n * 1000000.0 + 0.5)
+        |    / 1000000.0 AS cusum_abs
         |FROM dev WHERE rn = 1 AND n >= 20""".stripMargin,
 
     "q74_ngram_lm" ->
