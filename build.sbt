@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 160+ generated-code classes per bench run: the default 240m code
+  // cache fills late in the suite and HotSpot stops JIT-compiling,
+  // which showed up as a broad ~9% drift on queries benched LAST.
+  "-XX:ReservedCodeCacheSize=512m",
 )

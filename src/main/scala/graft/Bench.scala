@@ -81,19 +81,22 @@ object Bench {
       "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line =
+    val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"sf":"$sfDir"}"""
-    println(line)
-    // The driver's artifact capture truncates long stdout tails; also
-    // persist the full per-query map so every query stays diffable
-    // across rounds (judges read bench_times.json when BENCH_r{N}'s
-    // tail cuts off). ONLY on full runs: a SPARK_GRAFT_ONLY dev subset
-    // must not clobber the complete artifact.
+    // The driver captures a bounded TAIL of stdout, so ordering is the
+    // contract: the big diagnostic line (per-rep arrays) prints FIRST
+    // and may lose its head to truncation; the LAST line is the
+    // parseable artifact and stays compact (no reps map) so its whole
+    // JSON always fits inside the capture window. The full map is also
+    // persisted to bench_times.json for cross-round diffing.
+    println(full)
     if (only.isEmpty)
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_times.json"),
-        (line + "\n").getBytes("UTF-8"))
+        (full + "\n").getBytes("UTF-8"))
       catch { case _: java.io.IOException => () } // read-only CWD: stdout stands
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n":${results.size},"map":"bench_times.json"}""")
     spark.stop()
   }
 }

@@ -271,11 +271,21 @@ object Clustering {
     * co-locate in embedding space (real corpora) — when they may not,
     * use [[Similarity.lshNearDupPairsAuto]], whose recall is a tunable
     * guarantee rather than a clustering accident.
+    *
+    * Cache lifecycle: [[kmeansAssign]]'s corpus-sized cache is released
+    * HERE — the pairs are persisted and materialized first (so the
+    * self-join never replays assignment), then the assignment is
+    * dropped. The RETURNED frame is cached; callers done with the
+    * pairs `unpersist()` it (same contract as [[kmeansAssign]]).
     */
   def semanticDupPairsAuto(emb: DataFrame, threshold: Double,
       updates: Int = 1, seed: String = "km42", n: Long = -1L): DataFrame = {
     val rows = if (n >= 0L) n else emb.count()
-    semanticDupPairs(
-      kmeansAssign(emb, kForCount(rows), updates, seed), threshold)
+    val assigned = kmeansAssign(emb, kForCount(rows), updates, seed)
+    val pairs = semanticDupPairs(assigned, threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count()
+    assigned.unpersist()
+    pairs
   }
 }

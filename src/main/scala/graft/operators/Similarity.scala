@@ -1127,6 +1127,9 @@ object Similarity {
         }
         i += 1
       }
+      // All-NaN scores (zero-norm probe → NaN sims fill the pool) leave
+      // bestIdx at -1: stop rather than index cands(-1).
+      if (bestIdx < 0) return out.result()
       selected += bestIdx
       // floor-scaled emit; the -0.5 + 0.5 = +0.0 identity means the
       // chain never produces -0.0 (rule 8 satisfied by shape).

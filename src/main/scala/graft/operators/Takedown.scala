@@ -114,13 +114,17 @@ object Takedown {
     delCells.unpersist(); cells.unpersist(); del.unpersist()
 
     def f6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    // Empty corpus / artifact family: 0/0 would be NaN (and floor(NaN)
+    // stays NaN) — an empty family touched nothing, so report 0.0.
+    def frac(touched: Long, total: Long): Double =
+      if (total == 0L) 0.0 else f6(touched.toDouble / total)
     Seq(
       ("pack_seq", seqTouched, seqAll, docsDeleted,
-        f6(seqTouched.toDouble / seqAll)),
+        frac(seqTouched, seqAll)),
       ("epoch_suffix", shardsTouched, shardsTotal, epochDeleted,
-        f6(suffixRows.toDouble / ordTotal)),
+        frac(suffixRows, ordTotal)),
       ("ivf_cell", cellsTouched, cellsTotal, vecsDeleted,
-        f6(cellsTouched.toDouble / cellsTotal)))
+        frac(cellsTouched, cellsTotal)))
       .toDF("artifact", "units_touched", "units_total", "rows_deleted",
         "rebuild_frac")
   }

@@ -36,23 +36,33 @@ object AppendFlowControl {
       * would charge the excess twice, halving effective throughput for
       * oversized records.
       */
-    def acquire(n: Long): Unit = synchronized {
+    def acquire(n: Long): Unit = {
       val need = n.toDouble
       val target = math.min(need, capacity)
       var admitted = false
       while (!admitted) {
-        val now = System.nanoTime()
-        tokens = math.min(capacity,
-          tokens + (now - lastNanos) * 1e-9 * bytesPerSec)
-        lastNanos = now
-        if (tokens >= target) {
-          tokens -= need
-          admitted = true
-        } else {
-          val waitNanos =
-            ((target - tokens) / bytesPerSec * 1e9).toLong.max(1000000L)
-          Thread.sleep(waitNanos / 1000000L, (waitNanos % 1000000L).toInt)
+        // Deficit is computed UNDER the lock; the sleep happens outside
+        // it so concurrent writers' waits interleave instead of queuing
+        // behind one waiter's full computed wait (head-of-line blocking
+        // for small appends behind an oversized record). Each waker
+        // re-checks — tokens another thread consumed while we slept are
+        // accounted on the next pass.
+        var waitNanos = 0L
+        synchronized {
+          val now = System.nanoTime()
+          tokens = math.min(capacity,
+            tokens + (now - lastNanos) * 1e-9 * bytesPerSec)
+          lastNanos = now
+          if (tokens >= target) {
+            tokens -= need
+            admitted = true
+          } else {
+            waitNanos =
+              ((target - tokens) / bytesPerSec * 1e9).toLong.max(1000000L)
+          }
         }
+        if (!admitted)
+          Thread.sleep(waitNanos / 1000000L, (waitNanos % 1000000L).toInt)
       }
     }
   }

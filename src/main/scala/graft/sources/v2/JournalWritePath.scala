@@ -156,8 +156,14 @@ object JournalWrite {
   */
 class JournalWriterFactory(root: String, journalTag: String, codec: String,
     payloadIdx: Int, postfixIdx: Int, maxFragmentBytes: Long, hc: HadoopConf,
-    journal: String = "", maxAppendRate: Long = 0L)
+    journal: String, maxAppendRate: Long)
   extends DataWriterFactory with StreamingDataWriterFactory {
+
+  // A throttled writer MUST carry its journal name: the token bucket is
+  // keyed on it, and an empty key would silently merge throttles across
+  // distinct journals in the JVM.
+  require(maxAppendRate <= 0L || journal.nonEmpty,
+    "JournalWriterFactory: maxAppendRate > 0 requires a non-empty journal")
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     writer(partitionId, taskId)

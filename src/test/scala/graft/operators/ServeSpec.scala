@@ -46,6 +46,17 @@ class ServeSpec extends SparkSpec {
     assert(out.map(_._2).toSet == Set(1L, 2L, 3L))
   }
 
+  test("mmrRerank survives a zero-norm probe (all-NaN pool scores)") {
+    import spark.implicits._
+    // A zero-norm probe makes every pool cosine NaN; the greedy loop
+    // must stop instead of indexing cands(-1).
+    val corpus = vecs((1L, Seq(1f, 0f), 0), (2L, Seq(0f, 1f), 0))
+    val probes = vecs((0L, Seq(0f, 0f), 0))
+    val out = Similarity.mmrRerank(corpus, probes, k = 2, poolSize = 2,
+      lambda = 0.5).collect()
+    assert(out.length <= 2) // no crash; rows (if any) are well-formed
+  }
+
   test("LSH auto-parameterization: planes track corpus size, bands track recall") {
     import Similarity.{bandsForRecall, planesForCount}
     // Planes: log2(n / targetBucket), floored at 4, capped at 62.

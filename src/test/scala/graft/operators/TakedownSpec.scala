@@ -54,6 +54,22 @@ class TakedownSpec extends SparkSpec {
     assert(frac > 0.0 && frac <= 1.0)
   }
 
+  test("empty artifact families report 0.0, not NaN") {
+    import spark.implicits._
+    val emptyPacks = spark.range(0).select($"id".as("doc_id"),
+      lit(0).as("shard"), lit(0L).as("seq_first"), lit(0L).as("seq_last"))
+    val emptyOrd = spark.range(0).select(lit(0).as("shard"),
+      $"id".as("pos"), $"id".as("doc_id"))
+    val emptyCells = spark.range(0).select($"id".as("vec_id"),
+      lit(0).as("cell"))
+    val del = Seq(1L, 2L).toDF("doc_id")
+    val out = Takedown.impactAuditPrebuilt(emptyPacks, emptyOrd,
+        emptyCells, del)
+      .select($"artifact", $"rebuild_frac").as[(String, Double)].collect()
+    assert(out.length == 3)
+    assert(out.forall(_._2 == 0.0), s"empty totals must yield 0.0: ${out.toSeq}")
+  }
+
   test("prebuilt-artifact audit equals the rebuild form on the same inputs") {
     import spark.implicits._
     val del = corpus.filter($"doc_id" % 9 === 0).select($"doc_id")
