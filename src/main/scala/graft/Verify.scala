@@ -13,6 +13,11 @@ object Verify {
     // events.parquet is TIMESTAMP(NANOS)) and the extension.
     val spark = Engine.local(cpus.toInt)
     new java.io.File(outDir).mkdirs()
+    // Dynamic oracles (q37b's LSH knob laws) parameterize on the corpus
+    // size of THIS dump's SF: set it before queries run and before
+    // oracleSql is rendered, from the same table the queries count.
+    System.setProperty("graft.oracle.embeddings_n",
+      Tables.embeddings(spark, sfDir).count().toString)
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
       .foreach { case (name, fn) =>

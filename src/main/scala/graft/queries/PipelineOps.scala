@@ -294,12 +294,22 @@ object PipelineOps {
     // cosinePairs stays as the spec-level exactness baseline.
     "q37_embedding_neardup" -> { (s, d) =>
       import s.implicits._
-      // Fixed (bands=8, planes=4) so the oracle can embed the plane
-      // literals; sized for the gate corpus. The corpus-sized scale
-      // path is lshNearDupPairsAuto (planes track n for bucket
-      // sparsity, bands track recall) — measured 14× faster at 10×
-      // scale on realistic thresholds (PERF.md round-5).
+      // LABELED BASELINE: fixed (bands=8, planes=4), sized for the gate
+      // corpus — kept so the knob-sensitivity of the family stays
+      // oracle-pinned. The scale path is q37b below.
       Similarity.lshNearDupPairs(Tables.embeddings(s, d), 0.4)
+    },
+
+    // ---- q37b: the 100-TB form of q37 — corpus-sized LSH knobs
+    // (planes = log2(n/targetBucket) for bucket sparsity, bands solved
+    // for recall 0.9 at the threshold). The round-5 sf1 probe measured
+    // the fixed q37 knobs quadratic at 10× rows while this form holds
+    // (PERF.md round-5); the oracle derives the SAME plane literals
+    // from the same knob laws at dump time, so the gate certifies the
+    // auto-sized plan, not the toy one.
+    "q37b_embedding_neardup_auto" -> { (s, d) =>
+      import s.implicits._
+      Similarity.lshNearDupPairsAuto(Tables.embeddings(s, d), 0.4)
     },
 
     // ---- q29: embedding norms aggregated per label.
@@ -456,9 +466,10 @@ object PipelineOps {
     * [[Similarity.lshNearDupPairs]] (double literals round-trip
     * exactly), distinct bucket-equal candidates, exact cosine verify.
     */
-  private[queries] def lshNearDupCtes: String = {
-    val bands = 8
-    val planesPerBand = 4
+  private[queries] def lshNearDupCtes: String = lshNearDupCtesFor(8, 4)
+
+  private[queries] def lshNearDupCtesFor(bands: Int,
+      planesPerBand: Int): String = {
     def arr(p: Array[Double]) = p.mkString("[", ", ", "]")
     val bandSelects = (0 until bands).map { bi =>
       val planes = Similarity.hyperplanes(planesPerBand, 64, 42L + bi)
@@ -481,6 +492,28 @@ object PipelineOps {
 
   private def lshNearDupOracle: String =
     s"WITH $lshNearDupCtes\nSELECT va, vb, sim FROM embdup"
+
+  /** Corpus size the dynamic oracles parameterize on. `Verify` sets the
+    * property from the ACTUAL embeddings row count of the SF it dumps
+    * for, so the oracle's knob derivation tracks the query's
+    * (`lshNearDupPairsAuto` counts the same corpus). The fallback is
+    * the sf0.01 gate corpus — correct only there; any other consumer
+    * must set the property.
+    */
+  private[queries] def oracleEmbeddingsN: Long =
+    sys.props.get("graft.oracle.embeddings_n").map(_.toLong).getOrElse(500L)
+
+  /** q37b oracle: [[lshNearDupCtesFor]] with the knobs the auto path
+    * derives at this corpus size — the SAME Scala laws
+    * ([[Similarity.planesForCount]], [[Similarity.bandsForRecall]])
+    * produce the SQL's plane literals, so gate-green certifies the
+    * auto-sized plan.
+    */
+  private def lshNearDupAutoOracle: String = {
+    val planes = Similarity.planesForCount(oracleEmbeddingsN, 32)
+    val bands = Similarity.bandsForRecall(0.4, planes, 0.9)
+    s"WITH ${lshNearDupCtesFor(bands, planes)}\nSELECT va, vb, sim FROM embdup"
+  }
 
   /** Shared CTE prefix for the IVF oracles: md5-sampled centroids,
     * per-vector cell ranking, and `corpus(vec_id, v, cell)` — the
@@ -742,6 +775,7 @@ object PipelineOps {
         |FROM events GROUP BY event_type""".stripMargin,
 
     "q37_embedding_neardup" -> lshNearDupOracle,
+    "q37b_embedding_neardup_auto" -> lshNearDupAutoOracle,
 
     // Both generators' CTE chains, pair-keyed FULL OUTER JOIN.
     "q143_dedup_fusion" ->
