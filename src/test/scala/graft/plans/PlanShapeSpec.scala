@@ -169,6 +169,50 @@ class PlanShapeSpec extends SparkSpec {
       "the first-occurrence join must key on the shingle hash")
   }
 
+  test("unpartitioned windows appear ONLY in whitelisted bounded-frame queries") {
+    // A Window with no PARTITION BY single-threads its whole input —
+    // fine over a |sources|/|bins|-row plan table, a scale killer over
+    // a corpus. The whitelist enumerates every site where the input is
+    // provably bounded (audited in PLANS.md); a NEW unpartitioned
+    // window anywhere else fails here instead of hiding in the
+    // "No Partition Defined" warning noise.
+    // The OPTIMIZED LOGICAL plan: AQE wraps the physical tree in an
+    // AdaptiveSparkPlanExec leaf that tree-collect does not descend
+    // into, and the logical Window is the semantic fact anyway.
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
+      val unpartitioned = try {
+        SparkEntry.queries(n)(spark, sfDir)
+          .queryExecution.optimizedPlan.collect {
+            case w: Window if w.partitionSpec.isEmpty => w
+          }
+      } catch { case _: Throwable => Nil }
+      if (unpartitioned.nonEmpty) Some(n) else None
+    }
+    // Bounded inputs, by construction of each query:
+    //  - waterfill/mixture plans: |sources| rows after a per-source agg
+    //  - histogram/quantile cuts: |bins| rows
+    //  - *_stats / audit tables: one row per source/cell/stage
+    // Every other window in the gate suite is partitioned (or optimized
+    // away); these four sit over aggregated tables bounded by
+    // construction. The rest of the mixture/plan family's bounded
+    // windows ARE partitioned (by source) and so never appear here.
+    val allowed = Set(
+      "q116_pareto_frontier", // sweep over the |distinct x| aggregate (Skyline scaladoc)
+      "q149_token_waterfill", // |sources| plan rows after the per-source agg
+      "q90_ivf_cell_stats",   // |cells| occupancy rows
+      "q103_rrf_fusion")      // two k-bounded rank lists, full-outer joined
+    val unexpected = offenders.filterNot(allowed)
+    val stale = allowed -- offenders.toSet
+    assert(unexpected.isEmpty,
+      s"NEW unpartitioned window over a possibly-unbounded input in: " +
+        s"${unexpected.mkString(", ")} — partition it or whitelist with a " +
+        "bounded-input justification")
+    assert(stale.isEmpty,
+      s"whitelist entries no longer plan an unpartitioned window " +
+        s"(remove them): ${stale.mkString(", ")}")
+  }
+
   test("q149 waterfill shuffles the corpus exactly once (per-source agg)") {
     // Everything after the source-keyed aggregate runs on |sources|
     // rows: the windows sit over a SinglePartition exchange, never a
