@@ -31,7 +31,14 @@ final case class JournalSpec(
     retentionMs: Long = 0L,
     // max_append_rate (protocol.proto:293-298): per-JVM bytes/sec write
     // throttle; 0 = unlimited. See sources.v2.AppendFlowControl.
-    maxAppendRate: Long = 0L) {
+    maxAppendRate: Long = 0L,
+    // fragment.flush_interval (protocol.proto:229-246): a spool open
+    // longer than this rolls at the next write, so a slow journal's
+    // fragments persist on a clock instead of waiting for size
+    // pressure; 0 = roll on size only. Micro-batch streaming epochs
+    // already close their spools per trigger; this matters for
+    // long-running batch appends of trickling sources.
+    flushIntervalMs: Long = 0L) {
 
   /** Token rules from the reference validators
     * (journal_spec_extensions.go:55-70; label_extensions.go:13-25).
@@ -51,6 +58,8 @@ final case class JournalSpec(
       Left(s"fragment retention may not be negative: $retentionMs")
     else if (maxAppendRate < 0L)
       Left(s"max append rate may not be negative: $maxAppendRate")
+    else if (flushIntervalMs < 0L)
+      Left(s"flush interval may not be negative: $flushIntervalMs")
     else {
       val badLabel = labels.labels.find(l =>
         l.name.length < 2 || l.name.length > 64 || l.value.length > 1024)
@@ -216,7 +225,8 @@ final class JournalCatalog {
       codec = spec.codec, postfixCol = postfixCol,
       maxFragmentBytes = spec.fragmentTargetLength,
       offsetRoots = spec.stores, // head spans ALL stores (migration-safe)
-      maxAppendRate = spec.maxAppendRate)
+      maxAppendRate = spec.maxAppendRate,
+      flushIntervalMs = spec.flushIntervalMs)
   }
 
   /** Spec-driven time retention: prune fragments of `name` persisted

@@ -96,7 +96,8 @@ class JournalTableCatalog extends TableCatalog {
       stores = opt("stores").orElse(opt("root"))
         .map(_.split(',').toVector.map(_.trim)).getOrElse(Vector.empty),
       retentionMs = opt("retentionMs").map(_.toLong).getOrElse(0L),
-      maxAppendRate = opt("maxAppendRate").map(_.toLong).getOrElse(0L))
+      maxAppendRate = opt("maxAppendRate").map(_.toLong).getOrElse(0L),
+      flushIntervalMs = opt("flushIntervalMs").map(_.toLong).getOrElse(0L))
     // Validate the loadTable invariant BEFORE registering: a failed
     // CREATE must not leave a phantom spec behind.
     if (spec.stores.isEmpty)
@@ -122,6 +123,7 @@ class JournalTableCatalog extends TableCatalog {
         case "writeOnly" => s.copy(writeOnly = set.value.toBoolean)
         case "retentionMs"   => s.copy(retentionMs = set.value.toLong)
         case "maxAppendRate" => s.copy(maxAppendRate = set.value.toLong)
+        case "flushIntervalMs" => s.copy(flushIntervalMs = set.value.toLong)
         case p if p.startsWith("label.") =>
           val l = Label(p.stripPrefix("label."), set.value)
           s.copy(labels = LabelSet(

@@ -65,7 +65,8 @@ final case class SpecPatch(
     // retain-forever / unlimited), so the stores wipe hazard above
     // applies to these too.
     retentionMs: Long = -1L,
-    maxAppendRate: Long = -1L) {
+    maxAppendRate: Long = -1L,
+    flushIntervalMs: Long = -1L) {
 
   /** Fields of `this`, falling back to `b` where unspecified (UnionJournalSpecs). */
   def union(b: SpecPatch): SpecPatch = SpecPatch(
@@ -77,7 +78,8 @@ final case class SpecPatch(
     flags = if (flags == 0) b.flags else flags,
     stores = if (stores.isEmpty) b.stores else stores,
     retentionMs = if (retentionMs < 0L) b.retentionMs else retentionMs,
-    maxAppendRate = if (maxAppendRate < 0L) b.maxAppendRate else maxAppendRate)
+    maxAppendRate = if (maxAppendRate < 0L) b.maxAppendRate else maxAppendRate,
+    flushIntervalMs = if (flushIntervalMs < 0L) b.flushIntervalMs else flushIntervalMs)
 
   /** Fields shared by both patches; others zeroed (IntersectJournalSpecs). */
   def intersect(b: SpecPatch): SpecPatch = SpecPatch(
@@ -89,7 +91,9 @@ final case class SpecPatch(
     flags = if (flags == b.flags) flags else 0,
     stores = if (stores == b.stores) stores else Vector.empty,
     retentionMs = if (retentionMs == b.retentionMs) retentionMs else -1L,
-    maxAppendRate = if (maxAppendRate == b.maxAppendRate) maxAppendRate else -1L)
+    maxAppendRate = if (maxAppendRate == b.maxAppendRate) maxAppendRate else -1L,
+    flushIntervalMs =
+      if (flushIntervalMs == b.flushIntervalMs) flushIntervalMs else -1L)
 
   /** Fields of `this` not matched by `b`; matches zeroed (SubtractJournalSpecs). */
   def subtract(b: SpecPatch): SpecPatch = SpecPatch(
@@ -101,7 +105,9 @@ final case class SpecPatch(
     flags = if (flags == b.flags) 0 else flags,
     stores = if (stores == b.stores) Vector.empty else stores,
     retentionMs = if (retentionMs == b.retentionMs) -1L else retentionMs,
-    maxAppendRate = if (maxAppendRate == b.maxAppendRate) -1L else maxAppendRate)
+    maxAppendRate = if (maxAppendRate == b.maxAppendRate) -1L else maxAppendRate,
+    flushIntervalMs =
+      if (flushIntervalMs == b.flushIntervalMs) -1L else flushIntervalMs)
 
   /** Complete (all-fields-specified) view, for flattening to a JournalSpec. */
   def toSpec(name: String): JournalSpec = JournalSpec(
@@ -114,7 +120,8 @@ final case class SpecPatch(
     writeOnly = flags == SpecPatch.WrOnly,
     stores = stores,
     retentionMs = if (retentionMs < 0L) 0L else retentionMs,
-    maxAppendRate = if (maxAppendRate < 0L) 0L else maxAppendRate)
+    maxAppendRate = if (maxAppendRate < 0L) 0L else maxAppendRate,
+    flushIntervalMs = if (flushIntervalMs < 0L) 0L else flushIntervalMs)
 }
 
 object SpecPatch {
@@ -128,7 +135,8 @@ object SpecPatch {
     flags = if (s.readOnly) RdOnly else if (s.writeOnly) WrOnly else RdWr,
     stores = s.stores,
     retentionMs = s.retentionMs,
-    maxAppendRate = s.maxAppendRate)
+    maxAppendRate = s.maxAppendRate,
+    flushIntervalMs = s.flushIntervalMs)
 }
 
 /** One node of the hierarchy: a "directory" if the name is empty or ends

@@ -406,16 +406,25 @@ object Journal {
     * so fragment size — and with it read-task granularity and
     * object-store PUT size — stays bounded no matter how large a write
     * partition is.
+    *
+    * `flushIntervalMs` is the TIME roll policy (the reference's
+    * `fragment.flush_interval`, protocol.proto:229-246): a spool open
+    * longer than the interval rolls at the next write, so a trickling
+    * source's bytes reach the store on a clock instead of waiting for
+    * size pressure (its closed tmp file is durable immediately; the
+    * fragment becomes VISIBLE at this append's commit, as Spark's
+    * batch commit protocol requires). 0 = size-only rolling.
     */
   def append(df: DataFrame, root: String, journal: String,
       codec: String = "gz", payloadCol: String = "payload",
       postfixCol: Option[String] = None,
       maxFragmentBytes: Long = Long.MaxValue,
       offsetRoots: Seq[String] = Nil,
-      maxAppendRate: Long = 0L): Seq[Fragment] = {
+      maxAppendRate: Long = 0L,
+      flushIntervalMs: Long = 0L): Seq[Fragment] = {
     val conf = hadoopConf
     stage(df, root, journal, codec, payloadCol, postfixCol, maxFragmentBytes,
-        offsetRoots, maxAppendRate).map {
+        offsetRoots, maxAppendRate, flushIntervalMs).map {
       case (frag, tmp) => commitFragment(frag, tmp, conf)
     }
   }
@@ -432,8 +441,10 @@ object Journal {
       postfixCol: Option[String] = None,
       maxFragmentBytes: Long = Long.MaxValue,
       offsetRoots: Seq[String] = Nil,
-      maxAppendRate: Long = 0L): Seq[(Fragment, String)] = {
+      maxAppendRate: Long = 0L,
+      flushIntervalMs: Long = 0L): Seq[(Fragment, String)] = {
     require(maxFragmentBytes > 0, s"maxFragmentBytes must be positive")
+    require(flushIntervalMs >= 0, s"flushIntervalMs may not be negative")
     val spark = df.sparkSession
     import spark.implicits._
     val conf = hadoopConf
@@ -457,8 +468,11 @@ object Journal {
             s".spool-$journalTag-$idx-${java.util.UUID.randomUUID}.tmp")
           val digest = MessageDigest.getInstance("SHA-1")
           var len = 0L
+          val bornNanos = System.nanoTime()
           val out = new BufferedOutputStream(
             wrapOutput(codec, fs.create(tmp, true)), 1 << 16)
+          def expired: Boolean = flushIntervalMs > 0 && len > 0 &&
+            System.nanoTime() - bornNanos >= flushIntervalMs * 1000000L
           def finish(postfix: String): (Int, String, Int, Long, String, String) = {
             out.close()
             (idx, postfix, seq, len,
@@ -475,7 +489,7 @@ object Journal {
         else null
         it.foreach { case (line, postfix) =>
           var sp = spools.getOrElseUpdate(postfix, new Spool(0))
-          if (sp.len >= maxFragmentBytes) {
+          if (sp.len >= maxFragmentBytes || sp.expired) {
             done += sp.finish(postfix)
             sp = new Spool(sp.seq + 1)
             spools(postfix) = sp

@@ -50,6 +50,13 @@ class JournalWrite(roots: Seq[String], journal: String, tableCodec: String,
   private val maxAppendRate: Long =
     Option(info.options.get("maxAppendRate")).map(_.toLong).getOrElse(0L)
 
+  // fragment.flush_interval (protocol.proto:229-246): time-roll bound
+  // for spools inside ONE batch/epoch — micro-batch triggers already
+  // close spools per epoch, so this matters for long batch appends of
+  // trickling sources. 0 = size-only rolling.
+  private val flushIntervalMs: Long =
+    Option(info.options.get("flushIntervalMs")).map(_.toLong).getOrElse(0L)
+
   // Accepts any input schema carrying a string `payload` column (the
   // table declares ACCEPT_ANY_SCHEMA: journals frame opaque payloads,
   // they don't impose relational shape on writers). A single-string-
@@ -76,7 +83,7 @@ class JournalWrite(roots: Seq[String], journal: String, tableCodec: String,
   private def factory = new JournalWriterFactory(
     root, journal.replace('/', '_'), codec, payloadIdx, postfixIdx,
     maxFragmentBytes, new HadoopConf(Journal.hadoopConf),
-    journal, maxAppendRate)
+    journal, maxAppendRate, flushIntervalMs)
 
   override def toBatch: BatchWrite = new BatchWrite {
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -156,7 +163,7 @@ object JournalWrite {
   */
 class JournalWriterFactory(root: String, journalTag: String, codec: String,
     payloadIdx: Int, postfixIdx: Int, maxFragmentBytes: Long, hc: HadoopConf,
-    journal: String, maxAppendRate: Long)
+    journal: String, maxAppendRate: Long, flushIntervalMs: Long = 0L)
   extends DataWriterFactory with StreamingDataWriterFactory {
 
   // A throttled writer MUST carry its journal name: the token bucket is
@@ -177,6 +184,9 @@ class JournalWriterFactory(root: String, journalTag: String, codec: String,
           s".spool-$journalTag-$partitionId-$taskId-${java.util.UUID.randomUUID}.tmp")
         val digest = java.security.MessageDigest.getInstance("SHA-1")
         var len = 0L
+        val bornNanos = System.nanoTime()
+        def expired: Boolean = flushIntervalMs > 0 && len > 0 &&
+          System.nanoTime() - bornNanos >= flushIntervalMs * 1000000L
         val out: java.io.OutputStream = new java.io.BufferedOutputStream(
           Journal.wrapOutput(codec, fs.create(tmp, true)), 1 << 16)
         def finish(postfix: String): Spooled = {
@@ -206,7 +216,7 @@ class JournalWriterFactory(root: String, journalTag: String, codec: String,
             p.toString
           }
         var sp = spools.getOrElseUpdate(postfix, new Spool(0))
-        if (sp.len >= maxFragmentBytes) {
+        if (sp.len >= maxFragmentBytes || sp.expired) {
           rolled += sp.finish(postfix)
           sp = new Spool(sp.seq + 1)
           spools(postfix) = sp

@@ -57,6 +57,31 @@ class JournalSpec extends SparkSpec {
     }
   }
 
+  test("flushIntervalMs rolls a trickling spool on the clock, not on size") {
+    import spark.implicits._
+    val root = tmpRoot()
+    // A slow source: 6 tiny records arriving ~150ms apart in ONE
+    // partition. Size-only rolling would spool them into a single
+    // fragment; a 250ms flush interval must roll mid-stream so bytes
+    // reach the store on a clock (fragment.flush_interval,
+    // protocol.proto:229-246).
+    def slow = spark.range(6).coalesce(1).as[Long]
+      .map { i => Thread.sleep(150); s"msg-$i" }.toDF("payload")
+    val frags = Journal.append(slow, root, "topic/slow", codec = "none",
+      flushIntervalMs = 250L)
+    assert(frags.size >= 2,
+      s"clock roll expected >=2 fragments, got ${frags.size}")
+    frags.sliding(2).foreach {
+      case Seq(x, y) => assert(x.end == y.begin)
+      case _ =>
+    }
+    val envs = Journal.read(spark, root, "topic/slow").collect().sortBy(_.begin)
+    assert(envs.map(_.payload).toSeq == (0 until 6).map(i => s"msg-$i"))
+    // Control: the same stream without the interval spools one fragment.
+    val one = Journal.append(slow, root, "topic/slow-ctl", codec = "none")
+    assert(one.size == 1, s"size-only rolling expected 1 fragment, got ${one.size}")
+  }
+
   test("listFragments does not attribute a nested journal's fragments to the parent") {
     import spark.implicits._
     val root = tmpRoot()
