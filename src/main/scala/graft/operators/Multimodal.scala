@@ -8,9 +8,12 @@ import org.apache.spark.sql.types._
   * opaque `binary` column plus typed metadata, processed in executor-side
   * batches.
   *
-  * The decode step is a clearly-marked STUB (this container ships no
-  * codec libraries): `decodeStub` derives deterministic pseudo-features
-  * from the raw bytes. Everything around it — the schema contract, the
+  * The PIXEL decode step is a clearly-marked STUB (this container
+  * ships no codec libraries): `decodeStub` derives deterministic
+  * pseudo-features from the raw bytes. HEADER decoding is real:
+  * [[ImageHeader]] parses PNG/JPEG/GIF/BMP geometry and channels from
+  * a blob's leading bytes (JDK-only), so [[aspectBuckets]] and
+  * [[resizePlan]] run on actual media via [[ImageHeader.fromBinary]]. Everything around it — the schema contract, the
   * per-partition batch iteration (the Scala analog of `mapInPandas`:
   * one buffer of `batchSize` rows at a time, amortizing per-batch setup
   * such as a model handle or codec context), partitioning, and the

@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.SparkSpec
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+
+/** Header parsing over REAL encoder output: the JDK's own PNG/JPEG/
+  * GIF/BMP writers produce the bytes (no checked-in binaries, no
+  * external libs), the parser reads back the geometry it encoded.
+  */
+class ImageHeaderSpec extends SparkSpec {
+
+  private def img(fmt: String, w: Int, h: Int,
+      imgType: Int = BufferedImage.TYPE_3BYTE_BGR): Array[Byte] = {
+    val img = new BufferedImage(w, h, imgType)
+    // Non-constant pixels so encoders can't degenerate-case the stream.
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)
+    val out = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, fmt, out), s"JDK has no $fmt writer")
+    out.toByteArray
+  }
+
+  test("PNG/JPEG/GIF/BMP headers round-trip through the JDK encoders") {
+    val cases = Seq(
+      ("png", 37, 21), ("jpg", 64, 48), ("gif", 13, 7), ("bmp", 24, 36))
+    for ((fmt, w, h) <- cases) {
+      val m = ImageHeader.parse(img(fmt, w, h))
+        .getOrElse(fail(s"$fmt: parse returned None"))
+      val want = if (fmt == "jpg") "jpeg" else fmt
+      assert(m.format == want && m.width == w && m.height == h,
+        s"$fmt: got $m")
+      assert(m.channels == 3, s"$fmt: 3-channel source, got ${m.channels}")
+    }
+    // Channel variants: greyscale PNG and RGBA PNG.
+    val grey = ImageHeader.parse(
+      img("png", 10, 10, BufferedImage.TYPE_BYTE_GRAY)).get
+    assert(grey.channels == 1, s"grey png: $grey")
+    val rgba = ImageHeader.parse(
+      img("png", 10, 10, BufferedImage.TYPE_INT_ARGB)).get
+    assert(rgba.channels == 4, s"rgba png: $rgba")
+  }
+
+  test("garbage, truncation, and null are None — never a throw") {
+    assert(ImageHeader.parse(null).isEmpty)
+    assert(ImageHeader.parse(Array.emptyByteArray).isEmpty)
+    assert(ImageHeader.parse("not an image at all".getBytes).isEmpty)
+    val png = img("png", 30, 30)
+    val jpg = img("jpg", 30, 30)
+    for (cut <- Seq(1, 4, 8, 12, 20)) {
+      assert(ImageHeader.parse(png.take(cut)).isEmpty, s"png cut $cut")
+      assert(ImageHeader.parse(jpg.take(cut)).isEmpty, s"jpg cut $cut")
+    }
+    // A corrupted JPEG marker stream desyncs to None, not an exception.
+    val bad = jpg.clone(); bad(2) = 0x00
+    assert(ImageHeader.parse(bad).isEmpty)
+  }
+
+  test("fromBinary feeds aspect bucketing and resize planning with real bytes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val blobs = Seq(
+      (1L, img("png", 40, 20)),   // ar_q = floor(40*4/20) = 8
+      (2L, img("jpg", 32, 32)),   // ar_q = 4
+      (3L, img("gif", 16, 48)),   // ar_q = 1
+      (4L, img("bmp", 60, 30)),   // ar_q = 8
+      (5L, "garbage".getBytes))      // unparseable -> null metadata
+    val media = ImageHeader.fromBinary(blobs.toDF("doc_id", "media"))
+    val metas = media.select($"doc_id", $"format", $"width", $"height")
+      .as[(Long, String, Option[Int], Option[Int])].collect().sortBy(_._1)
+    assert(metas.map(_._2).toSeq == Seq("png", "jpeg", "gif", "bmp", null))
+    assert(metas(0)._3.contains(40) && metas(0)._4.contains(20))
+
+    // aspectBuckets: the unparseable row drops; others bucket by shape.
+    val buckets = Multimodal.aspectBuckets(media, batchSize = 4)
+    val total = buckets.agg(sum($"n")).as[Long].head()
+    assert(total == 4L, s"4 parseable blobs expected, got $total")
+    assert(buckets.select($"ar_q").distinct().count() == 3) // {8, 4, 1}
+    buckets.unpersist()
+
+    // resizePlan: shorter side scales to 16 preserving aspect.
+    val plan = Multimodal.resizePlan(media, shorter = 16)
+      .select($"doc_id", $"target_w", $"target_h")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(plan == Seq((1L, 32L, 16L), (2L, 16L, 16L),
+      (3L, 16L, 48L), (4L, 32L, 16L)))
+  }
+}
