@@ -231,6 +231,34 @@ object ScaleOps {
       KCore.core(coPurchaseEdges(s, d), k = 4, maxRounds = 6)
     },
 
+    // ---- q161: recursive SQL as an ENGINE CAPABILITY — the same
+    // 3-hop multi-source walk as q105 expressed as a genuine
+    // `WITH RECURSIVE` through spark.sql (Spark 4's UnionLoop; the
+    // reference analog is bike-share's recursive cycle walk,
+    // examples/bike-share/sql_statements.go:64-104). Spark's recursion
+    // supports UNION ALL only, so BOTH sides walk every path of
+    // length <= 3 (bounded: the dist guard terminates cyclic walks)
+    // and recover BFS layers with min(dist). [[Bfs.distances]] (q105)
+    // remains the 100-TB path — its frontier anti-join does
+    // Σ outdeg(frontier) work per round while the recursive walk
+    // enumerates paths; this entry certifies the SQL surface, not a
+    // new scale plan.
+    "q161_recursive_cte" -> { (s, d) =>
+      coPurchaseEdges(s, d).createOrReplaceTempView("graft_q161_edges")
+      s.sql(
+        """WITH RECURSIVE walk(node, dist) AS (
+          |  SELECT node, 0 FROM (
+          |    SELECT src AS node FROM graft_q161_edges
+          |    GROUP BY src ORDER BY node LIMIT 3)
+          |  UNION ALL
+          |  SELECT e.dst, w.dist + 1 FROM walk w
+          |  JOIN graft_q161_edges e ON e.src = w.node
+          |  WHERE w.dist < 3)
+          |SELECT CAST(node AS BIGINT) AS node,
+          |  CAST(min(dist) AS INT) AS dist
+          |FROM walk GROUP BY node""".stripMargin)
+    },
+
     // ---- q72: cross-corpus near-dup join — dedup a fresh slice
     // (doc_id%3=0) against the curated rest without self-joining the
     // history. LSH bands per side, bucket-equal candidates, exact
@@ -428,6 +456,22 @@ object ScaleOps {
         |SELECT dst AS node, label FROM (
         |  SELECT dst, label, row_number() OVER (PARTITION BY dst
         |    ORDER BY cnt DESC, label ASC) AS rn FROM v2) x WHERE rn = 1""".stripMargin,
+
+    // The same UNION ALL path walk as the Spark side (Spark's
+    // recursion has no UNION-distinct yet); the dist<3 guard bounds
+    // cyclic walks and min(dist) recovers BFS layers.
+    "q161_recursive_cte" ->
+      s"""WITH RECURSIVE ${coPurchaseCtes()},
+        |e AS (SELECT u AS src, v AS dst FROM pairs
+        |      UNION ALL SELECT v, u FROM pairs),
+        |walk(node, dist) AS (
+        |  SELECT node, 0 FROM (
+        |    SELECT src AS node FROM e GROUP BY src ORDER BY node LIMIT 3)
+        |  UNION ALL
+        |  SELECT e.dst, w.dist + 1 FROM walk w JOIN e ON e.src = w.node
+        |  WHERE w.dist < 3)
+        |SELECT CAST(node AS BIGINT) AS node, CAST(min(dist) AS INT) AS dist
+        |FROM walk GROUP BY node""".stripMargin,
 
     // The recursive walk generates every (node, dist<=3) discovery;
     // UNION dedup bounds it by 4|V|, min(dist) recovers BFS layers.
