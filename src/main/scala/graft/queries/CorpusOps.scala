@@ -20,6 +20,29 @@ object CorpusOps {
     round(sum(c.cast("decimal(38,6)")).cast("double"), scale)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- q164: fixed-k seeded sample per source — the eval/labeling
+    // draw ("give me 20 uniform docs from every feed"). q50's pct
+    // stratified sample must rank every stratum row (any percentage
+    // selection does); a FIXED k doesn't: TopKAgg keeps a k-bounded
+    // mergeable buffer, so only k rows per (partition, source) cross
+    // the exchange and no stratum is ever sorted — at 100 TB this is a
+    // scan + k-entry heaps, not a corpus shuffle. Order key: first 12
+    // md5 hex chars as a number (48 bits — exact in the aggregate's
+    // Double score; fixed-width lowercase hex makes the oracle's
+    // lexicographic ORDER BY the same order), ties to the smaller id.
+    "q164_source_sample" -> { (s, d) =>
+      import s.implicits._
+      val tk = graft.functions.TopKAgg.topK(20)
+      Tables.documents(s, d)
+        .select($"source", $"doc_id",
+          (-conv(substring(md5(concat(lit("smp42:"), $"doc_id".cast("string"))),
+            1, 12), 16, 10).cast("double")).as("v"))
+        .groupBy($"source").agg(tk($"v", $"doc_id").as("top"))
+        .select($"source", posexplode($"top"))
+        .select($"source", ($"pos" + 1).cast("int").as("rk"),
+          $"col.id".as("doc_id"))
+    },
+
     // ---- q54: sequence packing (concat-and-chunk, 512-token budget,
     // 8 shards): each doc's span in its shard's packed token stream.
     // The window partitions by shard — no global sort at any scale.
@@ -552,6 +575,17 @@ object CorpusOps {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // Fixed-width lowercase hex: lexicographic prefix order ==
+    // the Spark side's numeric-prefix order; doc_id breaks ties.
+    "q164_source_sample" ->
+      """SELECT source, rk, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY substr(md5('smp42:' || CAST(doc_id AS VARCHAR)), 1, 12) ASC,
+        |               doc_id ASC) AS INT) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 20""".stripMargin,
+
     "q133_cooccurrence_lift" ->
       """WITH toks AS (
         |  SELECT regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents),

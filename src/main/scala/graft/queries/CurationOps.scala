@@ -17,7 +17,82 @@ import graft.functions.TopKAgg
   */
 object CurationOps {
 
+  /** The deterministic non-NFC injection q162 audits: decomposed
+    * e + U+0301 (combining acute) appended for doc_id%5==0 — the gate
+    * corpus is pure ASCII, so the audit needs text that actually
+    * denormalizes (the q73 ' v2' injection convention). ONE definition
+    * feeding both the Spark column and the oracle SQL.
+    */
+  private val nfcProbe =
+    " caf" + "e\u0301" + " re" + "e\u0301" + "sume" // decomposed e + COMBINING ACUTE
+  private val cyrProbe = " \u043f\u0440\u0438\u0432\u0435\u0442" // \u043f\u0440\u0438\u0432\u0435\u0442
+  private val grkProbe = " \u03b1\u03b2\u03b3"                   // \u03b1\u03b2\u03b3
+
+  /** DuckDB string literal for a probe: non-ASCII code points render
+    * as chr(n) concatenations so the oracle file stays ASCII-safe and
+    * byte-identical to the Scala constant.
+    */
+  private def sqlLit(s: String): String = {
+    val sb = new StringBuilder("'")
+    s.foreach { c =>
+      if (c == '\'') sb.append("''")
+      else if (c < 128) sb.append(c)
+      else sb.append("' || chr(" + c.toInt + ") || '")
+    }
+    sb.append("'").toString
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- q162: NFC normalization audit — the Unicode-hygiene pass a
+    // corpus runs BEFORE dedup/hashing (the same text in composed and
+    // decomposed forms hashes differently; normalize first or every
+    // downstream fingerprint silently misses those pairs). Per source:
+    // docs count, docs not already in NFC, and the UTF-8 bytes saved by
+    // normalizing. Byte counts (octet_length/strlen), never character
+    // counts — grapheme-vs-codepoint semantics differ across engines,
+    // bytes do not. Narrow map + one aggregate: scan-bound at any SF.
+    "q162_nfc_audit" -> { (s, d) =>
+      import s.implicits._
+      val nfc = udf { t: String =>
+        java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC) }
+      Tables.documents(s, d)
+        .select($"source",
+          when($"doc_id" % 5 === 0, concat($"text", lit(nfcProbe)))
+            .otherwise($"text").as("t"))
+        .withColumn("n", nfc($"t"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"t" =!= $"n", 1L).otherwise(0L)).as("n_denorm"),
+          sum((octet_length($"t") - octet_length($"n")).cast("long"))
+            .as("bytes_saved"))
+    },
+
+    // ---- q163: Unicode-script mix — the mixed-script detector
+    // (Cyrillic lookalikes inside Latin text are a classic spam/
+    // homoglyph signal; script histograms also drive lang-id sanity
+    // checks). Per lang: code points per script and docs carrying any
+    // non-Latin letters. Both engines count single-code-point regex
+    // class matches — Java \p{IsCyrillic} and RE2 \p{Cyrillic} follow
+    // the same Unicode script assignments. Injection: Cyrillic /
+    // Greek tokens for two doc_id classes (ASCII corpus otherwise).
+    "q163_script_mix" -> { (s, d) =>
+      import s.implicits._
+      val t = when($"doc_id" % 7 === 0, concat($"text", lit(cyrProbe)))
+        .when($"doc_id" % 7 === 1, concat($"text", lit(grkProbe)))
+        .otherwise($"text")
+      val cyr = regexp_count(col("t"), lit("\\p{IsCyrillic}"))
+      val grk = regexp_count(col("t"), lit("\\p{IsGreek}"))
+      Tables.documents(s, d)
+        .select($"lang", t.as("t"))
+        .select($"lang",
+          regexp_count($"t", lit("\\p{IsLatin}")).cast("long").as("la"),
+          cyr.cast("long").as("cy"), grk.cast("long").as("gr"))
+        .groupBy($"lang")
+        .agg(sum($"la").as("latin"), sum($"cy").as("cyrillic"),
+          sum($"gr").as("greek"),
+          sum(when($"cy" > 0 || $"gr" > 0, 1L).otherwise(0L)).as("mixed_docs"))
+    },
+
     // ---- q47: near-dup CLUSTERS: MinHash-LSH pairs (q25) closed into
     // connected components by iterative min-label propagation; each
     // clustered doc maps to its cluster's smallest doc_id (the survivor
@@ -253,6 +328,37 @@ object CurationOps {
       |    WHERE e.b <> r.a)""".stripMargin.replace("\n", "\n         |")
 
   def oracleSql: Map[String, String] = Map(
+    "q162_nfc_audit" ->
+      s"""WITH d AS (
+         |  SELECT source,
+         |    CASE WHEN doc_id % 5 = 0 THEN text || ${sqlLit(nfcProbe)}
+         |         ELSE text END AS t
+         |  FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN t <> nfc_normalize(t) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_denorm,
+         |  CAST(sum(strlen(t) - strlen(nfc_normalize(t))) AS BIGINT)
+         |    AS bytes_saved
+         |FROM d GROUP BY source""".stripMargin,
+
+    // RE2 counts the same single-code-point script classes as the
+    // Java regex on the Spark side.
+    "q163_script_mix" ->
+      s"""WITH d AS (
+         |  SELECT lang, text ||
+         |    CASE WHEN doc_id % 7 = 0 THEN ${sqlLit(cyrProbe)}
+         |         WHEN doc_id % 7 = 1 THEN ${sqlLit(grkProbe)}
+         |         ELSE '' END AS t
+         |  FROM documents)
+         |SELECT lang,
+         |  CAST(sum(len(regexp_extract_all(t, '\\p{Latin}'))) AS BIGINT) AS latin,
+         |  CAST(sum(len(regexp_extract_all(t, '\\p{Cyrillic}'))) AS BIGINT) AS cyrillic,
+         |  CAST(sum(len(regexp_extract_all(t, '\\p{Greek}'))) AS BIGINT) AS greek,
+         |  CAST(sum(CASE WHEN len(regexp_extract_all(t, '\\p{Cyrillic}')) > 0
+         |    OR len(regexp_extract_all(t, '\\p{Greek}')) > 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS mixed_docs
+         |FROM d GROUP BY lang""".stripMargin,
+
     // Recursive closure over the shared near-dup pair CTEs: reach(a,b)
     // = transitive neighbors; canonical = least(self, min reachable).
     "q47_dedup_clusters" ->
