@@ -54,7 +54,8 @@ object CurationOps {
     "q162_nfc_audit" -> { (s, d) =>
       import s.implicits._
       val nfc = udf { t: String =>
-        java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC) }
+        if (t == null) null
+        else java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC) }
       Tables.documents(s, d)
         .select($"source",
           when($"doc_id" % 5 === 0, concat($"text", lit(nfcProbe)))
