@@ -50,16 +50,13 @@ object Triangles {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
-    // Loud guard on the packing precondition: one codegen'd check per
-    // NODE (not per edge). An id >= 1e9 would silently corrupt the
-    // (degree, id) total order and with it the triangle counts.
+    // (degree, id) as a lexicographically-ordered STRUCT, not a packed
+    // long: d·10⁹+n silently required ids < 10⁹ (the guard that
+    // enforced it refused the derived sf1 corpus, whose replica ids
+    // stride by 10¹²) — and a 100 TB graph WILL carry ids past 10⁹.
+    // Struct comparison is codegen'd field-by-field; no range limit.
     val key = deg.select(col("n"),
-      when(col("n") >= 0 && col("n") < 1000000000L,
-        col("d") * lit(1000000000L) + col("n"))
-        .otherwise(raise_error(concat(
-          lit("Triangles.perNodeCounts: vertex id out of packable range [0, 1e9): "),
-          col("n").cast("string"))))
-        .as("okey"))
+      struct(col("d"), col("n")).as("okey"))
     // Orient each edge toward the (degree, id)-larger endpoint; keep the
     // destination's okey for the wedge ordering below. Persisted because
     // the triangle plan reads it three times and Spark has no

@@ -43,6 +43,18 @@ object CorpusOps {
           $"col.id".as("doc_id"))
     },
 
+    // ---- q165: late-interaction (ColBERT-style) maxsim retrieval —
+    // per query token, the best-matching doc token; summed; top-k.
+    // Deterministic 16-bit token signatures stand in for model token
+    // vectors (integer sim = 16 − 2·hamming, oracle-exact); the PLAN
+    // — token explode, broadcast query sigs, two map-side aggs,
+    // k-bounded top-k, no corpus sort — is the real 100-TB shape.
+    "q165_maxsim_retrieval" -> { (s, d) =>
+      import s.implicits._
+      Retrieval.maxSimTopK(Tables.documents(s, d), $"doc_id", $"text",
+        Seq("stream", "window", "merge"), k = 10)
+    },
+
     // ---- q54: sequence packing (concat-and-chunk, 512-token budget,
     // 8 shards): each doc's span in its shard's packed token stream.
     // The window partitions by shard — no global sort at any scale.
@@ -575,6 +587,31 @@ object CorpusOps {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // Same md5-signature maxsim, integer arithmetic end-to-end; ties
+    // resolve (score desc, doc_id asc) on both sides.
+    "q165_maxsim_retrieval" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        |  FROM documents),
+        |sigs AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(tok), 1, 4))::BIGINT AS dsig FROM toks),
+        |qs AS (
+        |  SELECT qtok, ('0x' || substr(md5(qtok), 1, 4))::BIGINT AS qsig
+        |  FROM (SELECT unnest(['stream', 'window', 'merge']) AS qtok)),
+        |per AS (
+        |  SELECT doc_id, qtok,
+        |    max(16 - 2 * bit_count(xor(dsig, qsig))) AS best
+        |  FROM sigs CROSS JOIN qs GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT doc_id, CAST(sum(best) AS BIGINT) AS score_num
+        |  FROM per GROUP BY 1)
+        |SELECT CAST(rk AS INT) AS rk, doc_id, score_num FROM (
+        |  SELECT doc_id, score_num, row_number() OVER (
+        |    ORDER BY score_num DESC, doc_id ASC) AS rk FROM sc) t
+        |WHERE rk <= 10""".stripMargin,
+
     // Fixed-width lowercase hex: lexicographic prefix order ==
     // the Spark side's numeric-prefix order; doc_id breaks ties.
     "q164_source_sample" ->

@@ -424,12 +424,12 @@ object ScaleOps {
         |e AS (SELECT u, v FROM pairs),
         |deg AS (SELECT n, count(*) AS d FROM (
         |  SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
-        |k AS (SELECT n, d * 1000000000 + n AS okey FROM deg),
         |o AS (SELECT
-        |    CASE WHEN ku.okey < kv.okey THEN e.u ELSE e.v END AS src,
-        |    CASE WHEN ku.okey < kv.okey THEN e.v ELSE e.u END AS dst,
-        |    greatest(ku.okey, kv.okey) AS dkey
-        |  FROM e JOIN k ku ON e.u = ku.n JOIN k kv ON e.v = kv.n),
+        |    CASE WHEN (ku.d, ku.n) < (kv.d, kv.n) THEN e.u ELSE e.v END AS src,
+        |    CASE WHEN (ku.d, ku.n) < (kv.d, kv.n) THEN e.v ELSE e.u END AS dst,
+        |    CASE WHEN (ku.d, ku.n) < (kv.d, kv.n)
+        |      THEN ROW(kv.d, kv.n) ELSE ROW(ku.d, ku.n) END AS dkey
+        |  FROM e JOIN deg ku ON e.u = ku.n JOIN deg kv ON e.v = kv.n),
         |tri AS (
         |  SELECT a.src AS x, a.dst AS y, b.dst AS z
         |  FROM o a JOIN o b ON a.src = b.src AND a.dkey < b.dkey
