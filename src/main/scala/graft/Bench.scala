@@ -90,13 +90,21 @@ object Bench {
     // JSON always fits inside the capture window. The full map is also
     // persisted to bench_times.json for cross-round diffing.
     println(full)
-    if (only.isEmpty)
-      try java.nio.file.Files.write(
-        java.nio.file.Paths.get("bench_times.json"),
-        (full + "\n").getBytes("UTF-8"))
-      catch { case _: java.io.IOException => () } // read-only CWD: stdout stands
+    // The "map" pointer appears ONLY when this run actually wrote the
+    // file — a SPARK_GRAFT_ONLY subset or a read-only CWD must not
+    // point consumers at a stale map from some earlier full run.
+    val wroteMap =
+      if (only.isEmpty)
+        try {
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get("bench_times.json"),
+            (full + "\n").getBytes("UTF-8"))
+          true
+        } catch { case _: java.io.IOException => false }
+      else false
+    val mapField = if (wroteMap) ""","map":"bench_times.json"""" else ""
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n":${results.size},"map":"bench_times.json"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n":${results.size}$mapField}""")
     spark.stop()
   }
 }

@@ -189,7 +189,11 @@ object JournalTableCatalog {
     * capability stripping.
     */
   private final class FlaggedTable(spec: JournalSpec)
-      extends JournalTable(spec.stores, spec.name, codec = spec.codec) {
+      extends JournalTable(spec.stores, spec.name, codec = spec.codec,
+        writeDefaults = graft.sources.v2.JournalWriteDefaults(
+          maxFragmentBytes = spec.fragmentTargetLength,
+          maxAppendRate = spec.maxAppendRate,
+          flushIntervalMs = spec.flushIntervalMs)) {
     override def capabilities(): util.Set[TableCapability] = {
       val caps = util.EnumSet.copyOf(super.capabilities())
       if (spec.readOnly) {

@@ -70,6 +70,7 @@ object ImageHeader {
       if ((b(i) & 0xff) != 0xff) return None // desynced marker stream
       var j = i
       while (j + 1 < b.length && (b(j + 1) & 0xff) == 0xff) j += 1 // fill bytes
+      if (j + 1 >= b.length) return None // stream ends in a 0xFF run
       val marker = b(j + 1) & 0xff
       i = j + 2
       if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
@@ -106,16 +107,30 @@ object ImageHeader {
     if (w <= 0 || h <= 0) None else Some(Meta("gif", w, h, 3))
   }
 
-  /** BMP ("BM" + BITMAPINFOHEADER): width/height as little-endian i32
-    * at 18/22 (height may be negative for top-down rows), bits/pixel
-    * at 28.
+  /** BMP ("BM" + DIB header). The DIB header SIZE at offset 14 picks
+    * the layout: BITMAPINFOHEADER and successors (>= 40 bytes) store
+    * width/height as little-endian i32 at 18/22 (height may be
+    * negative for top-down rows) and bits/pixel at 28; the OS/2
+    * BITMAPCOREHEADER (size 12) stores width/height as u16 at 18/20
+    * and bits/pixel at 24 — reading it with the info-header offsets
+    * would silently yield garbage geometry.
     */
   private def bmp(b: Array[Byte]): Option[Meta] = {
-    if (b.length < 30 || b(0) != 'B' || b(1) != 'M') return None
-    val w = i32le(b, 18); val h = math.abs(i32le(b, 22))
-    val bpp = u16le(b, 28)
-    if (w <= 0 || h <= 0 || bpp <= 0) None
-    else Some(Meta("bmp", w, h, math.max(1, bpp / 8)))
+    if (b.length < 26 || b(0) != 'B' || b(1) != 'M') return None
+    i32le(b, 14) match {
+      case 12 =>
+        val w = u16le(b, 18); val h = u16le(b, 20)
+        val bpp = u16le(b, 24)
+        if (w <= 0 || h <= 0 || bpp <= 0) None
+        else Some(Meta("bmp", w, h, math.max(1, bpp / 8)))
+      case size if size >= 40 =>
+        if (b.length < 30) return None
+        val w = i32le(b, 18); val h = math.abs(i32le(b, 22))
+        val bpp = u16le(b, 28)
+        if (w <= 0 || h <= 0 || bpp <= 0) None
+        else Some(Meta("bmp", w, h, math.max(1, bpp / 8)))
+      case _ => None // unknown DIB layout: refuse rather than misparse
+    }
   }
 
   /** Parse the leading bytes; None for null/unknown/corrupt blobs. */

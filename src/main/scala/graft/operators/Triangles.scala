@@ -31,11 +31,11 @@ object Triangles {
     * duplicate/reversed edges deduplicated. Returns (node, n_tri) for
     * every node on ≥ 1 triangle.
     *
-    * `okey = degree·10⁹ + id` is the total orientation order packed
-    * into one long (ids must be non-negative and < 10⁹, true for every
-    * key column in the testdata); comparing packed longs keeps the
-    * wedge inequality a single codegen'd comparison instead of a
-    * two-column struct compare.
+    * `okey = struct(degree, id)` is the total orientation order, a
+    * lexicographic struct comparison (codegen'd field-by-field). It
+    * replaced a packed `degree·10⁹ + id` long, which silently required
+    * ids < 10⁹ — real corpora (and the derived sf1 replicas, striding
+    * ids by 10¹²) exceed that. Any long id works now.
     */
   def perNodeCounts(edges: DataFrame): DataFrame = {
     // Persisted: the degree union reads it twice and the orientation

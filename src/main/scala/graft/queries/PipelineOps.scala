@@ -510,9 +510,19 @@ object PipelineOps {
     * auto-sized plan.
     */
   private def lshNearDupAutoOracle: String = {
-    val planes = Similarity.planesForCount(oracleEmbeddingsN, 32)
-    val bands = Similarity.bandsForRecall(0.4, planes, 0.9)
-    s"WITH ${lshNearDupCtesFor(bands, planes)}\nSELECT va, vb, sim FROM embdup"
+    // bandsForRecall THROWS past maxBands (the refusal contract — at
+    // t=0.4/R=0.9 that lands near n≈200k). The q37b query refuses at
+    // the same point, so its dump is already absent; the oracle render
+    // must not take the OTHER 165 queries' oracle_sql.json down with
+    // it. Emit a marker the per-query compare fails loudly on instead.
+    try {
+      val planes = Similarity.planesForCount(oracleEmbeddingsN, 32)
+      val bands = Similarity.bandsForRecall(0.4, planes, 0.9)
+      s"WITH ${lshNearDupCtesFor(bands, planes)}\nSELECT va, vb, sim FROM embdup"
+    } catch {
+      case e: IllegalArgumentException =>
+        s"SELECT 'q37b knob refusal at n=$oracleEmbeddingsN' AS refused"
+    }
   }
 
   /** Shared CTE prefix for the IVF oracles: md5-sampled centroids,

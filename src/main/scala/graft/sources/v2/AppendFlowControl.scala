@@ -39,31 +39,30 @@ object AppendFlowControl {
     def acquire(n: Long): Unit = {
       val need = n.toDouble
       val target = math.min(need, capacity)
-      var admitted = false
-      while (!admitted) {
-        // Deficit is computed UNDER the lock; the sleep happens outside
-        // it so concurrent writers' waits interleave instead of queuing
-        // behind one waiter's full computed wait (head-of-line blocking
-        // for small appends behind an oversized record). Each waker
-        // re-checks — tokens another thread consumed while we slept are
-        // accounted on the next pass.
-        var waitNanos = 0L
-        synchronized {
-          val now = System.nanoTime()
-          tokens = math.min(capacity,
-            tokens + (now - lastNanos) * 1e-9 * bytesPerSec)
-          lastNanos = now
-          if (tokens >= target) {
-            tokens -= need
-            admitted = true
-          } else {
-            waitNanos =
-              ((target - tokens) / bytesPerSec * 1e9).toLong.max(1000000L)
-          }
-        }
-        if (!admitted)
-          Thread.sleep(waitNanos / 1000000L, (waitNanos % 1000000L).toInt)
+      // Book under the lock, sleep outside it. The booking order IS the
+      // admission order (virtual-time FIFO): each arrival's wait covers
+      // the debt every earlier arrival already booked, so the sleep
+      // never needs a re-check loop — which means no head-of-line
+      // blocking (the lock is held for arithmetic only, never a sleep)
+      // AND no starvation (a re-check loop would let a stream of small
+      // appends consume every refill before an oversized waiter wakes;
+      // here the oversized record's debt is booked first and later
+      // arrivals queue behind it by construction).
+      var waitNanos = 0L
+      synchronized {
+        val now = System.nanoTime()
+        tokens = math.min(capacity,
+          tokens + (now - lastNanos) * 1e-9 * bytesPerSec)
+        lastNanos = now
+        if (tokens < target)
+          waitNanos = ((target - tokens) / bytesPerSec * 1e9).toLong
+        // Full `need` booked, waited only to `target`: the excess of an
+        // oversized record rides as debt that delays LATER arrivals —
+        // waiting for the full deficit too would charge it twice.
+        tokens -= need
       }
+      if (waitNanos > 0L)
+        Thread.sleep(waitNanos / 1000000L, (waitNanos % 1000000L).toInt)
     }
   }
 

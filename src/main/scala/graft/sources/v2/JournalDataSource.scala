@@ -119,7 +119,9 @@ class JournalTable(roots: Seq[String], journal: String,
     maxBytesPerTrigger: Option[Long] = None,
     postfix: Seq[PostfixPredicate] = Nil,
     codec: String = "gz",
-    incrementalListing: Boolean = false) extends Table with SupportsRead with SupportsWrite {
+    incrementalListing: Boolean = false,
+    writeDefaults: JournalWriteDefaults = JournalWriteDefaults())
+  extends Table with SupportsRead with SupportsWrite {
   require(roots != null && roots.nonEmpty && journal != null,
     "options root (or roots) and journal are required")
   override def name(): String = s"journal:$journal"
@@ -132,7 +134,8 @@ class JournalTable(roots: Seq[String], journal: String,
     () => new JournalScan(roots, journal, maxBytesPerTrigger, postfix, incrementalListing)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
-      override def build(): Write = new JournalWrite(roots, journal, codec, info)
+      override def build(): Write =
+        new JournalWrite(roots, journal, codec, info, writeDefaults)
     }
 }
 

@@ -33,8 +33,19 @@ import graft.sources.Journal.{Fragment, HadoopConf}
   * a per-JVM token bucket, see [[AppendFlowControl]] for the
   * cluster-aggregate semantics).
   */
+/** Table-level write defaults (a catalog table's JournalSpec fields);
+  * per-write options override them. Keeps CREATE/ALTER TABLE
+  * properties meaningful on the SQL write path, where no write
+  * options are passed.
+  */
+final case class JournalWriteDefaults(
+  maxFragmentBytes: Long = Long.MaxValue,
+  maxAppendRate: Long = 0L,
+  flushIntervalMs: Long = 0L)
+
 class JournalWrite(roots: Seq[String], journal: String, tableCodec: String,
-    info: LogicalWriteInfo) extends Write {
+    info: LogicalWriteInfo,
+    defaults: JournalWriteDefaults = JournalWriteDefaults()) extends Write {
 
   // New fragments persist to the FIRST store (the active store); the
   // other stores still participate in offset derivation below.
@@ -45,17 +56,19 @@ class JournalWrite(roots: Seq[String], journal: String, tableCodec: String,
 
   private val maxFragmentBytes: Long =
     Option(info.options.get("maxFragmentBytes")).map(_.toLong)
-      .getOrElse(Long.MaxValue)
+      .getOrElse(defaults.maxFragmentBytes)
 
   private val maxAppendRate: Long =
-    Option(info.options.get("maxAppendRate")).map(_.toLong).getOrElse(0L)
+    Option(info.options.get("maxAppendRate")).map(_.toLong)
+      .getOrElse(defaults.maxAppendRate)
 
   // fragment.flush_interval (protocol.proto:229-246): time-roll bound
   // for spools inside ONE batch/epoch — micro-batch triggers already
   // close spools per epoch, so this matters for long batch appends of
   // trickling sources. 0 = size-only rolling.
   private val flushIntervalMs: Long =
-    Option(info.options.get("flushIntervalMs")).map(_.toLong).getOrElse(0L)
+    Option(info.options.get("flushIntervalMs")).map(_.toLong)
+      .getOrElse(defaults.flushIntervalMs)
 
   // Accepts any input schema carrying a string `payload` column (the
   // table declares ACCEPT_ANY_SCHEMA: journals frame opaque payloads,

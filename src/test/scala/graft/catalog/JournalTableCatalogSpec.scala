@@ -59,6 +59,26 @@ class JournalTableCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE jcat.topic.gov")
   }
 
+  test("spec write policies reach SQL writes (not just the programmatic path)") {
+    import spark.implicits._
+    val backing = ensureCatalog()
+    // fragmentTargetLength has no CREATE property (it's a spec field);
+    // set it programmatically and write through the SQL identifier —
+    // the spool must roll at the spec's bound, proving the table hands
+    // its spec-derived write defaults to the DSv2 write (a plain
+    // writeTo passes no write options at all).
+    backing.upsert(JournalSpec(name = "topic/rolled",
+      stores = Vector(root), codec = "none",
+      fragmentTargetLength = 64L))
+    (1 to 40).map(i => f"payload-$i%04d").toDF("payload").coalesce(1)
+      .writeTo("jcat.topic.rolled").append()
+    val frags = graft.sources.Journal.listFragments(root, "topic/rolled")
+    assert(frags.size > 1,
+      s"spec fragmentTargetLength=64 must roll the spool via SQL writes, " +
+        s"got ${frags.size} fragment(s)")
+    spark.sql("DROP TABLE jcat.topic.rolled")
+  }
+
   test("read-only flag strips write capabilities") {
     import spark.implicits._
     ensureCatalog()

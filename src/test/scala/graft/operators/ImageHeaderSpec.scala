@@ -55,6 +55,26 @@ class ImageHeaderSpec extends SparkSpec {
     // A corrupted JPEG marker stream desyncs to None, not an exception.
     val bad = jpg.clone(); bad(2) = 0x00
     assert(ImageHeader.parse(bad).isEmpty)
+    // A stream that ENDS in a run of 0xFF fill bytes must not read
+    // past the buffer (the fill-byte skip loop's end condition).
+    val ffRun = Array(0xff, 0xd8, 0xff, 0xff, 0xff, 0xff).map(_.toByte)
+    assert(ImageHeader.parse(ffRun).isEmpty)
+  }
+
+  test("OS/2 core-header BMP parses its own field layout, not the info-header one") {
+    // BITMAPCOREHEADER: size 12 at offset 14, u16 width/height at
+    // 18/20, u16 bpp at 24. Built by hand — ImageIO writes info
+    // headers only.
+    def u16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def u32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val core = Array('B'.toByte, 'M'.toByte) ++ u32(26 + 100 * 50 * 3) ++
+      u32(0) ++ u32(26) ++ u32(12) ++ u16(100) ++ u16(50) ++ u16(1) ++ u16(24)
+    val m = ImageHeader.parse(core).getOrElse(fail("core BMP: None"))
+    assert(m == ImageHeader.Meta("bmp", 100, 50, 3), s"got $m")
+    // An unknown DIB size refuses rather than misparsing.
+    val weird = core.clone(); weird(14) = 16
+    assert(ImageHeader.parse(weird).isEmpty)
   }
 
   test("fromBinary feeds aspect bucketing and resize planning with real bytes") {
