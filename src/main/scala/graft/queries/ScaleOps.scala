@@ -244,7 +244,13 @@ object ScaleOps {
     // enumerates paths; this entry certifies the SQL surface, not a
     // new scale plan.
     "q161_recursive_cte" -> { (s, d) =>
-      coPurchaseEdges(s, d).createOrReplaceTempView("graft_q161_edges")
+      // Persisted (q105's discipline): the UnionLoop re-reads the edge
+      // view once per iteration (4×) and the seed subquery once more —
+      // unpersisted, the lineitem self-join + distinct would replay
+      // five times.
+      val e = coPurchaseEdges(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      e.createOrReplaceTempView("graft_q161_edges")
       s.sql(
         """WITH RECURSIVE walk(node, dist) AS (
           |  SELECT node, 0 FROM (
