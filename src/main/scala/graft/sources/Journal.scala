@@ -256,10 +256,6 @@ object Journal {
     */
   def pruneOlderThan(roots: Seq[String], journal: String,
       horizonMs: Long): Vector[Fragment] = {
-    val conf = hadoopConf
-    // ONE listing serves both the horizon walk (mod-times ride the
-    // Fragment rows) and the deletion pass — no second LIST, no
-    // per-fragment getFileStatus.
     val frags = listFragments(roots, journal, Long.MinValue)
     val cover = coverSet(frags)
     var keepFrom = 0L
@@ -269,15 +265,13 @@ object Journal {
       val (f, _) = it.next()
       if (f.modTimeMs < horizonMs) keepFrom = f.end else cut = true
     }
+    // Delegate the deletion to offset [[prune]] (as documented above):
+    // it lists PER ROOT without content dedup, so a fragment duplicated
+    // across stores mid-migration is deleted from every store that
+    // holds it — deleting from the deduplicated `frags` listing would
+    // leave the sibling copy alive past the retention horizon.
     if (keepFrom == 0L) Vector.empty
-    else {
-      val drop = frags.filter(_.end <= keepFrom)
-      drop.foreach { f =>
-        val p = new HPath(f.path)
-        p.getFileSystem(conf).delete(p, false)
-      }
-      drop
-    }
+    else prune(roots, journal, keepFrom)
   }
 
   def pruneOlderThan(root: String, journal: String,
@@ -488,6 +482,12 @@ object Journal {
           graft.sources.v2.AppendFlowControl.bucket(journal, maxAppendRate)
         else null
         it.foreach { case (line, postfix) =>
+          // Same validation as the DSv2 writer: a null payload would
+          // string-concat into a literal "null" record (silent
+          // corruption), a null postfix would NPE the driver's spool
+          // sort — both deserve a clear error at the source.
+          require(line != null, "journal append: null payload")
+          require(postfix != null, "journal append: null postfix value")
           var sp = spools.getOrElseUpdate(postfix, new Spool(0))
           if (sp.len >= maxFragmentBytes || sp.expired) {
             done += sp.finish(postfix)
@@ -569,6 +569,36 @@ object Journal {
 
     val staged = stage(df, root, journal, codec)
     commitManifested(fs, pending, committed, staged, conf)
+    sweepMarkers(fs, dir, "", batchId)
+  }
+
+  /** How many epochs of `.batch-*.committed` idempotence markers stay
+    * behind the newest one. Spark's micro-batch engine replays at most
+    * the batches not yet committed to its OWN checkpoint — always the
+    * newest few — so markers this far back are dead weight; without a
+    * sweep a short-trigger streaming sink grows the journal directory
+    * (and every reader's per-trigger LIST) without bound. Rewinding a
+    * checkpoint further back than this re-appends those batches.
+    */
+  private val MarkerRetention = 64L
+
+  /** Delete `.batch-<prefix><id>.committed` markers with
+    * id < current − [[MarkerRetention]]; amortized to every 16th id.
+    * Non-numeric ids after the prefix (other queries' epoch tags in the
+    * same directory) are never touched.
+    */
+  private def sweepMarkers(fs: FileSystem, dir: HPath, prefix: String,
+      current: Long): Unit = {
+    if (current % 16L != 0L) return
+    val sts = fs.globStatus(new HPath(dir, s".batch-$prefix*.committed"))
+    if (sts == null) return
+    sts.foreach { st =>
+      val name = st.getPath.getName
+        .stripPrefix(s".batch-$prefix").stripSuffix(".committed")
+      val id = try java.lang.Long.parseLong(name)
+        catch { case _: NumberFormatException => Long.MaxValue }
+      if (id < current - MarkerRetention) fs.delete(st.getPath, false)
+    }
   }
 
   /** Reconcile a crashed attempt's `.pending` manifest. Each line is
@@ -646,6 +676,14 @@ object Journal {
       (frag, tmpPath)
     }
     commitManifested(fs, pending, committed, staged, conf)
+    // Epoch tags are "<queryId>-<epochId>": sweep THIS query's aged
+    // markers (the per-query prefix keeps other writers' tags safe).
+    val cut = epochTag.lastIndexOf('-')
+    if (cut >= 0) {
+      try sweepMarkers(fs, dir, epochTag.substring(0, cut + 1),
+        java.lang.Long.parseLong(epochTag.substring(cut + 1)))
+      catch { case _: NumberFormatException => () }
+    }
     staged.map(_._1)
   }
 
@@ -882,8 +920,15 @@ object Journal {
     require(unsupported.isEmpty,
       s"Journal.readStream cannot decode codec(s) $unsupported — read with " +
         """spark.readStream.format("journal") instead""")
+    // The require above can only see fragments that exist NOW; a writer
+    // switching to zst/sz mid-query would otherwise feed the text
+    // source compressed bytes as garbage lines. The glob pins the query
+    // to the codecs it can decode — a later unsupported fragment is
+    // EXCLUDED (visible as a head/count gap) rather than silently
+    // garbled. The DSv2 `journal` source decodes per-fragment codecs
+    // and has neither limitation.
     spark.readStream
-      .option("pathGlobFilter", "*-*-*.*")
+      .option("pathGlobFilter", "*-*-*.{gz,none,raw}")
       .text(new HPath(root, journal).toString)
       .select(
         lit(journal).as("journal"),

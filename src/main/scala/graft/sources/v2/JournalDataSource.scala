@@ -326,7 +326,12 @@ class JournalMicroBatchStream(roots: Seq[String], journal: String,
     val head = currentHead()
     val s = start.asInstanceOf[JournalOffset].head
     limit match {
-      case ReadMaxJournalBytes(b) => JournalOffset(math.min(head, s + b))
+      // Saturating add: maxBytesPerTrigger = Long.MaxValue ("unlimited")
+      // would wrap s + b negative once s > 0 — the next batch would
+      // re-read from 0 (duplicates) and serialize a negative head the
+      // offset regex can never parse back (unrestorable checkpoint).
+      case ReadMaxJournalBytes(b) =>
+        JournalOffset(if (b > head - s) head else s + b)
       case _ => JournalOffset(head)
     }
   }

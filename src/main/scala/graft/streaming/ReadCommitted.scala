@@ -29,6 +29,18 @@ object ReadCommitted {
 
   /** ONE copy of the envelope → SeqEnvelope metadata projection; the
     * framings differ only in how the UUID hex is extracted.
+    *
+    * Malformed rows DROP here rather than poison-pilling the query: a
+    * payload with a missing / non-hex / short `uuid` yields a null or
+    * undersized `unhex`, and downstream that is a null in SeqEnvelope's
+    * primitive `clock` (deserialization throws) or an
+    * out-of-range read in the producer extraction — either fails the
+    * micro-batch, and every checkpoint-recovery replay fails the same
+    * way (the [[StreamingOrder]] poison-pill lesson). A skipped row is
+    * just a skipped row. (The reference's sequencer passes zero-UUID
+    * messages straight through as untracked, message/sequencer.go —
+    * also non-fatal; dropping keeps the committed view to rows that
+    * actually carry the dedup metadata this path exists to read.)
     */
   private def toSeqEnvelopes(envelopes: DataFrame,
       uuidHex: org.apache.spark.sql.Column): Dataset[Sequencer.SeqEnvelope] = {
@@ -36,6 +48,7 @@ object ReadCommitted {
     import spark.implicits._
     envelopes
       .withColumn("u", unhex(uuidHex))
+      .filter($"u".isNotNull && length($"u") === 16)
       .select(
         $"journal", $"begin", $"end",
         hex(F.uuid_producer($"u")).as("producer"),
@@ -59,6 +72,9 @@ object ReadCommitted {
     import spark.implicits._
     envelopes
       .withColumn("u", substring(col("payload"), 1, 16))
+      // Same malformed-row contract as toSeqEnvelopes: a payload
+      // shorter than one UUID cannot be fixed-framed — drop, don't wedge.
+      .filter(col("u").isNotNull && length(col("u")) === 16)
       .select(
         col("journal"), col("begin"), col("end"),
         hex(F.uuid_producer(col("u"))).as("producer"),

@@ -173,7 +173,9 @@ object StreamingCountMin {
         }
         .foreach(f.delete(_, true))
     }
-    val prevUpto = before.lastOption.getOrElse(-1L)
+    // The delta-cleanup watermark IS the fold floor bound above — one
+    // value, not two derivations that could silently decouple.
+    val prevUpto = upto
     f.globStatus(new Path(s"$path/delta/batch=*")) match {
       case null =>
       case sts => sts.toSeq.map(_.getPath)

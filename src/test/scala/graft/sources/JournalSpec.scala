@@ -82,6 +82,61 @@ class JournalSpec extends SparkSpec {
     assert(one.size == 1, s"size-only rolling expected 1 fragment, got ${one.size}")
   }
 
+  test("null payloads and postfixes fail loudly, not as 'null' records") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val err = intercept[Exception] {
+      Journal.append(Seq(Some("ok"), None).map(_.orNull).toDF("payload"),
+        root, "topic/np", codec = "none")
+    }
+    assert(err.getMessage.contains("null payload") ||
+      Option(err.getCause).exists(_.getMessage.contains("null payload")),
+      s"want a clear null-payload error, got: ${err.getMessage}")
+  }
+
+  test("time retention deletes a fragment's copies from EVERY store") {
+    import spark.implicits._
+    val a = tmpRoot(); val b = tmpRoot()
+    val frags = Journal.append(Seq("x", "y").toDF("payload").coalesce(1),
+      a, "topic/m", codec = "none")
+    // Mid-migration: the same fragment bytes exist in both stores.
+    val src = new org.apache.hadoop.fs.Path(frags.head.path)
+    val dstDir = new org.apache.hadoop.fs.Path(b, "topic/m")
+    val fs = src.getFileSystem(Journal.hadoopConf)
+    fs.mkdirs(dstDir)
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+      new org.apache.hadoop.fs.Path(dstDir, src.getName), false, Journal.hadoopConf)
+    assert(Journal.listFragments(b, "topic/m").size == 1)
+    val dropped = Journal.pruneOlderThan(Seq(a, b), "topic/m",
+      horizonMs = System.currentTimeMillis() + 3600000)
+    // The content-deduplicated listing must not shield the sibling copy.
+    assert(Journal.listFragments(a, "topic/m").isEmpty, "store A copy survived")
+    assert(Journal.listFragments(b, "topic/m").isEmpty, "store B copy survived")
+    assert(dropped.size == 2, s"both copies reported, got ${dropped.size}")
+  }
+
+  test("aged batch markers sweep; recent and foreign markers survive") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val dir = new org.apache.hadoop.fs.Path(root, "topic/mk")
+    val fs = dir.getFileSystem(Journal.hadoopConf)
+    fs.mkdirs(dir)
+    for (n <- Seq(".batch-0.committed", ".batch-10.committed",
+        ".batch-70.committed", ".batch-q-abc-5.committed"))
+      fs.create(new org.apache.hadoop.fs.Path(dir, n), true).close()
+    // batch 80 commits (80 % 16 == 0 → sweep runs; retention 64).
+    Journal.batchSink(root, "topic/mk", codec = "none")(
+      Seq("p").toDF("payload"), batchId = 80L)
+    def exists(n: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(dir, n))
+    assert(!exists(".batch-0.committed") && !exists(".batch-10.committed"),
+      "markers older than the retention window must sweep")
+    assert(exists(".batch-70.committed"), "recent marker must survive")
+    assert(exists(".batch-q-abc-5.committed"),
+      "another query's epoch tag must never be touched by the batch sweep")
+    assert(exists(".batch-80.committed"), "current marker must exist")
+  }
+
   test("listFragments does not attribute a nested journal's fragments to the parent") {
     import spark.implicits._
     val root = tmpRoot()

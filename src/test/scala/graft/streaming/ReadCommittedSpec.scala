@@ -27,6 +27,28 @@ class ReadCommittedSpec extends SparkSpec {
     assert(committed.map(_.payload.split(",")(1)).toSeq == Seq("alpha", "beta"))
   }
 
+  test("malformed uuids drop instead of poison-pilling the decode") {
+    import spark.implicits._
+    // Missing uuid field, non-hex uuid, short uuid, and one valid row:
+    // the first three must DROP (a null/undersized unhex would fail the
+    // non-nullable SeqEnvelope.clock or the producer extraction, and a
+    // streaming replay would fail identically forever).
+    val rows = Seq(
+      """{"v":"no-uuid"}""",
+      """{"uuid":"zzzz","v":"non-hex"}""",
+      """{"uuid":"aabb","v":"short"}""",
+      s"""{"uuid":"${uuidHex(7, 50, 0)}","v":"good"}""")
+    val env = rows.zipWithIndex.map { case (p, i) =>
+      ("j", i.toLong * 10, i.toLong * 10 + 10, p)
+    }.toDF("journal", "begin", "end", "payload")
+    val out = ReadCommitted.fromJsonFraming(env).collect()
+    assert(out.length == 1 && out(0).clock == 50L, out.mkString(","))
+    // Fixed framing: a payload shorter than one UUID likewise drops.
+    val binEnv = Seq(("j", 0L, 3L, "ab".getBytes("UTF-8")))
+      .toDF("journal", "begin", "end", "payload")
+    assert(ReadCommitted.fromFixedFraming(binEnv).collect().isEmpty)
+  }
+
   test("fixed framing: committed bodies round-trip a binary journal") {
     import spark.implicits._
     import graft.sources.Journal
