@@ -457,23 +457,13 @@ object Journal {
     val spooled = rows.rdd
       .mapPartitionsWithIndex { (idx, it) =>
         val fs = new HPath(root).getFileSystem(hc.value)
-        final class Spool(val seq: Int) {
-          val tmp = new HPath(new HPath(root),
-            s".spool-$journalTag-$idx-${java.util.UUID.randomUUID}.tmp")
-          val digest = MessageDigest.getInstance("SHA-1")
-          var len = 0L
-          val bornNanos = System.nanoTime()
-          val out = new BufferedOutputStream(
-            wrapOutput(codec, fs.create(tmp, true)), 1 << 16)
-          def expired: Boolean = flushIntervalMs > 0 && len > 0 &&
-            System.nanoTime() - bornNanos >= flushIntervalMs * 1000000L
-          def finish(postfix: String): (Int, String, Int, Long, String, String) = {
-            out.close()
-            (idx, postfix, seq, len,
-              digest.digest().map("%02x".format(_)).mkString, tmp.toString)
-          }
+        def fresh(seq: Int) =
+          new FragmentSpool(fs, root, s"$journalTag-$idx", codec, seq)
+        def finished(postfix: String, sp: FragmentSpool) = {
+          val len = sp.len // read before finish() closes the stream
+          (idx, postfix, sp.seq, len, sp.finish(), sp.tmp.toString)
         }
-        val spools = scala.collection.mutable.LinkedHashMap.empty[String, Spool]
+        val spools = scala.collection.mutable.LinkedHashMap.empty[String, FragmentSpool]
         val done = Vector.newBuilder[(Int, String, Int, Long, String, String)]
         // Per-journal JVM token bucket (max_append_rate,
         // protocol.proto:293-298); see AppendFlowControl for the
@@ -488,19 +478,17 @@ object Journal {
           // sort — both deserve a clear error at the source.
           require(line != null, "journal append: null payload")
           require(postfix != null, "journal append: null postfix value")
-          var sp = spools.getOrElseUpdate(postfix, new Spool(0))
-          if (sp.len >= maxFragmentBytes || sp.expired) {
-            done += sp.finish(postfix)
-            sp = new Spool(sp.seq + 1)
+          var sp = spools.getOrElseUpdate(postfix, fresh(0))
+          if (sp.shouldRoll(maxFragmentBytes, flushIntervalMs)) {
+            done += finished(postfix, sp)
+            sp = fresh(sp.seq + 1)
             spools(postfix) = sp
           }
-          val bytes = (line + "\n").getBytes("UTF-8")
-          if (flow != null) flow.acquire(bytes.length.toLong)
-          sp.digest.update(bytes)
-          sp.out.write(bytes)
-          sp.len += bytes.length
+          val bytes = line.getBytes("UTF-8")
+          if (flow != null) flow.acquire(bytes.length + 1L)
+          sp.write(bytes)
         }
-        spools.iterator.foreach { case (postfix, sp) => done += sp.finish(postfix) }
+        spools.iterator.foreach { case (postfix, sp) => done += finished(postfix, sp) }
         done.result().iterator
       }.collect().sortBy(s => (s._1, s._2, s._3))
 
@@ -511,14 +499,64 @@ object Journal {
     // several stores, mid-migration) must not restart offsets at the
     // active store's local head — spans held in sibling stores would
     // collide and the cover set would silently drop one of them.
-    var begin = head((offsetRoots :+ root).distinct, journal)
-    spooled.map { case (_, postfix, _, len, sha, tmpPath) =>
+    planFragments(root, journal, codec,
+      head((offsetRoots :+ root).distinct, journal),
+      spooled.map { case (_, postfix, _, len, sha, tmp) =>
+        (postfix, len, sha, tmp) }.toSeq)
+  }
+
+  /** Executor-side spool shared by the batch append ([[stage]]) and the
+    * DSv2 writer — ONE definition of the record framing
+    * ('\n'-terminated), SHA-1 accounting, codec wrapping, and the
+    * size/time roll policy, so the two write paths cannot drift.
+    */
+  private[graft] final class FragmentSpool(fs: FileSystem, root: String,
+      tag: String, codec: String, val seq: Int) {
+    val tmp = new HPath(new HPath(root),
+      s".spool-$tag-${java.util.UUID.randomUUID}.tmp")
+    private val digest = MessageDigest.getInstance("SHA-1")
+    var len = 0L
+    private val bornNanos = System.nanoTime()
+    private val out = new BufferedOutputStream(
+      wrapOutput(codec, fs.create(tmp, true)), 1 << 16)
+    /** Roll BEFORE the next write: size bound reached, or open past the
+      * flush interval (fragment.flush_interval, protocol.proto:229-246). */
+    def shouldRoll(maxFragmentBytes: Long, flushIntervalMs: Long): Boolean =
+      len >= maxFragmentBytes || (flushIntervalMs > 0 && len > 0 &&
+        System.nanoTime() - bornNanos >= flushIntervalMs * 1000000L)
+    /** Append one framed record: payload bytes + '\n'. */
+    def write(payload: Array[Byte]): Unit = {
+      digest.update(payload); digest.update('\n'.toByte)
+      out.write(payload); out.write('\n')
+      len += payload.length + 1
+    }
+    /** Close the stream and return the content SHA-1 hex. */
+    def finish(): String = {
+      out.close()
+      digest.digest().map("%02x".format(_)).mkString
+    }
+    def abortClose(): Unit = out.close()
+  }
+
+  /** ONE definition of head-derived offset assignment + content-addressed
+    * fragment naming, shared by [[stage]], [[commitSpooledEpoch]], and the
+    * DSv2 batch commit — the naming/offset contract is the journal's core
+    * invariant, and divergent copies would mint fragments the other
+    * paths' listings misparse. `spooled` carries
+    * (pathPostfix, uncompressedLength, sha1, spoolPath) in commit order.
+    */
+  private[graft] def planFragments(root: String, journal: String,
+      codec: String, begin0: Long,
+      spooled: Seq[(String, Long, String, String)]): Seq[(Fragment, String)] = {
+    val dir = new HPath(root, journal)
+    var begin = begin0
+    spooled.map { case (postfix, len, sha, tmpPath) =>
       val sub = if (postfix.isEmpty) dir else new HPath(dir, postfix)
       val frag = Fragment(journal, begin, begin + len, sha, codec,
         new HPath(sub, f"$begin%016x-${begin + len}%016x-$sha.$codec").toString)
       begin = frag.end
       (frag, tmpPath)
-    }.toSeq
+    }
   }
 
   /** Commit one staged fragment: atomic rename of its spool into the
@@ -667,14 +705,8 @@ object Journal {
     if (fs.exists(pending) && reconcilePending(fs, pending, committed, journal, codec, conf)) {
       dropSpools(); return Nil
     }
-    var begin = head((offsetRoots :+ root).distinct, journal)
-    val staged = spooled.map { case (postfix, len, sha, tmpPath) =>
-      val sub = if (postfix.isEmpty) dir else new HPath(dir, postfix)
-      val frag = Fragment(journal, begin, begin + len, sha, codec,
-        new HPath(sub, f"$begin%016x-${begin + len}%016x-$sha.$codec").toString)
-      begin = frag.end
-      (frag, tmpPath)
-    }
+    val staged = planFragments(root, journal, codec,
+      head((offsetRoots :+ root).distinct, journal), spooled)
     commitManifested(fs, pending, committed, staged, conf)
     // Epoch tags are "<queryId>-<epochId>": sweep THIS query's aged
     // markers (the per-query prefix keeps other writers' tags safe).

@@ -148,15 +148,11 @@ object JournalWrite {
       messages: Array[WriterCommitMessage]): Unit = {
     val root = roots.head
     val conf = Journal.hadoopConf
-    val dir = new HPath(root, journal)
-    var begin = Journal.head(roots, journal)
-    ordered(messages).foreach { case (postfix, len, sha, tmpPath) =>
-      val sub = if (postfix.isEmpty) dir else new HPath(dir, postfix)
-      val frag = Fragment(journal, begin, begin + len, sha, codec,
-        new HPath(sub, f"$begin%016x-${begin + len}%016x-$sha.$codec").toString)
-      Journal.commitFragment(frag, tmpPath, conf)
-      begin = frag.end
-    }
+    Journal.planFragments(root, journal, codec,
+        Journal.head(roots, journal), ordered(messages))
+      .foreach { case (frag, tmpPath) =>
+        Journal.commitFragment(frag, tmpPath, conf)
+      }
   }
 
   private[v2] def dropSpools(root: String, messages: Array[WriterCommitMessage]): Unit = {
@@ -192,24 +188,17 @@ class JournalWriterFactory(root: String, journalTag: String, codec: String,
 
   private def writer(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      private final class Spool(val seq: Int) {
-        val tmp = new HPath(new HPath(root),
-          s".spool-$journalTag-$partitionId-$taskId-${java.util.UUID.randomUUID}.tmp")
-        val digest = java.security.MessageDigest.getInstance("SHA-1")
-        var len = 0L
-        val bornNanos = System.nanoTime()
-        def expired: Boolean = flushIntervalMs > 0 && len > 0 &&
-          System.nanoTime() - bornNanos >= flushIntervalMs * 1000000L
-        val out: java.io.OutputStream = new java.io.BufferedOutputStream(
-          Journal.wrapOutput(codec, fs.create(tmp, true)), 1 << 16)
-        def finish(postfix: String): Spooled = {
-          out.close()
-          Spooled(postfix, seq, len,
-            digest.digest().map("%02x".format(_)).mkString, tmp.toString)
-        }
-      }
+      // Journal.FragmentSpool: ONE spool implementation shared with the
+      // batch append path (framing, SHA-1, codec, roll policy).
       private lazy val fs = new HPath(root).getFileSystem(hc.value)
-      private val spools = scala.collection.mutable.LinkedHashMap.empty[String, Spool]
+      private def fresh(seq: Int) = new Journal.FragmentSpool(fs, root,
+        s"$journalTag-$partitionId-$taskId", codec, seq)
+      private def finished(postfix: String, sp: Journal.FragmentSpool) = {
+        val len = sp.len // read before finish() closes the stream
+        Spooled(postfix, sp.seq, len, sp.finish(), sp.tmp.toString)
+      }
+      private val spools =
+        scala.collection.mutable.LinkedHashMap.empty[String, Journal.FragmentSpool]
       private val rolled = Seq.newBuilder[Spooled]
 
       // Resolved executor-side: the bucket is shared by every writer of
@@ -228,27 +217,25 @@ class JournalWriterFactory(root: String, journalTag: String, codec: String,
             require(p != null, "journal write: null postfix value")
             p.toString
           }
-        var sp = spools.getOrElseUpdate(postfix, new Spool(0))
-        if (sp.len >= maxFragmentBytes || sp.expired) {
-          rolled += sp.finish(postfix)
-          sp = new Spool(sp.seq + 1)
+        var sp = spools.getOrElseUpdate(postfix, fresh(0))
+        if (sp.shouldRoll(maxFragmentBytes, flushIntervalMs)) {
+          rolled += finished(postfix, sp)
+          sp = fresh(sp.seq + 1)
           spools(postfix) = sp
         }
         val payload = u.getBytes
         if (flow != null) flow.acquire(payload.length + 1L)
-        sp.digest.update(payload); sp.digest.update('\n'.toByte)
-        sp.out.write(payload); sp.out.write('\n')
-        sp.len += payload.length + 1
+        sp.write(payload)
       }
 
       override def commit(): WriterCommitMessage = {
-        spools.iterator.foreach { case (postfix, sp) => rolled += sp.finish(postfix) }
+        spools.iterator.foreach { case (postfix, sp) => rolled += finished(postfix, sp) }
         spools.clear()
         SpoolCommit(partitionId, rolled.result())
       }
 
       override def abort(): Unit = {
-        spools.values.foreach(_.out.close())
+        spools.values.foreach(_.abortClose())
         (rolled.result().map(sp => new HPath(sp.tmpPath)) ++ spools.values.map(_.tmp))
           .foreach(fs.delete(_, false))
       }
