@@ -144,7 +144,7 @@ object Bpe {
         size(col("enc")).cast("long").as("n_bpe"))
       .withColumn("ratio",
         when(col("n_base") > 0,
-          round(col("n_bpe").cast("double") / col("n_base"), 6))
+          Curation.floorRound6(col("n_bpe").cast("double") / col("n_base")))
           .otherwise(lit(1.0)))
   }
 }

@@ -30,10 +30,18 @@ object Contamination {
     // training report — a decontamination gap. NULL counts as "not
     // eval", keeping every doc on exactly one side.
     val isEval = coalesce(evalPred(col("doc_id")), lit(false))
-    val evalSh = docs.filter(isEval)
+    // Both filter branches read `docs` — typically docShingles' fused
+    // tokenize+shingle+hash pipeline — and Spark has no cross-branch
+    // plan reuse: unpersisted, the dominant tokenize cost runs TWICE.
+    // Released after the result is built is not possible lazily; the
+    // returned frame reads this cache, and the harness/caller cache
+    // clear releases it (the bm25TopK convention).
+    val cached = docs
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val evalSh = cached.filter(isEval)
       .select(col("doc_id").as("eval_doc"), explode(col("sh")).as("h"))
       .distinct()
-    val trainSh = docs.filter(!isEval)
+    val trainSh = cached.filter(!isEval)
       .select(col("doc_id"), explode(col("sh")).as("h"))
     trainSh.join(broadcast(evalSh), "h")
       .groupBy(col("doc_id"))

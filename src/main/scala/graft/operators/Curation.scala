@@ -34,6 +34,10 @@ object Curation {
   private[graft] def floorRound6(c: Column): Column =
     floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
 
+  /** 4-decimal sibling of [[floorRound6]] (same rule-9 rationale). */
+  private[graft] def floorRound4(c: Column): Column =
+    floor(c * lit(1e4) + lit(0.5)).cast("double") / lit(1e4)
+
   /** Connected components by iterative min-label propagation: every
     * vertex's label converges to the smallest vertex id reachable from
     * it. `edges` must carry long columns (`a`, `b`) (undirected, any
@@ -317,7 +321,10 @@ object Curation {
     // Efraimidis-Spirakis requires w > 0: log(u) <= 0, so a negative
     // weight would FLIP its key positive and beat every valid row.
     // Zero/negative/null weights mean "never sample" — drop them.
-    df.filter(weight.cast("double") > 0)
+    // Null ids drop (manifestKeyed's rule): a null id would yield a
+    // null race key and crash TopKAgg's non-nullable Entry encoder —
+    // a job kill for one dirty row.
+    df.filter(weight.cast("double") > 0 && id.isNotNull)
       .select(group.as("g"), id.cast("long").as("id"), key.as("key"))
       .groupBy(col("g"))
       .agg(tk(col("key"), col("id")).as("top"))
@@ -464,7 +471,7 @@ object Curation {
       .agg(max(struct(col("quality").as("q"), col("cum"), col("n"))).as("m"))
       .select(col("source"), col("m.q").as("threshold"),
         col("m.n").as("n_total"), col("m.cum").as("n_kept"),
-        round(col("m.cum").cast("double") / col("m.n"), 4).as("keep_ratio"))
+        floorRound4(col("m.cum").cast("double") / col("m.n")).as("keep_ratio"))
   }
 
   /** Classifier calibration audit (reliability-diagram table): bucket

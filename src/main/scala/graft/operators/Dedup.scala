@@ -315,6 +315,12 @@ object Dedup {
     */
   def simhashPairs(sims: DataFrame, maxHamming: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // Pigeonhole banding needs bands <= 64 one-bit-or-wider slices:
+    // maxHamming >= 64 would make width 0 and every band's mask 0 —
+    // 64+ full cross-joins of the corpus with no diagnostic; negative
+    // values would divide by zero.
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64), got $maxHamming")
     val bands = maxHamming + 1
     val width = 64 / bands
     // Materialize the (expensive, 64-aggregate) simhash once: it is
@@ -443,7 +449,8 @@ object Dedup {
       .agg(count(lit(1)).as("n_passages"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_kept"))
       .select(col("doc_id"), col("n_passages"), col("n_kept"),
-        round(col("n_kept").cast("double") / col("n_passages"), 6).as("keep_ratio"))
+        Curation.floorRound6(col("n_kept").cast("double") / col("n_passages"))
+          .as("keep_ratio"))
   }
 
   /** 64-bit SimHash over word tokens: bit b of the hash is the sign of
@@ -492,7 +499,7 @@ object Dedup {
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
           .as("n_novel"))
       .select(col("doc_id"), col("n_shingles"), col("n_novel"),
-        round(col("n_novel").cast("double") / col("n_shingles"), 6)
+        Curation.floorRound6(col("n_novel").cast("double") / col("n_shingles"))
           .as("novelty"))
   }
 }

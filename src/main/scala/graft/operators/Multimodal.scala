@@ -87,7 +87,11 @@ object Multimodal {
       StructField("byte_sum", LongType),
       StructField("first_byte", LongType),
       StructField("n_frames", LongType)))
-    val rdd = media.select(col("doc_id"), col("media")).rdd
+    // Null blobs drop ([[ImageHeader.fromBinary]] deliberately KEEPS
+    // such rows for quarantine routing — decoding them would NPE and
+    // one dirty row would abort the whole job).
+    val rdd = media.select(col("doc_id"), col("media"))
+      .filter(col("media").isNotNull).rdd
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
           // batch boundary: real codecs initialize once per batch here
@@ -203,7 +207,8 @@ object Multimodal {
       StructField("doc_id", LongType),
       StructField("frame_no", IntegerType),
       StructField("frame", BinaryType)))
-    val rdd = media.select(col("doc_id"), col("media")).rdd.flatMap { r =>
+    val rdd = media.select(col("doc_id"), col("media"))
+      .filter(col("media").isNotNull).rdd.flatMap { r => // null blobs drop
       val id = r.getLong(0)
       val bytes = r.getAs[Array[Byte]](1)
       val nFrames = (bytes.length + frameBytes - 1) / frameBytes

@@ -207,9 +207,18 @@ object Retrieval {
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), col("col.id").as("doc_id"),
         (col("pos") + 1).cast("int").as("rank"))
-    scored.join(top, Seq("query_id", "doc_id"))
+    // Materialize the (top-k-bounded, tiny) result and release the
+    // posting-sized internal cache HERE: returning a bare join over
+    // `scored` would leave it unreleasable by callers (unpersist on a
+    // derived frame is a sameResult no-op — the EpochShuffle lesson).
+    // The RETURNED frame is cached; callers done with it unpersist().
+    val out = scored.join(top, Seq("query_id", "doc_id"))
       .select(col("query_id"), col("doc_id"), col("n_terms_hit"),
         col("score"), col("rank"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    scored.unpersist()
+    out
   }
 
   /** Serve a QUERY stream against the at-rest BM25 index: each
@@ -224,9 +233,15 @@ object Retrieval {
       buckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
     queryStream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          bm25ProbeIndex(batch.sparkSession, path, batch, k, buckets)
-            .write.mode("append").parquet(outPath)
+        if (!batch.isEmpty) {
+          // bm25ProbeIndex persists its scored table under a
+          // caller-releases contract: unpersist after the write or a
+          // long-running serve pins one cache entry per micro-batch
+          // until executors thrash (CacheManager holds them forever).
+          val hits = bm25ProbeIndex(batch.sparkSession, path, batch, k, buckets)
+          try hits.write.mode("append").parquet(outPath)
+          finally hits.unpersist()
+        }
       }
       .option("checkpointLocation", checkpoint)
       .start()

@@ -481,6 +481,12 @@ object Similarity {
       bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]], m: Int) =
     udf { v: Seq[Float] =>
       val cs = bc.value
+      // Loud contract (the lshNearDupPairs discipline): truncating
+      // division would silently drop trailing dims from every distance,
+      // and m > dim would make subDim 0 — ALL distances 0, "nearest
+      // neighbors" just the lowest ids, no diagnostic.
+      require(m > 0 && v.length % m == 0,
+        s"pq: embedding dim ${v.length} not divisible by m=$m subvectors")
       val subDim = v.length / m
       (0 until m).map { mi =>
         var best = 0
@@ -507,6 +513,8 @@ object Similarity {
       bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]) =
     udf { (p: Seq[Float], codes: Seq[Int]) =>
       val cs = bc.value
+      require(codes.nonEmpty && p.length % codes.length == 0,
+        s"pq ADC: probe dim ${p.length} not divisible by ${codes.length} codes")
       val subDim = p.length / codes.length
       var acc = java.math.BigDecimal.ZERO
       var mi = 0

@@ -244,10 +244,10 @@ object TextAnalysis {
     perDoc.drop("g2").join(top2, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         when(col("t3") > 0,
-          round(lit(1.0) - col("d3").cast("double") / col("t3"), 6))
+          Curation.floorRound6(lit(1.0) - col("d3").cast("double") / col("t3")))
           .otherwise(0.0).as("dup3_ratio"),
         when(coalesce(col("t2"), lit(0L)) > 0,
-          round(col("maxc").cast("double") / col("t2"), 6))
+          Curation.floorRound6(col("maxc").cast("double") / col("t2")))
           .otherwise(0.0).as("top2_frac"))
   }
 

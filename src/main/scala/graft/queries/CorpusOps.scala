@@ -664,8 +664,8 @@ object CorpusOps {
          |SELECT c.doc_id, CAST(len(c.syms) AS BIGINT) AS n_base,
          |  CAST(coalesce(len(t.syms), len(c.syms)) AS BIGINT) AS n_bpe,
          |  CASE WHEN len(c.syms) > 0
-         |    THEN round(coalesce(len(t.syms), len(c.syms))
-         |      / CAST(len(c.syms) AS DOUBLE), 6)
+         |    THEN floor(coalesce(len(t.syms), len(c.syms))
+         |      / CAST(len(c.syms) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
          |    ELSE 1.0 END AS ratio
          |FROM c0 c LEFT JOIN t10 t USING (doc_id)""".stripMargin,
     // Same window hashing (md5 of the space-joined 8-token slice; list
@@ -953,8 +953,8 @@ object CorpusOps {
         |SELECT c.doc_id, count(*) AS n_passages,
         |  CAST(sum(CASE WHEN f.first_doc = c.doc_id THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_kept,
-        |  round(CAST(sum(CASE WHEN f.first_doc = c.doc_id THEN 1 ELSE 0 END)
-        |    AS DOUBLE) / count(*), 6) AS keep_ratio
+        |  floor(CAST(sum(CASE WHEN f.first_doc = c.doc_id THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*) * 1000000.0 + 0.5) / 1000000.0 AS keep_ratio
         |FROM chunks c JOIN fst f USING (h)
         |GROUP BY c.doc_id""".stripMargin,
 
@@ -977,10 +977,12 @@ object CorpusOps {
         |top2 AS (SELECT doc_id, max(c) AS maxc, sum(c) AS t2 FROM t2t GROUP BY 1)
         |SELECT pd.doc_id, pd.n_tokens,
         |  CASE WHEN pd.t3 > 0
-        |    THEN round(1.0 - CAST(pd.d3 AS DOUBLE) / pd.t3, 6)
+        |    THEN floor((1.0 - CAST(pd.d3 AS DOUBLE) / pd.t3)
+        |      * 1000000.0 + 0.5) / 1000000.0
         |    ELSE 0.0 END AS dup3_ratio,
         |  CASE WHEN coalesce(top2.t2, 0) > 0
-        |    THEN round(CAST(top2.maxc AS DOUBLE) / top2.t2, 6)
+        |    THEN floor(CAST(top2.maxc AS DOUBLE) / top2.t2
+        |      * 1000000.0 + 0.5) / 1000000.0
         |    ELSE 0.0 END AS top2_frac
         |FROM pd LEFT JOIN top2 USING (doc_id)""".stripMargin,
 
@@ -1071,8 +1073,8 @@ object CorpusOps {
         |SELECT doc_id, count(*) AS n_shingles,
         |  CAST(sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_novel,
-        |  round(CAST(sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / count(*), 6) AS novelty
+        |  floor(CAST(sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) * 1000000.0 + 0.5) / 1000000.0 AS novelty
         |FROM sh JOIN first USING (s) GROUP BY doc_id""".stripMargin,
 
     // Masking replay: md5-residue span starts, BETWEEN-range union,

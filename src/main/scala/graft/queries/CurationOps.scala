@@ -645,7 +645,7 @@ object CurationOps {
          |      FROM sel)
          |SELECT source, quality AS threshold, CAST(n AS BIGINT) AS n_total,
          |  CAST(cum AS BIGINT) AS n_kept,
-         |  round(CAST(cum AS DOUBLE) / n, 4) AS keep_ratio
+         |  floor(CAST(cum AS DOUBLE) / n * 10000.0 + 0.5) / 10000.0 AS keep_ratio
          |FROM r WHERE rn = 1""".stripMargin,
 
     // q134's loser CTEs (recursive closure + keep-best rank) feed the
