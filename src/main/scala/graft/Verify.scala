@@ -16,8 +16,13 @@ object Verify {
     // Dynamic oracles (q37b's LSH knob laws) parameterize on the corpus
     // size of THIS dump's SF: set it before queries run and before
     // oracleSql is rendered, from the same table the queries count.
-    System.setProperty("graft.oracle.embeddings_n",
-      Tables.embeddings(spark, sfDir).count().toString)
+    // Skipped when a query filter excludes q37b — a targeted dev run
+    // (Verify dir out q54) shouldn't pay a corpus-sized count for a
+    // property nothing compared will read (consumers default to the
+    // gate-SF value).
+    if (only.forall(_.exists("q37b_embedding_neardup_auto".startsWith)))
+      System.setProperty("graft.oracle.embeddings_n",
+        Tables.embeddings(spark, sfDir).count().toString)
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
       .foreach { case (name, fn) =>

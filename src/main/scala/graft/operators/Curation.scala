@@ -316,16 +316,19 @@ object Curation {
                      weight: Column, k: Int, salt: String): DataFrame = {
     val u = (conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 8),
       16, 10).cast("double") + lit(1.0)) / lit(4294967296.0)
-    val key = log(u) / weight.cast("double")
+    val key = log(u) / weight.try_cast("double")
     val tk = graft.functions.TopKAgg.topK(k)
     // Efraimidis-Spirakis requires w > 0: log(u) <= 0, so a negative
     // weight would FLIP its key positive and beat every valid row.
     // Zero/negative/null weights mean "never sample" — drop them.
-    // Null ids drop (manifestKeyed's rule): a null id would yield a
-    // null race key and crash TopKAgg's non-nullable Entry encoder —
-    // a job kill for one dirty row.
-    df.filter(weight.cast("double") > 0 && id.isNotNull)
-      .select(group.as("g"), id.cast("long").as("id"), key.as("key"))
+    // Null/uncastable ids drop (manifestKeyed's rule): a null id would
+    // yield a null race key and crash TopKAgg's non-nullable Entry
+    // encoder, and under ANSI a plain cast of a non-numeric string id
+    // would itself throw — either way a job kill for one dirty row.
+    // try_cast makes both shapes a silent drop.
+    val idL = id.try_cast("long")
+    df.filter(weight.try_cast("double") > 0 && idL.isNotNull)
+      .select(group.as("g"), idL.as("id"), key.as("key"))
       .groupBy(col("g"))
       .agg(tk(col("key"), col("id")).as("top"))
       .select(col("g"), posexplode(col("top")))

@@ -233,10 +233,19 @@ object Journal {
     * from each root that holds them).
     */
   def prune(roots: Seq[String], journal: String,
+      keepFromOffset: Long): Vector[Fragment] =
+    pruneListed(roots.flatMap(r => listFragments(r, journal)), keepFromOffset)
+
+  /** Deletion half of [[prune]], over an already-fetched PER-ROOT
+    * listing (no content dedup: a fragment duplicated across stores
+    * mid-migration appears once per root and is deleted from each).
+    * Split out so [[pruneOlderThan]] can reuse its horizon walk's
+    * listings instead of paying a second LIST per store.
+    */
+  private def pruneListed(listed: Seq[Fragment],
       keepFromOffset: Long): Vector[Fragment] = {
     val conf = hadoopConf
-    val drop = roots.iterator.flatMap(r => listFragments(r, journal))
-      .filter(_.end <= keepFromOffset).toVector
+    val drop = listed.filter(_.end <= keepFromOffset).toVector
     drop.foreach { f =>
       val p = new HPath(f.path)
       p.getFileSystem(conf).delete(p, false)
@@ -256,7 +265,15 @@ object Journal {
     */
   def pruneOlderThan(roots: Seq[String], journal: String,
       horizonMs: Long): Vector[Fragment] = {
-    val frags = listFragments(roots, journal, Long.MinValue)
+    // ONE listing per store, reused for both halves: the deduplicated
+    // cover walk below, and the per-root deletion (which must see a
+    // fragment duplicated across stores once PER ROOT — deleting from
+    // the deduplicated view would leave the sibling copy alive past
+    // the retention horizon).
+    val perRoot = roots.flatMap(r => listFragments(r, journal))
+    val frags = perRoot.toVector
+      .distinctBy(f => (f.begin, f.end, f.sha1, f.codec))
+      .sortBy(f => (f.begin, -f.end))
     val cover = coverSet(frags)
     var keepFrom = 0L
     val it = cover.iterator
@@ -265,13 +282,8 @@ object Journal {
       val (f, _) = it.next()
       if (f.modTimeMs < horizonMs) keepFrom = f.end else cut = true
     }
-    // Delegate the deletion to offset [[prune]] (as documented above):
-    // it lists PER ROOT without content dedup, so a fragment duplicated
-    // across stores mid-migration is deleted from every store that
-    // holds it — deleting from the deduplicated `frags` listing would
-    // leave the sibling copy alive past the retention horizon.
     if (keepFrom == 0L) Vector.empty
-    else prune(roots, journal, keepFrom)
+    else pruneListed(perRoot, keepFrom)
   }
 
   def pruneOlderThan(root: String, journal: String,
@@ -464,33 +476,57 @@ object Journal {
           (idx, postfix, sp.seq, len, sp.finish(), sp.tmp.toString)
         }
         val spools = scala.collection.mutable.LinkedHashMap.empty[String, FragmentSpool]
-        val done = Vector.newBuilder[(Int, String, Int, Long, String, String)]
+        val doneV = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, String, Int, Long, String, String)]
         // Per-journal JVM token bucket (max_append_rate,
         // protocol.proto:293-298); see AppendFlowControl for the
         // cluster-aggregate semantics.
         val flow = if (maxAppendRate > 0)
           graft.sources.v2.AppendFlowControl.bucket(journal, maxAppendRate)
         else null
-        it.foreach { case (line, postfix) =>
-          // Same validation as the DSv2 writer: a null payload would
-          // string-concat into a literal "null" record (silent
-          // corruption), a null postfix would NPE the driver's spool
-          // sort — both deserve a clear error at the source.
-          require(line != null, "journal append: null payload")
-          require(postfix != null, "journal append: null postfix value")
-          var sp = spools.getOrElseUpdate(postfix, fresh(0))
-          if (sp.shouldRoll(maxFragmentBytes, flushIntervalMs)) {
-            done += finished(postfix, sp)
-            sp = fresh(sp.seq + 1)
-            spools(postfix) = sp
+        try {
+          it.foreach { case (line, postfix) =>
+            // Same validation as the DSv2 writer: a null payload would
+            // string-concat into a literal "null" record (silent
+            // corruption), a null postfix would NPE the driver's spool
+            // sort — both deserve a clear error at the source.
+            require(line != null, "journal append: null payload")
+            require(postfix != null, "journal append: null postfix value")
+            var sp = spools.getOrElseUpdate(postfix, fresh(0))
+            if (sp.shouldRoll(maxFragmentBytes, flushIntervalMs)) {
+              doneV += finished(postfix, sp)
+              sp = fresh(sp.seq + 1)
+              spools(postfix) = sp
+            }
+            val bytes = line.getBytes("UTF-8")
+            if (flow != null) flow.acquire(bytes.length + 1L)
+            sp.write(bytes)
           }
-          val bytes = line.getBytes("UTF-8")
-          if (flow != null) flow.acquire(bytes.length + 1L)
-          sp.write(bytes)
+          spools.iterator.foreach { case (postfix, sp) =>
+            doneV += finished(postfix, sp) }
+        } catch { case e: Throwable =>
+          // A mid-partition failure (null-payload require, IO error)
+          // must not strand open streams or orphan .spool-*.tmp files:
+          // Spark retries the task with FRESH UUID-named spools, so
+          // nothing reclaims this attempt's — the DSv2 writer's
+          // abort() discipline, applied to the batch path. Cleanup is
+          // best-effort; the original error is the one that matters.
+          spools.valuesIterator.foreach { sp =>
+            try sp.abortClose() catch { case _: Exception => () }
+            try fs.delete(sp.tmp, false) catch { case _: Exception => () }
+          }
+          doneV.foreach { case (_, _, _, _, _, tmp) =>
+            try fs.delete(new HPath(tmp), false)
+            catch { case _: Exception => () }
+          }
+          throw e
         }
-        spools.iterator.foreach { case (postfix, sp) => done += finished(postfix, sp) }
-        done.result().iterator
-      }.collect().sortBy(s => (s._1, s._2, s._3))
+        doneV.iterator
+      }
+    val spooledArr =
+      try spooled.collect()
+      catch { case e: Throwable => sweepSpools(root, journalTag); throw e }
+    val spooledSorted = spooledArr.sortBy(s => (s._1, s._2, s._3))
 
     // Driver side: prefix-sum offsets from the journal head in
     // (partition, postfix, rollSeq) order; the caller commits via
@@ -501,9 +537,31 @@ object Journal {
     // collide and the cover set would silently drop one of them.
     planFragments(root, journal, codec,
       head((offsetRoots :+ root).distinct, journal),
-      spooled.map { case (_, postfix, _, len, sha, tmp) =>
+      spooledSorted.map { case (_, postfix, _, len, sha, tmp) =>
         (postfix, len, sha, tmp) }.toSeq)
   }
+
+  /** Best-effort reclamation of every spool tmp of one journal under
+    * `root`, after a failed distributed spool JOB: succeeded tasks'
+    * tmp names travel only in the lost job results, so the driver
+    * cannot delete them by name. Safe because spool names are
+    * journal-scoped (`.spool-<tag>-<part>-<uuid>.tmp`) and a journal
+    * has one appender at a time (the flow-control model): the match
+    * is exactly the failed append's files. The regex (not the glob
+    * alone) keeps a sibling journal whose tag extends this one with a
+    * '-' (journal "a/b-c" vs "a/b") out of the sweep.
+    */
+  private def sweepSpools(root: String, journalTag: String): Unit =
+    try {
+      val rp = new HPath(root)
+      val fs = rp.getFileSystem(hadoopConf)
+      val re = ("""\.spool-""" + java.util.regex.Pattern.quote(journalTag) +
+        """-\d+-[0-9a-f]{8}-[0-9a-f-]{27}\.tmp""").r
+      val sts = fs.globStatus(new HPath(rp, s".spool-$journalTag-*.tmp"))
+      if (sts != null) sts.iterator
+        .filter(st => re.pattern.matcher(st.getPath.getName).matches())
+        .foreach(st => fs.delete(st.getPath, false))
+    } catch { case _: Exception => () }
 
   /** Executor-side spool shared by the batch append ([[stage]]) and the
     * DSv2 writer — ONE definition of the record framing
@@ -755,22 +813,34 @@ object Journal {
             wrapOutput(codec, fs.create(tmp, true)), 1 << 16)
           val header = new Array[Byte](8)
           FixedFramingMagic.copyToArray(header)
-          it.foreach { payload =>
-            val n = payload.length
-            header(4) = n.toByte; header(5) = (n >>> 8).toByte
-            header(6) = (n >>> 16).toByte; header(7) = (n >>> 24).toByte
-            digest.update(header); digest.update(payload)
-            out.write(header); out.write(payload)
-            len += 8L + n
+          try {
+            it.foreach { payload =>
+              val n = payload.length
+              header(4) = n.toByte; header(5) = (n >>> 8).toByte
+              header(6) = (n >>> 16).toByte; header(7) = (n >>> 24).toByte
+              digest.update(header); digest.update(payload)
+              out.write(header); out.write(payload)
+              len += 8L + n
+            }
+            out.close()
+          } catch { case e: Throwable =>
+            // Mirror stage()'s failure discipline: retries open FRESH
+            // UUID-named tmps, so this attempt's must not outlive it.
+            try out.close() catch { case _: Exception => () }
+            try fs.delete(tmp, false) catch { case _: Exception => () }
+            throw e
           }
-          out.close()
           val sha = digest.digest().map("%02x".format(_)).mkString
           Iterator((idx, len, sha, tmp.toString))
         }
-      }.collect().sortBy(_._1)
+      }
+    val spooledArr =
+      try spooled.collect()
+      catch { case e: Throwable => sweepSpools(root, journalTag); throw e }
+    val spooledSorted = spooledArr.sortBy(_._1)
 
     var begin = head(root, journal)
-    spooled.map { case (_, len, sha, tmpPath) =>
+    spooledSorted.map { case (_, len, sha, tmpPath) =>
       val frag = Fragment(journal, begin, begin + len, sha, codec,
         new HPath(dir, f"$begin%016x-${begin + len}%016x-$sha.$codec").toString)
       commitFragment(frag, tmpPath, conf)

@@ -92,6 +92,13 @@ class JournalSpec extends SparkSpec {
     assert(err.getMessage.contains("null payload") ||
       Option(err.getCause).exists(_.getMessage.contains("null payload")),
       s"want a clear null-payload error, got: ${err.getMessage}")
+    // The failed attempt must clean up after itself: retries spool to
+    // FRESH UUID-named tmps, so anything left here is orphaned forever.
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(Journal.hadoopConf)
+    val orphans = fs.listStatus(rootPath)
+      .map(_.getPath.getName).filter(_.startsWith(".spool-"))
+    assert(orphans.isEmpty, s"orphaned spool tmps: ${orphans.mkString(",")}")
   }
 
   test("time retention deletes a fragment's copies from EVERY store") {
