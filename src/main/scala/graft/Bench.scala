@@ -83,12 +83,17 @@ object Bench {
     val total = results.map(_._2).sum
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"sf":"$sfDir"}"""
-    // The driver captures a bounded TAIL of stdout, so ordering is the
-    // contract: the big diagnostic line (per-rep arrays) prints FIRST
-    // and may lose its head to truncation; the LAST line is the
-    // parseable artifact and stays compact (no reps map) so its whole
-    // JSON always fits inside the capture window. The full map is also
-    // persisted to bench_times.json for cross-round diffing.
+    // The driver captures a bounded TAIL of stdout — BENCH_r05.json's
+    // `tail` field is exactly 2000 chars, ending with sbt's ~70-byte
+    // "[success] Total time" line — so ordering AND size are the
+    // contract: the big diagnostic lines (per-query map, per-rep
+    // arrays) print FIRST and may lose their heads to truncation; the
+    // LAST line must fit WHOLE in (2000 - sbt-epilogue) bytes. At 166
+    // queries even the reps-free map line is ~4.6 KB, so the final
+    // line carries no per-query map at all — just total/n/sf and the
+    // bench_times.json pointer (exactly the shape VERDICT r5 asked
+    // for). The full map is persisted to bench_times.json and printed
+    // above for human readers of the un-truncated log.
     println(full)
     // The "map" pointer appears ONLY when this run actually wrote the
     // file — a SPARK_GRAFT_ONLY subset or a read-only CWD must not
@@ -104,7 +109,7 @@ object Bench {
       else false
     val mapField = if (wroteMap) ""","map":"bench_times.json"""" else ""
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n":${results.size}$mapField}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n":${results.size}$mapField}""")
     spark.stop()
   }
 }
