@@ -31,6 +31,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Same per-query hygiene as Bench: operators whose results stay
+      // cheap by persisting a bounded internal table (bm25's postings,
+      // probe indexes) rely on the harness releasing it between
+      // queries — without this, a 166-query dump accumulates every
+      // such cache and later queries run under eviction pressure.
+      finally spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -33,9 +33,12 @@ object Contamination {
     // Both filter branches read `docs` — typically docShingles' fused
     // tokenize+shingle+hash pipeline — and Spark has no cross-branch
     // plan reuse: unpersisted, the dominant tokenize cost runs TWICE.
-    // Released after the result is built is not possible lazily; the
-    // returned frame reads this cache, and the harness/caller cache
-    // clear releases it (the bm25TopK convention).
+    // This cache is CORPUS-sized (every doc's shingle array), too big
+    // to leave pinned for a harness cache clear: materialize the
+    // report-sized result and release it HERE (the bm25ProbeIndex
+    // pattern — a bare lazy return would make the cache unreleasable,
+    // unpersist on a derived frame being a sameResult no-op). The
+    // RETURNED frame is cached; callers done with it unpersist().
     val cached = docs
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val evalSh = cached.filter(isEval)
@@ -43,9 +46,13 @@ object Contamination {
       .distinct()
     val trainSh = cached.filter(!isEval)
       .select(col("doc_id"), explode(col("sh")).as("h"))
-    trainSh.join(broadcast(evalSh), "h")
+    val out = trainSh.join(broadcast(evalSh), "h")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("h")).as("n_shared_shingles"),
         countDistinct(col("eval_doc")).as("n_eval_docs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    cached.unpersist()
+    out
   }
 }

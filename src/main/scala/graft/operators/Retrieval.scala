@@ -157,6 +157,11 @@ object Retrieval {
     * the postings read plans `tb IN (...)` partition pruning plus the
     * term row filter — work per batch is Σ|posting list| of the
     * batch's terms, independent of corpus size.
+    *
+    * The returned (top-k-bounded) frame is CACHED — callers
+    * `unpersist()` it when done (see [[bm25StreamingServe]]'s
+    * per-batch release), or a probe loop pins one cache entry per
+    * call until the session dies.
     */
   def bm25ProbeIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                      queries: DataFrame, k: Int, buckets: Int = 64,

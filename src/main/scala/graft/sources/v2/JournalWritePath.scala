@@ -235,9 +235,17 @@ class JournalWriterFactory(root: String, journalTag: String, codec: String,
       }
 
       override def abort(): Unit = {
-        spools.values.foreach(_.abortClose())
+        // Best-effort and PER-SPOOL: abort typically runs on an already
+        // failing executor, where a codec close flushing to a dead
+        // stream throws — one such throw must not skip the remaining
+        // closes or any delete. A tmp skipped here is orphaned forever:
+        // retries spool to fresh UUID names, and sweepSpools
+        // deliberately never matches DSv2 spool names.
+        spools.values.foreach { sp =>
+          try sp.abortClose() catch { case _: Exception => () }
+        }
         (rolled.result().map(sp => new HPath(sp.tmpPath)) ++ spools.values.map(_.tmp))
-          .foreach(fs.delete(_, false))
+          .foreach(p => try fs.delete(p, false) catch { case _: Exception => () })
       }
 
       override def close(): Unit = ()

@@ -97,10 +97,12 @@ class RetrievalSpec extends SparkSpec {
 
     val queries = Seq((100L, Seq("quick", "lazy", "fox")),
       (101L, Seq("jumps"))).toDF("query_id", "terms")
-    val out = Retrieval.bm25ProbeIndex(spark, idx, queries, k = 3, buckets = 8)
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getInt(4)))
-      .toSet
+    val probed = Retrieval.bm25ProbeIndex(spark, idx, queries, k = 3, buckets = 8)
+    val out =
+      try probed.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getInt(4)))
+        .toSet
+      finally probed.unpersist()
     val expect = (Retrieval
         .bm25TopK(docs, $"doc_id", $"text", Seq("quick", "lazy", "fox"), k = 3)
         .collect().map(r => (100L, r.getLong(0), r.getDouble(2), r.getInt(3)))
@@ -118,9 +120,11 @@ class RetrievalSpec extends SparkSpec {
     Retrieval.indexAtRest(docs, $"doc_id", $"text", idx, buckets = 8)
 
     val queries = Seq((1L, Seq("lazy", "dog")), (2L, Seq("quick")))
-    val expected = Retrieval.bm25ProbeIndex(spark, idx,
-        queries.toDF("query_id", "terms"), k = 2, buckets = 8)
-      .collect().map(_.toSeq).toSet
+    val probed = Retrieval.bm25ProbeIndex(spark, idx,
+      queries.toDF("query_id", "terms"), k = 2, buckets = 8)
+    val expected =
+      try probed.collect().map(_.toSeq).toSet
+      finally probed.unpersist()
 
     val input = MemoryStream[(Long, Seq[String])](spark)
     input.addData(queries: _*)
