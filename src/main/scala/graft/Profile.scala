@@ -60,11 +60,20 @@ object Profile {
         .lshNearDupPairsAuto(Tables.embeddings(spark, sfDir), thr).count())
     }
     // Fixed vs corpus-sized k / nlist (semantic dedup + IVF knobs).
-    t("semanticDup fixed k=8")(graft.operators.Clustering.semanticDupPairs(
-      graft.operators.Clustering.kmeansAssign(
-        Tables.embeddings(spark, sfDir), k = 8, updates = 1), 0.4).count())
-    t("semanticDup auto k")(graft.operators.Clustering
-      .semanticDupPairsAuto(Tables.embeddings(spark, sfDir), 0.4).count())
+    // Both semanticDup forms hand back (or consume) frames persisted
+    // under a caller-unpersists contract — release them here, or the
+    // corpus-sized caches pin memory and skew every later step's time.
+    t("semanticDup fixed k=8") {
+      val assigned = graft.operators.Clustering.kmeansAssign(
+        Tables.embeddings(spark, sfDir), k = 8, updates = 1)
+      try graft.operators.Clustering.semanticDupPairs(assigned, 0.4).count()
+      finally assigned.unpersist()
+    }
+    t("semanticDup auto k") {
+      val pairs = graft.operators.Clustering
+        .semanticDupPairsAuto(Tables.embeddings(spark, sfDir), 0.4)
+      try pairs.count() finally pairs.unpersist()
+    }
     locally {
       val emb = Tables.embeddings(spark, sfDir)
       val n = emb.count() // probe counts derive from the ACTUAL corpus

@@ -73,8 +73,9 @@ object ImageHeader {
       if (j + 1 >= b.length) return None // stream ends in a 0xFF run
       val marker = b(j + 1) & 0xff
       i = j + 2
-      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
-        // standalone (SOI / RSTn): no length field
+      if (marker == 0xd8 || marker == 0x01 ||
+          (marker >= 0xd0 && marker <= 0xd7)) {
+        // standalone (SOI / TEM / RSTn): no length field (T.81 §B.1.1.3)
       } else if (marker == 0xd9 || marker == 0xda) {
         return None // EOI / start-of-scan before any SOF: no geometry
       } else {

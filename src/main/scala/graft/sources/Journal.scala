@@ -429,9 +429,21 @@ object Journal {
       maxAppendRate: Long = 0L,
       flushIntervalMs: Long = 0L): Seq[Fragment] = {
     val conf = hadoopConf
-    stage(df, root, journal, codec, payloadCol, postfixCol, maxFragmentBytes,
-        offsetRoots, maxAppendRate, flushIntervalMs).map {
-      case (frag, tmp) => commitFragment(frag, tmp, conf)
+    val staged = stage(df, root, journal, codec, payloadCol, postfixCol,
+      maxFragmentBytes, offsetRoots, maxAppendRate, flushIntervalMs)
+    // A rename that throws mid-sequence leaves a valid committed prefix
+    // (content-addressed, contiguous from the old head) — but the tmp
+    // files of the remaining fragments would be orphaned with no
+    // reclamation path. Delete them by name before rethrowing.
+    var done = 0
+    try staged.map { case (frag, tmp) =>
+      val f = commitFragment(frag, tmp, conf); done += 1; f
+    } catch { case e: Throwable =>
+      val fs = new HPath(root).getFileSystem(conf)
+      staged.drop(done).foreach { case (_, tmp) =>
+        try fs.delete(new HPath(tmp), false) catch { case _: Exception => () }
+      }
+      throw e
     }
   }
 
@@ -535,10 +547,20 @@ object Journal {
     // several stores, mid-migration) must not restart offsets at the
     // active store's local head — spans held in sibling stores would
     // collide and the cover set would silently drop one of them.
-    planFragments(root, journal, codec,
+    // Past the collect the spool tmp names are known on the driver: a
+    // failure in the head listing (or anything else before the caller
+    // commits) deletes them directly instead of orphaning them.
+    try planFragments(root, journal, codec,
       head((offsetRoots :+ root).distinct, journal),
       spooledSorted.map { case (_, postfix, _, len, sha, tmp) =>
         (postfix, len, sha, tmp) }.toSeq)
+    catch { case e: Throwable =>
+      val fs = new HPath(root).getFileSystem(conf)
+      spooledArr.foreach { case (_, _, _, _, _, tmp) =>
+        try fs.delete(new HPath(tmp), false) catch { case _: Exception => () }
+      }
+      throw e
+    }
   }
 
   /** Best-effort reclamation of every spool tmp of one journal under
@@ -657,6 +679,7 @@ object Journal {
     val fs = dir.getFileSystem(conf)
     val committed = new HPath(dir, s".batch-$batchId.committed")
     if (fs.exists(committed)) return
+    assertNotSwept(fs, dir, "", batchId)
     fs.mkdirs(dir)
 
     val pending = new HPath(dir, s".batch-$batchId.pending")
@@ -686,6 +709,7 @@ object Journal {
   private def sweepMarkers(fs: FileSystem, dir: HPath, prefix: String,
       current: Long): Unit = {
     if (current % 16L != 0L) return
+    val horizon = current - MarkerRetention
     val sts = fs.globStatus(new HPath(dir, s".batch-$prefix*.committed"))
     if (sts == null) return
     sts.foreach { st =>
@@ -693,8 +717,37 @@ object Journal {
         .stripPrefix(s".batch-$prefix").stripSuffix(".committed")
       val id = try java.lang.Long.parseLong(name)
         catch { case _: NumberFormatException => Long.MaxValue }
-      if (id < current - MarkerRetention) fs.delete(st.getPath, false)
+      if (id < horizon) fs.delete(st.getPath, false)
     }
+    // Record the sweep horizon so a rewound checkpoint can be REFUSED
+    // instead of silently duplicated (see assertNotSwept).
+    if (horizon > 0)
+      writeStringAtomic(fs, new HPath(dir, s".batch-${prefix}swept"),
+        horizon.toString)
+  }
+
+  /** Fail loudly when batch `id` is below the swept-marker horizon: its
+    * `.committed` idempotence marker may already have been deleted by
+    * [[sweepMarkers]], so "marker absent" no longer proves "never
+    * appended" — proceeding would silently re-append the batch as
+    * duplicate records. Rewinds within [[MarkerRetention]] of the
+    * newest batch (all Spark's micro-batch engine ever replays) never
+    * trip this.
+    */
+  private def assertNotSwept(fs: FileSystem, dir: HPath, prefix: String,
+      id: Long): Unit = {
+    val hp = new HPath(dir, s".batch-${prefix}swept")
+    if (!fs.exists(hp)) return
+    val horizon =
+      try readString(fs, hp).trim.toLong
+      catch { case _: NumberFormatException => return }
+    if (id < horizon) throw new IllegalStateException(
+      s"batch $id of $dir is below the swept idempotence horizon " +
+      s"$horizon: markers more than $MarkerRetention behind the newest " +
+      "batch are deleted, so this batch cannot be proven un-appended " +
+      "and a re-append would duplicate its records. Restore a " +
+      "checkpoint within the retention window, or deduplicate and " +
+      s"remove $hp to override.")
   }
 
   /** Reconcile a crashed attempt's `.pending` manifest. Each line is
@@ -762,6 +815,15 @@ object Journal {
     if (fs.exists(committed)) { dropSpools(); return Nil }
     if (fs.exists(pending) && reconcilePending(fs, pending, committed, journal, codec, conf)) {
       dropSpools(); return Nil
+    }
+    // Same rewind fence as batchSink: an epoch below this query's swept
+    // horizon cannot be proven un-committed.
+    locally {
+      val cut0 = epochTag.lastIndexOf('-')
+      if (cut0 >= 0)
+        try assertNotSwept(fs, dir, epochTag.substring(0, cut0 + 1),
+          java.lang.Long.parseLong(epochTag.substring(cut0 + 1)))
+        catch { case _: NumberFormatException => () }
     }
     val staged = planFragments(root, journal, codec,
       head((offsetRoots :+ root).distinct, journal), spooled)

@@ -55,6 +55,16 @@ class ImageHeaderSpec extends SparkSpec {
     // A corrupted JPEG marker stream desyncs to None, not an exception.
     val bad = jpg.clone(); bad(2) = 0x00
     assert(ImageHeader.parse(bad).isEmpty)
+    // A standalone TEM marker (0xFF 0x01, no length field, T.81
+    // §B.1.1.3) between SOI and SOF must be skipped, not read as a
+    // length-bearing segment (which would desync the walk to None).
+    val jpgTem = {
+      val b = img("jpg", 30, 30)
+      b.take(2) ++ Array(0xff.toByte, 0x01.toByte) ++ b.drop(2)
+    }
+    val tem = ImageHeader.parse(jpgTem)
+      .getOrElse(fail("TEM-bearing JPEG: parse returned None"))
+    assert(tem.width == 30 && tem.height == 30, s"TEM jpeg: $tem")
     // A stream that ENDS in a run of 0xFF fill bytes must not read
     // past the buffer (the fill-byte skip loop's end condition).
     val ffRun = Array(0xff, 0xd8, 0xff, 0xff, 0xff, 0xff).map(_.toByte)

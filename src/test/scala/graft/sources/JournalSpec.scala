@@ -142,6 +142,19 @@ class JournalSpec extends SparkSpec {
     assert(exists(".batch-q-abc-5.committed"),
       "another query's epoch tag must never be touched by the batch sweep")
     assert(exists(".batch-80.committed"), "current marker must exist")
+    // The sweep records its horizon (80 - 64 = 16): a rewind below it
+    // can no longer prove idempotence and must be REFUSED, not
+    // silently duplicated; a retry whose marker survived stays a no-op.
+    assert(exists(".batch-swept"), "sweep must record its horizon")
+    val before = Journal.listFragments(root, "topic/mk").size
+    intercept[IllegalStateException] {
+      Journal.batchSink(root, "topic/mk", codec = "none")(
+        Seq("dup").toDF("payload"), batchId = 10L)
+    }
+    Journal.batchSink(root, "topic/mk", codec = "none")(
+      Seq("dup").toDF("payload"), batchId = 70L) // marker present: no-op
+    assert(Journal.listFragments(root, "topic/mk").size == before,
+      "neither the refused rewind nor the marker-fenced retry may append")
   }
 
   test("listFragments does not attribute a nested journal's fragments to the parent") {
