@@ -13,11 +13,14 @@ import org.apache.spark.sql.types._
   * pseudo-features from the raw bytes. HEADER decoding is real:
   * [[ImageHeader]] parses PNG/JPEG/GIF/BMP geometry and channels from
   * a blob's leading bytes (JDK-only), so [[aspectBuckets]] and
-  * [[resizePlan]] run on actual media via [[ImageHeader.fromBinary]]. Everything around it — the schema contract, the
-  * per-partition batch iteration (the Scala analog of `mapInPandas`:
-  * one buffer of `batchSize` rows at a time, amortizing per-batch setup
-  * such as a model handle or codec context), partitioning, and the
-  * frame-sampling layout — is real and tested.
+  * [[resizePlan]] run on actual media via [[ImageHeader.fromBinary]].
+  * Everything around the stub — the schema contract, partitioning, and
+  * the frame-sampling layout — is real and tested, and both
+  * [[extractFeatures]] and [[sampleFrames]] are ordinary projections /
+  * generators (no `.rdd`): the blob scan stays columnar and the plan
+  * stays in whole-stage codegen. A real codec or model runtime
+  * initializes once per executor inside the extraction UDF's closure
+  * (lazy val), the JVM analog of `mapInPandas`' per-batch handle.
   *
   * Scale notes: feature extraction is a narrow map (no shuffle); media
   * blobs should ride in their own column so Parquet column pruning skips
@@ -73,37 +76,28 @@ object Multimodal {
     media.repartition(parts)
   }
 
-  /** Batched feature extraction over the media column. Rows are buffered
-    * into `batchSize` groups per partition — the seam where a real
-    * implementation hands a whole batch to a codec/model runtime — then
-    * flattened back to rows of (doc_id, n_bytes, byte_sum, first_byte,
-    * n_frames).
+  /** Feature extraction over the media column: (doc_id, n_bytes,
+    * byte_sum, first_byte, n_frames) per blob. A struct-returning UDF
+    * in a plain projection (the [[ImageHeader.imageMeta]] style) — the
+    * scan stays columnar and the surrounding plan stays in whole-stage
+    * codegen, where the previous `.rdd.mapPartitions` form dropped the
+    * whole stage to an `RDDScanExec` over `Row`s. A real codec/model
+    * handle initializes once per executor (a lazy val in the UDF's
+    * closure object), which amortizes setup strictly better than the
+    * old per-`batchSize`-group seam did.
     */
-  def extractFeatures(media: DataFrame, frameBytes: Int = 256, batchSize: Int = 64): DataFrame = {
-    val spark = media.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("n_bytes", LongType),
-      StructField("byte_sum", LongType),
-      StructField("first_byte", LongType),
-      StructField("n_frames", LongType)))
+  def extractFeatures(media: DataFrame, frameBytes: Int = 256): DataFrame = {
+    require(frameBytes > 0, s"frameBytes must be positive, got $frameBytes")
+    val stats = udf { bytes: Array[Byte] => decodeStub(bytes) }
     // Null blobs drop ([[ImageHeader.fromBinary]] deliberately KEEPS
     // such rows for quarantine routing — decoding them would NPE and
     // one dirty row would abort the whole job).
-    val rdd = media.select(col("doc_id"), col("media"))
-      .filter(col("media").isNotNull).rdd
-      .mapPartitions { rows =>
-        rows.grouped(batchSize).flatMap { batch =>
-          // batch boundary: real codecs initialize once per batch here
-          batch.map { r =>
-            val id = r.getLong(0)
-            val bytes = r.getAs[Array[Byte]](1)
-            val (n, sum, first) = decodeStub(bytes)
-            Row(id, n, sum, first, (n + frameBytes - 1) / frameBytes)
-          }
-        }
-      }
-    spark.createDataFrame(rdd, outSchema)
+    media.filter(col("media").isNotNull)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        stats(col("media")).as("s"))
+      .select(col("doc_id"), col("s._1").as("n_bytes"),
+        col("s._2").as("byte_sum"), col("s._3").as("first_byte"),
+        expr(s"(s._1 + ${frameBytes - 1L}) div $frameBytes").as("n_frames"))
   }
 
   /** Aspect-ratio bucketed batching (the image-model training-loader
@@ -199,24 +193,25 @@ object Multimodal {
 
   /** Frame sampling: slice the blob into fixed-size frames and keep every
     * `stride`-th one — the video-keyframe-sampling layout, as a generator
-    * (one output row per sampled frame).
+    * (one output row per sampled frame). Entirely native expressions:
+    * `sequence` + `explode` generate the sampled frame numbers and the
+    * binary `substr` slices each frame (clipping the tail frame), so the
+    * whole operator codegens — no UDF, no `.rdd`.
     */
   def sampleFrames(media: DataFrame, frameBytes: Int = 256, stride: Int = 4): DataFrame = {
-    val spark = media.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("frame_no", IntegerType),
-      StructField("frame", BinaryType)))
-    val rdd = media.select(col("doc_id"), col("media"))
-      .filter(col("media").isNotNull).rdd.flatMap { r => // null blobs drop
-      val id = r.getLong(0)
-      val bytes = r.getAs[Array[Byte]](1)
-      val nFrames = (bytes.length + frameBytes - 1) / frameBytes
-      (0 until nFrames by stride).map { f =>
-        val from = f * frameBytes
-        Row(id, f, java.util.Arrays.copyOfRange(bytes, from, math.min(from + frameBytes, bytes.length)))
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    require(frameBytes > 0, s"frameBytes must be positive, got $frameBytes")
+    require(stride > 0, s"stride must be positive, got $stride")
+    media.filter(col("media").isNotNull) // null blobs drop
+      .select(col("doc_id").cast("long").as("doc_id"), col("media"),
+        expr(s"((octet_length(media) + ${frameBytes - 1L}) div $frameBytes)")
+          .cast("int").as("n_frames"))
+      .filter(col("n_frames") > 0) // empty blobs yield no frames
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride)))
+          .as("frame_no"),
+        col("media"))
+      .select(col("doc_id"), col("frame_no"),
+        col("media").substr(col("frame_no") * frameBytes + 1,
+          lit(frameBytes)).as("frame"))
   }
 }
