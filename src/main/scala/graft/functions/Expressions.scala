@@ -112,6 +112,22 @@ case class Fnv1a32(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Fnv1a32 = copy(c)
 }
 
+/** Unicode NFC normalization (the q162 hygiene pass): null-safe,
+  * codegen'd via the [[UnicodeNorm.nfc]] static forwarder. No Spark
+  * builtin performs canonical composition, so this is the one string
+  * scalar the family adds rather than wraps.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    ScalarChecks.expect("NfcNormalize", Seq(child), Seq(StringType))
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any): Any =
+    UnicodeNorm.nfc(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.UnicodeNorm.nfc($c)")
+  override protected def withNewChildInternal(c: Expression): NfcNormalize = copy(c)
+}
+
 case class Crc64(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     ScalarChecks.expect("Crc64", Seq(child), Seq(BinaryType))

@@ -45,6 +45,9 @@ object F {
 
   def crc64(c: Column): Column =
     ColumnBridge.column(Crc64(e(c.cast("binary"))))
+
+  /** Unicode NFC normalization of a string column (null-safe). */
+  def nfc(c: Column): Column = ColumnBridge.column(NfcNormalize(e(c)))
   def crc64_update(prev: Column, data: Column): Column =
     ColumnBridge.column(Crc64Update(e(prev), e(data.cast("binary"))))
 

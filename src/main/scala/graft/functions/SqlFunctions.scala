@@ -51,6 +51,8 @@ object SqlFunctions {
       { a: Seq[Expression] => arity("graft_fnv1a32", 1, a); Fnv1a32(a(0)) },
     "graft_crc64" ->
       { a: Seq[Expression] => arity("graft_crc64", 1, a); Crc64(a(0)) },
+    "graft_nfc" ->
+      { a: Seq[Expression] => arity("graft_nfc", 1, a); NfcNormalize(a(0)) },
     "graft_crc64_update" ->
       { a: Seq[Expression] =>
         arity("graft_crc64_update", 2, a); Crc64Update(a(0), a(1)) },

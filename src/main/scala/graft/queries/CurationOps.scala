@@ -53,14 +53,11 @@ object CurationOps {
     // bytes do not. Narrow map + one aggregate: scan-bound at any SF.
     "q162_nfc_audit" -> { (s, d) =>
       import s.implicits._
-      val nfc = udf { t: String =>
-        if (t == null) null
-        else java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC) }
       Tables.documents(s, d)
         .select($"source",
           when($"doc_id" % 5 === 0, concat($"text", lit(nfcProbe)))
             .otherwise($"text").as("t"))
-        .withColumn("n", nfc($"t"))
+        .withColumn("n", graft.functions.F.nfc($"t"))
         .groupBy($"source")
         .agg(count(lit(1)).as("n_docs"),
           sum(when($"t" =!= $"n", 1L).otherwise(0L)).as("n_denorm"),

@@ -38,6 +38,39 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(row.getLong(9) == Curves.hilbert2(3L, 5L, 4))
   }
 
+  test("graft_nfc is bit-identical to the Normalizer UDF it replaced") {
+    SqlFunctions.registerAll(spark)
+    import org.apache.spark.sql.functions.{col, udf}
+    import spark.implicits._
+    // Decomposed e+combining-acute, composed é, Hangul jamo runs, pure
+    // ASCII, empty, and a null — the q162 probe classes.
+    val texts = Seq("ab cdéf", "café", "각",
+      "plain ascii", "", null)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    val legacy = udf { t: String =>
+      if (t == null) null
+      else java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC) }
+    val out = df.select(col("id"), F.nfc(col("t")).as("e"),
+        legacy(col("t")).as("u")).orderBy(col("id")).collect()
+    out.foreach { r =>
+      assert(r.getAs[String]("e") == r.getAs[String]("u"),
+        s"row ${r.getLong(0)}: expression vs UDF diverge")
+    }
+    // Null stays null (null-safe expression, not a throw).
+    assert(out.last.isNullAt(1) && out.last.isNullAt(2))
+    // And the SQL name resolves to the same kernel.
+    val viaSql = spark.sql(
+      "SELECT graft_nfc('ab cdéf')").collect()(0).getString(0)
+    assert(viaSql == java.text.Normalizer.normalize("ab cdéf",
+      java.text.Normalizer.Form.NFC))
+    // Analysis-time type gate: non-string input refuses.
+    val eT = intercept[Exception] {
+      spark.sql("SELECT graft_nfc(X'00')").collect()
+    }
+    assert(eT.getMessage.contains("string"), eT.getMessage)
+  }
+
   test("misuse fails at analysis time") {
     SqlFunctions.registerAll(spark)
     // Non-literal bits for the curve index.
