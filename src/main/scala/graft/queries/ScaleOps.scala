@@ -236,13 +236,17 @@ object ScaleOps {
     // `WITH RECURSIVE` through spark.sql (Spark 4's UnionLoop; the
     // reference analog is bike-share's recursive cycle walk,
     // examples/bike-share/sql_statements.go:64-104). Spark's recursion
-    // supports UNION ALL only, so BOTH sides walk every path of
-    // length <= 3 (bounded: the dist guard terminates cyclic walks)
-    // and recover BFS layers with min(dist). [[Bfs.distances]] (q105)
-    // remains the 100-TB path — its frontier anti-join does
-    // Σ outdeg(frontier) work per round while the recursive walk
-    // enumerates paths; this entry certifies the SQL surface, not a
-    // new scale plan.
+    // supports UNION ALL only, so the walk recovers BFS layers with
+    // min(dist); the DISTINCT in the recursive leg collapses each
+    // level to unique (node, dist) rows, so the per-iteration working
+    // set is bounded by |V|·depth instead of the path count — on a
+    // dense graph the undeduplicated UNION ALL walk multiplies by
+    // mean out-degree per hop. (min(dist) over distinct pairs is
+    // identical to min over paths, so results are unchanged.)
+    // [[Bfs.distances]] (q105) remains the 100-TB path — its frontier
+    // anti-join also skips re-expanding nodes SEEN AT EARLIER levels,
+    // which the level-local DISTINCT cannot; this entry certifies the
+    // SQL surface, not a new scale plan.
     "q161_recursive_cte" -> { (s, d) =>
       // Persisted (q105's discipline): the UnionLoop re-reads the edge
       // view once per iteration (4×) and the seed subquery once more —
@@ -257,7 +261,7 @@ object ScaleOps {
           |    SELECT src AS node FROM graft_q161_edges
           |    GROUP BY src ORDER BY node LIMIT 3)
           |  UNION ALL
-          |  SELECT e.dst, w.dist + 1 FROM walk w
+          |  SELECT DISTINCT e.dst, w.dist + 1 FROM walk w
           |  JOIN graft_q161_edges e ON e.src = w.node
           |  WHERE w.dist < 3)
           |SELECT CAST(node AS BIGINT) AS node,
