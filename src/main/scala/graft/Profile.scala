@@ -142,6 +142,59 @@ object Profile {
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[profile] sequencer batch throughput: ${n / dt / 1e6}%.2f M msgs/s total " +
         f"(${n / dt / 32 / 1e3}%.1f K msgs/s/core), $out committed of $n in $dt%.2f s")
+      envs.unpersist()
+    }
+    // Streaming sequencer through the STATE STORE (the deployment
+    // form), and the restart stall — the reference's recovery bound is
+    // <20 s to resume a shard after a crash
+    // (test/integration/crash_test.go:23-33).
+    {
+      import graft.streaming.Sequencer
+      import graft.streaming.Sequencer.SeqEnvelope
+      import org.apache.spark.sql.streaming.Trigger
+      val base = java.nio.file.Files.createTempDirectory("graft-prof-seqs")
+      val ckpt = s"$base/ckpt"; val outDir = s"$base/out"
+      val inDir = s"$base/in"
+      // Input arrives as parquet FILES (≈ journal fragments), one per
+      // micro-batch via maxFilesPerTrigger — executor-side reads, no
+      // driver-resident blocks (MemoryStream serializes its rows into
+      // every batch's task binary; at 10⁶ rows that measures the
+      // driver, not the sequencer).
+      def writeBlock(tag: String, from: Long, n: Long): Unit =
+        spark.range(from, from + n).as[Long].map { i =>
+          val producer = "p" + (i % 32)
+          val journal = "j" + (i % 4)
+          val seq = i / 32
+          val flags = if (seq % 20 == 19) Sequencer.AckTxn
+            else Sequencer.ContinueTxn
+          SeqEnvelope(journal, i * 10, i * 10 + 10, producer, seq + 1, flags, "x")
+        }.coalesce(1).write.parquet(s"$inDir/$tag")
+      val schema = org.apache.spark.sql.Encoders.product[SeqEnvelope].schema
+      def drain(): Double = {
+        val src = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$inDir/*")
+          .as[SeqEnvelope]
+        val t0 = System.nanoTime()
+        val q = Sequencer.sequenceStream(src).writeStream
+          .format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val nStream = 1000000L
+      (0L until 4L).foreach(b => writeBlock(s"b$b", b * 250000L, 250000L))
+      val dtS = drain()
+      println(f"[profile] sequencer micro-batch (fMGWS + state store, " +
+        f"4 batches): ${nStream / dtS / 1e6}%.2f M msgs/s sustained, " +
+        f"$nStream msgs in $dtS%.2f s")
+      // Restart stall: a NEW query instance on the same checkpoint must
+      // reload every group's state and drain a trailing 32K-message
+      // batch. Wall time start→commit is the recovery-stall analog.
+      writeBlock("tail", nStream, 32000L)
+      val dtR = drain()
+      println(f"[profile] sequencer restart: state reload + 32K-msg drain " +
+        f"in $dtR%.2f s (reference crash-recovery bound: <20 s)")
     }
     // Journal append/read throughput. The reference names spool
     // compression as THE append bottleneck (docs/brokers-concepts.rst:

@@ -55,4 +55,57 @@ object Contamination {
     cached.unpersist()
     out
   }
+
+  /** Broadcastable eval-set shingle sketch for [[ingestGuard]]: the
+    * distinct 64-bit shingle hashes of the eval docs folded into a
+    * Bloom filter. Sized from the exact distinct count (eval sets are
+    * benchmark suites — a count over them is trivial); at fpp 1e-3 a
+    * 10M-shingle eval set costs ~18 MB, comfortably broadcastable.
+    * `evalSh` is (doc_id, sh) from [[Dedup.docShingles]].
+    */
+  def evalShingleBloom(evalSh: DataFrame,
+      fpp: Double = 0.001): org.apache.spark.util.sketch.BloomFilter = {
+    val flat = evalSh.select(explode(col("sh")).as("h")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try flat.stat.bloomFilter("h", math.max(1L, flat.count()), fpp)
+    finally flat.unpersist()
+  }
+
+  /** INGEST-TIME contamination guard — the streaming counterpart of
+    * [[ngramOverlap]], and the engine's analog of the reference's
+    * per-message Validator (message/interfaces.go:143-145): tag each
+    * document BEFORE it lands in a journal, so contaminated docs can be
+    * routed to quarantine at write time instead of discovered by the
+    * next batch scan.
+    *
+    * A stateless projection over the stream (works identically on batch
+    * and streaming frames): per doc, the [[Dedup.shingleHashes]] kernel
+    * (the SAME tokenize/hash as the batch path) probes the broadcast
+    * Bloom sketch; `n_eval_hits` counts distinct shingles the sketch
+    * claims, `contaminated` flags any hit. Bloom error is one-sided:
+    * every doc the batch scan would report IS tagged (no false
+    * negatives); false positives over-tag at the sketch's fpp and are
+    * settled by the exact batch pass — the right trade for a gate whose
+    * miss cost is an eval-set leak into training data.
+    */
+  def ingestGuard(docs: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      n: Int, textCol: String = "text"): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val hits = udf { t: String =>
+      if (t == null) 0
+      else {
+        val hs = Dedup.shingleHashes(t, n)
+        var c = 0
+        var i = 0
+        while (i < hs.length) {
+          if (bc.value.mightContainLong(hs(i))) c += 1
+          i += 1
+        }
+        c
+      }
+    }
+    docs.withColumn("n_eval_hits", hits(col(textCol)))
+      .withColumn("contaminated", col("n_eval_hits") > 0)
+  }
 }

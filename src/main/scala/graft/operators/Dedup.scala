@@ -48,31 +48,42 @@ object Dedup {
       .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .flatMap { case (docId, t) =>
-        val toks = TextAnalysis.tokenize(t)
-        if (toks.length < n) None
-        else {
-          val seen = new java.util.HashSet[java.lang.Long]()
-          val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-          var i = 0
-          while (i + n <= toks.length) {
-            // FNV-1a 64 over the space-joined shingle bytes: any stable
-            // 64-bit hash works (collisions ~1e-13 at 1e6 shingles);
-            // downstream jaccard/minhash/banding all consume the longs.
-            var h = 0xcbf29ce484222325L
-            var j = 0
-            while (j < n) {
-              if (j > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
-              val w = toks(i + j)
-              var k = 0
-              while (k < w.length) { h ^= w.charAt(k).toLong; h *= 0x100000001b3L; k += 1 }
-              j += 1
-            }
-            if (seen.add(h)) out += h
-            i += 1
-          }
-          Some((docId, out.toArray))
-        }
+        val out = shingleHashes(t, n)
+        if (out.isEmpty) None else Some((docId, out))
       }.toDF("doc_id", "sh")
+  }
+
+  /** The fused tokenize → n-gram shingle → hash → dedupe kernel of
+    * [[docShingles]], per document — shared with the streaming ingest
+    * guard ([[Contamination.ingestGuard]]) so the two paths cannot
+    * drift on tokenization or hashing. Returns the DISTINCT shingle
+    * hashes, empty when the text has fewer than `n` tokens.
+    */
+  private[graft] def shingleHashes(t: String, n: Int): Array[Long] = {
+    val toks = TextAnalysis.tokenize(t)
+    if (toks.length < n) Array.emptyLongArray
+    else {
+      val seen = new java.util.HashSet[java.lang.Long]()
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var i = 0
+      while (i + n <= toks.length) {
+        // FNV-1a 64 over the space-joined shingle bytes: any stable
+        // 64-bit hash works (collisions ~1e-13 at 1e6 shingles);
+        // downstream jaccard/minhash/banding all consume the longs.
+        var h = 0xcbf29ce484222325L
+        var j = 0
+        while (j < n) {
+          if (j > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
+          val w = toks(i + j)
+          var k = 0
+          while (k < w.length) { h ^= w.charAt(k).toLong; h *= 0x100000001b3L; k += 1 }
+          j += 1
+        }
+        if (seen.add(h)) out += h
+        i += 1
+      }
+      out.toArray
+    }
   }
 
   /** Exhaustive near-duplicate pairs with exact n-gram Jaccard >= threshold.
