@@ -96,12 +96,23 @@ object Journal {
     try new String(in.readAllBytes(), "UTF-8") finally in.close()
   }
 
-  /** Atomic string write: tmp file + rename. */
+  /** Atomic string write: tmp file + rename. Hadoop's `FileSystem.rename`
+    * does NOT overwrite an existing destination on HDFS/S3A (it returns
+    * false; only POSIX local rename overwrites), so an existing target —
+    * e.g. the `.batch-swept` horizon rewritten on every sweep after the
+    * first — is deleted first. The delete→rename window is not atomic:
+    * a crash between them leaves the file ABSENT, so callers must treat
+    * a missing file as a safe (weaker, never wrong) state — true for
+    * both users: a missing horizon file relaxes the rewind fence to the
+    * pre-first-sweep state, and a missing `.pending` manifest simply
+    * re-stages the batch.
+    */
   private def writeStringAtomic(fs: FileSystem, p: HPath, s: String): Unit = {
     val tmp = new HPath(p.getParent,
       s".${p.getName}.${java.util.UUID.randomUUID}.tmp")
     val out = fs.create(tmp, true)
     try out.write(s.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
     if (!fs.rename(tmp, p)) {
       fs.delete(tmp, false)
       throw new java.io.IOException(s"rename $tmp -> $p failed")
@@ -710,8 +721,19 @@ object Journal {
       current: Long): Unit = {
     if (current % 16L != 0L) return
     val horizon = current - MarkerRetention
+    if (horizon <= 0) return // batch ids are non-negative: nothing to sweep
     val sts = fs.globStatus(new HPath(dir, s".batch-$prefix*.committed"))
     if (sts == null) return
+    // Record the sweep horizon BEFORE deleting any marker, so a rewound
+    // checkpoint can be REFUSED instead of silently duplicated (see
+    // assertNotSwept). The order matters: horizon-then-delete means a
+    // crash mid-sweep leaves swept markers FENCED (over-strict is safe —
+    // a replay whose marker still exists early-returns on the
+    // fs.exists(committed) check before the fence runs); the reverse
+    // order would leave deleted markers UNfenced, re-opening the exact
+    // silent-duplicate window the fence exists to close.
+    writeStringAtomic(fs, new HPath(dir, s".batch-${prefix}swept"),
+      horizon.toString)
     sts.foreach { st =>
       val name = st.getPath.getName
         .stripPrefix(s".batch-$prefix").stripSuffix(".committed")
@@ -719,11 +741,6 @@ object Journal {
         catch { case _: NumberFormatException => Long.MaxValue }
       if (id < horizon) fs.delete(st.getPath, false)
     }
-    // Record the sweep horizon so a rewound checkpoint can be REFUSED
-    // instead of silently duplicated (see assertNotSwept).
-    if (horizon > 0)
-      writeStringAtomic(fs, new HPath(dir, s".batch-${prefix}swept"),
-        horizon.toString)
   }
 
   /** Fail loudly when batch `id` is below the swept-marker horizon: its
@@ -823,7 +840,13 @@ object Journal {
       if (cut0 >= 0)
         try assertNotSwept(fs, dir, epochTag.substring(0, cut0 + 1),
           java.lang.Long.parseLong(epochTag.substring(cut0 + 1)))
-        catch { case _: NumberFormatException => () }
+        catch {
+          case _: NumberFormatException => ()
+          // The fence refuses the epoch permanently — reclaim its
+          // executor-spooled .spool-*.tmp files before propagating, as
+          // append/stage do on their failure seams.
+          case e: IllegalStateException => dropSpools(); throw e
+        }
     }
     val staged = planFragments(root, journal, codec,
       head((offsetRoots :+ root).distinct, journal), spooled)

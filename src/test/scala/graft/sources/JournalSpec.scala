@@ -155,6 +155,36 @@ class JournalSpec extends SparkSpec {
       Seq("dup").toDF("payload"), batchId = 70L) // marker present: no-op
     assert(Journal.listFragments(root, "topic/mk").size == before,
       "neither the refused rewind nor the marker-fenced retry may append")
+    // A SECOND sweep must overwrite the existing horizon file — Hadoop
+    // rename does not overwrite on HDFS/S3A, so writeStringAtomic
+    // deletes the old horizon first; regression: the second sweep threw
+    // IOException post-commit, failing the sink every 16 batches.
+    Journal.batchSink(root, "topic/mk", codec = "none")(
+      Seq("p2").toDF("payload"), batchId = 96L)
+    val horizon = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(dir, ".batch-swept"))
+      try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+    }
+    assert(horizon == "32", s"second sweep must advance the horizon, got $horizon")
+  }
+
+  test("swept-horizon fence on a spooled epoch reclaims its spool files") {
+    val root = tmpRoot()
+    val dir = new org.apache.hadoop.fs.Path(root, "topic/fence")
+    val fs = dir.getFileSystem(Journal.hadoopConf)
+    fs.mkdirs(dir)
+    // Horizon for query-prefix "q-1-": epochs below 50 are unprovable.
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, ".batch-q-1-swept"), true)
+    out.write("50".getBytes("UTF-8")); out.close()
+    val spool = java.nio.file.Files.createTempFile(
+      java.nio.file.Paths.get(root), ".spool-fence", ".tmp")
+    java.nio.file.Files.writeString(spool, "orphan-bytes")
+    intercept[IllegalStateException] {
+      Journal.commitSpooledEpoch(root, "topic/fence", "q-1-10",
+        Seq(("", 12L, "0" * 40, spool.toString)), "none")
+    }
+    assert(!java.nio.file.Files.exists(spool),
+      "the refused epoch must reclaim its executor spool files")
   }
 
   test("listFragments does not attribute a nested journal's fragments to the parent") {
