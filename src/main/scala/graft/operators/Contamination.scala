@@ -71,6 +71,53 @@ object Contamination {
     finally flat.unpersist()
   }
 
+  /** Exact broadcastable eval-set shingle table for [[ingestGuardExact]]:
+    * the distinct 64-bit shingle hashes of the eval docs, collected and
+    * sorted for binary-search probing. 8 bytes per distinct shingle
+    * (~80 MB at a 10M-shingle eval set) vs the Bloom's ~14 bits — use
+    * the Bloom form when the eval set outgrows comfortable broadcast;
+    * below that, the exact set buys determinism (zero false positives,
+    * hit counts identical to [[ngramOverlap]]'s by construction).
+    * `evalSh` is (doc_id, sh) from [[Dedup.docShingles]].
+    */
+  def evalShingleSet(evalSh: DataFrame): Array[Long] = {
+    val arr = evalSh.select(explode(col("sh")).as("h")).distinct()
+      .collect().map(_.getLong(0))
+    java.util.Arrays.sort(arr)
+    arr
+  }
+
+  /** Exact-set variant of [[ingestGuard]]: probes a broadcast sorted
+    * array of the eval set's distinct shingle hashes instead of a Bloom
+    * sketch. Deterministic — `n_eval_hits` equals the distinct shared
+    * shingle count the exact batch scan ([[ngramOverlap]]) reports, and
+    * `contaminated` equals its tag set restricted to training docs — so
+    * this form IS oracle-gateable (q166) where the Bloom form's
+    * one-sided error is not. Same stateless-projection shape: works on
+    * batch and streaming frames, no shuffle, corpus scanned once.
+    */
+  def ingestGuardExact(docs: DataFrame, evalShingles: Array[Long],
+      n: Int, textCol: String = "text"): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(evalShingles)
+    val hits = udf { t: String =>
+      if (t == null) 0
+      else {
+        // shingleHashes returns DISTINCT hashes (its documented contract,
+        // asserted in DedupSpec) — so this count is distinct-hit count.
+        val hs = Dedup.shingleHashes(t, n)
+        var c = 0
+        var i = 0
+        while (i < hs.length) {
+          if (java.util.Arrays.binarySearch(bc.value, hs(i)) >= 0) c += 1
+          i += 1
+        }
+        c
+      }
+    }
+    docs.withColumn("n_eval_hits", hits(col(textCol)))
+      .withColumn("contaminated", col("n_eval_hits") > 0)
+  }
+
   /** INGEST-TIME contamination guard — the streaming counterpart of
     * [[ngramOverlap]], and the engine's analog of the reference's
     * per-message Validator (message/interfaces.go:143-145): tag each
@@ -82,7 +129,10 @@ object Contamination {
     * and streaming frames): per doc, the [[Dedup.shingleHashes]] kernel
     * (the SAME tokenize/hash as the batch path) probes the broadcast
     * Bloom sketch; `n_eval_hits` counts distinct shingles the sketch
-    * claims, `contaminated` flags any hit. Bloom error is one-sided:
+    * claims — distinct ONLY because [[Dedup.shingleHashes]]'s contract
+    * is to return deduplicated hashes (asserted in DedupSpec; a change
+    * there would silently change this column's meaning) —
+    * `contaminated` flags any hit. Bloom error is one-sided:
     * every doc the batch scan would report IS tagged (no false
     * negatives); false positives over-tag at the sketch's fpp and are
     * settled by the exact batch pass — the right trade for a gate whose

@@ -55,6 +55,26 @@ object CorpusOps {
         Seq("stream", "window", "merge"), k = 10)
     },
 
+    // ---- q166: EXACT ingest-time contamination guard (the per-message
+    // Validator analog, reference message/interfaces.go:143-145) run as
+    // a batch gate: every doc tagged with its distinct eval-shingle hit
+    // count via a broadcast sorted array of eval-set shingle hashes. A
+    // stateless projection — no shuffle, corpus scanned once — whose
+    // counts equal q57's broadcast-join scan by construction; the
+    // deployment's Bloom form (ingestGuard, spec-tested) trades this
+    // determinism for ~14 bits/shingle when the eval set outgrows
+    // broadcast. Eval docs self-hit (routed by stream, not tag).
+    "q166_ingest_guard_exact" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val evalSet = Contamination.evalShingleSet(
+        Dedup.docShingles(docs.filter($"doc_id" % 17 === 0),
+          $"doc_id", $"text", 5))
+      Contamination.ingestGuardExact(docs, evalSet, n = 5)
+        .select($"doc_id", $"n_eval_hits".cast("long").as("n_eval_hits"),
+          $"contaminated")
+    },
+
     // ---- q54: sequence packing (concat-and-chunk, 512-token budget,
     // 8 shards): each doc's span in its shard's packed token stream.
     // The window partitions by shard — no global sort at any scale.
@@ -611,6 +631,25 @@ object CorpusOps {
         |  SELECT doc_id, score_num, row_number() OVER (
         |    ORDER BY score_num DESC, doc_id ASC) AS rk FROM sc) t
         |WHERE rk <= 10""".stripMargin,
+
+    "q166_ingest_guard_exact" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 3),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |         || ' ' || w[i+4])) AS s
+        |  FROM toks WHERE len(w) >= 5),
+        |ev AS (SELECT DISTINCT unnest(s) AS shingle FROM sh
+        |       WHERE doc_id % 17 = 0),
+        |hits AS (
+        |  SELECT x.doc_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT doc_id, unnest(s) AS shingle FROM sh) x
+        |  JOIN ev USING (shingle) GROUP BY x.doc_id)
+        |SELECT d.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_eval_hits,
+        |  coalesce(h.n, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h USING (doc_id)""".stripMargin,
 
     // Fixed-width lowercase hex: lexicographic prefix order ==
     // the Spark side's numeric-prefix order; doc_id breaks ties.

@@ -150,6 +150,36 @@ class CorpusSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 4L, 1L)))
   }
 
+  test("shingleHashes returns DISTINCT hashes (the guard-hit-count contract)") {
+    // ingestGuard/ingestGuardExact document n_eval_hits as a DISTINCT
+    // count purely because this kernel dedups internally — pin it.
+    val rep = "a b c d e " * 4 + "tail"     // 5-gram "a b c d e" recurs 4×
+    val hs = Dedup.shingleHashes(rep, 5)
+    assert(hs.length == hs.distinct.length,
+      "shingleHashes must return deduplicated hashes")
+    assert(hs.nonEmpty)
+  }
+
+  test("ingestGuardExact hit counts equal the exact batch scan's by construction") {
+    import spark.implicits._
+    val span = (0 until 8).map(i => s"sh${('a' + i).toChar}").mkString(" ")
+    val docs = Seq(
+      (17L, span),                       // eval doc
+      (1L, s"$span tail"),               // train: shares 4 5-grams
+      (2L, (0 until 9).map(i => s"zz${('a' + i).toChar}").mkString(" ")),
+      (3L, "short text"))                // < 5 tokens: zero shingles
+      .toDF("doc_id", "text")
+    val evalSet = Contamination.evalShingleSet(
+      Dedup.docShingles(docs.filter($"doc_id" % 17 === 0), $"doc_id", $"text", 5))
+    val out = Contamination.ingestGuardExact(docs, evalSet, n = 5)
+      .select($"doc_id", $"n_eval_hits", $"contaminated")
+      .as[(Long, Int, Boolean)].collect().sortBy(_._1)
+    // Exact parity with ngramOverlap on train docs; eval doc self-hits;
+    // shingle-free and disjoint docs carry zero.
+    assert(out.toSeq == Seq((1L, 4, true), (2L, 0, false),
+      (3L, 0, false), (17L, 4, true)))
+  }
+
   test("piiCounts finds injected e-mail, phone, and IP patterns") {
     import spark.implicits._
     val df = Seq("mail a.b@x.io or c@y.org, call 415-555-0199, host 10.1.2.3 x")

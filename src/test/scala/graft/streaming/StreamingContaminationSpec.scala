@@ -7,13 +7,18 @@ import org.apache.spark.sql.functions._
 
 /** Ingest-time contamination guard (the per-message Validator analog,
   * reference message/interfaces.go:143-145): docs stream through
-  * [[Contamination.ingestGuard]] — a broadcast Bloom of eval-set
-  * shingles — and land in a journal ALREADY tagged, across a
-  * kill/restart. The tags must agree with the exact batch scan
-  * ([[Contamination.ngramOverlap]], q57's operator) on the same
-  * fixture: Bloom error is one-sided, so batch-reported docs can never
-  * go untagged, and on this fixture (deterministic Bloom build) the
-  * agreement is exact.
+  * [[Contamination.ingestGuardExact]] — a broadcast sorted array of the
+  * eval set's distinct shingle hashes — and land in a journal ALREADY
+  * tagged, across a kill/restart. The exact guard's tags and hit counts
+  * equal the exact batch scan's ([[Contamination.ngramOverlap]], q57's
+  * operator) BY CONSTRUCTION, so parity here is asserted exactly.
+  *
+  * The Bloom form ([[Contamination.ingestGuard]]) has one-sided error by
+  * contract — false positives at the sketch's fpp, never false
+  * negatives — so it gets the one-sided assertions only (containment +
+  * hits ≥ exact): round 7 shipped an exact-parity assertion against the
+  * Bloom and it failed deterministically on a cross-boundary shingle
+  * collision (doc 13); never assert exactness against a sketch.
   */
 class StreamingContaminationSpec extends SparkSpec {
 
@@ -57,22 +62,19 @@ class StreamingContaminationSpec extends SparkSpec {
       (1L until 40L by 4).toSet - 17L + 2L,
       s"fixture self-check: got ${batchByDoc.keySet.toSeq.sorted}")
 
-    // Ingest guard: Bloom over the eval docs' shingles only. fpp 1e-6
-    // so the ~1.5K probes this fixture makes expect ZERO false
-    // positives (at the default 1e-3, ~1.5 FPs are expected — observed
-    // as a phantom third hit on one doc); the sketch build is
-    // deterministic, so a passing build passes forever.
-    val bloom = Contamination.evalShingleBloom(
-      Dedup.docShingles(docs.filter(isEval($"doc_id")), $"doc_id", $"text", 5),
-      fpp = 1e-6)
+    // Exact ingest guard: broadcast distinct eval-shingle set. Hit
+    // counts match the batch scan by construction, so the streamed
+    // tags below are asserted with FULL exactness.
+    val evalSet = Contamination.evalShingleSet(
+      Dedup.docShingles(docs.filter(isEval($"doc_id")), $"doc_id", $"text", 5))
 
     val root = java.nio.file.Files
       .createTempDirectory("graft-contam-guard").toString
     val ckpt = s"$root/ckpt"
     val input = MemoryStream[(Long, String)](spark)
     def drain(): Unit = {
-      val tagged = Contamination.ingestGuard(
-        input.toDF().toDF("doc_id", "text"), bloom, n = 5)
+      val tagged = Contamination.ingestGuardExact(
+        input.toDF().toDF("doc_id", "text"), evalSet, n = 5)
       val q = tagged.writeStream
         .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
           Journal.batchSink(root, "guard/docs", codec = "none")(
@@ -104,15 +106,12 @@ class StreamingContaminationSpec extends SparkSpec {
       s"expected all 40 docs exactly once, got ${landed.length}")
 
     val trainTags = landed.filter { case (id, _, _) => id % 17 != 0 }
-    // No false negatives (Bloom's hard guarantee): every doc the exact
-    // batch scan reports is tagged at ingest.
+    // Exact guard: tag set AND per-doc distinct-hit counts equal the
+    // batch authority's, exactly.
     val taggedIds = trainTags.filter(_._3).map(_._1).toSet
-    assert(batchByDoc.keySet.subsetOf(taggedIds),
-      s"batch-reported docs missing tags: ${batchByDoc.keySet -- taggedIds}")
-    // And on this fixture the deterministic Bloom build yields exact
-    // agreement — tag set AND per-doc distinct-hit counts.
     assert(taggedIds == batchByDoc.keySet,
-      s"false positives: ${taggedIds -- batchByDoc.keySet}")
+      s"tag set mismatch: extra=${taggedIds -- batchByDoc.keySet} " +
+        s"missing=${batchByDoc.keySet -- taggedIds}")
     trainTags.filter(_._3).foreach { case (id, hits, _) =>
       assert(hits.toLong == batchByDoc(id),
         s"doc $id: ingest hits $hits != batch shared ${batchByDoc(id)}")
@@ -126,5 +125,41 @@ class StreamingContaminationSpec extends SparkSpec {
     // their shingles.
     landed.filter { case (id, _, _) => id == 17L || id == 34L }
       .foreach { case (id, _, c) => assert(c, s"eval doc $id untagged") }
+  }
+
+  test("Bloom ingest guard honors its one-sided contract vs the exact scan") {
+    import spark.implicits._
+    val all = (0L until 40L).map(i => (i, textFor(i)))
+    val docs = all.toDF("doc_id", "text")
+    val isEval = (c: org.apache.spark.sql.Column) => c % 17 === 0
+
+    val shingles = Dedup.docShingles(docs, $"doc_id", $"text", 5)
+    val batchReport = Contamination.ngramOverlap(shingles, isEval)
+    val batchByDoc = batchReport.select($"doc_id", $"n_shared_shingles")
+      .as[(Long, Long)].collect().toMap
+    batchReport.unpersist()
+
+    val bloom = Contamination.evalShingleBloom(
+      Dedup.docShingles(docs.filter(isEval($"doc_id")), $"doc_id", $"text", 5))
+    // Stateless projection: identical on batch and streaming frames.
+    val tagged = Contamination.ingestGuard(docs, bloom, n = 5)
+      .filter(!isEval($"doc_id"))
+      .select($"doc_id", $"n_eval_hits", $"contaminated")
+      .as[(Long, Int, Boolean)].collect()
+
+    // One-sided error, both directions of the guarantee:
+    // 1. No false negatives — every batch-reported doc is tagged, and
+    //    its hit count is at least the true shared count.
+    val byId = tagged.map(t => t._1 -> t).toMap
+    batchByDoc.foreach { case (id, shared) =>
+      val (_, hits, c) = byId(id)
+      assert(c, s"batch-reported doc $id untagged (false negative)")
+      assert(hits.toLong >= shared,
+        s"doc $id: Bloom hits $hits < true shared $shared")
+    }
+    // 2. The flag is the count gate: contaminated <=> n_eval_hits > 0.
+    tagged.foreach { case (id, hits, c) =>
+      assert(c == (hits > 0), s"doc $id: flag/count disagree ($hits, $c)")
+    }
   }
 }
