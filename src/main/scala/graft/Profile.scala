@@ -21,15 +21,24 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    // Section filter: SPARK_GRAFT_PROFILE_SECTIONS=seq,journal reruns
+    // just the streaming/journal bars without the corpus/LSH sweeps.
+    val sections = sys.env.getOrElse("SPARK_GRAFT_PROFILE_SECTIONS", "all")
+    def want(s: String): Boolean =
+      sections == "all" || sections.split(',').contains(s)
+
     def t(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
       println(f"[profile] $name%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s  rows=$n")
     }
 
+    if (want("text") || want("lsh")) {
     // warmup
     Tables.documents(spark, sfDir).count()
+    }
 
+    if (want("text")) {
     t("scan documents")(Tables.documents(spark, sfDir).count())
     t("wordTokens")(Tables.documents(spark, sfDir)
       .repartition(32)
@@ -50,7 +59,9 @@ object Profile {
     }
     t("q24 full")(SparkEntry.queries("q24_jaccard_pairs")(spark, sfDir).count())
     t("q25 full")(SparkEntry.queries("q25_minhash_lsh_pairs")(spark, sfDir).count())
+    }
 
+    if (want("lsh")) {
     // Fixed vs corpus-sized LSH parameterization (the q37 scale knob),
     // at the gate's low threshold and at a realistic near-dup one.
     for (thr <- Seq(0.4, 0.85)) {
@@ -121,11 +132,12 @@ object Profile {
         exact.unpersist()
       }
     }
+    }
 
     // Sequencer throughput vs the reference's qualitative bar
     // (>=100K msgs/s/partition, consumer/shard.go:24-34): 2M envelopes,
     // 8 producers x 4 journals, 5-message txn spans (4 CONTINUE + ACK).
-    {
+    if (want("seq")) {
       import graft.streaming.Sequencer
       import graft.streaming.Sequencer.SeqEnvelope
       val n = 2000000
@@ -137,9 +149,14 @@ object Profile {
         SeqEnvelope(journal, i * 10, i * 10 + 10, producer, seq + 1, flags, "x")
       }.persist()
       envs.count() // materialize input outside the timed region
-      val t0 = System.nanoTime()
-      val out = Sequencer.sequenceBatch(envs).count()
-      val dt = (System.nanoTime() - t0) / 1e9
+      // Min-of-2: rep 1 JIT-compiles the typed-map/advance lambdas (a
+      // several-hundred-ms one-time cost when the section runs on a
+      // cold JVM under SPARK_GRAFT_PROFILE_SECTIONS=seq).
+      val (out, dt) = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val o = Sequencer.sequenceBatch(envs).count()
+        (o, (System.nanoTime() - t0) / 1e9)
+      }.minBy(_._2)
       println(f"[profile] sequencer batch throughput: ${n / dt / 1e6}%.2f M msgs/s total " +
         f"(${n / dt / 32 / 1e3}%.1f K msgs/s/core), $out committed of $n in $dt%.2f s")
       envs.unpersist()
@@ -148,7 +165,7 @@ object Profile {
     // form), and the restart stall — the reference's recovery bound is
     // <20 s to resume a shard after a crash
     // (test/integration/crash_test.go:23-33).
-    {
+    if (want("seq")) {
       import graft.streaming.Sequencer
       import graft.streaming.Sequencer.SeqEnvelope
       import org.apache.spark.sql.streaming.Trigger
@@ -170,7 +187,20 @@ object Profile {
           SeqEnvelope(journal, i * 10, i * 10 + 10, producer, seq + 1, flags, "x")
         }.coalesce(1).write.parquet(s"$inDir/$tag")
       val schema = org.apache.spark.sql.Encoders.product[SeqEnvelope].schema
-      def drain(): Double = {
+      // Drain to a target FileStreamSource log offset, then stop.
+      // awaitTermination would never return: pending processing-time
+      // state timers keep even an AvailableNow query alive, re-running
+      // empty timer batches forever (observed: 1800+ empty batches;
+      // see SequencerSpec.drainAndStop for the same trap in tests).
+      // A batch's progress report is emitted after its commit, so the
+      // first report whose source endOffset reaches `logOffset` marks
+      // the last DATA batch fully processed — that's the number being
+      // measured; the stop() cost afterwards is not the sequencer's.
+      // Returns (wall seconds start→last-data-batch commit, summed
+      // per-batch processing seconds of the data batches). The second
+      // number excludes query startup/teardown — the marginal
+      // steady-state batch cost a long-running deployment pays.
+      def drain(logOffset: Long): (Double, Double) = {
         val src = spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1).parquet(s"$inDir/*")
           .as[SeqEnvelope]
@@ -179,28 +209,62 @@ object Profile {
           .format("parquet").option("path", outDir)
           .option("checkpointLocation", ckpt)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-        (System.nanoTime() - t0) / 1e9
+        val want = "\"logOffset\":" + logOffset
+        val deadline = System.nanoTime() + 600L * 1000 * 1000 * 1000
+        def done = q.recentProgress.exists(_.sources.exists(s =>
+          Option(s.endOffset).exists(_.contains(want))))
+        while (q.isActive && !done && System.nanoTime() < deadline)
+          Thread.sleep(100)
+        val dt = (System.nanoTime() - t0) / 1e9
+        val proc = q.recentProgress.filter(_.numInputRows > 0)
+          .map(_.durationMs.getOrDefault("triggerExecution", 0L).longValue).sum / 1e3
+        q.stop()
+        require(done, s"drain to logOffset $logOffset timed out")
+        (dt, proc)
       }
       val nStream = 1000000L
       (0L until 4L).foreach(b => writeBlock(s"b$b", b * 250000L, 250000L))
-      val dtS = drain()
+      val (dtS, procS) = drain(3) // 4 one-file batches: offsets 0..3
       println(f"[profile] sequencer micro-batch (fMGWS + state store, " +
-        f"4 batches): ${nStream / dtS / 1e6}%.2f M msgs/s sustained, " +
-        f"$nStream msgs in $dtS%.2f s")
+        f"4 batches): ${nStream / dtS / 1e6}%.2f M msgs/s wall " +
+        f"(${nStream / procS / 1e6}%.2f M msgs/s over batch-exec time), " +
+        f"$nStream msgs in $dtS%.2f s wall / $procS%.2f s exec")
       // Restart stall: a NEW query instance on the same checkpoint must
       // reload every group's state and drain a trailing 32K-message
       // batch. Wall time start→commit is the recovery-stall analog.
       writeBlock("tail", nStream, 32000L)
-      val dtR = drain()
+      val (dtR, _) = drain(4)
       println(f"[profile] sequencer restart: state reload + 32K-msg drain " +
         f"in $dtR%.2f s (reference crash-recovery bound: <20 s)")
+      // Batch-size amortization: the same 1M envelopes as ONE
+      // micro-batch (fresh checkpoint, no maxFilesPerTrigger). The
+      // 4-batch run pays the per-batch state-commit floor 4x; the gap
+      // between these two rates IS that fixed cost, and it amortizes
+      // with trigger size — the knob a deployment tunes.
+      locally {
+        val src1 = spark.readStream.schema(schema)
+          .parquet(s"$inDir/b*").as[SeqEnvelope]
+        val t0 = System.nanoTime()
+        val q = Sequencer.sequenceStream(src1).writeStream
+          .format("parquet").option("path", s"$base/out1")
+          .option("checkpointLocation", s"$base/ckpt1")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        val deadline = System.nanoTime() + 600L * 1000 * 1000 * 1000
+        def done = q.recentProgress.exists(_.sources.exists(s =>
+          Option(s.endOffset).exists(_.contains("\"logOffset\":0"))))
+        while (q.isActive && !done && System.nanoTime() < deadline)
+          Thread.sleep(100)
+        val dt1 = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        println(f"[profile] sequencer micro-batch (1 batch of 1M): " +
+          f"${nStream / dt1 / 1e6}%.2f M msgs/s, $dt1%.2f s")
+      }
     }
     // Journal append/read throughput. The reference names spool
     // compression as THE append bottleneck (docs/brokers-concepts.rst:
     // 54-58) — measure none vs gz to see the same effect, and the
     // fragment read path for the other direction.
-    {
+    if (want("journal")) {
       import graft.sources.Journal
       val root = java.nio.file.Files.createTempDirectory("graft-prof-journal").toString
       val lines = spark.range(2000000)
@@ -211,22 +275,24 @@ object Profile {
       lines.count()
       // Warm the spool path (JIT, fs metadata) so codec numbers compare.
       Journal.append(lines.limit(10000).toDF(), root, "prof/warm", codec = "gz")
+      // Min-of-2 per path, each rep on a fresh journal: single shots on
+      // this (shared) host vary 2-3x; the min is the code's cost, the
+      // spread is the host's.
+      def best(f: Int => Unit): Double =
+        (1 to 2).map { r =>
+          val t0 = System.nanoTime(); f(r); (System.nanoTime() - t0) / 1e9
+        }.min
       for (codec <- Seq("none", "gz", "zst")) {
-        val t0 = System.nanoTime()
-        Journal.append(lines.toDF(), root, s"prof/$codec", codec = codec)
-        val dt = (System.nanoTime() - t0) / 1e9
+        val dt = best(r => Journal.append(
+          lines.toDF(), root, s"prof/$codec-r$r", codec = codec))
         println(f"[profile] journal append ($codec): ${nBytes / dt / 1e6}%.0f MB/s in $dt%.2f s")
       }
-      val t0 = System.nanoTime()
-      val rows = Journal.read(spark, root, "prof/gz").count()
-      val dt = (System.nanoTime() - t0) / 1e9
-      println(f"[profile] journal read (gz): ${nBytes / dt / 1e6}%.0f MB/s, $rows rows in $dt%.2f s")
+      val dt = best(_ => Journal.read(spark, root, "prof/gz-r1").count())
+      println(f"[profile] journal read (gz): ${nBytes / dt / 1e6}%.0f MB/s, 2000000 rows in $dt%.2f s")
       // The native DSv2 sink (spool + commit-coordinated rename).
-      val t1 = System.nanoTime()
-      lines.write.format("journal")
-        .option("root", root).option("journal", "prof/dsv2")
-        .option("codec", "gz").mode("append").save()
-      val dt1 = (System.nanoTime() - t1) / 1e9
+      val dt1 = best(r => lines.write.format("journal")
+        .option("root", root).option("journal", s"prof/dsv2-r$r")
+        .option("codec", "gz").mode("append").save())
       println(f"[profile] journal DSv2 write (gz): ${nBytes / dt1 / 1e6}%.0f MB/s in $dt1%.2f s")
     }
     spark.stop()
