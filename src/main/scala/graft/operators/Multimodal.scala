@@ -8,12 +8,16 @@ import org.apache.spark.sql.types._
   * opaque `binary` column plus typed metadata, processed in executor-side
   * batches.
   *
-  * The PIXEL decode step is a clearly-marked STUB (this container
-  * ships no codec libraries): `decodeStub` derives deterministic
-  * pseudo-features from the raw bytes. HEADER decoding is real:
-  * [[ImageHeader]] parses PNG/JPEG/GIF/BMP geometry and channels from
-  * a blob's leading bytes (JDK-only), so [[aspectBuckets]] and
-  * [[resizePlan]] run on actual media via [[ImageHeader.fromBinary]].
+  * The default PIXEL decode step is a clearly-marked STUB (this
+  * container ships no codec libraries): `decodeStub` derives
+  * deterministic pseudo-features from the raw bytes. HEADER decoding
+  * is real: [[ImageHeader]] parses PNG/JPEG/GIF/BMP geometry and
+  * channels from a blob's leading bytes (JDK-only), so
+  * [[aspectBuckets]] and [[resizePlan]] run on actual media via
+  * [[ImageHeader.fromBinary]]. An OPT-IN full-pixel path exists for
+  * the formats the JDK itself decodes: [[decodeImages]] (real decoded
+  * geometry via `javax.imageio`) and [[resizeImages]] (bilinear
+  * resample realizing resizePlan's exact geometry and byte budget).
   * Everything around the stub — the schema contract, partitioning, and
   * the frame-sampling layout — is real and tested, and both
   * [[extractFeatures]] and [[sampleFrames]] are ordinary projections /
@@ -189,6 +193,85 @@ object Multimodal {
       .withColumn("target_w", expr(s"(w * $shorter) div least(w, h)"))
       .withColumn("target_h", expr(s"(h * $shorter) div least(w, h)"))
       .withColumn("out_bytes", col("target_w") * col("target_h") * 3)
+  }
+
+  /** OPTIONAL executor-local full-pixel decode via `javax.imageio` —
+    * the JDK ships PNG/JPEG/GIF/BMP readers, so this needs no codec
+    * libraries. Returns the input with REAL decoded `width`/`height`
+    * (replacing whatever metadata said), so [[aspectBuckets]] and
+    * [[resizePlan]] run on decoded geometry end-to-end. Undecodable or
+    * null blobs keep NULL dims ([[ImageHeader.fromBinary]]'s
+    * keep-for-quarantine rule; the w>0 filters downstream drop them).
+    *
+    * This is the opt-in pixel path; the header/synthetic paths remain
+    * the oracle-gated surface ([[ImageHeader]] geometry is
+    * byte-identical to these dims for well-formed files — pinned in
+    * MultimodalSpec). The reader initializes per call; ImageIO's
+    * reader cache is per-JVM, the executor-local handle the scaladoc
+    * above describes.
+    */
+  def decodeImages(media: DataFrame, blobCol: String = "media"): DataFrame = {
+    val dec = udf { bytes: Array[Byte] =>
+      if (bytes == null) None
+      else {
+        val img = try javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException => null }
+        if (img == null) None else Some((img.getWidth, img.getHeight))
+      }
+    }
+    media.withColumn("_px", dec(col(blobCol)))
+      .withColumn("width", col("_px._1"))
+      .withColumn("height", col("_px._2"))
+      .drop("_px")
+  }
+
+  /** OPTIONAL full decode → bilinear resample realizing
+    * [[resizePlan]]'s geometry: per image, the shorter side scales to
+    * `shorter` px (identical floor-division math to resizePlan, so
+    * `octet_length(rgb) == resizePlan.out_bytes` row for row — the
+    * spec pins this). Output rows: (doc_id, target_w, target_h, rgb)
+    * with `rgb` the row-major 3-byte-per-pixel raster (BGR channel
+    * order, `TYPE_3BYTE_BGR`) a training loader consumes. Undecodable/
+    * null/degenerate blobs drop, as resizePlan's w>0 filter does.
+    * Pure projection — zero shuffle; decode cost is the per-row map.
+    */
+  def resizeImages(media: DataFrame, shorter: Int,
+      blobCol: String = "media"): DataFrame = {
+    require(shorter > 0, s"shorter side must be positive, got $shorter")
+    val rs = udf { bytes: Array[Byte] =>
+      if (bytes == null) None
+      else {
+        val img = try javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException => null }
+        if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val s = math.min(w, h)
+          val tw = ((w.toLong * shorter) / s).toInt
+          val th = ((h.toLong * shorter) / s).toInt
+          val out = new java.awt.image.BufferedImage(tw, th,
+            java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, tw, th, null)
+          } finally g.dispose()
+          val raster = out.getRaster.getDataBuffer
+            .asInstanceOf[java.awt.image.DataBufferByte].getData
+          Some((tw, th, raster))
+        }
+      }
+    }
+    media.filter(col(blobCol).isNotNull)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        rs(col(blobCol)).as("r"))
+      .filter(col("r").isNotNull)
+      .select(col("doc_id"), col("r._1").as("target_w"),
+        col("r._2").as("target_h"), col("r._3").as("rgb"))
   }
 
   /** Frame sampling: slice the blob into fixed-size frames and keep every

@@ -116,4 +116,66 @@ class ImageHeaderSpec extends SparkSpec {
     assert(plan == Seq((1L, 32L, 16L), (2L, 16L, 16L),
       (3L, 16L, 48L), (4L, 32L, 16L)))
   }
+
+  test("decodeImages: full-pixel decode yields the encoded geometry; garbage stays null") {
+    import spark.implicits._
+    val blobs = Seq(
+      (1L, img("png", 40, 20)), (2L, img("jpg", 64, 48)),
+      (3L, img("gif", 16, 48)), (4L, img("bmp", 24, 36)),
+      (5L, "garbage".getBytes), (6L, null: Array[Byte]))
+    val decoded = Multimodal.decodeImages(blobs.toDF("doc_id", "media"))
+      .select($"doc_id", $"width", $"height")
+      .as[(Long, Option[Int], Option[Int])].collect().sortBy(_._1)
+    assert(decoded.map(d => (d._2, d._3)).toSeq == Seq(
+      (Some(40), Some(20)), (Some(64), Some(48)), (Some(16), Some(48)),
+      (Some(24), Some(36)), (None, None), (None, None)))
+    // Pixel decode and header parse agree on geometry for well-formed
+    // files — the contract that lets the header path stand in for the
+    // decode path on the oracle gate.
+    val viaHeader = ImageHeader
+      .fromBinary(blobs.take(4).toDF("doc_id", "media"))
+      .select($"doc_id", $"width", $"height")
+      .as[(Long, Option[Int], Option[Int])].collect().sortBy(_._1)
+    assert(viaHeader.map(d => (d._2, d._3)).toSeq ==
+      decoded.take(4).map(d => (d._2, d._3)).toSeq)
+  }
+
+  test("resizeImages realizes resizePlan's geometry with real pixel buffers") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // A solid-red PNG: bilinear resampling of a constant image is the
+    // same constant, so output pixels are checkable exactly.
+    val red = {
+      val im = new BufferedImage(40, 20, BufferedImage.TYPE_3BYTE_BGR)
+      val g = im.createGraphics()
+      try { g.setColor(java.awt.Color.RED); g.fillRect(0, 0, 40, 20) }
+      finally g.dispose()
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(im, "png", out); out.toByteArray
+    }
+    val blobs = Seq(
+      (1L, red), (2L, img("jpg", 64, 48)), (3L, img("bmp", 24, 36)),
+      (4L, "garbage".getBytes), (5L, null: Array[Byte]))
+    val df = blobs.toDF("doc_id", "media")
+    val resized = Multimodal.resizeImages(df, shorter = 16)
+      .select($"doc_id", $"target_w", $"target_h",
+        octet_length($"rgb").as("n"), $"rgb")
+      .as[(Long, Int, Int, Int, Array[Byte])].collect().sortBy(_._1)
+    // Undecodable and null rows drop; decodable ones resize.
+    assert(resized.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    // Geometry AND buffer size equal resizePlan's integer math, row
+    // for row (out_bytes is exactly the allocated raster).
+    val plan = Multimodal.resizePlan(
+      Multimodal.decodeImages(df), shorter = 16)
+      .select($"doc_id", $"target_w", $"target_h", $"out_bytes")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(plan.map(p => (p._1, p._2, p._3, p._4)).toSeq ==
+      resized.map(r => (r._1, r._2.toLong, r._3.toLong, r._4.toLong)).toSeq)
+    // The red PNG stays solid red through the bilinear resample
+    // (BGR channel order: 0, 0, 255 per pixel).
+    val rgb = resized(0)._5
+    assert(rgb.length == 32 * 16 * 3)
+    assert(rgb.grouped(3).forall(p =>
+      p(0) == 0 && p(1) == 0 && (p(2) & 0xff) == 255))
+  }
 }
