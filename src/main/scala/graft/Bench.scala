@@ -89,12 +89,15 @@ object Bench {
       // the query's steady-state min. All-failed keeps the worst time.
       val good = timed.filter(_._1).map(_._2)
       val best = if (good.nonEmpty) good.min else timed.map(_._2).max
-      (name, best, timed.map(_._2))
+      (name, best, timed.map(_._2), good.nonEmpty)
     }
     // Outlier re-rep: one extra timed run for >1.5×-vs-prior queries;
-    // the min over all reps is reported. Bounded by the outlier count —
-    // a healthy run re-reps a handful of sub-second shapes (~seconds).
-    val results = firstPass.map { case r @ (name, best, ts) =>
+    // the min over all SUCCESSFUL reps is reported. (When the first
+    // pass was all-failed, `best` is a fast-failure elapsed, not a
+    // measurement — a successful re-rep replaces it outright rather
+    // than min-ing against it.) Bounded by the outlier count — a
+    // healthy run re-reps a handful of sub-second shapes (~seconds).
+    val results = firstPass.map { case r @ (name, best, ts, anyGood) =>
       prior.get(name) match {
         case Some(p) if p > 0 && best > p * 1.5 =>
           spark.catalog.clearCache()
@@ -103,10 +106,12 @@ object Bench {
             catch { case _: Throwable => false }
           val dt = (System.nanoTime() - t0) / 1e9
           System.gc()
-          if (ok) (name, math.min(best, dt), ts :+ dt) else r
+          if (ok) (name, if (anyGood) math.min(best, dt) else dt,
+            ts :+ dt, true)
+          else r
         case _ => r
       }
-    }
+    }.map { case (name, best, ts, _) => (name, best, ts) }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     // Per-rep times make recorder contention visible: a healthy run has

@@ -200,14 +200,16 @@ object Profile {
       // per-batch processing seconds of the data batches). The second
       // number excludes query startup/teardown — the marginal
       // steady-state batch cost a long-running deployment pays.
-      def drain(logOffset: Long): (Double, Double) = {
-        val src = spark.readStream.schema(schema)
-          .option("maxFilesPerTrigger", 1).parquet(s"$inDir/*")
-          .as[SeqEnvelope]
+      def drainTo(logOffset: Long, ckptPath: String, outPath: String,
+          srcGlob: String, maxFilesPerTrigger: Option[Int]): (Double, Double) = {
+        val rd = spark.readStream.schema(schema)
+        val src = maxFilesPerTrigger
+          .fold(rd)(n => rd.option("maxFilesPerTrigger", n))
+          .parquet(srcGlob).as[SeqEnvelope]
         val t0 = System.nanoTime()
         val q = Sequencer.sequenceStream(src).writeStream
-          .format("parquet").option("path", outDir)
-          .option("checkpointLocation", ckpt)
+          .format("parquet").option("path", outPath)
+          .option("checkpointLocation", ckptPath)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         val want = "\"logOffset\":" + logOffset
         val deadline = System.nanoTime() + 600L * 1000 * 1000 * 1000
@@ -222,6 +224,8 @@ object Profile {
         require(done, s"drain to logOffset $logOffset timed out")
         (dt, proc)
       }
+      def drain(logOffset: Long): (Double, Double) =
+        drainTo(logOffset, ckpt, outDir, s"$inDir/*", Some(1))
       val nStream = 1000000L
       (0L until 4L).foreach(b => writeBlock(s"b$b", b * 250000L, 250000L))
       val (dtS, procS) = drain(3) // 4 one-file batches: offsets 0..3
@@ -242,20 +246,8 @@ object Profile {
       // between these two rates IS that fixed cost, and it amortizes
       // with trigger size — the knob a deployment tunes.
       locally {
-        val src1 = spark.readStream.schema(schema)
-          .parquet(s"$inDir/b*").as[SeqEnvelope]
-        val t0 = System.nanoTime()
-        val q = Sequencer.sequenceStream(src1).writeStream
-          .format("parquet").option("path", s"$base/out1")
-          .option("checkpointLocation", s"$base/ckpt1")
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        val deadline = System.nanoTime() + 600L * 1000 * 1000 * 1000
-        def done = q.recentProgress.exists(_.sources.exists(s =>
-          Option(s.endOffset).exists(_.contains("\"logOffset\":0"))))
-        while (q.isActive && !done && System.nanoTime() < deadline)
-          Thread.sleep(100)
-        val dt1 = (System.nanoTime() - t0) / 1e9
-        q.stop()
+        val (dt1, _) = drainTo(0, s"$base/ckpt1", s"$base/out1",
+          s"$inDir/b*", maxFilesPerTrigger = None)
         println(f"[profile] sequencer micro-batch (1 batch of 1M): " +
           f"${nStream / dt1 / 1e6}%.2f M msgs/s, $dt1%.2f s")
       }

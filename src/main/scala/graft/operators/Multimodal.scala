@@ -210,15 +210,26 @@ object Multimodal {
     * reader cache is per-JVM, the executor-local handle the scaladoc
     * above describes.
     */
+  /** Shared JDK decode for the opt-in pixel paths: null on anything
+    * undecodable. Catches NonFatal, not just IOException — the JDK's
+    * ImageIO readers throw RuntimeExceptions on malformed bodies (bad
+    * GIF LZW codes, zero-size BMP color tables, ...), and one dirty
+    * blob must quarantine, not abort the job. The explicit
+    * MemoryCacheImageInputStream keeps ImageIO off its default
+    * DISK-backed stream cache (a temp-file create/write/delete per row
+    * in java.io.tmpdir — pure waste for in-memory byte arrays).
+    */
+  private def decodeImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    if (bytes == null) null
+    else try javax.imageio.ImageIO.read(
+      new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+    catch { case scala.util.control.NonFatal(_) => null }
+
   def decodeImages(media: DataFrame, blobCol: String = "media"): DataFrame = {
     val dec = udf { bytes: Array[Byte] =>
-      if (bytes == null) None
-      else {
-        val img = try javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bytes))
-        catch { case _: java.io.IOException => null }
-        if (img == null) None else Some((img.getWidth, img.getHeight))
-      }
+      val img = decodeImage(bytes)
+      if (img == null) None else Some((img.getWidth, img.getHeight))
     }
     media.withColumn("_px", dec(col(blobCol)))
       .withColumn("width", col("_px._1"))
@@ -240,30 +251,25 @@ object Multimodal {
       blobCol: String = "media"): DataFrame = {
     require(shorter > 0, s"shorter side must be positive, got $shorter")
     val rs = udf { bytes: Array[Byte] =>
-      if (bytes == null) None
+      val img = decodeImage(bytes)
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
       else {
-        val img = try javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bytes))
-        catch { case _: java.io.IOException => null }
-        if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
-        else {
-          val (w, h) = (img.getWidth, img.getHeight)
-          val s = math.min(w, h)
-          val tw = ((w.toLong * shorter) / s).toInt
-          val th = ((h.toLong * shorter) / s).toInt
-          val out = new java.awt.image.BufferedImage(tw, th,
-            java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-          val g = out.createGraphics()
-          try {
-            g.setRenderingHint(
-              java.awt.RenderingHints.KEY_INTERPOLATION,
-              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-            g.drawImage(img, 0, 0, tw, th, null)
-          } finally g.dispose()
-          val raster = out.getRaster.getDataBuffer
-            .asInstanceOf[java.awt.image.DataBufferByte].getData
-          Some((tw, th, raster))
-        }
+        val (w, h) = (img.getWidth, img.getHeight)
+        val s = math.min(w, h)
+        val tw = ((w.toLong * shorter) / s).toInt
+        val th = ((h.toLong * shorter) / s).toInt
+        val out = new java.awt.image.BufferedImage(tw, th,
+          java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, tw, th, null)
+        } finally g.dispose()
+        val raster = out.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferByte].getData
+        Some((tw, th, raster))
       }
     }
     media.filter(col(blobCol).isNotNull)

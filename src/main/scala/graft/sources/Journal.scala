@@ -96,26 +96,25 @@ object Journal {
     try new String(in.readAllBytes(), "UTF-8") finally in.close()
   }
 
-  /** Atomic string write: tmp file + rename. Hadoop's `FileSystem.rename`
-    * does NOT overwrite an existing destination on HDFS/S3A (it returns
-    * false; only POSIX local rename overwrites), so an existing target —
-    * e.g. the `.batch-swept` horizon rewritten on every sweep after the
-    * first — is deleted first. The delete→rename window is not atomic:
-    * a crash between them leaves the file ABSENT, so callers must treat
-    * a missing file as a safe (weaker, never wrong) state — true for
-    * both users: a missing horizon file relaxes the rewind fence to the
-    * pre-first-sweep state, and a missing `.pending` manifest simply
-    * re-stages the batch.
+  /** Atomic string write: tmp file + rename, NO overwrite. Hadoop's
+    * `FileSystem.rename` does not replace an existing destination on
+    * HDFS/S3A (returns false; only POSIX local rename overwrites), so
+    * every caller must target a fresh name: `.pending` manifests are
+    * deleted by reconcile before a rewrite, and sweep horizons are
+    * VERSIONED files (`...swept-<horizon>`) that are skipped when they
+    * already exist — a delete-then-rename "overwrite" here would open
+    * a window where the fence file is absent with markers already
+    * swept, the silent-duplicate state the fence exists to refuse.
     */
   private def writeStringAtomic(fs: FileSystem, p: HPath, s: String): Unit = {
     val tmp = new HPath(p.getParent,
       s".${p.getName}.${java.util.UUID.randomUUID}.tmp")
     val out = fs.create(tmp, true)
     try out.write(s.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
     if (!fs.rename(tmp, p)) {
       fs.delete(tmp, false)
-      throw new java.io.IOException(s"rename $tmp -> $p failed")
+      throw new java.io.IOException(s"rename $tmp -> $p failed " +
+        "(destination may already exist: Hadoop rename never overwrites)")
     }
   }
 
@@ -732,14 +731,51 @@ object Journal {
     // fs.exists(committed) check before the fence runs); the reverse
     // order would leave deleted markers UNfenced, re-opening the exact
     // silent-duplicate window the fence exists to close.
-    writeStringAtomic(fs, new HPath(dir, s".batch-${prefix}swept"),
-      horizon.toString)
+    //
+    // Horizons are VERSIONED files (`.batch-<prefix>swept-<horizon>`)
+    // that are written once and never rewritten — the fence reads the
+    // MAX over all of them — so no step here ever deletes-then-renames
+    // an existing fence file (Hadoop rename can't overwrite, and an
+    // "overwrite" emulation would open a fence-absent window with
+    // markers already swept). Aged horizon files are garbage-collected
+    // only AFTER the new horizon is durable; a crash leaves extras
+    // behind, which the max() makes harmless.
+    val hp = new HPath(dir, s".batch-${prefix}swept-$horizon")
+    if (!fs.exists(hp)) // idempotent re-sweep: the file is complete by construction
+      writeStringAtomic(fs, hp, horizon.toString)
+    horizonFiles(fs, dir, prefix).foreach { case (p, h) =>
+      if (h < horizon) fs.delete(p, false)
+    }
     sts.foreach { st =>
       val name = st.getPath.getName
         .stripPrefix(s".batch-$prefix").stripSuffix(".committed")
       val id = try java.lang.Long.parseLong(name)
         catch { case _: NumberFormatException => Long.MaxValue }
       if (id < horizon) fs.delete(st.getPath, false)
+    }
+  }
+
+  /** All swept-horizon files for `prefix` in `dir`, as (path, horizon):
+    * the versioned form `.batch-<prefix>swept-<h>` (name carries the
+    * horizon) and the legacy unversioned `.batch-<prefix>swept` (content
+    * carries it). Files matching neither shape — e.g. another query's
+    * tag caught by a shorter prefix's glob — are ignored.
+    */
+  private def horizonFiles(fs: FileSystem, dir: HPath,
+      prefix: String): Seq[(HPath, Long)] = {
+    val sts = fs.globStatus(new HPath(dir, s".batch-${prefix}swept*"))
+    if (sts == null) Nil
+    else sts.toSeq.flatMap { st =>
+      val rest = st.getPath.getName.stripPrefix(s".batch-${prefix}swept")
+      val h =
+        if (rest.startsWith("-"))
+          try Some(rest.substring(1).toLong)
+          catch { case _: NumberFormatException => None }
+        else if (rest.isEmpty)
+          try Some(readString(fs, st.getPath).trim.toLong)
+          catch { case _: Exception => None }
+        else None
+      h.map(st.getPath -> _)
     }
   }
 
@@ -753,18 +789,16 @@ object Journal {
     */
   private def assertNotSwept(fs: FileSystem, dir: HPath, prefix: String,
       id: Long): Unit = {
-    val hp = new HPath(dir, s".batch-${prefix}swept")
-    if (!fs.exists(hp)) return
-    val horizon =
-      try readString(fs, hp).trim.toLong
-      catch { case _: NumberFormatException => return }
+    val horizons = horizonFiles(fs, dir, prefix).map(_._2)
+    if (horizons.isEmpty) return
+    val horizon = horizons.max
     if (id < horizon) throw new IllegalStateException(
       s"batch $id of $dir is below the swept idempotence horizon " +
       s"$horizon: markers more than $MarkerRetention behind the newest " +
       "batch are deleted, so this batch cannot be proven un-appended " +
       "and a re-append would duplicate its records. Restore a " +
       "checkpoint within the retention window, or deduplicate and " +
-      s"remove $hp to override.")
+      s"remove the .batch-${prefix}swept* horizon files to override.")
   }
 
   /** Reconcile a crashed attempt's `.pending` manifest. Each line is

@@ -142,10 +142,11 @@ class JournalSpec extends SparkSpec {
     assert(exists(".batch-q-abc-5.committed"),
       "another query's epoch tag must never be touched by the batch sweep")
     assert(exists(".batch-80.committed"), "current marker must exist")
-    // The sweep records its horizon (80 - 64 = 16): a rewind below it
-    // can no longer prove idempotence and must be REFUSED, not
-    // silently duplicated; a retry whose marker survived stays a no-op.
-    assert(exists(".batch-swept"), "sweep must record its horizon")
+    // The sweep records its horizon (80 - 64 = 16) as a versioned file
+    // that is never rewritten: a rewind below it can no longer prove
+    // idempotence and must be REFUSED, not silently duplicated; a
+    // retry whose marker survived stays a no-op.
+    assert(exists(".batch-swept-16"), "sweep must record its horizon")
     val before = Journal.listFragments(root, "topic/mk").size
     intercept[IllegalStateException] {
       Journal.batchSink(root, "topic/mk", codec = "none")(
@@ -155,17 +156,22 @@ class JournalSpec extends SparkSpec {
       Seq("dup").toDF("payload"), batchId = 70L) // marker present: no-op
     assert(Journal.listFragments(root, "topic/mk").size == before,
       "neither the refused rewind nor the marker-fenced retry may append")
-    // A SECOND sweep must overwrite the existing horizon file — Hadoop
-    // rename does not overwrite on HDFS/S3A, so writeStringAtomic
-    // deletes the old horizon first; regression: the second sweep threw
-    // IOException post-commit, failing the sink every 16 batches.
+    // A SECOND sweep must advance the horizon without any rename onto
+    // an existing destination (Hadoop rename does not overwrite on
+    // HDFS/S3A; regression: an unversioned horizon rewrite threw
+    // IOException post-commit, failing the sink every 16 batches).
+    // The new horizon file appears BEFORE the old one is collected, so
+    // no crash window leaves swept markers unfenced.
     Journal.batchSink(root, "topic/mk", codec = "none")(
       Seq("p2").toDF("payload"), batchId = 96L)
-    val horizon = {
-      val in = fs.open(new org.apache.hadoop.fs.Path(dir, ".batch-swept"))
-      try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+    assert(exists(".batch-swept-32"), "second sweep must advance the horizon")
+    assert(!exists(".batch-swept-16"),
+      "the superseded horizon file is garbage-collected after the new one lands")
+    // The fence reads the max horizon: batch 20 (>= 16, < 32) refuses.
+    intercept[IllegalStateException] {
+      Journal.batchSink(root, "topic/mk", codec = "none")(
+        Seq("dup").toDF("payload"), batchId = 20L)
     }
-    assert(horizon == "32", s"second sweep must advance the horizon, got $horizon")
   }
 
   test("swept-horizon fence on a spooled epoch reclaims its spool files") {
