@@ -91,26 +91,26 @@ object Bench {
       val best = if (good.nonEmpty) good.min else timed.map(_._2).max
       (name, best, timed.map(_._2), good.nonEmpty)
     }
-    // Outlier re-rep: one extra timed run for >1.5×-vs-prior queries;
-    // the min over all SUCCESSFUL reps is reported. (When the first
-    // pass was all-failed, `best` is a fast-failure elapsed, not a
-    // measurement — a successful re-rep replaces it outright rather
-    // than min-ing against it.) Bounded by the outlier count — a
-    // healthy run re-reps a handful of sub-second shapes (~seconds).
+    // Re-rep pass: one extra timed run for (a) >1.5×-vs-prior outliers
+    // and (b) ALL-FAILED queries — whose `best` is a fast-failure
+    // elapsed, not a measurement, and would otherwise be recorded as a
+    // phantom "speedup" and poison the next run's prior. The min over
+    // all SUCCESSFUL reps is reported; a success after an all-failed
+    // first pass replaces the failure artifact outright. Bounded by
+    // the outlier count — a healthy run re-reps a handful of
+    // sub-second shapes (~seconds).
     val results = firstPass.map { case r @ (name, best, ts, anyGood) =>
-      prior.get(name) match {
-        case Some(p) if p > 0 && best > p * 1.5 =>
-          spark.catalog.clearCache()
-          val t0 = System.nanoTime()
-          val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
-            catch { case _: Throwable => false }
-          val dt = (System.nanoTime() - t0) / 1e9
-          System.gc()
-          if (ok) (name, if (anyGood) math.min(best, dt) else dt,
-            ts :+ dt, true)
-          else r
-        case _ => r
-      }
+      val outlier = prior.get(name).exists(p => p > 0 && best > p * 1.5)
+      if (!anyGood || outlier) {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.gc()
+        if (ok) (name, if (anyGood) math.min(best, dt) else dt, ts :+ dt, true)
+        else r
+      } else r
     }.map { case (name, best, ts, _) => (name, best, ts) }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

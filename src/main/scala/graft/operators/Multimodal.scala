@@ -195,6 +195,26 @@ object Multimodal {
       .withColumn("out_bytes", col("target_w") * col("target_h") * 3)
   }
 
+  /** Shared JDK decode for the opt-in pixel paths: null on anything
+    * undecodable. Catches NonFatal, not just IOException — the JDK's
+    * ImageIO readers throw RuntimeExceptions on malformed bodies (bad
+    * GIF LZW codes, zero-size BMP color tables, ...), and one dirty
+    * blob must quarantine, not abort the job. The explicit
+    * MemoryCacheImageInputStream keeps ImageIO off its default
+    * DISK-backed stream cache (a temp-file create/write/delete per row
+    * in java.io.tmpdir — pure waste for in-memory byte arrays). No
+    * explicit close: `ImageIO.read(ImageInputStream)` closes the
+    * passed stream itself, in its own finally, on success AND failure
+    * (a second close throws IOException("closed") — found the hard
+    * way), so cache segments are released deterministically either way.
+    */
+  private def decodeImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    if (bytes == null) null
+    else try javax.imageio.ImageIO.read(
+      new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+    catch { case scala.util.control.NonFatal(_) => null }
+
   /** OPTIONAL executor-local full-pixel decode via `javax.imageio` —
     * the JDK ships PNG/JPEG/GIF/BMP readers, so this needs no codec
     * libraries. Returns the input with REAL decoded `width`/`height`
@@ -206,26 +226,8 @@ object Multimodal {
     * This is the opt-in pixel path; the header/synthetic paths remain
     * the oracle-gated surface ([[ImageHeader]] geometry is
     * byte-identical to these dims for well-formed files — pinned in
-    * MultimodalSpec). The reader initializes per call; ImageIO's
-    * reader cache is per-JVM, the executor-local handle the scaladoc
-    * above describes.
+    * MultimodalSpec).
     */
-  /** Shared JDK decode for the opt-in pixel paths: null on anything
-    * undecodable. Catches NonFatal, not just IOException — the JDK's
-    * ImageIO readers throw RuntimeExceptions on malformed bodies (bad
-    * GIF LZW codes, zero-size BMP color tables, ...), and one dirty
-    * blob must quarantine, not abort the job. The explicit
-    * MemoryCacheImageInputStream keeps ImageIO off its default
-    * DISK-backed stream cache (a temp-file create/write/delete per row
-    * in java.io.tmpdir — pure waste for in-memory byte arrays).
-    */
-  private def decodeImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
-    if (bytes == null) null
-    else try javax.imageio.ImageIO.read(
-      new javax.imageio.stream.MemoryCacheImageInputStream(
-        new java.io.ByteArrayInputStream(bytes)))
-    catch { case scala.util.control.NonFatal(_) => null }
-
   def decodeImages(media: DataFrame, blobCol: String = "media"): DataFrame = {
     val dec = udf { bytes: Array[Byte] =>
       val img = decodeImage(bytes)

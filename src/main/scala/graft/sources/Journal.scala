@@ -743,6 +743,11 @@ object Journal {
     val hp = new HPath(dir, s".batch-${prefix}swept-$horizon")
     if (!fs.exists(hp)) // idempotent re-sweep: the file is complete by construction
       writeStringAtomic(fs, hp, horizon.toString)
+    // Keep the fence's in-process fast path current (it never re-lists
+    // after first touch); merge, don't overwrite, in case of an
+    // out-of-order sweep call.
+    sweptHorizons.merge((dir.toString, prefix), horizon,
+      (a, b) => if (a.longValue >= b.longValue) a else b)
     horizonFiles(fs, dir, prefix).foreach { case (p, h) =>
       if (h < horizon) fs.delete(p, false)
     }
@@ -754,6 +759,19 @@ object Journal {
       if (id < horizon) fs.delete(st.getPath, false)
     }
   }
+
+  /** Per-process cache of the max swept horizon per (dir, prefix): the
+    * fence runs on EVERY batch commit, and the glob behind it is a full
+    * client-side directory listing (paged LIST on S3A) — per-batch
+    * that's real money on a journal directory with many fragments.
+    * Under the sink's single-writer contract the horizon only advances
+    * through this process's own [[sweepMarkers]] (which updates the
+    * cache), so one listing at first touch suffices. Removing horizon
+    * files to override a refused rewind requires restarting the writer
+    * (the error message says so).
+    */
+  private val sweptHorizons =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
 
   /** All swept-horizon files for `prefix` in `dir`, as (path, horizon):
     * the versioned form `.batch-<prefix>swept-<h>` (name carries the
@@ -789,16 +807,21 @@ object Journal {
     */
   private def assertNotSwept(fs: FileSystem, dir: HPath, prefix: String,
       id: Long): Unit = {
-    val horizons = horizonFiles(fs, dir, prefix).map(_._2)
-    if (horizons.isEmpty) return
-    val horizon = horizons.max
-    if (id < horizon) throw new IllegalStateException(
+    val key = (dir.toString, prefix)
+    val horizon = Option(sweptHorizons.get(key)).map(_.longValue).getOrElse {
+      val h = horizonFiles(fs, dir, prefix).map(_._2)
+        .foldLeft(0L)(math.max)
+      sweptHorizons.put(key, h)
+      h
+    }
+    if (horizon > 0 && id < horizon) throw new IllegalStateException(
       s"batch $id of $dir is below the swept idempotence horizon " +
       s"$horizon: markers more than $MarkerRetention behind the newest " +
       "batch are deleted, so this batch cannot be proven un-appended " +
       "and a re-append would duplicate its records. Restore a " +
       "checkpoint within the retention window, or deduplicate and " +
-      s"remove the .batch-${prefix}swept* horizon files to override.")
+      s"remove the .batch-${prefix}swept* horizon files to override " +
+      "(then restart this writer: the horizon is cached in-process).")
   }
 
   /** Reconcile a crashed attempt's `.pending` manifest. Each line is
