@@ -252,6 +252,42 @@ object Profile {
           f"${nStream / dt1 / 1e6}%.2f M msgs/s, $dt1%.2f s")
       }
     }
+    // Ingest-guard throughput (round 8): the per-message Validator
+    // analog on its deployment hot path — docs/s through the exact
+    // (broadcast sorted array) and Bloom forms over the sf corpus,
+    // plus the one-time eval-side build costs.
+    if (want("guard")) {
+      import graft.operators.{Contamination, Dedup}
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+        .repartition(spark.sparkContext.defaultParallelism).persist()
+      val nDocs = docs.count()
+      val evalSh = Dedup.docShingles(
+        docs.filter(col("doc_id") % 17 === 0), col("doc_id"), col("text"), 5)
+      var t0 = System.nanoTime()
+      val exact = Contamination.evalShingleSet(evalSh)
+      println(f"[profile] guard eval-set build (exact): ${exact.length} " +
+        f"shingles (${exact.length * 8 / 1024} KiB) in " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      t0 = System.nanoTime()
+      val bloom = Contamination.evalShingleBloom(evalSh)
+      println(f"[profile] guard eval-set build (bloom): " +
+        f"${bloom.bitSize() / 8 / 1024} KiB in " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      for ((label, guarded) <- Seq(
+          "exact" -> Contamination.ingestGuardExact(docs, exact, n = 5),
+          "bloom" -> Contamination.ingestGuard(docs, bloom, n = 5))) {
+        val dt = (1 to 2).map { _ =>
+          val t1 = System.nanoTime()
+          guarded.agg(sum(col("n_eval_hits"))).head()
+          (System.nanoTime() - t1) / 1e9
+        }.min
+        println(f"[profile] ingest guard ($label): " +
+          f"${nDocs / dt / 1e3}%.0f K docs/s, $nDocs docs in $dt%.2f s")
+      }
+      docs.unpersist()
+    }
+
     // Journal append/read throughput. The reference names spool
     // compression as THE append bottleneck (docs/brokers-concepts.rst:
     // 54-58) — measure none vs gz to see the same effect, and the
