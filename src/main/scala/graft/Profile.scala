@@ -251,6 +251,22 @@ object Profile {
         println(f"[profile] sequencer micro-batch (1 batch of 1M): " +
           f"${nStream / dt1 / 1e6}%.2f M msgs/s, $dt1%.2f s")
       }
+      // Same 4-batch shape on the RocksDB state store (changelog-style
+      // commits vs HDFSBacked's full delta files) — isolates how much
+      // of the per-batch floor is the state-commit implementation.
+      locally {
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider")
+        try {
+          val (dtR4, procR4) = drainTo(3, s"$base/ckpt2", s"$base/out2",
+            s"$inDir/b*", maxFilesPerTrigger = Some(1))
+          println(f"[profile] sequencer micro-batch (4 batches, RocksDB " +
+            f"store): ${nStream / dtR4 / 1e6}%.2f M msgs/s wall, " +
+            f"$procR4%.2f s exec")
+        } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+      }
     }
     // Ingest-guard throughput (round 8): the per-message Validator
     // analog on its deployment hot path — docs/s through the exact
