@@ -96,6 +96,28 @@ object Journal {
     try new String(in.readAllBytes(), "UTF-8") finally in.close()
   }
 
+  /** Validate a Hive-style path postfix ("key=value", or nested
+    * "k1=v1/k2=v2") before any spool is created under it. The listing
+    * attributes a file to a journal only when every interior directory
+    * segment carries '=' (see listFragments), so a malformed postfix
+    * would land fragments NO read ever returns AND no head derivation
+    * ever sees — invisible dead bytes whose offsets the next append
+    * reuses. An absolute or dot-leading segment would escape or hide
+    * under the store root. Both write paths (batch stage and the DSv2
+    * writer) call this on each distinct postfix value.
+    */
+  private[graft] def validatePostfix(p: String): Unit = {
+    if (p.isEmpty) return
+    require(!p.startsWith("/"),
+      s"postfix must be a relative path, got '$p'")
+    p.split('/').foreach { seg =>
+      require(seg.nonEmpty && seg.contains('=') && !seg.startsWith("."),
+        s"postfix segment '$seg' of '$p' is not Hive-style key=value: " +
+          "fragments under it would be invisible to listings and their " +
+          "offsets reused by the next append")
+    }
+  }
+
   /** Atomic string write: tmp file + rename, NO overwrite. Hadoop's
     * `FileSystem.rename` does not replace an existing destination on
     * HDFS/S3A (returns false; only POSIX local rename overwrites), so
@@ -504,7 +526,7 @@ object Journal {
         // protocol.proto:293-298); see AppendFlowControl for the
         // cluster-aggregate semantics.
         val flow = if (maxAppendRate > 0)
-          graft.sources.v2.AppendFlowControl.bucket(journal, maxAppendRate)
+          graft.sources.v2.AppendFlowControl.bucket(root, journal, maxAppendRate)
         else null
         try {
           it.foreach { case (line, postfix) =>
@@ -514,6 +536,7 @@ object Journal {
             // sort — both deserve a clear error at the source.
             require(line != null, "journal append: null payload")
             require(postfix != null, "journal append: null postfix value")
+            if (!spools.contains(postfix)) validatePostfix(postfix)
             var sp = spools.getOrElseUpdate(postfix, fresh(0))
             if (sp.shouldRoll(maxFragmentBytes, flushIntervalMs)) {
               doneV += finished(postfix, sp)

@@ -66,14 +66,18 @@ object AppendFlowControl {
     }
   }
 
-  private val buckets = TrieMap.empty[(String, Long), TokenBucket]
+  private val buckets = TrieMap.empty[(String, String, Long), TokenBucket]
 
-  /** The JVM-wide bucket for (journal, rate). Keyed by rate too, so a
+  /** The JVM-wide bucket for (store root, journal, rate). The root is
+    * part of the key because journal names are only unique within a
+    * store — two same-named journals in different stores are distinct
+    * journals and must not share a throttle. Keyed by rate too, so a
     * spec change to `maxAppendRate` takes effect on the next write
     * rather than silently keeping the old ceiling.
     */
-  def bucket(journal: String, bytesPerSec: Long): TokenBucket =
-    buckets.getOrElseUpdate((journal, bytesPerSec), new TokenBucket(bytesPerSec))
+  def bucket(root: String, journal: String, bytesPerSec: Long): TokenBucket =
+    buckets.getOrElseUpdate((root, journal, bytesPerSec),
+      new TokenBucket(bytesPerSec))
 
   /** Test hook: forget all buckets (fresh burst budget). */
   private[graft] def reset(): Unit = buckets.clear()

@@ -70,13 +70,19 @@ class JournalDataSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     // getTable properties preserve the caller's option-key case, but
-    // Spark options are conventionally case-insensitive — fold the map
-    // to lowercase keys once so .option("MaxBytesPerTrigger", …) is not
-    // silently ignored (admission control degrading with no error).
+    // Spark options are conventionally case-insensitive — wrap in the
+    // stock CaseInsensitiveStringMap (the same class the scan path
+    // uses) so .option("MaxBytesPerTrigger", …) is not silently
+    // ignored (admission control degrading with no error).
     import scala.jdk.CollectionConverters._
-    val props = properties.asScala.map { case (k, v) => k.toLowerCase -> v }.toMap
-    def opt(k: String): Option[String] = props.get(k.toLowerCase)
-    val roots = opt("roots").orElse(opt("root")).map(_.split(',').toSeq.map(_.trim))
+    val props = new CaseInsensitiveStringMap(properties)
+    def opt(k: String): Option[String] = Option(props.get(k))
+    // Empty segments (trailing/double comma) would surface later as an
+    // opaque "Can not create a Path from an empty string" deep inside
+    // the first listing — drop them here so a misconfigured option
+    // fails at its own require with the real cause.
+    val roots = opt("roots").orElse(opt("root"))
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
     val postfix = {
       val re = """(?i)postfix\.(.+)\.(min|max|eq)""".r
       // From the ORIGINAL map: the embedded <key> names a directory
@@ -85,7 +91,7 @@ class JournalDataSource extends TableProvider with DataSourceRegister {
         case (re(key, op), bound) => PostfixPredicate(key, op.toLowerCase, bound)
       }
     }
-    new JournalTable(roots.orNull, props.get("journal").orNull,
+    new JournalTable(roots.orNull, opt("journal").orNull,
       opt("maxBytesPerTrigger").map(_.toLong),
       postfix, opt("codec").getOrElse("gz"),
       opt("listRefresh").exists(_.equalsIgnoreCase("incremental")))
@@ -130,8 +136,33 @@ class JournalTable(roots: Seq[String], journal: String,
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.ACCEPT_ANY_SCHEMA)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new JournalScan(roots, journal, maxBytesPerTrigger, postfix, incrementalListing)
+  /** Per-scan options override the table-level configuration — without
+    * this, `spark.readStream.option("maxBytesPerTrigger", …)
+    * .table("cat.ns.j")` (the catalog flow, which never passes through
+    * `getTable`) would silently lose admission control and postfix
+    * pruning: exactly the silent-degradation class the getTable
+    * case-folding comment warns about. Per-scan postfix predicates ADD
+    * to the table's (both prune; conjunction is safe); the original-
+    * case map supplies the postfix keys, whose case names a directory.
+    */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val mbt = Option(options.get("maxBytesPerTrigger")).map(_.toLong)
+      .orElse(maxBytesPerTrigger)
+    val inc = Option(options.get("listRefresh"))
+      .map(_.equalsIgnoreCase("incremental")).getOrElse(incrementalListing)
+    val scanPostfix = {
+      import scala.jdk.CollectionConverters._
+      val re = """(?i)postfix\.(.+)\.(min|max|eq)""".r
+      options.asCaseSensitiveMap().asScala.toSeq.collect {
+        case (re(key, op), bound) => PostfixPredicate(key, op.toLowerCase, bound)
+      }
+    }
+    // distinct: on the path-based flow the same options build BOTH the
+    // table's predicates and the scan's — conjunction is idempotent,
+    // but no point filtering each fragment twice per bound.
+    () => new JournalScan(roots, journal, mbt,
+      (postfix ++ scanPostfix).distinct, inc)
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write =
@@ -322,17 +353,36 @@ class JournalMicroBatchStream(roots: Seq[String], journal: String,
     maxBytesPerTrigger.map(ReadMaxJournalBytes(_): ReadLimit)
       .getOrElse(ReadLimit.allAvailable())
 
+  /** First offset at or after `s` covered by a listed fragment: lets
+    * admission-controlled offsets JUMP pruned front spans instead of
+    * crawling them — a journal retention-pruned to begin at 10 GB with
+    * maxBytesPerTrigger=1 MB would otherwise run ~10,000 consecutive
+    * EMPTY micro-batches (each paying a full listing) before the first
+    * row. Unpruned index on purpose: offsets track journal bytes, and
+    * skipping only true fragment holes is conservative under postfix
+    * pruning.
+    */
+  private def nextDataOffset(s: Long): Long = {
+    val begins = cachedIndex().collect { case f if f.end > s => f.begin }
+    if (begins.isEmpty) s else math.max(s, begins.min)
+  }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val head = currentHead()
     val s = start.asInstanceOf[JournalOffset].head
+    // Clamp at `s` in BOTH branches: a transiently short listing (one
+    // store of a mid-migration pair missing, or an eventually-
+    // consistent LIST) can report head < s — returning it would rewind
+    // the checkpoint and re-deliver [head, s) once the store recovers.
     limit match {
       // Saturating add: maxBytesPerTrigger = Long.MaxValue ("unlimited")
       // would wrap s + b negative once s > 0 — the next batch would
       // re-read from 0 (duplicates) and serialize a negative head the
       // offset regex can never parse back (unrestorable checkpoint).
       case ReadMaxJournalBytes(b) =>
-        JournalOffset(if (b > head - s) head else s + b)
-      case _ => JournalOffset(head)
+        val s2 = nextDataOffset(s) // >= s: hole-skip never rewinds
+        JournalOffset(if (b > head - s2) math.max(s2, head) else s2 + b)
+      case _ => JournalOffset(math.max(s, head))
     }
   }
 

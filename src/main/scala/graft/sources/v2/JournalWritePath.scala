@@ -54,9 +54,14 @@ class JournalWrite(roots: Seq[String], journal: String, tableCodec: String,
   private val codec: String =
     Option(info.options.get("codec")).getOrElse(tableCodec)
 
-  private val maxFragmentBytes: Long =
-    Option(info.options.get("maxFragmentBytes")).map(_.toLong)
+  private val maxFragmentBytes: Long = {
+    val v = Option(info.options.get("maxFragmentBytes")).map(_.toLong)
       .getOrElse(defaults.maxFragmentBytes)
+    // Parity with Journal.stage's require: 0 would roll an empty spool
+    // on EVERY write — one fragment (and one commit rename) per record.
+    require(v > 0, s"maxFragmentBytes must be positive, got $v")
+    v
+  }
 
   private val maxAppendRate: Long =
     Option(info.options.get("maxAppendRate")).map(_.toLong)
@@ -204,7 +209,8 @@ class JournalWriterFactory(root: String, journalTag: String, codec: String,
       // Resolved executor-side: the bucket is shared by every writer of
       // this journal in the JVM, so parallel tasks jointly honor the cap.
       private lazy val flow: AppendFlowControl.TokenBucket =
-        if (maxAppendRate > 0) AppendFlowControl.bucket(journal, maxAppendRate)
+        if (maxAppendRate > 0)
+          AppendFlowControl.bucket(root, journal, maxAppendRate)
         else null
 
       override def write(row: InternalRow): Unit = {
@@ -217,6 +223,10 @@ class JournalWriterFactory(root: String, journalTag: String, codec: String,
             require(p != null, "journal write: null postfix value")
             p.toString
           }
+        // Checked once per distinct value: a malformed postfix writes
+        // fragments the listing never attributes (invisible data,
+        // offsets reused) — refuse at the source.
+        if (!spools.contains(postfix)) Journal.validatePostfix(postfix)
         var sp = spools.getOrElseUpdate(postfix, fresh(0))
         if (sp.shouldRoll(maxFragmentBytes, flushIntervalMs)) {
           rolled += finished(postfix, sp)

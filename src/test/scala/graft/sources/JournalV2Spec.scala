@@ -469,4 +469,79 @@ class JournalV2Spec extends SparkSpec {
     assert(batchSizes.forall(_ <= 16), s"batches: $batchSizes")
     assert(batchSizes.count(_ > 0) >= 6, s"expected a paced backfill, got $batchSizes")
   }
+
+  test("malformed postfix values refuse at write time on both paths") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-v2pfv").toString
+    // A value missing the "key=" prefix would land fragments that the
+    // listing never attributes (invisible data, offsets reused); an
+    // absolute value would escape the store root. Both must throw at
+    // the writer, not write dead bytes.
+    for (bad <- Seq("2024-01-01", "/tmp/x=1", "a=1/.hidden=2")) {
+      val df = Seq(("p1", bad)).toDF("payload", "pf")
+      val eDsv2 = intercept[Exception] {
+        df.write.format("journal").option("root", root)
+          .option("journal", "pfv").option("codec", "none")
+          .option("postfixCol", "pf").mode("append").save()
+      }
+      assert(eDsv2.getMessage != null)
+      intercept[Exception] {
+        Journal.append(df, root, "pfv2", "none", postfixCol = Some("pf"))
+      }
+    }
+    // Well-formed values (incl. nested) still write and list.
+    val ok = Seq(("p1", "date=2024-01-01/h=05")).toDF("payload", "pf")
+    Journal.append(ok, root, "pfok", "none", postfixCol = Some("pf"))
+    assert(Journal.listFragments(root, "pfok").size == 1)
+  }
+
+  test("admission offsets skip pruned front spans and never rewind below start") {
+    import spark.implicits._
+    import graft.sources.v2.{JournalMicroBatchStream, JournalOffset, ReadMaxJournalBytes}
+    val root = Files.createTempDirectory("graft-v2skip").toString
+    // 100 x 4-byte records, then prune the first 200 bytes away.
+    Journal.append((0 until 100).map(i => f"s$i%02d").toDF("payload")
+      .coalesce(4), root, "skip", "none")
+    Journal.prune(root, "skip", 200L)
+    val firstBegin = Journal.listFragments(root, "skip").map(_.begin).min
+    assert(firstBegin >= 100L, s"prune left begin=$firstBegin")
+
+    val stream = new JournalMicroBatchStream(Seq(root), "skip")
+    // A fresh query starts at 0 with a 16-byte cap: the first capped
+    // offset must JUMP the pruned hole instead of crawling it in
+    // dozens of empty batches.
+    val o1 = stream.latestOffset(JournalOffset(0L), ReadMaxJournalBytes(16L))
+      .asInstanceOf[JournalOffset].head
+    assert(o1 == firstBegin + 16L,
+      s"expected hole-skip to $firstBegin+16, got $o1")
+    // A transiently short listing (head < start) must clamp at start,
+    // not rewind the checkpoint: start beyond the head stays put.
+    val beyond = 100000L
+    val o2 = stream.latestOffset(JournalOffset(beyond), ReadMaxJournalBytes(16L))
+      .asInstanceOf[JournalOffset].head
+    assert(o2 == beyond, s"capped branch rewound: $o2")
+    val o3 = stream.latestOffset(JournalOffset(beyond),
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+      .asInstanceOf[JournalOffset].head
+    assert(o3 == beyond, s"unlimited branch rewound: $o3")
+  }
+
+  test("per-scan options reach catalog-loaded tables (admission + pruning)") {
+    import graft.sources.v2.{JournalTable, ReadMaxJournalBytes}
+    val root = Files.createTempDirectory("graft-v2scanopt").toString
+    // A table created WITHOUT maxBytesPerTrigger (the catalog shape):
+    // a per-scan option must still apply — silently dropping it reads
+    // the whole journal in one batch.
+    val table = new JournalTable(Seq(root), "so")
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("maxBytesPerTrigger", "64")
+    opts.put("postfix.date.eq", "2024-01-01")
+    val scan = table.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts)).build()
+    val ms = scan.toMicroBatchStream("unused")
+    assert(ms.asInstanceOf[
+      org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl]
+      .getDefaultReadLimit == ReadMaxJournalBytes(64L),
+      "per-scan maxBytesPerTrigger was dropped on the catalog path")
+  }
 }
