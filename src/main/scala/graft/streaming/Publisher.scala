@@ -24,20 +24,28 @@ object Publisher {
   /** M1 RandomMapping: uniform pseudo-random journal choice (seeded for
     * reproducibility; the reference uses a true PRNG).
     */
-  def randomMapping(journals: Seq[String], seed: Long = 42L): Column =
+  def randomMapping(journals: Seq[String], seed: Long = 42L): Column = {
+    // Fail at the driver, not per-row in tasks: an empty journal list
+    // is a modulo-by-zero / empty element_at at runtime otherwise
+    // (ANSI throw, or silent null routing with ANSI off).
+    require(journals.nonEmpty, "randomMapping: journals must be non-empty")
     element_at(typedlit(journals), (floor(rand(seed) * journals.size) + 1).cast("int"))
+  }
 
   /** M2 ModuloMapping: FNV-1a32(key) mod N — byte-compatible with the
     * reference's stable assignment.
     */
-  def moduloMapping(key: Column, journals: Seq[String]): Column =
+  def moduloMapping(key: Column, journals: Seq[String]): Column = {
+    require(journals.nonEmpty, "moduloMapping: journals must be non-empty")
     element_at(typedlit(journals), (F.fnv1a32(key) % journals.size + 1).cast("int"))
+  }
 
   /** M3 RendezvousMapping: highest-random-weight choice
     * w_i = fnv1a32(key) XOR fnv1a32(journal_i); minimal remapping as the
     * journal set changes.
     */
   def rendezvousMapping(key: Column, journals: Seq[String]): Column = {
+    require(journals.nonEmpty, "rendezvousMapping: journals must be non-empty")
     val jHashes = journals.map(j =>
       graft.functions.Hashes.fnv1a32(j.getBytes("UTF-8")))
     val keyHash = F.fnv1a32(key)

@@ -111,15 +111,29 @@ final class SqlStore(url: String, shard: String,
   // the open transaction and leaves the commit to commitBatch.
   private var inCommit = false
 
-  /** Run read-only SQL against the store (the A4/A8 query surface). */
+  /** Run read-only SQL against the store (the A4/A8 query surface).
+    * Failure-safe on the SHARED connection: the statement closes on
+    * every path, and a failed query rolls back (outside commitBatch)
+    * so the connection doesn't sit in an aborted-transaction state —
+    * on PostgreSQL that state fails the NEXT commitBatch's writes with
+    * a spurious error, losing a micro-batch commit attempt.
+    */
   def query[A](sql: String)(f: java.sql.ResultSet => A): Vector[A] = synchronized {
     val st = conn.createStatement()
-    val rs = st.executeQuery(sql)
-    val out = Vector.newBuilder[A]
-    while (rs.next()) out += f(rs)
-    rs.close(); st.close()
-    if (!inCommit) conn.commit()
-    out.result()
+    try {
+      val rs = st.executeQuery(sql)
+      try {
+        val out = Vector.newBuilder[A]
+        while (rs.next()) out += f(rs)
+        if (!inCommit) conn.commit()
+        out.result()
+      } finally rs.close()
+    } catch {
+      case e: Throwable =>
+        if (!inCommit)
+          try conn.rollback() catch { case _: java.sql.SQLException => () }
+        throw e
+    } finally st.close()
   }
 
   /** Portable existence probe: DatabaseMetaData.getTables rather than a

@@ -117,7 +117,6 @@ object StreamingCountMin {
     */
   def compact(spark: SparkSession, path: String): Unit = {
     import org.apache.hadoop.fs.Path
-    val dd = deltaDf(spark, path).getOrElse(return)
     val before = committedVersions(spark, path)
     val upto = before.lastOption.getOrElse(-1L)
     // The fold NEVER includes the newest present delta batch: ingest is
@@ -129,6 +128,14 @@ object StreamingCountMin {
     // every future read — silent undercount. Excluding the max id
     // keeps it in the delta tier (still counted by readers) until a
     // later batch proves it complete.
+    //
+    // ONE listing decides both the watermark AND the fold input: the
+    // fold reads exactly the batch directories this listing saw below
+    // newUpto. A separate whole-tier DataFrame snapshot taken earlier
+    // (the previous shape) could predate the commit of a batch this
+    // listing then watermarks past — partially-folded counts excluded
+    // from every future read, the exact undercount the max-exclusion
+    // rule exists to prevent.
     val pendingIds = {
       val f = hfs(spark, path)
       f.globStatus(new Path(s"$path/delta/batch=*")) match {
@@ -141,14 +148,18 @@ object StreamingCountMin {
     val newUpto = pendingIds(pendingIds.size - 2)
     // Fold EXACTLY (upto, newUpto]: a batch the ingest query lands
     // while this compact runs stays in the delta tier (it is above the
-    // new watermark), so concurrent ingest never double-counts.
+    // new watermark), so concurrent ingest never double-counts. All
+    // folded dirs were non-max at listing time, hence fully committed
+    // (immutable: replays only ever overwrite the newest batch).
     val base =
       if (upto >= 0)
         Some(spark.read.parquet(s"$path/base_v$upto")
           .select(col("j"), col("bucket"), col("c")))
       else None
-    val folded = dd
-      .filter(col("batch") > upto && col("batch") <= newUpto)
+    val folded = spark.read
+      .option("basePath", s"$path/delta")
+      .parquet(pendingIds.filter(_ <= newUpto)
+        .map(id => s"$path/delta/batch=$id"): _*)
       .select(col("j"), col("bucket"), col("c"))
     (base.toSeq :+ folded).reduce(_ unionByName _)
       .groupBy(col("j"), col("bucket")).agg(sum(col("c")).as("c"))

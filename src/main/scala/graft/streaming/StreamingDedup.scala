@@ -136,9 +136,15 @@ object StreamingDedup {
       // too short to shingle (absent from `d`, hence from `surviving`):
       // they duplicate nothing and must not be silently lost, so the
       // write anti-joins the DROPPED set instead of semi-joining the
-      // shingled survivors.
-      docs.join(batchDups.unionByName(histDups).distinct(),
-          Seq("doc_id"), "left_anti")
+      // shingled survivors. The dropped set derives from the two
+      // PERSISTED frames (`surviving` = d \ (batchDups ∪ histDups), so
+      // dropped = d \ surviving) — writing against the dup frames
+      // directly would re-execute both Jaccard-verification join
+      // pipelines, the two costliest shuffles of the batch, a second
+      // time.
+      val dropped = d.select($"doc_id")
+        .join(surviving.select($"doc_id"), Seq("doc_id"), "left_anti")
+      docs.join(dropped, Seq("doc_id"), "left_anti")
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$batchId")
     } finally cached.foreach(_.unpersist())
   }
