@@ -56,7 +56,13 @@ object CatalogWatchSource {
     StructField("stores", StringType, nullable = false),
     StructField("labels", StringType, nullable = false),
     StructField("retention_ms", LongType, nullable = false),
-    StructField("max_append_rate", LongType, nullable = false)))
+    StructField("max_append_rate", LongType, nullable = false),
+    // A mirror rebuilt from this stream must see EVERY spec field a
+    // consumer of the catalog can observe — omitting one makes an
+    // upsert that changes only it indistinguishable from a no-op, and
+    // downstream mirrors silently drift.
+    StructField("fragment_target_length", LongType, nullable = false),
+    StructField("flush_interval_ms", LongType, nullable = false)))
 }
 
 class CatalogWatchTable(catalogId: String) extends Table with SupportsRead {
@@ -81,7 +87,8 @@ case class WatchOffset(revision: Long) extends Offset {
   * wire).
   */
 case class WatchSlice(rows: Seq[(Long, String, String, Int, String,
-    Boolean, Boolean, String, String, Long, Long)]) extends InputPartition
+    Boolean, Boolean, String, String, Long, Long, Long, Long)])
+  extends InputPartition
 
 class CatalogWatchStream(catalogId: String) extends MicroBatchStream {
   private def catalog: JournalCatalog =
@@ -107,7 +114,8 @@ class CatalogWatchStream(catalogId: String) extends MicroBatchStream {
       (ev.revision, ev.op, sp.name, sp.replication, sp.codec,
         sp.readOnly, sp.writeOnly, sp.stores.mkString(","),
         sp.labels.labels.map(l => s"${l.name}=${l.value}").mkString(","),
-        sp.retentionMs, sp.maxAppendRate)
+        sp.retentionMs, sp.maxAppendRate, sp.fragmentTargetLength,
+        sp.flushIntervalMs)
     }
     Array(WatchSlice(rows))
   }
@@ -116,13 +124,13 @@ class CatalogWatchStream(catalogId: String) extends MicroBatchStream {
     (partition: InputPartition) => new PartitionReader[InternalRow] {
       private val it = partition.asInstanceOf[WatchSlice].rows.iterator
       private var cur: (Long, String, String, Int, String, Boolean, Boolean,
-        String, String, Long, Long) = _
+        String, String, Long, Long, Long, Long) = _
       override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
       override def get(): InternalRow = InternalRow(
         cur._1, UTF8String.fromString(cur._2), UTF8String.fromString(cur._3),
         cur._4, UTF8String.fromString(cur._5), cur._6, cur._7,
         UTF8String.fromString(cur._8), UTF8String.fromString(cur._9),
-        cur._10, cur._11)
+        cur._10, cur._11, cur._12, cur._13)
       override def close(): Unit = ()
     }
 

@@ -44,7 +44,7 @@ final case class JournalSpec(
     * (journal_spec_extensions.go:55-70; label_extensions.go:13-25).
     */
   def validate: Either[String, JournalSpec] = {
-    val nameRe = "^[\\p{L}\\p{N}\\-_+/.=%]{4,512}$".r
+    import JournalSpec.nameRe
     if (nameRe.findFirstIn(name).isEmpty)
       Left(s"invalid journal name: $name")
     else if (name.startsWith("/") || name.endsWith("/"))
@@ -60,6 +60,14 @@ final case class JournalSpec(
       Left(s"max append rate may not be negative: $maxAppendRate")
     else if (flushIntervalMs < 0L)
       Left(s"flush interval may not be negative: $flushIntervalMs")
+    // Reject at upsert what the append path rejects at write time:
+    // a 0 fragment target otherwise passes the catalog only to throw
+    // Journal.stage's require on the first append (or roll a fragment
+    // per record through the DSv2 defaults).
+    else if (fragmentTargetLength <= 0L)
+      Left(s"fragment target length must be positive: $fragmentTargetLength")
+    else if (replication <= 0)
+      Left(s"replication must be positive: $replication")
     else {
       val badLabel = labels.labels.find(l =>
         l.name.length < 2 || l.name.length > 64 || l.value.length > 1024)
@@ -76,6 +84,12 @@ final case class JournalSpec(
     LabelSet(labels.labels ++
       Vector(Label("name", name)) ++ prefixes.map(Label("prefix", _)))
   }
+}
+
+object JournalSpec {
+  // Compiled once: SpecTree.applyTo loops validate over every terminal
+  // under the catalog lock.
+  private[catalog] val nameRe = "^[\\p{L}\\p{N}\\-_+/.=%]{4,512}$".r
 }
 
 /** One watch-log entry (`op`: "upsert" | "delete"); `spec` is the new
@@ -130,7 +144,8 @@ final class JournalCatalog {
       spec.validate.flatMap { s =>
         val cur = specs.get(s.name).map(_._2).getOrElse(0L)
         if (expectRevision >= 0 && expectRevision != cur)
-          Left(s"revision mismatch for ${s.name}: expected $expectRevision, have $cur")
+          Left(s"${JournalCatalog.RevisionMismatch} for ${s.name}: " +
+            s"expected $expectRevision, have $cur")
         else {
           revision += 1
           specs += s.name -> (s, revision)
@@ -145,7 +160,8 @@ final class JournalCatalog {
       specs.get(name) match {
         case None => Left(s"no such journal: $name")
         case Some((_, rev)) if expectRevision >= 0 && expectRevision != rev =>
-          Left(s"revision mismatch for $name: expected $expectRevision, have $rev")
+          Left(s"${JournalCatalog.RevisionMismatch} for $name: " +
+            s"expected $expectRevision, have $rev")
         case Some((old, _)) =>
           revision += 1
           specs -= name
@@ -293,6 +309,13 @@ final class JournalCatalog {
 }
 
 object JournalCatalog {
+  /** Stable prefix of CAS-failure messages. SpecTree.applyTo classifies
+    * delete failures by it (mismatch = real failure; absent spec =
+    * idempotent success) — a shared constant, so the classification
+    * cannot silently drift from the message wording.
+    */
+  val RevisionMismatch = "revision mismatch"
+
   private val registry =
     scala.collection.concurrent.TrieMap.empty[String, JournalCatalog]
   private[catalog] def register(c: JournalCatalog): Unit =

@@ -216,7 +216,15 @@ final case class SpecNode(
     * Returns the updated tree (root may gain an empty-name wrapper).
     */
   def patchIn(p: SpecNode): SpecNode =
-    if (!p.name.startsWith(name)) SpecNode("", children = Vector(this)).patchIn(p)
+    // Re-wrap unless the match lands on this node EXACTLY or crosses a
+    // '/' boundary into this directory (dir names end '/', so their
+    // startsWith IS boundary-safe). The same raw-startsWith hazard the
+    // child-descent branch below guards: with a single-terminal root
+    // "topic/events", a patch of "topic/events-dlq" (or
+    // "topic/events/sub") would otherwise walk into the terminal and
+    // fail its name require instead of splicing in as a sibling.
+    if (!(p.name == name || (isDir && p.name.startsWith(name))))
+      SpecNode("", children = Vector(this)).patchIn(p)
     else if (!isDir) {
       require(name == p.name, s"unexpected patch of terminal $name with ${p.name}")
       copy(
@@ -333,7 +341,8 @@ object SpecTree {
         val r =
           if (t.delete.contains(true))
             cat.delete(t.name, expect) match {
-              case Left(m) if m.startsWith("revision mismatch") => Left(m)
+              case Left(m) if m.startsWith(JournalCatalog.RevisionMismatch) =>
+                Left(m)
               case Left(_) => Right(()) // idempotent delete of an absent spec
               case Right(_) => Right(())
             }

@@ -82,11 +82,19 @@ final case class LabelSelector(include: LabelSet, exclude: LabelSet) {
     */
   def toSqlPredicate(colOf: String => String): String = {
     def lit(v: String) = "'" + v.replace("'", "''") + "'"
+    // The selector value charset allows '%' and '_' (pathSymbols), and
+    // both are LIKE metacharacters: unescaped, "name:prefix=a_b" would
+    // compile to LIKE 'a_b%' where '_' matches ANY character —
+    // diverging from the matcher's literal startsWith ('aXb…' wrongly
+    // kept). '!' is outside the value charset, making it a collision-
+    // free ESCAPE character (still doubled defensively).
+    def likeEsc(v: String) =
+      v.replace("!", "!!").replace("%", "!%").replace("_", "!_")
     def one(l: Label, negate: Boolean): String = {
       val c = colOf(l.name)
       if (l.value.isEmpty) s"$c IS ${if (negate) "" else "NOT "}NULL"
       else if (l.prefix) {
-        val p = s"$c LIKE ${lit(l.value + "%")}"
+        val p = s"$c LIKE ${lit(likeEsc(l.value) + "%")} ESCAPE '!'"
         // Negated terms must keep NULL rows: an absent label is
         // not-excluded (matcher + RewriteMatchesSelector semantics),
         // but bare NOT(...)/<> evaluates to NULL and drops the row.

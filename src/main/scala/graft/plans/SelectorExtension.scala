@@ -28,16 +28,29 @@ case class MatchesSelector(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-    if (!left.dataType.isInstanceOf[MapType] || right.dataType != StringType)
+    // Key/value types matter, not just map-ness: a map<int,string>
+    // would pass a bare MapType check only to ClassCastException on
+    // getUTF8String at runtime (and in the rewrite's ElementAt).
+    val mapOk = left.dataType match {
+      case MapType(StringType, StringType, _) => true
+      case _ => false
+    }
+    if (!mapOk || right.dataType != StringType)
       TypeCheckResult.TypeCheckFailure(
         s"matches_selector expects (map<string,string>, string literal), got " +
           s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
     else if (right.foldable) {
-      // Surface selector-grammar errors at analysis time, not first-row eval.
-      LabelSelector.parse(String.valueOf(right.eval(null))) match {
-        case scala.util.Left(err) =>
-          TypeCheckResult.TypeCheckFailure(s"invalid label selector: $err")
-        case scala.util.Right(_) => TypeCheckResult.TypeCheckSuccess
+      // Surface selector-grammar errors at analysis time, not first-row
+      // eval. A NULL selector is legal TYPING (the expression then
+      // evaluates to NULL per BinaryExpression semantics) — it must not
+      // be stringified to "null" and parsed as an existence selector.
+      right.eval(null) match {
+        case null => TypeCheckResult.TypeCheckSuccess
+        case v => LabelSelector.parse(v.toString) match {
+          case scala.util.Left(err) =>
+            TypeCheckResult.TypeCheckFailure(s"invalid label selector: $err")
+          case scala.util.Right(_) => TypeCheckResult.TypeCheckSuccess
+        }
       }
     } else
       // A per-row selector would be evaluated once via right.eval(null)
@@ -99,7 +112,11 @@ object RewriteMatchesSelector extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    case ms @ MatchesSelector(m, Literal(s, StringType)) =>
+    // s != null: ConstantFolding can deliver Literal(null, StringType)
+    // (e.g. a folded CAST(NULL AS STRING)) in the same optimizer batch;
+    // the un-rewritten expression then correctly evaluates to NULL,
+    // whereas s.toString here would NPE the whole planning pass.
+    case ms @ MatchesSelector(m, Literal(s, StringType)) if s != null =>
       LabelSelector.parse(s.toString) match {
         case scala.util.Right(sel) =>
           val compiled = compile(m, sel)

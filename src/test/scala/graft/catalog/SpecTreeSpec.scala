@@ -153,4 +153,21 @@ class SpecTreeSpec extends AnyFunSuite {
     assert(SpecTree.sharedPrefix("root/foo", "root/bar") == "root/".length)
     assert(SpecTree.sharedPrefix("abc", "abd") == 0)
   }
+
+  test("patchIn on a single-terminal ROOT splices string-prefix siblings") {
+    // A one-journal catalog yields the terminal ITSELF as the tree
+    // root. Patching a name that merely string-prefixes it must
+    // re-wrap and splice a sibling — a raw startsWith at the root
+    // walked into the terminal and threw on its name require.
+    val root = SpecNode("topic/events")
+    val t1 = root.patchIn(SpecNode("topic/events-dlq"))
+    assert(t1.terminals.map(_.name).sorted ==
+      Vector("topic/events", "topic/events-dlq"))
+    val t2 = root.patchIn(SpecNode("topic/events/sub"))
+    assert(t2.terminals.map(_.name).sorted ==
+      Vector("topic/events", "topic/events/sub"))
+    // Exact-name patch onto the terminal root still unions in place.
+    val t3 = root.patchIn(SpecNode("topic/events", SpecPatch(codec = "zst")))
+    assert(t3.name == "topic/events" && t3.patch.codec == "zst")
+  }
 }

@@ -83,7 +83,7 @@ class LabelsSpec extends AnyFunSuite {
     val s = LabelSelector.mustParse("lang in (en,de), source:prefix=src1, !missing")
     val p = s.toSqlPredicate(identity)
     assert(p.contains("lang = 'en'") && p.contains("lang = 'de'"))
-    assert(p.contains("source LIKE 'src1%'"))
+    assert(p.contains("source LIKE 'src1%' ESCAPE '!'"))
     assert(p.contains("missing IS NULL"))
   }
 
@@ -98,6 +98,20 @@ class LabelsSpec extends AnyFunSuite {
       notin.contains("env IS NULL OR env <> 'dev'"), notin)
     val pfx = LabelSelector(LabelSet.empty, LabelSet("src:prefix", "s3/"))
       .toSqlPredicate(identity)
-    assert(pfx.contains("src IS NULL OR NOT (src LIKE 's3/%')"), pfx)
+    assert(pfx.contains("src IS NULL OR NOT (src LIKE 's3/%' ESCAPE '!')"), pfx)
+  }
+
+  test("toSqlPredicate escapes LIKE metacharacters in prefix values") {
+    // '%' and '_' are legal selector-value characters AND LIKE
+    // metacharacters: unescaped, prefix 'a_b' would match 'aXb...'
+    // in SQL while the matcher rejects it — two selector paths, two
+    // answers. The compiled pattern escapes them (ESCAPE '!').
+    val sel = LabelSelector(LabelSet("src:prefix", "a_b%c"), LabelSet.empty)
+    val sql = sel.toSqlPredicate(identity)
+    assert(sql.contains("src LIKE 'a!_b!%c%' ESCAPE '!'"), sql)
+    // And the two paths agree on the rows (the drift the escaping
+    // prevents), via the matcher:
+    assert(sel.matches(LabelSet("src", "a_b%cdef")))
+    assert(!sel.matches(LabelSet("src", "aXb%cdef")))
   }
 }

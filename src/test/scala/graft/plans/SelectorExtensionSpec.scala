@@ -80,6 +80,24 @@ class SelectorExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("invalid label selector"), e.getMessage)
   }
 
+  test("NULL selector literal evaluates to NULL; bad map key types fail analysis") {
+    journals.createOrReplaceTempView("journals_ext3")
+    // ConstantFolding delivers Literal(null, StringType) to the rewrite
+    // rule; the un-rewritten expression must survive planning and
+    // evaluate to SQL NULL (BinaryExpression short-circuit), never NPE
+    // the optimizer or parse the string "null" as a selector.
+    val out = spark.sql("SELECT matches_selector(labels, CAST(NULL AS STRING)) " +
+      "AS m FROM journals_ext3").collect()
+    assert(out.nonEmpty && out.forall(_.isNullAt(0)))
+    // map<int,string> would ClassCastException at runtime (getUTF8String
+    // on int keys) — must be an analysis-time type failure instead.
+    val e = intercept[Exception] {
+      spark.sql("SELECT matches_selector(map(1, 'x'), 'ab') AS m")
+        .queryExecution.analyzed
+    }
+    assert(e.getMessage.contains("map<string,string>"), e.getMessage)
+  }
+
   test("toSqlPredicate agrees with the matcher when label columns are NULL") {
     import spark.implicits._
     // Column-per-label shape: NULL column = absent label.
