@@ -61,6 +61,14 @@ object DDSketchAgg {
         b.copy(neg = b.neg.updated(i, b.neg.getOrElse(i, 0L) + 1L))
       } else b.copy(zero = b.zero + 1L)
 
+    // Buffer-design note: reduce allocates one Sketch + an O(log32 n)
+    // HAMT path per row. A mutable-map buffer would avoid that churn,
+    // but Aggregator buffers must round-trip bufferEncoder at every
+    // partial/shuffle boundary — Encoders.product over immutable maps
+    // is the supported, codegen'd path, and the sketch is bucket-count
+    // bounded (≤ ~2·log_γ(max/min) entries), so the structural-sharing
+    // copy stays shallow. Measured cost at the gate SF is noise
+    // (q42/q113); revisit only if a profile shows reduce dominating.
     def merge(a: Sketch, b: Sketch): Sketch = Sketch(
       addMaps(a.neg, b.neg), a.zero + b.zero, addMaps(a.pos, b.pos))
 
@@ -86,7 +94,14 @@ object DDSketchAgg {
     require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1], got $q")
     val n = s.total
     require(n > 0, "empty sketch")
-    val rank = math.max(1L, math.ceil(q * n).toLong)
+    // rank ≤ n always (ceil(q·n) ≤ n for q ≤ 1), so the three-store
+    // walk is TOTAL: cum reaches n ≥ rank at the last bucket at the
+    // latest. The fallback below is therefore reachable only under
+    // floating-point pathology (ceil(q·n) > n needs n beyond 2^53);
+    // it returns the LARGEST value the sketch holds — total for any
+    // store shape, where a bare pos.keys.max would throw on an
+    // all-negative or all-zero sketch.
+    val rank = math.min(n, math.max(1L, math.ceil(q * n).toLong))
     var cum = 0L
     for ((i, c) <- s.neg.toSeq.sortBy(-_._1)) {
       cum += c
@@ -98,7 +113,9 @@ object DDSketchAgg {
       cum += c
       if (cum >= rank) return estimate(gamma, i)
     }
-    estimate(gamma, s.pos.keys.max)
+    if (s.pos.nonEmpty) estimate(gamma, s.pos.keys.max)
+    else if (s.zero > 0) 0.0
+    else -estimate(gamma, s.neg.keys.min)
   }
 
   /** Column-function form: `ddsketch(gamma)($"value")` → Sketch struct. */

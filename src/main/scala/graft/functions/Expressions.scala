@@ -233,6 +233,8 @@ case class VecCosine(left: Expression, right: Expression)
   */
 case class Hilbert2(left: Expression, right: Expression, bits: Int)
     extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    ScalarChecks.expect("Hilbert2", Seq(left, right), Seq(LongType, LongType))
   override def dataType: DataType = LongType
   override protected def nullSafeEval(a: Any, b: Any): Any =
     Curves.hilbert2(a.asInstanceOf[Long], b.asInstanceOf[Long], bits)

@@ -65,19 +65,22 @@ object F {
   def hilbert2(x: Column, y: Column, bits: Int): Column =
     ColumnBridge.column(Hilbert2(e(x.cast("long")), e(y.cast("long")), bits))
 
-  /** Register SQL names for every native expression in this module. */
+  /** Register UNPREFIXED SQL names for every native expression —
+    * DERIVED from [[SqlFunctions.all]] (same builders: arity checks,
+    * null/widening coercions), so the two registries cannot drift: a
+    * new expression added to the shared list is automatically exposed
+    * here too. Historic aliases registered on top.
+    */
   def registerAll(spark: SparkSession): Unit = {
-    ColumnBridge.register(spark, "build_uuid", a => UuidBuild(a(0), a(1), a(2)))
-    ColumnBridge.register(spark, "uuid_clock", a => UuidClock(a.head))
-    ColumnBridge.register(spark, "uuid_flags", a => UuidFlags(a.head))
-    ColumnBridge.register(spark, "uuid_producer", a => UuidProducer(a.head))
-    ColumnBridge.register(spark, "clock_to_micros", a => ClockToMicros(a.head))
-    ColumnBridge.register(spark, "micros_to_clock", a => MicrosToClock(a.head))
-    ColumnBridge.register(spark, "fnv1a32", a => Fnv1a32(a.head))
-    ColumnBridge.register(spark, "crc64", a => Crc64(a.head))
-    ColumnBridge.register(spark, "crc64_update", a => Crc64Update(a(0), a(1)))
-    ColumnBridge.register(spark, "vec_dot", a => VecDot(a(0), a(1)))
-    ColumnBridge.register(spark, "vec_cosine", a => VecCosine(a(0), a(1)))
-    ColumnBridge.register(spark, "vec_norm", a => VecNorm(a.head))
+    SqlFunctions.all.foreach { case (n, b) =>
+      ColumnBridge.register(spark, n.stripPrefix("graft_"), b)
+    }
+    // Legacy naming kept working: build_uuid predates the shared list's
+    // uuid_build; clock_to_micros/micros_to_clock predate the list's
+    // clock_micros/micros_clock.
+    val byName = SqlFunctions.all.toMap
+    ColumnBridge.register(spark, "build_uuid", byName("graft_uuid_build"))
+    ColumnBridge.register(spark, "clock_to_micros", byName("graft_clock_micros"))
+    ColumnBridge.register(spark, "micros_to_clock", byName("graft_micros_clock"))
   }
 }

@@ -37,12 +37,30 @@ object VecOps {
   // so the expressions dispatch on each child's array element type:
   // suffix F = array<float>, D = array<double>, in argument order.
 
+  /** Null ELEMENTS are the other silent-garbage hazard: the analysis
+    * check must accept containsNull=true (parquet-read float arrays
+    * carry it even when no null exists), and the typed getters read a
+    * null slot as 0.0 — a silently-skewed dot/norm, never an error.
+    * The Scala UDF forms these kernels are bit-identical to fail
+    * loudly on a null element; so do we. The bitmap test is
+    * never-taken-branch cheap next to the multiply.
+    */
+  @inline private def checkElem(a: ArrayData, b: ArrayData, i: Int): Unit =
+    if (a.isNullAt(i) || b.isNullAt(i))
+      throw new IllegalArgumentException(
+        s"null vector element at index $i: embedding arrays must be dense")
+
+  @inline private def checkElem1(a: ArrayData, i: Int): Unit =
+    if (a.isNullAt(i))
+      throw new IllegalArgumentException(
+        s"null vector element at index $i: embedding arrays must be dense")
+
   /** Σ a_i·b_i in double, index order. */
   def dotFF(a: ArrayData, b: ArrayData): Double = {
     val n = checkLen(a, b)
     var d = 0.0
     var i = 0
-    while (i < n) { d += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    while (i < n) { checkElem(a, b, i); d += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
     d
   }
 
@@ -54,7 +72,7 @@ object VecOps {
     val n = checkLen(a, b)
     var d = 0.0
     var i = 0
-    while (i < n) { d += a.getFloat(i).toDouble * b.getDouble(i); i += 1 }
+    while (i < n) { checkElem(a, b, i); d += a.getFloat(i).toDouble * b.getDouble(i); i += 1 }
     d
   }
 
@@ -64,7 +82,7 @@ object VecOps {
     val n = checkLen(a, b)
     var d = 0.0
     var i = 0
-    while (i < n) { d += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) { checkElem(a, b, i); d += a.getDouble(i) * b.getDouble(i); i += 1 }
     d
   }
 
@@ -78,6 +96,7 @@ object VecOps {
     var nb = 0.0
     var i = 0
     while (i < n) {
+      checkElem(a, b, i)
       val x = a.getFloat(i).toDouble
       val y = b.getFloat(i).toDouble
       d += x * y; na += x * x; nb += y * y
@@ -93,6 +112,7 @@ object VecOps {
     var nb = 0.0
     var i = 0
     while (i < n) {
+      checkElem(a, b, i)
       val x = a.getDouble(i)
       val y = b.getDouble(i)
       d += x * y; na += x * x; nb += y * y
@@ -108,6 +128,7 @@ object VecOps {
     var nb = 0.0
     var i = 0
     while (i < n) {
+      checkElem(a, b, i)
       val x = a.getFloat(i).toDouble
       val y = b.getDouble(i)
       d += x * y; na += x * x; nb += y * y
@@ -123,7 +144,7 @@ object VecOps {
     val n = a.numElements()
     var s = 0.0
     var i = 0
-    while (i < n) { val x = a.getFloat(i).toDouble; s += x * x; i += 1 }
+    while (i < n) { checkElem1(a, i); val x = a.getFloat(i).toDouble; s += x * x; i += 1 }
     math.sqrt(s)
   }
 
@@ -131,7 +152,7 @@ object VecOps {
     val n = a.numElements()
     var s = 0.0
     var i = 0
-    while (i < n) { val x = a.getDouble(i); s += x * x; i += 1 }
+    while (i < n) { checkElem1(a, i); val x = a.getDouble(i); s += x * x; i += 1 }
     math.sqrt(s)
   }
 }

@@ -96,4 +96,28 @@ class SqlFunctionsSpec extends SparkSpec {
     }
     assert(e4.getMessage.contains("non-null INT literal"), e4.getMessage)
   }
+
+  test("builtin-parity coercions: NULL literals type through, integrals widen") {
+    SqlFunctions.registerAll(spark)
+    // NULL argument = NULL result (every comparable builtin's shape) —
+    // not an analysis failure "expects binary, got void", and never a
+    // parse of the string "null".
+    val r = spark.sql(
+      "SELECT graft_crc64(NULL) AS a, graft_uuid_clock(NULL) AS b, " +
+        "graft_nfc(NULL) AS c").collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    // INT literals widen to expected BIGINT via an inserted Cast: the
+    // natural spellings work in SQL as they do in the Column API.
+    val u = spark.sql(
+      "SELECT graft_crc64_update(0, X'616263') AS c, " +
+        "graft_hilbert2(3, 5, 4) AS h").collect().head
+    assert(u.getLong(0) == Hashes.crc64("abc".getBytes("UTF-8")))
+    assert(u.getLong(1) == Curves.hilbert2(3L, 5L, 4))
+    // A non-integral wrong type still fails at analysis (Hilbert2 now
+    // carries the family's gate — it used to CCE during optimization).
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_hilbert2('x', 5L, 4)").collect()
+    }
+    assert(e.getMessage.contains("bigint"), e.getMessage)
+  }
 }
