@@ -200,16 +200,29 @@ object Curation {
     * -doc_id)) — a MERGEABLE aggregate with map-side partial combine,
     * not a per-cluster sort. The quality join is doc-keyed.
     */
+  /** Per-cluster winner aggregate — the ONE survivor rule
+    * (best quality, ties to the smaller id), shared by
+    * [[canonicalDocs]], [[dedupSurvivors]], and [[funnelAudit]] so the
+    * three views of a dedup decision can never drift. `quality` is
+    * (doc_id, quality); returns (canonical_id, n_members, m) with
+    * `m = max(struct(quality, -doc_id))` — callers unpack the winner
+    * id as `-m.nid`. A mergeable max(struct) with map-side partial
+    * combine, not a per-cluster sort.
+    */
+  private def clusterWinners(clusters: DataFrame,
+      quality: DataFrame): DataFrame =
+    clusters.join(quality, "doc_id")
+      .groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("m"))
+
   def canonicalDocs(docs: DataFrame, id: Column, text: Column,
                     threshold: Double = 0.85): DataFrame = {
     val clusters = dedupClusters(Dedup.docShingles(docs, id, text, 3), threshold)
     val quality = docs.select(id.cast("long").as("doc_id"),
       TextAnalysis.qualityScore(text).as("quality"))
-    clusters.join(quality, "doc_id")
-      .groupBy(col("canonical_id").as("cluster"))
-      .agg(count(lit(1)).as("n_members"),
-        max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("m"))
-      .select(col("cluster"), (-col("m.nid")).as("survivor"),
+    clusterWinners(clusters, quality)
+      .select(col("canonical_id").as("cluster"), (-col("m.nid")).as("survivor"),
         col("n_members"), col("m.quality").as("best_quality"))
   }
 
@@ -228,9 +241,7 @@ object Curation {
     val clusters = dedupClusters(Dedup.docShingles(docs, id, text, 3), threshold)
     val quality = docs.select(id.cast("long").as("doc_id"),
       TextAnalysis.qualityScore(text).as("quality"))
-    val winners = clusters.join(quality, "doc_id")
-      .groupBy(col("canonical_id"))
-      .agg(max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("m"))
+    val winners = clusterWinners(clusters, quality)
       .select((-col("m.nid")).as("doc_id"))
     val losers = clusters.select(col("doc_id"))
       .join(winners, Seq("doc_id"), "left_anti")
@@ -273,7 +284,16 @@ object Curation {
       s"invalid split percentages: train=$trainPct val=$valPct")
     val h = conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 8), 16, 10)
       .cast("long") % 100
-    when(h < trainPct, "train").when(h < trainPct + valPct, "val").otherwise("test")
+    // A NULL id makes h NULL, both when() predicates NULL (false), and
+    // otherwise() fire — an entire dirty-id stratum silently landing
+    // 100% in the evaluation split. Refuse loudly instead (the
+    // weightedSample try_cast-and-drop discipline, but a split must
+    // not silently drop rows either).
+    when(id.isNull, raise_error(lit("hashSplit: null id — the row would " +
+        "silently land in the test split; clean or filter ids first")))
+      .when(h < trainPct, "train")
+      .when(h < trainPct + valPct, "val")
+      .otherwise("test")
   }
 
   /** Deterministic weighted keep for domain mixing: keep a row iff
@@ -411,10 +431,8 @@ object Curation {
         TextAnalysis.qualityScore(text).as("quality"),
         size(TextAnalysis.wordTokens(text)).as("n_tok"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val winners = clusters
-      .join(scored.select(col("doc_id"), col("quality")), "doc_id")
-      .groupBy(col("canonical_id"))
-      .agg(max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("m"))
+    val winners = clusterWinners(clusters,
+        scored.select(col("doc_id"), col("quality")))
       .select((-col("m.nid")).as("doc_id"))
     val losers = clusters.select(col("doc_id"))
       .join(winners, Seq("doc_id"), "left_anti")
@@ -623,7 +641,13 @@ object Curation {
       // the scan (order ratio, saturation test, satCap, final least)
       // uses the ceiling; only the budget BASE (__total) stays physical.
       .withColumn("__ecap", col("cap") * lit(maxEpochs.toLong))
-      .withColumn("__r", expr("(__ecap * 1000) div w"))
+      // decimal(38,0) before the ×1000: the scan-order ratio's product
+      // is __ecap·1000 = cap·maxEpochs·1000, which wraps a Long past
+      // ~9.2e15/maxEpochs tokens — a wrapped (negative) key silently
+      // reorders the saturation scan (DuckDB computes the same product
+      // in HUGEINT; the __sat cross-products below were already
+      // hardened the same way).
+      .withColumn("__r", expr("(cast(__ecap as decimal(38,0)) * 1000) div w"))
     val ord = Window.orderBy(col("__r"), col("source"))
     val whole = Window.partitionBy()
     // decimal(38,0) before the budget product: total·budgetPct wraps

@@ -352,11 +352,19 @@ object Similarity {
         bucket
       }
     }
+    // Persisted like Dedup.minhashLshPairs' twin shape: the bucket
+    // frame feeds BOTH sides of the self-join and the embedding frame
+    // both verification joins — Spark has no cross-branch plan reuse,
+    // so unpersisted the dominant bands×planes×dim bucket UDF runs
+    // twice and the upstream corpus pipeline three times.
+    val eCached = corpus.select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bucketed = Dedup.capBuckets(
-      corpus
+      eCached
         .select(col("vec_id"), posexplode(bandBuckets(col("embedding"))))
         .select(col("pos").as("band"), col("col").as("bucket"), col("vec_id")),
       maxBucket, "band", "bucket") // skew guard — see Dedup.capBuckets
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Candidate dedup via distinct() on the NARROW (va, vb) pair — 16
     // bytes/row through the exchange. (Measured alternatives lost: a
     // first-collision-band filter needs the full bucket vector riding
@@ -367,7 +375,7 @@ object Similarity {
           col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("va"), col("r.vec_id").as("vb"))
       .distinct()
-    val e = corpus.select(col("vec_id"), col("embedding"))
+    val e = eCached
     cand
       .join(e.select(col("vec_id").as("va"), col("embedding").as("ea")), "va")
       .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb")), "vb")

@@ -83,7 +83,13 @@ object SpanDedup {
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         when(col("n") > 0,
-          round(coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n"), 6))
+          // floorRound6 (rule 9): plain round() splits Spark/DuckDB on
+          // shortest-repr half-ulp boundaries of derived ratios — the
+          // class that fired live at sf1 on q121/q127; every sibling
+          // dedup ratio (passageDedupStats, ngramNovelty,
+          // repetitionStats) already uses the floor-scaled form.
+          Curation.floorRound6(
+            coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n")))
           .otherwise(lit(0.0)).as("dup_ratio"))
   }
 }

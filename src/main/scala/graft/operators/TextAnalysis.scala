@@ -478,8 +478,12 @@ object TextAnalysis {
       .join(bits, "t")
       .groupBy($"doc_id", $"source")
       .agg(count(lit(1)).as("n_tok"), sum($"b").as("sum_bits"))
+      // floorRound4 (rule 9): mean_bits feeds the histogram CUTS and
+      // the bucket comparisons, so a Spark/DuckDB .5-boundary round
+      // split would move whole docs (and potentially the cutoffs)
+      // across head/middle/tail — a whole-row diff, not a 1e-4 wobble.
       .withColumn("mean_bits",
-        round($"sum_bits".cast("double") / $"n_tok", 4))
+        Curation.floorRound4($"sum_bits".cast("double") / $"n_tok"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     scored.count()
     toks.unpersist()

@@ -509,7 +509,8 @@ object CorpusOps {
       |scored AS (
       |  SELECT doc_id, source, count(*) AS n_tok,
       |    CAST(sum(b) AS BIGINT) AS sum_bits,
-      |    round(CAST(sum(b) AS DOUBLE) / count(*), 4) AS mean_bits
+      |    floor(CAST(sum(b) AS DOUBLE) / count(*) * 10000.0 + 0.5)
+      |      / 10000.0 AS mean_bits
       |  FROM toks JOIN bits USING (t) GROUP BY doc_id, source),
       |hist AS (
       |  SELECT source, mean_bits, count(*) AS k FROM scored GROUP BY 1, 2),
@@ -739,7 +740,8 @@ object CorpusOps {
         |  coalesce(a.n_spans, 0) AS n_spans,
         |  coalesce(a.dup_tokens, 0) AS dup_tokens,
         |  CASE WHEN b.n > 0
-        |    THEN round(coalesce(a.dup_tokens, 0) / CAST(b.n AS DOUBLE), 6)
+        |    THEN floor(coalesce(a.dup_tokens, 0) / CAST(b.n AS DOUBLE)
+        |      * 1000000.0 + 0.5) / 1000000.0
         |    ELSE 0.0 END AS dup_ratio
         |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
