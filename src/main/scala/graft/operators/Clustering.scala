@@ -119,7 +119,7 @@ object Clustering {
     // pre-rounded values so its fixed-point sums are exact (VecMean doc).
     val base = emb.select(col("vec_id"), col("embedding"))
       .repartition(spark.sparkContext.defaultParallelism)
-      .withColumn("rv", transform(col("embedding"), x => round(x.cast("double"), 6)))
+      .withColumn("rv", transform(col("embedding"), x => graft.operators.Curation.floorRound(x.cast("double"), 6)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     def assign(cents: Array[(Int, Array[Double])]): Column = {
@@ -190,7 +190,9 @@ object Clustering {
 
     def distTo(center: Array[Float]): Column = {
       val c = array(center.map(x => lit(x)): _*)
-      round(lit(1.0) - round(Similarity.cosineFused(col("embedding"), c), 6), 6)
+      graft.operators.Curation.floorRound(lit(1.0) -
+        graft.operators.Curation.floorRound(
+          Similarity.cosineFused(col("embedding"), c), 6), 6)
     }
 
     val base = emb.select(col("vec_id").cast("long").as("vec_id"),
@@ -249,7 +251,7 @@ object Clustering {
       .select(col("cell"), col("va"), col("vb"),
         Similarity.cosineFused(col("ea"), col("eb")).as("c"))
       .filter(col("c") >= threshold - 1e-6) // margin > half-ulp of round(·,6)
-      .select(col("cell"), col("va"), col("vb"), round(col("c"), 6).as("sim"))
+      .select(col("cell"), col("va"), col("vb"), graft.operators.Curation.floorRound(col("c"), 6).as("sim"))
       .filter(col("sim") >= threshold)
   }
 

@@ -31,12 +31,24 @@ object Curation {
     * (caught live at sf1 on q121/q127). One definition so conversions
     * cannot transpose the chain; driver-side twin: `Takedown.f6`.
     */
-  private[graft] def floorRound6(c: Column): Column =
-    floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+  private[graft] def floorRound6(c: Column): Column = floorRound(c, 6)
 
   /** 4-decimal sibling of [[floorRound6]] (same rule-9 rationale). */
-  private[graft] def floorRound4(c: Column): Column =
-    floor(c * lit(1e4) + lit(0.5)).cast("double") / lit(1e4)
+  private[graft] def floorRound4(c: Column): Column = floorRound(c, 4)
+
+  /** General rule-9 round for derived DOUBLES: `floor(x·10^d + 0.5) /
+    * 10^d`, mirrored verbatim in DuckDB — the round-8 exhaustive
+    * migration target for every gate epilogue that previously used
+    * `round(x, d)` on a double (the divergence fires whenever a value's
+    * shortest decimal repr lands on a half-ulp boundary; Spark rounds
+    * the REPR HALF_UP, DuckDB rounds the BINARY value). Only for
+    * doubles: decimal-typed rounds are exact on both engines and must
+    * stay `round`.
+    */
+  private[graft] def floorRound(c: Column, digits: Int): Column = {
+    val s = math.pow(10.0, digits)
+    floor(c * lit(s) + lit(0.5)).cast("double") / lit(s)
+  }
 
   /** Connected components by iterative min-label propagation: every
     * vertex's label converges to the smallest vertex id reachable from
@@ -564,7 +576,7 @@ object Curation {
     // the rows — the realized sample could then never reach budgetPct.
     val in = df.filter(domain.isNotNull)
     val n = in.groupBy(domain.as("__dom")).agg(count(lit(1)).as("__nd"))
-    val w = n.withColumn("__wd", round(sqrt(col("__nd")), 6))
+    val w = n.withColumn("__wd", graft.operators.Curation.floorRound(sqrt(col("__nd")), 6))
     val t = w.agg(
       sum(col("__wd").cast("decimal(38,6)")).cast("double").as("__sw"),
       sum(col("__nd")).as("__total"))
@@ -1135,9 +1147,9 @@ object Curation {
       val p = coalesce($"c", lit(0L)).cast("double") / $"stot".cast("double")
       val q = $"ctot".cast("double") / $"ttot".cast("double")
       val dlt = sqrt(p) - sqrt(q)
-      round(dlt * dlt * 0.5, 9).as("t")
+      graft.operators.Curation.floorRound(dlt * dlt * 0.5, 9).as("t")
     })
     term.groupBy($"src")
-      .agg(round(sum($"t".cast("decimal(38,9)")).cast("double"), 6).as("hellinger2"))
+      .agg(graft.operators.Curation.floorRound(sum($"t".cast("decimal(38,9)")).cast("double"), 6).as("hellinger2"))
   }
 }

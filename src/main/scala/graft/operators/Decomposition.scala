@@ -216,10 +216,10 @@ object Decomposition {
         val mu = $"s" / 1e9 / $"n"
         val variance = $"p" / 1e9 / $"n" - mu * mu
         val z = ($"x" - mu) / sqrt(variance)
-        round(when(variance <= 0, 0.0).otherwise(z * z), 6).as("t")
+        graft.operators.Curation.floorRound(when(variance <= 0, 0.0).otherwise(z * z), 6).as("t")
       })
     term.groupBy($"id")
-      .agg(round(sum($"t".cast("decimal(38,6)")).cast("double"), 6).as("maha2"))
+      .agg(graft.operators.Curation.floorRound(sum($"t".cast("decimal(38,6)")).cast("double"), 6).as("maha2"))
   }
 
   /** The d×outDim JL sign matrix as a DataFrame (j0 0-based element

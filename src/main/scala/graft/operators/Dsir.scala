@@ -76,14 +76,13 @@ object Dsir {
     // the downstream decimal sum exact.
     val k = lit(buckets.toDouble)
     val llr = byBucket.crossJoin(broadcast(totals)).select($"b",
-      round(log(
+      graft.operators.Curation.floorRound(log(
         (($"t_b".cast("double") + lit(1.0)) * ($"r_tot".cast("double") + k)) /
-        (($"t_tot".cast("double") + k) * ($"r_b".cast("double") + lit(1.0)))),
-        6).as("v"))
+        (($"t_tot".cast("double") + k) * ($"r_b".cast("double") + lit(1.0)))), 6).as("v"))
     toks.join(broadcast(llr), Seq("b"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_toks"),
-        round(sum($"v".cast("decimal(38,6)")).cast("double"), 6)
+        graft.operators.Curation.floorRound(sum($"v".cast("decimal(38,6)")).cast("double"), 6)
           .as("dsir_llr"))
   }
 }

@@ -86,9 +86,9 @@ object KmvOverlap {
         size(array_intersect(array_intersect($"uk", $"ua"), $"ub"))
           .cast("long"))
       .withColumn("union_est",
-        when($"ku" >= k, round(lit((k - 1).toDouble) / $"ukmax", 2))
+        when($"ku" >= k, graft.operators.Curation.floorRound(lit((k - 1).toDouble) / $"ukmax", 2))
           .otherwise($"ku".cast("double")))
-      .withColumn("inter_est", round($"m" / $"ku" * $"union_est", 2))
+      .withColumn("inter_est", graft.operators.Curation.floorRound($"m" / $"ku" * $"union_est", 2))
     val exact = shd.as("x")
       .join(shd.as("y"), col("x.s") === col("y.s") && col("x.src") < col("y.src"))
       .groupBy(col("x.src").as("src_a"), col("y.src").as("src_b"))

@@ -50,7 +50,7 @@ object Retrieval {
     val idf = (col("n_docs") - col("dfc") + lit(0.5)) / (col("dfc") + lit(0.5))
     val tfn = (col("tf") * lit(k1 + 1)) /
       (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl))
-    round(idf * tfn, 6)
+    graft.operators.Curation.floorRound(idf * tfn, 6)
   }
 
   /** BM25 scores for every document matching at least one query term:
@@ -314,7 +314,7 @@ object Retrieval {
     val w = Window.orderBy(col("rrf").desc, col("id").asc)
     left.join(right, Seq("id"), "full_outer")
       .select(col("id"), col("rank_a"), col("rank_b"),
-        round(contrib(col("rank_a")) + contrib(col("rank_b")), 6).as("rrf"))
+        graft.operators.Curation.floorRound(contrib(col("rank_a")) + contrib(col("rank_b")), 6).as("rrf"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 

@@ -40,7 +40,7 @@ object Similarity {
         broadcast(probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"))),
         col("c.vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("c.vec_id").as("vec_id"),
-        round(graft.functions.F.vec_cosine(col("pe"), col("c.embedding")), 6).as("sim"))
+        graft.operators.Curation.floorRound(graft.functions.F.vec_cosine(col("pe"), col("c.embedding")), 6).as("sim"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -65,14 +65,14 @@ object Similarity {
         col("c.vec_id") =!= col("probe_id") &&
           col("c.label") =!= col("probe_label"))
       .select(col("probe_id"), col("c.vec_id").as("vid"),
-        round(graft.functions.F.vec_cosine(col("pe"), col("c.embedding")), 6)
+        graft.operators.Curation.floorRound(graft.functions.F.vec_cosine(col("pe"), col("c.embedding")), 6)
           .as("sim"))
     val tk = graft.functions.TopKAgg.topK(k)
     joined.groupBy(col("probe_id"))
       .agg(tk(col("sim"), col("vid")).as("top"))
       .select(col("probe_id"), posexplode(col("top")))
       .select(col("probe_id"), col("col.id").as("vec_id"),
-        round(col("col.v"), 6).as("sim"),
+        graft.operators.Curation.floorRound(col("col.v"), 6).as("sim"),
         (col("pos") + 1).cast("long").as("rank"))
   }
 
@@ -181,7 +181,7 @@ object Similarity {
         }
         out.result()
       }.toDF("va", "vb", "c")
-      .select(col("va"), col("vb"), round(col("c"), 6).as("sim"))
+      .select(col("va"), col("vb"), graft.operators.Curation.floorRound(col("c"), 6).as("sim"))
       .filter(col("sim") >= threshold)
   }
 
@@ -380,7 +380,7 @@ object Similarity {
       .join(e.select(col("vec_id").as("va"), col("embedding").as("ea")), "va")
       .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb")), "vb")
       .select(col("va"), col("vb"),
-        round(graft.functions.F.vec_cosine(col("ea"), col("eb")), 6).as("sim"))
+        graft.operators.Curation.floorRound(graft.functions.F.vec_cosine(col("ea"), col("eb")), 6).as("sim"))
       .filter(col("sim") >= threshold)
   }
 
@@ -411,7 +411,7 @@ object Similarity {
     val joined = cb.join(broadcast(pb),
         cb("bucket") === pb("bucket") && col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
-        round(graft.functions.F.vec_cosine(col("pe"), col("embedding")), 6).as("sim"))
+        graft.operators.Curation.floorRound(graft.functions.F.vec_cosine(col("pe"), col("embedding")), 6).as("sim"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -441,7 +441,7 @@ object Similarity {
         "left")
       .groupBy(col("probe_id"))
       .agg(count(col("a_vec")).as("n_hits"),
-        round(count(col("a_vec")) / lit(k).cast("double"), 4).as("recall"))
+        graft.operators.Curation.floorRound(count(col("a_vec")) / lit(k).cast("double"), 4).as("recall"))
   }
 
   /** Product-quantization ANN (PQ, Jégou et al. TPAMI'11 shape):
@@ -545,7 +545,7 @@ object Similarity {
     val pb = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
     val joined = coded.join(broadcast(pb), col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
-        round(pqAdcUdf(bc)(col("pe"), col("codes")), 6).as("adc"))
+        graft.operators.Curation.floorRound(pqAdcUdf(bc)(col("pe"), col("codes")), 6).as("adc"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("adc").asc, col("vec_id").asc)
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= kTop)
@@ -595,7 +595,7 @@ object Similarity {
     val pb = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
     val joined = coded.join(broadcast(pb), col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
-        round(pqAdcUdf(bc)(col("pe"), col("codes")), 6).as("adc"))
+        graft.operators.Curation.floorRound(pqAdcUdf(bc)(col("pe"), col("codes")), 6).as("adc"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("adc").asc, col("vec_id").asc)
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= kTop)
@@ -742,7 +742,7 @@ object Similarity {
     val joined = coded.join(broadcast(pb),
         coded("cell") === pb("cell") && col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
-        round(pqAdcUdf(bcB)(col("pe"), col("codes")), 6).as("adc"))
+        graft.operators.Curation.floorRound(pqAdcUdf(bcB)(col("pe"), col("codes")), 6).as("adc"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("adc").asc, col("vec_id").asc)
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= kTop)
@@ -816,7 +816,7 @@ object Similarity {
     val joined = cb.join(broadcast(pb),
         cb("cell") === pb("cell") && col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
-        round(graft.functions.F.vec_cosine(col("pe"), col("embedding")), 6).as("sim"))
+        graft.operators.Curation.floorRound(graft.functions.F.vec_cosine(col("pe"), col("embedding")), 6).as("sim"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -1001,8 +1001,7 @@ object Similarity {
     val joined = cb.join(broadcast(pb),
         cb("cell") === pb("cell") && col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
-        round(graft.functions.F.vec_dot(col("pe"), col("embedding")) / (col("pnrm") * col("nrm")),
-          6).as("sim"))
+        graft.operators.Curation.floorRound(graft.functions.F.vec_dot(col("pe"), col("embedding")) / (col("pnrm") * col("nrm")), 6).as("sim"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -1031,8 +1030,7 @@ object Similarity {
       .groupBy(col("cell")).agg(count(lit(1)).as("n"))
     val w = Window.partitionBy()
     counts.select(col("cell"), col("n"),
-      round(col("n") * lit(nlist.toDouble) / sum(col("n")).over(w).cast("double"),
-        4).as("load"))
+      graft.operators.Curation.floorRound(col("n") * lit(nlist.toDouble) / sum(col("n")).over(w).cast("double"), 4).as("load"))
   }
 
   /** Serve a PROBE stream against the at-rest IVF index: each

@@ -136,7 +136,7 @@ object TextAnalysis {
     val lenScore = least(lit(1.0), nTok / 50.0)
     val punctScore = lit(1.0) - punct / greatest(nChar, lit(1.0))
     val stopScore = least(lit(1.0), stops / greatest(nTok, lit(1.0)) * 5.0)
-    round(lenScore * 0.5 + punctScore * 0.3 + stopScore * 0.2, 4)
+    graft.operators.Curation.floorRound(lenScore * 0.5 + punctScore * 0.3 + stopScore * 0.2, 4)
   }
 
   /** Language-ID via per-language stopword-count argmax (ties resolved
@@ -318,11 +318,11 @@ object TextAnalysis {
       .join(cp, Seq("p"))
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"),
-        round((col("cb") + lit(1.0)) / (col("cp") + col("v")), 8)
+        graft.operators.Curation.floorRound((col("cb") + lit(1.0)) / (col("cp") + col("v")), 8)
           .cast("decimal(28,8)").as("term"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bi"),
-        round((sum(col("term")).cast("double") / count(lit(1))), 6).as("score"))
+        graft.operators.Curation.floorRound((sum(col("term")).cast("double") / count(lit(1))), 6).as("score"))
     out
   }
 
@@ -414,7 +414,7 @@ object TextAnalysis {
       .join(uni.select($"w".as("b"), $"c".as("c_b")), "b")
       .crossJoin(broadcast(totPair)).crossJoin(broadcast(totTok))
       .select($"a", $"b", $"c_ab",
-        round(($"c_ab".cast("double") / $"tp".cast("double")) /
+        graft.operators.Curation.floorRound(($"c_ab".cast("double") / $"tp".cast("double")) /
           (($"c_a".cast("double") / $"tt".cast("double")) *
            ($"c_b".cast("double") / $"tt".cast("double"))), 6).as("lift"))
       .orderBy($"lift".desc, $"a".asc, $"b".asc)

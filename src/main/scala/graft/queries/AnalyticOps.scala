@@ -43,7 +43,7 @@ object AnalyticOps {
           ev.select($"ts", $"value"), col("ts"), bands, col("t0"), col("t1"))
         .groupBy($"band_id")
         .agg(count(lit(1)).as("n_events"),
-          round(sum($"value".cast("decimal(38,6)")).cast("double"), 4).as("sum_value"))
+          graft.operators.Curation.floorRound(sum($"value".cast("decimal(38,6)")).cast("double"), 4).as("sum_value"))
     },
 
     // ---- q42: exact percentiles (linear interpolation) per group —
@@ -53,9 +53,9 @@ object AnalyticOps {
       import s.implicits._
       Tables.orders(s, d).groupBy($"o_orderpriority")
         .agg(
-          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
-          round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+          graft.operators.Curation.floorRound(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          graft.operators.Curation.floorRound(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          graft.operators.Curation.floorRound(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
     },
 
     // ---- q113: DDSketch mergeable quantiles — p50/p90/p99 of event
@@ -93,7 +93,7 @@ object AnalyticOps {
       val w = Window.partitionBy($"event_type")
       val wc = w.orderBy($"bkt".asc).rowsBetween(Window.unboundedPreceding, 0)
       def est(b: org.apache.spark.sql.Column) =
-        round(lit(2.0) * pow(lit(g), b) / lit(g + 1.0), 6)
+        graft.operators.Curation.floorRound(lit(2.0) * pow(lit(g), b) / lit(g + 1.0), 6)
       buckets
         .select($"event_type", $"bkt", $"cnt",
           ($"zc" + sum($"cnt").over(wc)).as("cum"),
@@ -116,7 +116,7 @@ object AnalyticOps {
       import s.implicits._
       val users = Tables.events(s, d).groupBy($"user_id")
         .agg(count(lit(1)).as("n_events"),
-          round(sum($"value".cast("decimal(38,6)")).cast("double"), 4)
+          graft.operators.Curation.floorRound(sum($"value".cast("decimal(38,6)")).cast("double"), 4)
             .as("sum_value"))
       graft.operators.Skyline.frontier2d(users, $"n_events", $"sum_value")
         .select($"user_id", $"n_events", $"sum_value")
@@ -152,10 +152,10 @@ object AnalyticOps {
         .select($"event_type", $"rc", $"cc",
           sum($"rc").over(w).as("n_ref"), sum($"cc").over(w).as("n_cur"))
         .select($"event_type", $"n_ref", $"n_cur",
-          round((pc - pr) * (pc - pr) / (pr + lit(1e-6)), 9).as("term"))
+          graft.operators.Curation.floorRound((pc - pr) * (pc - pr) / (pr + lit(1e-6)), 9).as("term"))
         .groupBy($"event_type")
         .agg(max($"n_ref").as("n_ref"), max($"n_cur").as("n_cur"),
-          round(sum($"term".cast("decimal(38,9)")).cast("double"), 6)
+          graft.operators.Curation.floorRound(sum($"term".cast("decimal(38,9)")).cast("double"), 6)
             .as("chi2"))
     },
 
@@ -176,8 +176,8 @@ object AnalyticOps {
         .select($"event_type", $"value", ntile(8).over(w).as("bucket"))
         .groupBy($"event_type", $"bucket")
         .agg(count(lit(1)).as("n"),
-          round(min($"value"), 6).as("lo"),
-          round(max($"value"), 6).as("hi"))
+          graft.operators.Curation.floorRound(min($"value"), 6).as("lo"),
+          graft.operators.Curation.floorRound(max($"value"), 6).as("hi"))
     },
 
     // ---- q107: robust outlier detection per group — median/MAD
@@ -198,8 +198,8 @@ object AnalyticOps {
         .agg(expr("percentile(adev, 0.5)").as("mad"))
       dev.join(broadcast(mad), "event_type")
         .groupBy($"event_type")
-        .agg(round(max($"med"), 6).as("med"),
-          round(max($"mad"), 6).as("mad"),
+        .agg(graft.operators.Curation.floorRound(max($"med"), 6).as("med"),
+          graft.operators.Curation.floorRound(max($"mad"), 6).as("mad"),
           sum(when($"adev" > lit(4.4478) * $"mad", 1L).otherwise(0L))
             .as("n_outliers"))
     },
@@ -221,9 +221,9 @@ object AnalyticOps {
           least(greatest($"value", $"lo"), $"hi").as("w"))
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"),
-          round(max($"lo"), 6).as("lo"),
-          round(max($"hi"), 6).as("hi"),
-          round(sum($"w".cast("decimal(38,6)")).cast("double")
+          graft.operators.Curation.floorRound(max($"lo"), 6).as("lo"),
+          graft.operators.Curation.floorRound(max($"hi"), 6).as("hi"),
+          graft.operators.Curation.floorRound(sum($"w".cast("decimal(38,6)")).cast("double")
             / count(lit(1)), 6).as("wmean"))
     },
 
@@ -248,7 +248,7 @@ object AnalyticOps {
     // remainder across the leading buckets exactly like Spark's.
     "q100_equidepth_hist" ->
       """SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n,
-        |  round(min(value), 6) AS lo, round(max(value), 6) AS hi
+        |  floor((min(value)) * 1000000.0 + 0.5) / 1000000.0 AS lo, floor((max(value)) * 1000000.0 + 0.5) / 1000000.0 AS hi
         |FROM (
         |  SELECT event_type, value,
         |    ntile(8) OVER (PARTITION BY event_type
@@ -278,16 +278,16 @@ object AnalyticOps {
          |  FROM events WHERE event_type = 'purchase'
          |  ORDER BY ts, event_id LIMIT 20)
          |SELECT band_id, count(*) AS n_events,
-         |  round(CAST(sum(CAST("value" AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_value
+         |  floor((CAST(sum(CAST("value" AS DECIMAL(38,6))) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS sum_value
          |FROM events e JOIN bands b
          |  ON epoch_ns(e.ts) >= b.t0 AND epoch_ns(e.ts) < b.t1
          |GROUP BY band_id""".stripMargin,
 
     "q42_percentiles" ->
       """SELECT o_orderpriority,
-        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
-        |  round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        |  floor((quantile_cont(o_totalprice, 0.5)) * 10000.0 + 0.5) / 10000.0 AS p50,
+        |  floor((quantile_cont(o_totalprice, 0.9)) * 10000.0 + 0.5) / 10000.0 AS p90,
+        |  floor((quantile_cont(o_totalprice, 0.99)) * 10000.0 + 0.5) / 10000.0 AS p99
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     // Same decomposition: per-x maxima, strictly-greater-x prefix
@@ -295,7 +295,7 @@ object AnalyticOps {
     "q116_pareto_frontier" ->
       """WITH u AS (
         |  SELECT user_id, count(*) AS n_events,
-        |    round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4)
+        |    floor((CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
         |      AS sum_value
         |  FROM events GROUP BY 1),
         |g AS (SELECT n_events, max(sum_value) AS ymax
@@ -330,16 +330,16 @@ object AnalyticOps {
         |  FROM c),
         |x AS (
         |  SELECT event_type, n_ref, n_cur,
-        |    round((CAST(cc AS DOUBLE) / CAST(n_cur AS DOUBLE)
+        |    floor(((CAST(cc AS DOUBLE) / CAST(n_cur AS DOUBLE)
         |         - CAST(rc AS DOUBLE) / CAST(n_ref AS DOUBLE))
         |        * (CAST(cc AS DOUBLE) / CAST(n_cur AS DOUBLE)
         |         - CAST(rc AS DOUBLE) / CAST(n_ref AS DOUBLE))
-        |        / (CAST(rc AS DOUBLE) / CAST(n_ref AS DOUBLE) + 1e-6), 9)
+        |        / (CAST(rc AS DOUBLE) / CAST(n_ref AS DOUBLE) + 1e-6)) * 1000000000.0 + 0.5) / 1000000000.0
         |      AS term
         |  FROM t)
         |SELECT event_type, CAST(max(n_ref) AS BIGINT) AS n_ref,
         |  CAST(max(n_cur) AS BIGINT) AS n_cur,
-        |  round(CAST(sum(CAST(term AS DECIMAL(38,9))) AS DOUBLE), 6) AS chi2
+        |  floor((CAST(sum(CAST(term AS DECIMAL(38,9))) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS chi2
         |FROM x GROUP BY event_type""".stripMargin,
 
     // Replays the sketch pipeline end-to-end: same ln-ratio
@@ -363,12 +363,12 @@ object AnalyticOps {
         |    z.zc + sum(cnt) OVER (PARTITION BY c.event_type) AS n
         |  FROM c JOIN z ON c.event_type = z.event_type)
         |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
-        |  round(2 * pow(1.01/0.99, min(CASE WHEN cum >= ceil(0.50 * n)
-        |    THEN bkt END)) / (1.01/0.99 + 1), 6) AS p50,
-        |  round(2 * pow(1.01/0.99, min(CASE WHEN cum >= ceil(0.90 * n)
-        |    THEN bkt END)) / (1.01/0.99 + 1), 6) AS p90,
-        |  round(2 * pow(1.01/0.99, min(CASE WHEN cum >= ceil(0.99 * n)
-        |    THEN bkt END)) / (1.01/0.99 + 1), 6) AS p99
+        |  floor((2 * pow(1.01/0.99, min(CASE WHEN cum >= ceil(0.50 * n)
+        |    THEN bkt END)) / (1.01/0.99 + 1)) * 1000000.0 + 0.5) / 1000000.0 AS p50,
+        |  floor((2 * pow(1.01/0.99, min(CASE WHEN cum >= ceil(0.90 * n)
+        |    THEN bkt END)) / (1.01/0.99 + 1)) * 1000000.0 + 0.5) / 1000000.0 AS p90,
+        |  floor((2 * pow(1.01/0.99, min(CASE WHEN cum >= ceil(0.99 * n)
+        |    THEN bkt END)) / (1.01/0.99 + 1)) * 1000000.0 + 0.5) / 1000000.0 AS p99
         |FROM t GROUP BY event_type""".stripMargin,
 
     "q43_hll_distinct_bound" ->
@@ -388,8 +388,8 @@ object AnalyticOps {
         |mad AS (
         |  SELECT event_type, quantile_cont(adev, 0.5) AS mad
         |  FROM dev GROUP BY 1)
-        |SELECT d.event_type, round(max(d.med), 6) AS med,
-        |  round(max(m.mad), 6) AS mad,
+        |SELECT d.event_type, floor((max(d.med)) * 1000000.0 + 0.5) / 1000000.0 AS med,
+        |  floor((max(m.mad)) * 1000000.0 + 0.5) / 1000000.0 AS mad,
         |  CAST(sum(CASE WHEN d.adev > CAST(4.4478 AS DOUBLE) * m.mad
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM dev d JOIN mad m USING (event_type)
@@ -407,8 +407,8 @@ object AnalyticOps {
         |    least(greatest(e.value, c.lo), c.hi) AS w
         |  FROM events e JOIN cuts c USING (event_type))
         |SELECT event_type, count(*) AS n,
-        |  round(max(lo), 6) AS lo, round(max(hi), 6) AS hi,
-        |  round(CAST(sum(CAST(w AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6)
+        |  floor((max(lo)) * 1000000.0 + 0.5) / 1000000.0 AS lo, floor((max(hi)) * 1000000.0 + 0.5) / 1000000.0 AS hi,
+        |  floor((CAST(sum(CAST(w AS DECIMAL(38,6))) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0
         |    AS wmean
         |FROM w GROUP BY event_type""".stripMargin
   )

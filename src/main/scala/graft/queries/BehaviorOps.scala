@@ -118,8 +118,8 @@ object BehaviorOps {
         // + 0.0 canonicalizes IEEE -0.0: a near-flat negative slope
         // rounds to -0.0 in engines that keep the sign through round.
         .select($"event_type", $"n",
-          (round($"slope", 6) + lit(0.0)).as("slope"),
-          (round(($"sy" - $"slope" * $"sx") / $"n", 6) + lit(0.0))
+          (graft.operators.Curation.floorRound($"slope", 6) + lit(0.0)).as("slope"),
+          (graft.operators.Curation.floorRound(($"sy" - $"slope" * $"sx") / $"n", 6) + lit(0.0))
             .as("intercept"))
     },
 
@@ -141,7 +141,7 @@ object BehaviorOps {
       val wp = Window.partitionBy($"prev")
       pairs
         .withColumn("prob",
-          round($"cnt" / sum($"cnt").over(wp), 6))
+          graft.operators.Curation.floorRound($"cnt" / sum($"cnt").over(wp), 6))
         .select($"prev", $"nxt", $"cnt", $"prob")
     },
 
@@ -157,7 +157,7 @@ object BehaviorOps {
       val e = Tables.events(s, d)
         .select($"event_type", expr(s"ts div $NsPerDay").as("day"), $"value")
       val daily = e.groupBy($"event_type", $"day")
-        .agg(round(sum($"value".cast("decimal(38,6)")).cast("double"), 6).as("v"))
+        .agg(graft.operators.Curation.floorRound(sum($"value".cast("decimal(38,6)")).cast("double"), 6).as("v"))
       val bounds = e.agg(min($"day").as("mn"), max($"day").as("mx"))
       val grid = e.select($"event_type").distinct()
         .crossJoin(bounds.select(explode(sequence($"mn", $"mx")).as("day")))
@@ -239,7 +239,7 @@ object BehaviorOps {
         .groupBy($"user_id", $"sess")
         .agg(count(lit(1)).as("n_events"),
           (max($"tsu") - min($"tsu")).as("dur_us"),
-          round(sum($"value".cast("decimal(38,6)")).cast("double"), 6)
+          graft.operators.Curation.floorRound(sum($"value".cast("decimal(38,6)")).cast("double"), 6)
             .as("sum_value"))
     },
 
@@ -292,10 +292,10 @@ object BehaviorOps {
       val wp = Window.partitionBy($"pid")
       pairs
         .select($"ttype", $"days_ago",
-          round($"w" / sum($"w").over(wp), 9).as("term"))
+          graft.operators.Curation.floorRound($"w" / sum($"w").over(wp), 9).as("term"))
         .groupBy($"ttype", $"days_ago")
         .agg(count(lit(1)).as("n_pairs"),
-          round(sum($"term".cast("decimal(38,9)")).cast("double"), 6)
+          graft.operators.Curation.floorRound(sum($"term".cast("decimal(38,9)")).cast("double"), 6)
             .as("credit"))
     },
 
@@ -391,7 +391,7 @@ object BehaviorOps {
       // quotient rounds rationally where the oracle's IEEE divide
       // rounds binary — near-tie quotients would differ at 1e-6.
       locf.select($"event_type", $"day",
-        round(sum($"v".cast("decimal(38,6)")).over(w).cast("double") /
+        graft.operators.Curation.floorRound(sum($"v".cast("decimal(38,6)")).over(w).cast("double") /
           count(lit(1)).over(w), 6).as("ma7"))
     }
   )
@@ -418,7 +418,7 @@ object BehaviorOps {
         |SELECT user_id, CAST(sess AS BIGINT) AS sess,
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(max(tsu) - min(tsu) AS BIGINT) AS dur_us,
-        |  round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6)
+        |  floor((CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
         |    AS sum_value
         |FROM s GROUP BY user_id, sess""".stripMargin,
 
@@ -473,11 +473,11 @@ object BehaviorOps {
         |  WHERE tt <= pt AND pt - tt < 7 * 86400000000),
         |x AS (
         |  SELECT ttype, days_ago,
-        |    round(w / sum(w) OVER (PARTITION BY pid), 9) AS term
+        |    floor((w / sum(w) OVER (PARTITION BY pid)) * 1000000000.0 + 0.5) / 1000000000.0 AS term
         |  FROM pairs)
         |SELECT ttype, CAST(days_ago AS BIGINT) AS days_ago,
         |  CAST(count(*) AS BIGINT) AS n_pairs,
-        |  round(CAST(sum(CAST(term AS DECIMAL(38,9))) AS DOUBLE), 6)
+        |  floor((CAST(sum(CAST(term AS DECIMAL(38,9))) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
         |    AS credit
         |FROM x GROUP BY 1, 2""".stripMargin,
 
@@ -626,8 +626,8 @@ object BehaviorOps {
         |      (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
         |  FROM stats)
-        |SELECT event_type, n, round(slope, 6) + 0.0 AS slope,
-        |  round((sy - slope * sx) / n, 6) + 0.0 AS intercept
+        |SELECT event_type, n, floor((slope) * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS slope,
+        |  floor(((sy - slope * sx) / n) * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS intercept
         |FROM sl""".stripMargin,
 
     "q79_markov_transitions" ->
@@ -640,7 +640,7 @@ object BehaviorOps {
         |  SELECT prev, nxt, count(*) AS cnt FROM seq
         |  WHERE prev IS NOT NULL GROUP BY 1, 2)
         |SELECT prev, nxt, cnt,
-        |  round(CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY prev), 6)
+        |  floor((CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY prev)) * 1000000.0 + 0.5) / 1000000.0
         |    AS prob
         |FROM cnt""".stripMargin,
 
@@ -650,7 +650,7 @@ object BehaviorOps {
         |  FROM events),
         |daily AS (
         |  SELECT event_type, day,
-        |    round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS v
+        |    floor((CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS v
         |  FROM e GROUP BY 1, 2),
         |bounds AS (SELECT min(day) AS mn, max(day) AS mx FROM e),
         |grid AS (
@@ -679,7 +679,7 @@ object BehaviorOps {
           |  FROM events),
           |daily AS (
           |  SELECT event_type, day,
-          |    round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS v
+          |    floor((CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS v
           |  FROM e GROUP BY 1, 2),
           |bounds AS (SELECT min(day) AS mn, max(day) AS mx FROM e),
           |grid AS (
@@ -696,12 +696,12 @@ object BehaviorOps {
       locf +
         """
           |SELECT event_type, day,
-          |  round(CAST(sum(CAST(v AS DECIMAL(38,6))) OVER (
+          |  floor((CAST(sum(CAST(v AS DECIMAL(38,6))) OVER (
           |      PARTITION BY event_type ORDER BY day
           |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
           |    / count(*) OVER (
           |      PARTITION BY event_type ORDER BY day
-          |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
+          |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)) * 1000000.0 + 0.5) / 1000000.0 AS ma7
           |FROM locf""".stripMargin
     }
   )

@@ -87,8 +87,8 @@ object ClusterOps {
         .agg(topk(-$"u", $"doc_id").as("sk"))
         .select($"lang",
           size($"sk").as("k"),
-          round(-element_at($"sk", size($"sk")).getField("v"), 12).as("kth"),
-          round((size($"sk") - 1).cast("double")
+          graft.operators.Curation.floorRound(-element_at($"sk", size($"sk")).getField("v"), 12).as("kth"),
+          graft.operators.Curation.floorRound((size($"sk") - 1).cast("double")
             / -element_at($"sk", size($"sk")).getField("v"), 4).as("est"))
     },
 
@@ -176,7 +176,7 @@ object ClusterOps {
       import s.implicits._
       Tables.lineitem(s, d)
         .cube($"l_returnflag", $"l_linestatus")
-        .agg(round(sum($"l_quantity".cast("decimal(38,6)")).cast("double"), 4)
+        .agg(graft.operators.Curation.floorRound(sum($"l_quantity".cast("decimal(38,6)")).cast("double"), 4)
             .as("sum_qty"),
           count(lit(1)).as("n"))
         .select(coalesce($"l_returnflag", lit("ALL")).as("rf"),
@@ -195,7 +195,7 @@ object ClusterOps {
       Decomposition.covariance(Tables.embeddings(s, d), $"embedding", Dim)
         // + 0.0 canonicalizes IEEE -0.0 to +0.0 (oracle-dialect rule 8):
         // DuckDB's round() emits -0.0 for tiny negative covariances.
-        .select($"i", $"j", (round($"cov", 6) + lit(0.0)).as("cov"))
+        .select($"i", $"j", (graft.operators.Curation.floorRound($"cov", 6) + lit(0.0)).as("cov"))
     },
 
     // ---- q127: Johnson-Lindenstrauss sign projection (64 → 16 dims)
@@ -264,7 +264,7 @@ object ClusterOps {
        |a1 AS (${assignFrom("init")}),
        |upd AS (SELECT cell AS ci, list(m ORDER BY i) AS c FROM (
        |    SELECT cell, i,
-       |      CAST(sum(CAST(round(v[i], 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m
+       |      CAST(sum(CAST(floor((v[i]) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m
        |    FROM a1 CROSS JOIN range(1, ${Dim + 1}) AS t(i) GROUP BY cell, i) u
        |  GROUP BY cell),
        |a2 AS (${assignFrom("upd")})""".stripMargin
@@ -284,7 +284,7 @@ object ClusterOps {
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |c1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
         |d1 AS (SELECT e.vec_id, e.v,
-        |    round(1 - round(list_cosine_similarity(e.v, c1.v), 6), 6) AS md
+        |    floor((1 - (floor((list_cosine_similarity(e.v, c1.v)) * 1000000.0 + 0.5) / 1000000.0)) * 1000000.0 + 0.5) / 1000000.0 AS md
         |  FROM e CROSS JOIN c1),
         |""".stripMargin)
     for (r <- 2 to k) {
@@ -299,7 +299,7 @@ object ClusterOps {
            |""".stripMargin)
       if (r < k) sb.append(
         s"""d$r AS (SELECT d.vec_id, d.v, least(d.md,
-           |    round(1 - round(list_cosine_similarity(d.v, c$r.v), 6), 6)) AS md
+           |    floor((1 - (floor((list_cosine_similarity(d.v, c$r.v)) * 1000000.0 + 0.5) / 1000000.0)) * 1000000.0 + 0.5) / 1000000.0) AS md
            |  FROM $prevD d CROSS JOIN c$r),
            |""".stripMargin)
     }
@@ -333,9 +333,9 @@ object ClusterOps {
     "q62_semantic_dedup" ->
       s"""WITH $kmeansCte
          |SELECT a.cell, a.vec_id AS va, b.vec_id AS vb,
-         |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
+         |  floor((list_cosine_similarity(a.v, b.v)) * 1000000.0 + 0.5) / 1000000.0 AS sim
          |FROM a2 a JOIN a2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
-         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4""".stripMargin,
+         |WHERE floor((list_cosine_similarity(a.v, b.v)) * 1000000.0 + 0.5) / 1000000.0 >= 0.4""".stripMargin,
 
     "q63_kmv_sketch" ->
       s"""WITH u0 AS (SELECT lang, doc_id,
@@ -346,8 +346,8 @@ object ClusterOps {
          |r AS (SELECT lang, u,
          |    row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rn
          |  FROM u)
-         |SELECT lang, count(*) AS k, round(max(u), 12) AS kth,
-         |  round((count(*) - 1) / max(u), 4) AS est
+         |SELECT lang, count(*) AS k, floor((max(u)) * 1000000000000.0 + 0.5) / 1000000000000.0 AS kth,
+         |  floor(((count(*) - 1) / max(u)) * 10000.0 + 0.5) / 10000.0 AS est
          |FROM r WHERE rn <= $KmvK GROUP BY lang""".stripMargin,
 
     // Same 4 row-salted md5 hashes ('cms<j>:' prefix), same 1024-wide
@@ -421,7 +421,7 @@ object ClusterOps {
     "q66_cube_qty" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
         |  coalesce(l_linestatus, 'ALL') AS ls,
-        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_qty,
+        |  floor((CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS sum_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
 
@@ -444,7 +444,7 @@ object ClusterOps {
         |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
         |  GROUP BY 1, 2)
         |SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j,
-        |  round(p.p / 1e9 / n.n - (si.s / 1e9 / n.n) * (sj.s / 1e9 / n.n), 6)
+        |  floor((p.p / 1e9 / n.n - (si.s / 1e9 / n.n) * (sj.s / 1e9 / n.n)) * 1000000.0 + 0.5) / 1000000.0
         |    + 0.0 AS cov
         |FROM p, n
         |JOIN s1 si ON si.i = p.i
@@ -488,11 +488,11 @@ object ClusterOps {
         |  FROM st),
         |term AS (
         |  SELECT x.vec_id,
-        |    round(CASE WHEN v <= 0 THEN 0.0
-        |      ELSE ((x.x - mu) / sqrt(v)) * ((x.x - mu) / sqrt(v)) END, 6) AS t
+        |    floor((CASE WHEN v <= 0 THEN 0.0
+        |      ELSE ((x.x - mu) / sqrt(v)) * ((x.x - mu) / sqrt(v)) END) * 1000000.0 + 0.5) / 1000000.0 AS t
         |  FROM x JOIN st2 USING (j0))
         |SELECT vec_id AS id,
-        |  round(CAST(sum(CAST(t AS DECIMAL(38,6))) AS DOUBLE), 6) AS maha2
+        |  floor((CAST(sum(CAST(t AS DECIMAL(38,6))) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS maha2
         |FROM term GROUP BY vec_id""".stripMargin,
 
     // The shared k-means CTEs supply cells; the rank replays q136's
@@ -558,11 +558,12 @@ object ClusterOps {
         |SELECT a.src_a, a.src_b,
         |  CAST(coalesce(mm.m, 0) AS BIGINT) AS m,
         |  CAST(a.ku AS BIGINT) AS ku,
-        |  CASE WHEN a.ku >= 128 THEN round(127.0 / a.ukmax, 2)
+        |  CASE WHEN a.ku >= 128 THEN floor((127.0 / a.ukmax) * 100.0 + 0.5) / 100.0
         |       ELSE CAST(a.ku AS DOUBLE) END AS union_est,
-        |  round(coalesce(mm.m, 0) / a.ku *
-        |    (CASE WHEN a.ku >= 128 THEN round(127.0 / a.ukmax, 2)
-        |          ELSE CAST(a.ku AS DOUBLE) END), 2) AS inter_est,
+        |  floor((coalesce(mm.m, 0) / a.ku *
+        |    (CASE WHEN a.ku >= 128
+        |          THEN floor((127.0 / a.ukmax) * 100.0 + 0.5) / 100.0
+        |          ELSE CAST(a.ku AS DOUBLE) END)) * 100.0 + 0.5) / 100.0 AS inter_est,
         |  CAST(coalesce(ex.exact_inter, 0) AS BIGINT) AS exact_inter
         |FROM agg a
         |LEFT JOIN mm USING (src_a, src_b)

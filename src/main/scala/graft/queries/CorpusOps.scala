@@ -15,9 +15,13 @@ import graft.operators.{Chunking, Contamination, Curation, Dedup, InvertedIndex,
   */
 object CorpusOps {
 
-  /** Order-independent exact sum of a double column (Relational.dsum). */
+  /** Order-independent exact sum of a double column — THE shared
+    * definition ([[Relational.dsum]]), aliased so call sites stay
+    * short; a second copy here previously risked the two drifting on
+    * the rounding discipline.
+    */
   private def dsum(c: Column, scale: Int = 2): Column =
-    round(sum(c.cast("decimal(38,6)")).cast("double"), scale)
+    Relational.dsum(c, scale)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- q164: fixed-k seeded sample per source — the eval/labeling
@@ -552,13 +556,13 @@ object CorpusOps {
       |df AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
       |contribs AS (
       |  SELECT tf.doc_id,
-      |    round(((st.n_docs - df.dfc + CAST(0.5 AS DOUBLE))
+      |    floor((((st.n_docs - df.dfc + CAST(0.5 AS DOUBLE))
       |           / (df.dfc + CAST(0.5 AS DOUBLE)))
       |      * ((tf.tf * CAST(2.2 AS DOUBLE))
       |         / (tf.tf + CAST(1.2 AS DOUBLE)
       |            * (CAST(0.25 AS DOUBLE)
       |               + CAST(0.75 AS DOUBLE) * dl.dl
-      |                 / (CAST(st.sum_dl AS DOUBLE) / st.n_docs)))), 6)
+      |                 / (CAST(st.sum_dl AS DOUBLE) / st.n_docs))))) * 1000000.0 + 0.5) / 1000000.0
       |      AS contrib
       |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
       |scored AS (
@@ -680,9 +684,9 @@ object CorpusOps {
         |       HAVING count(*) >= 5),
         |tp AS (SELECT count(*) AS tp FROM pr)
         |SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab,
-        |  round((CAST(c_ab AS DOUBLE) / CAST(tp.tp AS DOUBLE)) /
+        |  floor(((CAST(c_ab AS DOUBLE) / CAST(tp.tp AS DOUBLE)) /
         |        ((CAST(ua.c AS DOUBLE) / CAST(tt.tt AS DOUBLE)) *
-        |         (CAST(ub.c AS DOUBLE) / CAST(tt.tt AS DOUBLE))), 6) AS lift
+        |         (CAST(ub.c AS DOUBLE) / CAST(tt.tt AS DOUBLE)))) * 1000000.0 + 0.5) / 1000000.0 AS lift
         |FROM pc JOIN uc ua ON pc.a = ua.tok
         |        JOIN uc ub ON pc.b = ub.tok, tp, tt
         |ORDER BY lift DESC, a ASC, b ASC
@@ -808,9 +812,9 @@ object CorpusOps {
          |  SELECT vec_id AS doc_id, rank FROM (
          |    SELECT c.vec_id,
          |      row_number() OVER (
-         |        ORDER BY round(list_cosine_similarity(
+         |        ORDER BY floor((list_cosine_similarity(
          |            CAST(p.embedding AS DOUBLE[]),
-         |            CAST(c.embedding AS DOUBLE[])), 6) DESC,
+         |            CAST(c.embedding AS DOUBLE[]))) * 1000000.0 + 0.5) / 1000000.0 DESC,
          |          c.vec_id ASC) AS rank
          |    FROM embeddings p JOIN embeddings c
          |      ON p.vec_id = 0 AND c.vec_id <> 0) t
@@ -819,10 +823,10 @@ object CorpusOps {
          |fused AS (
          |  SELECT coalesce(a.doc_id, b.doc_id) AS id,
          |    a.rank AS rank_a, b.rank AS rank_b,
-         |    round(coalesce(CAST(1.0 AS DOUBLE) / (60 + a.rank),
+         |    floor((coalesce(CAST(1.0 AS DOUBLE) / (60 + a.rank),
          |                   CAST(0.0 AS DOUBLE))
          |        + coalesce(CAST(1.0 AS DOUBLE) / (60 + b.rank),
-         |                   CAST(0.0 AS DOUBLE)), 6) AS rrf
+         |                   CAST(0.0 AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS rrf
          |  FROM lex50 a FULL OUTER JOIN vec b ON a.doc_id = b.doc_id)
          |SELECT id, rank_a, rank_b, rrf, rank FROM (
          |  SELECT id, rank_a, rank_b, rrf,
@@ -897,7 +901,7 @@ object CorpusOps {
 
     "q93_temperature_mix" ->
       """WITH n AS (SELECT lang, count(*) AS nd FROM documents GROUP BY 1),
-        |w AS (SELECT lang, nd, round(sqrt(nd), 6) AS wd FROM n),
+        |w AS (SELECT lang, nd, floor((sqrt(nd)) * 1000000.0 + 0.5) / 1000000.0 AS wd FROM n),
         |t AS (SELECT CAST(sum(CAST(wd AS DECIMAL(38,6))) AS DOUBLE) AS sw,
         |             CAST(sum(nd) AS BIGINT) AS total FROM w),
         |r AS (SELECT lang,
@@ -925,16 +929,16 @@ object CorpusOps {
         |  FROM toks GROUP BY 1),
         |tot AS (SELECT sum(r_b) AS r_tot, sum(t_b) AS t_tot FROM tb),
         |llr AS (
-        |  SELECT b, round(ln(
+        |  SELECT b, floor(ln(
         |      ((CAST(t_b AS DOUBLE) + 1) * (CAST(r_tot AS DOUBLE) + 256)) /
-        |      ((CAST(t_tot AS DOUBLE) + 256) * (CAST(r_b AS DOUBLE) + 1))),
-        |    6) AS v
+        |      ((CAST(t_tot AS DOUBLE) + 256) * (CAST(r_b AS DOUBLE) + 1)))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS v
         |  FROM tb, tot),
         |d AS (
         |  SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT % 256 AS b
         |  FROM toks)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
-        |  round(CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE), 6) AS dsir_llr
+        |  floor((CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS dsir_llr
         |FROM d JOIN llr USING (b)
         |GROUP BY doc_id""".stripMargin,
 
@@ -953,12 +957,12 @@ object CorpusOps {
         |      FROM (SELECT unnest(w) AS t FROM toks)),
         |terms AS (
         |  SELECT b.doc_id,
-        |    CAST(round((cb.cb + 1.0) / (cp.cp + v.v), 8) AS DECIMAL(28,8)) AS term
+        |    CAST(floor(((cb.cb + 1.0) / (cp.cp + v.v)) * 100000000.0 + 0.5) / 100000000.0 AS DECIMAL(28,8)) AS term
         |  FROM bi b JOIN cb ON b.p = cb.p AND b.c = cb.c
         |            JOIN cp ON b.p = cp.p
         |            CROSS JOIN v)
         |SELECT doc_id, count(*) AS n_bi,
-        |  round(CAST(sum(term) AS DOUBLE) / count(*), 6) AS score
+        |  floor((CAST(sum(term) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS score
         |FROM terms GROUP BY doc_id""".stripMargin,
 
     "q54_seq_packing" ->
@@ -1072,8 +1076,8 @@ object CorpusOps {
 
     "q59_bloom_semijoin" ->
       """SELECT l_returnflag, count(*) AS n_items,
-        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-        |    AS DECIMAL(38,6))) AS DOUBLE), 2) AS revenue
+        |  floor((CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(38,6))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS revenue
         |FROM lineitem
         |WHERE l_orderkey IN (
         |  SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)

@@ -144,7 +144,7 @@ object CurationOps {
         .groupBy($"split", $"source")
         .agg(count(lit(1)).as("n_docs"),
           sum(length($"text")).as("sum_chars"),
-          round(sum($"quality".cast("decimal(38,6)")).cast("double"), 4)
+          graft.operators.Curation.floorRound(sum($"quality".cast("decimal(38,6)")).cast("double"), 4)
             .as("sum_quality"))
     },
 
@@ -189,7 +189,7 @@ object CurationOps {
         .agg(tk($"value", $"event_id").as("top"))
         .select($"event_type", posexplode($"top"))
         .select($"event_type", (col("pos") + 1).cast("long").as("rank"),
-          col("col.id").as("event_id"), round(col("col.v"), 4).as("value"))
+          col("col.id").as("event_id"), graft.operators.Curation.floorRound(col("col.v"), 4).as("value"))
     },
 
     // ---- q112: weighted sampling without replacement — 5 docs per
@@ -422,7 +422,7 @@ object CurationOps {
          |            ELSE 'test' END AS split,
          |  source, count(*) AS n_docs,
          |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
-         |  round(CAST(sum(CAST(quality AS DECIMAL(38,6))) AS DOUBLE), 4)
+         |  floor((CAST(sum(CAST(quality AS DECIMAL(38,6))) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
          |    AS sum_quality
          |FROM (SELECT *,
          |        ('0x' || substr(md5('split42' || doc_id::VARCHAR), 1, 8))::UBIGINT
@@ -445,13 +445,13 @@ object CurationOps {
         |  LEFT JOIN cst ON cst.src = ts.src AND cst.w = ct.w),
         |term AS (
         |  SELECT src,
-        |    round((sqrt(CAST(c AS DOUBLE) / CAST(stot AS DOUBLE))
+        |    floor(((sqrt(CAST(c AS DOUBLE) / CAST(stot AS DOUBLE))
         |         - sqrt(CAST(ctot AS DOUBLE) / CAST(ttot AS DOUBLE)))
         |        * (sqrt(CAST(c AS DOUBLE) / CAST(stot AS DOUBLE))
         |         - sqrt(CAST(ctot AS DOUBLE) / CAST(ttot AS DOUBLE)))
-        |        * 0.5, 9) AS t
+        |        * 0.5) * 1000000000.0 + 0.5) / 1000000000.0 AS t
         |  FROM grid, tt)
-        |SELECT src, round(CAST(sum(CAST(t AS DECIMAL(38,9))) AS DOUBLE), 6)
+        |SELECT src, floor((CAST(sum(CAST(t AS DECIMAL(38,9))) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
         |  AS hellinger2
         |FROM term GROUP BY src""".stripMargin,
 
@@ -498,7 +498,7 @@ object CurationOps {
         |WHERE rn <= (n * 10 + 99) // 100""".stripMargin,
 
     "q51_topk_per_group" ->
-      """SELECT event_type, rank, event_id, round("value", 4) AS value FROM (
+      """SELECT event_type, rank, event_id, floor(("value") * 10000.0 + 0.5) / 10000.0 AS value FROM (
         |  SELECT event_type, event_id, "value",
         |    row_number() OVER (PARTITION BY event_type
         |      ORDER BY "value" DESC, event_id ASC) AS rank

@@ -128,7 +128,7 @@ object PipelineOps {
       val docs = Dedup.docShingles(
         Tables.documents(s, d).filter($"doc_id" < 2000), $"doc_id", $"text", 3)
       Dedup.jaccardPairsExact(docs, 0.85)
-        .select($"da", $"db", round($"jaccard", 4).as("jaccard"))
+        .select($"da", $"db", graft.operators.Curation.floorRound($"jaccard", 4).as("jaccard"))
     },
 
     // ---- q25: MinHash+LSH near-dup pairs with exact verification —
@@ -137,7 +137,7 @@ object PipelineOps {
       import s.implicits._
       val docs = Dedup.docShingles(Tables.documents(s, d), $"doc_id", $"text", 3)
       Dedup.minhashLshPairs(docs, 0.85)
-        .select($"da", $"db", round($"jaccard", 4).as("jaccard"))
+        .select($"da", $"db", graft.operators.Curation.floorRound($"jaccard", 4).as("jaccard"))
     },
 
     // ---- q26: SimHash near-dup pairs by Hamming distance, via banded
@@ -189,7 +189,7 @@ object PipelineOps {
           sum($"value".cast("decimal(38,6)")).as("sv"),
           count(lit(1)).as("n")),
         merge = Seq(
-          round(sum($"sv").cast("double"), 4).as("sum_value"),
+          graft.operators.Curation.floorRound(sum($"sv").cast("double"), 4).as("sum_value"),
           sum($"n").as("n")))
     },
 
@@ -317,10 +317,10 @@ object PipelineOps {
       import s.implicits._
       Tables.embeddings(s, d)
         .select($"label",
-          round(graft.functions.F.vec_norm($"embedding"), 6).cast("decimal(18,6)").as("nrm"))
+          graft.operators.Curation.floorRound(graft.functions.F.vec_norm($"embedding"), 6).cast("decimal(18,6)").as("nrm"))
         .groupBy($"label")
         .agg(count(lit(1)).as("n"),
-          round(sum($"nrm").cast("double"), 4).as("sum_norm"))
+          graft.operators.Curation.floorRound(sum($"nrm").cast("double"), 4).as("sum_norm"))
     },
 
     // ---- q143: dedup-signal fusion — the q25 text near-dup pairs and
@@ -336,7 +336,7 @@ object PipelineOps {
           Dedup.docShingles(Tables.documents(s, d), $"doc_id", $"text", 3),
           0.85)
         .select($"da".as("a"), $"db".as("b"),
-          round($"jaccard", 4).as("jaccard"))
+          graft.operators.Curation.floorRound($"jaccard", 4).as("jaccard"))
       val emb = Similarity.lshNearDupPairs(Tables.embeddings(s, d), 0.4)
         .select($"va".as("a"), $"vb".as("b"), $"sim".as("cosine"))
       text.join(emb, Seq("a", "b"), "full_outer")
@@ -351,13 +351,13 @@ object PipelineOps {
   /** DuckDB replay of [[graft.operators.TextAnalysis.qualityScore]]
     * (shared by q19 and q128's keep-best epilogue). */
   private[queries] val qualitySqlExpr: String =
-    """round(
+    """floor((
       |  least(1.0, CAST(len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS DOUBLE) / 50.0) * 0.5
       |  + (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
       |      / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.3
       |  + least(1.0, CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|is)\b')) AS DOUBLE)
-      |      / greatest(CAST(len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS DOUBLE), 1.0) * 5.0) * 0.2,
-      |  4)""".stripMargin
+      |      / greatest(CAST(len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS DOUBLE), 1.0) * 5.0) * 0.2
+      |  ) * 10000.0 + 0.5) / 10000.0""".stripMargin
 
   private[queries] def nearDupCtes(where: String, threshold: Double = 0.85) =
     s"""toks AS (
@@ -374,7 +374,7 @@ object PipelineOps {
       |  GROUP BY 1, 2),
       |neardup AS (
       |  SELECT da, db,
-      |    round(CAST(shared AS DOUBLE) / (ca.c + cb.c - shared), 4) AS jaccard
+      |    floor((CAST(shared AS DOUBLE) / (ca.c + cb.c - shared)) * 10000.0 + 0.5) / 10000.0 AS jaccard
       |  FROM pairs
       |  JOIN cnt ca ON da = ca.doc_id
       |  JOIN cnt cb ON db = cb.doc_id
@@ -426,9 +426,9 @@ object PipelineOps {
     s"""$lshCtePrefix
        |SELECT probe_id, vec_id, sim, rank FROM (
        |  SELECT p.probe_id, c.vec_id,
-       |    round(list_cosine_similarity(p.pv, c.v), 6) AS sim,
+       |    floor((list_cosine_similarity(p.pv, c.v)) * 1000000.0 + 0.5) / 1000000.0 AS sim,
        |    row_number() OVER (PARTITION BY p.probe_id
-       |      ORDER BY round(list_cosine_similarity(p.pv, c.v), 6) DESC,
+       |      ORDER BY floor((list_cosine_similarity(p.pv, c.v)) * 1000000.0 + 0.5) / 1000000.0 DESC,
        |               c.vec_id ASC) AS rank
        |  FROM p JOIN b c ON p.bucket = c.bucket AND c.vec_id <> p.probe_id) t
        |WHERE rank <= 5""".stripMargin
@@ -443,7 +443,7 @@ object PipelineOps {
        |  SELECT probe_id, vec_id FROM (
        |    SELECT p.probe_id, c.vec_id,
        |      row_number() OVER (PARTITION BY p.probe_id
-       |        ORDER BY round(list_cosine_similarity(p.pv, c.v), 6) DESC,
+       |        ORDER BY floor((list_cosine_similarity(p.pv, c.v)) * 1000000.0 + 0.5) / 1000000.0 DESC,
        |                 c.vec_id ASC) AS rank
        |    FROM p JOIN b c ON p.bucket = c.bucket AND c.vec_id <> p.probe_id) t
        |  WHERE rank <= 5),
@@ -451,12 +451,12 @@ object PipelineOps {
        |  SELECT probe_id, vec_id FROM (
        |    SELECT p.probe_id, c.vec_id,
        |      row_number() OVER (PARTITION BY p.probe_id
-       |        ORDER BY round(list_cosine_similarity(p.pv, c.v), 6) DESC,
+       |        ORDER BY floor((list_cosine_similarity(p.pv, c.v)) * 1000000.0 + 0.5) / 1000000.0 DESC,
        |                 c.vec_id ASC) AS rank
        |    FROM p JOIN e c ON c.vec_id <> p.probe_id) t
        |  WHERE rank <= 5)
        |SELECT x.probe_id, count(a.vec_id) AS n_hits,
-       |  round(CAST(count(a.vec_id) AS DOUBLE) / 5.0, 4) AS recall
+       |  floor((CAST(count(a.vec_id) AS DOUBLE) / 5.0) * 10000.0 + 0.5) / 10000.0 AS recall
        |FROM exact x LEFT JOIN ann a
        |  ON x.probe_id = a.probe_id AND x.vec_id = a.vec_id
        |GROUP BY x.probe_id""".stripMargin
@@ -485,9 +485,9 @@ object PipelineOps {
        |  FROM b l JOIN b r ON l.band = r.band AND l.bucket = r.bucket
        |    AND l.vec_id < r.vec_id),
        |embdup AS (
-       |  SELECT va, vb, round(list_cosine_similarity(a.v, c.v), 6) AS sim
+       |  SELECT va, vb, floor((list_cosine_similarity(a.v, c.v)) * 1000000.0 + 0.5) / 1000000.0 AS sim
        |  FROM cand JOIN e a ON va = a.vec_id JOIN e c ON vb = c.vec_id
-       |  WHERE round(list_cosine_similarity(a.v, c.v), 6) >= 0.4)""".stripMargin
+       |  WHERE floor((list_cosine_similarity(a.v, c.v)) * 1000000.0 + 0.5) / 1000000.0 >= 0.4)""".stripMargin
   }
 
   private def lshNearDupOracle: String =
@@ -551,9 +551,9 @@ object PipelineOps {
       |  FROM cellrank WHERE vec_id < 10 AND r <= 4)
       |SELECT probe_id, vec_id, sim, rank FROM (
       |  SELECT p.probe_id, c.vec_id,
-      |    round(list_cosine_similarity(p.pv, c.v), 6) AS sim,
+      |    floor((list_cosine_similarity(p.pv, c.v)) * 1000000.0 + 0.5) / 1000000.0 AS sim,
       |    row_number() OVER (PARTITION BY p.probe_id
-      |      ORDER BY round(list_cosine_similarity(p.pv, c.v), 6) DESC,
+      |      ORDER BY floor((list_cosine_similarity(p.pv, c.v)) * 1000000.0 + 0.5) / 1000000.0 DESC,
       |               c.vec_id ASC) AS rank
       |  FROM probes p JOIN corpus c ON p.cell = c.cell AND c.vec_id <> p.probe_id) t
       |WHERE rank <= 5""".stripMargin
@@ -564,7 +564,7 @@ object PipelineOps {
   private def ivfCellStatsOracle: String =
     s"""$ivfCtePrefix
       |SELECT cell, count(*) AS n,
-      |  round(count(*) * 16.0 / CAST(sum(count(*)) OVER () AS DOUBLE), 4) AS load
+      |  floor((count(*) * 16.0 / CAST(sum(count(*)) OVER () AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS load
       |FROM corpus GROUP BY cell""".stripMargin
 
   /** q46 oracle: the PQ pipeline in SQL — md5-ordered codebook sample,
@@ -596,7 +596,7 @@ object PipelineOps {
        |  JOIN cents c ON c.ci = k.ci
        |  WHERE k.vec_id <> p.probe_id),
        |adc AS (SELECT probe_id, vec_id,
-       |    round(CAST(sum(CAST(dm AS DECIMAL(38,18))) AS DOUBLE), 6) AS adc
+       |    floor((CAST(sum(CAST(dm AS DECIMAL(38,18))) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS adc
        |  FROM parts GROUP BY probe_id, vec_id)
        |SELECT probe_id, vec_id, adc, rank FROM (
        |  SELECT probe_id, vec_id, adc,
@@ -653,7 +653,7 @@ object PipelineOps {
        |  JOIN ms m ON m.m = k.m
        |  JOIN cents c ON c.ci = k.ci),
        |adc AS (SELECT probe_id, vec_id,
-       |    round(CAST(sum(CAST(dm AS DECIMAL(38,18))) AS DOUBLE), 6) AS adc
+       |    floor((CAST(sum(CAST(dm AS DECIMAL(38,18))) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS adc
        |  FROM parts GROUP BY probe_id, vec_id)
        |SELECT probe_id, vec_id, adc, rank FROM (
        |  SELECT probe_id, vec_id, adc,
@@ -752,11 +752,11 @@ object PipelineOps {
     "q27_cosine_topk" ->
       """SELECT probe_id, vec_id, sim, rank FROM (
         |  SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
-        |    round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
-        |                                 CAST(c.embedding AS DOUBLE[])), 6) AS sim,
+        |    floor((list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+        |                                 CAST(c.embedding AS DOUBLE[]))) * 1000000.0 + 0.5) / 1000000.0 AS sim,
         |    row_number() OVER (PARTITION BY p.vec_id
-        |      ORDER BY round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
-        |                                            CAST(c.embedding AS DOUBLE[])), 6) DESC,
+        |      ORDER BY floor((list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+        |                                            CAST(c.embedding AS DOUBLE[]))) * 1000000.0 + 0.5) / 1000000.0 DESC,
         |               c.vec_id ASC) AS rank
         |  FROM embeddings p JOIN embeddings c ON p.vec_id < 10 AND c.vec_id <> p.vec_id) t
         |WHERE rank <= 5""".stripMargin,
@@ -764,11 +764,11 @@ object PipelineOps {
     "q129_hard_negatives" ->
       """SELECT probe_id, vec_id, sim, rank FROM (
         |  SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
-        |    round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
-        |                                 CAST(c.embedding AS DOUBLE[])), 6) AS sim,
+        |    floor((list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+        |                                 CAST(c.embedding AS DOUBLE[]))) * 1000000.0 + 0.5) / 1000000.0 AS sim,
         |    row_number() OVER (PARTITION BY p.vec_id
-        |      ORDER BY round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
-        |                                            CAST(c.embedding AS DOUBLE[])), 6) DESC,
+        |      ORDER BY floor((list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+        |                                            CAST(c.embedding AS DOUBLE[]))) * 1000000.0 + 0.5) / 1000000.0 DESC,
         |               c.vec_id ASC) AS rank
         |  FROM embeddings p JOIN embeddings c
         |    ON p.vec_id < 10 AND c.vec_id <> p.vec_id AND c.label <> p.label) t
@@ -776,7 +776,7 @@ object PipelineOps {
 
     "q34_salted_agg" ->
       """SELECT event_type,
-        |  round(CAST(sum(CAST("value" AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_value,
+        |  floor((CAST(sum(CAST("value" AS DECIMAL(38,6))) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS sum_value,
         |  count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
 
@@ -801,9 +801,10 @@ object PipelineOps {
 
     "q29_embedding_norms" ->
       """SELECT label, count(*) AS n,
-        |  round(CAST(sum(CAST(round(sqrt(list_aggregate(
-        |    list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')), 6)
-        |    AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_norm
+        |  floor((CAST(sum(CAST(floor((sqrt(list_aggregate(
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')))
+        |    * 1000000.0 + 0.5) / 1000000.0
+        |    AS DECIMAL(18,6))) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS sum_norm
         |FROM embeddings GROUP BY label""".stripMargin
   )
 }

@@ -19,14 +19,20 @@ import graft.Tables
 object Relational {
 
   /** Order-independent exact sum of a double column: decimal-accumulate,
-    * then round back to double. Mirrors `round(cast(sum(cast(x as
-    * decimal(38,6))) as double), s)` on the oracle side.
+    * then floor-round back to double (rule 9 — the decimal SUM is
+    * exact, but `round()` of its double cast still splits engines on
+    * shortest-repr half-ulp boundaries). Mirrors
+    * `floor(cast(sum(cast(x as decimal(38,6))) as double) * 10^s + 0.5)
+    * / 10^s` on the oracle side. Shared with CorpusOps — ONE definition
+    * of the discipline.
     */
-  private def dsum(c: Column, scale: Int = 2): Column =
-    round(sum(c.cast("decimal(38,6)")).cast("double"), scale)
+  private[queries] def dsum(c: Column, scale: Int = 2): Column =
+    graft.operators.Curation.floorRound(
+      sum(c.cast("decimal(38,6)")).cast("double"), scale)
 
   private def davg(c: Column, scale: Int = 4): Column =
-    round(sum(c.cast("decimal(38,6)")).cast("double") / count(lit(1)), scale)
+    graft.operators.Curation.floorRound(
+      sum(c.cast("decimal(38,6)")).cast("double") / count(lit(1)), scale)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- q01: grouped aggregation with partial/map-side combine (SURVEY
@@ -140,7 +146,7 @@ object Relational {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       li.filter($"l_suppkey" <= 20)
         .withColumn("running_qty",
-          round(sum($"l_quantity".cast("decimal(38,6)")).over(w).cast("double"), 2))
+          graft.operators.Curation.floorRound(sum($"l_quantity".cast("decimal(38,6)")).over(w).cast("double"), 2))
         .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
           date_format($"l_shipdate", "yyyy-MM-dd HH:mm:ss").as("l_shipdate"), $"running_qty")
     },
@@ -238,7 +244,7 @@ object Relational {
           / count(lit(1))).as("avg_price"))
       o.join(avgs, $"o_custkey" === $"k")
         .filter($"o_totalprice" > $"avg_price" * 1.5)
-        .select($"o_orderkey", $"o_custkey", round($"o_totalprice", 2).as("o_totalprice"))
+        .select($"o_orderkey", $"o_custkey", graft.operators.Curation.floorRound($"o_totalprice", 2).as("o_totalprice"))
     },
 
     // ---- q106: small-quantity-order revenue (TPC-H Q17's shape) —
@@ -261,7 +267,7 @@ object Relational {
         .join(Tables.part(s, d), $"l_partkey" === $"p_partkey")
         .groupBy($"p_brand")
         .agg(count(lit(1)).as("n_li"),
-          round(sum($"l_extendedprice".cast("decimal(38,6)")).cast("double")
+          graft.operators.Curation.floorRound(sum($"l_extendedprice".cast("decimal(38,6)")).cast("double")
             / lit(7.0), 2).as("avg_yearly"))
     },
 
@@ -302,11 +308,11 @@ object Relational {
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_qty,
-        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_base_price,
-        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_disc_price,
-        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*), 4) AS avg_qty,
-        |  round(CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / count(*), 4) AS avg_disc,
+        |  floor((CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+        |  floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS sum_base_price,
+        |  floor((CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+        |  floor((CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+        |  floor((CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1995-09-01'
@@ -314,7 +320,7 @@ object Relational {
 
     "q02_top_revenue_orders" ->
       """SELECT o_orderkey, o_orderpriority,
-        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 2) AS revenue
+        |  floor((CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderkey, o_orderpriority
         |ORDER BY revenue DESC, o_orderkey ASC
@@ -323,14 +329,14 @@ object Relational {
     "q03_segment_order_stats" ->
       """SELECT c_mktsegment,
         |  count(*) AS n_orders,
-        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2) AS total_price,
+        |  floor((CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS total_price,
         |  count(DISTINCT o_custkey) AS n_customers
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
 
     "q04_region_revenue" ->
       """SELECT r_name,
-        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 2) AS revenue,
+        |  floor((CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -340,7 +346,7 @@ object Relational {
 
     "q05_customers_with_orders" ->
       """SELECT c_mktsegment, count(*) AS n_active,
-        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_bal
+        |  floor((CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS sum_bal
         |FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY c_mktsegment""".stripMargin,
@@ -362,10 +368,10 @@ object Relational {
     "q08_running_supplier_revenue" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS l_shipdate,
-        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6)))
+        |  floor((CAST(sum(CAST(l_quantity AS DECIMAL(38,6)))
         |    OVER (PARTITION BY l_suppkey
         |          ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_qty
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS running_qty
         |FROM lineitem
         |WHERE l_suppkey <= 20""".stripMargin,
 
@@ -385,7 +391,7 @@ object Relational {
     "q11_events_hourly" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
         |  count(*) AS n,
-        |  round(CAST(sum(CAST("value" AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_value
+        |  floor((CAST(sum(CAST("value" AS DECIMAL(38,6))) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS sum_value
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
 
@@ -416,14 +422,14 @@ object Relational {
 
     "q12_nation_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_customers,
-        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_bal
+        |  floor((CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS sum_bal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
 
     "q13_above_avg_orders" ->
-      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+      """SELECT o_orderkey, o_custkey, floor((o_totalprice) * 100.0 + 0.5) / 100.0 AS o_totalprice
         |FROM orders o
         |JOIN (SELECT o_custkey AS k,
         |        CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
@@ -442,8 +448,8 @@ object Relational {
         |      / count(*) AS avgq
         |  FROM lineitem GROUP BY 1)
         |SELECT p_brand, count(*) AS n_li,
-        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
-        |    / CAST(7.0 AS DOUBLE), 2) AS avg_yearly
+        |  floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+        |    / CAST(7.0 AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS avg_yearly
         |FROM lineitem l
         |JOIN a ON l.l_partkey = a.k
         |JOIN part p ON l.l_partkey = p.p_partkey

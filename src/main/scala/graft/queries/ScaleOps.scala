@@ -82,7 +82,7 @@ object ScaleOps {
       import s.implicits._
       val docs = Dedup.docShingles(Tables.documents(s, d), $"doc_id", $"text", 3)
       SetSimilarity.prefixJaccardSelfJoin(docs, 0.80)
-        .select($"da", $"db", round($"jaccard", 4).as("jaccard"))
+        .select($"da", $"db", graft.operators.Curation.floorRound($"jaccard", 4).as("jaccard"))
     },
 
     // ---- q68: two-pass exact heavy hitters (Misra-Gries candidates →
@@ -278,7 +278,7 @@ object ScaleOps {
       val sh = Dedup.docShingles(Tables.documents(s, d), $"doc_id", $"text", 3)
       Dedup.minhashLshJoin(
         sh.filter($"doc_id" % 3 === 0), sh.filter($"doc_id" % 3 =!= 0), 0.85)
-        .select($"da", $"db", round($"jaccard", 4).as("jaccard"))
+        .select($"da", $"db", graft.operators.Curation.floorRound($"jaccard", 4).as("jaccard"))
     },
 
     // ---- q73: incremental view maintenance of a per-language
@@ -315,7 +315,7 @@ object ScaleOps {
       graft.operators.Skew.saltedJoin(ev, dim, "event_type", salts = 16)
         .groupBy($"label")
         .agg(count(lit(1)).as("n"),
-          round(sum($"value".cast("decimal(38,6)")).cast("double") * first($"wt"), 2)
+          graft.operators.Curation.floorRound(sum($"value".cast("decimal(38,6)")).cast("double") * first($"wt"), 2)
             .as("weighted"))
     },
 
@@ -542,7 +542,7 @@ object ScaleOps {
         |  WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0
         |  GROUP BY 1, 2)
         |SELECT da, db,
-        |  round(CAST(shared AS DOUBLE) / (ca.c + cb.c - shared), 4) AS jaccard
+        |  floor((CAST(shared AS DOUBLE) / (ca.c + cb.c - shared)) * 10000.0 + 0.5) / 10000.0 AS jaccard
         |FROM pairs
         |JOIN cnt ca ON da = ca.doc_id
         |JOIN cnt cb ON db = cb.doc_id
@@ -564,7 +564,7 @@ object ScaleOps {
         |    length(event_type) AS wt
         |  FROM events)
         |SELECT label, count(*) AS n,
-        |  round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) * any_value(wt), 2)
+        |  floor((CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) * any_value(wt)) * 100.0 + 0.5) / 100.0
         |    AS weighted
         |FROM events JOIN dim USING (event_type)
         |GROUP BY label""".stripMargin,

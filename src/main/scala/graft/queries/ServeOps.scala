@@ -107,9 +107,9 @@ object ServeOps {
          |pool AS (
          |  SELECT probe_id, vec_id, sim, v FROM (
          |    SELECT p.probe_id, c.vec_id,
-         |      round(list_cosine_similarity(p.pv, c.v), 6) AS sim, c.v,
+         |      floor((list_cosine_similarity(p.pv, c.v)) * 1000000.0 + 0.5) / 1000000.0 AS sim, c.v,
          |      row_number() OVER (PARTITION BY p.probe_id
-         |        ORDER BY round(list_cosine_similarity(p.pv, c.v), 6) DESC,
+         |        ORDER BY floor((list_cosine_similarity(p.pv, c.v)) * 1000000.0 + 0.5) / 1000000.0 DESC,
          |                 c.vec_id ASC) AS rn
          |    FROM p JOIN e c ON c.vec_id <> p.probe_id) t
          |  WHERE rn <= 8),
@@ -206,9 +206,9 @@ object ServeOps {
         |pool AS (
         |  SELECT probe_id, vec_id, sim, rn FROM (
         |    SELECT p.probe_id, c.vec_id,
-        |      round(list_cosine_similarity(p.pv, c.v), 6) AS sim,
+        |      floor((list_cosine_similarity(p.pv, c.v)) * 1000000.0 + 0.5) / 1000000.0 AS sim,
         |      row_number() OVER (PARTITION BY p.probe_id
-        |        ORDER BY round(list_cosine_similarity(p.pv, c.v), 6) DESC,
+        |        ORDER BY floor((list_cosine_similarity(p.pv, c.v)) * 1000000.0 + 0.5) / 1000000.0 DESC,
         |                 c.vec_id ASC) AS rn
         |    FROM p JOIN e c ON c.vec_id <> p.probe_id) t
         |  WHERE rn <= 20),
