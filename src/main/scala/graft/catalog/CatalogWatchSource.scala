@@ -31,6 +31,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * through a JVM registry, so a checkpointed query only resumes
   * against a catalog constructed in the same driver JVM (the catalog
   * is in-memory state; persisting it is the deployment's concern).
+  *
+  * SCHEMA COMPATIBILITY: round 8 widened this schema by two columns
+  * (`fragment_target_length`, `flush_interval_ms`). That is a BREAKING
+  * change for a deployed streaming query whose sink (e.g. parquet)
+  * pinned the old schema in its checkpoint — restarting such a query
+  * requires a fresh checkpoint (and sink path, for schema-strict
+  * sinks). Future spec-field additions carry the same cost; widen in
+  * batches and call it out in release notes.
   */
 class CatalogWatchSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "journal-catalog-watch"

@@ -47,7 +47,13 @@ object Curation {
     */
   private[graft] def floorRound(c: Column, digits: Int): Column = {
     val s = math.pow(10.0, digits)
-    floor(c * lit(s) + lit(0.5)).cast("double") / lit(s)
+    // NaN/±Inf pass through untouched: Spark's floor(double) returns
+    // LONG (NaN→0, +Inf→Long.MaxValue) while DuckDB's floor preserves
+    // them — without this guard the migration silently rewrites
+    // non-finite inputs on the Spark side only (e.g. cosine of a
+    // zero-norm embedding). NULL propagates through both branches.
+    when(isnan(c) || c === lit(Double.PositiveInfinity) || c === lit(Double.NegativeInfinity), c)
+      .otherwise(floor(c * lit(s) + lit(0.5)).cast("double") / lit(s))
   }
 
   /** Connected components by iterative min-label propagation: every

@@ -376,12 +376,23 @@ object Similarity {
       .select(col("l.vec_id").as("va"), col("r.vec_id").as("vb"))
       .distinct()
     val e = eCached
-    cand
+    // Materialize the pair-sized result and release the corpus-sized
+    // caches HERE (the Contamination.report pattern): a bare lazy
+    // return would pin eCached + bucketed for the session lifetime —
+    // unpersist on a derived frame is a sameResult no-op, so only this
+    // function can release them. The RETURNED frame is cached; callers
+    // done with it unpersist().
+    val out = cand
       .join(e.select(col("vec_id").as("va"), col("embedding").as("ea")), "va")
       .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb")), "vb")
       .select(col("va"), col("vb"),
         graft.operators.Curation.floorRound(graft.functions.F.vec_cosine(col("ea"), col("eb")), 6).as("sim"))
       .filter(col("sim") >= threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    eCached.unpersist()
+    bucketed.unpersist()
+    out
   }
 
   /** ANN top-k within LSH bucket: corpus and probes are bucketed by the
