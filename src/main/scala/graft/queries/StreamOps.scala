@@ -77,6 +77,63 @@ object StreamOps {
         .select($"event_id")
     },
 
+    // ---- q167: the STREAMING ingest guard end-to-end (VERDICT r8 #3):
+    // the corpus replayed as a file-stream source (one parquet file per
+    // micro-batch), tagged in-stream by the EXACT guard (deterministic
+    // — the Bloom form's one-sided error is spec-gated, not oracle-
+    // gateable), and ROUTED at write time: contaminated docs land in a
+    // quarantine journal, clean docs in the train journal, through the
+    // crash-atomic foreachBatch journal sink. The driver-checked result
+    // reads BOTH journals back and reassembles the per-doc tags — so
+    // the oracle (identical to q166's) certifies the full stream →
+    // guard → route → journal-commit → read-back composition, not just
+    // the guard projection. Reference analog: message/publisher.go's
+    // validate-before-publish contract (interfaces.go:143-145).
+    "q167_ingest_guard_streaming" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.operators.{Contamination, Dedup}
+      val root = s"/tmp/graft-journals/ig-${d.replace('/', '_')}"
+      deleteRecursively(Paths.get(root))
+      val docs = Tables.documents(s, d)
+      val evalSet = Contamination.evalShingleSet(
+        Dedup.docShingles(docs.filter($"doc_id" % 17 === 0),
+          $"doc_id", $"text", 5))
+      // Stage the corpus as a replayable file stream: 4 files → 4
+      // micro-batches under maxFilesPerTrigger=1, so the guard and the
+      // sink commit repeatedly (a single-batch run would not exercise
+      // the per-batch idempotence markers at all).
+      val stage = s"$root/stage"
+      docs.repartition(4).write.parquet(stage)
+      val src = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+      val tagged = Contamination.ingestGuardExact(src, evalSet, n = 5)
+        .select($"contaminated",
+          to_json(struct($"doc_id", $"n_eval_hits", $"contaminated"))
+            .as("payload"))
+      val q = tagged.writeStream
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          // Both routes consume the batch: materialize once so the
+          // shingle-probe UDF doesn't run twice per doc.
+          df.persist()
+          try {
+            Journal.batchSink(root, "guard/quarantine", codec = "gz")(
+              df.filter($"contaminated").select($"payload"), batchId)
+            Journal.batchSink(root, "guard/train", codec = "gz")(
+              df.filter(!$"contaminated").select($"payload"), batchId)
+          } finally df.unpersist()
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(600000), "q167 stream drain timed out")
+      val tagSchema = org.apache.spark.sql.types.StructType
+        .fromDDL("doc_id BIGINT, n_eval_hits BIGINT, contaminated BOOLEAN")
+      Journal.read(s, root, "guard/quarantine").toDF()
+        .unionByName(Journal.read(s, root, "guard/train").toDF())
+        .select(from_json($"payload", tagSchema).as("r"))
+        .select($"r.doc_id", $"r.n_eval_hits", $"r.contaminated")
+    },
+
     // ---- q31: journal write→read round-trip: events framed as ndjson
     // fragments (content-addressed, gzip), read back as envelopes with
     // byte offsets, payloads decoded and re-aggregated.
@@ -111,6 +168,30 @@ object StreamOps {
 
     "q31_journal_roundtrip" ->
       "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+
+    // Identical semantics to q166 (the guard is exact and routing is
+    // content-determined), but the Spark side travels stream → guard →
+    // quarantine/train journals → read-back; equality against the same
+    // oracle proves the write-path composition loses and duplicates
+    // nothing.
+    "q167_ingest_guard_streaming" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 3),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |         || ' ' || w[i+4])) AS s
+        |  FROM toks WHERE len(w) >= 5),
+        |ev AS (SELECT DISTINCT unnest(s) AS shingle FROM sh
+        |       WHERE doc_id % 17 = 0),
+        |hits AS (
+        |  SELECT x.doc_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT doc_id, unnest(s) AS shingle FROM sh) x
+        |  JOIN ev USING (shingle) GROUP BY x.doc_id)
+        |SELECT d.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_eval_hits,
+        |  coalesce(h.n, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h USING (doc_id)""".stripMargin,
 
     // Same committed-set semantics as q30, but exercised through the
     // journal + DSv2 + UUID + sequencer pipeline.
