@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// local-cluster masters fork executor JVMs through the launcher, which
+// resolves the classpath layout from SPARK_SCALA_VERSION (the
+// distribution's bin scripts export it; an in-process Worker has no
+// such env and falls back to probing dev-build directories).
+Test / envVars += "SPARK_SCALA_VERSION" -> "2.13"
+run / envVars += "SPARK_SCALA_VERSION" -> "2.13"
 // The driver parses the LAST stdout line of the bench run as JSON; sbt's
 // "[success] Total time: …" epilogue otherwise trails the metric line,
 // and the default LoggedOutput strategy would wrap it in "[info] ".

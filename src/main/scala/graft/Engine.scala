@@ -37,18 +37,58 @@ object Engine {
   /** A local session for tests/tools: `local[cores]`, shuffle
     * parallelism pinned to the core count (AQE coalescing from 2000
     * is counter-productive single-node).
+    *
+    * `GRAFT_MASTER=local-cluster[2,4,4096]` overrides the master for
+    * certification runs across REAL executor JVMs (Spark's in-process
+    * standalone cluster forks one executor process per worker): same
+    * tools, same queries, but closures, broadcasts, and executor-side
+    * lazy state must genuinely cross process boundaries — the class of
+    * bug `local[N]` can never surface.
     */
   def local(cores: Int): SparkSession = {
-    val s = builder()
-      .master(s"local[$cores]")
+    val master = sys.env.getOrElse("GRAFT_MASTER", s"local[$cores]")
+    var b = builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cores.toString)
       // Single-node: let AQE coalesce from the core count itself — a
       // high initialPartitionNum only adds per-shuffle overhead here.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         cores.toString)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (master.startsWith("local-cluster")) b = forkedExecutors(b)
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** JDK-17 module opens Spark needs when a JVM is NOT launched by
+    * spark-submit (which injects them). One list for driver (build.sbt
+    * mirrors it) and forked executors.
+    */
+  val jdk17AddOpens: Seq[String] = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).map(p => s"--add-opens=$p=ALL-UNNAMED")
+
+  /** `local-cluster` executor plumbing. Executor JVMs are forked by the
+    * in-process Worker with a classpath built from SPARK_HOME/jars —
+    * they do NOT inherit this JVM's classpath, so the engine's own
+    * classes (and test classes, when a spec runs under local-cluster)
+    * ride `spark.executor.extraClassPath` from `java.class.path`
+    * (accurate because sbt forks test/run JVMs). Module opens must be
+    * repeated for the executor JVM; memory defaults to 3g per executor
+    * inside the worker's grant (`GRAFT_EXECUTOR_MEM` overrides).
+    */
+  private[graft] def forkedExecutors(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.executor.extraClassPath", sys.props("java.class.path"))
+      // NB: -Dspark.* flags are rejected here by config validation —
+      // Spark options travel via the SparkConf itself.
+      .config("spark.executor.extraJavaOptions", jdk17AddOpens.mkString(" "))
+      .config("spark.executor.memory",
+        sys.env.getOrElse("GRAFT_EXECUTOR_MEM", "3g"))
 }

@@ -510,6 +510,12 @@ object Journal {
       case None     => df.select(col(payloadCol)).as[String].map(p => (p, ""))
     }
     val journalTag = journal.replace('/', '_')
+    // maxAppendRate is the journal's AGGREGATE ceiling; resolve each
+    // executor JVM's share on the driver (local[*]: the full rate) —
+    // see AppendFlowControl.perJvmShare for the contract.
+    val rateShare =
+      graft.sources.v2.AppendFlowControl.perJvmShare(
+        spark.sparkContext, maxAppendRate)
     val spooled = rows.rdd
       .mapPartitionsWithIndex { (idx, it) =>
         val fs = new HPath(root).getFileSystem(hc.value)
@@ -525,8 +531,8 @@ object Journal {
         // Per-journal JVM token bucket (max_append_rate,
         // protocol.proto:293-298); see AppendFlowControl for the
         // cluster-aggregate semantics.
-        val flow = if (maxAppendRate > 0)
-          graft.sources.v2.AppendFlowControl.bucket(root, journal, maxAppendRate)
+        val flow = if (rateShare > 0)
+          graft.sources.v2.AppendFlowControl.bucket(root, journal, rateShare)
         else null
         try {
           it.foreach { case (line, postfix) =>

@@ -10,11 +10,11 @@ import scala.collection.concurrent.TrieMap
   * Placement note for cluster scale: the reference throttles at the
   * journal's PRIMARY BROKER — one process per journal. Spark has no
   * such single chokepoint on the write path (tasks spool in parallel),
-  * so the bucket is per-executor-JVM: each executor paces its own
-  * writers and the journal's aggregate ceiling is
-  * `maxAppendRate × executors`. Callers that need a global ceiling
-  * divide the rate by the write parallelism (`df.coalesce(n)` makes
-  * `n` explicit). In `local[*]` the JVM bucket IS the global bucket.
+  * so the bucket is per-executor-JVM and the DRIVER ships each JVM its
+  * share of the aggregate ceiling ([[perJvmShare]]): configured rate ÷
+  * executor JVMs at write-planning time, so the journal-wide aggregate
+  * honors `maxAppendRate` without any cross-process coordination on
+  * the hot path. In `local[*]` the JVM bucket IS the global bucket.
   *
   * The bucket holds up to one second of burst; it starts FULL so a
   * short append proceeds unthrottled (the reference likewise delays
@@ -81,4 +81,33 @@ object AppendFlowControl {
 
   /** Test hook: forget all buckets (fresh burst budget). */
   private[graft] def reset(): Unit = buckets.clear()
+
+  /** Per-JVM share of a journal's AGGREGATE rate ceiling (round 9):
+    * `maxAppendRate` is the journal's ceiling — the reference enforces
+    * it at the one primary broker (broker/append_flow_control.go:
+    * 59-220); Spark writes from parallel JVMs, so the DRIVER divides
+    * the ceiling by the number of executor JVMs that can run write
+    * tasks and ships the share into the task closure. In `local[*]`
+    * the driver is the only executor (statusTracker reports just the
+    * driver entry) and the share is the full rate.
+    *
+    * Contract: the aggregate never exceeds the configured ceiling for
+    * the executor set present at write-planning time; executors that
+    * join mid-write (dynamic allocation) add their own share until the
+    * next write plans, and skewed task placement UNDER-uses budget (an
+    * idle executor's share is not redistributed) — the honest costs of
+    * throttling without the reference's single chokepoint. Callers
+    * needing exact pacing under skew `coalesce(n)` and configure
+    * `rate/n` explicitly, as before.
+    */
+  def perJvmShare(sc: org.apache.spark.SparkContext,
+      bytesPerSec: Long): Long =
+    if (bytesPerSec <= 0L) bytesPerSec
+    else {
+      // getExecutorInfos includes the driver entry; in local[*] the
+      // driver IS the executor, so executor JVMs = max(1, n - 1).
+      val execJvms =
+        math.max(1, sc.statusTracker.getExecutorInfos.length - 1)
+      math.max(1L, bytesPerSec / execJvms)
+    }
 }

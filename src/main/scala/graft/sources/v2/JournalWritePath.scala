@@ -101,7 +101,12 @@ class JournalWrite(roots: Seq[String], journal: String, tableCodec: String,
   private def factory = new JournalWriterFactory(
     root, journal.replace('/', '_'), codec, payloadIdx, postfixIdx,
     maxFragmentBytes, new HadoopConf(Journal.hadoopConf),
-    journal, maxAppendRate, flushIntervalMs)
+    journal,
+    // maxAppendRate is the journal's AGGREGATE ceiling; each executor
+    // JVM gets its share (see AppendFlowControl.perJvmShare).
+    AppendFlowControl.perJvmShare(
+      org.apache.spark.sql.SparkSession.active.sparkContext, maxAppendRate),
+    flushIntervalMs)
 
   override def toBatch: BatchWrite = new BatchWrite {
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =

@@ -12,14 +12,21 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
 object SparkSpec {
   lazy val session: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
+    // GRAFT_TEST_MASTER=local-cluster[2,2,2048] runs the whole suite
+    // across real executor JVMs (multi-process certification); default
+    // stays local[4]. Executor classpath/module plumbing comes from
+    // Engine.forkedExecutors — sbt forks the test JVM, so
+    // java.class.path is the genuine test classpath.
+    val master = sys.env.getOrElse("GRAFT_TEST_MASTER", "local[4]")
+    var b = SparkSession.builder()
+      .master(master)
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    if (master.startsWith("local-cluster")) b = Engine.forkedExecutors(b)
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

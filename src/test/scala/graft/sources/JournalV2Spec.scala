@@ -189,6 +189,40 @@ class JournalV2Spec extends SparkSpec {
     AppendFlowControl.reset()
   }
 
+  test("aggregate ceiling: parallel writers never exceed maxAppendRate") {
+    import spark.implicits._
+    import graft.sources.v2.AppendFlowControl
+    // The driver ships each executor JVM its share of the ceiling.
+    val sc = spark.sparkContext
+    val execs = math.max(1, sc.statusTracker.getExecutorInfos.length - 1)
+    assert(AppendFlowControl.perJvmShare(sc, 8192L) ==
+      math.max(1L, 8192L / execs))
+    assert(AppendFlowControl.perJvmShare(sc, 0L) == 0L)
+    assert(AppendFlowControl.perJvmShare(sc, -1L) == -1L)
+
+    AppendFlowControl.reset()
+    val root = Files.createTempDirectory("graft-v2agg").toString
+    // 512 × (32-char payload + \n) = 16,896 framed bytes, written from
+    // TWO partitions at an AGGREGATE 4 KB/s. The pacing lower bound is
+    // master-independent: local[*] = one 4 KB/s bucket with a 4 KB
+    // burst → ≥ (16896−4096)/4096 ≈ 3.1 s; local-cluster[2,…] = two
+    // 2 KB/s shares with 2 KB bursts → an even split paces
+    // (8448−2048)/2048 ≈ 3.1 s, a skewed one longer. Without per-JVM
+    // shares two executor JVMs would EACH run a full-rate bucket and
+    // finish in roughly half the bound — which is what this guards.
+    val payloads = (1 to 512).map(i => ("y" * 28) + f"$i%04x")
+    val t0 = System.nanoTime()
+    payloads.toDF("payload").repartition(2).write.format("journal")
+      .option("root", root).option("journal", "agg/slow")
+      .option("codec", "none").option("maxAppendRate", "4096")
+      .mode("append").save()
+    val sec = (System.nanoTime() - t0) * 1e-9
+    assert(Journal.read(spark, root, "agg/slow").count() == 512L)
+    assert(sec > 2.6,
+      s"aggregate ceiling exceeded: 16.9 KB at 4 KB/s took only ${sec}s")
+    AppendFlowControl.reset()
+  }
+
   test("multi-root listing unions stores into one contiguous stream") {
     import spark.implicits._
     val rootA = Files.createTempDirectory("graft-mr-a").toString
