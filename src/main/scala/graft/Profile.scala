@@ -201,20 +201,27 @@ object Profile {
       // number excludes query startup/teardown — the marginal
       // steady-state batch cost a long-running deployment pays.
       def drainTo(logOffset: Long, ckptPath: String, outPath: String,
-          srcGlob: String, maxFilesPerTrigger: Option[Int]): (Double, Double) = {
+          srcGlob: String, maxFilesPerTrigger: Option[Int],
+          transform: org.apache.spark.sql.Dataset[SeqEnvelope] =>
+            org.apache.spark.sql.DataFrame = Sequencer.sequenceStream(_).toDF())
+          : (Double, Double) = {
         val rd = spark.readStream.schema(schema)
         val src = maxFilesPerTrigger
           .fold(rd)(n => rd.option("maxFilesPerTrigger", n))
           .parquet(srcGlob).as[SeqEnvelope]
         val t0 = System.nanoTime()
-        val q = Sequencer.sequenceStream(src).writeStream
+        val q = transform(src).writeStream
           .format("parquet").option("path", outPath)
           .option("checkpointLocation", ckptPath)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        val want = "\"logOffset\":" + logOffset
+        // Parse the offset NUMBER out of the endOffset JSON and compare
+        // >= : a raw substring match on "logOffset":3 also fires on 30,
+        // 31, ... once block counts pass 10× today's 4-5 files.
+        val offsetRe = "\"logOffset\"\\s*:\\s*(\\d+)".r
         val deadline = System.nanoTime() + 600L * 1000 * 1000 * 1000
         def done = q.recentProgress.exists(_.sources.exists(s =>
-          Option(s.endOffset).exists(_.contains(want))))
+          Option(s.endOffset).exists(eo =>
+            offsetRe.findFirstMatchIn(eo).exists(_.group(1).toLong >= logOffset))))
         while (q.isActive && !done && System.nanoTime() < deadline)
           Thread.sleep(100)
         val dt = (System.nanoTime() - t0) / 1e9
@@ -266,6 +273,109 @@ object Profile {
             f"store): ${nStream / dtR4 / 1e6}%.2f M msgs/s wall, " +
             f"$procR4%.2f s exec")
         } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+      }
+      // ---- Floor decomposition + the async knobs (round 9, VERDICT
+      // r8 #2). SURVEY §4 maps the reference's pipelined consumer txns
+      // (consumer/transaction.go:384-434 — batch N+1 overlaps N's
+      // commit) to Spark's async progress tracking + async state
+      // checkpointing. Measured here, from the bottom:
+      //
+      // (1) STATELESS 4-batch drain — identity projection, same source
+      // files, same parquet sink, NO state store: the micro-batch
+      // orchestration floor alone (planning + offset WAL + sink
+      // commit). The gap to the stateful 4-batch number is what the
+      // state store adds per batch.
+      locally {
+        val (dt0, proc0) = drainTo(3, s"$base/ckpt3", s"$base/out3",
+          s"$inDir/b*", maxFilesPerTrigger = Some(1), transform = _.toDF())
+        println(f"[profile] micro-batch floor (4 batches, STATELESS " +
+          f"identity): $dt0%.2f s wall, $proc0%.2f s exec " +
+          f"(${dt0 / 4}%.2f s/batch orchestration-only)")
+      }
+      // (2) RocksDB + CHANGELOG CHECKPOINTING — the OSS async-state-
+      // commit analog: each batch uploads a changelog instead of a
+      // full snapshot, moving snapshot work off the commit path.
+      locally {
+        val pk = "spark.sql.streaming.stateStore.providerClass"
+        val ck = "spark.sql.streaming.stateStore.rocksdb." +
+          "changelogCheckpointing.enabled"
+        val prevP = spark.conf.getOption(pk)
+        val prevC = spark.conf.getOption(ck)
+        spark.conf.set(pk, "org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider")
+        spark.conf.set(ck, "true")
+        try {
+          val (dtC, procC) = drainTo(3, s"$base/ckpt4", s"$base/out4",
+            s"$inDir/b*", maxFilesPerTrigger = Some(1))
+          println(f"[profile] sequencer micro-batch (4 batches, RocksDB " +
+            f"+ changelog checkpointing): ${nStream / dtC / 1e6}%.2f M " +
+            f"msgs/s wall, $dtC%.2f s wall / $procC%.2f s exec")
+        } finally {
+          prevP.fold(spark.conf.unset(pk))(spark.conf.set(pk, _))
+          prevC.fold(spark.conf.unset(ck))(spark.conf.set(ck, _))
+        }
+      }
+      // (3) ASYNC PROGRESS TRACKING — SURVEY §4's candidate for the
+      // reference's pipelined commits (offset/commit WAL written
+      // asynchronously, off the batch critical path). Spark's own
+      // validation refuses stateful queries in some paths
+      // (AsyncProgressTrackingMicroBatchExecution
+      // .checkNotStatefulStreamingQuery), so this is an EMPIRICAL
+      // attempt: a full 4-batch drain with the options on. Either
+      // outcome is the measurement — a floor number if it runs, the
+      // refusal message if Spark throws (possibly only once the
+      // stream thread analyzes the plan, hence the full drain rather
+      // than a start/stop probe).
+      locally {
+        val rd = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$inDir/b*")
+          .as[SeqEnvelope]
+        val outcome =
+          try {
+            val t0 = System.nanoTime()
+            val q = Sequencer.sequenceStream(rd).writeStream
+              .format("parquet").option("path", s"$base/out5")
+              .option("checkpointLocation", s"$base/ckpt5")
+              .option("asyncProgressTrackingEnabled", "true")
+              .option("asyncProgressTrackingCheckpointIntervalMs", "0")
+              // Skip the sink allowlist (parquet isn't listed) so the
+              // attempt reaches the stateful-query check / execution.
+              .option("_asyncProgressTrackingOverrideSinkSupportCheck", "true")
+              .outputMode("append")
+              .trigger(Trigger.ProcessingTime(0L)).start()
+            val offsetRe = "\"logOffset\"\\s*:\\s*(\\d+)".r
+            val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+            def done = q.recentProgress.exists(_.sources.exists(s =>
+              Option(s.endOffset).exists(eo => offsetRe.findFirstMatchIn(eo)
+                .exists(_.group(1).toLong >= 3))))
+            while (q.isActive && !done && System.nanoTime() < deadline)
+              Thread.sleep(100)
+            val dt = (System.nanoTime() - t0) / 1e9
+            val failed = q.exception
+            q.stop()
+            failed match {
+              case Some(e) => s"FAILED mid-stream: ${e.getMessage.take(160)}"
+              case None if done =>
+                f"RAN: 4 batches in $dt%.2f s wall (${dt / 4}%.2f s/batch " +
+                  f"vs the sync floor above) — verify output parity " +
+                  f"before trusting exactly-once"
+              case None => s"timed out (isActive=${q.isActive})"
+            }
+          } catch { case e: Exception =>
+            s"REFUSED at start: ${e.getMessage.take(160)}" }
+        println(s"[profile] async progress tracking on the stateful " +
+          s"sequencer: $outcome")
+        // Exactly-once audit for the async run: every envelope landed
+        // at most once? (Async WAL relaxes the offset/commit ordering;
+        // a replay after the measured window would show as dupes.)
+        try {
+          val landed = spark.read.parquet(s"$base/out5")
+          val n = landed.count()
+          val dupes = landed.groupBy("journal", "producer", "clock")
+            .count().filter(col("count") > 1).count()
+          println(s"[profile] async drain audit: $n rows landed, " +
+            s"$dupes duplicate (journal,producer,clock) keys")
+        } catch { case _: Exception => () }
       }
     }
     // Ingest-guard throughput (round 8): the per-message Validator
