@@ -92,9 +92,21 @@ object Contamination {
     * sketch. Deterministic — `n_eval_hits` equals the distinct shared
     * shingle count the exact batch scan ([[ngramOverlap]]) reports, and
     * `contaminated` equals its tag set restricted to training docs — so
-    * this form IS oracle-gateable (q166) where the Bloom form's
-    * one-sided error is not. Same stateless-projection shape: works on
-    * batch and streaming frames, no shuffle, corpus scanned once.
+    * this form IS oracle-gateable (q166, and q167 end-to-end through
+    * the streaming quarantine/train journal route) where the Bloom
+    * form's one-sided error is not. Same stateless-projection shape:
+    * works on batch and streaming frames, no shuffle, corpus scanned
+    * once.
+    *
+    * Deliberately a UDF, not a codegen'd Expression (round-9 decision,
+    * measured): the kernel is tokenize+shingle-dominated — the exact
+    * sorted-array probe and the Bloom probe land within 20% of each
+    * other end-to-end (33 K vs 28 K docs/s, PERF.md round-8 guard
+    * addendum), so a codegen'd binary search could reclaim at most a
+    * slice of that 20%, while the tokenizer itself is intrinsically
+    * procedural and SHARED with the batch path (Dedup.shingleHashes —
+    * splitting the kernel across an Expression boundary would let the
+    * two paths drift, the exact bug class q166/q167 exist to prevent).
     */
   def ingestGuardExact(docs: DataFrame, evalShingles: Array[Long],
       n: Int, textCol: String = "text"): DataFrame = {
