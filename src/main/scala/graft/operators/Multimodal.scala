@@ -51,9 +51,13 @@ object Multimodal {
       (length(col(textCol)) % 640).cast("int").as("width"),
       (length(col(textCol)) % 480).cast("int").as("height"))
 
-  /** STUB decoder: a real deployment replaces this with an image/audio
-    * codec invocation (??? in spirit). Deterministic: features are pure
-    * byte statistics so tests and the DuckDB oracle can mirror them.
+  /** STUB decoder: a real deployment replaces this with a codec
+    * invocation (??? in spirit). Deterministic: features are pure byte
+    * statistics so tests and the DuckDB oracle can mirror them. Real
+    * executor-local decode paths exist for the formats the JDK ships
+    * codecs for — [[decodeImages]]/[[resizeImages]] (PNG/JPEG/GIF/BMP)
+    * and [[decodeAudioFeatures]] (WAV/AIFF/AU PCM); compressed audio
+    * (MP3/AAC) and all video decode remain stubbed behind this shape.
     */
   private def decodeStub(media: Array[Byte]): (Long, Long, Long) = {
     var sum = 0L
@@ -280,6 +284,104 @@ object Multimodal {
       .filter(col("r").isNotNull)
       .select(col("doc_id"), col("r._1").as("target_w"),
         col("r._2").as("target_h"), col("r._3").as("rgb"))
+  }
+
+  /** Executor-local audio decode via `javax.sound.sampled` — the JDK
+    * ships WAV/AIFF/AU readers (PCM; no MP3/AAC, which need codec
+    * libraries and stay stubbed). Returns null on undecodable bytes,
+    * mirroring [[decodeImage]]'s quarantine rule.
+    */
+  private def decodeAudio(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream =
+    if (bytes == null) null
+    else try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      // Normalize to 16-bit signed PCM at the source rate so feature
+      // extraction reads ONE sample layout regardless of the file's
+      // (8-bit unsigned WAV, big-endian AIFF, ...).
+      val f = in.getFormat
+      val target = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        f.getSampleRate, 16, f.getChannels, 2 * f.getChannels,
+        f.getSampleRate, false)
+      javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+    } catch { case scala.util.control.NonFatal(_) => null }
+
+  /** OPTIONAL executor-local full audio decode (the audio sibling of
+    * [[decodeImages]], closing the round-8 "audio stays stubbed" gap
+    * for the formats the JDK can actually read): per blob, container
+    * header fields AND signal statistics computed from the decoded PCM
+    * samples — sample rate, channels, frame count, duration, RMS and
+    * peak of the mono mix (normalized to [-1,1]), and zero-crossing
+    * count (the classic cheap voicing/noise discriminator). Compressed
+    * formats without a JDK codec (MP3/AAC/Opus) and all VIDEO decode
+    * remain documented stubs — [[sampleFrames]] supplies the layout
+    * with synthetic frames; a deployment plugs a codec UDF with this
+    * exact signature.
+    *
+    * Pure projection: one UDF map, no shuffle; undecodable/null blobs
+    * keep NULL features (quarantine rule). Spec-gated on real
+    * in-test-synthesized WAV bytes (sine at known amplitude/frequency:
+    * RMS ≈ A/√2, ZCR ≈ 2·f·dur); the oracle gate keeps the
+    * byte-statistics path ([[extractFeatures]]) DuckDB can mirror.
+    */
+  def decodeAudioFeatures(media: DataFrame, blobCol: String = "media"): DataFrame = {
+    val dec = udf { bytes: Array[Byte] =>
+      val in = decodeAudio(bytes)
+      if (in == null) None
+      else try {
+        val f = in.getFormat
+        val ch = f.getChannels
+        val bytesPerFrame = 2 * ch
+        val buf = new Array[Byte](bytesPerFrame * 4096)
+        var frames = 0L
+        var sumSq = 0.0
+        var peak = 0.0
+        var zc = 0L
+        var prevSign = 0
+        // AudioInputStream.read returns an integral number of FRAMES
+        // by contract — no partial-frame carry needed across reads.
+        var n = in.read(buf)
+        while (n > 0) {
+          var off = 0
+          while (off + bytesPerFrame <= n) {
+            // Mono mix: average channels (16-bit little-endian signed).
+            var acc = 0.0
+            var c = 0
+            while (c < ch) {
+              val lo = buf(off + 2 * c) & 0xff
+              val hi = buf(off + 2 * c + 1)
+              acc += ((hi << 8) | lo).toShort.toDouble
+              c += 1
+            }
+            val s = acc / ch / 32768.0
+            sumSq += s * s
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            val sign = if (s > 0) 1 else if (s < 0) -1 else prevSign
+            if (sign != 0 && prevSign != 0 && sign != prevSign) zc += 1
+            if (sign != 0) prevSign = sign
+            frames += 1
+            off += bytesPerFrame
+          }
+          n = in.read(buf)
+        }
+        if (frames == 0L) None
+        else Some((f.getSampleRate.toInt, ch, frames,
+          frames * 1000L / f.getSampleRate.toLong,
+          math.sqrt(sumSq / frames), peak, zc))
+      } catch { case scala.util.control.NonFatal(_) => None }
+      finally in.close()
+    }
+    media.withColumn("_au", dec(col(blobCol)))
+      .withColumn("sample_rate", col("_au._1"))
+      .withColumn("channels", col("_au._2"))
+      .withColumn("n_audio_frames", col("_au._3"))
+      .withColumn("duration_ms", col("_au._4"))
+      .withColumn("rms", col("_au._5"))
+      .withColumn("peak", col("_au._6"))
+      .withColumn("zero_crossings", col("_au._7"))
+      .drop("_au")
   }
 
   /** Frame sampling: slice the blob into fixed-size frames and keep every

@@ -178,4 +178,56 @@ class ImageHeaderSpec extends SparkSpec {
     assert(rgb.grouped(3).forall(p =>
       p(0) == 0 && p(1) == 0 && (p(2) & 0xff) == 255))
   }
+
+  /** Real WAV bytes synthesized in-test: `seconds` of a sine at `freq`
+    * Hz, amplitude `amp` (of full scale), 16-bit mono PCM at `rate`.
+    */
+  private def wav(freq: Double, seconds: Double, amp: Double,
+      rate: Int = 8000): Array[Byte] = {
+    val n = (rate * seconds).toInt
+    val pcm = new Array[Byte](2 * n)
+    (0 until n).foreach { i =>
+      val s = (amp * 32767.0 *
+        math.sin(2 * math.Pi * freq * i / rate)).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("decodeAudioFeatures: real WAV decode matches known signal math") {
+    import spark.implicits._
+    val blobs = Seq(
+      (1L, wav(freq = 440, seconds = 0.5, amp = 0.5)),
+      (2L, wav(freq = 100, seconds = 1.0, amp = 0.9)),
+      (3L, "not audio".getBytes), (4L, null: Array[Byte]))
+    val rows = Multimodal.decodeAudioFeatures(blobs.toDF("doc_id", "media"))
+      .select($"doc_id", $"sample_rate", $"channels", $"n_audio_frames",
+        $"duration_ms", $"rms", $"peak", $"zero_crossings")
+      .as[(Long, Option[Int], Option[Int], Option[Long], Option[Long],
+        Option[Double], Option[Double], Option[Long])]
+      .collect().sortBy(_._1)
+
+    // Undecodable and null blobs quarantine with NULL features.
+    assert(rows(2)._2.isEmpty && rows(3)._2.isEmpty)
+
+    val a = rows(0)
+    assert(a._2.contains(8000) && a._3.contains(1))
+    assert(a._4.contains(4000L) && a._5.contains(500L))
+    // Sine RMS = A/√2; peak = A (within quantization).
+    assert(math.abs(a._6.get - 0.5 / math.sqrt(2)) < 0.01, s"rms ${a._6}")
+    assert(math.abs(a._7.get - 0.5) < 0.01, s"peak ${a._7}")
+    // A sine crosses zero 2·freq·seconds times.
+    assert(math.abs(a._8.get - 440L) <= 2L, s"zc ${a._8}")
+
+    val b = rows(1)
+    assert(b._4.contains(8000L) && b._8.exists(z => math.abs(z - 200L) <= 2L))
+    assert(math.abs(b._6.get - 0.9 / math.sqrt(2)) < 0.01)
+  }
 }
