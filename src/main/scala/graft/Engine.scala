@@ -55,7 +55,7 @@ object Engine {
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         cores.toString)
       .config("spark.ui.enabled", "false")
-    if (master.startsWith("local-cluster")) b = forkedExecutors(b)
+    if (master.startsWith("local-cluster")) b = forkedExecutors(b, master)
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -81,14 +81,25 @@ object Engine {
     * classes (and test classes, when a spec runs under local-cluster)
     * ride `spark.executor.extraClassPath` from `java.class.path`
     * (accurate because sbt forks test/run JVMs). Module opens must be
-    * repeated for the executor JVM; memory defaults to 3g per executor
-    * inside the worker's grant (`GRAFT_EXECUTOR_MEM` overrides).
+    * repeated for the executor JVM. Executor memory defaults to the
+    * worker grant parsed from the master string itself (one executor
+    * per worker, consuming the full grant) — a fixed default larger
+    * than the grant would mean NO executor is ever allocated and every
+    * job hangs on "Initial job has not accepted any resources".
+    * `GRAFT_EXECUTOR_MEM` overrides.
     */
-  private[graft] def forkedExecutors(b: SparkSession.Builder): SparkSession.Builder =
+  private[graft] def forkedExecutors(b: SparkSession.Builder,
+      master: String): SparkSession.Builder = {
+    val workerMemMb =
+      "local-cluster\\[\\s*\\d+\\s*,\\s*\\d+\\s*,\\s*(\\d+)\\s*\\]".r
+        .findFirstMatchIn(master).map(_.group(1).toInt)
+        .getOrElse(throw new IllegalArgumentException(
+          s"cannot parse worker memory from master `$master`"))
     b.config("spark.executor.extraClassPath", sys.props("java.class.path"))
       // NB: -Dspark.* flags are rejected here by config validation —
       // Spark options travel via the SparkConf itself.
       .config("spark.executor.extraJavaOptions", jdk17AddOpens.mkString(" "))
       .config("spark.executor.memory",
-        sys.env.getOrElse("GRAFT_EXECUTOR_MEM", "3g"))
+        sys.env.getOrElse("GRAFT_EXECUTOR_MEM", s"${workerMemMb}m"))
+  }
 }

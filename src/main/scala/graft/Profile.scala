@@ -64,11 +64,19 @@ object Profile {
     if (want("lsh")) {
     // Fixed vs corpus-sized LSH parameterization (the q37 scale knob),
     // at the gate's low threshold and at a realistic near-dup one.
+    // lshNearDupPairs returns a persisted frame under the
+    // caller-unpersists contract (round 9) — release per measurement.
     for (thr <- Seq(0.4, 0.85)) {
-      t(s"lshNearDup fixed planes=4 thr=$thr")(graft.operators.Similarity
-        .lshNearDupPairs(Tables.embeddings(spark, sfDir), thr).count())
-      t(s"lshNearDup auto planes thr=$thr")(graft.operators.Similarity
-        .lshNearDupPairsAuto(Tables.embeddings(spark, sfDir), thr).count())
+      t(s"lshNearDup fixed planes=4 thr=$thr") {
+        val p = graft.operators.Similarity
+          .lshNearDupPairs(Tables.embeddings(spark, sfDir), thr)
+        try p.count() finally p.unpersist()
+      }
+      t(s"lshNearDup auto planes thr=$thr") {
+        val p = graft.operators.Similarity
+          .lshNearDupPairsAuto(Tables.embeddings(spark, sfDir), thr)
+        try p.count() finally p.unpersist()
+      }
     }
     // Fixed vs corpus-sized k / nlist (semantic dedup + IVF knobs).
     // Both semanticDup forms hand back (or consume) frames persisted
@@ -124,9 +132,11 @@ object Profile {
             .join(exact, Seq("va", "vb"), "inner").count()
           if (nExact == 0) 1.0 else hit.toDouble / nExact
         }
-        val rFixed = recallOf(graft.operators.Similarity
+        def recallReleased(df: org.apache.spark.sql.DataFrame): Double =
+          try recallOf(df) finally df.unpersist()
+        val rFixed = recallReleased(graft.operators.Similarity
           .lshNearDupPairs(emb, thr))
-        val rAuto = recallOf(graft.operators.Similarity
+        val rAuto = recallReleased(graft.operators.Similarity
           .lshNearDupPairsAuto(emb, thr))
         println(f"[profile] lsh recall thr=$thr exact=$nExact fixed=$rFixed%.3f auto=$rAuto%.3f")
         exact.unpersist()
@@ -200,6 +210,22 @@ object Profile {
       // per-batch processing seconds of the data batches). The second
       // number excludes query startup/teardown — the marginal
       // steady-state batch cost a long-running deployment pays.
+      // Parse the offset NUMBER out of the endOffset JSON and compare
+      // >= : a raw substring match on "logOffset":3 also fires on 30,
+      // 31, ... once block counts pass 10× today's 4-5 files. ONE
+      // definition for every drain in this section (drainTo and the
+      // async-progress probe poll identically by construction).
+      val offsetRe = "\"logOffset\"\\s*:\\s*(\\d+)".r
+      def pollToOffset(q: org.apache.spark.sql.streaming.StreamingQuery,
+          logOffset: Long, timeoutSec: Long): Boolean = {
+        def done = q.recentProgress.exists(_.sources.exists(s =>
+          Option(s.endOffset).exists(eo =>
+            offsetRe.findFirstMatchIn(eo).exists(_.group(1).toLong >= logOffset))))
+        val deadline = System.nanoTime() + timeoutSec * 1000L * 1000 * 1000
+        while (q.isActive && !done && System.nanoTime() < deadline)
+          Thread.sleep(100)
+        done
+      }
       def drainTo(logOffset: Long, ckptPath: String, outPath: String,
           srcGlob: String, maxFilesPerTrigger: Option[Int],
           transform: org.apache.spark.sql.Dataset[SeqEnvelope] =>
@@ -214,16 +240,7 @@ object Profile {
           .format("parquet").option("path", outPath)
           .option("checkpointLocation", ckptPath)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        // Parse the offset NUMBER out of the endOffset JSON and compare
-        // >= : a raw substring match on "logOffset":3 also fires on 30,
-        // 31, ... once block counts pass 10× today's 4-5 files.
-        val offsetRe = "\"logOffset\"\\s*:\\s*(\\d+)".r
-        val deadline = System.nanoTime() + 600L * 1000 * 1000 * 1000
-        def done = q.recentProgress.exists(_.sources.exists(s =>
-          Option(s.endOffset).exists(eo =>
-            offsetRe.findFirstMatchIn(eo).exists(_.group(1).toLong >= logOffset))))
-        while (q.isActive && !done && System.nanoTime() < deadline)
-          Thread.sleep(100)
+        val done = pollToOffset(q, logOffset, timeoutSec = 600L)
         val dt = (System.nanoTime() - t0) / 1e9
         val proc = q.recentProgress.filter(_.numInputRows > 0)
           .map(_.durationMs.getOrDefault("triggerExecution", 0L).longValue).sum / 1e3
@@ -343,13 +360,7 @@ object Profile {
               .option("_asyncProgressTrackingOverrideSinkSupportCheck", "true")
               .outputMode("append")
               .trigger(Trigger.ProcessingTime(0L)).start()
-            val offsetRe = "\"logOffset\"\\s*:\\s*(\\d+)".r
-            val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-            def done = q.recentProgress.exists(_.sources.exists(s =>
-              Option(s.endOffset).exists(eo => offsetRe.findFirstMatchIn(eo)
-                .exists(_.group(1).toLong >= 3))))
-            while (q.isActive && !done && System.nanoTime() < deadline)
-              Thread.sleep(100)
+            val done = pollToOffset(q, 3, timeoutSec = 120L)
             val dt = (System.nanoTime() - t0) / 1e9
             val failed = q.exception
             q.stop()

@@ -381,7 +381,10 @@ object Similarity {
     // return would pin eCached + bucketed for the session lifetime —
     // unpersist on a derived frame is a sameResult no-op, so only this
     // function can release them. The RETURNED frame is cached; callers
-    // done with it unpersist().
+    // done with it unpersist() — the gate/bench/verify harnesses all
+    // clearCache() between queries (their standing per-query hygiene),
+    // so repeated gate runs do not accumulate pair frames; only a
+    // long-lived interactive session that ignores the contract would.
     val out = cand
       .join(e.select(col("vec_id").as("va"), col("embedding").as("ea")), "va")
       .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb")), "vb")

@@ -15,6 +15,31 @@ import graft.operators.{Chunking, Contamination, Curation, Dedup, InvertedIndex,
   */
 object CorpusOps {
 
+  /** ONE oracle for both ingest-guard gates: q166 (batch projection)
+    * and q167 (streaming route through the quarantine/train journals,
+    * StreamOps) share this WITH-block verbatim — a single definition so
+    * a change to the shingle rule cannot drift the two gates apart
+    * (exactly the cross-path drift the guard queries exist to catch).
+    */
+  private[queries] val ingestGuardOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 3),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+      |         || ' ' || w[i+4])) AS s
+      |  FROM toks WHERE len(w) >= 5),
+      |ev AS (SELECT DISTINCT unnest(s) AS shingle FROM sh
+      |       WHERE doc_id % 17 = 0),
+      |hits AS (
+      |  SELECT x.doc_id, CAST(count(*) AS BIGINT) AS n
+      |  FROM (SELECT doc_id, unnest(s) AS shingle FROM sh) x
+      |  JOIN ev USING (shingle) GROUP BY x.doc_id)
+      |SELECT d.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_eval_hits,
+      |  coalesce(h.n, 0) > 0 AS contaminated
+      |FROM documents d LEFT JOIN hits h USING (doc_id)""".stripMargin
+
   /** Order-independent exact sum of a double column — THE shared
     * definition ([[Relational.dsum]]), aliased so call sites stay
     * short; a second copy here previously risked the two drifting on
@@ -637,24 +662,7 @@ object CorpusOps {
         |    ORDER BY score_num DESC, doc_id ASC) AS rk FROM sc) t
         |WHERE rk <= 10""".stripMargin,
 
-    "q166_ingest_guard_exact" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 3),
-        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
-        |         || ' ' || w[i+4])) AS s
-        |  FROM toks WHERE len(w) >= 5),
-        |ev AS (SELECT DISTINCT unnest(s) AS shingle FROM sh
-        |       WHERE doc_id % 17 = 0),
-        |hits AS (
-        |  SELECT x.doc_id, CAST(count(*) AS BIGINT) AS n
-        |  FROM (SELECT doc_id, unnest(s) AS shingle FROM sh) x
-        |  JOIN ev USING (shingle) GROUP BY x.doc_id)
-        |SELECT d.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_eval_hits,
-        |  coalesce(h.n, 0) > 0 AS contaminated
-        |FROM documents d LEFT JOIN hits h USING (doc_id)""".stripMargin,
+    "q166_ingest_guard_exact" -> ingestGuardOracleSql,
 
     // Fixed-width lowercase hex: lexicographic prefix order ==
     // the Spark side's numeric-prefix order; doc_id breaks ties.

@@ -171,27 +171,10 @@ object StreamOps {
 
     // Identical semantics to q166 (the guard is exact and routing is
     // content-determined), but the Spark side travels stream → guard →
-    // quarantine/train journals → read-back; equality against the same
-    // oracle proves the write-path composition loses and duplicates
-    // nothing.
-    "q167_ingest_guard_streaming" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 3),
-        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
-        |         || ' ' || w[i+4])) AS s
-        |  FROM toks WHERE len(w) >= 5),
-        |ev AS (SELECT DISTINCT unnest(s) AS shingle FROM sh
-        |       WHERE doc_id % 17 = 0),
-        |hits AS (
-        |  SELECT x.doc_id, CAST(count(*) AS BIGINT) AS n
-        |  FROM (SELECT doc_id, unnest(s) AS shingle FROM sh) x
-        |  JOIN ev USING (shingle) GROUP BY x.doc_id)
-        |SELECT d.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_eval_hits,
-        |  coalesce(h.n, 0) > 0 AS contaminated
-        |FROM documents d LEFT JOIN hits h USING (doc_id)""".stripMargin,
+    // quarantine/train journals → read-back; equality against the SAME
+    // oracle definition (one shared val — the two gates cannot drift)
+    // proves the write-path composition loses and duplicates nothing.
+    "q167_ingest_guard_streaming" -> CorpusOps.ingestGuardOracleSql,
 
     // Same committed-set semantics as q30, but exercised through the
     // journal + DSv2 + UUID + sequencer pipeline.

@@ -103,11 +103,31 @@ object AppendFlowControl {
   def perJvmShare(sc: org.apache.spark.SparkContext,
       bytesPerSec: Long): Long =
     if (bytesPerSec <= 0L) bytesPerSec
+    else math.max(1L, bytesPerSec / executorJvms(sc))
+
+  /** Executor-JVM count for the share computation. Static masters are
+    * PARSED, not observed: executors register asynchronously, so a
+    * write planned in the first seconds of a session would otherwise
+    * see an empty registry, compute share = full rate, and ship every
+    * late-registering executor a full-rate bucket — exceeding the
+    * ceiling by the executor count exactly when the suite's first
+    * journal write races session startup. Dynamic masters fall back to
+    * max(registered now, spark.executor.instances) — the documented
+    * planning-time semantics.
+    */
+  private[graft] def executorJvms(sc: org.apache.spark.SparkContext): Int = {
+    val m = sc.master
+    if (m.startsWith("local-cluster"))
+      "local-cluster\\[\\s*(\\d+)".r.findFirstMatchIn(m)
+        .map(_.group(1).toInt).filter(_ > 0).getOrElse(1)
+    else if (m.startsWith("local")) 1
     else {
-      // getExecutorInfos includes the driver entry; in local[*] the
-      // driver IS the executor, so executor JVMs = max(1, n - 1).
-      val execJvms =
-        math.max(1, sc.statusTracker.getExecutorInfos.length - 1)
-      math.max(1L, bytesPerSec / execJvms)
+      // getExecutorInfos includes the driver entry; registered
+      // executor JVMs = n - 1.
+      val registered = sc.statusTracker.getExecutorInfos.length - 1
+      val configured = sc.getConf
+        .getOption("spark.executor.instances").map(_.toInt).getOrElse(0)
+      math.max(1, math.max(registered, configured))
     }
+  }
 }

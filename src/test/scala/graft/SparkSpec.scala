@@ -25,7 +25,7 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    if (master.startsWith("local-cluster")) b = Engine.forkedExecutors(b)
+    if (master.startsWith("local-cluster")) b = Engine.forkedExecutors(b, master)
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

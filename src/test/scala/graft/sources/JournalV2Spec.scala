@@ -193,8 +193,14 @@ class JournalV2Spec extends SparkSpec {
     import spark.implicits._
     import graft.sources.v2.AppendFlowControl
     // The driver ships each executor JVM its share of the ceiling.
+    // Static masters are PARSED (registration-race-proof), so the
+    // expectation comes from the master string, not the live registry.
     val sc = spark.sparkContext
-    val execs = math.max(1, sc.statusTracker.getExecutorInfos.length - 1)
+    val execs =
+      if (sc.master.startsWith("local-cluster"))
+        "local-cluster\\[\\s*(\\d+)".r.findFirstMatchIn(sc.master)
+          .map(_.group(1).toInt).getOrElse(1)
+      else 1
     assert(AppendFlowControl.perJvmShare(sc, 8192L) ==
       math.max(1L, 8192L / execs))
     assert(AppendFlowControl.perJvmShare(sc, 0L) == 0L)
