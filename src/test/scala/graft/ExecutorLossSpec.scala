@@ -70,6 +70,50 @@ class ExecutorLossSpec extends SparkSpec {
       "cluster did not recover an executor slot")
   }
 
+  test("streaming exactly-once survives an executor kill mid-drain (journal sink)") {
+    assume(isCluster, "needs real executor processes (GRAFT_TEST_MASTER=local-cluster[...])")
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.Journal
+
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-execloss-stream").toString
+    // 8 one-file micro-batches of 2000 rows each; a per-row sleep makes
+    // every batch long enough that the kill lands INSIDE one.
+    (0 until 8).foreach { b =>
+      spark.range(b * 2000L, (b + 1) * 2000L).toDF("id")
+        .coalesce(1).write.parquet(s"$root/in/b$b")
+    }
+    val slow = udf { id: Long => Thread.sleep(1); id }
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL("id BIGINT"))
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/in/*")
+    val q = src.select(slow($"id").as("id"))
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        Journal.batchSink(root, "loss/docs", codec = "none")(
+          df.select($"id".cast("string").as("payload")), batchId)
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+
+    // Kill one executor while batches are in flight.
+    Thread.sleep(4000)
+    executorPids().headOption.foreach(pid =>
+      ProcessHandle.of(pid).ifPresent(_.destroyForcibly()))
+    assert(q.awaitTermination(300000), "drain did not finish after kill")
+
+    // Exactly-once across the kill: every id landed, none twice — the
+    // journal batch sink's committed-marker idempotence plus Spark's
+    // task retry compose to at-most-once per batch, offset log to
+    // at-least-once; together exactly-once.
+    val landed = Journal.read(spark, root, "loss/docs").toDF()
+      .select($"payload".cast("long").as("id")).as[Long].collect().sorted
+    assert(landed.length == 16000, s"row count after kill: ${landed.length}")
+    assert(landed.toSeq == (0L until 16000L),
+      "ids lost or duplicated across the executor kill")
+  }
+
   test("cached blocks lost with an executor recompute from lineage") {
     assume(isCluster, "needs real executor processes (GRAFT_TEST_MASTER=local-cluster[...])")
     import spark.implicits._
