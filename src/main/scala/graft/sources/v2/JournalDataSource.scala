@@ -34,6 +34,10 @@ import graft.sources.Journal.{Fragment, HadoopConf}
   *  - `journal`: journal name.
   *  - `codec` (write): fragment codec, default `gz`.
   *  - `maxBytesPerTrigger` (streaming read): admission control.
+  *    Evaluated in `latestOffset` on the DRIVER — one decision point
+  *    regardless of executor count, so unlike the write-side rate
+  *    limiter (which needs per-JVM shares, see AppendFlowControl) the
+  *    read cap is globally exact on any cluster size by construction.
   *  - `listRefresh` (streaming read): `full` (default — re-list every
   *    trigger, zero staleness) or `incremental` — keep the fragment
   *    index across triggers and list only fragments modified since the
