@@ -16,24 +16,30 @@ class ExecutorLossSpec extends SparkSpec {
 
   private def isCluster = spark.sparkContext.master.startsWith("local-cluster")
 
-  /** PIDs of live CoarseGrainedExecutorBackend JVMs (executor
-    * processes forked by the in-process workers — same machine by
-    * construction under local-cluster). Read from /proc directly:
-    * ProcessHandle.info().commandLine() came back empty for these
-    * JVMs on this platform (observed), /proc/<pid>/cmdline does not.
+  /** PIDs of THIS app's live CoarseGrainedExecutorBackend JVMs
+    * (executor processes forked by the in-process workers — same
+    * machine by construction under local-cluster). Read from /proc
+    * directly: ProcessHandle.info().commandLine() came back empty for
+    * these JVMs on this platform (observed), /proc/<pid>/cmdline does
+    * not. Scoped by the backend's `--app-id` argv so a concurrent
+    * Spark job's executors are never counted — or killed.
     */
-  private def executorPids(): Seq[Long] =
+  private def executorPids(): Seq[Long] = {
+    val appId = spark.sparkContext.applicationId
     Option(new java.io.File("/proc").listFiles()).getOrElse(Array.empty)
       .toSeq
       .filter(_.getName.forall(_.isDigit))
       .filter { f =>
-        try new String(java.nio.file.Files.readAllBytes(
-            java.nio.file.Paths.get(s"/proc/${f.getName}/cmdline")),
-          java.nio.charset.StandardCharsets.UTF_8)
-          .contains("CoarseGrainedExecutorBackend")
-        catch { case _: Exception => false }
+        try {
+          val cmd = new String(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(s"/proc/${f.getName}/cmdline")),
+            java.nio.charset.StandardCharsets.UTF_8)
+          cmd.contains("CoarseGrainedExecutorBackend") &&
+            cmd.contains(appId)
+        } catch { case _: Exception => false }
       }
       .map(_.getName.toLong)
+  }
 
   test("a kill -9'd executor mid-job loses no rows: tasks reschedule, the result is exact") {
     assume(isCluster, "needs real executor processes (GRAFT_TEST_MASTER=local-cluster[...])")
@@ -66,8 +72,11 @@ class ExecutorLossSpec extends SparkSpec {
     val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
     while (executorPids().size < pidsBefore.size &&
         System.nanoTime() < deadline) Thread.sleep(500)
-    assert(executorPids().size >= pidsBefore.size - 1,
-      "cluster did not recover an executor slot")
+    // Full strength, not size-1: one executor survives the kill by
+    // construction, so a weaker assert could never detect a worker
+    // that fails to relaunch the slot.
+    assert(executorPids().size >= pidsBefore.size,
+      "cluster did not recover the killed executor slot")
   }
 
   test("streaming exactly-once survives an executor kill mid-drain (journal sink)") {

@@ -21,15 +21,26 @@ import graft.SparkSpec
 class CrossProcessFenceSpec extends SparkSpec {
 
   private def runProbe(root: String, journal: String, id: Long): String = {
-    val java = s"${sys.props("java.home")}/bin/java"
-    val cmd = (Seq(java) ++ graft.Engine.jdk17AddOpens ++ Seq(
+    val javaBin = s"${sys.props("java.home")}/bin/java"
+    val cmd = (Seq(javaBin) ++ graft.Engine.jdk17AddOpens ++ Seq(
       "-Xmx2g", "-Dspark.ui.enabled=false",
       "-cp", sys.props("java.class.path"),
       "graft.sources.FenceProbe", root, journal, id.toString))
     val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
-    val out = scala.io.Source.fromInputStream(p.getInputStream).mkString
-    val rc = p.waitFor()
-    assert(rc == 0, s"probe exited $rc:\n${out.takeRight(1500)}")
+    // Bounded: a wedged child (port-bind loop, OOM before main prints)
+    // must FAIL the test with its partial output, not hang the suite —
+    // scalatest has no default per-test timeout. Read stdout on a
+    // separate thread so a full pipe can't deadlock waitFor.
+    val outBuf = new java.io.ByteArrayOutputStream()
+    val pump = new Thread(() => p.getInputStream.transferTo(outBuf))
+    pump.setDaemon(true); pump.start()
+    val finished = p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS)
+    if (!finished) p.destroyForcibly()
+    pump.join(5000)
+    val out = outBuf.toString(java.nio.charset.StandardCharsets.UTF_8)
+    assert(finished, s"probe timed out; output so far:\n${out.takeRight(1500)}")
+    assert(p.exitValue() == 0,
+      s"probe exited ${p.exitValue()}:\n${out.takeRight(1500)}")
     out
   }
 
