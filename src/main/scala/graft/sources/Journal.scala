@@ -421,6 +421,41 @@ object Journal {
     out.result()
   }
 
+  /** Writer-race audit (round 9): overlapping fragment pairs whose
+    * content addressing proves they came from DIFFERENT appends
+    * (crossing spans, different sha). The journal write contract is
+    * ONE appender at a time per journal — the reference gets this by
+    * serializing all appends through the journal's primary broker
+    * (docs/brokers-concepts.rst "serializable appends that never
+    * interleave"); this engine has no broker, so coordination is the
+    * deployment's: distinct journals per writer, or an external lease.
+    * A violation is NOT read-side corruption — [[coverSet]] resolves
+    * overlaps deterministically (first by (begin, -end), so reads
+    * never interleave or duplicate bytes) — but the losing append's
+    * records are silently SHADOWED forever. This audit names exactly
+    * which fragments lost, so an alarm can fire and the lost payloads
+    * be re-appended from their source.
+    *
+    * Returned pairs are (winner-in-cover, shadowed). Note an in-flight
+    * compaction legitimately produces CONTAINMENT overlaps (the
+    * compacted fragment covers the originals it is about to prune);
+    * steady-state non-empty output is the writer-race signal.
+    */
+  def overlappingFragments(roots: Seq[String],
+      journal: String): Vector[(Fragment, Fragment)] = {
+    val frags = listFragments(roots, journal, Long.MinValue)
+      .distinctBy(f => (f.begin, f.end, f.sha1))
+      .sortBy(f => (f.begin, -f.end))
+    var cover: Fragment = null
+    val out = Vector.newBuilder[(Fragment, Fragment)]
+    frags.foreach { f =>
+      if (cover != null && f.begin < cover.end && f.sha1 != cover.sha1)
+        out += ((cover, f))
+      if (cover == null || f.end > cover.end) cover = f
+    }
+    out.result()
+  }
+
   /** Journal head: next append offset. */
   def head(root: String, journal: String): Long =
     listFragments(root, journal).map(_.end).foldLeft(0L)(math.max)
@@ -452,6 +487,15 @@ object Journal {
     * size pressure (its closed tmp file is durable immediately; the
     * fragment becomes VISIBLE at this append's commit, as Spark's
     * batch commit protocol requires). 0 = size-only rolling.
+    *
+    * CONCURRENCY CONTRACT: one appender at a time per journal. The
+    * reference serializes appends at the journal's primary broker;
+    * this engine has no broker, so two simultaneous appenders would
+    * both derive the same head and mint OVERLAPPING spans — reads stay
+    * deterministic (cover-set resolution never interleaves bytes) but
+    * the losing append is silently shadowed. Coordinate writers
+    * externally (distinct journals, or a lease) and audit suspected
+    * dual-writer windows with [[overlappingFragments]].
     */
   def append(df: DataFrame, root: String, journal: String,
       codec: String = "gz", payloadCol: String = "payload",

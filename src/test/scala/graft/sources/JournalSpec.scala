@@ -534,4 +534,48 @@ class JournalSpec extends SparkSpec {
     assert(values.flatMap(_.get("date")).toSet ==
       Set("2024-01-01", "2024-01-02"))
   }
+
+  test("dual-writer race: reads stay deterministic, the audit names the shadowed append") {
+    import spark.implicits._
+    val root = tmpRoot()
+    // Seed the journal, then simulate TWO appenders racing: both stage
+    // from the SAME head (exactly what two uncoordinated driver
+    // processes would derive), then both commit. This is the contract
+    // violation append()'s scaladoc forbids — the spec pins what the
+    // engine guarantees anyway (deterministic reads, no interleaving)
+    // and that the audit exposes the loss.
+    Journal.append(Seq("seed").toDF("payload"), root, "race/j", codec = "none")
+    val a = Journal.stage(Seq("writer-A-1", "writer-A-2").toDF("payload")
+      .coalesce(1), root, "race/j", codec = "none")
+    val b = Journal.stage(Seq("writer-B-1").toDF("payload")
+      .coalesce(1), root, "race/j", codec = "none")
+    (a ++ b).foreach { case (frag, tmp) => Journal.commitFragment(frag, tmp) }
+
+    val frags = Journal.listFragments(root, "race/j")
+    assert(frags.size == 3, s"expected 3 fragments (seed + A + B): $frags")
+
+    // The audit reports exactly one (winner, shadowed) pair.
+    val overlaps = Journal.overlappingFragments(Seq(root), "race/j")
+    assert(overlaps.size == 1, s"audit should flag the race: $overlaps")
+    val (winner, shadowed) = overlaps.head
+    assert(winner.begin == shadowed.begin && winner.sha1 != shadowed.sha1)
+
+    // Reads resolve via the cover set: the winner's records appear, the
+    // shadowed append's records NEVER do, nothing interleaves or
+    // duplicates, and the result is stable across listings.
+    val payloads = Journal.read(spark, root, "race/j").toDF()
+      .select($"payload").as[String].collect().toSeq
+    val winnerIsA = winner.path == a.head._1.path
+    val expect = if (winnerIsA) Seq("seed", "writer-A-1", "writer-A-2")
+      else Seq("seed", "writer-B-1")
+    assert(payloads == expect,
+      s"cover-set read must return exactly the winner: $payloads")
+
+    // A clean journal audits clean (the alarm has no false positives
+    // on healthy single-writer history).
+    assert(Journal.overlappingFragments(Seq(root), "race/seedonly").isEmpty)
+    Journal.append(Seq("x").toDF("payload"), root, "race/clean", codec = "none")
+    Journal.append(Seq("y").toDF("payload"), root, "race/clean", codec = "none")
+    assert(Journal.overlappingFragments(Seq(root), "race/clean").isEmpty)
+  }
 }
