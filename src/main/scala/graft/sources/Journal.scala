@@ -421,37 +421,67 @@ object Journal {
     out.result()
   }
 
-  /** Writer-race audit (round 9): overlapping fragment pairs whose
-    * content addressing proves they came from DIFFERENT appends
-    * (crossing spans, different sha). The journal write contract is
-    * ONE appender at a time per journal — the reference gets this by
-    * serializing all appends through the journal's primary broker
+  /** One shadowed byte range: `serving` is the cover-set fragment
+    * whose bytes reads actually return over [from, until); `shadowed`
+    * is a different-content fragment whose own bytes in that span are
+    * therefore never served.
+    */
+  final case class ShadowedRange(serving: Fragment, shadowed: Fragment,
+      from: Long, until: Long)
+
+  /** Writer-race audit (round 9): for every fragment whose bytes are
+    * partly or wholly served by a DIFFERENT fragment (overlap with a
+    * distinct sha), the exact shadowed byte ranges and the fragment
+    * serving each of them. The journal write contract is ONE appender
+    * at a time per journal — the reference gets this by serializing
+    * all appends through the journal's primary broker
     * (docs/brokers-concepts.rst "serializable appends that never
     * interleave"); this engine has no broker, so coordination is the
     * deployment's: distinct journals per writer, or an external lease.
     * A violation is NOT read-side corruption — [[coverSet]] resolves
-    * overlaps deterministically (first by (begin, -end), so reads
-    * never interleave or duplicate bytes) — but the losing append's
-    * records are silently SHADOWED forever. This audit names exactly
-    * which fragments lost, so an alarm can fire and the lost payloads
-    * be re-appended from their source.
+    * overlaps deterministically, reads never interleave or duplicate
+    * bytes — but the shadowed ranges' records silently never appear.
+    * The per-range output names exactly what was lost and what serves
+    * it, so remediation can re-append ONLY the shadowed records (a
+    * fragment that merely crosses the cover boundary still serves its
+    * tail — re-appending all of it would duplicate the served part).
     *
-    * Returned pairs are (winner-in-cover, shadowed). Note an in-flight
-    * compaction legitimately produces CONTAINMENT overlaps (the
-    * compacted fragment covers the originals it is about to prune);
-    * steady-state non-empty output is the writer-race signal.
+    * Reading the output: a FULL-containment entry (from == shadowed
+    * .begin && until == shadowed.end) is either a lost same-head race
+    * or a crashed compaction's not-yet-pruned source (compact's
+    * documented crash window leaves the merged fragment covering its
+    * sources — re-run compact to clear; the sha difference does NOT by
+    * itself prove two appends there). A PARTIAL range is unambiguous:
+    * only uncoordinated appends from diverged heads produce crossing
+    * spans.
     */
   def overlappingFragments(roots: Seq[String],
-      journal: String): Vector[(Fragment, Fragment)] = {
+      journal: String): Vector[ShadowedRange] = {
+    // listFragments returns distinct (begin, end, sha, codec) already
+    // sorted by (begin, -end) — coverSet's required order.
     val frags = listFragments(roots, journal, Long.MinValue)
-      .distinctBy(f => (f.begin, f.end, f.sha1))
-      .sortBy(f => (f.begin, -f.end))
-    var cover: Fragment = null
-    val out = Vector.newBuilder[(Fragment, Fragment)]
+    val cover = coverSet(frags) // (fragment, readFrom): serves [readFrom, end)
+    val out = Vector.newBuilder[ShadowedRange]
+    // Merge sweep: served ranges are disjoint ascending and frags are
+    // begin-sorted, so each cover entry is visited O(1) amortized —
+    // O(n + overlaps), not O(n²), on a 100 TB journal's listing.
+    var ci = 0
     frags.foreach { f =>
-      if (cover != null && f.begin < cover.end && f.sha1 != cover.sha1)
-        out += ((cover, f))
-      if (cover == null || f.end > cover.end) cover = f
+      while (ci < cover.length && cover(ci)._1.end <= f.begin) ci += 1
+      var i = ci
+      var cont = true
+      while (cont && i < cover.length) {
+        val (c, readFrom) = cover(i)
+        val servedFrom = math.max(readFrom, c.begin)
+        if (servedFrom >= f.end) cont = false
+        else {
+          val from = math.max(f.begin, servedFrom)
+          val until = math.min(f.end, c.end)
+          if (from < until && c.sha1 != f.sha1)
+            out += ShadowedRange(c, f, from, until)
+          i += 1
+        }
+      }
     }
     out.result()
   }

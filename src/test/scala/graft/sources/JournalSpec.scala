@@ -554,26 +554,49 @@ class JournalSpec extends SparkSpec {
     val frags = Journal.listFragments(root, "race/j")
     assert(frags.size == 3, s"expected 3 fragments (seed + A + B): $frags")
 
-    // The audit reports exactly one (winner, shadowed) pair.
+    // The audit reports exactly one shadowed range: B's whole span,
+    // served by A (same begin, A longer → A wins the cover).
     val overlaps = Journal.overlappingFragments(Seq(root), "race/j")
     assert(overlaps.size == 1, s"audit should flag the race: $overlaps")
-    val (winner, shadowed) = overlaps.head
-    assert(winner.begin == shadowed.begin && winner.sha1 != shadowed.sha1)
+    val r = overlaps.head
+    assert(r.serving.path == a.head._1.path &&
+      r.shadowed.path == b.head._1.path, s"wrong winner labeling: $r")
+    assert(r.from == r.shadowed.begin && r.until == r.shadowed.end,
+      s"B must be fully shadowed: $r")
 
     // Reads resolve via the cover set: the winner's records appear, the
     // shadowed append's records NEVER do, nothing interleaves or
     // duplicates, and the result is stable across listings.
     val payloads = Journal.read(spark, root, "race/j").toDF()
       .select($"payload").as[String].collect().toSeq
-    val winnerIsA = winner.path == a.head._1.path
-    val expect = if (winnerIsA) Seq("seed", "writer-A-1", "writer-A-2")
-      else Seq("seed", "writer-B-1")
-    assert(payloads == expect,
+    assert(payloads == Seq("seed", "writer-A-1", "writer-A-2"),
       s"cover-set read must return exactly the winner: $payloads")
 
-    // A clean journal audits clean (the alarm has no false positives
-    // on healthy single-writer history).
-    assert(Journal.overlappingFragments(Seq(root), "race/seedonly").isEmpty)
+    // Crossing spans (two appenders from DIVERGED heads — e.g. one read
+    // a lagging store): only the overlapped PREFIX of the crossing
+    // fragment is shadowed; its tail extends the cover and IS served.
+    // The audit must name that exact range — re-appending the whole
+    // fragment would duplicate the served tail.
+    val headNow = Journal.head(root, "race/j")
+    val c = Journal.stage(Seq("writer-C-1", "writer-C-2").toDF("payload")
+      .coalesce(1), root, "race/j", codec = "none")
+    // Re-plan C's fragment as if its writer saw a head 5 bytes back.
+    val cf = c.head._1
+    val shifted = cf.copy(begin = cf.begin - 5, end = cf.end - 5,
+      path = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(root, "race/j"),
+        f"${cf.begin - 5}%016x-${cf.end - 5}%016x-${cf.sha1}.none").toString)
+    Journal.commitFragment(shifted, c.head._2)
+    val overlaps2 = Journal.overlappingFragments(Seq(root), "race/j")
+    val crossing = overlaps2.filter(_.shadowed.path == shifted.path)
+    assert(crossing.size == 1, s"crossing overlap not flagged: $overlaps2")
+    assert(crossing.head.from == shifted.begin &&
+      crossing.head.until == headNow,
+      s"only the overlapped prefix is shadowed: ${crossing.head}")
+
+    // Healthy single-writer history audits clean (no false positives);
+    // an empty/unknown journal audits clean too.
+    assert(Journal.overlappingFragments(Seq(root), "race/never-written").isEmpty)
     Journal.append(Seq("x").toDF("payload"), root, "race/clean", codec = "none")
     Journal.append(Seq("y").toDF("payload"), root, "race/clean", codec = "none")
     assert(Journal.overlappingFragments(Seq(root), "race/clean").isEmpty)
