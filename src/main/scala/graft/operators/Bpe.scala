@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   * k-means: per round ONE map-side-combined pair aggregation (only
   * (pair, count) rows shuffle — counts collapse to the pair vocabulary
   * pre-exchange), ONE 1-row argmax pull to the driver, and ONE narrow
-  * rewrite map over the cached corpus (the merge pair is a plan
-  * literal inside a plan-native `aggregate` fold — no UDF, no row
-  * serialization boundary). The corpus
+  * rewrite map over the cached corpus — a codegen'd single-pass
+  * kernel ([[graft.functions.BpeMergeOne]]; the Catalyst HOF fold it
+  * replaced allocated a sequence+filter+transform chain per document
+  * per round and its compounded codegen paid tens of seconds of JIT on
+  * first execution). The corpus
   * is re-persisted each round so round r never replays rounds 1..r-1
   * (at cluster scale: checkpoint every few rounds instead).
   *
@@ -21,49 +23,20 @@ import org.apache.spark.sql.functions._
   * `[a-z]+` so a merged symbol can never collide with a base token.
   *
   * Determinism: integer pair counts; argmax ties break lexicographically
-  * on (left, right); the greedy left-to-right rewrite is a fold with
-  * exact list semantics — all replayable in DuckDB (`list_reduce` over
-  * singleton lists, seeding the accumulator with the first symbol).
+  * on (left, right); the greedy left-to-right rewrite advances two
+  * positions at a match (matches never overlap; `l == r` runs merge
+  * pairwise from the left) — replayable exactly in DuckDB
+  * (`list_reduce` over singleton lists, seeding the accumulator with
+  * the first symbol).
   */
 object Bpe {
 
-  /** Greedy left-to-right single-pair merge as a fold: append each
-    * symbol unless the accumulator ends with `l` and the symbol is `r`
-    * — then replace the tail with the merged symbol. O(len²) per doc
-    * (each append copies the accumulator), so it is used ONLY for the
-    * `l == r` pairs whose overlapping matches need the sequential
-    * greedy decision; [[mergeVectorized]] covers the common case.
-    */
-  private def mergeFold(syms: Column, l: String, r: String): Column =
-    aggregate(syms,
-      array().cast("array<string>"),
-      (acc, x) => when(
-        size(acc) > 0 && element_at(acc, -1) === l && x === r,
-        concat(slice(acc, lit(1), size(acc) - 1), array(lit(s"$l $r"))))
-        .otherwise(concat(acc, array(x))))
-
-  /** O(len) merge for `l != r`: matches cannot overlap (overlapping
-    * matches at i and i+1 would force syms(i+1) = r = l), so greedy
-    * left-to-right keeps EVERY match — position i survives unless it
-    * was consumed as the second half of a match at i-1, and every
-    * surviving match start rewrites to the merged symbol. Pure
-    * position arithmetic over the array, no accumulator copies.
-    */
-  private def mergeVectorized(syms: Column, l: String, r: String): Column = {
-    val n = size(syms)
-    def m(i: Column): Column =
-      (i < n) && (element_at(syms, i) === l) && (element_at(syms, i + 1) === r)
-    // n = 0 guard: Spark's sequence(1, 0) counts DOWN to [1, 0].
-    when(n >= 1,
-      transform(
-        filter(sequence(lit(1), n), i => !((i > 1) && m(i - 1))),
-        i => when(m(i), lit(s"$l $r")).otherwise(element_at(syms, i))))
-      .otherwise(array().cast("array<string>"))
+  /** Greedy single-pair merge: one native kernel pass. */
+  private def applyMerge(syms: Column, l: String, r: String): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.BpeMergeOne(ColumnBridge.expression(syms), l, r))
   }
-
-  /** Greedy single-pair merge, cheapest correct form for the pair. */
-  private def applyMerge(syms: Column, l: String, r: String): Column =
-    if (l == r) mergeFold(syms, l, r) else mergeVectorized(syms, l, r)
 
   /** Adjacent symbol pairs of one document, as (l, r) structs. */
   private def pairsOf(syms: Column): Column =
@@ -78,10 +51,40 @@ object Bpe {
     * adoption time). Stops early if no pair occurs twice.
     */
   def trainMerges(docs: DataFrame, id: Column, text: Column,
-      rounds: Int): DataFrame = {
+      rounds: Int, aggPartitions: Int = 8): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(rounds > 0, s"rounds must be positive, got $rounds")
+
+    // Iterative-loop latency discipline (measured, round 10): the
+    // per-round pair table is VOCAB-bounded (931 distinct pairs on the
+    // sf0.1 corpus; vocab² worst case at any scale), so the reduce
+    // side of the count is a few KB no matter how big the corpus is.
+    // At the session's defaults that tiny aggregate paid ~0.5 s/round:
+    // AQE materializes each shuffle stage as its own job (~0.3 s of
+    // fixed latency per round) and then schedules 32 reduce tasks for
+    // <1000 rows. Pin a small reduce width and skip AQE INSIDE the
+    // loop only (saved/restored): map-side partial agg still collapses
+    // counts to the pair vocabulary before the exchange, so the map
+    // side — the only corpus-sized part — is unchanged at any scale.
+    // `aggPartitions` sizes the reduce side: the default suits pair
+    // vocabularies up to ~10 M; a web-scale early-round vocabulary
+    // wants ~vocab²·16B/64MiB partitions.
+    val confs = Seq("spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> aggPartitions.toString)
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try trainMergesLoop(docs, id, text, rounds)
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  private def trainMergesLoop(docs: DataFrame, id: Column, text: Column,
+      rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
 
     var corpus = docs
       .select(id.cast("long").as("doc_id"),
@@ -123,25 +126,24 @@ object Bpe {
 
   /** Apply an ordered merge list to the corpus (the serving pass:
     * train once, encode everywhere); per-doc compression report
-    * (doc_id, n_base, n_bpe, ratio). The merges compose as `rounds`
-    * narrow Projects — no shuffle at any scale. One Project PER merge
-    * layer on purpose: each applyMerge references the previous layer
-    * as an ATTRIBUTE. Folding all layers into a single nested Column
-    * would copy each layer's whole expression at every one of its ~7
-    * references — an exponentially-sized tree before the first row is
-    * read. (CollapseProject keeps the layers separate: it refuses to
-    * inline non-cheap, multiply-referenced expressions.)
+    * (doc_id, n_base, n_bpe, ratio). ONE narrow Project, no shuffle at
+    * any scale: the whole merge list rides a single fused kernel call
+    * ([[graft.functions.BpeEncodeLen]] — one reusable buffer per
+    * document, merge layers applied in place). The per-merge Project
+    * chain this replaced was correct but compounded: ~7 array HOF
+    * expressions per layer meant 10 layers of codegen whose first
+    * execution JIT'd for tens of seconds, and every layer materialized
+    * an intermediate symbol array per document.
     */
   def encodeStats(docs: DataFrame, id: Column, text: Column,
       merges: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
     val base = docs.select(id.cast("long").as("doc_id"),
-        TextAnalysis.wordTokens(text).as("syms"))
-      .withColumn("enc", col("syms"))
-    val enc = merges.foldLeft(base) { case (df, (l, r)) =>
-      df.withColumn("enc", applyMerge(col("enc"), l, r))
-    }
-    enc.select(col("doc_id"), size(col("syms")).cast("long").as("n_base"),
-        size(col("enc")).cast("long").as("n_bpe"))
+      TextAnalysis.wordTokens(text).as("syms"))
+    base.select(col("doc_id"), size(col("syms")).cast("long").as("n_base"),
+        ColumnBridge.column(graft.functions.BpeEncodeLen(
+          ColumnBridge.expression(col("syms")), merges))
+          .cast("long").as("n_bpe"))
       .withColumn("ratio",
         when(col("n_base") > 0,
           Curation.floorRound6(col("n_bpe").cast("double") / col("n_base")))
