@@ -56,8 +56,12 @@ object Multimodal {
     * statistics so tests and the DuckDB oracle can mirror them. Real
     * executor-local decode paths exist for the formats the JDK ships
     * codecs for — [[decodeImages]]/[[resizeImages]] (PNG/JPEG/GIF/BMP)
-    * and [[decodeAudioFeatures]] (WAV/AIFF/AU PCM); compressed audio
-    * (MP3/AAC) and all video decode remain stubbed behind this shape.
+    * and [[decodeAudioFeatures]] (WAV/AIFF/AU PCM) — and the video
+    * CONTAINER layer is real as of round 10 ([[VideoContainer]]:
+    * MP4/AVI metadata plus exact keyframe byte ranges, so only
+    * sync-sample payloads reach the decoder); compressed audio
+    * (MP3/AAC) and video CODEC decode of those payloads remain
+    * stubbed behind this shape.
     */
   private def decodeStub(media: Array[Byte]): (Long, Long, Long) = {
     var sum = 0L

@@ -1,0 +1,393 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Real video-container parsing from a binary column — ISO BMFF / MP4
+  * (ISO/IEC 14496-12) and AVI (RIFF) — geometry, duration, codec
+  * fourcc, frame count, and the full keyframe BYTE-RANGE map, without
+  * decoding a single frame. This is the video sibling of
+  * [[ImageHeader]] (round 8/9 landed image pixels and PCM audio; video
+  * decode proper needs codec libraries that stay stubbed, but the
+  * container layer — everything a distributed pipeline does BEFORE
+  * handing sample payloads to a codec — is pure public-format byte
+  * walking and belongs in the engine):
+  *
+  *  - [[parse]]: per-blob metadata (format, codec, width/height,
+  *    duration, frame/keyframe counts) from the `moov` sample tables
+  *    (MP4) or the `avih`/`strh` headers (AVI).
+  *  - [[keyframeRanges]]: exact (offset, size) of every sync sample,
+  *    resolved through `stss` × `stsz` × `stsc` × `stco`/`co64` — the
+  *    map a frame-sampling stage needs to slice REAL encoded frame
+  *    payloads out of the blob (`substring` on the binary column) and
+  *    ship only those to a decode UDF: at 100 TB the whole point is to
+  *    never move the 97% of bytes that are non-key frames.
+  *
+  * Scale shape: narrow per-row maps over the blob column — no shuffle;
+  * only the `moov` region is walked (sample tables are a few KB even
+  * for hour-long files; `mdat` is never touched until a caller slices
+  * chosen ranges). Malformed/unknown blobs yield null metadata
+  * (quarantine rule, as [[ImageHeader.parse]]).
+  */
+object VideoContainer {
+
+  /** Container metadata. `nKeyframes` counts sync samples (`stss`);
+    * a track with no `stss` box has EVERY sample sync (14496-12 §8.6.2)
+    * — then `nKeyframes == nFrames`.
+    */
+  final case class Meta(format: String, brand: String, codec: String,
+      width: Int, height: Int, durationMs: Long, nFrames: Long,
+      nKeyframes: Long)
+
+  /** One sync sample's byte range within the blob (1-based sample
+    * number; `offset` is 0-based from blob start).
+    */
+  final case class KeyframeRange(sample: Int, offset: Long, size: Long)
+
+  // ---- byte readers ----------------------------------------------------
+  private def u16be(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def u32be(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+  private def u64be(b: Array[Byte], i: Int): Long =
+    (u32be(b, i) << 32) | u32be(b, i + 4)
+  private def u32le(b: Array[Byte], i: Int): Long =
+    ((b(i + 3) & 0xffL) << 24) | ((b(i + 2) & 0xffL) << 16) |
+      ((b(i + 1) & 0xffL) << 8) | (b(i) & 0xffL)
+  private def fourcc(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, "US-ASCII")
+
+  // ---- MP4 / ISO BMFF ---------------------------------------------------
+
+  /** Box scan of `[from, until)`: invokes `f(type, payloadFrom,
+    * payloadUntil)` per box. Size 0 (= to end) and 1 (= 64-bit
+    * largesize) per 14496-12 §4.2; malformed sizes end the walk rather
+    * than throw.
+    */
+  private def walkBoxes(b: Array[Byte], from: Long, until: Long)(
+      f: (String, Long, Long) => Unit): Unit = {
+    var i = from
+    while (i + 8 <= until) {
+      val size0 = u32be(b, i.toInt)
+      val typ = fourcc(b, i.toInt + 4)
+      var payload = i + 8
+      val boxEnd =
+        if (size0 == 1L) {
+          if (i + 16 > until) return
+          payload = i + 16
+          i + u64be(b, i.toInt + 8)
+        } else if (size0 == 0L) until
+        else i + size0
+      if (boxEnd < payload || boxEnd > until) return // corrupt size
+      f(typ, payload, boxEnd)
+      i = boxEnd
+    }
+  }
+
+  /** First child box of `typ` within `[from, until)`. */
+  private def findBox(b: Array[Byte], from: Long, until: Long,
+      typ: String): Option[(Long, Long)] = {
+    var res: Option[(Long, Long)] = None
+    walkBoxes(b, from, until) { (t, f, u) =>
+      if (res.isEmpty && t == typ) res = Some((f, u))
+    }
+    res
+  }
+
+  private def path(b: Array[Byte], from: Long, until: Long,
+      typs: String*): Option[(Long, Long)] =
+    typs.foldLeft(Option((from, until))) {
+      case (acc, t) => acc.flatMap { case (f, u) => findBox(b, f, u, t) }
+    }
+
+  /** The parsed sample tables of the FIRST video (`vide` handler)
+    * track, plus presentation duration.
+    */
+  private final class Mp4Tables(
+      val brand: String, val durationMs: Long, val codec: String,
+      val width: Int, val height: Int,
+      val sttsTotal: Long,
+      val stss: Array[Int], // sync sample numbers, 1-based; empty = all
+      val hasStss: Boolean,
+      val stszFixed: Long, val stszSizes: Array[Long],
+      val stsc: Array[(Long, Long)], // (firstChunk, samplesPerChunk)
+      val stco: Array[Long])
+
+  private def mp4Tables(b: Array[Byte]): Option[Mp4Tables] = {
+    val n = b.length.toLong
+    if (b.length < 12) return None
+    val ftyp = findBox(b, 0, n, "ftyp").getOrElse(return None)
+    if (ftyp._2 - ftyp._1 < 4) return None
+    val brand = fourcc(b, ftyp._1.toInt)
+    val (moovF, moovU) = findBox(b, 0, n, "moov").getOrElse(return None)
+
+    // mvhd: presentation timescale + duration (v0/v1). Length guards
+    // matter even though walkBoxes bounds every box: a size-0
+    // (to-EOF) box can still be SHORTER than its fixed layout.
+    val durationMs = path(b, moovF, moovU, "mvhd").flatMap { case (f, u) =>
+      if (u - f < 24) None
+      else {
+        val v = b(f.toInt) & 0xff
+        if (v == 1 && u - f < 32) None
+        else {
+          val (ts, dur) =
+            if (v == 1) (u32be(b, f.toInt + 20), u64be(b, f.toInt + 24))
+            else (u32be(b, f.toInt + 12), u32be(b, f.toInt + 16))
+          if (ts <= 0) None else Some(dur * 1000L / ts)
+        }
+      }
+    }.getOrElse(return None)
+
+    // First trak whose hdlr is 'vide'.
+    var video: Option[Mp4Tables] = None
+    walkBoxes(b, moovF, moovU) { (t, f, u) =>
+      if (video.isEmpty && t == "trak") {
+        val isVideo = path(b, f, u, "mdia", "hdlr").exists { case (hf, hu) =>
+          hu - hf >= 12 && fourcc(b, hf.toInt + 8) == "vide"
+        }
+        if (isVideo) video = (for {
+          (sf, su) <- path(b, f, u, "mdia", "minf", "stbl")
+          tk <- findBox(b, f, u, "tkhd")
+        } yield {
+          // tkhd width/height: 16.16 fixed point at payload end. v0
+          // fixed fields: verflags 4 + times 4+4 + id 4 + reserved 4 +
+          // duration 4 + reserved 8 + layer/group/volume/reserved 8 +
+          // matrix 36 = 76; v1's 64-bit times/duration add 12.
+          val tv = b(tk._1.toInt) & 0xff
+          val geomOff = tk._1.toInt + (if (tv == 1) 88 else 76)
+          val (w, h) =
+            if (geomOff + 8 <= tk._2)
+              ((u32be(b, geomOff) >> 16).toInt,
+                (u32be(b, geomOff + 4) >> 16).toInt)
+            else (0, 0)
+          val codec = path(b, sf, su, "stsd").flatMap { case (df, du) =>
+            // entry_count at +4, first sample entry: size u32 + fourcc
+            if (du - df >= 16 && u32be(b, df.toInt + 4) >= 1)
+              Some(fourcc(b, df.toInt + 12))
+            else None
+          }.getOrElse("")
+          val sttsTotal = path(b, sf, su, "stts").map { case (tf, tu) =>
+            val cnt = if (tu - tf < 8) 0L else u32be(b, tf.toInt + 4)
+            var tot = 0L
+            var k = 0
+            while (k < cnt && tf + 8 + 8L * k + 8 <= tu) {
+              tot += u32be(b, tf.toInt + 8 + 8 * k); k += 1
+            }
+            tot
+          }.getOrElse(0L)
+          // Table readers stop at the box edge — a truncated table
+          // yields only its parseable prefix, never null/zero slots.
+          val (stss, hasStss) = path(b, sf, su, "stss").map { case (yf, yu) =>
+            val cnt = if (yu - yf < 8) 0 else u32be(b, yf.toInt + 4).toInt
+            val out = Array.newBuilder[Int]
+            var k = 0
+            while (k < cnt && yf + 8 + 4L * k + 4 <= yu) {
+              out += u32be(b, yf.toInt + 8 + 4 * k).toInt; k += 1
+            }
+            (out.result(), true)
+          }.getOrElse((Array.empty[Int], false))
+          val (fixed, sizes) = path(b, sf, su, "stsz").map { case (zf, zu) =>
+            if (zu - zf < 12) (0L, Array.empty[Long]) else {
+            val fix = u32be(b, zf.toInt + 4)
+            val cnt = u32be(b, zf.toInt + 8).toInt
+            if (fix != 0L) (fix, Array.empty[Long])
+            else {
+              val out = Array.newBuilder[Long]
+              var k = 0
+              while (k < cnt && zf + 12 + 4L * k + 4 <= zu) {
+                out += u32be(b, zf.toInt + 12 + 4 * k); k += 1
+              }
+              (0L, out.result())
+            }
+            }
+          }.getOrElse((0L, Array.empty[Long]))
+          val stsc = path(b, sf, su, "stsc").map { case (cf, cu) =>
+            val cnt = if (cu - cf < 8) 0 else u32be(b, cf.toInt + 4).toInt
+            val out = Array.newBuilder[(Long, Long)]
+            var k = 0
+            while (k < cnt && cf + 8 + 12L * k + 12 <= cu) {
+              out += ((u32be(b, cf.toInt + 8 + 12 * k),
+                u32be(b, cf.toInt + 8 + 12 * k + 4)))
+              k += 1
+            }
+            out.result()
+          }.getOrElse(Array.empty[(Long, Long)])
+          val stco = path(b, sf, su, "stco").map { case (of, ou) =>
+            val cnt = if (ou - of < 8) 0 else u32be(b, of.toInt + 4).toInt
+            val out = Array.newBuilder[Long]
+            var k = 0
+            while (k < cnt && of + 8 + 4L * k + 4 <= ou) {
+              out += u32be(b, of.toInt + 8 + 4 * k); k += 1
+            }
+            out.result()
+          }.orElse(path(b, sf, su, "co64").map { case (of, ou) =>
+            val cnt = if (ou - of < 8) 0 else u32be(b, of.toInt + 4).toInt
+            val out = Array.newBuilder[Long]
+            var k = 0
+            while (k < cnt && of + 8 + 8L * k + 8 <= ou) {
+              out += u64be(b, of.toInt + 8 + 8 * k); k += 1
+            }
+            out.result()
+          }).getOrElse(Array.empty[Long])
+          new Mp4Tables(brand, durationMs, codec, w, h, sttsTotal,
+            stss, hasStss, fixed, sizes, stsc, stco)
+        })
+      }
+    }
+    video
+  }
+
+  private def mp4(b: Array[Byte]): Option[Meta] = mp4Tables(b).map { t =>
+    Meta("mp4", t.brand, t.codec, t.width, t.height, t.durationMs,
+      t.sttsTotal, if (t.hasStss) t.stss.length.toLong else t.sttsTotal)
+  }
+
+  /** Byte ranges of every sync sample of the first video track
+    * (1-based sample numbers). Resolution walks stsc's chunk runs in
+    * order, accumulating per-chunk sample offsets from stsz — each
+    * sample is visited once, O(nSamples), and only sync samples are
+    * emitted. Empty for non-MP4 / corrupt / table-less blobs.
+    */
+  def keyframeRanges(bytes: Array[Byte]): Array[KeyframeRange] = {
+    if (bytes == null) return Array.empty
+    val t = mp4Tables(bytes) match {
+      case Some(x) => x
+      case None    => return Array.empty
+    }
+    val nSamples =
+      (if (t.stszFixed != 0L) t.sttsTotal else t.stszSizes.length.toLong)
+        .min(t.sttsTotal).toInt
+    if (nSamples <= 0 || t.stco.isEmpty || t.stsc.isEmpty) return Array.empty
+    def sizeOf(s0: Int): Long = // 0-based
+      if (t.stszFixed != 0L) t.stszFixed else t.stszSizes(s0)
+    val sync: Int => Boolean =
+      if (!t.hasStss) _ => true
+      else { val set = t.stss.toSet; s => set.contains(s) }
+    val out = Array.newBuilder[KeyframeRange]
+    var sample = 1 // 1-based
+    var run = 0
+    var chunk = t.stsc(0)._1.toInt // 1-based chunk number
+    while (sample <= nSamples && chunk <= t.stco.length) {
+      // samples-per-chunk for the current chunk: the last stsc run
+      // whose first_chunk <= chunk (runs are ascending by first_chunk).
+      while (run + 1 < t.stsc.length && t.stsc(run + 1)._1 <= chunk) run += 1
+      val perChunk = t.stsc(run)._2.toInt
+      var off = t.stco(chunk - 1)
+      var k = 0
+      while (k < perChunk && sample <= nSamples) {
+        val sz = sizeOf(sample - 1)
+        if (sync(sample)) out += KeyframeRange(sample, off, sz)
+        off += sz
+        sample += 1
+        k += 1
+      }
+      chunk += 1
+    }
+    out.result()
+  }
+
+  // ---- AVI (RIFF) --------------------------------------------------------
+
+  /** AVI: `RIFF size 'AVI '`, then `LIST hdrl` holds `avih`
+    * (MicroSecPerFrame, TotalFrames, Width, Height at LE offsets
+    * 0/16/32/36) and the first `LIST strl` with a `strh` whose
+    * fccType is `vids` (codec fourcc at +4). Every AVI frame is
+    * index-addressed; keyframe ranges would come from `idx1`, which
+    * this parser leaves to the MP4 path (AVI is a legacy ingest
+    * format; metadata suffices to route/filter it).
+    */
+  private def avi(b: Array[Byte]): Option[Meta] = {
+    if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ")
+      return None
+    // RIFF chunk walk: fourcc + u32le size (+ LIST subtype).
+    def walk(from: Int, until: Int)(f: (String, Int, Int) => Unit): Unit = {
+      var i = from
+      while (i + 8 <= until) {
+        val typ = fourcc(b, i)
+        val sz = u32le(b, i + 4)
+        val end = i + 8 + sz
+        if (end > until || sz < 0) return
+        f(typ, i + 8, end.toInt)
+        i = (end + (sz & 1L)).toInt // chunks are word-aligned
+      }
+    }
+    def findList(from: Int, until: Int, subtype: String): Option[(Int, Int)] = {
+      var res: Option[(Int, Int)] = None
+      walk(from, until) { (t, f, u) =>
+        if (res.isEmpty && t == "LIST" && u - f >= 4 &&
+          fourcc(b, f) == subtype) res = Some((f + 4, u))
+      }
+      res
+    }
+    val (hf, hu) = findList(12, b.length, "hdrl").getOrElse(return None)
+    var meta: Option[Meta] = None
+    var codec = ""
+    walk(hf, hu) { (t, f, u) =>
+      if (t == "LIST" && u - f >= 4 && fourcc(b, f) == "strl" && codec.isEmpty)
+        walk(f + 4, u) { (t2, f2, u2) =>
+          if (t2 == "strh" && u2 - f2 >= 12 && fourcc(b, f2) == "vids")
+            codec = fourcc(b, f2 + 4)
+        }
+      if (t == "avih" && u - f >= 40 && meta.isEmpty) {
+        val usPerFrame = u32le(b, f)
+        val nFrames = u32le(b, f + 16)
+        val w = u32le(b, f + 32).toInt
+        val h = u32le(b, f + 36).toInt
+        meta = Some(Meta("avi", "avi ", codec, w, h,
+          nFrames * usPerFrame / 1000L, nFrames, nFrames))
+      }
+    }
+    // codec may have been found after avih; patch it in.
+    meta.map(m => if (m.codec.isEmpty) m.copy(codec = codec) else m)
+  }
+
+  /** Parse the container; None for null/unknown/corrupt blobs. */
+  def parse(bytes: Array[Byte]): Option[Meta] =
+    if (bytes == null) None else mp4(bytes).orElse(avi(bytes))
+
+  // ---- Column / DataFrame API --------------------------------------------
+
+  /** struct(format, brand, codec, width, height, duration_ms, n_frames,
+    * n_keyframes), null when the blob is not a recognized container.
+    * A UDF is the right tool, as [[ImageHeader.imageMeta]]: box walking
+    * has no builtin and touches only the moov region.
+    */
+  def videoMeta(blob: Column): Column = {
+    val f = udf { b: Array[Byte] =>
+      parse(b).map(m => (m.format, m.brand, m.codec, m.width, m.height,
+        m.durationMs, m.nFrames, m.nKeyframes))
+    }
+    f(blob).cast("struct<format:string,brand:string,codec:string," +
+      "width:int,height:int,duration_ms:bigint,n_frames:bigint," +
+      "n_keyframes:bigint>")
+  }
+
+  /** Keyframe byte-range map as an array column of
+    * struct(sample, offset, size) — feed to `explode` + binary
+    * `substring` to slice real encoded keyframe payloads without ever
+    * shipping non-key bytes to the decoder.
+    */
+  def keyframeMap(blob: Column): Column = {
+    val f = udf { b: Array[Byte] =>
+      keyframeRanges(b).map(k => (k.sample, k.offset, k.size))
+    }
+    f(blob).cast("array<struct<sample:int,offset:bigint,size:bigint>>")
+  }
+
+  /** One row per keyframe with the REAL encoded payload sliced from the
+    * blob: (doc_id, sample, offset, size, payload). The decode of
+    * `payload` to pixels is the documented codec-stub boundary
+    * ([[Multimodal]] scaladoc); everything up to it — which bytes, of
+    * which samples, shipped where — is exact. `substring` on a binary
+    * column is codegen'd; only keyframe bytes survive the projection,
+    * so the non-key majority of `mdat` never leaves the scan.
+    */
+  def keyframePayloads(df: DataFrame, idCol: String = "doc_id",
+      blobCol: String = "media"): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"), col(blobCol).as("_b"),
+        explode(keyframeMap(col(blobCol))).as("kf"))
+      .select(col("doc_id"), col("kf.sample").as("sample"),
+        col("kf.offset").as("offset"), col("kf.size").as("size"),
+        expr("substring(_b, kf.offset + 1, kf.size)").as("payload"))
+}

@@ -1,0 +1,203 @@
+package graft.operators
+
+import java.io.ByteArrayOutputStream
+
+/** Deterministic MP4/AVI fixture synthesis — the video counterpart of
+  * the synthetic media path ([[Multimodal.syntheticMedia]]): real,
+  * spec-conformant container bytes built from a handful of integer
+  * parameters, so the container PARSER ([[VideoContainer]]) can be
+  * oracle-gated as a build∘parse round-trip (the DuckDB oracle cannot
+  * walk MP4 boxes, but it CAN compute what parse must return, because
+  * every parsed field is a pure function of the build parameters).
+  *
+  * Layout written (14496-12): `ftyp` · `moov[mvhd,
+  * trak[tkhd, mdia[mdhd, hdlr(vide), minf[stbl[stsd(avc1), stts,
+  * stss, stsz, stsc, stco]]]]]` · `mdat`. Samples are chunked
+  * [[ChunkSamples]] per chunk (a short final chunk exercises stsc's
+  * two-run form), written back-to-back in mdat; sample `i` (1-based)
+  * carries `sampleSize(i)` bytes beginning with `i` as big-endian
+  * 32-bit — so a reader that slices a claimed keyframe range can
+  * verify it landed on the right sample's first byte.
+  */
+object VideoFixtures {
+
+  val ChunkSamples = 4
+
+  /** Sample i's byte size (1-based): 64 + (i mod 5)·7 — small, varied,
+    * and trivially replayable in SQL.
+    */
+  def sampleSize(i: Int): Long = 64L + (i % 5) * 7L
+
+  /** Sync samples: 1, 1+k, 1+2k, ... */
+  def keyframeSamples(nFrames: Int, keyEvery: Int): Seq[Int] =
+    (1 to nFrames by keyEvery)
+
+  private final class W {
+    val out = new ByteArrayOutputStream()
+    def u8(v: Int): W = { out.write(v & 0xff); this }
+    def u16(v: Int): W = { u8(v >>> 8); u8(v) }
+    def u32(v: Long): W = { u16((v >>> 16).toInt); u16(v.toInt) }
+    def cc(s: String): W = { out.write(s.getBytes("US-ASCII")); this }
+    def zeros(n: Int): W = { out.write(new Array[Byte](n)); this }
+    def bytes(b: Array[Byte]): W = { out.write(b); this }
+    def result(): Array[Byte] = out.toByteArray
+  }
+
+  private def box(typ: String)(body: W => Unit): Array[Byte] = {
+    val w = new W
+    body(w)
+    val payload = w.result()
+    val h = new W
+    h.u32(payload.length + 8L).cc(typ).bytes(payload)
+    h.result()
+  }
+
+  /** A playable-shape MP4: one video track, `nFrames` samples at
+    * `fps` (timescale = fps, delta 1), sync samples every `keyEvery`.
+    */
+  def mp4(width: Int, height: Int, fps: Int, nFrames: Int,
+      keyEvery: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && fps > 0 && nFrames > 0 && keyEvery > 0)
+    val identityMatrix: W => Unit = w => {
+      w.u32(0x00010000L).u32(0).u32(0)
+      w.u32(0).u32(0x00010000L).u32(0)
+      w.u32(0).u32(0).u32(0x40000000L)
+    }
+    val mvhd = box("mvhd") { w =>
+      w.u32(0) // version 0 + flags
+        .u32(0).u32(0) // times
+        .u32(fps.toLong) // timescale
+        .u32(nFrames.toLong) // duration
+        .u32(0x00010000L).u16(0x0100).u16(0).zeros(8) // rate/volume/reserved
+      identityMatrix(w)
+      w.zeros(24).u32(2) // pre_defined, next_track_ID
+    }
+    val tkhd = box("tkhd") { w =>
+      w.u32(7) // version 0, flags: enabled|in-movie|in-preview
+        .u32(0).u32(0) // times
+        .u32(1).u32(0) // track_ID, reserved
+        .u32(nFrames.toLong) // duration (movie timescale)
+        .zeros(8).u16(0).u16(0).u16(0).u16(0) // layer/group/volume
+      identityMatrix(w)
+      w.u32(width.toLong << 16).u32(height.toLong << 16)
+    }
+    val mdhd = box("mdhd") { w =>
+      w.u32(0).u32(0).u32(0)
+        .u32(fps.toLong).u32(nFrames.toLong) // timescale, duration
+        .u16(0x55c4).u16(0) // language 'und', pre_defined
+    }
+    val hdlr = box("hdlr") { w =>
+      w.u32(0).u32(0).cc("vide").zeros(12).u8(0) // empty name
+    }
+    val stsd = box("stsd") { w =>
+      w.u32(0).u32(1)
+      // avc1 VisualSampleEntry: 86 bytes.
+      w.u32(86).cc("avc1").zeros(6).u16(1) // reserved, data_ref_index
+        .zeros(16) // pre_defined/reserved
+        .u16(width).u16(height)
+        .u32(0x00480000L).u32(0x00480000L) // 72 dpi
+        .u32(0).u16(1) // reserved, frame_count
+        .zeros(32) // compressorname
+        .u16(24).u16(0xffff) // depth, pre_defined -1
+    }
+    val stts = box("stts")(w => w.u32(0).u32(1).u32(nFrames.toLong).u32(1))
+    val keys = keyframeSamples(nFrames, keyEvery)
+    val stss = box("stss") { w =>
+      w.u32(0).u32(keys.length.toLong)
+      keys.foreach(k => w.u32(k.toLong))
+    }
+    val stsz = box("stsz") { w =>
+      w.u32(0).u32(0).u32(nFrames.toLong)
+      (1 to nFrames).foreach(i => w.u32(sampleSize(i)))
+    }
+    val nChunks = (nFrames + ChunkSamples - 1) / ChunkSamples
+    val lastChunkSamples = nFrames - (nChunks - 1) * ChunkSamples
+    val stsc = box("stsc") { w =>
+      if (nChunks == 1) { w.u32(0).u32(1).u32(1).u32(nFrames.toLong).u32(1) }
+      else if (lastChunkSamples == ChunkSamples) {
+        w.u32(0).u32(1).u32(1).u32(ChunkSamples.toLong).u32(1)
+      } else {
+        w.u32(0).u32(2)
+        w.u32(1).u32(ChunkSamples.toLong).u32(1)
+        w.u32(nChunks.toLong).u32(lastChunkSamples.toLong).u32(1)
+      }
+    }
+    // stco needs the absolute mdat payload offset, which depends on the
+    // moov size, which depends on stco's size — resolve by building the
+    // moov once with zeroed offsets (same byte LENGTH), measuring, then
+    // rebuilding with real offsets.
+    def chunkOffsets(mdatPayload: Long): Seq[Long] = {
+      var off = mdatPayload
+      var sample = 1
+      (1 to nChunks).map { c =>
+        val here = off
+        val inChunk = if (c == nChunks) lastChunkSamples else ChunkSamples
+        (0 until inChunk).foreach { _ => off += sampleSize(sample); sample += 1 }
+        here
+      }
+    }
+    def stco(offsets: Seq[Long]): Array[Byte] = box("stco") { w =>
+      w.u32(0).u32(offsets.length.toLong)
+      offsets.foreach(o => w.u32(o))
+    }
+    def moov(offsets: Seq[Long]): Array[Byte] = {
+      val stbl = box("stbl")(w => w.bytes(stsd).bytes(stts).bytes(stss)
+        .bytes(stsz).bytes(stsc).bytes(stco(offsets)))
+      val minf = box("minf")(w => w.bytes(stbl))
+      val mdia = box("mdia")(w => w.bytes(mdhd).bytes(hdlr).bytes(minf))
+      val trak = box("trak")(w => w.bytes(tkhd).bytes(mdia))
+      box("moov")(w => w.bytes(mvhd).bytes(trak))
+    }
+    val ftyp = box("ftyp")(w => w.cc("isom").u32(0x200).cc("isom"))
+    val probeMoov = moov(Seq.fill(nChunks)(0L))
+    val mdatPayload = ftyp.length.toLong + probeMoov.length + 8
+    val finalMoov = moov(chunkOffsets(mdatPayload))
+    require(finalMoov.length == probeMoov.length)
+    val mdat = box("mdat") { w =>
+      (1 to nFrames).foreach { i =>
+        w.u32(i.toLong)
+        val fill = (sampleSize(i) - 4).toInt
+        val fb = new Array[Byte](fill)
+        java.util.Arrays.fill(fb, ((i * 31) & 0xff).toByte)
+        w.bytes(fb)
+      }
+    }
+    val out = new W
+    out.bytes(ftyp).bytes(finalMoov).bytes(mdat)
+    out.result()
+  }
+
+  /** Minimal AVI: RIFF('AVI ') → LIST hdrl → avih + LIST strl → strh
+    * (vids). Enough container for [[VideoContainer.parse]]'s AVI path;
+    * no frame data (metadata-only legacy ingest shape).
+    */
+  def avi(width: Int, height: Int, usPerFrame: Long,
+      nFrames: Long, codec: String = "mjpg"): Array[Byte] = {
+    def le32(w: W, v: Long): W = {
+      w.u8(v.toInt).u8((v >>> 8).toInt).u8((v >>> 16).toInt)
+        .u8((v >>> 24).toInt)
+    }
+    def chunk(typ: String)(body: W => Unit): Array[Byte] = {
+      val w = new W
+      body(w)
+      val p = w.result()
+      val h = new W
+      h.cc(typ); le32(h, p.length.toLong); h.bytes(p)
+      if (p.length % 2 == 1) h.u8(0)
+      h.result()
+    }
+    val avih = chunk("avih") { w =>
+      le32(w, usPerFrame); le32(w, 0); le32(w, 0); le32(w, 0)
+      le32(w, nFrames); le32(w, 0); le32(w, 1); le32(w, 0)
+      le32(w, width.toLong); le32(w, height.toLong)
+      (0 until 4).foreach(_ => le32(w, 0))
+    }
+    val strh = chunk("strh") { w =>
+      w.cc("vids").cc(codec)
+      (0 until 12).foreach(_ => le32(w, 0))
+    }
+    val strl = chunk("LIST")(w => { w.cc("strl"); w.bytes(strh); () })
+    val hdrl = chunk("LIST")(w => { w.cc("hdrl"); w.bytes(avih); w.bytes(strl); () })
+    chunk("RIFF")(w => { w.cc("AVI "); w.bytes(hdrl); () })
+  }
+}

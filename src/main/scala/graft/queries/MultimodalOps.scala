@@ -36,6 +36,46 @@ object MultimodalOps {
     "q160_resize_plan" -> { (s, d) =>
       Multimodal.resizePlan(
         Multimodal.synthesize(Tables.documents(s, d)), shorter = 224)
+    },
+
+    // ---- q168: VIDEO container round-trip (round 10): per doc, build
+    // a real spec-conformant MP4 (VideoFixtures — parameters derived
+    // from doc_id), then PARSE it back with VideoContainer (box walk,
+    // tkhd geometry, mvhd duration, stts/stss sample tables) and
+    // resolve every keyframe's byte range through stss×stsz×stsc×stco.
+    // kf_payload_ok counts keyframes whose claimed range, sliced from
+    // the actual blob with binary substring, lands on the sample's
+    // leading BE32 magic — the oracle knows it must equal n_keyframes,
+    // so a single wrong offset anywhere in the chunk-walk fails the
+    // gate. The oracle computes every field from the same doc_id
+    // arithmetic: build∘parse must be the identity.
+    "q168_video_container" -> { (s, d) =>
+      import s.implicits._
+      val params = Tables.documents(s, d)
+        .select($"doc_id".cast("long").as("doc_id"))
+        .withColumn("w", (lit(160) + ($"doc_id" % 8) * 16).cast("int"))
+        .withColumn("h", (lit(96) + ($"doc_id" % 5) * 16).cast("int"))
+        .withColumn("fps", (lit(5) + $"doc_id" % 6).cast("int"))
+        .withColumn("nf", (lit(8) + $"doc_id" % 20).cast("int"))
+        .withColumn("ke", (lit(1) + $"doc_id" % 4).cast("int"))
+      val build = udf { (w: Int, h: Int, fps: Int, nf: Int, ke: Int) =>
+        graft.operators.VideoFixtures.mp4(w, h, fps, nf, ke)
+      }
+      params
+        .withColumn("media", build($"w", $"h", $"fps", $"nf", $"ke"))
+        .withColumn("m", graft.operators.VideoContainer.videoMeta($"media"))
+        .withColumn("kfs", graft.operators.VideoContainer.keyframeMap($"media"))
+        .select($"doc_id",
+          $"m.width".cast("long").as("width"),
+          $"m.height".cast("long").as("height"),
+          $"m.duration_ms".as("duration_ms"),
+          $"m.n_frames".as("n_frames"),
+          $"m.n_keyframes".as("n_keyframes"),
+          expr("aggregate(kfs, 0L, (acc, kf) -> acc + kf.size)")
+            .as("kf_bytes"),
+          expr("size(filter(kfs, kf -> int(conv(hex(substring(" +
+            "media, int(kf.offset) + 1, 4)), 16, 10)) = kf.sample))")
+            .cast("long").as("kf_payload_ok"))
     }
   )
 
@@ -68,6 +108,33 @@ object MultimodalOps {
         |  CAST((h * 224) // least(w, h) AS BIGINT) AS target_h,
         |  CAST(((w * 224) // least(w, h)) * ((h * 224) // least(w, h)) * 3
         |    AS BIGINT) AS out_bytes
-        |FROM dims WHERE w > 0 AND h > 0""".stripMargin
+        |FROM dims WHERE w > 0 AND h > 0""".stripMargin,
+
+    // Every output of the MP4 build -> parse -> keyframe-resolve chain
+    // is a pure function of the build parameters, which are pure
+    // functions of doc_id — so the oracle replays the arithmetic and
+    // the gate certifies the parser inverts the builder byte-exactly.
+    // kf_bytes replays VideoFixtures.sampleSize over the sync samples
+    // 1, 1+ke, ...; kf_payload_ok must equal n_keyframes (every sliced
+    // range carried the right sample's magic).
+    "q168_video_container" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    160 + (doc_id % 8) * 16 AS w,
+        |    96 + (doc_id % 5) * 16 AS h,
+        |    5 + (doc_id % 6) AS fps,
+        |    8 + (doc_id % 20) AS nf,
+        |    1 + (doc_id % 4) AS ke
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height,
+        |  CAST(nf * 1000 // fps AS BIGINT) AS duration_ms,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(1 + (nf - 1) // ke AS BIGINT) AS n_keyframes,
+        |  CAST(list_sum(list_transform(range(0, 1 + (nf - 1) // ke),
+        |    j -> 64 + ((1 + j * ke) % 5) * 7)) AS BIGINT) AS kf_bytes,
+        |  CAST(1 + (nf - 1) // ke AS BIGINT) AS kf_payload_ok
+        |FROM p""".stripMargin
   )
 }
