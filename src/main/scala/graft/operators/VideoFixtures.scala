@@ -167,6 +167,70 @@ object VideoFixtures {
     out.result()
   }
 
+  // ---- Matroska (EBML, RFC 8794) ----------------------------------------
+
+  private def ebmlId(id: Long): Array[Byte] = {
+    val n = (64 - java.lang.Long.numberOfLeadingZeros(id) + 7) / 8
+    (1 to n).map(k => ((id >>> (8 * (n - k))) & 0xff).toByte).toArray
+  }
+  /** Size as a fixed 8-byte varint (leading 0x01): legal (not
+    * canonical-shortest), keeps child sizes independent of layout.
+    */
+  private def ebmlSize(n: Long): Array[Byte] = {
+    val out = new Array[Byte](8)
+    out(0) = 1
+    (1 to 7).foreach(k => out(k) = ((n >>> (8 * (7 - k))) & 0xff).toByte)
+    out
+  }
+  private def el(id: Long, payload: Array[Byte]): Array[Byte] =
+    ebmlId(id) ++ ebmlSize(payload.length.toLong) ++ payload
+  private def elU(id: Long, v: Long): Array[Byte] = {
+    val n = math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(v) + 7) / 8)
+    el(id, (1 to n).map(k => ((v >>> (8 * (n - k))) & 0xff).toByte).toArray)
+  }
+  private def elS(id: Long, s: String): Array[Byte] =
+    el(id, s.getBytes("US-ASCII"))
+  private def elF8(id: Long, v: Double): Array[Byte] = {
+    val bits = java.lang.Double.doubleToLongBits(v)
+    el(id, (1 to 8).map(k => ((bits >>> (8 * (8 - k))) & 0xff).toByte).toArray)
+  }
+
+  /** A Matroska file with one video track: `nFrames` SimpleBlocks in
+    * one Cluster, keyframe flag on samples 1, 1+keyEvery, ...; each
+    * block's frame payload leads with the BE32 sample number (the
+    * same self-identifying convention as [[mp4]]'s mdat samples).
+    * Duration is written in integer milliseconds (TimestampScale
+    * 1e6 ns) as `nFrames * 1000 / fps` — Long arithmetic, so the
+    * parse result is oracle-replayable exactly.
+    */
+  def mkv(width: Int, height: Int, fps: Int, nFrames: Int,
+      keyEvery: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && fps > 0 && nFrames > 0 && keyEvery > 0)
+    val header = el(0x1A45DFA3L,
+      elU(0x4286L, 1) ++ elU(0x42F7L, 1) ++ elU(0x42F2L, 4) ++
+        elU(0x42F3L, 8) ++ elS(0x4282L, "matroska") ++
+        elU(0x4287L, 4) ++ elU(0x4285L, 2))
+    val info = el(0x1549A966L,
+      elU(0x2AD7B1L, 1000000L) ++
+        elF8(0x4489L, (nFrames.toLong * 1000L / fps).toDouble))
+    val trackEntry = el(0xAEL,
+      elU(0xD7L, 1) ++ elU(0x83L, 1) ++ elS(0x86L, "V_MPEG4/ISO/AVC") ++
+        el(0xE0L, elU(0xB0L, width.toLong) ++ elU(0xBAL, height.toLong)))
+    val tracks = el(0x1654AE6BL, trackEntry)
+    val blocks = (1 to nFrames).map { i =>
+      val key = (i - 1) % keyEvery == 0
+      val w = new W
+      w.u8(0x81) // track 1 varint
+      w.u16(i) // s16 relative timestamp
+      w.u8(if (key) 0x80 else 0x00)
+      w.u32(i.toLong) // self-identifying frame payload
+      el(0xA3L, w.result())
+    }.reduce(_ ++ _)
+    val cluster = el(0x1F43B666L, elU(0xE7L, 0) ++ blocks)
+    val segment = el(0x18538067L, info ++ tracks ++ cluster)
+    header ++ segment
+  }
+
   /** Minimal AVI: RIFF('AVI ') → LIST hdrl → avih + LIST strl → strh
     * (vids). Enough container for [[VideoContainer.parse]]'s AVI path;
     * no frame data (metadata-only legacy ingest shape).

@@ -76,6 +76,38 @@ object MultimodalOps {
           expr("size(filter(kfs, kf -> int(conv(hex(substring(" +
             "media, int(kf.offset) + 1, 4)), 16, 10)) = kf.sample))")
             .cast("long").as("kf_payload_ok"))
+    },
+
+    // ---- q169: Matroska container round-trip — the EBML sibling of
+    // q168 (same build-parameters-from-doc_id trick, same identity
+    // contract). MkvContainer has no MP4-style sample table to
+    // resolve: frame and keyframe counts come from walking the
+    // Cluster's SimpleBlock headers (track varint + flags byte), so
+    // the gate certifies the EBML element walk, the track selection,
+    // the Info duration arithmetic, AND the block-stream scan.
+    "q169_mkv_container" -> { (s, d) =>
+      import s.implicits._
+      val params = Tables.documents(s, d)
+        .select($"doc_id".cast("long").as("doc_id"))
+        .withColumn("w", (lit(160) + ($"doc_id" % 7) * 16).cast("int"))
+        .withColumn("h", (lit(96) + ($"doc_id" % 4) * 16).cast("int"))
+        .withColumn("fps", (lit(6) + $"doc_id" % 5).cast("int"))
+        .withColumn("nf", (lit(6) + $"doc_id" % 18).cast("int"))
+        .withColumn("ke", (lit(1) + $"doc_id" % 3).cast("int"))
+      val build = udf { (w: Int, h: Int, fps: Int, nf: Int, ke: Int) =>
+        graft.operators.VideoFixtures.mkv(w, h, fps, nf, ke)
+      }
+      params
+        .withColumn("media", build($"w", $"h", $"fps", $"nf", $"ke"))
+        .withColumn("m", graft.operators.MkvContainer.mkvMeta($"media"))
+        .select($"doc_id",
+          $"m.format".as("format"),
+          $"m.codec".as("codec"),
+          $"m.width".cast("long").as("width"),
+          $"m.height".cast("long").as("height"),
+          $"m.duration_ms".as("duration_ms"),
+          $"m.n_frames".as("n_frames"),
+          $"m.n_keyframes".as("n_keyframes"))
     }
   )
 
@@ -135,6 +167,28 @@ object MultimodalOps {
         |  CAST(list_sum(list_transform(range(0, 1 + (nf - 1) // ke),
         |    j -> 64 + ((1 + j * ke) % 5) * 7)) AS BIGINT) AS kf_bytes,
         |  CAST(1 + (nf - 1) // ke AS BIGINT) AS kf_payload_ok
+        |FROM p""".stripMargin,
+
+    // Same identity contract as q168 over the EBML builder: every
+    // parsed field is doc_id arithmetic; format/codec are the
+    // builder's constants.
+    "q169_mkv_container" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    160 + (doc_id % 7) * 16 AS w,
+        |    96 + (doc_id % 4) * 16 AS h,
+        |    6 + (doc_id % 5) AS fps,
+        |    6 + (doc_id % 18) AS nf,
+        |    1 + (doc_id % 3) AS ke
+        |  FROM documents)
+        |SELECT doc_id,
+        |  'mkv' AS format,
+        |  'V_MPEG4/ISO/AVC' AS codec,
+        |  CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height,
+        |  CAST(nf * 1000 // fps AS BIGINT) AS duration_ms,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(1 + (nf - 1) // ke AS BIGINT) AS n_keyframes
         |FROM p""".stripMargin
   )
 }
