@@ -106,7 +106,7 @@ object VideoContainer {
     */
   private final class Mp4Tables(
       val brand: String, val durationMs: Long, val codec: String,
-      val width: Int, val height: Int,
+      val width: Int, val height: Int, val trackId: Long,
       val sttsTotal: Long,
       val stss: Array[Int], // sync sample numbers, 1-based; empty = all
       val hasStss: Boolean,
@@ -161,6 +161,9 @@ object VideoContainer {
               ((u32be(b, geomOff) >> 16).toInt,
                 (u32be(b, geomOff + 4) >> 16).toInt)
             else (0, 0)
+          val idOff = tk._1 + (if (tv == 1) 20 else 12)
+          val trackId =
+            if (idOff + 4 <= tk._2) u32be(b, idOff.toInt) else 0L
           val codec = path(b, sf, su, "stsd").flatMap { case (df, du) =>
             // entry_count at +4, first sample entry: size u32 + fourcc
             if (du - df >= 16 && u32be(b, df.toInt + 4) >= 1)
@@ -230,7 +233,7 @@ object VideoContainer {
             }
             out.result()
           }).getOrElse(Array.empty[Long])
-          new Mp4Tables(brand, durationMs, codec, w, h, sttsTotal,
+          new Mp4Tables(brand, durationMs, codec, w, h, trackId, sttsTotal,
             stss, hasStss, fixed, sizes, stsc, stco)
         })
       }
@@ -238,16 +241,125 @@ object VideoContainer {
     video
   }
 
+  /** Fragmented-MP4 (CMAF/DASH delivery shape, 14496-12 §8.8): the
+    * moov carries EMPTY sample tables and every frame fact lives in
+    * per-fragment `moof → traf → trun` runs. One top-level box scan
+    * accumulates the video track's samples in presentation order:
+    * sizes/flags from trun entries (falling back to tfhd defaults and
+    * honoring first-sample-flags), byte offsets from the traf base
+    * (explicit base-data-offset, or the moof start under
+    * default-base-is-moof — also the spec's default for the first
+    * traf) plus the trun data offset. Sync = the
+    * sample_is_non_sync_sample flag (bit 16) NOT set.
+    */
+  private final class FragStats(val nFrames: Long, val nKey: Long,
+      val ranges: Array[KeyframeRange])
+
+  private def fragments(b: Array[Byte], trackId: Long): FragStats = {
+    var nFrames = 0L
+    var nKey = 0L
+    val out = Array.newBuilder[KeyframeRange]
+    var sampleNo = 0
+    walkBoxes(b, 0, b.length.toLong) { (t, mf, mu) =>
+      if (t == "moof") {
+        val moofStart = mf - 8
+        walkBoxes(b, mf, mu) { (tt, tf, tu) =>
+          if (tt == "traf") findBox(b, tf, tu, "tfhd").foreach { case (hf, hu) =>
+            if (hu - hf >= 8 && u32be(b, hf.toInt + 4) == trackId) {
+              val flags = (u32be(b, hf.toInt) & 0xffffffL).toInt
+              var p = hf + 8
+              var base = moofStart
+              if ((flags & 0x1) != 0) { // base-data-offset present
+                if (p + 8 <= hu) base = u64be(b, p.toInt)
+                p += 8
+              }
+              if ((flags & 0x2) != 0) p += 4 // sample-description-index
+              var defSize = 0L
+              var defFlags = 0L
+              if ((flags & 0x8) != 0) p += 4 // default-sample-duration
+              if ((flags & 0x10) != 0) {
+                if (p + 4 <= hu) defSize = u32be(b, p.toInt)
+                p += 4
+              }
+              if ((flags & 0x20) != 0) {
+                if (p + 4 <= hu) defFlags = u32be(b, p.toInt)
+                p += 4
+              }
+              walkBoxes(b, tf, tu) { (rt, rf, ru) =>
+                if (rt == "trun" && ru - rf >= 8) {
+                  val rflags = (u32be(b, rf.toInt) & 0xffffffL).toInt
+                  val cnt = u32be(b, rf.toInt + 4)
+                  var q = rf + 8
+                  var off = base
+                  if ((rflags & 0x1) != 0) { // data-offset (SIGNED 32)
+                    if (q + 4 <= ru) off = base + u32be(b, q.toInt).toInt
+                    q += 4
+                  }
+                  var firstFlags = -1L
+                  if ((rflags & 0x4) != 0) {
+                    if (q + 4 <= ru) firstFlags = u32be(b, q.toInt)
+                    q += 4
+                  }
+                  var i = 0L
+                  var ok = true
+                  while (i < cnt && ok) {
+                    var sz = defSize
+                    var sfl =
+                      if (i == 0L && firstFlags >= 0) firstFlags else defFlags
+                    if ((rflags & 0x100) != 0) q += 4 // duration
+                    if ((rflags & 0x200) != 0) { // size
+                      if (q + 4 <= ru) sz = u32be(b, q.toInt) else ok = false
+                      q += 4
+                    }
+                    if ((rflags & 0x400) != 0) { // per-sample flags
+                      if (q + 4 <= ru) {
+                        // explicit per-sample flags win except where
+                        // first-sample-flags is defined to override
+                        if (!(i == 0L && firstFlags >= 0))
+                          sfl = u32be(b, q.toInt)
+                      } else ok = false
+                      q += 4
+                    }
+                    if ((rflags & 0x800) != 0) q += 4 // cts offset
+                    if (ok) {
+                      sampleNo += 1
+                      nFrames += 1
+                      if ((sfl & 0x10000L) == 0L) {
+                        nKey += 1
+                        out += KeyframeRange(sampleNo, off, sz)
+                      }
+                      off += sz
+                    }
+                    i += 1
+                  }
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+    new FragStats(nFrames, nKey, out.result())
+  }
+
   private def mp4(b: Array[Byte]): Option[Meta] = mp4Tables(b).map { t =>
-    Meta("mp4", t.brand, t.codec, t.width, t.height, t.durationMs,
-      t.sttsTotal, if (t.hasStss) t.stss.length.toLong else t.sttsTotal)
+    if (t.sttsTotal > 0)
+      Meta("mp4", t.brand, t.codec, t.width, t.height, t.durationMs,
+        t.sttsTotal, if (t.hasStss) t.stss.length.toLong else t.sttsTotal)
+    else {
+      val fs = fragments(b, t.trackId)
+      Meta("mp4", t.brand, t.codec, t.width, t.height, t.durationMs,
+        fs.nFrames, fs.nKey)
+    }
   }
 
   /** Byte ranges of every sync sample of the first video track
     * (1-based sample numbers). Resolution walks stsc's chunk runs in
     * order, accumulating per-chunk sample offsets from stsz — each
     * sample is visited once, O(nSamples), and only sync samples are
-    * emitted. Empty for non-MP4 / corrupt / table-less blobs.
+    * emitted. A FRAGMENTED file (empty moov tables) resolves through
+    * the moof/traf/trun scan instead ([[fragments]]). Empty for
+    * non-MP4 / corrupt blobs.
     */
   def keyframeRanges(bytes: Array[Byte]): Array[KeyframeRange] = {
     if (bytes == null) return Array.empty
@@ -258,7 +370,9 @@ object VideoContainer {
     val nSamples =
       (if (t.stszFixed != 0L) t.sttsTotal else t.stszSizes.length.toLong)
         .min(t.sttsTotal).toInt
-    if (nSamples <= 0 || t.stco.isEmpty || t.stsc.isEmpty) return Array.empty
+    // Empty moov tables = fragmented file: frame facts live in moofs.
+    if (nSamples <= 0 || t.stco.isEmpty || t.stsc.isEmpty)
+      return fragments(bytes, t.trackId).ranges
     def sizeOf(s0: Int): Long = // 0-based
       if (t.stszFixed != 0L) t.stszFixed else t.stszSizes(s0)
     val sync: Int => Boolean =

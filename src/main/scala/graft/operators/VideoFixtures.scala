@@ -167,6 +167,102 @@ object VideoFixtures {
     out.result()
   }
 
+  /** A fragmented MP4 (CMAF shape): the same track as [[mp4]] but the
+    * moov's sample tables are EMPTY (plus `mvex/trex`, as delivery
+    * encoders write) and samples arrive in `moof`+`mdat` fragments of
+    * `fragSamples`, each trun carrying per-sample sizes and flags
+    * (key = global sample 1, 1+keyEvery, ...) with
+    * default-base-is-moof addressing. Sample payloads keep the BE32
+    * self-identifying magic.
+    */
+  def fmp4(width: Int, height: Int, fps: Int, nFrames: Int,
+      keyEvery: Int, fragSamples: Int = 5): Array[Byte] = {
+    require(width > 0 && height > 0 && fps > 0 && nFrames > 0 &&
+      keyEvery > 0 && fragSamples > 0)
+    val identityMatrix: W => Unit = w => {
+      w.u32(0x00010000L).u32(0).u32(0)
+      w.u32(0).u32(0x00010000L).u32(0)
+      w.u32(0).u32(0).u32(0x40000000L)
+    }
+    val mvhd = box("mvhd") { w =>
+      w.u32(0).u32(0).u32(0).u32(fps.toLong).u32(nFrames.toLong)
+        .u32(0x00010000L).u16(0x0100).u16(0).zeros(8)
+      identityMatrix(w)
+      w.zeros(24).u32(2)
+    }
+    val tkhd = box("tkhd") { w =>
+      w.u32(7).u32(0).u32(0).u32(1).u32(0).u32(nFrames.toLong)
+        .zeros(8).u16(0).u16(0).u16(0).u16(0)
+      identityMatrix(w)
+      w.u32(width.toLong << 16).u32(height.toLong << 16)
+    }
+    val mdhd = box("mdhd")(w => w.u32(0).u32(0).u32(0)
+      .u32(fps.toLong).u32(nFrames.toLong).u16(0x55c4).u16(0))
+    val hdlr = box("hdlr")(w => w.u32(0).u32(0).cc("vide").zeros(12).u8(0))
+    val stsd = box("stsd") { w =>
+      w.u32(0).u32(1)
+      w.u32(86).cc("avc1").zeros(6).u16(1).zeros(16)
+        .u16(width).u16(height).u32(0x00480000L).u32(0x00480000L)
+        .u32(0).u16(1).zeros(32).u16(24).u16(0xffff)
+    }
+    val emptyTables =
+      box("stts")(w => w.u32(0).u32(0)) ++
+        box("stsz")(w => w.u32(0).u32(0).u32(0)) ++
+        box("stsc")(w => w.u32(0).u32(0)) ++
+        box("stco")(w => w.u32(0).u32(0))
+    val stbl = box("stbl")(w => w.bytes(stsd).bytes(emptyTables))
+    val minf = box("minf")(w => w.bytes(stbl))
+    val mdia = box("mdia")(w => w.bytes(mdhd).bytes(hdlr).bytes(minf))
+    val trak = box("trak")(w => w.bytes(tkhd).bytes(mdia))
+    val trex = box("trex")(w =>
+      w.u32(0).u32(1).u32(1).u32(0).u32(0).u32(0))
+    val mvex = box("mvex")(w => w.bytes(trex))
+    val moov = box("moov")(w => w.bytes(mvhd).bytes(trak).bytes(mvex))
+    val ftyp = box("ftyp")(w => w.cc("isom").u32(0x200).cc("iso6"))
+
+    val out = new W
+    out.bytes(ftyp).bytes(moov)
+    var sample = 1
+    var seq = 1L
+    while (sample <= nFrames) {
+      val cnt = math.min(fragSamples, nFrames - sample + 1)
+      val first = sample
+      def trun(dataOffset: Long): Array[Byte] = box("trun") { w =>
+        w.u32(0x000601L) // flags: data-offset | size | sample-flags
+          .u32(cnt.toLong).u32(dataOffset)
+        (0 until cnt).foreach { k =>
+          val s = first + k
+          w.u32(sampleSize(s))
+          w.u32(if ((s - 1) % keyEvery == 0) 0L else 0x10000L)
+        }
+      }
+      def moof(dataOffset: Long): Array[Byte] = {
+        val mfhd = box("mfhd")(w => w.u32(0).u32(seq))
+        // tfhd: default-base-is-moof, track 1, no defaults.
+        val tfhd = box("tfhd")(w => w.u32(0x020000L).u32(1))
+        val traf = box("traf")(w => w.bytes(tfhd).bytes(trun(dataOffset)))
+        box("moof")(w => w.bytes(mfhd).bytes(traf))
+      }
+      val probe = moof(0L)
+      val frag = moof(probe.length + 8L) // mdat payload, moof-relative
+      require(frag.length == probe.length)
+      out.bytes(frag)
+      val mdat = box("mdat") { w =>
+        (first until first + cnt).foreach { s =>
+          w.u32(s.toLong)
+          val fill = (sampleSize(s) - 4).toInt
+          val fb = new Array[Byte](fill)
+          java.util.Arrays.fill(fb, ((s * 31) & 0xff).toByte)
+          w.bytes(fb)
+        }
+      }
+      out.bytes(mdat)
+      sample += cnt
+      seq += 1
+    }
+    out.result()
+  }
+
   // ---- Matroska (EBML, RFC 8794) ----------------------------------------
 
   private def ebmlId(id: Long): Array[Byte] = {

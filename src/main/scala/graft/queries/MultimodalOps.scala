@@ -108,6 +108,42 @@ object MultimodalOps {
           $"m.duration_ms".as("duration_ms"),
           $"m.n_frames".as("n_frames"),
           $"m.n_keyframes".as("n_keyframes"))
+    },
+
+    // ---- q170: FRAGMENTED MP4 (CMAF/DASH delivery shape) — q168's
+    // identity contract over the moof/traf/trun path: empty moov
+    // sample tables, frame facts accumulated across fragments, byte
+    // offsets resolved from default-base-is-moof + trun data offsets.
+    // The payload-magic check certifies every claimed keyframe range
+    // lands on the right sample across FRAGMENT boundaries (fragment
+    // size 5 deliberately misaligns with the keyframe stride).
+    "q170_fmp4_container" -> { (s, d) =>
+      import s.implicits._
+      val params = Tables.documents(s, d)
+        .select($"doc_id".cast("long").as("doc_id"))
+        .withColumn("w", (lit(176) + ($"doc_id" % 6) * 16).cast("int"))
+        .withColumn("h", (lit(112) + ($"doc_id" % 5) * 16).cast("int"))
+        .withColumn("fps", (lit(4) + $"doc_id" % 7).cast("int"))
+        .withColumn("nf", (lit(7) + $"doc_id" % 16).cast("int"))
+        .withColumn("ke", (lit(2) + $"doc_id" % 3).cast("int"))
+      val build = udf { (w: Int, h: Int, fps: Int, nf: Int, ke: Int) =>
+        graft.operators.VideoFixtures.fmp4(w, h, fps, nf, ke, fragSamples = 5)
+      }
+      params
+        .withColumn("media", build($"w", $"h", $"fps", $"nf", $"ke"))
+        .withColumn("m", graft.operators.VideoContainer.videoMeta($"media"))
+        .withColumn("kfs", graft.operators.VideoContainer.keyframeMap($"media"))
+        .select($"doc_id",
+          $"m.width".cast("long").as("width"),
+          $"m.height".cast("long").as("height"),
+          $"m.duration_ms".as("duration_ms"),
+          $"m.n_frames".as("n_frames"),
+          $"m.n_keyframes".as("n_keyframes"),
+          expr("aggregate(kfs, 0L, (acc, kf) -> acc + kf.size)")
+            .as("kf_bytes"),
+          expr("size(filter(kfs, kf -> int(conv(hex(substring(" +
+            "media, int(kf.offset) + 1, 4)), 16, 10)) = kf.sample))")
+            .cast("long").as("kf_payload_ok"))
     }
   )
 
@@ -189,6 +225,29 @@ object MultimodalOps {
         |  CAST(nf * 1000 // fps AS BIGINT) AS duration_ms,
         |  CAST(nf AS BIGINT) AS n_frames,
         |  CAST(1 + (nf - 1) // ke AS BIGINT) AS n_keyframes
+        |FROM p""".stripMargin,
+
+    // q168's arithmetic with q170's parameter derivation — the
+    // fragmented layout changes WHERE the facts live in the file, not
+    // what they are, which is exactly what the identity gate checks.
+    "q170_fmp4_container" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    176 + (doc_id % 6) * 16 AS w,
+        |    112 + (doc_id % 5) * 16 AS h,
+        |    4 + (doc_id % 7) AS fps,
+        |    7 + (doc_id % 16) AS nf,
+        |    2 + (doc_id % 3) AS ke
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height,
+        |  CAST(nf * 1000 // fps AS BIGINT) AS duration_ms,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(1 + (nf - 1) // ke AS BIGINT) AS n_keyframes,
+        |  CAST(list_sum(list_transform(range(0, 1 + (nf - 1) // ke),
+        |    j -> 64 + ((1 + j * ke) % 5) * 7)) AS BIGINT) AS kf_bytes,
+        |  CAST(1 + (nf - 1) // ke AS BIGINT) AS kf_payload_ok
         |FROM p""".stripMargin
   )
 }

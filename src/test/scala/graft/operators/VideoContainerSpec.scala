@@ -84,6 +84,38 @@ class VideoContainerSpec extends SparkSpec {
     }
   }
 
+  test("fragmented mp4: frame facts come from moof/traf/trun") {
+    for ((n, fragSz) <- Seq((23, 5), (8, 4), (3, 5), (12, 1))) {
+      val b = VideoFixtures.fmp4(320, 240, 10, n, keyEvery = 5,
+        fragSamples = fragSz)
+      val m = VideoContainer.parse(b).get
+      assert(m.format == "mp4" && m.codec == "avc1")
+      assert(m.width == 320 && m.height == 240)
+      assert(m.nFrames == n.toLong, s"n=$n fragSz=$fragSz")
+      assert(m.nKeyframes == (1 to n by 5).length.toLong)
+      val kfs = VideoContainer.keyframeRanges(b)
+      assert(kfs.map(_.sample).toSeq == (1 to n by 5).toSeq)
+      kfs.foreach { k =>
+        assert(k.size == VideoFixtures.sampleSize(k.sample))
+        val off = k.offset.toInt
+        val magic = ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+          ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+        assert(magic == k.sample,
+          s"fmp4 sample ${k.sample} sliced at wrong offset (n=$n)")
+      }
+    }
+    // Truncations/flips never throw on the fragmented path either.
+    val b = VideoFixtures.fmp4(64, 64, 5, 9, 2, 4)
+    (0 until b.length by 7).foreach { cut =>
+      VideoContainer.parse(java.util.Arrays.copyOf(b, cut))
+      VideoContainer.keyframeRanges(java.util.Arrays.copyOf(b, cut))
+    }
+    (0 until b.length by 3).foreach { i =>
+      val c = b.clone(); c(i) = (c(i) ^ 0x5a).toByte
+      VideoContainer.parse(c); VideoContainer.keyframeRanges(c)
+    }
+  }
+
   test("keyframePayloads slices real encoded payloads as rows") {
     import spark.implicits._
     val df = Seq(
