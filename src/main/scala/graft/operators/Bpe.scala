@@ -56,28 +56,17 @@ object Bpe {
     import spark.implicits._
     require(rounds > 0, s"rounds must be positive, got $rounds")
 
-    // Iterative-loop latency discipline (measured, round 10): the
-    // per-round pair table is VOCAB-bounded (931 distinct pairs on the
-    // sf0.1 corpus; vocab² worst case at any scale), so the reduce
-    // side of the count is a few KB no matter how big the corpus is.
-    // At the session's defaults that tiny aggregate paid ~0.5 s/round:
-    // AQE materializes each shuffle stage as its own job (~0.3 s of
-    // fixed latency per round) and then schedules 32 reduce tasks for
-    // <1000 rows. Pin a small reduce width and skip AQE INSIDE the
-    // loop only (saved/restored): map-side partial agg still collapses
-    // counts to the pair vocabulary before the exchange, so the map
-    // side — the only corpus-sized part — is unchanged at any scale.
+    // Iterative-loop latency discipline (measured, round 10; see
+    // IterLoop): the per-round pair table is VOCAB-bounded (931
+    // distinct pairs on the sf0.1 corpus; vocab² worst case at any
+    // scale), so the reduce side of the count is a few KB no matter
+    // how big the corpus is, while map-side partial agg still
+    // collapses counts to the pair vocabulary before the exchange.
     // `aggPartitions` sizes the reduce side: the default suits pair
     // vocabularies up to ~10 M; a web-scale early-round vocabulary
     // wants ~vocab²·16B/64MiB partitions.
-    val confs = Seq("spark.sql.adaptive.enabled" -> "false",
-      "spark.sql.shuffle.partitions" -> aggPartitions.toString)
-    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try trainMergesLoop(docs, id, text, rounds)
-    finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
+    IterLoop.tinyReduce(spark, aggPartitions) {
+      trainMergesLoop(docs, id, text, rounds)
     }
   }
 

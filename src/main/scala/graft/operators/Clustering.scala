@@ -142,15 +142,22 @@ object Clustering {
     val meanAgg = udaf(new VecMean, ExpressionEncoder[Seq[Double]]())
     var cents = init
     var out = base.withColumn("cell", assign(cents))
-    var r = 0
-    while (r < updates) {
-      // k rows of k·dim doubles to the driver: the per-round sync point.
-      // Empty cells drop out (no members ⇒ no row), as in the SQL form.
-      cents = out.groupBy(col("cell")).agg(meanAgg(col("rv")).as("c"))
-        .as[(Int, Seq[Double])].collect()
-        .sortBy(_._1).map { case (ci, c) => (ci, c.toArray) }
-      out = base.withColumn("cell", assign(cents))
-      r += 1
+    // Per-update reduce is K-BOUNDED (k centroid rows of k·dim
+    // doubles) while the assign map side is untouched — the IterLoop
+    // latency discipline applies (vocab-bounded argument, measured on
+    // the BPE trainer; PERF.md round-10).
+    IterLoop.tinyReduce(spark) {
+      var r = 0
+      while (r < updates) {
+        // k rows of k·dim doubles to the driver: the per-round sync
+        // point. Empty cells drop out (no members ⇒ no row), as in
+        // the SQL form.
+        cents = out.groupBy(col("cell")).agg(meanAgg(col("rv")).as("c"))
+          .as[(Int, Seq[Double])].collect()
+          .sortBy(_._1).map { case (ci, c) => (ci, c.toArray) }
+        out = base.withColumn("cell", assign(cents))
+        r += 1
+      }
     }
     val res = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     res.count()

@@ -151,6 +151,29 @@ object ImageHeader {
     f(blob).cast("struct<format:string,width:int,height:int,channels:int>")
   }
 
+  /** Deterministic BMP synthesis (BITMAPINFOHEADER, 24 bpp, rows
+    * 4-byte padded) — the image member of the media fixture family
+    * ([[VideoFixtures]]): real spec-conformant bytes from integer
+    * parameters, so mixed-media routing gates can compute expected
+    * parse output as pure arithmetic.
+    */
+  def bmpFixture(width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val rowSize = (3 * width + 3) & ~3
+    val dataSize = rowSize * height
+    val out = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54)
+    out.putInt(40).putInt(width).putInt(height)
+      .putShort(1).putShort(24).putInt(0).putInt(dataSize)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    (0 until height).foreach { y =>
+      (0 until rowSize).foreach(x => out.put(((x * 31 + y * 7) & 0xff).toByte))
+    }
+    out.array()
+  }
+
   /** [[Multimodal.mediaSchema]]-shaped frame from REAL bytes: doc_id,
     * media, and header-derived format/width/height (null metadata rows
     * — unrecognized blobs — are kept with format null so callers can

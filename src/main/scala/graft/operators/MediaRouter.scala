@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unified media triage — the ENTRY POINT of a mixed-media corpus:
+  * one pass over the blob column classifies every row by container
+  * (image via [[ImageHeader]], video via [[VideoContainer]] /
+  * [[MkvContainer]], PCM audio via the RIFF/AIFF/AU magics the JDK
+  * sound stack reads) and extracts the kind-appropriate geometry, so
+  * downstream stages `filter($"kind" === ...)` into the right decode
+  * path and everything unrecognized lands in quarantine EXPLICITLY
+  * (kind = null) instead of failing deep inside a decoder.
+  *
+  * Detection is magic-byte dispatch, cheapest check first, and each
+  * format parser re-validates its own structure — a blob is never
+  * claimed by more than one parser (the container specs assert the
+  * MP4/EBML disjointness). Scale shape: one narrow per-row map, no
+  * shuffle; video parsers touch only metadata regions.
+  */
+object MediaRouter {
+
+  /** (kind, format, width, height, duration_ms, n_frames) — kind in
+    * {image, video, audio}; null struct = quarantine. Audio carries
+    * no cheap header geometry (frame math needs the full decode,
+    * [[Multimodal.decodeAudioFeatures]]); its fields stay null here
+    * beyond the format tag.
+    */
+  final case class Triage(kind: String, format: String,
+      width: Option[Int], height: Option[Int],
+      durationMs: Option[Long], nFrames: Option[Long])
+
+  private def audioFormat(b: Array[Byte]): Option[String] = {
+    if (b == null || b.length < 12) None
+    else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')
+      Some("wav")
+    else if (b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M' &&
+      b(8) == 'A' && b(9) == 'I' && b(10) == 'F')
+      Some("aiff") // AIFF and AIFC both start FORM....AIF
+    else if (b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd')
+      Some("au")
+    else None
+  }
+
+  def triage(b: Array[Byte]): Option[Triage] = {
+    if (b == null) return None
+    ImageHeader.parse(b).map(m =>
+        Triage("image", m.format, Some(m.width), Some(m.height), None, None))
+      .orElse(VideoContainer.parse(b).map(m =>
+        Triage("video", m.format, Some(m.width), Some(m.height),
+          Some(m.durationMs), Some(m.nFrames))))
+      .orElse(MkvContainer.parse(b).map(m =>
+        Triage("video", m.format, Some(m.width), Some(m.height),
+          Some(m.durationMs), Some(m.nFrames))))
+      .orElse(audioFormat(b).map(f =>
+        Triage("audio", f, None, None, None, None)))
+  }
+
+  /** struct(kind, format, width, height, duration_ms, n_frames);
+    * null = quarantine.
+    */
+  def mediaKind(blob: Column): Column = {
+    val f = udf { b: Array[Byte] =>
+      triage(b).map(t => (t.kind, t.format, t.width, t.height,
+        t.durationMs, t.nFrames))
+    }
+    f(blob).cast("struct<kind:string,format:string,width:int,height:int," +
+      "duration_ms:bigint,n_frames:bigint>")
+  }
+
+  /** The routed frame: input columns + (kind, format, width, height,
+    * duration_ms, n_frames), quarantine rows kept with kind null.
+    */
+  def route(df: DataFrame, blobCol: String = "media"): DataFrame =
+    df.withColumn("_t", mediaKind(col(blobCol)))
+      .select(df.columns.map(col) :+ col("_t.kind").as("kind") :+
+        col("_t.format").as("format") :+ col("_t.width").as("width") :+
+        col("_t.height").as("height") :+
+        col("_t.duration_ms").as("duration_ms") :+
+        col("_t.n_frames").as("n_frames"): _*)
+}

@@ -144,6 +144,40 @@ object MultimodalOps {
           expr("size(filter(kfs, kf -> int(conv(hex(substring(" +
             "media, int(kf.offset) + 1, 4)), 16, 10)) = kf.sample))")
             .cast("long").as("kf_payload_ok"))
+    },
+
+    // ---- q171: mixed-media triage — the corpus entry point: per doc,
+    // build one of FIVE media shapes chosen by doc_id (BMP image,
+    // progressive MP4, fragmented MP4, Matroska, or garbage bytes),
+    // route the blob through MediaRouter's magic-byte dispatch, and
+    // report (kind, format, width, height, n_frames). Quarantine rows
+    // (garbage) keep NULL kind — the oracle knows exactly which rows
+    // those are, so the gate certifies both every detector AND the
+    // refusal path in one query.
+    "q171_media_routing" -> { (s, d) =>
+      import s.implicits._
+      val params = Tables.documents(s, d)
+        .select($"doc_id".cast("long").as("doc_id"))
+        .withColumn("shape", ($"doc_id" % 5).cast("int"))
+        .withColumn("w", (lit(16) + ($"doc_id" % 6) * 4).cast("int"))
+        .withColumn("h", (lit(12) + ($"doc_id" % 4) * 4).cast("int"))
+        .withColumn("nf", (lit(5) + $"doc_id" % 9).cast("int"))
+      val build = udf { (shape: Int, w: Int, h: Int, nf: Int) =>
+        import graft.operators.VideoFixtures
+        shape match {
+          case 0 => graft.operators.ImageHeader.bmpFixture(w, h)
+          case 1 => VideoFixtures.mp4(w, h, 5, nf, 2)
+          case 2 => VideoFixtures.fmp4(w, h, 5, nf, 2, fragSamples = 3)
+          case 3 => VideoFixtures.mkv(w, h, 5, nf, 2)
+          case _ => s"not media at all #$w/$h".getBytes("UTF-8")
+        }
+      }
+      graft.operators.MediaRouter.route(
+          params.withColumn("media", build($"shape", $"w", $"h", $"nf")))
+        .select($"doc_id", $"kind", $"format",
+          $"width".cast("long").as("width"),
+          $"height".cast("long").as("height"),
+          $"n_frames".as("n_frames"))
     }
   )
 
@@ -248,6 +282,27 @@ object MultimodalOps {
         |  CAST(list_sum(list_transform(range(0, 1 + (nf - 1) // ke),
         |    j -> 64 + ((1 + j * ke) % 5) * 7)) AS BIGINT) AS kf_bytes,
         |  CAST(1 + (nf - 1) // ke AS BIGINT) AS kf_payload_ok
+        |FROM p""".stripMargin,
+
+    // The five shapes are pure doc_id arithmetic, so kind/format/
+    // geometry are too; shape 4 (garbage) must land in quarantine
+    // with every routed field NULL.
+    "q171_media_routing" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 5 AS shape,
+        |    16 + (doc_id % 6) * 4 AS w,
+        |    12 + (doc_id % 4) * 4 AS h,
+        |    5 + (doc_id % 9) AS nf
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN shape = 0 THEN 'image' WHEN shape <= 3 THEN 'video'
+        |       ELSE NULL END AS kind,
+        |  CASE shape WHEN 0 THEN 'bmp' WHEN 1 THEN 'mp4' WHEN 2 THEN 'mp4'
+        |       WHEN 3 THEN 'mkv' ELSE NULL END AS format,
+        |  CASE WHEN shape <= 3 THEN CAST(w AS BIGINT) END AS width,
+        |  CASE WHEN shape <= 3 THEN CAST(h AS BIGINT) END AS height,
+        |  CASE WHEN shape BETWEEN 1 AND 3 THEN CAST(nf AS BIGINT) END
+        |    AS n_frames
         |FROM p""".stripMargin
   )
 }
