@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   *  - Segment → Info: TimestampScale + Duration → duration_ms.
   *  - Segment → Tracks → first video TrackEntry: codec id,
   *    PixelWidth/PixelHeight.
-  *  - Segment → Clusters → SimpleBlocks of that track: frame count
-  *    and keyframe count (the SimpleBlock header's keyframe flag) —
-  *    Matroska has no MP4-style sample table, so frame-level facts
-  *    come from the block stream itself; the walk reads each block's
-  *    HEADER (track varint + 3 bytes) and skips its payload.
+  *  - Segment → Clusters → the track's block stream: frame count and
+  *    keyframe count from BOTH block forms — SimpleBlock (keyframe
+  *    flag in the header) and BlockGroup/Block (keyframe = no
+  *    ReferenceBlock in the group) — with laced blocks counted at
+  *    their packed frame count. Matroska has no MP4-style sample
+  *    table, so frame-level facts come from the block stream itself;
+  *    the walk reads each block's HEADER and skips its payload.
   *
   * Scale shape: identical to the MP4 path — a narrow per-row map, no
   * shuffle; cost is one linear scan of the blob's element headers
@@ -107,6 +109,9 @@ object MkvContainer {
   private val PixelHeight = 0xBAL
   private val Cluster = 0x1F43B666L
   private val SimpleBlock = 0xA3L
+  private val BlockGroup = 0xA0L
+  private val Block = 0xA1L
+  private val ReferenceBlock = 0xFBL
 
   /** Parse; None unless the blob is EBML with a matroska/webm DocType
     * carrying a video track.
@@ -159,18 +164,45 @@ object MkvContainer {
       }
     }
     if (videoTrack < 0) return None
-    // Frame/keyframe counts: SimpleBlock headers of the video track.
+    // Frame/keyframe counts from the block stream of the video track.
+    // Both block forms (Matroska §blocks): bare SimpleBlocks (keyframe
+    // flag 0x80 in the block header) and BlockGroup/Block (keyframe =
+    // the group carries NO ReferenceBlock). A laced block packs
+    // multiple frames — lacing bits 0x06 of the flags byte; when set,
+    // the byte after the flags is (frame count - 1) for ALL three
+    // lacing modes, which is all counting needs (sizes are skipped
+    // with the payload).
+    def laceCount(bf: Long, bu: Long): Long = {
+      val tn = varint(b, bf.toInt, keepMarker = false)
+      if (tn == null || tn.value != videoTrack || bf + tn.len + 3 > bu) return 0L
+      val flags = b((bf + tn.len + 2).toInt) & 0xff
+      if ((flags & 0x06) == 0) 1L
+      else if (bf + tn.len + 4 <= bu) (b((bf + tn.len + 3).toInt) & 0xff) + 1L
+      else 0L
+    }
+    def blockFlags(bf: Long, bu: Long): Int = {
+      val tn = varint(b, bf.toInt, keepMarker = false)
+      if (tn == null || bf + tn.len + 3 > bu) 0
+      else b((bf + tn.len + 2).toInt) & 0xff
+    }
     var nFrames = 0L
     var nKey = 0L
     walk(b, sf, su) { (id, cf, cu) =>
       if (id == Cluster) walk(b, cf, cu) { (bid, bf, bu) =>
         if (bid == SimpleBlock) {
-          val tn = varint(b, bf.toInt, keepMarker = false)
-          // track varint + s16 timestamp + flags byte must fit.
-          if (tn != null && tn.value == videoTrack && bf + tn.len + 3 <= bu) {
-            nFrames += 1
-            if ((b((bf + tn.len + 2).toInt) & 0x80) != 0) nKey += 1
+          val n = laceCount(bf, bu)
+          nFrames += n
+          // Keyframe flag: "this block contains only keyframes".
+          if (n > 0 && (blockFlags(bf, bu) & 0x80) != 0) nKey += n
+        } else if (bid == BlockGroup) {
+          var ref = false
+          var n = 0L
+          walk(b, bf, bu) { (gid, gf, gu) =>
+            if (gid == Block) n += laceCount(gf, gu)
+            else if (gid == ReferenceBlock) ref = true
           }
+          nFrames += n
+          if (!ref) nKey += n // no reference = I-frames (Matroska §BlockGroup)
         }
       }
     }

@@ -388,6 +388,66 @@ object Multimodal {
       .drop("_au")
   }
 
+  /** Video codecs whose sample payloads the JDK can rasterize: each
+    * Motion-JPEG sample IS a baseline JPEG (`jpeg` is the 14496-12/
+    * QuickTime sample-entry fourcc, `mjpa`/`mjpb` the QuickTime
+    * field-coded variants, `MJPG`/`mjpg`/`AVDJ`/`dmb1` the RIFF-world
+    * spellings). Everything else (AVC/HEVC/VP9/AV1...) needs a codec
+    * library and stays the documented stub.
+    */
+  private val JpegVideoCodecs =
+    Set("jpeg", "mjpa", "mjpb", "MJPG", "mjpg", "AVDJ", "dmb1")
+
+  /** REAL video pixel decode for the JDK-decodable codec family —
+    * Motion-JPEG: [[VideoContainer.keyframePayloads]] slices each sync
+    * sample's exact byte range out of the blob (non-key bytes never
+    * leave the scan) and, because every MJPEG sample is a standalone
+    * baseline JPEG, `javax.imageio` rasterizes it with no codec
+    * library. Output: one row per keyframe — (doc_id, sample,
+    * frame_w, frame_h, mean_r, mean_g, mean_b) with integer (floored)
+    * per-channel raster means; a payload ImageIO cannot decode keeps
+    * NULL frame fields (the [[decodeImages]] quarantine rule, so a
+    * corrupt frame is visible rather than dropped).
+    *
+    * Blobs whose container codec is NOT in the MJPEG family are
+    * excluded (that decode IS the stub boundary); route mixed corpora
+    * with [[MediaRouter]] first. Scale shape: two narrow per-row maps
+    * (container walk, then decode of only keyframe bytes) — no
+    * shuffle, no driver collect; the decode cost rides the keyframe
+    * byte volume, which stss-slicing already minimized.
+    */
+  def decodeKeyframes(media: DataFrame, blobCol: String = "media"): DataFrame = {
+    val mjpeg = media
+      .withColumn("_vc", VideoContainer.videoMeta(col(blobCol)).getField("codec"))
+      .filter(col("_vc").isInCollection(JpegVideoCodecs))
+      .drop("_vc")
+    val dec = udf { bytes: Array[Byte] =>
+      val img = decodeImage(bytes)
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        var r = 0L; var g = 0L; var b = 0L
+        var i = 0
+        while (i < px.length) {
+          val p = px(i)
+          r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+          i += 1
+        }
+        val n = w.toLong * h
+        if (n == 0L) None
+        else Some((w, h, (r / n).toInt, (g / n).toInt, (b / n).toInt))
+      }
+    }
+    VideoContainer.keyframePayloads(mjpeg, blobCol = blobCol)
+      .withColumn("_f", dec(col("payload")))
+      .select(col("doc_id"), col("sample"),
+        col("_f._1").as("frame_w"), col("_f._2").as("frame_h"),
+        col("_f._3").as("mean_r"), col("_f._4").as("mean_g"),
+        col("_f._5").as("mean_b"))
+  }
+
   /** Frame sampling: slice the blob into fixed-size frames and keep every
     * `stride`-th one — the video-keyframe-sampling layout, as a generator
     * (one output row per sampled frame). Entirely native expressions:

@@ -54,10 +54,57 @@ object VideoFixtures {
 
   /** A playable-shape MP4: one video track, `nFrames` samples at
     * `fps` (timescale = fps, delta 1), sync samples every `keyEvery`.
+    * Synthetic `avc1` samples carrying the BE32 self-identifying magic
+    * (see object scaladoc) — the container-parser gate fixture.
     */
   def mp4(width: Int, height: Int, fps: Int, nFrames: Int,
-      keyEvery: Int): Array[Byte] = {
+      keyEvery: Int): Array[Byte] =
+    mp4Container(width, height, fps, keyEvery, "avc1",
+      (1 to nFrames).map { i =>
+        val w = new W
+        w.u32(i.toLong)
+        val fb = new Array[Byte]((sampleSize(i) - 4).toInt)
+        java.util.Arrays.fill(fb, ((i * 31) & 0xff).toByte)
+        w.bytes(fb).result()
+      })
+
+  /** A REAL decodable video: Motion-JPEG in MP4 (sample entry `jpeg`),
+    * every sample an actual baseline-JFIF image the JDK decodes —
+    * `rgbOf(sample)` gives frame `i`'s solid fill as 0xRRGGBB. This is
+    * the one video codec that needs no codec library (each frame IS a
+    * JPEG), so it is the honest pixel-path fixture:
+    * [[VideoContainer.keyframePayloads]] slices frames and
+    * [[Multimodal.decodeKeyframes]] rasterizes them for real.
+    */
+  def mjpegMp4(width: Int, height: Int, fps: Int, nFrames: Int,
+      keyEvery: Int, rgbOf: Int => Int): Array[Byte] =
+    mp4Container(width, height, fps, keyEvery, "jpeg",
+      (1 to nFrames).map(i => solidJpeg(width, height, rgbOf(i))))
+
+  /** One solid-color baseline JPEG via `javax.imageio` (JDK-only). */
+  def solidJpeg(width: Int, height: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val g = img.createGraphics()
+    try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, width, height) }
+    finally g.dispose()
+    val out = new ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "jpeg", out),
+      "JDK has no JPEG writer") // never on a conformant JRE
+    out.toByteArray
+  }
+
+  /** The shared progressive-MP4 layout: one `vide` track whose stsd
+    * sample entry carries `codec`, samples = `payloads` (1-based
+    * sample `i` is `payloads(i-1)`), chunked [[ChunkSamples]] per
+    * chunk, sync every `keyEvery`.
+    */
+  private def mp4Container(width: Int, height: Int, fps: Int,
+      keyEvery: Int, codec: String,
+      payloads: IndexedSeq[Array[Byte]]): Array[Byte] = {
+    val nFrames = payloads.length
     require(width > 0 && height > 0 && fps > 0 && nFrames > 0 && keyEvery > 0)
+    def payloadSize(i: Int): Long = payloads(i - 1).length.toLong
     val identityMatrix: W => Unit = w => {
       w.u32(0x00010000L).u32(0).u32(0)
       w.u32(0).u32(0x00010000L).u32(0)
@@ -91,8 +138,8 @@ object VideoFixtures {
     }
     val stsd = box("stsd") { w =>
       w.u32(0).u32(1)
-      // avc1 VisualSampleEntry: 86 bytes.
-      w.u32(86).cc("avc1").zeros(6).u16(1) // reserved, data_ref_index
+      // VisualSampleEntry: 86 bytes.
+      w.u32(86).cc(codec).zeros(6).u16(1) // reserved, data_ref_index
         .zeros(16) // pre_defined/reserved
         .u16(width).u16(height)
         .u32(0x00480000L).u32(0x00480000L) // 72 dpi
@@ -108,7 +155,7 @@ object VideoFixtures {
     }
     val stsz = box("stsz") { w =>
       w.u32(0).u32(0).u32(nFrames.toLong)
-      (1 to nFrames).foreach(i => w.u32(sampleSize(i)))
+      (1 to nFrames).foreach(i => w.u32(payloadSize(i)))
     }
     val nChunks = (nFrames + ChunkSamples - 1) / ChunkSamples
     val lastChunkSamples = nFrames - (nChunks - 1) * ChunkSamples
@@ -132,7 +179,7 @@ object VideoFixtures {
       (1 to nChunks).map { c =>
         val here = off
         val inChunk = if (c == nChunks) lastChunkSamples else ChunkSamples
-        (0 until inChunk).foreach { _ => off += sampleSize(sample); sample += 1 }
+        (0 until inChunk).foreach { _ => off += payloadSize(sample); sample += 1 }
         here
       }
     }
@@ -154,13 +201,7 @@ object VideoFixtures {
     val finalMoov = moov(chunkOffsets(mdatPayload))
     require(finalMoov.length == probeMoov.length)
     val mdat = box("mdat") { w =>
-      (1 to nFrames).foreach { i =>
-        w.u32(i.toLong)
-        val fill = (sampleSize(i) - 4).toInt
-        val fb = new Array[Byte](fill)
-        java.util.Arrays.fill(fb, ((i * 31) & 0xff).toByte)
-        w.bytes(fb)
-      }
+      payloads.foreach(p => w.bytes(p))
     }
     val out = new W
     out.bytes(ftyp).bytes(finalMoov).bytes(mdat)
@@ -302,6 +343,23 @@ object VideoFixtures {
   def mkv(width: Int, height: Int, fps: Int, nFrames: Int,
       keyEvery: Int): Array[Byte] = {
     require(width > 0 && height > 0 && fps > 0 && nFrames > 0 && keyEvery > 0)
+    val blocks = (1 to nFrames).map { i =>
+      val key = (i - 1) % keyEvery == 0
+      val w = new W
+      w.u8(0x81) // track 1 varint
+      w.u16(i) // s16 relative timestamp
+      w.u8(if (key) 0x80 else 0x00)
+      w.u32(i.toLong) // self-identifying frame payload
+      el(0xA3L, w.result())
+    }.reduce(_ ++ _)
+    mkvAround(width, height, fps, nFrames, blocks)
+  }
+
+  /** The [[mkv]] track/info skeleton around caller-supplied cluster
+    * payload — shared by the block-form variants below.
+    */
+  private def mkvAround(width: Int, height: Int, fps: Int, nFrames: Int,
+      blocks: Array[Byte]): Array[Byte] = {
     val header = el(0x1A45DFA3L,
       elU(0x4286L, 1) ++ elU(0x42F7L, 1) ++ elU(0x42F2L, 4) ++
         elU(0x42F3L, 8) ++ elS(0x4282L, "matroska") ++
@@ -313,18 +371,48 @@ object VideoFixtures {
       elU(0xD7L, 1) ++ elU(0x83L, 1) ++ elS(0x86L, "V_MPEG4/ISO/AVC") ++
         el(0xE0L, elU(0xB0L, width.toLong) ++ elU(0xBAL, height.toLong)))
     val tracks = el(0x1654AE6BL, trackEntry)
-    val blocks = (1 to nFrames).map { i =>
+    val cluster = el(0x1F43B666L, elU(0xE7L, 0) ++ blocks)
+    val segment = el(0x18538067L, info ++ tracks ++ cluster)
+    header ++ segment
+  }
+
+  /** [[mkv]]'s track but every frame in its own BlockGroup/Block —
+    * the muxer shape ffmpeg/mkvmerge write for tracks with reference
+    * frames: non-key groups carry a ReferenceBlock (rel. timestamp
+    * -1), key groups carry none. Same self-identifying BE32 payloads.
+    */
+  def mkvBlockGroups(width: Int, height: Int, fps: Int, nFrames: Int,
+      keyEvery: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && fps > 0 && nFrames > 0 && keyEvery > 0)
+    val groups = (1 to nFrames).map { i =>
       val key = (i - 1) % keyEvery == 0
       val w = new W
       w.u8(0x81) // track 1 varint
       w.u16(i) // s16 relative timestamp
-      w.u8(if (key) 0x80 else 0x00)
-      w.u32(i.toLong) // self-identifying frame payload
-      el(0xA3L, w.result())
+      w.u8(0x00) // Block has NO keyframe flag; that's the group's job
+      w.u32(i.toLong)
+      val block = el(0xA1L, w.result())
+      val refBlock = el(0xFBL, Array(0xff.toByte)) // s8 -1: prior frame
+      el(0xA0L, if (key) block else block ++ refBlock)
     }.reduce(_ ++ _)
-    val cluster = el(0x1F43B666L, elU(0xE7L, 0) ++ blocks)
-    val segment = el(0x18538067L, info ++ tracks ++ cluster)
-    header ++ segment
+    mkvAround(width, height, fps, nFrames, groups)
+  }
+
+  /** [[mkv]]'s track but ALL frames packed into ONE fixed-size-laced
+    * SimpleBlock (lacing bits 0b100, lace count byte = n-1; legal
+    * because every BE32 payload is the same 4 bytes) with the keyframe
+    * flag set — the audio-style packing a frame counter must unpack.
+    */
+  def mkvLaced(width: Int, height: Int, fps: Int,
+      nFrames: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && fps > 0 &&
+      nFrames > 0 && nFrames <= 256)
+    val w = new W
+    w.u8(0x81).u16(0)
+    w.u8(0x80 | 0x04) // keyframe + fixed-size lacing
+    w.u8(nFrames - 1) // lace frame count - 1
+    (1 to nFrames).foreach(i => w.u32(i.toLong))
+    mkvAround(width, height, fps, nFrames, el(0xA3L, w.result()))
   }
 
   /** Minimal AVI: RIFF('AVI ') → LIST hdrl → avih + LIST strl → strh

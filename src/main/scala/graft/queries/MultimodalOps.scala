@@ -178,6 +178,48 @@ object MultimodalOps {
           $"width".cast("long").as("width"),
           $"height".cast("long").as("height"),
           $"n_frames".as("n_frames"))
+    },
+
+    // ---- q172: REAL video pixel decode — Motion-JPEG, the one video
+    // codec the JDK rasterizes (every sample is a baseline JPEG). Per
+    // doc: build an MJPEG MP4 whose frame i is a solid fill with
+    // per-channel values at 32k+16 (k = doc_id/sample arithmetic mod
+    // 8), slice ONLY keyframe byte ranges (stss×stsz×stsc×stco), decode
+    // them with ImageIO, and report per-doc keyframe count, decoded
+    // count, decoded geometry, and the per-channel bucket sums
+    // (floor(mean/32)). JPEG round-trips a uniform color to within a
+    // few units — far inside the ±15 bucket radius — so the DECODED
+    // raster means land in exactly the bucket the build arithmetic
+    // names, and the oracle replays that arithmetic: a wrong slice,
+    // codec misroute, or raster bug shifts a bucket and fails the hash.
+    "q172_mjpeg_decode" -> { (s, d) =>
+      import s.implicits._
+      val params = Tables.documents(s, d)
+        .select($"doc_id".cast("long").as("doc_id"))
+        .withColumn("w", (lit(48) + ($"doc_id" % 4) * 16).cast("int"))
+        .withColumn("h", (lit(32) + ($"doc_id" % 3) * 16).cast("int"))
+        .withColumn("fps", (lit(5) + $"doc_id" % 4).cast("int"))
+        .withColumn("nf", (lit(4) + $"doc_id" % 6).cast("int"))
+        .withColumn("ke", (lit(1) + $"doc_id" % 3).cast("int"))
+      val build = udf { (docId: Long, w: Int, h: Int, fps: Int, nf: Int, ke: Int) =>
+        graft.operators.VideoFixtures.mjpegMp4(w, h, fps, nf, ke, i => {
+          val r = 32 * ((docId + i) % 8).toInt + 16
+          val g = 32 * ((docId * 3 + i) % 8).toInt + 16
+          val b = 32 * ((docId * 7 + i) % 8).toInt + 16
+          (r << 16) | (g << 8) | b
+        })
+      }
+      Multimodal.decodeKeyframes(
+          params.withColumn("media",
+            build($"doc_id", $"w", $"h", $"fps", $"nf", $"ke")))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_keyframes"),
+          count($"frame_w").as("n_decoded"),
+          max($"frame_w").cast("long").as("frame_w"),
+          max($"frame_h").cast("long").as("frame_h"),
+          sum(expr("mean_r div 32")).as("sum_rb"),
+          sum(expr("mean_g div 32")).as("sum_gb"),
+          sum(expr("mean_b div 32")).as("sum_bb"))
     }
   )
 
@@ -303,6 +345,33 @@ object MultimodalOps {
         |  CASE WHEN shape <= 3 THEN CAST(h AS BIGINT) END AS height,
         |  CASE WHEN shape BETWEEN 1 AND 3 THEN CAST(nf AS BIGINT) END
         |    AS n_frames
+        |FROM p""".stripMargin,
+
+    // Every decoded value is pinned by build arithmetic: keyframes are
+    // samples 1, 1+ke, ...; frame i's channel buckets are the mod-8
+    // terms below; JPEG's round-trip error (a few units on a uniform
+    // fill) cannot cross a 32-wide bucket whose center the builder
+    // chose. n_decoded == n_keyframes asserts EVERY sliced payload
+    // rasterized.
+    "q172_mjpeg_decode" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    48 + (doc_id % 4) * 16 AS w,
+        |    32 + (doc_id % 3) * 16 AS h,
+        |    4 + (doc_id % 6) AS nf,
+        |    1 + (doc_id % 3) AS ke
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(1 + (nf - 1) // ke AS BIGINT) AS n_keyframes,
+        |  CAST(1 + (nf - 1) // ke AS BIGINT) AS n_decoded,
+        |  CAST(w AS BIGINT) AS frame_w,
+        |  CAST(h AS BIGINT) AS frame_h,
+        |  CAST(list_sum(list_transform(range(0, 1 + (nf - 1) // ke),
+        |    j -> (doc_id + 1 + j * ke) % 8)) AS BIGINT) AS sum_rb,
+        |  CAST(list_sum(list_transform(range(0, 1 + (nf - 1) // ke),
+        |    j -> (doc_id * 3 + 1 + j * ke) % 8)) AS BIGINT) AS sum_gb,
+        |  CAST(list_sum(list_transform(range(0, 1 + (nf - 1) // ke),
+        |    j -> (doc_id * 7 + 1 + j * ke) % 8)) AS BIGINT) AS sum_bb
         |FROM p""".stripMargin
   )
 }

@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The real video pixel path: MJPEG samples sliced by the container
+  * layer and rasterized by ImageIO (Multimodal.decodeKeyframes).
+  */
+class MjpegDecodeSpec extends SparkSpec {
+
+  private def rgbOf(docId: Long)(i: Int): Int = {
+    val r = 32 * ((docId + i) % 8).toInt + 16
+    val g = 32 * ((docId * 3 + i) % 8).toInt + 16
+    val b = 32 * ((docId * 7 + i) % 8).toInt + 16
+    (r << 16) | (g << 8) | b
+  }
+
+  test("mjpegMp4 is a parseable MP4 with codec jpeg and real JPEG samples") {
+    val blob = VideoFixtures.mjpegMp4(64, 48, 5, nFrames = 7, keyEvery = 3,
+      rgbOf = rgbOf(11L))
+    val m = VideoContainer.parse(blob).get
+    assert(m.format == "mp4" && m.codec == "jpeg")
+    assert(m.width == 64 && m.height == 48 && m.nFrames == 7L)
+    assert(m.nKeyframes == 3L) // samples 1, 4, 7
+    val kfs = VideoContainer.keyframeRanges(blob)
+    assert(kfs.map(_.sample).toSeq == Seq(1, 4, 7))
+    kfs.foreach { k =>
+      val payload =
+        java.util.Arrays.copyOfRange(blob, k.offset.toInt,
+          (k.offset + k.size).toInt)
+      // SOI magic: every sliced keyframe is a standalone JPEG.
+      assert((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      assert(img != null && img.getWidth == 64 && img.getHeight == 48)
+      // Uniform fill decodes inside the 32-wide bucket the builder chose.
+      val want = rgbOf(11L)(k.sample)
+      val got = img.getRGB(5, 5)
+      def bucket(v: Int) = v / 32
+      assert(bucket((got >> 16) & 0xff) == bucket((want >> 16) & 0xff))
+      assert(bucket((got >> 8) & 0xff) == bucket((want >> 8) & 0xff))
+      assert(bucket(got & 0xff) == bucket(want & 0xff))
+    }
+  }
+
+  test("decodeKeyframes rasterizes only keyframes with exact geometry and buckets") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(3L, 4L, 5L).toDF("doc_id")
+    val build = udf { docId: Long =>
+      VideoFixtures.mjpegMp4(48, 32, 5, nFrames = 6, keyEvery = 2,
+        rgbOf = rgbOf(docId))
+    }
+    val out = Multimodal.decodeKeyframes(
+        docs.withColumn("media", build($"doc_id")))
+      .collect()
+    assert(out.length == 9) // 3 docs x keyframes {1,3,5}
+    out.foreach { r =>
+      val docId = r.getLong(0)
+      val sample = r.getInt(1)
+      assert(Seq(1, 3, 5).contains(sample))
+      assert(r.getInt(2) == 48 && r.getInt(3) == 32)
+      val want = rgbOf(docId)(sample)
+      assert(r.getInt(4) / 32 == ((want >> 16) & 0xff) / 32, s"r doc=$docId s=$sample")
+      assert(r.getInt(5) / 32 == ((want >> 8) & 0xff) / 32, s"g doc=$docId s=$sample")
+      assert(r.getInt(6) / 32 == (want & 0xff) / 32, s"b doc=$docId s=$sample")
+    }
+  }
+
+  test("non-MJPEG codecs are excluded; corrupt frames quarantine with null fields") {
+    val s = spark
+    import s.implicits._
+    // avc1 synthetic blob: codec outside the JPEG family -> no rows.
+    val avc = Seq(1L).toDF("doc_id")
+      .withColumn("media", udf(() => VideoFixtures.mp4(64, 48, 5, 6, 2)).apply())
+    assert(Multimodal.decodeKeyframes(avc).count() == 0L)
+
+    // Corrupt ONE keyframe payload in place: its row survives with
+    // null frame fields (visible quarantine), others decode.
+    val blob = VideoFixtures.mjpegMp4(48, 32, 5, nFrames = 6, keyEvery = 2,
+      rgbOf = rgbOf(9L))
+    val k = VideoContainer.keyframeRanges(blob)(1) // sample 3
+    val corrupt = blob.clone()
+    java.util.Arrays.fill(corrupt, k.offset.toInt,
+      (k.offset + math.min(k.size, 16L)).toInt, 0x00.toByte)
+    val out = Multimodal.decodeKeyframes(
+        Seq((9L, corrupt)).toDF("doc_id", "media"))
+      .orderBy($"sample").collect()
+    assert(out.length == 3)
+    assert(out(0).getInt(2) == 48) // sample 1 decodes
+    assert(out(1).isNullAt(2) && out(1).isNullAt(4)) // sample 3 quarantined
+    assert(out(2).getInt(2) == 48) // sample 5 decodes
+  }
+}

@@ -52,4 +52,19 @@ class MkvContainerSpec extends SparkSpec {
     val headerOnly = java.util.Arrays.copyOf(b, s.indexOf("matroska") + 8)
     assert(MkvContainer.parse(headerOnly).isEmpty)
   }
+
+  test("BlockGroup/Block form: keyframe = group without ReferenceBlock") {
+    val b = VideoFixtures.mkvBlockGroups(64, 48, 5, nFrames = 7, keyEvery = 3)
+    val m = MkvContainer.parse(b).get
+    assert(m.nFrames == 7L)
+    assert(m.nKeyframes == 3L) // samples 1, 4, 7
+    assert(m.width == 64 && m.height == 48)
+  }
+
+  test("laced SimpleBlock counts its packed frames, not one block") {
+    val b = VideoFixtures.mkvLaced(64, 48, 5, nFrames = 6)
+    val m = MkvContainer.parse(b).get
+    assert(m.nFrames == 6L) // one block, six laced frames
+    assert(m.nKeyframes == 6L) // keyframe flag covers the whole lace
+  }
 }
