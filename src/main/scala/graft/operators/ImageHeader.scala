@@ -4,9 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Real image-header decoding from a binary column's LEADING BYTES —
-  * PNG / JPEG / GIF / BMP geometry and channel count without decoding
-  * a single pixel (all four are public container formats; parsing uses
-  * nothing beyond the JDK). This is the production on-ramp for
+  * PNG / JPEG / GIF / BMP / WebP / TIFF geometry and channel count
+  * without decoding a single pixel (all six are public container
+  * formats; parsing uses nothing beyond the JDK). This is the production on-ramp for
   * [[Multimodal.aspectBuckets]] / [[Multimodal.resizePlan]]: when a
   * corpus carries actual media blobs, their width/height come from
   * here; the synthetic path stays for the DuckDB oracle gate (an
@@ -134,10 +134,95 @@ object ImageHeader {
     }
   }
 
+  /** WebP (RIFF 'WEBP', one of three first-chunk layouts):
+    *  - 'VP8 ' lossy: key-frame start code 9D 01 2A then 14-bit LE
+    *    width/height (RFC 6386 §9.1) — always 3 channels (YUV).
+    *  - 'VP8L' lossless: 0x2F signature then a 32-bit LE field packing
+    *    width-1 (14 bits), height-1 (14 bits), alpha-is-used (1 bit).
+    *  - 'VP8X' extended: flags byte (alpha = 0x10), 3 reserved bytes,
+    *    then canvas width-1 / height-1 as u24le.
+    */
+  private def webp(b: Array[Byte]): Option[Meta] = {
+    if (b.length < 25 || // smallest parseable layout (VP8L header)
+      !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') ||
+      !(b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P'))
+      return None
+    val p = 20 // first chunk's payload (RIFF hdr 12 + fourcc 4 + size 4)
+    new String(b, 12, 4, "US-ASCII") match {
+      case "VP8 " =>
+        if (b.length < 30 ||
+          (b(p + 3) & 0xff) != 0x9d || (b(p + 4) & 0xff) != 0x01 ||
+          (b(p + 5) & 0xff) != 0x2a) None
+        else {
+          val w = u16le(b, p + 6) & 0x3fff
+          val h = u16le(b, p + 8) & 0x3fff
+          if (w <= 0 || h <= 0) None else Some(Meta("webp", w, h, 3))
+        }
+      case "VP8L" =>
+        if ((b(p) & 0xff) != 0x2f) None
+        else {
+          val bits = i32le(b, p + 1)
+          val w = (bits & 0x3fff) + 1
+          val h = ((bits >>> 14) & 0x3fff) + 1
+          Some(Meta("webp", w, h, if (((bits >>> 28) & 1) == 1) 4 else 3))
+        }
+      case "VP8X" =>
+        if (b.length < 30) return None
+        val flags = b(p) & 0xff
+        val w = ((b(p + 4) & 0xff) | ((b(p + 5) & 0xff) << 8) |
+          ((b(p + 6) & 0xff) << 16)) + 1
+        val h = ((b(p + 7) & 0xff) | ((b(p + 8) & 0xff) << 8) |
+          ((b(p + 9) & 0xff) << 16)) + 1
+        Some(Meta("webp", w, h, if ((flags & 0x10) != 0) 4 else 3))
+      case _ => None
+    }
+  }
+
+  /** TIFF (II/MM byte-order mark + magic 42): walk the first IFD's
+    * entries for ImageWidth (256), ImageLength (257), SamplesPerPixel
+    * (277, default 1). Inline values only — SHORT reads the first two
+    * bytes of the value field (left-justified in big-endian files per
+    * TIFF 6.0 §2), LONG all four; geometry tags are inline in any
+    * writer that exists. Unknown tags skip; a truncated IFD refuses.
+    */
+  private def tiff(b: Array[Byte]): Option[Meta] = {
+    if (b.length < 8) return None
+    val le = b(0) == 'I' && b(1) == 'I' && (b(2) & 0xff) == 42 && b(3) == 0
+    val be = b(0) == 'M' && b(1) == 'M' && b(2) == 0 && (b(3) & 0xff) == 42
+    if (!le && !be) return None
+    def u16(i: Int): Int = if (le) u16le(b, i) else u16be(b, i)
+    def u32(i: Int): Long =
+      if (le) i32le(b, i).toLong & 0xffffffffL else u32be(b, i)
+    val ifd = u32(4)
+    if (ifd < 8 || ifd + 2 > b.length) return None
+    val n = u16(ifd.toInt)
+    var w = 0L; var h = 0L; var spp = 1L
+    var k = 0
+    while (k < n) {
+      val e = ifd.toInt + 2 + 12 * k
+      if (e + 12 > b.length) return None
+      val v: Long = u16(e + 2) match {
+        case 3 => u16(e + 8).toLong
+        case 4 => u32(e + 8)
+        case _ => -1L
+      }
+      u16(e) match {
+        case 256 => w = v
+        case 257 => h = v
+        case 277 => spp = v
+        case _   =>
+      }
+      k += 1
+    }
+    if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) None
+    else Some(Meta("tiff", w.toInt, h.toInt, math.max(1, spp.toInt)))
+  }
+
   /** Parse the leading bytes; None for null/unknown/corrupt blobs. */
   def parse(bytes: Array[Byte]): Option[Meta] =
     if (bytes == null) None
     else png(bytes).orElse(jpeg(bytes)).orElse(gif(bytes)).orElse(bmp(bytes))
+      .orElse(webp(bytes)).orElse(tiff(bytes))
 
   /** Column form: a struct(format, width, height, channels), null when
     * the blob is not a recognized image. A UDF is the right tool here —

@@ -358,14 +358,20 @@ object VideoContainer {
     * order, accumulating per-chunk sample offsets from stsz — each
     * sample is visited once, O(nSamples), and only sync samples are
     * emitted. A FRAGMENTED file (empty moov tables) resolves through
-    * the moof/traf/trun scan instead ([[fragments]]). Empty for
-    * non-MP4 / corrupt blobs.
+    * the moof/traf/trun scan instead ([[fragments]]); an AVI through
+    * its movi chunks + idx1 flags ([[aviIndex]]). Empty for
+    * unrecognized / corrupt blobs.
     */
   def keyframeRanges(bytes: Array[Byte]): Array[KeyframeRange] = {
     if (bytes == null) return Array.empty
     val t = mp4Tables(bytes) match {
       case Some(x) => x
-      case None    => return Array.empty
+      case None =>
+        // AVI: movi chunks + idx1 keyframe flags (aviIndex).
+        if (bytes.length >= 12 && fourcc(bytes, 0) == "RIFF" &&
+          fourcc(bytes, 8) == "AVI ")
+          return aviIndex(bytes).map(_.ranges).getOrElse(Array.empty)
+        return Array.empty
     }
     val nSamples =
       (if (t.stszFixed != 0L) t.sttsTotal else t.stszSizes.length.toLong)
@@ -403,40 +409,123 @@ object VideoContainer {
 
   // ---- AVI (RIFF) --------------------------------------------------------
 
+  // RIFF chunk walk: fourcc + u32le size (+ LIST subtype).
+  private def riffWalk(b: Array[Byte], from: Int, until: Int)(
+      f: (String, Int, Int) => Unit): Unit = {
+    var i = from
+    while (i + 8 <= until) {
+      val typ = fourcc(b, i)
+      val sz = u32le(b, i + 4)
+      val end = i + 8 + sz
+      if (end > until || sz < 0) return
+      f(typ, i + 8, end.toInt)
+      i = (end + (sz & 1L)).toInt // chunks are word-aligned
+    }
+  }
+
+  /** First LIST of `subtype`: (subtypePos, end) — data chunks begin at
+    * subtypePos + 4; idx1 offsets are conventionally relative to
+    * subtypePos (the 'movi' fourcc position).
+    */
+  private def riffFindList(b: Array[Byte], from: Int, until: Int,
+      subtype: String): Option[(Int, Int)] = {
+    var res: Option[(Int, Int)] = None
+    riffWalk(b, from, until) { (t, f, u) =>
+      if (res.isEmpty && t == "LIST" && u - f >= 4 &&
+        fourcc(b, f) == subtype) res = Some((f, u))
+    }
+    res
+  }
+
+  /** Stream-0 video data chunk: '00dc' (compressed) / '00db' (raw). */
+  private def isVideoChunk(id: String): Boolean =
+    id.length == 4 && id(0) == '0' && id(1) == '0' &&
+      ((id(2) == 'd' && (id(3) == 'c' || id(3) == 'b')))
+
+  private final class AviIndex(val nFrames: Long, val nKey: Long,
+      val ranges: Array[KeyframeRange])
+
+  /** Frame facts from the `movi` list: frame count from the video
+    * data chunks; keyframe ranges from `idx1` (AVIIF_KEYFRAME =
+    * 0x10; entry offsets are movi-relative by convention, absolute
+    * file offsets detected per entry by checking the ckid lands where
+    * claimed — both writer conventions exist in the wild). An AVI
+    * without idx1 is treated as intra-only (every frame sync), which
+    * is exact for the MJPEG/DV/raw codecs that ship index-less and
+    * the right routing default for a pipeline that slices keyframes.
+    * None when the blob has no movi list (header-only / metadata
+    * ingest shape).
+    */
+  private def aviIndex(b: Array[Byte]): Option[AviIndex] = {
+    val (mp, mu) = riffFindList(b, 12, b.length, "movi").getOrElse(return None)
+    // idx1 is a top-level sibling of the LISTs.
+    var idx: Option[(Int, Int)] = None
+    riffWalk(b, 12, b.length)((t, f, u) =>
+      if (idx.isEmpty && t == "idx1") idx = Some((f, u)))
+    idx match {
+      case Some((f, u)) =>
+        val out = Array.newBuilder[KeyframeRange]
+        var sample = 0
+        var nKey = 0L
+        var e = f
+        while (e + 16 <= u) {
+          val ckid = fourcc(b, e)
+          if (isVideoChunk(ckid)) {
+            sample += 1
+            val flags = u32le(b, e + 4)
+            val off = u32le(b, e + 8)
+            val sz = u32le(b, e + 12)
+            // Offset convention: movi-relative (to the 'movi' fourcc)
+            // or absolute; trust whichever lands on the claimed ckid.
+            val base =
+              if (mp + off + 8 <= b.length && fourcc(b, (mp + off).toInt) == ckid)
+                mp.toLong
+              else if (off + 8 <= b.length && fourcc(b, off.toInt) == ckid)
+                0L
+              else -1L
+            if (base >= 0 && (flags & 0x10L) != 0L) {
+              nKey += 1
+              out += KeyframeRange(sample, base + off + 8, sz)
+            }
+          }
+          e += 16
+        }
+        Some(new AviIndex(sample.toLong, nKey, out.result()))
+      case None =>
+        // Index-less: walk the movi chunks; intra-only assumption.
+        val out = Array.newBuilder[KeyframeRange]
+        var sample = 0
+        riffWalk(b, mp + 4, mu) { (t, cf, cu) =>
+          if (isVideoChunk(t)) {
+            sample += 1
+            out += KeyframeRange(sample, cf.toLong, (cu - cf).toLong)
+          }
+        }
+        if (sample == 0) None
+        else Some(new AviIndex(sample.toLong, sample.toLong, out.result()))
+    }
+  }
+
   /** AVI: `RIFF size 'AVI '`, then `LIST hdrl` holds `avih`
     * (MicroSecPerFrame, TotalFrames, Width, Height at LE offsets
     * 0/16/32/36) and the first `LIST strl` with a `strh` whose
-    * fccType is `vids` (codec fourcc at +4). Every AVI frame is
-    * index-addressed; keyframe ranges would come from `idx1`, which
-    * this parser leaves to the MP4 path (AVI is a legacy ingest
-    * format; metadata suffices to route/filter it).
+    * fccType is `vids` (codec fourcc at +4). When a `movi` list is
+    * present, frame/keyframe counts come from the actual data chunks
+    * and `idx1` ([[aviIndex]]) — the avih TotalFrames field is a
+    * writer hint, not the record; header-only blobs (metadata ingest
+    * shape) keep the avih numbers.
     */
   private def avi(b: Array[Byte]): Option[Meta] = {
     if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ")
       return None
-    // RIFF chunk walk: fourcc + u32le size (+ LIST subtype).
-    def walk(from: Int, until: Int)(f: (String, Int, Int) => Unit): Unit = {
-      var i = from
-      while (i + 8 <= until) {
-        val typ = fourcc(b, i)
-        val sz = u32le(b, i + 4)
-        val end = i + 8 + sz
-        if (end > until || sz < 0) return
-        f(typ, i + 8, end.toInt)
-        i = (end + (sz & 1L)).toInt // chunks are word-aligned
-      }
-    }
-    def findList(from: Int, until: Int, subtype: String): Option[(Int, Int)] = {
-      var res: Option[(Int, Int)] = None
-      walk(from, until) { (t, f, u) =>
-        if (res.isEmpty && t == "LIST" && u - f >= 4 &&
-          fourcc(b, f) == subtype) res = Some((f + 4, u))
-      }
-      res
-    }
+    def walk(from: Int, until: Int)(f: (String, Int, Int) => Unit): Unit =
+      riffWalk(b, from, until)(f)
+    def findList(from: Int, until: Int, subtype: String): Option[(Int, Int)] =
+      riffFindList(b, from, until, subtype).map { case (p, u) => (p + 4, u) }
     val (hf, hu) = findList(12, b.length, "hdrl").getOrElse(return None)
     var meta: Option[Meta] = None
     var codec = ""
+    var usPerFrame = 0L
     walk(hf, hu) { (t, f, u) =>
       if (t == "LIST" && u - f >= 4 && fourcc(b, f) == "strl" && codec.isEmpty)
         walk(f + 4, u) { (t2, f2, u2) =>
@@ -444,7 +533,7 @@ object VideoContainer {
             codec = fourcc(b, f2 + 4)
         }
       if (t == "avih" && u - f >= 40 && meta.isEmpty) {
-        val usPerFrame = u32le(b, f)
+        usPerFrame = u32le(b, f)
         val nFrames = u32le(b, f + 16)
         val w = u32le(b, f + 32).toInt
         val h = u32le(b, f + 36).toInt
@@ -452,8 +541,17 @@ object VideoContainer {
           nFrames * usPerFrame / 1000L, nFrames, nFrames))
       }
     }
-    // codec may have been found after avih; patch it in.
-    meta.map(m => if (m.codec.isEmpty) m.copy(codec = codec) else m)
+    // codec may have been found after avih; patch it in, and replace
+    // the avih frame hints with movi/idx1 facts when data is present.
+    meta.map { m0 =>
+      val m = if (m0.codec.isEmpty) m0.copy(codec = codec) else m0
+      aviIndex(b) match {
+        case Some(ix) =>
+          m.copy(durationMs = ix.nFrames * usPerFrame / 1000L,
+            nFrames = ix.nFrames, nKeyframes = ix.nKey)
+        case None => m
+      }
+    }
   }
 
   /** Parse the container; None for null/unknown/corrupt blobs. */

@@ -415,37 +415,81 @@ object VideoFixtures {
     mkvAround(width, height, fps, nFrames, el(0xA3L, w.result()))
   }
 
-  /** Minimal AVI: RIFF('AVI ') → LIST hdrl → avih + LIST strl → strh
-    * (vids). Enough container for [[VideoContainer.parse]]'s AVI path;
-    * no frame data (metadata-only legacy ingest shape).
-    */
-  def avi(width: Int, height: Int, usPerFrame: Long,
-      nFrames: Long, codec: String = "mjpg"): Array[Byte] = {
-    def le32(w: W, v: Long): W = {
-      w.u8(v.toInt).u8((v >>> 8).toInt).u8((v >>> 16).toInt)
-        .u8((v >>> 24).toInt)
-    }
-    def chunk(typ: String)(body: W => Unit): Array[Byte] = {
-      val w = new W
-      body(w)
-      val p = w.result()
-      val h = new W
-      h.cc(typ); le32(h, p.length.toLong); h.bytes(p)
-      if (p.length % 2 == 1) h.u8(0)
-      h.result()
-    }
-    val avih = chunk("avih") { w =>
+  private def le32(w: W, v: Long): W = {
+    w.u8(v.toInt).u8((v >>> 8).toInt).u8((v >>> 16).toInt)
+      .u8((v >>> 24).toInt)
+  }
+  private def riffChunk(typ: String)(body: W => Unit): Array[Byte] = {
+    val w = new W
+    body(w)
+    val p = w.result()
+    val h = new W
+    h.cc(typ); le32(h, p.length.toLong); h.bytes(p)
+    if (p.length % 2 == 1) h.u8(0)
+    h.result()
+  }
+  private def aviHeaders(width: Int, height: Int, usPerFrame: Long,
+      nFrames: Long, codec: String): Array[Byte] = {
+    val avih = riffChunk("avih") { w =>
       le32(w, usPerFrame); le32(w, 0); le32(w, 0); le32(w, 0)
       le32(w, nFrames); le32(w, 0); le32(w, 1); le32(w, 0)
       le32(w, width.toLong); le32(w, height.toLong)
       (0 until 4).foreach(_ => le32(w, 0))
     }
-    val strh = chunk("strh") { w =>
+    val strh = riffChunk("strh") { w =>
       w.cc("vids").cc(codec)
       (0 until 12).foreach(_ => le32(w, 0))
     }
-    val strl = chunk("LIST")(w => { w.cc("strl"); w.bytes(strh); () })
-    val hdrl = chunk("LIST")(w => { w.cc("hdrl"); w.bytes(avih); w.bytes(strl); () })
-    chunk("RIFF")(w => { w.cc("AVI "); w.bytes(hdrl); () })
+    val strl = riffChunk("LIST")(w => { w.cc("strl"); w.bytes(strh); () })
+    riffChunk("LIST")(w => { w.cc("hdrl"); w.bytes(avih); w.bytes(strl); () })
+  }
+
+  /** Minimal AVI: RIFF('AVI ') → LIST hdrl → avih + LIST strl → strh
+    * (vids). Enough container for [[VideoContainer.parse]]'s AVI path;
+    * no frame data (metadata-only legacy ingest shape).
+    */
+  def avi(width: Int, height: Int, usPerFrame: Long,
+      nFrames: Long, codec: String = "mjpg"): Array[Byte] =
+    riffChunk("RIFF") { w =>
+      w.cc("AVI ")
+      w.bytes(aviHeaders(width, height, usPerFrame, nFrames, codec))
+      ()
+    }
+
+  /** A REAL decodable MJPEG AVI — the classic webcam/capture shape:
+    * LIST movi of '00dc' chunks (each a solid-fill baseline JPEG via
+    * [[solidJpeg]]) plus an idx1 whose entries carry movi-relative
+    * offsets and AVIIF_KEYFRAME (0x10) on frames 1, 1+keyEvery, ...
+    * (MJPEG frames are all independently decodable; flagging a subset
+    * exercises idx1 range resolution — an index-less variant is what
+    * the intra-only fallback covers).
+    */
+  def aviMjpeg(width: Int, height: Int, usPerFrame: Long, nFrames: Int,
+      keyEvery: Int, rgbOf: Int => Int): Array[Byte] = {
+    require(width > 0 && height > 0 && usPerFrame > 0 &&
+      nFrames > 0 && keyEvery > 0)
+    val frames = (1 to nFrames).map(i => solidJpeg(width, height, rgbOf(i)))
+    val chunks = frames.map(f => riffChunk("00dc")(w => { w.bytes(f); () }))
+    // Entry offsets are relative to the 'movi' fourcc: the subtype is
+    // payload byte 0, so chunk k starts at 4 + sum(padded sizes < k).
+    val offsets = chunks.scanLeft(4L)((acc, c) => acc + c.length).init
+    val movi = riffChunk("LIST") { w =>
+      w.cc("movi"); chunks.foreach(c => w.bytes(c)); ()
+    }
+    val idx1 = riffChunk("idx1") { w =>
+      (1 to nFrames).foreach { i =>
+        w.cc("00dc")
+        le32(w, if ((i - 1) % keyEvery == 0) 0x10L else 0L)
+        le32(w, offsets(i - 1))
+        le32(w, frames(i - 1).length.toLong)
+      }
+    }
+    riffChunk("RIFF") { w =>
+      w.cc("AVI ")
+      w.bytes(aviHeaders(width, height, usPerFrame, nFrames.toLong, "MJPG"))
+      w.bytes(movi)
+      w.bytes(idx1)
+      ()
+    }
   }
 }

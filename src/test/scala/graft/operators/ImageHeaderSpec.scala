@@ -42,6 +42,65 @@ class ImageHeaderSpec extends SparkSpec {
     assert(rgba.channels == 4, s"rgba png: $rgba")
   }
 
+  test("TIFF headers round-trip through the JDK encoder (both byte orders via parse)") {
+    // JDK 9+ ships a TIFF ImageIO plugin; its output is the real-world
+    // little-endian layout. Big-endian is hand-built below.
+    val m = ImageHeader.parse(img("tiff", 41, 27))
+      .getOrElse(fail("tiff: parse returned None"))
+    assert(m.format == "tiff" && m.width == 41 && m.height == 27, s"$m")
+    // Hand-built big-endian: header + one IFD with 256/257/277.
+    val be = java.nio.ByteBuffer.allocate(8 + 2 + 3 * 12 + 4)
+    be.put('M'.toByte).put('M'.toByte).putShort(42).putInt(8)
+    be.putShort(3)
+    def entryBE(tag: Int, v: Int): Unit = {
+      be.putShort(tag.toShort).putShort(3) // SHORT
+      be.putInt(1)
+      be.putShort(v.toShort).putShort(0) // left-justified inline value
+    }
+    entryBE(256, 123); entryBE(257, 45); entryBE(277, 4)
+    be.putInt(0) // next-IFD terminator
+    val mb = ImageHeader.parse(be.array()).get
+    assert(mb.width == 123 && mb.height == 45 && mb.channels == 4, s"$mb")
+  }
+
+  test("WebP: all three first-chunk layouts parse; corrupt signatures refuse") {
+    def riff(cc: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(20 + payload.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(12 + payload.length)
+        .put("WEBP".getBytes).put(cc.getBytes).putInt(payload.length)
+        .put(payload)
+      bb.array()
+    }
+    // VP8 lossy: 3-byte frame tag, start code, 14-bit LE dims.
+    val vp8 = new Array[Byte](10)
+    vp8(3) = 0x9d.toByte; vp8(4) = 0x01; vp8(5) = 0x2a
+    vp8(6) = (320 & 0xff).toByte; vp8(7) = (320 >> 8).toByte
+    vp8(8) = (240 & 0xff).toByte; vp8(9) = (240 >> 8).toByte
+    val m1 = ImageHeader.parse(riff("VP8 ", vp8)).get
+    assert(m1.format == "webp" && m1.width == 320 && m1.height == 240 &&
+      m1.channels == 3, s"$m1")
+    // VP8L lossless: 0x2F then (w-1) | (h-1)<<14 | alpha<<28.
+    val bits = (99 - 1) | ((77 - 1) << 14) | (1 << 28)
+    val vp8l = Array[Byte](0x2f,
+      (bits & 0xff).toByte, ((bits >> 8) & 0xff).toByte,
+      ((bits >> 16) & 0xff).toByte, ((bits >> 24) & 0xff).toByte)
+    val m2 = ImageHeader.parse(riff("VP8L", vp8l)).get
+    assert(m2.width == 99 && m2.height == 77 && m2.channels == 4, s"$m2")
+    // VP8X extended: alpha flag + u24le canvas-1 dims.
+    val vp8x = new Array[Byte](10)
+    vp8x(0) = 0x10 // alpha
+    vp8x(4) = ((1000 - 1) & 0xff).toByte
+    vp8x(5) = (((1000 - 1) >> 8) & 0xff).toByte
+    vp8x(7) = ((600 - 1) & 0xff).toByte
+    vp8x(8) = (((600 - 1) >> 8) & 0xff).toByte
+    val m3 = ImageHeader.parse(riff("VP8X", vp8x)).get
+    assert(m3.width == 1000 && m3.height == 600 && m3.channels == 4, s"$m3")
+    // Corrupt VP8 start code refuses; WAV (RIFF but not WEBP) refuses.
+    val bad = riff("VP8 ", vp8.clone()); bad(23) = 0x00
+    assert(ImageHeader.parse(bad).isEmpty)
+  }
+
   test("garbage, truncation, and null are None — never a throw") {
     assert(ImageHeader.parse(null).isEmpty)
     assert(ImageHeader.parse(Array.emptyByteArray).isEmpty)

@@ -67,6 +67,47 @@ class MjpegDecodeSpec extends SparkSpec {
     }
   }
 
+  test("MJPEG AVI: movi facts override the header hint; idx1 ranges decode") {
+    val blob = VideoFixtures.aviMjpeg(64, 48, usPerFrame = 40000L,
+      nFrames = 7, keyEvery = 3, rgbOf = rgbOf(5L))
+    val m = VideoContainer.parse(blob).get
+    assert(m.format == "avi" && m.codec == "MJPG")
+    assert(m.width == 64 && m.height == 48)
+    assert(m.nFrames == 7L && m.nKeyframes == 3L) // idx1 flags 1,4,7
+    assert(m.durationMs == 7L * 40L) // movi count x 40ms
+    val kfs = VideoContainer.keyframeRanges(blob)
+    assert(kfs.map(_.sample).toSeq == Seq(1, 4, 7))
+    kfs.foreach { k =>
+      val p = java.util.Arrays.copyOfRange(blob, k.offset.toInt,
+        (k.offset + k.size).toInt)
+      assert((p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) // a JPEG
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+      assert(img != null && img.getWidth == 64)
+      val want = rgbOf(5L)(k.sample)
+      assert((img.getRGB(3, 3) >> 16 & 0xff) / 32 == ((want >> 16) & 0xff) / 32)
+    }
+  }
+
+  test("index-less AVI falls back to intra-only: every movi chunk is sync") {
+    val full = VideoFixtures.aviMjpeg(48, 32, 50000L, nFrames = 5,
+      keyEvery = 2, rgbOf = rgbOf(2L))
+    // Truncate idx1 off the tail: find it and cut there (top-level
+    // sibling after LIST movi).
+    val s = new String(full, "ISO-8859-1")
+    val cut = s.indexOf("idx1")
+    assert(cut > 0)
+    val noIdx = java.util.Arrays.copyOf(full, cut)
+    val m = VideoContainer.parse(noIdx).get
+    assert(m.nFrames == 5L)
+    assert(m.nKeyframes == 5L) // intra-only assumption
+    val kfs = VideoContainer.keyframeRanges(noIdx)
+    assert(kfs.map(_.sample).toSeq == Seq(1, 2, 3, 4, 5))
+    kfs.foreach { k =>
+      assert((noIdx(k.offset.toInt) & 0xff) == 0xff &&
+        (noIdx(k.offset.toInt + 1) & 0xff) == 0xd8)
+    }
+  }
+
   test("non-MJPEG codecs are excluded; corrupt frames quarantine with null fields") {
     val s = spark
     import s.implicits._
