@@ -187,25 +187,29 @@ object MkvContainer {
     }
     var nFrames = 0L
     var nKey = 0L
-    walk(b, sf, su) { (id, cf, cu) =>
-      if (id == Cluster) walk(b, cf, cu) { (bid, bf, bu) =>
-        if (bid == SimpleBlock) {
-          val n = laceCount(bf, bu)
-          nFrames += n
-          // Keyframe flag: "this block contains only keyframes".
-          if (n > 0 && (blockFlags(bf, bu) & 0x80) != 0) nKey += n
-        } else if (bid == BlockGroup) {
-          var ref = false
-          var n = 0L
-          walk(b, bf, bu) { (gid, gf, gu) =>
-            if (gid == Block) n += laceCount(gf, gu)
-            else if (gid == ReferenceBlock) ref = true
-          }
-          nFrames += n
-          if (!ref) nKey += n // no reference = I-frames (Matroska §BlockGroup)
+    // scanCluster recurses on a nested Cluster id: an UNKNOWN-SIZE
+    // cluster (live-muxed WebM — ffmpeg writes them when it cannot
+    // seek back) walks as extending to the segment end, so every
+    // following sibling cluster arrives as its "child"; recursing
+    // counts their blocks instead of silently skipping them.
+    def scanCluster(cf: Long, cu: Long): Unit = walk(b, cf, cu) { (bid, bf, bu) =>
+      if (bid == SimpleBlock) {
+        val n = laceCount(bf, bu)
+        nFrames += n
+        // Keyframe flag: "this block contains only keyframes".
+        if (n > 0 && (blockFlags(bf, bu) & 0x80) != 0) nKey += n
+      } else if (bid == BlockGroup) {
+        var ref = false
+        var n = 0L
+        walk(b, bf, bu) { (gid, gf, gu) =>
+          if (gid == Block) n += laceCount(gf, gu)
+          else if (gid == ReferenceBlock) ref = true
         }
-      }
+        nFrames += n
+        if (!ref) nKey += n // no reference = I-frames (Matroska §BlockGroup)
+      } else if (bid == Cluster) scanCluster(bf, bu)
     }
+    walk(b, sf, su)((id, cf, cu) => if (id == Cluster) scanCluster(cf, cu))
     val durationMs =
       if (durTicks.isNaN || tsScale <= 0) 0L
       else (durTicks * tsScale / 1e6).toLong

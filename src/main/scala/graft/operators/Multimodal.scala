@@ -417,10 +417,16 @@ object Multimodal {
     * byte volume, which stss-slicing already minimized.
     */
   def decodeKeyframes(media: DataFrame, blobCol: String = "media"): DataFrame = {
-    val mjpeg = media
-      .withColumn("_vc", VideoContainer.videoMeta(col(blobCol)).getField("codec"))
-      .filter(col("_vc").isInCollection(JpegVideoCodecs))
-      .drop("_vc")
+    // ONE container parse per blob: codec gate + range map from the
+    // same kernel call (null = not video / not an MJPEG family codec),
+    // instead of a parse for the filter and a second for the map.
+    val kfs = udf { bytes: Array[Byte] =>
+      VideoContainer.codecRanges(bytes) match {
+        case Some((codec, ranges)) if JpegVideoCodecs.contains(codec) =>
+          Some(ranges.map(k => (k.sample, k.offset, k.size)))
+        case _ => None
+      }
+    }
     val dec = udf { bytes: Array[Byte] =>
       val img = decodeImage(bytes)
       if (img == null) None
@@ -440,8 +446,16 @@ object Multimodal {
         else Some((w, h, (r / n).toInt, (g / n).toInt, (b / n).toInt))
       }
     }
-    VideoContainer.keyframePayloads(mjpeg, blobCol = blobCol)
-      .withColumn("_f", dec(col("payload")))
+    media
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col(blobCol).as("_b"),
+        kfs(col(blobCol))
+          .cast("array<struct<sample:int,offset:bigint,size:bigint>>")
+          .as("_kfs"))
+      .filter(col("_kfs").isNotNull)
+      .select(col("doc_id"), col("_b"), explode(col("_kfs")).as("kf"))
+      .select(col("doc_id"), col("kf.sample").as("sample"),
+        dec(expr("substring(_b, kf.offset + 1, kf.size)")).as("_f"))
       .select(col("doc_id"), col("sample"),
         col("_f._1").as("frame_w"), col("_f._2").as("frame_h"),
         col("_f._3").as("mean_r"), col("_f._4").as("mean_g"),

@@ -260,6 +260,25 @@ object VideoContainer {
     var nKey = 0L
     val out = Array.newBuilder[KeyframeRange]
     var sampleNo = 0
+    // Movie-level defaults (mvex/trex, 14496-12 §8.8.3): the bottom of
+    // the default chain — tfhd overrides trex, trun per-sample fields
+    // override both. Real CMAF encoders routinely put the size/flags
+    // defaults HERE and ship flagless truns.
+    var trexSize = 0L
+    var trexFlags = 0L
+    findBox(b, 0, b.length.toLong, "moov").foreach { case (mvF, mvU) =>
+      path(b, mvF, mvU, "mvex").foreach { case (xf, xu) =>
+        walkBoxes(b, xf, xu) { (xt, tf, tu) =>
+          // verflags 4 + track_ID 4 + descr_idx 4 + duration 4 +
+          // size 4 + flags 4
+          if (xt == "trex" && tu - tf >= 24 &&
+            u32be(b, tf.toInt + 4) == trackId) {
+            trexSize = u32be(b, tf.toInt + 16)
+            trexFlags = u32be(b, tf.toInt + 20)
+          }
+        }
+      }
+    }
     walkBoxes(b, 0, b.length.toLong) { (t, mf, mu) =>
       if (t == "moof") {
         val moofStart = mf - 8
@@ -274,8 +293,8 @@ object VideoContainer {
                 p += 8
               }
               if ((flags & 0x2) != 0) p += 4 // sample-description-index
-              var defSize = 0L
-              var defFlags = 0L
+              var defSize = trexSize
+              var defFlags = trexFlags
               if ((flags & 0x8) != 0) p += 4 // default-sample-duration
               if ((flags & 0x10) != 0) {
                 if (p + 4 <= hu) defSize = u32be(b, p.toInt)
@@ -288,7 +307,7 @@ object VideoContainer {
               walkBoxes(b, tf, tu) { (rt, rf, ru) =>
                 if (rt == "trun" && ru - rf >= 8) {
                   val rflags = (u32be(b, rf.toInt) & 0xffffffL).toInt
-                  val cnt = u32be(b, rf.toInt + 4)
+                  val cnt0 = u32be(b, rf.toInt + 4)
                   var q = rf + 8
                   var off = base
                   if ((rflags & 0x1) != 0) { // data-offset (SIGNED 32)
@@ -300,6 +319,24 @@ object VideoContainer {
                     if (q + 4 <= ru) firstFlags = u32be(b, q.toInt)
                     q += 4
                   }
+                  // Bound sample_count by what the box can hold: a
+                  // corrupt count with per-sample fields would walk
+                  // past the box (caught per field), but with NO
+                  // per-sample fields the loop consumes zero bytes per
+                  // entry and a flipped count bit means billions of
+                  // iterations. Per-entry width from the field flags;
+                  // for flagless truns (legal when trex/tfhd supply
+                  // the defaults) cap at 2^20 samples per trun —
+                  // orders of magnitude past any real fragment — and
+                  // refuse outright when the default size is 0 too
+                  // (zero-byte samples describe nothing).
+                  val entryBytes = 4 * (((rflags >> 8) & 1) +
+                    ((rflags >> 9) & 1) + ((rflags >> 10) & 1) +
+                    ((rflags >> 11) & 1))
+                  val cnt =
+                    if (entryBytes > 0) math.min(cnt0, (ru - q) / entryBytes)
+                    else if (defSize > 0) math.min(cnt0, 1L << 20)
+                    else 0L
                   var i = 0L
                   var ok = true
                   while (i < cnt && ok) {
@@ -364,15 +401,38 @@ object VideoContainer {
     */
   def keyframeRanges(bytes: Array[Byte]): Array[KeyframeRange] = {
     if (bytes == null) return Array.empty
-    val t = mp4Tables(bytes) match {
-      case Some(x) => x
+    mp4Tables(bytes) match {
+      case Some(t) => rangesFromTables(bytes, t)
       case None =>
         // AVI: movi chunks + idx1 keyframe flags (aviIndex).
         if (bytes.length >= 12 && fourcc(bytes, 0) == "RIFF" &&
           fourcc(bytes, 8) == "AVI ")
-          return aviIndex(bytes).map(_.ranges).getOrElse(Array.empty)
-        return Array.empty
+          aviIndex(bytes).map(_.ranges).getOrElse(Array.empty)
+        else Array.empty
     }
+  }
+
+  /** Codec fourcc + sync-sample ranges from ONE container parse — the
+    * decode path's exact needs ([[graft.operators.Multimodal
+    * .decodeKeyframes]] previously paid a full parse for the codec
+    * filter and a second for the range map, per blob). The AVI arm
+    * re-walks the chunk HEADERS once more inside [[avi]]'s movi-fact
+    * override (8 bytes read per frame — noise next to any decode).
+    */
+  def codecRanges(bytes: Array[Byte]): Option[(String, Array[KeyframeRange])] =
+    if (bytes == null) None
+    else mp4Tables(bytes) match {
+      case Some(t) => Some((t.codec, rangesFromTables(bytes, t)))
+      case None =>
+        if (bytes.length >= 12 && fourcc(bytes, 0) == "RIFF" &&
+          fourcc(bytes, 8) == "AVI ")
+          avi(bytes).map(m =>
+            (m.codec, aviIndex(bytes).map(_.ranges).getOrElse(Array.empty)))
+        else None
+    }
+
+  private def rangesFromTables(bytes: Array[Byte],
+      t: Mp4Tables): Array[KeyframeRange] = {
     val nSamples =
       (if (t.stszFixed != 0L) t.sttsTotal else t.stszSizes.length.toLong)
         .min(t.sttsTotal).toInt
@@ -388,7 +448,10 @@ object VideoContainer {
     var sample = 1 // 1-based
     var run = 0
     var chunk = t.stsc(0)._1.toInt // 1-based chunk number
-    while (sample <= nSamples && chunk <= t.stco.length) {
+    // chunk >= 1: a corrupt stsc first_chunk of 0 (or a value whose
+    // .toInt wrapped negative) would index stco(-1) — refuse with the
+    // empty result, per the quarantine contract.
+    while (sample <= nSamples && chunk >= 1 && chunk <= t.stco.length) {
       // samples-per-chunk for the current chunk: the last stsc run
       // whose first_chunk <= chunk (runs are ascending by first_chunk).
       while (run + 1 < t.stsc.length && t.stsc(run + 1)._1 <= chunk) run += 1
@@ -458,20 +521,32 @@ object VideoContainer {
     */
   private def aviIndex(b: Array[Byte]): Option[AviIndex] = {
     val (mp, mu) = riffFindList(b, 12, b.length, "movi").getOrElse(return None)
+    // The movi chunk walk is the FRAME record — idx1 may legally be
+    // sparse (some capture tools index only sync frames), so counting
+    // frames from idx1 entries would undercount. The walk also gives
+    // each chunk's ordinal, which is how sparse idx1 entries recover
+    // their true 1-based sample number (by data offset).
+    val offB = Array.newBuilder[Long]
+    val szB = Array.newBuilder[Long]
+    riffWalk(b, mp + 4, mu) { (t, cf, cu) =>
+      if (isVideoChunk(t)) { offB += cf.toLong; szB += (cu - cf).toLong }
+    }
+    val offs = offB.result()
+    val sizes = szB.result()
+    if (offs.isEmpty) return None
     // idx1 is a top-level sibling of the LISTs.
     var idx: Option[(Int, Int)] = None
     riffWalk(b, 12, b.length)((t, f, u) =>
       if (idx.isEmpty && t == "idx1") idx = Some((f, u)))
     idx match {
       case Some((f, u)) =>
+        val ordinal = offs.zipWithIndex.toMap // data offset -> 0-based
         val out = Array.newBuilder[KeyframeRange]
-        var sample = 0
         var nKey = 0L
         var e = f
         while (e + 16 <= u) {
           val ckid = fourcc(b, e)
           if (isVideoChunk(ckid)) {
-            sample += 1
             val flags = u32le(b, e + 4)
             val off = u32le(b, e + 8)
             val sz = u32le(b, e + 12)
@@ -483,26 +558,24 @@ object VideoContainer {
               else if (off + 8 <= b.length && fourcc(b, off.toInt) == ckid)
                 0L
               else -1L
-            if (base >= 0 && (flags & 0x10L) != 0L) {
-              nKey += 1
-              out += KeyframeRange(sample, base + off + 8, sz)
-            }
+            if (base >= 0 && (flags & 0x10L) != 0L)
+              ordinal.get(base + off + 8).foreach { s0 =>
+                nKey += 1
+                out += KeyframeRange(s0 + 1, base + off + 8, sz)
+              }
           }
           e += 16
         }
-        Some(new AviIndex(sample.toLong, nKey, out.result()))
+        Some(new AviIndex(offs.length.toLong, nKey, out.result()))
       case None =>
-        // Index-less: walk the movi chunks; intra-only assumption.
+        // Index-less: intra-only assumption — every chunk is sync.
         val out = Array.newBuilder[KeyframeRange]
-        var sample = 0
-        riffWalk(b, mp + 4, mu) { (t, cf, cu) =>
-          if (isVideoChunk(t)) {
-            sample += 1
-            out += KeyframeRange(sample, cf.toLong, (cu - cf).toLong)
-          }
+        var s = 0
+        while (s < offs.length) {
+          out += KeyframeRange(s + 1, offs(s), sizes(s))
+          s += 1
         }
-        if (sample == 0) None
-        else Some(new AviIndex(sample.toLong, sample.toLong, out.result()))
+        Some(new AviIndex(offs.length.toLong, offs.length.toLong, out.result()))
     }
   }
 

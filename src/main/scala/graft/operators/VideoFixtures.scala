@@ -99,12 +99,12 @@ object VideoFixtures {
     * sample `i` is `payloads(i-1)`), chunked [[ChunkSamples]] per
     * chunk, sync every `keyEvery`.
     */
-  private def mp4Container(width: Int, height: Int, fps: Int,
-      keyEvery: Int, codec: String,
-      payloads: IndexedSeq[Array[Byte]]): Array[Byte] = {
-    val nFrames = payloads.length
-    require(width > 0 && height > 0 && fps > 0 && nFrames > 0 && keyEvery > 0)
-    def payloadSize(i: Int): Long = payloads(i - 1).length.toLong
+  /** The moov header boxes both MP4 layouts share: (mvhd, tkhd, mdhd,
+    * hdlr, stsd) — keeping them in ONE place so a layout fix cannot
+    * desynchronize the progressive and fragmented fixtures.
+    */
+  private def moovHeaders(width: Int, height: Int, fps: Int, nFrames: Int,
+      codec: String): (Array[Byte], Array[Byte], Array[Byte], Array[Byte], Array[Byte]) = {
     val identityMatrix: W => Unit = w => {
       w.u32(0x00010000L).u32(0).u32(0)
       w.u32(0).u32(0x00010000L).u32(0)
@@ -147,6 +147,17 @@ object VideoFixtures {
         .zeros(32) // compressorname
         .u16(24).u16(0xffff) // depth, pre_defined -1
     }
+    (mvhd, tkhd, mdhd, hdlr, stsd)
+  }
+
+  private def mp4Container(width: Int, height: Int, fps: Int,
+      keyEvery: Int, codec: String,
+      payloads: IndexedSeq[Array[Byte]]): Array[Byte] = {
+    val nFrames = payloads.length
+    require(width > 0 && height > 0 && fps > 0 && nFrames > 0 && keyEvery > 0)
+    def payloadSize(i: Int): Long = payloads(i - 1).length.toLong
+    val (mvhd, tkhd, mdhd, hdlr, stsd) =
+      moovHeaders(width, height, fps, nFrames, codec)
     val stts = box("stts")(w => w.u32(0).u32(1).u32(nFrames.toLong).u32(1))
     val keys = keyframeSamples(nFrames, keyEvery)
     val stss = box("stss") { w =>
@@ -218,34 +229,32 @@ object VideoFixtures {
     */
   def fmp4(width: Int, height: Int, fps: Int, nFrames: Int,
       keyEvery: Int, fragSamples: Int = 5): Array[Byte] = {
+    require(keyEvery > 0)
+    fmp4Build(width, height, fps, nFrames, fragSamples,
+      trexDefaults = false, keyEvery = keyEvery)
+  }
+
+  /** The trex-defaults CMAF shape real encoders also write: sample
+    * size and flags live in `mvex/trex` (size = [[TrexSampleSize]],
+    * flags = non-sync) and the truns carry NO per-sample fields — only
+    * a data offset and first-sample-flags marking each fragment's
+    * first sample sync. A parser that ignores trex reads size-0
+    * all-sync garbage from this file.
+    */
+  def fmp4TrexDefaults(width: Int, height: Int, fps: Int, nFrames: Int,
+      fragSamples: Int = 5): Array[Byte] =
+    fmp4Build(width, height, fps, nFrames, fragSamples,
+      trexDefaults = true, keyEvery = 0)
+
+  /** Fixed sample size of the trex-defaults variant (BE32 magic + fill). */
+  val TrexSampleSize = 64L
+
+  private def fmp4Build(width: Int, height: Int, fps: Int, nFrames: Int,
+      fragSamples: Int, trexDefaults: Boolean, keyEvery: Int): Array[Byte] = {
     require(width > 0 && height > 0 && fps > 0 && nFrames > 0 &&
-      keyEvery > 0 && fragSamples > 0)
-    val identityMatrix: W => Unit = w => {
-      w.u32(0x00010000L).u32(0).u32(0)
-      w.u32(0).u32(0x00010000L).u32(0)
-      w.u32(0).u32(0).u32(0x40000000L)
-    }
-    val mvhd = box("mvhd") { w =>
-      w.u32(0).u32(0).u32(0).u32(fps.toLong).u32(nFrames.toLong)
-        .u32(0x00010000L).u16(0x0100).u16(0).zeros(8)
-      identityMatrix(w)
-      w.zeros(24).u32(2)
-    }
-    val tkhd = box("tkhd") { w =>
-      w.u32(7).u32(0).u32(0).u32(1).u32(0).u32(nFrames.toLong)
-        .zeros(8).u16(0).u16(0).u16(0).u16(0)
-      identityMatrix(w)
-      w.u32(width.toLong << 16).u32(height.toLong << 16)
-    }
-    val mdhd = box("mdhd")(w => w.u32(0).u32(0).u32(0)
-      .u32(fps.toLong).u32(nFrames.toLong).u16(0x55c4).u16(0))
-    val hdlr = box("hdlr")(w => w.u32(0).u32(0).cc("vide").zeros(12).u8(0))
-    val stsd = box("stsd") { w =>
-      w.u32(0).u32(1)
-      w.u32(86).cc("avc1").zeros(6).u16(1).zeros(16)
-        .u16(width).u16(height).u32(0x00480000L).u32(0x00480000L)
-        .u32(0).u16(1).zeros(32).u16(24).u16(0xffff)
-    }
+      fragSamples > 0)
+    val (mvhd, tkhd, mdhd, hdlr, stsd) =
+      moovHeaders(width, height, fps, nFrames, "avc1")
     val emptyTables =
       box("stts")(w => w.u32(0).u32(0)) ++
         box("stsz")(w => w.u32(0).u32(0).u32(0)) ++
@@ -255,11 +264,15 @@ object VideoFixtures {
     val minf = box("minf")(w => w.bytes(stbl))
     val mdia = box("mdia")(w => w.bytes(mdhd).bytes(hdlr).bytes(minf))
     val trak = box("trak")(w => w.bytes(tkhd).bytes(mdia))
-    val trex = box("trex")(w =>
-      w.u32(0).u32(1).u32(1).u32(0).u32(0).u32(0))
+    val trex = box("trex") { w =>
+      w.u32(0).u32(1).u32(1).u32(0)
+      if (trexDefaults) w.u32(TrexSampleSize).u32(0x10000L) // non-sync
+      else w.u32(0).u32(0)
+    }
     val mvex = box("mvex")(w => w.bytes(trex))
     val moov = box("moov")(w => w.bytes(mvhd).bytes(trak).bytes(mvex))
     val ftyp = box("ftyp")(w => w.cc("isom").u32(0x200).cc("iso6"))
+    def szOf(s: Int): Long = if (trexDefaults) TrexSampleSize else sampleSize(s)
 
     val out = new W
     out.bytes(ftyp).bytes(moov)
@@ -269,12 +282,18 @@ object VideoFixtures {
       val cnt = math.min(fragSamples, nFrames - sample + 1)
       val first = sample
       def trun(dataOffset: Long): Array[Byte] = box("trun") { w =>
-        w.u32(0x000601L) // flags: data-offset | size | sample-flags
-          .u32(cnt.toLong).u32(dataOffset)
-        (0 until cnt).foreach { k =>
-          val s = first + k
-          w.u32(sampleSize(s))
-          w.u32(if ((s - 1) % keyEvery == 0) 0L else 0x10000L)
+        if (trexDefaults) {
+          // data-offset | first-sample-flags; NO per-sample fields —
+          // sizes/flags come from trex, first sample sync per fragment.
+          w.u32(0x000005L).u32(cnt.toLong).u32(dataOffset).u32(0L)
+        } else {
+          w.u32(0x000601L) // flags: data-offset | size | sample-flags
+            .u32(cnt.toLong).u32(dataOffset)
+          (0 until cnt).foreach { k =>
+            val s = first + k
+            w.u32(szOf(s))
+            w.u32(if ((s - 1) % keyEvery == 0) 0L else 0x10000L)
+          }
         }
       }
       def moof(dataOffset: Long): Array[Byte] = {
@@ -291,7 +310,7 @@ object VideoFixtures {
       val mdat = box("mdat") { w =>
         (first until first + cnt).foreach { s =>
           w.u32(s.toLong)
-          val fill = (sampleSize(s) - 4).toInt
+          val fill = (szOf(s) - 4).toInt
           val fb = new Array[Byte](fill)
           java.util.Arrays.fill(fb, ((s * 31) & 0xff).toByte)
           w.bytes(fb)
@@ -340,26 +359,53 @@ object VideoFixtures {
     * 1e6 ns) as `nFrames * 1000 / fps` — Long arithmetic, so the
     * parse result is oracle-replayable exactly.
     */
+  private def simpleBlock(i: Int, key: Boolean): Array[Byte] = {
+    val w = new W
+    w.u8(0x81) // track 1 varint
+    w.u16(i) // s16 relative timestamp
+    w.u8(if (key) 0x80 else 0x00)
+    w.u32(i.toLong) // self-identifying frame payload
+    el(0xA3L, w.result())
+  }
+
   def mkv(width: Int, height: Int, fps: Int, nFrames: Int,
       keyEvery: Int): Array[Byte] = {
     require(width > 0 && height > 0 && fps > 0 && nFrames > 0 && keyEvery > 0)
-    val blocks = (1 to nFrames).map { i =>
-      val key = (i - 1) % keyEvery == 0
-      val w = new W
-      w.u8(0x81) // track 1 varint
-      w.u16(i) // s16 relative timestamp
-      w.u8(if (key) 0x80 else 0x00)
-      w.u32(i.toLong) // self-identifying frame payload
-      el(0xA3L, w.result())
-    }.reduce(_ ++ _)
+    val blocks = (1 to nFrames)
+      .map(i => simpleBlock(i, (i - 1) % keyEvery == 0)).reduce(_ ++ _)
     mkvAround(width, height, fps, nFrames, blocks)
+  }
+
+  /** [[mkv]]'s track split across TWO clusters, the FIRST with UNKNOWN
+    * size (all size bits set — what live muxers write when they cannot
+    * seek back to patch the length, RFC 8794 §6): a parser that maps
+    * unknown-size to "extends to segment end" must still count the
+    * second cluster's blocks rather than skip them as swallowed
+    * children.
+    */
+  def mkvUnknownSizeClusters(width: Int, height: Int, fps: Int,
+      nFrames: Int, keyEvery: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && fps > 0 && nFrames > 1 && keyEvery > 0)
+    val half = math.max(1, nFrames / 2)
+    def blocksFor(r: Range): Array[Byte] =
+      r.map(i => simpleBlock(i, (i - 1) % keyEvery == 0)).reduce(_ ++ _)
+    val c1Payload = elU(0xE7L, 0) ++ blocksFor(1 to half)
+    val c1 = ebmlId(0x1F43B666L) ++ ebmlSize((1L << 56) - 1) ++ c1Payload
+    val c2 = el(0x1F43B666L, elU(0xE7L, half + 1L) ++
+      blocksFor(half + 1 to nFrames))
+    mkvAroundClusters(width, height, fps, nFrames, c1 ++ c2)
   }
 
   /** The [[mkv]] track/info skeleton around caller-supplied cluster
     * payload — shared by the block-form variants below.
     */
   private def mkvAround(width: Int, height: Int, fps: Int, nFrames: Int,
-      blocks: Array[Byte]): Array[Byte] = {
+      blocks: Array[Byte]): Array[Byte] =
+    mkvAroundClusters(width, height, fps, nFrames,
+      el(0x1F43B666L, elU(0xE7L, 0) ++ blocks))
+
+  private def mkvAroundClusters(width: Int, height: Int, fps: Int,
+      nFrames: Int, clusters: Array[Byte]): Array[Byte] = {
     val header = el(0x1A45DFA3L,
       elU(0x4286L, 1) ++ elU(0x42F7L, 1) ++ elU(0x42F2L, 4) ++
         elU(0x42F3L, 8) ++ elS(0x4282L, "matroska") ++
@@ -371,8 +417,7 @@ object VideoFixtures {
       elU(0xD7L, 1) ++ elU(0x83L, 1) ++ elS(0x86L, "V_MPEG4/ISO/AVC") ++
         el(0xE0L, elU(0xB0L, width.toLong) ++ elU(0xBAL, height.toLong)))
     val tracks = el(0x1654AE6BL, trackEntry)
-    val cluster = el(0x1F43B666L, elU(0xE7L, 0) ++ blocks)
-    val segment = el(0x18538067L, info ++ tracks ++ cluster)
+    val segment = el(0x18538067L, info ++ tracks ++ clusters)
     header ++ segment
   }
 
@@ -465,7 +510,8 @@ object VideoFixtures {
     * the intra-only fallback covers).
     */
   def aviMjpeg(width: Int, height: Int, usPerFrame: Long, nFrames: Int,
-      keyEvery: Int, rgbOf: Int => Int): Array[Byte] = {
+      keyEvery: Int, rgbOf: Int => Int,
+      indexAll: Boolean = true): Array[Byte] = {
     require(width > 0 && height > 0 && usPerFrame > 0 &&
       nFrames > 0 && keyEvery > 0)
     val frames = (1 to nFrames).map(i => solidJpeg(width, height, rgbOf(i)))
@@ -476,12 +522,18 @@ object VideoFixtures {
     val movi = riffChunk("LIST") { w =>
       w.cc("movi"); chunks.foreach(c => w.bytes(c)); ()
     }
+    // indexAll = false writes a SPARSE idx1 (keyframe entries only) —
+    // a legal shape some capture tools emit; frame counts must then
+    // come from the movi walk, not the index.
     val idx1 = riffChunk("idx1") { w =>
       (1 to nFrames).foreach { i =>
-        w.cc("00dc")
-        le32(w, if ((i - 1) % keyEvery == 0) 0x10L else 0L)
-        le32(w, offsets(i - 1))
-        le32(w, frames(i - 1).length.toLong)
+        val key = (i - 1) % keyEvery == 0
+        if (key || indexAll) {
+          w.cc("00dc")
+          le32(w, if (key) 0x10L else 0L)
+          le32(w, offsets(i - 1))
+          le32(w, frames(i - 1).length.toLong)
+        }
       }
     }
     riffChunk("RIFF") { w =>

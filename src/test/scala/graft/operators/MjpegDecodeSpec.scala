@@ -88,6 +88,21 @@ class MjpegDecodeSpec extends SparkSpec {
     }
   }
 
+  test("sparse idx1 (keyframes only) still counts frames from the movi walk") {
+    val b = VideoFixtures.aviMjpeg(48, 32, 40000L, nFrames = 7,
+      keyEvery = 3, rgbOf = rgbOf(4L), indexAll = false)
+    val m = VideoContainer.parse(b).get
+    assert(m.nFrames == 7L, s"frame count must come from movi, got $m")
+    assert(m.nKeyframes == 3L)
+    val kfs = VideoContainer.keyframeRanges(b)
+    // Sample numbers recover their movi ordinal despite the sparse index.
+    assert(kfs.map(_.sample).toSeq == Seq(1, 4, 7))
+    kfs.foreach { k =>
+      assert((b(k.offset.toInt) & 0xff) == 0xff &&
+        (b(k.offset.toInt + 1) & 0xff) == 0xd8)
+    }
+  }
+
   test("index-less AVI falls back to intra-only: every movi chunk is sync") {
     val full = VideoFixtures.aviMjpeg(48, 32, 50000L, nFrames = 5,
       keyEvery = 2, rgbOf = rgbOf(2L))

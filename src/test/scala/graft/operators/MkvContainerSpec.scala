@@ -67,4 +67,12 @@ class MkvContainerSpec extends SparkSpec {
     assert(m.nFrames == 6L) // one block, six laced frames
     assert(m.nKeyframes == 6L) // keyframe flag covers the whole lace
   }
+
+  test("unknown-size first cluster does not swallow the second cluster's blocks") {
+    val b = VideoFixtures.mkvUnknownSizeClusters(64, 48, 5, nFrames = 9,
+      keyEvery = 3)
+    val m = MkvContainer.parse(b).get
+    assert(m.nFrames == 9L, s"live-mux shape undercounted: $m")
+    assert(m.nKeyframes == 3L) // samples 1, 4, 7
+  }
 }

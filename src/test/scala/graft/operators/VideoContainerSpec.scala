@@ -116,6 +116,46 @@ class VideoContainerSpec extends SparkSpec {
     }
   }
 
+  test("corrupt stsc first_chunk=0 refuses with empty ranges, never AIOOBE") {
+    val b = VideoFixtures.mp4(64, 48, 5, 9, keyEvery = 2)
+    val s = new String(b, "ISO-8859-1")
+    val p = s.indexOf("stsc") // fourcc; verflags+count follow, then first_chunk
+    assert(p > 0)
+    val c = b.clone()
+    java.util.Arrays.fill(c, p + 12, p + 16, 0x00.toByte)
+    assert(VideoContainer.keyframeRanges(c).isEmpty) // refuse, don't throw
+  }
+
+  test("trex-default CMAF: sizes/flags from mvex, first-sample-flags sync") {
+    val n = 12
+    val b = VideoFixtures.fmp4TrexDefaults(160, 96, 5, n, fragSamples = 5)
+    val m = VideoContainer.parse(b).get
+    assert(m.nFrames == n.toLong)
+    assert(m.nKeyframes == 3L) // fragments of 5,5,2 -> first of each
+    val kfs = VideoContainer.keyframeRanges(b)
+    assert(kfs.map(_.sample).toSeq == Seq(1, 6, 11))
+    kfs.foreach { k =>
+      assert(k.size == VideoFixtures.TrexSampleSize)
+      val off = k.offset.toInt
+      val magic = ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+      assert(magic == k.sample, s"sample ${k.sample} sliced at wrong offset")
+    }
+  }
+
+  test("corrupt flagless trun sample_count is bounded, not a spin/OOM") {
+    val b = VideoFixtures.fmp4TrexDefaults(64, 48, 5, 10, fragSamples = 5)
+    val s = new String(b, "ISO-8859-1")
+    val p = s.indexOf("trun")
+    assert(p > 0)
+    val c = b.clone()
+    // sample_count (after fourcc + verflags): blow it up to 2^31-1.
+    c(p + 8) = 0x7f.toByte; c(p + 9) = 0xff.toByte
+    c(p + 10) = 0xff.toByte; c(p + 11) = 0xff.toByte
+    val m = VideoContainer.parse(c) // must return promptly
+    assert(m.isDefined && m.get.nFrames <= (1L << 20) + 10L)
+  }
+
   test("keyframePayloads slices real encoded payloads as rows") {
     import spark.implicits._
     val df = Seq(
