@@ -81,7 +81,15 @@ object VideoFixtures {
     mp4Container(width, height, fps, keyEvery, "jpeg",
       (1 to nFrames).map(i => solidJpeg(width, height, rgbOf(i))))
 
-  /** One solid-color baseline JPEG via `javax.imageio` (JDK-only). */
+  /** One solid-color baseline JPEG via `javax.imageio` (JDK-only).
+    * The writer is driven through an explicit
+    * `MemoryCacheImageOutputStream`: `ImageIO.write(img, fmt, out)`
+    * wraps OutputStreams in a DISK-cached image stream by default — a
+    * temp-file create/write/delete in java.io.tmpdir per encoded
+    * frame, which dominated the MJPEG fixture build at tens of
+    * thousands of frames (the encode-side twin of decodeImage's
+    * input-stream note in operators/Multimodal.scala).
+    */
   def solidJpeg(width: Int, height: Int, rgb: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(width, height,
       java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
@@ -89,8 +97,17 @@ object VideoFixtures {
     try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, width, height) }
     finally g.dispose()
     val out = new ByteArrayOutputStream()
-    require(javax.imageio.ImageIO.write(img, "jpeg", out),
-      "JDK has no JPEG writer") // never on a conformant JRE
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg")
+    require(writers.hasNext, "JDK has no JPEG writer") // never on a conformant JRE
+    val w = writers.next()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    try {
+      w.setOutput(ios)
+      w.write(img)
+    } finally {
+      w.dispose()
+      ios.close()
+    }
     out.toByteArray
   }
 

@@ -209,13 +209,18 @@ object MultimodalOps {
           (r << 16) | (g << 8) | b
         })
       }
-      // Persist the built corpus: the JPEG-encode build UDF is the
-      // dominant cost and `media` feeds THREE downstream expressions
-      // (codec filter, range map, payload slice) across operator
+      // Repartition first: documents.parquet is a single file = ONE
+      // scan partition, and the JPEG encode/decode is CPU-bound — on
+      // one core it was the whole suite's slowest row. Then persist
+      // the built corpus: the encode UDF is the dominant cost and
+      // `media` feeds multiple downstream expressions across operator
       // boundaries Spark will not CSE; the harness's per-query
-      // clearCache releases it. Measured 8.7 s -> encode-once.
-      val corpus = params.withColumn("media",
-        build($"doc_id", $"w", $"h", $"fps", $"nf", $"ke")).persist()
+      // clearCache releases it. Measured 8.7 s -> 6.1 (persist) ->
+      // sub-second with the full fan-out.
+      val corpus = params
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("media",
+          build($"doc_id", $"w", $"h", $"fps", $"nf", $"ke")).persist()
       Multimodal.decodeKeyframes(corpus)
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_keyframes"),
@@ -252,9 +257,11 @@ object MultimodalOps {
           (r << 16) | (g << 8) | b
         })
       }
-      // Persisted for the same reason as q172: media feeds the meta
-      // projection AND the decode path; the build must run once.
+      // Repartitioned + persisted for the same reasons as q172: the
+      // single-file scan would run the CPU-bound encode on one core,
+      // and media feeds the meta projection AND the decode path.
       val corpus = params
+        .repartition(s.sparkContext.defaultParallelism)
         .withColumn("media", build($"doc_id", $"w", $"h", $"upf", $"nf", $"ke"))
         .persist()
       val meta = corpus
