@@ -113,19 +113,24 @@ object MkvContainer {
   private val Block = 0xA1L
   private val ReferenceBlock = 0xFBL
 
-  /** Parse; None unless the blob is EBML with a matroska/webm DocType
-    * carrying a video track.
+  /** Everything before the block scan: doctype, Info arithmetic, and
+    * the first video track's identity — shared by [[parse]] and
+    * [[codecRanges]].
     */
-  def parse(b: Array[Byte]): Option[Meta] = {
-    if (b == null || b.length < 8) return None
-    val (ef, eu) = find(b, 0, b.length.toLong, EBML).getOrElse(return None)
+  private final class Ctx(val fmt: String, val codec: String, val width: Int,
+      val height: Int, val durationMs: Long, val sf: Long, val su: Long,
+      val videoTrack: Long)
+
+  private def ctx(b: Array[Byte]): Ctx = {
+    if (b == null || b.length < 8) return null
+    val (ef, eu) = find(b, 0, b.length.toLong, EBML).getOrElse(return null)
     val doctype = find(b, ef, eu, DocType)
       .map { case (f, u) => new String(b, f.toInt, (u - f).toInt, "US-ASCII") }
-      .getOrElse(return None)
-    if (doctype != "matroska" && doctype != "webm") return None
+      .getOrElse(return null)
+    if (doctype != "matroska" && doctype != "webm") return null
     // The EBML header is the FIRST element; Segment follows it.
     val (sf, su) = find(b, eu, b.length.toLong, Segment)
-      .orElse(find(b, 0, b.length.toLong, Segment)).getOrElse(return None)
+      .orElse(find(b, 0, b.length.toLong, Segment)).getOrElse(return null)
 
     var tsScale = 1000000L // default: 1 ms ticks
     var durTicks = Double.NaN
@@ -163,58 +168,126 @@ object MkvContainer {
         }
       }
     }
-    if (videoTrack < 0) return None
-    // Frame/keyframe counts from the block stream of the video track.
-    // Both block forms (Matroska §blocks): bare SimpleBlocks (keyframe
-    // flag 0x80 in the block header) and BlockGroup/Block (keyframe =
-    // the group carries NO ReferenceBlock). A laced block packs
-    // multiple frames — lacing bits 0x06 of the flags byte; when set,
-    // the byte after the flags is (frame count - 1) for ALL three
-    // lacing modes, which is all counting needs (sizes are skipped
-    // with the payload).
-    def laceCount(bf: Long, bu: Long): Long = {
-      val tn = varint(b, bf.toInt, keepMarker = false)
-      if (tn == null || tn.value != videoTrack || bf + tn.len + 3 > bu) return 0L
-      val flags = b((bf + tn.len + 2).toInt) & 0xff
-      if ((flags & 0x06) == 0) 1L
-      else if (bf + tn.len + 4 <= bu) (b((bf + tn.len + 3).toInt) & 0xff) + 1L
-      else 0L
-    }
-    def blockFlags(bf: Long, bu: Long): Int = {
-      val tn = varint(b, bf.toInt, keepMarker = false)
-      if (tn == null || bf + tn.len + 3 > bu) 0
-      else b((bf + tn.len + 2).toInt) & 0xff
-    }
-    var nFrames = 0L
-    var nKey = 0L
-    // scanCluster recurses on a nested Cluster id: an UNKNOWN-SIZE
-    // cluster (live-muxed WebM — ffmpeg writes them when it cannot
-    // seek back) walks as extending to the segment end, so every
-    // following sibling cluster arrives as its "child"; recursing
-    // counts their blocks instead of silently skipping them.
-    def scanCluster(cf: Long, cu: Long): Unit = walk(b, cf, cu) { (bid, bf, bu) =>
-      if (bid == SimpleBlock) {
-        val n = laceCount(bf, bu)
-        nFrames += n
-        // Keyframe flag: "this block contains only keyframes".
-        if (n > 0 && (blockFlags(bf, bu) & 0x80) != 0) nKey += n
-      } else if (bid == BlockGroup) {
-        var ref = false
-        var n = 0L
-        walk(b, bf, bu) { (gid, gf, gu) =>
-          if (gid == Block) n += laceCount(gf, gu)
-          else if (gid == ReferenceBlock) ref = true
-        }
-        nFrames += n
-        if (!ref) nKey += n // no reference = I-frames (Matroska §BlockGroup)
-      } else if (bid == Cluster) scanCluster(bf, bu)
-    }
-    walk(b, sf, su)((id, cf, cu) => if (id == Cluster) scanCluster(cf, cu))
+    if (videoTrack < 0) return null
     val durationMs =
       if (durTicks.isNaN || tsScale <= 0) 0L
       else (durTicks * tsScale / 1e6).toLong
-    val fmt = if (doctype == "webm") "webm" else "mkv"
-    Some(Meta(fmt, codec, w, h, durationMs, nFrames, nKey))
+    new Ctx(if (doctype == "webm") "webm" else "mkv", codec, w, h,
+      durationMs, sf, su, videoTrack)
+  }
+
+  /** One video-track block's header facts. `laceMode`: 0 none, 1 Xiph,
+    * 2 fixed-size, 3 EBML (flags bits 0x06). `payFrom` points past the
+    * header AND the lace-count byte when laced — i.e. at the lace size
+    * table (Xiph/EBML) or the first frame byte (none/fixed).
+    */
+  private final class BlockHdr(val frames: Long, val key: Boolean,
+      val laceMode: Int, val payFrom: Long)
+
+  private def blockHdr(b: Array[Byte], bf: Long, bu: Long,
+      videoTrack: Long): BlockHdr = {
+    val tn = varint(b, bf.toInt, keepMarker = false)
+    if (tn == null || tn.value != videoTrack || bf + tn.len + 3 > bu)
+      return null
+    val flags = b((bf + tn.len + 2).toInt) & 0xff
+    val laceMode = (flags & 0x06) >> 1
+    if (laceMode == 0)
+      new BlockHdr(1L, (flags & 0x80) != 0, 0, bf + tn.len + 3)
+    else if (bf + tn.len + 4 <= bu)
+      new BlockHdr((b((bf + tn.len + 3).toInt) & 0xff) + 1L,
+        (flags & 0x80) != 0, laceMode, bf + tn.len + 4)
+    else null
+  }
+
+  /** The block-stream scan both consumers share: `f` sees every video
+    * block with its group-level keyframe-ness resolved (SimpleBlock:
+    * header flag; BlockGroup/Block: no ReferenceBlock sibling) and the
+    * block's payload end. scanCluster recurses on a nested Cluster id:
+    * an UNKNOWN-SIZE cluster (live-muxed WebM — ffmpeg writes them
+    * when it cannot seek back) walks as extending to the segment end,
+    * so every following sibling cluster arrives as its "child";
+    * recursing counts their blocks instead of silently skipping them.
+    */
+  private def scanVideoBlocks(b: Array[Byte], c: Ctx)(
+      f: (BlockHdr, Boolean, Long) => Unit): Unit = {
+    def scanCluster(cf: Long, cu: Long): Unit = walk(b, cf, cu) { (bid, bf, bu) =>
+      if (bid == SimpleBlock) {
+        val h = blockHdr(b, bf, bu, c.videoTrack)
+        // Keyframe flag: "this block contains only keyframes".
+        if (h != null) f(h, h.key, bu)
+      } else if (bid == BlockGroup) {
+        var ref = false
+        val hs = Array.newBuilder[(BlockHdr, Long)]
+        walk(b, bf, bu) { (gid, gf, gu) =>
+          if (gid == Block) {
+            val h = blockHdr(b, gf, gu, c.videoTrack)
+            if (h != null) hs += ((h, gu))
+          } else if (gid == ReferenceBlock) ref = true
+        }
+        // No reference = I-frames (Matroska §BlockGroup).
+        hs.result().foreach { case (h, gu) => f(h, !ref, gu) }
+      } else if (bid == Cluster) scanCluster(bf, bu)
+    }
+    walk(b, c.sf, c.su)((id, cf, cu) => if (id == Cluster) scanCluster(cf, cu))
+  }
+
+  /** Parse; None unless the blob is EBML with a matroska/webm DocType
+    * carrying a video track. Frame/keyframe counts come from the block
+    * stream — both block forms, laced blocks at their packed count.
+    */
+  def parse(b: Array[Byte]): Option[Meta] = {
+    val c = ctx(b)
+    if (c == null) return None
+    var nFrames = 0L
+    var nKey = 0L
+    scanVideoBlocks(b, c) { (h, key, _) =>
+      nFrames += h.frames
+      if (key) nKey += h.frames
+    }
+    Some(Meta(c.fmt, c.codec, c.width, c.height, c.durationMs, nFrames, nKey))
+  }
+
+  /** Codec id + KEYFRAME byte ranges from one scan — the Matroska
+    * sibling of [[VideoContainer.codecRanges]], which is what lets
+    * [[graft.operators.Multimodal.decodeKeyframes]] rasterize
+    * `V_MJPEG` tracks (each frame a standalone JPEG). Sample numbers
+    * are 1-based ordinals over the track's whole frame stream. Ranges
+    * resolve for unlaced blocks (one frame = the block payload) and
+    * fixed-size lacing (equal split); Xiph/EBML-laced KEYFRAME blocks
+    * still count frames but emit no ranges — video keyframes are not
+    * laced by any known muxer, and guessing offsets without parsing
+    * the size table would slice garbage into the decoder.
+    */
+  def codecRanges(b: Array[Byte]): Option[(String, Array[VideoContainer.KeyframeRange])] = {
+    val c = ctx(b)
+    if (c == null) return None
+    val out = Array.newBuilder[VideoContainer.KeyframeRange]
+    var ord = 0L
+    scanVideoBlocks(b, c) { (h, key, bu) =>
+      if (!key) ord += h.frames
+      else h.laceMode match {
+        case 0 =>
+          ord += 1
+          out += VideoContainer.KeyframeRange(ord.toInt, h.payFrom,
+            bu - h.payFrom)
+        case 2 =>
+          // Fixed-size lacing: equal frames; refuse a non-dividing
+          // payload (corrupt) rather than emit misaligned slices.
+          val total = bu - h.payFrom
+          if (h.frames > 0 && total % h.frames == 0) {
+            val sz = total / h.frames
+            var k = 0L
+            while (k < h.frames) {
+              ord += 1
+              out += VideoContainer.KeyframeRange(ord.toInt,
+                h.payFrom + k * sz, sz)
+              k += 1
+            }
+          } else ord += h.frames
+        case _ => ord += h.frames // Xiph/EBML lace table not parsed
+      }
+    }
+    Some((c.codec, out.result()))
   }
 
   /** struct(format, codec, width, height, duration_ms, n_frames,

@@ -392,11 +392,12 @@ object Multimodal {
     * Motion-JPEG sample IS a baseline JPEG (`jpeg` is the 14496-12/
     * QuickTime sample-entry fourcc, `mjpa`/`mjpb` the QuickTime
     * field-coded variants, `MJPG`/`mjpg`/`AVDJ`/`dmb1` the RIFF-world
-    * spellings). Everything else (AVC/HEVC/VP9/AV1...) needs a codec
-    * library and stays the documented stub.
+    * spellings, `V_MJPEG` the Matroska codec id). Everything else
+    * (AVC/HEVC/VP9/AV1...) needs a codec library and stays the
+    * documented stub.
     */
   private val JpegVideoCodecs =
-    Set("jpeg", "mjpa", "mjpb", "MJPG", "mjpg", "AVDJ", "dmb1")
+    Set("jpeg", "mjpa", "mjpb", "MJPG", "mjpg", "AVDJ", "dmb1", "V_MJPEG")
 
   /** REAL video pixel decode for the JDK-decodable codec family —
     * Motion-JPEG: [[VideoContainer.keyframePayloads]] slices each sync
@@ -421,7 +422,8 @@ object Multimodal {
     // same kernel call (null = not video / not an MJPEG family codec),
     // instead of a parse for the filter and a second for the map.
     val kfs = udf { bytes: Array[Byte] =>
-      VideoContainer.codecRanges(bytes) match {
+      VideoContainer.codecRanges(bytes)
+        .orElse(MkvContainer.codecRanges(bytes)) match {
         case Some((codec, ranges)) if JpegVideoCodecs.contains(codec) =>
           Some(ranges.map(k => (k.sample, k.offset, k.size)))
         case _ => None

@@ -417,12 +417,13 @@ object VideoFixtures {
     * payload — shared by the block-form variants below.
     */
   private def mkvAround(width: Int, height: Int, fps: Int, nFrames: Int,
-      blocks: Array[Byte]): Array[Byte] =
+      blocks: Array[Byte], codec: String = "V_MPEG4/ISO/AVC"): Array[Byte] =
     mkvAroundClusters(width, height, fps, nFrames,
-      el(0x1F43B666L, elU(0xE7L, 0) ++ blocks))
+      el(0x1F43B666L, elU(0xE7L, 0) ++ blocks), codec)
 
   private def mkvAroundClusters(width: Int, height: Int, fps: Int,
-      nFrames: Int, clusters: Array[Byte]): Array[Byte] = {
+      nFrames: Int, clusters: Array[Byte],
+      codec: String = "V_MPEG4/ISO/AVC"): Array[Byte] = {
     val header = el(0x1A45DFA3L,
       elU(0x4286L, 1) ++ elU(0x42F7L, 1) ++ elU(0x42F2L, 4) ++
         elU(0x42F3L, 8) ++ elS(0x4282L, "matroska") ++
@@ -431,11 +432,31 @@ object VideoFixtures {
       elU(0x2AD7B1L, 1000000L) ++
         elF8(0x4489L, (nFrames.toLong * 1000L / fps).toDouble))
     val trackEntry = el(0xAEL,
-      elU(0xD7L, 1) ++ elU(0x83L, 1) ++ elS(0x86L, "V_MPEG4/ISO/AVC") ++
+      elU(0xD7L, 1) ++ elU(0x83L, 1) ++ elS(0x86L, codec) ++
         el(0xE0L, elU(0xB0L, width.toLong) ++ elU(0xBAL, height.toLong)))
     val tracks = el(0x1654AE6BL, trackEntry)
     val segment = el(0x18538067L, info ++ tracks ++ clusters)
     header ++ segment
+  }
+
+  /** The third REAL-decodable MJPEG container: Matroska with codec id
+    * `V_MJPEG`, every SimpleBlock payload an actual baseline JPEG
+    * ([[solidJpeg]]), keyframe flag on samples 1, 1+keyEvery, ... —
+    * what [[MkvContainer.codecRanges]] slices and
+    * [[Multimodal.decodeKeyframes]] rasterizes.
+    */
+  def mkvMjpeg(width: Int, height: Int, fps: Int, nFrames: Int,
+      keyEvery: Int, rgbOf: Int => Int): Array[Byte] = {
+    require(width > 0 && height > 0 && fps > 0 && nFrames > 0 && keyEvery > 0)
+    val blocks = (1 to nFrames).map { i =>
+      val w = new W
+      w.u8(0x81) // track 1 varint
+      w.u16(i) // s16 relative timestamp
+      w.u8(if ((i - 1) % keyEvery == 0) 0x80 else 0x00)
+      w.bytes(solidJpeg(width, height, rgbOf(i)))
+      el(0xA3L, w.result())
+    }.reduce(_ ++ _)
+    mkvAround(width, height, fps, nFrames, blocks, codec = "V_MJPEG")
   }
 
   /** [[mkv]]'s track but every frame in its own BlockGroup/Block —

@@ -278,6 +278,50 @@ object MultimodalOps {
           sum(expr("mean_g div 32")).as("sum_gb"),
           sum(expr("mean_b div 32")).as("sum_bb"))
       meta.join(decoded, Seq("doc_id"))
+    },
+
+    // ---- q174: MJPEG in Matroska — the THIRD real-decode container.
+    // Same contract as q172/q173 through the EBML side: codec id
+    // V_MJPEG, keyframe ranges from SimpleBlock headers (flag 0x80),
+    // payloads = standalone JPEGs rasterized by ImageIO. With all
+    // three containers gated, the decode path's container dispatch
+    // (BMFF tables / RIFF index / EBML block stream) is certified
+    // end-to-end on the same bucket arithmetic.
+    "q174_mkv_mjpeg" -> { (s, d) =>
+      import s.implicits._
+      val params = Tables.documents(s, d)
+        .select($"doc_id".cast("long").as("doc_id"))
+        .withColumn("w", (lit(48) + ($"doc_id" % 5) * 16).cast("int"))
+        .withColumn("h", (lit(32) + ($"doc_id" % 2) * 16).cast("int"))
+        .withColumn("fps", (lit(4) + $"doc_id" % 5).cast("int"))
+        .withColumn("nf", (lit(3) + $"doc_id" % 8).cast("int"))
+        .withColumn("ke", (lit(1) + $"doc_id" % 5).cast("int"))
+      val build = udf { (docId: Long, w: Int, h: Int, fps: Int, nf: Int, ke: Int) =>
+        graft.operators.VideoFixtures.mkvMjpeg(w, h, fps, nf, ke, i => {
+          val r = 32 * ((docId * 2 + i) % 8).toInt + 16
+          val g = 32 * ((docId * 9 + i) % 8).toInt + 16
+          val b = 32 * ((docId + 3L * i) % 8).toInt + 16
+          (r << 16) | (g << 8) | b
+        })
+      }
+      val corpus = params
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("media",
+          build($"doc_id", $"w", $"h", $"fps", $"nf", $"ke")).persist()
+      val meta = corpus
+        .withColumn("m", graft.operators.MkvContainer.mkvMeta($"media"))
+        .select($"doc_id", $"m.codec".as("codec"),
+          $"m.duration_ms".as("duration_ms"), $"m.n_frames".as("n_frames"))
+      val decoded = Multimodal.decodeKeyframes(corpus)
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_keyframes"),
+          count($"frame_w").as("n_decoded"),
+          max($"frame_w").cast("long").as("frame_w"),
+          max($"frame_h").cast("long").as("frame_h"),
+          sum(expr("mean_r div 32")).as("sum_rb"),
+          sum(expr("mean_g div 32")).as("sum_gb"),
+          sum(expr("mean_b div 32")).as("sum_bb"))
+      meta.join(decoded, Seq("doc_id"))
     }
   )
 
@@ -457,6 +501,34 @@ object MultimodalOps {
         |    j -> (doc_id + 2 * (1 + j * ke)) % 8)) AS BIGINT) AS sum_gb,
         |  CAST(list_sum(list_transform(range(0, 1 + (nf - 1) // ke),
         |    j -> (doc_id * 11 + 1 + j * ke) % 8)) AS BIGINT) AS sum_bb
+        |FROM p""".stripMargin,
+
+    // q172's bucket replay through the Matroska arithmetic, plus the
+    // EBML-side facts: codec id is the builder's constant, duration is
+    // the fixture's integer-ms Info write (nf*1000//fps).
+    "q174_mkv_mjpeg" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    48 + (doc_id % 5) * 16 AS w,
+        |    32 + (doc_id % 2) * 16 AS h,
+        |    4 + (doc_id % 5) AS fps,
+        |    3 + (doc_id % 8) AS nf,
+        |    1 + (doc_id % 5) AS ke
+        |  FROM documents)
+        |SELECT doc_id,
+        |  'V_MJPEG' AS codec,
+        |  CAST(nf * 1000 // fps AS BIGINT) AS duration_ms,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(1 + (nf - 1) // ke AS BIGINT) AS n_keyframes,
+        |  CAST(1 + (nf - 1) // ke AS BIGINT) AS n_decoded,
+        |  CAST(w AS BIGINT) AS frame_w,
+        |  CAST(h AS BIGINT) AS frame_h,
+        |  CAST(list_sum(list_transform(range(0, 1 + (nf - 1) // ke),
+        |    j -> (doc_id * 2 + 1 + j * ke) % 8)) AS BIGINT) AS sum_rb,
+        |  CAST(list_sum(list_transform(range(0, 1 + (nf - 1) // ke),
+        |    j -> (doc_id * 9 + 1 + j * ke) % 8)) AS BIGINT) AS sum_gb,
+        |  CAST(list_sum(list_transform(range(0, 1 + (nf - 1) // ke),
+        |    j -> (doc_id + 3 * (1 + j * ke)) % 8)) AS BIGINT) AS sum_bb
         |FROM p""".stripMargin
   )
 }

@@ -123,6 +123,45 @@ class MjpegDecodeSpec extends SparkSpec {
     }
   }
 
+  test("MJPEG Matroska: V_MJPEG SimpleBlock payloads slice and decode") {
+    val blob = VideoFixtures.mkvMjpeg(64, 48, 5, nFrames = 7, keyEvery = 3,
+      rgbOf = rgbOf(6L))
+    val m = MkvContainer.parse(blob).get
+    assert(m.codec == "V_MJPEG" && m.nFrames == 7L && m.nKeyframes == 3L)
+    val (codec, kfs) = MkvContainer.codecRanges(blob).get
+    assert(codec == "V_MJPEG")
+    assert(kfs.map(_.sample).toSeq == Seq(1, 4, 7))
+    kfs.foreach { k =>
+      val p = java.util.Arrays.copyOfRange(blob, k.offset.toInt,
+        (k.offset + k.size).toInt)
+      assert((p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) // a JPEG
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+      assert(img != null && img.getWidth == 64 && img.getHeight == 48)
+      val want = rgbOf(6L)(k.sample)
+      assert((img.getRGB(2, 2) >> 8 & 0xff) / 32 == ((want >> 8) & 0xff) / 32)
+    }
+    // The DataFrame path routes the EBML container like the other two.
+    val s = spark
+    import s.implicits._
+    val out = Multimodal.decodeKeyframes(Seq((6L, blob)).toDF("doc_id", "media"))
+      .orderBy($"sample").collect()
+    assert(out.length == 3 && out.forall(_.getInt(2) == 64))
+  }
+
+  test("fixed-size-laced keyframe block splits into equal per-frame ranges") {
+    val blob = VideoFixtures.mkvLaced(64, 48, 5, nFrames = 6)
+    val (_, kfs) = MkvContainer.codecRanges(blob).get
+    assert(kfs.length == 6)
+    assert(kfs.map(_.sample).toSeq == (1 to 6))
+    assert(kfs.forall(_.size == 4L)) // six BE32 payloads, equal split
+    kfs.zipWithIndex.foreach { case (k, i) =>
+      val off = k.offset.toInt
+      val magic = ((blob(off) & 0xff) << 24) | ((blob(off + 1) & 0xff) << 16) |
+        ((blob(off + 2) & 0xff) << 8) | (blob(off + 3) & 0xff)
+      assert(magic == i + 1, s"lace frame ${i + 1} sliced at wrong offset")
+    }
+  }
+
   test("non-MJPEG codecs are excluded; corrupt frames quarantine with null fields") {
     val s = spark
     import s.implicits._
