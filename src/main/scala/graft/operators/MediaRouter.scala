@@ -6,10 +6,13 @@ import org.apache.spark.sql.functions._
 /** Unified media triage — the ENTRY POINT of a mixed-media corpus:
   * one pass over the blob column classifies every row by container
   * (image via [[ImageHeader]], video via [[VideoContainer]] /
-  * [[MkvContainer]], PCM audio via the RIFF/AIFF/AU magics the JDK
-  * sound stack reads) and extracts the kind-appropriate geometry, so
-  * downstream stages `filter($"kind" === ...)` into the right decode
-  * path and everything unrecognized lands in quarantine EXPLICITLY
+  * [[MkvContainer]], audio via the RIFF/AIFF/AU magics the JDK sound
+  * stack reads plus the compressed families a corpus actually
+  * carries — FLAC, MP3 with frame-header validity, Ogg with real
+  * first-page codec dispatch, audio-only BMFF) and extracts the
+  * kind-appropriate geometry, so downstream stages
+  * `filter($"kind" === ...)` into the right decode path and
+  * everything unrecognized lands in quarantine EXPLICITLY
   * (kind = null) instead of failing deep inside a decoder.
   *
   * Detection is magic-byte dispatch, cheapest check first, and each
@@ -40,7 +43,45 @@ object MediaRouter {
       Some("aiff") // AIFF and AIFC both start FORM....AIF
     else if (b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd')
       Some("au")
+    else if (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')
+      Some("flac")
+    else if (b(0) == 'I' && b(1) == 'D' && b(2) == '3')
+      Some("mp3") // ID3v2-tagged MPEG audio
+    else if ((b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0 && {
+      // Bare MPEG frame sync: demand the header fields be VALID so an
+      // arbitrary 0xFF-leading binary doesn't claim mp3 — version not
+      // reserved, layer not reserved, bitrate index not free/bad,
+      // sample-rate index not reserved (ISO 11172-3 §2.4.1.3).
+      val v = (b(1) >> 3) & 0x3
+      val l = (b(1) >> 1) & 0x3
+      val br = (b(2) >> 4) & 0xf
+      val sr = (b(2) >> 2) & 0x3
+      v != 1 && l != 0 && br != 0 && br != 0xf && sr != 3
+    }) Some("mp3")
     else None
+  }
+
+  /** Ogg: the first page's payload leads with the codec's magic —
+    * real dispatch, not an "Ogg is audio" guess (Theora video streams
+    * exist). Page header: "OggS" + 22 fixed bytes + segment-count byte
+    * + lacing table, payload after (RFC 3533 §6).
+    */
+  private def ogg(b: Array[Byte]): Option[Triage] = {
+    if (b == null || b.length < 28 ||
+      !(b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S'))
+      return None
+    val nSegs = b(26) & 0xff
+    val p = 27 + nSegs
+    if (p + 8 > b.length)
+      return Some(Triage("audio", "ogg", None, None, None, None))
+    val magic = new String(b, p, 8, "ISO-8859-1")
+    if ((b(p) & 0xff) == 0x01 && magic.substring(1, 7) == "vorbis")
+      Some(Triage("audio", "ogg-vorbis", None, None, None, None))
+    else if (magic == "OpusHead")
+      Some(Triage("audio", "ogg-opus", None, None, None, None))
+    else if ((b(p) & 0xff) == 0x80 && magic.substring(1, 7) == "theora")
+      Some(Triage("video", "ogg-theora", None, None, None, None))
+    else Some(Triage("audio", "ogg", None, None, None, None))
   }
 
   def triage(b: Array[Byte]): Option[Triage] = {
@@ -55,6 +96,11 @@ object MediaRouter {
           Some(m.durationMs), Some(m.nFrames))))
       .orElse(audioFormat(b).map(f =>
         Triage("audio", f, None, None, None, None)))
+      .orElse(ogg(b))
+      // Audio-only BMFF (.m4a): a video parse correctly refuses it,
+      // but it must not land in quarantine.
+      .orElse(VideoContainer.audioOnlyMp4(b).map(_ =>
+        Triage("audio", "m4a", None, None, None, None)))
   }
 
   /** struct(kind, format, width, height, duration_ms, n_frames);

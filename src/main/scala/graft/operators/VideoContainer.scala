@@ -631,6 +631,31 @@ object VideoContainer {
   def parse(bytes: Array[Byte]): Option[Meta] =
     if (bytes == null) None else mp4(bytes).orElse(avi(bytes))
 
+  /** BMFF blob with an audio (`soun`) track and NO video track — the
+    * .m4a/.aac triage case [[parse]] correctly refuses (it is not a
+    * video container) but a mixed-corpus router must not quarantine.
+    * Returns the ftyp major brand.
+    */
+  def audioOnlyMp4(b: Array[Byte]): Option[String] = {
+    if (b == null || b.length < 12) return None
+    val n = b.length.toLong
+    val ftyp = findBox(b, 0, n, "ftyp").getOrElse(return None)
+    if (ftyp._2 - ftyp._1 < 4) return None
+    val (mf, mu) = findBox(b, 0, n, "moov").getOrElse(return None)
+    var hasSoun = false
+    var hasVide = false
+    walkBoxes(b, mf, mu) { (t, f, u) =>
+      if (t == "trak") path(b, f, u, "mdia", "hdlr").foreach { case (hf, hu) =>
+        if (hu - hf >= 12) fourcc(b, hf.toInt + 8) match {
+          case "soun" => hasSoun = true
+          case "vide" => hasVide = true
+          case _      =>
+        }
+      }
+    }
+    if (hasSoun && !hasVide) Some(fourcc(b, ftyp._1.toInt)) else None
+  }
+
   // ---- Column / DataFrame API --------------------------------------------
 
   /** struct(format, brand, codec, width, height, duration_ms, n_frames,

@@ -111,6 +111,19 @@ object VideoFixtures {
     out.toByteArray
   }
 
+  /** Audio-only BMFF (.m4a triage shape): ftyp + moov with one `soun`
+    * track — just enough container for
+    * [[VideoContainer.audioOnlyMp4]]'s handler walk.
+    */
+  def m4a(brand: String = "M4A "): Array[Byte] = {
+    val hdlr = box("hdlr")(w => w.u32(0).u32(0).cc("soun").zeros(12).u8(0))
+    val mdia = box("mdia")(w => w.bytes(hdlr))
+    val trak = box("trak")(w => w.bytes(mdia))
+    val moov = box("moov")(w => w.bytes(trak))
+    val ftyp = box("ftyp")(w => w.cc(brand).u32(0).cc(brand))
+    ftyp ++ moov
+  }
+
   /** The shared progressive-MP4 layout: one `vide` track whose stsd
     * sample entry carries `codec`, samples = `payloads` (1-based
     * sample `i` is `payloads(i-1)`), chunked [[ChunkSamples]] per
