@@ -1,0 +1,393 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Header-only audio metadata from a binary column — sample rate,
+  * channels, and duration WITHOUT decoding samples, for every audio
+  * family a mixed corpus actually carries. This is what turns
+  * [[MediaRouter]]'s audio format tags into the accounting a curation
+  * pipeline needs (hours-of-audio per source/language/quality stratum)
+  * at header-read cost; the full-decode path
+  * ([[Multimodal.decodeAudioFeatures]]) stays for signal statistics
+  * on the PCM formats the JDK can decode.
+  *
+  * Durations are EXACT where the container records sample counts
+  * (`exact = true`: FLAC STREAMINFO, Ogg terminal-page granule
+  * position, BMFF mvhd, WAV/AU data-size arithmetic, AIFF COMM) and a
+  * documented CBR ESTIMATE for bare MPEG audio (`exact = false`:
+  * stream bytes × 8 / first-frame bitrate — right for constant-rate
+  * files, approximate for VBR without a Xing header).
+  *
+  * Scale shape: one narrow per-row map reading leading bytes (plus,
+  * for Ogg, one bounded backward scan for the terminal page header) —
+  * no shuffle, no sample buffers. Malformed blobs quarantine as null.
+  */
+object AudioContainer {
+
+  /** `exact` = duration derived from recorded sample counts, not a
+    * bitrate estimate.
+    */
+  final case class Meta(format: String, sampleRate: Int, channels: Int,
+      durationMs: Long, exact: Boolean)
+
+  private def u16be(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def u32be(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+  private def u32le(b: Array[Byte], i: Int): Long =
+    ((b(i + 3) & 0xffL) << 24) | ((b(i + 2) & 0xffL) << 16) |
+      ((b(i + 1) & 0xffL) << 8) | (b(i) & 0xffL)
+  private def u16le(b: Array[Byte], i: Int): Int =
+    ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+  private def u64le(b: Array[Byte], i: Int): Long =
+    u32le(b, i) | (u32le(b, i + 4) << 32)
+  private def cc(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, "US-ASCII")
+
+  /** WAV: fmt chunk (channels, rate, byte rate) + data chunk size →
+    * exact duration (RIFF walk; chunks are word-aligned).
+    */
+  private def wav(b: Array[Byte]): Option[Meta] = {
+    if (b.length < 44 || cc(b, 0) != "RIFF" || cc(b, 8) != "WAVE") return None
+    var i = 12
+    var rate = 0L
+    var ch = 0
+    var byteRate = 0L
+    var dataBytes = -1L
+    while (i + 8 <= b.length) {
+      val typ = cc(b, i)
+      val sz = u32le(b, i + 4)
+      if (typ == "fmt " && i + 8 + 16 <= b.length) {
+        ch = u16le(b, i + 10)
+        rate = u32le(b, i + 12)
+        byteRate = u32le(b, i + 16)
+      } else if (typ == "data") dataBytes = sz
+      i += (8 + sz + (sz & 1L)).toInt.max(8)
+    }
+    if (rate <= 0 || ch <= 0 || byteRate <= 0 || dataBytes < 0) None
+    else Some(Meta("wav", rate.toInt, ch, dataBytes * 1000L / byteRate,
+      exact = true))
+  }
+
+  /** AU (.snd): header carries data offset/size, encoding, rate,
+    * channels; PCM encodings 1-5 have known bytes/sample.
+    */
+  private def au(b: Array[Byte]): Option[Meta] = {
+    if (b.length < 24 || !(b(0) == '.' && b(1) == 's' && b(2) == 'n' &&
+      b(3) == 'd')) return None
+    val dataSize = u32be(b, 8)
+    val enc = u32be(b, 12)
+    val rate = u32be(b, 16)
+    val ch = u32be(b, 20)
+    val bytesPer = enc match {
+      case 1 | 2 => 1L // µ-law, 8-bit PCM
+      case 3     => 2L
+      case 4     => 3L
+      case 5     => 4L
+      case _     => return None
+    }
+    if (rate <= 0 || ch <= 0 || dataSize < 0 || dataSize == 0xffffffffL) None
+    else Some(Meta("au", rate.toInt, ch.toInt,
+      dataSize * 1000L / (rate * ch * bytesPer), exact = true))
+  }
+
+  /** AIFF/AIFC: COMM chunk — channels, frame count, and the sample
+    * rate as an 80-bit IEEE extended float (sign+15-bit exponent,
+    * 64-bit mantissa with explicit integer bit).
+    */
+  private def aiff(b: Array[Byte]): Option[Meta] = {
+    if (b.length < 12 || cc(b, 0) != "FORM" ||
+      !(b(8) == 'A' && b(9) == 'I' && b(10) == 'F')) return None
+    var i = 12
+    while (i + 8 <= b.length) {
+      val typ = cc(b, i)
+      val sz = u32be(b, i + 4)
+      if (typ == "COMM" && i + 8 + 18 <= b.length) {
+        val ch = u16be(b, i + 8)
+        val frames = u32be(b, i + 10)
+        // 80-bit extended float at i+16: exponent (biased 16383) +
+        // 64-bit mantissa; rate = mantissa >> (16383 + 63 - exp).
+        val exp = u16be(b, i + 16) & 0x7fff
+        var mant = 0L
+        var k = 0
+        while (k < 8) { mant = (mant << 8) | (b(i + 18 + k) & 0xff); k += 1 }
+        val shift = 16383 + 63 - exp
+        val rate =
+          if (shift <= 0 || shift >= 64 || mant == 0L) 0L
+          else mant >>> shift
+        if (ch <= 0 || rate <= 0) return None
+        return Some(Meta("aiff", rate.toInt, ch,
+          frames * 1000L / rate, exact = true))
+      }
+      i += (8 + sz + (sz & 1L)).toInt.max(8)
+    }
+    None
+  }
+
+  /** FLAC: the STREAMINFO metadata block is REQUIRED first — sample
+    * rate (20 bits), channels-1 (3), bits-1 (5), total samples (36)
+    * packed at byte 18 of the stream (spec §STREAMINFO).
+    */
+  private def flac(b: Array[Byte]): Option[Meta] = {
+    if (b.length < 4 + 4 + 34 || !(b(0) == 'f' && b(1) == 'L' &&
+      b(2) == 'a' && b(3) == 'C')) return None
+    if ((b(4) & 0x7f) != 0) return None // first block must be STREAMINFO
+    val p = 8 // STREAMINFO payload
+    // min/max blocksize (4) + min/max framesize (6), then the packed
+    // 64 bits: rate(20) ch-1(3) bits-1(5) totalSamples(36).
+    val hi = u32be(b, p + 10)
+    val lo = u32be(b, p + 14)
+    val rate = (hi >>> 12).toInt
+    val ch = ((hi >>> 9) & 0x7).toInt + 1
+    val total = ((hi & 0xfL) << 32) | lo
+    if (rate <= 0) None
+    else Some(Meta("flac", rate, ch,
+      if (total == 0) 0L else total * 1000L / rate, exact = true))
+  }
+
+  private val Mp3Rates = Array(44100, 48000, 32000) // MPEG1; /2 V2, /4 V2.5
+  private val Mp3BitratesV1L3 =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3BitratesV2L3 =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+
+  /** MPEG audio (Layer III): first frame header → rate/channels; CBR
+    * duration ESTIMATE = audio bytes × 8 / bitrate (ID3v2 tag length
+    * skipped). VBR files without this being a Xing-aware parse get the
+    * average-rate approximation — hence `exact = false`.
+    */
+  private def mp3(b: Array[Byte]): Option[Meta] = {
+    if (b == null || b.length < 4) return None
+    var p = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      // ID3v2 size: 4 syncsafe bytes at 6..9.
+      val sz = ((b(6) & 0x7fL) << 21) | ((b(7) & 0x7fL) << 14) |
+        ((b(8) & 0x7fL) << 7) | (b(9) & 0x7fL)
+      p = (10 + sz).toInt
+      if (p + 4 > b.length) return None
+    }
+    if ((b(p) & 0xff) != 0xff || (b(p + 1) & 0xe0) != 0xe0) return None
+    val ver = (b(p + 1) >> 3) & 0x3 // 3 = MPEG1, 2 = MPEG2, 0 = 2.5
+    val layer = (b(p + 1) >> 1) & 0x3 // 1 = Layer III
+    val brIdx = (b(p + 2) >> 4) & 0xf
+    val srIdx = (b(p + 2) >> 2) & 0x3
+    if (ver == 1 || layer != 1 || brIdx == 0 || brIdx == 0xf || srIdx == 3)
+      return None
+    val rate = ver match {
+      case 3 => Mp3Rates(srIdx)
+      case 2 => Mp3Rates(srIdx) / 2
+      case _ => Mp3Rates(srIdx) / 4
+    }
+    val kbps =
+      if (ver == 3) Mp3BitratesV1L3(brIdx) else Mp3BitratesV2L3(brIdx)
+    val ch = if (((b(p + 3) >> 6) & 0x3) == 3) 1 else 2
+    if (kbps <= 0) None
+    else Some(Meta("mp3", rate, ch,
+      (b.length - p).toLong * 8000L / (kbps * 1000L), exact = false))
+  }
+
+  /** Ogg vorbis/opus: rate/channels from the identification header on
+    * the FIRST page; duration from the TERMINAL page's granule
+    * position (vorbis: PCM samples at `rate`; opus: 48 kHz ticks minus
+    * the ident header's pre-skip — RFC 7845 §4).
+    */
+  private def ogg(b: Array[Byte]): Option[Meta] = {
+    if (b.length < 28 || !(b(0) == 'O' && b(1) == 'g' && b(2) == 'g' &&
+      b(3) == 'S')) return None
+    val nSegs = b(26) & 0xff
+    val p = 27 + nSegs
+    if (p + 16 > b.length) return None
+    val isVorbis = (b(p) & 0xff) == 0x01 &&
+      new String(b, p + 1, 6, "US-ASCII") == "vorbis"
+    val isOpus = new String(b, p, 8, "ISO-8859-1") == "OpusHead"
+    if (!isVorbis && !isOpus) return None
+    // Last page: scan backward for the final "OggS" capture pattern;
+    // granule position is the u64le at +6 (RFC 3533 §6).
+    var q = b.length - 27
+    while (q > 0 && !(b(q) == 'O' && b(q + 1) == 'g' && b(q + 2) == 'g' &&
+      b(q + 3) == 'S')) q -= 1
+    if (q <= 0) return None
+    val granule = u64le(b, q + 6)
+    if (isVorbis) {
+      // ident: type1 + "vorbis" + version4 + channels1 + rate4 (LE).
+      if (p + 16 > b.length) return None
+      val ch = b(p + 11) & 0xff
+      val rate = u32le(b, p + 12)
+      if (rate <= 0 || ch <= 0 || granule < 0) None
+      else Some(Meta("ogg-vorbis", rate.toInt, ch,
+        granule * 1000L / rate, exact = true))
+    } else {
+      // OpusHead: version1 + channels1 + preskip2(LE) + inputRate4(LE).
+      if (p + 16 > b.length) return None
+      val ch = b(p + 9) & 0xff
+      val preSkip = u16le(b, p + 10)
+      val rate = u32le(b, p + 12) // informational input rate
+      val samples = math.max(0L, granule - preSkip) // 48 kHz ticks
+      if (ch <= 0) None
+      else Some(Meta("ogg-opus", if (rate > 0) rate.toInt else 48000, ch,
+        samples * 1000L / 48000L, exact = true))
+    }
+  }
+
+  /** Audio-only BMFF (.m4a): duration from mvhd (version 0/1),
+    * rate/channels left 0 (they live in the stsd sample entry, whose
+    * layout is codec-specific; duration is the curation-relevant
+    * field).
+    */
+  private def m4a(b: Array[Byte]): Option[Meta] = {
+    VideoContainer.audioOnlyMp4(b).flatMap { _ =>
+      VideoContainer.presentationDurationMs(b).map(ms =>
+        Meta("m4a", 0, 0, ms, exact = true))
+    }
+  }
+
+  /** Parse the leading bytes (and for Ogg, the terminal page header);
+    * None for null/unknown/corrupt blobs.
+    */
+  def parse(bytes: Array[Byte]): Option[Meta] =
+    if (bytes == null) None
+    else wav(bytes).orElse(au(bytes)).orElse(aiff(bytes))
+      .orElse(flac(bytes)).orElse(ogg(bytes)).orElse(mp3(bytes))
+      .orElse(m4a(bytes))
+
+  /** struct(format, sample_rate, channels, duration_ms, exact), null
+    * when the blob is not a recognized audio container.
+    */
+  def audioMeta(blob: Column): Column = {
+    val f = udf { b: Array[Byte] =>
+      parse(b).map(m =>
+        (m.format, m.sampleRate, m.channels, m.durationMs, m.exact))
+    }
+    f(blob).cast("struct<format:string,sample_rate:int,channels:int," +
+      "duration_ms:bigint,exact:boolean>")
+  }
+}
+
+/** Deterministic audio-container fixtures — the audio members of the
+  * media fixture family ([[VideoFixtures]]): real spec-conformant
+  * header bytes from integer parameters, so [[AudioContainer.parse]]
+  * gates as a build∘parse identity whose expected output is pure
+  * arithmetic a SQL oracle can replay.
+  */
+object AudioFixtures {
+
+  private final class W {
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): W = { out.write(v & 0xff); this }
+    def u16be(v: Int): W = { u8(v >>> 8); u8(v) }
+    def u32be(v: Long): W = { u16be((v >>> 16).toInt); u16be(v.toInt) }
+    def u16le(v: Int): W = { u8(v); u8(v >>> 8) }
+    def u32le(v: Long): W = {
+      u8(v.toInt); u8((v >>> 8).toInt); u8((v >>> 16).toInt)
+      u8((v >>> 24).toInt)
+    }
+    def u64le(v: Long): W = { u32le(v); u32le(v >>> 32) }
+    def cc(s: String): W = { out.write(s.getBytes("US-ASCII")); this }
+    def zeros(n: Int): W = { out.write(new Array[Byte](n)); this }
+    def result(): Array[Byte] = out.toByteArray
+  }
+
+  /** PCM-16 WAV: fmt + a zeroed data chunk of `nSamples` frames. */
+  def wav(rate: Int, channels: Int, nSamples: Int): Array[Byte] = {
+    require(rate > 0 && channels > 0 && nSamples >= 0)
+    val dataBytes = nSamples * channels * 2
+    val w = new W
+    w.cc("RIFF").u32le(36L + dataBytes).cc("WAVE")
+    w.cc("fmt ").u32le(16L)
+      .u16le(1).u16le(channels).u32le(rate.toLong)
+      .u32le(rate.toLong * channels * 2)
+      .u16le(channels * 2).u16le(16)
+    w.cc("data").u32le(dataBytes.toLong).zeros(dataBytes)
+    w.result()
+  }
+
+  /** FLAC stream header: "fLaC" + a last-flagged STREAMINFO block. */
+  def flac(rate: Int, channels: Int, totalSamples: Long): Array[Byte] = {
+    require(rate > 0 && rate < (1 << 20) && channels >= 1 && channels <= 8 &&
+      totalSamples >= 0 && totalSamples < (1L << 36))
+    val w = new W
+    w.cc("fLaC")
+    w.u8(0x80).u8(0).u8(0).u8(34) // last-block | STREAMINFO, length 34
+    w.u16be(4096).u16be(4096) // min/max blocksize
+    w.u8(0).u16be(0).u8(0).u16be(0) // min/max framesize (u24 x2)
+    val hi = (rate.toLong << 12) | ((channels - 1L) << 9) |
+      (15L << 4) | (totalSamples >>> 32) // bits-1 = 15 (16-bit)
+    w.u32be(hi).u32be(totalSamples & 0xffffffffL)
+    w.zeros(16) // md5
+    w.result()
+  }
+
+  /** Bare MPEG1 Layer III stream: one valid frame header + zero fill
+    * to `totalBytes` (CBR estimate shape). `kbps` must be a Layer III
+    * MPEG1 table rate; sample rate fixed at 44100 (index 0).
+    */
+  def mp3(kbps: Int, totalBytes: Int, stereo: Boolean = true): Array[Byte] = {
+    val brIdx = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+      224, 256, 320).indexOf(kbps)
+    require(brIdx > 0, s"not an MPEG1 L3 bitrate: $kbps")
+    require(totalBytes >= 4)
+    val w = new W
+    w.u8(0xff).u8(0xfb) // sync + MPEG1 + Layer III + no CRC
+    w.u8((brIdx << 4) | (0 << 2)) // bitrate idx + 44.1 kHz + no pad
+    w.u8(if (stereo) 0x00 else 0xc0)
+    w.zeros(totalBytes - 4)
+    w.result()
+  }
+
+  /** Ogg Vorbis: a BOS page carrying the identification header and an
+    * EOS page whose granule position is the PCM sample total.
+    */
+  def oggVorbis(rate: Int, channels: Int, granule: Long): Array[Byte] = {
+    require(rate > 0 && channels > 0 && granule >= 0)
+    def page(typ: Int, gran: Long, payload: Array[Byte]): Array[Byte] = {
+      require(payload.length < 255)
+      val w = new W
+      w.cc("OggS").u8(0).u8(typ).u64le(gran)
+      w.u32le(1L).u32le(0L).u32le(0L) // serial, seq, crc (parser-ignored)
+      w.u8(1).u8(payload.length)
+      w.out.write(payload)
+      w.result()
+    }
+    val ident = new W
+    ident.u8(0x01).cc("vorbis").u32le(0L) // type + name + version
+      .u8(channels).u32le(rate.toLong)
+      .zeros(12) // bitrate fields
+      .u8(0xb8).u8(0x01) // blocksizes + framing
+    page(0x02, 0L, ident.result()) ++
+      page(0x04, granule, Array[Byte](0))
+  }
+
+  /** Audio-only BMFF with an mvhd: ftyp(brand) + moov(mvhd(timescale,
+    * duration) + trak(mdia(hdlr soun))).
+    */
+  def m4a(timescale: Int, duration: Long,
+      brand: String = "M4A "): Array[Byte] = {
+    require(timescale > 0 && duration >= 0)
+    def box(typ: String)(body: W => Unit): Array[Byte] = {
+      val w = new W
+      body(w)
+      val p = w.result()
+      val h = new W
+      h.u32be(p.length + 8L).cc(typ)
+      h.out.write(p)
+      h.result()
+    }
+    val mvhd = box("mvhd") { w =>
+      w.u32be(0).u32be(0).u32be(0)
+        .u32be(timescale.toLong).u32be(duration)
+        .u32be(0x00010000L).u16be(0x0100).u16be(0).zeros(8)
+      w.u32be(0x00010000L).u32be(0).u32be(0)
+      w.u32be(0).u32be(0x00010000L).u32be(0)
+      w.u32be(0).u32be(0).u32be(0x40000000L)
+      w.zeros(24).u32be(2)
+    }
+    val hdlr = box("hdlr")(w => w.u32be(0).u32be(0).cc("soun").zeros(12).u8(0))
+    val mdia = box("mdia")(w => w.out.write(hdlr))
+    val trak = box("trak")(w => w.out.write(mdia))
+    val moov = box("moov")(w => { w.out.write(mvhd); w.out.write(trak) })
+    val ftyp = box("ftyp")(w => { w.cc(brand).u32be(0); w.cc(brand); () })
+    ftyp ++ moov
+  }
+}

@@ -94,6 +94,12 @@ object MediaRouter {
       .orElse(MkvContainer.parse(b).map(m =>
         Triage("video", m.format, Some(m.width), Some(m.height),
           Some(m.durationMs), Some(m.nFrames))))
+      // Rich audio metadata first (duration from the container,
+      // [[AudioContainer]]); the magic-only tags below catch blobs
+      // whose headers carry the magic but not parseable math, so a
+      // half-corrupt file still routes to the audio fleet.
+      .orElse(AudioContainer.parse(b).map(a =>
+        Triage("audio", a.format, None, None, Some(a.durationMs), None)))
       .orElse(audioFormat(b).map(f =>
         Triage("audio", f, None, None, None, None)))
       .orElse(ogg(b))

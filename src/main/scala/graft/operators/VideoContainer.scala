@@ -631,6 +631,30 @@ object VideoContainer {
   def parse(bytes: Array[Byte]): Option[Meta] =
     if (bytes == null) None else mp4(bytes).orElse(avi(bytes))
 
+  /** mvhd presentation duration in ms for ANY BMFF blob (video or
+    * audio-only) — the same v0/v1 arithmetic [[mp4Tables]] applies to
+    * video tracks, exposed for the audio-metadata layer
+    * ([[AudioContainer]]).
+    */
+  def presentationDurationMs(b: Array[Byte]): Option[Long] = {
+    if (b == null || b.length < 12) return None
+    val n = b.length.toLong
+    val (moovF, moovU) = findBox(b, 0, n, "moov").getOrElse(return None)
+    path(b, moovF, moovU, "mvhd").flatMap { case (f, u) =>
+      if (u - f < 24) None
+      else {
+        val v = b(f.toInt) & 0xff
+        if (v == 1 && u - f < 32) None
+        else {
+          val (ts, dur) =
+            if (v == 1) (u32be(b, f.toInt + 20), u64be(b, f.toInt + 24))
+            else (u32be(b, f.toInt + 12), u32be(b, f.toInt + 16))
+          if (ts <= 0) None else Some(dur * 1000L / ts)
+        }
+      }
+    }
+  }
+
   /** BMFF blob with an audio (`soun`) track and NO video track — the
     * .m4a/.aac triage case [[parse]] correctly refuses (it is not a
     * video container) but a mixed-corpus router must not quarantine.

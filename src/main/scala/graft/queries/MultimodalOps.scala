@@ -322,6 +322,42 @@ object MultimodalOps {
           sum(expr("mean_g div 32")).as("sum_gb"),
           sum(expr("mean_b div 32")).as("sum_bb"))
       meta.join(decoded, Seq("doc_id"))
+    },
+
+    // ---- q175: the AUDIO metadata layer — header-only sample rate /
+    // channels / duration across five container families (WAV exact,
+    // FLAC STREAMINFO exact, bare MPEG CBR estimate, Ogg Vorbis
+    // terminal-granule exact, audio-only BMFF mvhd exact). Every
+    // parsed field is pure arithmetic of the build parameters, which
+    // are doc_id arithmetic — so the oracle replays the duration math
+    // of each family and the gate certifies all five parsers plus the
+    // exactness flag in one query.
+    "q175_audio_metadata" -> { (s, d) =>
+      import s.implicits._
+      val params = Tables.documents(s, d)
+        .select($"doc_id".cast("long").as("doc_id"))
+        .withColumn("shape", ($"doc_id" % 5).cast("int"))
+        .withColumn("rate", (lit(8000) + ($"doc_id" % 5) * 4000).cast("int"))
+        .withColumn("ch", (lit(1) + $"doc_id" % 2).cast("int"))
+        .withColumn("n", (lit(1000) + ($"doc_id" % 50) * 40).cast("long"))
+      val build = udf { (shape: Int, rate: Int, ch: Int, n: Long) =>
+        import graft.operators.AudioFixtures
+        shape match {
+          case 0 => AudioFixtures.wav(rate, ch, n.toInt)
+          case 1 => AudioFixtures.flac(rate, ch, n * 5)
+          case 2 => AudioFixtures.mp3(kbps = 128, totalBytes = n.toInt * 16)
+          case 3 => AudioFixtures.oggVorbis(rate, ch, n * 3)
+          case _ => AudioFixtures.m4a(timescale = 600, duration = n)
+        }
+      }
+      params
+        .withColumn("media", build($"shape", $"rate", $"ch", $"n"))
+        .withColumn("m", graft.operators.AudioContainer.audioMeta($"media"))
+        .select($"doc_id", $"m.format".as("format"),
+          $"m.sample_rate".cast("long").as("sample_rate"),
+          $"m.channels".cast("long").as("channels"),
+          $"m.duration_ms".as("duration_ms"),
+          $"m.exact".as("exact"))
     }
   )
 
@@ -529,6 +565,35 @@ object MultimodalOps {
         |    j -> (doc_id * 9 + 1 + j * ke) % 8)) AS BIGINT) AS sum_gb,
         |  CAST(list_sum(list_transform(range(0, 1 + (nf - 1) // ke),
         |    j -> (doc_id + 3 * (1 + j * ke)) % 8)) AS BIGINT) AS sum_bb
+        |FROM p""".stripMargin,
+
+    // Five audio families, five duration formulas — all pure doc_id
+    // arithmetic: wav n samples at rate; flac 5n samples; mp3 CBR
+    // estimate 16n bytes at 128 kbps (= n ms); vorbis 3n granule
+    // ticks; m4a n ticks at timescale 600. m4a carries no header
+    // rate/channels (codec-specific sample entry) -> 0.
+    "q175_audio_metadata" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 5 AS shape,
+        |    8000 + (doc_id % 5) * 4000 AS rate,
+        |    1 + (doc_id % 2) AS ch,
+        |    1000 + (doc_id % 50) * 40 AS n
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE shape WHEN 0 THEN 'wav' WHEN 1 THEN 'flac'
+        |    WHEN 2 THEN 'mp3' WHEN 3 THEN 'ogg-vorbis'
+        |    ELSE 'm4a' END AS format,
+        |  CAST(CASE shape WHEN 2 THEN 44100 WHEN 4 THEN 0
+        |    ELSE rate END AS BIGINT) AS sample_rate,
+        |  CAST(CASE shape WHEN 2 THEN 2 WHEN 4 THEN 0
+        |    ELSE ch END AS BIGINT) AS channels,
+        |  CAST(CASE shape
+        |    WHEN 0 THEN n * 1000 // rate
+        |    WHEN 1 THEN n * 5 * 1000 // rate
+        |    WHEN 2 THEN n
+        |    WHEN 3 THEN n * 3 * 1000 // rate
+        |    ELSE n * 1000 // 600 END AS BIGINT) AS duration_ms,
+        |  (shape != 2) AS exact
         |FROM p""".stripMargin
   )
 }

@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Header-only audio metadata: build∘parse identities over the audio
+  * fixture family, cross-pinned against the JDK decoder where one
+  * exists (WAV), plus quarantine behavior.
+  */
+class AudioContainerSpec extends SparkSpec {
+
+  test("wav: fmt/data arithmetic gives exact duration; JDK decode agrees") {
+    val b = AudioFixtures.wav(rate = 16000, channels = 2, nSamples = 8000)
+    val m = AudioContainer.parse(b).get
+    assert(m == AudioContainer.Meta("wav", 16000, 2, 500L, exact = true))
+    // Cross-pin with the real decoder: the same blob through
+    // javax.sound reports the same frame math.
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(b))
+    assert(in.getFormat.getSampleRate.toInt == 16000)
+    assert(in.getFrameLength == 8000L)
+    in.close()
+  }
+
+  test("flac: STREAMINFO packs rate/channels/total; exact duration") {
+    val b = AudioFixtures.flac(rate = 44100, channels = 2,
+      totalSamples = 441000L)
+    val m = AudioContainer.parse(b).get
+    assert(m == AudioContainer.Meta("flac", 44100, 2, 10000L, exact = true))
+    // Zero total samples = unknown length: duration 0, still parses.
+    val unk = AudioFixtures.flac(48000, 1, 0L)
+    assert(AudioContainer.parse(unk).get.durationMs == 0L)
+  }
+
+  test("mp3: first-frame header + CBR size estimate, flagged inexact") {
+    // 128 kbps = 16000 bytes/s: 48000 bytes ~ 3000 ms.
+    val b = AudioFixtures.mp3(kbps = 128, totalBytes = 48000)
+    val m = AudioContainer.parse(b).get
+    assert(m.format == "mp3" && m.sampleRate == 44100 && m.channels == 2)
+    assert(m.durationMs == 3000L && !m.exact)
+    val mono = AudioContainer.parse(
+      AudioFixtures.mp3(192, 24000, stereo = false)).get
+    assert(mono.channels == 1 && mono.durationMs == 1000L)
+  }
+
+  test("ogg vorbis: ident header rate + terminal-page granule duration") {
+    val b = AudioFixtures.oggVorbis(rate = 22050, channels = 1,
+      granule = 44100L)
+    val m = AudioContainer.parse(b).get
+    assert(m == AudioContainer.Meta("ogg-vorbis", 22050, 1, 2000L,
+      exact = true))
+  }
+
+  test("m4a: mvhd timescale/duration arithmetic") {
+    val b = AudioFixtures.m4a(timescale = 600, duration = 1800L)
+    val m = AudioContainer.parse(b).get
+    assert(m.format == "m4a" && m.durationMs == 3000L && m.exact)
+    // A VIDEO mp4 must refuse (it is not audio-only).
+    assert(AudioContainer.parse(VideoFixtures.mp4(64, 48, 5, 6, 2)).isEmpty)
+  }
+
+  test("aiff: COMM chunk with 80-bit extended sample rate") {
+    // Build a minimal AIFF: FORM/AIFF + COMM with rate 8000 encoded as
+    // IEEE-754 extended (exp = 16395, mantissa = 8000 << 51).
+    val out = java.nio.ByteBuffer.allocate(12 + 8 + 18)
+    out.put("FORM".getBytes).putInt(4 + 26).put("AIFF".getBytes)
+    out.put("COMM".getBytes).putInt(18)
+    out.putShort(1) // channels
+    out.putInt(16000) // frames
+    out.putShort(16) // bits
+    val exp = 16383 + 12 // 8000 = 0b1111101000000, 13 bits -> 2^12 <= 8000
+    out.putShort(exp.toShort)
+    out.putLong(8000L << (63 - 12))
+    val m = AudioContainer.parse(out.array()).get
+    assert(m == AudioContainer.Meta("aiff", 8000, 1, 2000L, exact = true))
+  }
+
+  test("quarantine: garbage, truncation, video containers, null") {
+    assert(AudioContainer.parse(null).isEmpty)
+    assert(AudioContainer.parse("not audio at all".getBytes).isEmpty)
+    assert(AudioContainer.parse(VideoFixtures.mkv(32, 24, 5, 3, 1)).isEmpty)
+    val flac = AudioFixtures.flac(44100, 2, 1000L)
+    (1 until flac.length by 7).foreach { cut =>
+      AudioContainer.parse(java.util.Arrays.copyOf(flac, cut)) // no throw
+    }
+    // An 0xFF-leading blob with reserved MPEG fields refuses.
+    val bad = Array(0xff, 0xfb, 0xf0, 0).map(_.toByte) ++ new Array[Byte](64)
+    assert(AudioContainer.parse(bad).isEmpty)
+  }
+
+  test("MediaRouter triage carries the parsed audio duration") {
+    val t = MediaRouter.triage(AudioFixtures.wav(8000, 1, 4000)).get
+    assert(t.kind == "audio" && t.format == "wav" &&
+      t.durationMs.contains(500L))
+    val t2 = MediaRouter.triage(AudioFixtures.m4a(1000, 2500L)).get
+    assert(t2.format == "m4a" && t2.durationMs.contains(2500L))
+  }
+}
