@@ -51,20 +51,23 @@ object AudioContainer {
     */
   private def wav(b: Array[Byte]): Option[Meta] = {
     if (b.length < 44 || cc(b, 0) != "RIFF" || cc(b, 8) != "WAVE") return None
-    var i = 12
+    var i = 12L
     var rate = 0L
     var ch = 0
     var byteRate = 0L
     var dataBytes = -1L
     while (i + 8 <= b.length) {
-      val typ = cc(b, i)
-      val sz = u32le(b, i + 4)
+      val typ = cc(b, i.toInt)
+      val sz = u32le(b, i.toInt + 4)
       if (typ == "fmt " && i + 8 + 16 <= b.length) {
-        ch = u16le(b, i + 10)
-        rate = u32le(b, i + 12)
-        byteRate = u32le(b, i + 16)
+        ch = u16le(b, i.toInt + 10)
+        rate = u32le(b, i.toInt + 12)
+        byteRate = u32le(b, i.toInt + 16)
       } else if (typ == "data") dataBytes = sz
-      i += (8 + sz + (sz & 1L)).toInt.max(8)
+      // Long arithmetic: a corrupt 32-bit size near 2^31 must end the
+      // walk (next lands past the blob), not wrap negative and re-sync
+      // the reader 8 bytes into sample data.
+      i += 8 + sz + (sz & 1L)
     }
     if (rate <= 0 || ch <= 0 || byteRate <= 0 || dataBytes < 0) None
     else Some(Meta("wav", rate.toInt, ch, dataBytes * 1000L / byteRate,
@@ -100,19 +103,20 @@ object AudioContainer {
   private def aiff(b: Array[Byte]): Option[Meta] = {
     if (b.length < 12 || cc(b, 0) != "FORM" ||
       !(b(8) == 'A' && b(9) == 'I' && b(10) == 'F')) return None
-    var i = 12
+    var i = 12L
     while (i + 8 <= b.length) {
-      val typ = cc(b, i)
-      val sz = u32be(b, i + 4)
+      val typ = cc(b, i.toInt)
+      val sz = u32be(b, i.toInt + 4)
       if (typ == "COMM" && i + 8 + 18 <= b.length) {
-        val ch = u16be(b, i + 8)
-        val frames = u32be(b, i + 10)
-        // 80-bit extended float at i+16: exponent (biased 16383) +
+        val p = i.toInt
+        val ch = u16be(b, p + 8)
+        val frames = u32be(b, p + 10)
+        // 80-bit extended float at p+16: exponent (biased 16383) +
         // 64-bit mantissa; rate = mantissa >> (16383 + 63 - exp).
-        val exp = u16be(b, i + 16) & 0x7fff
+        val exp = u16be(b, p + 16) & 0x7fff
         var mant = 0L
         var k = 0
-        while (k < 8) { mant = (mant << 8) | (b(i + 18 + k) & 0xff); k += 1 }
+        while (k < 8) { mant = (mant << 8) | (b(p + 18 + k) & 0xff); k += 1 }
         val shift = 16383 + 63 - exp
         val rate =
           if (shift <= 0 || shift >= 64 || mant == 0L) 0L
@@ -121,7 +125,7 @@ object AudioContainer {
         return Some(Meta("aiff", rate.toInt, ch,
           frames * 1000L / rate, exact = true))
       }
-      i += (8 + sz + (sz & 1L)).toInt.max(8)
+      i += 8 + sz + (sz & 1L) // Long: corrupt sizes end the walk
     }
     None
   }
@@ -147,6 +151,34 @@ object AudioContainer {
       if (total == 0) 0L else total * 1000L / rate, exact = true))
   }
 
+  /** MPEG audio frame-sync validity, ANY layer: version/layer not
+    * reserved, bitrate index not free/bad, sample-rate index not
+    * reserved (ISO 11172-3 §2.4.1.3). The ONE definition behind both
+    * the triage tag ([[MediaRouter]], which accepts Layer I/II — they
+    * are MPEG audio) and the metadata parser ([[mp3]], which
+    * additionally demands Layer III for its bitrate table).
+    */
+  private[operators] def validMpegSync(b: Array[Byte], p: Int): Boolean =
+    p + 2 < b.length && (b(p) & 0xff) == 0xff && (b(p + 1) & 0xe0) == 0xe0 && {
+      val v = (b(p + 1) >> 3) & 0x3
+      val l = (b(p + 1) >> 1) & 0x3
+      val br = (b(p + 2) >> 4) & 0xf
+      val sr = (b(p + 2) >> 2) & 0x3
+      v != 1 && l != 0 && br != 0 && br != 0xf && sr != 3
+    }
+
+  /** Offset of the first Ogg page's payload (past the lacing table),
+    * or -1 when the blob is not an Ogg page / is truncated before the
+    * payload (RFC 3533 §6). Shared by triage dispatch and metadata.
+    */
+  private[operators] def oggFirstPayload(b: Array[Byte]): Int =
+    if (b == null || b.length < 28 ||
+      !(b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S')) -1
+    else {
+      val p = 27 + (b(26) & 0xff)
+      if (p < b.length) p else -1
+    }
+
   private val Mp3Rates = Array(44100, 48000, 32000) // MPEG1; /2 V2, /4 V2.5
   private val Mp3BitratesV1L3 =
     Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
@@ -168,13 +200,12 @@ object AudioContainer {
       p = (10 + sz).toInt
       if (p + 4 > b.length) return None
     }
-    if ((b(p) & 0xff) != 0xff || (b(p + 1) & 0xe0) != 0xe0) return None
+    if (!validMpegSync(b, p)) return None
     val ver = (b(p + 1) >> 3) & 0x3 // 3 = MPEG1, 2 = MPEG2, 0 = 2.5
     val layer = (b(p + 1) >> 1) & 0x3 // 1 = Layer III
     val brIdx = (b(p + 2) >> 4) & 0xf
     val srIdx = (b(p + 2) >> 2) & 0x3
-    if (ver == 1 || layer != 1 || brIdx == 0 || brIdx == 0xf || srIdx == 3)
-      return None
+    if (layer != 1) return None // duration tables below are Layer III
     val rate = ver match {
       case 3 => Mp3Rates(srIdx)
       case 2 => Mp3Rates(srIdx) / 2
@@ -194,22 +225,32 @@ object AudioContainer {
     * the ident header's pre-skip — RFC 7845 §4).
     */
   private def ogg(b: Array[Byte]): Option[Meta] = {
-    if (b.length < 28 || !(b(0) == 'O' && b(1) == 'g' && b(2) == 'g' &&
-      b(3) == 'S')) return None
-    val nSegs = b(26) & 0xff
-    val p = 27 + nSegs
-    if (p + 16 > b.length) return None
+    val p = oggFirstPayload(b)
+    if (p < 0 || p + 16 > b.length) return None
     val isVorbis = (b(p) & 0xff) == 0x01 &&
       new String(b, p + 1, 6, "US-ASCII") == "vorbis"
     val isOpus = new String(b, p, 8, "ISO-8859-1") == "OpusHead"
     if (!isVorbis && !isOpus) return None
-    // Last page: scan backward for the final "OggS" capture pattern;
-    // granule position is the u64le at +6 (RFC 3533 §6).
+    // Last page: scan backward for the final "OggS" capture pattern
+    // and VALIDATE the candidate as a page header — version must be 0
+    // and the header-type flags must fit RFC 3533 §6 with the BOS bit
+    // CLEAR (the ident page's granule 0 is not a duration record; an
+    // unfinalized live stream must quarantine, not report 0ms). Raw
+    // 4-byte matches also occur inside compressed payload bytes; a
+    // payload hit would otherwise read garbage as the granule and
+    // report a confidently-wrong exact duration. An unset granule
+    // (-1: "no packet finishes on this page") rejects too.
+    var granule = -1L
     var q = b.length - 27
-    while (q > 0 && !(b(q) == 'O' && b(q + 1) == 'g' && b(q + 2) == 'g' &&
-      b(q + 3) == 'S')) q -= 1
-    if (q <= 0) return None
-    val granule = u64le(b, q + 6)
+    while (q > 0 && granule < 0) {
+      if (b(q) == 'O' && b(q + 1) == 'g' && b(q + 2) == 'g' &&
+        b(q + 3) == 'S' && b(q + 4) == 0 && (b(q + 5) & 0xfa) == 0) {
+        val g = u64le(b, q + 6)
+        if (g >= 0) granule = g
+      }
+      q -= 1
+    }
+    if (granule < 0) return None
     if (isVorbis) {
       // ident: type1 + "vorbis" + version4 + channels1 + rate4 (LE).
       if (p + 16 > b.length) return None
@@ -236,12 +277,11 @@ object AudioContainer {
     * layout is codec-specific; duration is the curation-relevant
     * field).
     */
-  private def m4a(b: Array[Byte]): Option[Meta] = {
-    VideoContainer.audioOnlyMp4(b).flatMap { _ =>
-      VideoContainer.presentationDurationMs(b).map(ms =>
-        Meta("m4a", 0, 0, ms, exact = true))
+  private def m4a(b: Array[Byte]): Option[Meta] =
+    VideoContainer.audioOnlyMp4Meta(b).flatMap {
+      case (_, Some(ms)) => Some(Meta("m4a", 0, 0, ms, exact = true))
+      case _             => None // mvhd-less: triage tags it, no math
     }
-  }
 
   /** Parse the leading bytes (and for Ogg, the terminal page header);
     * None for null/unknown/corrupt blobs.
@@ -272,22 +312,7 @@ object AudioContainer {
   * arithmetic a SQL oracle can replay.
   */
 object AudioFixtures {
-
-  private final class W {
-    val out = new java.io.ByteArrayOutputStream()
-    def u8(v: Int): W = { out.write(v & 0xff); this }
-    def u16be(v: Int): W = { u8(v >>> 8); u8(v) }
-    def u32be(v: Long): W = { u16be((v >>> 16).toInt); u16be(v.toInt) }
-    def u16le(v: Int): W = { u8(v); u8(v >>> 8) }
-    def u32le(v: Long): W = {
-      u8(v.toInt); u8((v >>> 8).toInt); u8((v >>> 16).toInt)
-      u8((v >>> 24).toInt)
-    }
-    def u64le(v: Long): W = { u32le(v); u32le(v >>> 32) }
-    def cc(s: String): W = { out.write(s.getBytes("US-ASCII")); this }
-    def zeros(n: Int): W = { out.write(new Array[Byte](n)); this }
-    def result(): Array[Byte] = out.toByteArray
-  }
+  import VideoFixtures.W // the family's shared byte writer
 
   /** PCM-16 WAV: fmt + a zeroed data chunk of `nSamples` frames. */
   def wav(rate: Int, channels: Int, nSamples: Int): Array[Byte] = {
@@ -310,11 +335,11 @@ object AudioFixtures {
     val w = new W
     w.cc("fLaC")
     w.u8(0x80).u8(0).u8(0).u8(34) // last-block | STREAMINFO, length 34
-    w.u16be(4096).u16be(4096) // min/max blocksize
-    w.u8(0).u16be(0).u8(0).u16be(0) // min/max framesize (u24 x2)
+    w.u16(4096).u16(4096) // min/max blocksize
+    w.u8(0).u16(0).u8(0).u16(0) // min/max framesize (u24 x2)
     val hi = (rate.toLong << 12) | ((channels - 1L) << 9) |
       (15L << 4) | (totalSamples >>> 32) // bits-1 = 15 (16-bit)
-    w.u32be(hi).u32be(totalSamples & 0xffffffffL)
+    w.u32(hi).u32(totalSamples & 0xffffffffL)
     w.zeros(16) // md5
     w.result()
   }
@@ -347,8 +372,7 @@ object AudioFixtures {
       w.cc("OggS").u8(0).u8(typ).u64le(gran)
       w.u32le(1L).u32le(0L).u32le(0L) // serial, seq, crc (parser-ignored)
       w.u8(1).u8(payload.length)
-      w.out.write(payload)
-      w.result()
+      w.bytes(payload).result()
     }
     val ident = new W
     ident.u8(0x01).cc("vorbis").u32le(0L) // type + name + version
@@ -359,35 +383,12 @@ object AudioFixtures {
       page(0x04, granule, Array[Byte](0))
   }
 
-  /** Audio-only BMFF with an mvhd: ftyp(brand) + moov(mvhd(timescale,
-    * duration) + trak(mdia(hdlr soun))).
+  /** Audio-only BMFF with an mvhd — [[VideoFixtures.m4a]]'s shape with
+    * the duration fields set.
     */
   def m4a(timescale: Int, duration: Long,
       brand: String = "M4A "): Array[Byte] = {
     require(timescale > 0 && duration >= 0)
-    def box(typ: String)(body: W => Unit): Array[Byte] = {
-      val w = new W
-      body(w)
-      val p = w.result()
-      val h = new W
-      h.u32be(p.length + 8L).cc(typ)
-      h.out.write(p)
-      h.result()
-    }
-    val mvhd = box("mvhd") { w =>
-      w.u32be(0).u32be(0).u32be(0)
-        .u32be(timescale.toLong).u32be(duration)
-        .u32be(0x00010000L).u16be(0x0100).u16be(0).zeros(8)
-      w.u32be(0x00010000L).u32be(0).u32be(0)
-      w.u32be(0).u32be(0x00010000L).u32be(0)
-      w.u32be(0).u32be(0).u32be(0x40000000L)
-      w.zeros(24).u32be(2)
-    }
-    val hdlr = box("hdlr")(w => w.u32be(0).u32be(0).cc("soun").zeros(12).u8(0))
-    val mdia = box("mdia")(w => w.out.write(hdlr))
-    val trak = box("trak")(w => w.out.write(mdia))
-    val moov = box("moov")(w => { w.out.write(mvhd); w.out.write(trak) })
-    val ftyp = box("ftyp")(w => { w.cc(brand).u32be(0); w.cc(brand); () })
-    ftyp ++ moov
+    VideoFixtures.m4a(brand, timescale, duration)
   }
 }

@@ -47,31 +47,22 @@ object MediaRouter {
       Some("flac")
     else if (b(0) == 'I' && b(1) == 'D' && b(2) == '3')
       Some("mp3") // ID3v2-tagged MPEG audio
-    else if ((b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0 && {
-      // Bare MPEG frame sync: demand the header fields be VALID so an
-      // arbitrary 0xFF-leading binary doesn't claim mp3 — version not
-      // reserved, layer not reserved, bitrate index not free/bad,
-      // sample-rate index not reserved (ISO 11172-3 §2.4.1.3).
-      val v = (b(1) >> 3) & 0x3
-      val l = (b(1) >> 1) & 0x3
-      val br = (b(2) >> 4) & 0xf
-      val sr = (b(2) >> 2) & 0x3
-      v != 1 && l != 0 && br != 0 && br != 0xf && sr != 3
-    }) Some("mp3")
+    // Bare MPEG frame sync: demand the header fields be VALID so an
+    // arbitrary 0xFF-leading binary doesn't claim mp3 (the shared
+    // check, ANY layer — Layer I/II are MPEG audio too; only the
+    // duration math in AudioContainer is Layer III-specific).
+    else if (AudioContainer.validMpegSync(b, 0)) Some("mp3")
     else None
   }
 
   /** Ogg: the first page's payload leads with the codec's magic —
     * real dispatch, not an "Ogg is audio" guess (Theora video streams
-    * exist). Page header: "OggS" + 22 fixed bytes + segment-count byte
-    * + lacing table, payload after (RFC 3533 §6).
+    * exist). Payload located by the shared
+    * [[AudioContainer.oggFirstPayload]] (RFC 3533 §6).
     */
   private def ogg(b: Array[Byte]): Option[Triage] = {
-    if (b == null || b.length < 28 ||
-      !(b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S'))
-      return None
-    val nSegs = b(26) & 0xff
-    val p = 27 + nSegs
+    val p = AudioContainer.oggFirstPayload(b)
+    if (p < 0) return None
     if (p + 8 > b.length)
       return Some(Triage("audio", "ogg", None, None, None, None))
     val magic = new String(b, p, 8, "ISO-8859-1")

@@ -258,9 +258,16 @@ object MkvContainer {
     * laced by any known muxer, and guessing offsets without parsing
     * the size table would slice garbage into the decoder.
     */
-  def codecRanges(b: Array[Byte]): Option[(String, Array[VideoContainer.KeyframeRange])] = {
+  def codecRanges(b: Array[Byte],
+      codecGate: String => Boolean = _ => true)
+      : Option[(String, Array[VideoContainer.KeyframeRange])] = {
     val c = ctx(b)
     if (c == null) return None
+    // The codec id is known BEFORE any cluster walk — an undecodable
+    // codec returns immediately with empty ranges rather than paying
+    // a full block-stream scan the caller will discard.
+    if (!codecGate(c.codec))
+      return Some((c.codec, Array.empty[VideoContainer.KeyframeRange]))
     val out = Array.newBuilder[VideoContainer.KeyframeRange]
     var ord = 0L
     scanVideoBlocks(b, c) { (h, key, bu) =>

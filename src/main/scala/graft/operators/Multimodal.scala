@@ -422,8 +422,8 @@ object Multimodal {
     // same kernel call (null = not video / not an MJPEG family codec),
     // instead of a parse for the filter and a second for the map.
     val kfs = udf { bytes: Array[Byte] =>
-      VideoContainer.codecRanges(bytes)
-        .orElse(MkvContainer.codecRanges(bytes)) match {
+      VideoContainer.codecRanges(bytes, JpegVideoCodecs.contains)
+        .orElse(MkvContainer.codecRanges(bytes, JpegVideoCodecs.contains)) match {
         case Some((codec, ranges)) if JpegVideoCodecs.contains(codec) =>
           Some(ranges.map(k => (k.sample, k.offset, k.size)))
         case _ => None

@@ -122,22 +122,7 @@ object VideoContainer {
     val brand = fourcc(b, ftyp._1.toInt)
     val (moovF, moovU) = findBox(b, 0, n, "moov").getOrElse(return None)
 
-    // mvhd: presentation timescale + duration (v0/v1). Length guards
-    // matter even though walkBoxes bounds every box: a size-0
-    // (to-EOF) box can still be SHORTER than its fixed layout.
-    val durationMs = path(b, moovF, moovU, "mvhd").flatMap { case (f, u) =>
-      if (u - f < 24) None
-      else {
-        val v = b(f.toInt) & 0xff
-        if (v == 1 && u - f < 32) None
-        else {
-          val (ts, dur) =
-            if (v == 1) (u32be(b, f.toInt + 20), u64be(b, f.toInt + 24))
-            else (u32be(b, f.toInt + 12), u32be(b, f.toInt + 16))
-          if (ts <= 0) None else Some(dur * 1000L / ts)
-        }
-      }
-    }.getOrElse(return None)
+    val durationMs = mvhdMs(b, moovF, moovU).getOrElse(return None)
 
     // First trak whose hdlr is 'vide'.
     var video: Option[Mp4Tables] = None
@@ -415,19 +400,31 @@ object VideoContainer {
   /** Codec fourcc + sync-sample ranges from ONE container parse — the
     * decode path's exact needs ([[graft.operators.Multimodal
     * .decodeKeyframes]] previously paid a full parse for the codec
-    * filter and a second for the range map, per blob). The AVI arm
-    * re-walks the chunk HEADERS once more inside [[avi]]'s movi-fact
-    * override (8 bytes read per frame — noise next to any decode).
+    * filter and a second for the range map, per blob). `codecGate`
+    * short-circuits the range resolution for codecs the caller cannot
+    * decode anyway (ranges come back empty, codec still reported) —
+    * on an AVC/VP9-heavy corpus the reject path stays O(header). The
+    * AVI arm re-walks the chunk HEADERS once more inside [[avi]]'s
+    * movi-fact override (8 bytes read per frame — noise next to any
+    * decode).
     */
-  def codecRanges(bytes: Array[Byte]): Option[(String, Array[KeyframeRange])] =
+  def codecRanges(bytes: Array[Byte],
+      codecGate: String => Boolean = _ => true)
+      : Option[(String, Array[KeyframeRange])] =
     if (bytes == null) None
     else mp4Tables(bytes) match {
-      case Some(t) => Some((t.codec, rangesFromTables(bytes, t)))
+      case Some(t) =>
+        Some((t.codec,
+          if (codecGate(t.codec)) rangesFromTables(bytes, t)
+          else Array.empty[KeyframeRange]))
       case None =>
         if (bytes.length >= 12 && fourcc(bytes, 0) == "RIFF" &&
           fourcc(bytes, 8) == "AVI ")
           avi(bytes).map(m =>
-            (m.codec, aviIndex(bytes).map(_.ranges).getOrElse(Array.empty)))
+            (m.codec,
+              if (codecGate(m.codec))
+                aviIndex(bytes).map(_.ranges).getOrElse(Array.empty)
+              else Array.empty[KeyframeRange]))
         else None
     }
 
@@ -631,15 +628,13 @@ object VideoContainer {
   def parse(bytes: Array[Byte]): Option[Meta] =
     if (bytes == null) None else mp4(bytes).orElse(avi(bytes))
 
-  /** mvhd presentation duration in ms for ANY BMFF blob (video or
-    * audio-only) — the same v0/v1 arithmetic [[mp4Tables]] applies to
-    * video tracks, exposed for the audio-metadata layer
-    * ([[AudioContainer]]).
+  /** mvhd: presentation timescale + duration (v0/v1) → ms. Length
+    * guards matter even though walkBoxes bounds every box: a size-0
+    * (to-EOF) box can still be SHORTER than its fixed layout. The ONE
+    * definition behind both the video parse ([[mp4Tables]]) and the
+    * audio-metadata layer ([[presentationDurationMs]]).
     */
-  def presentationDurationMs(b: Array[Byte]): Option[Long] = {
-    if (b == null || b.length < 12) return None
-    val n = b.length.toLong
-    val (moovF, moovU) = findBox(b, 0, n, "moov").getOrElse(return None)
+  private def mvhdMs(b: Array[Byte], moovF: Long, moovU: Long): Option[Long] =
     path(b, moovF, moovU, "mvhd").flatMap { case (f, u) =>
       if (u - f < 24) None
       else {
@@ -653,14 +648,26 @@ object VideoContainer {
         }
       }
     }
+
+  /** mvhd presentation duration in ms for ANY BMFF blob (video or
+    * audio-only) — exposed for the audio-metadata layer
+    * ([[AudioContainer]]).
+    */
+  def presentationDurationMs(b: Array[Byte]): Option[Long] = {
+    if (b == null || b.length < 12) return None
+    val n = b.length.toLong
+    val (moovF, moovU) = findBox(b, 0, n, "moov").getOrElse(return None)
+    mvhdMs(b, moovF, moovU)
   }
 
   /** BMFF blob with an audio (`soun`) track and NO video track — the
     * .m4a/.aac triage case [[parse]] correctly refuses (it is not a
     * video container) but a mixed-corpus router must not quarantine.
-    * Returns the ftyp major brand.
+    * Returns (ftyp major brand, mvhd duration when present) from ONE
+    * moov walk — the audio-metadata layer needs both, and this is a
+    * per-row hot path.
     */
-  def audioOnlyMp4(b: Array[Byte]): Option[String] = {
+  def audioOnlyMp4Meta(b: Array[Byte]): Option[(String, Option[Long])] = {
     if (b == null || b.length < 12) return None
     val n = b.length.toLong
     val ftyp = findBox(b, 0, n, "ftyp").getOrElse(return None)
@@ -677,8 +684,14 @@ object VideoContainer {
         }
       }
     }
-    if (hasSoun && !hasVide) Some(fourcc(b, ftyp._1.toInt)) else None
+    if (hasSoun && !hasVide)
+      Some((fourcc(b, ftyp._1.toInt), mvhdMs(b, mf, mu)))
+    else None
   }
+
+  /** Brand-only form of [[audioOnlyMp4Meta]]. */
+  def audioOnlyMp4(b: Array[Byte]): Option[String] =
+    audioOnlyMp4Meta(b).map(_._1)
 
   // ---- Column / DataFrame API --------------------------------------------
 

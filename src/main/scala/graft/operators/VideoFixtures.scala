@@ -32,18 +32,29 @@ object VideoFixtures {
   def keyframeSamples(nFrames: Int, keyEvery: Int): Seq[Int] =
     (1 to nFrames by keyEvery)
 
-  private final class W {
+  /** The media fixture family's byte writer — shared with
+    * [[AudioFixtures]] (big-endian names are the bare u16/u32, as the
+    * BMFF/EBML builders read; little-endian variants serve the
+    * RIFF-world and Ogg fixtures).
+    */
+  private[operators] final class W {
     val out = new ByteArrayOutputStream()
     def u8(v: Int): W = { out.write(v & 0xff); this }
     def u16(v: Int): W = { u8(v >>> 8); u8(v) }
     def u32(v: Long): W = { u16((v >>> 16).toInt); u16(v.toInt) }
+    def u16le(v: Int): W = { u8(v); u8(v >>> 8) }
+    def u32le(v: Long): W = {
+      u8(v.toInt); u8((v >>> 8).toInt); u8((v >>> 16).toInt)
+      u8((v >>> 24).toInt)
+    }
+    def u64le(v: Long): W = { u32le(v); u32le(v >>> 32) }
     def cc(s: String): W = { out.write(s.getBytes("US-ASCII")); this }
     def zeros(n: Int): W = { out.write(new Array[Byte](n)); this }
     def bytes(b: Array[Byte]): W = { out.write(b); this }
     def result(): Array[Byte] = out.toByteArray
   }
 
-  private def box(typ: String)(body: W => Unit): Array[Byte] = {
+  private[operators] def box(typ: String)(body: W => Unit): Array[Byte] = {
     val w = new W
     body(w)
     val payload = w.result()
@@ -112,14 +123,32 @@ object VideoFixtures {
   }
 
   /** Audio-only BMFF (.m4a triage shape): ftyp + moov with one `soun`
-    * track — just enough container for
-    * [[VideoContainer.audioOnlyMp4]]'s handler walk.
+    * track — enough container for [[VideoContainer.audioOnlyMp4]]'s
+    * handler walk. `timescale > 0` adds an mvhd carrying
+    * (timescale, durationTicks), the [[AudioContainer]] duration
+    * source; the default keeps the mvhd-less tag-only shape.
     */
-  def m4a(brand: String = "M4A "): Array[Byte] = {
+  def m4a(brand: String = "M4A ", timescale: Int = 0,
+      durationTicks: Long = 0L): Array[Byte] = {
     val hdlr = box("hdlr")(w => w.u32(0).u32(0).cc("soun").zeros(12).u8(0))
     val mdia = box("mdia")(w => w.bytes(hdlr))
     val trak = box("trak")(w => w.bytes(mdia))
-    val moov = box("moov")(w => w.bytes(trak))
+    val moov = box("moov") { w =>
+      if (timescale > 0) {
+        val mvhd = box("mvhd") { v =>
+          v.u32(0).u32(0).u32(0)
+            .u32(timescale.toLong).u32(durationTicks)
+            .u32(0x00010000L).u16(0x0100).u16(0).zeros(8)
+          v.u32(0x00010000L).u32(0).u32(0)
+          v.u32(0).u32(0x00010000L).u32(0)
+          v.u32(0).u32(0).u32(0x40000000L)
+          v.zeros(24).u32(2)
+        }
+        w.bytes(mvhd)
+      }
+      w.bytes(trak)
+      ()
+    }
     val ftyp = box("ftyp")(w => w.cc(brand).u32(0).cc(brand))
     ftyp ++ moov
   }

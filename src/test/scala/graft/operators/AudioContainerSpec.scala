@@ -74,6 +74,40 @@ class AudioContainerSpec extends SparkSpec {
     assert(m == AudioContainer.Meta("aiff", 8000, 1, 2000L, exact = true))
   }
 
+  test("ogg terminal-page scan rejects payload false-positives and BOS/unset granules") {
+    val good = AudioFixtures.oggVorbis(rate = 8000, channels = 1,
+      granule = 16000L)
+    // Trailing garbage containing a raw 'OggS' with an INVALID header
+    // (version != 0) must not shadow the real terminal page.
+    val decoy = good ++ "OggS".getBytes ++ Array.fill(30)(0x5a.toByte)
+    assert(AudioContainer.parse(decoy).get.durationMs == 2000L)
+    // Unset granule (-1) on the EOS page: with only the BOS page left
+    // as a valid header, the parse must refuse (unknown duration), not
+    // report the ident page's granule 0 as 0 ms exact.
+    val unfinalized = good.clone()
+    val eos = {
+      var q = unfinalized.length - 27
+      while (!(unfinalized(q) == 'O' && unfinalized(q + 1) == 'g' &&
+        unfinalized(q + 2) == 'g' && unfinalized(q + 3) == 'S')) q -= 1
+      q
+    }
+    java.util.Arrays.fill(unfinalized, eos + 6, eos + 14, 0xff.toByte)
+    assert(AudioContainer.parse(unfinalized).isEmpty)
+    // ...and MediaRouter still TAGS it audio (magic fallback).
+    assert(MediaRouter.triage(unfinalized).get.format == "ogg-vorbis")
+  }
+
+  test("corrupt RIFF/AIFF chunk sizes end the walk instead of re-syncing") {
+    val b = AudioFixtures.wav(8000, 1, 4000)
+    // Blow up the fmt chunk size to ~2^31: the walk must terminate
+    // (Long arithmetic) and the parse quarantine, not reinterpret
+    // sample bytes as chunk headers.
+    val c = b.clone()
+    c(16) = 0xf8.toByte; c(17) = 0xff.toByte
+    c(18) = 0xff.toByte; c(19) = 0x7f.toByte
+    assert(AudioContainer.parse(c).isEmpty)
+  }
+
   test("quarantine: garbage, truncation, video containers, null") {
     assert(AudioContainer.parse(null).isEmpty)
     assert(AudioContainer.parse("not audio at all".getBytes).isEmpty)
