@@ -91,7 +91,12 @@ object AudioContainer {
       case 5     => 4L
       case _     => return None
     }
-    if (rate <= 0 || ch <= 0 || dataSize < 0 || dataSize == 0xffffffffL) None
+    // rate/ch are raw u32be from the wire: bound them to plausible
+    // audio ranges BEFORE the division — unvalidated values up to
+    // 2^32-1 can overflow rate*ch*bytesPer through 0 (÷0 task failure)
+    // or negative (garbage duration), and wrap negative via .toInt.
+    if (rate <= 0 || rate >= (1L << 20) || ch <= 0 || ch > 64 ||
+      dataSize < 0 || dataSize == 0xffffffffL) None
     else Some(Meta("au", rate.toInt, ch.toInt,
       dataSize * 1000L / (rate * ch * bytesPer), exact = true))
   }
@@ -250,13 +255,18 @@ object AudioContainer {
       }
       q -= 1
     }
-    if (granule < 0) return None
+    // Ceiling check: a corrupt terminal granule up to 2^63-1 passes
+    // g >= 0 but overflows granule*1000 below, reporting a negative
+    // duration flagged exact=true. 2^53 ticks is ~5,800 years at
+    // 48 kHz — anything above is corrupt, not long.
+    if (granule < 0 || granule > (1L << 53)) return None
     if (isVorbis) {
       // ident: type1 + "vorbis" + version4 + channels1 + rate4 (LE).
       if (p + 16 > b.length) return None
       val ch = b(p + 11) & 0xff
       val rate = u32le(b, p + 12)
-      if (rate <= 0 || ch <= 0 || granule < 0) None
+      // rate is raw u32le: values >= 2^31 wrap negative via .toInt.
+      if (rate <= 0 || rate >= (1L << 31) || ch <= 0) None
       else Some(Meta("ogg-vorbis", rate.toInt, ch,
         granule * 1000L / rate, exact = true))
     } else {
@@ -267,7 +277,8 @@ object AudioContainer {
       val rate = u32le(b, p + 12) // informational input rate
       val samples = math.max(0L, granule - preSkip) // 48 kHz ticks
       if (ch <= 0) None
-      else Some(Meta("ogg-opus", if (rate > 0) rate.toInt else 48000, ch,
+      else Some(Meta("ogg-opus",
+        if (rate > 0 && rate < (1L << 31)) rate.toInt else 48000, ch,
         samples * 1000L / 48000L, exact = true))
     }
   }

@@ -202,15 +202,27 @@ object MkvContainer {
   /** The block-stream scan both consumers share: `f` sees every video
     * block with its group-level keyframe-ness resolved (SimpleBlock:
     * header flag; BlockGroup/Block: no ReferenceBlock sibling) and the
-    * block's payload end. scanCluster recurses on a nested Cluster id:
+    * block's payload end. Nested Cluster ids descend in stream order:
     * an UNKNOWN-SIZE cluster (live-muxed WebM — ffmpeg writes them
     * when it cannot seek back) walks as extending to the segment end,
     * so every following sibling cluster arrives as its "child";
-    * recursing counts their blocks instead of silently skipping them.
+    * descending counts their blocks instead of silently skipping them.
+    *
+    * The descent is an explicit resume stack, NOT recursion: N
+    * sequential unknown-size clusters (or a crafted ~5-byte-per-level
+    * nest) would otherwise recurse N deep and overflow the thread
+    * stack — a task failure where the malformed-blob contract demands
+    * a quarantine. Unknown-size clusters push NO frame (their span IS
+    * the parent's remainder, so the resume point is empty); known-size
+    * nests are heap-bounded and capped at [[MaxClusterDepth]], beyond
+    * which deeper blocks are skipped (only crafted data nests that
+    * far) and what was counted so far stands.
     */
+  private val MaxClusterDepth = 4096
+
   private def scanVideoBlocks(b: Array[Byte], c: Ctx)(
       f: (BlockHdr, Boolean, Long) => Unit): Unit = {
-    def scanCluster(cf: Long, cu: Long): Unit = walk(b, cf, cu) { (bid, bf, bu) =>
+    def blockElem(bid: Long, bf: Long, bu: Long): Unit = {
       if (bid == SimpleBlock) {
         val h = blockHdr(b, bf, bu, c.videoTrack)
         // Keyframe flag: "this block contains only keyframes".
@@ -226,9 +238,47 @@ object MkvContainer {
         }
         // No reference = I-frames (Matroska §BlockGroup).
         hs.result().foreach { case (h, gu) => f(h, !ref, gu) }
-      } else if (bid == Cluster) scanCluster(bf, bu)
+      }
     }
-    walk(b, c.sf, c.su)((id, cf, cu) => if (id == Cluster) scanCluster(cf, cu))
+    // Manual cursor over the current element span; `stack` holds the
+    // parents' resume points. inCluster=false is the top-level Segment
+    // walk, which only descends into Cluster ids (blocks never sit
+    // directly under Segment).
+    val stack = new java.util.ArrayDeque[Array[Long]]()
+    var cur = c.sf
+    var end = c.su
+    var inCluster = false
+    var done = false
+    while (!done) {
+      if (cur + 2 > end) {
+        if (stack.isEmpty) done = true
+        else {
+          val fr = stack.pop()
+          cur = fr(0); end = fr(1); inCluster = fr(2) == 1L
+        }
+      } else {
+        val id = varint(b, cur.toInt, keepMarker = true)
+        val sz = if (id == null) null
+          else varint(b, (cur + id.len).toInt, keepMarker = false)
+        if (sz == null) cur = end // malformed: end this span's walk
+        else {
+          val payload = cur + id.len + sz.len
+          val unknownBits = (1L << (7 * sz.len)) - 1
+          val pend = if (sz.value == unknownBits) end else payload + sz.value
+          if (pend < payload || pend > end) cur = end
+          else if (id.value == Cluster && stack.size < MaxClusterDepth) {
+            // Descend in order; resume the parent after the cluster
+            // span. An unknown-size cluster consumes the remainder
+            // (pend == end) — its resume frame would be empty, skip it.
+            if (pend < end) stack.push(Array(pend, end, if (inCluster) 1L else 0L))
+            cur = payload; end = pend; inCluster = true
+          } else {
+            if (inCluster) blockElem(id.value, payload, pend)
+            cur = pend
+          }
+        }
+      }
+    }
   }
 
   /** Parse; None unless the blob is EBML with a matroska/webm DocType

@@ -455,6 +455,47 @@ object VideoFixtures {
     mkvAroundClusters(width, height, fps, nFrames, c1 ++ c2)
   }
 
+  /** The live-mux shape at ADVERSARIAL length: `nClusters` sequential
+    * unknown-size clusters of one keyframe block each. Under RFC 8794
+    * §6 each cluster extends to the segment end, so every following
+    * sibling arrives as its "child" — a recursive scan nests
+    * `nClusters` deep and overflows the thread stack at a few tens of
+    * thousands (~5 levels of JVM frames per cluster). The worklist
+    * scan in [[MkvContainer]] must count every block flat.
+    */
+  def mkvLiveMuxChain(width: Int, height: Int, fps: Int,
+      nClusters: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && fps > 0 && nClusters > 0)
+    val sb = Array.newBuilder[Byte]
+    var i = 1
+    while (i <= nClusters) {
+      val payload = elU(0xE7L, i.toLong) ++ simpleBlock(i, key = true)
+      sb ++= ebmlId(0x1F43B666L) ++ ebmlSize((1L << 56) - 1) ++ payload
+      i += 1
+    }
+    mkvAroundClusters(width, height, fps, nClusters, sb.result())
+  }
+
+  /** A crafted KNOWN-SIZE cluster nest `depth` levels deep (12 bytes
+    * per level: 4-byte Cluster id + 8-byte size, emitted top-down so
+    * construction is O(depth)). Clusters never legally nest, but a
+    * malformed blob can claim anything; the scan must bound its
+    * descent and quarantine-or-return, never throw.
+    */
+  def mkvDeepNest(width: Int, height: Int, fps: Int,
+      depth: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && fps > 0 && depth > 0)
+    val cid = ebmlId(0x1F43B666L)
+    val sb = Array.newBuilder[Byte]
+    var k = 0
+    while (k < depth) {
+      // level k's payload holds the remaining (depth-1-k) levels.
+      sb ++= cid ++ ebmlSize((depth - 1L - k) * 12L)
+      k += 1
+    }
+    mkvAroundClusters(width, height, fps, 1, sb.result())
+  }
+
   /** The [[mkv]] track/info skeleton around caller-supplied cluster
     * payload — shared by the block-form variants below.
     */

@@ -108,6 +108,40 @@ class AudioContainerSpec extends SparkSpec {
     assert(AudioContainer.parse(c).isEmpty)
   }
 
+  test("au: wire-value overflow quarantines instead of dividing by zero") {
+    // rate=0x80000000 * ch=0x80000000 * bytesPer=4 wraps Long to
+    // exactly 0 — the division threw ArithmeticException inside the
+    // audioMeta UDF before the plausibility bounds landed.
+    def au(rate: Long, ch: Long): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(32)
+      b.put(".snd".getBytes).putInt(24).putInt(8000) // offset, dataSize
+      b.putInt(5).putInt(rate.toInt).putInt(ch.toInt) // float32 enc
+      b.array()
+    }
+    assert(AudioContainer.parse(au(0x80000000L, 0x80000000L)).isEmpty)
+    assert(AudioContainer.parse(au(0xfffffff0L, 3L)).isEmpty) // negative garbage
+    assert(AudioContainer.parse(au(0x100000L, 1L)).isEmpty) // above ceiling
+    val ok = AudioContainer.parse(au(8000L, 2L)).get // still parses sane input
+    assert(ok == AudioContainer.Meta("au", 8000, 2, 125L, exact = true))
+  }
+
+  test("ogg: corrupt terminal granule past the ceiling quarantines, not negative-exact") {
+    val good = AudioFixtures.oggVorbis(rate = 8000, channels = 1,
+      granule = 16000L)
+    val eos = {
+      var q = good.length - 27
+      while (!(good(q) == 'O' && good(q + 1) == 'g' && good(q + 2) == 'g' &&
+        good(q + 3) == 'S')) q -= 1
+      q
+    }
+    // granule = 2^62: passes g >= 0, but granule*1000 overflows Long —
+    // a negative duration_ms flagged exact=true before the ceiling.
+    val corrupt = good.clone()
+    java.util.Arrays.fill(corrupt, eos + 6, eos + 14, 0.toByte)
+    corrupt(eos + 13) = 0x40.toByte // LE byte 7 -> 2^62
+    assert(AudioContainer.parse(corrupt).isEmpty)
+  }
+
   test("quarantine: garbage, truncation, video containers, null") {
     assert(AudioContainer.parse(null).isEmpty)
     assert(AudioContainer.parse("not audio at all".getBytes).isEmpty)

@@ -75,4 +75,20 @@ class MkvContainerSpec extends SparkSpec {
     assert(m.nFrames == 9L, s"live-mux shape undercounted: $m")
     assert(m.nKeyframes == 3L) // samples 1, 4, 7
   }
+
+  test("60k-cluster live-mux chain scans flat — no StackOverflowError") {
+    // Each unknown-size cluster makes its siblings arrive as children;
+    // a recursive scan nests 60k deep and blows any default JVM thread
+    // stack inside the UDF (task failure, not quarantine). The
+    // worklist scan counts every block with O(1) stack.
+    val b = VideoFixtures.mkvLiveMuxChain(64, 48, 5, nClusters = 60000)
+    val m = MkvContainer.parse(b).get
+    assert(m.nFrames == 60000L && m.nKeyframes == 60000L)
+  }
+
+  test("crafted 100k-deep known-size cluster nest is depth-capped, never throws") {
+    val b = VideoFixtures.mkvDeepNest(64, 48, 5, depth = 100000)
+    val m = MkvContainer.parse(b).get // empty nest: zero blocks, no throw
+    assert(m.nFrames == 0L && m.nKeyframes == 0L)
+  }
 }
