@@ -1,0 +1,84 @@
+package graft.metrics
+
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Per-streaming-query metrics — the engine's analog of the
+  * reference's per-shard consumer counters (consumer/interfaces.go:
+  * 306-339: `gazette_shard_transactions_total`,
+  * `gazette_shard_read_messages_total`, `gazette_shard_read_head`,
+  * `gazette_shard_up`). A Spark micro-batch is the txn unit, so:
+  *
+  *  - `query.<name>.batches` — completed micro-batches (txn counter).
+  *  - `query.<name>.rows` — input rows across completed batches.
+  *  - `query.<name>.read.head.<i>` — gauge per source: the journal
+  *    byte offset read through (parsed from the source's endOffset
+  *    JSON `{"head":N}`; non-journal sources without a numeric head
+  *    are skipped).
+  *  - `query.<name>.active` — 1 while the query runs, 0 after
+  *    termination (`gazette_shard_up`).
+  *  - `query.<name>.observed.<metric>.<field>` — every
+  *    `df.observe(...)` aggregate accumulated batch-over-batch (the
+  *    ingest guard's `graft_guard` checked/quarantined counts arrive
+  *    here).
+  *
+  * Attach once per session via [[GraftMetrics.attachListener]].
+  * Unnamed queries fall back to their stable query id.
+  */
+class GraftStreamingListener extends StreamingQueryListener {
+  import StreamingQueryListener._
+
+  private def nameOf(name: String, id: java.util.UUID): String =
+    if (name != null && name.nonEmpty) name else id.toString
+
+  // TerminatedEvent carries only ids: remember each query's display
+  // name so `active` flips to 0 under the same key it was set under.
+  private val names =
+    new java.util.concurrent.ConcurrentHashMap[java.util.UUID, String]()
+
+  override def onQueryStarted(e: QueryStartedEvent): Unit = {
+    val q = nameOf(e.name, e.id)
+    names.put(e.id, q)
+    GraftMetrics.setGauge(s"query.$q.active", 1L)
+  }
+
+  override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
+    val q = names.getOrDefault(e.id, e.id.toString)
+    names.remove(e.id)
+    GraftMetrics.setGauge(s"query.$q.active", 0L)
+  }
+
+  private val headRe = """"head"\s*:\s*(\d+)""".r
+
+  override def onQueryProgress(e: QueryProgressEvent): Unit = {
+    val p = e.progress
+    val q = nameOf(p.name, p.id)
+    GraftMetrics.counter(s"query.$q.batches").inc()
+    GraftMetrics.counter(s"query.$q.rows").inc(p.numInputRows)
+    p.sources.zipWithIndex.foreach { case (s, i) =>
+      val end = s.endOffset
+      if (end != null) headRe.findFirstMatchIn(end).foreach { m =>
+        GraftMetrics.maxGauge(s"query.$q.read.head.$i", m.group(1).toLong)
+      }
+    }
+    // Observed metrics: one Row of aggregates per observe() name; fold
+    // each numeric field into a counter so totals accumulate across
+    // batches (observe values are per-batch, counters are lifetime).
+    val om = p.observedMetrics
+    if (om != null) {
+      val it = om.entrySet().iterator()
+      while (it.hasNext) {
+        val entry = it.next()
+        val row = entry.getValue
+        val schema = row.schema
+        if (schema != null) schema.fields.zipWithIndex.foreach { case (f, i) =>
+          if (!row.isNullAt(i)) row.get(i) match {
+            case n: Number => GraftMetrics
+              .counter(s"query.$q.observed.${entry.getKey}.${f.name}")
+              .inc(n.longValue)
+            case _ => ()
+          }
+        }
+      }
+    }
+  }
+}

@@ -107,7 +107,12 @@ object StreamOps {
       docs.repartition(4).write.parquet(stage)
       val src = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(stage)
-      val tagged = Contamination.ingestGuardExact(src, evalSet, n = 5)
+      // Observability: the guard publishes per-batch checked/quarantined
+      // aggregates (observe → GraftStreamingListener → `query.*.observed
+      // .graft_guard.*` counters) — a plan annotation, rows unchanged.
+      graft.metrics.GraftMetrics.attachListener(s)
+      val tagged = graft.metrics.GraftMetrics.observeGuard(
+          Contamination.ingestGuardExact(src, evalSet, n = 5))
         .select($"contaminated",
           to_json(struct($"doc_id", $"n_eval_hits", $"contaminated"))
             .as("payload"))

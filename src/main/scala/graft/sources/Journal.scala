@@ -542,7 +542,7 @@ object Journal {
     // files of the remaining fragments would be orphaned with no
     // reclamation path. Delete them by name before rethrowing.
     var done = 0
-    try staged.map { case (frag, tmp) =>
+    val out = try staged.map { case (frag, tmp) =>
       val f = commitFragment(frag, tmp, conf); done += 1; f
     } catch { case e: Throwable =>
       val fs = new HPath(root).getFileSystem(conf)
@@ -551,6 +551,10 @@ object Journal {
       }
       throw e
     }
+    graft.metrics.GraftMetrics.appendCommitted(journal, out.size,
+      out.iterator.map(f => f.end - f.begin).sum,
+      out.iterator.map(_.end).foldLeft(0L)(math.max))
+    out
   }
 
   /** Spool-and-plan half of `append`: spools each (partition, postfix)
@@ -594,7 +598,7 @@ object Journal {
       .mapPartitionsWithIndex { (idx, it) =>
         val fs = new HPath(root).getFileSystem(hc.value)
         def fresh(seq: Int) =
-          new FragmentSpool(fs, root, s"$journalTag-$idx", codec, seq)
+          new FragmentSpool(fs, root, s"$journalTag-$idx", codec, seq, journal)
         def finished(postfix: String, sp: FragmentSpool) = {
           val len = sp.len // read before finish() closes the stream
           (idx, postfix, sp.seq, len, sp.finish(), sp.tmp.toString)
@@ -704,10 +708,17 @@ object Journal {
     * size/time roll policy, so the two write paths cannot drift.
     */
   private[graft] final class FragmentSpool(fs: FileSystem, root: String,
-      tag: String, codec: String, val seq: Int) {
+      tag: String, codec: String, val seq: Int, journal: String = "") {
     val tmp = new HPath(new HPath(root),
       s".spool-$tag-${java.util.UUID.randomUUID}.tmp")
     private val digest = MessageDigest.getInstance("SHA-1")
+    // Spool-time per-JVM record counter (task retries recount — the
+    // per-process Prometheus semantics; commit-accurate totals are the
+    // driver's append.bytes/fragments). Resolved once per spool.
+    private val recordsCtr =
+      if (journal.isEmpty) null
+      else graft.metrics.GraftMetrics.counter(
+        s"journal.${graft.metrics.GraftMetrics.journalTag(journal)}.append.records")
     var len = 0L
     private val bornNanos = System.nanoTime()
     private val out = new BufferedOutputStream(
@@ -722,6 +733,7 @@ object Journal {
       digest.update(payload); digest.update('\n'.toByte)
       out.write(payload); out.write('\n')
       len += payload.length + 1
+      if (recordsCtr != null) recordsCtr.inc()
     }
     /** Close the stream and return the content SHA-1 hex. */
     def finish(): String = {
@@ -965,6 +977,10 @@ object Journal {
     staged.foreach { case (frag, tmp) => commitFragment(frag, tmp, conf) }
     if (!fs.rename(pending, committed))
       throw new java.io.IOException(s"rename $pending -> $committed failed")
+    if (staged.nonEmpty)
+      graft.metrics.GraftMetrics.appendCommitted(staged.head._1.journal,
+        staged.size, staged.iterator.map { case (f, _) => f.end - f.begin }.sum,
+        staged.iterator.map(_._1.end).max)
   }
 
   /** Exactly-once commit of executor-spooled fragments for one epoch of
@@ -1085,13 +1101,17 @@ object Journal {
     val spooledSorted = spooledArr.sortBy(_._1)
 
     var begin = head(root, journal)
-    spooledSorted.map { case (_, len, sha, tmpPath) =>
+    val out = spooledSorted.map { case (_, len, sha, tmpPath) =>
       val frag = Fragment(journal, begin, begin + len, sha, codec,
         new HPath(dir, f"$begin%016x-${begin + len}%016x-$sha.$codec").toString)
       commitFragment(frag, tmpPath, conf)
       begin = frag.end
       frag
     }.toSeq
+    graft.metrics.GraftMetrics.appendCommitted(journal, out.size,
+      out.iterator.map(f => f.end - f.begin).sum,
+      out.iterator.map(_.end).foldLeft(0L)(math.max))
+    out
   }
 
   /** Read fixed-framed binary envelopes with exact byte spans. */
@@ -1196,6 +1216,12 @@ object Journal {
     // unterminated tail (never committed, so never emitted).
     val buf = new java.io.ByteArrayOutputStream(256)
     val bound = to // inside Iterator, bare `to` resolves to IterableOnceOps.to
+    // Per-JVM read counters (consumer read_messages/read_bytes analog,
+    // consumer/interfaces.go:318-327): resolved once per slice, LongAdder
+    // inc per record — noise next to the parse itself.
+    val mTag = graft.metrics.GraftMetrics.journalTag(frag.journal)
+    val mRecs = graft.metrics.GraftMetrics.counter(s"journal.$mTag.read.records")
+    val mBytes = graft.metrics.GraftMetrics.counter(s"journal.$mTag.read.bytes")
     new Iterator[Envelope] with java.io.Closeable {
       private var nextEnv: Envelope = _
       private var done = false
@@ -1213,6 +1239,7 @@ object Journal {
         offset += buf.size() + 1
         nextEnv = Envelope(frag.journal, begin, offset,
           new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+        mRecs.inc(); mBytes.inc(offset - begin)
         fetched = true
       }
       override def hasNext: Boolean = { fetch(); fetched }

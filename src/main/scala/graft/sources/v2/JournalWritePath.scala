@@ -158,11 +158,14 @@ object JournalWrite {
       messages: Array[WriterCommitMessage]): Unit = {
     val root = roots.head
     val conf = Journal.hadoopConf
-    Journal.planFragments(root, journal, codec,
-        Journal.head(roots, journal), ordered(messages))
-      .foreach { case (frag, tmpPath) =>
-        Journal.commitFragment(frag, tmpPath, conf)
-      }
+    val staged = Journal.planFragments(root, journal, codec,
+      Journal.head(roots, journal), ordered(messages))
+    staged.foreach { case (frag, tmpPath) =>
+      Journal.commitFragment(frag, tmpPath, conf)
+    }
+    graft.metrics.GraftMetrics.appendCommitted(journal, staged.size,
+      staged.iterator.map { case (f, _) => f.end - f.begin }.sum,
+      staged.iterator.map(_._1.end).foldLeft(0L)(math.max))
   }
 
   private[v2] def dropSpools(root: String, messages: Array[WriterCommitMessage]): Unit = {
@@ -202,7 +205,7 @@ class JournalWriterFactory(root: String, journalTag: String, codec: String,
       // batch append path (framing, SHA-1, codec, roll policy).
       private lazy val fs = new HPath(root).getFileSystem(hc.value)
       private def fresh(seq: Int) = new Journal.FragmentSpool(fs, root,
-        s"$journalTag-$partitionId-$taskId", codec, seq)
+        s"$journalTag-$partitionId-$taskId", codec, seq, journal)
       private def finished(postfix: String, sp: Journal.FragmentSpool) = {
         val len = sp.len // read before finish() closes the stream
         Spooled(postfix, sp.seq, len, sp.finish(), sp.tmp.toString)

@@ -60,6 +60,20 @@ object Sequencer {
   private def lte(a: Long, b: Long): Boolean = java.lang.Long.compareUnsigned(a, b) <= 0
   private def lt(a: Long, b: Long): Boolean = java.lang.Long.compareUnsigned(a, b) < 0
 
+  /** Sequencer outcome counters (per JVM that runs [[advance]]) — the
+    * engine's slice of the reference's per-shard consumer metrics
+    * (consumer/interfaces.go:306-339). Resolved lazily so pure-library
+    * use before any SparkEnv exists still works.
+    */
+  private object M {
+    import graft.metrics.GraftMetrics.counter
+    lazy val committed = counter("sequencer.committed.records")
+    lazy val dups = counter("sequencer.dropped.duplicates")
+    lazy val acks = counter("sequencer.acked.spans")
+    lazy val rollbacks = counter("sequencer.rollbacks")
+    lazy val regressions = counter("sequencer.clock.regressions")
+  }
+
   /** Advance one producer's state over envelopes (must be offset-ordered),
     * returning committed envelopes in order.
     */
@@ -70,10 +84,11 @@ object Sequencer {
     envs.foreach { env =>
       if (env.clock == 0L) {
         out += env // zero-clock bypass: immediately committed, not indexed
+        M.committed.inc()
       } else env.flags match {
         case ContinueTxn =>
-          if (lte(env.clock, st.minClock)) () // already acked
-          else if (lte(env.clock, st.maxClock)) () // dup within span
+          if (lte(env.clock, st.minClock)) M.dups.inc() // already acked
+          else if (lte(env.clock, st.maxClock)) M.dups.inc() // dup within span
           else st = st.copy(
             maxClock = env.clock,
             begin = if (st.begin == -1L) env.begin else st.begin,
@@ -83,21 +98,30 @@ object Sequencer {
           if (lte(env.clock, st.minClock)) {
             // Rollback; clock < minClock additionally signals an upstream
             // checkpoint regression (at-least-once degradation).
+            M.rollbacks.inc()
+            if (lt(env.clock, st.minClock)) M.regressions.inc()
             st = SeqState(env.clock, env.clock, -1L, Vector.empty)
           } else {
+            var n = 0L
             st.buffered.foreach { b =>
-              if (lt(st.minClock, b.clock) && lte(b.clock, env.clock))
+              if (lt(st.minClock, b.clock) && lte(b.clock, env.clock)) {
                 out += SeqEnvelope(env.journal, b.begin, b.end, env.producer,
                   b.clock, ContinueTxn, b.payload)
+                n += 1
+              }
             }
             out += env // the ACK itself is part of the committed stream
+            M.committed.inc(n + 1)
+            M.acks.inc()
             st = SeqState(env.clock, env.clock, -1L, Vector.empty)
           }
 
         case _ => // OUTSIDE_TXN (and unknown flags handled as such)
-          if (lte(env.clock, st.minClock)) () // already acked
+          if (lte(env.clock, st.minClock)) M.dups.inc() // already acked
           else {
-            out += env // any partial span is clobbered (effective rollback)
+            if (st.buffered.nonEmpty) M.rollbacks.inc() // clobbered span
+            out += env
+            M.committed.inc()
             st = SeqState(env.clock, env.clock, -1L, Vector.empty)
           }
       }
