@@ -341,7 +341,7 @@ object Journal {
     * them would undo that layout.
     */
   def compact(root: String, journal: String, targetBytes: Long,
-      codec: String = "gz"): Vector[Fragment] = {
+      codec: String = "gz", deleteSources: Boolean = true): Vector[Fragment] = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val conf = hadoopConf
     val dir = new HPath(root, journal)
@@ -396,11 +396,52 @@ object Journal {
       val frag = Fragment(journal, begin, end, sha, codec,
         new HPath(dir, f"$begin%016x-$end%016x-$sha.$codec").toString)
       commitFragment(frag, tmp.toString, conf)
-      run.foreach { case (f, _) =>
+      if (deleteSources) run.foreach { case (f, _) =>
         if (f.path != frag.path) fs.delete(new HPath(f.path), false)
       }
       frag
     }
+  }
+
+  /** Phase two of EVENTUAL-CONSISTENCY-safe compaction: delete
+    * fragments whose every byte is shadowed by a single other fragment
+    * that has been in the store at least `minCoverAgeMs`.
+    *
+    * The immediate-delete in [[compact]] assumes the store LISTS the
+    * merged fragment as soon as it is renamed in. On a store whose
+    * listings lag writes (the reference's fragment stores are
+    * explicitly this class — eventually-consistent BLOB listings,
+    * broker/fragment/stores.go:38-105), a reader inside the lag window
+    * would see NEITHER the sources (deleted, physically gone) nor the
+    * merged fragment (too fresh to list) — a hole in a committed span.
+    * The safe sequence is `compact(deleteSources = false)` — readers
+    * keep using the sources, the cover set resolves the overlap once
+    * the merged fragment surfaces — then `sweepShadowed(minCoverAgeMs
+    * = <the store's listing-consistency bound>)` on a later tick.
+    * Conservative by construction: a fragment is only removed when one
+    * covering fragment spans it entirely and that cover is old enough
+    * that every lister already sees it.
+    */
+  def sweepShadowed(root: String, journal: String,
+      minCoverAgeMs: Long = 0L): Vector[Fragment] = {
+    val conf = hadoopConf
+    val fs = new HPath(root, journal).getFileSystem(conf)
+    val frags = listFragments(root, journal)
+    val nowMs = System.currentTimeMillis()
+    val oldCovers = frags.filter { g =>
+      try nowMs - fs.getFileStatus(new HPath(g.path)).getModificationTime >=
+        minCoverAgeMs
+      catch { case _: java.io.IOException => false }
+    }
+    val swept = frags.filter { f =>
+      oldCovers.exists(g => g.path != f.path &&
+        g.begin <= f.begin && g.end >= f.end &&
+        // Equal spans tie-break by path so two identical-span
+        // fragments (distinct codecs) cannot delete each other.
+        (g.begin < f.begin || g.end > f.end || g.path > f.path))
+    }
+    swept.foreach(f => fs.delete(new HPath(f.path), false))
+    swept
   }
 
   /** Cover-set resolution (S3): orderly walk selecting, at each offset,
@@ -488,11 +529,44 @@ object Journal {
 
   /** Journal head: next append offset. */
   def head(root: String, journal: String): Long =
-    listFragments(root, journal).map(_.end).foldLeft(0L)(math.max)
+    head(Seq(root), journal)
 
-  /** Multi-store head: next append offset across every store. */
-  def head(roots: Seq[String], journal: String): Long =
-    listFragments(roots, journal, Long.MinValue).map(_.end).foldLeft(0L)(math.max)
+  /** Multi-store head: next append offset across every store — the max
+    * of the LISTED fragment ends and this JVM's OWN committed ends
+    * (the head floor). The floor is what makes offset assignment safe
+    * on an eventually-consistent store: a LIST that has not yet
+    * surfaced the fragments this appender just committed would
+    * otherwise re-derive a stale head, and the next append would mint
+    * OVERLAPPING offsets — self-shadowing with no second writer
+    * involved. The reference never hits this because the write head is
+    * broker-process state, not store state (gazette_write_head,
+    * broker/doc.go:24-27); the floor keeps the same invariant in the
+    * appender JVM, which under the one-appender-per-journal contract
+    * is exactly where the knowledge lives. Listing-only consumers
+    * (readers, cover sets) are unaffected — they never call head().
+    */
+  def head(roots: Seq[String], journal: String): Long = {
+    val listed = listFragments(roots, journal, Long.MinValue)
+      .map(_.end).foldLeft(0L)(math.max)
+    val floor = roots.iterator
+      .map(r => headFloors.getOrDefault(floorKey(r, journal), 0L): Long)
+      .foldLeft(0L)(math.max)
+    math.max(listed, floor)
+  }
+
+  // This JVM's committed write heads, keyed by (root, journal): raised
+  // at every driver-side commit point, never lowered — offsets are
+  // forever-monotone in the reference too (pruning all fragments does
+  // not rewind a broker's nextOffset). Deleting a journal's directory
+  // under a live appender JVM and expecting offsets to restart is
+  // outside the write contract; a fresh JVM starts from the listing.
+  private val headFloors =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def floorKey(root: String, journal: String) = s"$root|$journal"
+  private[graft] def raiseHeadFloor(root: String, journal: String,
+      end: Long): Unit =
+    headFloors.merge(floorKey(root, journal), end,
+      (a, b) => if (a >= b) a else b)
 
   // ---- write path (S5-S7) --------------------------------------------
 
@@ -551,6 +625,7 @@ object Journal {
       }
       throw e
     }
+    raiseHeadFloor(root, journal, out.iterator.map(_.end).foldLeft(0L)(math.max))
     graft.metrics.GraftMetrics.appendCommitted(journal, out.size,
       out.iterator.map(f => f.end - f.begin).sum,
       out.iterator.map(_.end).foldLeft(0L)(math.max))
@@ -813,6 +888,8 @@ object Journal {
 
     val staged = stage(df, root, journal, codec)
     commitManifested(fs, pending, committed, staged, conf)
+    raiseHeadFloor(root, journal,
+      staged.iterator.map(_._1.end).foldLeft(0L)(math.max))
     sweepMarkers(fs, dir, "", batchId)
   }
 
@@ -1027,6 +1104,8 @@ object Journal {
     val staged = planFragments(root, journal, codec,
       head((offsetRoots :+ root).distinct, journal), spooled)
     commitManifested(fs, pending, committed, staged, conf)
+    raiseHeadFloor(root, journal,
+      staged.iterator.map(_._1.end).foldLeft(0L)(math.max))
     // Epoch tags are "<queryId>-<epochId>": sweep THIS query's aged
     // markers (the per-query prefix keeps other writers' tags safe).
     val cut = epochTag.lastIndexOf('-')
@@ -1108,6 +1187,7 @@ object Journal {
       begin = frag.end
       frag
     }.toSeq
+    raiseHeadFloor(root, journal, out.iterator.map(_.end).foldLeft(0L)(math.max))
     graft.metrics.GraftMetrics.appendCommitted(journal, out.size,
       out.iterator.map(f => f.end - f.begin).sum,
       out.iterator.map(_.end).foldLeft(0L)(math.max))

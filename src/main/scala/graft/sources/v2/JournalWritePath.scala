@@ -163,6 +163,8 @@ object JournalWrite {
     staged.foreach { case (frag, tmpPath) =>
       Journal.commitFragment(frag, tmpPath, conf)
     }
+    Journal.raiseHeadFloor(root, journal,
+      staged.iterator.map(_._1.end).foldLeft(0L)(math.max))
     graft.metrics.GraftMetrics.appendCommitted(journal, staged.size,
       staged.iterator.map { case (f, _) => f.end - f.begin }.sum,
       staged.iterator.map(_._1.end).foldLeft(0L)(math.max))
