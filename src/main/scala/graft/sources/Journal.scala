@@ -527,6 +527,49 @@ object Journal {
     out.result()
   }
 
+  /** Close the writer-race loop: re-append ONLY the records lost to
+    * the shadowed byte ranges named by [[overlappingFragments]] —
+    * records are lost exactly when they BEGIN inside a shadowed range
+    * (the cover-set reader emits a fragment's records from its served
+    * slice onward and discards boundary straddlers, so a record
+    * beginning in the shadowed prefix never surfaces, while one
+    * beginning at or past the serving boundary is served from the
+    * fragment itself; re-appending whole fragments would duplicate
+    * that served tail). `readFragmentSlice`'s record-boundary
+    * discipline gives this for free: a slice emits exactly the records
+    * beginning in [from, until), reading the final straddler to its
+    * terminator.
+    *
+    * The lost records are re-appended at the CURRENT head through the
+    * normal append path (new offsets — the shadowed spans stay served
+    * by the race's winner, as the audit documents). Distributed: one
+    * narrow task per shadowed range; nothing is collected to the
+    * driver. NOT idempotent — each run re-appends the ranges the audit
+    * still names (the losing fragments remain in place as the audit
+    * trail), so run once per incident, after the racing writers are
+    * fenced. Reference analog: appends that "never interleave"
+    * (docs/brokers-concepts.rst:14-22) — this op is the recovery the
+    * reference's broker serialization makes unnecessary.
+    */
+  def repairShadowed(spark: SparkSession, roots: Seq[String],
+      journal: String, codec: String = "gz"): Seq[Fragment] = {
+    val ranges = overlappingFragments(roots, journal)
+    if (ranges.isEmpty) return Nil
+    import spark.implicits._
+    val hc = new HadoopConf(hadoopConf)
+    val j = journal
+    val slices = ranges.map(r => (r.shadowed.path, r.shadowed.begin,
+      r.shadowed.end, r.shadowed.sha1, r.shadowed.codec, r.from, r.until))
+    val lost = spark.createDataset(slices)
+      .repartition(math.min(slices.size,
+        spark.sparkContext.defaultParallelism))
+      .flatMap { case (path, b, e, sha, cdc, from, until) =>
+        readFragmentSlice(Fragment(j, b, e, sha, cdc, path), from, until,
+          hc.value).map(_.payload)
+      }.toDF("payload")
+    append(lost, roots.head, journal, codec, offsetRoots = roots)
+  }
+
   /** Journal head: next append offset. */
   def head(root: String, journal: String): Long =
     head(Seq(root), journal)
