@@ -190,10 +190,13 @@ object AudioContainer {
   private val Mp3BitratesV2L3 =
     Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
 
-  /** MPEG audio (Layer III): first frame header → rate/channels; CBR
-    * duration ESTIMATE = audio bytes × 8 / bitrate (ID3v2 tag length
-    * skipped). VBR files without this being a Xing-aware parse get the
-    * average-rate approximation — hence `exact = false`.
+  /** MPEG audio (Layer III): first frame header → rate/channels.
+    * Duration: if the first frame carries a Xing/Info or VBRI header
+    * (the standard VBR frame-count headers — Xing/LAME at 4 + side-info
+    * bytes past the frame start, VBRI at a fixed 32), frame count ×
+    * samples-per-frame / rate is EXACT; otherwise the CBR estimate
+    * audio bytes × 8 / first-frame bitrate, flagged `exact = false`
+    * (ID3v2 tag length skipped in both paths).
     */
   private def mp3(b: Array[Byte]): Option[Meta] = {
     if (b == null || b.length < 4) return None
@@ -219,7 +222,33 @@ object AudioContainer {
     val kbps =
       if (ver == 3) Mp3BitratesV1L3(brIdx) else Mp3BitratesV2L3(brIdx)
     val ch = if (((b(p + 3) >> 6) & 0x3) == 3) 1 else 2
-    if (kbps <= 0) None
+    // Xing ("Xing" VBR / "Info" CBR, written by LAME and friends) sits
+    // 4 + side-info bytes past the frame start (side info: MPEG1 32/17
+    // stereo/mono, MPEG2(.5) 17/9 — ISO 11172-3 §2.4.1.7); Fraunhofer
+    // VBRI sits at a fixed 32 bytes past the 4-byte header with the
+    // frame count at tag+14. Either way frames × samples-per-frame /
+    // rate is exact. Frame counts are u32 wire values: bound to 2^31
+    // (≈ 650 days of audio) so a corrupt count falls back to the CBR
+    // estimate instead of minting a garbage "exact" duration.
+    def tagAt(at: Int, t: String): Boolean =
+      at >= 0 && at + 4 <= b.length && b(at) == t(0).toByte &&
+        b(at + 1) == t(1).toByte && b(at + 2) == t(2).toByte &&
+        b(at + 3) == t(3).toByte
+    val spf = if (ver == 3) 1152L else 576L
+    val side =
+      if (ver == 3) { if (ch == 1) 17 else 32 }
+      else { if (ch == 1) 9 else 17 }
+    val xo = p + 4 + side
+    val vbrFrames: Long =
+      if ((tagAt(xo, "Xing") || tagAt(xo, "Info")) && xo + 12 <= b.length &&
+        (u32be(b, xo + 4) & 1L) != 0) u32be(b, xo + 8)
+      else if (tagAt(p + 36, "VBRI") && p + 36 + 18 <= b.length)
+        u32be(b, p + 36 + 14)
+      else -1L
+    if (vbrFrames > 0 && vbrFrames < (1L << 31))
+      Some(Meta("mp3", rate, ch, vbrFrames * spf * 1000L / rate,
+        exact = true))
+    else if (kbps <= 0) None
     else Some(Meta("mp3", rate, ch,
       (b.length - p).toLong * 8000L / (kbps * 1000L), exact = false))
   }
@@ -369,6 +398,48 @@ object AudioFixtures {
     w.u8((brIdx << 4) | (0 << 2)) // bitrate idx + 44.1 kHz + no pad
     w.u8(if (stereo) 0x00 else 0xc0)
     w.zeros(totalBytes - 4)
+    w.result()
+  }
+
+  /** MPEG1 Layer III whose first frame carries a Xing-family header:
+    * frame header + zeroed side info (32/17 bytes stereo/mono) + `tag`
+    * ("Xing" for VBR, "Info" for LAME-tagged CBR) + frames-present
+    * flags + the frame count, zero-filled to `totalBytes`. Sample rate
+    * fixed at 44100; the nominal bitrate index (128 kbps) is what a
+    * Xing-unaware parser would misuse.
+    */
+  def mp3Xing(frames: Long, totalBytes: Int, stereo: Boolean = true,
+      tag: String = "Xing"): Array[Byte] = {
+    require(frames >= 0 && frames < (1L << 32))
+    require(tag == "Xing" || tag == "Info", s"not a Xing-family tag: $tag")
+    val side = if (stereo) 32 else 17
+    val used = 4 + side + 12
+    require(totalBytes >= used, s"totalBytes $totalBytes < header $used")
+    val w = new W
+    w.u8(0xff).u8(0xfb) // sync + MPEG1 + Layer III + no CRC
+    w.u8((9 << 4) | (0 << 2)) // 128 kbps nominal + 44.1 kHz + no pad
+    w.u8(if (stereo) 0x00 else 0xc0)
+    w.zeros(side)
+    w.cc(tag).u32(0x1L).u32(frames) // flags: frames present
+    w.zeros(totalBytes - used)
+    w.result()
+  }
+
+  /** MPEG1 Layer III with a Fraunhofer VBRI header: always 32 bytes
+    * past the 4-byte frame header (stereo side-info width), frame
+    * count at tag+14 per the VBRI layout (version, delay, quality,
+    * bytes, frames).
+    */
+  def mp3Vbri(frames: Long, totalBytes: Int): Array[Byte] = {
+    require(frames >= 0 && frames < (1L << 32))
+    val used = 4 + 32 + 18
+    require(totalBytes >= used, s"totalBytes $totalBytes < header $used")
+    val w = new W
+    w.u8(0xff).u8(0xfb).u8((9 << 4) | (0 << 2)).u8(0x00) // stereo
+    w.zeros(32)
+    w.cc("VBRI").u16(1).u16(0).u16(0) // version, delay, quality
+    w.u32(totalBytes.toLong).u32(frames)
+    w.zeros(totalBytes - used)
     w.result()
   }
 

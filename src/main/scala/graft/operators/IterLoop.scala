@@ -25,19 +25,32 @@ private[graft] object IterLoop {
 
   /** Run `body` with AQE off and `spark.sql.shuffle.partitions`
     * pinned to `reduceWidth`; always restores the session's previous
-    * values. Single-session mutation — concurrent query submission on
+    * values. Single-session mutation — an UNRELATED query submitted on
     * the same session during `body` would observe the loop confs, the
-    * standing caveat of any session-conf scope in Spark.
+    * standing caveat of any session-conf scope in Spark; a host
+    * serving concurrent interactive work should give each stream its
+    * own `spark.newSession()` (session-isolated SQLConf), which is the
+    * isolation Spark itself provides for exactly this. What IS guarded
+    * here: two tinyReduce scopes on the same session serialize on a
+    * per-session monitor — interleaved save/restore would otherwise
+    * capture the first loop's confs as the "previous" values and leave
+    * AQE off on the session forever after both unwind.
     */
-  def tinyReduce[A](spark: SparkSession, reduceWidth: Int = 8)(body: => A): A = {
-    val confs = Seq("spark.sql.adaptive.enabled" -> "false",
-      "spark.sql.shuffle.partitions" -> reduceWidth.toString)
-    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
+  def tinyReduce[A](spark: SparkSession, reduceWidth: Int = 8)(body: => A): A =
+    scopeLock.computeIfAbsent(spark, _ => new Object).synchronized {
+      val confs = Seq("spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.shuffle.partitions" -> reduceWidth.toString)
+      val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body
+      finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
     }
-  }
+
+  // Weak keys: a stopped session's monitor must not pin the session.
+  private val scopeLock: java.util.Map[SparkSession, Object] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, Object]())
 }

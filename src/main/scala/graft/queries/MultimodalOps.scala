@@ -12,6 +12,30 @@ import graft.operators.Multimodal
   */
 object MultimodalOps {
 
+  /** ONE oracle for both media-triage gates: q171 (batch projection)
+    * and q176 (streaming form routed through per-kind journals). The
+    * five shapes are pure doc_id arithmetic, so kind/format/geometry
+    * are too; shape 4 (garbage) must land in quarantine with every
+    * routed field NULL.
+    */
+  private[queries] val mediaRoutingOracleSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, doc_id % 5 AS shape,
+      |    16 + (doc_id % 6) * 4 AS w,
+      |    12 + (doc_id % 4) * 4 AS h,
+      |    5 + (doc_id % 9) AS nf
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN shape = 0 THEN 'image' WHEN shape <= 3 THEN 'video'
+      |       ELSE NULL END AS kind,
+      |  CASE shape WHEN 0 THEN 'bmp' WHEN 1 THEN 'mp4' WHEN 2 THEN 'mp4'
+      |       WHEN 3 THEN 'mkv' ELSE NULL END AS format,
+      |  CASE WHEN shape <= 3 THEN CAST(w AS BIGINT) END AS width,
+      |  CASE WHEN shape <= 3 THEN CAST(h AS BIGINT) END AS height,
+      |  CASE WHEN shape BETWEEN 1 AND 3 THEN CAST(nf AS BIGINT) END
+      |    AS n_frames
+      |FROM p""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- q32: batched feature extraction over binary media columns.
     "q32_multimodal_features" -> { (s, d) =>
@@ -358,6 +382,125 @@ object MultimodalOps {
           $"m.channels".cast("long").as("channels"),
           $"m.duration_ms".as("duration_ms"),
           $"m.exact".as("exact"))
+    },
+
+    // ---- q176: STREAMING media triage (VERDICT r9 #4) — q171's mixed
+    // corpus replayed as a file stream (4 files → 4 micro-batches),
+    // triaged IN-FLIGHT by MediaRouter's stateless magic-byte
+    // projection, and ROUTED at write time into per-kind journals
+    // (media/image, media/video, media/quarantine for NULL-kind blobs)
+    // through the crash-atomic foreachBatch journal sink. The gate
+    // reads all three journals back and reassembles the per-doc triage
+    // frame — the oracle is the SAME val as q171's (one shared SQL, so
+    // the batch and streaming routes cannot drift), certifying the full
+    // stream → triage → route → journal-commit → read-back composition.
+    // This is the multimodal analog of q167: the triage the corpus
+    // entry point would run on a live ingest firehose, proven through
+    // the real write path rather than a batch projection.
+    "q176_media_routing_streaming" -> { (s, d) =>
+      import s.implicits._
+      import java.nio.file.Paths
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.operators.MediaRouter
+      import graft.sources.Journal
+      val root = s"/tmp/graft-journals/mr-${d.replace('/', '_')}"
+      StreamOps.deleteRecursively(Paths.get(root))
+      // Identical corpus arithmetic to q171 — the shared oracle demands it.
+      val params = Tables.documents(s, d)
+        .select($"doc_id".cast("long").as("doc_id"))
+        .withColumn("shape", ($"doc_id" % 5).cast("int"))
+        .withColumn("w", (lit(16) + ($"doc_id" % 6) * 4).cast("int"))
+        .withColumn("h", (lit(12) + ($"doc_id" % 4) * 4).cast("int"))
+        .withColumn("nf", (lit(5) + $"doc_id" % 9).cast("int"))
+      val build = udf { (shape: Int, w: Int, h: Int, nf: Int) =>
+        import graft.operators.VideoFixtures
+        shape match {
+          case 0 => graft.operators.ImageHeader.bmpFixture(w, h)
+          case 1 => VideoFixtures.mp4(w, h, 5, nf, 2)
+          case 2 => VideoFixtures.fmp4(w, h, 5, nf, 2, fragSamples = 3)
+          case 3 => VideoFixtures.mkv(w, h, 5, nf, 2)
+          case _ => s"not media at all #$w/$h".getBytes("UTF-8")
+        }
+      }
+      val corpus = params.select($"doc_id",
+        build($"shape", $"w", $"h", $"nf").as("media"))
+      // Stage as a replayable file stream: 4 files → 4 micro-batches
+      // under maxFilesPerTrigger=1, so triage + sink commit repeatedly.
+      val stage = s"$root/stage"
+      corpus.repartition(4).write.parquet(stage)
+      val src = s.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+      // Triage in-stream (stateless projection: zero exchanges), then
+      // serialize the routed frame once; each journal route filters on
+      // the already-computed kind, never re-running the parsers.
+      // to_json drops null fields, so quarantine payloads carry only
+      // doc_id and from_json restores the NULLs the oracle demands.
+      val routed = MediaRouter.route(src)
+        .select($"kind", to_json(struct($"doc_id", $"kind", $"format",
+            $"width".cast("long").as("width"),
+            $"height".cast("long").as("height"), $"n_frames"))
+          .as("payload"))
+      val q = routed.writeStream
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          // All three routes consume the batch: materialize once so
+          // the five-parser triage UDF doesn't run thrice per blob.
+          df.persist()
+          try {
+            Journal.batchSink(root, "media/image", codec = "gz")(
+              df.filter($"kind" === "image").select($"payload"), batchId)
+            Journal.batchSink(root, "media/video", codec = "gz")(
+              df.filter($"kind" === "video").select($"payload"), batchId)
+            Journal.batchSink(root, "media/quarantine", codec = "gz")(
+              df.filter($"kind".isNull).select($"payload"), batchId)
+          } finally df.unpersist()
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(600000), "q176 stream drain timed out")
+      val frame = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, kind STRING, format STRING, width BIGINT, " +
+          "height BIGINT, n_frames BIGINT")
+      Seq("media/image", "media/video", "media/quarantine")
+        .map(j => Journal.read(s, root, j).toDF())
+        .reduce(_ unionByName _)
+        .select(from_json($"payload", frame).as("r"))
+        .select($"r.doc_id", $"r.kind", $"r.format", $"r.width",
+          $"r.height", $"r.n_frames")
+    },
+
+    // ---- q177: VBR MP3 duration (VERDICT r9 #5) — the common
+    // real-world MP3 case the CBR estimate misreports. Four shapes per
+    // doc: Xing-tagged VBR, Fraunhofer VBRI, LAME "Info"-tagged CBR
+    // (all three carry a frame count → duration = frames × 1152 /
+    // 44100, EXACT), and a bare frame stream (no count header → the
+    // byte-length CBR estimate, flagged exact=false). Every duration
+    // is pure arithmetic of the build parameters, so the oracle
+    // replays both formulas and the gate certifies the Xing/VBRI
+    // parse, the Info acceptance, AND the honest exactness flag.
+    "q177_vbr_mp3" -> { (s, d) =>
+      import s.implicits._
+      val params = Tables.documents(s, d)
+        .select($"doc_id".cast("long").as("doc_id"))
+        .withColumn("shape", ($"doc_id" % 4).cast("int"))
+        .withColumn("frames", (lit(500) + ($"doc_id" % 100) * 25).cast("long"))
+        .withColumn("tb", (lit(4096) + ($"doc_id" % 7) * 512).cast("int"))
+      val build = udf { (shape: Int, frames: Long, tb: Int) =>
+        import graft.operators.AudioFixtures
+        shape match {
+          case 0 => AudioFixtures.mp3Xing(frames, tb)
+          case 1 => AudioFixtures.mp3Vbri(frames, tb)
+          case 2 => AudioFixtures.mp3Xing(frames, tb, tag = "Info")
+          case _ => AudioFixtures.mp3(kbps = 128, totalBytes = tb)
+        }
+      }
+      params
+        .withColumn("media", build($"shape", $"frames", $"tb"))
+        .withColumn("m", graft.operators.AudioContainer.audioMeta($"media"))
+        .select($"doc_id", $"m.format".as("format"),
+          $"m.sample_rate".cast("long").as("sample_rate"),
+          $"m.channels".cast("long").as("channels"),
+          $"m.duration_ms".as("duration_ms"),
+          $"m.exact".as("exact"))
     }
   )
 
@@ -466,23 +609,27 @@ object MultimodalOps {
 
     // The five shapes are pure doc_id arithmetic, so kind/format/
     // geometry are too; shape 4 (garbage) must land in quarantine
-    // with every routed field NULL.
-    "q171_media_routing" ->
+    // with every routed field NULL. ONE shared val gates both the
+    // batch projection (q171) and the streaming journal-routed form
+    // (q176) — the two routes cannot drift.
+    "q171_media_routing" -> mediaRoutingOracleSql,
+    "q176_media_routing_streaming" -> mediaRoutingOracleSql,
+
+    // Both duration formulas replayed: frame-count shapes (Xing/VBRI/
+    // Info) are frames × 1152 / 44100 ms exact; the bare stream is the
+    // byte-length estimate totalBytes × 8000 / 128000, exact=false.
+    "q177_vbr_mp3" ->
       """WITH p AS (
-        |  SELECT doc_id, doc_id % 5 AS shape,
-        |    16 + (doc_id % 6) * 4 AS w,
-        |    12 + (doc_id % 4) * 4 AS h,
-        |    5 + (doc_id % 9) AS nf
+        |  SELECT doc_id, doc_id % 4 AS shape,
+        |    500 + (doc_id % 100) * 25 AS frames,
+        |    4096 + (doc_id % 7) * 512 AS tb
         |  FROM documents)
-        |SELECT doc_id,
-        |  CASE WHEN shape = 0 THEN 'image' WHEN shape <= 3 THEN 'video'
-        |       ELSE NULL END AS kind,
-        |  CASE shape WHEN 0 THEN 'bmp' WHEN 1 THEN 'mp4' WHEN 2 THEN 'mp4'
-        |       WHEN 3 THEN 'mkv' ELSE NULL END AS format,
-        |  CASE WHEN shape <= 3 THEN CAST(w AS BIGINT) END AS width,
-        |  CASE WHEN shape <= 3 THEN CAST(h AS BIGINT) END AS height,
-        |  CASE WHEN shape BETWEEN 1 AND 3 THEN CAST(nf AS BIGINT) END
-        |    AS n_frames
+        |SELECT doc_id, 'mp3' AS format,
+        |  CAST(44100 AS BIGINT) AS sample_rate,
+        |  CAST(2 AS BIGINT) AS channels,
+        |  CAST(CASE WHEN shape <= 2 THEN frames * 1152 * 1000 // 44100
+        |       ELSE tb * 8000 // 128000 END AS BIGINT) AS duration_ms,
+        |  shape <= 2 AS exact
         |FROM p""".stripMargin,
 
     // Every decoded value is pinned by build arithmetic: keyframes are

@@ -193,7 +193,7 @@ object StreamOps {
         |WHERE mx IS NULL OR clock > mx""".stripMargin
   )
 
-  private def deleteRecursively(p: Path): Unit =
+  private[queries] def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       // Files.walk holds open DirectoryStreams until close() — without
       // it each invocation leaks directory FDs until finalization.

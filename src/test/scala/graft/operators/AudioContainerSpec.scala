@@ -42,6 +42,42 @@ class AudioContainerSpec extends SparkSpec {
     assert(mono.channels == 1 && mono.durationMs == 1000L)
   }
 
+  test("mp3: Xing/Info/VBRI frame counts give exact VBR duration") {
+    // 1000 frames × 1152 samples / 44100 Hz = 26122 ms, exact.
+    val xing = AudioContainer.parse(AudioFixtures.mp3Xing(1000L, 8192)).get
+    assert(xing == AudioContainer.Meta("mp3", 44100, 2, 26122L, exact = true))
+    // Mono shifts the side-info width (17 bytes) — the tag must still land.
+    val mono = AudioContainer.parse(
+      AudioFixtures.mp3Xing(441L, 4096, stereo = false)).get
+    assert(mono.channels == 1 && mono.durationMs == 11520L && mono.exact)
+    // LAME writes "Info" for CBR files; the frame count is just as exact.
+    val info = AudioContainer.parse(
+      AudioFixtures.mp3Xing(1000L, 8192, tag = "Info")).get
+    assert(info.durationMs == 26122L && info.exact)
+    // Fraunhofer VBRI: fixed offset 36, count at tag+14.
+    val vbri = AudioContainer.parse(AudioFixtures.mp3Vbri(2205L, 8192)).get
+    assert(vbri.durationMs == 57600L && vbri.exact)
+  }
+
+  test("mp3: corrupt or absent frame counts fall back to the CBR estimate") {
+    // Flags without the frames bit: Xing present but count unusable.
+    val noFrames = AudioFixtures.mp3Xing(1000L, 8192)
+    noFrames(4 + 32 + 7) = 0 // clear the frames-present flag byte
+    val nf = AudioContainer.parse(noFrames).get
+    assert(!nf.exact && nf.durationMs == 8192L * 8000 / 128000)
+    // Absurd wire count (>= 2^31): refuse the exact path, estimate instead.
+    val absurd = AudioFixtures.mp3Xing((1L << 31) + 5, 8192)
+    val ab = AudioContainer.parse(absurd).get
+    assert(!ab.exact && ab.durationMs == 8192L * 8000 / 128000)
+    // Zero frames: a count that proves nothing — estimate.
+    val zero = AudioContainer.parse(AudioFixtures.mp3Xing(0L, 8192)).get
+    assert(!zero.exact)
+    // Truncated mid-header: never throws, still parses the frame header.
+    val trunc = AudioFixtures.mp3Xing(1000L, 8192).take(4 + 32 + 6)
+    val tr = AudioContainer.parse(trunc)
+    assert(tr.forall(m => !m.exact))
+  }
+
   test("ogg vorbis: ident header rate + terminal-page granule duration") {
     val b = AudioFixtures.oggVorbis(rate = 22050, channels = 1,
       granule = 44100L)
