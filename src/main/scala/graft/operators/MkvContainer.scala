@@ -104,6 +104,7 @@ object MkvContainer {
   private val TrackNumber = 0xD7L
   private val TrackType = 0x83L
   private val CodecID = 0x86L
+  private val CodecPrivate = 0x63A2L
   private val Video = 0xE0L
   private val PixelWidth = 0xB0L
   private val PixelHeight = 0xBAL
@@ -295,6 +296,34 @@ object MkvContainer {
       if (key) nKey += h.frames
     }
     Some(Meta(c.fmt, c.codec, c.width, c.height, c.durationMs, nFrames, nKey))
+  }
+
+  /** Codec id + the first video track's CodecPrivate bytes (element
+    * 0x63A2 — for `V_MPEG4/ISO/AVC` / `V_MPEGH/ISO/HEVC` tracks the
+    * SAME avcC/hvcC record BMFF carries, RFC 9559 §4.2.2), so
+    * [[CodecConfig.parseRecord]] yields header-exact stream facts for
+    * Matroska too. None when the track ships none (V_MJPEG-class).
+    */
+  def codecPrivate(b: Array[Byte]): Option[(String, Array[Byte])] = {
+    val c = ctx(b)
+    if (c == null) return None
+    var res: Option[(String, Array[Byte])] = None
+    find(b, c.sf, c.su, Tracks).foreach { case (f, u) =>
+      walk(b, f, u) { (id, tf, tu) =>
+        if (id == TrackEntry && res.isEmpty) {
+          var num = -1L
+          var priv: Array[Byte] = null
+          walk(b, tf, tu) { (eid, cf, cu) =>
+            if (eid == TrackNumber) num = uint(b, cf.toInt, cu.toInt)
+            else if (eid == CodecPrivate)
+              priv = java.util.Arrays.copyOfRange(b, cf.toInt, cu.toInt)
+          }
+          if (num == c.videoTrack && priv != null)
+            res = Some((c.codec, priv))
+        }
+      }
+    }
+    res
   }
 
   /** Codec id + KEYFRAME byte ranges from one scan — the Matroska

@@ -397,6 +397,51 @@ object VideoContainer {
     }
   }
 
+  /** The decoder-configuration record of the first video track:
+    * (sample-entry fourcc, record bytes) for an `avcC`/`hvcC`/`vpcC`/
+    * `av1C` child of the stsd visual sample entry (14496-15 §5.4.2.1:
+    * the config box sits after the 78 fixed VisualSampleEntry bytes).
+    * None when the codec ships no config box (MJPEG-class) or the
+    * blob is not BMFF — [[CodecConfig]] turns the record into exact
+    * profile/level/bit-depth/geometry facts without a codec library.
+    */
+  def codecConfigBytes(b: Array[Byte]): Option[(String, Array[Byte])] = {
+    if (b == null || b.length < 12) return None
+    val n = b.length.toLong
+    if (findBox(b, 0, n, "ftyp").isEmpty) return None
+    val (moovF, moovU) = findBox(b, 0, n, "moov").getOrElse(return None)
+    var res: Option[(String, Array[Byte])] = None
+    walkBoxes(b, moovF, moovU) { (t, f, u) =>
+      if (res.isEmpty && t == "trak") {
+        val isVideo = path(b, f, u, "mdia", "hdlr").exists { case (hf, hu) =>
+          hu - hf >= 12 && fourcc(b, hf.toInt + 8) == "vide"
+        }
+        if (isVideo) path(b, f, u, "mdia", "minf", "stbl", "stsd").foreach {
+          case (df, du) =>
+            // entry_count at +4; first entry box at +8.
+            if (du - df >= 16 && u32be(b, df.toInt + 4) >= 1) {
+              val entryF = df + 8
+              val entrySize = u32be(b, entryF.toInt)
+              val entryU = entryF + entrySize
+              if (entrySize >= 86 && entryU <= du) {
+                val hint = fourcc(b, entryF.toInt + 4)
+                // Children start after the fixed VisualSampleEntry
+                // fields: 8 header + 78 = 86.
+                walkBoxes(b, entryF + 86, entryU) { (ct, cf, cu) =>
+                  if (res.isEmpty &&
+                    (ct == "avcC" || ct == "hvcC" || ct == "vpcC" ||
+                      ct == "av1C"))
+                    res = Some((hint, java.util.Arrays.copyOfRange(
+                      b, cf.toInt, cu.toInt)))
+                }
+              }
+            }
+        }
+      }
+    }
+    res
+  }
+
   /** Codec fourcc + sync-sample ranges from ONE container parse — the
     * decode path's exact needs ([[graft.operators.Multimodal
     * .decodeKeyframes]] previously paid a full parse for the codec

@@ -79,6 +79,22 @@ object VideoFixtures {
         w.bytes(fb).result()
       })
 
+  /** The [[mp4]] track with a decoder-configuration child box in the
+    * sample entry — the [[CodecConfig]] gate fixture: `codec` names
+    * the entry fourcc (`avc1`/`hvc1`), `config` the avcC/hvcC record
+    * bytes ([[CodecFixtures]] synthesizes spec-conformant ones).
+    */
+  def codedMp4(width: Int, height: Int, fps: Int, nFrames: Int,
+      keyEvery: Int, codec: String, config: Array[Byte]): Array[Byte] =
+    mp4Container(width, height, fps, keyEvery, codec,
+      (1 to nFrames).map { i =>
+        val w = new W
+        w.u32(i.toLong)
+        val fb = new Array[Byte]((sampleSize(i) - 4).toInt)
+        java.util.Arrays.fill(fb, ((i * 31) & 0xff).toByte)
+        w.bytes(fb).result()
+      }, config)
+
   /** A REAL decodable video: Motion-JPEG in MP4 (sample entry `jpeg`),
     * every sample an actual baseline-JFIF image the JDK decodes —
     * `rgbOf(sample)` gives frame `i`'s solid fill as 0xRRGGBB. This is
@@ -163,7 +179,8 @@ object VideoFixtures {
     * desynchronize the progressive and fragmented fixtures.
     */
   private def moovHeaders(width: Int, height: Int, fps: Int, nFrames: Int,
-      codec: String): (Array[Byte], Array[Byte], Array[Byte], Array[Byte], Array[Byte]) = {
+      codec: String, config: Array[Byte] = Array.empty)
+      : (Array[Byte], Array[Byte], Array[Byte], Array[Byte], Array[Byte]) = {
     val identityMatrix: W => Unit = w => {
       w.u32(0x00010000L).u32(0).u32(0)
       w.u32(0).u32(0x00010000L).u32(0)
@@ -197,26 +214,29 @@ object VideoFixtures {
     }
     val stsd = box("stsd") { w =>
       w.u32(0).u32(1)
-      // VisualSampleEntry: 86 bytes.
-      w.u32(86).cc(codec).zeros(6).u16(1) // reserved, data_ref_index
+      // VisualSampleEntry: 86 fixed bytes + optional codec-config
+      // child box (avcC/hvcC — 14496-15 §5.4.2.1).
+      w.u32(86L + config.length).cc(codec).zeros(6).u16(1)
         .zeros(16) // pre_defined/reserved
         .u16(width).u16(height)
         .u32(0x00480000L).u32(0x00480000L) // 72 dpi
         .u32(0).u16(1) // reserved, frame_count
         .zeros(32) // compressorname
         .u16(24).u16(0xffff) // depth, pre_defined -1
+        .bytes(config)
     }
     (mvhd, tkhd, mdhd, hdlr, stsd)
   }
 
   private def mp4Container(width: Int, height: Int, fps: Int,
       keyEvery: Int, codec: String,
-      payloads: IndexedSeq[Array[Byte]]): Array[Byte] = {
+      payloads: IndexedSeq[Array[Byte]],
+      config: Array[Byte] = Array.empty): Array[Byte] = {
     val nFrames = payloads.length
     require(width > 0 && height > 0 && fps > 0 && nFrames > 0 && keyEvery > 0)
     def payloadSize(i: Int): Long = payloads(i - 1).length.toLong
     val (mvhd, tkhd, mdhd, hdlr, stsd) =
-      moovHeaders(width, height, fps, nFrames, codec)
+      moovHeaders(width, height, fps, nFrames, codec, config)
     val stts = box("stts")(w => w.u32(0).u32(1).u32(nFrames.toLong).u32(1))
     val keys = keyframeSamples(nFrames, keyEvery)
     val stss = box("stss") { w =>
@@ -435,6 +455,19 @@ object VideoFixtures {
     mkvAround(width, height, fps, nFrames, blocks)
   }
 
+  /** [[mkv]] with a CodecPrivate element on the video track (the
+    * avcC/hvcC record for AVC/HEVC codec ids, RFC 9559 §4.2.2) — the
+    * Matroska arm of the [[CodecConfig]] gate.
+    */
+  def mkvWithCodecPrivate(width: Int, height: Int, fps: Int, nFrames: Int,
+      keyEvery: Int, codec: String, codecPrivate: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && fps > 0 && nFrames > 0 && keyEvery > 0)
+    val blocks = (1 to nFrames)
+      .map(i => simpleBlock(i, (i - 1) % keyEvery == 0)).reduce(_ ++ _)
+    mkvAroundClusters(width, height, fps, nFrames, el(0x1F43B666L,
+      elU(0xE7L, 0) ++ blocks), codec, codecPrivate)
+  }
+
   /** [[mkv]]'s track split across TWO clusters, the FIRST with UNKNOWN
     * size (all size bits set — what live muxers write when they cannot
     * seek back to patch the length, RFC 8794 §6): a parser that maps
@@ -506,7 +539,8 @@ object VideoFixtures {
 
   private def mkvAroundClusters(width: Int, height: Int, fps: Int,
       nFrames: Int, clusters: Array[Byte],
-      codec: String = "V_MPEG4/ISO/AVC"): Array[Byte] = {
+      codec: String = "V_MPEG4/ISO/AVC",
+      codecPrivate: Array[Byte] = Array.empty): Array[Byte] = {
     val header = el(0x1A45DFA3L,
       elU(0x4286L, 1) ++ elU(0x42F7L, 1) ++ elU(0x42F2L, 4) ++
         elU(0x42F3L, 8) ++ elS(0x4282L, "matroska") ++
@@ -516,6 +550,8 @@ object VideoFixtures {
         elF8(0x4489L, (nFrames.toLong * 1000L / fps).toDouble))
     val trackEntry = el(0xAEL,
       elU(0xD7L, 1) ++ elU(0x83L, 1) ++ elS(0x86L, codec) ++
+        (if (codecPrivate.isEmpty) Array.empty[Byte]
+         else el(0x63A2L, codecPrivate)) ++
         el(0xE0L, elU(0xB0L, width.toLong) ++ elU(0xBAL, height.toLong)))
     val tracks = el(0x1654AE6BL, trackEntry)
     val segment = el(0x18538067L, info ++ tracks ++ clusters)

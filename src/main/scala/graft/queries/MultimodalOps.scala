@@ -501,6 +501,80 @@ object MultimodalOps {
           $"m.channels".cast("long").as("channels"),
           $"m.duration_ms".as("duration_ms"),
           $"m.exact".as("exact"))
+    },
+
+    // ---- q178: CODEC-CONFIG layer (round 10) — header-EXACT stream
+    // facts for the codecs whose SAMPLE decode stays stubbed: per doc,
+    // synthesize a real SPS (exp-Golomb bitstream, CodecFixtures),
+    // wrap it in an avcC/hvcC record, mux it into BOTH containers
+    // (BMFF stsd child box AND Matroska CodecPrivate), then parse
+    // profile/level/bit-depth/chroma/coded-geometry back with
+    // CodecConfig. Widths/heights are non-multiple-of-16, so the
+    // conformance-crop math is load-bearing: a parser that returns
+    // the macroblock-rounded size fails every row. mkv_agree asserts
+    // the two container routes hand over byte-identical records.
+    "q178_codec_config" -> { (s, d) =>
+      import s.implicits._
+      val params = Tables.documents(s, d)
+        .select($"doc_id".cast("long").as("doc_id"))
+        .withColumn("hevc", $"doc_id" % 2 === 1)
+        .withColumn("w", (lit(160) + ($"doc_id" % 9) * 2).cast("int"))
+        .withColumn("h", (lit(90) + ($"doc_id" % 7) * 2).cast("int"))
+        .withColumn("fps", (lit(4) + $"doc_id" % 5).cast("int"))
+        .withColumn("nf", (lit(5) + $"doc_id" % 9).cast("int"))
+        .withColumn("ke", (lit(1) + $"doc_id" % 3).cast("int"))
+        .withColumn("profile", when($"hevc",
+            lit(1) + expr("(doc_id div 2) % 2"))
+          .otherwise(element_at(array(lit(66), lit(77), lit(100)),
+            expr("int((doc_id div 2) % 3)") + lit(1))).cast("int"))
+        .withColumn("level", when($"hevc", lit(90) + ($"doc_id" % 4) * 3)
+          .otherwise(lit(30) + ($"doc_id" % 4) * 4).cast("int"))
+        .withColumn("bd", when($"hevc",
+            when($"profile" === 2, 10).otherwise(8))
+          .otherwise(when($"profile" === 100,
+            lit(8) + expr("(doc_id div 3) % 3") * 2).otherwise(8))
+          .cast("int"))
+      val buildMp4 = udf { (hevc: Boolean, w: Int, h: Int, fps: Int,
+          nf: Int, ke: Int, profile: Int, level: Int, bd: Int) =>
+        graft.operators.CodecFixtures.mp4WithConfig(
+          w, h, fps, nf, ke, hevc, profile, level, bd)
+      }
+      val buildMkv = udf { (hevc: Boolean, w: Int, h: Int, fps: Int,
+          nf: Int, ke: Int, profile: Int, level: Int, bd: Int) =>
+        import graft.operators.CodecFixtures
+        val rec =
+          if (hevc) CodecFixtures.hvcC(
+            CodecFixtures.hevcSps(profile, level, w, h, bd), profile, level)
+          else CodecFixtures.avcC(
+            CodecFixtures.avcSps(profile, level, w, h, bd))
+        graft.operators.VideoFixtures.mkvWithCodecPrivate(w, h, fps, nf, ke,
+          if (hevc) "V_MPEGH/ISO/HEVC" else "V_MPEG4/ISO/AVC", rec)
+      }
+      val mkvProf = udf { b: Array[Byte] =>
+        graft.operators.MkvContainer.codecPrivate(b).flatMap {
+          case (hint, rec) =>
+            graft.operators.CodecConfig.parseRecord(hint, rec)
+        }.map(p => (p.codec, p.profileIdc, p.levelIdc, p.bitDepth,
+          p.chromaFormat, p.codedWidth, p.codedHeight))
+      }
+      val in = $"hevc" :: $"w" :: $"h" :: $"fps" :: $"nf" :: $"ke" ::
+        $"profile" :: $"level" :: $"bd" :: Nil
+      params
+        .withColumn("mp", graft.operators.CodecConfig.codecProfile(
+          buildMp4(in: _*)))
+        .withColumn("kp", mkvProf(buildMkv(in: _*))
+          .cast("struct<codec:string,profile_idc:int,level_idc:int," +
+            "bit_depth:int,chroma_format:int,coded_width:int," +
+            "coded_height:int>"))
+        .select($"doc_id",
+          $"mp.codec".as("codec"),
+          $"mp.profile_idc".cast("long").as("profile_idc"),
+          $"mp.level_idc".cast("long").as("level_idc"),
+          $"mp.bit_depth".cast("long").as("bit_depth"),
+          $"mp.chroma_format".cast("long").as("chroma_format"),
+          $"mp.coded_width".cast("long").as("coded_width"),
+          $"mp.coded_height".cast("long").as("coded_height"),
+          ($"mp" === $"kp").cast("long").as("mkv_agree"))
     }
   )
 
@@ -631,6 +705,42 @@ object MultimodalOps {
         |       ELSE tb * 8000 // 128000 END AS BIGINT) AS duration_ms,
         |  shape <= 2 AS exact
         |FROM p""".stripMargin,
+
+    // Every parsed field replays the build arithmetic; coded_width/
+    // height equal the DISPLAY size because the fixture's SPS crops
+    // the macroblock-rounded frame back down — the one field a naive
+    // parser (no conformance-window math) cannot fake. mkv_agree = 1:
+    // the Matroska CodecPrivate route must parse identically.
+    "q178_codec_config" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    doc_id % 2 = 1 AS hevc,
+        |    (doc_id // 2) % 3 AS pidx,
+        |    doc_id % 4 AS lv,
+        |    (doc_id // 3) % 3 AS bdx,
+        |    160 + (doc_id % 9) * 2 AS w,
+        |    90 + (doc_id % 7) * 2 AS h
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, hevc, w, h, lv, bdx,
+        |    CASE WHEN hevc THEN 1 + (doc_id // 2) % 2
+        |         ELSE CASE pidx WHEN 0 THEN 66 WHEN 1 THEN 77
+        |              ELSE 100 END END AS profile_idc
+        |  FROM p)
+        |SELECT doc_id,
+        |  CASE WHEN hevc THEN 'hvc1' ELSE 'avc1' END AS codec,
+        |  CAST(profile_idc AS BIGINT) AS profile_idc,
+        |  CAST(CASE WHEN hevc THEN 90 + lv * 3
+        |       ELSE 30 + lv * 4 END AS BIGINT) AS level_idc,
+        |  CAST(CASE WHEN hevc THEN
+        |         CASE WHEN profile_idc = 2 THEN 10 ELSE 8 END
+        |       WHEN profile_idc = 100 THEN 8 + bdx * 2
+        |       ELSE 8 END AS BIGINT) AS bit_depth,
+        |  CAST(1 AS BIGINT) AS chroma_format,
+        |  CAST(w AS BIGINT) AS coded_width,
+        |  CAST(h AS BIGINT) AS coded_height,
+        |  CAST(1 AS BIGINT) AS mkv_agree
+        |FROM q""".stripMargin,
 
     // Every decoded value is pinned by build arithmetic: keyframes are
     // samples 1, 1+ke, ...; frame i's channel buckets are the mod-8

@@ -24,6 +24,12 @@ import org.apache.spark.sql.functions._
   *
   * This derived data is for PERFORMANCE probes only — correctness
   * oracles always run on the driver-provided directories.
+  *
+  * Caveat at factor > 64: embedding rotation wraps (i % 64), so
+  * replicas i and i+64 carry IDENTICAL vectors under different ids —
+  * similarity/ANN probes above factor 64 would see a manufactured
+  * duplicate tier; the text/key salting has no such wrap (2-digit
+  * tags cover factor 676).
   */
 object ScaleUp {
   private val K = 1000000000000L // replica key stride
@@ -50,9 +56,20 @@ object ScaleUp {
     // 9 exact copies of every document, which blows up any exact
     // near-dup join with a 45×-pairs data artifact the real generator
     // would never produce.
+    // Letters-only tag for any factor ≤ 677: TWO base-26 digits of
+    // (i-1), prefixed z — "zaa".."zzz". Fixed width, so no tag is a
+    // prefix of another (variable-length tags would let
+    // "zb"+"apple" == "zba"+"pple" leak cross-replica duplicate
+    // tokens); the old single-letter scheme broke past factor 26,
+    // which the sf10 derivation (factor 100) needs.
+    def tag(i: Int): String = {
+      val v = i - 1
+      require(v < 26 * 26, s"factor ${i} exceeds the 2-digit tag space")
+      s"z${('a' + v / 26).toChar}${('a' + v % 26).toChar}"
+    }
     def saltedExpr(c: String, i: Int) =
       if (i == 0) col(c)
-      else regexp_replace(col(c), "(\\S+)", s"z${('a' + i - 1).toChar}$$1")
+      else regexp_replace(col(c), "(\\S+)", s"${tag(i)}$$1")
     def salt(c: String, i: Int) = saltedExpr(c, i).as(c)
 
     replicas("region")((df, i) => if (i == 0) df else df.limit(0))

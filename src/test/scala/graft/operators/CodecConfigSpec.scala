@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class CodecConfigSpec extends SparkSpec {
+
+  private def avcRoundTrip(profile: Int, level: Int, w: Int, h: Int,
+      bd: Int): CodecConfig.Profile = {
+    val sps = CodecFixtures.avcSps(profile, level, w, h, bd)
+    CodecConfig.parseAvcSps(sps).getOrElse(
+      fail(s"SPS refused: p=$profile w=$w h=$h bd=$bd"))
+  }
+
+  test("AVC SPS round-trip over the profile/geometry/bit-depth grid") {
+    for {
+      profile <- Seq(66, 77, 100)
+      (w, h) <- Seq((160, 96), (162, 90), (176, 102), (1920, 1080),
+        (1280, 720), (640, 360), (174, 100))
+      bd <- if (profile == 100) Seq(8, 10, 12) else Seq(8)
+    } {
+      val p = avcRoundTrip(profile, 41, w, h, bd)
+      assert(p.codec == "avc1")
+      assert(p.profileIdc == profile && p.levelIdc == 41)
+      assert(p.bitDepth == bd && p.chromaFormat == 1)
+      assert(p.codedWidth == w, s"width: ${p.codedWidth} != $w")
+      assert(p.codedHeight == h, s"height: ${p.codedHeight} != $h")
+    }
+  }
+
+  test("1080p needs the crop path: 1088 coded rows minus 8") {
+    // The classic case the naive (no conformance-window) parse gets
+    // wrong: 1080 = 68 MB rows * 16 - 2*4 crop units.
+    val p = avcRoundTrip(100, 42, 1920, 1080, 8)
+    assert(p.codedHeight == 1080)
+  }
+
+  test("emulation-prevention bytes survive the round-trip") {
+    // level_idc = 0 makes the constraint+level pair 00 00, and
+    // sps_id = 255 encodes as ue with 8 leading zero BITS — a zero
+    // byte right after, so the encoder MUST insert 00 00 03 and the
+    // parser must strip it: a byte-shift here corrupts every later
+    // field.
+    val sps = CodecFixtures.avcSps(66, 0, 160, 96, 8, spsId = 255)
+    val hasEp = sps.sliding(3).exists(s =>
+      s(0) == 0 && s(1) == 0 && s(2) == 3)
+    assert(hasEp, "fixture produced no 00 00 03 — test is vacuous")
+    val p = CodecConfig.parseAvcSps(sps).get
+    assert(p.levelIdc == 0 && p.codedWidth == 160 && p.codedHeight == 96)
+  }
+
+  test("HEVC SPS round-trip incl. conformance window") {
+    for {
+      profile <- Seq(1, 2)
+      (w, h) <- Seq((160, 96), (162, 90), (1920, 1080), (174, 100))
+      bd <- Seq(8, 10)
+    } {
+      val sps = CodecFixtures.hevcSps(profile, 93, w, h, bd)
+      val p = CodecConfig.parseHevcSps(sps).get
+      assert(p.codec == "hvc1" && p.profileIdc == profile)
+      assert(p.levelIdc == 93 && p.bitDepth == bd)
+      assert(p.codedWidth == w && p.codedHeight == h)
+    }
+  }
+
+  test("avcC / hvcC records parse through the container route") {
+    val b = CodecFixtures.mp4WithConfig(162, 90, 5, 6, 2,
+      hevc = false, profileIdc = 100, levelIdc = 41, bitDepth = 10)
+    val (hint, rec) = VideoContainer.codecConfigBytes(b).get
+    assert(hint == "avc1")
+    val p = CodecConfig.parseRecord(hint, rec).get
+    assert(p.profileIdc == 100 && p.bitDepth == 10 &&
+      p.codedWidth == 162 && p.codedHeight == 90)
+
+    val hb = CodecFixtures.mp4WithConfig(176, 102, 5, 6, 2,
+      hevc = true, profileIdc = 2, levelIdc = 120, bitDepth = 10)
+    val (hHint, hRec) = VideoContainer.codecConfigBytes(hb).get
+    assert(hHint == "hvc1")
+    val hp = CodecConfig.parseRecord(hHint, hRec).get
+    assert(hp.profileIdc == 2 && hp.codedWidth == 176 &&
+      hp.codedHeight == 102)
+  }
+
+  test("the container parse itself still reads the coded MP4") {
+    val b = CodecFixtures.mp4WithConfig(160, 96, 5, 8, 2,
+      hevc = false, profileIdc = 77, levelIdc = 31, bitDepth = 8)
+    val m = VideoContainer.parse(b).get
+    assert(m.codec == "avc1" && m.width == 160 && m.height == 96 &&
+      m.nFrames == 8)
+  }
+
+  test("Matroska CodecPrivate hands over the identical record") {
+    val rec = CodecFixtures.avcC(CodecFixtures.avcSps(100, 41, 162, 90, 10))
+    val mkv = VideoFixtures.mkvWithCodecPrivate(162, 90, 5, 6, 2,
+      "V_MPEG4/ISO/AVC", rec)
+    val (hint, got) = MkvContainer.codecPrivate(mkv).get
+    assert(hint == "V_MPEG4/ISO/AVC")
+    assert(java.util.Arrays.equals(got, rec))
+    val p = CodecConfig.parseRecord(hint, got).get
+    assert(p.codedWidth == 162 && p.bitDepth == 10)
+    // And the block scan still works on the private-carrying track.
+    val m = MkvContainer.parse(mkv).get
+    assert(m.nFrames == 6 && m.nKeyframes == 3)
+  }
+
+  test("corrupt and alien input quarantines as None, never throws") {
+    assert(CodecConfig.parseAvcSps(null).isEmpty)
+    assert(CodecConfig.parseAvcSps(Array[Byte](0x67, 0x64)).isEmpty)
+    assert(CodecConfig.parseHevcSps("garbage bytes".getBytes).isEmpty)
+    // Wrong NAL type refuses cleanly.
+    val sps = CodecFixtures.avcSps(66, 30, 160, 96, 8)
+    val wrongType = sps.clone(); wrongType(0) = 0x61.toByte
+    assert(CodecConfig.parseAvcSps(wrongType).isEmpty)
+    // Truncated records at every prefix length parse to None or Some
+    // — never an exception reaching the caller.
+    val rec = CodecFixtures.avcC(sps)
+    (0 until rec.length).foreach { n =>
+      CodecConfig.parseAvcC(rec, 0, n)
+    }
+    val hrec = CodecFixtures.hvcC(
+      CodecFixtures.hevcSps(1, 93, 160, 96, 8), 1, 93)
+    (0 until hrec.length).foreach { n =>
+      CodecConfig.parseHvcC(hrec, 0, n)
+    }
+    // A config-less sample entry (MJPEG-class): None is data, not an
+    // error.
+    val plain = VideoFixtures.mp4(64, 64, 5, 4, 2)
+    assert(VideoContainer.codecConfigBytes(plain).isEmpty)
+    val mjpeg = VideoFixtures.mjpegMp4(64, 64, 5, 2, 1, _ => 0x808080)
+    assert(VideoContainer.codecConfigBytes(mjpeg).isEmpty)
+    // Plain mkv (no CodecPrivate element) likewise.
+    val plainMkv = VideoFixtures.mkv(64, 64, 5, 4, 2)
+    assert(MkvContainer.codecPrivate(plainMkv).isEmpty)
+  }
+}
