@@ -48,6 +48,12 @@ object F {
 
   /** Unicode NFC normalization of a string column (null-safe). */
   def nfc(c: Column): Column = ColumnBridge.column(NfcNormalize(e(c)))
+
+  /** Rule-9 floor-scaled round (native [[FloorRound]]): the gate-wide
+    * double-rounding convention, one child evaluation.
+    */
+  def floor_round(c: Column, digits: Int): Column =
+    ColumnBridge.column(FloorRound(e(c.cast("double")), digits))
   def crc64_update(prev: Column, data: Column): Column =
     ColumnBridge.column(Crc64Update(e(prev), e(data.cast("binary"))))
 
