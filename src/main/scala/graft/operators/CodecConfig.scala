@@ -280,6 +280,61 @@ object CodecConfig {
     None
   }
 
+  /** VP9 codec configuration (`vpcC`, VP9-in-ISO-BMFF binding §2.2):
+    * a FullBox — 4 version/flags bytes, then profile u8, level u8,
+    * bitDepth(4) | chromaSubsampling(3) | videoFullRangeFlag(1).
+    * Fixed layout, no bitstream parse; VP9 configs carry no geometry
+    * (codedWidth/Height 0 — the container's sample entry is
+    * authoritative for VP9).
+    */
+  def parseVpcC(b: Array[Byte], from: Int, until: Int): Option[Profile] = {
+    if (b == null || until - from < 7) return None
+    if ((b(from) & 0xff) != 1) return None // version 1 per the binding
+    val profile = b(from + 4) & 0xff
+    val level = b(from + 5) & 0xff
+    val packed = b(from + 6) & 0xff
+    val bitDepth = (packed >> 4) & 0xf
+    val sub = (packed >> 1) & 0x7
+    if (bitDepth != 8 && bitDepth != 10 && bitDepth != 12) return None
+    val chroma = sub match {
+      case 0 | 1 => 1 // 4:2:0 (vertical / colocated)
+      case 2 => 2 // 4:2:2
+      case 3 => 3 // 4:4:4
+      case _ => return None
+    }
+    Some(Profile("vp09", profile, level, bitDepth, chroma, 0, 0))
+  }
+
+  /** AV1 codec configuration (`av1C`, AV1-in-ISO-BMFF §2.3.3): fixed
+    * bitfields in the first 4 bytes — marker(1)+version(7) = 0x81,
+    * seq_profile(3) | seq_level_idx_0(5), then tier(1),
+    * high_bitdepth(1), twelve_bit(1), monochrome(1),
+    * chroma_subsampling_x/y(1+1), chroma_sample_position(2). Bit
+    * depth decodes per AV1 §5.5.2 (8/10/12 from high_bitdepth +
+    * twelve_bit); geometry lives in the sequence-header OBU and is
+    * not duplicated here (0, as vpcC).
+    */
+  def parseAv1C(b: Array[Byte], from: Int, until: Int): Option[Profile] = {
+    if (b == null || until - from < 4) return None
+    if ((b(from) & 0xff) != 0x81) return None
+    val profile = (b(from + 1) >> 5) & 0x7
+    val level = b(from + 1) & 0x1f
+    val f = b(from + 2) & 0xff
+    val highBd = (f >> 6) & 1
+    val twelve = (f >> 5) & 1
+    val mono = (f >> 4) & 1
+    val subX = (f >> 3) & 1
+    val subY = (f >> 2) & 1
+    val bitDepth =
+      if (highBd == 1 && twelve == 1) 12 else if (highBd == 1) 10 else 8
+    val chroma =
+      if (mono == 1) 0
+      else if (subX == 1 && subY == 1) 1 // 4:2:0
+      else if (subX == 1) 2 // 4:2:2
+      else 3 // 4:4:4
+    Some(Profile("av01", profile, level, bitDepth, chroma, 0, 0))
+  }
+
   /** Dispatch on the record bytes alone (Matroska CodecPrivate hands
     * the record over WITHOUT naming the box): an avcC and an hvcC are
     * distinguishable by parse success — both start 0x01, but the field
@@ -287,10 +342,14 @@ object CodecConfig {
     */
   def parseRecord(codecHint: String, b: Array[Byte]): Option[Profile] = {
     if (b == null) return None
-    val isHevc = codecHint != null &&
-      (codecHint.contains("HEVC") || codecHint.startsWith("hvc") ||
-        codecHint.startsWith("hev"))
-    if (isHevc) parseHvcC(b, 0, b.length) else parseAvcC(b, 0, b.length)
+    val h = if (codecHint == null) "" else codecHint
+    if (h.contains("HEVC") || h.startsWith("hvc") || h.startsWith("hev"))
+      parseHvcC(b, 0, b.length)
+    else if (h.startsWith("vp09") || h.contains("VP9"))
+      parseVpcC(b, 0, b.length)
+    else if (h.startsWith("av01") || h.contains("AV1"))
+      parseAv1C(b, 0, b.length)
+    else parseAvcC(b, 0, b.length)
   }
 
   /** struct(codec, profile_idc, level_idc, bit_depth, chroma_format,

@@ -186,6 +186,37 @@ object CodecFixtures {
     out.toByteArray
   }
 
+  /** A `vpcC` record (VP9 binding §2.2): version-1 FullBox payload,
+    * fixed fields only. `sub`: 0/1 = 4:2:0, 2 = 4:2:2, 3 = 4:4:4.
+    */
+  def vpcC(profile: Int, level: Int, bitDepth: Int, sub: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(12)
+    out.write(1); out.write(0); out.write(0); out.write(0) // verflags
+    out.write(profile & 0xff)
+    out.write(level & 0xff)
+    out.write(((bitDepth & 0xf) << 4) | ((sub & 0x7) << 1))
+    out.write(1); out.write(1); out.write(1) // colour/transfer/matrix
+    out.write(0); out.write(0) // codecInitDataSize
+    out.toByteArray
+  }
+
+  /** An `av1C` record (AV1 binding §2.3.3): the 4 fixed bytes, no
+    * config OBUs. bitDepth ∈ {8, 10, 12} packs to
+    * high_bitdepth/twelve_bit per AV1 §5.5.2.
+    */
+  def av1C(profile: Int, level: Int, bitDepth: Int,
+      subX: Int = 1, subY: Int = 1, mono: Int = 0): Array[Byte] = {
+    val highBd = if (bitDepth >= 10) 1 else 0
+    val twelve = if (bitDepth == 12) 1 else 0
+    val out = new java.io.ByteArrayOutputStream(4)
+    out.write(0x81)
+    out.write(((profile & 0x7) << 5) | (level & 0x1f))
+    out.write((highBd << 6) | (twelve << 5) | ((mono & 1) << 4) |
+      ((subX & 1) << 3) | ((subY & 1) << 2))
+    out.write(0)
+    out.toByteArray
+  }
+
   /** The one-call fixture: an MP4 whose sample entry carries a real
     * avcC (`hevc = false`) or hvcC record coding `width`×`height` at
     * `bitDepth` — [[VideoFixtures.codedMp4]] supplies the container.

@@ -218,6 +218,98 @@ object ImageHeader {
     else Some(Meta("tiff", w.toInt, h.toInt, math.max(1, spp.toInt)))
   }
 
+  /** Orientation tag (EXIF/TIFF tag 274) of the TIFF stream whose
+    * header starts at `base`: IFD0 walk only — orientation is an
+    * IFD0 attribute (EXIF 2.3 §4.6.4), never in Exif-sub or GPS IFDs.
+    * 1..8 per the spec; None for absent/corrupt.
+    */
+  private def tiffOrientation(b: Array[Byte], base: Int): Option[Int] = {
+    if (base + 8 > b.length) return None
+    val le = b(base) == 'I' && b(base + 1) == 'I' &&
+      (b(base + 2) & 0xff) == 42 && b(base + 3) == 0
+    val be = b(base) == 'M' && b(base + 1) == 'M' && b(base + 2) == 0 &&
+      (b(base + 3) & 0xff) == 42
+    if (!le && !be) return None
+    def u16(i: Int): Int = if (le) u16le(b, i) else u16be(b, i)
+    def u32(i: Int): Long =
+      if (le) i32le(b, i).toLong & 0xffffffffL else u32be(b, i)
+    val ifd = u32(base + 4) // relative to the TIFF header
+    if (ifd < 8 || base + ifd + 2 > b.length) return None
+    val ifd0 = base + ifd.toInt
+    val n = u16(ifd0)
+    var k = 0
+    while (k < n) {
+      val e = ifd0 + 2 + 12 * k
+      if (e + 12 > b.length) return None
+      if (u16(e) == 274 && u16(e + 2) == 3) {
+        val v = u16(e + 8)
+        return if (v >= 1 && v <= 8) Some(v) else None
+      }
+      k += 1
+    }
+    None
+  }
+
+  /** EXIF orientation (1..8) of a JPEG (APP1 "Exif\0\0" segment,
+    * orientation tag in the embedded TIFF's IFD0) or a bare TIFF.
+    * None = no EXIF / no orientation tag / not one of these formats —
+    * which by EXIF convention means orientation 1 (no transform);
+    * [[orientedMeta]] applies that default. Header-bounded like every
+    * parser here: the JPEG walk stops at SOS.
+    */
+  def exifOrientation(b: Array[Byte]): Option[Int] = {
+    if (b == null || b.length < 4) return None
+    // Bare TIFF (incl. the TIFF arm of parse()).
+    if ((b(0) == 'I' && b(1) == 'I') || (b(0) == 'M' && b(1) == 'M'))
+      return tiffOrientation(b, 0)
+    if ((b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return None
+      var j = i
+      while (j + 1 < b.length && (b(j + 1) & 0xff) == 0xff) j += 1
+      if (j + 1 >= b.length) return None
+      val marker = b(j + 1) & 0xff
+      i = j + 2
+      if (marker == 0xd8 || marker == 0x01 ||
+          (marker >= 0xd0 && marker <= 0xd7)) {
+        // standalone markers: no length
+      } else if (marker == 0xd9 || marker == 0xda) {
+        return None // EOI / scan data: no EXIF ahead
+      } else {
+        if (i + 1 >= b.length) return None
+        val len = u16be(b, i)
+        if (len < 2) return None
+        if (marker == 0xe1 && len >= 10 && i + 8 <= b.length &&
+          b(i + 2) == 'E' && b(i + 3) == 'x' && b(i + 4) == 'i' &&
+          b(i + 5) == 'f' && b(i + 6) == 0 && b(i + 7) == 0)
+          return tiffOrientation(b, i + 8)
+        i += len
+      }
+    }
+    None
+  }
+
+  /** [[imageMeta]] plus display geometry: struct(format, width,
+    * height, channels, orientation, display_width, display_height).
+    * Orientations 5-8 are the transposed quadrant (90°/270° rotations
+    * — EXIF 2.3 §4.6.4), so display dims swap; absent orientation
+    * defaults to 1. This is the on-ramp for aspect-ratio curation
+    * over phone-camera corpora, where the SENSOR geometry in the SOF
+    * header routinely disagrees with the display geometry.
+    */
+  def orientedMeta(blob: Column): Column = {
+    val f = udf { b: Array[Byte] =>
+      parse(b).map { m =>
+        val o = exifOrientation(b).getOrElse(1)
+        val (dw, dh) = if (o >= 5) (m.height, m.width) else (m.width, m.height)
+        (m.format, m.width, m.height, m.channels, o, dw, dh)
+      }
+    }
+    f(blob).cast("struct<format:string,width:int,height:int,channels:int," +
+      "orientation:int,display_width:int,display_height:int>")
+  }
+
   /** Parse the leading bytes; None for null/unknown/corrupt blobs. */
   def parse(bytes: Array[Byte]): Option[Meta] =
     if (bytes == null) None
@@ -256,6 +348,55 @@ object ImageHeader {
     (0 until height).foreach { y =>
       (0 until rowSize).foreach(x => out.put(((x * 31 + y * 7) & 0xff).toByte))
     }
+    out.array()
+  }
+
+  /** A real baseline JPEG ([[VideoFixtures.solidJpeg]]) with an EXIF
+    * APP1 segment spliced after SOI: TIFF header (big-endian) + IFD0
+    * carrying only the orientation tag — the [[exifOrientation]] gate
+    * fixture. Spec shape per EXIF 2.3 §4.5.4 (APP1 = "Exif\0\0" +
+    * TIFF stream; tag offsets relative to the TIFF header).
+    */
+  def exifJpegFixture(width: Int, height: Int, orientation: Int,
+      rgb: Int): Array[Byte] = {
+    require(orientation >= 1 && orientation <= 8)
+    val jpeg = VideoFixtures.solidJpeg(width, height, rgb)
+    // TIFF stream: MM, 42, IFD at +8; 1 entry (tag 274, SHORT, count 1,
+    // value in-place), next-IFD 0.
+    val tiffLen = 8 + 2 + 12 + 4
+    val seg = java.nio.ByteBuffer.allocate(4 + 6 + tiffLen)
+    seg.put(0xff.toByte).put(0xe1.toByte)
+      .putShort((2 + 6 + tiffLen).toShort) // length incl. itself
+      .put("Exif".getBytes("US-ASCII")).put(0.toByte).put(0.toByte)
+    seg.put('M'.toByte).put('M'.toByte).putShort(42).putInt(8)
+    seg.putShort(1) // entry count
+    seg.putShort(274).putShort(3).putInt(1)
+      .putShort(orientation.toShort).putShort(0)
+    seg.putInt(0) // next IFD
+    val out = new java.io.ByteArrayOutputStream(jpeg.length + seg.position())
+    out.write(jpeg, 0, 2) // SOI
+    out.write(seg.array(), 0, seg.position())
+    out.write(jpeg, 2, jpeg.length - 2)
+    out.toByteArray
+  }
+
+  /** A header-only TIFF (no strip data — [[parse]] and
+    * [[exifOrientation]] read tags only): geometry, samples-per-pixel,
+    * and orientation in one IFD, little-endian.
+    */
+  def tiffFixture(width: Int, height: Int, orientation: Int,
+      spp: Int = 3): Array[Byte] = {
+    require(width > 0 && height > 0 && orientation >= 1 && orientation <= 8)
+    val out = java.nio.ByteBuffer.allocate(8 + 2 + 4 * 12 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    out.putShort(4)
+    def entry(tag: Int, v: Int): Unit =
+      out.putShort(tag.toShort).putShort(3).putInt(1)
+        .putShort(v.toShort).putShort(0)
+    entry(256, width); entry(257, height)
+    entry(274, orientation); entry(277, spp)
+    out.putInt(0)
     out.array()
   }
 

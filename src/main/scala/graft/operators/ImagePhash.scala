@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Perceptual image hashing + hamming-banded near-duplicate pairing —
+  * the IMAGE-side dedup primitive of a multimodal training pipeline
+  * (the visual sibling of MinHash-LSH over text shingles): re-encoded,
+  * resized, or recompressed copies of one image survive as byte-level
+  * distinct blobs that exact dedup can never fold, but their
+  * difference hashes land within a few bits.
+  *
+  * dHash (difference hash, the public-domain technique popularized by
+  * Krawetz's "Kind of Like That"): decode → 9×8 block-mean grayscale
+  * grid → 64 bits, bit set iff the right neighbor is strictly
+  * brighter. [[vhash]] is the vertical variant (8×9 grid, bottom
+  * neighbor). Gradient direction, structure, and layout survive
+  * JPEG requantization; absolute levels (which it ignores) do not
+  * need to.
+  *
+  * Pairing uses the pigeonhole band trick shared with the text-LSH
+  * family ([[Similarity]]): split 64 bits into `bands` slices — any
+  * pair within hamming distance `maxDist < bands` shares at least one
+  * identical slice, so candidates come from an equi-join on
+  * (band, slice) and the exact `bit_count(h1 ^ h2)` filter keeps no
+  * false positives. Scale shape: the only shuffle is the (band,
+  * slice)-keyed join — corpus-linear candidate generation at
+  * production thresholds; a degenerate corpus (millions of identical
+  * hashes) concentrates its OWN duplicate class into one bucket,
+  * which is the answer, not skew (same contract as exact dedup's
+  * hash-groupBy).
+  */
+object ImagePhash {
+
+  /** Block-mean grayscale grid (`cols`×`rows`) of a decoded image:
+    * cell (r, c) = mean luminance (ITU-R 601 integer weights) over
+    * the pixel block [floor(c·w/cols), floor((c+1)·w/cols)) ×
+    * [floor(r·h/rows), floor((r+1)·h/rows)) — deterministic integer
+    * block edges, no resampling filter to disagree about.
+    */
+  private[operators] def grayGrid(img: java.awt.image.BufferedImage,
+      cols: Int, rows: Int): Array[Double] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Double](cols * rows)
+    var r = 0
+    while (r < rows) {
+      val y0 = r * h / rows
+      val y1 = math.max(y0 + 1, (r + 1) * h / rows)
+      var c = 0
+      while (c < cols) {
+        val x0 = c * w / cols
+        val x1 = math.max(x0 + 1, (c + 1) * w / cols)
+        var sum = 0L
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            val rgb = img.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        val n = (math.min(x1, w) - x0).toLong * (math.min(y1, h) - y0)
+        out(r * cols + c) = if (n <= 0) 0.0 else sum.toDouble / n
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  private def decode(b: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    if (b == null || b.length == 0) return None
+    // Explicit memory-cached stream: ImageIO.read(InputStream)
+    // disk-caches by default (a temp file per row — the decodeImage
+    // lesson). No finally-close: ImageIO.read(ImageInputStream)
+    // closes the stream itself, and a second close throws
+    // IOException("closed") straight into the catch, turning every
+    // decodable blob into a quarantine (Multimodal.decodeImage:216).
+    try Option(javax.imageio.ImageIO.read(
+      new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(b))))
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** 64-bit dHash: 9×8 grid; bit (r·8+c), MSB-first, set iff
+    * grid[r][c+1] > grid[r][c] (strict — a flat block pair hashes 0,
+    * so a solid image is all-zeros, not encoder noise).
+    */
+  def dhashOf(b: Array[Byte]): Option[Long] = decode(b).map { img =>
+    val g = grayGrid(img, 9, 8)
+    var bits = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        bits <<= 1
+        if (g(r * 9 + c + 1) > g(r * 9 + c)) bits |= 1L
+        c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
+  /** Vertical sibling: 8×9 grid; bit set iff the cell BELOW is
+    * brighter. Together with [[dhashOf]] this distinguishes the four
+    * gradient orientations a single-axis hash folds together.
+    */
+  def vhashOf(b: Array[Byte]): Option[Long] = decode(b).map { img =>
+    val g = grayGrid(img, 8, 9)
+    var bits = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        bits <<= 1
+        if (g((r + 1) * 8 + c) > g(r * 8 + c)) bits |= 1L
+        c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
+  /** Column forms — null for undecodable blobs (quarantine rule). */
+  def imageDhash(blob: Column): Column = {
+    val f = udf { b: Array[Byte] => dhashOf(b) }
+    f(blob)
+  }
+  def imageVhash(blob: Column): Column = {
+    val f = udf { b: Array[Byte] => vhashOf(b) }
+    f(blob)
+  }
+
+  /** Near-duplicate pairs (ida < idb, dist) with hamming(hash) <=
+    * maxDist, via the pigeonhole band join: requires maxDist < bands
+    * (else a qualifying pair could differ in every band and be
+    * missed — refused at call time, the auto-knob contract of the
+    * LSH family). 64 must divide by `bands`.
+    */
+  def bandedHammingPairs(df: DataFrame, idCol: String, hashCol: String,
+      maxDist: Int, bands: Int = 4): DataFrame = {
+    require(bands > 0 && 64 % bands == 0, s"bands must divide 64: $bands")
+    require(maxDist >= 0 && maxDist < bands,
+      s"pigeonhole guarantee needs maxDist < bands: $maxDist >= $bands")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val banded = df.select(col(idCol).as("id"), col(hashCol).as("h"))
+      .where(col("h").isNotNull)
+      .select(col("id"), col("h"), explode(array(
+        (0 until bands).map(i =>
+          struct(lit(i).as("b"),
+            (shiftright(col("h"), i * width).bitwiseAND(lit(mask)))
+              .as("v"))): _*)).as("bv"))
+      .select(col("id"), col("h"), col("bv.b"), col("bv.v"))
+    val a = banded.select(col("b"), col("v"), col("id").as("ida"),
+      col("h").as("ha"))
+    val bb = banded.select(col("b"), col("v"), col("id").as("idb"),
+      col("h").as("hb"))
+    a.join(bb, Seq("b", "v"))
+      .where(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("dist"))
+      // A pair sharing k bands appears k times: distinct BEFORE the
+      // filter keeps the exchange width at the candidate set, and the
+      // final predicate is exact.
+      .distinct()
+      .where(col("dist") <= maxDist)
+  }
+}

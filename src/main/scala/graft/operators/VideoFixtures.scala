@@ -123,6 +123,38 @@ object VideoFixtures {
     val g = img.createGraphics()
     try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, width, height) }
     finally g.dispose()
+    encodeJpeg(img)
+  }
+
+  /** A full-range DIAGONAL grayscale gradient JPEG — the
+    * [[ImagePhash]] gate fixture. Diagonal, not axis-aligned, on
+    * purpose: both the horizontal and vertical block-mean steps are
+    * then strictly monotonic (~14 gray levels each), so every dHash
+    * AND vHash comparison has a deterministic sign with JPEG
+    * requantization noise an order of magnitude below the step — an
+    * axis-aligned gradient would leave the other axis TIED, and ties
+    * resolve by encoder ringing, not by the builder's arithmetic.
+    */
+  def gradientJpeg(width: Int, height: Int,
+      ascending: Boolean): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val t0 = (x * 255 / math.max(1, width - 1) +
+          y * 255 / math.max(1, height - 1)) / 2
+        val t = if (ascending) t0 else 255 - t0
+        img.setRGB(x, y, (t << 16) | (t << 8) | t)
+        x += 1
+      }
+      y += 1
+    }
+    encodeJpeg(img)
+  }
+
+  private def encodeJpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     val writers = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg")
     require(writers.hasNext, "JDK has no JPEG writer") // never on a conformant JRE

@@ -575,6 +575,102 @@ object MultimodalOps {
           $"mp.coded_width".cast("long").as("coded_width"),
           $"mp.coded_height".cast("long").as("coded_height"),
           ($"mp" === $"kp").cast("long").as("mkv_agree"))
+    },
+
+    // ---- q179: EXIF orientation — the display-geometry fact
+    // phone-camera corpora carry OUTSIDE the SOF header. Three shapes
+    // per doc: a real baseline JPEG with an EXIF APP1 spliced in
+    // (orientation in the embedded TIFF's IFD0), a bare TIFF with the
+    // tag inline, and an orientation-less BMP that must default to 1.
+    // display_w/h swap exactly for the transposed quadrant (5-8) —
+    // all pure arithmetic of the build parameters.
+    "q179_exif_orientation" -> { (s, d) =>
+      import s.implicits._
+      val params = Tables.documents(s, d)
+        .select($"doc_id".cast("long").as("doc_id"))
+        .withColumn("shape", ($"doc_id" % 3).cast("int"))
+        .withColumn("o", (lit(1) + $"doc_id" % 8).cast("int"))
+        .withColumn("w", (lit(24) + ($"doc_id" % 6) * 8).cast("int"))
+        .withColumn("h", (lit(16) + ($"doc_id" % 5) * 8).cast("int"))
+      val build = udf { (shape: Int, o: Int, w: Int, h: Int) =>
+        import graft.operators.ImageHeader
+        shape match {
+          case 0 => ImageHeader.exifJpegFixture(w, h, o,
+            ((o * 77 + w) % 256) << 8)
+          case 1 => ImageHeader.tiffFixture(w, h, o)
+          case _ => ImageHeader.bmpFixture(w, h)
+        }
+      }
+      params
+        // The encode UDF is the expensive column: repartition the
+        // single-file scan so 20k ImageIO encodes at sf0.1 fan out
+        // (q172's lesson), and derive all outputs from ONE struct.
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("m", graft.operators.ImageHeader.orientedMeta(
+          build($"shape", $"o", $"w", $"h")))
+        .select($"doc_id",
+          $"m.format".as("format"),
+          $"m.orientation".cast("long").as("orientation"),
+          $"m.width".cast("long").as("width"),
+          $"m.height".cast("long").as("height"),
+          $"m.display_width".cast("long").as("display_width"),
+          $"m.display_height".cast("long").as("display_height"))
+    },
+
+    // ---- q180: PERCEPTUAL image hash on real decoded rasters — the
+    // image-side dedup signal. Three shapes per doc: ascending
+    // diagonal gradient (every dHash and vHash comparison strictly
+    // brighter → popcount 64/64), descending (strictly darker →
+    // 0/0), solid (flat → 0/0). The popcounts are exact functions of
+    // the build shape because the diagonal keeps BOTH axes ~14 gray
+    // levels per block step — far above JPEG requantization noise —
+    // so the gate certifies decode → block-mean grid → comparison
+    // bits end-to-end, not just hash plumbing.
+    "q180_image_phash" -> { (s, d) =>
+      import s.implicits._
+      val params = Tables.documents(s, d)
+        .select($"doc_id".cast("long").as("doc_id"))
+        .withColumn("shape", ($"doc_id" % 3).cast("int"))
+        .withColumn("w", (lit(36) + ($"doc_id" % 5) * 12).cast("int"))
+        .withColumn("h", (lit(36) + ($"doc_id" % 4) * 12).cast("int"))
+      val build = udf { (shape: Int, w: Int, h: Int) =>
+        shape match {
+          case 0 => graft.operators.VideoFixtures.gradientJpeg(w, h,
+            ascending = true)
+          case 1 => graft.operators.VideoFixtures.gradientJpeg(w, h,
+            ascending = false)
+          case _ => graft.operators.VideoFixtures.solidJpeg(w, h, 0x808080)
+        }
+      }
+      params
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("media", build($"shape", $"w", $"h"))
+        .select($"doc_id",
+          bit_count(graft.operators.ImagePhash.imageDhash($"media"))
+            .cast("long").as("dhash_pop"),
+          bit_count(graft.operators.ImagePhash.imageVhash($"media"))
+            .cast("long").as("vhash_pop"))
+    },
+
+    // ---- q181: hamming-banded near-dup pair join — the pigeonhole
+    // kernel that turns 64-bit perceptual hashes into a corpus-linear
+    // candidate join. Hashes are arithmetic here (each class code
+    // replicated into all four 16-bit bands), so within-class pairs
+    // are distance 0 and EVERY cross-class pair differs in EVERY band
+    // (replication) — the oracle is exact combinatorics, and the gate
+    // certifies band slicing, the (band, value) join, dedup of
+    // multi-band candidates, and the exact distance filter.
+    "q181_hamming_neardup" -> { (s, d) =>
+      import s.implicits._
+      val hashes = Tables.documents(s, d)
+        .select($"doc_id".cast("long").as("doc_id"))
+        .withColumn("cls", $"doc_id" % 97)
+        .withColumn("h", $"cls" * lit(0x0001000100010001L))
+      val pairs = graft.operators.ImagePhash.bandedHammingPairs(
+        hashes, "doc_id", "h", maxDist = 3, bands = 4)
+      pairs.join(hashes.select($"doc_id".as("ida"), $"cls"), "ida")
+        .groupBy($"cls").agg(count(lit(1)).as("n_pairs"))
+        .select($"cls".cast("long").as("cls"), $"n_pairs")
     }
   )
 
@@ -741,6 +837,49 @@ object MultimodalOps {
         |  CAST(h AS BIGINT) AS coded_height,
         |  CAST(1 AS BIGINT) AS mkv_agree
         |FROM q""".stripMargin,
+
+    // Orientation, raw and display geometry replay the build
+    // arithmetic; the BMP shape pins the default-1 path and the 5-8
+    // quadrant pins the swap.
+    "q179_exif_orientation" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 3 AS shape, 1 + doc_id % 8 AS o,
+        |    24 + (doc_id % 6) * 8 AS w, 16 + (doc_id % 5) * 8 AS h
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE shape WHEN 0 THEN 'jpeg' WHEN 1 THEN 'tiff'
+        |       ELSE 'bmp' END AS format,
+        |  CAST(CASE WHEN shape = 2 THEN 1 ELSE o END AS BIGINT)
+        |    AS orientation,
+        |  CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height,
+        |  CAST(CASE WHEN shape <> 2 AND o >= 5 THEN h ELSE w END
+        |    AS BIGINT) AS display_width,
+        |  CAST(CASE WHEN shape <> 2 AND o >= 5 THEN w ELSE h END
+        |    AS BIGINT) AS display_height
+        |FROM p""".stripMargin,
+
+    // The diagonal fixture pins every comparison sign, so the
+    // popcounts are pure shape arithmetic: ascending = all 64 bits in
+    // both hashes, descending/solid = none.
+    "q180_image_phash" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 64 ELSE 0 END AS BIGINT)
+        |    AS dhash_pop,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 64 ELSE 0 END AS BIGINT)
+        |    AS vhash_pop
+        |FROM documents""".stripMargin,
+
+    // Within-class pairs only (cross-class hashes differ in every
+    // band): n·(n−1)/2 per class; classes of one emit no row on
+    // either side.
+    "q181_hamming_neardup" ->
+      """WITH c AS (
+        |  SELECT doc_id % 97 AS cls, COUNT(*) AS n
+        |  FROM documents GROUP BY 1)
+        |SELECT CAST(cls AS BIGINT) AS cls,
+        |  CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs
+        |FROM c WHERE n >= 2""".stripMargin,
 
     // Every decoded value is pinned by build arithmetic: keyframes are
     // samples 1, 1+ke, ...; frame i's channel buckets are the mod-8

@@ -102,6 +102,47 @@ class CodecConfigSpec extends SparkSpec {
     assert(m.nFrames == 6 && m.nKeyframes == 3)
   }
 
+  test("vpcC / av1C fixed-field records parse for all family values") {
+    for (bd <- Seq(8, 10, 12); sub <- 0 to 3) {
+      val p = CodecConfig.parseVpcC(
+        CodecFixtures.vpcC(2, 41, bd, sub), 0, 12).get
+      assert(p.codec == "vp09" && p.profileIdc == 2 && p.levelIdc == 41)
+      assert(p.bitDepth == bd)
+      assert(p.chromaFormat == (sub match {
+        case 0 | 1 => 1; case 2 => 2; case _ => 3 }))
+    }
+    for (bd <- Seq(8, 10, 12); prof <- 0 to 2) {
+      val rec = CodecFixtures.av1C(prof, 13, bd)
+      val p = CodecConfig.parseAv1C(rec, 0, rec.length).get
+      assert(p.codec == "av01" && p.profileIdc == prof &&
+        p.levelIdc == 13 && p.bitDepth == bd && p.chromaFormat == 1)
+    }
+    // Monochrome and 4:4:4 chroma decode.
+    assert(CodecConfig.parseAv1C(
+      CodecFixtures.av1C(0, 1, 8, mono = 1), 0, 4).get.chromaFormat == 0)
+    assert(CodecConfig.parseAv1C(
+      CodecFixtures.av1C(1, 1, 8, subX = 0, subY = 0), 0, 4)
+      .get.chromaFormat == 3)
+    // Container route: the vpcC/av1C child boxes dispatch by sample
+    // entry fourcc through parseRecord.
+    val vb = VideoFixtures.codedMp4(160, 96, 5, 4, 2, "vp09",
+      VideoFixtures.box("vpcC")(w => w.bytes(CodecFixtures.vpcC(0, 31, 10, 0))))
+    val (vHint, vRec) = VideoContainer.codecConfigBytes(vb).get
+    assert(vHint == "vp09")
+    assert(CodecConfig.parseRecord(vHint, vRec).get.bitDepth == 10)
+    val ab = VideoFixtures.codedMp4(160, 96, 5, 4, 2, "av01",
+      VideoFixtures.box("av1C")(w => w.bytes(CodecFixtures.av1C(0, 5, 8))))
+    val (aHint, aRec) = VideoContainer.codecConfigBytes(ab).get
+    assert(aHint == "av01")
+    assert(CodecConfig.parseRecord(aHint, aRec).get.levelIdc == 5)
+    // Corrupt refusals: wrong marker/version, bad bit depth.
+    assert(CodecConfig.parseAv1C(Array[Byte](0x01, 0, 0, 0), 0, 4).isEmpty)
+    assert(CodecConfig.parseVpcC(
+      Array[Byte](2, 0, 0, 0, 0, 0, 0), 0, 7).isEmpty)
+    val badBd = CodecFixtures.vpcC(0, 10, 9, 0)
+    assert(CodecConfig.parseVpcC(badBd, 0, badBd.length).isEmpty)
+  }
+
   test("corrupt and alien input quarantines as None, never throws") {
     assert(CodecConfig.parseAvcSps(null).isEmpty)
     assert(CodecConfig.parseAvcSps(Array[Byte](0x67, 0x64)).isEmpty)
