@@ -662,8 +662,15 @@ object MultimodalOps {
     // multi-band candidates, and the exact distance filter.
     "q181_hamming_neardup" -> { (s, d) =>
       import s.implicits._
+      // Fixed-size gate corpus (first 4000 doc ids): with 97 classes
+      // the pair count is quadratic in class size, so an unbounded
+      // corpus would make the GATE quadratic at larger SFs — the
+      // kernel's scale story is its (band, slice) join shape, not the
+      // gate's row count (same reasoning as the q27/q37 fixed-knob
+      // labels; the oracle applies the identical cap).
       val hashes = Tables.documents(s, d)
         .select($"doc_id".cast("long").as("doc_id"))
+        .where($"doc_id" < 4000)
         .withColumn("cls", $"doc_id" % 97)
         .withColumn("h", $"cls" * lit(0x0001000100010001L))
       val pairs = graft.operators.ImagePhash.bandedHammingPairs(
@@ -876,7 +883,7 @@ object MultimodalOps {
     "q181_hamming_neardup" ->
       """WITH c AS (
         |  SELECT doc_id % 97 AS cls, COUNT(*) AS n
-        |  FROM documents GROUP BY 1)
+        |  FROM documents WHERE doc_id < 4000 GROUP BY 1)
         |SELECT CAST(cls AS BIGINT) AS cls,
         |  CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs
         |FROM c WHERE n >= 2""".stripMargin,
