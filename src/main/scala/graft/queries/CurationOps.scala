@@ -43,6 +43,33 @@ object CurationOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- q182: mojibake repair — the encoding-damage pass (UTF-8
+    // mis-decoded as CP1252/Latin-1; the public ftfy idea) run over
+    // deterministically damaged text: per doc, append m copies of a
+    // known artifact (" Ã©" → " é", or the 3-char " â€™" → " ’");
+    // EncodingRepair must count exactly m repairs and land on the
+    // arithmetic post-repair length, and the clean shape must be a
+    // FIXED POINT (documents.text is pure ASCII — n_fixed 0, length
+    // unchanged). Narrow per-row map; no shuffle.
+    "q182_mojibake_repair" -> { (s, d) =>
+      import s.implicits._
+      val damaged = Tables.documents(s, d)
+        .select($"doc_id".cast("long").as("doc_id"), $"text")
+        .withColumn("shape", ($"doc_id" % 3).cast("int"))
+        .withColumn("m", ($"doc_id" % 5).cast("int"))
+        .withColumn("corrupt", concat($"text",
+          when($"shape" === 1, repeat(lit(" Ã©"), $"m"))
+            .when($"shape" === 2,
+              repeat(lit(" â€™"), $"m"))
+            .otherwise(lit(""))))
+      damaged
+        .withColumn("r",
+          graft.operators.EncodingRepair.mojibakeRepair($"corrupt"))
+        .select($"doc_id",
+          $"r.n_fixed".cast("long").as("n_fixed"),
+          length($"r.fixed").cast("long").as("len_fixed"))
+    },
+
     // ---- q162: NFC normalization audit — the Unicode-hygiene pass a
     // corpus runs BEFORE dedup/hashing (the same text in composed and
     // decomposed forms hashes differently; normalize first or every
@@ -326,6 +353,19 @@ object CurationOps {
       |    WHERE e.b <> r.a)""".stripMargin.replace("\n", "\n         |")
 
   def oracleSql: Map[String, String] = Map(
+    // Each artifact replaces its 2/3-char run with ONE character and
+    // adds the leading space, so len_fixed = len(text) + 2·m for the
+    // damaged shapes; the clean shape is a fixed point. length() is
+    // CHARACTER count on both engines (the artifact text is the only
+    // non-ASCII and it never survives repair).
+    "q182_mojibake_repair" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+        |       ELSE doc_id % 5 END AS BIGINT) AS n_fixed,
+        |  CAST(length(text) + CASE WHEN doc_id % 3 = 0 THEN 0
+        |       ELSE (doc_id % 5) * 2 END AS BIGINT) AS len_fixed
+        |FROM documents""".stripMargin,
+
     "q162_nfc_audit" ->
       s"""WITH d AS (
          |  SELECT source,
