@@ -678,6 +678,33 @@ object MultimodalOps {
       pairs.join(hashes.select($"doc_id".as("ida"), $"cls"), "ida")
         .groupBy($"cls").agg(count(lit(1)).as("n_pairs"))
         .select($"cls".cast("long").as("cls"), $"n_pairs")
+    },
+
+    // ---- q183: subtitle text tracks (WebVTT + SRT) — cue timestamps
+    // and text parsed from real caption files built on the shared
+    // deterministic cue schedule (Subtitles.fixtureCue), so cue count,
+    // summed speech span, and text volume are pure arithmetic the
+    // oracle replays. Certifies the header dispatch (VTT magic vs SRT
+    // counter+arrow), both timestamp syntaxes (dot vs comma
+    // milliseconds), and the cue walk.
+    "q183_subtitles" -> { (s, d) =>
+      import s.implicits._
+      val params = Tables.documents(s, d)
+        .select($"doc_id".cast("long").as("doc_id"))
+        .withColumn("n", (lit(2) + $"doc_id" % 7).cast("int"))
+        .withColumn("f", ($"doc_id" % 2).cast("int"))
+      val build = udf { (n: Int, f: Int) =>
+        if (f == 0) graft.operators.Subtitles.vttFixture(n)
+        else graft.operators.Subtitles.srtFixture(n)
+      }
+      params
+        .withColumn("m", graft.operators.Subtitles.subtitleStats(
+          build($"n", $"f")))
+        .select($"doc_id",
+          $"m.format".as("format"),
+          $"m.n_cues".cast("long").as("n_cues"),
+          $"m.speech_ms".as("speech_ms"),
+          $"m.n_chars".as("n_chars"))
     }
   )
 
@@ -887,6 +914,21 @@ object MultimodalOps {
         |SELECT CAST(cls AS BIGINT) AS cls,
         |  CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs
         |FROM c WHERE n >= 2""".stripMargin,
+
+    // The shared cue schedule replayed: cue i spans 1000 + (i%5)·100
+    // ms with 3 + (i%4) chars of text.
+    "q183_subtitles" ->
+      """WITH p AS (
+        |  SELECT doc_id, 2 + doc_id % 7 AS n, doc_id % 2 AS f
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN f = 0 THEN 'vtt' ELSE 'srt' END AS format,
+        |  CAST(n AS BIGINT) AS n_cues,
+        |  CAST(list_sum(list_transform(range(0, n),
+        |    i -> 1000 + (i % 5) * 100)) AS BIGINT) AS speech_ms,
+        |  CAST(list_sum(list_transform(range(0, n),
+        |    i -> 3 + (i % 4))) AS BIGINT) AS n_chars
+        |FROM p""".stripMargin,
 
     // Every decoded value is pinned by build arithmetic: keyframes are
     // samples 1, 1+ke, ...; frame i's channel buckets are the mod-8
