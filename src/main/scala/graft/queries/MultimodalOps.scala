@@ -705,6 +705,67 @@ object MultimodalOps {
           $"m.n_cues".cast("long").as("n_cues"),
           $"m.speech_ms".as("speech_ms"),
           $"m.n_chars".as("n_chars"))
+    },
+
+    // ---- q184: WARC archive ingest — the Common-Crawl entry format.
+    // Per doc, a spec-conformant archive of n records (odd docs as ONE
+    // gzip member — the inflate path), exploded to records
+    // executor-side; n_ok counts records whose sliced payload equals
+    // the schedule's bytes (via the record's own Target-URI index), so
+    // the gate certifies header-block parsing, Content-Length framing,
+    // trailer walking, AND exact payload slicing through both the
+    // plain and gzip routes.
+    "q184_warc_ingest" -> { (s, d) =>
+      import s.implicits._
+      val params = Tables.documents(s, d)
+        .select($"doc_id".cast("long").as("doc_id"))
+        .withColumn("n", (lit(1) + $"doc_id" % 6).cast("int"))
+        .withColumn("gz", ($"doc_id" % 2 === 1))
+      val build = udf { (n: Int, gz: Boolean) =>
+        graft.operators.Warc.fixture(n, gz)
+      }
+      val recs = graft.operators.Warc.explodeRecords(
+        params.withColumn("content", build($"n", $"gz")),
+        blobCol = "content", keep = Seq("doc_id"))
+      recs
+        .withColumn("i",
+          regexp_extract($"target_uri", "doc/(\\d+)$", 1).cast("int"))
+        .withColumn("ok",
+          ($"payload".cast("string") ===
+            concat(expr("repeat('body-', 1 + i % 3)"), $"i")) &&
+          $"warc_type" === "response")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_records"),
+          sum($"content_length").as("payload_bytes"),
+          sum($"ok".cast("long")).as("n_ok"))
+    },
+
+    // ---- q185: HTML text extraction — markup payloads into the
+    // text pipeline. The fixture wraps each doc's (entity-escaped)
+    // text in one content block behind a link-dense nav and dropped
+    // head machinery (title/style/script); extraction must decode the
+    // entities back, collapse whitespace exactly like the oracle's
+    // regex, DROP the nav by the link-density rule, and count the two
+    // anchors.
+    "q185_html_extract" -> { (s, d) =>
+      import s.implicits._
+      val html = Tables.documents(s, d)
+        .select($"doc_id".cast("long").as("doc_id"), $"text")
+        .withColumn("esc",
+          regexp_replace(regexp_replace(regexp_replace($"text",
+            "&", "&amp;"), "<", "&lt;"), ">", "&gt;"))
+        .withColumn("page", concat(
+          lit("<html><head><title>t</title><style>.x{color:red}</style>" +
+            "<script>var a = 1 < 2;</script></head><body>" +
+            "<nav><a href=\"/\">Home</a> <a href=\"/b\">B</a></nav><p>"),
+          $"esc", lit("</p></body></html>")))
+      html
+        .withColumn("h", graft.operators.HtmlExtract.htmlText($"page"))
+        .select($"doc_id",
+          length($"h.text").cast("long").as("n_chars"),
+          $"h.n_blocks".cast("long").as("n_blocks"),
+          $"h.n_dropped".cast("long").as("n_dropped"),
+          $"h.n_links".cast("long").as("n_links"))
     }
   )
 
@@ -929,6 +990,32 @@ object MultimodalOps {
         |  CAST(list_sum(list_transform(range(0, n),
         |    i -> 3 + (i % 4))) AS BIGINT) AS n_chars
         |FROM p""".stripMargin,
+
+    // Record i's payload is 'body-'·(1+i%3) || i (all gate indexes
+    // are single-digit), so byte totals are pure arithmetic; n_ok
+    // must equal n_records — every payload sliced exactly.
+    "q184_warc_ingest" ->
+      """WITH p AS (
+        |  SELECT doc_id, 1 + doc_id % 6 AS n FROM documents)
+        |SELECT doc_id,
+        |  CAST(n AS BIGINT) AS n_records,
+        |  CAST(list_sum(list_transform(range(0, n),
+        |    i -> 5 * (1 + i % 3) + 1)) AS BIGINT) AS payload_bytes,
+        |  CAST(n AS BIGINT) AS n_ok
+        |FROM p""".stripMargin,
+
+    // Extraction inverts the build: entities decode back, whitespace
+    // collapses exactly like this regex, the nav drops (density 5/6 >
+    // 0.66, 6 chars < 80), head machinery never reaches the text.
+    "q185_html_extract" ->
+      """SELECT doc_id,
+        |  CAST(length(trim(regexp_replace(text, '\s+', ' ', 'g')))
+        |    AS BIGINT) AS n_chars,
+        |  CAST(CASE WHEN length(trim(regexp_replace(text, '\s+', ' ',
+        |    'g'))) > 0 THEN 1 ELSE 0 END AS BIGINT) AS n_blocks,
+        |  CAST(1 AS BIGINT) AS n_dropped,
+        |  CAST(2 AS BIGINT) AS n_links
+        |FROM documents""".stripMargin,
 
     // Every decoded value is pinned by build arithmetic: keyframes are
     // samples 1, 1+ke, ...; frame i's channel buckets are the mod-8

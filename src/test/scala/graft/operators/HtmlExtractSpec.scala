@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class HtmlExtractSpec extends SparkSpec {
+
+  import HtmlExtract.extract
+
+  test("basic extraction: blocks, inline tags, entities, whitespace") {
+    val e = extract("<html><body><p>Hello   <b>bold</b> world</p>" +
+      "<p>Q &amp; A &lt;tag&gt; &#65;&#x42;</p></body></html>")
+    assert(e.text == "Hello bold world\nQ & A <tag> AB")
+    assert(e.nBlocks == 2 && e.nDropped == 0)
+  }
+
+  test("script/style/head drop entirely, including raw '<' inside") {
+    val e = extract("<head><title>t</title><style>.x{}</style></head>" +
+      "<body><script>if (1 < 2) { x = '</p>'; }</script><p>kept</p>")
+    assert(e.text == "kept")
+    // Case-insensitive close tags; truncated raw text drops to EOF.
+    assert(extract("<SCRIPT>var x;</ScRiPt><p>ok</p>").text == "ok")
+    assert(extract("<script>never closed <p>gone").text == "")
+  }
+
+  test("link-density boilerplate rule") {
+    // Short link-heavy nav: dropped.
+    val nav = extract("<nav><a>Home</a> <a>About</a></nav><p>content</p>")
+    assert(nav.text == "content" && nav.nDropped == 1 && nav.nLinks == 2)
+    // A long link list with prose survives (length is evidence).
+    val longList = "<div>" + ("<a>some linked phrase</a> " * 10) + "</div>"
+    val e = extract(longList)
+    assert(e.nDropped == 0 && e.nBlocks == 1)
+    // Prose with one inline link is content, not boilerplate.
+    val prose = extract("<p>read the <a>docs</a> for much more detail " +
+      "about everything here</p>")
+    assert(prose.nDropped == 0 && prose.text.contains("docs"))
+  }
+
+  test("comments, truncation, null") {
+    assert(extract("<p>a</p><!-- <p>not this</p> --><p>b</p>").text == "a\nb")
+    assert(extract("<p>trunc<").text == "trunc")
+    assert(extract(null).text == null)
+    assert(extract("").text == "")
+  }
+}
