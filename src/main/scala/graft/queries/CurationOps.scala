@@ -70,6 +70,32 @@ object CurationOps {
           length($"r.fixed").cast("long").as("len_fixed"))
     },
 
+    // ---- q186: URL canonicalization — the dedup KEY of a web corpus.
+    // Per doc, a deliberately messy URL (case, default port,
+    // dot-segments, %7E, tracking params, fragment) built from doc_id
+    // arithmetic; UrlNorm must land on the RFC-3986-normalized form
+    // the oracle constructs by concatenation, and the registrable
+    // domain must cut subdomains under the multi-label suffix.
+    "q186_url_canonical" -> { (s, d) =>
+      import s.implicits._
+      val params = Tables.documents(s, d)
+        .select($"doc_id".cast("long").as("doc_id"))
+        .withColumn("tls", ($"doc_id" % 2).cast("int"))
+        .withColumn("h", ($"doc_id" % 7).cast("int"))
+        .withColumn("dom", ($"doc_id" % 5).cast("int"))
+        .withColumn("q", ($"doc_id" % 9).cast("int"))
+      val raw = concat(
+        when($"tls" === 1, lit("HTTPS://")).otherwise(lit("HTTP://")),
+        lit("WWW"), $"h", lit(".Example"), $"dom", lit(".COM"),
+        when($"tls" === 1, lit(":443")).otherwise(lit(":80")),
+        lit("/a/b/../c/%7Euser"), $"doc_id",
+        lit("/?utm_source=feed&z=2&a="), $"q", lit("#sec"))
+      params
+        .withColumn("canon", graft.operators.UrlNorm.urlCanonical(raw))
+        .withColumn("domain", graft.operators.UrlNorm.urlDomain($"canon"))
+        .select($"doc_id", $"canon", $"domain")
+    },
+
     // ---- q162: NFC normalization audit — the Unicode-hygiene pass a
     // corpus runs BEFORE dedup/hashing (the same text in composed and
     // decomposed forms hashes differently; normalize first or every
@@ -364,6 +390,18 @@ object CurationOps {
         |       ELSE doc_id % 5 END AS BIGINT) AS n_fixed,
         |  CAST(length(text) + CASE WHEN doc_id % 3 = 0 THEN 0
         |       ELSE (doc_id % 5) * 2 END AS BIGINT) AS len_fixed
+        |FROM documents""".stripMargin,
+
+    // The canonical form replayed by concatenation: scheme/host
+    // lowercased, default port gone, /a/b/../c collapsed, %7E → ~,
+    // tracking param dropped, query sorted, fragment gone.
+    "q186_url_canonical" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 1 THEN 'https' ELSE 'http' END ||
+        |    '://www' || (doc_id % 7) || '.example' || (doc_id % 5) ||
+        |    '.com/a/c/~user' || doc_id || '/?a=' || (doc_id % 9) ||
+        |    '&z=2' AS canon,
+        |  'example' || (doc_id % 5) || '.com' AS domain
         |FROM documents""".stripMargin,
 
     "q162_nfc_audit" ->
