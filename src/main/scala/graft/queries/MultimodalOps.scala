@@ -766,6 +766,41 @@ object MultimodalOps {
           $"h.n_blocks".cast("long").as("n_blocks"),
           $"h.n_dropped".cast("long").as("n_dropped"),
           $"h.n_links".cast("long").as("n_links"))
+    },
+
+    // ---- q187: WebDataset shard ingest — tar archives of
+    // extension-grouped sample files, the standard multimodal
+    // training-shard format. Per doc a conformant ustar shard
+    // (checksummed headers, 512-byte blocks, zero-block terminator;
+    // odd docs gzip-wrapped), exploded to (sample_key → {txt, bin})
+    // rows; n_ok counts samples whose txt payload equals the
+    // schedule's string AND whose bin part has the scheduled length —
+    // certifying header parse, block walking, payload slicing, and
+    // the key/extension grouping through both routes.
+    "q187_webdataset" -> { (s, d) =>
+      import s.implicits._
+      val params = Tables.documents(s, d)
+        .select($"doc_id".cast("long").as("doc_id"))
+        .withColumn("n", (lit(1) + $"doc_id" % 5).cast("int"))
+        .withColumn("gz", ($"doc_id" % 2 === 1))
+      val build = udf { (n: Int, gz: Boolean) =>
+        graft.operators.TarArchive.fixture(n, gz)
+      }
+      val samples = graft.operators.TarArchive.explodeSamples(
+        params.withColumn("content", build($"n", $"gz")),
+        blobCol = "content", keep = Seq("doc_id"))
+      samples
+        .withColumn("i", $"sample_key".cast("int"))
+        .withColumn("txt", element_at($"parts", "txt").cast("string"))
+        .withColumn("bin", element_at($"parts", "bin"))
+        .withColumn("ok",
+          ($"txt" === concat(expr("repeat('sample-text-', 1 + i % 2)"),
+            $"i")) && (octet_length($"bin") === lit(7) + $"i" % 5))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_samples"),
+          sum(length($"txt")).as("txt_bytes"),
+          sum(octet_length($"bin").cast("long")).as("bin_bytes"),
+          sum($"ok".cast("long")).as("n_ok"))
     }
   )
 
@@ -1016,6 +1051,20 @@ object MultimodalOps {
         |  CAST(1 AS BIGINT) AS n_dropped,
         |  CAST(2 AS BIGINT) AS n_links
         |FROM documents""".stripMargin,
+
+    // Sample i carries 'sample-text-'·(1+i%2)||i (single-digit gate
+    // indexes) and 7+(i%5) binary bytes; n_ok must equal n_samples.
+    "q187_webdataset" ->
+      """WITH p AS (
+        |  SELECT doc_id, 1 + doc_id % 5 AS n FROM documents)
+        |SELECT doc_id,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(list_sum(list_transform(range(0, n),
+        |    i -> 12 * (1 + i % 2) + 1)) AS BIGINT) AS txt_bytes,
+        |  CAST(list_sum(list_transform(range(0, n),
+        |    i -> 7 + i % 5)) AS BIGINT) AS bin_bytes,
+        |  CAST(n AS BIGINT) AS n_ok
+        |FROM p""".stripMargin,
 
     // Every decoded value is pinned by build arithmetic: keyframes are
     // samples 1, 1+ke, ...; frame i's channel buckets are the mod-8
