@@ -63,7 +63,9 @@ object CodecConfig {
       var lz = 0
       while (u(1) == 0) {
         lz += 1
-        if (lz > 31) throw new IllegalArgumentException("ue overflow")
+        // > 30 would overflow Int ((1 << 31) is negative); no field a
+        // profile parser reads is anywhere near 2^31.
+        if (lz > 30) throw new IllegalArgumentException("ue overflow")
       }
       (1 << lz) - 1 + (if (lz == 0) 0 else u(lz))
     }
@@ -117,9 +119,16 @@ object CodecConfig {
       var bitDepth = 8
       if (AvcHighProfiles.contains(profileIdc)) {
         chroma = r.ue()
+        // Domain gates (§7.4.2.1.1): chroma_format_idc 0-3,
+        // bit_depth_*_minus8 0-6 — an out-of-range decode means the
+        // bitstream is corrupt and EVERY later field is garbage;
+        // quarantine, don't emit plausible-looking junk facts.
+        if (chroma > 3) return None
         if (chroma == 3) r.u(1) // separate_colour_plane_flag
-        bitDepth = 8 + r.ue() // bit_depth_luma_minus8
-        r.ue() // bit_depth_chroma_minus8
+        val bdl = r.ue() // bit_depth_luma_minus8
+        if (bdl > 6) return None
+        bitDepth = 8 + bdl
+        if (r.ue() > 6) return None // bit_depth_chroma_minus8
         r.u(1) // qpprime_y_zero_transform_bypass_flag
         if (r.u(1) == 1) { // seq_scaling_matrix_present_flag
           val lists = if (chroma == 3) 12 else 8
@@ -232,6 +241,7 @@ object CodecConfig {
       }
       r.ue() // sps_seq_parameter_set_id
       val chroma = r.ue()
+      if (chroma > 3) return None // §7.4.3.2.1 domain; corrupt otherwise
       if (chroma == 3) r.u(1) // separate_colour_plane_flag
       val picW = r.ue() // pic_width_in_luma_samples
       val picH = r.ue()
@@ -239,8 +249,10 @@ object CodecConfig {
       if (r.u(1) == 1) { // conformance_window_flag
         cl = r.ue(); cr = r.ue(); ct = r.ue(); cb = r.ue()
       }
-      val bitDepth = 8 + r.ue() // bit_depth_luma_minus8
-      r.ue() // bit_depth_chroma_minus8
+      val bdl = r.ue() // bit_depth_luma_minus8 (0-8, §7.4.3.2.1)
+      if (bdl > 8) return None
+      val bitDepth = 8 + bdl
+      if (r.ue() > 8) return None // bit_depth_chroma_minus8
       // Window offsets are in chroma units (§7.4.3.2.1).
       val subW = if (chroma == 1 || chroma == 2) 2 else 1
       val subH = if (chroma == 1) 2 else 1

@@ -40,15 +40,43 @@ object HtmlExtract {
 
   private val DropElements = Set("script", "style", "template", "head")
 
-  private val Entities = Map("amp" -> '&', "lt" -> '<', "gt" -> '>',
-    "quot" -> '"', "apos" -> '\'', "nbsp" -> ' ')
+  private val Entities = Map("amp" -> '&'.toInt, "lt" -> '<'.toInt,
+    "gt" -> '>'.toInt, "quot" -> '"'.toInt, "apos" -> '\''.toInt,
+    "nbsp" -> ' '.toInt)
 
-  private def decodeEntity(s: String): Option[Char] =
-    if (s.startsWith("#x") || s.startsWith("#X"))
-      scala.util.Try(Integer.parseInt(s.substring(2), 16).toChar).toOption
-    else if (s.startsWith("#"))
-      scala.util.Try(s.substring(1).toInt.toChar).toOption
-    else Entities.get(s)
+  /** Decode to a CODE POINT (not a char): `&#128512;`-class
+    * supplementary-plane references are routine web text (emoji) and
+    * a 16-bit truncation would silently substitute an unrelated BMP
+    * char. Out-of-range and surrogate values refuse (the entity then
+    * passes through literally).
+    */
+  private def decodeEntity(s: String): Option[Int] = {
+    val cp =
+      if (s.startsWith("#x") || s.startsWith("#X"))
+        scala.util.Try(Integer.parseInt(s.substring(2), 16)).toOption
+      else if (s.startsWith("#"))
+        scala.util.Try(s.substring(1).toInt).toOption
+      else Entities.get(s)
+    cp.filter(c => c > 0 && c <= 0x10FFFF && !(c >= 0xD800 && c <= 0xDFFF))
+  }
+
+  /** The tag's closing '>' from `from` (just past '<'), honoring
+    * quoted attribute values — `<img alt="a > b">` ends at the OUTER
+    * '>', or the quoted remainder leaks into extracted text. -1 when
+    * the tag never closes (truncated payload).
+    */
+  private def tagEnd(html: String, from: Int): Int = {
+    var i = from
+    var quote: Char = 0
+    while (i < html.length) {
+      val c = html.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '"' || c == '\'') quote = c
+      else if (c == '>') return i
+      i += 1
+    }
+    -1
+  }
 
   /** Extract; null-safe. Unclosed structures behave as if closed at
     * end-of-input (crawl payloads are routinely truncated).
@@ -96,8 +124,14 @@ object HtmlExtract {
         if (c == '<' && i + 2 + dropTag.length <= n &&
           html.charAt(i + 1) == '/' &&
           html.regionMatches(true, i + 2, dropTag, 0, dropTag.length)) {
-          val close = html.indexOf('>', i + 1)
+          val close = tagEnd(html, i + 1)
           i = if (close < 0) n else close + 1
+          dropDepth = 0
+        } else if (c == '<' && dropTag == "head" &&
+          html.regionMatches(true, i + 1, "body", 0, 4)) {
+          // HTML5 permits omitting </head>: <body> ends the head
+          // implicitly. Leave the tag for the main loop to consume —
+          // only script/style/template hold the strict raw-text rule.
           dropDepth = 0
         } else i += 1
       } else if (c == '<') {
@@ -106,7 +140,7 @@ object HtmlExtract {
           val end = html.indexOf("-->", i + 4)
           i = if (end < 0) n else end + 3
         } else {
-          val close = html.indexOf('>', i + 1)
+          val close = tagEnd(html, i + 1)
           if (close < 0) { i = n } // truncated tag: stop
           else {
             val inner = html.substring(i + 1, close).trim
@@ -128,11 +162,12 @@ object HtmlExtract {
         }
       } else if (c == '&') {
         val semi = html.indexOf(';', i + 1)
-        if (semi > i && semi - i <= 8) {
+        if (semi > i && semi - i <= 9) {
           decodeEntity(html.substring(i + 1, semi)) match {
-            case Some(ch) =>
-              block.append(ch)
-              if (anchorDepth > 0 && !ch.isWhitespace) blockAnchorChars += 1
+            case Some(cp) =>
+              block.appendAll(Character.toChars(cp))
+              if (anchorDepth > 0 && !Character.isWhitespace(cp))
+                blockAnchorChars += 1
               i = semi + 1
             case None => block.append(c); i += 1
           }

@@ -58,16 +58,7 @@ object TarArchive {
 
   private def inflateIfGz(blob: Array[Byte]): Array[Byte] =
     if (blob != null && blob.length >= 2 && (blob(0) & 0xff) == 0x1f &&
-      (blob(1) & 0xff) == 0x8b)
-      try {
-        val in = new java.util.zip.GZIPInputStream(
-          new java.io.ByteArrayInputStream(blob))
-        val out = new java.io.ByteArrayOutputStream(blob.length * 4)
-        val buf = new Array[Byte](64 * 1024)
-        var n = in.read(buf)
-        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-        out.toByteArray
-      } catch { case _: Exception => null }
+      (blob(1) & 0xff) == 0x8b) Gunzip.prefix(blob) // keeps truncated prefix
     else blob
 
   /** All regular-file entries (typeflag '0' or NUL); directories,

@@ -120,8 +120,11 @@ object UrlNorm {
     val colon = auth.lastIndexOf(':')
     if (colon >= 0 && auth.drop(colon + 1).forall(_.isDigit)) {
       val port = auth.substring(colon + 1)
+      // RFC 3986 §6.2.3: the default port AND an EMPTY port ("host:")
+      // are both equivalent to no port — keeping the dangling colon
+      // would mint a second dedup key for the same page.
       val dflt = (scheme == "http" && port == "80") ||
-        (scheme == "https" && port == "443")
+        (scheme == "https" && port == "443") || port.isEmpty
       if (dflt) auth = auth.substring(0, colon)
     }
     val pathAndQuery = rest.substring(authEnd)

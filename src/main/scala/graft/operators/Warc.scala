@@ -96,16 +96,11 @@ object Warc {
             scala.util.Try(s.toLong).toOption).getOrElse(-1L)
           if (len < 0 || payloadStart + len > b.length) ok = false
           else {
-            out += Record(
-              offset = i.toLong,
-              length = payloadStart - i + len + 4L, // + CRLF CRLF trailer
-              warcType = hs.getOrElse("warc-type", ""),
-              targetUri = hs.getOrElse("warc-target-uri", ""),
-              contentType = hs.getOrElse("content-type", ""),
-              contentLength = len,
-              payloadFrom = payloadStart.toLong,
-              headers = hs)
-            // Trailer: CRLF CRLF after the payload (ISO 28500 §4).
+            // Trailer FIRST (ISO 28500 §4: CRLF CRLF after the
+            // payload): `length` must be the record's exact byte
+            // extent — a range read of [offset, offset+length) is the
+            // provenance contract, so a truncated trailer must not be
+            // billed as 4 phantom bytes past the archive end.
             var next = payloadStart + len.toInt
             var trail = 0
             while (trail < 4 && next + 1 < b.length &&
@@ -113,31 +108,25 @@ object Warc {
               next += 2; trail += 2
             }
             if (trail == 0 && next + 4 <= b.length) ok = false
-            else i = next
+            else {
+              out += Record(
+                offset = i.toLong,
+                length = next - i.toLong,
+                warcType = hs.getOrElse("warc-type", ""),
+                targetUri = hs.getOrElse("warc-target-uri", ""),
+                contentType = hs.getOrElse("content-type", ""),
+                contentLength = len,
+                payloadFrom = payloadStart.toLong,
+                headers = hs)
+              i = next
+            }
           }
       }
     }
     out.result()
   }
 
-  private def gunzip(b: Array[Byte]): Array[Byte] =
-    try {
-      val in = new java.util.zip.GZIPInputStream(
-        new java.io.ByteArrayInputStream(b))
-      val out = new java.io.ByteArrayOutputStream(b.length * 4)
-      val buf = new Array[Byte](64 * 1024)
-      var n = in.read(buf)
-      while (n >= 0) {
-        out.write(buf, 0, n)
-        n = in.read(buf)
-      }
-      out.toByteArray
-    } catch {
-      // A truncated tail still yields the inflated prefix on some
-      // JDKs via EOFException mid-member; a fully corrupt stream
-      // yields nothing.
-      case _: Exception => null
-    }
+  private def gunzip(b: Array[Byte]): Array[Byte] = Gunzip.prefix(b)
 
   /** One row per record: (offset, length, warc_type, target_uri,
     * content_type, content_length, payload binary, compressed).

@@ -143,6 +143,38 @@ class CodecConfigSpec extends SparkSpec {
     assert(CodecConfig.parseVpcC(badBd, 0, badBd.length).isEmpty)
   }
 
+  test("out-of-domain SPS fields quarantine instead of minting " +
+    "garbage facts (review fix)") {
+    // A high-profile SPS whose chroma_format_idc decodes to 4: bytes
+    // after the (profile, constraint, level) prefix start with the
+    // exp-Golomb pair sps_id=0 ("1") then ue(4) = "00101". Hand-pack:
+    // 0x67, 100, 0, 31, then bits 1 00101 ... => 0b10010100 = 0x94.
+    val corrupt = Array[Byte](0x67, 100.toByte, 0, 31, 0x94.toByte,
+      0x55, 0x55, 0x55, 0x55)
+    assert(CodecConfig.parseAvcSps(corrupt).isEmpty,
+      "chroma_format_idc=4 must quarantine")
+    // Systematic: flip every byte of a valid SPS one at a time; the
+    // parse must never throw, and must never report an out-of-domain
+    // chroma/bit-depth.
+    val good = CodecFixtures.avcSps(100, 41, 162, 90, 10)
+    (0 until good.length).foreach { k =>
+      (1 to 255 by 64).foreach { v =>
+        val m = good.clone(); m(k) = (m(k) ^ v).toByte
+        CodecConfig.parseAvcSps(m).foreach { p =>
+          assert(p.chromaFormat <= 3 && p.bitDepth <= 14,
+            s"garbage facts at byte $k xor $v: $p")
+        }
+      }
+    }
+    val goodH = CodecFixtures.hevcSps(1, 93, 160, 96, 8)
+    (0 until goodH.length).foreach { k =>
+      val m = goodH.clone(); m(k) = (m(k) ^ 0x5a).toByte
+      CodecConfig.parseHevcSps(m).foreach { p =>
+        assert(p.chromaFormat <= 3 && p.bitDepth <= 16)
+      }
+    }
+  }
+
   test("corrupt and alien input quarantines as None, never throws") {
     assert(CodecConfig.parseAvcSps(null).isEmpty)
     assert(CodecConfig.parseAvcSps(Array[Byte](0x67, 0x64)).isEmpty)

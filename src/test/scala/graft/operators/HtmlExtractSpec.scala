@@ -36,6 +36,25 @@ class HtmlExtractSpec extends SparkSpec {
     assert(prose.nDropped == 0 && prose.text.contains("docs"))
   }
 
+  test("review fixes: emoji entities, implicit </head>, quoted '>'") {
+    // Supplementary-plane numeric reference decodes via surrogate
+    // pair, not 16-bit truncation.
+    assert(extract("<p>hi &#128512; &#x1F600;</p>").text ==
+      "hi 😀 😀")
+    // Out-of-range / surrogate refs pass through literally.
+    assert(extract("<p>&#xD800; &#1114112;</p>").text ==
+      "&#xD800; &#1114112;")
+    // HTML5 head close-tag omission: <body> ends the head implicitly.
+    assert(extract("<html><head><title>x</title><body><p>article</p>")
+      .text == "article")
+    // ...but a script inside the unclosed head still drops fully.
+    assert(extract("<head><script>a<b</script><body><p>ok</p>").text
+      == "ok")
+    // Quoted '>' inside attributes does not end the tag.
+    assert(extract("<p><img alt=\"a > b\">text</p>").text == "text")
+    assert(extract("<div onclick=\"if(a>b)f()\"><p>x</p>").text == "x")
+  }
+
   test("comments, truncation, null") {
     assert(extract("<p>a</p><!-- <p>not this</p> --><p>b</p>").text == "a\nb")
     assert(extract("<p>trunc<").text == "trunc")

@@ -48,6 +48,12 @@ class UrlNormSpec extends SparkSpec {
     assert(registrableDomain(null) == null)
   }
 
+  test("empty port strips like the default port (review fix)") {
+    assert(canonicalize("http://example.com:/a")
+      == canonicalize("http://example.com/a"))
+    assert(canonicalize("https://h.io:") == "https://h.io/")
+  }
+
   test("idempotence: canonicalize is a fixed point on its own output") {
     val urls = Seq(
       "HTTP://Ex.COM:80/a/b/../c/%7Eu/?z=2&a=1#f",

@@ -42,6 +42,29 @@ class WarcSpec extends SparkSpec {
     Warc.parse(gz) // must not throw
   }
 
+  test("truncated .gz keeps the inflated prefix (review fix)") {
+    val gz = Warc.fixture(4, gz = true)
+    // Cut the compressed stream: the inflated prefix must survive.
+    val cut = java.util.Arrays.copyOf(gz, gz.length - 8)
+    val rs = Warc.parse(cut)
+    assert(rs.nonEmpty, "good prefix of a truncated .warc.gz was dropped")
+  }
+
+  test("record length is the exact byte extent even when the trailer " +
+    "is truncated (review fix)") {
+    val b = Warc.fixture(2)
+    val full = Warc.parse(b)
+    // Every record's [offset, offset+length) stays inside the archive
+    // and lengths tile it exactly.
+    assert(full.forall(r => r.offset + r.length <= b.length))
+    assert(full.map(_.length).sum == b.length)
+    // Cut the final trailer to ONE CRLF: extent shrinks accordingly.
+    val cut = java.util.Arrays.copyOf(b, b.length - 2)
+    val rs = Warc.parse(cut)
+    assert(rs.length == 2)
+    assert(rs.forall(r => r.offset + r.length <= cut.length))
+  }
+
   test("explodeRecords carries payload bytes and provenance") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
