@@ -121,14 +121,24 @@ object HtmlExtract {
         // inside a script is text, not a tag). Same-tag nesting inside
         // a dropped element is not tracked (HTML5 script/style cannot
         // nest; a nested <template> would end at the first close).
-        if (c == '<' && i + 2 + dropTag.length <= n &&
+        // HTML5 §13.2.5: the close-tag NAME must be followed by
+        // whitespace, '/', or '>' — a prefix match alone would let
+        // `</scripted>` end a <script> and leak script text into prose.
+        def tagNameBoundary(at: Int): Boolean =
+          at < n && {
+            val ch = html.charAt(at)
+            ch == '>' || ch == '/' || Character.isWhitespace(ch)
+          }
+        if (c == '<' && i + 2 + dropTag.length < n &&
           html.charAt(i + 1) == '/' &&
-          html.regionMatches(true, i + 2, dropTag, 0, dropTag.length)) {
+          html.regionMatches(true, i + 2, dropTag, 0, dropTag.length) &&
+          tagNameBoundary(i + 2 + dropTag.length)) {
           val close = tagEnd(html, i + 1)
           i = if (close < 0) n else close + 1
           dropDepth = 0
         } else if (c == '<' && dropTag == "head" &&
-          html.regionMatches(true, i + 1, "body", 0, 4)) {
+          html.regionMatches(true, i + 1, "body", 0, 4) &&
+          tagNameBoundary(i + 5)) {
           // HTML5 permits omitting </head>: <body> ends the head
           // implicitly. Leave the tag for the main loop to consume —
           // only script/style/template hold the strict raw-text rule.

@@ -76,14 +76,19 @@ object ImagePhash {
     if (b == null || b.length == 0) return None
     // Explicit memory-cached stream: ImageIO.read(InputStream)
     // disk-caches by default (a temp file per row — the decodeImage
-    // lesson). No finally-close: ImageIO.read(ImageInputStream)
-    // closes the stream itself, and a second close throws
-    // IOException("closed") straight into the catch, turning every
-    // decodable blob into a quarantine (Multimodal.decodeImage:216).
-    try Option(javax.imageio.ImageIO.read(
-      new javax.imageio.stream.MemoryCacheImageInputStream(
-        new java.io.ByteArrayInputStream(b))))
-    catch { case scala.util.control.NonFatal(_) => None }
+    // lesson). Close discipline: ImageIO.read(ImageInputStream)
+    // closes the stream itself in its own finally whenever a reader
+    // RUNS (success or reader failure) — a second close there throws
+    // IOException("closed") and would quarantine every decodable
+    // blob. But the NULL return (no registered reader recognizes the
+    // format) exits before that finally, leaving the stream and its
+    // cache segments to GC — so close exactly that path ourselves.
+    try {
+      val stream = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(b))
+      val img = javax.imageio.ImageIO.read(stream)
+      if (img == null) { stream.close(); None } else Some(img)
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** 64-bit dHash: 9×8 grid; bit (r·8+c), MSB-first, set iff

@@ -210,18 +210,25 @@ object Multimodal {
     * blob must quarantine, not abort the job. The explicit
     * MemoryCacheImageInputStream keeps ImageIO off its default
     * DISK-backed stream cache (a temp-file create/write/delete per row
-    * in java.io.tmpdir — pure waste for in-memory byte arrays). No
-    * explicit close: `ImageIO.read(ImageInputStream)` closes the
-    * passed stream itself, in its own finally, on success AND failure
-    * (a second close throws IOException("closed") — found the hard
-    * way), so cache segments are released deterministically either way.
+    * in java.io.tmpdir — pure waste for in-memory byte arrays). Close
+    * discipline: `ImageIO.read(ImageInputStream)` closes the passed
+    * stream itself, in its own finally, whenever a reader RUNS —
+    * success or reader failure — and a second close there throws
+    * IOException("closed") straight into the catch, quarantining every
+    * decodable blob (found the hard way). The one path that does NOT
+    * close is the null return (no registered reader recognizes the
+    * format — it exits before the finally), so that path closes here,
+    * or every undecodable blob leaks its cache segments until GC.
     */
   private def decodeImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
     if (bytes == null) null
-    else try javax.imageio.ImageIO.read(
-      new javax.imageio.stream.MemoryCacheImageInputStream(
-        new java.io.ByteArrayInputStream(bytes)))
-    catch { case scala.util.control.NonFatal(_) => null }
+    else try {
+      val stream = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val img = javax.imageio.ImageIO.read(stream)
+      if (img == null) stream.close()
+      img
+    } catch { case scala.util.control.NonFatal(_) => null }
 
   /** OPTIONAL executor-local full-pixel decode via `javax.imageio` —
     * the JDK ships PNG/JPEG/GIF/BMP readers, so this needs no codec

@@ -65,7 +65,12 @@ object TarArchive {
     * symlinks, and pax/GNU metadata entries are skipped STRUCTURALLY
     * (their data blocks are walked over, their content ignored — long
     * names via pax headers are out of scope for shard keys, which are
-    * short by construction).
+    * short by construction). The core-ustar `prefix` field (header
+    * bytes 345..499, POSIX.1-1988) IS honored when the ustar magic is
+    * present: entry name = prefix + "/" + name, so conformant shards
+    * with paths over 100 chars keep their directory component (and
+    * same-basename files from different directories stay distinct
+    * sample keys).
     */
   def entries(blob: Array[Byte]): Array[Entry] = {
     val b = inflateIfGz(blob)
@@ -78,7 +83,11 @@ object TarArchive {
       if (b(i) == 0) { ok = false }
       else {
         // ustar magic at +257 ("ustar"); accept pre-POSIX too (no magic)
-        val name = cstr(b, i, 100)
+        val ustar = b(i + 257) == 'u' && b(i + 258) == 's' &&
+          b(i + 259) == 't' && b(i + 260) == 'a' && b(i + 261) == 'r'
+        val base = cstr(b, i, 100)
+        val prefix = if (ustar) cstr(b, i + 345, 155) else ""
+        val name = if (prefix.isEmpty) base else prefix + "/" + base
         val size = octal(b, i + 124, 12)
         val typeflag = b(i + 156)
         if (name.isEmpty || size < 0 ||
@@ -97,35 +106,47 @@ object TarArchive {
   /** One row per (keep..., sample key): `parts` maps extension →
     * payload bytes. The key is the entry name up to the FIRST dot of
     * its basename (WebDataset: `dir/000017.seg.png` groups under
-    * `dir/000017` with extension `seg.png`).
+    * `dir/000017` with extension `seg.png`). Duplicate
+    * (sample_key, extension) members — malformed shards — keep the
+    * FIRST occurrence (archive order, the member a sequential reader
+    * would bind) and are counted in `n_dup_parts`, so a shard that
+    * repeats member names is distinguishable from a clean one instead
+    * of silently last-wins-overwriting data.
     */
   def explodeSamples(df: DataFrame, blobCol: String = "content",
       keep: Seq[String] = Seq.empty): DataFrame = {
     val f = udf { blob: Array[Byte] =>
       val b = inflateIfGz(blob)
-      if (b == null) Array.empty[(String, Map[String, Array[Byte]])]
+      if (b == null) Array.empty[(String, Map[String, Array[Byte]], Int)]
       else {
         val es = entries(b)
         val grouped = scala.collection.mutable.LinkedHashMap
           .empty[String, scala.collection.mutable.Map[String, Array[Byte]]]
+        val dups = scala.collection.mutable.Map.empty[String, Int]
         es.foreach { e =>
           val slash = e.name.lastIndexOf('/')
           val dot = e.name.indexOf('.', slash + 1)
           val (key, ext) =
             if (dot < 0) (e.name, "")
             else (e.name.substring(0, dot), e.name.substring(dot + 1))
-          val payload = java.util.Arrays.copyOfRange(b,
-            e.payloadFrom.toInt, (e.payloadFrom + e.size).toInt)
-          grouped.getOrElseUpdate(key,
-            scala.collection.mutable.Map.empty) += (ext -> payload)
+          val m = grouped.getOrElseUpdate(key,
+            scala.collection.mutable.Map.empty)
+          if (m.contains(ext)) // malformed shard: keep-first, count it
+            dups.update(key, dups.getOrElse(key, 0) + 1)
+          else {
+            val payload = java.util.Arrays.copyOfRange(b,
+              e.payloadFrom.toInt, (e.payloadFrom + e.size).toInt)
+            m += (ext -> payload)
+          }
         }
-        grouped.map { case (k, m) => (k, m.toMap) }.toArray
+        grouped.map { case (k, m) =>
+          (k, m.toMap, dups.getOrElse(k, 0)) }.toArray
       }
     }
     val keepCols = keep.map(col)
     df.select(keepCols :+ explode(f(col(blobCol))).as("s"): _*)
       .select(keepCols :+ col("s._1").as("sample_key") :+
-        col("s._2").as("parts"): _*)
+        col("s._2").as("parts") :+ col("s._3").as("n_dup_parts"): _*)
   }
 
   // ---- fixture ----------------------------------------------------------
@@ -138,44 +159,56 @@ object TarArchive {
   def binOf(i: Int): Array[Byte] =
     Array.tabulate(7 + i % 5)(j => ((i * 31 + j) & 0xff).toByte)
 
+  /** A checksummed ustar header block; `prefix` fills the POSIX
+    * prefix field (bytes 345..499). Package-private so specs can
+    * assemble non-fixture shards (long paths, duplicate members).
+    */
+  private[operators] def tarHeader(name: String, size: Long,
+      prefix: String = ""): Array[Byte] = {
+    val h = new Array[Byte](512)
+    val nb = name.getBytes("UTF-8")
+    System.arraycopy(nb, 0, h, 0, nb.length)
+    def oct(v: Long, off: Int, len: Int): Unit = {
+      val s = java.lang.Long.toOctalString(v)
+      val padded = ("0" * (len - 1 - s.length)) + s
+      System.arraycopy(padded.getBytes("US-ASCII"), 0, h, off,
+        len - 1)
+    }
+    oct(420, 100, 8) // mode 0644
+    oct(0, 108, 8); oct(0, 116, 8) // uid gid
+    oct(size, 124, 12)
+    oct(0, 136, 12) // mtime
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte) // checksum spaces
+    h(156) = '0' // regular file
+    System.arraycopy("ustar".getBytes, 0, h, 257, 5)
+    h(263) = '0'; h(264) = '0' // version "00"
+    if (prefix.nonEmpty) {
+      val pb = prefix.getBytes("UTF-8")
+      System.arraycopy(pb, 0, h, 345, math.min(pb.length, 155))
+    }
+    var sum = 0L
+    h.foreach(b => sum += (b & 0xff))
+    val cs = java.lang.Long.toOctalString(sum)
+    val csp = ("0" * (6 - cs.length)) + cs
+    System.arraycopy(csp.getBytes("US-ASCII"), 0, h, 148, 6)
+    h(154) = 0; h(155) = ' '
+    h
+  }
+
+  private[operators] def tarEntry(out: java.io.ByteArrayOutputStream,
+      name: String, data: Array[Byte], prefix: String = ""): Unit = {
+    out.write(tarHeader(name, data.length.toLong, prefix))
+    out.write(data)
+    val pad = (512 - data.length % 512) % 512
+    out.write(new Array[Byte](pad))
+  }
+
   def fixture(nSamples: Int, gz: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    def header(name: String, size: Long): Array[Byte] = {
-      val h = new Array[Byte](512)
-      val nb = name.getBytes("UTF-8")
-      System.arraycopy(nb, 0, h, 0, nb.length)
-      def oct(v: Long, off: Int, len: Int): Unit = {
-        val s = java.lang.Long.toOctalString(v)
-        val padded = ("0" * (len - 1 - s.length)) + s
-        System.arraycopy(padded.getBytes("US-ASCII"), 0, h, off,
-          len - 1)
-      }
-      oct(420, 100, 8) // mode 0644
-      oct(0, 108, 8); oct(0, 116, 8) // uid gid
-      oct(size, 124, 12)
-      oct(0, 136, 12) // mtime
-      java.util.Arrays.fill(h, 148, 156, ' '.toByte) // checksum spaces
-      h(156) = '0' // regular file
-      System.arraycopy("ustar".getBytes, 0, h, 257, 5)
-      h(263) = '0'; h(264) = '0' // version "00"
-      var sum = 0L
-      h.foreach(b => sum += (b & 0xff))
-      val cs = java.lang.Long.toOctalString(sum)
-      val csp = ("0" * (6 - cs.length)) + cs
-      System.arraycopy(csp.getBytes("US-ASCII"), 0, h, 148, 6)
-      h(154) = 0; h(155) = ' '
-      h
-    }
-    def entry(name: String, data: Array[Byte]): Unit = {
-      out.write(header(name, data.length.toLong))
-      out.write(data)
-      val pad = (512 - data.length % 512) % 512
-      out.write(new Array[Byte](pad))
-    }
     (0 until nSamples).foreach { i =>
       val key = f"$i%05d"
-      entry(s"$key.txt", textOf(i).getBytes("UTF-8"))
-      entry(s"$key.bin", binOf(i))
+      tarEntry(out, s"$key.txt", textOf(i).getBytes("UTF-8"))
+      tarEntry(out, s"$key.bin", binOf(i))
     }
     out.write(new Array[Byte](1024)) // two-zero-block terminator
     val raw = out.toByteArray

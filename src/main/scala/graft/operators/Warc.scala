@@ -26,8 +26,12 @@ import org.apache.spark.sql.functions._
   * Malformed records end the walk (everything parsed so far is kept)
   * — truncated tails are routine in crawl archives and must not
   * poison the archive's good prefix. Scale shape: narrow per-row
-  * flatMap; payload slices are lazy references into the blob's byte
-  * array (no copy until a downstream op materializes one).
+  * flatMap. [[parse]] returns offset-only [[Record]]s (no payload
+  * copies); [[explodeRecords]] necessarily MATERIALIZES each record's
+  * payload bytes into its output row (the DataFrame route serializes
+  * rows, so a reference into the archive array cannot survive) —
+  * provenance-only consumers that do not need payload bytes should
+  * project from [[parse]]/[[archiveStats]] instead.
   */
 object Warc {
 

@@ -55,6 +55,23 @@ class HtmlExtractSpec extends SparkSpec {
     assert(extract("<div onclick=\"if(a>b)f()\"><p>x</p>").text == "x")
   }
 
+  test("close-tag name boundary (HTML5 §13.2.5): prefix is not a match") {
+    // </scripted> must NOT end a <script> — only </script followed by
+    // '>', '/', or whitespace does (the r10 ADVICE finding).
+    assert(extract("<script>a=1;</scripted>leak;</script><p>ok</p>")
+      .text == "ok")
+    // Whitespace and self-closing forms DO end it.
+    assert(extract("<script>x</script ><p>a</p>").text == "a")
+    assert(extract("<script>x</script\n><p>a</p>").text == "a")
+    // A <bodytext> custom element must NOT end an unclosed <head>;
+    // the real <body> after it does.
+    assert(extract("<head><bodytext>nav</bodytext><title>t</title>" +
+      "<body><p>prose</p>").text == "prose")
+    // <body/> and <body attr> still exit the head.
+    assert(extract("<head><title>t</title><body class=x><p>y</p>")
+      .text == "y")
+  }
+
   test("comments, truncation, null") {
     assert(extract("<p>a</p><!-- <p>not this</p> --><p>b</p>").text == "a\nb")
     assert(extract("<p>trunc<").text == "trunc")

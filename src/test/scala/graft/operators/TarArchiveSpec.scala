@@ -63,6 +63,46 @@ class TarArchiveSpec extends SparkSpec {
     }
   }
 
+  test("ustar prefix field joins onto the name (paths > 100 chars)") {
+    // Two same-basename members under DIFFERENT directories carried in
+    // the prefix field: without prefix handling they'd collapse into
+    // one sample key (the r10 ADVICE finding).
+    val out = new java.io.ByteArrayOutputStream()
+    val dirA = "corpus/shard-a/" + ("x" * 90) // forces prefix usage
+    val dirB = "corpus/shard-b/" + ("y" * 90)
+    TarArchive.tarEntry(out, "0.txt", "alpha".getBytes("UTF-8"), dirA)
+    TarArchive.tarEntry(out, "0.txt", "beta".getBytes("UTF-8"), dirB)
+    out.write(new Array[Byte](1024))
+    val b = out.toByteArray
+    val es = TarArchive.entries(b)
+    assert(es.map(_.name).toSeq == Seq(dirA + "/0.txt", dirB + "/0.txt"))
+    import spark.implicits._
+    val rows = TarArchive.explodeSamples(
+      Seq((1L, b)).toDF("doc_id", "content"), keep = Seq("doc_id"))
+      .selectExpr("sample_key",
+        "cast(element_at(parts, 'txt') as string) as txt")
+      .as[(String, String)].collect().sortBy(_._1)
+    assert(rows.length == 2) // distinct keys, no merge
+    assert(rows.map(_._2).toSeq == Seq("alpha", "beta"))
+  }
+
+  test("duplicate (key, ext) members keep the FIRST payload and count") {
+    val out = new java.io.ByteArrayOutputStream()
+    TarArchive.tarEntry(out, "00000.txt", "first".getBytes("UTF-8"))
+    TarArchive.tarEntry(out, "00000.txt", "second".getBytes("UTF-8"))
+    TarArchive.tarEntry(out, "00000.bin", Array[Byte](1, 2, 3))
+    out.write(new Array[Byte](1024))
+    import spark.implicits._
+    val rows = TarArchive.explodeSamples(
+      Seq((1L, out.toByteArray)).toDF("doc_id", "content"))
+      .selectExpr("sample_key",
+        "cast(element_at(parts, 'txt') as string) as txt", "n_dup_parts")
+      .as[(String, String, Int)].collect()
+    assert(rows.length == 1)
+    assert(rows.head._2 == "first") // archive order wins
+    assert(rows.head._3 == 1) // the malformed shard is distinguishable
+  }
+
   test("multi-dot names group under the first-dot key (seg.png rule)") {
     // Hand-build a shard with dir/0.seg.png + dir/0.txt via the
     // fixture's own header writer is private; use entries() on a
