@@ -145,35 +145,93 @@ object ImagePhash {
     * maxDist, via the pigeonhole band join: requires maxDist < bands
     * (else a qualifying pair could differ in every band and be
     * missed — refused at call time, the auto-knob contract of the
-    * LSH family). 64 must divide by `bands`.
+    * LSH family). 64 must divide by `bands`. This is the comboSize=1
+    * special case of [[hammingPairs]] — fine at gate scale, but each
+    * key is only 64/bands bits, so on a structured corpus its
+    * candidate count grows super-linearly; the scale path is
+    * [[hammingPairs]] with block combinations.
     */
   def bandedHammingPairs(df: DataFrame, idCol: String, hashCol: String,
       maxDist: Int, bands: Int = 4): DataFrame = {
     require(bands > 0 && 64 % bands == 0, s"bands must divide 64: $bands")
     require(maxDist >= 0 && maxDist < bands,
       s"pigeonhole guarantee needs maxDist < bands: $maxDist >= $bands")
-    val width = 64 / bands
-    val mask = if (width == 64) -1L else (1L << width) - 1
-    val banded = df.select(col(idCol).as("id"), col(hashCol).as("h"))
+    hammingCandidates(df, idCol, hashCol, blocks = bands, comboSize = 1)
+      .where(col("dist") <= maxDist)
+  }
+
+  /** Block-combination hamming join — the CORPUS-LINEAR scale path
+    * (the public design of Manku/Jain/Das Sarma, "Detecting
+    * Near-Duplicates for Web Crawling", WWW 2007, generalized from
+    * permuted prefix tables to combination keys): split the 64 bits
+    * into `blocks` near-equal blocks; a pair within hamming distance
+    * `maxDist` has differing bits in at most `maxDist` blocks, so at
+    * least `blocks − maxDist` blocks match — and SOME combination of
+    * `comboSize = blocks − maxDist` blocks matches exactly. Keying a
+    * table on every C(blocks, comboSize) combination therefore finds
+    * every qualifying pair from equi-joins alone, with key width
+    * comboSize·(64/blocks) bits instead of a single band's
+    * 64/bands — e.g. blocks=6, maxDist=3 gives 20 tables of ~32-bit
+    * keys, cutting random-collision candidates by ~2^16 vs 16-bit
+    * single bands. Explode factor is C(blocks, comboSize) rows per
+    * doc (20 at the default) — linear, and the price that buys the
+    * linear join. Candidates are distinct'd BEFORE the exact
+    * bit_count filter (a pair can match several combinations), so no
+    * false positives and no duplicates survive.
+    */
+  def hammingPairs(df: DataFrame, idCol: String, hashCol: String,
+      maxDist: Int, blocks: Int = 6): DataFrame = {
+    require(blocks >= 2 && blocks <= 64, s"blocks out of range: $blocks")
+    require(maxDist >= 0 && maxDist < blocks,
+      s"pigeonhole guarantee needs maxDist < blocks: $maxDist >= $blocks")
+    hammingCandidates(df, idCol, hashCol, blocks, blocks - maxDist)
+      .where(col("dist") <= maxDist)
+  }
+
+  /** The candidate set BEFORE the distance filter: every distinct
+    * (ida < idb) pair agreeing on at least one `comboSize`-block
+    * combination key, with its exact hamming distance. Exposed
+    * separately so scale probes can measure the candidate:pair
+    * ratio — the number that certifies corpus-linear candidate
+    * generation on a given hash distribution.
+    */
+  def hammingCandidates(df: DataFrame, idCol: String, hashCol: String,
+      blocks: Int, comboSize: Int): DataFrame = {
+    require(comboSize >= 1 && comboSize <= blocks,
+      s"comboSize out of range: $comboSize of $blocks")
+    // Near-equal block widths: block i covers bits
+    // [i·64/blocks, (i+1)·64/blocks).
+    val bounds = (0 to blocks).map(i => i * 64 / blocks)
+    def blockVal(h: Column, i: Int): Column = {
+      val w = bounds(i + 1) - bounds(i)
+      val mask = if (w == 64) -1L else (1L << w) - 1
+      shiftright(h, bounds(i)).bitwiseAND(lit(mask))
+    }
+    // All C(blocks, comboSize) combination keys, each folded into one
+    // long (total key width <= 64 since the blocks partition 64 bits).
+    val combos = (0 until blocks).combinations(comboSize).toArray
+    val keyed = df.select(col(idCol).as("id"), col(hashCol).as("h"))
       .where(col("h").isNotNull)
       .select(col("id"), col("h"), explode(array(
-        (0 until bands).map(i =>
-          struct(lit(i).as("b"),
-            (shiftright(col("h"), i * width).bitwiseAND(lit(mask)))
-              .as("v"))): _*)).as("bv"))
-      .select(col("id"), col("h"), col("bv.b"), col("bv.v"))
-    val a = banded.select(col("b"), col("v"), col("id").as("ida"),
+        combos.zipWithIndex.map { case (cb, ci) =>
+          val key = cb.foldLeft(lit(0L)) { (acc, bi) =>
+            shiftleft(acc, bounds(bi + 1) - bounds(bi))
+              .bitwiseOR(blockVal(col("h"), bi))
+          }
+          struct(lit(ci).as("t"), key.as("v"))
+        }: _*)).as("tv"))
+      .select(col("id"), col("h"), col("tv.t"), col("tv.v"))
+    val a = keyed.select(col("t"), col("v"), col("id").as("ida"),
       col("h").as("ha"))
-    val bb = banded.select(col("b"), col("v"), col("id").as("idb"),
+    val bb = keyed.select(col("t"), col("v"), col("id").as("idb"),
       col("h").as("hb"))
-    a.join(bb, Seq("b", "v"))
+    a.join(bb, Seq("t", "v"))
       .where(col("ida") < col("idb"))
       .select(col("ida"), col("idb"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).as("dist"))
-      // A pair sharing k bands appears k times: distinct BEFORE the
-      // filter keeps the exchange width at the candidate set, and the
-      // final predicate is exact.
+      // A pair matching k combination keys appears k times: distinct
+      // BEFORE the filter keeps the exchange width at the candidate
+      // set, and the final predicate is exact.
       .distinct()
-      .where(col("dist") <= maxDist)
   }
 }

@@ -154,6 +154,153 @@ object VideoFixtures {
     encodeJpeg(img)
   }
 
+  // ---- near-duplicate image clusters (the q188 realistic corpus) ----
+
+  private def mix64(z0: Long): Long = {
+    // splitmix64 finalizer (public domain, Steele et al.) — decorrelates
+    // consecutive cluster keys into independent pattern streams.
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** 9×8 block levels for one cluster key. Levels come from a 4-value
+    * palette with every HORIZONTAL neighbor pair at least 64 gray
+    * levels apart — far above worst-case JPEG DC-quantization error at
+    * the fixture's lowest quality — so each of the 62 stable dHash
+    * comparisons keeps a deterministic sign through re-encode, resize,
+    * and noise. Exactly TWO designated "tie" cells (rows 2 and 5,
+    * column keyed per cluster) sit only +2 above their left neighbor:
+    * encoder noise decides those bits per variant — the realistic
+    * few-bit-flip behavior of production near-dups — bounding
+    * within-cluster hamming distance at 2 without fixing it at 0.
+    */
+  private[operators] def neardupPattern(key: Long): Array[Int] = {
+    val palette = Array(16, 80, 144, 208)
+    val lv = new Array[Int](72)
+    val tieCol = Array(
+      java.lang.Long.remainderUnsigned(mix64(key ^ 0x7165L), 8).toInt,
+      java.lang.Long.remainderUnsigned(mix64(key ^ 0x54321L), 8).toInt)
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 9) {
+        val isTie = (r == 2 && c == tieCol(0) + 1) ||
+          (r == 5 && c == tieCol(1) + 1)
+        if (isTie) lv(r * 9 + c) = lv(r * 9 + c - 1) + 2
+        else {
+          val left = if (c == 0) Int.MinValue else lv(r * 9 + c - 1)
+          val cand = palette.filter(p =>
+            c == 0 || math.abs(p - left) >= 64)
+          val pick = java.lang.Long.remainderUnsigned(
+            mix64(key * 72 + r * 9 + c), cand.length.toLong).toInt
+          lv(r * 9 + c) = cand(pick)
+        }
+        c += 1
+      }
+      r += 1
+    }
+    lv
+  }
+
+  private def patternImage(key: Long): java.awt.image.BufferedImage = {
+    // 12-px blocks → 108×96: the 9×8 pattern aligns EXACTLY with the
+    // dHash block-mean grid, so each grid cell's mean is its block
+    // level plus only encoder noise.
+    val lv = neardupPattern(key)
+    val img = new java.awt.image.BufferedImage(108, 96,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < 96) {
+      var x = 0
+      while (x < 108) {
+        val t = lv((y / 12) * 9 + (x / 12))
+        img.setRGB(x, y, (t << 16) | (t << 8) | t)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  private def decodeJpeg(b: Array[Byte]): java.awt.image.BufferedImage = {
+    val img = javax.imageio.ImageIO.read(
+      new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(b)))
+    require(img != null, "fixture JPEG must decode") // builder-produced
+    img
+  }
+
+  /** One member of a near-duplicate image cluster — REAL pipeline
+    * variants of the cluster's base image, not arithmetic hashes:
+    * member 0 is the base encode (q=0.90); 1 decodes and re-encodes at
+    * q=0.35 (heavy requantization); 2 decodes and bilinearly upscales
+    * 1.5× (162×144) then re-encodes; 3 adds deterministic ±3-level
+    * per-pixel noise then re-encodes. `far = true` swaps in an
+    * unrelated pattern stream (key-disjoint via bitwise NOT) — the
+    * non-duplicate negative a near-dup gate must NOT pair.
+    */
+  def neardupJpeg(cluster: Long, member: Int, far: Boolean = false)
+      : Array[Byte] = {
+    val key = if (far) ~cluster else cluster
+    val base = encodeJpegQ(patternImage(key), 0.90f)
+    member match {
+      case _ if far => base // the far singleton needs no variant
+      case 0 => base
+      case 1 => encodeJpegQ(decodeJpeg(base), 0.35f)
+      case 2 =>
+        val img = decodeJpeg(base)
+        val (w, h) = (img.getWidth * 3 / 2, img.getHeight * 3 / 2)
+        val out = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+        } finally g.dispose()
+        encodeJpegQ(out, 0.75f)
+      case _ =>
+        val img = decodeJpeg(base)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val n = (java.lang.Long.remainderUnsigned(
+              mix64(key * 31 + y.toLong * 1024 + x), 7L) - 3L).toInt
+            val t0 = img.getRGB(x, y) & 0xff
+            val t = math.max(0, math.min(255, t0 + n))
+            img.setRGB(x, y, (t << 16) | (t << 8) | t)
+            x += 1
+          }
+          y += 1
+        }
+        encodeJpegQ(img, 0.80f)
+    }
+  }
+
+  private def encodeJpegQ(img: java.awt.image.BufferedImage,
+      quality: Float): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg")
+    require(writers.hasNext, "JDK has no JPEG writer")
+    val w = writers.next()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    try {
+      w.setOutput(ios)
+      val p = w.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally {
+      w.dispose()
+      ios.close()
+    }
+    out.toByteArray
+  }
+
   private def encodeJpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     val writers = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg")

@@ -801,6 +801,55 @@ object MultimodalOps {
           sum(length($"txt")).as("txt_bytes"),
           sum(octet_length($"bin").cast("long")).as("bin_bytes"),
           sum($"ok".cast("long")).as("n_ok"))
+    },
+
+    // ---- q188: UNCAPPED image near-dup on a REALISTIC corpus — the
+    // image-side q37b, clearing q181's gate-cap label. Every doc at
+    // the SF (no id cap) renders a real JPEG: clusters of 4 (doc_id
+    // div 4) share a block-pattern base image, and members are genuine
+    // pipeline variants — base encode, q0.35 re-encode, bilinear 1.5×
+    // upscale, ±3-level pixel noise — so within-cluster hashes differ
+    // by REAL few-bit flips (the 2 designed tie cells), not
+    // arithmetic. Every third cluster's member 3 is a FAR singleton
+    // (unrelated pattern) that must pair with nothing. The oracle is
+    // exact combinatorics per cluster: any within-cluster distance
+    // beyond maxDist, or any false cross/far pair, breaks a count —
+    // certifying decode → dHash → block join end-to-end, uncapped.
+    // Scale: the Manku block-combination kernel (blocks=6 → 20 tables
+    // of ~32-bit keys) keeps CANDIDATES corpus-linear on this
+    // realistic distribution — measured by NeardupProbe; single-band
+    // keys (q181's gate kernel) measured 84× candidate growth at 10×
+    // docs here, which is why the scale path keys on combinations.
+    "q188_image_neardup_real" -> { (s, d) =>
+      import s.implicits._
+      val params = Tables.documents(s, d)
+        .select($"doc_id".cast("long").as("doc_id"))
+        .withColumn("cluster", expr("doc_id div 4"))
+        .withColumn("m", ($"doc_id" % 4).cast("int"))
+        .withColumn("far", $"doc_id" % 4 === 3 &&
+          expr("doc_id div 4") % 3 === 0)
+      val build = udf { (c: Long, m: Int, far: Boolean) =>
+        graft.operators.VideoFixtures.neardupJpeg(c, m, far)
+      }
+      // Persist the hashes: the banded self-join reads this set twice
+      // and the member/pair rollups again — without it the JPEG
+      // encode+decode UDF (the expensive column) would run 4×.
+      val hashed = params
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("h", graft.operators.ImagePhash.imageDhash(
+          build($"cluster", $"m", $"far")))
+        .select($"doc_id", $"cluster", $"h")
+        .persist()
+      val pairs = graft.operators.ImagePhash.hammingPairs(
+        hashed, "doc_id", "h", maxDist = 3, blocks = 6)
+      val members = hashed.groupBy($"cluster")
+        .agg(count(lit(1)).as("n_members"))
+      val counts = pairs
+        .join(hashed.select($"doc_id".as("ida"), $"cluster"), "ida")
+        .groupBy($"cluster").agg(count(lit(1)).as("n_pairs"))
+      members.join(counts, Seq("cluster"), "left")
+        .select($"cluster", $"n_members",
+          coalesce($"n_pairs", lit(0L)).as("n_pairs"))
     }
   )
 
@@ -1065,6 +1114,21 @@ object MultimodalOps {
         |    i -> 7 + i % 5)) AS BIGINT) AS bin_bytes,
         |  CAST(n AS BIGINT) AS n_ok
         |FROM p""".stripMargin,
+
+    // Exact cluster combinatorics: k·(k−1)/2 pairs over the in-dup
+    // members (member 3 of every third cluster is the far singleton
+    // and must contribute NO pair); any real-variant hash drifting
+    // past maxDist, or any false cross-cluster pair, breaks a count.
+    "q188_image_neardup_real" ->
+      """WITH p AS (
+        |  SELECT doc_id // 4 AS cluster,
+        |    CASE WHEN doc_id % 4 = 3 AND (doc_id // 4) % 3 = 0
+        |         THEN 0 ELSE 1 END AS indup
+        |  FROM documents)
+        |SELECT CAST(cluster AS BIGINT) AS cluster,
+        |  CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  CAST(SUM(indup) * (SUM(indup) - 1) // 2 AS BIGINT) AS n_pairs
+        |FROM p GROUP BY 1""".stripMargin,
 
     // Every decoded value is pinned by build arithmetic: keyframes are
     // samples 1, 1+ke, ...; frame i's channel buckets are the mod-8

@@ -87,4 +87,57 @@ class ImagePhashSpec extends SparkSpec {
       ImagePhash.bandedHammingPairs(df, "id", "h", maxDist = 1, bands = 5)
     }
   }
+
+  test("hammingPairs (block combinations) matches brute force exactly") {
+    import spark.implicits._
+    // Structured + adversarial hashes: identical, 1..5-bit flips at
+    // block boundaries (bits 10/11, 21, 31/32, 42, 53 straddle the
+    // 6-block edges), plus random-ish values.
+    val rnd = new scala.util.Random(42)
+    val hs = (Seq(0L, 1L, 3L, 1L << 10, 1L << 11, (1L << 10) | (1L << 11),
+      -1L, -2L, 0x5555555555555555L, 0x5555555555545555L) ++
+      (0 until 40).map(_ => rnd.nextLong())).zipWithIndex
+      .map { case (h, i) => (i.toLong, h) }
+    val df = hs.toDF("id", "h")
+    for (maxDist <- Seq(0, 1, 3, 5); blocks <- Seq(6, 8)) {
+      if (maxDist < blocks) {
+        val got = ImagePhash.hammingPairs(df, "id", "h", maxDist, blocks)
+          .as[(Long, Long, Int)].collect().toSet
+        val want = (for {
+          (ia, ha) <- hs; (ib, hb) <- hs if ia < ib
+          d = java.lang.Long.bitCount(ha ^ hb) if d <= maxDist
+        } yield (ia, ib, d)).toSet
+        assert(got == want, s"maxDist=$maxDist blocks=$blocks")
+      }
+    }
+  }
+
+  test("neardupJpeg clusters: real variants stay within 2 bits, " +
+    "cross-cluster and far members stay far (the q188 contract)") {
+    def dh(b: Array[Byte]): Long = ImagePhash.dhashOf(b).get
+    val clusters = 0L until 40L
+    val hashes = clusters.map { c =>
+      (0 until 4).map(m => dh(VideoFixtures.neardupJpeg(c, m)))
+    }
+    // Within-cluster: every variant pair within the 2 designed tie bits.
+    hashes.foreach { hs =>
+      for (i <- hs.indices; j <- (i + 1) until hs.length) {
+        val d = java.lang.Long.bitCount(hs(i) ^ hs(j))
+        assert(d <= 2, s"within-cluster dist $d > 2")
+      }
+    }
+    // Cross-cluster: far beyond the gate's maxDist = 3.
+    for (a <- clusters.indices; b <- (a + 1) until clusters.length) {
+      val d = java.lang.Long.bitCount(hashes(a).head ^ hashes(b).head)
+      assert(d > 10, s"cross-cluster dist $d suspiciously low")
+    }
+    // The far singleton pairs with NOTHING — not its own cluster, not
+    // any other cluster's base.
+    clusters.take(10).foreach { c =>
+      val far = dh(VideoFixtures.neardupJpeg(c, 3, far = true))
+      hashes.flatten.foreach { h =>
+        assert(java.lang.Long.bitCount(far ^ h) > 10)
+      }
+    }
+  }
 }
