@@ -183,6 +183,52 @@ object Warc {
     */
   def payloadOf(i: Int): String = "body-" * (1 + i % 3) + i.toString
 
+  /** A web-CRAWL archive on a deterministic schedule — the q189
+    * streaming-pipeline corpus. Record i (0-based) of `n` cycles three
+    * classes (i % 3): 0 = an HTML response whose content paragraph is
+    * `web-<i>` behind the standard link-dense nav (the q185
+    * boilerplate shape); 1 = a nav-only boilerplate page (extraction
+    * leaves zero blocks); 2 = a binary non-HTML payload (quarantine).
+    * Every record's Target-URI is deliberately messy — uppercase
+    * scheme/host, default port, dot-segments, %7E escape, tracking
+    * param, fragment — and canonicalizes to
+    * `http://www.site<docId%5>.com/a/p/~doc<docId>?x=<i>`.
+    */
+  def webFixture(docId: Long, n: Int, gz: Boolean = false): Array[Byte] = {
+    val sb = new java.io.ByteArrayOutputStream()
+    (0 until n).foreach { i =>
+      val uri = s"HTTP://WWW.Site${docId % 5}.COM:80/a/b/../p/" +
+        s"%7Edoc$docId?utm_source=feed&x=$i#top"
+      val nav = "<nav><a href=\"/\">Home</a> <a href=\"/b\">B</a></nav>"
+      val (ctype, payload) = (i % 3) match {
+        case 0 => ("text/html",
+          ("<html><head><title>t</title></head><body>" + nav +
+            s"<p>web-$i</p></body></html>").getBytes("UTF-8"))
+        case 1 => ("text/html",
+          ("<html><body>" + nav + "</body></html>").getBytes("UTF-8"))
+        case _ => ("application/octet-stream",
+          Array.tabulate[Byte](7 + i)(j => j.toByte))
+      }
+      val hdr = "WARC/1.0" + Crlf +
+        "WARC-Type: response" + Crlf +
+        s"WARC-Target-URI: $uri" + Crlf +
+        s"WARC-Record-ID: <urn:uuid:$docId-$i>" + Crlf +
+        s"Content-Type: $ctype" + Crlf +
+        s"Content-Length: ${payload.length}" + Crlf + Crlf
+      sb.write(hdr.getBytes("UTF-8"))
+      sb.write(payload)
+      sb.write((Crlf + Crlf).getBytes("UTF-8"))
+    }
+    val raw = sb.toByteArray
+    if (!gz) raw
+    else {
+      val out = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(out)
+      g.write(raw); g.close()
+      out.toByteArray
+    }
+  }
+
   def fixture(nRecords: Int, gz: Boolean = false): Array[Byte] = {
     val sb = new java.io.ByteArrayOutputStream()
     (0 until nRecords).foreach { i =>

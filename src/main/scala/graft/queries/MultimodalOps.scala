@@ -850,6 +850,94 @@ object MultimodalOps {
       members.join(counts, Seq("cluster"), "left")
         .select($"cluster", $"n_members",
           coalesce($"n_pairs", lit(0L)).as("n_pairs"))
+    },
+
+    // ---- q189: STREAMING web-ingest pipeline through the journal
+    // write path (VERDICT r10 #2) — the production Common-Crawl
+    // firehose composition: WARC corpus replayed as a file stream
+    // (4 files → 4 micro-batches) → Warc.explodeRecords →
+    // HtmlExtract.htmlText → UrlNorm.canonicalize dedup keys →
+    // routed at write time into keep / boilerplate / quarantine
+    // journals through the crash-atomic foreachBatch sink → read-back.
+    // The oracle is pure batch arithmetic over the same fixture
+    // schedule, so the streamed route and the declared semantics
+    // cannot drift — the web-side q176, composing all four r10 web
+    // kernels through the real write path, where composition bugs
+    // batch gates cannot see live (q167/q176 both caught one).
+    "q189_web_pipeline_streaming" -> { (s, d) =>
+      import s.implicits._
+      import java.nio.file.Paths
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.sources.Journal
+      val root = s"/tmp/graft-journals/web-${d.replace('/', '_')}"
+      StreamOps.deleteRecursively(Paths.get(root))
+      val params = Tables.documents(s, d)
+        .select($"doc_id".cast("long").as("doc_id"))
+        .withColumn("n", (lit(3) + $"doc_id" % 4).cast("int"))
+        .withColumn("gz", $"doc_id" % 2 === 1)
+      val build = udf { (docId: Long, n: Int, gz: Boolean) =>
+        graft.operators.Warc.webFixture(docId, n, gz)
+      }
+      val corpus = params.select($"doc_id",
+        build($"doc_id", $"n", $"gz").as("content"))
+      val stage = s"$root/stage"
+      corpus.repartition(4).write.parquet(stage)
+      val src = s.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+      // The whole triage is one stateless projection: archive explode,
+      // HTML extraction, URL canonicalization, route decision — zero
+      // exchanges before the sink.
+      val recs = graft.operators.Warc.explodeRecords(src,
+        blobCol = "content", keep = Seq("doc_id"))
+      val routed = recs
+        .withColumn("i",
+          regexp_extract($"target_uri", "[?&]x=(\\d+)", 1).cast("long"))
+        .withColumn("url",
+          graft.operators.UrlNorm.urlCanonical($"target_uri"))
+        .withColumn("is_html", $"content_type" === "text/html")
+        // Mask extraction to HTML records AFTER computing it — the
+        // kernel is total (garbage in, counted blocks out), and the
+        // when() keeps quarantine rows' stats NULL as the oracle
+        // demands.
+        .withColumn("hx", graft.operators.HtmlExtract.htmlText(
+          $"payload".cast("string")))
+        .withColumn("h", when($"is_html", $"hx"))
+        .withColumn("route",
+          when(!$"is_html", lit("quarantine"))
+            .when($"h.n_blocks" > 0, lit("keep"))
+            .otherwise(lit("boilerplate")))
+        .select($"route", to_json(struct($"doc_id", $"i", $"route",
+          $"url", length($"h.text").cast("long").as("n_chars"),
+          $"h.n_links".cast("long").as("n_links"))).as("payload"))
+      val q = routed.writeStream
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          // All three routes consume the batch: materialize once so
+          // the explode+extract+canonicalize triage runs once per
+          // record, not thrice.
+          df.persist()
+          try {
+            Journal.batchSink(root, "web/keep", codec = "gz")(
+              df.filter($"route" === "keep").select($"payload"), batchId)
+            Journal.batchSink(root, "web/boilerplate", codec = "gz")(
+              df.filter($"route" === "boilerplate").select($"payload"),
+              batchId)
+            Journal.batchSink(root, "web/quarantine", codec = "gz")(
+              df.filter($"route" === "quarantine").select($"payload"),
+              batchId)
+          } finally df.unpersist()
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(600000), "q189 stream drain timed out")
+      val frame = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, i BIGINT, route STRING, url STRING, " +
+          "n_chars BIGINT, n_links BIGINT")
+      Seq("web/keep", "web/boilerplate", "web/quarantine")
+        .map(j => Journal.read(s, root, j).toDF())
+        .reduce(_ unionByName _)
+        .select(from_json($"payload", frame).as("r"))
+        .select($"r.doc_id", $"r.i", $"r.route", $"r.url", $"r.n_chars",
+          $"r.n_links")
     }
   )
 
@@ -1129,6 +1217,26 @@ object MultimodalOps {
         |  CAST(COUNT(*) AS BIGINT) AS n_members,
         |  CAST(SUM(indup) * (SUM(indup) - 1) // 2 AS BIGINT) AS n_pairs
         |FROM p GROUP BY 1""".stripMargin,
+
+    // The fixture schedule replayed as batch arithmetic: record i of
+    // 3 + doc_id%4 cycles keep (content 'web-<i>' = 5 chars) /
+    // boilerplate (nav-only, 0 chars) / quarantine (non-HTML → NULL
+    // stats); the canonical URL is the RFC-3986 form of the messy
+    // Target-URI the archive actually carries.
+    "q189_web_pipeline_streaming" ->
+      """WITH p AS (
+        |  SELECT doc_id, unnest(range(0, 3 + doc_id % 4)) AS i
+        |  FROM documents)
+        |SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |  CASE CAST(i % 3 AS INT) WHEN 0 THEN 'keep'
+        |       WHEN 1 THEN 'boilerplate' ELSE 'quarantine' END AS route,
+        |  'http://www.site' || (doc_id % 5) || '.com/a/p/~doc' ||
+        |    doc_id || '?x=' || i AS url,
+        |  CASE WHEN i % 3 = 0 THEN CAST(5 AS BIGINT)
+        |       WHEN i % 3 = 1 THEN CAST(0 AS BIGINT) END AS n_chars,
+        |  CASE WHEN i % 3 = 2 THEN NULL
+        |       ELSE CAST(2 AS BIGINT) END AS n_links
+        |FROM p""".stripMargin,
 
     // Every decoded value is pinned by build arithmetic: keyframes are
     // samples 1, 1+ke, ...; frame i's channel buckets are the mod-8
