@@ -10,7 +10,13 @@ import org.apache.spark.sql.types._
   *
   * The default PIXEL decode step is a clearly-marked STUB (this
   * container ships no codec libraries): `decodeStub` derives
-  * deterministic pseudo-features from the raw bytes. HEADER decoding
+  * deterministic pseudo-features from the raw bytes. The stub
+  * boundary is now a formal SPI — [[SampleDecoder]]: the certified
+  * keyframe-slicing plan ([[decodeKeyframes]]) resolves a
+  * FrameDecoder per container codec id and [[decodeAudioFeatures]]
+  * walks a PcmDecoder chain, so a deployment PLUGS AVC/HEVC/VP9/AV1
+  * or MP3/AAC/Opus decoders in without editing the engine; unplugged
+  * codecs keep the quarantine behavior. HEADER decoding
   * is real: [[ImageHeader]] parses PNG/JPEG/GIF/BMP geometry and
   * channels from a blob's leading bytes (JDK-only), so
   * [[aspectBuckets]] and [[resizePlan]] run on actual media via
@@ -61,7 +67,9 @@ object Multimodal {
     * MP4/AVI metadata plus exact keyframe byte ranges, so only
     * sync-sample payloads reach the decoder); compressed audio
     * (MP3/AAC) and video CODEC decode of those payloads remain
-    * stubbed behind this shape.
+    * stubbed behind this shape — and the [[SampleDecoder]] SPI is
+    * where a deployment plugs the real ones into the certified
+    * slicing plan.
     */
   private def decodeStub(media: Array[Byte]): (Long, Long, Long) = {
     var sum = 0L
@@ -220,7 +228,8 @@ object Multimodal {
     * format — it exits before the finally), so that path closes here,
     * or every undecodable blob leaks its cache segments until GC.
     */
-  private def decodeImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
+  private[operators] def decodeImage(bytes: Array[Byte])
+      : java.awt.image.BufferedImage =
     if (bytes == null) null
     else try {
       val stream = new javax.imageio.stream.MemoryCacheImageInputStream(
@@ -297,26 +306,20 @@ object Multimodal {
         col("r._2").as("target_h"), col("r._3").as("rgb"))
   }
 
-  /** Executor-local audio decode via `javax.sound.sampled` — the JDK
-    * ships WAV/AIFF/AU readers (PCM; no MP3/AAC, which need codec
-    * libraries and stay stubbed). Returns null on undecodable bytes,
-    * mirroring [[decodeImage]]'s quarantine rule.
+  /** Executor-local audio decode through the [[SampleDecoder.PcmDecoder]]
+    * chain — first provider whose magic-byte `claims` matches wins.
+    * The default chain is `javax.sound.sampled` (WAV/AIFF/AU; the JDK
+    * ships no MP3/AAC/Opus codec — a deployment prepends those
+    * providers). Returns null on unclaimed/undecodable bytes,
+    * mirroring [[decodeImage]]'s quarantine rule. Providers return
+    * 16-bit signed little-endian PCM at the source rate, so feature
+    * extraction reads ONE sample layout regardless of the file's.
     */
-  private def decodeAudio(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream =
+  private def decodeAudio(bytes: Array[Byte],
+      decoders: Seq[SampleDecoder.PcmDecoder])
+      : javax.sound.sampled.AudioInputStream =
     if (bytes == null) null
-    else try {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      // Normalize to 16-bit signed PCM at the source rate so feature
-      // extraction reads ONE sample layout regardless of the file's
-      // (8-bit unsigned WAV, big-endian AIFF, ...).
-      val f = in.getFormat
-      val target = new javax.sound.sampled.AudioFormat(
-        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
-        f.getSampleRate, 16, f.getChannels, 2 * f.getChannels,
-        f.getSampleRate, false)
-      javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
-    } catch { case scala.util.control.NonFatal(_) => null }
+    else decoders.find(_.claims(bytes)).flatMap(_.decode(bytes)).orNull
 
   /** OPTIONAL executor-local full audio decode (the audio sibling of
     * [[decodeImages]], closing the round-8 "audio stays stubbed" gap
@@ -336,9 +339,11 @@ object Multimodal {
     * RMS ≈ A/√2, ZCR ≈ 2·f·dur); the oracle gate keeps the
     * byte-statistics path ([[extractFeatures]]) DuckDB can mirror.
     */
-  def decodeAudioFeatures(media: DataFrame, blobCol: String = "media"): DataFrame = {
+  def decodeAudioFeatures(media: DataFrame, blobCol: String = "media",
+      decoders: Seq[SampleDecoder.PcmDecoder] =
+        SampleDecoder.pcmDefaults): DataFrame = {
     val dec = udf { bytes: Array[Byte] =>
-      val in = decodeAudio(bytes)
+      val in = decodeAudio(bytes, decoders)
       if (in == null) None
       else try {
         val f = in.getFormat
@@ -395,49 +400,50 @@ object Multimodal {
       .drop("_au")
   }
 
-  /** Video codecs whose sample payloads the JDK can rasterize: each
-    * Motion-JPEG sample IS a baseline JPEG (`jpeg` is the 14496-12/
-    * QuickTime sample-entry fourcc, `mjpa`/`mjpb` the QuickTime
-    * field-coded variants, `MJPG`/`mjpg`/`AVDJ`/`dmb1` the RIFF-world
-    * spellings, `V_MJPEG` the Matroska codec id). Everything else
-    * (AVC/HEVC/VP9/AV1...) needs a codec library and stays the
-    * documented stub.
-    */
-  private val JpegVideoCodecs =
-    Set("jpeg", "mjpa", "mjpb", "MJPG", "mjpg", "AVDJ", "dmb1", "V_MJPEG")
-
-  /** REAL video pixel decode for the JDK-decodable codec family —
-    * Motion-JPEG: [[VideoContainer.keyframePayloads]] slices each sync
-    * sample's exact byte range out of the blob (non-key bytes never
-    * leave the scan) and, because every MJPEG sample is a standalone
-    * baseline JPEG, `javax.imageio` rasterizes it with no codec
-    * library. Output: one row per keyframe — (doc_id, sample,
-    * frame_w, frame_h, mean_r, mean_g, mean_b) with integer (floored)
-    * per-channel raster means; a payload ImageIO cannot decode keeps
-    * NULL frame fields (the [[decodeImages]] quarantine rule, so a
-    * corrupt frame is visible rather than dropped).
+  /** REAL video pixel decode through the [[SampleDecoder]] SPI: the
+    * container layer slices each sync sample's exact byte range out of
+    * the blob (non-key bytes never leave the scan), and the decode
+    * step resolves a [[SampleDecoder.FrameDecoder]] by the container's
+    * codec id. The default provider set is the JDK-decodable family —
+    * Motion-JPEG via `javax.imageio` ([[SampleDecoder.ImageIoFrames]]);
+    * a deployment PREPENDS its codec-library providers (AVC, HEVC,
+    * VP9, AV1 ...) and those codecs ride this exact certified slicing
+    * plan — no engine edit. Output: one row per keyframe — (doc_id,
+    * sample, frame_w, frame_h, mean_r, mean_g, mean_b) with integer
+    * (floored) per-channel raster means; a payload the resolved
+    * provider cannot decode keeps NULL frame fields (the
+    * [[decodeImages]] quarantine rule, so a corrupt frame is visible
+    * rather than dropped).
     *
-    * Blobs whose container codec is NOT in the MJPEG family are
-    * excluded (that decode IS the stub boundary); route mixed corpora
-    * with [[MediaRouter]] first. Scale shape: two narrow per-row maps
-    * (container walk, then decode of only keyframe bytes) — no
-    * shuffle, no driver collect; the decode cost rides the keyframe
-    * byte volume, which stss-slicing already minimized.
+    * Blobs whose container codec NO provider claims are excluded
+    * (that decode IS the stub boundary, now exactly the unplugged
+    * codecs); route mixed corpora with [[MediaRouter]] first. Scale
+    * shape: two narrow per-row maps (container walk, then decode of
+    * only keyframe bytes) — no shuffle, no driver collect; the decode
+    * cost rides the keyframe byte volume, which stss-slicing already
+    * minimized. Decoders are captured in the UDF closure, so they
+    * serialize to executors with the plan.
     */
-  def decodeKeyframes(media: DataFrame, blobCol: String = "media"): DataFrame = {
+  def decodeKeyframes(media: DataFrame, blobCol: String = "media",
+      decoders: Seq[SampleDecoder.FrameDecoder] =
+        SampleDecoder.frameDefaults): DataFrame = {
+    val claimed: Set[String] = decoders.flatMap(_.codecs).toSet
     // ONE container parse per blob: codec gate + range map from the
-    // same kernel call (null = not video / not an MJPEG family codec),
-    // instead of a parse for the filter and a second for the map.
+    // same kernel call (null = not video / no provider claims the
+    // codec), instead of a parse for the filter and a second for the
+    // map. The codec id rides along so the decode step resolves the
+    // same provider the gate admitted.
     val kfs = udf { bytes: Array[Byte] =>
-      VideoContainer.codecRanges(bytes, JpegVideoCodecs.contains)
-        .orElse(MkvContainer.codecRanges(bytes, JpegVideoCodecs.contains)) match {
-        case Some((codec, ranges)) if JpegVideoCodecs.contains(codec) =>
-          Some(ranges.map(k => (k.sample, k.offset, k.size)))
+      VideoContainer.codecRanges(bytes, claimed.contains)
+        .orElse(MkvContainer.codecRanges(bytes, claimed.contains)) match {
+        case Some((codec, ranges)) if claimed.contains(codec) =>
+          Some((codec, ranges.map(k => (k.sample, k.offset, k.size))))
         case _ => None
       }
     }
-    val dec = udf { bytes: Array[Byte] =>
-      val img = decodeImage(bytes)
+    val dec = udf { (codec: String, bytes: Array[Byte]) =>
+      val img = decoders.find(_.codecs.contains(codec))
+        .flatMap(_.decode(codec, bytes)).orNull
       if (img == null) None
       else {
         val w = img.getWidth
@@ -458,13 +464,15 @@ object Multimodal {
     media
       .select(col("doc_id").cast("long").as("doc_id"),
         col(blobCol).as("_b"),
-        kfs(col(blobCol))
-          .cast("array<struct<sample:int,offset:bigint,size:bigint>>")
-          .as("_kfs"))
-      .filter(col("_kfs").isNotNull)
-      .select(col("doc_id"), col("_b"), explode(col("_kfs")).as("kf"))
+        kfs(col(blobCol)).cast("struct<codec:string," +
+            "kfs:array<struct<sample:int,offset:bigint,size:bigint>>>")
+          .as("_ck"))
+      .filter(col("_ck").isNotNull)
+      .select(col("doc_id"), col("_b"), col("_ck.codec").as("_codec"),
+        explode(col("_ck.kfs")).as("kf"))
       .select(col("doc_id"), col("kf.sample").as("sample"),
-        dec(expr("substring(_b, kf.offset + 1, kf.size)")).as("_f"))
+        dec(col("_codec"),
+          expr("substring(_b, kf.offset + 1, kf.size)")).as("_f"))
       .select(col("doc_id"), col("sample"),
         col("_f._1").as("frame_w"), col("_f._2").as("frame_h"),
         col("_f._3").as("mean_r"), col("_f._4").as("mean_g"),
