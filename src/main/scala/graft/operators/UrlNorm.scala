@@ -20,10 +20,11 @@ import org.apache.spark.sql.functions._
   *    empty query dropped.
   *  - fragment dropped (never sent to the server).
   *
-  * [[registrableDomain]] gives the per-site grouping key (host minus
-  * subdomains under a small embedded multi-label-TLD list — the
-  * public-suffix IDEA with an explicitly-bounded table; a deployment
-  * swaps in the full PSL snapshot).
+  * [[registrableDomain]] gives the per-site grouping key: the host
+  * cut at its public suffix by [[PublicSuffixList]] rules (the
+  * published plain/wildcard/exception format; the embedded bounded
+  * subset by default, `PublicSuffixList.fromFile` loads a full
+  * deployment snapshot).
   *
   * Scale shape: narrow per-row map, no shuffle.
   */
@@ -33,14 +34,6 @@ object UrlNorm {
     Set("gclid", "fbclid", "msclkid", "ref_src")
   private def isTracking(k: String): Boolean =
     k.startsWith("utm_") || TrackingKeys.contains(k)
-
-  /** Multi-label suffixes the registrable-domain cut must keep whole
-    * (bounded embedded subset; the full public-suffix list is a data
-    * file a deployment provides).
-    */
-  private val MultiLabelTlds = Set("co.uk", "ac.uk", "gov.uk", "org.uk",
-    "com.au", "net.au", "org.au", "co.jp", "or.jp", "ne.jp", "co.kr",
-    "com.br", "com.cn", "com.mx", "co.in", "co.nz", "com.sg", "com.tw")
 
   private def hexVal(c: Char): Int =
     if (c >= '0' && c <= '9') c - '0'
@@ -152,9 +145,15 @@ object UrlNorm {
   }
 
   /** Registrable domain of a canonical URL or bare host: the one
-    * label above the (multi-label-aware) public suffix.
+    * label above the public suffix, cut by [[PublicSuffixList]] rules
+    * (plain, wildcard, exception — the published format). The default
+    * [[PublicSuffixList.embedded]] subset keeps the engine
+    * self-contained; a deployment passes
+    * `PublicSuffixList.fromFile(...)` of the full published snapshot
+    * for exact cuts on the long tail (`*.co.za`, `*.com.tr`, ...).
     */
-  def registrableDomain(hostOrUrl: String): String = {
+  def registrableDomain(hostOrUrl: String,
+      psl: PublicSuffixList = PublicSuffixList.embedded): String = {
     if (hostOrUrl == null) return null
     var h = hostOrUrl
     val se = h.indexOf("://")
@@ -168,11 +167,7 @@ object UrlNorm {
     if (colon >= 0 && h.drop(colon + 1).forall(_.isDigit))
       h = h.substring(0, colon)
     if (h.isEmpty || h.forall(c => c.isDigit || c == '.')) return h // IP
-    val labels = h.split("\\.")
-    if (labels.length <= 2) return h
-    val lastTwo = labels.takeRight(2).mkString(".")
-    val suffixLen = if (MultiLabelTlds.contains(lastTwo)) 2 else 1
-    labels.takeRight(suffixLen + 1).mkString(".")
+    psl.registrable(h)
   }
 
   def urlCanonical(url: Column): Column = {
@@ -180,8 +175,9 @@ object UrlNorm {
     f(url)
   }
 
-  def urlDomain(url: Column): Column = {
-    val f = udf { s: String => Option(registrableDomain(s)) }
+  def urlDomain(url: Column,
+      psl: PublicSuffixList = PublicSuffixList.embedded): Column = {
+    val f = udf { s: String => Option(registrableDomain(s, psl)) }
     f(url)
   }
 }

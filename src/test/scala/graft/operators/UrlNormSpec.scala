@@ -48,6 +48,43 @@ class UrlNormSpec extends SparkSpec {
     assert(registrableDomain(null) == null)
   }
 
+  test("PublicSuffixList: wildcard and exception rules (published " +
+    "format), file loading, and the embedded fallback") {
+    // The spec's own canonical example: *.ck is a wildcard public
+    // suffix EXCEPT www.ck.
+    val psl = PublicSuffixList.parse(Iterator(
+      "// comment lines skip",
+      "com", "co.za  // trailing token ignored per first-whitespace rule",
+      "*.ck", "!www.ck", ""))
+    assert(UrlNorm.registrableDomain("foo.bar.ck", psl) == "foo.bar.ck")
+    assert(UrlNorm.registrableDomain("a.foo.bar.ck", psl) == "foo.bar.ck")
+    assert(UrlNorm.registrableDomain("www.ck", psl) == "www.ck")
+    assert(UrlNorm.registrableDomain("sub.www.ck", psl) == "www.ck")
+    assert(UrlNorm.registrableDomain("x.y.co.za", psl) == "y.co.za")
+    assert(UrlNorm.registrableDomain("a.b.example.com", psl)
+      == "example.com")
+    // Unlisted TLD: the implicit default rule (last label).
+    assert(UrlNorm.registrableDomain("a.b.example.zz", psl)
+      == "example.zz")
+    // A host that IS a public suffix stays whole (total function).
+    assert(UrlNorm.registrableDomain("co.za", psl) == "co.za")
+    // File loading: same snapshot through the deployment knob.
+    val f = java.io.File.createTempFile("psl", ".dat")
+    try {
+      java.nio.file.Files.write(f.toPath,
+        "// test PSL\ncom\n*.ck\n!www.ck\nco.za\n".getBytes("UTF-8"))
+      val loaded = PublicSuffixList.fromFile(f.getPath)
+      assert(UrlNorm.registrableDomain("a.foo.bar.ck", loaded)
+        == "foo.bar.ck")
+      assert(UrlNorm.registrableDomain("sub.www.ck", loaded) == "www.ck")
+    } finally f.delete()
+    // Embedded fallback unchanged: the q186 contract.
+    assert(UrlNorm.registrableDomain("www7.example0.com")
+      == "example0.com")
+    assert(UrlNorm.registrableDomain("deep.sub.example.co.uk")
+      == "example.co.uk")
+  }
+
   test("empty port strips like the default port (review fix)") {
     assert(canonicalize("http://example.com:/a")
       == canonicalize("http://example.com/a"))
