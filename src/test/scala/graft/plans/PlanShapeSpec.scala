@@ -213,6 +213,60 @@ class PlanShapeSpec extends SparkSpec {
         s"(remove them): ${stale.mkString(", ")}")
   }
 
+  test("q184/q187 archive explodes run executor-side with one exchange " +
+    "(the per-doc aggregate) and no join") {
+    for (q <- Seq("q184_warc_ingest", "q187_webdataset")) {
+      val p = plan(q)
+      assert(p.contains("Generate"),
+        s"$q: the archive explode must be a generator, not a join-back")
+      val exchanges = "Exchange".r.findAllIn(p).size
+      assert(exchanges == 1,
+        s"$q: only the per-doc aggregate may shuffle, got $exchanges:\n$p")
+      assert(!p.contains("Join"), s"$q must not join at all")
+    }
+  }
+
+  test("q181/q188 hamming near-dup candidates come from the banded " +
+    "equi-join (band keys explode executor-side, dedup aggregates)") {
+    for (q <- Seq("q181_hamming_neardup", "q188_image_neardup_real")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: candidates must come from the (table, key) equi-join")
+      assert(p.contains("Generate"),
+        s"$q: band/combination keys must explode executor-side")
+      assert(p.contains("HashAggregate"),
+        s"$q: multi-key candidate matches must dedup via aggregate")
+    }
+    // q188 hashes once: the expensive decode UDF feeds the join's two
+    // sides and both rollups through ONE persisted set.
+    assert(plan("q188_image_neardup_real").contains("InMemoryTableScan"),
+      "q188: the hash set must be persisted, not re-decoded per arm")
+  }
+
+  test("streaming web/media triage (the q176/q189 in-flight stage) is " +
+    "a stateless projection: zero exchanges before the sink") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // Pin the SAME batch composition the streams run per micro-batch.
+    val web = Seq((1L, graft.operators.Warc.webFixture(1L, 3)))
+      .toDF("doc_id", "content")
+    val webTriage = graft.operators.Warc.explodeRecords(web,
+        blobCol = "content", keep = Seq("doc_id"))
+      .withColumn("url", graft.operators.UrlNorm.urlCanonical(
+        $"target_uri"))
+      .withColumn("h", graft.operators.HtmlExtract.htmlText(
+        $"payload".cast("string")))
+    assert(!webTriage.queryExecution.executedPlan.toString
+      .contains("Exchange"), "q189 triage must not shuffle")
+    val media = Seq((1L, "not media".getBytes("UTF-8")))
+      .toDF("doc_id", "media")
+    val mediaTriage = graft.operators.MediaRouter.route(media)
+    assert(!mediaTriage.queryExecution.executedPlan.toString
+      .contains("Exchange"), "q176 triage must not shuffle")
+  }
+
   test("q149 waterfill shuffles the corpus exactly once (per-source agg)") {
     // Everything after the source-keyed aggregate runs on |sources|
     // rows: the windows sit over a SinglePartition exchange, never a
