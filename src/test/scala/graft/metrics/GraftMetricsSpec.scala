@@ -75,6 +75,45 @@ class GraftMetricsSpec extends SparkSpec {
     assert(ctr(s"journal.$tag.read.bytes") == rb0 + Journal.head(root, j))
   }
 
+  test("per-process contract across JVMs: executor spool counters " +
+    "surface per-JVM and sum to the total; driver commit counters " +
+    "stay authoritative") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-metrics").toString
+    val j = "metrics/x"
+    val tag = GraftMetrics.journalTag(j)
+    val name = s"journal.$tag.append.records"
+    // Read the counter INSIDE tasks: each task sees its own JVM's
+    // registry (the per-process Prometheus model — each process
+    // counts what IT did; the scraper sums). Dedupe by executor id.
+    def perJvm(): Map[String, Long] =
+      spark.sparkContext.parallelize(1 to 64, 16)
+        .map(_ => (org.apache.spark.SparkEnv.get.executorId,
+          GraftMetrics.counterValue(name)))
+        .collect().toMap
+    val before = perJvm()
+    val txns0 = ctr(s"journal.$tag.append.txns")
+    Journal.append((1 to 300).map(i => s"r-$i").toDF("payload")
+      .repartition(4), root, j)
+    // Driver-side commit counters and the head gauge are authoritative
+    // under ANY master — the commit happens on the driver.
+    assert(ctr(s"journal.$tag.append.txns") == txns0 + 1)
+    assert(GraftMetrics.gaugeValue(s"journal.$tag.write.head")
+      .contains(Journal.head(root, j)))
+    // Executor-side spool counts: per-JVM values summing to the total,
+    // whether the spooling ran in one JVM (local) or several
+    // (local-cluster).
+    val after = perJvm()
+    val delta = after.map { case (ex, v) =>
+      v - before.getOrElse(ex, 0L) }.sum
+    assert(delta == 300L,
+      s"per-JVM spool deltas must sum to the append: $before -> $after")
+    // Under a multi-process master the driver registry saw none of the
+    // spooling — the scaladoc's per-process claim, asserted.
+    if (!singleJvm) assert(ctr(name) == 0L,
+      "driver registry must not see executor-side spooling")
+  }
+
   test("sequencer outcome counters count commits, dups, acks, rollbacks, regressions") {
     import Sequencer._
     def env(clock: Long, flags: Int, off: Long) =
