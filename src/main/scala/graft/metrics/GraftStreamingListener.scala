@@ -22,7 +22,12 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   *    here).
   *
   * Attach once per session via [[GraftMetrics.attachListener]].
-  * Unnamed queries fall back to their stable query id.
+  * Unnamed queries fall back to their stable query id. Two queries
+  * RUNNING CONCURRENTLY under the same display name would merge
+  * counters silently, so the second-comer's key gets an id suffix
+  * (`<name>-<id8>`) while the clash lasts; a restart of the same
+  * query (previous run terminated) keeps the bare name and its
+  * counters continue.
   */
 class GraftStreamingListener extends StreamingQueryListener {
   import StreamingQueryListener._
@@ -30,14 +35,23 @@ class GraftStreamingListener extends StreamingQueryListener {
   private def nameOf(name: String, id: java.util.UUID): String =
     if (name != null && name.nonEmpty) name else id.toString
 
-  // TerminatedEvent carries only ids: remember each query's display
-  // name so `active` flips to 0 under the same key it was set under.
-  private val names =
-    new java.util.concurrent.ConcurrentHashMap[java.util.UUID, String]()
+  // TerminatedEvent carries only ids: remember each query's metric
+  // key so `active` flips to 0 under the same key it was set under
+  // (and so progress events reuse the clash-suffixed key). JVM-global
+  // (companion), not per-listener: the metric REGISTRY is JVM-global,
+  // and the clash case is precisely two SESSIONS running same-named
+  // queries (one session's manager already forbids duplicate active
+  // names), each with its own listener instance.
+  private def names = GraftStreamingListener.names
 
   override def onQueryStarted(e: QueryStartedEvent): Unit = {
-    val q = nameOf(e.name, e.id)
-    names.put(e.id, q)
+    val base = nameOf(e.name, e.id)
+    val q = names.synchronized {
+      val clash = names.values().contains(base)
+      val key = if (clash) s"$base-${e.id.toString.take(8)}" else base
+      names.put(e.id, key)
+      key
+    }
     GraftMetrics.setGauge(s"query.$q.active", 1L)
   }
 
@@ -51,7 +65,7 @@ class GraftStreamingListener extends StreamingQueryListener {
 
   override def onQueryProgress(e: QueryProgressEvent): Unit = {
     val p = e.progress
-    val q = nameOf(p.name, p.id)
+    val q = names.getOrDefault(p.id, nameOf(p.name, p.id))
     GraftMetrics.counter(s"query.$q.batches").inc()
     GraftMetrics.counter(s"query.$q.rows").inc(p.numInputRows)
     p.sources.zipWithIndex.foreach { case (s, i) =>
@@ -81,4 +95,9 @@ class GraftStreamingListener extends StreamingQueryListener {
       }
     }
   }
+}
+
+object GraftStreamingListener {
+  private val names =
+    new java.util.concurrent.ConcurrentHashMap[java.util.UUID, String]()
 }

@@ -209,7 +209,14 @@ object ImagePhash {
     }
     // All C(blocks, comboSize) combination keys, each folded into one
     // long (total key width <= 64 since the blocks partition 64 bits).
+    // The explode factor IS C(blocks, comboSize): refuse settings whose
+    // table count stops being a row-width constant (blocks=16,
+    // comboSize=13 is already 560) — the contract mirror of the
+    // maxDist < bands refusal.
     val combos = (0 until blocks).combinations(comboSize).toArray
+    require(combos.length <= 256,
+      s"C($blocks, $comboSize) = ${combos.length} tables: explode " +
+        "factor too large — use fewer, wider blocks")
     val keyed = df.select(col(idCol).as("id"), col(hashCol).as("h"))
       .where(col("h").isNotNull)
       .select(col("id"), col("h"), explode(array(

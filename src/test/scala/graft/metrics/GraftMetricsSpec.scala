@@ -140,6 +140,45 @@ class GraftMetricsSpec extends SparkSpec {
     assert(ctr("sequencer.clock.regressions") == before("sequencer.clock.regressions") + 1)
   }
 
+  test("concurrent same-named queries (two sessions) get distinct " +
+    "metric keys: the second-comer is id-suffixed") {
+    import org.apache.spark.sql.streaming.Trigger
+    val s2 = spark.newSession()
+    GraftMetrics.attachListener(spark)
+    GraftMetrics.attachListener(s2)
+    val nm = s"dupname${System.nanoTime()}"
+    def start(s: org.apache.spark.sql.SparkSession) =
+      s.readStream.format("rate").option("rowsPerSecond", "5").load()
+        .writeStream.format("noop").queryName(nm)
+        .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    val q1 = start(spark)
+    try {
+      eventually(s"query.$nm.active == 1") {
+        GraftMetrics.gaugeValue(s"query.$nm.active").contains(1L)
+      }
+      // One session's manager forbids duplicate active names — the
+      // clash case is a SECOND session (JVM-global registry, separate
+      // listener instance).
+      val q2 = start(s2)
+      try {
+        val suffixed = s"query.$nm-${q2.id.toString.take(8)}.active"
+        eventually(s"$suffixed == 1") {
+          GraftMetrics.gaugeValue(suffixed).contains(1L)
+        }
+        // The bare key still belongs to q1 alone.
+        assert(GraftMetrics.gaugeValue(s"query.$nm.active").contains(1L))
+      } finally q2.stop()
+      eventually("suffixed key flips to 0") {
+        GraftMetrics.gaugeValue(s"query.$nm-${q2.id.toString.take(8)}.active")
+          .contains(0L)
+      }
+      assert(GraftMetrics.gaugeValue(s"query.$nm.active").contains(1L))
+    } finally q1.stop()
+    eventually("bare key flips to 0") {
+      GraftMetrics.gaugeValue(s"query.$nm.active").contains(0L)
+    }
+  }
+
   test("streaming listener: batches/rows counters, journal read-head gauge, observed guard, active flag") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
