@@ -41,31 +41,52 @@ class GraftStreamingListener extends StreamingQueryListener {
   // (companion), not per-listener: the metric REGISTRY is JVM-global,
   // and the clash case is precisely two SESSIONS running same-named
   // queries (one session's manager already forbids duplicate active
-  // names), each with its own listener instance.
+  // names), each with its own listener instance. Values carry the
+  // RUN id: a restart's StartedEvent is synchronous while the old
+  // run's TerminatedEvent is async, so the stale entry (same query
+  // id, older runId) must neither read as a name clash nor let the
+  // late event clobber the restarted query's active flag.
   private def names = GraftStreamingListener.names
 
   override def onQueryStarted(e: QueryStartedEvent): Unit = {
     val base = nameOf(e.name, e.id)
     val q = names.synchronized {
-      val clash = names.values().contains(base)
-      val key = if (clash) s"$base-${e.id.toString.take(8)}" else base
-      names.put(e.id, key)
+      val mine = names.get(e.id)
+      val key =
+        if (mine != null) mine._2 // restart: keep the key, adopt the run
+        else {
+          val it = names.values().iterator()
+          var clash = false
+          while (it.hasNext && !clash) clash = it.next()._2 == base
+          if (clash) s"$base-${e.id.toString.take(8)}" else base
+        }
+      names.put(e.id, (e.runId, key))
       key
     }
     GraftMetrics.setGauge(s"query.$q.active", 1L)
   }
 
   override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
-    val q = names.getOrDefault(e.id, e.id.toString)
-    names.remove(e.id)
-    GraftMetrics.setGauge(s"query.$q.active", 0L)
+    names.synchronized {
+      val v = names.get(e.id)
+      if (v == null) // never saw the start: best-effort under the id
+        GraftMetrics.setGauge(s"query.${e.id}.active", 0L)
+      else if (v._1 == e.runId) { // the CURRENT run ended
+        names.remove(e.id)
+        GraftMetrics.setGauge(s"query.${v._2}.active", 0L)
+      } // else: stale event from a superseded run — the query
+        // restarted already; it is up, leave the flag alone.
+    }
   }
 
   private val headRe = """"head"\s*:\s*(\d+)""".r
 
   override def onQueryProgress(e: QueryProgressEvent): Unit = {
     val p = e.progress
-    val q = names.getOrDefault(p.id, nameOf(p.name, p.id))
+    val q = {
+      val v = names.get(p.id)
+      if (v != null) v._2 else nameOf(p.name, p.id)
+    }
     GraftMetrics.counter(s"query.$q.batches").inc()
     GraftMetrics.counter(s"query.$q.rows").inc(p.numInputRows)
     p.sources.zipWithIndex.foreach { case (s, i) =>
@@ -98,6 +119,7 @@ class GraftStreamingListener extends StreamingQueryListener {
 }
 
 object GraftStreamingListener {
-  private val names =
-    new java.util.concurrent.ConcurrentHashMap[java.util.UUID, String]()
+  // query id -> (current runId, metric key)
+  private val names = new java.util.concurrent.ConcurrentHashMap[
+    java.util.UUID, (java.util.UUID, String)]()
 }

@@ -319,7 +319,8 @@ object Multimodal {
       decoders: Seq[SampleDecoder.PcmDecoder])
       : javax.sound.sampled.AudioInputStream =
     if (bytes == null) null
-    else decoders.find(_.claims(bytes)).flatMap(_.decode(bytes)).orNull
+    else decoders.iterator.filter(_.claims(bytes))
+      .flatMap(_.decode(bytes)).nextOption().orNull
 
   /** OPTIONAL executor-local full audio decode (the audio sibling of
     * [[decodeImages]], closing the round-8 "audio stays stubbed" gap

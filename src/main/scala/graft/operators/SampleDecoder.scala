@@ -39,10 +39,13 @@ object SampleDecoder {
 
   /** Decodes ONE audio payload (a whole file or a sliced sample run)
     * to a PCM stream. Audio payloads carry their own framing, so
-    * resolution is by `claims` (cheap magic-byte sniff) rather than a
-    * container-supplied codec id. `decode` returns a stream of
-    * 16-bit signed little-endian PCM at the source rate (the one
-    * sample layout feature extraction reads) or None.
+    * resolution is by `claims` (a cheap pre-filter) rather than a
+    * container-supplied codec id — and the chain FALLS THROUGH: each
+    * claiming provider gets a try until one returns Some, so a broad
+    * claim that fails to decode does not shadow a later provider.
+    * `decode` returns a stream of 16-bit signed little-endian PCM at
+    * the source rate (the one sample layout feature extraction reads)
+    * or None.
     */
   trait PcmDecoder extends Serializable {
     def claims(payload: Array[Byte]): Boolean
@@ -65,16 +68,19 @@ object SampleDecoder {
       Option(Multimodal.decodeImage(payload))
   }
 
-  /** The JDK's built-in PCM provider: WAV (RIFF), AU (.snd), AIFF
-    * (FORM) via `javax.sound.sampled`, normalized to 16-bit signed
-    * little-endian PCM at the source rate.
+  /** The JDK's built-in PCM provider via `javax.sound.sampled`,
+    * normalized to 16-bit signed little-endian PCM at the source
+    * rate. It claims every non-trivial payload and lets AudioSystem
+    * sniff — deliberately NOT a magic-byte allowlist: AudioSystem
+    * consults every `AudioFileReader` SPI on the classpath, so a
+    * deployment that adds formats the standard javax.sound way (an
+    * mp3spi-style jar) keeps working with no engine change; the
+    * decode chain falls through on None, so this broad claim shadows
+    * nothing.
     */
   object JavaSoundPcm extends PcmDecoder {
     def claims(payload: Array[Byte]): Boolean =
-      payload != null && payload.length >= 4 && {
-        val m = new String(payload, 0, 4, "ISO-8859-1")
-        m == "RIFF" || m == "FORM" || m == ".snd"
-      }
+      payload != null && payload.length >= 4
     def decode(payload: Array[Byte])
         : Option[javax.sound.sampled.AudioInputStream] =
       try {

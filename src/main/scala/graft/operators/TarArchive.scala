@@ -82,11 +82,17 @@ object TarArchive {
       // Terminator: a zero block.
       if (b(i) == 0) { ok = false }
       else {
-        // ustar magic at +257 ("ustar"); accept pre-POSIX too (no magic)
-        val ustar = b(i + 257) == 'u' && b(i + 258) == 's' &&
-          b(i + 259) == 't' && b(i + 260) == 'a' && b(i + 261) == 'r'
+        // POSIX magic is "ustar\0" + version "00"; GNU tar writes
+        // "ustar  \0" (space at +262) and uses bytes 345+ for
+        // atime/ctime, NOT a prefix — honoring the prefix there would
+        // glue a timestamp onto every entry name. Gate the prefix on
+        // the NUL at +262 (pre-POSIX archives have no magic at all and
+        // also skip it).
+        val posixUstar = b(i + 257) == 'u' && b(i + 258) == 's' &&
+          b(i + 259) == 't' && b(i + 260) == 'a' && b(i + 261) == 'r' &&
+          b(i + 262) == 0
         val base = cstr(b, i, 100)
-        val prefix = if (ustar) cstr(b, i + 345, 155) else ""
+        val prefix = if (posixUstar) cstr(b, i + 345, 155) else ""
         val name = if (prefix.isEmpty) base else prefix + "/" + base
         val size = octal(b, i + 124, 12)
         val typeflag = b(i + 156)

@@ -36,6 +36,32 @@ object MultimodalOps {
       |    AS n_frames
       |FROM p""".stripMargin
 
+  /** The q188 realistic near-dup image corpus, hashed: (doc_id,
+    * cluster, h) — clusters of 4 (doc_id div 4) rendered as REAL JPEG
+    * variants of a cluster-keyed block pattern, every third cluster's
+    * member 3 a far singleton; dHash over actual decoded rasters.
+    * ONE definition shared by the gate query and
+    * [[graft.tools.NeardupProbe]], so the scale probe certifies
+    * exactly the distribution the gate runs.
+    */
+  def neardupHashes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val params = Tables.documents(s, d)
+      .select($"doc_id".cast("long").as("doc_id"))
+      .withColumn("cluster", expr("doc_id div 4"))
+      .withColumn("m", ($"doc_id" % 4).cast("int"))
+      .withColumn("far", $"doc_id" % 4 === 3 &&
+        expr("doc_id div 4") % 3 === 0)
+    val build = udf { (c: Long, m: Int, far: Boolean) =>
+      graft.operators.VideoFixtures.neardupJpeg(c, m, far)
+    }
+    params
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("h", graft.operators.ImagePhash.imageDhash(
+        build($"cluster", $"m", $"far")))
+      .select($"doc_id", $"cluster", $"h")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- q32: batched feature extraction over binary media columns.
     "q32_multimodal_features" -> { (s, d) =>
@@ -822,24 +848,10 @@ object MultimodalOps {
     // docs here, which is why the scale path keys on combinations.
     "q188_image_neardup_real" -> { (s, d) =>
       import s.implicits._
-      val params = Tables.documents(s, d)
-        .select($"doc_id".cast("long").as("doc_id"))
-        .withColumn("cluster", expr("doc_id div 4"))
-        .withColumn("m", ($"doc_id" % 4).cast("int"))
-        .withColumn("far", $"doc_id" % 4 === 3 &&
-          expr("doc_id div 4") % 3 === 0)
-      val build = udf { (c: Long, m: Int, far: Boolean) =>
-        graft.operators.VideoFixtures.neardupJpeg(c, m, far)
-      }
       // Persist the hashes: the banded self-join reads this set twice
       // and the member/pair rollups again — without it the JPEG
       // encode+decode UDF (the expensive column) would run 4×.
-      val hashed = params
-        .repartition(s.sparkContext.defaultParallelism)
-        .withColumn("h", graft.operators.ImagePhash.imageDhash(
-          build($"cluster", $"m", $"far")))
-        .select($"doc_id", $"cluster", $"h")
-        .persist()
+      val hashed = neardupHashes(s, d).persist()
       val pairs = graft.operators.ImagePhash.hammingPairs(
         hashed, "doc_id", "h", maxDist = 3, blocks = 6)
       val members = hashed.groupBy($"cluster")

@@ -1,7 +1,6 @@
 package graft.tools
 
-import graft.{Engine, Tables}
-import org.apache.spark.sql.functions._
+import graft.Engine
 
 /** Scale probe for the banded hamming image near-dup kernel (q188):
   * measures, at a given SF, the three numbers that certify
@@ -10,14 +9,19 @@ import org.apache.spark.sql.functions._
   * sizes — the q188 corpus, uncapped):
   *
   *   docs        — corpus size N
-  *   candidates  — distinct pairs sharing ≥1 identical 16-bit band
-  *                 slice (the join's exchange width, BEFORE the
-  *                 distance filter)
+  *   candidates  — distinct pairs agreeing on ≥1 join key BEFORE the
+  *                 distance filter (the join's exchange width), for
+  *                 BOTH kernels: single 16-bit bands (band16, q181's
+  *                 gate shape) and Manku 3-of-6 block combinations
+  *                 (combo6c3, the q188 scale path)
   *   pairs       — candidates with hamming ≤ maxDist (the answer)
   *
   * Linear means candidates/docs stays ~constant as N grows 10× —
-  * i.e. the (band, slice) join generates O(N) work, not O(N²)/k.
-  * Not part of the gate; reproduces the PERF.md table.
+  * i.e. the keyed join generates O(N) work, not O(N²)/k. The corpus
+  * comes from the SAME builder the gate query runs
+  * ([[graft.queries.MultimodalOps.neardupHashes]]), so the probe
+  * certifies exactly the gate's distribution. Not part of the gate;
+  * reproduces the PERF.md table.
   */
 object NeardupProbe {
   def main(args: Array[String]): Unit = {
@@ -28,19 +32,7 @@ object NeardupProbe {
     import spark.implicits._
 
     val t0 = System.nanoTime()
-    val params = Tables.documents(spark, sfDir)
-      .select($"doc_id".cast("long").as("doc_id"))
-      .withColumn("cluster", expr("doc_id div 4"))
-      .withColumn("m", ($"doc_id" % 4).cast("int"))
-      .withColumn("far", $"doc_id" % 4 === 3 &&
-        expr("doc_id div 4") % 3 === 0)
-    val build = udf { (c: Long, m: Int, far: Boolean) =>
-      graft.operators.VideoFixtures.neardupJpeg(c, m, far)
-    }
-    val hashed = params
-      .repartition(spark.sparkContext.defaultParallelism)
-      .withColumn("h", graft.operators.ImagePhash.imageDhash(
-        build($"cluster", $"m", $"far")))
+    val hashed = graft.queries.MultimodalOps.neardupHashes(spark, sfDir)
       .select($"doc_id", $"h")
       .persist()
     val docs = hashed.count()

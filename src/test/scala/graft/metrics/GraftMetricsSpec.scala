@@ -102,12 +102,14 @@ class GraftMetricsSpec extends SparkSpec {
       .contains(Journal.head(root, j)))
     // Executor-side spool counts: per-JVM values summing to the total,
     // whether the spooling ran in one JVM (local) or several
-    // (local-cluster).
-    val after = perJvm()
-    val delta = after.map { case (ex, v) =>
-      v - before.getOrElse(ex, 0L) }.sum
-    assert(delta == 300L,
-      s"per-JVM spool deltas must sum to the append: $before -> $after")
+    // (local-cluster). A single probe round may miss an executor
+    // (nothing forces the 16 sampling tasks onto every JVM that
+    // spooled), so re-probe until the deltas cover the append —
+    // counters are monotone, so coverage only grows.
+    eventually("per-JVM spool deltas sum to the append") {
+      val after = perJvm()
+      after.map { case (ex, v) => v - before.getOrElse(ex, 0L) }.sum == 300L
+    }
     // Under a multi-process master the driver registry saw none of the
     // spooling — the scaladoc's per-process claim, asserted.
     if (!singleJvm) assert(ctr(name) == 0L,
@@ -175,6 +177,40 @@ class GraftMetricsSpec extends SparkSpec {
       assert(GraftMetrics.gaugeValue(s"query.$nm.active").contains(1L))
     } finally q1.stop()
     eventually("bare key flips to 0") {
+      GraftMetrics.gaugeValue(s"query.$nm.active").contains(0L)
+    }
+  }
+
+  test("restart of a same-named query keeps the bare key and stays " +
+    "active (stale TerminatedEvent must not clobber it)") {
+    import org.apache.spark.sql.streaming.Trigger
+    GraftMetrics.attachListener(spark)
+    val ckpt = Files.createTempDirectory("graft-metrics-restart").toString
+    val nm = s"restart${System.nanoTime()}"
+    def start() = spark.readStream.format("rate")
+      .option("rowsPerSecond", "5").load()
+      .writeStream.format("noop").queryName(nm)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    val q1 = start()
+    eventually("initial run active") {
+      GraftMetrics.gaugeValue(s"query.$nm.active").contains(1L)
+    }
+    q1.stop()
+    // Restart immediately: the old run's TerminatedEvent is delivered
+    // async and may land AFTER the restart's synchronous StartedEvent
+    // — it must neither read as a name clash nor flip the restarted
+    // query's flag.
+    val q2 = start()
+    try {
+      eventually("restart active under the BARE key") {
+        GraftMetrics.gaugeValue(s"query.$nm.active").contains(1L)
+      }
+      Thread.sleep(500) // let any stale event drain...
+      assert(GraftMetrics.gaugeValue(s"query.$nm.active").contains(1L),
+        "a stale TerminatedEvent clobbered the restarted query's flag")
+    } finally q2.stop()
+    eventually("flag drops after the real stop") {
       GraftMetrics.gaugeValue(s"query.$nm.active").contains(0L)
     }
   }

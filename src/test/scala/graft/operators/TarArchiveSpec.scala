@@ -86,6 +86,27 @@ class TarArchiveSpec extends SparkSpec {
     assert(rows.map(_._2).toSeq == Seq("alpha", "beta"))
   }
 
+  test("GNU-format magic ('ustar  ') does NOT read bytes 345+ as a " +
+    "prefix (they are atime/ctime there)") {
+    val out = new java.io.ByteArrayOutputStream()
+    TarArchive.tarEntry(out, "0.txt", "data".getBytes("UTF-8"))
+    out.write(new Array[Byte](1024))
+    val b = out.toByteArray
+    // Rewrite magic+version to GNU old-format ("ustar  \0") and put an
+    // octal atime where POSIX keeps the prefix, then re-checksum.
+    b(262) = ' '; b(263) = ' '; b(264) = 0
+    System.arraycopy("14212053042 ".getBytes("US-ASCII"), 0, b, 345, 12)
+    val h = java.util.Arrays.copyOfRange(b, 0, 512)
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    val sum = h.map(_ & 0xff).sum
+    val cs = java.lang.Long.toOctalString(sum.toLong)
+    val csp = ("0" * (6 - cs.length)) + cs
+    System.arraycopy(csp.getBytes("US-ASCII"), 0, b, 148, 6)
+    b(154) = 0; b(155) = ' '
+    val es = TarArchive.entries(b)
+    assert(es.map(_.name).toSeq == Seq("0.txt")) // no timestamp glued on
+  }
+
   test("duplicate (key, ext) members keep the FIRST payload and count") {
     val out = new java.io.ByteArrayOutputStream()
     TarArchive.tarEntry(out, "00000.txt", "first".getBytes("UTF-8"))
