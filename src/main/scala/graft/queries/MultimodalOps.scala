@@ -864,6 +864,27 @@ object MultimodalOps {
           coalesce($"n_pairs", lit(0L)).as("n_pairs"))
     },
 
+    // ---- q190: image near-dup CLUSTERS — the dedup ACTION over
+    // q188's pairs, mirroring the text side's q47: hamming pairs →
+    // connected components → (doc_id, canonical_id) with canonical =
+    // smallest member (the survivor a dedup keeps; docs in no cluster
+    // — the far singletons — are absent and survive trivially). The
+    // oracle knows every cluster by construction: in-dup members of
+    // doc_id div 4, canonical = the cluster's min id. Certifies the
+    // pairs→components→manifest composition on REAL image hashes,
+    // end to end. Scale shape: the alternating-minimum component loop
+    // runs on the PAIR table (corpus-linear here, measured), never
+    // the corpus.
+    "q190_image_neardup_clusters" -> { (s, d) =>
+      import s.implicits._
+      val hashed = neardupHashes(s, d).persist()
+      val pairs = graft.operators.ImagePhash.hammingPairs(
+        hashed, "doc_id", "h", maxDist = 3, blocks = 6)
+      graft.operators.Curation.connectedComponents(
+          pairs.select($"ida".as("a"), $"idb".as("b")))
+        .select($"id".as("doc_id"), $"comp".as("canonical_id"))
+    },
+
     // ---- q189: STREAMING web-ingest pipeline through the journal
     // write path (VERDICT r10 #2) — the production Common-Crawl
     // firehose composition: WARC corpus replayed as a file stream
@@ -1229,6 +1250,18 @@ object MultimodalOps {
         |  CAST(COUNT(*) AS BIGINT) AS n_members,
         |  CAST(SUM(indup) * (SUM(indup) - 1) // 2 AS BIGINT) AS n_pairs
         |FROM p GROUP BY 1""".stripMargin,
+
+    // Every in-dup member of cluster doc_id div 4 lands in one
+    // component whose canonical is the cluster's min id; far
+    // singletons are absent (clustered docs only, the q47 contract).
+    "q190_image_neardup_clusters" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id // 4 AS cluster FROM documents
+        |  WHERE NOT (doc_id % 4 = 3 AND (doc_id // 4) % 3 = 0))
+        |SELECT doc_id,
+        |  CAST(MIN(doc_id) OVER (PARTITION BY cluster) AS BIGINT)
+        |    AS canonical_id
+        |FROM p""".stripMargin,
 
     // The fixture schedule replayed as batch arithmetic: record i of
     // 3 + doc_id%4 cycles keep (content 'web-<i>' = 5 chars) /
