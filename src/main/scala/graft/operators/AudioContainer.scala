@@ -473,4 +473,110 @@ object AudioFixtures {
     require(timescale > 0 && duration >= 0)
     VideoFixtures.m4a(brand, timescale, duration)
   }
+
+  /** PCM-16 mono WAV carrying REAL samples. */
+  def wavSamples(rate: Int, samples: Array[Short]): Array[Byte] = {
+    require(rate > 0)
+    val w = new W
+    w.cc("RIFF").u32le(36L + samples.length * 2).cc("WAVE")
+    w.cc("fmt ").u32le(16L)
+      .u16le(1).u16le(1).u32le(rate.toLong)
+      .u32le(rate.toLong * 2).u16le(2).u16le(16)
+    w.cc("data").u32le(samples.length * 2L)
+    samples.foreach(s => w.u16le(s & 0xffff))
+    w.result()
+  }
+
+  /** PCM-8 (unsigned, 128 = zero) mono WAV — the requantized variant
+    * shape of a near-dup pipeline.
+    */
+  def wavSamples8(rate: Int, samples: Array[Short]): Array[Byte] = {
+    require(rate > 0)
+    val w = new W
+    w.cc("RIFF").u32le(36L + samples.length).cc("WAVE")
+    w.cc("fmt ").u32le(16L)
+      .u16le(1).u16le(1).u32le(rate.toLong)
+      .u32le(rate.toLong).u16le(1).u16le(8)
+    w.cc("data").u32le(samples.length.toLong)
+    samples.foreach { s =>
+      w.u8(128 + (s / 256)) // 16-bit signed -> 8-bit unsigned
+    }
+    w.result()
+  }
+
+  // ---- near-duplicate audio clusters (the q191 realistic corpus) ----
+
+  /** 65 window amplitudes for one cluster key — the audio twin of the
+    * image pattern ([[VideoFixtures.neardupPattern]]), built on the
+    * same max-entropy height walk ([[VideoFixtures.parryStep]], 6
+    * amplitudes spaced 0.155 over [0.08, 0.855]): every neighbor pair
+    * exactly one margin apart (≥ 2.9× mean-square ratio at the low
+    * end, far above requantization/dither noise) with near-fair
+    * comparison bits (≈49 bits of sequence entropy, so independent
+    * clusters cannot land within the join's maxDist at gate corpora —
+    * a naive margin chain collided at sf1). Exactly two designed
+    * "tie" windows (indexes keyed per cluster) hold the walk and sit
+    * only +0.004 above their left neighbor — encoder noise decides
+    * those envelope bits per variant, bounding within-cluster hamming
+    * distance at 2 without fixing it at 0.
+    */
+  private[operators] def neardupEnvelope(key: Long): Array[Double] = {
+    val amp = new Array[Double](65)
+    def mix(z: Long) = VideoFixtures.mix64(z)
+    def ampOf(h: Int): Double = 0.08 + h * 0.155
+    val tie = Array(
+      1 + java.lang.Long.remainderUnsigned(mix(key ^ 0xA11D10L), 30).toInt,
+      34 + java.lang.Long.remainderUnsigned(mix(key ^ 0x5EC02DL), 30).toInt)
+    var h = (VideoFixtures.rnd01(key, 5000) * 6).toInt
+    amp(0) = ampOf(h) // window 0 is never a tie (ties start at 1)
+    var i = 1
+    while (i < 65) {
+      if (i == tie(0) || i == tie(1)) amp(i) = ampOf(h) + 0.004
+      else {
+        h = VideoFixtures.parryStep(h, 6, VideoFixtures.rnd01(key, i))
+        amp(i) = ampOf(h)
+      }
+      i += 1
+    }
+    amp
+  }
+
+  /** One member of a near-duplicate AUDIO cluster — real pipeline
+    * variants of the cluster's base clip, all decodable WAV: member 0
+    * is the base (16-bit, 8 kHz, 65 windows × 25 ms of a 200 Hz tone
+    * at the cluster's envelope); 1 requantizes to 8-bit; 2 is the
+    * 12 kHz rendering (same duration and envelope — an ideal 1.5×
+    * resample); 3 scales gain to 0.9 and adds deterministic ±0.004
+    * dither. `far = true` swaps in an unrelated envelope stream
+    * (key-disjoint via bitwise NOT).
+    */
+  def neardupWav(cluster: Long, member: Int, far: Boolean = false)
+      : Array[Byte] = {
+    val key = if (far) ~cluster else cluster
+    val amp = neardupEnvelope(key)
+    val rate = if (!far && member == 2) 12000 else 8000
+    val framesPerWin = rate / 40 // 25 ms windows; 200 Hz -> 5 periods
+    val gain = if (!far && member == 3) 0.9 else 1.0
+    val dither = !far && member == 3
+    val out = new Array[Short](65 * framesPerWin)
+    var w = 0
+    while (w < 65) {
+      var j = 0
+      while (j < framesPerWin) {
+        val t = j.toDouble / rate
+        var v = gain * amp(w) * math.sin(2 * math.Pi * 200.0 * t)
+        if (dither) {
+          val r = java.lang.Long.remainderUnsigned(
+            VideoFixtures.mix64(key * 31 + w * 1024L + j), 1000L)
+          v += (r - 500L) / 500.0 * 0.004
+        }
+        val s = math.max(-32767, math.min(32767, math.round(v * 32767)))
+        out(w * framesPerWin + j) = s.toShort
+        j += 1
+      }
+      w += 1
+    }
+    if (!far && member == 1) wavSamples8(rate, out)
+    else wavSamples(rate, out)
+  }
 }

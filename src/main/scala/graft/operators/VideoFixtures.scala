@@ -156,7 +156,7 @@ object VideoFixtures {
 
   // ---- near-duplicate image clusters (the q188 realistic corpus) ----
 
-  private def mix64(z0: Long): Long = {
+  private[operators] def mix64(z0: Long): Long = {
     // splitmix64 finalizer (public domain, Steele et al.) — decorrelates
     // consecutive cluster keys into independent pattern streams.
     var z = z0 + 0x9E3779B97F4A7C15L
@@ -165,37 +165,65 @@ object VideoFixtures {
     z ^ (z >>> 31)
   }
 
-  /** 9×8 block levels for one cluster key. Levels come from a 4-value
-    * palette with every HORIZONTAL neighbor pair at least 64 gray
-    * levels apart — far above worst-case JPEG DC-quantization error at
-    * the fixture's lowest quality — so each of the 62 stable dHash
-    * comparisons keeps a deterministic sign through re-encode, resize,
-    * and noise. Exactly TWO designated "tie" cells (rows 2 and 5,
-    * column keyed per cluster) sit only +2 above their left neighbor:
-    * encoder noise decides those bits per variant — the realistic
-    * few-bit-flip behavior of production near-dups — bounding
-    * within-cluster hamming distance at 2 without fixing it at 0.
+  /** Uniform [0, 1) from a key-disjoint splitmix stream (the salt
+    * multiplier exceeds every index used, so streams of distinct keys
+    * never overlap).
+    */
+  private[operators] def rnd01(key: Long, i: Long): Double =
+    (mix64(key * 1315423911L + i) >>> 11).toDouble / (1L << 53).toDouble
+
+  /** One step of the MAXIMUM-ENTROPY walk on heights 0..heights-1 —
+    * the Parry measure of the path graph: move up/down with
+    * probability proportional to the eigenvector sin((h+1)π/(H+1)) of
+    * the reachable height. Near-fair comparison bits everywhere
+    * (≈0.85 bits/step for H=6) while every step stays exactly one
+    * margin apart. This is the construction both near-dup fixture
+    * patterns need: a margin-enforced chain with naive uniform draws
+    * is attracted to its extremes, where the next direction is FORCED
+    * — bits alternate, sequence entropy collapses to <0.5 bits/step,
+    * and at 10⁴-10⁵-cluster corpora independent clusters collide
+    * within the join's maxDist (observed as false pairs at sf1/sf10
+    * before this walk).
+    */
+  private[operators] def parryStep(h: Int, heights: Int, u: Double): Int = {
+    val up = if (h < heights - 1)
+      math.sin((h + 2) * math.Pi / (heights + 1)) else 0.0
+    val dn = if (h > 0) math.sin(h * math.Pi / (heights + 1)) else 0.0
+    if (u * (up + dn) < up) h + 1 else h - 1
+  }
+
+  /** 9×8 block levels for one cluster key: per row, a max-entropy
+    * height walk ([[parryStep]], 6 heights spaced 46 gray levels over
+    * [12, 242]) — every horizontal neighbor pair exactly one 46-level
+    * margin apart (far above JPEG DC-quantization noise at the
+    * fixture's lowest quality), with near-fair comparison bits (≈50+
+    * bits of sequence entropy over the hash, so independent clusters
+    * cannot land within the join's maxDist at any gate corpus).
+    * Exactly TWO designated "tie" cells (rows 2 and 5, column keyed
+    * per cluster) hold the walk and sit only +2 above their left
+    * neighbor: encoder noise decides those bits per variant — the
+    * realistic few-bit-flip behavior of production near-dups —
+    * bounding within-cluster hamming distance at 2 without fixing it
+    * at 0 (the neighbor after a tie still clears a ≥44 margin).
     */
   private[operators] def neardupPattern(key: Long): Array[Int] = {
-    val palette = Array(16, 80, 144, 208)
     val lv = new Array[Int](72)
     val tieCol = Array(
       java.lang.Long.remainderUnsigned(mix64(key ^ 0x7165L), 8).toInt,
       java.lang.Long.remainderUnsigned(mix64(key ^ 0x54321L), 8).toInt)
     var r = 0
     while (r < 8) {
-      var c = 0
+      var h = (rnd01(key, 1000 + r) * 6).toInt
+      lv(r * 9) = 12 + h * 46
+      var c = 1
       while (c < 9) {
+        val idx = r * 9 + c
         val isTie = (r == 2 && c == tieCol(0) + 1) ||
           (r == 5 && c == tieCol(1) + 1)
-        if (isTie) lv(r * 9 + c) = lv(r * 9 + c - 1) + 2
+        if (isTie) lv(idx) = 12 + h * 46 + 2 // hold height, tiny rise
         else {
-          val left = if (c == 0) Int.MinValue else lv(r * 9 + c - 1)
-          val cand = palette.filter(p =>
-            c == 0 || math.abs(p - left) >= 64)
-          val pick = java.lang.Long.remainderUnsigned(
-            mix64(key * 72 + r * 9 + c), cand.length.toLong).toInt
-          lv(r * 9 + c) = cand(pick)
+          h = parryStep(h, 6, rnd01(key, idx))
+          lv(idx) = 12 + h * 46
         }
         c += 1
       }

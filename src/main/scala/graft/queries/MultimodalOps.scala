@@ -62,6 +62,29 @@ object MultimodalOps {
       .select($"doc_id", $"cluster", $"h")
   }
 
+  /** The q191 audio twin of [[neardupHashes]]: clusters of 4 rendered
+    * as real WAV variants (16-bit base, 8-bit requantize, 12 kHz
+    * resample, gain+dither) of a cluster-keyed loudness envelope;
+    * envelope hash over actually-decoded PCM.
+    */
+  def neardupAudioHashes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val params = Tables.documents(s, d)
+      .select($"doc_id".cast("long").as("doc_id"))
+      .withColumn("cluster", expr("doc_id div 4"))
+      .withColumn("m", ($"doc_id" % 4).cast("int"))
+      .withColumn("far", $"doc_id" % 4 === 3 &&
+        expr("doc_id div 4") % 3 === 0)
+    val build = udf { (c: Long, m: Int, far: Boolean) =>
+      graft.operators.AudioFixtures.neardupWav(c, m, far)
+    }
+    params
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("h", graft.operators.AudioPhash.audioEnvelopeHash(
+        build($"cluster", $"m", $"far")))
+      .select($"doc_id", $"cluster", $"h")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- q32: batched feature extraction over binary media columns.
     "q32_multimodal_features" -> { (s, d) =>
@@ -864,6 +887,32 @@ object MultimodalOps {
           coalesce($"n_pairs", lit(0L)).as("n_pairs"))
     },
 
+    // ---- q191: AUDIO near-dup on a realistic corpus — the third
+    // modality through the SAME near-dup contract (text MinHash,
+    // image dHash, audio envelope hash): clusters of 4 real WAV
+    // variants — base, 8-bit requantize, 12 kHz resample, 0.9 gain +
+    // dither — whose loudness envelopes survive every variant within
+    // the 2 designed tie bits; every third cluster's member 3 is a
+    // FAR clip. Pairs come from the same Manku block-combination
+    // kernel the image side certified corpus-linear; the oracle is
+    // the same exact per-cluster combinatorics, so any envelope bit
+    // drifting past maxDist or any false pair breaks a count —
+    // certifying decode → envelope → hash → join end to end.
+    "q191_audio_neardup" -> { (s, d) =>
+      import s.implicits._
+      val hashed = neardupAudioHashes(s, d).persist()
+      val pairs = graft.operators.ImagePhash.hammingPairs(
+        hashed, "doc_id", "h", maxDist = 3, blocks = 6)
+      val members = hashed.groupBy($"cluster")
+        .agg(count(lit(1)).as("n_members"))
+      val counts = pairs
+        .join(hashed.select($"doc_id".as("ida"), $"cluster"), "ida")
+        .groupBy($"cluster").agg(count(lit(1)).as("n_pairs"))
+      members.join(counts, Seq("cluster"), "left")
+        .select($"cluster", $"n_members",
+          coalesce($"n_pairs", lit(0L)).as("n_pairs"))
+    },
+
     // ---- q190: image near-dup CLUSTERS — the dedup ACTION over
     // q188's pairs, mirroring the text side's q47: hamming pairs →
     // connected components → (doc_id, canonical_id) with canonical =
@@ -1241,6 +1290,20 @@ object MultimodalOps {
     // and must contribute NO pair); any real-variant hash drifting
     // past maxDist, or any false cross-cluster pair, breaks a count.
     "q188_image_neardup_real" ->
+      """WITH p AS (
+        |  SELECT doc_id // 4 AS cluster,
+        |    CASE WHEN doc_id % 4 = 3 AND (doc_id // 4) % 3 = 0
+        |         THEN 0 ELSE 1 END AS indup
+        |  FROM documents)
+        |SELECT CAST(cluster AS BIGINT) AS cluster,
+        |  CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  CAST(SUM(indup) * (SUM(indup) - 1) // 2 AS BIGINT) AS n_pairs
+        |FROM p GROUP BY 1""".stripMargin,
+
+    // Identical combinatorics to q188 — the schedule is shared; the
+    // modality (real decoded PCM envelopes vs rasters) is what the
+    // Spark side must survive to hit these counts.
+    "q191_audio_neardup" ->
       """WITH p AS (
         |  SELECT doc_id // 4 AS cluster,
         |    CASE WHEN doc_id % 4 = 3 AND (doc_id // 4) % 3 = 0
