@@ -487,6 +487,35 @@ object AudioFixtures {
     w.result()
   }
 
+  /** FLAC gate PCM (q192): deterministic multi-tone whose LENGTH is
+    * pure doc arithmetic the SQL oracle replays — 2000 + (doc_id%7)·501
+    * frames, 1 + doc_id%2 channels, interleaved 16-bit. Content mixes
+    * two doc-keyed tones plus a small integer hash ripple so every
+    * predictor family (constant folds excluded, fixed and LPC both
+    * gainful, Rice parameters non-degenerate) does real work.
+    */
+  def flacPcm(docId: Long): Array[Int] = {
+    val ch = 1 + (docId % 2).toInt
+    val n = 2000 + (docId % 7).toInt * 501
+    val out = new Array[Int](n * ch)
+    var i = 0
+    while (i < n) {
+      var c = 0
+      while (c < ch) {
+        val f = 0.011 * (1 + c) + 0.0003 * (docId % 13)
+        val v = 0.55 * math.sin(2 * math.Pi * f * i + 0.1 * (docId % 8)) +
+          0.22 * math.sin(2 * math.Pi * f * 2.7 * i) +
+          0.04 * (java.lang.Long.remainderUnsigned(
+            VideoFixtures.mix64(docId * 8191 + i * 8L + c), 97L) - 48L) / 48.0
+        out(i * ch + c) =
+          math.max(-32768, math.min(32767, math.round(v * 32000).toInt))
+        c += 1
+      }
+      i += 1
+    }
+    out
+  }
+
   /** PCM-8 (unsigned, 128 = zero) mono WAV — the requantized variant
     * shape of a near-dup pipeline.
     */

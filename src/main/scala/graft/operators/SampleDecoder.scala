@@ -95,10 +95,15 @@ object SampleDecoder {
       } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** Default provider sets — exactly the JDK-decodable families. A
-    * deployment prepends its codec-library providers; first claim
-    * wins, so external providers can also OVERRIDE a built-in.
+  /** Default provider sets — the families decodable with zero codec
+    * libraries: ImageIO rasters, javax.sound PCM containers, and the
+    * engine's own spec-implemented FLAC decoder ([[Flac.FlacPcm]] —
+    * RFC 9639 in pure JVM code, the proof the SPI seam carries a real
+    * compressed codec). A deployment prepends its codec-library
+    * providers; first claim wins, so external providers can also
+    * OVERRIDE a built-in. FLAC sits before the JavaSound sniff chain:
+    * its claim is an exact magic, and JDKs ship no FLAC reader.
     */
   def frameDefaults: Seq[FrameDecoder] = Seq(ImageIoFrames)
-  def pcmDefaults: Seq[PcmDecoder] = Seq(JavaSoundPcm)
+  def pcmDefaults: Seq[PcmDecoder] = Seq(Flac.FlacPcm, JavaSoundPcm)
 }
