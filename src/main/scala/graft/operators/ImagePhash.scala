@@ -95,7 +95,14 @@ object ImagePhash {
     * grid[r][c+1] > grid[r][c] (strict — a flat block pair hashes 0,
     * so a solid image is all-zeros, not encoder noise).
     */
-  def dhashOf(b: Array[Byte]): Option[Long] = decode(b).map { img =>
+  def dhashOf(b: Array[Byte]): Option[Long] = decode(b).map(dhashImage)
+
+  /** The raster-level dHash kernel — exposed so consumers that already
+    * hold a decoded frame (the [[VideoNearDup]] keyframe path, where
+    * rasters come from a [[SampleDecoder.FrameDecoder]] rather than a
+    * whole-blob ImageIO decode) hash with EXACTLY the image-side grid.
+    */
+  private[operators] def dhashImage(img: java.awt.image.BufferedImage): Long = {
     val g = grayGrid(img, 9, 8)
     var bits = 0L
     var r = 0

@@ -435,6 +435,40 @@ object VideoFixtures {
     (mvhd, tkhd, mdhd, hdlr, stsd)
   }
 
+  /** One member of a near-duplicate VIDEO cluster — a real MJPEG MP4
+    * whose KEYFRAME k carries the (cluster, k)-keyed near-dup pattern
+    * ([[neardupJpeg]]'s exact image family, so per-keyframe dHash
+    * drift stays within the image side's certified ≤3 bits), with
+    * non-key filler frames between sync samples (never decoded — the
+    * slicing plan's contract). Members are REAL pipeline variants:
+    *   0 — base encode, keyframe patterns k = 0..nK−1;
+    *   1 — per-frame heavy requantization (q=0.35 re-encode);
+    *   2 — HEAD TRIM + per-pixel noise: starts at pattern k=1, so a
+    *       correct aligner must report a consistent −2 sample offset
+    *       (one keyframe at keyEvery=2) rather than fail all-positions;
+    *   3 — 1.5× upscale re-encode (162×144 container) when in-dup, or
+    *       the far singleton (key-disjoint pattern stream) when `far`.
+    * nK = 3 + cluster%3 keyframes; keyEvery=2 (sync at samples
+    * 1,3,5,…). The far member shares NO pattern with any cluster.
+    */
+  def neardupMjpeg(cluster: Long, member: Int, far: Boolean = false)
+      : Array[Byte] = {
+    val nK = 3 + (cluster % 3).toInt
+    def fkey(k: Int): Long = mix64(cluster * 0x100000001B3L + k)
+    val (variant, start, w, h) = member match {
+      case _ if far => (0, 0, 108, 96)
+      case 0 => (0, 0, 108, 96)
+      case 1 => (1, 0, 108, 96)
+      case 2 => (3, 1, 108, 96)
+      case _ => (2, 0, 162, 144)
+    }
+    val filler = solidJpeg(w, h, 0x404040)
+    val payloads = (start until nK).flatMap { k =>
+      Seq(neardupJpeg(fkey(k), variant, far), filler)
+    }
+    mp4Container(w, h, 10, keyEvery = 2, "jpeg", payloads)
+  }
+
   private def mp4Container(width: Int, height: Int, fps: Int,
       keyEvery: Int, codec: String,
       payloads: IndexedSeq[Array[Byte]],

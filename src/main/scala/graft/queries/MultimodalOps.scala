@@ -1020,6 +1020,104 @@ object MultimodalOps {
         .select(from_json($"payload", frame).as("r"))
         .select($"r.doc_id", $"r.i", $"r.route", $"r.url", $"r.n_chars",
           $"r.n_links")
+    },
+
+    // ---- q192: FLAC — the engine's first REAL compressed-codec
+    // SAMPLE decode (RFC 9639 in pure JVM, no codec library), riding
+    // the SampleDecoder SPI as a DEFAULT provider. Per doc: build
+    // deterministic PCM, encode with a doc-keyed parameter sweep
+    // (block size incl. non-table sizes, predictor family incl.
+    // Levinson-Durbin LPC, all four stereo decorrelations, partition
+    // orders, forced escape partitions), then decode through the
+    // DEFAULT PCM chain — the exact route AudioPhash/Multimodal
+    // consumers take — and compare byte-for-byte against the input.
+    // ok=1 certifies the LOSSLESS contract end to end; n_samples is
+    // pure doc arithmetic the oracle replays, so a dropped frame, a
+    // wrong final-block size, or a chain mis-route breaks the row.
+    // Scale shape: one narrow per-row kernel, no shuffle.
+    "q192_flac_roundtrip" -> { (s, d) =>
+      import s.implicits._
+      import graft.operators.{AudioFixtures, Flac, SampleDecoder}
+      val check = udf { docId: Long =>
+        val ch = 1 + (docId % 2).toInt
+        val pcm = AudioFixtures.flacPcm(docId)
+        val bs = Array(192, 576, 1024, 4096)((docId % 4).toInt)
+        val pred: Flac.Predictor = (docId % 4).toInt match {
+          case 0 => Flac.Auto
+          case 1 => Flac.Fixed((docId % 5).toInt)
+          case 2 => Flac.Lpc(8)
+          case _ => Flac.VerbatimOnly
+        }
+        val st: Flac.Stereo =
+          if (ch == 1) Flac.Independent
+          else ((docId / 2) % 4).toInt match {
+            case 0 => Flac.Independent
+            case 1 => Flac.LeftSide
+            case 2 => Flac.RightSide
+            case _ => Flac.MidSide
+          }
+        val enc = Flac.encode(pcm, ch, 8000, 16, bs, pred, st,
+          partOrder = (docId % 3).toInt, escapeAll = docId % 11 == 0)
+        val in = SampleDecoder.pcmDefaults.iterator
+          .filter(_.claims(enc)).flatMap(_.decode(enc))
+          .nextOption().orNull
+        if (in == null) (0L, 0L)
+        else try {
+          val got = in.readAllBytes()
+          var ok = got.length == 2 * pcm.length
+          var i = 0
+          while (ok && i < pcm.length) {
+            val v = ((got(2 * i + 1) << 8) | (got(2 * i) & 0xff))
+            if (v != pcm(i)) ok = false
+            i += 1
+          }
+          (got.length / (2L * ch), if (ok) 1L else 0L)
+        } finally in.close()
+      }
+      Tables.documents(s, d)
+        .select($"doc_id".cast("long").as("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("r", check($"doc_id"))
+        .select($"doc_id", $"r._1".as("n_samples"), $"r._2".as("ok"))
+    },
+
+    // ---- q193: VIDEO near-dup — the near-dup contract's fourth face
+    // (after text q47, image q188/q190, audio q191), and the first
+    // SEQUENCE-level one: real MJPEG MP4s whose keyframes carry the
+    // image side's certified near-dup patterns; container slicing →
+    // SPI keyframe decode → per-keyframe dHash → the Manku join on
+    // (video, sample) ids → TEMPORAL OFFSET VOTING. The member-2
+    // variant is head-TRIMMED, so a correct aligner must pair it
+    // through a consistent −2 sample offset — a bug anywhere in the
+    // slice/decode/hash/vote stack breaks a per-cluster pair count
+    // the oracle computes by pure combinatorics (the shared q188/q191
+    // schedule: clusters of 4, every third cluster's member 3 far).
+    "q193_video_neardup" -> { (s, d) =>
+      import s.implicits._
+      val params = Tables.documents(s, d)
+        .select($"doc_id".cast("long").as("doc_id"))
+        .withColumn("cluster", expr("doc_id div 4"))
+        .withColumn("m", ($"doc_id" % 4).cast("int"))
+        .withColumn("far", $"doc_id" % 4 === 3 &&
+          expr("doc_id div 4") % 3 === 0)
+      val build = udf { (c: Long, m: Int, far: Boolean) =>
+        graft.operators.VideoFixtures.neardupMjpeg(c, m, far)
+      }
+      val media = params
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", $"cluster", build($"cluster", $"m", $"far")
+          .as("media"))
+      val hashed = graft.operators.VideoNearDup.keyframeHashes(media)
+        .persist()
+      val pairs = graft.operators.VideoNearDup.pairs(hashed, minFrac = 0.6)
+      val members = params.groupBy($"cluster")
+        .agg(count(lit(1)).as("n_members"))
+      val counts = pairs
+        .join(params.select($"doc_id".as("ida"), $"cluster"), "ida")
+        .groupBy($"cluster").agg(count(lit(1)).as("n_pairs"))
+      members.join(counts, Seq("cluster"), "left")
+        .select($"cluster", $"n_members",
+          coalesce($"n_pairs", lit(0L)).as("n_pairs"))
     }
   )
 
@@ -1304,6 +1402,30 @@ object MultimodalOps {
     // modality (real decoded PCM envelopes vs rasters) is what the
     // Spark side must survive to hit these counts.
     "q191_audio_neardup" ->
+      """WITH p AS (
+        |  SELECT doc_id // 4 AS cluster,
+        |    CASE WHEN doc_id % 4 = 3 AND (doc_id // 4) % 3 = 0
+        |         THEN 0 ELSE 1 END AS indup
+        |  FROM documents)
+        |SELECT CAST(cluster AS BIGINT) AS cluster,
+        |  CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  CAST(SUM(indup) * (SUM(indup) - 1) // 2 AS BIGINT) AS n_pairs
+        |FROM p GROUP BY 1""".stripMargin,
+
+    // The lossless contract is binary (ok=1) and the decoded frame
+    // count is the fixture's pure length arithmetic — any encoder or
+    // decoder defect anywhere in the doc-keyed parameter sweep breaks
+    // a row.
+    "q192_flac_roundtrip" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(2000 + (doc_id % 7) * 501 AS BIGINT) AS n_samples,
+        |  CAST(1 AS BIGINT) AS ok
+        |FROM documents""".stripMargin,
+
+    // The shared near-dup schedule's combinatorics, fourth modality:
+    // any keyframe hash drifting past maxDist, any missed trim
+    // alignment, or any false cross-cluster vote breaks a count.
+    "q193_video_neardup" ->
       """WITH p AS (
         |  SELECT doc_id // 4 AS cluster,
         |    CASE WHEN doc_id % 4 = 3 AND (doc_id // 4) % 3 = 0
