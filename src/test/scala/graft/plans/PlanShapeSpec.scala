@@ -267,6 +267,31 @@ class PlanShapeSpec extends SparkSpec {
       .contains("Exchange"), "q176 triage must not shuffle")
   }
 
+  test("q192 FLAC round-trip is a narrow per-row kernel: one " +
+    "repartition exchange, no join, no generate") {
+    val p = plan("q192_flac_roundtrip")
+    assert(!p.contains("Join") && !p.contains("Generate"),
+      s"q192 must be a pure per-row map:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"q192: only the pre-decode repartition may shuffle, got $exchanges")
+  }
+
+  test("q193 video near-dup: keyframe hashes persist once, candidates " +
+    "come from combination-key equi-joins, voting aggregates on pairs") {
+    val p = plan("q193_video_neardup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q193: candidates must come from the (table, key) equi-join")
+    assert(p.contains("Generate"),
+      "q193: keyframe explode + combination keys must generate executor-side")
+    assert(p.contains("InMemoryTableScan"),
+      "q193: the decoded keyframe hash set must be persisted, not " +
+        "re-decoded per consumer (join sides + keyframe counts + rollups)")
+    assert(p.contains("HashAggregate"),
+      "q193: candidate dedup and offset voting must aggregate")
+  }
+
   test("q149 waterfill shuffles the corpus exactly once (per-source agg)") {
     // Everything after the source-keyed aggregate runs on |sources|
     // rows: the windows sit over a SinglePartition exchange, never a
