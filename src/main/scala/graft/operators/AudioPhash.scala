@@ -38,8 +38,7 @@ object AudioPhash {
       decoders: Seq[SampleDecoder.PcmDecoder] =
         SampleDecoder.pcmDefaults): Option[Long] = {
     if (b == null || b.length == 0) return None
-    val in = decoders.iterator.filter(_.claims(b))
-      .flatMap(_.decode(b)).nextOption().orNull
+    val in = SampleDecoder.decodePcm(b, decoders).orNull
     if (in == null) return None
     try {
       val f = in.getFormat

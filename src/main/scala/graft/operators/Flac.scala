@@ -87,7 +87,6 @@ object Flac {
     }
     def aligned: Boolean = (pos & 7) == 0
     def alignSkip(): Unit = while ((pos & 7) != 0) pos += 1
-    def atEnd: Boolean = (pos >> 3) >= b.length
     def u(n: Int): Int = {
       var v = 0
       var k = 0
@@ -99,15 +98,14 @@ object Flac {
       }
       v
     }
-    def uLong(n: Int): Long = {
-      var v = 0L
-      var k = 0
-      while (k < n) { v = (v << 1) | u(1); k += 1 }
-      v
-    }
-    /** n-bit two's-complement signed value. */
+    /** n-bit two's-complement signed value, n <= 31 (every signed
+      * field the subset reads: samples <= 25 bits with the side
+      * channel, LPC coefficients <= 15, escape raw widths <= 31 by
+      * their 5-bit width field).
+      */
     def s(n: Int): Int = {
       if (n == 0) return 0
+      if (n > 31) throw new IllegalArgumentException(s"signed width $n")
       val v = u(n)
       if ((v & (1 << (n - 1))) != 0) v - (1 << n) else v
     }
@@ -133,11 +131,24 @@ object Flac {
     * When STREAMINFO carries a nonzero total sample count the decoded
     * count must match it exactly — a silent truncation is corruption,
     * not a shorter song.
+    *
+    * `maxDecodedBytes` is the DECOMPRESSION-BOMB guard: FLAC's
+    * constant frames expand ~10,000× (13 bytes → 32768 samples), so a
+    * crafted blob could otherwise drive per-frame allocations into an
+    * executor OOM — an Error the quarantine catch cannot contain. The
+    * running decoded volume (4 bytes per sample value) is checked
+    * before every frame materializes; past the cap the blob
+    * quarantines. The default (256 MiB ≈ 45 min of 44.1 kHz stereo
+    * 16-bit) is a per-BLOB bound chosen for corpus work where media
+    * cells are clips, not albums; a deployment decoding long-form
+    * audio passes its own budget.
     */
-  def decode(b: Array[Byte]): Option[Pcm] =
-    try decodeStrict(b) catch { case scala.util.control.NonFatal(_) => None }
+  def decode(b: Array[Byte],
+      maxDecodedBytes: Long = 256L << 20): Option[Pcm] =
+    try decodeStrict(b, maxDecodedBytes)
+    catch { case scala.util.control.NonFatal(_) => None }
 
-  private def decodeStrict(b: Array[Byte]): Option[Pcm] = {
+  private def decodeStrict(b: Array[Byte], maxDecodedBytes: Long): Option[Pcm] = {
     if (b == null || b.length < 42) return None
     if (!(b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')) return None
     // Metadata walk; STREAMINFO must be the first block (§8.1).
@@ -173,11 +184,19 @@ object Flac {
     // side-channel reads — out of the declared subset, quarantined.
     if (rate <= 0 || channels < 1 || channels > 8 || bits < 4 || bits > 24)
       return None
+    // Bomb guard, STREAMINFO form: a declared total past the budget
+    // quarantines before any frame allocates.
+    if (total > 0 && total * channels * 4 > maxDecodedBytes) return None
 
     val out = new java.util.ArrayList[Array[Int]]() // per-frame interleaved
     var decoded = 0L
     var done = total > 0 && decoded >= total
     while (!done && p < b.length) {
+      // Bomb guard, running form (unknown-total streams only — the
+      // known-total path is bounded upfront and the loop stops at
+      // total): the NEXT frame may add at most 65535 samples/channel.
+      if (total == 0 &&
+        (decoded + 65535L) * channels * 4 > maxDecodedBytes) return None
       val frame = decodeFrame(b, p, rate, channels, bits) match {
         case Some(f) => f
         case None => return None
@@ -438,6 +457,12 @@ object Flac {
     private var nb = 0
     def byteLen: Int = { require(nb == 0); len }
     def bytes: Array[Byte] = java.util.Arrays.copyOf(buf, len)
+    /** CRCs over the LIVE buffer — no copy. `bytes` copies the whole
+      * accumulated stream, which made per-frame CRCs quadratic in
+      * stream length (every frame re-copied everything before it).
+      */
+    def crc8Range(from: Int, until: Int): Int = crc8(buf, from, until)
+    def crc16Range(from: Int, until: Int): Int = crc16(buf, from, until)
     def u(v: Long, n: Int): this.type = {
       var k = n - 1
       while (k >= 0) {
@@ -566,7 +591,7 @@ object Flac {
     w.u(chanAsgn.toLong, 4).u(bpsCode.toLong, 3).u(0, 1)
     codedNumber(w, frameIx)
     if (bsCode == 7) w.u(n - 1L, 16)
-    w.u(crc8(w.bytes, start, w.byteLen).toLong, 8)
+    w.u(w.crc8Range(start, w.byteLen).toLong, 8)
 
     // Deinterleave + decorrelate.
     val chans = new Array[Array[Int]](channels)
@@ -608,7 +633,7 @@ object Flac {
       c += 1
     }
     w.align()
-    w.u(crc16(w.bytes, start, w.byteLen).toLong, 16)
+    w.u(w.crc16Range(start, w.byteLen).toLong, 16)
   }
 
   private def encodeSubframe(w: BitW, x: Array[Int], bps: Int,
@@ -814,10 +839,14 @@ object Flac {
       while (k < 30 && (count.toLong << k) < sum) k += 1
       params(p) = k
       // Escape raw width: enough bits for the widest zigzag-SOURCE
-      // value (signed) in this partition.
+      // value (signed) in this partition. The 5-bit width field caps
+      // raw at 31 bits; a partition whose residuals need more (wrapped
+      // 32-bit values — only reachable at extreme depth/order combos)
+      // gets 0 here, meaning "escape unrepresentable, use Rice" (Rice
+      // unary handles any magnitude).
       var rb = 1
       while (rb < 32 && mx >= (1L << rb)) rb += 1
-      rawBits(p) = math.min(32, rb + 1)
+      rawBits(p) = if (rb + 1 <= 31) rb + 1 else 0
       idx += count
       p += 1
     }
@@ -830,7 +859,7 @@ object Flac {
     p = 0
     while (p < parts) {
       val count = (n >> po) - (if (p == 0) order else 0)
-      if (escapeAll || params(p) >= escape) {
+      if ((escapeAll || params(p) >= escape) && rawBits(p) > 0) {
         val rb = rawBits(p)
         w.u(escape.toLong, pb).u(rb.toLong, 5)
         var i = 0

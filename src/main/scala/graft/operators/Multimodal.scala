@@ -318,9 +318,7 @@ object Multimodal {
   private def decodeAudio(bytes: Array[Byte],
       decoders: Seq[SampleDecoder.PcmDecoder])
       : javax.sound.sampled.AudioInputStream =
-    if (bytes == null) null
-    else decoders.iterator.filter(_.claims(bytes))
-      .flatMap(_.decode(bytes)).nextOption().orNull
+    SampleDecoder.decodePcm(bytes, decoders).orNull
 
   /** OPTIONAL executor-local full audio decode (the audio sibling of
     * [[decodeImages]], closing the round-8 "audio stays stubbed" gap
@@ -429,19 +427,6 @@ object Multimodal {
       decoders: Seq[SampleDecoder.FrameDecoder] =
         SampleDecoder.frameDefaults): DataFrame = {
     val claimed: Set[String] = decoders.flatMap(_.codecs).toSet
-    // ONE container parse per blob: codec gate + range map from the
-    // same kernel call (null = not video / no provider claims the
-    // codec), instead of a parse for the filter and a second for the
-    // map. The codec id rides along so the decode step resolves the
-    // same provider the gate admitted.
-    val kfs = udf { bytes: Array[Byte] =>
-      VideoContainer.codecRanges(bytes, claimed.contains)
-        .orElse(MkvContainer.codecRanges(bytes, claimed.contains)) match {
-        case Some((codec, ranges)) if claimed.contains(codec) =>
-          Some((codec, ranges.map(k => (k.sample, k.offset, k.size))))
-        case _ => None
-      }
-    }
     val dec = udf { (codec: String, bytes: Array[Byte]) =>
       val img = decoders.find(_.codecs.contains(codec))
         .flatMap(_.decode(codec, bytes)).orNull
@@ -462,6 +447,37 @@ object Multimodal {
         else Some((w, h, (r / n).toInt, (g / n).toInt, (b / n).toInt))
       }
     }
+    keyframePayloads(media, blobCol, claimed)
+      .select(col("doc_id"), col("sample"),
+        dec(col("codec"), col("payload")).as("_f"))
+      .select(col("doc_id"), col("sample"),
+        col("_f._1").as("frame_w"), col("_f._2").as("frame_h"),
+        col("_f._3").as("mean_r"), col("_f._4").as("mean_g"),
+        col("_f._5").as("mean_b"))
+  }
+
+  /** THE one definition of the keyframe-payload plan — codec gate,
+    * range map, and byte slicing: one row per sync sample, (doc_id,
+    * codec, sample, payload). ONE container parse per blob (codec
+    * gate + range map from the same kernel call — null = not video /
+    * no provider claims the codec); the codec id rides along so the
+    * consumer's kernel resolves the same provider the gate admitted;
+    * non-key bytes never leave the scan task (binary substring on
+    * exact stss-resolved ranges). [[decodeKeyframes]] and
+    * [[VideoNearDup.keyframeHashes]] both map their per-raster
+    * kernels over this plan, so the container-walk contract cannot
+    * drift between consumers.
+    */
+  private[operators] def keyframePayloads(media: DataFrame,
+      blobCol: String, claimed: Set[String]): DataFrame = {
+    val kfs = udf { bytes: Array[Byte] =>
+      VideoContainer.codecRanges(bytes, claimed.contains)
+        .orElse(MkvContainer.codecRanges(bytes, claimed.contains)) match {
+        case Some((codec, ranges)) if claimed.contains(codec) =>
+          Some((codec, ranges.map(k => (k.sample, k.offset, k.size))))
+        case _ => None
+      }
+    }
     media
       .select(col("doc_id").cast("long").as("doc_id"),
         col(blobCol).as("_b"),
@@ -469,15 +485,10 @@ object Multimodal {
             "kfs:array<struct<sample:int,offset:bigint,size:bigint>>>")
           .as("_ck"))
       .filter(col("_ck").isNotNull)
-      .select(col("doc_id"), col("_b"), col("_ck.codec").as("_codec"),
+      .select(col("doc_id"), col("_b"), col("_ck.codec").as("codec"),
         explode(col("_ck.kfs")).as("kf"))
-      .select(col("doc_id"), col("kf.sample").as("sample"),
-        dec(col("_codec"),
-          expr("substring(_b, kf.offset + 1, kf.size)")).as("_f"))
-      .select(col("doc_id"), col("sample"),
-        col("_f._1").as("frame_w"), col("_f._2").as("frame_h"),
-        col("_f._3").as("mean_r"), col("_f._4").as("mean_g"),
-        col("_f._5").as("mean_b"))
+      .select(col("doc_id"), col("codec"), col("kf.sample").as("sample"),
+        expr("substring(_b, kf.offset + 1, kf.size)").as("payload"))
   }
 
   /** Frame sampling: slice the blob into fixed-size frames and keep every

@@ -106,4 +106,17 @@ object SampleDecoder {
     */
   def frameDefaults: Seq[FrameDecoder] = Seq(ImageIoFrames)
   def pcmDefaults: Seq[PcmDecoder] = Seq(Flac.FlacPcm, JavaSoundPcm)
+
+  /** THE one definition of PCM chain resolution (fall-through: every
+    * claiming provider gets a try until one returns Some). All PCM
+    * consumers ([[Multimodal]] features, [[AudioPhash]] hashes, gate
+    * kernels) resolve through here so the chain semantics cannot
+    * drift between call sites.
+    */
+  def decodePcm(payload: Array[Byte],
+      decoders: Seq[PcmDecoder] = pcmDefaults)
+      : Option[javax.sound.sampled.AudioInputStream] =
+    if (payload == null) None
+    else decoders.iterator.filter(_.claims(payload))
+      .flatMap(_.decode(payload)).nextOption()
 }

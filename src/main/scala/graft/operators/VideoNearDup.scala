@@ -49,31 +49,17 @@ object VideoNearDup {
       decoders: Seq[SampleDecoder.FrameDecoder] =
         SampleDecoder.frameDefaults): DataFrame = {
     val claimed: Set[String] = decoders.flatMap(_.codecs).toSet
-    val kfs = udf { bytes: Array[Byte] =>
-      VideoContainer.codecRanges(bytes, claimed.contains)
-        .orElse(MkvContainer.codecRanges(bytes, claimed.contains)) match {
-        case Some((codec, ranges)) if claimed.contains(codec) =>
-          Some((codec, ranges.map(k => (k.sample, k.offset, k.size))))
-        case _ => None
-      }
-    }
     val hash = udf { (codec: String, bytes: Array[Byte]) =>
       decoders.find(_.codecs.contains(codec))
         .flatMap(_.decode(codec, bytes))
         .map(ImagePhash.dhashImage)
     }
-    media
-      .select(col("doc_id").cast("long").as("doc_id"),
-        col(blobCol).as("_b"),
-        kfs(col(blobCol)).cast("struct<codec:string," +
-            "kfs:array<struct<sample:int,offset:bigint,size:bigint>>>")
-          .as("_ck"))
-      .filter(col("_ck").isNotNull)
-      .select(col("doc_id"), col("_b"), col("_ck.codec").as("_codec"),
-        explode(col("_ck.kfs")).as("kf"))
-      .select(col("doc_id"), col("kf.sample").as("sample"),
-        hash(col("_codec"),
-          expr("substring(_b, kf.offset + 1, kf.size)")).as("h"))
+    // The container walk (codec gate + range map + slicing) is the
+    // SHARED plan — Multimodal.keyframePayloads — so this path and
+    // decodeKeyframes cannot drift; only the per-raster kernel differs.
+    Multimodal.keyframePayloads(media, blobCol, claimed)
+      .select(col("doc_id"), col("sample"),
+        hash(col("codec"), col("payload")).as("h"))
       .filter(col("h").isNotNull)
   }
 

@@ -1058,9 +1058,7 @@ object MultimodalOps {
           }
         val enc = Flac.encode(pcm, ch, 8000, 16, bs, pred, st,
           partOrder = (docId % 3).toInt, escapeAll = docId % 11 == 0)
-        val in = SampleDecoder.pcmDefaults.iterator
-          .filter(_.claims(enc)).flatMap(_.decode(enc))
-          .nextOption().orNull
+        val in = SampleDecoder.decodePcm(enc).orNull
         if (in == null) (0L, 0L)
         else try {
           val got = in.readAllBytes()

@@ -113,6 +113,27 @@ class FlacSpec extends SparkSpec {
     assert(Flac.decode("fLaCnope".getBytes ++ new Array[Byte](40)).isEmpty)
   }
 
+  test("decompression bomb quarantines: a huge declared total or an " +
+    "over-budget unknown-total stream returns None, never allocates") {
+    val x = new Array[Int](4096) // silence: CONSTANT frames, ~max ratio
+    val enc = Flac.encode(x, 1, 8000, 16, 4096, Flac.Auto,
+      Flac.Independent, 0)
+    // Patch STREAMINFO totalSamples (the low 4 bits of byte 21 and
+    // bytes 22..25) to 2^35 — a declared 128 GiB of PCM in a 60-byte
+    // blob. The upfront guard must refuse before any frame allocates.
+    val bomb = enc.clone()
+    bomb(21) = ((bomb(21) & 0xf0) | 0x8).toByte // total[35:32] = 8
+    assert(Flac.decode(bomb).isEmpty, "declared-total bomb must quarantine")
+    // Unknown total (0): the running guard caps the frame loop.
+    val unknown = enc.clone()
+    unknown(21) = (unknown(21) & 0xf0).toByte
+    java.util.Arrays.fill(unknown, 22, 26, 0.toByte)
+    assert(Flac.decode(unknown, maxDecodedBytes = 1024).isEmpty,
+      "over-budget unknown-total stream must quarantine")
+    // And a legit stream decodes under a budget that fits it.
+    assert(Flac.decode(enc, maxDecodedBytes = 4096L * 4).isDefined)
+  }
+
   test("FlacPcm rides the SPI chain: claims the magic, decodes to the " +
     "16-bit LE contract, and AudioPhash hashes FLAC == WAV") {
     val n = 65 * 200

@@ -55,18 +55,25 @@ class ObjectStoreFileSystem extends LagFileSystem {
   private def qp(p: Path): String = makeQualified(p).toUri.getPath
 
   /** Execute deferred rename-source deletes and expire ghosts whose
-    * stale-listing window has passed.
+    * stale-listing window has passed. The eventual source delete goes
+    * through THIS filesystem's delete, not the raw one — a real
+    * store's copy+eventual-delete source key is subject to the same
+    * stale-listing window as any other delete, so with
+    * `deleteListLagMs` set the vanished source still LISTS as a ghost
+    * (the two knobs compose). Due entries are removed from the map
+    * BEFORE acting so the delete's own re-entrant sweep() is a no-op.
     */
   private def sweep(): Unit = {
     val now = System.currentTimeMillis()
+    val due = Vector.newBuilder[String]
     val pit = pendingDeletes.entrySet().iterator()
     while (pit.hasNext) {
       val e = pit.next()
-      if (now - e.getValue >= renameDeleteLagMs) {
-        try super.delete(new Path("obs://" + e.getKey), false)
-        catch { case _: Exception => () }
-        pit.remove()
-      }
+      if (now - e.getValue >= renameDeleteLagMs) { due += e.getKey; pit.remove() }
+    }
+    due.result().foreach { k =>
+      try delete(new Path("obs://" + k), false)
+      catch { case _: Exception => () }
     }
     val git = ghosts.entrySet().iterator()
     while (git.hasNext) {
