@@ -516,6 +516,34 @@ object AudioFixtures {
     out
   }
 
+  /** Wild-WAV codec gate PCM (q194): a smooth doc-keyed two-tone at
+    * 0.4 FS whose LENGTH is pure doc arithmetic — (505 mono / 249
+    * stereo samples-per-block at blockAlign 256) × (4 + doc_id%4)
+    * whole IMA blocks, 1 + doc_id%2 channels — so the same buffer
+    * renders as IMA ADPCM / µ-law / A-law and the oracle replays the
+    * frame count. Smoothness keeps every codec inside its designed
+    * error envelope (ADPCM tracks slopes, G.711 quantizes levels).
+    */
+  def codecTonePcm(docId: Long): Array[Int] = {
+    val ch = 1 + (docId % 2).toInt
+    val spb = if (ch == 1) 505 else 249
+    val n = spb * (4 + (docId % 4).toInt)
+    val out = new Array[Int](n * ch)
+    var i = 0
+    while (i < n) {
+      var c = 0
+      while (c < ch) {
+        val f = 0.014 * (1 + c) + 0.0004 * (docId % 11)
+        val v = 0.33 * math.sin(2 * math.Pi * f * i + 0.2 * (docId % 6)) +
+          0.07 * math.sin(2 * math.Pi * f * 3.3 * i)
+        out(i * ch + c) = math.round(v * 32767).toInt
+        c += 1
+      }
+      i += 1
+    }
+    out
+  }
+
   /** PCM-8 (unsigned, 128 = zero) mono WAV — the requantized variant
     * shape of a near-dup pipeline.
     */

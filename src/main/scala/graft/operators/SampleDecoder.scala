@@ -105,7 +105,8 @@ object SampleDecoder {
     * its claim is an exact magic, and JDKs ship no FLAC reader.
     */
   def frameDefaults: Seq[FrameDecoder] = Seq(ImageIoFrames)
-  def pcmDefaults: Seq[PcmDecoder] = Seq(Flac.FlacPcm, JavaSoundPcm)
+  def pcmDefaults: Seq[PcmDecoder] =
+    Seq(Flac.FlacPcm, Adpcm.AdpcmPcm, JavaSoundPcm)
 
   /** THE one definition of PCM chain resolution (fall-through: every
     * claiming provider gets a try until one returns Some). All PCM

@@ -1116,6 +1116,73 @@ object MultimodalOps {
       members.join(counts, Seq("cluster"), "left")
         .select($"cluster", $"n_members",
           coalesce($"n_pairs", lit(0L)).as("n_pairs"))
+    },
+
+    // ---- q194: WILD-WAV codecs — the three most common non-PCM WAVs
+    // a real crawl carries, decoded through the default SPI chain:
+    // IMA ADPCM (tag 0x11 — the JDK has no codec; Adpcm.AdpcmPcm, a
+    // from-spec implementation, is a new DEFAULT provider) and G.711
+    // µ-law/A-law (tags 7/6 — javax.sound decodes; our encoders are
+    // the canonical segmented forms). Per doc: render the same
+    // deterministic tone three ways, decode each via the chain, and
+    // gate the max per-sample error inside each codec's DESIGNED
+    // envelope (lossy codecs contract bounded error, not identity —
+    // identity is FLAC's q192). n_samples (from the ADPCM route) is
+    // pure block arithmetic the oracle replays: a dropped block, a
+    // mis-claimed tag, or a state-machine drift breaks the row.
+    "q194_wav_codecs" -> { (s, d) =>
+      import s.implicits._
+      import graft.operators.{Adpcm, AudioFixtures, SampleDecoder}
+      val check = udf { docId: Long =>
+        val ch = 1 + (docId % 2).toInt
+        val pcm = AudioFixtures.codecTonePcm(docId)
+        def via(b: Array[Byte]): Array[Int] = {
+          val in = SampleDecoder.decodePcm(b).orNull
+          if (in == null) Array.empty
+          else try {
+            val bytes = in.readAllBytes()
+            Array.tabulate(bytes.length / 2)(i =>
+              ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)))
+          } finally in.close()
+        }
+        def maxErr(a: Array[Int]): Int =
+          if (a.length != pcm.length) Int.MaxValue
+          else {
+            var m = 0
+            var i = 0
+            while (i < a.length) {
+              m = math.max(m, math.abs(a(i) - pcm(i))); i += 1
+            }
+            m
+          }
+        def rmsErr(a: Array[Int]): Double =
+          if (a.length != pcm.length) Double.MaxValue
+          else {
+            var s = 0.0
+            var i = 0
+            while (i < a.length) {
+              val dd = (a(i) - pcm(i)).toDouble; s += dd * dd; i += 1
+            }
+            math.sqrt(s / a.length)
+          }
+        val adpcm = via(Adpcm.encodeImaWav(pcm, ch, 8000))
+        val ulaw = via(Adpcm.encodeG711Wav(pcm, ch, 8000, alaw = false))
+        val alaw = via(Adpcm.encodeG711Wav(pcm, ch, 8000, alaw = true))
+        // G.711 is a memoryless quantizer — its MAX error is tight
+        // (worst measured 259 over the fixture's full 132-doc
+        // parameter period). ADPCM is adaptive — brief attack
+        // transients on the fastest doc-keyed tones are its designed
+        // behavior, so its contract is the RMS envelope (worst
+        // measured 469; bound 655 = 2% FS).
+        val ok = rmsErr(adpcm) <= 655 && maxErr(ulaw) <= 320 &&
+          maxErr(alaw) <= 320
+        (adpcm.length / math.max(1L, ch.toLong), if (ok) 1L else 0L)
+      }
+      Tables.documents(s, d)
+        .select($"doc_id".cast("long").as("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("r", check($"doc_id"))
+        .select($"doc_id", $"r._1".as("n_samples"), $"r._2".as("ok"))
     }
   )
 
@@ -1417,6 +1484,15 @@ object MultimodalOps {
     "q192_flac_roundtrip" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |  CAST(2000 + (doc_id % 7) * 501 AS BIGINT) AS n_samples,
+        |  CAST(1 AS BIGINT) AS ok
+        |FROM documents""".stripMargin,
+
+    // Frame count is whole-block arithmetic; ok=1 is the bounded-error
+    // contract of three lossy codecs through the default chain.
+    "q194_wav_codecs" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST((CASE WHEN doc_id % 2 = 0 THEN 505 ELSE 249 END)
+        |    * (4 + doc_id % 4) AS BIGINT) AS n_samples,
         |  CAST(1 AS BIGINT) AS ok
         |FROM documents""".stripMargin,
 

@@ -267,14 +267,16 @@ class PlanShapeSpec extends SparkSpec {
       .contains("Exchange"), "q176 triage must not shuffle")
   }
 
-  test("q192 FLAC round-trip is a narrow per-row kernel: one " +
+  test("q192/q194 codec round-trips are narrow per-row kernels: one " +
     "repartition exchange, no join, no generate") {
-    val p = plan("q192_flac_roundtrip")
-    assert(!p.contains("Join") && !p.contains("Generate"),
-      s"q192 must be a pure per-row map:\n$p")
-    val exchanges = "Exchange".r.findAllIn(p).size
-    assert(exchanges == 1,
-      s"q192: only the pre-decode repartition may shuffle, got $exchanges")
+    for (q <- Seq("q192_flac_roundtrip", "q194_wav_codecs")) {
+      val p = plan(q)
+      assert(!p.contains("Join") && !p.contains("Generate"),
+        s"$q must be a pure per-row map:\n$p")
+      val exchanges = "Exchange".r.findAllIn(p).size
+      assert(exchanges == 1,
+        s"$q: only the pre-decode repartition may shuffle, got $exchanges")
+    }
   }
 
   test("q193 video near-dup: keyframe hashes persist once, candidates " +
