@@ -1,0 +1,397 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** PDF text extraction (ISO 32000 subset) — the document-ingestion
+  * sibling of the web front's [[HtmlExtract]]: after WARC/HTML/tar,
+  * the next-largest text carrier in a real crawl is PDF, and a
+  * training pipeline that quarantines every one of them loses a major
+  * source. The JDK ships everything the common case needs (Inflater
+  * for FlateDecode, nothing else), so like FLAC/ADPCM this comes from
+  * the public spec with zero libraries.
+  *
+  * Scope (the honest subset, flagged not hidden):
+  *  - object scan is RECOVERY-STYLE: objects are found by scanning
+  *    for `N G obj … endobj` spans rather than trusting the xref
+  *    table — the posture every real-world extractor takes, since
+  *    crawled PDFs routinely carry broken xrefs; a valid xref'd
+  *    document parses identically.
+  *  - streams: raw and /FlateDecode (via `java.util.zip.Inflater`),
+  *    inflation capped by a decompression-bomb budget (the FLAC
+  *    lesson); other filters (DCT, LZW, …) leave that stream
+  *    unextracted and flip `complete = false`.
+  *  - text: BT…ET blocks; Tj / ' / " / TJ show operators; literal
+  *    strings with all §7.3.4.2 escapes (\n \r \t \b \f \( \) \\
+  *    \ooo, line continuations) and hex strings; bytes mapped as
+  *    Latin-1 (the WinAnsi/Standard common core). Type0/CID fonts
+  *    (2-byte codes) in the page's resources flip `complete = false`
+  *    — their strings are skipped rather than decoded wrong.
+  *  - layout: Td/TD/T-star/Tm adjacency — a new text-positioning op
+  *    inserts a newline, intra-block shows concatenate; TJ kerning
+  *    numbers below −180 (thousandths of an em) insert a space (the
+  *    conventional word-gap heuristic).
+  *
+  * Returns per-blob (n_pages, n_objects, text, complete); anything
+  * unrecognizable returns null (quarantine). Scale shape: a narrow
+  * per-row kernel, no shuffle.
+  */
+object Pdf {
+
+  final case class Extract(nPages: Int, nObjects: Int, text: String,
+      complete: Boolean)
+
+  /** Inflate with a bomb budget; None on corrupt deflate data. */
+  private def inflate(data: Array[Byte], maxOut: Int): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(math.min(maxOut, 1 << 16))
+      val buf = new Array[Byte](8192)
+      while (!inf.finished() && !inf.needsInput() && out.size() <= maxOut) {
+        val n = inf.inflate(buf)
+        if (n == 0 && !inf.finished() && inf.needsDictionary()) return None
+        out.write(buf, 0, n)
+      }
+      if (out.size() > maxOut) None else Some(out.toByteArray)
+    } catch { case _: java.util.zip.DataFormatException => None }
+    finally inf.end()
+  }
+
+  private def find(b: Array[Byte], pat: String, from: Int): Int = {
+    val p = pat.getBytes("ISO-8859-1")
+    var i = from
+    val limit = b.length - p.length
+    while (i <= limit) {
+      var j = 0
+      while (j < p.length && b(i + j) == p(j)) j += 1
+      if (j == p.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Extract text; None when the blob is not a PDF at all. */
+  def extract(b: Array[Byte],
+      maxInflatedBytes: Int = 64 << 20): Option[Extract] =
+    try extractStrict(b, maxInflatedBytes)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def extractStrict(b: Array[Byte],
+      maxInflated: Int): Option[Extract] = {
+    if (b == null || b.length < 16) return None
+    // Crawled PDFs routinely carry junk before the header; the spec's
+    // own recovery note allows the header within the first 1024 bytes.
+    val hdr = find(b, "%PDF-", 0)
+    if (hdr < 0 || hdr > 1024) return None
+    var complete = true
+    var nObjects = 0
+    var nPages = 0
+    val text = new StringBuilder
+    var cidFonts = false
+    // Recovery scan: every `obj … endobj` span.
+    var i = 0
+    var budget = maxInflated.toLong
+    while (i >= 0 && i < b.length) {
+      val objAt = find(b, " obj", i)
+      if (objAt < 0) i = -1
+      else {
+        val endAt = find(b, "endobj", objAt)
+        if (endAt < 0) { complete = false; i = -1 }
+        else {
+          nObjects += 1
+          val body = new String(b, objAt + 4, math.min(endAt, b.length) - objAt - 4,
+            "ISO-8859-1")
+          if (body.contains("/Type") && body.contains("/Page") &&
+            !body.contains("/Pages")) nPages += 1
+          if (body.contains("/Subtype") && body.contains("/Type0"))
+            cidFonts = true
+          val streamAt = find(b, "stream", objAt)
+          if (streamAt >= 0 && streamAt < endAt) {
+            // Stream data starts after "stream" + EOL (§7.3.8.1).
+            var ds = streamAt + 6
+            if (ds < b.length && b(ds) == '\r') ds += 1
+            if (ds < b.length && b(ds) == '\n') ds += 1
+            val de = find(b, "endstream", ds)
+            if (de < 0) complete = false
+            else {
+              val head = new String(b, objAt, streamAt - objAt, "ISO-8859-1")
+              val raw = java.util.Arrays.copyOfRange(b, ds, de)
+              val data: Option[Array[Byte]] =
+                if (head.contains("/FlateDecode")) {
+                  val cap = math.min(budget, maxInflated.toLong).toInt
+                  val r = inflate(raw, cap)
+                  if (r.isEmpty) complete = false
+                  r.foreach(d => budget -= d.length)
+                  if (budget < 0) return None // bomb: quarantine whole blob
+                  r
+                } else if (head.contains("/Filter")) {
+                  complete = false // DCT/LZW/…: honest skip
+                  None
+                } else Some(raw)
+              data.foreach { d =>
+                val t = extractTextOps(d)
+                if (t.nonEmpty) {
+                  if (text.nonEmpty) text.append('\n')
+                  text.append(t)
+                }
+              }
+            }
+          }
+          i = endAt + 6
+        }
+      }
+    }
+    if (nObjects == 0) return None
+    if (cidFonts) complete = false
+    Some(Extract(nPages, nObjects, text.result(), complete && !cidFonts))
+  }
+
+  /** Text operators inside one decoded content stream. */
+  private def extractTextOps(d: Array[Byte]): String = {
+    val s = new String(d, "ISO-8859-1")
+    val out = new StringBuilder
+    var i = 0
+    var inText = false
+    var pendingBreak = false
+    def emit(str: String): Unit = {
+      if (pendingBreak && out.nonEmpty) out.append('\n')
+      pendingBreak = false
+      out.append(str)
+    }
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%') { // comment to EOL
+        while (i < s.length && s.charAt(i) != '\n' && s.charAt(i) != '\r') i += 1
+      } else if (c == '(') {
+        val (str, ni) = literalString(s, i)
+        i = ni
+        // The NEXT operator decides what to do with it; scan ahead.
+        val op = nextOp(s, i)
+        if (inText && (op == "Tj" || op == "'" || op == "\"")) {
+          if (op != "Tj") pendingBreak = true
+          emit(str)
+        }
+      } else if (c == '<' && i + 1 < s.length && s.charAt(i + 1) != '<') {
+        val (str, ni) = hexString(s, i)
+        i = ni
+        val op = nextOp(s, i)
+        if (inText && (op == "Tj" || op == "'" || op == "\"")) emit(str)
+      } else if (c == '[') {
+        // Possible TJ array: collect strings and kerning gaps.
+        val (parts, ni) = tjArray(s, i)
+        i = ni
+        if (inText && nextOp(s, i) == "TJ") emit(parts)
+      } else if (c.isLetter || c == '\'' || c == '"') {
+        val st = i
+        while (i < s.length && !s.charAt(i).isWhitespace &&
+          !"()<>[]/%".contains(s.charAt(i))) i += 1
+        s.substring(st, i) match {
+          case "BT" => inText = true; pendingBreak = out.nonEmpty
+          case "ET" => inText = false
+          case "Td" | "TD" | "T*" | "Tm" => if (inText) pendingBreak = true
+          case _ => ()
+        }
+      } else i += 1
+    }
+    out.result()
+  }
+
+  /** The operator token following position i (skipping whitespace and
+    * numbers — Tj's operand was already consumed; ' and " carry
+    * leading numeric operands only in the " case, which sit between).
+    */
+  private def nextOp(s: String, from: Int): String = {
+    var i = from
+    var guard = 0
+    while (i < s.length && guard < 64) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '-' || c == '.' || c.isDigit) {
+        while (i < s.length && (s.charAt(i) == '-' || s.charAt(i) == '.' ||
+          s.charAt(i).isDigit)) i += 1
+        guard += 1
+      } else if (c.isLetter || c == '\'' || c == '"') {
+        val st = i
+        var j = i
+        while (j < s.length && !s.charAt(j).isWhitespace &&
+          !"()<>[]/%".contains(s.charAt(j))) j += 1
+        return s.substring(st, j)
+      } else return ""
+      guard += 1
+    }
+    ""
+  }
+
+  /** Literal string §7.3.4.2 from the '(' at `from`; returns (decoded,
+    * index past the closing ')').
+    */
+  private def literalString(s: String, from: Int): (String, Int) = {
+    val out = new StringBuilder
+    var i = from + 1
+    var depth = 1
+    while (i < s.length && depth > 0) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => out.append('\n'); i += 2
+          case 'r' => out.append('\r'); i += 2
+          case 't' => out.append('\t'); i += 2
+          case 'b' => out.append('\b'); i += 2
+          case 'f' => out.append('\f'); i += 2
+          case '(' => out.append('('); i += 2
+          case ')' => out.append(')'); i += 2
+          case '\\' => out.append('\\'); i += 2
+          case '\r' => // line continuation
+            i += 2; if (i < s.length && s.charAt(i) == '\n') i += 1
+          case '\n' => i += 2
+          case d if d >= '0' && d <= '7' =>
+            var v = 0
+            var k = 0
+            i += 1
+            while (k < 3 && i < s.length && s.charAt(i) >= '0' &&
+              s.charAt(i) <= '7') { v = v * 8 + (s.charAt(i) - '0'); i += 1; k += 1 }
+            out.append((v & 0xff).toChar)
+          case other => out.append(other); i += 2
+        }
+      } else if (c == '(') { depth += 1; out.append(c); i += 1 }
+      else if (c == ')') { depth -= 1; if (depth > 0) out.append(c); i += 1 }
+      else { out.append(c); i += 1 }
+    }
+    (out.result(), i)
+  }
+
+  /** Hex string <...>: pairs of hex digits, odd tail padded with 0. */
+  private def hexString(s: String, from: Int): (String, Int) = {
+    val out = new StringBuilder
+    var i = from + 1
+    val hex = new StringBuilder
+    while (i < s.length && s.charAt(i) != '>') {
+      val c = s.charAt(i)
+      if (!c.isWhitespace) hex.append(c)
+      i += 1
+    }
+    if (hex.length % 2 == 1) hex.append('0')
+    var k = 0
+    while (k < hex.length) {
+      val v = Integer.parseInt(hex.substring(k, k + 2), 16)
+      out.append((v & 0xff).toChar)
+      k += 2
+    }
+    (out.result(), i + 1)
+  }
+
+  /** TJ array: strings concatenated; a kerning number < −180 (PDF
+    * text-space thousandths) conventionally marks a word gap.
+    */
+  private def tjArray(s: String, from: Int): (String, Int) = {
+    val out = new StringBuilder
+    var i = from + 1
+    while (i < s.length && s.charAt(i) != ']') {
+      val c = s.charAt(i)
+      if (c == '(') {
+        val (str, ni) = literalString(s, i)
+        out.append(str); i = ni
+      } else if (c == '<') {
+        val (str, ni) = hexString(s, i)
+        out.append(str); i = ni
+      } else if (c == '-' || c.isDigit || c == '.') {
+        val st = i
+        while (i < s.length && (s.charAt(i) == '-' || s.charAt(i) == '.' ||
+          s.charAt(i).isDigit)) i += 1
+        val v = try s.substring(st, i).toDouble catch { case _: Exception => 0.0 }
+        if (v < -180) out.append(' ')
+      } else i += 1
+    }
+    (out.result(), if (i < s.length) i + 1 else i)
+  }
+
+  /** Column form: struct(n_pages, n_objects, text, complete); null =
+    * not a PDF (quarantine rule).
+    */
+  def pdfText(blob: Column): Column = {
+    val f = udf { b: Array[Byte] =>
+      extract(b).map(e => (e.nPages, e.nObjects, e.text, e.complete))
+    }
+    f(blob).cast(
+      "struct<n_pages:int,n_objects:int,text:string,complete:boolean>")
+  }
+}
+
+/** Deterministic spec-conformant PDF builder — the fixture member of
+  * the document-ingestion family ([[Warc.webFixture]]'s sibling): a
+  * real cross-referenced document (catalog → pages → page/contents,
+  * Helvetica font, valid xref + trailer) whose page text is pure doc
+  * arithmetic a SQL oracle replays. Each page's content stream
+  * exercises every extraction path: literal-string Tj with escapes,
+  * a TJ array with a word-gap kerning number, a hex string, and
+  * Td line breaks; streams alternate raw and /FlateDecode.
+  */
+object PdfFixtures {
+
+  private def deflate(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    try {
+      d.setInput(b); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
+  }
+
+  /** Expected extracted text of one page (the oracle's arithmetic). */
+  def pageText(docId: Long, p: Int): String =
+    s"doc-$docId-p$p\nalpha beta${(docId + p) % 7}\nhex!\nx)y\\z"
+
+  /** A PDF with 1 + docId%3 pages. */
+  def pdf(docId: Long): Array[Byte] = {
+    val nPages = 1 + (docId % 3).toInt
+    val objs = scala.collection.mutable.ArrayBuffer.empty[String]
+    // obj 1: catalog; obj 2: pages; obj 3: font; 4..: page+content pairs
+    val kids = (0 until nPages)
+      .map(p => s"${4 + 2 * p} 0 R").mkString(" ")
+    objs += "<< /Type /Catalog /Pages 2 0 R >>"
+    objs += s"<< /Type /Pages /Kids [ $kids ] /Count $nPages >>"
+    objs += "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    val streams = scala.collection.mutable.Map.empty[Int, (Array[Byte], Boolean)]
+    for (p <- 0 until nPages) {
+      val k = (docId + p) % 7
+      val content =
+        s"BT /F1 12 Tf 72 720 Td (doc-$docId-p$p) Tj " +
+          s"0 -14 Td [ (alpha) -200 (beta$k) ] TJ " +
+          "0 -14 Td <6865782 1> Tj " +
+          "0 -14 Td (x\\)y\\\\z) Tj ET"
+      objs += s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 3 0 R >> >> " +
+        s"/Contents ${5 + 2 * p} 0 R >>"
+      val raw = content.getBytes("ISO-8859-1")
+      val flate = (docId + p) % 2 == 1
+      val data = if (flate) deflate(raw) else raw
+      streams(5 + 2 * p) = (data, flate)
+      objs += "" // placeholder; stream objects are emitted specially
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    val offsets = new Array[Int](objs.length + 1)
+    for (n <- 1 to objs.length) {
+      offsets(n) = out.size()
+      streams.get(n) match {
+        case Some((data, flate)) =>
+          val filter = if (flate) " /Filter /FlateDecode" else ""
+          w(s"$n 0 obj\n<< /Length ${data.length}$filter >>\nstream\n")
+          out.write(data)
+          w("\nendstream\nendobj\n")
+        case None =>
+          w(s"$n 0 obj\n${objs(n - 1)}\nendobj\n")
+      }
+    }
+    val xrefAt = out.size()
+    w(s"xref\n0 ${objs.length + 1}\n0000000000 65535 f \n")
+    for (n <- 1 to objs.length) w(f"${offsets(n)}%010d 00000 n \n")
+    w(s"trailer\n<< /Size ${objs.length + 1} /Root 1 0 R >>\n" +
+      s"startxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+}

@@ -1183,6 +1183,50 @@ object MultimodalOps {
         .repartition(s.sparkContext.defaultParallelism)
         .withColumn("r", check($"doc_id"))
         .select($"doc_id", $"r._1".as("n_samples"), $"r._2".as("ok"))
+    },
+
+    // ---- q195: PDF text extraction — the document-ingestion sibling
+    // of the web front (after WARC/HTML/tar, PDF is the next-largest
+    // text carrier in a real crawl), implemented from ISO 32000 with
+    // zero libraries (Inflater is the only codec). Per doc: build a
+    // real cross-referenced PDF (catalog → pages → page/contents,
+    // valid xref; streams alternate raw and FlateDecode; content
+    // exercises literal-string escapes, TJ word-gap kerning, hex
+    // strings, Td breaks) and extract. Page count, object count, and
+    // the exact character count are pure doc arithmetic; complete=1
+    // certifies no stream was skipped. Scale: narrow per-row kernel.
+    "q195_pdf_text" -> { (s, d) =>
+      import s.implicits._
+      val build = udf { docId: Long => graft.operators.PdfFixtures.pdf(docId) }
+      Tables.documents(s, d)
+        .select($"doc_id".cast("long").as("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("e", graft.operators.Pdf.pdfText(build($"doc_id")))
+        .select($"doc_id",
+          $"e.n_pages".cast("long").as("n_pages"),
+          $"e.n_objects".cast("long").as("n_objects"),
+          length($"e.text").cast("long").as("n_chars"),
+          when($"e.complete", 1L).otherwise(0L).as("ok"))
+    },
+
+    // ---- q196: DOCX text extraction — OOXML (ECMA-376) through the
+    // JDK's zip + StAX, with the zip-bomb budget and XXE-disabled
+    // reader the wild-input posture demands. The fixture splits runs
+    // mid-paragraph and space-preserves — the structures a regex
+    // extractor gets wrong. Paragraph and character counts are doc
+    // arithmetic.
+    "q196_docx_text" -> { (s, d) =>
+      import s.implicits._
+      val build = udf { docId: Long =>
+        graft.operators.DocxFixtures.docx(docId)
+      }
+      Tables.documents(s, d)
+        .select($"doc_id".cast("long").as("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("e", graft.operators.OfficeDoc.docx(build($"doc_id")))
+        .select($"doc_id",
+          $"e.n_paragraphs".cast("long").as("n_paragraphs"),
+          length($"e.text").cast("long").as("n_chars"))
     }
   )
 
@@ -1485,6 +1529,29 @@ object MultimodalOps {
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |  CAST(2000 + (doc_id % 7) * 501 AS BIGINT) AS n_samples,
         |  CAST(1 AS BIGINT) AS ok
+        |FROM documents""".stripMargin,
+
+    // Per page: "doc-D-pP\nalpha betaK\nhex!\nx)y\z" = 30 + len(D)
+    // chars; pages join with newlines. Objects: catalog + pages node
+    // + font + (page, contents) per page.
+    "q195_pdf_text" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(1 + doc_id % 3 AS BIGINT) AS n_pages,
+        |  CAST(3 + 2 * (1 + doc_id % 3) AS BIGINT) AS n_objects,
+        |  CAST((1 + doc_id % 3) *
+        |    (31 + length(CAST(doc_id AS VARCHAR))) - 1 AS BIGINT)
+        |    AS n_chars,
+        |  CAST(1 AS BIGINT) AS ok
+        |FROM documents""".stripMargin,
+
+    // Per paragraph: "para-D-P\tbody K" = 14 + len(D) chars;
+    // paragraphs join with newlines.
+    "q196_docx_text" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(2 + doc_id % 4 AS BIGINT) AS n_paragraphs,
+        |  CAST((2 + doc_id % 4) *
+        |    (15 + length(CAST(doc_id AS VARCHAR))) - 1 AS BIGINT)
+        |    AS n_chars
         |FROM documents""".stripMargin,
 
     // Frame count is whole-block arithmetic; ok=1 is the bounded-error

@@ -269,7 +269,8 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q192/q194 codec round-trips are narrow per-row kernels: one " +
     "repartition exchange, no join, no generate") {
-    for (q <- Seq("q192_flac_roundtrip", "q194_wav_codecs")) {
+    for (q <- Seq("q192_flac_roundtrip", "q194_wav_codecs",
+        "q195_pdf_text", "q196_docx_text")) {
       val p = plan(q)
       assert(!p.contains("Join") && !p.contains("Generate"),
         s"$q must be a pure per-row map:\n$p")
