@@ -98,6 +98,35 @@ object MediaRouter {
       // but it must not land in quarantine.
       .orElse(VideoContainer.audioOnlyMp4(b).map(_ =>
         Triage("audio", "m4a", None, None, None, None)))
+      // Documents (round 11): the mixed-corpus entry point must route
+      // text carriers to the extraction fleet, not quarantine them.
+      // PDF = header magic within the spec's 1024-byte recovery
+      // window; DOCX = zip magic + the word/document.xml member name
+      // present in the archive bytes (entry names are stored plain,
+      // so no inflate is needed to dispatch).
+      .orElse(documentFormat(b).map(f =>
+        Triage("document", f, None, None, None, None)))
+  }
+
+  private def documentFormat(b: Array[Byte]): Option[String] = {
+    if (b == null || b.length < 16) None
+    else if (indexOfAscii(b, "%PDF-", 1024 + 5) >= 0) Some("pdf")
+    else if (b(0) == 'P' && b(1) == 'K' && b(2) == 3 && b(3) == 4 &&
+      indexOfAscii(b, "word/document.xml", b.length) >= 0) Some("docx")
+    else None
+  }
+
+  private def indexOfAscii(b: Array[Byte], pat: String, limit: Int): Int = {
+    val p = pat.getBytes("US-ASCII")
+    var i = 0
+    val max = math.min(b.length, limit) - p.length
+    while (i <= max) {
+      var j = 0
+      while (j < p.length && b(i + j) == p(j)) j += 1
+      if (j == p.length) return i
+      i += 1
+    }
+    -1
   }
 
   /** struct(kind, format, width, height, duration_ms, n_frames);

@@ -1227,6 +1227,74 @@ object MultimodalOps {
         .select($"doc_id",
           $"e.n_paragraphs".cast("long").as("n_paragraphs"),
           length($"e.text").cast("long").as("n_chars"))
+    },
+
+    // ---- q197: STREAMING document-ingest pipeline — the document
+    // front composed through the real write path (the q176/q189
+    // pattern, which has caught a composition bug every time): a
+    // mixed corpus (PDF / DOCX / garbage per doc arithmetic) replayed
+    // as a file stream → MediaRouter's NEW document dispatch → the
+    // format-matched extraction kernel → routed into keep/quarantine
+    // journals through the crash-atomic foreachBatch sink → read-back.
+    // The oracle replays the schedule as batch arithmetic (char
+    // counts from the q195/q196 fixtures), so the streamed route and
+    // the declared semantics cannot drift.
+    "q197_doc_pipeline_streaming" -> { (s, d) =>
+      import s.implicits._
+      import java.nio.file.Paths
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.sources.Journal
+      val root = s"/tmp/graft-journals/docs-${d.replace('/', '_')}"
+      StreamOps.deleteRecursively(Paths.get(root))
+      val build = udf { docId: Long =>
+        (docId % 3) match {
+          case 0 => graft.operators.PdfFixtures.pdf(docId)
+          case 1 => graft.operators.DocxFixtures.docx(docId)
+          case _ => s"garbage-$docId-not-a-document".getBytes("UTF-8")
+        }
+      }
+      val corpus = Tables.documents(s, d)
+        .select($"doc_id".cast("long").as("doc_id"))
+        .select($"doc_id", build($"doc_id").as("blob"))
+      val stage = s"$root/stage"
+      corpus.repartition(4).write.parquet(stage)
+      val src = s.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+      // One stateless projection: route, extract with the kernel the
+      // router chose, count — zero exchanges before the sink.
+      val routed = graft.operators.MediaRouter.route(src, blobCol = "blob")
+        .withColumn("pdf", graft.operators.Pdf.pdfText($"blob"))
+        .withColumn("dx", graft.operators.OfficeDoc.docx($"blob"))
+        .withColumn("n_chars",
+          when($"format" === "pdf", length($"pdf.text"))
+            .when($"format" === "docx", length($"dx.text"))
+            .cast("long"))
+        .withColumn("route",
+          when($"kind" === "document", lit("keep"))
+            .otherwise(lit("quarantine")))
+        .select($"route", to_json(struct($"doc_id", $"format",
+          $"n_chars")).as("payload"))
+      val q = routed.writeStream
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          df.persist()
+          try {
+            Journal.batchSink(root, "docs/keep", codec = "gz")(
+              df.filter($"route" === "keep").select($"payload"), batchId)
+            Journal.batchSink(root, "docs/quarantine", codec = "gz")(
+              df.filter($"route" === "quarantine").select($"payload"),
+              batchId)
+          } finally df.unpersist()
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(600000), "q197 stream drain timed out")
+      val frame = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, format STRING, n_chars BIGINT")
+      Seq("docs/keep", "docs/quarantine")
+        .map(j => Journal.read(s, root, j).toDF())
+        .reduce(_ unionByName _)
+        .select(from_json($"payload", frame).as("r"))
+        .select($"r.doc_id", $"r.format", $"r.n_chars")
     }
   )
 
@@ -1542,6 +1610,21 @@ object MultimodalOps {
         |    (31 + length(CAST(doc_id AS VARCHAR))) - 1 AS BIGINT)
         |    AS n_chars,
         |  CAST(1 AS BIGINT) AS ok
+        |FROM documents""".stripMargin,
+
+    // The mixed-corpus schedule replayed as batch arithmetic: doc%3
+    // picks pdf / docx / garbage; char counts are the q195/q196
+    // fixture arithmetic; garbage routes with NULL format and count.
+    "q197_doc_pipeline_streaming" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx' END AS format,
+        |  CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN CAST((1 + doc_id % 3) *
+        |      (31 + length(CAST(doc_id AS VARCHAR))) - 1 AS BIGINT)
+        |    WHEN 1 THEN CAST((2 + doc_id % 4) *
+        |      (15 + length(CAST(doc_id AS VARCHAR))) - 1 AS BIGINT)
+        |  END AS n_chars
         |FROM documents""".stripMargin,
 
     // Per paragraph: "para-D-P\tbody K" = 14 + len(D) chars;

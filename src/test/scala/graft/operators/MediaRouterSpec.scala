@@ -72,6 +72,29 @@ class MediaRouterSpec extends SparkSpec {
       .get.kind == "video")
   }
 
+  test("documents route to the extraction fleet, not quarantine — " +
+    "and never claim media or vice versa") {
+    assert(MediaRouter.triage(PdfFixtures.pdf(3L)).get ==
+      MediaRouter.Triage("document", "pdf", None, None, None, None))
+    assert(MediaRouter.triage(DocxFixtures.docx(3L)).get ==
+      MediaRouter.Triage("document", "docx", None, None, None, None))
+    // Junk-prefixed PDF (a crawl artifact) still routes; junk past the
+    // spec's 1024-byte recovery window does not.
+    assert(MediaRouter.triage(("x" * 64).getBytes ++ PdfFixtures.pdf(1L))
+      .get.format == "pdf")
+    assert(MediaRouter.triage(
+      new Array[Byte](2000) ++ PdfFixtures.pdf(1L)).isEmpty)
+    // A plain zip that is NOT a docx stays quarantined.
+    val out = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(out)
+    z.putNextEntry(new java.util.zip.ZipEntry("a.txt"))
+    z.write("hi".getBytes); z.closeEntry(); z.close()
+    assert(MediaRouter.triage(out.toByteArray).isEmpty)
+    // Media still wins its own magics (order independence).
+    assert(MediaRouter.triage(AudioFixtures.wav(8000, 1, 100))
+      .get.kind == "audio")
+  }
+
   test("route keeps quarantine rows with null kind") {
     import spark.implicits._
     val df = Seq(

@@ -265,6 +265,15 @@ class PlanShapeSpec extends SparkSpec {
     val mediaTriage = graft.operators.MediaRouter.route(media)
     assert(!mediaTriage.queryExecution.executedPlan.toString
       .contains("Exchange"), "q176 triage must not shuffle")
+    // The q197 document triage: route + format-matched extraction is
+    // the same stateless projection.
+    val docs = Seq((1L, graft.operators.PdfFixtures.pdf(1L)))
+      .toDF("doc_id", "blob")
+    val docTriage = graft.operators.MediaRouter.route(docs, "blob")
+      .withColumn("pdf", graft.operators.Pdf.pdfText($"blob"))
+      .withColumn("dx", graft.operators.OfficeDoc.docx($"blob"))
+    assert(!docTriage.queryExecution.executedPlan.toString
+      .contains("Exchange"), "q197 triage must not shuffle")
   }
 
   test("q192/q194 codec round-trips are narrow per-row kernels: one " +
