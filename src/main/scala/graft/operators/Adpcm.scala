@@ -220,51 +220,63 @@ object Adpcm {
       val blockEnd = math.min(base + blockAlign, end)
       val pred = new Array[Int](ch)
       val index = new Array[Int](ch)
+      var badBlock = false
       var c = 0
       while (c < ch) {
         pred(c) = u16le(b, base + 4 * c).toShort.toInt
         index(c) = b(base + 4 * c + 2) & 0xff
-        if (index(c) > 88 || b(base + 4 * c + 3) != 0) return None
+        // A step index past the table is corruption — but blocks are
+        // SELF-CONTAINED, so one bad block skips, it does not discard
+        // every good block already decoded (the dirty-input posture;
+        // mainstream decoders behave the same). The 4th header byte
+        // is reserved: wild encoders put values there, ignore it.
+        if (index(c) > 88) badBlock = true
         c += 1
       }
-      // First sample per channel is the header predictor.
-      val block = Array.ofDim[Int](ch, spb)
-      c = 0
-      while (c < ch) { block(c)(0) = pred(c); c += 1 }
-      var k = 1
-      var off = base + 4 * ch
-      var truncatedAt = spb
-      while (k < spb && truncatedAt == spb) {
-        var c2 = 0
-        while (c2 < ch) {
-          var g = 0
-          while (g < 8) {
-            val s = k + g
-            val byteAt = off + (g >> 1)
-            if (s < spb) {
-              if (byteAt < blockEnd) {
-                val nib = if ((g & 1) == 0) b(byteAt) & 0xf
-                  else (b(byteAt) >> 4) & 0xf
-                val (p, ix) = step(pred(c2), index(c2), nib)
-                pred(c2) = p; index(c2) = ix
-                block(c2)(s) = p
-              } else if (truncatedAt == spb) {
-                truncatedAt = s // truncated tail block: keep the prefix
+      if (!badBlock) {
+        // First sample per channel is the header predictor.
+        val block = Array.ofDim[Int](ch, spb)
+        c = 0
+        while (c < ch) { block(c)(0) = pred(c); c += 1 }
+        var k = 1
+        var off = base + 4 * ch
+        var truncatedAt = spb
+        while (k < spb && truncatedAt == spb) {
+          var c2 = 0
+          while (c2 < ch) {
+            var g = 0
+            while (g < 8) {
+              val s = k + g
+              val byteAt = off + (g >> 1)
+              if (s < spb) {
+                if (byteAt < blockEnd) {
+                  val nib = if ((g & 1) == 0) b(byteAt) & 0xf
+                    else (b(byteAt) >> 4) & 0xf
+                  val (p, ix) = step(pred(c2), index(c2), nib)
+                  pred(c2) = p; index(c2) = ix
+                  block(c2)(s) = p
+                } else if (truncatedAt == spb) {
+                  // Truncated tail: clamp to the GROUP start — a later
+                  // channel's group for these samples never decoded,
+                  // so emitting past k would fabricate zero samples
+                  // in that channel.
+                  truncatedAt = k
+                }
               }
+              g += 1
             }
-            g += 1
+            off += 4
+            c2 += 1
           }
-          off += 4
-          c2 += 1
+          k += 8
         }
-        k += 8
-      }
-      val have = truncatedAt
-      var s = 0
-      while (s < have) {
-        var c3 = 0
-        while (c3 < ch) { out += block(c3)(s); c3 += 1 }
-        s += 1
+        val have = truncatedAt
+        var s = 0
+        while (s < have) {
+          var c3 = 0
+          while (c3 < ch) { out += block(c3)(s); c3 += 1 }
+          s += 1
+        }
       }
       base += blockAlign
     }

@@ -24,10 +24,11 @@ import org.apache.spark.sql.functions._
 object MediaRouter {
 
   /** (kind, format, width, height, duration_ms, n_frames) — kind in
-    * {image, video, audio}; null struct = quarantine. Audio carries
-    * no cheap header geometry (frame math needs the full decode,
-    * [[Multimodal.decodeAudioFeatures]]); its fields stay null here
-    * beyond the format tag.
+    * {image, video, audio, document}; null struct = quarantine. Audio
+    * and documents carry no cheap header geometry (audio frame math
+    * needs the full decode, [[Multimodal.decodeAudioFeatures]];
+    * document page counts need [[Pdf.pdfText]]/[[OfficeDoc.docx]]);
+    * their fields stay null here beyond the format tag.
     */
   final case class Triage(kind: String, format: String,
       width: Option[Int], height: Option[Int],
@@ -110,9 +111,14 @@ object MediaRouter {
 
   private def documentFormat(b: Array[Byte]): Option[String] = {
     if (b == null || b.length < 16) None
-    else if (indexOfAscii(b, "%PDF-", 1024 + 5) >= 0) Some("pdf")
-    else if (b(0) == 'P' && b(1) == 'K' && b(2) == 3 && b(3) == 4 &&
-      indexOfAscii(b, "word/document.xml", b.length) >= 0) Some("docx")
+    // The EXACT zip magic at offset 0 dispatches before the fuzzy
+    // positional "%PDF-" scan: a docx whose first KB happens to
+    // contain those five bytes (a stored embedded PDF member, a
+    // deflate coincidence) must not misroute as pdf.
+    else if (b(0) == 'P' && b(1) == 'K' && b(2) == 3 && b(3) == 4) {
+      if (indexOfAscii(b, "word/document.xml", b.length) >= 0) Some("docx")
+      else None // a plain zip stays quarantined
+    } else if (indexOfAscii(b, "%PDF-", 1024 + 5) >= 0) Some("pdf")
     else None
   }
 

@@ -41,7 +41,10 @@ object Pdf {
   final case class Extract(nPages: Int, nObjects: Int, text: String,
       complete: Boolean)
 
-  /** Inflate with a bomb budget; None on corrupt deflate data. */
+  /** Inflate with a bomb budget; None on corrupt OR TRUNCATED deflate
+    * data (a partial decode must not masquerade as a full stream — the
+    * caller's `complete` flag certifies nothing was skipped).
+    */
   private def inflate(data: Array[Byte], maxOut: Int): Option[Array[Byte]] = {
     val inf = new java.util.zip.Inflater()
     try {
@@ -53,15 +56,17 @@ object Pdf {
         if (n == 0 && !inf.finished() && inf.needsDictionary()) return None
         out.write(buf, 0, n)
       }
-      if (out.size() > maxOut) None else Some(out.toByteArray)
+      if (out.size() > maxOut || !inf.finished()) None
+      else Some(out.toByteArray)
     } catch { case _: java.util.zip.DataFormatException => None }
     finally inf.end()
   }
 
-  private def find(b: Array[Byte], pat: String, from: Int): Int = {
+  private def find(b: Array[Byte], pat: String, from: Int,
+      until: Int = Int.MaxValue): Int = {
     val p = pat.getBytes("ISO-8859-1")
     var i = from
-    val limit = b.length - p.length
+    val limit = math.min(b.length, until) - p.length
     while (i <= limit) {
       var j = 0
       while (j < p.length && b(i + j) == p(j)) j += 1
@@ -100,13 +105,22 @@ object Pdf {
         if (endAt < 0) { complete = false; i = -1 }
         else {
           nObjects += 1
-          val body = new String(b, objAt + 4, math.min(endAt, b.length) - objAt - 4,
-            "ISO-8859-1")
+          // The stream keyword always precedes endobj; bounding the
+          // search there stops a stream-less object from rescanning
+          // the rest of the file (O(objects x size) otherwise).
+          val streamAt = find(b, "stream", objAt, endAt)
+          // The dict header is all the .contains checks need: cap the
+          // materialized body at the stream start (or a small bound),
+          // never the stream payload — a 500 MB embedded image must
+          // not become a transient gigabyte String per row.
+          val bodyEnd = math.min(
+            if (streamAt >= 0) streamAt else endAt, objAt + 4 + 4096)
+          val body = new String(b, objAt + 4,
+            math.max(0, bodyEnd - objAt - 4), "ISO-8859-1")
           if (body.contains("/Type") && body.contains("/Page") &&
             !body.contains("/Pages")) nPages += 1
           if (body.contains("/Subtype") && body.contains("/Type0"))
             cidFonts = true
-          val streamAt = find(b, "stream", objAt)
           if (streamAt >= 0 && streamAt < endAt) {
             // Stream data starts after "stream" + EOL (§7.3.8.1).
             var ds = streamAt + 6
@@ -261,24 +275,34 @@ object Pdf {
     (out.result(), i)
   }
 
-  /** Hex string <...>: pairs of hex digits, odd tail padded with 0. */
+  /** Hex string <...>: pairs of hex digits, odd tail padded with 0.
+    * A '<' that is NOT a hex string — dict markers (`<<`), XMP
+    * packets (`<?xpacket`), any non-hex payload — must parse to
+    * nothing rather than throw: real content streams are full of
+    * them, and a throw would quarantine the whole (valid) document.
+    */
   private def hexString(s: String, from: Int): (String, Int) = {
-    val out = new StringBuilder
+    def isHex(c: Char): Boolean =
+      (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
+        (c >= 'A' && c <= 'F')
     var i = from + 1
     val hex = new StringBuilder
+    var valid = true
     while (i < s.length && s.charAt(i) != '>') {
       val c = s.charAt(i)
-      if (!c.isWhitespace) hex.append(c)
+      if (isHex(c)) hex.append(c)
+      else if (!c.isWhitespace) valid = false
       i += 1
     }
+    if (!valid) return ("", i + (if (i < s.length) 1 else 0))
     if (hex.length % 2 == 1) hex.append('0')
+    val out = new StringBuilder
     var k = 0
     while (k < hex.length) {
-      val v = Integer.parseInt(hex.substring(k, k + 2), 16)
-      out.append((v & 0xff).toChar)
+      out.append((Integer.parseInt(hex.substring(k, k + 2), 16) & 0xff).toChar)
       k += 2
     }
-    (out.result(), i + 1)
+    (out.result(), i + (if (i < s.length) 1 else 0))
   }
 
   /** TJ array: strings concatenated; a kerning number < −180 (PDF

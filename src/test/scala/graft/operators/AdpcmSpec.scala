@@ -87,11 +87,21 @@ class AdpcmSpec extends SparkSpec {
     val n = dec.get.samples.length
     assert(n > spb * 2 && n < spb * 3)
     assert(maxErr(dec.get.samples, x.take(n)) <= 655)
-    // Corrupt step index (> 88) quarantines. Data starts at 48:
-    // RIFF(12) + fmt chunk(8 + 16 + 2 + 2 extension) + data header(8).
+    // Corrupt step index (> 88) skips exactly that SELF-CONTAINED
+    // block; the other blocks survive (data starts at 48: RIFF(12) +
+    // fmt chunk(8 + 16 + 2 + 2 extension) + data header(8)).
     val bad = wav.clone()
     bad(48 + 2) = 99.toByte // first block header's index byte
-    assert(Adpcm.decode(bad).isEmpty)
+    val badDec = Adpcm.decode(bad).get
+    assert(badDec.samples.length == spb * 2,
+      s"bad block must skip, got ${badDec.samples.length}")
+    assert(maxErr(badDec.samples, x.drop(spb)) <= 655,
+      "surviving blocks must decode exactly as before")
+    // The 4th header byte is reserved — wild encoders set it; a
+    // decoder must ignore it, not quarantine.
+    val res = wav.clone()
+    res(48 + 3) = 7.toByte
+    assert(Adpcm.decode(res).get.samples.length == spb * 3)
   }
 
   test("G.711 u-law/A-law fixtures decode through the JDK chain " +

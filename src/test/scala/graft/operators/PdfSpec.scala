@@ -39,6 +39,40 @@ class PdfSpec extends SparkSpec {
     assert(!Pdf.extract(base ++ cid).get.complete)
   }
 
+  test("real-world stream content: dict markers, XMP packets, and " +
+    "truncated deflate degrade honestly — never quarantine the doc") {
+    val base = PdfFixtures.pdf(2L)
+    // An unfiltered metadata stream full of '<' tokens (XMP) and a
+    // tagged-PDF marked-content dict inside a text block: both are
+    // routine in production PDFs and neither is a hex string.
+    val xmp = ("97 0 obj\n<< /Length 59 >>\nstream\n" +
+      "<?xpacket begin?><x:xmpmeta>data</x:xmpmeta><?xpacket end?>\n" +
+      "endstream\nendobj\n").getBytes("ISO-8859-1")
+    val mc = ("96 0 obj\n<< /Length 40 >>\nstream\n" +
+      "BT /P <</MCID 0>> BDC (ok) Tj EMC ET\n" +
+      "endstream\nendobj\n").getBytes("ISO-8859-1")
+    val e = Pdf.extract(base ++ xmp ++ mc).get
+    assert(e.text.contains("doc-2-p0"), "fixture pages must survive")
+    assert(e.text.contains("ok"), "text after a marked-content dict " +
+      s"must extract, got:\n${e.text}")
+    assert(!e.text.contains("xpacket"), "XMP is metadata, not shows")
+    // Truncated deflate payload (endstream still present): the partial
+    // inflate must flip complete, not pass off a cut stream as whole.
+    val d = new java.util.zip.Deflater()
+    d.setInput("BT (gone) Tj ET".getBytes); d.finish()
+    val db = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) db.write(buf, 0, d.deflate(buf))
+    d.end()
+    val cut = java.util.Arrays.copyOf(db.toByteArray, db.size() - 3)
+    val trunc = ("95 0 obj\n<< /Length " + cut.length +
+      " /Filter /FlateDecode >>\nstream\n").getBytes("ISO-8859-1") ++
+      cut ++ "\nendstream\nendobj\n".getBytes("ISO-8859-1")
+    val t = Pdf.extract(base ++ trunc).get
+    assert(!t.complete, "a truncated stream must flip complete")
+    assert(t.text.contains("doc-2-p0"))
+  }
+
   test("quarantine: non-PDFs are None; truncation and byte damage " +
     "never throw and never fabricate completeness") {
     assert(Pdf.extract(null).isEmpty)
