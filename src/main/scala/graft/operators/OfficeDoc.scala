@@ -116,6 +116,149 @@ object OfficeDoc {
     }
     f(blob).cast("struct<n_paragraphs:int,text:string>")
   }
+
+  // ---- XLSX (SpreadsheetML) ------------------------------------------
+
+  /** One sheet row: (row index as the sheet numbers them, tab-joined
+    * cell values in document order).
+    */
+  final case class SheetRow(row: Int, text: String)
+
+  /** XLSX cell extraction: shared strings resolved, inline/numeric
+    * values kept verbatim (the `<v>` literal — spreadsheet numbers
+    * are data, reformatting them would corrupt). Same quarantine and
+    * budget posture as [[docxText]]; sheet1 only (the corpus-scale
+    * table case; multi-sheet workbooks concatenate upstream).
+    */
+  def xlsxRows(b: Array[Byte],
+      maxInflatedBytes: Int = 64 << 20): Option[Seq[SheetRow]] =
+    try xlsxStrict(b, maxInflatedBytes)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def xlsxStrict(b: Array[Byte],
+      maxBytes: Int): Option[Seq[SheetRow]] = {
+    if (b == null || b.length < 22) return None
+    if (!(b(0) == 'P' && b(1) == 'K' && b(2) == 3 && b(3) == 4)) return None
+    val zin = new ZipInputStream(new ByteArrayInputStream(b))
+    var shared: Array[Byte] = null
+    var sheet: Array[Byte] = null
+    try {
+      var entry = zin.getNextEntry
+      while (entry != null && (shared == null || sheet == null)) {
+        entry.getName match {
+          case "xl/sharedStrings.xml" =>
+            shared = readMember(zin, maxBytes).orNull
+          case "xl/worksheets/sheet1.xml" =>
+            sheet = readMember(zin, maxBytes).orNull
+          case _ => ()
+        }
+        entry = zin.getNextEntry
+      }
+    } finally zin.close()
+    if (sheet == null) return None
+    val strings: IndexedSeq[String] =
+      if (shared == null) IndexedSeq.empty else parseSharedStrings(shared)
+    parseSheet(sheet, strings)
+  }
+
+  private def safeFactory(): javax.xml.stream.XMLInputFactory = {
+    val f = javax.xml.stream.XMLInputFactory.newInstance()
+    f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty(
+      javax.xml.stream.XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f
+  }
+
+  private def parseSharedStrings(xml: Array[Byte]): IndexedSeq[String] = {
+    val r = safeFactory().createXMLStreamReader(new ByteArrayInputStream(xml))
+    try {
+      val out = Vector.newBuilder[String]
+      val cur = new StringBuilder
+      var inSi = false
+      var inT = false
+      while (r.hasNext) {
+        r.next() match {
+          case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "si" => inSi = true; cur.clear()
+              case "t" => inT = true
+              case _ => ()
+            }
+          case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
+            r.getLocalName match {
+              case "si" => inSi = false; out += cur.result()
+              case "t" => inT = false
+              case _ => ()
+            }
+          case javax.xml.stream.XMLStreamConstants.CHARACTERS |
+              javax.xml.stream.XMLStreamConstants.CDATA =>
+            if (inSi && inT) cur.append(r.getText)
+          case _ => ()
+        }
+      }
+      out.result()
+    } finally r.close()
+  }
+
+  private def parseSheet(xml: Array[Byte],
+      strings: IndexedSeq[String]): Option[Seq[SheetRow]] = {
+    val r = safeFactory().createXMLStreamReader(new ByteArrayInputStream(xml))
+    try {
+      val rows = Vector.newBuilder[SheetRow]
+      var rowIx = 0
+      var cells: scala.collection.mutable.ArrayBuffer[String] = null
+      var cellType = ""
+      var inV = false
+      val v = new StringBuilder
+      var sawSheetData = false
+      while (r.hasNext) {
+        r.next() match {
+          case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "sheetData" => sawSheetData = true
+              case "row" =>
+                rowIx = Option(r.getAttributeValue(null, "r"))
+                  .map(_.toInt).getOrElse(rowIx + 1)
+                cells = scala.collection.mutable.ArrayBuffer.empty[String]
+              case "c" =>
+                cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
+              case "v" => inV = true; v.clear()
+              case _ => ()
+            }
+          case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
+            r.getLocalName match {
+              case "v" =>
+                inV = false
+                if (cells != null) {
+                  val raw = v.result()
+                  cells += (if (cellType == "s")
+                    strings.lift(raw.trim.toInt).getOrElse("")
+                  else raw)
+                }
+              case "row" =>
+                if (cells != null) rows += SheetRow(rowIx, cells.mkString("\t"))
+                cells = null
+              case _ => ()
+            }
+          case javax.xml.stream.XMLStreamConstants.CHARACTERS |
+              javax.xml.stream.XMLStreamConstants.CDATA =>
+            if (inV) v.append(r.getText)
+          case _ => ()
+        }
+      }
+      if (!sawSheetData) None else Some(rows.result())
+    } finally r.close()
+  }
+
+  /** Generator column form: array of (row, text) sheet rows; null =
+    * quarantine (not an xlsx), distinct from an empty sheet.
+    */
+  def xlsx(blob: Column): Column = {
+    val f = udf { b: Array[Byte] =>
+      xlsxRows(b).map(_.map(r => (r.row, r.text)))
+    }
+    f(blob).cast("array<struct<row:int,text:string>>")
+  }
 }
 
 /** Minimal conformant OOXML fixture: a zip with [Content_Types].xml,
@@ -168,6 +311,62 @@ object DocxFixtures {
     add("[Content_Types].xml", types)
     add("_rels/.rels", rels)
     add("word/document.xml", doc)
+    z.close()
+    out.toByteArray
+  }
+
+  /** Expected tab-joined text of sheet row r (1-based; the oracle's
+    * arithmetic): a shared-string label cell then numeric cells.
+    */
+  def xlsxRowText(docId: Long, r: Int): String = {
+    val nCols = 2 + (docId % 3).toInt
+    (s"cell-$docId-$r" +:
+      (1 until nCols).map(c => ((docId + r * c) % 100).toString))
+      .mkString("\t")
+  }
+
+  /** Minimal conformant XLSX: shared strings (label cells, one per
+    * row) + sheet1 with numeric `<v>` cells — 1 + docId%5 rows of
+    * 2 + docId%3 columns.
+    */
+  def xlsx(docId: Long): Array[Byte] = {
+    val nRows = 1 + (docId % 5).toInt
+    val nCols = 2 + (docId % 3).toInt
+    val sst =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        s"""<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="$nRows" uniqueCount="$nRows">""" +
+        (1 to nRows).map(r => s"<si><t>cell-$docId-$r</t></si>").mkString +
+        "</sst>"
+    val colName = "ABCDEFGH"
+    val sheet =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+        (1 to nRows).map { r =>
+          val cells = s"""<c r="A$r" t="s"><v>${r - 1}</v></c>""" +
+            (1 until nCols).map { c =>
+              s"""<c r="${colName(c)}$r"><v>${(docId + r * c) % 100}</v></c>"""
+            }.mkString
+          s"""<row r="$r">$cells</row>"""
+        }.mkString +
+        "</sheetData></worksheet>"
+    val types =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+        """<Default Extension="xml" ContentType="application/xml"/>""" +
+        """<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""" +
+        """</Types>"""
+    val out = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(out)
+    def add(name: String, content: String): Unit = {
+      val e = new java.util.zip.ZipEntry(name)
+      e.setTime(0L)
+      z.putNextEntry(e)
+      z.write(content.getBytes("UTF-8"))
+      z.closeEntry()
+    }
+    add("[Content_Types].xml", types)
+    add("xl/sharedStrings.xml", sst)
+    add("xl/worksheets/sheet1.xml", sheet)
     z.close()
     out.toByteArray
   }

@@ -1295,6 +1295,29 @@ object MultimodalOps {
         .reduce(_ unionByName _)
         .select(from_json($"payload", frame).as("r"))
         .select($"r.doc_id", $"r.format", $"r.n_chars")
+    },
+
+    // ---- q198: XLSX cell extraction — SpreadsheetML through the
+    // same JDK zip + StAX path as q196, with the table-specific
+    // semantics pinned EXACTLY: shared-string cells resolve through
+    // the sst, numeric `<v>` literals stay verbatim (reformatting
+    // spreadsheet numbers corrupts data), rows keep sheet order. One
+    // output row per sheet row with the full tab-joined text, so the
+    // oracle (which rebuilds every cell by string arithmetic) catches
+    // a single wrong cell anywhere. Scale: per-row parse + generator
+    // explode, one exchange-free map before the scan's output.
+    "q198_xlsx_cells" -> { (s, d) =>
+      import s.implicits._
+      val build = udf { docId: Long =>
+        graft.operators.DocxFixtures.xlsx(docId)
+      }
+      Tables.documents(s, d)
+        .select($"doc_id".cast("long").as("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("rows", graft.operators.OfficeDoc.xlsx(build($"doc_id")))
+        .select($"doc_id", explode($"rows").as("r"))
+        .select($"doc_id", $"r.row".cast("long").as("row_idx"),
+          $"r.text".as("text"))
     }
   )
 
@@ -1626,6 +1649,20 @@ object MultimodalOps {
         |      (15 + length(CAST(doc_id AS VARCHAR))) - 1 AS BIGINT)
         |  END AS n_chars
         |FROM documents""".stripMargin,
+
+    // Every cell rebuilt by arithmetic: the label from the shared
+    // strings, the numerics verbatim, tab-joined in column order.
+    "q198_xlsx_cells" ->
+      """WITH p AS (
+        |  SELECT doc_id, unnest(range(1, 2 + doc_id % 5)) AS r
+        |  FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(r AS BIGINT) AS row_idx,
+        |  'cell-' || doc_id || '-' || r || chr(9) ||
+        |    array_to_string(list_transform(range(1, 2 + doc_id % 3),
+        |      c -> CAST((doc_id + r * c) % 100 AS VARCHAR)), chr(9))
+        |    AS text
+        |FROM p""".stripMargin,
 
     // Per paragraph: "para-D-P\tbody K" = 14 + len(D) chars;
     // paragraphs join with newlines.

@@ -46,6 +46,34 @@ class OfficeDocSpec extends SparkSpec {
       OfficeDoc.docxText(java.util.Arrays.copyOf(good, len))
   }
 
+  test("xlsx round trip: shared strings resolve, numeric values stay " +
+    "verbatim, rows keep sheet order; quarantine for non-sheets") {
+    for (docId <- Seq(0L, 1L, 4L, 77L, 1234L)) {
+      val rows = OfficeDoc.xlsxRows(DocxFixtures.xlsx(docId)).get
+      val nRows = 1 + (docId % 5).toInt
+      assert(rows.length == nRows)
+      for ((row, i) <- rows.zipWithIndex) {
+        assert(row.row == i + 1)
+        assert(row.text == DocxFixtures.xlsxRowText(docId, i + 1),
+          s"doc $docId row ${i + 1}: ${row.text}")
+      }
+    }
+    // A docx is not a spreadsheet; a pdf is not a zip.
+    assert(OfficeDoc.xlsxRows(DocxFixtures.docx(1L)).isEmpty)
+    assert(OfficeDoc.xlsxRows(PdfFixtures.pdf(1L)).isEmpty)
+    // Out-of-range shared-string index degrades to empty, not a throw.
+    val evil = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(evil)
+    z.putNextEntry(new java.util.zip.ZipEntry("xl/worksheets/sheet1.xml"))
+    z.write(("""<worksheet xmlns="http://schemas.openxmlformats.org/""" +
+      """spreadsheetml/2006/main"><sheetData><row r="1">""" +
+      """<c r="A1" t="s"><v>99</v></c></row></sheetData></worksheet>""")
+      .getBytes)
+    z.closeEntry(); z.close()
+    val r = OfficeDoc.xlsxRows(evil.toByteArray).get
+    assert(r.length == 1 && r.head.text == "")
+  }
+
   test("XML safety: DTDs and external entities are refused") {
     val evil = new java.io.ByteArrayOutputStream()
     val z = new java.util.zip.ZipOutputStream(evil)
