@@ -1318,6 +1318,27 @@ object MultimodalOps {
         .select($"doc_id", explode($"rows").as("r"))
         .select($"doc_id", $"r.row".cast("long").as("row_idx"),
           $"r.text".as("text"))
+    },
+
+    // ---- q199: LaTeX source cleaning — the arXiv-corpus op: strip
+    // markup, keep prose, under PINNED deterministic rules (body-only,
+    // comments/math/float-envs dropped with counts, commands lose the
+    // control word but generic brace groups keep their text,
+    // reference commands drop their args, whitespace normalizes).
+    // The oracle rebuilds the entire cleaned text by string
+    // arithmetic, so one mis-stripped token anywhere breaks the hash;
+    // math/env counts ride along as the quality-signal surface.
+    "q199_latex_clean" -> { (s, d) =>
+      import s.implicits._
+      val build = udf { docId: Long => graft.operators.TexStrip.fixture(docId) }
+      Tables.documents(s, d)
+        .select($"doc_id".cast("long").as("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("t", graft.operators.TexStrip.latex(build($"doc_id")))
+        .select($"doc_id",
+          $"t.n_math".cast("long").as("n_math"),
+          $"t.n_envs_dropped".cast("long").as("n_envs"),
+          $"t.text".as("text"))
     }
   )
 
@@ -1648,6 +1669,26 @@ object MultimodalOps {
         |    WHEN 1 THEN CAST((2 + doc_id % 4) *
         |      (15 + length(CAST(doc_id AS VARCHAR))) - 1 AS BIGINT)
         |  END AS n_chars
+        |FROM documents""".stripMargin,
+
+    // The whole cleaned text rebuilt by string arithmetic — section
+    // title kept, math/comments/envs gone, items bulleted, the forced
+    // line break honored.
+    "q199_latex_clean" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(1 + doc_id % 2 AS BIGINT) AS n_math,
+        |  CAST(1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS n_envs,
+        |  'Doc ' || doc_id || chr(10) ||
+        |  'Intro text-' || (doc_id % 7) ||
+        |    ' with inline math and bold-' || doc_id || ' words.' ||
+        |    chr(10) ||
+        |  CASE WHEN doc_id % 2 = 1 THEN 'Display here.' || chr(10)
+        |    ELSE '' END ||
+        |  'After equation done.' || chr(10) ||
+        |  '- alpha-' || doc_id || chr(10) ||
+        |  '- beta-' || (doc_id % 7) || chr(10) ||
+        |  'Final' || chr(10) || 'line-' || doc_id || '.' AS text
         |FROM documents""".stripMargin,
 
     // Every cell rebuilt by arithmetic: the label from the shared

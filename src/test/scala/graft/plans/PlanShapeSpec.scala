@@ -279,7 +279,7 @@ class PlanShapeSpec extends SparkSpec {
   test("q192/q194 codec round-trips are narrow per-row kernels: one " +
     "repartition exchange, no join, no generate") {
     for (q <- Seq("q192_flac_roundtrip", "q194_wav_codecs",
-        "q195_pdf_text", "q196_docx_text")) {
+        "q195_pdf_text", "q196_docx_text", "q199_latex_clean")) {
       val p = plan(q)
       assert(!p.contains("Join") && !p.contains("Generate"),
         s"$q must be a pure per-row map:\n$p")
