@@ -61,11 +61,7 @@ object OfficeDoc {
   }
 
   private def parseDocumentXml(xml: Array[Byte]): Option[DocxText] = {
-    val f = javax.xml.stream.XMLInputFactory.newInstance()
-    f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
-    f.setProperty(
-      javax.xml.stream.XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
-    val r = f.createXMLStreamReader(new ByteArrayInputStream(xml))
+    val r = safeFactory().createXMLStreamReader(new ByteArrayInputStream(xml))
     try {
       val W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
       val out = new StringBuilder
@@ -161,13 +157,23 @@ object OfficeDoc {
     parseSheet(sheet, strings)
   }
 
-  private def safeFactory(): javax.xml.stream.XMLInputFactory = {
-    val f = javax.xml.stream.XMLInputFactory.newInstance()
-    f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
-    f.setProperty(
-      javax.xml.stream.XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
-    f
-  }
+  // One factory per executor thread: XMLInputFactory.newInstance()
+  // does a service lookup per call (it dominated the per-row parse
+  // cost at bench), and factories are not documented thread-safe, so
+  // a plain shared instance is not an option either.
+  private val factoryTl =
+    new ThreadLocal[javax.xml.stream.XMLInputFactory] {
+      override def initialValue(): javax.xml.stream.XMLInputFactory = {
+        val f = javax.xml.stream.XMLInputFactory.newInstance()
+        f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
+        f.setProperty(
+          javax.xml.stream.XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES,
+          false)
+        f
+      }
+    }
+  private def safeFactory(): javax.xml.stream.XMLInputFactory =
+    factoryTl.get()
 
   private def parseSharedStrings(xml: Array[Byte]): IndexedSeq[String] = {
     val r = safeFactory().createXMLStreamReader(new ByteArrayInputStream(xml))
