@@ -1339,6 +1339,77 @@ object MultimodalOps {
           $"t.n_math".cast("long").as("n_math"),
           $"t.n_envs_dropped".cast("long").as("n_envs"),
           $"t.text".as("text"))
+    },
+
+    // ---- q200: robots.txt compliance (RFC 9309) — the decision a
+    // lawful crawl makes before any URL enters the corpus. Per doc: a
+    // doc-keyed robots file (star group with a longest-match
+    // Allow-under-Disallow pair, a specific bot group with a
+    // $-anchored rule + crawl-delay) and five probes chosen so every
+    // decision rule fires: prefix disallow, longer allow winning,
+    // anchored match, anchored non-match, and the
+    // no-group-inheritance case. The EXPECTED bits are probe
+    // constants (independent of the doc key), so the oracle pins the
+    // rule semantics, not the fixture arithmetic.
+    "q200_robots_compliance" -> { (s, d) =>
+      import s.implicits._
+      import graft.operators.Robots
+      val eval = udf { docId: Long =>
+        val k = docId % 5
+        val m = docId % 3
+        val txt =
+          s"""User-agent: *
+             |Disallow: /p$k/
+             |Allow: /p$k/ok
+             |User-agent: graftbot
+             |Disallow: /g$m$$
+             |Crawl-delay: ${docId % 7}
+             |Sitemap: https://s$docId.example/sitemap.xml
+             |""".stripMargin
+        val r = Robots.parse(txt)
+        val probes = Seq(
+          ("anybot", s"/p$k/x"),
+          ("anybot", s"/p$k/ok/y"),
+          ("graftbot/1.0", s"/g$m"),
+          ("graftbot/1.0", s"/g$m/z"),
+          ("graftbot/1.0", s"/p$k/x"))
+        probes.zipWithIndex.map { case ((agent, path), i) =>
+          (i.toLong, Robots.isAllowed(r, agent, path),
+            Robots.crawlDelay(r, agent).getOrElse(-1.0))
+        }
+      }
+      Tables.documents(s, d)
+        .select($"doc_id".cast("long").as("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("p", explode(eval($"doc_id")))
+        .select($"doc_id", $"p._1".as("probe"), $"p._2".as("allowed"),
+          $"p._3".as("crawl_delay"))
+    },
+
+    // ---- q201: sitemap parsing (sitemaps.org) — urlset entries in
+    // document order with lastmod presence, through the hardened StAX
+    // path. The oracle rebuilds every loc and lastmod by string
+    // arithmetic.
+    "q201_sitemap" -> { (s, d) =>
+      import s.implicits._
+      val build = udf { docId: Long =>
+        val n = 3 + (docId % 4).toInt
+        ("""<?xml version="1.0" encoding="UTF-8"?>""" +
+          """<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">""" +
+          (0 until n).map { i =>
+            val lm = if (i % 2 == 0)
+              s"<lastmod>2026-01-0${i % 9 + 1}</lastmod>" else ""
+            s"<url><loc>https://h${docId % 7}.example/p/$i</loc>$lm</url>"
+          }.mkString + "</urlset>").getBytes("UTF-8")
+      }
+      Tables.documents(s, d)
+        .select($"doc_id".cast("long").as("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("es", graft.operators.Robots.sitemapEntries(
+          build($"doc_id")))
+        .select($"doc_id", posexplode($"es").as(Seq("ord", "e")))
+        .select($"doc_id", $"ord".cast("long").as("ord"),
+          $"e.loc".as("loc"), $"e.lastmod".as("lastmod"))
     }
   )
 
@@ -1670,6 +1741,32 @@ object MultimodalOps {
         |      (15 + length(CAST(doc_id AS VARCHAR))) - 1 AS BIGINT)
         |  END AS n_chars
         |FROM documents""".stripMargin,
+
+    // Probe truths are rule-semantics constants: 0 prefix-disallowed,
+    // 1 longer-allow wins, 2 anchored match, 3 anchored non-match,
+    // 4 no cross-group inheritance; delay surfaces for the bot group.
+    "q200_robots_compliance" ->
+      """WITH p AS (
+        |  SELECT doc_id, unnest(range(0, 5)) AS probe FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(probe AS BIGINT) AS probe,
+        |  probe IN (1, 3, 4) AS allowed,
+        |  CASE WHEN probe >= 2 THEN CAST(doc_id % 7 AS DOUBLE)
+        |    ELSE -1.0 END AS crawl_delay
+        |FROM p""".stripMargin,
+
+    // Every loc and lastmod rebuilt by string arithmetic, order
+    // preserved.
+    "q201_sitemap" ->
+      """WITH p AS (
+        |  SELECT doc_id, unnest(range(0, 3 + doc_id % 4)) AS i
+        |  FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(i AS BIGINT) AS ord,
+        |  'https://h' || (doc_id % 7) || '.example/p/' || i AS loc,
+        |  CASE WHEN i % 2 = 0 THEN '2026-01-0' || (i % 9 + 1) END
+        |    AS lastmod
+        |FROM p""".stripMargin,
 
     // The whole cleaned text rebuilt by string arithmetic — section
     // title kept, math/comments/envs gone, items bulleted, the forced

@@ -215,7 +215,8 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q184/q187 archive explodes run executor-side with one exchange " +
     "(the per-doc aggregate) and no join") {
-    for (q <- Seq("q184_warc_ingest", "q187_webdataset")) {
+    for (q <- Seq("q184_warc_ingest", "q187_webdataset",
+        "q200_robots_compliance", "q201_sitemap")) {
       val p = plan(q)
       assert(p.contains("Generate"),
         s"$q: the archive explode must be a generator, not a join-back")
