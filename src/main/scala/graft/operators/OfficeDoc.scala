@@ -172,7 +172,7 @@ object OfficeDoc {
         f
       }
     }
-  private def safeFactory(): javax.xml.stream.XMLInputFactory =
+  private[operators] def safeFactory(): javax.xml.stream.XMLInputFactory =
     factoryTl.get()
 
   private def parseSharedStrings(xml: Array[Byte]): IndexedSeq[String] = {

@@ -41,8 +41,13 @@ object Robots {
   final case class RobotsFile(groups: Vector[Group],
       sitemaps: Vector[String])
 
-  def parse(txt: String): RobotsFile = {
-    if (txt == null) return RobotsFile(Vector.empty, Vector.empty)
+  def parse(txt0: String): RobotsFile = {
+    if (txt0 == null) return RobotsFile(Vector.empty, Vector.empty)
+    // Many servers emit a UTF-8 BOM; without stripping it the first
+    // directive's key reads "﻿user-agent" and the whole first
+    // group silently drops — the compliance kernel must not fail open
+    // on that.
+    val txt = if (txt0.startsWith("﻿")) txt0.substring(1) else txt0
     val groups = Vector.newBuilder[Group]
     val sitemaps = Vector.newBuilder[String]
     var agents = Vector.empty[String]
@@ -70,10 +75,15 @@ object Robots {
         key match {
           case "user-agent" =>
             // A user-agent line AFTER rules starts a NEW group;
-            // consecutive user-agent lines stack onto one group.
+            // consecutive user-agent lines stack onto one group. An
+            // EMPTY product token is invalid per RFC 9309 and must not
+            // create a matchable agent (`contains("")` is true for
+            // every agent — it would shadow the `*` fallback).
             if (rulesSeen) flush()
-            agents :+= value.toLowerCase
-            haveGroup = true
+            if (value.nonEmpty) {
+              agents :+= value.toLowerCase
+              haveGroup = true
+            }
           case "allow" =>
             if (haveGroup && value.nonEmpty) rules += Rule(true, value)
             rulesSeen = true
@@ -95,49 +105,55 @@ object Robots {
 
   /** Pattern match per RFC 9309 §2.2.3: literal octets, `*` matches
     * any run (including empty), `$` at pattern end anchors; patterns
-    * match PREFIXES of the path otherwise.
+    * match PREFIXES of the path otherwise. ITERATIVE greedy wildcard
+    * matching (single backtrack point), O(|pattern|·|path|) worst and
+    * linear in practice — robots files are third-party input, so a
+    * pathological star-heavy rule must not send a recursive matcher
+    * exponential (an executor would hang minutes per row). Prefix
+    * semantics reduce to full-match of the pattern with a star
+    * appended.
     */
   private[operators] def patternMatches(pattern: String,
       path: String): Boolean = {
     val anchored = pattern.endsWith("$")
-    val p = if (anchored) pattern.dropRight(1) else pattern
-    // Greedy-with-backtracking over '*' segments.
-    def m(pi: Int, si: Int): Boolean = {
-      var i = pi
-      var j = si
-      while (i < p.length) {
-        if (p.charAt(i) == '*') {
-          var k = j
-          while (k <= path.length) {
-            if (m(i + 1, k)) return true
-            k += 1
-          }
-          return false
-        } else if (j < path.length && p.charAt(i) == path.charAt(j)) {
-          i += 1; j += 1
-        } else return false
-      }
-      if (anchored) j == path.length else true
+    val p = if (anchored) pattern.dropRight(1) else pattern + "*"
+    var i = 0; var j = 0
+    var star = -1; var mark = 0
+    while (j < path.length) {
+      if (i < p.length && p.charAt(i) == '*') { star = i; mark = j; i += 1 }
+      else if (i < p.length && p.charAt(i) == path.charAt(j)) { i += 1; j += 1 }
+      else if (star >= 0) { i = star + 1; mark += 1; j = mark }
+      else return false
     }
-    m(0, 0)
+    while (i < p.length && p.charAt(i) == '*') i += 1
+    i == p.length
   }
 
-  /** The group that applies to `agent`: longest user-agent token that
-    * is a case-insensitive substring-at-word level match — RFC 9309
-    * reduces this to case-insensitive token containment; `*` is the
-    * fallback.
+  /** The rules that apply to `agent` per RFC 9309 §2.2.1: pick the
+    * MOST SPECIFIC (longest) matching user-agent token — `*` is the
+    * fallback — then MERGE the rules of EVERY group carrying a token
+    * of that specificity (multiple groups naming the same agent are
+    * one logical group; `find`-first would silently ignore the later
+    * ones). Crawl-delay takes the first defined value among them.
     */
   private def groupFor(r: RobotsFile, agent: String): Option[Group] = {
     val a = agent.toLowerCase
-    var best: Option[(Int, Group)] = None
+    var bestLen = -1
     r.groups.foreach { g =>
       g.agents.foreach { tok =>
-        if (tok != "*" && a.contains(tok) &&
-          best.forall(_._1 < tok.length)) best = Some((tok.length, g))
+        if (tok != "*" && a.contains(tok) && tok.length > bestLen)
+          bestLen = tok.length
       }
     }
-    best.map(_._2)
-      .orElse(r.groups.find(_.agents.contains("*")))
+    val matched =
+      if (bestLen > 0)
+        r.groups.filter(_.agents.exists(t =>
+          t != "*" && t.length == bestLen && a.contains(t)))
+      else r.groups.filter(_.agents.contains("*"))
+    if (matched.isEmpty) None
+    else Some(Group(matched.flatMap(_.agents),
+      matched.flatMap(_.rules),
+      matched.flatMap(_.crawlDelay).headOption))
   }
 
   /** Effective pattern LENGTH for specificity (§2.2.2: "most octets";
@@ -191,11 +207,10 @@ object Robots {
 
   private def sitemapStrict(xml: Array[Byte]): Option[Seq[SitemapEntry]] = {
     if (xml == null || xml.length == 0) return None
-    val f = javax.xml.stream.XMLInputFactory.newInstance()
-    f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
-    f.setProperty(
-      javax.xml.stream.XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
-    val r = f.createXMLStreamReader(new java.io.ByteArrayInputStream(xml))
+    // The shared hardened per-thread factory (OfficeDoc) — the
+    // newInstance() service lookup is a per-row cost here (q201).
+    val r = OfficeDoc.safeFactory()
+      .createXMLStreamReader(new java.io.ByteArrayInputStream(xml))
     try {
       val out = Vector.newBuilder[SitemapEntry]
       var rootOk = false

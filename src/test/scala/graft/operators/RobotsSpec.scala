@@ -60,6 +60,35 @@ class RobotsSpec extends SparkSpec {
     assert(Robots.patternMatches("/", "/anything"))
     assert(Robots.patternMatches("*", "/x"))
     assert(!Robots.patternMatches("/fish", "/Fish"), "case-sensitive paths")
+    // Pathological third-party pattern must match in linear-ish time,
+    // not exponential recursion (robots.txt is untrusted input).
+    val evil = "/" + "*a" * 15 + "*b"
+    val long = "/" + "a" * 120
+    val t0 = System.nanoTime()
+    assert(!Robots.patternMatches(evil, long))
+    assert(Robots.patternMatches(evil, long + "b"))
+    assert((System.nanoTime() - t0) / 1e6 < 1000.0,
+      "wildcard matching must not blow up on hostile patterns")
+  }
+
+  test("RFC 9309 group merging, empty agent tokens, and BOM headers") {
+    // Two * groups MERGE (a find-first would ignore the second).
+    val two = Robots.parse(
+      "User-agent: *\nDisallow: /a\n\nUser-agent: *\nDisallow: /b\n")
+    assert(!Robots.isAllowed(two, "any", "/a/x"))
+    assert(!Robots.isAllowed(two, "any", "/b/x"),
+      "later same-agent groups must merge, not drop")
+    assert(Robots.isAllowed(two, "any", "/c"))
+    // An empty User-agent value must not create a match-everything
+    // token shadowing the * fallback.
+    val empty = Robots.parse(
+      "User-agent:\nDisallow: /\n\nUser-agent: *\nAllow: /\n")
+    assert(Robots.isAllowed(empty, "foobot", "/anything"),
+      "empty product tokens are invalid and must not match")
+    // BOM-prefixed files keep their first group.
+    val bom = Robots.parse("﻿User-agent: *\nDisallow: /x\n")
+    assert(!Robots.isAllowed(bom, "any", "/x/y"),
+      "a BOM must not make the compliance kernel fail open")
   }
 
   test("sitemaps: urlset and sitemapindex both parse; junk is None") {
