@@ -68,50 +68,89 @@ object Takedown {
     // duplicate would inflate rows_deleted via join multiplication
     // while the distinct-based units stay put — an internally
     // inconsistent report.
+    //
+    // r11 shape (guide §1.2/§2.3): each artifact family is ONE
+    // left-join-marked pass + a two-level aggregate (group to the unit
+    // key carrying a touched flag, then a 1-row rollup) instead of a
+    // separate distinct-count job per scalar — the report's eleven
+    // driver actions collapse to five, and the distinct exchanges fold
+    // into the unit-key groupBys. Every scalar is the same value the
+    // multi-job form computed (del is distinct, so the left join marks
+    // rows 1:1 without multiplying them).
     val del = deletions.select(col("doc_id").cast("long").as("doc_id"))
-      .distinct().persist()
+      .distinct().withColumn("__del", lit(true)).persist()
 
-    // pack_seq: sequences overlapped by deleted docs.
+    // pack_seq: sequences overlapped by deleted docs. One exploded
+    // pass: group to the (shard, seq) unit, keep whether ANY covering
+    // pack row was deleted, then count units and touched units in a
+    // single rollup.
     val packs = packsIn
       .select(col("doc_id"), col("shard"), col("seq_first"), col("seq_last"))
+      .join(del, Seq("doc_id"), "left")
+      .select(col("shard"), col("seq_first"), col("seq_last"),
+        coalesce(col("__del"), lit(false)).as("isdel"))
       .persist()
-    val seqAll = packs
-      .select(col("shard"),
+    val docsDeleted = packs.filter(col("isdel")).count()
+    val seqRow = packs
+      .select(col("isdel"), col("shard"),
         explode(sequence(col("seq_first"), col("seq_last"))).as("seq"))
-      .distinct().count()
-    val delPacks = packs.join(del, "doc_id").persist()
-    val seqTouched = delPacks
-      .select(col("shard"),
-        explode(sequence(col("seq_first"), col("seq_last"))).as("seq"))
-      .distinct().count()
-    val docsDeleted = delPacks.count()
-    delPacks.unpersist(); packs.unpersist()
+      .groupBy(col("shard"), col("seq"))
+      .agg(max(col("isdel")).as("touched"))
+      .agg(count(lit(1)).as("all"),
+        count(when(col("touched"), lit(1))).as("touched"))
+      .head()
+    val seqAll = seqRow.getLong(0)
+    val seqTouched = seqRow.getLong(1)
+    packs.unpersist()
 
     // epoch_suffix: per touched shard, every position at/after the
-    // first deleted one re-derives. Pin a narrow projection first: the
-    // caller's order table may be a raw (unpersisted) parquet read, and
-    // the five actions below would otherwise rescan it five times.
-    val o = ord.select(col("shard"), col("pos"), col("doc_id")).persist()
-    val delOrd = o.join(del, "doc_id").persist()
-    val mins = delOrd.groupBy(col("shard"))
-      .agg(min(col("pos")).as("mp")).persist()
-    val suffixRows = o.join(mins, "shard")
+    // first deleted one re-derives. One narrow marked projection; the
+    // per-shard aggregate carries (rows, deleted rows, first deleted
+    // pos) so the four scalars fall out of a 1-row rollup, and only
+    // the suffix count needs a second (broadcast-joined) pass.
+    val o = ord.select(col("shard"), col("pos"), col("doc_id"))
+      .join(del, Seq("doc_id"), "left")
+      .select(col("shard"), col("pos"),
+        coalesce(col("__del"), lit(false)).as("isdel"))
+      .persist()
+    val perShard = o.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("isdel"), lit(1L)).otherwise(lit(0L))).as("ndel"),
+        min(when(col("isdel"), col("pos"))).as("mp"))
+      .persist()
+    val shardRow = perShard
+      .agg(coalesce(sum(col("n")), lit(0L)).as("ordTotal"),
+        count(lit(1)).as("shardsTotal"),
+        count(col("mp")).as("shardsTouched"),
+        coalesce(sum(col("ndel")), lit(0L)).as("epochDeleted"))
+      .head()
+    val ordTotal = shardRow.getLong(0)
+    val shardsTotal = shardRow.getLong(1)
+    val shardsTouched = shardRow.getLong(2)
+    val epochDeleted = shardRow.getLong(3)
+    val suffixRows = o.join(
+        broadcast(perShard.filter(col("mp").isNotNull)
+          .select(col("shard"), col("mp"))), "shard")
       .filter(col("pos") >= col("mp")).count()
-    val ordTotal = o.count()
-    val shardsTotal = o.select(col("shard")).distinct().count()
-    val shardsTouched = mins.count()
-    val epochDeleted = delOrd.count()
-    mins.unpersist(); delOrd.unpersist(); o.unpersist()
+    perShard.unpersist(); o.unpersist()
 
-    // ivf_cell: posting lists containing deleted vectors.
-    val cells = cellsIn
-      .select(col("vec_id"), col("cell")).persist()
-    val cellsTotal = cells.select(col("cell")).distinct().count()
-    val delCells = cells
-      .join(del, cells("vec_id") === del("doc_id")).persist()
-    val cellsTouched = delCells.select(col("cell")).distinct().count()
-    val vecsDeleted = delCells.count()
-    delCells.unpersist(); cells.unpersist(); del.unpersist()
+    // ivf_cell: posting lists containing deleted vectors — one marked
+    // pass grouped to the cell unit, 1-row rollup.
+    val cellRow = cellsIn
+      .select(col("vec_id"), col("cell"))
+      .join(del, col("vec_id") === del("doc_id"), "left")
+      .select(col("cell"), coalesce(col("__del"), lit(false)).as("isdel"))
+      .groupBy(col("cell"))
+      .agg(max(col("isdel")).as("touched"),
+        sum(when(col("isdel"), lit(1L)).otherwise(lit(0L))).as("ndel"))
+      .agg(count(lit(1)).as("cellsTotal"),
+        count(when(col("touched"), lit(1))).as("cellsTouched"),
+        coalesce(sum(col("ndel")), lit(0L)).as("vecsDeleted"))
+      .head()
+    val cellsTotal = cellRow.getLong(0)
+    val cellsTouched = cellRow.getLong(1)
+    val vecsDeleted = cellRow.getLong(2)
+    del.unpersist()
 
     def f6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
     // Empty corpus / artifact family: 0/0 would be NaN (and floor(NaN)

@@ -51,22 +51,53 @@ object ScaleOps {
        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)""".stripMargin
   }
 
+  /** The sorted distinct part set of each qualifying order — the
+    * single-exchange core of the pair build (r11 optimization, guide
+    * §2.3/§2.4): the old self-join on l_orderkey scanned AND shuffled
+    * lineitem twice before a third exchange for the pair distinct;
+    * grouping to a per-order set shuffles the table once (map-side
+    * partial collect_set dedups within the order), and pair generation
+    * becomes local array work. Same pair set by construction.
+    */
+  private def coPurchaseSets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d).filter($"l_quantity" >= 25)
+      .select($"l_orderkey", $"l_partkey")
+      .groupBy($"l_orderkey")
+      .agg(array_sort(collect_set($"l_partkey")).as("ps"))
+      .filter(size($"ps") >= 2)
+  }
+
   private def coPurchasePairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val li = Tables.lineitem(s, d).filter($"l_quantity" >= 25)
-      .select($"l_orderkey", $"l_partkey")
-    li.as("a").join(li.as("b"), Seq("l_orderkey"))
-      .filter($"a.l_partkey" < $"b.l_partkey")
-      .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+    // ps is sorted ascending, so slicing strictly after x yields
+    // exactly the canonical u < v pairs of the old a.l_partkey <
+    // b.l_partkey self-join.
+    coPurchaseSets(s, d)
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps) - i - 1), " +
+          "y -> struct(x AS u, y AS v))))")).as("p"))
+      .select($"p.u".as("u"), $"p.v".as("v"))
       .distinct()
   }
 
-  /** [[coPurchasePairs]] symmetrized to a directed (src, dst) list. */
+  /** [[coPurchasePairs]] symmetrized to a directed (src, dst) list.
+    * Both orientations are generated in the SAME per-order explode and
+    * deduplicated by ONE distinct (r11): the old
+    * `pairs.unionAll(pairs.swap)` form re-ran the entire pair plan —
+    * self-join included — once per union branch inside every caller's
+    * persist() materialization.
+    */
   private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val pairs = coPurchasePairs(s, d)
-    pairs.unionAll(pairs.select($"v".as("u"), $"u".as("v")))
-      .select($"u".as("src"), $"v".as("dst"))
+    coPurchaseSets(s, d)
+      .select(explode(expr(
+        "flatten(transform(ps, x -> " +
+          "transform(filter(ps, y -> y != x), " +
+          "y -> struct(x AS src, y AS dst))))")).as("p"))
+      .select($"p.src".as("src"), $"p.dst".as("dst"))
+      .distinct()
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
