@@ -35,11 +35,16 @@ object FuzzyJoin {
     val right = n.select(col("name").as("nb"), length(col("name")).as("lb"))
     left.join(right, Seq("lb"))
       .filter(col("na") < col("nb"))
-      // Materialize the O(|na|·|nb|) edit-distance DP as a column FIRST:
-      // a filter-then-reselect would evaluate levenshtein twice per
+      // Materialize the edit-distance as a column FIRST: a
+      // filter-then-reselect would evaluate levenshtein twice per
       // surviving pair (no cross-operator subexpression elimination).
-      .withColumn("dist", levenshtein(col("na"), col("nb")))
-      .filter(col("dist") <= maxDist)
+      // r11: the THRESHOLD form (Spark 3.5+) runs the banded DP —
+      // O(|na|·maxDist) instead of the full O(|na|·|nb|) table — and
+      // returns −1 past the band; within the band it is the exact
+      // distance, so the kept pairs and their dist values are
+      // unchanged.
+      .withColumn("dist", levenshtein(col("na"), col("nb"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("na"), col("nb"), col("dist"))
   }
 }

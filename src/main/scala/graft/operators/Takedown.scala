@@ -80,73 +80,100 @@ object Takedown {
     val del = deletions.select(col("doc_id").cast("long").as("doc_id"))
       .distinct().withColumn("__del", lit(true)).persist()
 
+    // The three artifact families are data-independent once `del` is
+    // cached, so their jobs run from a 3-thread pool (guide §2.6:
+    // overlap independent actions so one family's tasks back-fill the
+    // executor slots another family's stage tail leaves idle). Spark's
+    // scheduler is explicitly multi-job-safe; the only shared frame is
+    // the cached `del`, whose first materialization is lock-protected
+    // by the block manager.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+
     // pack_seq: sequences overlapped by deleted docs. One exploded
     // pass: group to the (shard, seq) unit, keep whether ANY covering
     // pack row was deleted, then count units and touched units in a
     // single rollup.
-    val packs = packsIn
-      .select(col("doc_id"), col("shard"), col("seq_first"), col("seq_last"))
-      .join(del, Seq("doc_id"), "left")
-      .select(col("shard"), col("seq_first"), col("seq_last"),
-        coalesce(col("__del"), lit(false)).as("isdel"))
-      .persist()
-    val docsDeleted = packs.filter(col("isdel")).count()
-    val seqRow = packs
-      .select(col("isdel"), col("shard"),
-        explode(sequence(col("seq_first"), col("seq_last"))).as("seq"))
-      .groupBy(col("shard"), col("seq"))
-      .agg(max(col("isdel")).as("touched"))
-      .agg(count(lit(1)).as("all"),
-        count(when(col("touched"), lit(1))).as("touched"))
-      .head()
-    val seqAll = seqRow.getLong(0)
-    val seqTouched = seqRow.getLong(1)
-    packs.unpersist()
+    val packF = scala.concurrent.Future {
+      val packs = packsIn
+        .select(col("doc_id"), col("shard"), col("seq_first"), col("seq_last"))
+        .join(del, Seq("doc_id"), "left")
+        .select(col("shard"), col("seq_first"), col("seq_last"),
+          coalesce(col("__del"), lit(false)).as("isdel"))
+        .persist()
+      val docsDeleted = packs.filter(col("isdel")).count()
+      val seqRow = packs
+        .select(col("isdel"), col("shard"),
+          explode(sequence(col("seq_first"), col("seq_last"))).as("seq"))
+        .groupBy(col("shard"), col("seq"))
+        .agg(max(col("isdel")).as("touched"))
+        .agg(count(lit(1)).as("all"),
+          count(when(col("touched"), lit(1))).as("touched"))
+        .head()
+      packs.unpersist()
+      (docsDeleted, seqRow.getLong(0), seqRow.getLong(1))
+    }
 
     // epoch_suffix: per touched shard, every position at/after the
     // first deleted one re-derives. One narrow marked projection; the
     // per-shard aggregate carries (rows, deleted rows, first deleted
     // pos) so the four scalars fall out of a 1-row rollup, and only
     // the suffix count needs a second (broadcast-joined) pass.
-    val o = ord.select(col("shard"), col("pos"), col("doc_id"))
-      .join(del, Seq("doc_id"), "left")
-      .select(col("shard"), col("pos"),
-        coalesce(col("__del"), lit(false)).as("isdel"))
-      .persist()
-    val perShard = o.groupBy(col("shard"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("isdel"), lit(1L)).otherwise(lit(0L))).as("ndel"),
-        min(when(col("isdel"), col("pos"))).as("mp"))
-      .persist()
-    val shardRow = perShard
-      .agg(coalesce(sum(col("n")), lit(0L)).as("ordTotal"),
-        count(lit(1)).as("shardsTotal"),
-        count(col("mp")).as("shardsTouched"),
-        coalesce(sum(col("ndel")), lit(0L)).as("epochDeleted"))
-      .head()
-    val ordTotal = shardRow.getLong(0)
-    val shardsTotal = shardRow.getLong(1)
-    val shardsTouched = shardRow.getLong(2)
-    val epochDeleted = shardRow.getLong(3)
-    val suffixRows = o.join(
-        broadcast(perShard.filter(col("mp").isNotNull)
-          .select(col("shard"), col("mp"))), "shard")
-      .filter(col("pos") >= col("mp")).count()
-    perShard.unpersist(); o.unpersist()
+    val epochF = scala.concurrent.Future {
+      val o = ord.select(col("shard"), col("pos"), col("doc_id"))
+        .join(del, Seq("doc_id"), "left")
+        .select(col("shard"), col("pos"),
+          coalesce(col("__del"), lit(false)).as("isdel"))
+        .persist()
+      val perShard = o.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("isdel"), lit(1L)).otherwise(lit(0L))).as("ndel"),
+          min(when(col("isdel"), col("pos"))).as("mp"))
+        .persist()
+      val shardRow = perShard
+        .agg(coalesce(sum(col("n")), lit(0L)).as("ordTotal"),
+          count(lit(1)).as("shardsTotal"),
+          count(col("mp")).as("shardsTouched"),
+          coalesce(sum(col("ndel")), lit(0L)).as("epochDeleted"))
+        .head()
+      val suffixRows = o.join(
+          broadcast(perShard.filter(col("mp").isNotNull)
+            .select(col("shard"), col("mp"))), "shard")
+        .filter(col("pos") >= col("mp")).count()
+      perShard.unpersist(); o.unpersist()
+      (shardRow.getLong(0), shardRow.getLong(1), shardRow.getLong(2),
+        shardRow.getLong(3), suffixRows)
+    }
 
     // ivf_cell: posting lists containing deleted vectors — one marked
     // pass grouped to the cell unit, 1-row rollup.
-    val cellRow = cellsIn
-      .select(col("vec_id"), col("cell"))
-      .join(del, col("vec_id") === del("doc_id"), "left")
-      .select(col("cell"), coalesce(col("__del"), lit(false)).as("isdel"))
-      .groupBy(col("cell"))
-      .agg(max(col("isdel")).as("touched"),
-        sum(when(col("isdel"), lit(1L)).otherwise(lit(0L))).as("ndel"))
-      .agg(count(lit(1)).as("cellsTotal"),
-        count(when(col("touched"), lit(1))).as("cellsTouched"),
-        coalesce(sum(col("ndel")), lit(0L)).as("vecsDeleted"))
-      .head()
+    val cellF = scala.concurrent.Future {
+      cellsIn
+        .select(col("vec_id"), col("cell"))
+        .join(del, col("vec_id") === del("doc_id"), "left")
+        .select(col("cell"), coalesce(col("__del"), lit(false)).as("isdel"))
+        .groupBy(col("cell"))
+        .agg(max(col("isdel")).as("touched"),
+          sum(when(col("isdel"), lit(1L)).otherwise(lit(0L))).as("ndel"))
+        .agg(count(lit(1)).as("cellsTotal"),
+          count(when(col("touched"), lit(1))).as("cellsTouched"),
+          coalesce(sum(col("ndel")), lit(0L)).as("vecsDeleted"))
+        .head()
+    }
+
+    val (docsDeleted, seqAll, seqTouched) =
+      try scala.concurrent.Await.result(packF,
+        scala.concurrent.duration.Duration(600, "s"))
+      catch { case t: Throwable => pool.shutdown(); throw t }
+    val (ordTotal, shardsTotal, shardsTouched, epochDeleted, suffixRows) =
+      try scala.concurrent.Await.result(epochF,
+        scala.concurrent.duration.Duration(600, "s"))
+      catch { case t: Throwable => pool.shutdown(); throw t }
+    val cellRow =
+      try scala.concurrent.Await.result(cellF,
+        scala.concurrent.duration.Duration(600, "s"))
+      finally pool.shutdown()
     val cellsTotal = cellRow.getLong(0)
     val cellsTouched = cellRow.getLong(1)
     val vecsDeleted = cellRow.getLong(2)

@@ -436,13 +436,22 @@ object CorpusOps {
     // would put each source's corpus under one reducer).
     "q154_mixture_execute" -> { (s, d) =>
       import s.implicits._
-      val docs = Tables.documents(s, d)
-      val plan = Curation.waterfillBudget(docs, $"source",
-        TextAnalysis.tokenCount($"text"),
+      // r11: tokenize ONCE — the plan aggregate, the range-sampling
+      // pass, and the prefix exchange each re-evaluate the tokens
+      // column (regexp over full text) when handed the raw expression;
+      // a pinned (doc_id, source, n_tokens) projection feeds all of
+      // them the cached count. Same values, same manifest.
+      val tokd = Tables.documents(s, d)
+        .select($"doc_id", $"source",
+          TextAnalysis.tokenCount($"text").as("n_tokens"))
+        .persist()
+      val plan = Curation.waterfillBudget(tokd, $"source", $"n_tokens",
         src => lit(1) + substring(src, 4, 10).cast("int") % 5,
         budgetPct = 60)
-      Curation.executeMixturePlan(docs, $"doc_id", $"source",
-        TextAnalysis.tokenCount($"text"), plan, seed = "mix42")
+      val out = Curation.executeMixturePlan(tokd, $"doc_id", $"source",
+        $"n_tokens", plan, seed = "mix42")
+      tokd.unpersist() // out is pinned by executeMixturePlan
+      out
     },
 
     // ---- q155: upsampling mixture — the waterfill ceiling is
@@ -451,13 +460,21 @@ object CorpusOps {
     // (1..41) than q149/q154 so several sources actually cross 1×cap.
     "q155_epoch_upsample" -> { (s, d) =>
       import s.implicits._
-      val docs = Tables.documents(s, d)
-      val plan = Curation.waterfillBudgetEpochs(docs, $"source",
-        TextAnalysis.tokenCount($"text"),
+      // r11: tokenize once (q154's rationale) — executeEpochPlan's
+      // full-pass leg, partial-pass leg, and plan pin each re-read the
+      // tokens column.
+      val tokd = Tables.documents(s, d)
+        .select($"doc_id", $"source",
+          TextAnalysis.tokenCount($"text").as("n_tokens"))
+        .persist()
+      val plan = Curation.waterfillBudgetEpochs(tokd, $"source",
+        $"n_tokens",
         src => lit(1) + (substring(src, 4, 10).cast("int") % 5) * lit(10),
         budgetPct = 80, maxEpochs = 3)
-      Curation.executeEpochPlan(docs, $"doc_id", $"source",
-        TextAnalysis.tokenCount($"text"), plan, seed = "ep42")
+      val out = Curation.executeEpochPlan(tokd, $"doc_id", $"source",
+        $"n_tokens", plan, seed = "ep42")
+      tokd.unpersist() // out is pinned by executeEpochPlan
+      out
     },
 
     // ---- q157: manifest diff — the recipe-iteration report. Same
@@ -468,17 +485,41 @@ object CorpusOps {
     // report shows the actual reallocation.
     "q157_manifest_diff" -> { (s, d) =>
       import s.implicits._
-      val docs = Tables.documents(s, d)
-      val tok = TextAnalysis.tokenCount($"text")
-      val p1 = Curation.waterfillBudget(docs, $"source", tok,
+      // r11: tokenize once — two plans + two manifests each re-ran
+      // the tokens regexp over the corpus (≈6 passes); the pinned
+      // projection feeds all four from cache (q154's rationale).
+      val tokd = Tables.documents(s, d)
+        .select($"doc_id", $"source",
+          TextAnalysis.tokenCount($"text").as("n_tokens"))
+        .persist()
+      val p1 = Curation.waterfillBudget(tokd, $"source", $"n_tokens",
         src => lit(1) + substring(src, 4, 10).cast("int") % 5, budgetPct = 60)
-      val p2 = Curation.waterfillBudget(docs, $"source", tok,
+      val p2 = Curation.waterfillBudget(tokd, $"source", $"n_tokens",
         src => lit(1) + (substring(src, 4, 10).cast("int") % 5) * lit(2),
         budgetPct = 60)
-      val m1 = Curation.executeMixturePlan(docs, $"doc_id", $"source", tok,
-        p1, seed = "mix42")
-      val m2 = Curation.executeMixturePlan(docs, $"doc_id", $"source", tok,
-        p2, seed = "mix42")
+      // The two manifests are independent eager pipelines — build them
+      // from two driver threads so one's prefix-pass tail back-fills
+      // the other's idle executor slots (guide §2.6). tokd is pinned
+      // first so neither thread races its materialization.
+      tokd.count()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val m1F = scala.concurrent.Future {
+        Curation.executeMixturePlan(tokd, $"doc_id", $"source",
+          $"n_tokens", p1, seed = "mix42")
+      }
+      val m2F = scala.concurrent.Future {
+        Curation.executeMixturePlan(tokd, $"doc_id", $"source",
+          $"n_tokens", p2, seed = "mix42")
+      }
+      val (m1, m2) =
+        try (scala.concurrent.Await.result(m1F,
+            scala.concurrent.duration.Duration(600, "s")),
+          scala.concurrent.Await.result(m2F,
+            scala.concurrent.duration.Duration(600, "s")))
+        finally pool.shutdown()
+      tokd.unpersist() // both manifests pinned
       val out = Curation.manifestDiff(m1, m2).persist()
       out.count() // pin the |sources|-row report, release the manifests
       m1.unpersist(); m2.unpersist()
@@ -491,17 +532,24 @@ object CorpusOps {
     // above the frozen base manifest. Nothing from the base deal moves.
     "q158_manifest_extend" -> { (s, d) =>
       import s.implicits._
-      val docs = Tables.documents(s, d)
-      val tok = TextAnalysis.tokenCount($"text")
+      // r11: tokenize once (q154's rationale); base/new slices filter
+      // the same pinned projection.
+      val tokd = Tables.documents(s, d)
+        .select($"doc_id", $"source",
+          TextAnalysis.tokenCount($"text").as("n_tokens"))
+        .persist()
       val w = (src: org.apache.spark.sql.Column) =>
         lit(1) + substring(src, 4, 10).cast("int") % 5
-      val base = docs.filter($"doc_id" % 5 =!= 0)
-      val p1 = Curation.waterfillBudget(base, $"source", tok, w, budgetPct = 60)
-      val m1 = Curation.executeMixturePlan(base, $"doc_id", $"source", tok,
-        p1, seed = "mix42")
-      val p2 = Curation.waterfillBudget(docs, $"source", tok, w, budgetPct = 60)
-      val out = Curation.extendManifest(m1, docs.filter($"doc_id" % 5 === 0),
-        $"doc_id", $"source", tok, p2, seed = "ext1")
+      val base = tokd.filter($"doc_id" % 5 =!= 0)
+      val p1 = Curation.waterfillBudget(base, $"source", $"n_tokens", w,
+        budgetPct = 60)
+      val m1 = Curation.executeMixturePlan(base, $"doc_id", $"source",
+        $"n_tokens", p1, seed = "mix42")
+      val p2 = Curation.waterfillBudget(tokd, $"source", $"n_tokens", w,
+        budgetPct = 60)
+      val out = Curation.extendManifest(m1, tokd.filter($"doc_id" % 5 === 0),
+        $"doc_id", $"source", $"n_tokens", p2, seed = "ext1")
+      tokd.unpersist() // extension pinned by extendManifest
       m1.unpersist() // folded into the materialized extension
       out
     },
