@@ -13,13 +13,15 @@ import graft.operators.{Bfs, Dedup, HeavyHitters, IncrementalAgg, KCore, PageRan
 object ScaleOps {
 
   /** The co-purchase pair graph shared by q95/q99/q105/q110: parts
-    * co-occurring in an order (quantity >= 25 keeps analysis density),
-    * as CANONICAL undirected pairs (u < v), deduplicated. ONE
-    * definition so the four graph queries (and their oracle CTEs)
+    * co-occurring in an order (quantity >= 25 keeps analysis density).
+    * q95 consumes the canonical u < v pairs ([[coPurchasePairsRaw]];
+    * its operator dedups), the edge queries the symmetrized distinct
+    * directed list ([[coPurchaseEdges]]). ONE set-builder
+    * ([[coPurchaseSets]]) so the graph queries (and their oracle CTEs)
     * cannot drift apart.
     */
   /** Shared oracle CTEs for the co-purchase pair graph — `li` and the
-    * canonical `pairs(u, v)` — mirroring [[coPurchasePairs]] so the
+    * canonical `pairs(u, v)` — mirroring [[coPurchasePairsRaw]] so the
     * Scala helper and the four graph oracles (q95/q99/q105/q110)
     * cannot drift apart. `mat` marks them MATERIALIZED for oracles
     * whose unrolled chains re-read `pairs` many times.
@@ -68,21 +70,26 @@ object ScaleOps {
       .filter(size($"ps") >= 2)
   }
 
-  private def coPurchasePairs(s: SparkSession, d: String): DataFrame = {
+  /** Canonical u < v co-purchase pairs, NOT yet deduplicated across
+    * orders (within an order they are distinct via collect_set). The
+    * only consumer is q95, whose [[Triangles.perNodeCounts]] dedups
+    * internally anyway — a distinct here would pay a second full
+    * exchange of the pair set for nothing (r11; the before-plan shows
+    * both). ps is sorted ascending, so slicing strictly after x yields
+    * exactly the canonical pairs of the old a.l_partkey < b.l_partkey
+    * self-join.
+    */
+  private def coPurchasePairsRaw(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // ps is sorted ascending, so slicing strictly after x yields
-    // exactly the canonical u < v pairs of the old a.l_partkey <
-    // b.l_partkey self-join.
     coPurchaseSets(s, d)
       .select(explode(expr(
         "flatten(transform(ps, (x, i) -> " +
           "transform(slice(ps, i + 2, size(ps) - i - 1), " +
           "y -> struct(x AS u, y AS v))))")).as("p"))
       .select($"p.u".as("u"), $"p.v".as("v"))
-      .distinct()
   }
 
-  /** [[coPurchasePairs]] symmetrized to a directed (src, dst) list.
+  /** [[coPurchasePairsRaw]] symmetrized to a directed (src, dst) list.
     * Both orientations are generated in the SAME per-order explode and
     * deduplicated by ONE distinct (r11): the old
     * `pairs.unionAll(pairs.swap)` form re-ran the entire pair plan —
@@ -200,7 +207,7 @@ object ScaleOps {
     // only triangle-counting shape that survives a celebrity vertex
     // at 100 TB (see Triangles scaladoc).
     "q95_triangle_counts" -> { (s, d) =>
-      Triangles.perNodeCounts(coPurchasePairs(s, d))
+      Triangles.perNodeCounts(coPurchasePairsRaw(s, d))
     },
 
     // ---- q99: synchronous label propagation (2 rounds) over the q95
@@ -214,21 +221,25 @@ object ScaleOps {
     // partitioning and replayable as unrolled SQL rounds.
     "q99_label_propagation" -> { (s, d) =>
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val edges = coPurchaseEdges(s, d)
         .select($"src".as("u"), $"dst".as("v"))
         .persist()
       var labels = edges.select($"u".as("node")).distinct()
         .select($"node", $"node".as("label"))
-      val rk = Window.partitionBy($"dst")
-        .orderBy($"cnt".desc, $"label".asc)
+      // r11: the per-round vote is an ARGMAX per dst — max(struct(cnt,
+      // −label)) picks (count DESC, label ASC) exactly like the old
+      // row_number window, but as a mergeable hash aggregate with
+      // map-side partials instead of an exchange + sort + WindowExec
+      // (the clusterWinners pattern). Labels are vertex ids ≥ 0, so
+      // −label inverts their order losslessly; ties in (cnt, label)
+      // cannot exist (label is the group key of the count).
       for (_ <- 1 to 2)
         labels = edges.join(labels, $"u" === $"node")
           .groupBy($"v".as("dst"), $"label")
           .agg(count(lit(1)).as("cnt"))
-          .select($"dst", $"label", row_number().over(rk).as("rn"))
-          .filter($"rn" === 1)
-          .select($"dst".as("node"), $"label")
+          .groupBy($"dst")
+          .agg(max(struct($"cnt", (-$"label").as("nl"))).as("m"))
+          .select($"dst".as("node"), (-$"m.nl").as("label"))
       labels
     },
 
