@@ -636,6 +636,13 @@ object Similarity {
       .select(col("vec_id"),
         pqCodesUdf(bcB, m)(col("embedding")).as("codes"),
         nearestCellUdf(bcC)(col("embedding")).as("cell"))
+      // Cluster by cell before the partitioned write (guide §6, small
+      // files): P map tasks × nlist dirs would write up to P·nlist
+      // slivers, and every probe's pruned read pays the per-file open
+      // cost nprobe·P times over. The encode UDFs still run across
+      // the full-parallelism map stage above; only the write stage
+      // narrows to one task (= one file) per cell.
+      .repartition(nlist, col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/codes")
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
