@@ -138,6 +138,12 @@ object ClusterOps {
     "q92_entity_clusters" -> { (s, d) =>
       import s.implicits._
       val part = Tables.part(s, d)
+      // NOT pinned (r11, measured): the name→id table is referenced
+      // four times, but it is a tiny scan+agg and a persist() showed
+      // no reproducible in-suite win over recomputing it as four
+      // cheap broadcast builds — the cache round-trip (write +
+      // columnar InMemoryTableScan per reference) costs about what
+      // the recompute does.
       val ids = part.groupBy($"p_name".as("name"))
         .agg(min($"p_partkey").as("id"))
       val pairs = FuzzyJoin.selfJoin(part, $"p_name", maxDist = 2)
