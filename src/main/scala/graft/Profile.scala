@@ -460,6 +460,223 @@ object Profile {
         .option("codec", "gz").mode("append").save())
       println(f"[profile] journal DSv2 write (gz): ${nBytes / dt1 / 1e6}%.0f MB/s in $dt1%.2f s")
     }
+    // Per-batch decomposition of the four streaming gate queries
+    // (q167/q176/q189/q197) — the r12 target: where does each
+    // micro-batch's ~1.4 s actually go? A listener prints every
+    // batch's durationMs split (addBatch = foreachBatch body incl.
+    // the journal sinks; walCommit/commitOffsets = the engine's own
+    // checkpoint writes; latestOffset/getBatch = source planning), so
+    // the fix targets the real term, not a guess.
+    if (want("stream4")) {
+      import org.apache.spark.sql.streaming.StreamingQueryListener
+      val listener = new StreamingQueryListener {
+        override def onQueryStarted(
+            e: StreamingQueryListener.QueryStartedEvent): Unit =
+          println(s"[profile] stream ${e.id} started")
+        override def onQueryProgress(
+            e: StreamingQueryListener.QueryProgressEvent): Unit = {
+          val p = e.progress
+          val d = p.durationMs
+          println(s"[profile] batch=${p.batchId} rows=${p.numInputRows} " +
+            s"trigger=${d.get("triggerExecution")}ms " +
+            s"addBatch=${d.get("addBatch")}ms " +
+            s"latestOffset=${d.get("latestOffset")}ms " +
+            s"getBatch=${d.get("getBatch")}ms " +
+            s"walCommit=${d.get("walCommit")}ms " +
+            s"commitOffsets=${d.get("commitOffsets")}ms " +
+            s"queryPlanning=${d.get("queryPlanning")}ms")
+        }
+        override def onQueryTerminated(
+            e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      }
+      spark.streams.addListener(listener)
+      for (q <- Seq("q167_ingest_guard_streaming",
+          "q176_media_routing_streaming", "q189_web_pipeline_streaming",
+          "q197_doc_pipeline_streaming")) {
+        // Min-of-2 like the bench: rep 1 carries JIT/codegen warmup.
+        (1 to 2).foreach { rep =>
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val n = SparkEntry.queries(q)(spark, sfDir).count()
+          println(f"[profile] $q rep$rep total ${(System.nanoTime() - t0) / 1e9}%.3f s rows=$n")
+        }
+      }
+      spark.streams.removeListener(listener)
+    }
+
+    // Same-JVM A/B of the two multi-journal sink forms (r12): the host
+    // drifts ±0.5-1 s/query between processes, so the only trustworthy
+    // comparison alternates both forms inside ONE session. Replicates
+    // q197's pipeline (doc triage → keep/quarantine journals) with a
+    // pluggable foreachBatch body.
+    if (want("sinkab")) {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.sources.Journal
+      val corpus = Tables.documents(spark, sfDir)
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .select(col("doc_id"), udf { docId: Long =>
+          (docId % 3) match {
+            case 0 => graft.operators.PdfFixtures.pdf(docId)
+            case 1 => graft.operators.DocxFixtures.docx(docId)
+            case _ => s"garbage-$docId-not-a-document".getBytes("UTF-8")
+          }
+        }.apply(col("doc_id")).as("blob"))
+      val stageDir = s"/tmp/graft-sinkab-stage-${java.util.UUID.randomUUID}"
+      corpus.repartition(4).write.parquet(stageDir)
+      def run(tag: String, body: (org.apache.spark.sql.DataFrame, Long, String) => Unit): Double = {
+        val root = s"/tmp/graft-sinkab-${java.util.UUID.randomUUID}"
+        val t0 = System.nanoTime()
+        val src = spark.readStream.schema(corpus.schema)
+          .option("maxFilesPerTrigger", "1").parquet(stageDir)
+        val routed = graft.operators.MediaRouter.route(src, blobCol = "blob")
+          .withColumn("pdf", graft.operators.Pdf.pdfText(col("blob")))
+          .withColumn("dx", graft.operators.OfficeDoc.docx(col("blob")))
+          .withColumn("n_chars",
+            when(col("format") === "pdf", length(col("pdf.text")))
+              .when(col("format") === "docx", length(col("dx.text")))
+              .cast("long"))
+          .withColumn("route",
+            when(col("kind") === "document", lit("keep"))
+              .otherwise(lit("quarantine")))
+          .select(col("route"), to_json(struct(col("doc_id"), col("format"),
+            col("n_chars"))).as("payload"))
+        val q = routed.writeStream
+          .foreachBatch((df: org.apache.spark.sql.DataFrame, b: Long) => body(df, b, root))
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        require(q.awaitTermination(600000), s"sinkab $tag timed out")
+        val n = Seq("docs/keep", "docs/quarantine")
+          .map(j => Journal.read(spark, root, j).count()).sum
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[profile] sinkab $tag: $dt%.3f s rows=$n")
+        dt
+      }
+      val seqBody = (df: org.apache.spark.sql.DataFrame, b: Long, root: String) => {
+        df.persist()
+        try {
+          Journal.batchSink(root, "docs/keep", codec = "gz")(
+            df.filter(col("route") === "keep").select(col("payload")), b)
+          Journal.batchSink(root, "docs/quarantine", codec = "gz")(
+            df.filter(col("route") === "quarantine").select(col("payload")), b)
+        } finally df.unpersist()
+      }
+      val routedBody = (df: org.apache.spark.sql.DataFrame, b: Long, root: String) =>
+        Journal.batchSinkRouted(root, Seq(
+          "docs/keep" -> (col("route") === "keep"),
+          "docs/quarantine" -> (col("route") === "quarantine")), df, b)
+      val seqT = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val rtT = scala.collection.mutable.ArrayBuffer.empty[Double]
+      (1 to 4).foreach { i =>
+        seqT += run(s"seq#$i", seqBody)
+        rtT += run(s"routed#$i", routedBody)
+      }
+      println(f"[profile] sinkab SEQUENTIAL min=${seqT.min}%.3f s  " +
+        f"ROUTED min=${rtT.min}%.3f s  (medians ${seqT.sorted.apply(seqT.size / 2)}%.3f vs ${rtT.sorted.apply(rtT.size / 2)}%.3f)")
+    }
+    // q67 decomposition (VERDICT r11 #6): time each stage of the
+    // AllPairs prefix join so the "left alone" verdict is a measured
+    // one. Stages are cumulative pipelines, each timed min-of-2.
+    if (want("q67")) {
+      import graft.operators.{Dedup, SetSimilarity}
+      def t2(name: String)(f: => Long): Unit = {
+        val dts = (1 to 2).map { _ =>
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime(); val n = f
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        println(f"[profile] q67 $name%-32s ${dts.map(_._1).min}%7.3f s rows=${dts.head._2}")
+      }
+      val docsDf = Tables.documents(spark, sfDir)
+      t2("docShingles")(Dedup.docShingles(docsDf, $"doc_id", $"text", 3).count())
+      t2("freq (df per token)") {
+        val d = Dedup.docShingles(docsDf, $"doc_id", $"text", 3).persist()
+        val n = d.select(explode($"sh").as("tok"))
+          .groupBy($"tok").agg(count(lit(1)).as("df")).count()
+        d.unpersist(); n
+      }
+      t2("ordered (collect_list sort)") {
+        val d = Dedup.docShingles(docsDf, $"doc_id", $"text", 3).persist()
+        val freq = d.select(explode($"sh").as("tok"))
+          .groupBy($"tok").agg(count(lit(1)).as("df"))
+        val n = d.select($"doc_id", explode($"sh").as("tok"))
+          .join(freq, "tok")
+          .groupBy($"doc_id")
+          .agg(sort_array(collect_list(struct($"df", $"tok"))).as("ts"))
+          .count()
+        d.unpersist(); n
+      }
+      t2("full prefixJaccardSelfJoin")(
+        SetSimilarity.prefixJaccardSelfJoin(
+          Dedup.docShingles(docsDf, $"doc_id", $"text", 3), 0.80).count())
+    }
+
+    // BPE cache-churn A/B (VERDICT r11 #8): per-round re-persist of
+    // the merged corpus vs NO per-round cache — one base cache and a
+    // chain of r BpeMergeOne kernels applied inside each round's
+    // single argmax pass. Same merges by construction (the argmax
+    // stream is identical); the question is whether 2 cache
+    // round-trips per round cost more than re-running ≤10 cheap
+    // native kernels over the cached base. Same-JVM alternating reps.
+    if (want("bpeab")) {
+      import org.apache.spark.sql.graft.ColumnBridge
+      def applyMergeC(syms: org.apache.spark.sql.Column, l: String, r: String) =
+        ColumnBridge.column(graft.functions.BpeMergeOne(
+          ColumnBridge.expression(syms), l, r))
+      def pairsOfC(syms: org.apache.spark.sql.Column) =
+        when(size(syms) >= 2,
+          transform(sequence(lit(1), size(syms) - 1),
+            i => struct(element_at(syms, i).as("l"),
+              element_at(syms, i + 1).as("r"))))
+          .otherwise(array().cast("array<struct<l:string,r:string>>"))
+      val docs = Tables.documents(spark, sfDir)
+        .repartition(spark.sparkContext.defaultParallelism)
+      def chained(rounds: Int): Seq[(Int, String, String, Long)] =
+        graft.operators.IterLoop.tinyReduce(spark, 8) {
+          val base = docs
+            .select($"doc_id".cast("long").as("doc_id"),
+              graft.operators.TextAnalysis.wordTokens($"text").as("syms"))
+            .filter(size($"syms") >= 2)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+          var r = 1
+          var done = false
+          while (r <= rounds && !done) {
+            val syms = merges.foldLeft($"syms") { case (c, (_, l, rr, _)) =>
+              applyMergeC(c, l, rr) }
+            val best = base
+              .select(explode(pairsOfC(syms)).as("p"))
+              .groupBy($"p.l".as("l"), $"p.r".as("r"))
+              .agg(count(lit(1)).as("cnt"))
+              .filter($"cnt" >= 2)
+              .orderBy($"cnt".desc, $"l".asc, $"r".asc).limit(1)
+              .as[(String, String, Long)].collect()
+            if (best.isEmpty) done = true
+            else {
+              val (l, rr, cnt) = best(0)
+              merges += ((r, l, rr, cnt)); r += 1
+            }
+          }
+          base.unpersist()
+          merges.toSeq
+        }
+      val reT = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val chT = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var parity = true
+      (1 to 3).foreach { i =>
+        spark.catalog.clearCache()
+        var t0 = System.nanoTime()
+        val a = graft.operators.Bpe.trainMerges(docs, $"doc_id", $"text", 10)
+          .collect().map(r0 => (r0.getInt(0), r0.getString(1), r0.getString(2), r0.getLong(3))).toSeq
+        reT += (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        t0 = System.nanoTime()
+        val b = chained(10)
+        chT += (System.nanoTime() - t0) / 1e9
+        parity = parity && (a == b)
+        println(f"[profile] bpeab rep$i repersist=${reT.last}%.3f s chained=${chT.last}%.3f s identical=${a == b}")
+      }
+      println(f"[profile] bpeab REPERSIST min=${reT.min}%.3f s  CHAINED min=${chT.min}%.3f s  merges-identical=$parity")
+    }
     spark.stop()
   }
 }

@@ -161,6 +161,9 @@ object Curation {
         .distinct()
     var cur = truncate(canon(edges.select(col("a").cast("long").as("a"),
       col("b").cast("long").as("b"))))
+    // |cur| rides along from each round's materializing count, so the
+    // convergence test below can usually skip its join outright.
+    var curCount = cur.count()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -170,21 +173,41 @@ object Curation {
         .unionAll(cur.select(col("b").as("u"), col("a").as("v")))
       val minsL = sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("mv"), col("u")).as("m"))
-      val large = sym.filter(col("v") > col("u"))
+      // sym.filter(v > u) ≡ cur itself (cur is canonical a < b, so
+      // exactly its first orientation survives the filter) — read the
+      // cache once instead of re-filtering the two-branch union (r12).
+      val large = cur.select(col("a").as("u"), col("b").as("v"))
         .join(minsL, "u").select(col("v").as("a"), col("m").as("b"))
       // Small-star: orient each edge to its larger endpoint u; u and
       // all its smaller neighbors link to m = min(Γ≤(u)).
-      val e2 = canon(large)
-        .select(col("b").as("u"), col("a").as("v")) // u > v by canon
+      //
+      // r12: large needs NO canon and NO distinct exchange here —
+      // m ≤ u < v per row, so a = v > b = m holds already (canonical,
+      // no self-loops), and the duplicates an explicit distinct would
+      // drop (two u's linking the same v to the same m) are absorbed
+      // by minsS's min and the final canon(small) distinct anyway:
+      // same `next` set, one full exchange less per round. |large| is
+      // exactly |cur| rows, so the rows the dropped distinct leaves in
+      // flight are bounded by the edge count, never more.
+      val e2 = large
+        .select(col("a").as("u"), col("b").as("v")) // u > v by the above
       val minsS = e2.groupBy(col("u")).agg(min(col("v")).as("m"))
       val small = e2.join(minsS, "u").select(col("v").as("a"), col("m").as("b"))
         .unionAll(minsS.select(col("u").as("a"), col("m").as("b")))
       val next = truncate(canon(small))
-      converged =
-        next.join(cur, Seq("a", "b"), "left_anti").isEmpty &&
-        cur.join(next, Seq("a", "b"), "left_anti").isEmpty
+      // Convergence = set equality of two DISTINCT edge sets. One
+      // count materializes `next` (truncate's contract needs an action
+      // anyway); when the cardinality moved, the sets provably differ
+      // and both r11 anti-join jobs are skipped; when it matched, ONE
+      // anti-join decides (|next| = |cur| ∧ next∖cur = ∅ ⇒ cur∖next =
+      // ∅ too, since |cur∖next| = |cur| − |cur∩next| = 0). Typical
+      // rounds pay 1 job here instead of 2-3.
+      val nextCount = next.count()
+      converged = nextCount == curCount &&
+        next.join(cur, Seq("a", "b"), "left_anti").isEmpty
       cur.unpersist()
       cur = next
+      curCount = nextCount
       iter += 1
     }
     require(converged,

@@ -579,15 +579,22 @@ object Similarity {
     import spark.implicits._
     val cents = pqCodebooks(corpus, k)
     val bc = spark.sparkContext.broadcast(cents)
-    corpus
-      .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("vec_id"), pqCodesUdf(bc, m)(col("embedding")).as("codes"))
-      .write.mode("overwrite").parquet(s"$path/codes")
-    cents.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("code", "centroid")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/codebooks")
+    // The two component writes are independent once the codebooks are
+    // sampled — overlap them (r12, guide §2.6 via DriverPar): the
+    // 1-task codebook write rides inside the code-table write's tail
+    // instead of adding a serial job. Committer safety: distinct
+    // output directories, so the two FileOutputCommitter instances
+    // never share staging paths.
+    DriverPar.run(spark, "pq-build")(Seq(
+      () => corpus
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("vec_id"), pqCodesUdf(bc, m)(col("embedding")).as("codes"))
+        .write.mode("overwrite").parquet(s"$path/codes"),
+      () => cents.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("code", "centroid")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/codebooks")))
     bc.destroy()
   }
 
@@ -627,30 +634,40 @@ object Similarity {
       nlist: Int = 16, m: Int = 4, k: Int = 16, seed: Long = 42L): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents = ivfCentroids(corpus, nlist, seed)
-    val books = pqCodebooks(corpus, k)
+    // Both quantizer samples are independent collect jobs over the
+    // corpus — overlap them (r12, guide §2.6 via DriverPar).
+    val sampled = DriverPar.run(spark, "ivfpq-quantizers")(Seq(
+      () => ivfCentroids(corpus, nlist, seed),
+      () => pqCodebooks(corpus, k)))
+    val cents = sampled(0)
+    val books = sampled(1)
     val bcC = spark.sparkContext.broadcast(cents)
     val bcB = spark.sparkContext.broadcast(books)
-    corpus
-      .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("vec_id"),
-        pqCodesUdf(bcB, m)(col("embedding")).as("codes"),
-        nearestCellUdf(bcC)(col("embedding")).as("cell"))
-      // Cluster by cell before the partitioned write (guide §6, small
-      // files): P map tasks × nlist dirs would write up to P·nlist
-      // slivers, and every probe's pruned read pays the per-file open
-      // cost nprobe·P times over. The encode UDFs still run across
-      // the full-parallelism map stage above; only the write stage
-      // narrows to one task (= one file) per cell.
-      .repartition(nlist, col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$path/codes")
-    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell", "centroid").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/centroids")
-    books.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("code", "centroid").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/codebooks")
+    // The three component writes are independent once the quantizers
+    // exist: the two 1-task quantizer-table writes ride inside the
+    // code-table write's stage tail instead of adding two serial jobs
+    // (distinct output directories — no committer staging overlap).
+    DriverPar.run(spark, "ivfpq-build")(Seq(
+      () => corpus
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("vec_id"),
+          pqCodesUdf(bcB, m)(col("embedding")).as("codes"),
+          nearestCellUdf(bcC)(col("embedding")).as("cell"))
+        // Cluster by cell before the partitioned write (guide §6, small
+        // files): P map tasks × nlist dirs would write up to P·nlist
+        // slivers, and every probe's pruned read pays the per-file open
+        // cost nprobe·P times over. The encode UDFs still run across
+        // the full-parallelism map stage above; only the write stage
+        // narrows to one task (= one file) per cell.
+        .repartition(nlist, col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$path/codes"),
+      () => cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/centroids"),
+      () => books.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("code", "centroid").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/codebooks")))
     bcC.destroy(); bcB.destroy()
   }
 
@@ -909,19 +926,24 @@ object Similarity {
     import spark.implicits._
     val cents = ivfCentroids(corpus, nlist, seed)
     val bc = spark.sparkContext.broadcast(cents)
+    // The two component writes are independent once the centroids are
+    // sampled — overlap them (r12, guide §2.6 via DriverPar; distinct
+    // output directories, so no committer staging overlap).
+    //
     // `nrm` stored at rest: probes then verify candidates with ONE
     // fused dot per pair instead of the 3-accumulator cosine loop —
     // same bits (see dotUdf), a third of the verification FLOPs.
-    corpus
-      .withColumn("cell", nearestCellUdf(bc)(col("embedding")))
-      .withColumn("nrm", graft.functions.F.vec_norm(col("embedding")))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$path/cells")
-    cents.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell", "centroid")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/centroids")
+    DriverPar.run(spark, "ivf-build")(Seq(
+      () => corpus
+        .withColumn("cell", nearestCellUdf(bc)(col("embedding")))
+        .withColumn("nrm", graft.functions.F.vec_norm(col("embedding")))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$path/cells"),
+      () => cents.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/centroids")))
     bc.destroy()
   }
 

@@ -87,68 +87,93 @@ object Takedown {
     // scheduler is explicitly multi-job-safe; the only shared frame is
     // the cached `del`, whose first materialization is lock-protected
     // by the block manager.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    //
+    // r12 (ADVICE r11): daemon threads so an orphaned family can never
+    // pin JVM exit; each family tags its jobs with a shared job group
+    // so the failure path can CANCEL the in-flight siblings instead of
+    // letting them run on unobserved.
+    val sc = spark.sparkContext
+    val group = s"takedown-audit-${java.util.UUID.randomUUID}"
+    val tf = new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"takedown-audit-${n.getAndIncrement()}")
+        t.setDaemon(true)
+        t
+      }
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3, tf)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    def inGroup[T](body: => T): T = {
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+      sc.setJobGroup(group, "takedown impact audit",
+        interruptOnCancel = false)
+      try body finally sc.clearJobGroup()
+    }
 
     // pack_seq: sequences overlapped by deleted docs. One exploded
     // pass: group to the (shard, seq) unit, keep whether ANY covering
     // pack row was deleted, then count units and touched units in a
     // single rollup.
-    val packF = scala.concurrent.Future {
+    val packF = scala.concurrent.Future { inGroup {
       val packs = packsIn
         .select(col("doc_id"), col("shard"), col("seq_first"), col("seq_last"))
         .join(del, Seq("doc_id"), "left")
         .select(col("shard"), col("seq_first"), col("seq_last"),
           coalesce(col("__del"), lit(false)).as("isdel"))
         .persist()
-      val docsDeleted = packs.filter(col("isdel")).count()
-      val seqRow = packs
-        .select(col("isdel"), col("shard"),
-          explode(sequence(col("seq_first"), col("seq_last"))).as("seq"))
-        .groupBy(col("shard"), col("seq"))
-        .agg(max(col("isdel")).as("touched"))
-        .agg(count(lit(1)).as("all"),
-          count(when(col("touched"), lit(1))).as("touched"))
-        .head()
-      packs.unpersist()
-      (docsDeleted, seqRow.getLong(0), seqRow.getLong(1))
-    }
+      try {
+        val docsDeleted = packs.filter(col("isdel")).count()
+        val seqRow = packs
+          .select(col("isdel"), col("shard"),
+            explode(sequence(col("seq_first"), col("seq_last"))).as("seq"))
+          .groupBy(col("shard"), col("seq"))
+          .agg(max(col("isdel")).as("touched"))
+          .agg(count(lit(1)).as("all"),
+            count(when(col("touched"), lit(1))).as("touched"))
+          .head()
+        (docsDeleted, seqRow.getLong(0), seqRow.getLong(1))
+      } finally packs.unpersist()
+    } }
 
     // epoch_suffix: per touched shard, every position at/after the
     // first deleted one re-derives. One narrow marked projection; the
     // per-shard aggregate carries (rows, deleted rows, first deleted
     // pos) so the four scalars fall out of a 1-row rollup, and only
     // the suffix count needs a second (broadcast-joined) pass.
-    val epochF = scala.concurrent.Future {
+    val epochF = scala.concurrent.Future { inGroup {
       val o = ord.select(col("shard"), col("pos"), col("doc_id"))
         .join(del, Seq("doc_id"), "left")
         .select(col("shard"), col("pos"),
           coalesce(col("__del"), lit(false)).as("isdel"))
         .persist()
-      val perShard = o.groupBy(col("shard"))
-        .agg(count(lit(1)).as("n"),
-          sum(when(col("isdel"), lit(1L)).otherwise(lit(0L))).as("ndel"),
-          min(when(col("isdel"), col("pos"))).as("mp"))
-        .persist()
-      val shardRow = perShard
-        .agg(coalesce(sum(col("n")), lit(0L)).as("ordTotal"),
-          count(lit(1)).as("shardsTotal"),
-          count(col("mp")).as("shardsTouched"),
-          coalesce(sum(col("ndel")), lit(0L)).as("epochDeleted"))
-        .head()
-      val suffixRows = o.join(
-          broadcast(perShard.filter(col("mp").isNotNull)
-            .select(col("shard"), col("mp"))), "shard")
-        .filter(col("pos") >= col("mp")).count()
-      perShard.unpersist(); o.unpersist()
-      (shardRow.getLong(0), shardRow.getLong(1), shardRow.getLong(2),
-        shardRow.getLong(3), suffixRows)
-    }
+      try {
+        val perShard = o.groupBy(col("shard"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("isdel"), lit(1L)).otherwise(lit(0L))).as("ndel"),
+            min(when(col("isdel"), col("pos"))).as("mp"))
+          .persist()
+        try {
+          val shardRow = perShard
+            .agg(coalesce(sum(col("n")), lit(0L)).as("ordTotal"),
+              count(lit(1)).as("shardsTotal"),
+              count(col("mp")).as("shardsTouched"),
+              coalesce(sum(col("ndel")), lit(0L)).as("epochDeleted"))
+            .head()
+          val suffixRows = o.join(
+              broadcast(perShard.filter(col("mp").isNotNull)
+                .select(col("shard"), col("mp"))), "shard")
+            .filter(col("pos") >= col("mp")).count()
+          (shardRow.getLong(0), shardRow.getLong(1), shardRow.getLong(2),
+            shardRow.getLong(3), suffixRows)
+        } finally perShard.unpersist()
+      } finally o.unpersist()
+    } }
 
     // ivf_cell: posting lists containing deleted vectors — one marked
     // pass grouped to the cell unit, 1-row rollup.
-    val cellF = scala.concurrent.Future {
+    val cellF = scala.concurrent.Future { inGroup {
       cellsIn
         .select(col("vec_id"), col("cell"))
         .join(del, col("vec_id") === del("doc_id"), "left")
@@ -160,24 +185,31 @@ object Takedown {
           count(when(col("touched"), lit(1))).as("cellsTouched"),
           coalesce(sum(col("ndel")), lit(0L)).as("vecsDeleted"))
         .head()
-    }
+    } }
 
-    val (docsDeleted, seqAll, seqTouched) =
-      try scala.concurrent.Await.result(packF,
-        scala.concurrent.duration.Duration(600, "s"))
-      catch { case t: Throwable => pool.shutdown(); throw t }
-    val (ordTotal, shardsTotal, shardsTouched, epochDeleted, suffixRows) =
-      try scala.concurrent.Await.result(epochF,
-        scala.concurrent.duration.Duration(600, "s"))
-      catch { case t: Throwable => pool.shutdown(); throw t }
-    val cellRow =
-      try scala.concurrent.Await.result(cellF,
-        scala.concurrent.duration.Duration(600, "s"))
-      finally pool.shutdown()
-    val cellsTotal = cellRow.getLong(0)
-    val cellsTouched = cellRow.getLong(1)
-    val vecsDeleted = cellRow.getLong(2)
-    del.unpersist()
+    // r12 (ADVICE r11): Duration.Inf — a hard-coded 600 s ceiling
+    // turned a legitimately slow 100 TB audit into a TimeoutException
+    // with its in-flight jobs uncancelled and its caches stranded. On
+    // ANY failure: cancel the sibling families' running jobs via the
+    // shared job group, kill the (daemon) pool with shutdownNow, and
+    // release `del` in a finally so the 'aa87feb leak class' cannot
+    // re-enter through this path.
+    val (docsDeleted, seqAll, seqTouched,
+        ordTotal, shardsTotal, shardsTouched, epochDeleted, suffixRows,
+        cellsTotal, cellsTouched, vecsDeleted) =
+      try {
+        val inf = scala.concurrent.duration.Duration.Inf
+        val (a, b, c) = scala.concurrent.Await.result(packF, inf)
+        val (d2, e2, f2, g2, h2) = scala.concurrent.Await.result(epochF, inf)
+        val cellRow = scala.concurrent.Await.result(cellF, inf)
+        pool.shutdown()
+        (a, b, c, d2, e2, f2, g2, h2,
+          cellRow.getLong(0), cellRow.getLong(1), cellRow.getLong(2))
+      } catch { case t: Throwable =>
+        try sc.cancelJobGroup(group) catch { case _: Exception => () }
+        pool.shutdownNow()
+        throw t
+      } finally del.unpersist()
 
     def f6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
     // Empty corpus / artifact family: 0/0 would be NaN (and floor(NaN)

@@ -501,24 +501,61 @@ object CorpusOps {
       // from two driver threads so one's prefix-pass tail back-fills
       // the other's idle executor slots (guide §2.6). tokd is pinned
       // first so neither thread races its materialization.
+      //
+      // r12 (ADVICE r11): daemon threads + unbounded await (a hard
+      // 600 s ceiling failed legitimately slow runs with the sibling
+      // still running); on failure the sibling's jobs are cancelled
+      // via the shared group and any manifest it already pinned is
+      // released, so nothing MEMORY_AND_DISK-persisted is stranded.
       tokd.count()
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val sc = s.sparkContext
+      val group = s"q157-manifests-${java.util.UUID.randomUUID}"
+      val tf = new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"q157-manifest-${n.getAndIncrement()}")
+          t.setDaemon(true)
+          t
+        }
+      }
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2, tf)
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
-      val m1F = scala.concurrent.Future {
-        Curation.executeMixturePlan(tokd, $"doc_id", $"source",
-          $"n_tokens", p1, seed = "mix42")
-      }
-      val m2F = scala.concurrent.Future {
-        Curation.executeMixturePlan(tokd, $"doc_id", $"source",
-          $"n_tokens", p2, seed = "mix42")
-      }
+      def buildManifest(plan: org.apache.spark.sql.DataFrame) =
+        scala.concurrent.Future {
+          org.apache.spark.sql.SparkSession.setActiveSession(s)
+          sc.setJobGroup(group, "q157 manifest build",
+            interruptOnCancel = false)
+          try Curation.executeMixturePlan(tokd, $"doc_id", $"source",
+            $"n_tokens", plan, seed = "mix42")
+          finally sc.clearJobGroup()
+        }
+      val m1F = buildManifest(p1)
+      val m2F = buildManifest(p2)
       val (m1, m2) =
-        try (scala.concurrent.Await.result(m1F,
-            scala.concurrent.duration.Duration(600, "s")),
-          scala.concurrent.Await.result(m2F,
-            scala.concurrent.duration.Duration(600, "s")))
-        finally pool.shutdown()
+        try {
+          val inf = scala.concurrent.duration.Duration.Inf
+          val r = (scala.concurrent.Await.result(m1F, inf),
+            scala.concurrent.Await.result(m2F, inf))
+          pool.shutdown()
+          r
+        } catch { case t: Throwable =>
+          try sc.cancelJobGroup(group) catch { case _: Exception => () }
+          // Let the sibling wind down, then release whatever manifest
+          // it managed to pin before propagating the original error.
+          Seq(m1F, m2F).foreach { f =>
+            try scala.concurrent.Await.ready(f,
+              scala.concurrent.duration.Duration(60, "s"))
+            catch { case _: Exception => () }
+            f.value match {
+              case Some(scala.util.Success(m)) =>
+                try m.unpersist() catch { case _: Exception => () }
+              case _ => ()
+            }
+          }
+          pool.shutdownNow()
+          throw t
+        }
       tokd.unpersist() // both manifests pinned
       val out = Curation.manifestDiff(m1, m2).persist()
       out.count() // pin the |sources|-row report, release the manifests

@@ -491,17 +491,15 @@ object MultimodalOps {
           .as("payload"))
       val q = routed.writeStream
         .foreachBatch { (df: DataFrame, batchId: Long) =>
-          // All three routes consume the batch: materialize once so
-          // the five-parser triage UDF doesn't run thrice per blob.
-          df.persist()
-          try {
-            Journal.batchSink(root, "media/image", codec = "gz")(
-              df.filter($"kind" === "image").select($"payload"), batchId)
-            Journal.batchSink(root, "media/video", codec = "gz")(
-              df.filter($"kind" === "video").select($"payload"), batchId)
-            Journal.batchSink(root, "media/quarantine", codec = "gz")(
-              df.filter($"kind".isNull).select($"payload"), batchId)
-          } finally df.unpersist()
+          // r12: ONE spool pass routes all three journals (the
+          // five-parser triage UDF runs once per blob with no persist
+          // at all) — the r11 shape persisted the batch and ran one
+          // filter+spool job per journal, paying the job-launch floor
+          // thrice per batch. Per-journal manifests/markers unchanged.
+          Journal.batchSinkRouted(root, Seq(
+            "media/image" -> ($"kind" === "image"),
+            "media/video" -> ($"kind" === "video"),
+            "media/quarantine" -> $"kind".isNull), df, batchId)
         }
         .option("checkpointLocation", s"$root/ckpt")
         .trigger(Trigger.AvailableNow()).start()
@@ -993,20 +991,16 @@ object MultimodalOps {
           $"h.n_links".cast("long").as("n_links"))).as("payload"))
       val q = routed.writeStream
         .foreachBatch { (df: DataFrame, batchId: Long) =>
-          // All three routes consume the batch: materialize once so
-          // the explode+extract+canonicalize triage runs once per
-          // record, not thrice.
-          df.persist()
-          try {
-            Journal.batchSink(root, "web/keep", codec = "gz")(
-              df.filter($"route" === "keep").select($"payload"), batchId)
-            Journal.batchSink(root, "web/boilerplate", codec = "gz")(
-              df.filter($"route" === "boilerplate").select($"payload"),
-              batchId)
-            Journal.batchSink(root, "web/quarantine", codec = "gz")(
-              df.filter($"route" === "quarantine").select($"payload"),
-              batchId)
-          } finally df.unpersist()
+          // r12: ONE spool pass routes all three journals (the
+          // explode+extract+canonicalize triage runs once per record
+          // with no persist at all) — the r11 shape persisted the
+          // batch and ran one filter+spool job per journal, paying the
+          // job-launch floor thrice per batch. Per-journal
+          // manifests/markers unchanged (batchSinkRouted).
+          Journal.batchSinkRouted(root, Seq(
+            "web/keep" -> ($"route" === "keep"),
+            "web/boilerplate" -> ($"route" === "boilerplate"),
+            "web/quarantine" -> ($"route" === "quarantine")), df, batchId)
         }
         .option("checkpointLocation", s"$root/ckpt")
         .trigger(Trigger.AvailableNow()).start()
@@ -1276,14 +1270,13 @@ object MultimodalOps {
           $"n_chars")).as("payload"))
       val q = routed.writeStream
         .foreachBatch { (df: DataFrame, batchId: Long) =>
-          df.persist()
-          try {
-            Journal.batchSink(root, "docs/keep", codec = "gz")(
-              df.filter($"route" === "keep").select($"payload"), batchId)
-            Journal.batchSink(root, "docs/quarantine", codec = "gz")(
-              df.filter($"route" === "quarantine").select($"payload"),
-              batchId)
-          } finally df.unpersist()
+          // r12: ONE spool pass routes both journals (the pdf/docx
+          // extraction runs once per blob with no persist at all) —
+          // the r11 shape persisted the batch and ran one filter+spool
+          // job per journal. Per-journal manifests/markers unchanged.
+          Journal.batchSinkRouted(root, Seq(
+            "docs/keep" -> ($"route" === "keep"),
+            "docs/quarantine" -> ($"route" === "quarantine")), df, batchId)
         }
         .option("checkpointLocation", s"$root/ckpt")
         .trigger(Trigger.AvailableNow()).start()

@@ -118,15 +118,14 @@ object StreamOps {
             .as("payload"))
       val q = tagged.writeStream
         .foreachBatch { (df: DataFrame, batchId: Long) =>
-          // Both routes consume the batch: materialize once so the
-          // shingle-probe UDF doesn't run twice per doc.
-          df.persist()
-          try {
-            Journal.batchSink(root, "guard/quarantine", codec = "gz")(
-              df.filter($"contaminated").select($"payload"), batchId)
-            Journal.batchSink(root, "guard/train", codec = "gz")(
-              df.filter(!$"contaminated").select($"payload"), batchId)
-          } finally df.unpersist()
+          // r12: ONE spool pass routes both journals (the shingle-probe
+          // UDF runs once per doc with no persist at all) — the r11
+          // shape persisted the batch and ran one filter+spool job per
+          // journal, paying the job-launch floor twice per batch.
+          // Per-journal manifests/markers unchanged (batchSinkRouted).
+          Journal.batchSinkRouted(root, Seq(
+            "guard/quarantine" -> $"contaminated",
+            "guard/train" -> !$"contaminated"), df, batchId)
         }
         .option("checkpointLocation", s"$root/ckpt")
         .trigger(Trigger.AvailableNow()).start()

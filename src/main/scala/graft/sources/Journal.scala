@@ -936,6 +936,179 @@ object Journal {
     sweepMarkers(fs, dir, "", batchId)
   }
 
+  /** One-pass multi-journal micro-batch sink (r12, guide §1.2 step 1):
+    * spool EVERY route's fragments in a SINGLE distributed pass over
+    * the batch — each row goes to the first route whose predicate
+    * matches — then commit each journal independently with
+    * [[batchSink]]'s exact two-phase manifest + `.committed`
+    * idempotence-marker protocol.
+    *
+    * Why: the foreachBatch fan-out shape (one triaged frame → N
+    * per-kind journals) previously persisted the batch and ran N
+    * sequential batchSink jobs, each re-filtering the cache — N job
+    * launches and N cache passes to partition one small frame, and at
+    * a 4-batch replay that job-launch floor WAS the queries' cost
+    * (measured: addBatch 0.40-0.54 s/batch, of which the engine's own
+    * checkpoint I/O is only ~0.13 s). Here the batch is read once (the
+    * triage projection runs once per record — no persist needed at
+    * all) and every route's spool is written in that same pass; only
+    * the per-journal driver-side commits remain. One job per batch is
+    * the minimum passes this fan-out can do, at any scale.
+    *
+    * Identical bytes per journal: a route's spool receives exactly the
+    * rows its filter form kept, in the same (partition, row) order,
+    * and offsets are assigned per journal from its own head in
+    * partition order — fragment names, content, and SHAs match the
+    * sequential batchSink calls bit-for-bit (JournalRoutedSpec pins
+    * this). Routes are expected DISJOINT: a row matching several
+    * predicates lands only in the first (sequential filters would
+    * duplicate it into both journals; no caller routes overlapping
+    * predicates). Rows matching no route are dropped, exactly as no
+    * filter would keep them.
+    *
+    * Exactly-once per (journal, batch) is unchanged: each journal
+    * keeps its own `.pending` manifest and `.committed` marker. A
+    * retried batch re-runs the spool pass, then per journal either
+    * drops the fresh spools (marker present — content-addressed
+    * duplicates of what the index already holds), reconciles a
+    * crashed `.pending`, or commits — exactly the serial calls'
+    * recovery matrix.
+    */
+  def batchSinkRouted(root: String,
+      routes: Seq[(String, org.apache.spark.sql.Column)],
+      df: DataFrame, batchId: Long, codec: String = "gz",
+      payloadCol: String = "payload"): Unit = {
+    require(routes.nonEmpty, "batchSinkRouted: no routes")
+    require(routes.map(_._1).distinct.size == routes.size,
+      s"batchSinkRouted: duplicate journal in ${routes.map(_._1).mkString(", ")}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val conf = hadoopConf
+    new HPath(root).getFileSystem(conf).mkdirs(new HPath(root))
+    val hc = new HadoopConf(conf)
+    // First matching predicate wins; unmatched rows drop. A NULL
+    // predicate result is no-match, same as a filter.
+    val routeIdx = routes.zipWithIndex
+      .foldRight(lit(null).cast("int")) { case (((_, pred), i), acc) =>
+        when(pred, lit(i)).otherwise(acc)
+      }
+    val journals = routes.map(_._1).toArray
+    val tagOf = journals.map(_.replace('/', '_'))
+    // NO Filter on the route: a Filter referencing the route column
+    // gets pushed below the batch's triage projection and re-evaluates
+    // the (expensive) triage expressions once in the Filter and again
+    // in the Project — guide §4.4's duplicated-UDF trap, measured here
+    // as 2-3× the per-batch cost on the guard/extract gates. Unmatched
+    // rows are dropped inside the spool closure instead, so the triage
+    // runs exactly once per row in the single Project below.
+    val rows = df.select(col(payloadCol).cast("string"), routeIdx.as("__route"))
+      .as[(String, Option[Int])]
+    // Executor side: one FragmentSpool per route per partition — the
+    // same framing/SHA/roll kernel and the same `.spool-<tag>-<part>-
+    // <uuid>.tmp` naming as [[stage]] (sweepSpools reclaims either),
+    // with stage's abort discipline on mid-partition failure.
+    val spooled = rows.rdd.mapPartitionsWithIndex { (idx, it) =>
+      val fs = new HPath(root).getFileSystem(hc.value)
+      val spools = new Array[FragmentSpool](journals.length)
+      val done = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, Int, Int, Long, String, String)]
+      try {
+        it.foreach {
+          case (line, Some(r)) =>
+            // Same validation as stage(): only ROUTED rows need a
+            // payload (a dropped row was never written before either).
+            require(line != null, "journal append: null payload")
+            var sp = spools(r)
+            if (sp == null) {
+              sp = new FragmentSpool(fs, root, s"${tagOf(r)}-$idx", codec,
+                seq = 0, journal = journals(r))
+              spools(r) = sp
+            }
+            sp.write(line.getBytes("UTF-8"))
+          case (_, None) => () // no route matched: drop, as no filter kept it
+        }
+        var r = 0
+        while (r < spools.length) {
+          val sp = spools(r)
+          if (sp != null) {
+            val len = sp.len // read before finish() closes the stream
+            done += ((idx, r, sp.seq, len, sp.finish(), sp.tmp.toString))
+          }
+          r += 1
+        }
+      } catch { case e: Throwable =>
+        spools.foreach { sp =>
+          if (sp != null) {
+            try sp.abortClose() catch { case _: Exception => () }
+            try fs.delete(sp.tmp, false) catch { case _: Exception => () }
+          }
+        }
+        done.foreach { case (_, _, _, _, _, tmp) =>
+          try fs.delete(new HPath(tmp), false) catch { case _: Exception => () }
+        }
+        throw e
+      }
+      done.iterator
+    }
+    val spooledArr =
+      try spooled.collect()
+      catch { case e: Throwable =>
+        tagOf.foreach(t => sweepSpools(root, t))
+        throw e
+      }
+    try {
+      val byRoute = spooledArr.groupBy(_._2)
+      journals.zipWithIndex.foreach { case (journal, r) =>
+        val mine = byRoute.getOrElse(r, Array.empty[(Int, Int, Int, Long, String, String)])
+          .sortBy(s => (s._1, s._3))
+          .map { case (_, _, _, len, sha, tmp) => ("", len, sha, tmp) }
+          .toSeq
+        commitBatchSpooled(root, journal, batchId, mine, codec, conf)
+      }
+    } catch { case e: Throwable =>
+      // Spools not yet renamed into an index are orphans — reclaim by
+      // name before rethrowing (consumed ones are already gone; a
+      // delete of a missing path is a no-op).
+      val fs = new HPath(root).getFileSystem(conf)
+      spooledArr.foreach { case (_, _, _, _, _, tmp) =>
+        try fs.delete(new HPath(tmp), false) catch { case _: Exception => () }
+      }
+      throw e
+    }
+  }
+
+  /** [[batchSink]]'s commit protocol over an ALREADY-SPOOLED batch
+    * (the one-pass routed sink): same `.committed` early-return, same
+    * swept-horizon fence, same `.pending` reconcile, same
+    * manifest-then-rename commit and marker sweep — sequenced over
+    * spools that exist before the first marker check, so an
+    * already-committed retry deletes them instead of re-staging.
+    */
+  private def commitBatchSpooled(root: String, journal: String,
+      batchId: Long, spooled: Seq[(String, Long, String, String)],
+      codec: String, conf: Configuration): Unit = {
+    val dir = new HPath(root, journal)
+    val fs = dir.getFileSystem(conf)
+    def dropSpools(): Unit = spooled.foreach { case (_, _, _, t) =>
+      try fs.delete(new HPath(t), false) catch { case _: Exception => () }
+    }
+    val committed = new HPath(dir, s".batch-$batchId.committed")
+    if (fs.exists(committed)) { dropSpools(); return }
+    try assertNotSwept(fs, dir, "", batchId)
+    catch { case e: Throwable => dropSpools(); throw e }
+    fs.mkdirs(dir)
+    val pending = new HPath(dir, s".batch-$batchId.pending")
+    if (fs.exists(pending) &&
+        reconcilePending(fs, pending, committed, journal, codec, conf)) {
+      dropSpools(); return
+    }
+    val staged = planFragments(root, journal, codec, head(root, journal), spooled)
+    commitManifested(fs, pending, committed, staged, conf)
+    raiseHeadFloor(root, journal,
+      staged.iterator.map(_._1.end).foldLeft(0L)(math.max))
+    sweepMarkers(fs, dir, "", batchId)
+  }
+
   /** How many epochs of `.batch-*.committed` idempotence markers stay
     * behind the newest one. Spark's micro-batch engine replays at most
     * the batches not yet committed to its OWN checkpoint — always the
