@@ -641,7 +641,7 @@ object Profile {
           var r = 1
           var done = false
           while (r <= rounds && !done) {
-            val syms = merges.foldLeft($"syms") { case (c, (_, l, rr, _)) =>
+            val syms = merges.foldLeft(col("syms")) { case (c, (_, l, rr, _)) =>
               applyMergeC(c, l, rr) }
             val best = base
               .select(explode(pairsOfC(syms)).as("p"))
@@ -676,6 +676,126 @@ object Profile {
         println(f"[profile] bpeab rep$i repersist=${reT.last}%.3f s chained=${chT.last}%.3f s identical=${a == b}")
       }
       println(f"[profile] bpeab REPERSIST min=${reT.min}%.3f s  CHAINED min=${chT.min}%.3f s  merges-identical=$parity")
+    }
+
+    // q135 token-cache A/B: cache the raw exploded (doc_id, source, t)
+    // rows (current surprisalBuckets shape) vs pre-aggregating to
+    // (doc_id, source, t, k) occurrence counts in ONE map-side-combined
+    // exchange and caching THAT (smaller cache, same math: df per
+    // token = Σk, n_tok = Σk, sum_bits = Σ k·b). Same-JVM alternating.
+    if (want("tokab")) {
+      val docs = Tables.documents(spark, sfDir)
+      def current(): Long = graft.operators.TextAnalysis
+        .surprisalBuckets(docs, $"doc_id", $"text", $"source").count()
+      def pregg(): Long = {
+        import org.apache.spark.sql.expressions.Window
+        val tokc = docs
+          .select($"doc_id".cast("long").as("doc_id"),
+            $"source".cast("string").as("source"),
+            explode(graft.operators.TextAnalysis.wordTokens($"text")).as("t"))
+          .groupBy($"doc_id", $"source", $"t")
+          .agg(count(lit(1)).as("k"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cnt = tokc.groupBy($"t").agg(sum($"k").as("c"))
+        val tot = cnt.agg(sum($"c").as("total"))
+        val bits = cnt.crossJoin(broadcast(tot))
+          .select($"t", (length(bin(expr("total div c"))) - 1)
+            .cast("long").as("b"))
+        val scored = tokc
+          .join(bits, "t")
+          .groupBy($"doc_id", $"source")
+          .agg(sum($"k").as("n_tok"), sum($"k" * $"b").as("sum_bits"))
+          .withColumn("mean_bits", graft.operators.Curation
+            .floorRound4($"sum_bits".cast("double") / $"n_tok"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        scored.count()
+        tokc.unpersist()
+        val hist = scored.groupBy($"source", $"mean_bits")
+          .agg(count(lit(1)).as("k"))
+        val wCum = Window.partitionBy($"source").orderBy($"mean_bits")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy($"source")
+        val cum = hist
+          .withColumn("cum", sum($"k").over(wCum))
+          .withColumn("n", sum($"k").over(wAll))
+        val cuts = cum.groupBy($"source").agg(
+          min(when($"cum" * 3 >= $"n", $"mean_bits")).as("c1"),
+          min(when($"cum" * 3 >= $"n" * 2, $"mean_bits")).as("c2"))
+        val out = scored.join(broadcast(cuts), "source")
+          .select($"doc_id", $"source", $"n_tok", $"sum_bits", $"mean_bits",
+            when($"mean_bits" <= $"c1", "head")
+              .when($"mean_bits" <= $"c2", "middle")
+              .otherwise("tail").as("bucket"))
+        val n = out.count()
+        scored.unpersist()
+        n
+      }
+      val aT = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val bT = scala.collection.mutable.ArrayBuffer.empty[Double]
+      (1 to 3).foreach { i =>
+        spark.catalog.clearCache()
+        var t0 = System.nanoTime(); val na = current()
+        aT += (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        t0 = System.nanoTime(); val nb = pregg()
+        bT += (System.nanoTime() - t0) / 1e9
+        println(f"[profile] tokab rep$i current=${aT.last}%.3f s pregg=${bT.last}%.3f s rows=$na/$nb")
+      }
+      println(f"[profile] tokab CURRENT min=${aT.min}%.3f s  PREAGG min=${bT.min}%.3f s")
+    }
+
+    // q71 pagerank A/B: current ranksFixedPoint (a deg⋈ranks join per
+    // iteration to form the outflow) vs carrying deg inside the ranks
+    // table so the outflow is a pure projection — one fewer |V|⋈|V|
+    // join (and its exchange) per iteration. Same-JVM alternating;
+    // bit-identical rank vectors asserted per rep.
+    if (want("prab")) {
+      import org.apache.spark.storage.StorageLevel
+      val pairs = Tables.lineitem(spark, sfDir)
+        .join(Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+        .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+        .distinct()
+      val edges = pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
+      def current(): Array[(Long, Long)] =
+        graft.operators.PageRank.ranksFixedPoint(edges, 3)
+          .select($"node".cast("long"), $"r".cast("long")).as[(Long, Long)]
+          .collect().sortBy(_._1)
+      def fused(): Array[(Long, Long)] = {
+        val e = edges.selectExpr("cast(src as long) as src",
+          "cast(dst as long) as dst").persist(StorageLevel.MEMORY_AND_DISK)
+        val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val n = deg.count()
+        val r0 = graft.operators.PageRank.Scale / n
+        val base = 15 * r0 / 100
+        var ranks = deg.select($"src".as("node"), lit(r0).as("r"), $"deg")
+        for (_ <- 1 to 3) {
+          val outflow = ranks.selectExpr("node as src", "r div deg as c")
+          ranks = e.join(outflow, "src")
+            .groupBy($"dst").agg(sum($"c").as("s"))
+            .join(deg.select($"src".as("dst"), $"deg"), Seq("dst"), "right_outer")
+            .selectExpr("dst as node",
+              s"$base + (85 * coalesce(s, 0)) div 100 as r", "deg")
+        }
+        val out = ranks.select($"node".cast("long"), $"r".cast("long"))
+          .as[(Long, Long)].collect().sortBy(_._1)
+        e.unpersist(); deg.unpersist()
+        out
+      }
+      val aT = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val bT = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var parity = true
+      (1 to 3).foreach { i =>
+        spark.catalog.clearCache()
+        var t0 = System.nanoTime(); val ra = current()
+        aT += (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        t0 = System.nanoTime(); val rb = fused()
+        bT += (System.nanoTime() - t0) / 1e9
+        parity &&= ra.sameElements(rb)
+        println(f"[profile] prab rep$i current=${aT.last}%.3f s fused=${bT.last}%.3f s identical=${ra.sameElements(rb)}")
+      }
+      println(f"[profile] prab CURRENT min=${aT.min}%.3f s  FUSED min=${bT.min}%.3f s  parity=$parity")
     }
     spark.stop()
   }
