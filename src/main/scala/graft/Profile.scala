@@ -744,11 +744,12 @@ object Profile {
       println(f"[profile] tokab CURRENT min=${aT.min}%.3f s  PREAGG min=${bT.min}%.3f s")
     }
 
-    // q71 pagerank A/B: current ranksFixedPoint (a deg⋈ranks join per
-    // iteration to form the outflow) vs carrying deg inside the ranks
-    // table so the outflow is a pure projection — one fewer |V|⋈|V|
-    // join (and its exchange) per iteration. Same-JVM alternating;
-    // bit-identical rank vectors asserted per rep.
+    // q71 pagerank A/B: the r11 shape (a deg⋈ranks join per iteration
+    // to form the outflow — inlined below, verbatim) vs the r12
+    // operator, which carries deg inside the ranks table so the
+    // outflow is a pure projection — one fewer |V|⋈|V| join (and its
+    // exchange) per iteration. Same-JVM alternating; bit-identical
+    // rank vectors asserted per rep.
     if (want("prab")) {
       import org.apache.spark.storage.StorageLevel
       val pairs = Tables.lineitem(spark, sfDir)
@@ -756,11 +757,8 @@ object Profile {
         .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
         .distinct()
       val edges = pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
-      def current(): Array[(Long, Long)] =
-        graft.operators.PageRank.ranksFixedPoint(edges, 3)
-          .select($"node".cast("long"), $"r".cast("long")).as[(Long, Long)]
-          .collect().sortBy(_._1)
-      def fused(): Array[(Long, Long)] = {
+      // The pre-r12 ranksFixedPoint body, verbatim.
+      def old(): Array[(Long, Long)] = {
         val e = edges.selectExpr("cast(src as long) as src",
           "cast(dst as long) as dst").persist(StorageLevel.MEMORY_AND_DISK)
         val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
@@ -768,34 +766,39 @@ object Profile {
         val n = deg.count()
         val r0 = graft.operators.PageRank.Scale / n
         val base = 15 * r0 / 100
-        var ranks = deg.select($"src".as("node"), lit(r0).as("r"), $"deg")
+        var ranks = deg.select($"src".as("node"), lit(r0).as("r"))
         for (_ <- 1 to 3) {
-          val outflow = ranks.selectExpr("node as src", "r div deg as c")
+          val outflow = deg.join(ranks, deg("src") === ranks("node"))
+            .selectExpr("src", "r div deg as c")
           ranks = e.join(outflow, "src")
             .groupBy($"dst").agg(sum($"c").as("s"))
-            .join(deg.select($"src".as("dst"), $"deg"), Seq("dst"), "right_outer")
+            .join(deg.select($"src".as("dst")), Seq("dst"), "right_outer")
             .selectExpr("dst as node",
-              s"$base + (85 * coalesce(s, 0)) div 100 as r", "deg")
+              s"$base + (85 * coalesce(s, 0)) div 100 as r")
         }
         val out = ranks.select($"node".cast("long"), $"r".cast("long"))
           .as[(Long, Long)].collect().sortBy(_._1)
         e.unpersist(); deg.unpersist()
         out
       }
+      def fused(): Array[(Long, Long)] =
+        graft.operators.PageRank.ranksFixedPoint(edges, 3)
+          .select($"node".cast("long"), $"r".cast("long")).as[(Long, Long)]
+          .collect().sortBy(_._1)
       val aT = scala.collection.mutable.ArrayBuffer.empty[Double]
       val bT = scala.collection.mutable.ArrayBuffer.empty[Double]
       var parity = true
       (1 to 3).foreach { i =>
         spark.catalog.clearCache()
-        var t0 = System.nanoTime(); val ra = current()
+        var t0 = System.nanoTime(); val ra = old()
         aT += (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         t0 = System.nanoTime(); val rb = fused()
         bT += (System.nanoTime() - t0) / 1e9
         parity &&= ra.sameElements(rb)
-        println(f"[profile] prab rep$i current=${aT.last}%.3f s fused=${bT.last}%.3f s identical=${ra.sameElements(rb)}")
+        println(f"[profile] prab rep$i old=${aT.last}%.3f s fused=${bT.last}%.3f s identical=${ra.sameElements(rb)}")
       }
-      println(f"[profile] prab CURRENT min=${aT.min}%.3f s  FUSED min=${bT.min}%.3f s  parity=$parity")
+      println(f"[profile] prab OLD min=${aT.min}%.3f s  FUSED min=${bT.min}%.3f s  parity=$parity")
     }
     spark.stop()
   }

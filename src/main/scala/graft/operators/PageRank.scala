@@ -21,10 +21,12 @@ import org.apache.spark.storage.StorageLevel
   * (damping 0.85 as the published constant; truncation loses ≤1 nano
   * per division, deterministically.)
   *
-  * Scale shape per iteration: one shuffle join of edges⋈ranks on src
-  * (the degree factor is pre-joined once and cached) + one groupBy dst
-  * — both hash exchanges on vertex ids. Lineage grows linearly with
-  * iterations; for deep runs persist every few rounds to truncate it.
+  * Scale shape per iteration: one shuffle join of edges⋈outflow on
+  * src + one groupBy dst — both hash exchanges on vertex ids. The
+  * ranks table carries deg, so the outflow r div deg is a projection,
+  * not a join (r12; the old shape paid a deg⋈ranks join per
+  * iteration). Lineage grows linearly with iterations; for deep runs
+  * persist every few rounds to truncate it.
   */
 object PageRank {
 
@@ -50,10 +52,14 @@ object PageRank {
     val r0 = Scale / n
     val base = 15 * r0 / 100
 
-    var ranks = deg.select(col("src").as("node"), lit(r0).as("r"))
+    // The ranks table CARRIES deg (r12): the per-iteration outflow
+    // r div deg is then a pure projection instead of a deg⋈ranks join
+    // — one fewer |V|⋈|V| join (and its exchange) per iteration. deg
+    // re-attaches for free on the right-outer join below, which the
+    // full-vertex-set restore needs anyway.
+    var ranks = deg.select(col("src").as("node"), lit(r0).as("r"), col("deg"))
     for (_ <- 1 to iters) {
-      val outflow = deg.join(ranks, deg("src") === ranks("node"))
-        .selectExpr("src", "r div deg as c")
+      val outflow = ranks.selectExpr("node as src", "r div deg as c")
       // Right-join back to the FULL vertex set: groupBy(dst) alone
       // would silently drop a vertex with out-edges but no in-edges
       // (legal under the stated precondition) — it would vanish from
@@ -63,9 +69,9 @@ object PageRank {
       ranks = e.join(outflow, "src")
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("s"))
-        .join(deg.select(col("src").as("dst")), Seq("dst"), "right_outer")
-        .selectExpr("dst as node", s"$base + (85 * coalesce(s, 0)) div 100 as r")
+        .join(deg.select(col("src").as("dst"), col("deg")), Seq("dst"), "right_outer")
+        .selectExpr("dst as node", s"$base + (85 * coalesce(s, 0)) div 100 as r", "deg")
     }
-    ranks
+    ranks.select(col("node"), col("r"))
   }
 }
