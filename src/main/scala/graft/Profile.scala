@@ -800,6 +800,69 @@ object Profile {
       }
       println(f"[profile] prab OLD min=${aT.min}%.3f s  FUSED min=${bT.min}%.3f s  parity=$parity")
     }
+
+    // q105 BFS A/B: the r11 shape (per-hop distinct over the frontier
+    // expansion + anti-join against the lazy union of all prior
+    // frontiers — inlined below, verbatim) vs the r12 fused operator
+    // (one min(dist) aggregate per hop). Same-JVM alternating;
+    // bit-identical (node, dist) vectors asserted per rep. Uses q105's
+    // exact inputs (co-purchase edges, 3 smallest vertices, 3 hops).
+    if (want("bfsab")) {
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.storage.StorageLevel
+      // The pre-r12 Bfs.distances body, verbatim.
+      def oldDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+        val e = edges.selectExpr("cast(src as long) as src", "cast(dst as long) as dst")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val frontier0 = seeds.selectExpr("cast(node as long) as node").distinct()
+          .withColumn("dist", lit(0)).persist(StorageLevel.MEMORY_AND_DISK)
+        val frontiers = scala.collection.mutable.ArrayBuffer(frontier0)
+        def visited = frontiers.reduce(_ union _)
+        var frontier = frontier0
+        var hop = 0
+        var drained = false
+        while (hop < maxHops && !drained) {
+          hop += 1
+          val next = frontier.select(col("node").as("fnode"))
+            .join(e.as("e"), col("fnode") === col("e.src"))
+            .select(col("e.dst").as("node")).distinct()
+            .join(visited.select(col("node").as("vnode")),
+              col("node") === col("vnode"), "left_anti")
+            .withColumn("dist", lit(hop))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          drained = next.count() == 0
+          frontiers += next
+          frontier = next
+        }
+        e.unpersist()
+        visited
+      }
+      def run(body: (DataFrame, DataFrame, Int) => DataFrame): Array[(Long, Int)] = {
+        val edges = graft.queries.ScaleOps.coPurchaseEdges(spark, sfDir)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val seeds = edges.select($"src".as("node")).distinct()
+          .orderBy($"node".asc).limit(3)
+        val out = body(edges, seeds, 3)
+          .select($"node".cast("long"), $"dist".cast("int")).as[(Long, Int)]
+          .collect().sortBy(_._1)
+        edges.unpersist()
+        out
+      }
+      val aT = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val bT = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var parity = true
+      (1 to 3).foreach { i =>
+        spark.catalog.clearCache()
+        var t0 = System.nanoTime(); val ra = run(oldDistances)
+        aT += (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        t0 = System.nanoTime(); val rb = run(graft.operators.Bfs.distances)
+        bT += (System.nanoTime() - t0) / 1e9
+        parity &&= ra.sameElements(rb)
+        println(f"[profile] bfsab rep$i old=${aT.last}%.3f s fused=${bT.last}%.3f s identical=${ra.sameElements(rb)} n=${ra.length}")
+      }
+      println(f"[profile] bfsab OLD min=${aT.min}%.3f s  FUSED min=${bT.min}%.3f s  parity=$parity")
+    }
     spark.stop()
   }
 }

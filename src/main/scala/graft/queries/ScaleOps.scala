@@ -96,7 +96,7 @@ object ScaleOps {
     * self-join included — once per union branch inside every caller's
     * persist() materialization.
     */
-  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+  private[graft] def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     coPurchaseSets(s, d)
       .select(explode(expr(
