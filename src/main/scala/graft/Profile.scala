@@ -863,6 +863,71 @@ object Profile {
       }
       println(f"[profile] bfsab OLD min=${aT.min}%.3f s  FUSED min=${bT.min}%.3f s  parity=$parity")
     }
+
+    // q102 BM25 A/B: the pre-r12 bm25TopK (TWO tokenize passes — the
+    // stats branch and the postings branch each re-ran wordTokens over
+    // the corpus; inlined below, verbatim) vs the r12 single-pass slim
+    // projection. Same-JVM alternating; row-identical output asserted
+    // per rep (q102's exact arguments).
+    if (want("bm25ab")) {
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.storage.StorageLevel
+      val terms = Seq("stream", "window", "merge")
+      // The pre-r12 bm25 + bm25TopK bodies, verbatim.
+      def oldTopK(docs: DataFrame, k: Int): DataFrame = {
+        val k1 = 1.2; val b = 0.75
+        val toks = docs.select(col("doc_id").cast("long").as("doc_id"),
+          graft.operators.TextAnalysis.wordTokens(col("text")).as("w"))
+        val stats = toks.select(size(col("w")).cast("long").as("dl"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        val tf = toks.select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+            explode(col("w")).as("term"))
+          .filter(col("term").isin(terms.distinct: _*))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("dfc"))
+        val avgdl = col("sum_dl").cast("double") / col("n_docs")
+        val idf = (col("n_docs") - col("dfc") + lit(0.5)) / (col("dfc") + lit(0.5))
+        val tfn = (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl))
+        val scored = tf.join(broadcast(df), "term")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"),
+            graft.operators.Curation.floorRound(idf * tfn, 6).as("contrib"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_terms_hit"),
+            sum(col("contrib").cast("decimal(28,6)")).cast("double").as("score"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val tk = graft.functions.TopKAgg.topK(k)
+        val top = scored.agg(tk(col("score"), col("doc_id")).as("top"))
+          .select(posexplode(col("top")))
+          .select(col("col.id").as("doc_id"), (col("pos") + 1).cast("int").as("rank"))
+        scored.join(broadcast(top), "doc_id")
+          .select(col("doc_id"), col("n_terms_hit"), col("score"), col("rank"))
+      }
+      def rows(df: DataFrame): Array[(Long, Long, Double, Int)] =
+        df.select(col("doc_id").cast("long"), col("n_terms_hit").cast("long"),
+            col("score"), col("rank").cast("int"))
+          .as[(Long, Long, Double, Int)].collect().sortBy(_._1)
+      val docs = Tables.documents(spark, sfDir)
+      val aT = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val bT = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var parity = true
+      (1 to 3).foreach { i =>
+        spark.catalog.clearCache()
+        var t0 = System.nanoTime(); val ra = rows(oldTopK(docs, 10))
+        aT += (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        t0 = System.nanoTime()
+        val rb = rows(graft.operators.Retrieval.bm25TopK(
+          docs, $"doc_id", $"text", terms, k = 10))
+        bT += (System.nanoTime() - t0) / 1e9
+        parity &&= ra.sameElements(rb)
+        println(f"[profile] bm25ab rep$i old=${aT.last}%.3f s slim=${bT.last}%.3f s identical=${ra.sameElements(rb)} n=${ra.length}")
+      }
+      println(f"[profile] bm25ab OLD min=${aT.min}%.3f s  SLIM min=${bT.min}%.3f s  parity=$parity")
+    }
     spark.stop()
   }
 }

@@ -58,27 +58,37 @@ object Retrieval {
     * 6-decimal-rounded per-term contribution sum (see scaladoc above);
     * `n_terms_hit` the number of distinct query terms present.
     *
-    * Plan shape: TWO tokenize passes over the corpus — the 1-row
-    * (N, Σdl) statistic and the postings pass (doc length rides the
-    * explode as max(dl), tfidfKeywords' trick, so there is NO separate
-    * doc-length join pass) — then df broadcast join (≤|query| rows)
-    * and the per-doc sum. The postings-bounded tf table is persisted:
-    * it feeds both the df aggregate and the scoring join, and without
-    * it each consumer would re-run the tokenize.
+    * Plan shape: ONE tokenize pass over the corpus (r12; guide §2.3 —
+    * it was two, one for the 1-row (N, Σdl) statistic and one for the
+    * postings, each branch re-running the wordTokens regexp on every
+    * document). The pass projects each doc to its length plus its
+    * QUERY-TERM tokens only — `(doc_id, dl, wq)`, a few dozen bytes
+    * per row — and that slim table is persisted; the broadcast stats
+    * row and the postings both fill from the cache. Doc length rides
+    * the explode as max(dl), tfidfKeywords' trick, so there is NO
+    * separate doc-length join pass; df is a broadcast join (≤|query|
+    * rows); the per-doc sum is decimal (order-independent). The
+    * postings-bounded tf table is persisted too: it feeds both the df
+    * aggregate and the scoring join, and without it each consumer
+    * would re-run the slim scan.
     */
   def bm25(docs: DataFrame, id: Column, text: Column, terms: Seq[String],
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "empty query")
-    val toks = docs.select(id.cast("long").as("doc_id"),
-      TextAnalysis.wordTokens(text).as("w"))
-    // Narrow pass: (N, Σdl) reduces to one broadcast row.
-    val stats = toks.select(size(col("w")).cast("long").as("dl"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val qset = terms.distinct
+    // The single tokenize pass: per-doc length (BEFORE the term
+    // filter) + the doc's query-term occurrences, duplicates kept
+    // (array filter, not intersect — tf needs multiplicity).
+    val slim = docs.select(id.cast("long").as("doc_id"),
+        TextAnalysis.wordTokens(text).as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+        filter(col("w"), t => t.isin(qset: _*)).as("wq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Narrow read: (N, Σdl) reduces to one broadcast row.
+    val stats = slim.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     // Term frequencies: only the query terms' postings ever shuffle;
     // dl is constant per doc so max() recovers it without a join.
-    val tf = toks.select(col("doc_id"), size(col("w")).cast("long").as("dl"),
-        explode(col("w")).as("term"))
-      .filter(col("term").isin(terms.distinct: _*))
+    val tf = slim.select(col("doc_id"), col("dl"), explode(col("wq")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
